@@ -1,0 +1,101 @@
+"""Engine configuration model — reproduces the reference's config surface.
+
+Reference: config.go:24-80 (+ factory.go:48-76 defaults, fileio.go:194-201
+compression validation, internal/logger/logger.go:15-71 verbosity).
+
+The three FileIO backends (S3 / Cloudflare R2 / local FS, fileio_s3.go /
+fileio_r2.go / fileio_local.go, path-style autodetect fileio.go:235-302,
+auth chain auth.go:33-90) collapse into Hadoop `fs.s3a.*` configuration in
+Spark — `storage_options` carries them verbatim.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+VALID_COMPRESSIONS = ("none", "snappy", "gzip", "zstd")  # fileio.go:194-201
+VALID_GRANULARITIES = ("hourly", "daily", "monthly")  # factory.go:22-25
+VALID_CATALOG_TYPES = ("rest", "none")  # config.go catalog block
+VALID_STORAGE_PROVIDERS = ("s3", "r2", "filesystem")
+VALID_VERBOSITY = ("basic", "normal", "detailed")  # logger.go:15-71
+
+
+@dataclass
+class StorageConfig:
+    provider: str = "filesystem"  # s3 | r2 | filesystem
+    bucket: str = ""  # or local root path for filesystem
+    prefix: str = "opentelemetry-iceberg-exporter"
+    compression: str = "snappy"  # factory.go:28
+    # Hadoop fs.s3a.* overrides (endpoint, path-style, credentials...).
+    options: dict[str, str] = field(default_factory=dict)
+
+    def validate(self) -> None:
+        if self.provider not in VALID_STORAGE_PROVIDERS:
+            raise ValueError(f"invalid storage provider {self.provider!r}")
+        if self.compression not in VALID_COMPRESSIONS:
+            raise ValueError(
+                f"invalid compression {self.compression!r}; one of {VALID_COMPRESSIONS}"
+            )
+        if not self.bucket:
+            raise ValueError("storage.bucket (or filesystem root) is required")
+
+    @property
+    def base_uri(self) -> str:
+        if self.provider == "filesystem":
+            root = self.bucket.rstrip("/")
+            return f"{root}/{self.prefix}" if self.prefix else root
+        scheme = "s3a"
+        return f"{scheme}://{self.bucket}/{self.prefix}" if self.prefix else f"{scheme}://{self.bucket}"
+
+
+@dataclass
+class CatalogConfig:
+    catalog_type: str = "none"  # rest | none
+    uri: str = ""  # REST catalog endpoint
+    namespace: str = "otel"
+    warehouse: str = ""
+    # per-signal table-name overrides (catalog.go:167-222)
+    table_prefix: str = "otel"
+    table_overrides: dict[str, str] = field(default_factory=dict)
+
+    def validate(self) -> None:
+        if self.catalog_type not in VALID_CATALOG_TYPES:
+            raise ValueError(f"invalid catalog type {self.catalog_type!r}")
+        if self.catalog_type == "rest" and not self.uri:
+            raise ValueError("catalog.uri required for rest catalog")
+
+
+@dataclass
+class PartitionConfig:
+    granularity: str = "hourly"  # hourly | daily | monthly (factory.go:22-25)
+    timezone: str = "UTC"  # IANA name
+
+    def validate(self) -> None:
+        if self.granularity not in VALID_GRANULARITIES:
+            raise ValueError(f"invalid granularity {self.granularity!r}")
+
+
+@dataclass
+class RetryConfig:
+    """X3 envelope: exporterhelper queue/retry/timeout (factory.go:48-76)."""
+
+    timeout_seconds: float = 60.0  # factory.go:30-35
+    max_elapsed_seconds: float = 300.0  # retry_on_failure
+    num_consumers: int = 10  # sending_queue.num_consumers
+    queue_size: int = 1000
+
+
+@dataclass
+class ExporterConfig:
+    storage: StorageConfig = field(default_factory=StorageConfig)
+    catalog: CatalogConfig = field(default_factory=CatalogConfig)
+    partition: PartitionConfig = field(default_factory=PartitionConfig)
+    retry: RetryConfig = field(default_factory=RetryConfig)
+    verbosity: str = "normal"
+
+    def validate(self) -> None:
+        self.storage.validate()
+        self.catalog.validate()
+        self.partition.validate()
+        if self.verbosity not in VALID_VERBOSITY:
+            raise ValueError(f"invalid verbosity {self.verbosity!r}")

@@ -1,0 +1,368 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All hashing derives from md5 (bit-identical in DuckDB) so every operator
+is oracle-checkable. All per-document signature computation is expressed
+as Catalyst array expressions over the token array — zero shuffles until
+the candidate-pair join, which is the unavoidable one (and is an equi-join
+on band/bucket keys, so it scales: shuffle size is O(docs × bands), not
+O(docs²)).
+
+Scale design (100 TB):
+* exact dedup: single hash-aggregate shuffle on the content hash;
+* MinHash LSH: signatures map-side; candidate generation = explode bands
+  -> equi-join on (band_idx, band_hash) -> distinct pairs; only
+  candidates get the exact-Jaccard verification;
+* SimHash: 32-bit signature map-side; near-dup = band the signature into
+  4 bytes and equi-join on any matching byte (Hamming<=k candidates);
+* n-gram Jaccard: shingle-explode + equi-join on shingle; skew guard =
+  drop shingles whose document frequency exceeds a cap (stop-shingles
+  contribute nothing to near-dup detection but dominate the join).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import md5_hash64, ngrams, tokens
+from ..functions.textfns import HASH_MOD
+from ..sources.tables import load_table
+from ..queries import register
+
+# ---------------------------------------------------------------------------
+# shared: deterministic minhash permutation constants (seed fixed so the
+# DuckDB oracle embeds the same literals)
+
+NUM_HASHES = 16
+BAND_SIZE = 4  # 4 bands of 4 -> near-dup threshold ~ (1/4)^(1/4) ≈ 0.71
+
+_rng = random.Random(42)
+MINHASH_A = [_rng.randrange(1, HASH_MOD) for _ in range(NUM_HASHES)]
+MINHASH_B = [_rng.randrange(0, HASH_MOD) for _ in range(NUM_HASHES)]
+
+
+# DuckDB SQL fragments mirroring functions/textfns.py exactly
+_DUCK_TOKENS = r"regexp_split_to_array(trim(text), '\s+')"
+_DUCK_HASH64 = "(('0x' || substring(md5({x}), 1, 15))::BIGINT)"
+
+
+def _duck_shingles(n: int = 3) -> str:
+    terms = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+    return (
+        f"list_transform(range(1, greatest(len(t) - {n - 1}, 0) + 1), i -> {terms})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact deduplication
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per distinct normalized content.
+
+    One hash-aggregate shuffle on the 128-bit content hash; at 100 TB the
+    hash (not the content) is the shuffle key, so shuffle volume is
+    O(rows × ~50B).
+    """
+    norm = F.md5(F.regexp_replace(F.trim(F.lower(F.col(content_col))), r"\s+", " "))
+    return (
+        df.withColumn("__h", norm)
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("__h")
+    )
+
+
+@register(
+    "d01_exact_dedup",
+    """
+    SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+    """,
+    doc="Exact dedup by normalized-content md5; also the cross-engine "
+    "md5 canary.",
+)
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH candidate pairs
+
+
+def _shingle_hashes(text_col: Column, n: int = 3) -> Column:
+    """Distinct word-n-gram shingles -> 60-bit hashes mod HASH_MOD."""
+    sh = F.array_distinct(ngrams(tokens(text_col), n))
+    return F.transform(sh, lambda s: md5_hash64(s) % HASH_MOD)
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """NUM_HASHES minhash values per document, computed map-side as array
+    expressions (no explode, no shuffle)."""
+    hs = _shingle_hashes(F.col(text_col))
+    out = df.withColumn("__hs", hs)
+
+    def perm(a: int, b: int):
+        def f(h: Column) -> Column:
+            return (F.lit(a) * h + F.lit(b)) % HASH_MOD
+
+        return f
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("__hs"), perm(a, b))).alias(f"sig{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return out.select(F.col(id_col), *sig_cols)
+
+
+def minhash_lsh_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band.
+
+    Explode to one row per band (docs × n_bands), equi-join on
+    (band_idx, band_key) — scales linearly, never O(n²).
+    """
+    n_bands = NUM_HASHES // BAND_SIZE
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"sig{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sigs.select(
+        F.col(id_col), F.posexplode(bands).alias("band_idx", "band_key")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def _minhash_oracle() -> str:
+    base = _DUCK_HASH64.format(x="s") + f" % {HASH_MOD}"
+    sig_exprs = ",\n      ".join(
+        f"list_aggregate(list_transform(hs, h -> ({a} * h + {b}) % {HASH_MOD}), 'min')"
+        f" AS sig{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(list_distinct({_duck_shingles(3)}), s -> {base}) AS hs
+      FROM tok
+    )
+    SELECT doc_id,
+      {sig_exprs}
+    FROM sh
+    """
+
+
+@register(
+    "d02_minhash_signatures",
+    _minhash_oracle(),
+    doc="16-hash MinHash signature per document (map-side array math).",
+)
+def d02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _lsh_pairs_oracle() -> str:
+    n_bands = NUM_HASHES // BAND_SIZE
+    base = _DUCK_HASH64.format(x="s") + f" % {HASH_MOD}"
+    sig_exprs = ",\n      ".join(
+        f"list_aggregate(list_transform(hs, h -> ({a} * h + {b}) % {HASH_MOD}), 'min')"
+        f" AS sig{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5("
+        + " || ',' || ".join(f"sig{b * BAND_SIZE + j}::VARCHAR" for j in range(BAND_SIZE))
+        + ") AS band_key FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(list_distinct({_duck_shingles(3)}), s -> {base}) AS hs
+      FROM tok
+    ), sigs AS (
+      SELECT doc_id, {sig_exprs} FROM sh
+    ), bands AS (
+      {band_rows}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """
+
+
+@register(
+    "d03_minhash_lsh_pairs",
+    _lsh_pairs_oracle(),
+    doc="MinHash-LSH candidate pairs (4 bands × 4 rows).",
+)
+def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return minhash_lsh_pairs(sigs, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard similarity (exact, shuffle-based)
+
+JACCARD_THRESHOLD = 0.2
+# stop-shingle cap: shingles appearing in more docs than this are join-skew
+# without near-dup signal. Disabled in oracle-checked mode (testdata has no
+# such skew); enable for production corpora.
+DEFAULT_DF_CAP: int | None = None
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+    df_cap: int | None = DEFAULT_DF_CAP,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs above threshold.
+
+    shingle-explode -> equi-join on shingle -> per-pair shared count ->
+    jaccard = shared / (|A| + |B| - shared). Integer arithmetic until the
+    final division => deterministic.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngrams(tokens(F.col(text_col)), n))).alias("sh"),
+    )
+    if df_cap is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(freq.filter(F.col("df_") <= df_cap), "sh", "inner").drop("df_")
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "shared", "jaccard")
+    )
+
+
+@register(
+    "d04_ngram_jaccard_pairs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct({_duck_shingles(3)})) AS sh FROM tok
+    ), cnt AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared,
+           ROUND(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 6) AS jaccard
+    FROM pairs
+    JOIN cnt ca ON pairs.id_a = ca.doc_id
+    JOIN cnt cb ON pairs.id_b = cb.doc_id
+    WHERE ROUND(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 6) >= {JACCARD_THRESHOLD}
+    """,
+    doc="Exact 3-gram Jaccard near-dup pairs above 0.2.",
+)
+def d04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per document, map-side.
+
+    bit b of the signature = sign of sum over token occurrences of
+    (bit b of token-hash ? +1 : -1).  Expressed as 32 array-filter
+    counts over the token-hash array — all codegen, no shuffle.
+    """
+    th = F.transform(tokens(F.col(text_col)), md5_hash64)
+    out = df.withColumn("__th", th).withColumn("__n", F.size(F.col("__th")))
+
+    def bit_test(b: int):
+        def f(h: Column) -> Column:
+            return F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+
+        return f
+
+    sig = F.lit(0).cast("bigint")
+    for b in range(SIMHASH_BITS):
+        ones = F.size(F.filter(F.col("__th"), bit_test(b)))
+        sig = sig + F.when(ones * 2 > F.col("__n"), F.lit(1 << b)).otherwise(0)
+    return out.select(F.col(id_col), sig.alias("simhash"))
+
+
+def _simhash_oracle() -> str:
+    h = _DUCK_HASH64.format(x="x")
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(th, h -> (h >> {b}) & 1 = 1)) > len(th) "
+        f"THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, list_transform({_DUCK_TOKENS}, x -> {h}) AS th FROM documents
+    )
+    SELECT doc_id, ({bit_terms}) AS simhash FROM tok
+    """
+
+
+@register(
+    "d05_simhash",
+    _simhash_oracle(),
+    doc="32-bit SimHash signatures (majority-bit of token hashes).",
+)
+def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, sf_dir, "documents"), "doc_id", "text")

@@ -1,0 +1,173 @@
+"""Multimodal column plumbing: image/audio/video as opaque `binary`
+columns with typed metadata, processed via Arrow-batched mapInPandas.
+
+The container has no image/audio codecs, so the decode kernels are
+STUBS (clearly marked, raising NotImplementedError unless the fake
+deterministic decoder is requested).  Everything Spark-side — schema,
+partition sizing, UDF signature, Arrow batch shape — is real and tested;
+swapping the stub for PIL/ffmpeg is a one-function change.
+
+Scale design: mapInPandas streams Arrow batches (no per-row Python
+overhead); `spark.sql.execution.arrow.maxRecordsPerBatch` bounds batch
+memory for fat binary columns; repartition before decode spreads large
+media objects across executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sources.tables import load_table
+from ..queries import register
+
+# canonical media-row schema: opaque payload + typed metadata
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),  # image|audio|video
+        StructField("content", BinaryType(), False),
+        StructField("metadata", MapType(StringType(), StringType()), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("head_hex", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def decode_image(content: bytes) -> Any:
+    """STUB — real image decoding needs PIL/opencv, not in this container.
+
+    Replace with `PIL.Image.open(io.BytesIO(content))` when available.
+    """
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv which are not installed; "
+        "use fake_decode=True for the deterministic test decoder"
+    )
+
+
+def _fake_dims(content: bytes) -> tuple[int, int]:
+    """Deterministic fake decoder: derives plausible dimensions from the
+    payload length. Stands in for the real decode in tests."""
+    n = len(content)
+    return (n % 640) + 1, (n % 480) + 1
+
+
+def extract_media_features(df: DataFrame, fake_decode: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over binary media content."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                if fake_decode:
+                    w, h = _fake_dims(b)
+                else:  # pragma: no cover - requires codec libs
+                    img = decode_image(b)
+                    w, h = img.size
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_bytes": len(b),
+                        "head_hex": b[:8].hex(),
+                        "width": w,
+                        "height": h,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapter: treat document text bytes as opaque media payloads so the
+    binary plumbing is exercisable on the driver's testdata."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").cast("binary").alias("content"),
+        F.create_map(F.lit("source"), F.col("source")).alias("metadata"),
+    )
+
+
+@register(
+    "m01_binary_features",
+    """
+    SELECT doc_id AS media_id,
+           length(text)::BIGINT AS n_bytes,
+           lower(hex(substring(text, 1, 8))) AS head_hex,
+           ((length(text) % 640) + 1)::INT AS width,
+           ((length(text) % 480) + 1)::INT AS height
+    FROM documents
+    """,
+    doc="Binary media plumbing: encode->mapInPandas feature extraction "
+    "(byte length, head hex, fake-decoded dims). Oracle valid because "
+    "the corpus is ASCII (1 char = 1 byte).",
+)
+def m01_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(spark, sf_dir)
+    return extract_media_features(media, fake_decode=True)
+
+
+@register(
+    "m02_frame_sample",
+    None,  # rows-only: per-frame md5 chaining is not worth expressing in SQL
+    doc="Video-style frame sampling stub: chunk binary payload into fixed "
+    "16-byte 'frames', sample every 4th, fingerprint each sample.",
+)
+def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(spark, sf_dir)
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("n_frames", IntegerType(), False),
+            StructField("n_sampled", IntegerType(), False),
+            StructField("sample_fp", StringType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                frames = [b[i : i + 16] for i in range(0, len(b), 16)]
+                sampled = frames[::4]
+                fp = hashlib.md5(b"".join(sampled)).hexdigest()
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_frames": len(frames),
+                        "n_sampled": len(sampled),
+                        "sample_fp": fp,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return media.mapInPandas(batches, schema)

@@ -1,0 +1,211 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k (query set broadcast against the
+corpus — no shuffle except the final per-query top-k).  Scale path:
+random-hyperplane LSH bucketing, which turns the O(Q×N) scan into an
+equi-join on bucket id.
+
+Determinism strategy: the dot product is emitted as an UNROLLED
+left-associative expression (e[1]*q[1] + e[2]*q[2] + ...), identical in
+Spark and DuckDB — IEEE doubles evaluated in the same order are
+bit-identical across engines, so even unrounded cosines hash-match.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from ..queries import register
+
+DIM = 64  # embedding dimensionality of the testdata corpus
+TOP_K = 5
+QUERY_STRIDE = 50  # queries = vectors with vec_id % stride == 0
+
+N_PLANES = 8  # hyperplane LSH bits
+_rng = random.Random(7)
+PLANES: list[list[float]] = [
+    [round(_rng.uniform(-1.0, 1.0), 6) for _ in range(DIM)] for _ in range(N_PLANES)
+]
+
+
+def _spark_dot(a: str, b: str) -> str:
+    """Unrolled dot product (Spark SQL, 1-indexed element_at)."""
+    return " + ".join(
+        f"cast(element_at({a}, {i}) as double) * cast(element_at({b}, {i}) as double)"
+        for i in range(1, DIM + 1)
+    )
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return " + ".join(f"{a}[{i}]::DOUBLE * {b}[{i}]::DOUBLE" for i in range(1, DIM + 1))
+
+
+def _spark_plane_dot(a: str, plane: list[float]) -> str:
+    return " + ".join(
+        f"cast(element_at({a}, {i}) as double) * ({plane[i - 1]!r}D)"
+        for i in range(1, DIM + 1)
+    )
+
+
+def _duck_plane_dot(a: str, plane: list[float]) -> str:
+    return " + ".join(f"{a}[{i}]::DOUBLE * ({plane[i - 1]!r})" for i in range(1, DIM + 1))
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k
+
+
+def cosine_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = TOP_K
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries is assumed dimension-table sized -> broadcast; the corpus
+    streams map-side; the only shuffle is the per-query top-k window.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        F.expr(f"sqrt({_spark_dot(vec_col, vec_col)})").alias("v_norm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q"),
+        F.expr(f"sqrt({_spark_dot(vec_col, vec_col)})").alias("q_norm"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).withColumn(
+        "cos_sim",
+        F.round(F.expr(f"({_spark_dot('v', 'q')})") / (F.col("v_norm") * F.col("q_norm")), 4),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id", "cos_sim", "rk")
+    )
+
+
+@register(
+    "s01_knn_bruteforce",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+             ROUND(({_duck_dot('c.embedding', 'q.embedding')})
+                   / (c.nrm * q.nrm), 4) AS cos_sim
+      FROM base c
+      JOIN base q ON q.vec_id % {QUERY_STRIDE} = 0 AND c.vec_id <> q.vec_id
+    )
+    SELECT q_id, vec_id, cos_sim, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rk
+      FROM pairs
+    ) WHERE rk <= {TOP_K}
+    """,
+    doc="Brute-force cosine top-5 for stride-sampled query vectors.",
+)
+def s01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    return cosine_topk(emb, queries, "vec_id", "embedding")
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane-LSH bucketed ANN
+
+
+def lsh_bucket(df: DataFrame, vec_col: str) -> DataFrame:
+    """Append an 8-bit random-hyperplane bucket id (map-side only)."""
+    bits = [
+        f"(CASE WHEN ({_spark_plane_dot(vec_col, p)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(PLANES)
+    ]
+    return df.withColumn("bucket", F.expr(" + ".join(bits)).cast("int"))
+
+
+def _duck_bucket(vec: str) -> str:
+    bits = [
+        f"(CASE WHEN ({_duck_plane_dot(vec, p)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(PLANES)
+    ]
+    return "(" + " + ".join(bits) + ")::INT"
+
+
+def ann_lsh(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 3
+) -> DataFrame:
+    """ANN: only candidates in the query's LSH bucket get exact scoring.
+
+    At 100 TB: bucket is an equi-join key, so candidate generation is a
+    hash join; recall/cost tunes via N_PLANES (more planes -> smaller
+    buckets). Multi-probe (flip one bit) is the standard recall upgrade.
+    """
+    c = lsh_bucket(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            F.expr(f"sqrt({_spark_dot(vec_col, vec_col)})").alias("v_norm"),
+        ).withColumn("__tmp", F.lit(1)),
+        "v",
+    ).drop("__tmp")
+    q = lsh_bucket(
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q"),
+            F.expr(f"sqrt({_spark_dot(vec_col, vec_col)})").alias("q_norm"),
+        ),
+        "q",
+    ).withColumnRenamed("bucket", "q_bucket")
+    pairs = c.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    ).withColumn(
+        "cos_sim",
+        F.round(F.expr(f"({_spark_dot('v', 'q')})") / (F.col("v_norm") * F.col("q_norm")), 4),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id", "cos_sim", "rk")
+    )
+
+
+@register(
+    "s02_ann_lsh",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm,
+             {_duck_bucket('embedding')} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+             ROUND(({_duck_dot('c.embedding', 'q.embedding')})
+                   / (c.nrm * q.nrm), 4) AS cos_sim
+      FROM base c
+      JOIN base q ON q.vec_id % {QUERY_STRIDE} = 0
+                 AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    )
+    SELECT q_id, vec_id, cos_sim, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rk
+      FROM pairs
+    ) WHERE rk <= 3
+    """,
+    doc="LSH-bucketed approximate nearest neighbors (8 hyperplanes).",
+)
+def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    return ann_lsh(emb, queries, "vec_id", "embedding")

@@ -1,0 +1,237 @@
+"""Text-analysis operators for training-data pipelines: token statistics,
+quality scoring, n-gram language ID, document fingerprinting, corpus
+n-gram frequencies.
+
+All per-document features are Catalyst array expressions over the token
+array — map-side, codegen'd, no shuffle; corpus-level stats shuffle once
+on the n-gram key.  Integer arithmetic until final divisions keeps every
+value cross-engine deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import ngrams, tokens
+from ..sources.tables import load_table
+from ..queries import register
+
+_DUCK_TOKENS = r"regexp_split_to_array(trim(text), '\s+')"
+
+# language marker stopwords: tiny deterministic n-gram-ish heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "a"],
+    "es": ["el", "la", "de", "y"],
+    "de": ["der", "die", "und", "das"],
+    "fr": ["le", "la", "et", "les"],
+    "zh": ["de", "shi", "bu", "le"],
+}
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+def _count_in(tok: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tok, lambda t: F.array_contains(arr, t)))
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    tok = tokens(F.col(text_col))
+    tok_lens = F.transform(tok, F.length)
+    sum_len = F.aggregate(tok_lens, F.lit(0), lambda acc, x: acc + x)
+    return df.select(
+        F.col(id_col),
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_unique_tokens"),
+        F.round(sum_len.cast("double") / F.size(tok), 4).alias("avg_token_len"),
+        F.length(F.col(text_col)).alias("n_chars_actual"),
+    )
+
+
+@register(
+    "t01_token_stats",
+    f"""
+    WITH tok AS (SELECT doc_id, text, {_DUCK_TOKENS} AS t FROM documents)
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           len(list_distinct(t)) AS n_unique_tokens,
+           ROUND(list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t), 4)
+             AS avg_token_len,
+           length(text) AS n_chars_actual
+    FROM tok
+    """,
+    doc="Per-document token counting and length statistics.",
+)
+def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality score in [0,1]: lexical diversity, stopword mass,
+    token-length sanity — the usual cheap pretraining-corpus filters."""
+    tok = tokens(F.col(text_col))
+    n = F.size(tok)
+    uniq_ratio = F.size(F.array_distinct(tok)).cast("double") / n
+    stop_ratio = _count_in(tok, STOPWORDS).cast("double") / n
+    sum_len = F.aggregate(F.transform(tok, F.length), F.lit(0), lambda a, x: a + x)
+    avg_len = sum_len.cast("double") / n
+    # clamp(avg_len/8, 0, 1): crude "words look like words" factor
+    len_factor = F.least(avg_len / F.lit(8.0), F.lit(1.0))
+    score = F.round(
+        F.lit(0.5) * uniq_ratio + F.lit(0.25) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.25) * len_factor,
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+_DUCK_STOPFILTER = "list_filter(t, x -> x IN (" + ", ".join(f"'{w}'" for w in STOPWORDS) + "))"
+
+
+@register(
+    "t02_quality_score",
+    f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents)
+    SELECT doc_id,
+           ROUND(len(list_distinct(t))::DOUBLE / len(t), 6) AS uniq_ratio,
+           ROUND(len({_DUCK_STOPFILTER})::DOUBLE / len(t), 6) AS stop_ratio,
+           ROUND(
+             0.5 * (len(list_distinct(t))::DOUBLE / len(t))
+             + 0.25 * least((len({_DUCK_STOPFILTER})::DOUBLE / len(t)) * 4, 1.0)
+             + 0.25 * least((list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)) / 8.0, 1.0),
+           6) AS quality_score
+    FROM tok
+    """,
+    doc="Heuristic document quality scoring (diversity/stopword/length).",
+)
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-marker language scoring; deterministic argmax with fixed
+    tie order (list order of LANG_MARKERS)."""
+    tok = tokens(F.col(text_col))
+    out = df.withColumn("__tok", tok)
+    scores = {
+        lang: _count_in(F.col("__tok"), words) for lang, words in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return out.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        best.alias("pred_lang"),
+    )
+
+
+def _duck_lang_score(words: list[str]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(t, x -> x IN ({inlist})))"
+
+
+def _duck_lang_oracle() -> str:
+    langs = list(LANG_MARKERS)
+    score_cols = ",\n           ".join(
+        f"{_duck_lang_score(LANG_MARKERS[lang])} AS score_{lang}" for lang in langs
+    )
+    # same sequential argmax as the Spark side
+    pred = f"'{langs[0]}'"
+    best = f"score_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"CASE WHEN score_{lang} > {best} THEN score_{lang} ELSE {best} END"
+    return f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    scored AS (
+      SELECT doc_id,
+           {score_cols}
+      FROM tok
+    )
+    SELECT doc_id, score_en, score_es, score_de, score_fr, score_zh,
+           {pred} AS pred_lang
+    FROM scored
+    """
+
+
+@register(
+    "t03_language_id",
+    _duck_lang_oracle(),
+    doc="n-gram/stopword-marker language identification heuristic.",
+)
+def t03_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content fingerprints: full-text md5 over normalized text, plus a
+    head/tail fingerprint (first+last 3 tokens) for cheap clustering."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    tok = tokens(F.col(text_col))
+    head = F.slice(tok, 1, 3)
+    tail = F.slice(tok, F.greatest(F.size(tok) - 2, F.lit(1)), 3)
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_full"),
+        F.md5(F.concat_ws(" ", F.concat(head, tail))).alias("fp_headtail"),
+    )
+
+
+@register(
+    "t04_fingerprint",
+    f"""
+    WITH tok AS (SELECT doc_id, text, {_DUCK_TOKENS} AS t FROM documents)
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp_full,
+           md5(array_to_string(
+             list_concat(t[1:3], t[greatest(len(t) - 2, 1):greatest(len(t) - 2, 1) + 2]),
+             ' ')) AS fp_headtail
+    FROM tok
+    """,
+    doc="Document fingerprinting (normalized md5 + head/tail md5).",
+)
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def top_ngrams(df: DataFrame, text_col: str, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-level top-k n-grams: explode -> count -> top-k.  The single
+    shuffle keys on the n-gram; partial aggregation collapses the heavy
+    hitters map-side."""
+    grams = df.select(F.explode(ngrams(tokens(F.col(text_col)), n)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram").asc())
+        .limit(k)
+    )
+
+
+@register(
+    "t05_top_bigrams",
+    f"""
+    WITH tok AS (SELECT {_DUCK_TOKENS} AS t FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                    i -> t[i] || ' ' || t[i + 1])) AS gram
+      FROM tok
+    )
+    SELECT gram, COUNT(*) AS n
+    FROM grams GROUP BY gram
+    ORDER BY n DESC, gram ASC
+    LIMIT 20
+    """,
+    doc="Corpus top-20 word bigrams.",
+)
+def t05_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_ngrams(load_table(spark, sf_dir, "documents"), "text", 2, 20)

@@ -1,0 +1,329 @@
+"""Telemetry-style queries over the `events` stream table.
+
+These mirror the reference's dataflow semantics on the driver's star
+schema: epoch-hour partitioning (R1, partition.go:48-148), time-range
+filters with conservative null handling (F3, scanner.go:197-226), JSON
+attribute extraction (P4/P7), plus the stream-analytics operators the
+reference lacks (windows, lag, as-of joins — SURVEY §2.10).
+
+`ts_ns` is exact epoch-nanoseconds (see sources/tables.py); all time
+bucketing is integer math on it, which is bit-identical in DuckDB via
+epoch_ns(ts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from . import register
+
+NS_PER_HOUR = 3_600_000_000_000
+
+
+@register(
+    "e01_epoch_hour_partition",
+    f"""
+    SELECT
+      epoch_ns(ts) // {NS_PER_HOUR} AS epoch_hour,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="The reference's SplitByPartition (R1, partition.go:48-148): group "
+    "rows by epoch-hour of their event timestamp. In Spark this is a "
+    "declarative groupBy — the write path gets it via partitionBy/Iceberg "
+    "hours() transform.",
+)
+def e01_epoch_hour_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # integer div — double division at epoch-ns magnitude flips hour
+    # boundaries (256ns ulp at 1.7e18)
+    return ev.groupBy(
+        F.expr(f"ts_ns div {NS_PER_HOUR}").alias("epoch_hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "e02_time_range_filter",
+    """
+    WITH b AS (
+      SELECT min(epoch_ns(ts)) AS lo, max(epoch_ns(ts)) AS hi FROM events
+    )
+    SELECT event_type, COUNT(*) AS n
+    FROM events, b
+    WHERE (epoch_ns(ts) >= lo + (hi - lo) // 4
+           AND epoch_ns(ts) < lo + (hi - lo) // 2)
+       OR ts IS NULL
+    GROUP BY event_type
+    """,
+    doc="Partition time-range filter with the reference's conservative "
+    "null-keeps semantics (F3, scanner.go:197-226: unparseable partitions "
+    "are conservatively included). Range bounds derived from the data so "
+    "the query is scale-factor independent.",
+)
+def e02_time_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min("ts_ns").alias("lo"), F.max("ts_ns").alias("hi")
+    ).first()
+    lo, hi = b["lo"], b["hi"]
+    after = lo + (hi - lo) // 4
+    before = lo + (hi - lo) // 2
+    return (
+        ev.filter(
+            ((F.col("ts_ns") >= after) & (F.col("ts_ns") < before))
+            | F.col("ts_ns").isNull()
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "e03_tumbling_window",
+    f"""
+    SELECT
+      event_type,
+      (epoch_ns(ts) // {NS_PER_HOUR}) * 3600 AS window_start_epoch,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour window aggregation (F.window) — the aggregating "
+    "counterpart of the reference's hour partitioner.",
+)
+def e03_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "e04_json_props_extract",
+    """
+    SELECT
+      event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON attribute extraction (reference P4/P7: attributes stored as "
+    "JSON strings, queried via get_json_object).",
+)
+def e04_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "e05_lag_delta",
+    """
+    SELECT
+      event_type,
+      COUNT(*) AS n_deltas,
+      CAST(SUM(CAST(delta_ns AS DECIMAL(38,0))) AS BIGINT) AS sum_delta_ns,
+      MAX(delta_ns) AS max_delta_ns
+    FROM (
+      SELECT event_type,
+             epoch_ns(ts) - LAG(epoch_ns(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+             ) AS delta_ns
+      FROM events
+    )
+    WHERE delta_ns IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="LAG over per-user event sequences: inter-event gap statistics.",
+)
+def e05_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    return (
+        ev.withColumn("delta_ns", F.col("ts_ns") - F.lag("ts_ns").over(w))
+        .filter(F.col("delta_ns").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_deltas"),
+            F.sum(F.col("delta_ns").cast("decimal(38,0)")).cast("bigint").alias("sum_delta_ns"),
+            F.max("delta_ns").alias("max_delta_ns"),
+        )
+    )
+
+
+@register(
+    "e06_running_value_per_user",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_value
+    FROM events
+    """,
+    doc="Running (cumulative) sum per user — frame-bounded window; exact "
+    "decimal accumulation keeps it order-deterministic.",
+)
+def e06_running_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "e07_asof_join_last_order",
+    """
+    SELECT event_id, last_orderkey FROM (
+      SELECT e.event_id, o.o_orderkey AS last_orderkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY epoch_ms(o.o_orderdate) DESC, o.o_orderkey DESC
+             ) AS rk
+      FROM events e
+      JOIN orders o
+        ON o.o_custkey = e.user_id
+       AND epoch_ms(o.o_orderdate) * 1000000 <= epoch_ns(e.ts)
+    ) WHERE rk = 1
+    """,
+    doc="As-of join: for each event, the most recent order at or before "
+    "the event time for that user (latest orderdate, orderkey as "
+    "tiebreak). Spark composes join + ranked-window dedup; DuckDB oracle "
+    "uses max_by over the same inequality join.",
+)
+def e07_asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        (F.unix_millis(F.col("o_orderdate").cast("timestamp")) * F.lit(1_000_000)).alias("od_ns"),
+    )
+    joined = ev.join(
+        o, (o.o_custkey == ev.user_id) & (o.od_ns <= ev.ts_ns), "inner"
+    )
+    w = (
+        Window.partitionBy("event_id")
+        .orderBy(F.col("od_ns").desc(), F.col("o_orderkey").desc())
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("event_id", F.col("o_orderkey").alias("last_orderkey"))
+    )
+
+
+@register(
+    "e08_range_join_clicks_before_error",
+    """
+    SELECT e.event_id,
+           COUNT(c.event_id) AS n_clicks_before
+    FROM events e
+    LEFT JOIN events c
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click'
+     AND epoch_ns(c.ts) >= epoch_ns(e.ts) - 3600000000000
+     AND epoch_ns(c.ts) <  epoch_ns(e.ts)
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+    doc="Range (interval) join: clicks by the same user in the hour "
+    "preceding each error event — equi-key on user, range residual on "
+    "time; Spark plans a hash join with the range as a post-filter.",
+)
+def e08_range_join_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts_ns").alias("e_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts_ns").alias("c_ts"),
+    )
+    hour_ns = 3_600_000_000_000
+    joined = errors.join(
+        clicks,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.lit(hour_ns))
+        & (F.col("c_ts") < F.col("e_ts")),
+        "left",
+    )
+    return joined.groupBy(F.col("e_id").alias("event_id")).agg(
+        F.count(F.col("c_id")).alias("n_clicks_before")
+    )
+
+
+@register(
+    "e09_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, epoch_ns(ts) AS t,
+             CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > 1800000000000
+                  OR LAG(epoch_ns(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="Sessionization (30-min inactivity gap) via gaps-and-islands — "
+    "the batch equivalent of a session window; streaming variant uses "
+    "F.session_window.",
+)
+def e09_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap_ns = 1800 * 1_000_000_000
+    prev = F.lag("ts_ns").over(w)
+    is_start = F.when(
+        prev.isNull() | ((F.col("ts_ns") - prev) > gap_ns), F.lit(1)
+    ).otherwise(F.lit(0))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.withColumn("is_start", is_start)
+        .withColumn("session_id", F.sum("is_start").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -1,0 +1,73 @@
+"""Canonical loaders for the driver's TPC-H-ish star schema (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet each under an sf dir.
+
+The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+reads as epoch-ns LongType (spark.sql.legacy.parquet.nanosAsLong=true).
+We expose both:
+    ts_ns : long  — raw epoch nanoseconds (exact, for oracle-safe math)
+    ts    : timestamp — us-truncated, mirroring the reference's ns->us
+            policy (internal/arrow/traces.go:141-142, README.md:430)
+
+All loads are plain `spark.read.parquet` — schema comes from the files,
+predicate pushdown and column pruning stay fully available to Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables: always broadcast-join these. At 100 TB the fact
+# tables (lineitem/orders/events) scale; these stay tiny.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # must hold in the CALLER's session too (the driver harness builds
+        # its own SparkSession): without it Spark refuses TIMESTAMP(NANOS)
+        # parquet outright. Runtime-settable SQL conf.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events":
+        # nanosAsLong=true -> ts is LongType epoch-ns. DuckDB (the oracle)
+        # truncates parquet ns-timestamps to us on read, so ts_ns is
+        # us-truncated too (kept in ns units) — also exactly the
+        # reference's ns->us storage policy (traces.go:141-142).
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer `div`, NOT floor(x/1000): double division loses ulps
+            # at epoch-ns magnitude (~1.7e18) and rounds some values up.
+            df = (
+                df.withColumnRenamed("ts", "ts_raw_ns")
+                .withColumn("ts_ns", F.expr("(ts_raw_ns div 1000) * 1000"))
+                .withColumn("ts", F.timestamp_micros(F.expr("ts_raw_ns div 1000")))
+                .drop("ts_raw_ns")
+            )
+        else:  # already a timestamp (e.g. future driver change)
+            df = df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * 1000)
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views for spark.sql queries."""
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
