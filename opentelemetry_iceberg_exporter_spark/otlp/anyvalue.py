@@ -1,0 +1,119 @@
+"""Canonical JSON encoding of OTLP attribute maps and AnyValues.
+
+Reference parity: attributesToJSON / valueToInterface
+(internal/arrow/traces.go:252-291, metrics.go:765-773) marshal a
+pcommon.Map through Go's json.Marshal, which SORTS map keys — so the
+encoder here sorts entries by key before emitting.  logValueToJSON
+(logs.go:190-211) is the body-specific variant: scalars pass through
+RAW (unquoted), doubles as %f (fixed 6 decimals), and only slice/map
+values get JSON-encoded.
+
+All encoders are pure Catalyst expressions (concat/transform/when) —
+JVM-side, codegen'd, no UDFs.
+
+Known formatting divergences vs Go (documented, covered by tests):
+* non-integral doubles inside attribute JSON use Spark's double->string
+  rendering ("0.1", "1.0E21"); Go emits shortest-round-trip ("0.1",
+  "1e+21"). Values in the reference's fixture corpus are unaffected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .model import ATTR_DEPTH
+
+
+def json_quote(col: Column) -> Column:
+    """JSON-escape + quote a string: render '["x"]' and strip brackets."""
+    arr = F.to_json(F.array(col))
+    return arr.substr(F.lit(2), F.length(arr) - 2)
+
+
+def json_number(col: Column) -> Column:
+    """Go json.Marshal renders integral float64s without a decimal point
+    (42.0 -> "42"); Spark CAST(double AS STRING) keeps ".0". Match Go for
+    the integral case."""
+    as_long = col.cast("long")
+    integral = (col == as_long.cast("double")) & (F.abs(col) < 1e15)
+    return F.when(integral, as_long.cast("string")).otherwise(col.cast("string"))
+
+
+def anyvalue_to_json(v: Column, depth: int = ATTR_DEPTH) -> Column:
+    """Render an AnyValue struct as a JSON fragment (valueToInterface +
+    json.Marshal semantics: typed scalars, base64 bytes as string,
+    recursive arrays and key-sorted maps)."""
+    out = (
+        F.when(v["stringValue"].isNotNull(), json_quote(v["stringValue"]))
+        .when(v["boolValue"].isNotNull(), F.when(v["boolValue"], F.lit("true")).otherwise("false"))
+        .when(v["intValue"].isNotNull(), v["intValue"].cast("long").cast("string"))
+        .when(v["doubleValue"].isNotNull(), json_number(v["doubleValue"]))
+        .when(v["bytesValue"].isNotNull(), json_quote(v["bytesValue"]))
+    )
+    if depth > 0:
+        arr = v["arrayValue"]["values"]
+        out = out.when(
+            v["arrayValue"].isNotNull(),
+            F.concat(
+                F.lit("["),
+                F.concat_ws(
+                    ",",
+                    F.transform(arr, lambda x: anyvalue_to_json(x, depth - 1)),
+                ),
+                F.lit("]"),
+            ),
+        )
+        kv = v["kvlistValue"]["values"]
+        out = out.when(
+            v["kvlistValue"].isNotNull(), _entries_to_json(kv, depth - 1)
+        )
+    return out.otherwise(F.lit("null"))
+
+
+def _entries_to_json(entries: Column, depth: int) -> Column:
+    """array<struct<key,value>> -> '{"k1":v1,...}' with keys sorted
+    (Go json.Marshal map-key ordering)."""
+    sorted_entries = F.array_sort(entries)  # struct sort: first field = key
+    rendered = F.transform(
+        sorted_entries,
+        lambda kv: F.concat(
+            json_quote(kv["key"]), F.lit(":"), anyvalue_to_json(kv["value"], depth)
+        ),
+    )
+    return F.concat(F.lit("{"), F.concat_ws(",", rendered), F.lit("}"))
+
+
+def attributes_to_json(attrs: Column, depth: int = ATTR_DEPTH - 1) -> Column:
+    """Attribute list -> canonical JSON object string; '{}' when absent
+    (the reference emits "{}" for empty maps, traces.go:253-256)."""
+    return F.when(attrs.isNull(), F.lit("{}")).otherwise(_entries_to_json(attrs, depth))
+
+
+def log_body_to_string(body: Column, depth: int = ATTR_DEPTH) -> Column:
+    """logValueToJSON (logs.go:190-211): string bodies pass through RAW,
+    ints as digits, doubles as %f (fixed 6 decimals), bools as
+    true/false; slice/map bodies JSON-encoded; absent -> NULL."""
+    out = (
+        F.when(body.isNull(), F.lit(None).cast("string"))
+        .when(body["stringValue"].isNotNull(), body["stringValue"])
+        .when(body["boolValue"].isNotNull(), F.when(body["boolValue"], F.lit("true")).otherwise("false"))
+        .when(body["intValue"].isNotNull(), body["intValue"].cast("long").cast("string"))
+        .when(body["doubleValue"].isNotNull(), F.format_string("%f", body["doubleValue"]))
+        .when(body["bytesValue"].isNotNull(), body["bytesValue"])
+    )
+    if depth > 0:
+        arr = body["arrayValue"]["values"]
+        out = out.when(
+            body["arrayValue"].isNotNull(),
+            F.concat(
+                F.lit("["),
+                F.concat_ws(",", F.transform(arr, lambda x: anyvalue_to_json(x, depth - 1))),
+                F.lit("]"),
+            ),
+        )
+        out = out.when(
+            body["kvlistValue"].isNotNull(),
+            _entries_to_json(body["kvlistValue"]["values"], depth - 1),
+        )
+    return out.otherwise(F.lit(None).cast("string"))

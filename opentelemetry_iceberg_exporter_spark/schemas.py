@@ -295,3 +295,23 @@ def partition_column_for_table(name: str) -> str:
     """Recovery-style resolution from a table NAME (repartitioner.go:135-147):
     tables whose suffix says traces partition on start time."""
     return "start_time_unix_nano" if "traces" in name else "time_unix_nano"
+
+
+def conform(df, schema: StructType):
+    """Project a DataFrame onto the declared schema: exact column order,
+    exact types (cast), error on missing columns.
+
+    Transform outputs carry Catalyst-inferred nullability; the declared
+    nullability is enforced at the table boundary (Iceberg DDL / parquet
+    write), matching the reference where the Arrow schema — not the
+    appender — owns nullability (schema.go:298-309).
+    """
+    from pyspark.sql import functions as F
+
+    have = set(df.columns)
+    missing = [f.name for f in schema.fields if f.name not in have]
+    if missing:
+        raise ValueError(f"missing columns for schema conform: {missing}")
+    return df.select(
+        *[F.col(f"`{f.name}`").cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
