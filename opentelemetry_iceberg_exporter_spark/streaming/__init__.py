@@ -1,0 +1,13 @@
+from .pipeline import (
+    export_batch,
+    flatten_signal,
+    make_batch_processor,
+    start_export_stream,
+)
+
+__all__ = [
+    "export_batch",
+    "flatten_signal",
+    "make_batch_processor",
+    "start_export_stream",
+]

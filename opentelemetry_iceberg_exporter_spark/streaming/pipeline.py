@@ -1,0 +1,162 @@
+"""Streaming export pipeline — the Spark-native exporter.
+
+Reference lifecycle (SURVEY §3 entry point 1):
+  OTLP receiver -> queue (10 consumers, retry/backoff)   factory.go:90-100
+    -> consume{Traces,Logs,Metrics}                       exporter.go:101-200
+    -> flatten -> write (catalog | fileio)                writer.go:161-297
+
+Spark-native shape: `readStream` over OTLP/JSON lines ->
+`foreachBatch(flatten + demux + sink append)` with checkpointing.
+The exporterhelper queue/retry/timeout envelope (X3) maps onto
+Structured Streaming semantics directly:
+* queue + at-least-once retry  -> micro-batch replay from the checkpoint
+* persistent (file-backed) queue -> replayable source + checkpoint dir
+* 10 consumers                  -> executor parallelism
+* exactly-once upgrade          -> Iceberg atomic commits + checkpoint
+  (the reference is at-least-once; Spark+Iceberg is exactly-once per
+  micro-batch — SURVEY §7 risk 5)
+
+Error policy (X2, writer.go:266-290): permanent errors are logged and the
+batch routed to a dead-letter location (reference swallows them — we keep
+the data); transient errors re-raise so the engine retries the batch.
+
+Late data needs no watermark: every row lands in the partition derived
+from its own event timestamp, so arbitrarily late rows just land in old
+partitions (partition.go:84-98 semantics, SURVEY §2.10 streaming row).
+"""
+
+from __future__ import annotations
+
+import logging
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas as S
+from ..config import ExporterConfig
+from ..otlp.logs import flatten_logs, parse_logs_json
+from ..otlp.metrics import flatten_metrics, parse_metrics_json
+from ..otlp.traces import flatten_traces, parse_traces_json
+from ..sinks import PERMANENT, classify_error, write_raw_parquet
+
+log = logging.getLogger(__name__)
+
+SinkFn = Callable[[DataFrame, str], None]
+
+
+def flatten_signal(df: DataFrame, signal_kind: str) -> dict[str, DataFrame]:
+    """Parse+flatten a DataFrame of OTLP/JSON lines (column `value`) into
+    {signal: conformed DataFrame}. signal_kind in {traces, logs, metrics}."""
+    if signal_kind == "traces":
+        flat = flatten_traces(parse_traces_json(df))
+        return {S.SIGNAL_TRACES: S.conform(flat, S.TRACES_SCHEMA)}
+    if signal_kind == "logs":
+        flat = flatten_logs(parse_logs_json(df))
+        return {S.SIGNAL_LOGS: S.conform(flat, S.LOGS_SCHEMA)}
+    if signal_kind == "metrics":
+        dfs = flatten_metrics(parse_metrics_json(df))
+        return {sig: S.conform(d, S.SCHEMAS[sig]) for sig, d in dfs.items()}
+    raise ValueError(f"unknown signal kind {signal_kind!r}")
+
+
+def default_sink(config: ExporterConfig) -> SinkFn:
+    def sink(df: DataFrame, signal: str) -> None:
+        write_raw_parquet(df, signal, config)
+
+    return sink
+
+
+def make_batch_processor(
+    signal_kind: str,
+    config: ExporterConfig,
+    sink: SinkFn | None = None,
+    dead_letter: SinkFn | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """The foreachBatch body: flatten, demux, empty-skip (F1), append,
+    classify errors (X2)."""
+    sink = sink or default_sink(config)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # F1 empty-batch short-circuit
+            return
+        flattened = flatten_signal(batch_df, signal_kind)
+        multi = len(flattened) > 1
+        if multi:
+            # 5-way metric demux reads the exploded source once (§4)
+            batch_df.persist()
+        try:
+            for signal, df in flattened.items():
+                try:
+                    sink(df, signal)
+                except Exception as exc:  # noqa: BLE001 — classified below
+                    if classify_error(exc) == PERMANENT:
+                        log.error(
+                            "permanent error on batch %s signal %s: %s",
+                            batch_id,
+                            signal,
+                            exc,
+                        )
+                        if dead_letter is not None:
+                            dead_letter(df, signal)
+                        continue  # swallowed: collector semantics (X2)
+                    raise  # transient: streaming engine retries the batch
+        finally:
+            if multi:
+                batch_df.unpersist()
+
+    return process
+
+
+def start_export_stream(
+    spark: SparkSession,
+    input_path: str,
+    signal_kind: str,
+    config: ExporterConfig,
+    checkpoint_dir: str,
+    *,
+    sink: SinkFn | None = None,
+    dead_letter: SinkFn | None = None,
+    max_files_per_trigger: int | None = None,
+    trigger_once: bool = False,
+):
+    """OTLP/JSON-lines file stream -> flattened signal tables.
+
+    `max_files_per_trigger` is the batch-size control (the reference's
+    512-record batch processor, otel-config.yaml:26-29, maps to source
+    admission control)."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(input_path).select(F.col("value"))
+
+    writer = stream.writeStream.foreachBatch(
+        make_batch_processor(signal_kind, config, sink=sink, dead_letter=dead_letter)
+    ).option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def export_batch(
+    spark: SparkSession,
+    input_path: str,
+    signal_kind: str,
+    config: ExporterConfig,
+    *,
+    sink: SinkFn | None = None,
+) -> dict[str, int]:
+    """Batch-mode replay of the same pipeline (reference replay path);
+    returns per-signal appended row counts."""
+    raw = spark.read.text(input_path)
+    flattened = flatten_signal(raw, signal_kind)
+    sink = sink or default_sink(config)
+    counts: dict[str, int] = {}
+    for signal, df in flattened.items():
+        df = df.persist()
+        n = df.count()
+        counts[signal] = n
+        if n:  # F1
+            sink(df, signal)
+        df.unpersist()
+    return counts

@@ -1,0 +1,199 @@
+"""Recovery tests: scanner parsing, time filters, anti-join
+reconciliation, adaptive batching, dry-run, cross-partition fallback.
+
+Mirrors the reference's mock-FileIO/mock-Catalog strategy
+(internal/recovery/scanner_test.go:19-424, reconciler_test.go:19-935):
+files are synthesized on local disk; the catalog is an injected
+register_fn.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import pytest
+
+from opentelemetry_iceberg_exporter_spark.recovery import (
+    MAX_BATCH_SIZE,
+    apply_time_filter,
+    catalog_only_count,
+    distinct_tables,
+    find_orphans,
+    recover,
+    registered_files,
+    scan_files,
+)
+from opentelemetry_iceberg_exporter_spark.recovery.cli import parse_time_flag
+
+
+def _touch(root, rel):
+    p = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "wb") as f:
+        f.write(b"x")
+    return p
+
+
+@pytest.fixture()
+def warehouse(tmp_path):
+    root = str(tmp_path / "wh")
+    paths = {
+        "t1_h10": _touch(
+            root, "otel_traces/data/year=2024/month=01/day=15/hour=10/a.parquet"
+        ),
+        "t1_h11": _touch(
+            root, "otel_traces/data/year=2024/month=01/day=15/hour=11/b.parquet"
+        ),
+        "logs_d": _touch(root, "otel_logs/data/year=2024/month=02/c.parquet"),
+        "nopart": _touch(root, "otel_logs/data/d.parquet"),  # unparseable
+        "junk": _touch(root, "otel_traces/data/year=2024/month=01/_SUCCESS"),
+    }
+    return root, paths
+
+
+class TestScanner:
+    def test_scan_and_parse(self, spark, warehouse):
+        root, paths = warehouse
+        df = scan_files(spark, root)
+        rows = {r["uri"]: r for r in df.collect()}
+        # suffix filter (F2): _SUCCESS excluded
+        assert paths["junk"] not in rows
+        assert len(rows) == 4
+
+        r = rows[paths["t1_h10"]]
+        assert r["table"] == "otel_traces"
+        assert (r["year"], r["month"], r["day"], r["hour"]) == (2024, 1, 15, 10)
+        assert r["partition_time"] == datetime(2024, 1, 15, 10, 0, 0)
+
+        # month granularity: missing day/hour default to period start
+        r2 = rows[paths["logs_d"]]
+        assert r2["partition_time"] == datetime(2024, 2, 1, 0, 0, 0)
+
+        # unparseable -> NULL partition_time (conservative include later)
+        assert rows[paths["nopart"]]["partition_time"] is None
+
+    def test_time_filter_conservative_include(self, spark, warehouse):
+        """F3 (scanner.go:197-226): after <= t < before; NULL keeps."""
+        root, paths = warehouse
+        df = scan_files(spark, root)
+        kept = apply_time_filter(
+            df,
+            after=datetime(2024, 1, 15, 11, 0, 0),
+            before=datetime(2024, 2, 1, 0, 0, 0),
+        )
+        uris = {r["uri"] for r in kept.collect()}
+        assert paths["t1_h11"] in uris  # boundary: after is inclusive
+        assert paths["t1_h10"] not in uris
+        assert paths["logs_d"] not in uris  # boundary: before is exclusive
+        assert paths["nopart"] in uris  # unparseable conservatively included
+
+    def test_distinct_tables(self, spark, warehouse):
+        root, _ = warehouse
+        assert sorted(distinct_tables(scan_files(spark, root))) == [
+            "otel_logs",
+            "otel_traces",
+        ]
+
+
+class TestReconciler:
+    def test_orphans_and_catalog_only(self, spark, warehouse):
+        root, paths = warehouse
+        scanned = scan_files(spark, root)
+        registered = registered_files(
+            spark,
+            {
+                "otel_traces": [paths["t1_h10"], "/gone/from/storage.parquet"],
+            },
+        )
+        orphans = {r["uri"] for r in find_orphans(scanned, registered).collect()}
+        assert orphans == {paths["t1_h11"], paths["logs_d"], paths["nopart"]}
+        assert catalog_only_count(scanned, registered) == 1  # T6
+
+    def test_registered_dedup_across_tables(self, spark):
+        """T3: same path in two snapshots/tables counted once."""
+        reg = registered_files(
+            spark, {"t1": ["/a.parquet", "/b.parquet"], "t1b": ["/a.parquet"]}
+        )
+        assert reg.select("uri").distinct().count() == 2
+
+    def test_recover_registers_per_table(self, spark, warehouse):
+        root, paths = warehouse
+        scanned = scan_files(spark, root)
+        registered = registered_files(spark, {"otel_traces": [paths["t1_h10"]]})
+        calls: list[tuple[str, tuple[str, ...]]] = []
+
+        def register_fn(table, uris):
+            calls.append((table, tuple(sorted(uris))))
+
+        res = recover(scanned, registered, register_fn)
+        assert res.orphaned == 3
+        assert res.recovered == 3
+        assert res.failed == 0
+        tables = sorted(c[0] for c in calls)
+        assert tables == ["otel_logs", "otel_traces"]
+
+    def test_dry_run_touches_nothing(self, spark, warehouse):
+        root, _ = warehouse
+        scanned = scan_files(spark, root)
+        registered = registered_files(spark, {})
+
+        def register_fn(table, uris):
+            raise AssertionError("must not register in dry-run")
+
+        res = recover(scanned, registered, register_fn, dry_run=True)
+        assert res.dry_run and res.orphaned == 4 and res.recovered == 0
+
+    def test_adaptive_batch_divide_by_10(self, spark):
+        """X1 (reconciler_test.go:367): poison file fails the big batch;
+        division isolates it; everything else registers."""
+        uris = [f"/wh/t/data/year=2024/f{i:04d}.parquet" for i in range(250)]
+        poison = uris[137]
+        scanned = registered_files(spark, {"t": uris}).select("uri", "table")
+        registered = registered_files(spark, {})
+        attempts: list[int] = []
+
+        def register_fn(table, batch):
+            attempts.append(len(batch))
+            if poison in batch:
+                raise RuntimeError("validation failed: bad metadata")
+
+        res = recover(scanned, registered, register_fn, max_batch_size=100)
+        assert res.recovered == 249
+        assert res.failed == 1
+        assert res.failures[0][0] == poison
+        # division happened: a 100-batch failed, then 10s, then 1s
+        assert 100 in attempts and 10 in attempts and 1 in attempts
+
+    def test_cross_partition_triggers_repartition(self, spark):
+        """X4 -> R6 (reconciler.go:367-449)."""
+        scanned = registered_files(spark, {"t": ["/wh/t/x.parquet"]}).select(
+            "uri", "table"
+        )
+        registered = registered_files(spark, {})
+        repartitioned: list[str] = []
+
+        def register_fn(table, batch):
+            raise RuntimeError(
+                "cannot register: more than one value for partition field hour"
+            )
+
+        def repartition_fn(table, uri):
+            repartitioned.append(uri)
+
+        res = recover(
+            scanned, registered, register_fn, repartition_fn=repartition_fn
+        )
+        assert repartitioned == ["/wh/t/x.parquet"]
+        assert res.repartitioned == 1 and res.failed == 0
+
+    def test_default_batch_size_constant(self):
+        assert MAX_BATCH_SIZE == 1000  # reconciler.go:14-21
+
+
+class TestCli:
+    def test_parse_time_flag(self):
+        assert parse_time_flag("2024-01-15") == datetime(2024, 1, 15)
+        assert parse_time_flag("2024-01-15T10:30:00Z") == datetime(2024, 1, 15, 10, 30)
+        with pytest.raises(ValueError):
+            parse_time_flag("not-a-time")
