@@ -1,0 +1,215 @@
+"""OTLP pipeline as driver-checkable queries (o* family).
+
+The flatten/projection operators (SURVEY §2.2 P1-P7, §2.5 D1, §2.8 T1,
+§2.4 R5, §2.3 F3) exercised over a deterministic committed fixture
+(fixtures/otlp_*.jsonl — the analog of the reference's golden corpus,
+internal/arrow/testdata/) and the driver's events table. Oracles are
+independent hand-computed VALUES literals, so the DuckDB side does not
+share any code with the Spark side.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..otlp.logs import flatten_logs, parse_logs_json
+from ..otlp.metrics import flatten_metrics, parse_metrics_json
+from ..otlp.traces import flatten_traces, parse_traces_json
+from ..recovery.reconciler import find_orphans, registered_files
+from ..recovery.scanner import apply_time_filter, parse_partitions
+from ..sinks.parquet_sink import partition_value_columns
+from ..sources.tables import load_table
+from . import register
+
+_FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+def _fixture_df(spark: SparkSession, name: str) -> DataFrame:
+    return spark.read.text(os.path.join(_FIXTURES, name))
+
+
+@register(
+    "o01_flatten_traces",
+    oracle="""
+SELECT * FROM (VALUES
+  ('0102030405060708090a0b0c0d0e0f10', '0102030405060708', '1112131415161718',
+   NULL, 'SERVER', TIMESTAMP '2024-01-15 10:30:00.123456',
+   TIMESTAMP '2024-01-15 10:30:02.123456', 2000000000, 'OK', NULL,
+   'svc-a', 'lib', '{"http.method":"GET","http.status_code":200}'),
+  ('0102030405060708090a0b0c0d0e0f10', 'aaaa030405060708', NULL,
+   'st=x', 'UNSPECIFIED', TIMESTAMP '2024-01-15 10:30:00',
+   TIMESTAMP '2024-01-15 10:30:01', 1000000000, NULL, NULL,
+   'svc-a', 'lib', '{}'),
+  ('0102030405060708090a0b0c0d0e0f10', 'cccc030405060708', NULL,
+   NULL, 'CONSUMER', TIMESTAMP '2024-01-15 11:30:00',
+   TIMESTAMP '2024-01-15 11:30:01.5', 1500000000, 'ERROR', 'boom',
+   'svc-b', NULL, '{}')
+) t(trace_id, span_id, parent_span_id, trace_state, span_kind,
+    start_time_unix_nano, end_time_unix_nano, duration, status_code,
+    status_message, service_name, scope_name, span_attributes)
+""",
+    doc="OTLP traces flatten (P1-P4): 3-level explode, hex IDs, enum "
+    "strings, ns->us truncation, ns-exact duration, null rules.",
+)
+def o01_flatten_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flat = flatten_traces(parse_traces_json(_fixture_df(spark, "otlp_traces.jsonl")))
+    return flat.select(
+        "trace_id",
+        "span_id",
+        "parent_span_id",
+        "trace_state",
+        "span_kind",
+        "start_time_unix_nano",
+        "end_time_unix_nano",
+        "duration",
+        "status_code",
+        "status_message",
+        "service_name",
+        "scope_name",
+        "span_attributes",
+    )
+
+
+@register(
+    "o02_flatten_logs",
+    oracle="""
+SELECT * FROM (VALUES
+  (TIMESTAMP '2024-01-15 10:30:00', 9, 'INFO', 'hello world', '{"k1":"v1"}',
+   '0102030405060708090a0b0c0d0e0f10', '0102030405060708',
+   TIMESTAMP '2024-01-15 10:30:05', NULL, 'svc-a'),
+  (TIMESTAMP '2024-01-15 10:30:00.001', 0, NULL, '42', '{}',
+   NULL, NULL, NULL, NULL, 'svc-a'),
+  (TIMESTAMP '2024-01-15 10:30:00.002', 17, 'ERROR', '{"a":"x","nested":[1]}',
+   '{}', NULL, NULL, NULL, NULL, 'svc-a')
+) t(time_unix_nano, severity_number, severity_text, body, log_attributes,
+    trace_id, span_id, observed_time_unix_nano, event_name, service_name)
+""",
+    doc="OTLP logs flatten (P5): body scalar-passthrough/JSON rule, zero "
+    "IDs and zero observed-time -> NULL, event_name placeholder.",
+)
+def o02_flatten_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flat = flatten_logs(parse_logs_json(_fixture_df(spark, "otlp_logs.jsonl")))
+    return flat.select(
+        "time_unix_nano",
+        "severity_number",
+        "severity_text",
+        "body",
+        "log_attributes",
+        "trace_id",
+        "span_id",
+        "observed_time_unix_nano",
+        "event_name",
+        "service_name",
+    )
+
+
+@register(
+    "o03_metrics_demux_counts",
+    oracle="""
+SELECT * FROM (VALUES
+  ('metrics_gauge', 2), ('metrics_sum', 1), ('metrics_histogram', 1),
+  ('metrics_exponential_histogram', 1), ('metrics_summary', 1)
+) t(signal, n_rows)
+""",
+    doc="OTLP metric-type demux (P6/D1): one stream -> 5 tables keyed on "
+    "metric type.",
+)
+def o03_metrics_demux_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dfs = flatten_metrics(
+        parse_metrics_json(_fixture_df(spark, "otlp_metrics.jsonl")), cache=False
+    )
+    parts = [
+        df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(sig).alias("signal"), "n_rows"
+        )
+        for sig, df in dfs.items()
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@register(
+    "o04_flatten_gauge",
+    oracle="""
+SELECT * FROM (VALUES
+  (TIMESTAMP '2024-01-15 10:30:00', 'cpu.util', '1', NULL, 0.75,
+   CAST(NULL AS BIGINT), TIMESTAMP '2024-01-15 10:29:00', '{"host":"h1"}'),
+  (TIMESTAMP '2024-01-15 10:30:00.001', 'cpu.util', '1', NULL,
+   CAST(NULL AS DOUBLE), 7, NULL, '{}')
+) t(time_unix_nano, metric_name, metric_unit, metric_metadata, as_double,
+    as_int, start_time_unix_nano, attributes)
+""",
+    doc="Gauge projection (P6): exactly-one-of as_double/as_int, empty "
+    "metadata -> NULL, zero start_time -> NULL.",
+)
+def o04_flatten_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dfs = flatten_metrics(
+        parse_metrics_json(_fixture_df(spark, "otlp_metrics.jsonl")), cache=False
+    )
+    return dfs["metrics_gauge"].select(
+        "time_unix_nano",
+        "metric_name",
+        "metric_unit",
+        "metric_metadata",
+        "as_double",
+        "as_int",
+        "start_time_unix_nano",
+        "attributes",
+    )
+
+
+_LISTING = [
+    "/wh/otel_traces/data/year=2024/month=01/day=15/hour=10/a.parquet",
+    "/wh/otel_traces/data/year=2024/month=01/day=15/hour=11/b.parquet",
+    "/wh/otel_logs/data/year=2024/month=02/c.parquet",
+    "/wh/otel_logs/data/d.parquet",
+]
+_REGISTERED = [_LISTING[0], "/wh/otel_traces/data/gone.parquet"]
+
+
+@register(
+    "o05_recovery_orphans",
+    oracle="""
+SELECT * FROM (VALUES
+  ('/wh/otel_traces/data/year=2024/month=01/day=15/hour=11/b.parquet',
+   'otel_traces', TIMESTAMP '2024-01-15 11:00:00'),
+  ('/wh/otel_logs/data/year=2024/month=02/c.parquet',
+   'otel_logs', TIMESTAMP '2024-02-01 00:00:00'),
+  ('/wh/otel_logs/data/d.parquet', 'otel_logs', NULL)
+) t(uri, "table", partition_time)
+""",
+    doc="Recovery reconciliation (R5+F3+T1): Hive path parse, "
+    "conservative time filter, storage-minus-catalog anti-join.",
+)
+def o05_recovery_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    listing = spark.createDataFrame([(u, 1) for u in _LISTING], "uri string, size long")
+    scanned = parse_partitions(listing, "/wh")
+    scanned = apply_time_filter(scanned, after=None, before=None)
+    registered = registered_files(spark, {"otel_traces": _REGISTERED})
+    return find_orphans(scanned, registered).select("uri", "table", "partition_time")
+
+
+@register(
+    "o06_hive_partition_values",
+    oracle="""
+SELECT strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
+       strftime(ts, '%d') AS day, strftime(ts, '%H') AS hour,
+       count(*) AS n_rows
+FROM events GROUP BY 1, 2, 3, 4
+""",
+    doc="Hive partition-value derivation (R3, partition.go:155-185) over "
+    "the events stream: zero-padded year/month/day/hour from the event "
+    "timestamp — the write-side partitioning expressed as a query.",
+)
+def o06_hive_partition_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parts = partition_value_columns(F.col("ts"), "hourly", "UTC")
+    df = ev
+    for name, col in parts:
+        df = df.withColumn(name, col)
+    return df.groupBy("year", "month", "day", "hour").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
