@@ -48,19 +48,27 @@ def ngrams(tokens_col: Column, n: int, sep: str = " ") -> Column:
     Empty result (not null) when the doc has fewer than n tokens.
     DuckDB equivalent:
         list_transform(range(1, len(t)-(n-1)+1), i -> t[i] || ' ' || t[i+1] ...)
+
+    The input expression is let-bound via a single-element-array transform
+    so it evaluates ONCE per row: referencing `tokens_col` directly inside
+    the index lambda would re-evaluate it (e.g. the regexp split) for
+    every element_at of every n-gram — measured 14x slower.
     """
-    t = tokens_col
-    # NB: Spark sequence(1, 0) yields a DESCENDING [1, 0], not empty —
-    # guard short docs explicitly.
-    idx = F.sequence(F.lit(1), F.size(t) - F.lit(n - 1))
 
-    def make(i: Column) -> Column:
-        cols = [F.element_at(t, (i + F.lit(j)).cast("int")) for j in range(n)]
-        return F.concat_ws(sep, *cols)
+    def build(t: Column) -> Column:
+        # NB: Spark sequence(1, 0) yields a DESCENDING [1, 0], not empty —
+        # guard short docs explicitly.
+        idx = F.sequence(F.lit(1), F.size(t) - F.lit(n - 1))
 
-    return F.when(F.size(t) >= n, F.transform(idx, make)).otherwise(
-        F.array().cast("array<string>")
-    )
+        def make(i: Column) -> Column:
+            cols = [F.element_at(t, (i + F.lit(j)).cast("int")) for j in range(n)]
+            return F.concat_ws(sep, *cols)
+
+        return F.when(F.size(t) >= n, F.transform(idx, make)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(tokens_col), build), 1)
 
 
 def money_sum(col: Column | str, scale: int = 2) -> Column:

@@ -100,22 +100,30 @@ def _shingle_hashes(text_col: Column, n: int = 3) -> Column:
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """NUM_HASHES minhash values per document, computed map-side as array
-    expressions (no explode, no shuffle)."""
-    hs = _shingle_hashes(F.col(text_col))
-    out = df.withColumn("__hs", hs)
+    """NUM_HASHES minhash values per document.
 
-    def perm(a: int, b: int):
-        def f(h: Column) -> Column:
-            return (F.lit(a) * h + F.lit(b)) % HASH_MOD
-
-        return f
-
-    sig_cols = [
-        F.array_min(F.transform(F.col("__hs"), perm(a, b))).alias(f"sig{i}")
+    Shape: explode distinct shingles -> one md5 per shingle -> 16 partial
+    min-aggregations grouped by document. The md5 is computed ONCE per
+    shingle (the array-expression formulation gets inlined 16x by
+    Catalyst's project collapse); the min-agg combines map-side, so the
+    shuffle carries at most one 16-value row per doc per input partition
+    — the scalable shape at 100 TB. explode_outer keeps zero-shingle
+    (short) docs with NULL signatures, matching the oracle's
+    min-over-empty-list semantics."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(ngrams(tokens(F.col(text_col)), 3))
+        ).alias("__s"),
+    )
+    per = sh.select(
+        F.col(id_col), (md5_hash64(F.col("__s")) % HASH_MOD).alias("__h")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % HASH_MOD).alias(f"sig{i}")
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
-    return out.select(F.col(id_col), *sig_cols)
+    return per.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
@@ -255,6 +263,11 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.explode(F.array_distinct(ngrams(tokens(F.col(text_col)), n))).alias("sh"),
     )
+    # explode fans ~50x out of a narrow scan: redistribute by the join key
+    # so the self-join runs partition-local and parallel even when the
+    # source parquet is a single split (also the co-location strategy at
+    # scale: one shuffle feeds join + both count branches)
+    sh = sh.repartition(F.col("sh"))
     if df_cap is not None:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
         sh = sh.join(freq.filter(F.col("df_") <= df_cap), "sh", "inner").drop("df_")
