@@ -33,11 +33,22 @@ PLANES: list[list[float]] = [
 ]
 
 
-def _spark_dot(a: str, b: str) -> str:
-    """Unrolled dot product (Spark SQL, 1-indexed element_at)."""
-    return " + ".join(
-        f"cast(element_at({a}, {i}) as double) * cast(element_at({b}, {i}) as double)"
-        for i in range(1, DIM + 1)
+def _spark_dot(a: str, b: str):
+    """Dot product as zip_with + left-fold aggregate.
+
+    The fold accumulates in list order, so the float additions happen in
+    exactly the same left-associative sequence as the oracle's unrolled
+    `a[1]*b[1] + a[2]*b[2] + ...` — IEEE doubles added in the same order
+    are bit-identical across engines. The compact expression tree also
+    keeps whole-stage codegen viable (the 64-term unrolled form forced
+    interpreted fallback).
+    """
+    return F.aggregate(
+        F.zip_with(
+            F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
     )
 
 
@@ -45,10 +56,12 @@ def _duck_dot(a: str, b: str) -> str:
     return " + ".join(f"{a}[{i}]::DOUBLE * {b}[{i}]::DOUBLE" for i in range(1, DIM + 1))
 
 
-def _spark_plane_dot(a: str, plane: list[float]) -> str:
-    return " + ".join(
-        f"cast(element_at({a}, {i}) as double) * ({plane[i - 1]!r}D)"
-        for i in range(1, DIM + 1)
+def _spark_plane_dot(a: str, plane: list[float]):
+    coeffs = F.array(*[F.lit(float(c)) for c in plane])
+    return F.aggregate(
+        F.zip_with(F.col(a), coeffs, lambda x, c: x.cast("double") * c),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
     )
 
 
@@ -71,16 +84,19 @@ def cosine_topk(
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
-        F.expr(f"sqrt({_spark_dot(vec_col, vec_col)})").alias("v_norm"),
+        F.sqrt(_spark_dot(vec_col, vec_col)).alias("v_norm"),
     )
+    # spread the O(N x Q) scoring across cores even when the corpus
+    # parquet is a single split (at scale the scan is already parallel)
+    c = c.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q"),
-        F.expr(f"sqrt({_spark_dot(vec_col, vec_col)})").alias("q_norm"),
+        F.sqrt(_spark_dot(vec_col, vec_col)).alias("q_norm"),
     )
     pairs = c.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).withColumn(
         "cos_sim",
-        F.round(F.expr(f"({_spark_dot('v', 'q')})") / (F.col("v_norm") * F.col("q_norm")), 4),
+        F.round(_spark_dot("v", "q") / (F.col("v_norm") * F.col("q_norm")), 4),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
@@ -125,11 +141,11 @@ def s01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lsh_bucket(df: DataFrame, vec_col: str) -> DataFrame:
     """Append an 8-bit random-hyperplane bucket id (map-side only)."""
-    bits = [
-        f"(CASE WHEN ({_spark_plane_dot(vec_col, p)}) > 0 THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(PLANES)
-    ]
-    return df.withColumn("bucket", F.expr(" + ".join(bits)).cast("int"))
+    bucket = None
+    for i, p in enumerate(PLANES):
+        bit = F.when(_spark_plane_dot(vec_col, p) > 0, F.lit(1 << i)).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    return df.withColumn("bucket", bucket.cast("int"))
 
 
 def _duck_bucket(vec: str) -> str:
@@ -153,7 +169,7 @@ def ann_lsh(
         corpus.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("v"),
-            F.expr(f"sqrt({_spark_dot(vec_col, vec_col)})").alias("v_norm"),
+            F.sqrt(_spark_dot(vec_col, vec_col)).alias("v_norm"),
         ).withColumn("__tmp", F.lit(1)),
         "v",
     ).drop("__tmp")
@@ -161,7 +177,7 @@ def ann_lsh(
         queries.select(
             F.col(id_col).alias("q_id"),
             F.col(vec_col).alias("q"),
-            F.expr(f"sqrt({_spark_dot(vec_col, vec_col)})").alias("q_norm"),
+            F.sqrt(_spark_dot(vec_col, vec_col)).alias("q_norm"),
         ),
         "q",
     ).withColumnRenamed("bucket", "q_bucket")
@@ -170,7 +186,7 @@ def ann_lsh(
         (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
     ).withColumn(
         "cos_sim",
-        F.round(F.expr(f"({_spark_dot('v', 'q')})") / (F.col("v_norm") * F.col("q_norm")), 4),
+        F.round(_spark_dot("v", "q") / (F.col("v_norm") * F.col("q_norm")), 4),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
