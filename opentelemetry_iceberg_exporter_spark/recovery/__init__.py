@@ -6,6 +6,7 @@ from .scanner import (
     parse_partitions,
     scan_files,
 )
+from .repartitioner import RepartitionResult, repartition_file
 from .reconciler import (
     MAX_BATCH_SIZE,
     RecoveryResult,
@@ -30,4 +31,6 @@ __all__ = [
     "find_orphans",
     "recover",
     "registered_files",
+    "RepartitionResult",
+    "repartition_file",
 ]

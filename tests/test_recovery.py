@@ -197,3 +197,47 @@ class TestCli:
         assert parse_time_flag("2024-01-15T10:30:00Z") == datetime(2024, 1, 15, 10, 30)
         with pytest.raises(ValueError):
             parse_time_flag("not-a-time")
+
+
+class TestRepartitioner:
+    def test_repartition_misplaced_file(self, spark, tmp_path):
+        """R6 (repartitioner.go:77-196): a file spanning two hours is
+        re-read and re-appended through the partitioned sink, then the
+        original is deleted."""
+        import json
+
+        from opentelemetry_iceberg_exporter_spark import schemas as S
+        from opentelemetry_iceberg_exporter_spark.recovery import repartition_file
+        from opentelemetry_iceberg_exporter_spark.sinks import read_raw_table
+        from opentelemetry_iceberg_exporter_spark.streaming import flatten_signal
+        from test_otlp_flatten import T0_NS, _span, _traces_payload
+        from test_sinks_pipeline import _config
+
+        cfg = _config(tmp_path)
+        late = _span(
+            spanId="dddd030405060708",
+            startTimeUnixNano=str(T0_NS + 3_600_000_000_000),
+            endTimeUnixNano=str(T0_NS + 3_601_000_000_000),
+        )
+        raw = spark.createDataFrame(
+            [(json.dumps(_traces_payload([_span(), late])),)], "value string"
+        )
+        flat = flatten_signal(raw, "traces")[S.SIGNAL_TRACES]
+        # simulate a misplaced single file (no partitioning)
+        misplaced_dir = str(tmp_path / "misplaced")
+        flat.coalesce(1).write.parquet(misplaced_dir)
+        part_file = next(
+            os.path.join(misplaced_dir, f)
+            for f in os.listdir(misplaced_dir)
+            if f.endswith(".parquet")
+        )
+
+        res = repartition_file(spark, part_file, "otel_traces", cfg)
+        assert res.rows == 2 and res.deleted
+        assert not os.path.exists(part_file)
+
+        back = read_raw_table(spark, cfg, S.SIGNAL_TRACES)
+        assert back.count() == 2
+        # partition values type-infer to ints on read (Hive path strings)
+        hours = sorted(r["hour"] for r in back.select("hour").distinct().collect())
+        assert hours == [10, 11]
