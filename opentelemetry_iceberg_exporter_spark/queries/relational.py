@@ -484,3 +484,41 @@ def q16_filter_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount").between(0.05, 0.07))
         & (F.col("l_quantity") < 24)
     ).select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+
+
+@register(
+    "q17_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact continuous percentiles (median/p95) per group — Spark "
+    "percentile() and DuckDB quantile_cont share linear interpolation.",
+)
+def q17_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q18_approx_distinct",
+    None,  # HLL sketches differ across engines -> rows-only check; the
+    # EXACT companion q02/q14 pin distinct-count semantics
+    doc="approx_count_distinct (HyperLogLog++) per order priority — the "
+    "sketch-based cardinality path for 100 TB where exact distinct "
+    "would shuffle every key.",
+)
+def q18_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

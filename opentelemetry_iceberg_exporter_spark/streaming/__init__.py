@@ -1,3 +1,4 @@
+from .stateful import dedup_stream, windowed_counts
 from .pipeline import (
     export_batch,
     flatten_signal,
@@ -10,4 +11,6 @@ __all__ = [
     "flatten_signal",
     "make_batch_processor",
     "start_export_stream",
+    "dedup_stream",
+    "windowed_counts",
 ]
