@@ -71,3 +71,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views for spark.sql queries."""
     for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_parquet_robust(
+    spark: SparkSession, path: str, ignore_corrupt: bool = True
+) -> DataFrame:
+    """Parquet read tolerating corrupt objects (reference S4: ReadParquet
+    wraps the arrow reader in panic-recovery and surfaces a diagnostic,
+    internal/arrow/parquet.go:61-109).
+
+    Spark-native: `ignoreCorruptFiles` skips unreadable files at the
+    task level — the distributed analog of per-file recover(); corrupt
+    objects are logged by the executor and the scan continues. Set
+    ignore_corrupt=False to fail fast instead.
+    """
+    return (
+        spark.read.option("ignoreCorruptFiles", "true" if ignore_corrupt else "false")
+        .parquet(path)
+    )

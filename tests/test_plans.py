@@ -1,0 +1,91 @@
+"""Plan-contract tests: pin the physical-plan shapes that matter at
+100 TB. A small-SF row-count test can't catch a dimension join degrading
+to sort-merge or a filter failing to reach the scan — these do.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from opentelemetry_iceberg_exporter_spark.plans.inspect import (
+    join_strategies,
+    num_shuffles,
+    physical_plan,
+    pushed_filters,
+    scan_read_schemas,
+)
+from opentelemetry_iceberg_exporter_spark.queries import load_all_queries
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return load_all_queries()
+
+
+class TestJoinStrategies:
+    def test_star_join_broadcasts_all_dims(self, spark, sf_dir, specs):
+        """q03: 5-way star join — every dimension side must broadcast;
+        a sort-merge here means a full fact-table shuffle per dim at
+        scale."""
+        df = specs["q03_revenue_by_nation"].fn(spark, sf_dir)
+        js = join_strategies(df)
+        assert js, "expected joins in the plan"
+        assert all(j == "BroadcastHashJoin" for j in js), js
+
+    def test_asof_join_broadcasts_events(self, spark, sf_dir, specs):
+        df = specs["e07_asof_join_last_order"].fn(spark, sf_dir)
+        assert "BroadcastHashJoin" in join_strategies(df)
+
+    def test_lsh_pairs_join_is_equijoin(self, spark, sf_dir, specs):
+        """d03: candidate generation must be a hash equi-join on the band
+        key — a nested-loop/cartesian means O(n^2) at scale."""
+        df = specs["d03_minhash_lsh_pairs"].fn(spark, sf_dir)
+        js = join_strategies(df)
+        assert "BroadcastNestedLoopJoin" not in js and "CartesianProduct" not in js
+
+
+class TestPushdownPruning:
+    def test_q16_filters_reach_scan(self, spark, sf_dir, specs):
+        df = specs["q16_filter_pushdown_scan"].fn(spark, sf_dir)
+        pf = " ".join(pushed_filters(df))
+        assert "GreaterThanOrEqual(l_shipdate" in pf
+        assert "LessThan(l_shipdate" in pf
+        assert "LessThan(l_quantity" in pf
+
+    def test_q16_column_pruning(self, spark, sf_dir, specs):
+        """The 16-column lineitem scan must read only the 6 referenced
+        columns."""
+        df = specs["q16_filter_pushdown_scan"].fn(spark, sf_dir)
+        schemas = scan_read_schemas(df)
+        assert len(schemas) == 1
+        assert schemas[0].count(":") == 6, schemas[0]
+        assert "l_comment" not in schemas[0]
+
+    def test_q01_column_pruning(self, spark, sf_dir, specs):
+        df = specs["q01_pricing_summary"].fn(spark, sf_dir)
+        for s in scan_read_schemas(df):
+            assert "l_comment" not in s
+
+
+class TestShuffleBudget:
+    def test_q01_single_shuffle(self, spark, sf_dir, specs):
+        """One hash-agg shuffle; partial aggregation upstream."""
+        df = specs["q01_pricing_summary"].fn(spark, sf_dir)
+        assert num_shuffles(df) <= 1
+        assert "HashAggregate" in physical_plan(df, "simple")
+
+    def test_q03_single_fact_shuffle(self, spark, sf_dir, specs):
+        """All dims broadcast -> at most the final group-by shuffles."""
+        df = specs["q03_revenue_by_nation"].fn(spark, sf_dir)
+        assert num_shuffles(df) <= 1
+
+    def test_top_k_partial_before_shuffle(self, spark, sf_dir, specs):
+        """q08 per-group top-k: WindowGroupLimit must prune partition-
+        locally BEFORE the exchange (partial top-k), not sort everything."""
+        df = specs["q08_top_orders_per_priority"].fn(spark, sf_dir)
+        plan = physical_plan(df, "simple")
+        assert "WindowGroupLimit" in plan
+
+    def test_global_topk_no_full_sort(self, spark, sf_dir, specs):
+        df = specs["q09_global_top10_lineitems"].fn(spark, sf_dir)
+        assert "TakeOrderedAndProject" in physical_plan(df, "simple")

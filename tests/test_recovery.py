@@ -241,3 +241,24 @@ class TestRepartitioner:
         # partition values type-infer to ints on read (Hive path strings)
         hours = sorted(r["hour"] for r in back.select("hour").distinct().collect())
         assert hours == [10, 11]
+
+
+class TestCorruptFiles:
+    def test_corrupt_parquet_skipped(self, spark, tmp_path):
+        """S4 (internal/arrow/parquet.go:61-109): corrupt objects are
+        skipped, good ones read."""
+        from opentelemetry_iceberg_exporter_spark.sources.tables import (
+            read_parquet_robust,
+        )
+
+        d = str(tmp_path / "mix")
+        spark.range(10).write.parquet(d)
+        with open(os.path.join(d, "part-corrupt.parquet"), "wb") as f:
+            f.write(b"PAR1 this is not a real parquet file")
+
+        assert read_parquet_robust(spark, d).count() == 10
+
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            read_parquet_robust(spark, d, ignore_corrupt=False).count()
