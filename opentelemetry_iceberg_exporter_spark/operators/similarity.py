@@ -225,3 +225,61 @@ def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
     return ann_lsh(emb, queries, "vec_id", "embedding")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection (dedup by vector similarity)
+
+NEARDUP_THRESHOLD = 0.3  # synthetic corpus: random-ish vectors cap near 0.4
+
+
+@register(
+    "d06_embedding_neardup",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm,
+             {_duck_bucket('embedding')} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(({_duck_dot('a.embedding', 'b.embedding')})
+                 / (a.nrm * b.nrm), 4) AS cos_sim
+    FROM base a JOIN base b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ROUND(({_duck_dot('a.embedding', 'b.embedding')})
+                / (a.nrm * b.nrm), 4) >= {NEARDUP_THRESHOLD}
+    """,
+    doc="Embedding-cosine near-duplicate pairs: LSH-bucketed candidate "
+    "generation (equi-join, never O(n^2)) + exact cosine verification "
+    "above threshold — the vector-space member of the dedup family.",
+)
+def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = lsh_bucket(
+        emb.select(
+            F.col("vec_id"),
+            F.col("embedding").alias("v"),
+            F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+        ),
+        "v",
+    ).repartition(F.col("bucket"))
+    a = base.alias("a")
+    b = base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(_spark_dot("a.v", "b.v") / (F.col("a.nrm") * F.col("b.nrm")), 4),
+        )
+        .filter(F.col("cos_sim") >= NEARDUP_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            "cos_sim",
+        )
+    )
