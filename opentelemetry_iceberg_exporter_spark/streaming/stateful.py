@@ -57,3 +57,62 @@ def dedup_stream(
     `watermark` of the first occurrence are suppressed; state evicts
     beyond it. The batch analog is dropDuplicates(key_cols)."""
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def session_window_counts(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows (gap-based) per key — the streaming counterpart of
+    the batch gaps-and-islands sessionizer (queries e09). Built-in
+    F.session_window: state merges adjacent events within `gap`, evicts
+    when the watermark passes session end."""
+    out = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+    )
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        key_col,
+        "n_events",
+        "first_ts",
+        "last_ts",
+    )
+
+
+def running_event_counts(df: DataFrame, key_col: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key
+    running event count that survives micro-batch (and restart)
+    boundaries through the state store.
+
+    This is the (c)-tier custom-operator path from the build doctrine:
+    used only because 'total-so-far per key, emitted every batch' is not
+    expressible as a windowed aggregate. Arrow-batched; state is one
+    int64 per key.
+    """
+    import pandas as pd  # noqa: PLC0415 — imported lazily for executors
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n]})
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

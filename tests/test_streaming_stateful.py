@@ -150,3 +150,68 @@ class TestDedupStream:
             (1, datetime(2024, 1, 15, 10, 0)),
             (2, datetime(2024, 1, 15, 10, 20)),
         ]
+
+
+class TestSessionWindows:
+    def test_session_window_counts(self, spark, tmp_path):
+        from opentelemetry_iceberg_exporter_spark.streaming.stateful import (
+            session_window_counts,
+        )
+
+        src = str(tmp_path / "in")
+        _write_events(
+            os.path.join(src, "b1.jsonl"),
+            [
+                # session 1: two events 10 min apart
+                (1, "2024-01-15T10:00:00", "u1"),
+                (2, "2024-01-15T10:10:00", "u1"),
+                # > 30 min gap -> session 2
+                (3, "2024-01-15T11:00:00", "u1"),
+                # other key
+                (4, "2024-01-15T10:05:00", "u2"),
+            ],
+        )
+        sw = session_window_counts(
+            _stream(spark, src), "ts", "kind", gap="30 minutes", watermark="10 minutes"
+        )
+        _run_to_memory(sw, "sw_t1", str(tmp_path / "cks"), "complete")
+        rows = sorted(
+            (r["kind"], r["session_start"], r["n_events"])
+            for r in spark.sql("select * from sw_t1").collect()
+        )
+        assert rows == [
+            ("u1", datetime(2024, 1, 15, 10, 0), 2),
+            ("u1", datetime(2024, 1, 15, 11, 0), 1),
+            ("u2", datetime(2024, 1, 15, 10, 5), 1),
+        ]
+
+
+class TestRunningCounts:
+    def test_state_survives_restart(self, spark, tmp_path):
+        """applyInPandasWithState: per-key totals accumulate across
+        micro-batches AND across checkpointed restarts."""
+        from opentelemetry_iceberg_exporter_spark.streaming.stateful import (
+            running_event_counts,
+        )
+
+        src = str(tmp_path / "in")
+        ckpt = str(tmp_path / "ckr")
+        _write_events(
+            os.path.join(src, "b1.jsonl"),
+            [(1, "2024-01-15T10:00:00", "x"), (1, "2024-01-15T10:01:00", "x"),
+             (2, "2024-01-15T10:02:00", "x")],
+        )
+        emitted: list = []
+        rc = running_event_counts(_stream(spark, src), "event_id")
+        _run_foreach(rc, ckpt, "update", emitted)
+        counts1 = {r["event_id"]: r["n_events"] for r in emitted}
+        assert counts1 == {1: 2, 2: 1}
+
+        _write_events(
+            os.path.join(src, "b2.jsonl"), [(1, "2024-01-15T10:30:00", "x")]
+        )
+        emitted2: list = []
+        rc2 = running_event_counts(_stream(spark, src), "event_id")
+        _run_foreach(rc2, ckpt, "update", emitted2)
+        counts2 = {r["event_id"]: r["n_events"] for r in emitted2}
+        assert counts2 == {1: 3}  # continued from restored state
