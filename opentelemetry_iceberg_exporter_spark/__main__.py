@@ -1,0 +1,105 @@
+"""Engine CLI — the Spark-native analog of the reference's collector
+binary + recovery tool.
+
+  export-batch   replay OTLP/JSON files into the warehouse once
+  export-stream  run the checkpointed streaming exporter
+  recover        reconcile storage against the registered-file set
+
+Examples:
+  python -m opentelemetry_iceberg_exporter_spark export-batch \\
+      --input /data/otlp/traces --signal traces --warehouse /wh
+  python -m opentelemetry_iceberg_exporter_spark export-stream \\
+      --input /data/otlp/logs --signal logs --warehouse /wh \\
+      --checkpoint /wh/_ckpt/logs --once
+  python -m opentelemetry_iceberg_exporter_spark recover \\
+      --root /wh/otel-exp --dry-run
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .config import CatalogConfig, ExporterConfig, PartitionConfig, StorageConfig
+from .session import build_session
+
+
+def _config_from_args(args) -> ExporterConfig:
+    cfg = ExporterConfig(
+        storage=StorageConfig(
+            provider=args.provider,
+            bucket=args.warehouse,
+            prefix=args.prefix,
+            compression=args.compression,
+        ),
+        catalog=CatalogConfig(catalog_type="none", table_prefix=args.table_prefix),
+        partition=PartitionConfig(granularity=args.granularity, timezone=args.timezone),
+    )
+    cfg.validate()
+    return cfg
+
+
+def _add_export_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--input", required=True, help="OTLP/JSON-lines file or dir")
+    p.add_argument("--signal", required=True, choices=["traces", "logs", "metrics"])
+    p.add_argument("--warehouse", required=True, help="storage root (or s3 bucket)")
+    p.add_argument("--provider", default="filesystem", choices=["filesystem", "s3", "r2"])
+    p.add_argument("--prefix", default="opentelemetry-iceberg-exporter")
+    p.add_argument("--compression", default="snappy")
+    p.add_argument("--granularity", default="hourly")
+    p.add_argument("--timezone", default="UTC")
+    p.add_argument("--table-prefix", default="otel")
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "recover":
+        # recovery owns its flag surface (recovery/cli.py)
+        from .recovery.cli import main as recover_main
+
+        return recover_main(argv[1:])
+
+    parser = argparse.ArgumentParser(prog="otel-spark-engine")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    pb = sub.add_parser("export-batch", help="one-shot replay of OTLP/JSON files")
+    _add_export_args(pb)
+
+    ps = sub.add_parser("export-stream", help="checkpointed streaming export")
+    _add_export_args(ps)
+    ps.add_argument("--checkpoint", required=True)
+    ps.add_argument("--once", action="store_true", help="availableNow then exit")
+    ps.add_argument("--max-files-per-trigger", type=int, default=None)
+
+    sub.add_parser("recover", help="reconcile storage vs catalog (see recovery/cli.py)")
+
+    args = parser.parse_args(argv)
+
+    spark = build_session(app_name=f"otel-engine-{args.cmd}")
+    cfg = _config_from_args(args)
+
+    if args.cmd == "export-batch":
+        from .streaming import export_batch
+
+        counts = export_batch(spark, args.input, args.signal, cfg)
+        print(json.dumps({"appended": counts}))
+        return 0
+
+    from .streaming import start_export_stream
+
+    q = start_export_stream(
+        spark,
+        args.input,
+        args.signal,
+        cfg,
+        args.checkpoint,
+        max_files_per_trigger=args.max_files_per_trigger,
+        trigger_once=args.once,
+    )
+    q.awaitTermination()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

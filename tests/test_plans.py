@@ -89,3 +89,33 @@ class TestShuffleBudget:
     def test_global_topk_no_full_sort(self, spark, sf_dir, specs):
         df = specs["q09_global_top10_lineitems"].fn(spark, sf_dir)
         assert "TakeOrderedAndProject" in physical_plan(df, "simple")
+
+
+class TestPartitionPruning:
+    def test_hive_partition_filter_prunes(self, spark, tmp_path, specs):
+        """A filter on a Hive partition column must become a
+        PartitionFilters entry on the scan (directory pruning), not a
+        post-scan Filter."""
+        import json
+
+        from opentelemetry_iceberg_exporter_spark import schemas as S
+        from opentelemetry_iceberg_exporter_spark.sinks import read_raw_table
+        from opentelemetry_iceberg_exporter_spark.streaming import export_batch
+        from test_otlp_flatten import T0_NS, _span, _traces_payload
+        from test_sinks_pipeline import _config, _write_jsonl
+
+        cfg = _config(tmp_path)
+        late = _span(
+            spanId="eeee030405060708",
+            startTimeUnixNano=str(T0_NS + 3_600_000_000_000),
+            endTimeUnixNano=str(T0_NS + 3_601_000_000_000),
+        )
+        _write_jsonl(
+            str(tmp_path / "in" / "t.jsonl"), [_traces_payload([_span(), late])]
+        )
+        export_batch(spark, str(tmp_path / "in" / "t.jsonl"), "traces", cfg)
+
+        pruned = read_raw_table(spark, cfg, S.SIGNAL_TRACES).filter("hour = 11")
+        plan = physical_plan(pruned, "formatted")
+        assert "PartitionFilters" in plan
+        assert "(hour" in plan.split("PartitionFilters")[1][:120]
