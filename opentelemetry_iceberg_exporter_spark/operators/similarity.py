@@ -228,6 +228,141 @@ def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) bucketed ANN
+
+CENT_STRIDE = 50  # centroids = vectors with vec_id % stride == 7
+CENT_OFFSET = 7
+NPROBE = 2  # query probes its 2 nearest cells
+IVF_K = 3
+
+
+def ivf_assign(
+    df: DataFrame, centroids: DataFrame, id_col: str, nprobe: int
+) -> DataFrame:
+    """Assign each vector to its `nprobe` nearest centroid cells.
+
+    Centroids are dimension-table sized (N/CENT_STRIDE rows) -> broadcast
+    nested-loop against the corpus, so assignment is map-side only; the
+    row_number that picks the nearest cells partitions by vector id, which
+    is unique -> no skew. At 100 TB this is the classic IVF build: one
+    broadcast pass, then all search joins are equi-joins on `cell`.
+    Similarity = cosine (fold-ordered dot product -> bit-identical across
+    engines); ties broken by centroid id ascending.
+    """
+    scored = df.join(F.broadcast(centroids)).withColumn(
+        "__sim",
+        _spark_dot("v", "c") / (F.col("v_norm") * F.col("c_norm")),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= nprobe)
+        .drop("c", "c_norm", "__sim", "__rk")
+    )
+
+
+def ann_ivf(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = IVF_K
+) -> DataFrame:
+    """IVF ANN: corpus vectors live in 1 cell, queries probe NPROBE cells.
+
+    Candidate generation is an equi-join on `cell` (hash join, never
+    O(N*Q)); exact cosine re-ranks candidates per query. Recall/cost tunes
+    via centroid count and NPROBE — same knobs as FAISS IVF-flat.
+    """
+    cent = corpus.filter(
+        F.col(id_col) % CENT_STRIDE == CENT_OFFSET
+    ).select(
+        F.col(id_col).alias("cell"),
+        F.col(vec_col).alias("c"),
+        F.sqrt(_spark_dot(vec_col, vec_col)).alias("c_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(_spark_dot(vec_col, vec_col)).alias("v_norm"),
+    )
+    c = c.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    c = ivf_assign(c, cent, "vec_id", nprobe=1)
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(_spark_dot(vec_col, vec_col)).alias("v_norm"),
+    )
+    q = ivf_assign(q, cent, "q_id", nprobe=NPROBE).select(
+        "q_id", F.col("v").alias("q"), F.col("v_norm").alias("q_norm"), "cell"
+    )
+    pairs = c.join(
+        F.broadcast(q), ["cell"]
+    ).filter(F.col("vec_id") != F.col("q_id")).withColumn(
+        "cos_sim",
+        F.round(_spark_dot("v", "q") / (F.col("v_norm") * F.col("q_norm")), 4),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id", "cos_sim", "rk")
+    )
+
+
+@register(
+    "s03_ann_ivf",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cell, embedding AS c, nrm AS c_nrm
+      FROM base WHERE vec_id % {CENT_STRIDE} = {CENT_OFFSET}
+    ),
+    corpus_cells AS (
+      SELECT vec_id, embedding, nrm, cell FROM (
+        SELECT b.vec_id, b.embedding, b.nrm, cent.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY ({_duck_dot('b.embedding', 'cent.c')})
+                          / (b.nrm * cent.c_nrm) DESC, cent.cell ASC) AS rk
+        FROM base b CROSS JOIN cent
+      ) WHERE rk <= 1
+    ),
+    query_cells AS (
+      SELECT vec_id AS q_id, embedding AS q, nrm AS q_nrm, cell FROM (
+        SELECT b.vec_id, b.embedding, b.nrm, cent.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY ({_duck_dot('b.embedding', 'cent.c')})
+                          / (b.nrm * cent.c_nrm) DESC, cent.cell ASC) AS rk
+        FROM base b CROSS JOIN cent
+        WHERE b.vec_id % {QUERY_STRIDE} = 0
+      ) WHERE rk <= {NPROBE}
+    ),
+    pairs AS (
+      SELECT q.q_id, c.vec_id,
+             ROUND(({_duck_dot('c.embedding', 'q.q')})
+                   / (c.nrm * q.q_nrm), 4) AS cos_sim
+      FROM corpus_cells c JOIN query_cells q
+        ON c.cell = q.cell AND c.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cos_sim, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rk
+      FROM pairs
+    ) WHERE rk <= {IVF_K}
+    """,
+    doc="IVF-flat approximate nearest neighbors: stride-sampled centroids, "
+    "nearest-cell assignment, nprobe=2 probing, exact cosine re-rank — "
+    "the second scale path alongside hyperplane LSH (s02).",
+)
+def s03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    return ann_ivf(emb, queries, "vec_id", "embedding")
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicate detection (dedup by vector similarity)
 
 NEARDUP_THRESHOLD = 0.3  # synthetic corpus: random-ish vectors cap near 0.4
