@@ -213,3 +213,120 @@ def o06_hive_partition_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("year", "month", "day", "hour").agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+
+
+@register(
+    "o07_flatten_histogram",
+    oracle="""
+SELECT * FROM (VALUES
+  (TIMESTAMP '2024-01-15 10:30:00', 'latency', 100, 550.5, 0.1, 99.9,
+   [10, 40, 50]::BIGINT[], [1.0, 10.0]::DOUBLE[], 'DELTA')
+) t(time_unix_nano, metric_name, count, sum, min, max, bucket_counts,
+    explicit_bounds, aggregation_temporality)
+""",
+    doc="Histogram projection (P6, metrics.go:570-640): uint64-string "
+    "bucket counts -> long list, explicit bounds, temporality enum "
+    "decode (1 -> DELTA).",
+)
+def o07_flatten_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dfs = flatten_metrics(
+        parse_metrics_json(_fixture_df(spark, "otlp_metrics.jsonl")), cache=False
+    )
+    return dfs["metrics_histogram"].select(
+        "time_unix_nano",
+        "metric_name",
+        "count",
+        "sum",
+        "min",
+        "max",
+        "bucket_counts",
+        "explicit_bounds",
+        "aggregation_temporality",
+    )
+
+
+@register(
+    "o08_flatten_exp_histogram",
+    oracle="""
+SELECT * FROM (VALUES
+  (TIMESTAMP '2024-01-15 10:30:00', 'eh', 7, 21.0, 2, 1, 0.001,
+   3, [1, 2]::BIGINT[], -1, [4]::BIGINT[], 'CUMULATIVE')
+) t(time_unix_nano, metric_name, count, sum, scale, zero_count,
+    zero_threshold, positive_offset, positive_buckets, negative_offset,
+    negative_buckets, aggregation_temporality)
+""",
+    doc="Exponential-histogram projection (P6, metrics.go:642-714): "
+    "scale/zero bookkeeping, positive/negative offset+bucket lists, "
+    "temporality 2 -> CUMULATIVE.",
+)
+def o08_flatten_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dfs = flatten_metrics(
+        parse_metrics_json(_fixture_df(spark, "otlp_metrics.jsonl")), cache=False
+    )
+    return dfs["metrics_exponential_histogram"].select(
+        "time_unix_nano",
+        "metric_name",
+        "count",
+        "sum",
+        "scale",
+        "zero_count",
+        "zero_threshold",
+        "positive_offset",
+        "positive_buckets",
+        "negative_offset",
+        "negative_buckets",
+        "aggregation_temporality",
+    )
+
+
+@register(
+    "o09_flatten_sum",
+    oracle="""
+SELECT * FROM (VALUES
+  (TIMESTAMP '2024-01-15 10:30:00', 'req.count', CAST(NULL AS DOUBLE),
+   100, true, 'CUMULATIVE')
+) t(time_unix_nano, metric_name, as_double, as_int, is_monotonic,
+    aggregation_temporality)
+""",
+    doc="Sum projection (P6, metrics.go:528-568): gauge columns plus "
+    "is_monotonic and temporality.",
+)
+def o09_flatten_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dfs = flatten_metrics(
+        parse_metrics_json(_fixture_df(spark, "otlp_metrics.jsonl")), cache=False
+    )
+    return dfs["metrics_sum"].select(
+        "time_unix_nano",
+        "metric_name",
+        "as_double",
+        "as_int",
+        "is_monotonic",
+        "aggregation_temporality",
+    )
+
+
+@register(
+    "o10_flatten_summary",
+    oracle="""
+SELECT * FROM (VALUES
+  (TIMESTAMP '2024-01-15 10:30:00', 'rpc', 50, 123.4,
+   [0.5, 0.99]::DOUBLE[], [1.0, 9.0]::DOUBLE[])
+) t(time_unix_nano, metric_name, count, sum,
+    "quantile_values.quantile", "quantile_values.value")
+""",
+    doc="Summary projection (P6, metrics.go:716-762): parallel quantile/"
+    "value lists with the reference's literal dotted column names "
+    "(schema.go:165-167) — backtick discipline on the Spark side.",
+)
+def o10_flatten_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dfs = flatten_metrics(
+        parse_metrics_json(_fixture_df(spark, "otlp_metrics.jsonl")), cache=False
+    )
+    return dfs["metrics_summary"].select(
+        "time_unix_nano",
+        "metric_name",
+        "count",
+        "sum",
+        "`quantile_values.quantile`",
+        "`quantile_values.value`",
+    )
