@@ -1,0 +1,171 @@
+"""Structured Streaming operators as driver-checkable queries (st* family).
+
+Each query builds a real file-source stream over the driver's events
+parquet, runs it to completion with trigger(availableNow=True) into a
+memory sink, and returns the materialized result — so the driver's
+batch-style harness can row/hash-check genuinely streaming plans.
+
+Oracle legitimacy: with availableNow over a single input file the whole
+table arrives in one micro-batch, so
+  * complete-mode windowed aggregates equal their batch equivalents
+    (no window is dropped by the watermark),
+  * dropDuplicatesWithinWatermark keeps exactly one row per key
+    (project the key columns -> batch DISTINCT),
+  * the applyInPandasWithState running count emits one final row per key
+    (-> batch COUNT(*) GROUP BY).
+At scale the same plans run unbounded with the watermark bounding state
+(SURVEY §2.10 streaming rows; stateful.py scale notes).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..streaming.stateful import (
+    dedup_stream,
+    running_event_counts,
+    session_window_counts,
+    windowed_counts,
+)
+from . import register
+
+# events.parquet physical schema under nanosAsLong=true (ts is
+# TIMESTAMP(NANOS) in the file -> LongType epoch-ns; see sources/tables.py)
+_EVENTS_NS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table with ts as a µs-truncated
+    TimestampType (matching the batch-side ts semantics: DuckDB truncates
+    parquet ns to µs on read)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source wants a directory; glob-filter to the events table
+    raw = (
+        spark.readStream.schema(_EVENTS_NS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(df: DataFrame, prefix: str, output_mode: str) -> DataFrame:
+    """Run a streaming DF to completion (availableNow) into a uniquely
+    named memory sink; return the materialized table."""
+    spark = df.sparkSession
+    qname = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+@register(
+    "st01_stream_tumbling_counts",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_rows
+FROM events GROUP BY 1, 2, 3
+""",
+    doc="Streaming tumbling-window counts (watermarked F.window agg run "
+    "via availableNow to a complete-mode memory sink) — equals the batch "
+    "hourly rollup.",
+)
+def st01_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    out = windowed_counts(ev, "ts", window="1 hour", watermark="2 hours",
+                          group_cols=["event_type"])
+    return run_to_memory(out, "st01", "complete")
+
+
+@register(
+    "st02_stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="Stateful streaming dedup (dropDuplicatesWithinWatermark): one "
+    "surviving row per (user_id, event_type) within the watermark "
+    "horizon; key projection makes it order-insensitive (batch DISTINCT).",
+)
+def st02_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    out = dedup_stream(ev, ["user_id", "event_type"], "ts", watermark="1 hour")
+    return run_to_memory(out.select("user_id", "event_type"), "st02", "append")
+
+
+@register(
+    "st03_stream_session_windows",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w >= 1800000000000
+              OR LAG(epoch_ns(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+    doc="Streaming session windows (F.session_window, 30-min gap): a new "
+    "session starts when the inter-event gap is >= the gap duration "
+    "(windows [t, t+gap) merge only when they overlap); session_end = "
+    "last event + gap. Oracle is an independent gaps-and-islands rewrite.",
+)
+def st03_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    out = session_window_counts(ev, "ts", "user_id", gap="30 minutes",
+                                watermark="1 hour")
+    return run_to_memory(
+        out.select("user_id", "session_start", "session_end", "n_events"),
+        "st03",
+        "complete",
+    )
+
+
+@register(
+    "st04_stream_running_counts",
+    oracle="SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
+    doc="Custom stateful operator (applyInPandasWithState): per-key "
+    "running event count in update mode; the single availableNow batch "
+    "makes the final emission equal the batch COUNT(*) per key.",
+)
+def st04_stream_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    out = running_event_counts(ev, "user_id")
+    return run_to_memory(out, "st04", "update")
