@@ -35,8 +35,10 @@ HEADLINE = [
     "d04_ngram_jaccard_pairs",
     "d05_simhash",
     "s01_knn_bruteforce",
+    "s03_ann_ivf",
     "t01_token_stats",
     "t05_top_bigrams",
+    "st01_stream_tumbling_counts",
 ]
 
 

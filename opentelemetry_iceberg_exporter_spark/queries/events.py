@@ -235,14 +235,16 @@ def e07_asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = ev.join(
         o, (o.o_custkey == ev.user_id) & (o.od_ns <= ev.ts_ns), "inner"
     )
-    w = (
-        Window.partitionBy("event_id")
-        .orderBy(F.col("od_ns").desc(), F.col("o_orderkey").desc())
-    )
+    # argmax as max(struct(...)): lexicographic struct max == row_number
+    # over (od_ns DESC, orderkey DESC) rk=1, but a groupBy aggregate gets
+    # map-side partial aggregation — the join fan-out (every prior order
+    # per event) collapses before the shuffle, where a ranked window
+    # would shuffle the whole fan-out.
+    best = F.max(F.struct(F.col("od_ns"), F.col("o_orderkey"))).alias("best")
     return (
-        joined.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("event_id", F.col("o_orderkey").alias("last_orderkey"))
+        joined.groupBy("event_id")
+        .agg(best)
+        .select("event_id", F.col("best.o_orderkey").alias("last_orderkey"))
     )
 
 
