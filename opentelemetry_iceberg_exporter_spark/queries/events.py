@@ -329,3 +329,36 @@ def e09_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "e10_salted_event_counts",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew-safe two-stage aggregation: event_type has a handful of "
+    "very hot keys, so stage 1 aggregates on (key, salt) — salt derived "
+    "deterministically from event_id — spreading each hot key over 16 "
+    "reducers; stage 2 combines the 16 partials per key. Result is "
+    "identical to the direct groupBy (counts and decimal sums are "
+    "associative); at 100 TB this is the salting pattern for keys too "
+    "hot for AQE skew handling alone.",
+)
+def e10_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    n_salts = 16
+    stage1 = (
+        ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(n_salts)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pc"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+        )
+    )
+    return stage1.groupBy("event_type").agg(
+        F.sum("pc").alias("n_events"),
+        F.sum("pv").cast("double").alias("total_value"),
+    )

@@ -522,3 +522,57 @@ def q18_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "q19_correlated_subquery",
+    """
+    SELECT l_partkey, COUNT(*) AS n_above
+    FROM lineitem l1
+    WHERE l_quantity > 2 * (SELECT MIN(l2.l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = l1.l_partkey)
+    GROUP BY l_partkey
+    """,
+    doc="Correlated scalar subquery (TPC-H Q17 shape): lineitems above "
+    "2x their part's minimum quantity. Exercises the SQL entry path — "
+    "Catalyst decorrelates the subquery into an aggregate + self-join; "
+    "MIN keeps the threshold float-exact across engines.",
+)
+def q19_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_q19")
+    return spark.sql(
+        """
+        SELECT l_partkey, COUNT(*) AS n_above
+        FROM v_lineitem_q19 l1
+        WHERE l_quantity > 2 * (SELECT MIN(l2.l_quantity) FROM v_lineitem_q19 l2
+                                WHERE l2.l_partkey = l1.l_partkey)
+        GROUP BY l_partkey
+        """
+    )
+
+
+@register(
+    "q20_scalar_subquery",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM customer), 6) AS segment_share
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc="Uncorrelated scalar subquery: per-segment customer share of the "
+    "global count — planned as a broadcast of the 1-row subquery result.",
+)
+def q20_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer_q20")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               ROUND(CAST(COUNT(*) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM v_customer_q20), 6) AS segment_share
+        FROM v_customer_q20
+        GROUP BY c_mktsegment
+        """
+    )
