@@ -19,9 +19,22 @@ from oracle_harness import compare, duck_connection
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
-    spark = build_session(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
+    argv = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.001"
+    only = argv[1].split(",") if len(argv) > 1 else None
+    if vanilla:
+        # replicate the round driver exactly: a bare session with none of
+        # build_session's configs (UTC tz, AQE tuning, Arrow, ...)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .getOrCreate()
+        )
+    else:
+        spark = build_session(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connection(sf_dir)
     specs = load_all_queries()

@@ -119,3 +119,39 @@ class TestPartitionPruning:
         plan = physical_plan(pruned, "formatted")
         assert "PartitionFilters" in plan
         assert "(hour" in plan.split("PartitionFilters")[1][:120]
+
+
+class TestNewOperatorContracts:
+    def test_s03_ivf_candidate_join_is_broadcast_hash(self, spark, sf_dir, specs):
+        """s03: the cell-candidate join must be a hash equi-join (the
+        centroid-assignment NLJ against the broadcast centroid table is
+        the only permitted nested loop)."""
+        df = specs["s03_ann_ivf"].fn(spark, sf_dir)
+        js = join_strategies(df)
+        assert "BroadcastHashJoin" in js, js
+        assert "CartesianProduct" not in js, js
+        assert "SortMergeJoin" not in js, js
+
+    def test_s03_topk_prunes_map_side(self, spark, sf_dir, specs):
+        """WindowGroupLimit must appear so per-query top-k prunes before
+        the final shuffle instead of shuffling every candidate pair."""
+        plan = physical_plan(specs["s03_ann_ivf"].fn(spark, sf_dir), "simple")
+        assert "WindowGroupLimit" in plan
+
+    def test_e07_asof_partial_aggregates(self, spark, sf_dir, specs):
+        """e07: the argmax must partial-aggregate map-side (HashAggregate
+        below the exchange) — a ranked window here would shuffle the
+        whole join fan-out."""
+        plan = physical_plan(specs["e07_asof_join_last_order"].fn(spark, sf_dir), "simple")
+        # struct max is sort-aggregated; what matters is the partial_max
+        # below the exchange and the absence of a ranked window
+        assert "partial_max" in plan
+        assert "Window" not in plan
+
+    def test_e10_two_stage_aggregation(self, spark, sf_dir, specs):
+        """e10: salted aggregation is two HashAggregate pairs; the salt
+        stage must not add a second shuffle beyond the (key,salt) and
+        (key) exchanges."""
+        df = specs["e10_salted_event_counts"].fn(spark, sf_dir)
+        assert num_shuffles(df) <= 2
+        assert "HashAggregate" in physical_plan(df, "simple")
