@@ -171,3 +171,81 @@ def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return media.mapInPandas(batches, schema)
+
+
+RESIZE_TARGET = 64  # fit-within box for m03
+
+
+def resize_media(df: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """Resize stub: aspect-preserving fit into a target box.
+
+    The geometry (scale factor, output dims, RGB byte count) is real and
+    runs through the same Arrow-batched mapInPandas shape a PIL-backed
+    resize would; only the pixel kernel is faked from the deterministic
+    decoder. Single-op IEEE arithmetic (divide, min, multiply, floor)
+    keeps the result bit-identical to the SQL oracle.
+    """
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+            StructField("out_width", IntegerType(), False),
+            StructField("out_height", IntegerType(), False),
+            StructField("out_bytes", LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h = _fake_dims(bytes(content))
+                scale = min(1.0, float(target) / w, float(target) / h)
+                ow = max(1, math.floor(w * scale))
+                oh = max(1, math.floor(h * scale))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "out_width": ow,
+                        "out_height": oh,
+                        "out_bytes": ow * oh * 3,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(batches, schema)
+
+
+@register(
+    "m03_resize_stub",
+    f"""
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             ((length(text) % 640) + 1)::INT AS width,
+             ((length(text) % 480) + 1)::INT AS height
+      FROM documents
+    ),
+    scaled AS (
+      SELECT *, LEAST(1.0::DOUBLE, {RESIZE_TARGET}.0 / width,
+                      {RESIZE_TARGET}.0 / height) AS s
+      FROM dims
+    )
+    SELECT media_id, width, height,
+           GREATEST(1, FLOOR(width * s))::INT AS out_width,
+           GREATEST(1, FLOOR(height * s))::INT AS out_height,
+           (GREATEST(1, FLOOR(width * s)) * GREATEST(1, FLOOR(height * s))
+            * 3)::BIGINT AS out_bytes
+    FROM scaled
+    """,
+    doc="Image-resize plumbing: aspect-preserving fit-within-64px over "
+    "mapInPandas — geometry real, pixel kernel stubbed (no codec libs in "
+    "the container).",
+)
+def m03_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(spark, sf_dir)
+    return resize_media(media)
