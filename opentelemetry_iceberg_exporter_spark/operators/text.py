@@ -235,3 +235,47 @@ def top_ngrams(df: DataFrame, text_col: str, n: int = 2, k: int = 20) -> DataFra
 )
 def t05_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(load_table(spark, sf_dir, "documents"), "text", 2, 20)
+
+
+# GPT-2-style pre-tokenizer, restricted to constructs with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): no lookarounds, no
+# unicode classes; leftmost alternation on lowercased text. Contractions
+# bind first, then letter runs, digit runs, and punctuation runs.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s']+"
+
+
+def bpe_token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Sub-word-ish token counting: the BPE pre-tokenization pass (the
+    expensive, parallelizable part of real BPE — the merge table lookup
+    that follows is a dictionary join at scale)."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_ISH_PATTERN), F.lit(0))
+    words = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(words).alias("n_word_tokens"),
+        F.round(F.size(toks).cast("double") / F.size(words), 4).alias(
+            "tokens_per_word"
+        ),
+    )
+
+
+@register(
+    "t06_bpe_token_counts",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text),
+                 '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\\s'']+')) AS nb,
+             len({_DUCK_TOKENS}) AS nw
+      FROM documents
+    )
+    SELECT doc_id, nb AS n_bpe_tokens, nw AS n_word_tokens,
+           ROUND(nb::DOUBLE / nw, 4) AS tokens_per_word
+    FROM tok
+    """,
+    doc="BPE-ish regex token counting (GPT-2 pre-tokenizer shape): "
+    "contraction suffixes, letter runs, digit runs, punctuation runs.",
+)
+def t06_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_token_counts(load_table(spark, sf_dir, "documents"), "doc_id", "text")
