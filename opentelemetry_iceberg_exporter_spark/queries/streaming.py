@@ -19,7 +19,6 @@ At scale the same plans run unbounded with the watermark bounding state
 
 from __future__ import annotations
 
-import os
 import tempfile
 import uuid
 
@@ -169,3 +168,57 @@ def st04_stream_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     out = running_event_counts(ev, "user_id")
     return run_to_memory(out, "st04", "update")
+
+
+@register(
+    "st05_stream_otlp_traces",
+    oracle="""
+SELECT * FROM (VALUES
+  ('0102030405060708090a0b0c0d0e0f10', '0102030405060708', '1112131415161718',
+   NULL, 'SERVER', TIMESTAMP '2024-01-15 10:30:00.123456',
+   TIMESTAMP '2024-01-15 10:30:02.123456', 2000000000, 'OK', NULL,
+   'svc-a', 'lib', '{"http.method":"GET","http.status_code":200}'),
+  ('0102030405060708090a0b0c0d0e0f10', 'aaaa030405060708', NULL,
+   'st=x', 'UNSPECIFIED', TIMESTAMP '2024-01-15 10:30:00',
+   TIMESTAMP '2024-01-15 10:30:01', 1000000000, NULL, NULL,
+   'svc-a', 'lib', '{}'),
+  ('0102030405060708090a0b0c0d0e0f10', 'cccc030405060708', NULL,
+   NULL, 'CONSUMER', TIMESTAMP '2024-01-15 11:30:00',
+   TIMESTAMP '2024-01-15 11:30:01.5', 1500000000, 'ERROR', 'boom',
+   'svc-b', NULL, '{}')
+) t(trace_id, span_id, parent_span_id, trace_state, span_kind,
+    start_time_unix_nano, end_time_unix_nano, duration, status_code,
+    status_message, service_name, scope_name, span_attributes)
+""",
+    doc="The reference's core workflow end-to-end as a STREAM: OTLP/JSON "
+    "batches arrive on a file stream, flatten to the 33-col traces "
+    "table inside the micro-batch (same Catalyst projection as o01), "
+    "land in the sink — checked against the identical hand-computed "
+    "oracle as the batch path (exporter.go:101-126 consume->convert->"
+    "write, re-expressed as readStream -> flatten -> writeStream).",
+)
+def st05_stream_otlp_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..otlp.traces import flatten_traces, parse_traces_json
+    from .otlp import _FIXTURES
+
+    raw = (
+        spark.readStream.format("text")
+        .option("pathGlobFilter", "otlp_traces.jsonl")
+        .load(_FIXTURES)
+    )
+    flat = flatten_traces(parse_traces_json(raw)).select(
+        "trace_id",
+        "span_id",
+        "parent_span_id",
+        "trace_state",
+        "span_kind",
+        "start_time_unix_nano",
+        "end_time_unix_nano",
+        "duration",
+        "status_code",
+        "status_message",
+        "service_name",
+        "scope_name",
+        "span_attributes",
+    )
+    return run_to_memory(flat, "st05", "append")
