@@ -134,9 +134,22 @@ def m01_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "m02_frame_sample",
-    None,  # rows-only: per-frame md5 chaining is not worth expressing in SQL
+    """
+    WITH f AS (
+      SELECT doc_id,
+             CAST(ceil(length(text) / 16.0) AS INT) AS n_frames,
+             md5(list_reduce(list_transform(range(1, length(text) + 1, 64),
+                 i -> substring(text, i, 16)), (a, b) -> a || b)) AS sample_fp
+      FROM documents
+    )
+    SELECT doc_id AS media_id, n_frames,
+           CAST(ceil(n_frames / 4.0) AS INT) AS n_sampled, sample_fp
+    FROM f
+    """,
     doc="Video-style frame sampling stub: chunk binary payload into fixed "
-    "16-byte 'frames', sample every 4th, fingerprint each sample.",
+    "16-byte 'frames', sample every 4th, fingerprint each sample. Oracle "
+    "valid because the corpus is ASCII (frames = 16-char substrings; "
+    "every-4th sampling = stride-64 starts).",
 )
 def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(spark, sf_dir)
