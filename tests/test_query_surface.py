@@ -1,0 +1,52 @@
+"""Static contract checks on the registered query surface — fast guards
+that catch registration mistakes (bad oracle SQL, name drift, missing
+driver wiring) without running Spark.
+"""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
+
+from opentelemetry_iceberg_exporter_spark.queries import load_all_queries
+
+SPECS = load_all_queries()
+
+
+def test_entry_module_exposes_registry():
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert set(qs) == set(SPECS)
+    # every oracle key must be a registered query
+    assert set(oracles) <= set(qs)
+    # rows-only queries are the explicit exceptions, not accidents
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"q18_approx_distinct"}, rows_only
+
+
+def test_names_follow_family_convention():
+    pat = re.compile(r"^(q|e|o|d|s|t|m|st)\d{2}_[a-z0-9_]+$")
+    bad = [n for n in SPECS if not pat.match(n)]
+    assert not bad, bad
+
+
+@pytest.mark.parametrize("name", sorted(n for n in SPECS if SPECS[n].oracle))
+def test_oracle_sql_parses_in_duckdb(name, sf_dir):
+    """EXPLAIN (not execute) each oracle against real table views —
+    catches syntax errors and missing columns in milliseconds."""
+    from oracle_harness import duck_connection
+
+    con = duck_connection(sf_dir)
+    try:
+        con.sql("EXPLAIN " + SPECS[name].oracle)
+    finally:
+        con.close()
+
+
+def test_docs_present():
+    undocumented = [n for n, s in SPECS.items() if not (s.doc or "").strip()]
+    assert not undocumented, undocumented
