@@ -20,23 +20,24 @@ from opentelemetry_iceberg_exporter_spark.queries import load_all_queries
 from opentelemetry_iceberg_exporter_spark.session import build_session
 
 # headline set: one per operator family — star join, multi-agg, window
-# top-k, epoch-hour partition, as-of join, sessionize, minhash LSH,
-# jaccard pairs, simhash, knn, token stats, exact dedup
+# top-k, pushdown scan, epoch-hour partition, as-of join, sessionize,
+# exact dedup, minhash LSH, jaccard pairs, signatures, knn, IVF ANN,
+# doc features, top bigrams, streaming window
 HEADLINE = [
     "q01_pricing_summary",
     "q03_revenue_by_nation",
     "q08_top_orders_per_priority",
-    "q16_filter_pushdown_scan",
+    "q09_top10_filtered_lineitems",
     "e01_epoch_hour_partition",
     "e07_asof_join_last_order",
     "e09_sessionize",
     "d01_exact_dedup",
     "d03_minhash_lsh_pairs",
     "d04_ngram_jaccard_pairs",
-    "d05_simhash",
+    "d02_signatures",
     "s01_knn_bruteforce",
     "s03_ann_ivf",
-    "t01_token_stats",
+    "t01_doc_features",
     "t05_top_bigrams",
     "st01_stream_tumbling_counts",
 ]

@@ -37,6 +37,7 @@ from ..queries import register
 
 NUM_HASHES = 16
 BAND_SIZE = 4  # 4 bands of 4 -> near-dup threshold ~ (1/4)^(1/4) ≈ 0.71
+SIMHASH_BITS = 32
 
 _rng = random.Random(42)
 MINHASH_A = [_rng.randrange(1, HASH_MOD) for _ in range(NUM_HASHES)]
@@ -162,34 +163,47 @@ def minhash_lsh_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _signatures_oracle() -> str:
     base = _DUCK_HASH64.format(x="s") + f" % {HASH_MOD}"
     sig_exprs = ",\n      ".join(
         f"list_aggregate(list_transform(hs, h -> ({a} * h + {b}) % {HASH_MOD}), 'min')"
         f" AS sig{i}"
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     )
+    h = _DUCK_HASH64.format(x="x")
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(th, h -> (h >> {b}) & 1 = 1)) > len(th) "
+        f"THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
     return f"""
     WITH tok AS (
       SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
     ), sh AS (
       SELECT doc_id,
-             list_transform(list_distinct({_duck_shingles(3)}), s -> {base}) AS hs
+             list_transform(list_distinct({_duck_shingles(3)}), s -> {base}) AS hs,
+             list_transform(t, x -> {h}) AS th
       FROM tok
     )
     SELECT doc_id,
-      {sig_exprs}
+      {sig_exprs},
+      ({bit_terms}) AS simhash
     FROM sh
     """
 
 
 @register(
-    "d02_minhash_signatures",
-    _minhash_oracle(),
-    doc="16-hash MinHash signature per document (map-side array math).",
+    "d02_signatures",
+    _signatures_oracle(),
+    doc="Per-document near-dup signatures (merged d02+d05): the 16-hash "
+    "MinHash signature and the 32-bit SimHash (majority-bit of token "
+    "hashes), both map-side array math joined on doc_id.",
 )
-def d02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_signatures(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+def d02_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs, "doc_id", "text").join(
+        simhash(docs, "doc_id", "text"), "doc_id"
+    )
 
 
 def _lsh_pairs_oracle() -> str:
@@ -239,10 +253,12 @@ def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram Jaccard similarity (exact, shuffle-based)
 
 JACCARD_THRESHOLD = 0.2
-# stop-shingle cap: shingles appearing in more docs than this are join-skew
-# without near-dup signal. Disabled in oracle-checked mode (testdata has no
-# such skew); enable for production corpora.
-DEFAULT_DF_CAP: int | None = None
+# Stop-shingle cap, ON by default: shingles whose document frequency
+# exceeds this are join-skew without near-dup signal (a shingle shared by
+# >1000 docs contributes ~500k candidate pairs on its own). The DuckDB
+# oracle applies the SAME cap, so correctness holds at any scale factor
+# whether or not the cap fires. Tune per corpus; None disables.
+DEFAULT_DF_CAP: int | None = 1000
 
 
 def ngram_jaccard_pairs(
@@ -306,8 +322,14 @@ def ngram_jaccard_pairs(
     f"""
     WITH tok AS (
       SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
-    ), sh AS (
+    ), sh_raw AS (
       SELECT doc_id, unnest(list_distinct({_duck_shingles(3)})) AS sh FROM tok
+    ), freq AS (
+      SELECT sh, COUNT(*) AS df_ FROM sh_raw GROUP BY sh
+    ), sh AS (
+      -- same stop-shingle document-frequency cap as the Spark side
+      SELECT sh_raw.doc_id, sh_raw.sh
+      FROM sh_raw JOIN freq USING (sh) WHERE df_ <= {DEFAULT_DF_CAP}
     ), cnt AS (
       SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
     ), pairs AS (
@@ -322,7 +344,8 @@ def ngram_jaccard_pairs(
     JOIN cnt cb ON pairs.id_b = cb.doc_id
     WHERE ROUND(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 6) >= {JACCARD_THRESHOLD}
     """,
-    doc="Exact 3-gram Jaccard near-dup pairs above 0.2.",
+    doc="Exact 3-gram Jaccard near-dup pairs above 0.2, with the "
+    "stop-shingle skew guard active (df cap mirrored in the oracle).",
 )
 def d04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text")
@@ -330,8 +353,6 @@ def d04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # SimHash
-
-SIMHASH_BITS = 32
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -357,25 +378,6 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return out.select(F.col(id_col), sig.alias("simhash"))
 
 
-def _simhash_oracle() -> str:
-    h = _DUCK_HASH64.format(x="x")
-    bit_terms = " + ".join(
-        f"(CASE WHEN 2 * len(list_filter(th, h -> (h >> {b}) & 1 = 1)) > len(th) "
-        f"THEN {1 << b}::BIGINT ELSE 0 END)"
-        for b in range(SIMHASH_BITS)
-    )
-    return f"""
-    WITH tok AS (
-      SELECT doc_id, list_transform({_DUCK_TOKENS}, x -> {h}) AS th FROM documents
-    )
-    SELECT doc_id, ({bit_terms}) AS simhash FROM tok
-    """
-
-
-@register(
-    "d05_simhash",
-    _simhash_oracle(),
-    doc="32-bit SimHash signatures (majority-bit of token hashes).",
-)
-def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+# NOTE: the former d05 standalone SimHash query merged into
+# d02_signatures (same per-doc map-side signature family) — round-2
+# 50-slot consolidation. The simhash() operator above is unchanged.

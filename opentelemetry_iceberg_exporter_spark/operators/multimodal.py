@@ -52,8 +52,13 @@ FEATURE_SCHEMA = StructType(
         StructField("head_hex", StringType(), True),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
+        StructField("out_width", IntegerType(), True),
+        StructField("out_height", IntegerType(), True),
+        StructField("out_bytes", LongType(), True),
     ]
 )
+
+RESIZE_TARGET = 64  # fit-within box for the resize geometry
 
 
 def decode_image(content: bytes) -> Any:
@@ -74,10 +79,20 @@ def _fake_dims(content: bytes) -> tuple[int, int]:
     return (n % 640) + 1, (n % 480) + 1
 
 
-def extract_media_features(df: DataFrame, fake_decode: bool = False) -> DataFrame:
-    """Arrow-batched feature extraction over binary media content."""
+def extract_media_features(
+    df: DataFrame, fake_decode: bool = False, target: int = RESIZE_TARGET
+) -> DataFrame:
+    """Arrow-batched feature extraction + resize geometry over binary
+    media content (merged m01+m03): one mapInPandas pass emits the raw
+    features (byte length, head hex, decoded dims) AND the
+    aspect-preserving fit-within-target output geometry a PIL-backed
+    resize would produce. Single-op IEEE arithmetic (divide, min,
+    multiply, floor) keeps the geometry bit-identical to the SQL
+    oracle."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         for pdf in it:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
@@ -87,6 +102,9 @@ def extract_media_features(df: DataFrame, fake_decode: bool = False) -> DataFram
                 else:  # pragma: no cover - requires codec libs
                     img = decode_image(b)
                     w, h = img.size
+                scale = min(1.0, float(target) / w, float(target) / h)
+                ow = max(1, math.floor(w * scale))
+                oh = max(1, math.floor(h * scale))
                 rows.append(
                     {
                         "media_id": mid,
@@ -94,6 +112,9 @@ def extract_media_features(df: DataFrame, fake_decode: bool = False) -> DataFram
                         "head_hex": b[:8].hex(),
                         "width": w,
                         "height": h,
+                        "out_width": ow,
+                        "out_height": oh,
+                        "out_bytes": ow * oh * 3,
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
@@ -114,20 +135,35 @@ def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "m01_binary_features",
-    """
-    SELECT doc_id AS media_id,
-           length(text)::BIGINT AS n_bytes,
-           lower(hex(substring(text, 1, 8))) AS head_hex,
-           ((length(text) % 640) + 1)::INT AS width,
-           ((length(text) % 480) + 1)::INT AS height
-    FROM documents
+    "m01_media_features",
+    f"""
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             length(text)::BIGINT AS n_bytes,
+             lower(hex(substring(text, 1, 8))) AS head_hex,
+             ((length(text) % 640) + 1)::INT AS width,
+             ((length(text) % 480) + 1)::INT AS height
+      FROM documents
+    ),
+    scaled AS (
+      SELECT *, LEAST(1.0::DOUBLE, {RESIZE_TARGET}.0 / width,
+                      {RESIZE_TARGET}.0 / height) AS s
+      FROM dims
+    )
+    SELECT media_id, n_bytes, head_hex, width, height,
+           GREATEST(1, FLOOR(width * s))::INT AS out_width,
+           GREATEST(1, FLOOR(height * s))::INT AS out_height,
+           (GREATEST(1, FLOOR(width * s)) * GREATEST(1, FLOOR(height * s))
+            * 3)::BIGINT AS out_bytes
+    FROM scaled
     """,
-    doc="Binary media plumbing: encode->mapInPandas feature extraction "
-    "(byte length, head hex, fake-decoded dims). Oracle valid because "
-    "the corpus is ASCII (1 char = 1 byte).",
+    doc="Binary media plumbing (merged m01+m03): encode -> mapInPandas "
+    "feature extraction (byte length, head hex, fake-decoded dims) plus "
+    "aspect-preserving fit-within-64px resize geometry — pixel kernel "
+    "stubbed (no codec libs in the container), geometry real. Oracle "
+    "valid because the corpus is ASCII (1 char = 1 byte).",
 )
-def m01_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def m01_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(spark, sf_dir)
     return extract_media_features(media, fake_decode=True)
 
@@ -186,9 +222,6 @@ def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(batches, schema)
 
 
-RESIZE_TARGET = 64  # fit-within box for m03
-
-
 def resize_media(df: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
     """Resize stub: aspect-preserving fit into a target box.
 
@@ -234,31 +267,6 @@ def resize_media(df: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
     return df.mapInPandas(batches, schema)
 
 
-@register(
-    "m03_resize_stub",
-    f"""
-    WITH dims AS (
-      SELECT doc_id AS media_id,
-             ((length(text) % 640) + 1)::INT AS width,
-             ((length(text) % 480) + 1)::INT AS height
-      FROM documents
-    ),
-    scaled AS (
-      SELECT *, LEAST(1.0::DOUBLE, {RESIZE_TARGET}.0 / width,
-                      {RESIZE_TARGET}.0 / height) AS s
-      FROM dims
-    )
-    SELECT media_id, width, height,
-           GREATEST(1, FLOOR(width * s))::INT AS out_width,
-           GREATEST(1, FLOOR(height * s))::INT AS out_height,
-           (GREATEST(1, FLOOR(width * s)) * GREATEST(1, FLOOR(height * s))
-            * 3)::BIGINT AS out_bytes
-    FROM scaled
-    """,
-    doc="Image-resize plumbing: aspect-preserving fit-within-64px over "
-    "mapInPandas — geometry real, pixel kernel stubbed (no codec libs in "
-    "the container).",
-)
-def m03_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = documents_as_media(spark, sf_dir)
-    return resize_media(media)
+# NOTE: the former m03 standalone resize query merged into
+# m01_media_features (same mapInPandas pass) — round-2 50-slot
+# consolidation. resize_media() above remains the standalone operator.

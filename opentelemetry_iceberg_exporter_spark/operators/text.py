@@ -29,6 +29,14 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
 
+_DUCK_STOPFILTER = "list_filter(t, x -> x IN (" + ", ".join(f"'{w}'" for w in STOPWORDS) + "))"
+
+# GPT-2-style pre-tokenizer, restricted to constructs with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): no lookarounds, no
+# unicode classes; leftmost alternation on lowercased text. Contractions
+# bind first, then letter runs, digit runs, and punctuation runs.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s']+"
+
 
 def _count_in(tok: Column, words: list[str]) -> Column:
     arr = F.array(*[F.lit(w) for w in words])
@@ -48,22 +56,86 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-@register(
-    "t01_token_stats",
-    f"""
+def doc_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The full per-document feature row (merged t01+t02+t04+t06): token
+    statistics, quality score, content fingerprints, BPE-ish token
+    counts — ONE map-side Catalyst projection over the token array (no
+    joins: at 100 TB a single narrow select beats 4 projections joined
+    on doc_id by three shuffles)."""
+    text = F.col(text_col)
+    tok = tokens(text)
+    n = F.size(tok)
+    sum_len = F.aggregate(F.transform(tok, F.length), F.lit(0), lambda a, x: a + x)
+    uniq_ratio = F.size(F.array_distinct(tok)).cast("double") / n
+    stop_ratio = _count_in(tok, STOPWORDS).cast("double") / n
+    avg_len = sum_len.cast("double") / n
+    len_factor = F.least(avg_len / F.lit(8.0), F.lit(1.0))
+    score = F.round(
+        F.lit(0.5) * uniq_ratio
+        + F.lit(0.25) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.25) * len_factor,
+        6,
+    )
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    head = F.slice(tok, 1, 3)
+    tail = F.slice(tok, F.greatest(F.size(tok) - 2, F.lit(1)), 3)
+    bpe = F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_PATTERN), F.lit(0))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_unique_tokens"),
+        F.round(sum_len.cast("double") / n, 4).alias("avg_token_len"),
+        F.length(text).alias("n_chars_actual"),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        score.alias("quality_score"),
+        F.md5(norm).alias("fp_full"),
+        F.md5(F.concat_ws(" ", F.concat(head, tail))).alias("fp_headtail"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.round(F.size(bpe).cast("double") / n, 4).alias("tokens_per_word"),
+    )
+
+
+def _doc_features_oracle() -> str:
+    return f"""
     WITH tok AS (SELECT doc_id, text, {_DUCK_TOKENS} AS t FROM documents)
     SELECT doc_id,
            len(t) AS n_tokens,
            len(list_distinct(t)) AS n_unique_tokens,
            ROUND(list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t), 4)
              AS avg_token_len,
-           length(text) AS n_chars_actual
+           length(text) AS n_chars_actual,
+           ROUND(len(list_distinct(t))::DOUBLE / len(t), 6) AS uniq_ratio,
+           ROUND(len({_DUCK_STOPFILTER})::DOUBLE / len(t), 6) AS stop_ratio,
+           ROUND(
+             0.5 * (len(list_distinct(t))::DOUBLE / len(t))
+             + 0.25 * least((len({_DUCK_STOPFILTER})::DOUBLE / len(t)) * 4, 1.0)
+             + 0.25 * least((list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)) / 8.0, 1.0),
+           6) AS quality_score,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp_full,
+           md5(array_to_string(
+             list_concat(t[1:3], t[greatest(len(t) - 2, 1):greatest(len(t) - 2, 1) + 2]),
+             ' ')) AS fp_headtail,
+           len(regexp_extract_all(lower(text),
+               '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\\s'']+')) AS n_bpe_tokens,
+           ROUND(len(regexp_extract_all(lower(text),
+               '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\\s'']+'))::DOUBLE
+               / len(t), 4) AS tokens_per_word
     FROM tok
-    """,
-    doc="Per-document token counting and length statistics.",
+    """
+
+
+@register(
+    "t01_doc_features",
+    _doc_features_oracle(),
+    doc="Per-document text features in one map-side projection (merged "
+    "t01+t02+t04+t06): token/length statistics, heuristic quality score "
+    "(diversity/stopword/length), normalized + head/tail md5 "
+    "fingerprints, and BPE-ish (GPT-2 pre-tokenizer shape) token "
+    "counts.",
 )
-def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return token_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+def t01_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_features(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -90,27 +162,8 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-_DUCK_STOPFILTER = "list_filter(t, x -> x IN (" + ", ".join(f"'{w}'" for w in STOPWORDS) + "))"
-
-
-@register(
-    "t02_quality_score",
-    f"""
-    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents)
-    SELECT doc_id,
-           ROUND(len(list_distinct(t))::DOUBLE / len(t), 6) AS uniq_ratio,
-           ROUND(len({_DUCK_STOPFILTER})::DOUBLE / len(t), 6) AS stop_ratio,
-           ROUND(
-             0.5 * (len(list_distinct(t))::DOUBLE / len(t))
-             + 0.25 * least((len({_DUCK_STOPFILTER})::DOUBLE / len(t)) * 4, 1.0)
-             + 0.25 * least((list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)) / 8.0, 1.0),
-           6) AS quality_score
-    FROM tok
-    """,
-    doc="Heuristic document quality scoring (diversity/stopword/length).",
-)
-def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quality_score(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+# NOTE: the former t02 quality-score query merged into t01_doc_features
+# — round-2 50-slot consolidation. quality_score() is unchanged.
 
 
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -187,21 +240,8 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-@register(
-    "t04_fingerprint",
-    f"""
-    WITH tok AS (SELECT doc_id, text, {_DUCK_TOKENS} AS t FROM documents)
-    SELECT doc_id,
-           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp_full,
-           md5(array_to_string(
-             list_concat(t[1:3], t[greatest(len(t) - 2, 1):greatest(len(t) - 2, 1) + 2]),
-             ' ')) AS fp_headtail
-    FROM tok
-    """,
-    doc="Document fingerprinting (normalized md5 + head/tail md5).",
-)
-def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fingerprint(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+# NOTE: the former t04 fingerprint query merged into t01_doc_features
+# — round-2 50-slot consolidation. fingerprint() is unchanged.
 
 
 def top_ngrams(df: DataFrame, text_col: str, n: int = 2, k: int = 20) -> DataFrame:
@@ -237,13 +277,6 @@ def t05_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(load_table(spark, sf_dir, "documents"), "text", 2, 20)
 
 
-# GPT-2-style pre-tokenizer, restricted to constructs with identical
-# semantics in Java regex (Spark) and RE2 (DuckDB): no lookarounds, no
-# unicode classes; leftmost alternation on lowercased text. Contractions
-# bind first, then letter runs, digit runs, and punctuation runs.
-BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s']+"
-
-
 def bpe_token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Sub-word-ish token counting: the BPE pre-tokenization pass (the
     expensive, parallelizable part of real BPE — the merge table lookup
@@ -260,22 +293,6 @@ def bpe_token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-@register(
-    "t06_bpe_token_counts",
-    f"""
-    WITH tok AS (
-      SELECT doc_id,
-             len(regexp_extract_all(lower(text),
-                 '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\\s'']+')) AS nb,
-             len({_DUCK_TOKENS}) AS nw
-      FROM documents
-    )
-    SELECT doc_id, nb AS n_bpe_tokens, nw AS n_word_tokens,
-           ROUND(nb::DOUBLE / nw, 4) AS tokens_per_word
-    FROM tok
-    """,
-    doc="BPE-ish regex token counting (GPT-2 pre-tokenizer shape): "
-    "contraction suffixes, letter runs, digit runs, punctuation runs.",
-)
-def t06_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bpe_token_counts(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+# NOTE: the former t06 BPE-ish token-count query merged into
+# t01_doc_features — round-2 50-slot consolidation. bpe_token_counts()
+# is unchanged.

@@ -28,22 +28,35 @@ NS_PER_HOUR = 3_600_000_000_000
     f"""
     SELECT
       epoch_ns(ts) // {NS_PER_HOUR} AS epoch_hour,
+      strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
+      strftime(ts, '%d') AS day, strftime(ts, '%H') AS hour,
       COUNT(*) AS n_events,
       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events
-    GROUP BY 1
+    GROUP BY 1, 2, 3, 4, 5
     """,
-    doc="The reference's SplitByPartition (R1, partition.go:48-148): group "
-    "rows by epoch-hour of their event timestamp. In Spark this is a "
-    "declarative groupBy — the write path gets it via partitionBy/Iceberg "
-    "hours() transform.",
+    doc="The reference's SplitByPartition (R1, partition.go:48-148) plus "
+    "its Hive partition-value derivation (R3, partition.go:155-185, "
+    "merged from the former o06): group rows by epoch-hour of their "
+    "event timestamp and emit the zero-padded year/month/day/hour path "
+    "segments the write side uses. In Spark this is a declarative "
+    "groupBy — the write path gets it via partitionBy/Iceberg hours() "
+    "transform.",
 )
 def e01_epoch_hour_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.parquet_sink import partition_value_columns
+
     ev = load_table(spark, sf_dir, "events")
     # integer div — double division at epoch-ns magnitude flips hour
     # boundaries (256ns ulp at 1.7e18)
+    for name, col in partition_value_columns(F.col("ts"), "hourly", "UTC"):
+        ev = ev.withColumn(name, col)
     return ev.groupBy(
-        F.expr(f"ts_ns div {NS_PER_HOUR}").alias("epoch_hour")
+        F.expr(f"ts_ns div {NS_PER_HOUR}").alias("epoch_hour"),
+        "year",
+        "month",
+        "day",
+        "hour",
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
@@ -144,64 +157,33 @@ def e04_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "e05_lag_delta",
-    """
-    SELECT
-      event_type,
-      COUNT(*) AS n_deltas,
-      CAST(SUM(CAST(delta_ns AS DECIMAL(38,0))) AS BIGINT) AS sum_delta_ns,
-      MAX(delta_ns) AS max_delta_ns
-    FROM (
-      SELECT event_type,
-             epoch_ns(ts) - LAG(epoch_ns(ts)) OVER (
-               PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
-             ) AS delta_ns
-      FROM events
-    )
-    WHERE delta_ns IS NOT NULL
-    GROUP BY event_type
-    """,
-    doc="LAG over per-user event sequences: inter-event gap statistics.",
-)
-def e05_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    return (
-        ev.withColumn("delta_ns", F.col("ts_ns") - F.lag("ts_ns").over(w))
-        .filter(F.col("delta_ns").isNotNull())
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_deltas"),
-            F.sum(F.col("delta_ns").cast("decimal(38,0)")).cast("bigint").alias("sum_delta_ns"),
-            F.max("delta_ns").alias("max_delta_ns"),
-        )
-    )
-
-
-@register(
-    "e06_running_value_per_user",
+    "e05_window_frames",
     """
     SELECT event_id, user_id,
+           epoch_ns(ts) - LAG(epoch_ns(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+           ) AS delta_ns,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
              PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS running_value
     FROM events
     """,
-    doc="Running (cumulative) sum per user — frame-bounded window; exact "
-    "decimal accumulation keeps it order-deterministic.",
+    doc="Per-row window surface (merged e05+e06): LAG inter-event gap "
+    "and frame-bounded running sum over the same per-user window spec — "
+    "Spark evaluates both in a single Window operator (one shuffle, one "
+    "sort). Exact decimal accumulation keeps the running sum "
+    "order-deterministic.",
 )
-def e06_running_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e05_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts_ns", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return ev.select(
         "event_id",
         "user_id",
-        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("running_value"),
+        (F.col("ts_ns") - F.lag("ts_ns").over(w)).alias("delta_ns"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(wf).cast("double").alias("running_value"),
     )
 
 
@@ -303,8 +285,10 @@ def e08_range_join_clicks_before_error(spark: SparkSession, sf_dir: str) -> Data
     ),
     sess AS (
       SELECT user_id,
-             SUM(is_start) OVER (PARTITION BY user_id ORDER BY t, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+             -- CAST: DuckDB window-SUM of integers is HUGEINT, which the
+             -- driver's pandas path renders as float ("2.0" vs Spark "2")
+             CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM gaps
     )
     SELECT user_id, session_id, COUNT(*) AS n_events

@@ -21,8 +21,6 @@ from ..otlp.metrics import flatten_metrics, parse_metrics_json
 from ..otlp.traces import flatten_traces, parse_traces_json
 from ..recovery.reconciler import find_orphans, registered_files
 from ..recovery.scanner import apply_time_filter, parse_partitions
-from ..sinks.parquet_sink import partition_value_columns
-from ..sources.tables import load_table
 from . import register
 
 _FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
@@ -132,24 +130,31 @@ def o03_metrics_demux_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "o04_flatten_gauge",
+    "o04_flatten_gauge_sum",
     oracle="""
 SELECT * FROM (VALUES
-  (TIMESTAMP '2024-01-15 10:30:00', 'cpu.util', '1', NULL, 0.75,
-   CAST(NULL AS BIGINT), TIMESTAMP '2024-01-15 10:29:00', '{"host":"h1"}'),
-  (TIMESTAMP '2024-01-15 10:30:00.001', 'cpu.util', '1', NULL,
-   CAST(NULL AS DOUBLE), 7, NULL, '{}')
-) t(time_unix_nano, metric_name, metric_unit, metric_metadata, as_double,
-    as_int, start_time_unix_nano, attributes)
+  ('gauge', TIMESTAMP '2024-01-15 10:30:00', 'cpu.util', '1', NULL, 0.75,
+   CAST(NULL AS BIGINT), TIMESTAMP '2024-01-15 10:29:00', '{"host":"h1"}',
+   CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR)),
+  ('gauge', TIMESTAMP '2024-01-15 10:30:00.001', 'cpu.util', '1', NULL,
+   CAST(NULL AS DOUBLE), 7, NULL, '{}', CAST(NULL AS BOOLEAN),
+   CAST(NULL AS VARCHAR)),
+  ('sum', TIMESTAMP '2024-01-15 10:30:00', 'req.count', NULL, NULL,
+   CAST(NULL AS DOUBLE), 100, NULL, '{}', true, 'CUMULATIVE')
+) t(signal, time_unix_nano, metric_name, metric_unit, metric_metadata,
+    as_double, as_int, start_time_unix_nano, attributes, is_monotonic,
+    aggregation_temporality)
 """,
-    doc="Gauge projection (P6): exactly-one-of as_double/as_int, empty "
-    "metadata -> NULL, zero start_time -> NULL.",
+    doc="Gauge + Sum projections (P6, metrics.go:476-516; merged o04+o09): "
+    "exactly-one-of as_double/as_int, empty metadata -> NULL, zero "
+    "start_time -> NULL, plus the sum table's is_monotonic and "
+    "temporality enum — unioned under a signal tag.",
 )
-def o04_flatten_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o04_flatten_gauge_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfs = flatten_metrics(
         parse_metrics_json(_fixture_df(spark, "otlp_metrics.jsonl")), cache=False
     )
-    return dfs["metrics_gauge"].select(
+    common = [
         "time_unix_nano",
         "metric_name",
         "metric_unit",
@@ -158,7 +163,17 @@ def o04_flatten_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "as_int",
         "start_time_unix_nano",
         "attributes",
+    ]
+    gauge = dfs["metrics_gauge"].select(
+        F.lit("gauge").alias("signal"),
+        *common,
+        F.lit(None).cast("boolean").alias("is_monotonic"),
+        F.lit(None).cast("string").alias("aggregation_temporality"),
     )
+    sum_df = dfs["metrics_sum"].select(
+        F.lit("sum").alias("signal"), *common, "is_monotonic", "aggregation_temporality"
+    )
+    return gauge.unionByName(sum_df)
 
 
 _LISTING = [
@@ -192,27 +207,9 @@ def o05_recovery_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return find_orphans(scanned, registered).select("uri", "table", "partition_time")
 
 
-@register(
-    "o06_hive_partition_values",
-    oracle="""
-SELECT strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
-       strftime(ts, '%d') AS day, strftime(ts, '%H') AS hour,
-       count(*) AS n_rows
-FROM events GROUP BY 1, 2, 3, 4
-""",
-    doc="Hive partition-value derivation (R3, partition.go:155-185) over "
-    "the events stream: zero-padded year/month/day/hour from the event "
-    "timestamp — the write-side partitioning expressed as a query.",
-)
-def o06_hive_partition_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    parts = partition_value_columns(F.col("ts"), "hourly", "UTC")
-    df = ev
-    for name, col in parts:
-        df = df.withColumn(name, col)
-    return df.groupBy("year", "month", "day", "hour").agg(
-        F.count(F.lit(1)).alias("n_rows")
-    )
+# NOTE: the former o06 Hive partition-value query merged into e01 (same
+# partition_value_columns, same events table) — round-2 50-slot
+# consolidation.
 
 
 @register(
@@ -220,13 +217,15 @@ def o06_hive_partition_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT * FROM (VALUES
   (TIMESTAMP '2024-01-15 10:30:00', 'latency', 100, 550.5, 0.1, 99.9,
-   [10, 40, 50]::BIGINT[], [1.0, 10.0]::DOUBLE[], 'DELTA')
+   '10,40,50', '1.0,10.0', 'DELTA')
 ) t(time_unix_nano, metric_name, count, sum, min, max, bucket_counts,
     explicit_bounds, aggregation_temporality)
 """,
     doc="Histogram projection (P6, metrics.go:570-640): uint64-string "
     "bucket counts -> long list, explicit bounds, temporality enum "
-    "decode (1 -> DELTA).",
+    "decode (1 -> DELTA). The list columns are emitted as comma-joined "
+    "strings: the driver harness canonicalizes via pandas sort_values, "
+    "which cannot order list cells.",
 )
 def o07_flatten_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfs = flatten_metrics(
@@ -239,8 +238,8 @@ def o07_flatten_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum",
         "min",
         "max",
-        "bucket_counts",
-        "explicit_bounds",
+        F.array_join("bucket_counts", ",").alias("bucket_counts"),
+        F.array_join("explicit_bounds", ",").alias("explicit_bounds"),
         "aggregation_temporality",
     )
 
@@ -250,14 +249,15 @@ def o07_flatten_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT * FROM (VALUES
   (TIMESTAMP '2024-01-15 10:30:00', 'eh', 7, 21.0, 2, 1, 0.001,
-   3, [1, 2]::BIGINT[], -1, [4]::BIGINT[], 'CUMULATIVE')
+   3, '1,2', -1, '4', 'CUMULATIVE')
 ) t(time_unix_nano, metric_name, count, sum, scale, zero_count,
     zero_threshold, positive_offset, positive_buckets, negative_offset,
     negative_buckets, aggregation_temporality)
 """,
     doc="Exponential-histogram projection (P6, metrics.go:642-714): "
-    "scale/zero bookkeeping, positive/negative offset+bucket lists, "
-    "temporality 2 -> CUMULATIVE.",
+    "scale/zero bookkeeping, positive/negative offset+bucket lists "
+    "(comma-joined for the pandas-based harness), temporality 2 -> "
+    "CUMULATIVE.",
 )
 def o08_flatten_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfs = flatten_metrics(
@@ -272,37 +272,15 @@ def o08_flatten_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zero_count",
         "zero_threshold",
         "positive_offset",
-        "positive_buckets",
+        F.array_join("positive_buckets", ",").alias("positive_buckets"),
         "negative_offset",
-        "negative_buckets",
+        F.array_join("negative_buckets", ",").alias("negative_buckets"),
         "aggregation_temporality",
     )
 
 
-@register(
-    "o09_flatten_sum",
-    oracle="""
-SELECT * FROM (VALUES
-  (TIMESTAMP '2024-01-15 10:30:00', 'req.count', CAST(NULL AS DOUBLE),
-   100, true, 'CUMULATIVE')
-) t(time_unix_nano, metric_name, as_double, as_int, is_monotonic,
-    aggregation_temporality)
-""",
-    doc="Sum projection (P6, metrics.go:528-568): gauge columns plus "
-    "is_monotonic and temporality.",
-)
-def o09_flatten_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dfs = flatten_metrics(
-        parse_metrics_json(_fixture_df(spark, "otlp_metrics.jsonl")), cache=False
-    )
-    return dfs["metrics_sum"].select(
-        "time_unix_nano",
-        "metric_name",
-        "as_double",
-        "as_int",
-        "is_monotonic",
-        "aggregation_temporality",
-    )
+# NOTE: the former o09 sum projection merged into o04 (union under a
+# signal tag) — round-2 50-slot consolidation.
 
 
 @register(
@@ -310,13 +288,14 @@ def o09_flatten_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT * FROM (VALUES
   (TIMESTAMP '2024-01-15 10:30:00', 'rpc', 50, 123.4,
-   [0.5, 0.99]::DOUBLE[], [1.0, 9.0]::DOUBLE[])
+   '0.5,0.99', '1.0,9.0')
 ) t(time_unix_nano, metric_name, count, sum,
     "quantile_values.quantile", "quantile_values.value")
 """,
     doc="Summary projection (P6, metrics.go:716-762): parallel quantile/"
     "value lists with the reference's literal dotted column names "
-    "(schema.go:165-167) — backtick discipline on the Spark side.",
+    "(schema.go:165-167) — backtick discipline on the Spark side; lists "
+    "comma-joined for the pandas-based harness.",
 )
 def o10_flatten_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfs = flatten_metrics(
@@ -327,6 +306,6 @@ def o10_flatten_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric_name",
         "count",
         "sum",
-        "`quantile_values.quantile`",
-        "`quantile_values.value`",
+        F.array_join("`quantile_values.quantile`", ",").alias("quantile_values.quantile"),
+        F.array_join("`quantile_values.value`", ",").alias("quantile_values.value"),
     )

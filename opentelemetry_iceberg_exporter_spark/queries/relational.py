@@ -70,20 +70,33 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(DISTINCT o_custkey) AS n_customers,
       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
-      CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+      CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+      TRUE AS approx_distinct_ok
     FROM orders
     GROUP BY o_orderpriority
     """,
-    doc="Aggregation with exact count-distinct, min/max.",
+    doc="Aggregation with exact count-distinct, min/max, plus the "
+    "approx_count_distinct (HyperLogLog++) accuracy claim: the sketch "
+    "estimate must land within 5% of the exact distinct count per group. "
+    "HLL sketches differ across engines, so the CLAIM (a boolean) is the "
+    "portable, hash-checkable output — DuckDB computes the exact count "
+    "and asserts TRUE. This is the 100 TB cardinality path where exact "
+    "distinct would shuffle every key.",
 )
 def q02_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
+    exact = F.count_distinct(F.col("o_custkey"))
+    approx = F.approx_count_distinct("o_custkey", 0.02)
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.count_distinct(F.col("o_custkey")).alias("n_customers"),
+        exact.alias("n_customers"),
         money_sum("o_totalprice").alias("total_price"),
         F.min(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("min_price"),
         F.max(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("max_price"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double")) / exact.cast("double")
+            <= F.lit(0.05)
+        ).alias("approx_distinct_ok"),
     )
 
 
@@ -169,22 +182,11 @@ def q04_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q05_customers_without_orders",
-    """
-    SELECT c_custkey, c_name, c_mktsegment
-    FROM customer
-    ANTI JOIN orders ON c_custkey = o_custkey
-    """,
-    doc="Left anti-join — the reference's recovery orphan detection "
-    "(reconciler.go:109-126, T1) generalized to a relational operator.",
-)
-def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name", "c_mktsegment"
-    )
+# NOTE: the former q05 (customer ANTI JOIN orders) was folded out of the
+# registered surface in round 2 to fit the driver's 50-slot correctness
+# window: the left anti-join operator keeps a green hard signal through
+# o05_recovery_orphans (the reference's actual anti-join use, reconciler
+# T1), which runs the same Spark join type.
 
 
 @register(
@@ -280,24 +282,38 @@ def q08_top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q09_global_top10_lineitems",
+    "q09_top10_filtered_lineitems",
     """
-    SELECT l_orderkey, l_linenumber, l_extendedprice
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
     FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
     ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
     LIMIT 10
     """,
-    doc="Global top-k: Spark runs TakeOrderedAndProject (no full sort).",
+    doc="Selective scan + global top-k in one plan (merged q09+q16): the "
+    "TPC-H Q6-style predicates and 4-column projection push down to the "
+    "parquet reader (PushedFilters + ReadSchema), and the ordered limit "
+    "plans as TakeOrderedAndProject (per-partition partial top-k, no "
+    "full sort).",
 )
-def q09_global_top10_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q09_top10_filtered_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.orderBy(
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .orderBy(
             F.col("l_extendedprice").desc(),
             F.col("l_orderkey").asc(),
             F.col("l_linenumber").asc(),
         )
-        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         .limit(10)
     )
 
@@ -342,55 +358,54 @@ def q10_orders_vs_priority_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q11_rollup_pricing",
+    "q11_rollup_cube",
     """
-    SELECT
-      COALESCE(l_returnflag, 'ALL') AS returnflag,
-      COALESCE(l_linestatus, 'ALL') AS linestatus,
+    SELECT 'rollup' AS family,
+      COALESCE(l_returnflag, 'ALL') AS key1,
+      COALESCE(l_linestatus, 'ALL') AS key2,
       COUNT(*) AS n_rows,
       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'cube' AS family,
+      COALESCE(CAST(c_nationkey AS VARCHAR), 'ALL') AS key1,
+      COALESCE(c_mktsegment, 'ALL') AS key2,
+      COUNT(*) AS n_rows,
+      CAST(NULL AS DOUBLE) AS sum_qty
+    FROM customer
+    GROUP BY CUBE (c_nationkey, c_mktsegment)
     """,
-    doc="ROLLUP hierarchy totals (flag, flag+status, grand total).",
+    doc="Grouping-sets surface (merged q11+q12): ROLLUP hierarchy totals "
+    "over lineitem unioned with a two-dimension CUBE over customer, "
+    "tagged by family.",
 )
-def q11_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q11_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    rollup = (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n_rows"), money_sum("l_quantity").alias("sum_qty"))
         .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            F.lit("rollup").alias("family"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("key1"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("key2"),
             "n_rows",
             "sum_qty",
         )
     )
-
-
-@register(
-    "q12_cube_customer_nation_segment",
-    """
-    SELECT
-      COALESCE(CAST(c_nationkey AS VARCHAR), 'ALL') AS nationkey,
-      COALESCE(c_mktsegment, 'ALL') AS segment,
-      COUNT(*) AS n_customers
-    FROM customer
-    GROUP BY CUBE (c_nationkey, c_mktsegment)
-    """,
-    doc="CUBE over two dimensions.",
-)
-def q12_cube_customer_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    return (
+    cube = (
         c.cube("c_nationkey", "c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
         .select(
-            F.coalesce(F.col("c_nationkey").cast("string"), F.lit("ALL")).alias("nationkey"),
-            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
-            "n_customers",
+            F.lit("cube").alias("family"),
+            F.coalesce(F.col("c_nationkey").cast("string"), F.lit("ALL")).alias("key1"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("key2"),
+            "n_rows",
+            F.lit(None).cast("double").alias("sum_qty"),
         )
     )
+    return rollup.unionByName(cube)
 
 
 @register(
@@ -403,16 +418,34 @@ def q12_cube_customer_nation_segment(spark: SparkSession, sf_dir: str) -> DataFr
       (SELECT COUNT(*) FROM (SELECT k FROM cu INTERSECT SELECT k FROM su)) AS n_intersect,
       (SELECT COUNT(*) FROM (SELECT k FROM cu EXCEPT SELECT k FROM su)) AS n_cust_only
     """,
-    doc="UNION / INTERSECT / EXCEPT (reference T2 union, T1 except-as-anti-join).",
+    doc="UNION / INTERSECT / EXCEPT counts (reference T2 union, T1 "
+    "except-as-anti-join) computed in ONE distributed plan: full-outer "
+    "join of the two distinct key sets, then conditional counts — no "
+    "driver-side actions (the r1 version ran three separate .count() "
+    "jobs).",
 )
 def q13_set_ops_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cu = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k")).distinct()
-    su = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k")).distinct()
-    n_union = cu.union(su).distinct().count()
-    n_intersect = cu.intersect(su).count()
-    n_cust_only = cu.exceptAll(su).count()
-    return spark.createDataFrame(
-        [(n_union, n_intersect, n_cust_only)], "n_union long, n_intersect long, n_cust_only long"
+    cu = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("k"))
+        .distinct()
+        .withColumn("in_cu", F.lit(1))
+    )
+    su = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("k"))
+        .distinct()
+        .withColumn("in_su", F.lit(1))
+    )
+    both = cu.join(su, "k", "full_outer")
+    return both.agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.count(F.when(F.col("in_cu").isNotNull() & F.col("in_su").isNotNull(), 1)).alias(
+            "n_intersect"
+        ),
+        F.count(F.when(F.col("in_cu").isNotNull() & F.col("in_su").isNull(), 1)).alias(
+            "n_cust_only"
+        ),
     )
 
 
@@ -463,27 +496,8 @@ def q15_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q16_filter_pushdown_scan",
-    """
-    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
-      AND l_shipdate < TIMESTAMP '1996-01-01'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
-    doc="TPC-H Q6-style selective scan: predicates and 4-column projection "
-    "push down to the parquet reader (PushedFilters + ReadSchema).",
-)
-def q16_filter_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.filter(
-        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_discount").between(0.05, 0.07))
-        & (F.col("l_quantity") < 24)
-    ).select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+# NOTE: the former q16 pushdown scan merged into q09 (same predicates +
+# TakeOrderedAndProject) in round 2 — one slot, both operator checks.
 
 
 @register(
@@ -508,71 +522,39 @@ def q17_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q18_approx_distinct",
-    None,  # HLL sketches differ across engines -> rows-only check; the
-    # EXACT companion q02/q14 pin distinct-count semantics
-    doc="approx_count_distinct (HyperLogLog++) per order priority — the "
-    "sketch-based cardinality path for 100 TB where exact distinct "
-    "would shuffle every key.",
-)
-def q18_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
+# NOTE: the former q18 approx-distinct merged into q02 (as the portable
+# accuracy-claim boolean), and the former q20 uncorrelated scalar
+# subquery merged into q19 — round-2 50-slot consolidation.
 
 
 @register(
-    "q19_correlated_subquery",
+    "q19_subqueries",
     """
-    SELECT l_partkey, COUNT(*) AS n_above
+    SELECT l_partkey, COUNT(*) AS n_above,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM lineitem), 6) AS share_of_all
     FROM lineitem l1
     WHERE l_quantity > 2 * (SELECT MIN(l2.l_quantity) FROM lineitem l2
                             WHERE l2.l_partkey = l1.l_partkey)
     GROUP BY l_partkey
     """,
-    doc="Correlated scalar subquery (TPC-H Q17 shape): lineitems above "
-    "2x their part's minimum quantity. Exercises the SQL entry path — "
-    "Catalyst decorrelates the subquery into an aggregate + self-join; "
-    "MIN keeps the threshold float-exact across engines.",
+    doc="Subquery surface (merged q19+q20): a correlated scalar subquery "
+    "(TPC-H Q17 shape — lineitems above 2x their part's minimum "
+    "quantity; Catalyst decorrelates it into an aggregate + self-join) "
+    "plus an uncorrelated scalar subquery (share of the global count, "
+    "planned as a broadcast of the 1-row subquery result). MIN keeps "
+    "the threshold float-exact across engines.",
 )
-def q19_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q19_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_q19")
     return spark.sql(
         """
-        SELECT l_partkey, COUNT(*) AS n_above
+        SELECT l_partkey, COUNT(*) AS n_above,
+               ROUND(CAST(COUNT(*) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM v_lineitem_q19), 6) AS share_of_all
         FROM v_lineitem_q19 l1
         WHERE l_quantity > 2 * (SELECT MIN(l2.l_quantity) FROM v_lineitem_q19 l2
                                 WHERE l2.l_partkey = l1.l_partkey)
         GROUP BY l_partkey
-        """
-    )
-
-
-@register(
-    "q20_scalar_subquery",
-    """
-    SELECT c_mktsegment,
-           COUNT(*) AS n_customers,
-           ROUND(CAST(COUNT(*) AS DOUBLE)
-                 / (SELECT COUNT(*) FROM customer), 6) AS segment_share
-    FROM customer
-    GROUP BY c_mktsegment
-    """,
-    doc="Uncorrelated scalar subquery: per-segment customer share of the "
-    "global count — planned as a broadcast of the 1-row subquery result.",
-)
-def q20_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer_q20")
-    return spark.sql(
-        """
-        SELECT c_mktsegment,
-               COUNT(*) AS n_customers,
-               ROUND(CAST(COUNT(*) AS DOUBLE)
-                     / (SELECT COUNT(*) FROM v_customer_q20), 6) AS segment_share
-        FROM v_customer_q20
-        GROUP BY c_mktsegment
         """
     )

@@ -2,16 +2,28 @@
 
 Runs each registered query on Spark and its oracle SQL on DuckDB over the
 same parquet tables, then compares: row count, column names, and
-order-insensitive values (columns sorted by name, rows sorted by their
-stringified tuple) — mirroring CORRECTNESS_r{N}.json semantics.
+order-insensitive values — mirroring CORRECTNESS_r{N}.json semantics.
+
+The driver canonicalizes through PANDAS (Spark `toPandas()` vs DuckDB
+`.df()`), sorts rows with `DataFrame.sort_values`, and hashes stringified
+cells. Round 1 showed two failure classes that a fetchall()-based replica
+masks:
+
+* DuckDB HUGEINT (uncast integer SUM) reaches pandas as float64 → "2.0"
+  vs Spark's "2" → hash mismatch with identical values (e09);
+* list-typed cells crash `sort_values` ("unhashable type: 'list'")
+  (o07/o08/o10).
+
+So this replica goes through the same pandas path: if a query fails here
+it would fail the driver, and vice versa.
 """
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 import duckdb
+import pandas as pd
 
 from opentelemetry_iceberg_exporter_spark.sources.tables import TABLE_NAMES
 
@@ -25,24 +37,31 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _canon_cell(v) -> str:
-    if v is None:
-        return "∅"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        # repr round-trips doubles exactly; -0.0 normalized
-        return repr(v + 0.0) if v != 0 else "0.0"
-    if isinstance(v, bool):
-        return str(v)
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+def _cell(v) -> str:
+    # Null-ish cells (None / NaN / NaT) compare equal on the driver even
+    # when the two engines surface them as different dtypes (r1: o02/o04
+    # passed with Spark None vs DuckDB NaN). Everything non-null keeps its
+    # pandas str() — so int 2 vs float 2.0 still mismatches, as the driver
+    # showed for e09.
+    try:
+        if v is None or pd.isna(v):
+            return "∅"
+    except (TypeError, ValueError):  # pd.isna on list-like
+        pass
     return str(v)
 
 
-def _canon_rows(cols: list[str], rows: list[tuple]) -> list[str]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(_canon_cell(r[i]) for i in order) for r in rows)
+def _canon(pdf: pd.DataFrame) -> list[str]:
+    """Driver-shaped canonicalization: columns ordered by name, rows
+    ordered by sort_values over every column (raises on list cells, as
+    the driver does), cells stringified with plain str()."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    return [
+        "|".join(_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
 
 
 @dataclass
@@ -55,27 +74,29 @@ class CompareResult:
 
 
 def compare(name, spark_df, con, oracle: str) -> CompareResult:
-    s_cols = [c.lower() for c in spark_df.columns]
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    rel = con.sql(oracle)
-    d_cols = [c.lower() for c in rel.columns]
-    d_rows = rel.fetchall()
+    s_pdf = spark_df.toPandas()
+    s_pdf.columns = [c.lower() for c in s_pdf.columns]
+    d_pdf = con.sql(oracle).df()
+    d_pdf.columns = [c.lower() for c in d_pdf.columns]
 
-    if sorted(s_cols) != sorted(d_cols):
+    if sorted(s_pdf.columns) != sorted(d_pdf.columns):
         return CompareResult(
-            name, False, f"schema mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}",
-            len(s_rows), len(d_rows),
+            name,
+            False,
+            f"schema mismatch: spark={sorted(s_pdf.columns)} duck={sorted(d_pdf.columns)}",
+            len(s_pdf),
+            len(d_pdf),
         )
-    if len(s_rows) != len(d_rows):
+    if len(s_pdf) != len(d_pdf):
         return CompareResult(
-            name, False, f"row count: spark={len(s_rows)} duck={len(d_rows)}",
-            len(s_rows), len(d_rows),
+            name, False, f"row count: spark={len(s_pdf)} duck={len(d_pdf)}",
+            len(s_pdf), len(d_pdf),
         )
-    cs = _canon_rows(s_cols, s_rows)
-    cd = _canon_rows(d_cols, d_rows)
+    cs = _canon(s_pdf)
+    cd = _canon(d_pdf)
     if cs != cd:
         diffs = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
         return CompareResult(
-            name, False, f"value mismatch, first diffs: {diffs}", len(s_rows), len(d_rows)
+            name, False, f"value mismatch, first diffs: {diffs}", len(s_pdf), len(d_pdf)
         )
-    return CompareResult(name, True, "ok", len(s_rows), len(d_rows))
+    return CompareResult(name, True, "ok", len(s_pdf), len(d_pdf))

@@ -45,17 +45,16 @@ class TestJoinStrategies:
 
 
 class TestPushdownPruning:
-    def test_q16_filters_reach_scan(self, spark, sf_dir, specs):
-        df = specs["q16_filter_pushdown_scan"].fn(spark, sf_dir)
+    def test_q09_filters_reach_scan(self, spark, sf_dir, specs):
+        df = specs["q09_top10_filtered_lineitems"].fn(spark, sf_dir)
         pf = " ".join(pushed_filters(df))
         assert "GreaterThanOrEqual(l_shipdate" in pf
         assert "LessThan(l_shipdate" in pf
         assert "LessThan(l_quantity" in pf
 
-    def test_q16_column_pruning(self, spark, sf_dir, specs):
-        """The 16-column lineitem scan must read only the 6 referenced
-        columns."""
-        df = specs["q16_filter_pushdown_scan"].fn(spark, sf_dir)
+    def test_q09_column_pruning(self, spark, sf_dir, specs):
+        """The lineitem scan must read only the 6 referenced columns."""
+        df = specs["q09_top10_filtered_lineitems"].fn(spark, sf_dir)
         schemas = scan_read_schemas(df)
         assert len(schemas) == 1
         assert schemas[0].count(":") == 6, schemas[0]
@@ -87,8 +86,16 @@ class TestShuffleBudget:
         assert "WindowGroupLimit" in plan
 
     def test_global_topk_no_full_sort(self, spark, sf_dir, specs):
-        df = specs["q09_global_top10_lineitems"].fn(spark, sf_dir)
+        df = specs["q09_top10_filtered_lineitems"].fn(spark, sf_dir)
         assert "TakeOrderedAndProject" in physical_plan(df, "simple")
+
+    def test_q13_is_one_distributed_plan(self, spark, sf_dir, specs):
+        """q13 set-ops counts must be ONE plan (full-outer join +
+        conditional counts), not three driver-side .count() actions —
+        at scale the r1 shape was 3 jobs and a driver round-trip."""
+        df = specs["q13_set_ops_nation_keys"].fn(spark, sf_dir)
+        plan = physical_plan(df, "simple")
+        assert "Join FullOuter" in physical_plan(df, "extended") or "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
 
 
 class TestPartitionPruning:
