@@ -84,9 +84,14 @@ def _entries_to_json(entries: Column, depth: int) -> Column:
     return F.concat(F.lit("{"), F.concat_ws(",", rendered), F.lit("}"))
 
 
-def attributes_to_json(attrs: Column, depth: int = ATTR_DEPTH - 1) -> Column:
+def attributes_to_json(attrs: Column, depth: int = ATTR_DEPTH) -> Column:
     """Attribute list -> canonical JSON object string; '{}' when absent
-    (the reference emits "{}" for empty maps, traces.go:253-256)."""
+    (the reference emits "{}" for empty maps, traces.go:253-256).
+
+    depth defaults to ATTR_DEPTH — the SAME bound the parse schema uses
+    (model.anyvalue_type) — so anything from_json can represent is also
+    rendered; encoding one level shallower silently dropped depth-2
+    values (e.g. map-of-array-of-scalars) to 'null'."""
     return F.when(attrs.isNull(), F.lit("{}")).otherwise(_entries_to_json(attrs, depth))
 
 
@@ -100,7 +105,11 @@ def log_body_to_string(body: Column, depth: int = ATTR_DEPTH) -> Column:
         .when(body["boolValue"].isNotNull(), F.when(body["boolValue"], F.lit("true")).otherwise("false"))
         .when(body["intValue"].isNotNull(), body["intValue"].cast("long").cast("string"))
         .when(body["doubleValue"].isNotNull(), F.format_string("%f", body["doubleValue"]))
-        .when(body["bytesValue"].isNotNull(), body["bytesValue"])
+        # OTLP/JSON carries bytesValue base64-encoded; the reference emits
+        # the DECODED bytes as a string (logs.go:207,
+        # string(v.Bytes().AsRaw())) — so unbase64 here. The attribute-JSON
+        # branch keeps base64 (Go json.Marshal base64-encodes []byte).
+        .when(body["bytesValue"].isNotNull(), F.unbase64(body["bytesValue"]).cast("string"))
     )
     if depth > 0:
         arr = body["arrayValue"]["values"]

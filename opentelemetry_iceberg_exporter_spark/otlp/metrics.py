@@ -138,17 +138,27 @@ def _uint_list(col: Column) -> Column:
     )
 
 
-def flatten_metrics(df: DataFrame, cache: bool = True) -> dict[str, DataFrame]:
+def flatten_metrics(df: DataFrame, cache: bool = False) -> dict[str, DataFrame]:
     """resourceMetrics DF -> {signal: DataFrame} for the 5 metric tables.
 
-    The metric-level exploded DF is computed once and reused by all 5
-    branch filters; pass cache=True inside foreachBatch so the explode
-    isn't re-evaluated per branch (SURVEY §4 manual optimization).
+    The metric-level exploded DF is shared by all 5 branch filters.
+    cache=True caches it but gives the caller NO handle to unpersist —
+    a long-running caller would accumulate one InMemoryRelation per
+    invocation (unbounded CacheManager growth). Long-lived paths (the
+    streaming pipeline) should instead persist the exploded DF
+    themselves via `_explode_to_metric` + `flatten_metrics_from_metric`
+    and unpersist it when the batch is done.
     """
     metric = _explode_to_metric(df)
     if cache:
         metric = metric.cache()
+    return flatten_metrics_from_metric(metric)
 
+
+def flatten_metrics_from_metric(metric: DataFrame) -> dict[str, DataFrame]:
+    """The 5 per-type projections over an already-exploded metric-level
+    DF (one row per metric, columns resource/scope/metric). Callers that
+    persist `metric` own its unpersist."""
     m = F.col("metric")
 
     # gauge (metrics.go:476-492)

@@ -57,11 +57,13 @@ def empty_to_null(col: Column) -> Column:
 
 
 def enum_str(col: Column, names: list[str]) -> Column:
-    """int enum -> symbolic string; out-of-range -> index 0 name."""
+    """int enum -> symbolic string; out-of-range -> 'UNKNOWN' (the
+    reference's spanKindToString default branch, traces.go:315-317 —
+    names[0] 'UNSPECIFIED' is only for 0/null)."""
     mapping = F.array(*[F.lit(n) for n in names])
     idx = F.coalesce(col, F.lit(0)).cast("int")
     in_range = (idx >= 0) & (idx < len(names))
-    return F.when(in_range, F.element_at(mapping, idx + 1)).otherwise(F.lit(names[0]))
+    return F.when(in_range, F.element_at(mapping, idx + 1)).otherwise(F.lit("UNKNOWN"))
 
 
 def status_code_str(code: Column) -> Column:

@@ -79,11 +79,20 @@ def parse_partitions(df: DataFrame, root: str) -> DataFrame:
 
     Layout: {root}/{table}/data/year=YYYY[/month=MM[/day=DD[/hour=HH]]]/f.parquet
     """
-    rel = F.regexp_replace(F.col("uri"), F.lit(root.rstrip("/") + "/"), F.lit(""))
+    # Strip the root as a PLAIN prefix, not a regex (a root containing
+    # regex metacharacters — '+', '(', '[' — would break the extraction),
+    # and run the key=value parse on the ROOT-RELATIVE path only (a root
+    # path containing 'year=...'-style segments must not leak into the
+    # partition values). scanner.go:111-155 operates on the relative key.
+    prefix = root.rstrip("/") + "/"
+    rel = F.when(
+        F.col("uri").startswith(prefix),
+        F.col("uri").substr(F.lit(len(prefix) + 1), F.length("uri")),
+    ).otherwise(F.col("uri"))
     seg = F.split(rel, "/")
 
     def part(key: str) -> F.Column:
-        v = F.regexp_extract(F.col("uri"), rf"(?:^|/){key}=(\d+)(?:/|$)", 1)
+        v = F.regexp_extract(rel, rf"(?:^|/){key}=(\d+)(?:/|$)", 1)
         return F.when(v == "", F.lit(None).cast("int")).otherwise(v.cast("int"))
 
     out = df.withColumns(

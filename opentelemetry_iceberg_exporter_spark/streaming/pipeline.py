@@ -47,16 +47,39 @@ SinkFn = Callable[[DataFrame, str], None]
 
 def flatten_signal(df: DataFrame, signal_kind: str) -> dict[str, DataFrame]:
     """Parse+flatten a DataFrame of OTLP/JSON lines (column `value`) into
-    {signal: conformed DataFrame}. signal_kind in {traces, logs, metrics}."""
+    {signal: conformed DataFrame}. signal_kind in {traces, logs, metrics}.
+
+    For metrics the 5 projections share one un-cached exploded plan; use
+    flatten_signal_cached inside foreachBatch to persist the shared
+    explode for the batch's lifetime (and unpersist it afterwards)."""
+    dfs, _ = flatten_signal_cached(df, signal_kind, cache=False)
+    return dfs
+
+
+def flatten_signal_cached(
+    df: DataFrame, signal_kind: str, cache: bool = True
+) -> tuple[dict[str, DataFrame], DataFrame | None]:
+    """Like flatten_signal, but returns the persisted shared intermediate
+    (or None) so the caller can unpersist it when done — the fix for the
+    per-micro-batch CacheManager leak: an inner .cache() with no handle
+    accumulates one InMemoryRelation per batch on a long-running
+    metrics stream."""
     if signal_kind == "traces":
         flat = flatten_traces(parse_traces_json(df))
-        return {S.SIGNAL_TRACES: S.conform(flat, S.TRACES_SCHEMA)}
+        return {S.SIGNAL_TRACES: S.conform(flat, S.TRACES_SCHEMA)}, None
     if signal_kind == "logs":
         flat = flatten_logs(parse_logs_json(df))
-        return {S.SIGNAL_LOGS: S.conform(flat, S.LOGS_SCHEMA)}
+        return {S.SIGNAL_LOGS: S.conform(flat, S.LOGS_SCHEMA)}, None
     if signal_kind == "metrics":
-        dfs = flatten_metrics(parse_metrics_json(df))
-        return {sig: S.conform(d, S.SCHEMAS[sig]) for sig, d in dfs.items()}
+        from ..otlp.metrics import _explode_to_metric, flatten_metrics_from_metric
+
+        metric = _explode_to_metric(parse_metrics_json(df))
+        handle: DataFrame | None = None
+        if cache:
+            metric = metric.persist()
+            handle = metric
+        dfs = flatten_metrics_from_metric(metric)
+        return {sig: S.conform(d, S.SCHEMAS[sig]) for sig, d in dfs.items()}, handle
     raise ValueError(f"unknown signal kind {signal_kind!r}")
 
 
@@ -80,11 +103,10 @@ def make_batch_processor(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():  # F1 empty-batch short-circuit
             return
-        flattened = flatten_signal(batch_df, signal_kind)
-        multi = len(flattened) > 1
-        if multi:
-            # 5-way metric demux reads the exploded source once (§4)
-            batch_df.persist()
+        # 5-way metric demux persists the exploded source once (§4) and
+        # releases it in the finally block — the handle-less inner cache
+        # of r1 leaked one InMemoryRelation per micro-batch.
+        flattened, cached = flatten_signal_cached(batch_df, signal_kind)
         try:
             for signal, df in flattened.items():
                 try:
@@ -102,8 +124,8 @@ def make_batch_processor(
                         continue  # swallowed: collector semantics (X2)
                     raise  # transient: streaming engine retries the batch
         finally:
-            if multi:
-                batch_df.unpersist()
+            if cached is not None:
+                cached.unpersist()
 
     return process
 
@@ -149,14 +171,18 @@ def export_batch(
     """Batch-mode replay of the same pipeline (reference replay path);
     returns per-signal appended row counts."""
     raw = spark.read.text(input_path)
-    flattened = flatten_signal(raw, signal_kind)
+    flattened, cached = flatten_signal_cached(raw, signal_kind)
     sink = sink or default_sink(config)
     counts: dict[str, int] = {}
-    for signal, df in flattened.items():
-        df = df.persist()
-        n = df.count()
-        counts[signal] = n
-        if n:  # F1
-            sink(df, signal)
-        df.unpersist()
+    try:
+        for signal, df in flattened.items():
+            df = df.persist()
+            n = df.count()
+            counts[signal] = n
+            if n:  # F1
+                sink(df, signal)
+            df.unpersist()
+    finally:
+        if cached is not None:
+            cached.unpersist()
     return counts

@@ -164,6 +164,20 @@ class TestTracesFlatten:
             "0102030405060705": "CONSUMER",
         }
 
+    def test_out_of_range_span_kind_is_unknown(self, spark):
+        """spanKindToString's default branch returns 'UNKNOWN'
+        (traces.go:315-317); only 0/null map to 'UNSPECIFIED'."""
+        spans = [
+            _span(spanId="0102030405060700", kind=99),
+            _span(spanId="0102030405060701", kind=-1),
+        ]
+        rows = _flatten_traces_rows(spark, _traces_payload(spans))
+        kinds = {r["span_id"]: r["span_kind"] for r in rows}
+        assert kinds == {
+            "0102030405060700": "UNKNOWN",
+            "0102030405060701": "UNKNOWN",
+        }
+
     def test_status_codes(self, spark):
         spans = [
             _span(spanId="0102030405060700", status={"code": 0}),
@@ -243,6 +257,67 @@ class TestTracesFlatten:
         )
         r = _flatten_traces_rows(spark, _traces_payload([sp]))[0]
         assert r["span_attributes"] == '{"arr":[1,"two",true],"map":{"a":9,"z":1.5}}'
+
+    def test_depth2_attribute_value_rendered(self, spark):
+        """A value nested two levels under an attribute (map-of-array-of-
+        scalars) must render — the encoder runs at the SAME depth the
+        parse schema declares (anyvalue.py attributes_to_json); in r1 it
+        encoded one level shallower and emitted 'null' here."""
+        sp = _span(
+            attributes=[
+                _attr(
+                    "m",
+                    kvlistValue={
+                        "values": [
+                            _attr(
+                                "xs",
+                                arrayValue={
+                                    "values": [{"intValue": "1"}, {"intValue": "2"}]
+                                },
+                            )
+                        ]
+                    },
+                )
+            ]
+        )
+        r = _flatten_traces_rows(spark, _traces_payload([sp]))[0]
+        assert r["span_attributes"] == '{"m":{"xs":[1,2]}}'
+
+    def test_depth3_attribute_value_truncates_to_null(self, spark):
+        """ATTR_DEPTH=2 bound, pinned: a value THREE levels under an
+        attribute (map-of-map-of-array) is beyond the declared from_json
+        schema — the unknown-field level parses as an all-null AnyValue
+        and renders as JSON null. The reference recurses unboundedly
+        (traces.go:252-291); this is the documented divergence
+        (otlp/model.py docstring) and the defined behavior past the
+        bound: structure above the bound is kept, the over-deep value
+        itself becomes null."""
+        sp = _span(
+            attributes=[
+                _attr(
+                    "a",
+                    kvlistValue={
+                        "values": [
+                            _attr(
+                                "b",
+                                kvlistValue={
+                                    "values": [
+                                        _attr(
+                                            "c",
+                                            arrayValue={
+                                                "values": [{"intValue": "1"}]
+                                            },
+                                        )
+                                    ]
+                                },
+                            )
+                        ]
+                    },
+                )
+            ]
+        )
+        r = _flatten_traces_rows(spark, _traces_payload([sp]))[0]
+        assert r["span_attributes"] == '{"a":{"b":{"c":null}}}'
 
 
 def _log_record(**over):
@@ -326,6 +401,14 @@ class TestLogsFlatten:
         assert bodies[0] == "42"
         assert bodies[1] == "3.140000"
         assert bodies[2] == "true"
+
+    def test_bytes_body_decoded(self, spark):
+        """OTLP/JSON carries bytesValue base64-encoded; the reference
+        emits the DECODED bytes as the body string (logs.go:207,
+        string(v.Bytes().AsRaw())) — 'aGVsbG8=' must land as 'hello'."""
+        rec = _log_record(body={"bytesValue": "aGVsbG8="})
+        r = _flatten_logs_rows(spark, _logs_payload([rec]))[0]
+        assert r["body"] == "hello"
 
     def test_complex_body_json(self, spark):
         rec = _log_record(

@@ -95,6 +95,23 @@ class TestScanner:
             "otel_traces",
         ]
 
+    def test_root_with_regex_metachars_and_partition_like_segments(self, spark):
+        """The root must be stripped as a PLAIN prefix and key=value
+        extraction must run on the root-RELATIVE path: a root containing
+        regex metacharacters or its own 'year=...' segment must not
+        break table extraction or leak into partition values."""
+        from opentelemetry_iceberg_exporter_spark.recovery.scanner import (
+            parse_partitions,
+        )
+
+        root = "/wh (v2)+/year=1999/backup"
+        uri = root + "/otel_traces/data/year=2024/month=03/f.parquet"
+        df = spark.createDataFrame([(uri, 1)], "uri string, size long")
+        r = parse_partitions(df, root).collect()[0]
+        assert r["table"] == "otel_traces"
+        assert (r["year"], r["month"]) == (2024, 3)
+        assert r["partition_time"] == datetime(2024, 3, 1, 0, 0, 0)
+
 
 class TestReconciler:
     def test_orphans_and_catalog_only(self, spark, warehouse):
