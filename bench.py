@@ -53,11 +53,19 @@ def main() -> None:
     # warm the JVM + file metadata cache outside the measured section
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # cold pass (includes first-run plan compile, comparable round-over-
+    # round) then a steady pass (2nd run, plans cached) so regressions are
+    # attributable to plan changes rather than plan-compile noise.
     timings: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         specs[name].fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        specs[name].fn(spark, sf_dir).count()
+        steady[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -67,6 +75,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "value_steady": round(sum(steady.values()), 3),
+                "queries_steady": steady,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

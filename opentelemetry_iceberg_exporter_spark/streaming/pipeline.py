@@ -141,16 +141,36 @@ def start_export_stream(
     dead_letter: SinkFn | None = None,
     max_files_per_trigger: int | None = None,
     trigger_once: bool = False,
+    wire_format: str = "json",
 ):
-    """OTLP/JSON-lines file stream -> flattened signal tables.
+    """OTLP file stream -> flattened signal tables.
+
+    `wire_format`: 'json' = OTLP/JSON lines (text source); 'protobuf' =
+    serialized Export*ServiceRequest payloads, one request per file
+    (binaryFile source), decoded by otlp/protobuf.py into the same
+    flatten plan — the reference consumes both wire formats through one
+    conversion (exporter.go:101-200).
 
     `max_files_per_trigger` is the batch-size control (the reference's
     512-record batch processor, otel-config.yaml:26-29, maps to source
     admission control)."""
-    reader = spark.readStream.format("text")
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = reader.load(input_path).select(F.col("value"))
+    if wire_format == "protobuf":
+        from ..otlp.protobuf import protobuf_to_json_lines
+
+        # Streaming binaryFile sources require the schema spelled out
+        # (batch mode infers this same fixed schema).
+        reader = spark.readStream.format("binaryFile").schema(
+            "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
+        )
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        raw = reader.load(input_path).select(F.col("content").alias("value"))
+        stream = protobuf_to_json_lines(raw, signal_kind)
+    else:
+        reader = spark.readStream.format("text")
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        stream = reader.load(input_path).select(F.col("value"))
 
     writer = stream.writeStream.foreachBatch(
         make_batch_processor(signal_kind, config, sink=sink, dead_letter=dead_letter)
@@ -167,10 +187,19 @@ def export_batch(
     config: ExporterConfig,
     *,
     sink: SinkFn | None = None,
+    wire_format: str = "json",
 ) -> dict[str, int]:
     """Batch-mode replay of the same pipeline (reference replay path);
     returns per-signal appended row counts."""
-    raw = spark.read.text(input_path)
+    if wire_format == "protobuf":
+        from ..otlp.protobuf import protobuf_to_json_lines
+
+        binary = spark.read.format("binaryFile").load(input_path).select(
+            F.col("content").alias("value")
+        )
+        raw = protobuf_to_json_lines(binary, signal_kind)
+    else:
+        raw = spark.read.text(input_path)
     flattened, cached = flatten_signal_cached(raw, signal_kind)
     sink = sink or default_sink(config)
     counts: dict[str, int] = {}
