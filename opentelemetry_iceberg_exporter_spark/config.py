@@ -18,6 +18,8 @@ VALID_GRANULARITIES = ("hourly", "daily", "monthly")  # factory.go:22-25
 VALID_CATALOG_TYPES = ("rest", "none")  # config.go catalog block
 VALID_STORAGE_PROVIDERS = ("s3", "r2", "filesystem")
 VALID_VERBOSITY = ("basic", "normal", "detailed")  # logger.go:15-71
+VALID_SOURCE_KINDS = ("file", "kafka")  # SURVEY §2.1 S1 streaming primitives
+VALID_WIRE_FORMATS = ("json", "protobuf")  # exporter.go:101-200 consumes pdata
 
 
 @dataclass
@@ -76,6 +78,58 @@ class PartitionConfig:
 
 
 @dataclass
+class SourceConfig:
+    """S1 ingestion source: replayable message bus or file drop-box.
+
+    The reference sits behind the collector's queue (factory.go:90-100);
+    the Spark-native replayable equivalents are a Kafka topic or a file
+    directory, both of which replay from the checkpoint on retry (X3).
+    `max_per_trigger` is the batch-size admission control (the
+    reference's 512-record batch processor, otel-config.yaml:26-29):
+    files per trigger for the file source, offsets per trigger for Kafka.
+    """
+
+    kind: str = "file"  # file | kafka
+    path: str = ""  # file source: input directory
+    bootstrap_servers: str = ""  # kafka source
+    topic: str = ""  # kafka source
+    starting_offsets: str = "earliest"  # kafka: earliest | latest | JSON
+    wire_format: str = "json"  # json | protobuf (payload encoding)
+    max_per_trigger: int | None = None
+    # extra source options passed verbatim (kafka.* security settings,
+    # pathGlobFilter for files, ...)
+    options: dict[str, str] = field(default_factory=dict)
+
+    def validate(self) -> None:
+        if self.kind not in VALID_SOURCE_KINDS:
+            raise ValueError(f"invalid source kind {self.kind!r}")
+        if self.wire_format not in VALID_WIRE_FORMATS:
+            raise ValueError(f"invalid wire format {self.wire_format!r}")
+        if self.kind == "file" and not self.path:
+            raise ValueError("source.path required for file source")
+        if self.kind == "kafka":
+            if not self.bootstrap_servers:
+                raise ValueError("source.bootstrap_servers required for kafka")
+            if not self.topic:
+                raise ValueError("source.topic required for kafka")
+
+    def kafka_options(self) -> dict[str, str]:
+        """The option map handed to `readStream.format('kafka')` —
+        factored out so it is testable without the kafka-sql jar."""
+        opts = {
+            "kafka.bootstrap.servers": self.bootstrap_servers,
+            "subscribe": self.topic,
+            "startingOffsets": self.starting_offsets,
+            # at-least-once like the reference: data loss is an error
+            "failOnDataLoss": "true",
+        }
+        if self.max_per_trigger:
+            opts["maxOffsetsPerTrigger"] = str(self.max_per_trigger)
+        opts.update(self.options)
+        return opts
+
+
+@dataclass
 class RetryConfig:
     """X3 envelope: exporterhelper queue/retry/timeout (factory.go:48-76)."""
 
@@ -91,11 +145,15 @@ class ExporterConfig:
     catalog: CatalogConfig = field(default_factory=CatalogConfig)
     partition: PartitionConfig = field(default_factory=PartitionConfig)
     retry: RetryConfig = field(default_factory=RetryConfig)
+    source: SourceConfig = field(default_factory=SourceConfig)
     verbosity: str = "normal"
 
     def validate(self) -> None:
         self.storage.validate()
         self.catalog.validate()
         self.partition.validate()
+        if self.source.kind != "file" or self.source.path:
+            # default file source with no path is valid for batch-only use
+            self.source.validate()
         if self.verbosity not in VALID_VERBOSITY:
             raise ValueError(f"invalid verbosity {self.verbosity!r}")

@@ -3,7 +3,9 @@ from .pipeline import (
     export_batch,
     flatten_signal,
     flatten_signal_cached,
+    kafka_available,
     make_batch_processor,
+    open_source_stream,
     start_export_stream,
 )
 
@@ -11,7 +13,9 @@ __all__ = [
     "export_batch",
     "flatten_signal",
     "flatten_signal_cached",
+    "kafka_available",
     "make_batch_processor",
+    "open_source_stream",
     "start_export_stream",
     "dedup_stream",
     "windowed_counts",

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import schemas as S
-from ..config import ExporterConfig
+from ..config import ExporterConfig, SourceConfig
 from ..otlp.logs import flatten_logs, parse_logs_json
 from ..otlp.metrics import flatten_metrics, parse_metrics_json
 from ..otlp.traces import flatten_traces, parse_traces_json
@@ -130,6 +130,72 @@ def make_batch_processor(
     return process
 
 
+def kafka_available(spark: SparkSession) -> bool:
+    """True when the spark-sql-kafka connector is on the classpath.
+
+    Mirrors sinks.iceberg_sink.iceberg_available: the engine degrades to
+    the file source with a clear error instead of an opaque
+    ClassNotFound at stream start."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:  # noqa: BLE001 — any JVM lookup failure means absent
+        return False
+
+
+def open_source_stream(
+    spark: SparkSession, source: SourceConfig, signal_kind: str
+) -> DataFrame:
+    """S1: the raw streaming DataFrame of OTLP payloads (one column,
+    `value`) declared by a SourceConfig — Kafka topic or file drop-box.
+
+    The reference sits behind the collector's persistent queue
+    (factory.go:90-100); both replayable Spark sources give the same
+    at-least-once replay from the checkpoint. Payloads are OTLP/JSON
+    text or serialized protobuf Export*ServiceRequest (one request per
+    Kafka record / per file), decoded by otlp/protobuf.py into the same
+    flatten plan (exporter.go:101-200 consumes both through one path)."""
+    source.validate()
+    if source.kind == "kafka":
+        if not kafka_available(spark):
+            raise RuntimeError(
+                "kafka source requested but the spark-sql-kafka connector is "
+                "not on the classpath; submit with --packages "
+                "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark version>"
+            )
+        reader = spark.readStream.format("kafka")
+        for k, v in source.kafka_options().items():
+            reader = reader.option(k, v)
+        raw = reader.load()  # value: binary
+        if source.wire_format == "protobuf":
+            from ..otlp.protobuf import protobuf_to_json_lines
+
+            return protobuf_to_json_lines(raw.select("value"), signal_kind)
+        return raw.select(F.col("value").cast("string").alias("value"))
+    if source.wire_format == "protobuf":
+        from ..otlp.protobuf import protobuf_to_json_lines
+
+        # Streaming binaryFile sources require the schema spelled out
+        # (batch mode infers this same fixed schema).
+        reader = spark.readStream.format("binaryFile").schema(
+            "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
+        )
+        if source.max_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(source.max_per_trigger))
+        for k, v in source.options.items():
+            reader = reader.option(k, v)
+        raw = reader.load(source.path).select(F.col("content").alias("value"))
+        return protobuf_to_json_lines(raw, signal_kind)
+    reader = spark.readStream.format("text")
+    if source.max_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(source.max_per_trigger))
+    for k, v in source.options.items():
+        reader = reader.option(k, v)
+    return reader.load(source.path).select(F.col("value"))
+
+
 def start_export_stream(
     spark: SparkSession,
     input_path: str,
@@ -142,35 +208,28 @@ def start_export_stream(
     max_files_per_trigger: int | None = None,
     trigger_once: bool = False,
     wire_format: str = "json",
+    source: SourceConfig | None = None,
 ):
-    """OTLP file stream -> flattened signal tables.
+    """OTLP stream -> flattened signal tables.
 
-    `wire_format`: 'json' = OTLP/JSON lines (text source); 'protobuf' =
-    serialized Export*ServiceRequest payloads, one request per file
-    (binaryFile source), decoded by otlp/protobuf.py into the same
-    flatten plan — the reference consumes both wire formats through one
-    conversion (exporter.go:101-200).
+    By default streams OTLP files from `input_path` with the given
+    `wire_format` ('json' = JSON lines via the text source; 'protobuf' =
+    one serialized Export*ServiceRequest per file via binaryFile). Pass
+    `source=SourceConfig(kind='kafka', ...)` to consume a Kafka topic
+    instead (requires the spark-sql-kafka connector on the classpath —
+    see open_source_stream).
 
     `max_files_per_trigger` is the batch-size control (the reference's
     512-record batch processor, otel-config.yaml:26-29, maps to source
     admission control)."""
-    if wire_format == "protobuf":
-        from ..otlp.protobuf import protobuf_to_json_lines
-
-        # Streaming binaryFile sources require the schema spelled out
-        # (batch mode infers this same fixed schema).
-        reader = spark.readStream.format("binaryFile").schema(
-            "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
+    if source is None:
+        source = SourceConfig(
+            kind="file",
+            path=input_path,
+            wire_format=wire_format,
+            max_per_trigger=max_files_per_trigger,
         )
-        if max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-        raw = reader.load(input_path).select(F.col("content").alias("value"))
-        stream = protobuf_to_json_lines(raw, signal_kind)
-    else:
-        reader = spark.readStream.format("text")
-        if max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-        stream = reader.load(input_path).select(F.col("value"))
+    stream = open_source_stream(spark, source, signal_kind)
 
     writer = stream.writeStream.foreachBatch(
         make_batch_processor(signal_kind, config, sink=sink, dead_letter=dead_letter)
