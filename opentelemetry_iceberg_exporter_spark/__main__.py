@@ -4,6 +4,7 @@ binary + recovery tool.
   export-batch   replay OTLP/JSON files into the warehouse once
   export-stream  run the checkpointed streaming exporter
   recover        reconcile storage against the registered-file set
+  compact        merge small files partition-by-partition
 
 Examples:
   python -m opentelemetry_iceberg_exporter_spark export-batch \\
@@ -74,9 +75,29 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("recover", help="reconcile storage vs catalog (see recovery/cli.py)")
 
+    pc = sub.add_parser("compact", help="merge small files partition-by-partition")
+    pc.add_argument("--root", required=True, help="warehouse root to compact")
+    pc.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
+    pc.add_argument("--min-files", type=int, default=2)
+    pc.add_argument("--dry-run", action="store_true")
+
     args = parser.parse_args(argv)
 
     spark = build_session(app_name=f"otel-engine-{args.cmd}")
+
+    if args.cmd == "compact":
+        from .recovery.compactor import compact_table
+
+        results = compact_table(
+            spark,
+            args.root,
+            target_bytes=args.target_bytes,
+            min_files=args.min_files,
+            dry_run=args.dry_run,
+        )
+        print(json.dumps([r.__dict__ for r in results]))
+        return 0
+
     cfg = _config_from_args(args)
 
     if args.cmd == "export-batch":

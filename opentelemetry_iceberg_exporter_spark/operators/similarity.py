@@ -157,13 +157,28 @@ def _duck_bucket(vec: str) -> str:
 
 
 def ann_lsh(
-    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 3
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """ANN: only candidates in the query's LSH bucket get exact scoring.
 
     At 100 TB: bucket is an equi-join key, so candidate generation is a
     hash join; recall/cost tunes via N_PLANES (more planes -> smaller
-    buckets). Multi-probe (flip one bit) is the standard recall upgrade.
+    buckets).
+
+    multiprobe=True is the standard recall upgrade: each query also
+    probes every bucket at Hamming distance 1 (one hyperplane bit
+    flipped — the buckets a borderline vector most likely fell into).
+    Implementation stays an equi-join: the QUERY side explodes into
+    1 + N_PLANES probe bucket ids (queries are the small side, so the
+    explosion multiplies the broadcast table, never the corpus), the
+    per-query top-k dedups candidates seen in multiple probes. Recall
+    rises toward brute-force at ~(1+N_PLANES)x candidate cost — still
+    O(docs-per-bucket), never O(N x Q).
     """
     c = lsh_bucket(
         corpus.select(
@@ -181,6 +196,15 @@ def ann_lsh(
         ),
         "q",
     ).withColumnRenamed("bucket", "q_bucket")
+    if multiprobe:
+        probes = F.array(
+            F.col("q_bucket"),
+            *[
+                F.col("q_bucket").bitwiseXOR(F.lit(1 << i)).cast("int")
+                for i in range(N_PLANES)
+            ],
+        )
+        q = q.withColumn("q_bucket", F.explode(probes))
     pairs = c.join(
         F.broadcast(q),
         (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
