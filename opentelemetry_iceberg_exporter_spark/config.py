@@ -15,7 +15,9 @@ from dataclasses import dataclass, field
 
 VALID_COMPRESSIONS = ("none", "snappy", "gzip", "zstd")  # fileio.go:194-201
 VALID_GRANULARITIES = ("hourly", "daily", "monthly")  # factory.go:22-25
-VALID_CATALOG_TYPES = ("rest", "none")  # config.go catalog block
+# config.go catalog block; "fs" = pure-Python filesystem catalog
+# (sinks/iceberg_fs.py) — executes the Iceberg commit protocol without jars
+VALID_CATALOG_TYPES = ("rest", "none", "fs")
 VALID_STORAGE_PROVIDERS = ("s3", "r2", "filesystem")
 VALID_VERBOSITY = ("basic", "normal", "detailed")  # logger.go:15-71
 VALID_SOURCE_KINDS = ("file", "kafka")  # SURVEY §2.1 S1 streaming primitives
@@ -65,6 +67,8 @@ class CatalogConfig:
             raise ValueError(f"invalid catalog type {self.catalog_type!r}")
         if self.catalog_type == "rest" and not self.uri:
             raise ValueError("catalog.uri required for rest catalog")
+        if self.catalog_type == "fs" and not self.warehouse:
+            raise ValueError("catalog.warehouse required for fs catalog")
 
 
 @dataclass

@@ -1,0 +1,725 @@
+"""Pure-Python Iceberg v2 filesystem catalog — executes C1/C2/K3/K4/R4.
+
+The container has no Iceberg Spark runtime, so `sinks/iceberg_sink.py`
+can only be exercised at the SQL-generation level here. This module
+closes that gap: it implements the Iceberg **table format v2 metadata
+layer** itself (table-metadata JSON, Avro manifests, Avro manifest
+lists, hadoop-catalog `version-hint.text` commit protocol) so the
+catalog semantics the reference is built around run END TO END in this
+container:
+
+* EnsureNamespace / EnsureTable  (catalog_rest.go:129-165, :168-240)
+* atomic snapshot append with snapshot properties (writer.go:256-297,
+  catalog_rest.go:243-303)
+* add_files: register existing Hive-layout Parquet without copying
+  (catalog_rest.go:306-367)
+* hidden time partitioning via hours/days/months transforms
+  (catalog_rest.go:494-542), used for manifest-level partition pruning
+* snapshot isolation + time travel (read any committed snapshot)
+
+Division of labor matches both Iceberg and the reference: EXECUTORS
+write the Parquet data files (Spark job), the DRIVER commits pure
+metadata (a few KB per snapshot). Commit cost is O(new files), never
+O(table), so the protocol is identical at 100 TB — that is the entire
+point of Iceberg's metadata tree.
+
+When `iceberg-spark-runtime` IS on the classpath, prefer the SQL/
+DataFrameWriterV2 path in `iceberg_sink.py`; this module is the
+jar-less fallback and the executable verification of the commit
+semantics. The byte format follows the public Iceberg spec
+(format-version 2); with no second Iceberg reader in the container,
+conformance is verified by round-trip plus structural golden tests.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DataType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    ShortType,
+    StringType,
+    StructType,
+    TimestampType,
+)
+
+from .avro_ocf import read_ocf, write_ocf
+
+# manifest-entry status (spec: 0=existing, 1=added, 2=deleted)
+STATUS_ADDED = 1
+STATUS_DELETED = 2
+
+_TRANSFORM_FOR_GRANULARITY = {"hourly": "hours", "daily": "days", "monthly": "months"}
+_SECONDS_PER = {"hours": 3600, "days": 86400}
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed the same version first (CAS failure)."""
+
+
+# --------------------------------------------------------------------------
+# Spark schema -> Iceberg schema JSON (with field IDs)
+# --------------------------------------------------------------------------
+
+
+def _iceberg_type(dt: DataType, next_id: list[int]) -> Any:
+    if isinstance(dt, LongType):
+        return "long"
+    if isinstance(dt, (IntegerType, ShortType)):
+        return "int"
+    if isinstance(dt, StringType):
+        return "string"
+    if isinstance(dt, DoubleType):
+        return "double"
+    if isinstance(dt, FloatType):
+        return "float"
+    if isinstance(dt, BooleanType):
+        return "boolean"
+    if isinstance(dt, BinaryType):
+        return "binary"
+    if isinstance(dt, TimestampType):
+        return "timestamptz"
+    if isinstance(dt, DateType):
+        return "date"
+    if isinstance(dt, DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, ArrayType):
+        eid = next_id[0]
+        next_id[0] += 1
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _iceberg_type(dt.elementType, next_id),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, MapType):
+        kid, vid = next_id[0], next_id[0] + 1
+        next_id[0] += 2
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _iceberg_type(dt.keyType, next_id),
+            "value-id": vid,
+            "value": _iceberg_type(dt.valueType, next_id),
+            "value-required": not dt.valueContainsNull,
+        }
+    if isinstance(dt, StructType):
+        fields = []
+        for f_ in dt.fields:
+            fid = next_id[0]
+            next_id[0] += 1
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f_.name,
+                    "required": not f_.nullable,
+                    "type": _iceberg_type(f_.dataType, next_id),
+                }
+            )
+        return {"type": "struct", "fields": fields}
+    raise ValueError(f"no Iceberg mapping for Spark type {dt!r}")
+
+
+def iceberg_schema(spark_schema: StructType, schema_id: int = 0) -> dict:
+    """Assign field IDs depth-first (top-level fields first, like the
+    Spark-Iceberg converter) and emit Iceberg schema JSON."""
+    next_id = [1 + len(spark_schema.fields)]  # nested ids start after top-level
+    fields = []
+    for i, f_ in enumerate(spark_schema.fields, start=1):
+        fields.append(
+            {
+                "id": i,
+                "name": f_.name,
+                "required": not f_.nullable,
+                "type": _iceberg_type(f_.dataType, next_id),
+            }
+        )
+    return {
+        "type": "struct",
+        "schema-id": schema_id,
+        "fields": fields,
+        "_last_column_id": next_id[0] - 1,  # stripped before serialization
+    }
+
+
+# --------------------------------------------------------------------------
+# data files and partition transforms
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DataFile:
+    """One Parquet data file as recorded in a manifest."""
+
+    file_path: str
+    file_size_in_bytes: int
+    record_count: int
+    # transform-value per partition field name (e.g. hours since epoch)
+    partition: dict[str, int] = field(default_factory=dict)
+
+
+def transform_value(ts: datetime, transform: str) -> int:
+    """Partition transform applied driver-side (add_files path)."""
+    ts = ts.astimezone(timezone.utc) if ts.tzinfo else ts.replace(tzinfo=timezone.utc)
+    epoch = int(ts.timestamp())
+    if transform in _SECONDS_PER:
+        return epoch // _SECONDS_PER[transform]
+    if transform == "months":
+        return (ts.year - 1970) * 12 + (ts.month - 1)
+    raise ValueError(f"unsupported transform {transform!r}")
+
+
+def transform_column(col: str, transform: str):
+    """The same transform as a Catalyst expression (append path) —
+    executors derive the partition value, the driver never sees rows."""
+    if transform in _SECONDS_PER:
+        return F.expr(f"CAST(`{col}` AS LONG) div {_SECONDS_PER[transform]}")
+    if transform == "months":
+        return (F.year(col) - F.lit(1970)) * 12 + F.month(col) - F.lit(1)
+    raise ValueError(f"unsupported transform {transform!r}")
+
+
+# --------------------------------------------------------------------------
+# Avro schemas for manifests / manifest lists (Iceberg spec, v2 subset:
+# required fields + field-ids; optional column-stats fields omitted)
+# --------------------------------------------------------------------------
+
+
+def manifest_avro_schema(partition_fields: list[dict]) -> dict:
+    partition_record = {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": pf["name"],
+                "type": ["null", "int"],
+                "default": None,
+                "field-id": pf["field-id"],
+            }
+            for pf in partition_fields
+        ],
+    }
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": partition_record, "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 4,
+            },
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+# --------------------------------------------------------------------------
+# catalog + table
+# --------------------------------------------------------------------------
+
+
+class FsCatalog:
+    """Hadoop-style filesystem catalog: a namespace is a directory, a
+    table is a directory with `metadata/version-hint.text` naming the
+    current metadata version (the commit pointer)."""
+
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse.rstrip("/")
+
+    # C1 ------------------------------------------------------------------
+    def create_namespace(self, namespace: str) -> str:
+        path = os.path.join(self.warehouse, namespace)
+        os.makedirs(path, exist_ok=True)
+        return path
+
+    def namespace_exists(self, namespace: str) -> bool:
+        return os.path.isdir(os.path.join(self.warehouse, namespace))
+
+    # C2 ------------------------------------------------------------------
+    def table_location(self, namespace: str, name: str) -> str:
+        return os.path.join(self.warehouse, namespace, name)
+
+    def table_exists(self, namespace: str, name: str) -> bool:
+        return os.path.isfile(
+            os.path.join(self.table_location(namespace, name), "metadata", "version-hint.text")
+        )
+
+    def create_table(
+        self,
+        namespace: str,
+        name: str,
+        spark_schema: StructType,
+        partition_source: str | None = None,
+        granularity: str = "hourly",
+        properties: dict[str, str] | None = None,
+    ) -> "FsTable":
+        """Create-if-absent, load-else-create (catalog_rest.go:168-240)."""
+        if self.table_exists(namespace, name):
+            return self.load_table(namespace, name)
+        self.create_namespace(namespace)
+        location = self.table_location(namespace, name)
+        os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
+
+        schema = iceberg_schema(spark_schema)
+        last_column_id = schema.pop("_last_column_id")
+        spec_fields: list[dict] = []
+        if partition_source is not None:
+            transform = _TRANSFORM_FOR_GRANULARITY[granularity]
+            source_id = next(
+                f_["id"] for f_ in schema["fields"] if f_["name"] == partition_source
+            )
+            spec_fields.append(
+                {
+                    "name": f"{partition_source}_{transform.rstrip('s')}",
+                    "transform": transform,
+                    "source-id": source_id,
+                    "field-id": 1000,
+                }
+            )
+        metadata = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": location,
+            "last-sequence-number": 0,
+            "last-updated-ms": int(time.time() * 1000),
+            "last-column-id": last_column_id,
+            "schemas": [schema],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "default-spec-id": 0,
+            "last-partition-id": 999 + len(spec_fields),
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 0,
+            "properties": dict(properties or {}),
+            "current-snapshot-id": -1,
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+            "refs": {},
+        }
+        _write_metadata_version(location, 1, metadata)
+        _swap_version_hint(location, 1)
+        return FsTable(location)
+
+    def load_table(self, namespace: str, name: str) -> "FsTable":
+        location = self.table_location(namespace, name)
+        if not self.table_exists(namespace, name):
+            raise FileNotFoundError(f"no such table {namespace}.{name} under {self.warehouse}")
+        return FsTable(location)
+
+
+def _metadata_path(location: str, version: int) -> str:
+    return os.path.join(location, "metadata", f"v{version}.metadata.json")
+
+
+def _write_metadata_version(location: str, version: int, metadata: dict) -> None:
+    """open(x) is the CAS: two writers racing to the same version — one
+    wins, the loser gets CommitConflictError and must retry on the new
+    base (same optimistic protocol as the REST catalog commit)."""
+    path = _metadata_path(location, version)
+    try:
+        with open(path, "x", encoding="utf-8") as f:
+            json.dump(metadata, f, indent=2)
+    except FileExistsError as exc:
+        raise CommitConflictError(f"metadata version {version} already committed") from exc
+
+
+def _swap_version_hint(location: str, version: int) -> None:
+    hint = os.path.join(location, "metadata", "version-hint.text")
+    tmp = f"{hint}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(str(version))
+    os.replace(tmp, hint)  # atomic on POSIX: readers see old or new, never torn
+
+
+class FsTable:
+    def __init__(self, location: str):
+        self.location = location
+
+    # -- metadata access ---------------------------------------------------
+    def current_version(self) -> int:
+        with open(os.path.join(self.location, "metadata", "version-hint.text")) as f:
+            return int(f.read().strip())
+
+    def metadata(self) -> dict:
+        with open(_metadata_path(self.location, self.current_version())) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        return self.metadata()["snapshots"]
+
+    def current_snapshot(self) -> dict | None:
+        md = self.metadata()
+        sid = md["current-snapshot-id"]
+        if sid == -1:
+            return None
+        return next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+
+    def partition_spec(self) -> list[dict]:
+        md = self.metadata()
+        return next(
+            s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"]
+        )["fields"]
+
+    def properties(self) -> dict[str, str]:
+        return self.metadata()["properties"]
+
+    # -- commit protocol (K3 core) ----------------------------------------
+    def append_files(
+        self, files: list[DataFile], snapshot_properties: dict[str, str] | None = None
+    ) -> int:
+        """Atomic append: one new manifest + carried-forward prior
+        manifests -> new manifest list -> new metadata version -> hint
+        swap. Returns the new snapshot id. Driver-side cost is O(len(
+        files)) regardless of table size."""
+        md = self.metadata()
+        base_version = self.current_version()
+        seq = md["last-sequence-number"] + 1
+        snapshot_id = int.from_bytes(os.urandom(8), "big") >> 1
+        parent = md["current-snapshot-id"]
+        now_ms = int(time.time() * 1000)
+        meta_dir = os.path.join(self.location, "metadata")
+        spec_fields = self.partition_spec()
+
+        entry_schema = manifest_avro_schema(spec_fields)
+        manifest_path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+        entries = [
+            {
+                "status": STATUS_ADDED,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f.file_path,
+                    "file_format": "PARQUET",
+                    "partition": {pf["name"]: f.partition.get(pf["name"]) for pf in spec_fields},
+                    "record_count": f.record_count,
+                    "file_size_in_bytes": f.file_size_in_bytes,
+                },
+            }
+            for f in files
+        ]
+        manifest_len = write_ocf(
+            manifest_path,
+            entry_schema,
+            entries,
+            extra_metadata={
+                "schema": json.dumps(md["schemas"][md["current-schema-id"]]),
+                "partition-spec": json.dumps(spec_fields),
+                "partition-spec-id": str(md["default-spec-id"]),
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+
+        new_manifest = {
+            "manifest_path": manifest_path,
+            "manifest_length": manifest_len,
+            "partition_spec_id": md["default-spec-id"],
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(files),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": sum(f.record_count for f in files),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+        prior_manifests: list[dict] = []
+        cur = self.current_snapshot()
+        if cur is not None:
+            _, _, prior_manifests = read_ocf(cur["manifest-list"])
+
+        list_path = os.path.join(
+            meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+        )
+        write_ocf(
+            list_path,
+            MANIFEST_LIST_SCHEMA,
+            [new_manifest] + prior_manifests,
+            extra_metadata={
+                "snapshot-id": str(snapshot_id),
+                "parent-snapshot-id": str(parent),
+                "sequence-number": str(seq),
+                "format-version": "2",
+            },
+        )
+
+        summary = {
+            "operation": "append",
+            "added-data-files": str(len(files)),
+            "added-records": str(sum(f.record_count for f in files)),
+        }
+        summary.update(snapshot_properties or {})
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "parent-snapshot-id": parent if parent != -1 else None,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": list_path,
+            "summary": summary,
+            "schema-id": md["current-schema-id"],
+        }
+        new_md = dict(md)
+        new_md["last-sequence-number"] = seq
+        new_md["last-updated-ms"] = now_ms
+        new_md["snapshots"] = md["snapshots"] + [snapshot]
+        new_md["current-snapshot-id"] = snapshot_id
+        new_md["refs"] = {"main": {"snapshot-id": snapshot_id, "type": "branch"}}
+        new_md["snapshot-log"] = md["snapshot-log"] + [
+            {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+        ]
+        new_md["metadata-log"] = md["metadata-log"] + [
+            {"timestamp-ms": md["last-updated-ms"], "metadata-file": _metadata_path(self.location, base_version)}
+        ]
+        _write_metadata_version(self.location, base_version + 1, new_md)
+        _swap_version_hint(self.location, base_version + 1)
+        return snapshot_id
+
+    # -- data-plane append (executors write, driver commits) --------------
+    def append_dataframe(
+        self,
+        df: DataFrame,
+        snapshot_properties: dict[str, str] | None = None,
+    ) -> int:
+        """K3 end to end: a Spark job writes Parquet under data/<uuid>/
+        (partitioned by the hidden-transform value so each hour/day lands
+        in its own directory with few large files), then the driver
+        commits the file list. The partition column is dropped from file
+        contents by partitionBy — hidden partitioning, like Iceberg."""
+        spec = self.partition_spec()
+        batch_dir = os.path.join(self.location, "data", uuid.uuid4().hex)
+        if spec:
+            pf = spec[0]
+            source = _field_name_by_id(self.metadata(), pf["source-id"])
+            pcol = pf["name"]
+            (
+                df.withColumn(pcol, transform_column(source, pf["transform"]))
+                .repartition(F.col(pcol))  # few large files per partition
+                .write.partitionBy(pcol)
+                .parquet(batch_dir)
+            )
+        else:
+            df.write.parquet(batch_dir)
+        files = _scan_written_files(batch_dir, [pf["name"]] if spec else [])
+        return self.append_files(files, snapshot_properties)
+
+    # -- K4: register existing Hive-layout files without copying ----------
+    def add_files_hive(
+        self,
+        source_dir: str,
+        timezone_name: str = "UTC",
+        snapshot_properties: dict[str, str] | None = None,
+    ) -> int:
+        """Register the raw-Parquet sink's `year=/month=[/day=[/hour=]]`
+        output (sinks/parquet_sink.py layout) as table data files,
+        mapping Hive values to the table's transform values. No data is
+        moved or rewritten (catalog_rest.go:306-367)."""
+        spec = self.partition_spec()
+        files: list[DataFile] = []
+        for path in sorted(
+            glob.glob(os.path.join(source_dir, "**", "*.parquet"), recursive=True)
+        ):
+            partition: dict[str, int] = {}
+            if spec:
+                pf = spec[0]
+                parts = _hive_values(os.path.relpath(path, source_dir))
+                ts = datetime(
+                    int(parts.get("year", 1970)),
+                    int(parts.get("month", 1)),
+                    int(parts.get("day", 1)),
+                    int(parts.get("hour", 0)),
+                    tzinfo=timezone.utc,
+                )
+                partition[pf["name"]] = transform_value(ts, pf["transform"])
+            files.append(
+                DataFile(
+                    file_path=os.path.abspath(path),
+                    file_size_in_bytes=os.path.getsize(path),
+                    record_count=_parquet_row_count(path),
+                    partition=partition,
+                )
+            )
+        props = {"operation-detail": "add_files", **(snapshot_properties or {})}
+        return self.append_files(files, props)
+
+    # -- scan planning + read (with manifest-level pruning) ---------------
+    def plan_files(
+        self,
+        snapshot_id: int | None = None,
+        partition_range: tuple[int, int] | None = None,
+    ) -> tuple[list[DataFile], int]:
+        """Resolve live data files for a snapshot; optionally prune by
+        transform-value range (the scan never opens pruned files —
+        manifest stats make the skip O(metadata)). Returns (files,
+        n_pruned)."""
+        md = self.metadata()
+        sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
+        if sid == -1:
+            return [], 0
+        snapshot = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+        spec_names = [pf["name"] for pf in self.partition_spec()]
+        files: list[DataFile] = []
+        pruned = 0
+        _, _, manifests = read_ocf(snapshot["manifest-list"])
+        for m in manifests:
+            _, _, entries = read_ocf(m["manifest_path"])
+            for e in entries:
+                if e["status"] == STATUS_DELETED:
+                    continue
+                df_ = e["data_file"]
+                part = {k: v for k, v in df_["partition"].items() if v is not None}
+                if partition_range and spec_names:
+                    value = part.get(spec_names[0])
+                    lo, hi = partition_range
+                    if value is not None and not lo <= value <= hi:
+                        pruned += 1
+                        continue
+                files.append(
+                    DataFile(
+                        file_path=df_["file_path"],
+                        file_size_in_bytes=df_["file_size_in_bytes"],
+                        record_count=df_["record_count"],
+                        partition=part,
+                    )
+                )
+        return files, pruned
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        partition_range: tuple[int, int] | None = None,
+    ) -> DataFrame:
+        """Time-travel-capable scan: metadata resolves the file list, the
+        Spark scan reads exactly those Parquet files."""
+        files, _ = self.plan_files(snapshot_id, partition_range)
+        if not files:
+            schema = _spark_schema_placeholder(self.metadata())
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*[f.file_path for f in files])
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def _field_name_by_id(md: dict, field_id: int) -> str:
+    schema = md["schemas"][md["current-schema-id"]]
+    return next(f_["name"] for f_ in schema["fields"] if f_["id"] == field_id)
+
+
+def _hive_values(rel_path: str) -> dict[str, str]:
+    values: dict[str, str] = {}
+    for segment in rel_path.split(os.sep)[:-1]:
+        if "=" in segment:
+            k, _, v = segment.partition("=")
+            values[k] = v
+    return values
+
+
+def _parquet_row_count(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def _scan_written_files(batch_dir: str, partition_names: list[str]) -> list[DataFile]:
+    files: list[DataFile] = []
+    for path in sorted(glob.glob(os.path.join(batch_dir, "**", "*.parquet"), recursive=True)):
+        hive = _hive_values(os.path.relpath(path, batch_dir))
+        partition = {name: int(hive[name]) for name in partition_names if name in hive}
+        files.append(
+            DataFile(
+                file_path=os.path.abspath(path),
+                file_size_in_bytes=os.path.getsize(path),
+                record_count=_parquet_row_count(path),
+                partition=partition,
+            )
+        )
+    return files
+
+
+_SPARK_TYPE_FOR = {
+    "long": "bigint",
+    "int": "int",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "binary": "binary",
+    "timestamptz": "timestamp",
+    "date": "date",
+}
+
+
+def _spark_schema_placeholder(md: dict):
+    """DDL schema for empty-table reads (top-level primitive columns;
+    nested columns surface as strings — placeholder only)."""
+    schema = md["schemas"][md["current-schema-id"]]
+    cols = []
+    for f_ in schema["fields"]:
+        t = f_["type"]
+        ddl = _SPARK_TYPE_FOR.get(t, "string") if isinstance(t, str) else "string"
+        cols.append(f"`{f_['name']}` {ddl}")
+    return ", ".join(cols)

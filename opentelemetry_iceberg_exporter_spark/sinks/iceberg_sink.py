@@ -161,3 +161,85 @@ class IcebergSink:
         stmt = add_files_sql(self.catalog, self.config.catalog.namespace, table, source_path)
         self.spark.sql(stmt)
         return stmt
+
+
+class FsIcebergSink:
+    """Same surface as IcebergSink against the pure-Python filesystem
+    catalog (sinks/iceberg_fs.py) — the jar-less executable path for
+    C1/C2/K3/K4. Same table properties, same snapshot properties
+    (writer.go:256-297), same per-process ensure cache."""
+
+    def __init__(self, spark: SparkSession, config: ExporterConfig):
+        from .iceberg_fs import FsCatalog
+
+        self.spark = spark
+        self.config = config
+        self.catalog = FsCatalog(config.catalog.warehouse)
+        self._ensured: set[str] = set()
+
+    def _table_props(self, signal: str) -> dict[str, str]:
+        props = dict(TABLE_PROPERTIES)
+        props[f"iceberg_exporter.{signal}_schema_version"] = S.SCHEMA_VERSION
+        props["write.parquet.compression-codec"] = self.config.storage.compression
+        return props
+
+    def _table_name(self, signal: str) -> str:
+        return S.table_name(
+            signal,
+            prefix=self.config.catalog.table_prefix,
+            overrides=self.config.catalog.table_overrides,
+        )
+
+    def ensure_all_tables(self) -> list[str]:
+        """C1 + C2 x7: namespace dir + create-if-absent with the hidden
+        time-partition spec. Returns created/ensured table names."""
+        ns = self.config.catalog.namespace
+        self.catalog.create_namespace(ns)
+        ensured = []
+        for signal in S.ALL_SIGNALS:
+            table = self._table_name(signal)
+            if table not in self._ensured:
+                self.catalog.create_table(
+                    ns,
+                    table,
+                    S.SCHEMAS[signal],
+                    partition_source=S.partition_column(signal),
+                    granularity=self.config.partition.granularity,
+                    properties=self._table_props(signal),
+                )
+                self._ensured.add(table)
+            ensured.append(table)
+        return ensured
+
+    def _load(self, signal: str):
+        ns = self.config.catalog.namespace
+        table = self._table_name(signal)
+        if table not in self._ensured:
+            self.catalog.create_table(
+                ns,
+                table,
+                S.SCHEMAS[signal],
+                partition_source=S.partition_column(signal),
+                granularity=self.config.partition.granularity,
+                properties=self._table_props(signal),
+            )
+            self._ensured.add(table)
+        return self.catalog.load_table(ns, table)
+
+    def append(self, df: DataFrame, signal: str, record_count: int | None = None) -> int:
+        """K3: executors write Parquet, driver commits one snapshot with
+        the reference's snapshot properties. Returns the snapshot id."""
+        props = {"otel.exporter": "opentelemetry-iceberg-exporter-spark"}
+        if record_count is not None:
+            props["otel.record_count"] = str(record_count)
+        table = self._load(signal)
+        return table.append_dataframe(S.conform(df, S.SCHEMAS[signal]), props)
+
+    def add_files(self, signal: str, source_path: str) -> int:
+        """K4: register raw-sink Hive files without copying."""
+        return self._load(signal).add_files_hive(
+            source_path, timezone_name=self.config.partition.timezone
+        )
+
+    def read(self, signal: str, snapshot_id: int | None = None) -> DataFrame:
+        return self._load(signal).read(self.spark, snapshot_id)

@@ -84,6 +84,21 @@ def flatten_signal_cached(
 
 
 def default_sink(config: ExporterConfig) -> SinkFn:
+    """K1 dispatch: catalog_type routes each conformed batch to the
+    raw-Parquet Hive sink (none), the jar-backed Iceberg catalog (rest),
+    or the pure-Python filesystem Iceberg catalog (fs)."""
+    if config.catalog.catalog_type == "fs":
+        from ..sinks.iceberg_sink import FsIcebergSink
+
+        holder: dict[str, FsIcebergSink] = {}
+
+        def fs_sink(df: DataFrame, signal: str) -> None:
+            if "sink" not in holder:
+                holder["sink"] = FsIcebergSink(df.sparkSession, config)
+            holder["sink"].append(df, signal)
+
+        return fs_sink
+
     def sink(df: DataFrame, signal: str) -> None:
         write_raw_parquet(df, signal, config)
 

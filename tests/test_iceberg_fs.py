@@ -1,0 +1,295 @@
+"""Executable Iceberg catalog semantics (pure-Python filesystem catalog).
+
+The container has no Iceberg jars, so C1/C2/K3/K4 were previously tested
+only at SQL-generation level. These tests run the actual commit protocol
+end to end via sinks/iceberg_fs.py: create-if-absent DDL, atomic
+snapshot append with the reference's snapshot properties
+(writer.go:256-297), add_files over the raw sink's Hive layout
+(catalog_rest.go:306-367), snapshot isolation / time travel, and
+manifest-level partition pruning.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from opentelemetry_iceberg_exporter_spark import schemas as S
+from opentelemetry_iceberg_exporter_spark.config import (
+    CatalogConfig,
+    ExporterConfig,
+    PartitionConfig,
+    StorageConfig,
+)
+from opentelemetry_iceberg_exporter_spark.sinks.avro_ocf import (
+    MAGIC,
+    read_ocf,
+    write_ocf,
+)
+from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+    CommitConflictError,
+    FsCatalog,
+    iceberg_schema,
+    transform_value,
+)
+from opentelemetry_iceberg_exporter_spark.sinks.iceberg_sink import FsIcebergSink
+from opentelemetry_iceberg_exporter_spark.streaming import export_batch
+
+from test_otlp_flatten import _span, _traces_payload
+from test_sinks_pipeline import _write_jsonl
+from datetime import datetime, timezone
+
+
+# --------------------------------------------------------------------------
+# Avro object container files
+# --------------------------------------------------------------------------
+
+AVRO_SCHEMA = {
+    "type": "record",
+    "name": "t",
+    "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "n", "type": "long"},
+        {"name": "opt", "type": ["null", "long"], "default": None},
+        {"name": "arr", "type": {"type": "array", "items": "int"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+        {"name": "flag", "type": "boolean"},
+        {"name": "d", "type": "double"},
+    ],
+}
+
+AVRO_ROWS = [
+    {"s": "héllo", "n": -(2**40), "opt": None, "arr": [1, -2, 3], "m": {"a": "x"}, "flag": True, "d": 1.5},
+    {"s": "", "n": 0, "opt": 7, "arr": [], "m": {}, "flag": False, "d": -0.25},
+]
+
+
+class TestAvroOcf:
+    def test_roundtrip(self, tmp_path):
+        path = str(tmp_path / "t.avro")
+        length = write_ocf(path, AVRO_SCHEMA, AVRO_ROWS, {"k": "v"})
+        assert length == os.path.getsize(path)
+        schema, meta, rows = read_ocf(path)
+        assert rows == AVRO_ROWS
+        assert schema["name"] == "t"
+        assert meta["k"] == "v"
+
+    def test_container_structure(self, tmp_path):
+        """Golden structural bytes: magic, then the metadata map must be
+        parseable and carry the embedded schema + null codec."""
+        path = str(tmp_path / "t.avro")
+        write_ocf(path, AVRO_SCHEMA, AVRO_ROWS)
+        raw = open(path, "rb").read()
+        assert raw[:4] == MAGIC
+        _, meta, _ = read_ocf(path)
+        assert meta["avro.codec"] == "null"
+        assert json.loads(meta["avro.schema"]) == AVRO_SCHEMA
+
+    def test_empty_file(self, tmp_path):
+        path = str(tmp_path / "e.avro")
+        write_ocf(path, AVRO_SCHEMA, [])
+        _, _, rows = read_ocf(path)
+        assert rows == []
+
+
+# --------------------------------------------------------------------------
+# catalog DDL (C1/C2) + metadata shape (R4)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def events_df(spark):
+    """100 rows spread over 4 distinct hours, with a proper timestamp."""
+    return (
+        spark.range(100)
+        .select(
+            F.col("id").alias("event_id"),
+            F.to_timestamp(
+                F.lit("2024-03-01 00:30:00").cast("timestamp")
+                + F.make_interval(hours=(F.col("id") % 4).cast("int"))
+            ).alias("ts"),
+            (F.col("id") * 2).alias("value"),
+        )
+    )
+
+
+class TestCatalog:
+    def test_create_and_reload(self, tmp_path, events_df):
+        cat = FsCatalog(str(tmp_path))
+        t = cat.create_table("ns", "ev", events_df.schema, "ts", "hourly")
+        md = t.metadata()
+        assert md["format-version"] == 2
+        assert md["current-snapshot-id"] == -1
+        spec = t.partition_spec()
+        assert spec == [
+            {"name": "ts_hour", "transform": "hours", "source-id": 2, "field-id": 1000}
+        ]
+        # create-if-absent: second create loads, does not reset
+        again = cat.create_table("ns", "ev", events_df.schema, "ts", "hourly")
+        assert again.metadata()["table-uuid"] == md["table-uuid"]
+
+    def test_schema_field_ids(self, spark):
+        df = spark.createDataFrame([], "a bigint, b array<string>, c string")
+        schema = iceberg_schema(df.schema)
+        ids = [f["id"] for f in schema["fields"]]
+        assert ids == [1, 2, 3]  # top-level first
+        assert schema["fields"][1]["type"]["element-id"] == 4  # nested after
+
+    def test_transform_values(self):
+        ts = datetime(2024, 3, 1, 5, tzinfo=timezone.utc)
+        assert transform_value(ts, "hours") == int(ts.timestamp()) // 3600
+        assert transform_value(ts, "days") == int(ts.timestamp()) // 86400
+        assert transform_value(ts, "months") == (2024 - 1970) * 12 + 2
+
+
+# --------------------------------------------------------------------------
+# append + snapshot isolation + time travel (K3)
+# --------------------------------------------------------------------------
+
+
+class TestAppend:
+    def test_roundtrip(self, spark, tmp_path, events_df):
+        cat = FsCatalog(str(tmp_path))
+        t = cat.create_table("ns", "ev", events_df.schema, "ts", "hourly")
+        sid = t.append_dataframe(events_df, {"otel.record_count": "100"})
+
+        got = t.read(spark)
+        assert got.count() == 100
+        assert sorted(got.columns) == ["event_id", "ts", "value"]  # hidden partition col
+        assert (
+            got.agg(F.sum("value")).first()[0]
+            == events_df.agg(F.sum("value")).first()[0]
+        )
+        snap = t.current_snapshot()
+        assert snap["snapshot-id"] == sid
+        assert snap["summary"]["otel.record_count"] == "100"
+        assert snap["summary"]["operation"] == "append"
+
+    def test_time_travel(self, spark, tmp_path, events_df):
+        cat = FsCatalog(str(tmp_path))
+        t = cat.create_table("ns", "ev", events_df.schema, "ts", "hourly")
+        first = t.append_dataframe(events_df.filter("event_id < 40"))
+        second = t.append_dataframe(events_df.filter("event_id >= 40"))
+
+        assert [s["snapshot-id"] for s in t.snapshots()] == [first, second]
+        assert t.read(spark).count() == 100
+        assert t.read(spark, snapshot_id=first).count() == 40
+        # sequence numbers are monotonic; parent chain links the snapshots
+        snaps = t.snapshots()
+        assert snaps[1]["parent-snapshot-id"] == first
+        assert snaps[1]["sequence-number"] == snaps[0]["sequence-number"] + 1
+
+    def test_partition_pruning(self, spark, tmp_path, events_df):
+        """Files outside the requested hour range are skipped at the
+        MANIFEST level — the scan plan never lists them."""
+        cat = FsCatalog(str(tmp_path))
+        t = cat.create_table("ns", "ev", events_df.schema, "ts", "hourly")
+        t.append_dataframe(events_df)
+        base_hour = int(
+            datetime(2024, 3, 1, 0, tzinfo=timezone.utc).timestamp()
+        ) // 3600
+
+        all_files, _ = t.plan_files()
+        kept, pruned = t.plan_files(partition_range=(base_hour, base_hour + 1))
+        assert pruned > 0
+        assert len(kept) + pruned == len(all_files)
+        got = t.read(spark, partition_range=(base_hour, base_hour + 1))
+        expect = events_df.filter(
+            F.expr(f"CAST(ts AS LONG) div 3600 BETWEEN {base_hour} AND {base_hour + 1}")
+        )
+        assert got.count() == expect.count() > 0
+
+    def test_reader_trusts_manifests_not_directory(self, spark, tmp_path, events_df):
+        """Iceberg's core consistency property: uncommitted files in the
+        data directory are INVISIBLE (a crashed writer leaves garbage
+        bytes, never phantom rows)."""
+        cat = FsCatalog(str(tmp_path))
+        t = cat.create_table("ns", "ev", events_df.schema, "ts", "hourly")
+        t.append_dataframe(events_df.filter("event_id < 10"))
+        # a crashed second writer: data files written, commit never ran
+        orphan_dir = os.path.join(t.location, "data", "orphan")
+        events_df.filter("event_id >= 10").write.parquet(orphan_dir)
+
+        assert t.read(spark).count() == 10
+        assert len(glob.glob(os.path.join(orphan_dir, "*.parquet"))) > 0
+
+    def test_commit_conflict(self, tmp_path, events_df):
+        cat = FsCatalog(str(tmp_path))
+        t = cat.create_table("ns", "ev", events_df.schema, "ts", "hourly")
+        # another writer claims the next version first
+        v = t.current_version()
+        with open(os.path.join(t.location, "metadata", f"v{v + 1}.metadata.json"), "w") as f:
+            f.write("{}")
+        with pytest.raises(CommitConflictError):
+            t.append_dataframe(events_df)
+
+
+# --------------------------------------------------------------------------
+# exporter sink surface (C1/C2/K3/K4 through the pipeline)
+# --------------------------------------------------------------------------
+
+
+def _fs_config(tmp_path) -> ExporterConfig:
+    return ExporterConfig(
+        storage=StorageConfig(provider="filesystem", bucket=str(tmp_path), prefix="raw"),
+        catalog=CatalogConfig(catalog_type="fs", warehouse=str(tmp_path / "warehouse")),
+        partition=PartitionConfig(granularity="hourly"),
+    )
+
+
+class TestFsIcebergSink:
+    def test_ensure_all_tables(self, spark, tmp_path):
+        sink = FsIcebergSink(spark, _fs_config(tmp_path))
+        tables = sink.ensure_all_tables()
+        assert len(tables) == len(S.ALL_SIGNALS)
+        for table in tables:
+            t = sink.catalog.load_table("otel", table)
+            assert t.partition_spec()[0]["transform"] == "hours"
+            assert t.properties()["format-version"] == "2"
+
+    def test_export_batch_to_iceberg(self, spark, tmp_path):
+        """The reference's main loop, executed: OTLP/JSON batch ->
+        flatten -> conform -> Iceberg snapshot commit -> read back."""
+        cfg = _fs_config(tmp_path)
+        inp = tmp_path / "in" / "traces.jsonl"
+        _write_jsonl(str(inp), [_traces_payload([_span()])])
+        export_batch(spark, str(inp.parent), "traces", cfg)
+
+        sink = FsIcebergSink(spark, cfg)
+        got = sink.read(S.SIGNAL_TRACES)
+        assert got.count() == 1
+        row = got.first()
+        assert row.service_name == "svc-a"
+        t = sink.catalog.load_table("otel", sink._table_name(S.SIGNAL_TRACES))
+        summary = t.current_snapshot()["summary"]
+        assert summary["otel.exporter"] == "opentelemetry-iceberg-exporter-spark"
+
+    def test_add_files_registers_hive_layout(self, spark, tmp_path, events_df):
+        """K4: the raw sink's year=/month=/day=/hour= files join the
+        table by METADATA only — same inode, no copy."""
+        hive_dir = str(tmp_path / "hive")
+        (
+            events_df.withColumn("year", F.date_format("ts", "yyyy"))
+            .withColumn("month", F.date_format("ts", "MM"))
+            .withColumn("day", F.date_format("ts", "dd"))
+            .withColumn("hour", F.date_format("ts", "HH"))
+            .repartition(2)
+            .write.partitionBy("year", "month", "day", "hour")
+            .parquet(hive_dir)
+        )
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("ns", "ev", events_df.schema, "ts", "hourly")
+        t.add_files_hive(hive_dir)
+
+        files, _ = t.plan_files()
+        assert files and all(f.file_path.startswith(os.path.abspath(hive_dir)) for f in files)
+        assert t.read(spark).count() == 100
+        # partition transform values derived from the Hive path
+        base_hour = int(datetime(2024, 3, 1, 0, tzinfo=timezone.utc).timestamp()) // 3600
+        hours = {f.partition["ts_hour"] for f in files}
+        assert hours == {base_hour + i for i in range(4)}
