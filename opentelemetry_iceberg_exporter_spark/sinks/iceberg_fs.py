@@ -602,6 +602,58 @@ class FsTable:
         props = {"operation-detail": "add_files", **(snapshot_properties or {})}
         return self.append_files(files, props)
 
+    def add_data_files(
+        self, paths: list[str], snapshot_properties: dict[str, str] | None = None
+    ) -> int:
+        """Register specific Parquet files (recovery path: a crashed
+        writer's data files re-enter the table metadata-only). Partition
+        values come from `key=value` path segments — either the
+        partition field's own name (`ts_hour=473040`, the append
+        layout) or raw-sink `year=/month=/day=/hour=` values."""
+        spec = self.partition_spec()
+        files: list[DataFile] = []
+        for path in sorted(paths):
+            partition: dict[str, int] = {}
+            if spec:
+                pf = spec[0]
+                hive = _hive_values_from_path(path)
+                if pf["name"] in hive:
+                    partition[pf["name"]] = int(hive[pf["name"]])
+                elif "year" in hive:
+                    ts = datetime(
+                        int(hive["year"]),
+                        int(hive.get("month", 1)),
+                        int(hive.get("day", 1)),
+                        int(hive.get("hour", 0)),
+                        tzinfo=timezone.utc,
+                    )
+                    partition[pf["name"]] = transform_value(ts, pf["transform"])
+            files.append(
+                DataFile(
+                    file_path=os.path.abspath(path),
+                    file_size_in_bytes=os.path.getsize(path),
+                    record_count=_parquet_row_count(path),
+                    partition=partition,
+                )
+            )
+        props = {"operation-detail": "add_files", **(snapshot_properties or {})}
+        return self.append_files(files, props)
+
+    def all_files(self) -> list[str]:
+        """Every data-file path referenced by ANY snapshot — the
+        registered-file set the reconciler diffs against (the Iceberg
+        `all_files` metadata table; time-travel-aware dedup like
+        catalog_rest.go:370-467)."""
+        md = self.metadata()
+        paths: set[str] = set()
+        for snapshot in md["snapshots"]:
+            _, _, manifests = read_ocf(snapshot["manifest-list"])
+            for m in manifests:
+                _, _, entries = read_ocf(m["manifest_path"])
+                for e in entries:
+                    paths.add(e["data_file"]["file_path"])
+        return sorted(paths)
+
     # -- scan planning + read (with manifest-level pruning) ---------------
     def plan_files(
         self,
@@ -676,6 +728,12 @@ def _hive_values(rel_path: str) -> dict[str, str]:
             k, _, v = segment.partition("=")
             values[k] = v
     return values
+
+
+def _hive_values_from_path(path: str) -> dict[str, str]:
+    """Like _hive_values but over an absolute path (any `key=value`
+    directory segment counts)."""
+    return _hive_values(path)
 
 
 def _parquet_row_count(path: str) -> int:

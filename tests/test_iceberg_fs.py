@@ -293,3 +293,68 @@ class TestFsIcebergSink:
         base_hour = int(datetime(2024, 3, 1, 0, tzinfo=timezone.utc).timestamp()) // 3600
         hours = {f.partition["ts_hour"] for f in files}
         assert hours == {base_hour + i for i in range(4)}
+
+
+# --------------------------------------------------------------------------
+# recovery against the REAL catalog (S6 + T1-T6 + X1, executed)
+# --------------------------------------------------------------------------
+
+from opentelemetry_iceberg_exporter_spark.recovery.fs_adapter import (  # noqa: E402
+    recover_fs_warehouse,
+)
+
+
+class TestRecoveryAgainstFsCatalog:
+    def _crashed_append(self, t, df):
+        """A writer that died after the Spark job, before the commit:
+        data files exist under data/, no snapshot references them."""
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            transform_column,
+        )
+
+        pf = t.partition_spec()[0]
+        orphan_dir = os.path.join(t.location, "data", "crashed")
+        (
+            df.withColumn(pf["name"], transform_column("ts", pf["transform"]))
+            .write.partitionBy(pf["name"])
+            .parquet(orphan_dir)
+        )
+
+    def test_orphans_reenter_the_table(self, spark, tmp_path, events_df):
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("otel", "ev", events_df.schema, "ts", "hourly")
+        t.append_dataframe(events_df.filter("event_id < 60"))
+        self._crashed_append(t, events_df.filter("event_id >= 60"))
+        assert t.read(spark).count() == 60  # invisible until recovered
+
+        res = recover_fs_warehouse(spark, cat, "otel", ["ev"])
+        assert res.orphaned == res.recovered > 0
+        assert res.failed == 0 and res.catalog_only == 0
+        assert t.read(spark).count() == 100
+        # recovered files carry partition values parsed from their paths
+        files, _ = t.plan_files()
+        assert all("ts_hour" in f.partition for f in files)
+        # add_files snapshot is marked as recovery
+        assert t.current_snapshot()["summary"]["otel.recovery"] == "true"
+
+    def test_dry_run_changes_nothing(self, spark, tmp_path, events_df):
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("otel", "ev", events_df.schema, "ts", "hourly")
+        t.append_dataframe(events_df.filter("event_id < 60"))
+        self._crashed_append(t, events_df.filter("event_id >= 60"))
+        before = t.current_version()
+
+        res = recover_fs_warehouse(spark, cat, "otel", ["ev"], dry_run=True)
+        assert res.orphaned > 0 and res.recovered == 0
+        assert t.current_version() == before
+        assert t.read(spark).count() == 60
+
+    def test_catalog_only_detects_deleted_storage(self, spark, tmp_path, events_df):
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("otel", "ev", events_df.schema, "ts", "hourly")
+        t.append_dataframe(events_df)
+        victim = t.plan_files()[0][0].file_path
+        os.remove(victim)
+
+        res = recover_fs_warehouse(spark, cat, "otel", ["ev"], dry_run=True)
+        assert res.catalog_only == 1
