@@ -81,9 +81,34 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--min-files", type=int, default=2)
     pc.add_argument("--dry-run", action="store_true")
 
+    pm = sub.add_parser(
+        "maintain", help="fs-catalog table maintenance: rewrite_data_files + expire_snapshots"
+    )
+    pm.add_argument("--warehouse", required=True)
+    pm.add_argument("--namespace", default="otel")
+    pm.add_argument("--table", required=True)
+    pm.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
+    pm.add_argument("--min-files", type=int, default=2)
+    pm.add_argument("--expire-keep", type=int, default=0, help="0 = don't expire")
+
     args = parser.parse_args(argv)
 
     spark = build_session(app_name=f"otel-engine-{args.cmd}")
+
+    if args.cmd == "maintain":
+        from .sinks.iceberg_fs import FsCatalog
+
+        table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
+        rewritten = table.rewrite_data_files(
+            spark, target_bytes=args.target_bytes, min_files=args.min_files
+        )
+        expired = table.expire_snapshots(args.expire_keep) if args.expire_keep else []
+        print(
+            json.dumps(
+                {"rewrite_snapshot": rewritten, "expired_data_files": len(expired)}
+            )
+        )
+        return 0
 
     if args.cmd == "compact":
         from .recovery.compactor import compact_table

@@ -710,6 +710,233 @@ class FsTable:
             return spark.createDataFrame([], schema)
         return spark.read.parquet(*[f.file_path for f in files])
 
+    # -- table maintenance -------------------------------------------------
+    def rewrite_data_files(
+        self,
+        spark: SparkSession,
+        target_bytes: int = 128 * 1024 * 1024,
+        min_files: int = 2,
+    ) -> int | None:
+        """Iceberg-style compaction (`rewrite_data_files`): partitions
+        whose live files are many-and-small get rewritten into one file
+        each; the commit REPLACES the file set in a new snapshot. Old
+        snapshots keep referencing the old files, so time travel still
+        works until expire_snapshots reclaims them.
+
+        One Spark job per compacted partition reads only that
+        partition's files — never a full-table rewrite. The snapshot's
+        single consolidated manifest also collapses manifest sprawl
+        (streaming appends add one manifest per commit; scans read every
+        manifest, so periodic consolidation keeps planning O(files),
+        not O(commits))."""
+        live, _ = self.plan_files()
+        by_part: dict[tuple, list[DataFile]] = {}
+        for f in live:
+            by_part.setdefault(tuple(sorted(f.partition.items())), []).append(f)
+
+        survivors: list[DataFile] = []
+        rewritten: list[DataFile] = []
+        n_compacted = 0
+        for part_key, files in sorted(by_part.items()):
+            small = [f for f in files if f.file_size_in_bytes < target_bytes]
+            if len(small) < min_files:
+                survivors.extend(files)
+                continue
+            survivors.extend(f for f in files if f.file_size_in_bytes >= target_bytes)
+            out_dir = os.path.join(self.location, "data", f"rewrite-{uuid.uuid4().hex}")
+            spark.read.parquet(*[f.file_path for f in small]).coalesce(1).write.parquet(
+                out_dir
+            )
+            for new in _scan_written_files(out_dir, []):
+                rewritten.append(
+                    DataFile(
+                        file_path=new.file_path,
+                        file_size_in_bytes=new.file_size_in_bytes,
+                        record_count=new.record_count,
+                        partition=dict(part_key),
+                    )
+                )
+            n_compacted += len(small)
+        if not rewritten:
+            return None
+        return self._commit_file_set(
+            survivors + rewritten,
+            operation="replace",
+            extra_summary={
+                "compacted-files": str(n_compacted),
+                "added-data-files": str(len(rewritten)),
+            },
+        )
+
+    def _commit_file_set(
+        self, files: list[DataFile], operation: str, extra_summary: dict[str, str]
+    ) -> int:
+        """Commit a snapshot whose SINGLE consolidated manifest defines
+        the complete live file set (replace semantics)."""
+        md = self.metadata()
+        base_version = self.current_version()
+        seq = md["last-sequence-number"] + 1
+        snapshot_id = int.from_bytes(os.urandom(8), "big") >> 1
+        parent = md["current-snapshot-id"]
+        now_ms = int(time.time() * 1000)
+        meta_dir = os.path.join(self.location, "metadata")
+        spec_fields = self.partition_spec()
+
+        manifest_path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+        entries = [
+            {
+                "status": STATUS_ADDED,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f.file_path,
+                    "file_format": "PARQUET",
+                    "partition": {
+                        pf["name"]: f.partition.get(pf["name"]) for pf in spec_fields
+                    },
+                    "record_count": f.record_count,
+                    "file_size_in_bytes": f.file_size_in_bytes,
+                },
+            }
+            for f in files
+        ]
+        manifest_len = write_ocf(
+            manifest_path,
+            manifest_avro_schema(spec_fields),
+            entries,
+            extra_metadata={
+                "schema": json.dumps(md["schemas"][md["current-schema-id"]]),
+                "partition-spec": json.dumps(spec_fields),
+                "partition-spec-id": str(md["default-spec-id"]),
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        list_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro")
+        write_ocf(
+            list_path,
+            MANIFEST_LIST_SCHEMA,
+            [
+                {
+                    "manifest_path": manifest_path,
+                    "manifest_length": manifest_len,
+                    "partition_spec_id": md["default-spec-id"],
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": snapshot_id,
+                    "added_files_count": len(files),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": sum(f.record_count for f in files),
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            ],
+            extra_metadata={
+                "snapshot-id": str(snapshot_id),
+                "parent-snapshot-id": str(parent),
+                "sequence-number": str(seq),
+                "format-version": "2",
+            },
+        )
+        summary = {"operation": operation, **extra_summary}
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "parent-snapshot-id": parent if parent != -1 else None,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": list_path,
+            "summary": summary,
+            "schema-id": md["current-schema-id"],
+        }
+        new_md = dict(md)
+        new_md["last-sequence-number"] = seq
+        new_md["last-updated-ms"] = now_ms
+        new_md["snapshots"] = md["snapshots"] + [snapshot]
+        new_md["current-snapshot-id"] = snapshot_id
+        new_md["refs"] = {"main": {"snapshot-id": snapshot_id, "type": "branch"}}
+        new_md["snapshot-log"] = md["snapshot-log"] + [
+            {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+        ]
+        new_md["metadata-log"] = md["metadata-log"] + [
+            {
+                "timestamp-ms": md["last-updated-ms"],
+                "metadata-file": _metadata_path(self.location, base_version),
+            }
+        ]
+        _write_metadata_version(self.location, base_version + 1, new_md)
+        _swap_version_hint(self.location, base_version + 1)
+        return snapshot_id
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Drop all but the last `keep_last` snapshots and physically
+        delete data files and manifests no retained snapshot references.
+        Returns the deleted data-file paths. This is the reclamation
+        half of compaction: rewritten-away files survive (for time
+        travel) exactly until their last referencing snapshot expires."""
+        md = self.metadata()
+        snaps = md["snapshots"]
+        if len(snaps) <= keep_last:
+            return []
+        retained, expired = snaps[-keep_last:], snaps[:-keep_last]
+
+        def files_of(snapshot: dict) -> set[str]:
+            out: set[str] = set()
+            _, _, manifests = read_ocf(snapshot["manifest-list"])
+            for m in manifests:
+                _, _, entries = read_ocf(m["manifest_path"])
+                out.update(e["data_file"]["file_path"] for e in entries)
+            return out
+
+        keep_files: set[str] = set()
+        keep_manifests: set[str] = set()
+        for s in retained:
+            keep_files |= files_of(s)
+            _, _, manifests = read_ocf(s["manifest-list"])
+            keep_manifests.update(m["manifest_path"] for m in manifests)
+
+        # read phase first: manifests are SHARED across snapshots (append
+        # carries them forward), so deleting while iterating would break
+        # later reads of the same manifest
+        expired_files: set[str] = set()
+        expired_manifests: set[str] = set()
+        expired_lists: set[str] = set()
+        for s in expired:
+            expired_lists.add(s["manifest-list"])
+            _, _, manifests = read_ocf(s["manifest-list"])
+            for m in manifests:
+                expired_manifests.add(m["manifest_path"])
+                _, _, entries = read_ocf(m["manifest_path"])
+                expired_files.update(e["data_file"]["file_path"] for e in entries)
+
+        deleted: list[str] = []
+        for p in sorted(expired_files - keep_files):
+            if os.path.exists(p):
+                os.remove(p)
+                deleted.append(p)
+        for p in expired_manifests - keep_manifests:
+            if os.path.exists(p):
+                os.remove(p)
+        for p in expired_lists:  # manifest lists are per-snapshot, never shared
+            if os.path.exists(p):
+                os.remove(p)
+
+        now_ms = int(time.time() * 1000)
+        base_version = self.current_version()
+        retained_ids = {s["snapshot-id"] for s in retained}
+        new_md = dict(md)
+        new_md["snapshots"] = retained
+        new_md["snapshot-log"] = [
+            e for e in md["snapshot-log"] if e["snapshot-id"] in retained_ids
+        ]
+        new_md["last-updated-ms"] = now_ms
+        _write_metadata_version(self.location, base_version + 1, new_md)
+        _swap_version_hint(self.location, base_version + 1)
+        return sorted(deleted)
+
 
 # --------------------------------------------------------------------------
 # helpers

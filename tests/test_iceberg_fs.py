@@ -358,3 +358,63 @@ class TestRecoveryAgainstFsCatalog:
 
         res = recover_fs_warehouse(spark, cat, "otel", ["ev"], dry_run=True)
         assert res.catalog_only == 1
+
+
+# --------------------------------------------------------------------------
+# table maintenance: rewrite_data_files + expire_snapshots
+# --------------------------------------------------------------------------
+
+
+class TestMaintenance:
+    def _small_file_table(self, spark, tmp_path, events_df):
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("ns", "ev", events_df.schema, "ts", "hourly")
+        # two appends covering the SAME hours -> 2 small files per partition
+        t.append_dataframe(events_df.filter("event_id < 50"))
+        t.append_dataframe(events_df.filter("event_id >= 50"))
+        return t
+
+    def test_rewrite_compacts_partitions(self, spark, tmp_path, events_df):
+        t = self._small_file_table(spark, tmp_path, events_df)
+        before, _ = t.plan_files()
+        pre_rewrite_snapshot = t.current_snapshot()["snapshot-id"]
+
+        sid = t.rewrite_data_files(spark, target_bytes=1 << 20, min_files=2)
+        assert sid is not None
+        after, _ = t.plan_files()
+        assert len(after) == 4  # one file per hour partition
+        assert len(after) < len(before)
+        # rows and values unchanged
+        assert t.read(spark).count() == 100
+        assert t.read(spark).agg(F.sum("value")).first()[0] == sum(i * 2 for i in range(100))
+        assert t.current_snapshot()["summary"]["operation"] == "replace"
+        # time travel to pre-rewrite still sees the old layout
+        assert t.read(spark, snapshot_id=pre_rewrite_snapshot).count() == 100
+
+    def test_rewrite_noop_when_files_large_enough(self, spark, tmp_path, events_df):
+        t = self._small_file_table(spark, tmp_path, events_df)
+        assert t.rewrite_data_files(spark, target_bytes=1, min_files=2) is None
+
+    def test_expire_reclaims_rewritten_files(self, spark, tmp_path, events_df):
+        t = self._small_file_table(spark, tmp_path, events_df)
+        old_files = {f.file_path for f in t.plan_files()[0]}
+        t.rewrite_data_files(spark, target_bytes=1 << 20, min_files=2)
+
+        deleted = t.expire_snapshots(keep_last=1)
+        assert set(deleted) == old_files  # every pre-rewrite file reclaimed
+        assert all(not os.path.exists(p) for p in deleted)
+        assert len(t.snapshots()) == 1
+        # current read is intact after physical deletion
+        assert t.read(spark).count() == 100
+
+    def test_expire_keeps_shared_files(self, spark, tmp_path, events_df):
+        """Files referenced by BOTH an expired and a retained snapshot
+        (normal append chains) must survive expiration."""
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("ns", "ev", events_df.schema, "ts", "hourly")
+        t.append_dataframe(events_df.filter("event_id < 60"))
+        t.append_dataframe(events_df.filter("event_id >= 60"))
+
+        deleted = t.expire_snapshots(keep_last=1)
+        assert deleted == []  # snapshot 2 references snapshot 1's files too
+        assert t.read(spark).count() == 100
