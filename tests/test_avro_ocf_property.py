@@ -1,0 +1,128 @@
+"""Property-based round-trip tests for the Avro OCF codec.
+
+With no second Avro implementation in the container, the strongest
+available evidence the codec is spec-correct is exhaustive round-trip
+over generated values — especially the varint/zigzag boundaries
+(0, -1, +/-2^31, +/-2^62) and deep option/collection nesting that
+Iceberg manifests exercise.
+"""
+
+from __future__ import annotations
+
+import io
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from opentelemetry_iceberg_exporter_spark.sinks.avro_ocf import (
+    decode_value,
+    encode_value,
+    read_ocf,
+    write_ocf,
+)
+from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+    MANIFEST_LIST_SCHEMA,
+    manifest_avro_schema,
+)
+
+
+def roundtrip(schema, value):
+    buf = io.BytesIO()
+    encode_value(buf, schema, value)
+    buf.seek(0)
+    out = decode_value(buf, schema)
+    rest = buf.read()
+    assert rest == b"", f"{len(rest)} trailing bytes"
+    return out
+
+
+longs = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+ints = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+texts = st.text(max_size=40)
+
+
+@given(longs)
+def test_long_roundtrip(n):
+    assert roundtrip("long", n) == n
+
+
+@given(st.lists(ints, max_size=20))
+def test_array_roundtrip(xs):
+    assert roundtrip({"type": "array", "items": "int"}, xs) == xs
+
+
+@given(st.dictionaries(texts, st.one_of(st.none(), longs), max_size=10))
+def test_map_of_option_roundtrip(m):
+    schema = {"type": "map", "values": ["null", "long"]}
+    assert roundtrip(schema, m) == m
+
+
+@given(st.binary(max_size=64), texts)
+def test_bytes_and_string_roundtrip(b, s):
+    assert roundtrip("bytes", b) == b
+    assert roundtrip("string", s) == s
+
+
+manifest_entries = st.fixed_dictionaries(
+    {
+        "status": st.sampled_from([0, 1, 2]),
+        "snapshot_id": st.one_of(st.none(), st.integers(0, 2**62)),
+        "sequence_number": st.one_of(st.none(), st.integers(0, 2**31)),
+        "file_sequence_number": st.one_of(st.none(), st.integers(0, 2**31)),
+        "data_file": st.fixed_dictionaries(
+            {
+                "content": st.just(0),
+                "file_path": st.text(min_size=1, max_size=80),
+                "file_format": st.just("PARQUET"),
+                "partition": st.fixed_dictionaries(
+                    {"ts_hour": st.one_of(st.none(), st.integers(0, 2**21))}
+                ),
+                "record_count": st.integers(0, 2**40),
+                "file_size_in_bytes": st.integers(0, 2**40),
+            }
+        ),
+    }
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(manifest_entries, max_size=8))
+def test_manifest_file_roundtrip(tmp_path_factory, entries):
+    schema = manifest_avro_schema(
+        [{"name": "ts_hour", "transform": "hours", "source-id": 2, "field-id": 1000}]
+    )
+    path = str(tmp_path_factory.mktemp("avro") / "m.avro")
+    write_ocf(path, schema, entries, {"content": "data"})
+    _, meta, rows = read_ocf(path)
+    assert rows == entries
+    assert meta["content"] == "data"
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "manifest_path": st.text(min_size=1, max_size=60),
+                "manifest_length": st.integers(0, 2**40),
+                "partition_spec_id": st.just(0),
+                "content": st.just(0),
+                "sequence_number": st.integers(0, 2**31),
+                "min_sequence_number": st.integers(0, 2**31),
+                "added_snapshot_id": st.integers(0, 2**62),
+                "added_files_count": st.integers(0, 10**6),
+                "existing_files_count": st.integers(0, 10**6),
+                "deleted_files_count": st.integers(0, 10**6),
+                "added_rows_count": st.integers(0, 2**40),
+                "existing_rows_count": st.integers(0, 2**40),
+                "deleted_rows_count": st.integers(0, 2**40),
+            }
+        ),
+        max_size=6,
+    )
+)
+def test_manifest_list_roundtrip(tmp_path_factory, manifests):
+    path = str(tmp_path_factory.mktemp("avro") / "ml.avro")
+    write_ocf(path, MANIFEST_LIST_SCHEMA, manifests)
+    _, _, rows = read_ocf(path)
+    assert rows == manifests

@@ -418,3 +418,45 @@ class TestMaintenance:
         deleted = t.expire_snapshots(keep_last=1)
         assert deleted == []  # snapshot 2 references snapshot 1's files too
         assert t.read(spark).count() == 100
+
+
+# --------------------------------------------------------------------------
+# streaming exporter -> catalog: one snapshot per micro-batch (X3 + K3)
+# --------------------------------------------------------------------------
+
+from opentelemetry_iceberg_exporter_spark.streaming import start_export_stream  # noqa: E402
+
+
+class TestStreamingToCatalog:
+    def test_stream_commits_snapshot_per_batch_and_restarts_cleanly(
+        self, spark, tmp_path
+    ):
+        """The reference's steady state: collector batches arrive, each
+        append is one atomic catalog commit; a restart resumes from the
+        checkpoint without duplicating data in the table."""
+        cfg = _fs_config(tmp_path)
+        src_dir = tmp_path / "stream-in"
+        ckpt = str(tmp_path / "ckpt")
+        _write_jsonl(str(src_dir / "b1.jsonl"), [_traces_payload([_span()])])
+
+        q = start_export_stream(spark, str(src_dir), "traces", cfg, ckpt, trigger_once=True)
+        q.awaitTermination(120)
+
+        sink = FsIcebergSink(spark, cfg)
+        table = sink.catalog.load_table("otel", sink._table_name(S.SIGNAL_TRACES))
+        assert table.read(spark).count() == 1
+        assert len(table.snapshots()) == 1
+
+        _write_jsonl(
+            str(src_dir / "b2.jsonl"),
+            [_traces_payload([_span(spanId="bbbb030405060708")])],
+        )
+        q2 = start_export_stream(spark, str(src_dir), "traces", cfg, ckpt, trigger_once=True)
+        q2.awaitTermination(120)
+
+        got = table.read(spark)
+        assert got.count() == 2  # b1 NOT reprocessed
+        assert got.select("span_id").distinct().count() == 2
+        assert len(table.snapshots()) == 2  # one commit per micro-batch
+        for s in table.snapshots():
+            assert s["summary"]["otel.exporter"] == "opentelemetry-iceberg-exporter-spark"
