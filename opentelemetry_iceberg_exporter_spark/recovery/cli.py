@@ -48,6 +48,14 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="text file of registered URIs (no-catalog mode)",
     )
+    p.add_argument(
+        "--warehouse",
+        default=None,
+        help="fs-catalog mode: warehouse root; --root should be "
+        "{warehouse}/{namespace} and orphans are re-registered via "
+        "metadata-only add_files commits",
+    )
+    p.add_argument("--namespace", default="otel", help="fs-catalog namespace")
     return p
 
 
@@ -59,6 +67,31 @@ def main(argv: list[str] | None = None) -> int:
     if args.table:
         scanned = scanned.filter(scanned["table"] == args.table)
     scanned = apply_time_filter(scanned, args.after, args.before)
+
+    if args.warehouse:
+        # fs-catalog mode: registered set and registration both run
+        # against the real table manifests
+        from ..sinks.iceberg_fs import FsCatalog
+        from .fs_adapter import fs_register_fn, fs_registered_files
+        from .reconciler import distinct_tables
+
+        catalog = FsCatalog(args.warehouse)
+        tables = [args.table] if args.table else distinct_tables(scanned)
+        tables = [t for t in tables if catalog.table_exists(args.namespace, t)]
+        registered = registered_files(
+            spark, fs_registered_files(catalog, args.namespace, tables)
+        )
+        scanned = scanned.filter(scanned.table.isin(tables))
+        register_fn = fs_register_fn(catalog, args.namespace)
+        res = recover(
+            scanned,
+            registered,
+            register_fn,
+            max_batch_size=args.max_batch_size,
+            dry_run=args.dry_run,
+        )
+        print(json.dumps(res.__dict__, default=str))
+        return 0 if res.failed == 0 else 1
 
     manifest: list[str] = []
     if args.registered_manifest:

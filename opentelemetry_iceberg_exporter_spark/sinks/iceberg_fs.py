@@ -427,7 +427,26 @@ class FsTable:
         """Atomic append: one new manifest + carried-forward prior
         manifests -> new manifest list -> new metadata version -> hint
         swap. Returns the new snapshot id. Driver-side cost is O(len(
-        files)) regardless of table size."""
+        files)) regardless of table size.
+
+        Optimistic concurrency: if another writer won the version CAS,
+        the commit rebuilds against the new base and retries (appends
+        never conflict logically) — the same retry loop jar-backed
+        Iceberg writers run. A version file with no matching hint
+        advance (a torn foreign commit) is not retryable and raises."""
+        attempts = 3
+        for attempt in range(attempts):
+            base_version = self.current_version()
+            try:
+                return self._append_files_once(files, snapshot_properties)
+            except CommitConflictError:
+                if attempt + 1 == attempts or self.current_version() == base_version:
+                    raise
+        raise AssertionError("unreachable")
+
+    def _append_files_once(
+        self, files: list[DataFile], snapshot_properties: dict[str, str] | None = None
+    ) -> int:
         md = self.metadata()
         base_version = self.current_version()
         seq = md["last-sequence-number"] + 1
@@ -540,12 +559,17 @@ class FsTable:
         self,
         df: DataFrame,
         snapshot_properties: dict[str, str] | None = None,
-    ) -> int:
+    ) -> int | None:
         """K3 end to end: a Spark job writes Parquet under data/<uuid>/
         (partitioned by the hidden-transform value so each hour/day lands
         in its own directory with few large files), then the driver
         commits the file list. The partition column is dropped from file
-        contents by partitionBy — hidden partitioning, like Iceberg."""
+        contents by partitionBy — hidden partitioning, like Iceberg.
+
+        Empty inputs commit NOTHING and return None (the reference's F1
+        empty-batch short-circuit: the 5-way metric demux routinely
+        produces empty per-type frames; an empty snapshot per type per
+        micro-batch would bloat metadata for no data)."""
         spec = self.partition_spec()
         batch_dir = os.path.join(self.location, "data", uuid.uuid4().hex)
         if spec:
@@ -561,6 +585,8 @@ class FsTable:
         else:
             df.write.parquet(batch_dir)
         files = _scan_written_files(batch_dir, [pf["name"]] if spec else [])
+        if not files:  # F1: no data files -> no snapshot
+            return None
         return self.append_files(files, snapshot_properties)
 
     # -- K4: register existing Hive-layout files without copying ----------

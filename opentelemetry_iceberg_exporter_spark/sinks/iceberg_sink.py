@@ -226,9 +226,10 @@ class FsIcebergSink:
             self._ensured.add(table)
         return self.catalog.load_table(ns, table)
 
-    def append(self, df: DataFrame, signal: str, record_count: int | None = None) -> int:
+    def append(self, df: DataFrame, signal: str, record_count: int | None = None) -> int | None:
         """K3: executors write Parquet, driver commits one snapshot with
-        the reference's snapshot properties. Returns the snapshot id."""
+        the reference's snapshot properties. Returns the snapshot id, or
+        None for an empty batch (F1 short-circuit — no empty snapshots)."""
         props = {"otel.exporter": "opentelemetry-iceberg-exporter-spark"}
         if record_count is not None:
             props["otel.record_count"] = str(record_count)

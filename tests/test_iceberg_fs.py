@@ -460,3 +460,51 @@ class TestStreamingToCatalog:
         assert len(table.snapshots()) == 2  # one commit per micro-batch
         for s in table.snapshots():
             assert s["summary"]["otel.exporter"] == "opentelemetry-iceberg-exporter-spark"
+
+
+# --------------------------------------------------------------------------
+# empty-append short-circuit + optimistic-concurrency retry
+# --------------------------------------------------------------------------
+
+import opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs as ifs  # noqa: E402
+from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import DataFile  # noqa: E402
+
+
+class TestCommitEdgeCases:
+    def test_empty_append_commits_nothing(self, spark, tmp_path, events_df):
+        """F1 for the catalog path: the metric demux routinely yields
+        empty per-type frames; they must not create empty snapshots."""
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("ns", "ev", events_df.schema, "ts", "hourly")
+        assert t.append_dataframe(events_df.filter("event_id < 0")) is None
+        assert t.snapshots() == []
+        assert t.current_version() == 1
+
+    def test_commit_retries_when_another_writer_wins(
+        self, tmp_path, events_df, monkeypatch
+    ):
+        """Appends never conflict logically: when a concurrent writer
+        takes the next version between our read and our CAS, the commit
+        rebuilds on the new base and both appends survive."""
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("ns", "ev", events_df.schema, "ts", "hourly")
+        mine = DataFile("/data/mine.parquet", 100, 10, {"ts_hour": 1})
+        theirs = DataFile("/data/theirs.parquet", 200, 20, {"ts_hour": 2})
+
+        real = ifs._write_metadata_version
+        state = {"raced": False}
+
+        def racy(location, version, metadata):
+            if not state["raced"]:
+                state["raced"] = True
+                monkeypatch.setattr(ifs, "_write_metadata_version", real)
+                ifs.FsTable(location).append_files([theirs])  # foreign commit wins
+                monkeypatch.setattr(ifs, "_write_metadata_version", racy)
+            return real(location, version, metadata)
+
+        monkeypatch.setattr(ifs, "_write_metadata_version", racy)
+        t.append_files([mine])
+
+        paths = {f.file_path for f in t.plan_files()[0]}
+        assert paths == {"/data/mine.parquet", "/data/theirs.parquet"}
+        assert len(t.snapshots()) == 2
