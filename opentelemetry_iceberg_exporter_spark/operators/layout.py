@@ -50,19 +50,9 @@ def zorder_key(codes: list[Column], bits: int = DEFAULT_BITS) -> Column:
     return key
 
 
-def cluster_by_zorder(
-    df: DataFrame,
-    cols: list[str],
-    num_files: int,
-    bits: int = DEFAULT_BITS,
-) -> DataFrame:
-    """Return `df` range-partitioned into `num_files` partitions along
-    the Z-curve of `cols` (numeric or timestamp). Writing the result
-    with one file per partition yields the clustered layout.
-
-    The only driver-side step is a single min/max aggregation over the
-    clustered columns (one row); everything else is a distributed
-    range shuffle."""
+def _zkey(df: DataFrame, cols: list[str], bits: int) -> Column:
+    """The Z-curve key for `df`'s value ranges: one tiny min/max
+    aggregation (a single row to the driver), then pure codegen."""
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
@@ -76,10 +66,37 @@ def cluster_by_zorder(
         )
         for c in cols
     ]
-    key = zorder_key(codes, bits)
+    return zorder_key(codes, bits)
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    cols: list[str],
+    num_files: int,
+    bits: int = DEFAULT_BITS,
+) -> DataFrame:
+    """Return `df` range-partitioned into `num_files` partitions along
+    the Z-curve of `cols` (numeric or timestamp). Writing the result
+    with one file per partition yields the clustered layout.
+
+    The only driver-side step is a single min/max aggregation over the
+    clustered columns (one row); everything else is a distributed
+    range shuffle."""
     return (
-        df.withColumn("__zkey", key)
+        df.withColumn("__zkey", _zkey(df, cols, bits))
         .repartitionByRange(num_files, F.col("__zkey"))
+        .drop("__zkey")
+    )
+
+
+def sort_by_zorder(df: DataFrame, cols: list[str], bits: int = DEFAULT_BITS) -> DataFrame:
+    """Sort rows WITHIN each partition along the Z-curve (no shuffle).
+    For a single-file write this tightens Parquet row-group min/max on
+    every listed column — the intra-file complement of
+    cluster_by_zorder's file-level clustering."""
+    return (
+        df.withColumn("__zkey", _zkey(df, cols, bits))
+        .sortWithinPartitions("__zkey")
         .drop("__zkey")
     )
 

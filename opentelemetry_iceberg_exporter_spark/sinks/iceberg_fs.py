@@ -742,6 +742,7 @@ class FsTable:
         spark: SparkSession,
         target_bytes: int = 128 * 1024 * 1024,
         min_files: int = 2,
+        zorder_by: list[str] | None = None,
     ) -> int | None:
         """Iceberg-style compaction (`rewrite_data_files`): partitions
         whose live files are many-and-small get rewritten into one file
@@ -754,7 +755,13 @@ class FsTable:
         single consolidated manifest also collapses manifest sprawl
         (streaming appends add one manifest per commit; scans read every
         manifest, so periodic consolidation keeps planning O(files),
-        not O(commits))."""
+        not O(commits)).
+
+        `zorder_by` additionally sorts each rewritten partition along
+        the Z-curve of the given columns (operators/layout.py) before
+        writing, so Parquet row-group min/max stats are tight on every
+        listed column — compaction and layout optimization in one
+        pass, like Iceberg's sort-order rewrite."""
         live, _ = self.plan_files()
         by_part: dict[tuple, list[DataFile]] = {}
         for f in live:
@@ -770,9 +777,12 @@ class FsTable:
                 continue
             survivors.extend(f for f in files if f.file_size_in_bytes >= target_bytes)
             out_dir = os.path.join(self.location, "data", f"rewrite-{uuid.uuid4().hex}")
-            spark.read.parquet(*[f.file_path for f in small]).coalesce(1).write.parquet(
-                out_dir
-            )
+            part_df = spark.read.parquet(*[f.file_path for f in small]).coalesce(1)
+            if zorder_by:
+                from ..operators.layout import sort_by_zorder
+
+                part_df = sort_by_zorder(part_df, zorder_by)
+            part_df.write.parquet(out_dir)
             for new in _scan_written_files(out_dir, []):
                 rewritten.append(
                     DataFile(

@@ -508,3 +508,21 @@ class TestCommitEdgeCases:
         paths = {f.file_path for f in t.plan_files()[0]}
         assert paths == {"/data/mine.parquet", "/data/theirs.parquet"}
         assert len(t.snapshots()) == 2
+
+    def test_rewrite_with_zorder_sorts_rows(self, spark, tmp_path, events_df):
+        """Compaction + layout in one pass: the rewritten file's rows
+        follow the Z-curve (here 1-D: plain ascending event_id)."""
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("ns", "ev", events_df.schema, "ts", "hourly")
+        t.append_dataframe(events_df.filter("event_id < 50"))
+        t.append_dataframe(events_df.filter("event_id >= 50"))
+        t.rewrite_data_files(
+            spark, target_bytes=1 << 20, min_files=2, zorder_by=["event_id"]
+        )
+        assert t.read(spark).count() == 100
+        # each compacted file is internally sorted by the z-key
+        for f in t.plan_files()[0]:
+            import pyarrow.parquet as pq
+
+            ids = pq.read_table(f.file_path, columns=["event_id"])["event_id"].to_pylist()
+            assert ids == sorted(ids)

@@ -71,3 +71,21 @@ def test_zorder_plan_is_one_range_shuffle(spark, sf_dir):
     )
     assert plan.count("rangepartitioning") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sort_by_zorder_orders_rows_without_shuffle(spark, sf_dir):
+    from opentelemetry_iceberg_exporter_spark.operators.layout import sort_by_zorder
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .coalesce(1)
+    )
+    out = sort_by_zorder(li, ["l_orderkey", "l_partkey"])
+    # row-preserving
+    assert out.count() == li.count()
+    # no exchange added beyond the coalesce (sortWithinPartitions is
+    # shuffle-free)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" not in plan
+    assert "Sort" in plan
