@@ -185,9 +185,9 @@ def ann_lsh(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("v"),
             F.sqrt(_spark_dot(vec_col, vec_col)).alias("v_norm"),
-        ).withColumn("__tmp", F.lit(1)),
+        ),
         "v",
-    ).drop("__tmp")
+    )
     q = lsh_bucket(
         queries.select(
             F.col(id_col).alias("q_id"),

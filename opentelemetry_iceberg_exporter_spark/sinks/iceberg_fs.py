@@ -76,6 +76,12 @@ class CommitConflictError(RuntimeError):
     """Another writer committed the same version first (CAS failure)."""
 
 
+class ReplaceConflictError(RuntimeError):
+    """The table advanced past the snapshot a replace (rewrite) was
+    planned against; replaces cannot merge with concurrent appends and
+    must be re-planned."""
+
+
 # --------------------------------------------------------------------------
 # Spark schema -> Iceberg schema JSON (with field IDs)
 # --------------------------------------------------------------------------
@@ -173,8 +179,9 @@ class DataFile:
     file_path: str
     file_size_in_bytes: int
     record_count: int
-    # transform-value per partition field name (e.g. hours since epoch)
-    partition: dict[str, int] = field(default_factory=dict)
+    # transform-value per partition field name (e.g. hours since epoch);
+    # None = null source timestamp (file is never partition-pruned)
+    partition: dict[str, int | None] = field(default_factory=dict)
 
 
 def transform_value(ts: datetime, transform: str) -> int:
@@ -190,9 +197,15 @@ def transform_value(ts: datetime, transform: str) -> int:
 
 def transform_column(col: str, transform: str):
     """The same transform as a Catalyst expression (append path) —
-    executors derive the partition value, the driver never sees rows."""
+    executors derive the partition value, the driver never sees rows.
+
+    FLOOR division, not Spark's `div` (which truncates toward zero):
+    pre-1970 timestamps must land in hour -1, not hour 0, to match
+    transform_value's Python `//` and the Iceberg spec. Double division
+    is exact here — epoch SECONDS (~2^31) are far below 2^53."""
     if transform in _SECONDS_PER:
-        return F.expr(f"CAST(`{col}` AS LONG) div {_SECONDS_PER[transform]}")
+        s = _SECONDS_PER[transform]
+        return F.floor(F.col(col).cast("long") / F.lit(s)).cast("bigint")
     if transform == "months":
         return (F.year(col) - F.lit(1970)) * 12 + F.month(col) - F.lit(1)
     raise ValueError(f"unsupported transform {transform!r}")
@@ -420,6 +433,15 @@ class FsTable:
     def properties(self) -> dict[str, str]:
         return self.metadata()["properties"]
 
+    def _load_state(self) -> tuple[int, dict]:
+        """Pin (version, metadata) to a SINGLE hint read. Reading the
+        hint and the metadata in two separate calls races with
+        concurrent commits (a commit landing in between would be
+        silently overwritten by a metadata built from the old state)."""
+        version = self.current_version()
+        with open(_metadata_path(self.location, version)) as f:
+            return version, json.load(f)
+
     # -- commit protocol (K3 core) ----------------------------------------
     def append_files(
         self, files: list[DataFile], snapshot_properties: dict[str, str] | None = None
@@ -432,31 +454,84 @@ class FsTable:
         Optimistic concurrency: if another writer won the version CAS,
         the commit rebuilds against the new base and retries (appends
         never conflict logically) — the same retry loop jar-backed
-        Iceberg writers run. A version file with no matching hint
-        advance (a torn foreign commit) is not retryable and raises."""
+        Iceberg writers run."""
+        return self._commit_with_retry(
+            files,
+            operation="append",
+            carry_forward=True,
+            extra_summary=snapshot_properties or {},
+        )
+
+    def _commit_with_retry(
+        self,
+        files: list[DataFile],
+        *,
+        operation: str,
+        carry_forward: bool,
+        extra_summary: dict[str, str],
+        expected_base_snapshot: int | None = None,
+    ) -> int:
         attempts = 3
         for attempt in range(attempts):
-            base_version = self.current_version()
+            base_version, md = self._load_state()
             try:
-                return self._append_files_once(files, snapshot_properties)
+                return self._commit_snapshot(
+                    base_version,
+                    md,
+                    files,
+                    operation=operation,
+                    carry_forward=carry_forward,
+                    extra_summary=extra_summary,
+                    expected_base_snapshot=expected_base_snapshot,
+                )
             except CommitConflictError:
-                if attempt + 1 == attempts or self.current_version() == base_version:
+                if attempt + 1 == attempts:
                     raise
+                # the winner may not have swapped the hint yet — give the
+                # in-flight commit a moment before declaring it torn
+                for _ in range(10):
+                    if self.current_version() != base_version:
+                        break
+                    time.sleep(0.05)
+                else:
+                    raise  # version file exists, hint never advanced
         raise AssertionError("unreachable")
 
-    def _append_files_once(
-        self, files: list[DataFile], snapshot_properties: dict[str, str] | None = None
+    def _commit_snapshot(
+        self,
+        base_version: int,
+        md: dict,
+        files: list[DataFile],
+        *,
+        operation: str,
+        carry_forward: bool,
+        extra_summary: dict[str, str],
+        expected_base_snapshot: int | None = None,
     ) -> int:
-        md = self.metadata()
-        base_version = self.current_version()
+        """One commit attempt against the pinned (base_version, md).
+
+        carry_forward=True appends a new manifest on top of the base
+        snapshot's manifests (append semantics); False makes the new
+        manifest the COMPLETE live file set (replace semantics, which
+        also requires the base snapshot to be unchanged since planning —
+        a replace cannot merge with concurrent appends)."""
+        if (
+            expected_base_snapshot is not None
+            and md["current-snapshot-id"] != expected_base_snapshot
+        ):
+            raise ReplaceConflictError(
+                f"table advanced from snapshot {expected_base_snapshot} to "
+                f"{md['current-snapshot-id']} since the rewrite was planned; re-plan"
+            )
         seq = md["last-sequence-number"] + 1
         snapshot_id = int.from_bytes(os.urandom(8), "big") >> 1
         parent = md["current-snapshot-id"]
         now_ms = int(time.time() * 1000)
         meta_dir = os.path.join(self.location, "metadata")
-        spec_fields = self.partition_spec()
+        spec_fields = next(
+            s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"]
+        )["fields"]
 
-        entry_schema = manifest_avro_schema(spec_fields)
         manifest_path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
         entries = [
             {
@@ -477,7 +552,7 @@ class FsTable:
         ]
         manifest_len = write_ocf(
             manifest_path,
-            entry_schema,
+            manifest_avro_schema(spec_fields),
             entries,
             extra_metadata={
                 "schema": json.dumps(md["schemas"][md["current-schema-id"]]),
@@ -503,10 +578,11 @@ class FsTable:
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
         }
-        prior_manifests: list[dict] = []
-        cur = self.current_snapshot()
-        if cur is not None:
+        manifests = [new_manifest]
+        if carry_forward and parent != -1:
+            cur = next(s for s in md["snapshots"] if s["snapshot-id"] == parent)
             _, _, prior_manifests = read_ocf(cur["manifest-list"])
+            manifests += prior_manifests
 
         list_path = os.path.join(
             meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
@@ -514,7 +590,7 @@ class FsTable:
         write_ocf(
             list_path,
             MANIFEST_LIST_SCHEMA,
-            [new_manifest] + prior_manifests,
+            manifests,
             extra_metadata={
                 "snapshot-id": str(snapshot_id),
                 "parent-snapshot-id": str(parent),
@@ -524,11 +600,11 @@ class FsTable:
         )
 
         summary = {
-            "operation": "append",
+            "operation": operation,
             "added-data-files": str(len(files)),
             "added-records": str(sum(f.record_count for f in files)),
         }
-        summary.update(snapshot_properties or {})
+        summary.update(extra_summary)
         snapshot = {
             "snapshot-id": snapshot_id,
             "parent-snapshot-id": parent if parent != -1 else None,
@@ -642,9 +718,9 @@ class FsTable:
             partition: dict[str, int] = {}
             if spec:
                 pf = spec[0]
-                hive = _hive_values_from_path(path)
+                hive = _hive_values_scoped(path, self.location)
                 if pf["name"] in hive:
-                    partition[pf["name"]] = int(hive[pf["name"]])
+                    partition[pf["name"]] = _part_int(hive[pf["name"]])
                 elif "year" in hive:
                     ts = datetime(
                         int(hive["year"]),
@@ -762,7 +838,11 @@ class FsTable:
         writing, so Parquet row-group min/max stats are tight on every
         listed column — compaction and layout optimization in one
         pass, like Iceberg's sort-order rewrite."""
-        live, _ = self.plan_files()
+        _, planned_md = self._load_state()
+        planned_snapshot = planned_md["current-snapshot-id"]
+        live, _ = self.plan_files(
+            snapshot_id=planned_snapshot if planned_snapshot != -1 else None
+        )
         by_part: dict[tuple, list[DataFile]] = {}
         for f in live:
             by_part.setdefault(tuple(sorted(f.partition.items())), []).append(f)
@@ -795,183 +875,95 @@ class FsTable:
             n_compacted += len(small)
         if not rewritten:
             return None
-        return self._commit_file_set(
+        # replace commits validate the planning base: if a concurrent
+        # append advanced the table mid-rewrite, merging would silently
+        # drop the appended files — raise ReplaceConflictError instead
+        return self._commit_with_retry(
             survivors + rewritten,
             operation="replace",
+            carry_forward=False,
             extra_summary={
                 "compacted-files": str(n_compacted),
                 "added-data-files": str(len(rewritten)),
             },
+            expected_base_snapshot=planned_snapshot,
         )
-
-    def _commit_file_set(
-        self, files: list[DataFile], operation: str, extra_summary: dict[str, str]
-    ) -> int:
-        """Commit a snapshot whose SINGLE consolidated manifest defines
-        the complete live file set (replace semantics)."""
-        md = self.metadata()
-        base_version = self.current_version()
-        seq = md["last-sequence-number"] + 1
-        snapshot_id = int.from_bytes(os.urandom(8), "big") >> 1
-        parent = md["current-snapshot-id"]
-        now_ms = int(time.time() * 1000)
-        meta_dir = os.path.join(self.location, "metadata")
-        spec_fields = self.partition_spec()
-
-        manifest_path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
-        entries = [
-            {
-                "status": STATUS_ADDED,
-                "snapshot_id": snapshot_id,
-                "sequence_number": seq,
-                "file_sequence_number": seq,
-                "data_file": {
-                    "content": 0,
-                    "file_path": f.file_path,
-                    "file_format": "PARQUET",
-                    "partition": {
-                        pf["name"]: f.partition.get(pf["name"]) for pf in spec_fields
-                    },
-                    "record_count": f.record_count,
-                    "file_size_in_bytes": f.file_size_in_bytes,
-                },
-            }
-            for f in files
-        ]
-        manifest_len = write_ocf(
-            manifest_path,
-            manifest_avro_schema(spec_fields),
-            entries,
-            extra_metadata={
-                "schema": json.dumps(md["schemas"][md["current-schema-id"]]),
-                "partition-spec": json.dumps(spec_fields),
-                "partition-spec-id": str(md["default-spec-id"]),
-                "format-version": "2",
-                "content": "data",
-            },
-        )
-        list_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro")
-        write_ocf(
-            list_path,
-            MANIFEST_LIST_SCHEMA,
-            [
-                {
-                    "manifest_path": manifest_path,
-                    "manifest_length": manifest_len,
-                    "partition_spec_id": md["default-spec-id"],
-                    "content": 0,
-                    "sequence_number": seq,
-                    "min_sequence_number": seq,
-                    "added_snapshot_id": snapshot_id,
-                    "added_files_count": len(files),
-                    "existing_files_count": 0,
-                    "deleted_files_count": 0,
-                    "added_rows_count": sum(f.record_count for f in files),
-                    "existing_rows_count": 0,
-                    "deleted_rows_count": 0,
-                }
-            ],
-            extra_metadata={
-                "snapshot-id": str(snapshot_id),
-                "parent-snapshot-id": str(parent),
-                "sequence-number": str(seq),
-                "format-version": "2",
-            },
-        )
-        summary = {"operation": operation, **extra_summary}
-        snapshot = {
-            "snapshot-id": snapshot_id,
-            "parent-snapshot-id": parent if parent != -1 else None,
-            "sequence-number": seq,
-            "timestamp-ms": now_ms,
-            "manifest-list": list_path,
-            "summary": summary,
-            "schema-id": md["current-schema-id"],
-        }
-        new_md = dict(md)
-        new_md["last-sequence-number"] = seq
-        new_md["last-updated-ms"] = now_ms
-        new_md["snapshots"] = md["snapshots"] + [snapshot]
-        new_md["current-snapshot-id"] = snapshot_id
-        new_md["refs"] = {"main": {"snapshot-id": snapshot_id, "type": "branch"}}
-        new_md["snapshot-log"] = md["snapshot-log"] + [
-            {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
-        ]
-        new_md["metadata-log"] = md["metadata-log"] + [
-            {
-                "timestamp-ms": md["last-updated-ms"],
-                "metadata-file": _metadata_path(self.location, base_version),
-            }
-        ]
-        _write_metadata_version(self.location, base_version + 1, new_md)
-        _swap_version_hint(self.location, base_version + 1)
-        return snapshot_id
 
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
-        """Drop all but the last `keep_last` snapshots and physically
-        delete data files and manifests no retained snapshot references.
-        Returns the deleted data-file paths. This is the reclamation
-        half of compaction: rewritten-away files survive (for time
-        travel) exactly until their last referencing snapshot expires."""
-        md = self.metadata()
-        snaps = md["snapshots"]
-        if len(snaps) <= keep_last:
-            return []
-        retained, expired = snaps[-keep_last:], snaps[:-keep_last]
+        """Drop all but the last `keep_last` snapshots, COMMIT the pruned
+        metadata, and only then physically delete data files and
+        manifests no retained snapshot references (commit-then-delete,
+        like jar-backed Iceberg: a crash or lost CAS before the commit
+        leaves the table fully intact; a crash after it leaves only
+        harmless unreferenced files). Returns the deleted data-file
+        paths."""
+        attempts = 3
+        for attempt in range(attempts):
+            base_version, md = self._load_state()
+            snaps = md["snapshots"]
+            if len(snaps) <= keep_last:
+                return []
+            retained, expired = snaps[-keep_last:], snaps[:-keep_last]
 
-        def files_of(snapshot: dict) -> set[str]:
-            out: set[str] = set()
-            _, _, manifests = read_ocf(snapshot["manifest-list"])
-            for m in manifests:
-                _, _, entries = read_ocf(m["manifest_path"])
-                out.update(e["data_file"]["file_path"] for e in entries)
-            return out
+            # read phase: manifests are SHARED across snapshots (append
+            # carries them forward) — collect everything before deleting
+            def manifest_tree(snapshot: dict) -> tuple[set[str], set[str]]:
+                files: set[str] = set()
+                manifests: set[str] = set()
+                _, _, mlist = read_ocf(snapshot["manifest-list"])
+                for m in mlist:
+                    manifests.add(m["manifest_path"])
+                    _, _, entries = read_ocf(m["manifest_path"])
+                    files.update(e["data_file"]["file_path"] for e in entries)
+                return files, manifests
 
-        keep_files: set[str] = set()
-        keep_manifests: set[str] = set()
-        for s in retained:
-            keep_files |= files_of(s)
-            _, _, manifests = read_ocf(s["manifest-list"])
-            keep_manifests.update(m["manifest_path"] for m in manifests)
+            keep_files: set[str] = set()
+            keep_manifests: set[str] = set()
+            for s in retained:
+                f_, m_ = manifest_tree(s)
+                keep_files |= f_
+                keep_manifests |= m_
+            expired_files: set[str] = set()
+            expired_manifests: set[str] = set()
+            expired_lists = {s["manifest-list"] for s in expired}
+            for s in expired:
+                f_, m_ = manifest_tree(s)
+                expired_files |= f_
+                expired_manifests |= m_
 
-        # read phase first: manifests are SHARED across snapshots (append
-        # carries them forward), so deleting while iterating would break
-        # later reads of the same manifest
-        expired_files: set[str] = set()
-        expired_manifests: set[str] = set()
-        expired_lists: set[str] = set()
-        for s in expired:
-            expired_lists.add(s["manifest-list"])
-            _, _, manifests = read_ocf(s["manifest-list"])
-            for m in manifests:
-                expired_manifests.add(m["manifest_path"])
-                _, _, entries = read_ocf(m["manifest_path"])
-                expired_files.update(e["data_file"]["file_path"] for e in entries)
+            now_ms = int(time.time() * 1000)
+            retained_ids = {s["snapshot-id"] for s in retained}
+            new_md = dict(md)
+            new_md["snapshots"] = retained
+            new_md["snapshot-log"] = [
+                e for e in md["snapshot-log"] if e["snapshot-id"] in retained_ids
+            ]
+            new_md["last-updated-ms"] = now_ms
+            try:
+                _write_metadata_version(self.location, base_version + 1, new_md)
+            except CommitConflictError:
+                if attempt + 1 == attempts:
+                    raise
+                for _ in range(10):
+                    if self.current_version() != base_version:
+                        break
+                    time.sleep(0.05)
+                else:
+                    raise
+                continue  # re-plan against the new base
+            _swap_version_hint(self.location, base_version + 1)
 
-        deleted: list[str] = []
-        for p in sorted(expired_files - keep_files):
-            if os.path.exists(p):
-                os.remove(p)
-                deleted.append(p)
-        for p in expired_manifests - keep_manifests:
-            if os.path.exists(p):
-                os.remove(p)
-        for p in expired_lists:  # manifest lists are per-snapshot, never shared
-            if os.path.exists(p):
-                os.remove(p)
-
-        now_ms = int(time.time() * 1000)
-        base_version = self.current_version()
-        retained_ids = {s["snapshot-id"] for s in retained}
-        new_md = dict(md)
-        new_md["snapshots"] = retained
-        new_md["snapshot-log"] = [
-            e for e in md["snapshot-log"] if e["snapshot-id"] in retained_ids
-        ]
-        new_md["last-updated-ms"] = now_ms
-        _write_metadata_version(self.location, base_version + 1, new_md)
-        _swap_version_hint(self.location, base_version + 1)
-        return sorted(deleted)
+            # delete phase (post-commit): no metadata references these
+            deleted: list[str] = []
+            for p in sorted(expired_files - keep_files):
+                if os.path.exists(p):
+                    os.remove(p)
+                    deleted.append(p)
+            for p in (expired_manifests - keep_manifests) | expired_lists:
+                if os.path.exists(p):
+                    os.remove(p)
+            return deleted
+        raise AssertionError("unreachable")
 
 
 # --------------------------------------------------------------------------
@@ -993,9 +985,26 @@ def _hive_values(rel_path: str) -> dict[str, str]:
     return values
 
 
-def _hive_values_from_path(path: str) -> dict[str, str]:
-    """Like _hive_values but over an absolute path (any `key=value`
-    directory segment counts)."""
+NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"  # Spark's null-partition dir
+
+
+def _part_int(value: str) -> int | None:
+    """Partition transform value from a Hive dir value; NULL source
+    timestamps partition as null (legal in manifests — the avro schema
+    makes partition fields optional) rather than crashing the commit."""
+    return None if value == NULL_PARTITION else int(value)
+
+
+def _hive_values_scoped(path: str, location: str) -> dict[str, str]:
+    """`key=value` segments BELOW the table location only — a warehouse
+    rooted under a path that itself contains `year=...`-style segments
+    must not leak those into partition values (same scoping rule as
+    recovery/scanner.py's root strip). External paths (registered from
+    outside the table tree) fall back to whole-path parsing, which the
+    caller controls."""
+    rel = os.path.relpath(path, location)
+    if not rel.startswith(".."):
+        return _hive_values(rel)
     return _hive_values(path)
 
 
@@ -1009,7 +1018,9 @@ def _scan_written_files(batch_dir: str, partition_names: list[str]) -> list[Data
     files: list[DataFile] = []
     for path in sorted(glob.glob(os.path.join(batch_dir, "**", "*.parquet"), recursive=True)):
         hive = _hive_values(os.path.relpath(path, batch_dir))
-        partition = {name: int(hive[name]) for name in partition_names if name in hive}
+        partition = {
+            name: _part_int(hive[name]) for name in partition_names if name in hive
+        }
         files.append(
             DataFile(
                 file_path=os.path.abspath(path),

@@ -526,3 +526,87 @@ class TestCommitEdgeCases:
 
             ids = pq.read_table(f.file_path, columns=["event_id"])["event_id"].to_pylist()
             assert ids == sorted(ids)
+
+
+# --------------------------------------------------------------------------
+# review regressions: floor transforms, null partitions, replace conflicts
+# --------------------------------------------------------------------------
+
+
+class TestReviewRegressions:
+    def test_transform_floor_semantics_pre_1970(self, spark):
+        """`div` truncates toward zero; the Iceberg transforms FLOOR.
+        23:59:59 on 1969-12-31 is hour -1, and executor-side
+        transform_column must agree with driver-side transform_value."""
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            transform_column,
+        )
+
+        df = spark.sql(
+            "SELECT to_timestamp('1969-12-31 23:59:59') AS ts "
+            "UNION ALL SELECT to_timestamp('1970-01-01 00:00:01')"
+        )
+        got = sorted(
+            r[0]
+            for r in df.select(transform_column("ts", "hours").alias("h")).collect()
+        )
+        assert got == [-1, 0]
+        ts = datetime(1969, 12, 31, 23, 59, 59, tzinfo=timezone.utc)
+        assert transform_value(ts, "hours") == -1
+        assert transform_value(ts, "days") == -1
+
+    def test_null_timestamp_rows_commit_as_null_partition(self, spark, tmp_path):
+        """A record with no timestamp (proto3 omits zero fields) must not
+        crash the commit; it lands in the null partition and is never
+        pruned away."""
+        df = spark.sql(
+            "SELECT 1 AS event_id, to_timestamp('2024-03-01 05:00:00') AS ts, 2 AS value "
+            "UNION ALL SELECT 2, CAST(NULL AS timestamp), 4"
+        )
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("ns", "ev", df.schema, "ts", "hourly")
+        assert t.append_dataframe(df) is not None
+        assert t.read(spark).count() == 2
+        parts = {
+            f.partition.get("ts_hour") for f in t.plan_files()[0]
+        }
+        assert None in parts  # null-ts file has a null partition value
+        # pruning keeps the null-partition file (can't prove it's outside)
+        base_hour = int(datetime(2024, 3, 1, 5, tzinfo=timezone.utc).timestamp()) // 3600
+        got = t.read(spark, partition_range=(base_hour, base_hour))
+        assert got.count() == 2
+
+    def test_rewrite_raises_when_table_advances_mid_plan(
+        self, spark, tmp_path, events_df, monkeypatch
+    ):
+        """A replace commit planned against snapshot A must not merge
+        with a concurrent append B — it raises for a re-plan instead of
+        silently dropping B's files."""
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            ReplaceConflictError,
+        )
+
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("ns", "ev", events_df.schema, "ts", "hourly")
+        t.append_dataframe(events_df.filter("event_id < 50"))
+        t.append_dataframe(events_df.filter("event_id >= 50 AND event_id < 80"))
+
+        real_plan = t.plan_files
+        state = {"raced": False}
+
+        def racy_plan(*a, **k):
+            out = real_plan(*a, **k)
+            if not state["raced"]:
+                state["raced"] = True
+                # concurrent append lands AFTER the rewrite planned
+                t.append_files(
+                    [DataFile("/data/late.parquet", 10, 1, {"ts_hour": 1})]
+                )
+            return out
+
+        monkeypatch.setattr(t, "plan_files", racy_plan)
+        with pytest.raises(ReplaceConflictError):
+            t.rewrite_data_files(spark, target_bytes=1 << 20, min_files=2)
+        # nothing lost: the late append's file is still live
+        paths = {f.file_path for f in real_plan()[0]}
+        assert "/data/late.parquet" in paths
