@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..sources.tables import load_table
+from ..sources.tables import epoch_micros_sql, load_table
 from . import register
 
 NS_PER_HOUR = 3_600_000_000_000
@@ -209,11 +209,13 @@ def e05_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e07_asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        "o_orderkey",
-        (F.unix_millis(F.col("o_orderdate").cast("timestamp")) * F.lit(1_000_000)).alias("od_ns"),
-    )
+    o_raw = load_table(spark, sf_dir, "orders")
+    # ms-truncated epoch-ns, matching the oracle's epoch_ms(...)*1000000;
+    # epoch_micros_sql keeps it session-tz-independent for NTZ orderdates
+    od_ns = F.expr(
+        f"(({epoch_micros_sql(o_raw, 'o_orderdate')} div 1000) * 1000000)"
+    ).alias("od_ns")
+    o = o_raw.select("o_custkey", "o_orderkey", od_ns)
     joined = ev.join(
         o, (o.o_custkey == ev.user_id) & (o.od_ns <= ev.ts_ns), "inner"
     )

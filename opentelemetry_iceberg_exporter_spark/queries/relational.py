@@ -303,8 +303,11 @@ def q09_top10_filtered_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            # plain string literals: Spark coerces them to the COLUMN's
+            # timestamp type (NTZ or LTZ), so the wall-clock comparison is
+            # session-tz-independent either way, and pushdown is kept
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )

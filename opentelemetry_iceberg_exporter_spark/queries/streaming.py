@@ -30,6 +30,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 from ..streaming.stateful import (
@@ -40,32 +41,55 @@ from ..streaming.stateful import (
 )
 from . import register
 
-# events.parquet physical schema under nanosAsLong=true (ts is
-# TIMESTAMP(NANOS) in the file -> LongType epoch-ns; see sources/tables.py)
-_EVENTS_NS_SCHEMA = StructType(
-    [
+def _events_fields(ts_type) -> list[StructField]:
+    return [
         StructField("event_id", LongType(), True),
-        StructField("ts", LongType(), True),
+        StructField("ts", ts_type, True),
         StructField("user_id", LongType(), True),
         StructField("event_type", StringType(), True),
         StructField("value", DoubleType(), True),
         StructField("props", StringType(), True),
     ]
-)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the events table with ts as a µs-truncated
-    TimestampType (matching the batch-side ts semantics: DuckDB truncates
-    parquet ns to µs on read)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream of the events table with ts as an instant
+    TimestampType (matching the batch-side ts semantics in
+    sources/tables.py — DuckDB/reference truncate parquet ns to µs).
+
+    The file source needs an explicit schema; peek at the parquet footer
+    driver-side (metadata-only, no Spark job) because the driver's
+    testdata has shipped ts both as TIMESTAMP(NANOS) (reads as epoch-ns
+    long under nanosAsLong) and as TIMESTAMP(MICROS) isAdjustedToUTC=false
+    (reads as TIMESTAMP_NTZ).
+    """
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    ts_arrow = pq.read_schema(path).field("ts").type
+    if ts_arrow == "timestamp[ns]":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = StructType(_events_fields(LongType()))
+    else:
+        schema = StructType(_events_fields(TimestampNTZType()))
     # the file source wants a directory; glob-filter to the events table
     raw = (
-        spark.readStream.schema(_EVENTS_NS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NTZ wall-clock is UTC by the testdata's convention (same rule the
+    # batch loader applies): convert without session-tz dependence.
+    return raw.withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+        ),
+    )
 
 
 def run_to_memory(df: DataFrame, prefix: str, output_mode: str) -> DataFrame:

@@ -45,12 +45,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events":
-        # nanosAsLong=true -> ts is LongType epoch-ns. DuckDB (the oracle)
-        # truncates parquet ns-timestamps to us on read, so ts_ns is
-        # us-truncated too (kept in ns units) — also exactly the
-        # reference's ns->us storage policy (traces.go:141-142).
-        if dict(df.dtypes).get("ts") == "bigint":
-            # integer `div`, NOT floor(x/1000): double division loses ulps
+        ttype = dict(df.dtypes).get("ts")
+        if ttype == "bigint":
+            # nanosAsLong=true -> ts is LongType epoch-ns. DuckDB (the
+            # oracle) truncates parquet ns-timestamps to us on read, so
+            # ts_ns is us-truncated too (kept in ns units) — also exactly
+            # the reference's ns->us storage policy (traces.go:141-142).
+            # Integer `div`, NOT floor(x/1000): double division loses ulps
             # at epoch-ns magnitude (~1.7e18) and rounds some values up.
             df = (
                 df.withColumnRenamed("ts", "ts_raw_ns")
@@ -58,9 +59,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 .withColumn("ts", F.timestamp_micros(F.expr("ts_raw_ns div 1000")))
                 .drop("ts_raw_ns")
             )
-        else:  # already a timestamp (e.g. future driver change)
+        elif ttype == "timestamp_ntz":
+            # parquet timestamp[us] with isAdjustedToUTC=false. DuckDB
+            # reads it as a naive timestamp and treats the wall-clock as
+            # UTC in epoch math (epoch_ns); mirror that deterministically
+            # with timestampdiff on NTZ operands — no session-timezone
+            # dependence, unlike cast(ts as timestamp)/unix_micros.
+            df = (
+                df.withColumn(
+                    "ts_us",
+                    F.expr(
+                        "timestampdiff(MICROSECOND,"
+                        " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                    ),
+                )
+                .withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
+                .withColumn("ts", F.timestamp_micros("ts_us"))
+                .drop("ts_us")
+            )
+        else:  # already an instant timestamp
             df = df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * 1000)
     return df
+
+
+def epoch_micros_sql(df: DataFrame, colname: str) -> str:
+    """SQL fragment for epoch-µs of a timestamp column, independent of the
+    session timezone: NTZ wall-clock is treated as UTC — the same rule
+    DuckDB's epoch_* functions apply to naive timestamps, so oracles
+    agree regardless of where the session runs."""
+    if dict(df.dtypes).get(colname) == "timestamp_ntz":
+        return (
+            "timestampdiff(MICROSECOND,"
+            f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {colname})"
+        )
+    return f"unix_micros({colname})"
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
