@@ -352,6 +352,142 @@ def d04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Near-dup group resolution: connected components over the candidate graph
+
+
+def dedup_groups(docs: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Resolve near-dup candidate PAIRS into dedup GROUPS: each document
+    gets the component id (min doc id reachable through the pair graph),
+    the component size, and a canonical flag — the piece that turns LSH
+    output into an actual keep/drop decision for a training corpus.
+
+    Algorithm: iterative min-label propagation (hash-min connected
+    components) run ONLY over nodes that appear in at least one pair —
+    at a realistic near-dup rate the candidate graph is orders of
+    magnitude smaller than the corpus, so the loop never touches the
+    full 100 TB table; singleton docs join back in one final left join.
+    Each iteration is one equi-join + min-aggregate (both shuffle on the
+    node id, so AQE can reuse the exchange), and labels are
+    localCheckpoint'ed to truncate lineage — the standard Spark shape
+    for iterative graph algorithms (GraphFrames CC does the same).
+    Iterations = graph diameter; near-dup components are tiny dense
+    cliques (diameter 1-2), so convergence is 2-3 rounds. For
+    adversarial long-chain graphs, swap the propagation step for
+    large-star/small-star (Kiveris et al.) — same join primitive,
+    O(log n) rounds.
+
+    The reference has no counterpart (closest analog: the recovery
+    reconciler's set algebra, internal/recovery/reconciler.go); this is
+    part of the LLM-pipeline extension surface.
+    """
+    e = pairs.select("id_a", "id_b")
+    edges = e.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(e.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    while True:
+        prop = edges.join(labels, edges["dst"] == labels["node"]).select(
+            edges["src"].alias("node"), labels["label"]
+        )
+        merged = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            merged.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = merged
+        if changed == 0:
+            break
+    out = (
+        docs.select(F.col(id_col))
+        .join(labels.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("group_id", F.coalesce(F.col("label"), F.col(id_col)))
+        .drop("label")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("group_id")
+    return out.select(
+        F.col(id_col),
+        F.col("group_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        (F.col(id_col) == F.col("group_id")).alias("is_canonical"),
+    )
+
+
+def _dedup_groups_oracle() -> str:
+    n_bands = NUM_HASHES // BAND_SIZE
+    base = _DUCK_HASH64.format(x="s") + f" % {HASH_MOD}"
+    sig_exprs = ",\n      ".join(
+        f"list_aggregate(list_transform(hs, h -> ({a} * h + {b}) % {HASH_MOD}), 'min')"
+        f" AS sig{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5("
+        + " || ',' || ".join(f"sig{b * BAND_SIZE + j}::VARCHAR" for j in range(BAND_SIZE))
+        + ") AS band_key FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(list_distinct({_duck_shingles(3)}), s -> {base}) AS hs
+      FROM tok
+    ), sigs AS (
+      SELECT doc_id, {sig_exprs} FROM sh
+    ), bands AS (
+      {band_rows}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    ), comp AS (
+      SELECT node AS doc_id, MIN(label) AS group_id FROM reach GROUP BY node
+    )
+    SELECT doc_id, group_id,
+           COUNT(*) OVER (PARTITION BY group_id) AS group_size,
+           (doc_id = group_id) AS is_canonical
+    FROM comp
+    """
+
+
+@register(
+    "d07_dedup_groups",
+    _dedup_groups_oracle(),
+    doc="MinHash-LSH pairs resolved to dedup groups via distributed "
+    "connected components (hash-min label propagation over the candidate "
+    "graph only); every doc gets (group_id, group_size, is_canonical). "
+    "Oracle: recursive-CTE transitive closure over the same pair graph.",
+)
+def d07_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    return dedup_groups(docs, minhash_lsh_pairs(sigs, "doc_id"), "doc_id")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 
 

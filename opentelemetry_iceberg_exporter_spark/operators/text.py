@@ -57,11 +57,11 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def doc_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """The full per-document feature row (merged t01+t02+t04+t06): token
-    statistics, quality score, content fingerprints, BPE-ish token
-    counts — ONE map-side Catalyst projection over the token array (no
-    joins: at 100 TB a single narrow select beats 4 projections joined
-    on doc_id by three shuffles)."""
+    """The full per-document feature row (merged t01+t02+t03+t04+t06):
+    token statistics, quality score, language-ID scores + prediction,
+    content fingerprints, BPE-ish token counts — ONE map-side Catalyst
+    projection over the token array (no joins: at 100 TB a single narrow
+    select beats 5 projections joined on doc_id by four shuffles)."""
     text = F.col(text_col)
     tok = tokens(text)
     n = F.size(tok)
@@ -80,6 +80,16 @@ def doc_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     head = F.slice(tok, 1, 3)
     tail = F.slice(tok, F.greatest(F.size(tok) - 2, F.lit(1)), 3)
     bpe = F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_PATTERN), F.lit(0))
+    # language-ID: same sequential argmax as language_id(), inlined so the
+    # lang columns ride the one projection
+    lang_scores = {lang: _count_in(tok, words) for lang, words in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    pred = F.lit(langs[0])
+    best_score = lang_scores[langs[0]]
+    for lang in langs[1:]:
+        cond = lang_scores[lang] > best_score
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+        best_score = F.when(cond, lang_scores[lang]).otherwise(best_score)
     return df.select(
         F.col(id_col),
         n.alias("n_tokens"),
@@ -93,13 +103,33 @@ def doc_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(F.concat_ws(" ", F.concat(head, tail))).alias("fp_headtail"),
         F.size(bpe).alias("n_bpe_tokens"),
         F.round(F.size(bpe).cast("double") / n, 4).alias("tokens_per_word"),
+        *[lang_scores[lang].alias(f"score_{lang}") for lang in langs],
+        pred.alias("pred_lang"),
     )
 
 
+def _duck_lang_score(words: list[str]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(t, x -> x IN ({inlist})))"
+
+
 def _doc_features_oracle() -> str:
+    langs = list(LANG_MARKERS)
+    score_cols = ",\n           ".join(
+        f"{_duck_lang_score(LANG_MARKERS[lang])} AS score_{lang}" for lang in langs
+    )
+    # same sequential argmax as the Spark side (references the score_*
+    # aliases, so it lives in an outer select over the feat CTE)
+    pred = f"'{langs[0]}'"
+    best = f"score_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"CASE WHEN score_{lang} > {best} THEN score_{lang} ELSE {best} END"
     return f"""
-    WITH tok AS (SELECT doc_id, text, {_DUCK_TOKENS} AS t FROM documents)
+    WITH tok AS (SELECT doc_id, text, {_DUCK_TOKENS} AS t FROM documents),
+    feat AS (
     SELECT doc_id,
+           {score_cols},
            len(t) AS n_tokens,
            len(list_distinct(t)) AS n_unique_tokens,
            ROUND(list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t), 4)
@@ -122,6 +152,8 @@ def _doc_features_oracle() -> str:
                '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\\s'']+'))::DOUBLE
                / len(t), 4) AS tokens_per_word
     FROM tok
+    )
+    SELECT *, {pred} AS pred_lang FROM feat
     """
 
 
@@ -188,11 +220,6 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _duck_lang_score(words: list[str]) -> str:
-    inlist = ", ".join(f"'{w}'" for w in words)
-    return f"len(list_filter(t, x -> x IN ({inlist})))"
-
-
 def _duck_lang_oracle() -> str:
     langs = list(LANG_MARKERS)
     score_cols = ",\n           ".join(
@@ -217,12 +244,13 @@ def _duck_lang_oracle() -> str:
     """
 
 
-@register(
-    "t03_language_id",
-    _duck_lang_oracle(),
-    doc="n-gram/stopword-marker language identification heuristic.",
-)
+# NOTE: the former t03 language-ID query merged into t01_doc_features
+# (score_* + pred_lang now ride the same single projection) — freed the
+# driver-window slot for d07_dedup_groups. language_id() and its oracle
+# builder are unchanged for standalone use.
 def t03_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone language-ID query (no longer driver-registered; the
+    same columns are graded inside t01_doc_features)."""
     return language_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
