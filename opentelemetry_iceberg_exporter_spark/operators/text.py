@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..functions import ngrams, tokens
 from ..sources.tables import load_table
 from ..queries import register
+from .sampling import duck_split_assignment, split_assignment
 
 _DUCK_TOKENS = r"regexp_split_to_array(trim(text), '\s+')"
 
@@ -105,6 +106,9 @@ def doc_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(F.size(bpe).cast("double") / n, 4).alias("tokens_per_word"),
         *[lang_scores[lang].alias(f"score_{lang}") for lang in langs],
         pred.alias("pred_lang"),
+        # deterministic train/val/test assignment (operators/sampling.py):
+        # a real preprocessing pass computes this in the same projection
+        split_assignment(F.col(id_col)),
     )
 
 
@@ -153,7 +157,9 @@ def _doc_features_oracle() -> str:
                / len(t), 4) AS tokens_per_word
     FROM tok
     )
-    SELECT *, {pred} AS pred_lang FROM feat
+    SELECT *, {pred} AS pred_lang,
+           {duck_split_assignment("doc_id")} AS split
+    FROM feat
     """
 
 
