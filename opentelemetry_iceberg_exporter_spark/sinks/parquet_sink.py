@@ -46,9 +46,16 @@ def partition_value_columns(
     Timezone is applied before formatting (partition.go:160-163 uses
     time.In(loc)); values are zero-padded strings, matching the
     reference's %04d/%02d path rendering (partition.go:169-180).
+
+    `ts` must be an instant (TIMESTAMP_LTZ, what load_table/flatten
+    produce). convert_timezone turns it into the target-zone wall clock
+    as TIMESTAMP_NTZ, and date_format on NTZ renders that wall clock
+    verbatim — so the partition values do NOT depend on
+    spark.sql.session.timeZone (a bare date_format(ltz) does, which
+    silently re-partitions data when a cluster runs non-UTC).
     """
     depth = _GRANULARITY_DEPTH[granularity]
-    local = ts if timezone == "UTC" else F.from_utc_timestamp(ts, timezone)
+    local = F.convert_timezone(None, F.lit(timezone), ts)
     return [
         (name, F.date_format(local, fmt))
         for name, fmt in zip(_PART_FIELDS[:depth], _PART_FORMATS[:depth])
