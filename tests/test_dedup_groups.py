@@ -50,6 +50,21 @@ def test_every_doc_appears_exactly_once(spark):
     assert keep.count() == res.select("group_id").distinct().count()
 
 
+def test_long_chain_converges_in_log_rounds(spark):
+    """A 64-node path graph has diameter 63: plain neighbor-min needs ~63
+    rounds, pointer doubling needs ~log2(63)+2. max_iter=10 proves the
+    doubling is actually in effect (the run RAISES if it isn't)."""
+    n = 64
+    docs = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
+    )
+    out = dedup_groups(docs, chain, "doc_id", max_iter=10)
+    rows = out.collect()
+    assert all(r["group_id"] == 1 for r in rows)
+    assert all(r["group_size"] == n for r in rows)
+
+
 def test_empty_pairs_all_singletons(spark):
     docs, _ = _fixture(spark)
     empty = spark.createDataFrame([], "id_a long, id_b long")
