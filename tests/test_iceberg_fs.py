@@ -610,3 +610,79 @@ class TestReviewRegressions:
         # nothing lost: the late append's file is still live
         paths = {f.file_path for f in real_plan()[0]}
         assert "/data/late.parquet" in paths
+
+
+# --------------------------------------------------------------------------
+# incremental (snapshot-diff) consumption
+# --------------------------------------------------------------------------
+
+
+class TestIncrementalRead:
+    def _three_appends(self, spark, tmp_path, events_df):
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("ns", "ev", events_df.schema, "ts", "hourly")
+        s1 = t.append_dataframe(events_df.filter("event_id < 30"))
+        s2 = t.append_dataframe(events_df.filter("event_id >= 30 AND event_id < 70"))
+        s3 = t.append_dataframe(events_df.filter("event_id >= 70"))
+        return t, (s1, s2, s3)
+
+    def test_window_yields_only_new_rows(self, spark, tmp_path, events_df):
+        t, (s1, s2, s3) = self._three_appends(spark, tmp_path, events_df)
+        ids = {
+            r["event_id"] for r in t.read_changes(spark, from_snapshot_id=s1).collect()
+        }
+        assert ids == set(range(30, 100))
+        mid = {
+            r["event_id"]
+            for r in t.read_changes(
+                spark, from_snapshot_id=s1, to_snapshot_id=s2
+            ).collect()
+        }
+        assert mid == set(range(30, 70))
+
+    def test_from_none_is_full_history(self, spark, tmp_path, events_df):
+        t, _ = self._three_appends(spark, tmp_path, events_df)
+        assert t.read_changes(spark).count() == 100
+
+    def test_empty_window(self, spark, tmp_path, events_df):
+        t, (_, _, s3) = self._three_appends(spark, tmp_path, events_df)
+        out = t.read_changes(spark, from_snapshot_id=s3)
+        assert out.count() == 0
+        assert "event_id" in out.columns  # placeholder schema preserved
+
+    def test_compaction_not_replayed(self, spark, tmp_path, events_df):
+        """A replace snapshot rewrites layout, not logical data: consumers
+        that already processed the appends must see NOTHING new after a
+        compaction — re-emitting rewritten files would double-process."""
+        t, (s1, s2, s3) = self._three_appends(spark, tmp_path, events_df)
+        t.rewrite_data_files(spark, target_bytes=1 << 20, min_files=2)
+        assert t.read_changes(spark, from_snapshot_id=s3).count() == 0
+        # while a window over the appends still yields exactly the appends
+        assert t.read_changes(spark, from_snapshot_id=s1).count() == 70
+
+    def test_consumer_checkpoint_loop(self, spark, tmp_path, events_df):
+        """The intended consumption pattern: checkpoint the last snapshot
+        processed, pass it as from on the next poll — every row arrives
+        exactly once across polls."""
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("ns", "ev", events_df.schema, "ts", "hourly")
+        seen: set[int] = set()
+        last = None
+        for lo, hi in [(0, 25), (25, 60), (60, 100)]:
+            t.append_dataframe(
+                events_df.filter(f"event_id >= {lo} AND event_id < {hi}")
+            )
+            batch = {
+                r["event_id"]
+                for r in t.read_changes(spark, from_snapshot_id=last).collect()
+            }
+            assert batch == set(range(lo, hi))  # only the new append
+            assert not (seen & batch)
+            seen |= batch
+            last = t.current_snapshot()["snapshot-id"]
+        assert seen == set(range(100))
+
+    def test_unknown_snapshot_rejected(self, spark, tmp_path, events_df):
+        t, _ = self._three_appends(spark, tmp_path, events_df)
+        with pytest.raises(ValueError, match="unknown from snapshot"):
+            t.incremental_files(from_snapshot_id=12345)
