@@ -13,7 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import ngrams, tokens
+from ..functions import md5_hash64, ngrams, tokens
+from ..functions.textfns import HASH_MOD
 from ..sources.tables import load_table
 from ..queries import register
 from .sampling import duck_split_assignment, split_assignment
@@ -276,6 +277,88 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 # NOTE: the former t04 fingerprint query merged into t01_doc_features
 # — round-2 50-slot consolidation. fingerprint() is unchanged.
+
+
+WINNOW_K = 5  # char k-gram width
+WINNOW_W = 4  # winnowing window (guarantee: any match >= k+w-1 chars is caught)
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (Schleimer,
+    Wilkerson & Aiken, SIGMOD'03 — the MOSS algorithm): hash every char
+    k-gram of the normalized text, then keep the MINIMUM hash of each
+    sliding window of w consecutive k-gram hashes. The selected set is
+    position-independent and guarantees any shared substring of length
+    >= k+w-1 contributes at least one common fingerprint — the
+    plagiarism/near-dup detector that md5-of-whole-doc can't be.
+
+    Columnar rendering: a classical rolling hash updates in O(1) per
+    position to save scalar CPU; in a vectorized engine each k-gram
+    hash is an independent array element, so the winnowing SELECTION
+    (the part that defines the output) is expressed exactly while the
+    hash itself is the cross-engine md5 primitive. Everything is one
+    map-side projection — no shuffle, no UDF; at 100 TB the downstream
+    join on exploded fingerprints is the same equi-join shape as d03/d04.
+
+    Output: (id, fingerprints array<bigint> sorted distinct, n_grams).
+    """
+    norm = F.lower(F.trim(F.col(text_col)))
+
+    def gram_hashes(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.length(t) - F.lit(k - 1))
+        hashed = F.transform(
+            idx, lambda i: md5_hash64(t.substr(i, F.lit(k))) % HASH_MOD
+        )
+        return F.when(F.length(t) >= k, hashed).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    # let-bind the hash array (same trick as functions.ngrams) so the
+    # window-min pass reads it instead of recomputing every md5 w times
+    def winnow(h: Column) -> Column:
+        starts = F.sequence(F.lit(1), F.size(h) - F.lit(w - 1))
+        mins = F.transform(starts, lambda j: F.array_min(F.slice(h, j, w)))
+        return F.when(F.size(h) >= w, mins).otherwise(h)
+
+    h_arr = F.element_at(F.transform(F.array(gram_hashes(norm)), lambda x: x), 1)
+    fp = F.element_at(F.transform(F.array(h_arr), winnow), 1)
+    return df.select(
+        F.col(id_col),
+        F.array_sort(F.array_distinct(fp)).alias("fingerprints"),
+        F.size(h_arr).alias("n_grams"),
+    )
+
+
+def duck_winnowing_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    """DuckDB rendering of winnowing_fingerprints over (doc_id, text)."""
+    h64 = "(('0x' || substring(md5(substring(t, i, " + str(k) + ")), 1, 15))::BIGINT)"
+    return f"""
+    WITH norm AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+    hs AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(t) - {k - 1}, 0) + 1),
+                            i -> {h64} % {HASH_MOD}) AS h
+      FROM norm
+    ),
+    win AS (
+      SELECT doc_id, h,
+             CASE WHEN len(h) >= {w}
+                  THEN list_transform(range(1, len(h) - {w - 1} + 1),
+                                      j -> list_aggregate(h[j:j + {w - 1}], 'min'))
+                  ELSE h END AS mins
+      FROM hs
+    )
+    SELECT doc_id,
+           list_sort(list_distinct(mins)) AS fingerprints,
+           len(h) AS n_grams
+    FROM win
+    """
 
 
 def top_ngrams(df: DataFrame, text_col: str, n: int = 2, k: int = 20) -> DataFrame:
