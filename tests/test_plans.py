@@ -162,3 +162,41 @@ class TestNewOperatorContracts:
         df = specs["e10_salted_event_counts"].fn(spark, sf_dir)
         assert num_shuffles(df) <= 2
         assert "HashAggregate" in physical_plan(df, "simple")
+
+
+class TestNewOperatorPlans:
+    """Plan contracts for the round-2 operators: the zero-shuffle and
+    single-shuffle claims in their docstrings, pinned."""
+
+    def test_winnowing_is_map_side_only(self, spark, sf_dir):
+        from opentelemetry_iceberg_exporter_spark.operators.text import (
+            winnowing_fingerprints,
+        )
+        from opentelemetry_iceberg_exporter_spark.sources.tables import load_table
+        from opentelemetry_iceberg_exporter_spark.plans.inspect import num_shuffles
+
+        docs = load_table(spark, sf_dir, "documents")
+        assert num_shuffles(winnowing_fingerprints(docs, "doc_id", "text")) == 0
+
+    def test_hash_split_is_map_side_only(self, spark, sf_dir):
+        from opentelemetry_iceberg_exporter_spark.operators.sampling import (
+            hash_fraction_sample,
+            hash_split,
+        )
+        from opentelemetry_iceberg_exporter_spark.sources.tables import load_table
+        from opentelemetry_iceberg_exporter_spark.plans.inspect import num_shuffles
+
+        docs = load_table(spark, sf_dir, "documents")
+        assert num_shuffles(hash_split(docs, "doc_id")) == 0
+        assert num_shuffles(hash_fraction_sample(docs, "doc_id", 0.25)) == 0
+
+    def test_stratified_sample_single_shuffle(self, spark, sf_dir):
+        from opentelemetry_iceberg_exporter_spark.operators.sampling import (
+            stratified_sample,
+        )
+        from opentelemetry_iceberg_exporter_spark.sources.tables import load_table
+        from opentelemetry_iceberg_exporter_spark.plans.inspect import num_shuffles
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = stratified_sample(docs, ["lang"], 0.2, "doc_id")
+        assert num_shuffles(out) == 1  # the window partition; count rides it
