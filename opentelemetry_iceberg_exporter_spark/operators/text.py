@@ -394,6 +394,88 @@ def t05_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(load_table(spark, sf_dir, "documents"), "text", 2, 20)
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    Determinism: the ranking score is tf * n_docs / df — one IEEE
+    double division of exact integers, which is correctly rounded and
+    therefore bit-identical in any engine, unlike ln()/log() whose last
+    ulp varies across libm implementations. The conventional log-idf is
+    emitted alongside (rounded) for consumers, but ordering never
+    depends on it. Ties break on the term string.
+
+    Scale shape: token explode -> (doc,term) count [shuffle 1 on
+    (doc,term)] -> document frequency [shuffle 2 on term, partial aggs
+    map-side] -> join back on term [co-partitioned with shuffle 2] ->
+    per-doc window top-k [shuffle 3 on doc]. The corpus size n_docs is
+    a 1-row broadcast. When the vocabulary fits in memory, hint
+    F.broadcast on the frequency side to delete shuffle 2's join
+    exchange.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf rows are unique per (doc, term), so counting them per term IS
+    # the document frequency — no second distinct pass
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("term_df"))
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq.filter(F.col("term_df") >= min_df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score", F.col("tf") * F.col("n_docs") / F.col("term_df")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select(
+            F.col(id_col),
+            F.col("rk"),
+            F.col("term"),
+            F.col("tf"),
+            F.col("term_df"),
+            F.round(F.ln(F.col("n_docs") / F.col("term_df")), 6).alias("idf_log"),
+        )
+    )
+
+
+def duck_tfidf_sql(top_k: int = 5, min_df: int = 1) -> str:
+    """DuckDB rendering of tfidf_top_terms over (doc_id, text)."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS term_df FROM tf GROUP BY 1
+    ), nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.term_df, nd.n_docs,
+             tf.tf * nd.n_docs / dfreq.term_df AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+      WHERE dfreq.term_df >= {min_df}
+    )
+    SELECT doc_id, rk, term, tf, term_df,
+           ROUND(ln(n_docs * 1.0 / term_df), 6) AS idf_log
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+      FROM scored
+    ) WHERE rk <= {top_k}
+    """
+
+
 def bpe_token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Sub-word-ish token counting: the BPE pre-tokenization pass (the
     expensive, parallelizable part of real BPE — the merge table lookup
