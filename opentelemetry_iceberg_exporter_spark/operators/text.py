@@ -394,6 +394,43 @@ def t05_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(load_table(spark, sf_dir, "documents"), "text", 2, 20)
 
 
+def winnowing_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_shared: int = 2,
+    df_cap: int | None = 1000,
+) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowing fingerprints —
+    the substring-overlap counterpart of MinHash-LSH (d03): docs sharing
+    >= min_shared selected k-gram hashes. Explode fingerprints ->
+    equi-join on the hash -> pair count; the same stop-key document-
+    frequency cap as d04 guards against boilerplate fingerprints
+    manufacturing O(df²) pairs. Shuffle volume is O(docs × selected
+    fingerprints), never all-pairs.
+    """
+    fp = winnowing_fingerprints(df, id_col, text_col).select(
+        F.col(id_col), F.explode("fingerprints").alias("fp")
+    )
+    fp = fp.repartition(F.col("fp"))
+    if df_cap is not None:
+        freq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df_"))
+        fp = fp.join(freq.filter(F.col("df_") <= df_cap), "fp", "inner").drop("df_")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str,

@@ -73,6 +73,23 @@ def test_short_documents(spark):
     assert out[3]["n_grams"] == 3 and 1 <= len(out[3]["fingerprints"]) <= 3
 
 
+def test_winnowing_pairs_find_substring_overlap(spark):
+    from opentelemetry_iceberg_exporter_spark.operators.text import winnowing_pairs
+
+    shared = "a long enough shared passage of duplicated text appears here"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro one {shared} outro one"),
+            (2, f"intro two {shared} outro two"),
+            (3, "nothing in common with the others whatsoever zz"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in winnowing_pairs(df, "doc_id", "text").collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
 def test_position_independence(spark):
     """Winnowed fingerprints of identical content are identical no matter
     where the content sits (fingerprints are hash VALUES, not offsets)."""
