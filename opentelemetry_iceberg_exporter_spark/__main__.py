@@ -81,6 +81,29 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--min-files", type=int, default=2)
     pc.add_argument("--dry-run", action="store_true")
 
+    pd_ = sub.add_parser(
+        "dedup",
+        help="corpus dedup pipeline: candidate pairs -> connected-component "
+        "groups -> canonical keep list, written as parquet",
+    )
+    pd_.add_argument("--input", required=True, help="parquet file/dir of documents")
+    pd_.add_argument("--output", required=True, help="output dir (parquet)")
+    pd_.add_argument("--id-col", default="doc_id")
+    pd_.add_argument("--text-col", default="text")
+    pd_.add_argument(
+        "--method",
+        default="minhash",
+        choices=["exact", "minhash", "jaccard", "winnow"],
+        help="candidate generation: exact hash, MinHash-LSH bands, n-gram "
+        "Jaccard with skew cap, or winnowing fingerprint overlap",
+    )
+    pd_.add_argument(
+        "--keep-only",
+        action="store_true",
+        help="write only canonical rows (joined back to the input) instead "
+        "of the full (id, group_id, group_size, is_canonical) map",
+    )
+
     pm = sub.add_parser(
         "maintain", help="fs-catalog table maintenance: rewrite_data_files + expire_snapshots"
     )
@@ -94,6 +117,48 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
 
     spark = build_session(app_name=f"otel-engine-{args.cmd}")
+
+    if args.cmd == "dedup":
+        from pyspark.sql import functions as F
+
+        from .operators.dedup import (
+            dedup_groups,
+            exact_dedup,
+            minhash_lsh_pairs,
+            minhash_signatures,
+            ngram_jaccard_pairs,
+        )
+        from .operators.text import winnowing_pairs
+
+        docs = spark.read.parquet(args.input)
+        idc, txt = args.id_col, args.text_col
+        if args.method == "exact":
+            # exact content dedup is its own (cheaper) pipeline: the
+            # group IS the content hash, canonical = min id
+            kept = exact_dedup(docs, txt, idc)
+            if args.keep_only:
+                out = docs.join(kept.select(idc), idc, "semi")
+            else:
+                out = kept
+            out.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"rows": out.count(), "method": "exact"}))
+            return 0
+        if args.method == "minhash":
+            pairs = minhash_lsh_pairs(minhash_signatures(docs, idc, txt), idc)
+        elif args.method == "jaccard":
+            pairs = ngram_jaccard_pairs(docs, idc, txt).select("id_a", "id_b")
+        else:
+            pairs = winnowing_pairs(docs, idc, txt).select("id_a", "id_b")
+        groups = dedup_groups(docs, pairs, idc)
+        if args.keep_only:
+            out = docs.join(
+                groups.filter(F.col("is_canonical")).select(idc), idc, "semi"
+            )
+        else:
+            out = groups
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"rows": out.count(), "method": args.method}))
+        return 0
 
     if args.cmd == "maintain":
         from .sinks.iceberg_fs import FsCatalog
