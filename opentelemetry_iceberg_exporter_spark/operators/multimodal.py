@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque `binary`
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBS (clearly marked, raising NotImplementedError unless the fake
-deterministic decoder is requested).  Everything Spark-side — schema,
-partition sizing, UDF signature, Arrow batch shape — is real and tested;
-swapping the stub for PIL/ffmpeg is a one-function change.
+Decode status: uncompressed formats decode for REAL with numpy alone —
+binary PPM (P6) and uncompressed 24-bit BMP (`decode_image`) — so the
+decode -> resize -> checksum path runs end to end on actual pixel data.
+Compressed codecs (JPEG/PNG/WebP) require PIL/opencv, which this
+container lacks; that branch raises NotImplementedError and is the one
+remaining environment stub (swap in PIL.Image.open — one function).
+Everything Spark-side — schema, partition sizing, UDF signature, Arrow
+batch shape — is real and tested either way.
 
 Scale design: mapInPandas streams Arrow batches (no per-row Python
 overhead); `spark.sql.execution.arrow.maxRecordsPerBatch` bounds batch
@@ -61,14 +64,86 @@ FEATURE_SCHEMA = StructType(
 RESIZE_TARGET = 64  # fit-within box for the resize geometry
 
 
-def decode_image(content: bytes) -> Any:
-    """STUB — real image decoding needs PIL/opencv, not in this container.
+def _decode_ppm(content: bytes):
+    """REAL decoder for binary PPM (P6): pure numpy, no codec libraries.
 
-    Replace with `PIL.Image.open(io.BytesIO(content))` when available.
+    Header per the Netpbm spec: 'P6', then width/height/maxval as ASCII
+    tokens separated by whitespace, '#' comments allowed between tokens,
+    one whitespace byte after maxval, then raw RGB rows.
     """
+    import numpy as np
+
+    pos = 2  # past magic
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(content[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    n = w * h * 3
+    arr = np.frombuffer(content, dtype=np.uint8, count=n, offset=pos)
+    return arr.reshape(h, w, 3)
+
+
+def _decode_bmp(content: bytes):
+    """REAL decoder for uncompressed 24-bit BMP: pure numpy.
+
+    BITMAPFILEHEADER gives the pixel-array offset; BITMAPINFOHEADER
+    gives dims/bpp/compression. Rows are 4-byte padded, stored
+    bottom-up (negative height = top-down), channels BGR.
+    """
+    import struct
+
+    import numpy as np
+
+    data_offset = struct.unpack_from("<I", content, 10)[0]
+    w, h = struct.unpack_from("<ii", content, 18)
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (got bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=stride * h, offset=data_offset
+    ).reshape(h, stride)
+    pix = rows[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        pix = pix[::-1]
+    return pix[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def decode_image(content: bytes) -> Any:
+    """Decode a binary image payload to an (H, W, 3) uint8 RGB array.
+
+    REAL for the uncompressed formats a numpy-only container can parse
+    (binary PPM 'P6', uncompressed 24-bit BMP 'BM'); compressed codecs
+    (JPEG/PNG/WebP) still require PIL/opencv and raise — that branch is
+    the only remaining environment stub, swap in
+    `PIL.Image.open(io.BytesIO(content))` when a codec library ships.
+    """
+    if content[:2] == b"P6":
+        return _decode_ppm(content)
+    if content[:2] == b"BM":
+        return _decode_bmp(content)
     raise NotImplementedError(
-        "image decoding requires PIL/opencv which are not installed; "
-        "use fake_decode=True for the deterministic test decoder"
+        "compressed-codec decoding (JPEG/PNG/...) requires PIL/opencv which "
+        "are not installed; PPM(P6)/BMP decode natively, or use "
+        "fake_decode=True for the deterministic test decoder"
     )
 
 
@@ -132,9 +207,9 @@ def extract_media_features(
                 b = bytes(content)
                 if fake_decode:
                     w, h = _fake_dims(b)
-                else:  # pragma: no cover - requires codec libs
-                    img = decode_image(b)
-                    w, h = img.size
+                else:
+                    arr = decode_image(b)
+                    h, w = arr.shape[:2]
                 scale = min(1.0, float(target) / w, float(target) / h)
                 ow = max(1, math.floor(w * scale))
                 oh = max(1, math.floor(h * scale))
@@ -255,16 +330,19 @@ def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(batches, schema)
 
 
-def resize_media(df: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+def resize_media(
+    df: DataFrame, target: int = RESIZE_TARGET, fake_decode: bool = True
+) -> DataFrame:
     """Aspect-preserving resize into a target box with a REAL pixel
     kernel (vectorized numpy nearest-neighbor, `resize_pixels`).
 
-    Only the codec step is environment-stubbed (`fake_pixels` tiles the
-    payload into an RGB array because no image library ships in this
-    container); the resize itself — sampling-index math, fancy-indexed
-    gather, checksum over the resized buffer — is the production code
-    path. Geometry stays single-op IEEE arithmetic (divide, min,
-    multiply, floor), bit-identical to the SQL oracle.
+    fake_decode=True tiles the payload into an RGB array (`fake_pixels`)
+    so arbitrary binary testdata flows through; fake_decode=False runs
+    the real `decode_image` (PPM/BMP native, codec formats raise). The
+    resize itself — sampling-index math, fancy-indexed gather, checksum
+    over the resized buffer — is the production code path either way.
+    Geometry stays single-op IEEE arithmetic (divide, min, multiply,
+    floor), bit-identical to the SQL oracle.
     """
     schema = StructType(
         [
@@ -286,11 +364,16 @@ def resize_media(df: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content)
-                w, h = _fake_dims(b)
+                if fake_decode:
+                    w, h = _fake_dims(b)
+                    pixels = fake_pixels(b, w, h)
+                else:
+                    pixels = decode_image(b)
+                    h, w = pixels.shape[:2]
                 scale = min(1.0, float(target) / w, float(target) / h)
                 ow = max(1, math.floor(w * scale))
                 oh = max(1, math.floor(h * scale))
-                resized = resize_pixels(fake_pixels(b, w, h), ow, oh)
+                resized = resize_pixels(pixels, ow, oh)
                 rows.append(
                     {
                         "media_id": mid,
