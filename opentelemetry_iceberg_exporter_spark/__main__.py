@@ -72,6 +72,11 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--checkpoint", required=True)
     ps.add_argument("--once", action="store_true", help="availableNow then exit")
     ps.add_argument("--max-files-per-trigger", type=int, default=None)
+    ps.add_argument(
+        "--progress-log",
+        default=None,
+        help="append per-micro-batch self-telemetry JSON lines here",
+    )
 
     sub.add_parser("recover", help="reconcile storage vs catalog (see recovery/cli.py)")
 
@@ -199,6 +204,12 @@ def main(argv: list[str] | None = None) -> int:
 
     from .streaming import start_export_stream
 
+    telemetry_path = getattr(args, "progress_log", None)
+    if telemetry_path:
+        from .streaming.telemetry import attach_progress_logger
+
+        attach_progress_logger(spark, telemetry_path)
+
     q = start_export_stream(
         spark,
         args.input,
@@ -209,6 +220,21 @@ def main(argv: list[str] | None = None) -> int:
         trigger_once=args.once,
     )
     q.awaitTermination()
+    if telemetry_path:
+        # listener delivery is async on the driver bus; give short-lived
+        # --once runs a moment to flush the final progress event before
+        # the JVM exits (long-running streams don't need this)
+        import time
+
+        from .streaming.telemetry import read_progress_log
+
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            if any(
+                e["event"] == "progress" for e in read_progress_log(telemetry_path)
+            ):
+                break
+            time.sleep(0.25)
     return 0
 
 
