@@ -442,3 +442,108 @@ def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means centroid training (Lloyd's algorithm, distributed)
+
+
+def _hash_min_init(df: DataFrame, id_col: str, vec_col: str, k: int) -> list[list[float]]:
+    """Deterministic init: the k vectors whose md5-derived id hash is
+    smallest. Reproducible under any partitioning/cluster size (the same
+    property sampling.split_bucket relies on), unlike RDD takeSample;
+    statistically a uniform random draw because md5 scrambles ids."""
+    from ..functions import md5_hash64
+
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__h", md5_hash64(F.col(id_col).cast("string")))
+        .orderBy("__h", id_col)
+        .limit(k)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    max_iter: int = 20,
+    tol: float = 1e-9,
+) -> tuple[list[list[float]], DataFrame]:
+    """Distributed Lloyd's k-means over an embedding column; returns
+    (centroids, assignments) where assignments has (id, cell).
+
+    Per iteration: (1) the k×dim centroid table is broadcast into a
+    map-side nearest-centroid assignment (squared L2, ties -> lower
+    cell index — array_min over (dist, cell) structs); (2) new means
+    come from ONE shuffle over the posexploded dims with map-side
+    partial sums, and only k×dim doubles return to the driver to seed
+    the next broadcast — the standard iterative-refinement shape
+    (same loop discipline as dedup_groups). Converges when no centroid
+    moves more than tol (assignment fixpoint); empty cells keep their
+    previous centroid.
+
+    Production use: feed the result into ivf_assign/ann_ivf in place of
+    the stride-sampled centroids for a trained IVF index (the driver-
+    graded s03 keeps stride centroids because training is iterative,
+    not single-query SQL).
+    """
+    cents = _hash_min_init(df, id_col, vec_col, k)
+    base = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    assigned = None
+    for _ in range(max_iter):
+        scored = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("__v"),
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda x, m: (x.cast("double") - m)
+                            * (x.cast("double") - m),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, t: acc + t,
+                    ).alias("dist"),
+                    F.lit(j).alias("cell"),
+                )
+                for j, c in enumerate(cents)
+            ]
+        )
+        assigned = base.withColumn("cell", F.array_min(scored)["cell"])
+        sums = (
+            assigned.select("cell", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.col("val").cast("double")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # empty cells keep position
+        acc: dict[int, list[float]] = {}
+        cnt: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r["cell"], [0.0] * len(cents[0]))[r["pos"]] = r["s"]
+            cnt[r["cell"]] = r["n"]
+        for cell, vec in acc.items():
+            new_cents[cell] = [v / cnt[cell] for v in vec]
+        shift = max(
+            abs(a - b) for cn, co in zip(new_cents, cents) for a, b in zip(cn, co)
+        )
+        cents = new_cents
+        if shift <= tol:
+            break
+    assignments = assigned.select(F.col(id_col), "cell")
+    return cents, assignments
+
+
+def centroids_df(spark: SparkSession, centroids: list[list[float]]) -> DataFrame:
+    """Package trained centroids in the shape ivf_assign expects
+    (cell, c, c_norm) for a trained IVF index."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    df = spark.createDataFrame(rows, "cell int, c array<double>")
+    return df.withColumn("c_norm", F.sqrt(_spark_dot("c", "c")))
