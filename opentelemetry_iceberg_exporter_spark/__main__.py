@@ -109,6 +109,30 @@ def main(argv: list[str] | None = None) -> int:
         "of the full (id, group_id, group_size, is_canonical) map",
     )
 
+    psm = sub.add_parser(
+        "sample",
+        help="deterministic dataset splitting/sampling: write split-labeled "
+        "rows, one split, or a stratified sample as parquet",
+    )
+    psm.add_argument("--input", required=True, help="parquet file/dir")
+    psm.add_argument("--output", required=True, help="output dir (parquet)")
+    psm.add_argument("--id-col", default="doc_id")
+    psm.add_argument("--salt", default="", help="salt to derive a fresh assignment")
+    psm.add_argument(
+        "--split",
+        default=None,
+        choices=["train", "val", "test"],
+        help="write only this split (default: all rows with a split column)",
+    )
+    psm.add_argument(
+        "--fraction", type=float, default=None,
+        help="instead of splits: keep ~fraction of rows (zero-shuffle hash threshold)",
+    )
+    psm.add_argument(
+        "--stratify-by", default=None,
+        help="with --fraction: exact ceil(frac*n) per value of this column",
+    )
+
     pm = sub.add_parser(
         "maintain", help="fs-catalog table maintenance: rewrite_data_files + expire_snapshots"
     )
@@ -122,6 +146,31 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
 
     spark = build_session(app_name=f"otel-engine-{args.cmd}")
+
+    if args.cmd == "sample":
+        from pyspark.sql import functions as F
+
+        from .operators.sampling import (
+            hash_fraction_sample,
+            hash_split,
+            stratified_sample,
+        )
+
+        data = spark.read.parquet(args.input)
+        if args.fraction is not None:
+            if args.stratify_by:
+                out = stratified_sample(
+                    data, [args.stratify_by], args.fraction, args.id_col, args.salt
+                )
+            else:
+                out = hash_fraction_sample(data, args.id_col, args.fraction, args.salt)
+        else:
+            out = hash_split(data, args.id_col, salt=args.salt)
+            if args.split:
+                out = out.filter(F.col("split") == args.split).drop("split")
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"rows": out.count(), "cmd": "sample"}))
+        return 0
 
     if args.cmd == "dedup":
         from pyspark.sql import functions as F

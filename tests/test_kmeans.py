@@ -15,15 +15,28 @@ from opentelemetry_iceberg_exporter_spark.operators.similarity import (
 from opentelemetry_iceberg_exporter_spark.sources.tables import load_table
 
 
-def _synthetic(spark, dim=4):
-    """Three well-separated clusters of 5 points each around distant
-    anchors; k-means must recover them exactly from any init."""
+# cluster bases: separated in BOTH L2 (for k-means) and angle (for the
+# cosine-based ivf_assign) — constant all-positive vectors at different
+# magnitudes would be L2-far but angularly identical. No zero vectors:
+# norm 0 makes the cosine divide by zero under ANSI mode (real corpora
+# filter empty documents upstream for the same reason).
+BASES = [
+    [10.0, 10.0, 0.0, 0.0],
+    [0.0, 0.0, 10.0, 10.0],
+    [-10.0, -10.0, 0.0, 0.0],
+]
+
+
+def _synthetic(spark):
+    """Three clusters of 5 points each around the BASES anchors, with a
+    small dim-0 perturbation; k-means must recover them exactly."""
     rows = []
-    anchors = [0.0, 100.0, -100.0]
     vid = 0
-    for a in anchors:
+    for base in BASES:
         for j in range(5):
-            rows.append((vid, [a + 0.1 * j] * dim))
+            vec = list(base)
+            vec[0] += 0.1 * j
+            rows.append((vid, vec))
             vid += 1
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
@@ -39,10 +52,13 @@ def test_recovers_separated_clusters(spark):
     ]
     assert all(len(g) == 1 for g in groups), "each cluster maps to one cell"
     assert len(set().union(*groups)) == 3, "clusters map to distinct cells"
-    # centroid of each recovered cell equals the cluster mean (0.2 offset)
-    for anchor, g in zip([0.0, 100.0, -100.0], groups):
+    # centroid of each recovered cell equals the cluster mean
+    # (base + 0.2 on dim 0, base elsewhere)
+    for base, g in zip(BASES, groups):
         cell = next(iter(g))
-        assert cents[cell][0] == pytest.approx(anchor + 0.2, abs=1e-9)
+        expected = [base[0] + 0.2] + base[1:]
+        for got, want in zip(cents[cell], expected):
+            assert got == pytest.approx(want, abs=1e-9)
 
 
 def test_init_is_partitioning_invariant(spark):
@@ -91,3 +107,42 @@ def test_trained_centroids_feed_ivf(spark):
     cdf = centroids_df(spark, cents)
     assert {r["cell"] for r in cdf.collect()} == {0, 1, 2}
     assert set(cdf.columns) == {"cell", "c", "c_norm"}
+
+
+def test_trained_ivf_search_end_to_end(spark):
+    """A trained index must answer ANN queries correctly: with perfectly
+    separated clusters, nprobe=1 search over trained cells returns
+    neighbors exclusively from the query's own cluster."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_iceberg_exporter_spark.operators.similarity import (
+        _spark_dot,
+        ivf_assign,
+    )
+
+    df = _synthetic(spark)
+    cents, _ = kmeans_fit(df, "vec_id", "embedding", k=3, max_iter=10)
+    cdf = centroids_df(spark, cents)
+
+    def prep(d, idc):
+        return d.select(
+            F.col("vec_id").alias(idc),
+            F.col("embedding").alias("v"),
+            F.sqrt(_spark_dot("embedding", "embedding")).alias("v_norm"),
+        )
+
+    corpus = ivf_assign(prep(df, "vec_id"), cdf, "vec_id", nprobe=1)
+    queries = ivf_assign(prep(df.filter("vec_id IN (0, 5, 10)"), "q_id"),
+                         cdf, "q_id", nprobe=1).select(
+        "q_id", F.col("v").alias("q"), "cell"
+    )
+    hits = corpus.join(queries, "cell").filter(F.col("vec_id") != F.col("q_id"))
+    got = {(r["q_id"], r["vec_id"]) for r in hits.collect()}
+    # query 0 (cluster 0-4) must see exactly its 4 cluster-mates, etc.
+    expect = {
+        (q, v)
+        for q, lo in [(0, 0), (5, 5), (10, 10)]
+        for v in range(lo, lo + 5)
+        if v != q
+    }
+    assert got == expect
