@@ -133,6 +133,18 @@ def main(argv: list[str] | None = None) -> int:
         help="with --fraction: exact ceil(frac*n) per value of this column",
     )
 
+    pch = sub.add_parser(
+        "changes",
+        help="incremental snapshot-diff read from the fs catalog: rows "
+        "appended after --from-snapshot, written as parquet",
+    )
+    pch.add_argument("--warehouse", required=True)
+    pch.add_argument("--namespace", default="otel")
+    pch.add_argument("--table", required=True)
+    pch.add_argument("--output", required=True, help="output dir (parquet)")
+    pch.add_argument("--from-snapshot", type=int, default=None)
+    pch.add_argument("--to-snapshot", type=int, default=None)
+
     pm = sub.add_parser(
         "maintain", help="fs-catalog table maintenance: rewrite_data_files + expire_snapshots"
     )
@@ -212,6 +224,29 @@ def main(argv: list[str] | None = None) -> int:
             out = groups
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"rows": out.count(), "method": args.method}))
+        return 0
+
+    if args.cmd == "changes":
+        from .sinks.iceberg_fs import FsCatalog
+
+        table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
+        out = table.read_changes(
+            spark,
+            from_snapshot_id=args.from_snapshot,
+            to_snapshot_id=args.to_snapshot,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        cur = table.current_snapshot()
+        print(
+            json.dumps(
+                {
+                    "rows": out.count(),
+                    # callers checkpoint this id and pass it as
+                    # --from-snapshot on the next poll
+                    "current_snapshot": cur["snapshot-id"] if cur else None,
+                }
+            )
+        )
         return 0
 
     if args.cmd == "maintain":
