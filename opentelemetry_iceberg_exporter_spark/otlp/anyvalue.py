@@ -95,6 +95,128 @@ def attributes_to_json(attrs: Column, depth: int = ATTR_DEPTH) -> Column:
     return F.when(attrs.isNull(), F.lit("{}")).otherwise(_entries_to_json(attrs, depth))
 
 
+# ---------------------------------------------------------------------------
+# SQL-text builders — semantically IDENTICAL to the Column builders above,
+# but rendered as one SQL string consumed by a single F.expr call.
+#
+# Why both exist: building the recursive encoder out of Column objects costs
+# ~4,500 py4j round trips per attribute column (every F.when/transform is a
+# JVM call; the higher-order lambdas dominate). With ~24 encoded columns per
+# metrics flatten that was 107k JVM round trips and ~20 s of pure plan
+# CONSTRUCTION per query (measured; execution was 4.7 s). The text form is
+# one round trip per column. The golden-fixture tests and the DuckDB oracles
+# pin that both forms produce byte-identical output.
+
+
+def json_quote_sql(e: str) -> str:
+    t = f"to_json(array({e}))"
+    return f"substring({t}, 2, length({t}) - 2)"
+
+
+def json_number_sql(e: str) -> str:
+    return (
+        f"CASE WHEN {e} = CAST(CAST({e} AS BIGINT) AS DOUBLE)"
+        f" AND abs({e}) < 1.0E15"
+        f" THEN CAST(CAST({e} AS BIGINT) AS STRING)"
+        f" ELSE CAST({e} AS STRING) END"
+    )
+
+
+def anyvalue_to_json_sql(v: str, depth: int = ATTR_DEPTH) -> str:
+    branches = [
+        (f"{v}.stringValue IS NOT NULL", json_quote_sql(f"{v}.stringValue")),
+        (
+            f"{v}.boolValue IS NOT NULL",
+            f"CASE WHEN {v}.boolValue THEN 'true' ELSE 'false' END",
+        ),
+        (
+            f"{v}.intValue IS NOT NULL",
+            f"CAST(CAST({v}.intValue AS BIGINT) AS STRING)",
+        ),
+        (f"{v}.doubleValue IS NOT NULL", json_number_sql(f"{v}.doubleValue")),
+        (f"{v}.bytesValue IS NOT NULL", json_quote_sql(f"{v}.bytesValue")),
+    ]
+    if depth > 0:
+        var = f"x{depth}"
+        branches.append(
+            (
+                f"{v}.arrayValue IS NOT NULL",
+                "concat('[', concat_ws(',', transform("
+                f"{v}.arrayValue.values, {var} -> "
+                f"{anyvalue_to_json_sql(var, depth - 1)})), ']')",
+            )
+        )
+        branches.append(
+            (
+                f"{v}.kvlistValue IS NOT NULL",
+                entries_to_json_sql(f"{v}.kvlistValue.values", depth - 1),
+            )
+        )
+    whens = " ".join(f"WHEN {c} THEN {e}" for c, e in branches)
+    return f"CASE {whens} ELSE 'null' END"
+
+
+def entries_to_json_sql(entries: str, depth: int) -> str:
+    var = f"kv{depth}"
+    item = (
+        f"concat({json_quote_sql(var + '.key')}, ':', "
+        f"{anyvalue_to_json_sql(var + '.value', depth)})"
+    )
+    return (
+        "concat('{', concat_ws(',', transform(array_sort("
+        + entries
+        + f"), {var} -> {item})), '}}')"
+    )
+
+
+def attributes_to_json_sql(attrs: str, depth: int = ATTR_DEPTH) -> str:
+    return (
+        f"CASE WHEN {attrs} IS NULL THEN '{{}}' "
+        f"ELSE {entries_to_json_sql(attrs, depth)} END"
+    )
+
+
+def log_body_to_string_sql(body: str, depth: int = ATTR_DEPTH) -> str:
+    branches = [
+        (f"{body} IS NULL", "CAST(NULL AS STRING)"),
+        (f"{body}.stringValue IS NOT NULL", f"{body}.stringValue"),
+        (
+            f"{body}.boolValue IS NOT NULL",
+            f"CASE WHEN {body}.boolValue THEN 'true' ELSE 'false' END",
+        ),
+        (
+            f"{body}.intValue IS NOT NULL",
+            f"CAST(CAST({body}.intValue AS BIGINT) AS STRING)",
+        ),
+        (
+            f"{body}.doubleValue IS NOT NULL",
+            f"format_string('%f', {body}.doubleValue)",
+        ),
+        (
+            f"{body}.bytesValue IS NOT NULL",
+            f"CAST(unbase64({body}.bytesValue) AS STRING)",
+        ),
+    ]
+    if depth > 0:
+        var = f"x{depth}"
+        branches.append(
+            (
+                f"{body}.arrayValue IS NOT NULL",
+                "concat('[', concat_ws(',', transform("
+                f"{body}.arrayValue.values, {var} -> "
+                f"{anyvalue_to_json_sql(var, depth - 1)})), ']')",
+            )
+        )
+        branches.append(
+            (
+                f"{body}.kvlistValue IS NOT NULL",
+                entries_to_json_sql(f"{body}.kvlistValue.values", depth - 1),
+            )
+        )
+    whens = " ".join(f"WHEN {c} THEN {e}" for c, e in branches)
+    return f"CASE {whens} ELSE CAST(NULL AS STRING) END"
+
+
 def log_body_to_string(body: Column, depth: int = ATTR_DEPTH) -> Column:
     """logValueToJSON (logs.go:190-211): string bodies pass through RAW,
     ints as digits, doubles as %f (fixed 6 decimals), bools as

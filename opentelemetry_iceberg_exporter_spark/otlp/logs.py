@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .anyvalue import attributes_to_json, log_body_to_string
+from .anyvalue import attributes_to_json_sql, log_body_to_string_sql
 from .model import LOGS_REQUEST
 from .traces import (
     empty_to_null,
@@ -53,8 +53,8 @@ def flatten_logs(df: DataFrame) -> DataFrame:
         ns_str_to_ts(rec["timeUnixNano"]).alias("time_unix_nano"),
         F.coalesce(rec["severityNumber"], F.lit(0)).cast("int").alias("severity_number"),
         empty_to_null(rec["severityText"]).alias("severity_text"),
-        F.coalesce(log_body_to_string(rec["body"]), F.lit("")).alias("body"),
-        attributes_to_json(rec["attributes"]).alias("log_attributes"),
+        F.coalesce(F.expr(log_body_to_string_sql("rec.body")), F.lit("")).alias("body"),
+        F.expr(attributes_to_json_sql("rec.attributes")).alias("log_attributes"),
         F.coalesce(rec["droppedAttributesCount"], F.lit(0)).alias("dropped_attributes_count"),
         F.coalesce(rec["flags"], F.lit(0)).alias("log_flags"),
         hex_id_or_null(rec["traceId"], 16).alias("trace_id"),
@@ -68,13 +68,13 @@ def flatten_logs(df: DataFrame) -> DataFrame:
         # always NULL in the reference (logs.go:158-160 placeholder)
         F.lit(None).cast("string").alias("event_name"),
         service_name_col(res["attributes"]).alias("service_name"),
-        attributes_to_json(res["attributes"]).alias("resource_attributes"),
+        F.expr(attributes_to_json_sql("resource.attributes")).alias("resource_attributes"),
         F.coalesce(res["droppedAttributesCount"], F.lit(0)).alias(
             "resource_dropped_attributes_count"
         ),
         empty_to_null(scope["name"]).alias("scope_name"),
         empty_to_null(scope["version"]).alias("scope_version"),
-        attributes_to_json(scope["attributes"]).alias("scope_attributes"),
+        F.expr(attributes_to_json_sql("scope.attributes")).alias("scope_attributes"),
         F.coalesce(scope["droppedAttributesCount"], F.lit(0)).alias(
             "scope_dropped_attributes_count"
         ),

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .. import schemas as S
-from .anyvalue import attributes_to_json
+from .anyvalue import attributes_to_json_sql
 from .model import METRICS_REQUEST
 from .traces import empty_to_null, hex_id_or_null, ns_str_to_ts, service_name_col
 
@@ -50,22 +50,29 @@ def _explode_to_metric(df: DataFrame) -> DataFrame:
 
 
 def _common_cols(dp: Column) -> list[Column]:
-    """The 15-column metrics prefix (schema.go:425-455)."""
+    """The 15-column metrics prefix (schema.go:425-455).
+
+    Attribute encoders use the SQL-text form (anyvalue.*_sql via one
+    F.expr each): the Column form costs ~4.5k py4j round trips PER
+    encoded column, which made every metrics flatten spend ~20 s in
+    plan construction alone (see anyvalue.py)."""
     res = F.col("resource")
     scope = F.col("scope")
     m = F.col("metric")
     start_ns = dp["startTimeUnixNano"].cast("long")
-    meta_json = attributes_to_json(m["metadata"])
+    meta_json = F.expr(attributes_to_json_sql("metric.metadata"))
     return [
         ns_str_to_ts(dp["timeUnixNano"]).alias("time_unix_nano"),
         service_name_col(res["attributes"]).alias("service_name"),
-        attributes_to_json(res["attributes"]).alias("resource_attributes"),
+        F.expr(attributes_to_json_sql("resource.attributes")).alias(
+            "resource_attributes"
+        ),
         F.coalesce(res["droppedAttributesCount"], F.lit(0)).alias(
             "resource_dropped_attributes_count"
         ),
         empty_to_null(scope["name"]).alias("scope_name"),
         empty_to_null(scope["version"]).alias("scope_version"),
-        attributes_to_json(scope["attributes"]).alias("scope_attributes"),
+        F.expr(attributes_to_json_sql("scope.attributes")).alias("scope_attributes"),
         F.coalesce(scope["droppedAttributesCount"], F.lit(0)).alias(
             "scope_dropped_attributes_count"
         ),
@@ -76,7 +83,7 @@ def _common_cols(dp: Column) -> list[Column]:
         F.when(meta_json == "{}", F.lit(None).cast("string")).otherwise(meta_json).alias(
             "metric_metadata"
         ),
-        attributes_to_json(dp["attributes"]).alias("attributes"),
+        F.expr(attributes_to_json_sql("dp.attributes")).alias("attributes"),
         # zero start time -> NULL (metrics.go:396-400)
         F.when(
             start_ns.isNull() | (start_ns == 0), F.lit(None).cast("timestamp")
@@ -115,9 +122,15 @@ def _exemplar_cols(dp: Column) -> list[Column]:
         lst(
             lambda e: F.coalesce(e["asInt"].cast("long"), F.lit(0)), "array<bigint>"
         ).alias("exemplars_as_int"),
-        lst(
-            lambda e: attributes_to_json(e["filteredAttributes"]), "array<string>"
-        ).alias("exemplars_filtered_attributes"),
+        F.when(absent, F.lit(None).cast("array<string>"))
+        .otherwise(
+            F.expr(
+                "transform(dp.exemplars, ex0 -> "
+                + attributes_to_json_sql("ex0.filteredAttributes")
+                + ")"
+            )
+        )
+        .alias("exemplars_filtered_attributes"),
     ]
 
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .anyvalue import attributes_to_json
+from .anyvalue import attributes_to_json_sql
 from .model import TRACES_REQUEST
 
 SPAN_KINDS = ["UNSPECIFIED", "INTERNAL", "SERVER", "CLIENT", "PRODUCER", "CONSUMER"]
@@ -119,7 +119,7 @@ def flatten_traces(df: DataFrame) -> DataFrame:
         enum_str(span["kind"], SPAN_KINDS).alias("span_kind"),
         F.timestamp_micros(_int_div_1000(start_ns)).alias("start_time_unix_nano"),
         F.timestamp_micros(_int_div_1000(end_ns)).alias("end_time_unix_nano"),
-        attributes_to_json(span["attributes"]).alias("span_attributes"),
+        F.expr(attributes_to_json_sql("span.attributes")).alias("span_attributes"),
         F.coalesce(span["droppedAttributesCount"], F.lit(0)).alias("dropped_attributes_count"),
         F.transform(
             F.coalesce(span["events"], F.array()),
@@ -128,8 +128,10 @@ def flatten_traces(df: DataFrame) -> DataFrame:
         F.transform(
             F.coalesce(span["events"], F.array()), lambda e: F.coalesce(e["name"], F.lit(""))
         ).alias("events_name"),
-        F.transform(
-            F.coalesce(span["events"], F.array()), lambda e: attributes_to_json(e["attributes"])
+        F.expr(
+            "transform(coalesce(span.events, array()), ev0 -> "
+            + attributes_to_json_sql("ev0.attributes")
+            + ")"
         ).alias("events_attributes"),
         F.transform(
             F.coalesce(span["events"], F.array()),
@@ -145,8 +147,10 @@ def flatten_traces(df: DataFrame) -> DataFrame:
         F.transform(
             F.coalesce(span["links"], F.array()), lambda l: F.coalesce(l["traceState"], F.lit(""))
         ).alias("links_trace_state"),
-        F.transform(
-            F.coalesce(span["links"], F.array()), lambda l: attributes_to_json(l["attributes"])
+        F.expr(
+            "transform(coalesce(span.links, array()), lk0 -> "
+            + attributes_to_json_sql("lk0.attributes")
+            + ")"
         ).alias("links_attributes"),
         F.transform(
             F.coalesce(span["links"], F.array()),
@@ -161,13 +165,13 @@ def flatten_traces(df: DataFrame) -> DataFrame:
         # duration from RAW ns, before us truncation (traces.go:218-220)
         (end_ns - start_ns).alias("duration"),
         service_name_col(res["attributes"]).alias("service_name"),
-        attributes_to_json(res["attributes"]).alias("resource_attributes"),
+        F.expr(attributes_to_json_sql("resource.attributes")).alias("resource_attributes"),
         F.coalesce(res["droppedAttributesCount"], F.lit(0)).alias(
             "resource_dropped_attributes_count"
         ),
         empty_to_null(scope["name"]).alias("scope_name"),
         empty_to_null(scope["version"]).alias("scope_version"),
-        attributes_to_json(scope["attributes"]).alias("scope_attributes"),
+        F.expr(attributes_to_json_sql("scope.attributes")).alias("scope_attributes"),
         F.coalesce(scope["droppedAttributesCount"], F.lit(0)).alias(
             "scope_dropped_attributes_count"
         ),
