@@ -547,3 +547,18 @@ def centroids_df(spark: SparkSession, centroids: list[list[float]]) -> DataFrame
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
     df = spark.createDataFrame(rows, "cell int, c array<double>")
     return df.withColumn("c_norm", F.sqrt(_spark_dot("c", "c")))
+
+
+def nonzero_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Drop zero-norm (and null) embeddings before any cosine-based
+    operator: a zero vector has no direction, and under ANSI mode the
+    cosine's norm division errors the whole job instead of producing a
+    quiet NaN. Real corpora produce zero embeddings from empty/filtered
+    documents — preclean at ingestion, once, map-side (a sum of squares
+    is cheaper than a failed stage retry at 100 TB)."""
+    sq = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return df.filter(F.col(vec_col).isNotNull() & (sq > 0.0))

@@ -279,6 +279,111 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # — round-2 50-slot consolidation. fingerprint() is unchanged.
 
 
+# contact-ish patterns: RE2/Java-compatible (no lookarounds), intentionally
+# conservative — these are corpus-quality SIGNALS, not validators
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def content_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document content-quality flags a pretraining filter keys on:
+    contact-info density (emails/URLs), digit and uppercase mass, and a
+    repeated-line boilerplate ratio (1 - distinct/total lines — headers,
+    footers, nav chrome repeat within a page). One map-side projection;
+    thresholding/filtering is the caller's policy decision.
+    """
+    text = F.col(text_col)
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines)
+    n_chars = F.length(text)
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(URL_RE), F.lit(0))).alias("n_urls"),
+        F.round(
+            F.length(F.regexp_replace(text, r"[^0-9]", "")).cast("double")
+            / F.greatest(n_chars, F.lit(1)),
+            6,
+        ).alias("digit_ratio"),
+        F.round(
+            F.length(F.regexp_replace(text, r"[^A-Z]", "")).cast("double")
+            / F.greatest(n_chars, F.lit(1)),
+            6,
+        ).alias("upper_ratio"),
+        n_lines.alias("n_lines"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines)).cast("double")
+            / F.greatest(n_lines, F.lit(1)),
+            6,
+        ).alias("boilerplate_ratio"),
+    )
+
+
+def duck_content_flags_sql() -> str:
+    """DuckDB rendering of content_flags over (doc_id, text)."""
+    return rf"""
+    SELECT doc_id,
+      len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+      len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+      ROUND(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+            / greatest(length(text), 1), 6) AS digit_ratio,
+      ROUND(length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE
+            / greatest(length(text), 1), 6) AS upper_ratio,
+      len(string_split(text, chr(10))) AS n_lines,
+      ROUND(1.0 - len(list_distinct(string_split(text, chr(10))))::DOUBLE
+            / greatest(len(string_split(text, chr(10))), 1), 6)
+        AS boilerplate_ratio
+    FROM documents
+    """
+
+
+def corpus_report(
+    df: DataFrame, group_cols: list[str], id_col: str, text_col: str
+) -> DataFrame:
+    """The per-slice 'dataset card': for each group (e.g. source × lang)
+    the document count, token-mass statistics, quality-score quantiles,
+    and exact-duplicate rate — the one-page summary a curation pipeline
+    publishes alongside a corpus snapshot.
+
+    Shape: doc_features is map-side; the report is ONE partial+final
+    aggregation on the group key. The dup rate reuses the exact-dedup
+    content hash as a two-level aggregation (hash inside group, then
+    group) — no joins.
+    """
+    feats = doc_features(df, id_col, text_col).join(
+        df.select(F.col(id_col), *[F.col(c) for c in group_cols]), id_col
+    )
+    norm_hash = F.md5(
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    )
+    dups = (
+        df.select(*[F.col(c) for c in group_cols], norm_hash.alias("__h"))
+        .groupBy(*group_cols, "__h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(*group_cols)
+        .agg(
+            (F.sum("n") - F.count(F.lit(1))).alias("n_exact_dups"),
+            F.sum("n").alias("__total"),
+        )
+        .select(
+            *group_cols,
+            F.round(F.col("n_exact_dups") / F.col("__total"), 6).alias("dup_rate"),
+        )
+    )
+    report = feats.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.round(F.percentile_approx("quality_score", 0.5), 6).alias("p50_quality"),
+        F.round(F.percentile_approx("quality_score", 0.1), 6).alias("p10_quality"),
+        F.round(F.avg("tokens_per_word"), 4).alias("avg_tokens_per_word"),
+    )
+    return report.join(dups, group_cols)
+
+
 WINNOW_K = 5  # char k-gram width
 WINNOW_W = 4  # winnowing window (guarantee: any match >= k+w-1 chars is caught)
 

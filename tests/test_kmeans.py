@@ -146,3 +146,16 @@ def test_trained_ivf_search_end_to_end(spark):
         if v != q
     }
     assert got == expect
+
+
+def test_nonzero_vectors_precleaner(spark):
+    from opentelemetry_iceberg_exporter_spark.operators.similarity import (
+        nonzero_vectors,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, None), (4, [0.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    kept = {r["vec_id"] for r in nonzero_vectors(df, "embedding").collect()}
+    assert kept == {1, 4}
