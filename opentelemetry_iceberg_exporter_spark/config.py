@@ -56,6 +56,7 @@ class StorageConfig:
 class CatalogConfig:
     catalog_type: str = "none"  # rest | none
     uri: str = ""  # REST catalog endpoint
+    token: str = ""  # bearer token (catalog_rest.go:69-76 WithOAuthToken)
     namespace: str = "otel"
     warehouse: str = ""
     # per-signal table-name overrides (catalog.go:167-222)

@@ -283,6 +283,334 @@ MANIFEST_LIST_SCHEMA = {
 
 
 # --------------------------------------------------------------------------
+# metadata-layer core: pure functions over table metadata
+#
+# Everything below operates on a table-metadata dict + storage paths and is
+# shared by BOTH commit transports: FsTable (filesystem CAS on the metadata
+# version file) and RestTable in iceberg_rest.py (CommitTable POST against a
+# REST catalog). The byte format written is identical either way — only WHO
+# arbitrates the commit differs, exactly as in Iceberg itself.
+# --------------------------------------------------------------------------
+
+
+def write_snapshot_tree(
+    location: str,
+    md: dict,
+    files: list[DataFile],
+    *,
+    operation: str,
+    carry_forward: bool,
+    extra_summary: dict[str, str],
+) -> dict:
+    """Write one manifest (the new files) + one manifest list (new manifest
+    plus, for appends, the parent snapshot's carried-forward manifests)
+    under {location}/metadata and return the snapshot dict that references
+    them. Pure metadata: O(len(files)) regardless of table size."""
+    seq = md["last-sequence-number"] + 1
+    snapshot_id = int.from_bytes(os.urandom(8), "big") >> 1
+    parent = md["current-snapshot-id"]
+    now_ms = int(time.time() * 1000)
+    meta_dir = os.path.join(location, "metadata")
+    spec_fields = next(
+        s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"]
+    )["fields"]
+
+    manifest_path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+    entries = [
+        {
+            "status": STATUS_ADDED,
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 0,
+                "file_path": f.file_path,
+                "file_format": "PARQUET",
+                "partition": {pf["name"]: f.partition.get(pf["name"]) for pf in spec_fields},
+                "record_count": f.record_count,
+                "file_size_in_bytes": f.file_size_in_bytes,
+            },
+        }
+        for f in files
+    ]
+    manifest_len = write_ocf(
+        manifest_path,
+        manifest_avro_schema(spec_fields),
+        entries,
+        extra_metadata={
+            "schema": json.dumps(md["schemas"][md["current-schema-id"]]),
+            "partition-spec": json.dumps(spec_fields),
+            "partition-spec-id": str(md["default-spec-id"]),
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+
+    new_manifest = {
+        "manifest_path": manifest_path,
+        "manifest_length": manifest_len,
+        "partition_spec_id": md["default-spec-id"],
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(files),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": sum(f.record_count for f in files),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    manifests = [new_manifest]
+    if carry_forward and parent != -1:
+        cur = next(s for s in md["snapshots"] if s["snapshot-id"] == parent)
+        _, _, prior_manifests = read_ocf(cur["manifest-list"])
+        manifests += prior_manifests
+
+    list_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro")
+    write_ocf(
+        list_path,
+        MANIFEST_LIST_SCHEMA,
+        manifests,
+        extra_metadata={
+            "snapshot-id": str(snapshot_id),
+            "parent-snapshot-id": str(parent),
+            "sequence-number": str(seq),
+            "format-version": "2",
+        },
+    )
+
+    summary = {
+        "operation": operation,
+        "added-data-files": str(len(files)),
+        "added-records": str(sum(f.record_count for f in files)),
+    }
+    summary.update(extra_summary)
+    return {
+        "snapshot-id": snapshot_id,
+        "parent-snapshot-id": parent if parent != -1 else None,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": list_path,
+        "summary": summary,
+        "schema-id": md["current-schema-id"],
+    }
+
+
+def partition_fields_for(
+    schema: dict, partition_source: str | None, granularity: str
+) -> list[dict]:
+    """Partition-spec fields for a hidden time partition on
+    `partition_source` (catalog_rest.go:494-542 transform mapping)."""
+    if partition_source is None:
+        return []
+    transform = _TRANSFORM_FOR_GRANULARITY[granularity]
+    source_id = next(f_["id"] for f_ in schema["fields"] if f_["name"] == partition_source)
+    return [
+        {
+            "name": f"{partition_source}_{transform.rstrip('s')}",
+            "transform": transform,
+            "source-id": source_id,
+            "field-id": 1000,
+        }
+    ]
+
+
+def new_table_metadata(
+    location: str,
+    schema: dict,
+    last_column_id: int,
+    spec_fields: list[dict],
+    properties: dict[str, str] | None = None,
+) -> dict:
+    """Fresh format-v2 table metadata (no snapshots)."""
+    return {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": location,
+        "last-sequence-number": 0,
+        "last-updated-ms": int(time.time() * 1000),
+        "last-column-id": last_column_id,
+        "schemas": [schema],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "default-spec-id": 0,
+        "last-partition-id": 999 + len(spec_fields),
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": dict(properties or {}),
+        "current-snapshot-id": -1,
+        "snapshots": [],
+        "snapshot-log": [],
+        "metadata-log": [],
+        "refs": {},
+    }
+
+
+def default_spec_fields(md: dict) -> list[dict]:
+    return next(
+        s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"]
+    )["fields"]
+
+
+def write_partitioned_batch(df: DataFrame, location: str, md: dict) -> list[DataFile]:
+    """Data-plane half of an append: EXECUTORS write Parquet under
+    data/<uuid>/, partitioned by the hidden-transform value (partitionBy
+    drops the column from file contents — hidden partitioning). Returns
+    the written files for the driver-side metadata commit."""
+    spec = default_spec_fields(md)
+    batch_dir = os.path.join(location, "data", uuid.uuid4().hex)
+    if spec:
+        pf = spec[0]
+        source = _field_name_by_id(md, pf["source-id"])
+        pcol = pf["name"]
+        (
+            df.withColumn(pcol, transform_column(source, pf["transform"]))
+            .repartition(F.col(pcol))  # few large files per partition
+            .write.partitionBy(pcol)
+            .parquet(batch_dir)
+        )
+    else:
+        df.write.parquet(batch_dir)
+    return _scan_written_files(batch_dir, [spec[0]["name"]] if spec else [])
+
+
+def hive_data_files(source_dir: str, spec: list[dict]) -> list[DataFile]:
+    """DataFiles for every Parquet under a raw-sink `year=/month=[/day=
+    [/hour=]]` tree, Hive values mapped to transform values (K4,
+    catalog_rest.go:306-367). No data is read beyond footer row counts."""
+    files: list[DataFile] = []
+    for path in sorted(glob.glob(os.path.join(source_dir, "**", "*.parquet"), recursive=True)):
+        partition: dict[str, int | None] = {}
+        if spec:
+            pf = spec[0]
+            parts = _hive_values(os.path.relpath(path, source_dir))
+            ts = datetime(
+                int(parts.get("year", 1970)),
+                int(parts.get("month", 1)),
+                int(parts.get("day", 1)),
+                int(parts.get("hour", 0)),
+                tzinfo=timezone.utc,
+            )
+            partition[pf["name"]] = transform_value(ts, pf["transform"])
+        files.append(
+            DataFile(
+                file_path=os.path.abspath(path),
+                file_size_in_bytes=os.path.getsize(path),
+                record_count=_parquet_row_count(path),
+                partition=partition,
+            )
+        )
+    return files
+
+
+def data_files_for_paths(paths: list[str], spec: list[dict], location: str) -> list[DataFile]:
+    """DataFiles for specific Parquet paths (recovery add_files path);
+    partition values parsed from `key=value` segments below the table
+    location — the field's own name (append layout) or raw-sink
+    year/month/day/hour values."""
+    files: list[DataFile] = []
+    for path in sorted(paths):
+        partition: dict[str, int | None] = {}
+        if spec:
+            pf = spec[0]
+            hive = _hive_values_scoped(path, location)
+            if pf["name"] in hive:
+                partition[pf["name"]] = _part_int(hive[pf["name"]])
+            elif "year" in hive:
+                ts = datetime(
+                    int(hive["year"]),
+                    int(hive.get("month", 1)),
+                    int(hive.get("day", 1)),
+                    int(hive.get("hour", 0)),
+                    tzinfo=timezone.utc,
+                )
+                partition[pf["name"]] = transform_value(ts, pf["transform"])
+        files.append(
+            DataFile(
+                file_path=os.path.abspath(path),
+                file_size_in_bytes=os.path.getsize(path),
+                record_count=_parquet_row_count(path),
+                partition=partition,
+            )
+        )
+    return files
+
+
+def all_data_file_paths(md: dict) -> list[str]:
+    """Every data-file path referenced by ANY snapshot (the Iceberg
+    `all_files` metadata table; time-travel-aware dedup like
+    catalog_rest.go:370-467)."""
+    paths: set[str] = set()
+    for snapshot in md["snapshots"]:
+        _, _, manifests = read_ocf(snapshot["manifest-list"])
+        for m in manifests:
+            _, _, entries = read_ocf(m["manifest_path"])
+            for e in entries:
+                paths.add(e["data_file"]["file_path"])
+    return sorted(paths)
+
+
+def incremental_data_files(
+    md: dict,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+) -> tuple[list[DataFile], int | None]:
+    """Data files ADDED by append snapshots strictly after
+    `from_snapshot_id` (exclusive) up to `to_snapshot_id` (inclusive;
+    current when None) — Iceberg's incremental append scan. Returns
+    (files, end_snapshot_id) where end_snapshot_id is the LAST snapshot
+    the scan actually covered — the value a consumer must checkpoint
+    (None on an empty table). `replace` snapshots (compaction) rewrite
+    physical layout without changing logical data and are skipped; any
+    OTHER operation (overwrite/delete) raises, mirroring Iceberg's
+    incremental-scan contract — silently skipping one would hide its
+    logical effects from the change stream."""
+    snaps = md["snapshots"]  # commit order (linear history)
+    ids = [s["snapshot-id"] for s in snaps]
+    if from_snapshot_id is not None and from_snapshot_id not in ids:
+        raise ValueError(f"unknown from snapshot {from_snapshot_id}")
+    if to_snapshot_id is not None and to_snapshot_id not in ids:
+        raise ValueError(f"unknown to snapshot {to_snapshot_id}")
+    start = ids.index(from_snapshot_id) + 1 if from_snapshot_id is not None else 0
+    end = ids.index(to_snapshot_id) + 1 if to_snapshot_id is not None else len(snaps)
+    if start > end:
+        raise ValueError("from snapshot is newer than to snapshot")
+    end_snapshot_id = ids[end - 1] if end > 0 else None
+    files: list[DataFile] = []
+    for s in snaps[start:end]:
+        op = s["summary"].get("operation")
+        if op == "replace":
+            continue
+        if op != "append":
+            raise ValueError(
+                f"incremental scan window contains a {op!r} snapshot "
+                f"({s['snapshot-id']}); incremental append scans cannot "
+                "represent its effects"
+            )
+        _, _, manifests = read_ocf(s["manifest-list"])
+        for m in manifests:
+            if m["added_snapshot_id"] != s["snapshot-id"]:
+                continue  # carried-forward manifest from an ancestor
+            _, _, entries = read_ocf(m["manifest_path"])
+            for e in entries:
+                if e["status"] != STATUS_ADDED:
+                    continue
+                df_ = e["data_file"]
+                files.append(
+                    DataFile(
+                        file_path=df_["file_path"],
+                        file_size_in_bytes=df_["file_size_in_bytes"],
+                        record_count=df_["record_count"],
+                        partition={
+                            k: v for k, v in df_["partition"].items() if v is not None
+                        },
+                    )
+                )
+    return files, end_snapshot_id
+
+
+# --------------------------------------------------------------------------
 # catalog + table
 # --------------------------------------------------------------------------
 
@@ -331,41 +659,8 @@ class FsCatalog:
 
         schema = iceberg_schema(spark_schema)
         last_column_id = schema.pop("_last_column_id")
-        spec_fields: list[dict] = []
-        if partition_source is not None:
-            transform = _TRANSFORM_FOR_GRANULARITY[granularity]
-            source_id = next(
-                f_["id"] for f_ in schema["fields"] if f_["name"] == partition_source
-            )
-            spec_fields.append(
-                {
-                    "name": f"{partition_source}_{transform.rstrip('s')}",
-                    "transform": transform,
-                    "source-id": source_id,
-                    "field-id": 1000,
-                }
-            )
-        metadata = {
-            "format-version": 2,
-            "table-uuid": str(uuid.uuid4()),
-            "location": location,
-            "last-sequence-number": 0,
-            "last-updated-ms": int(time.time() * 1000),
-            "last-column-id": last_column_id,
-            "schemas": [schema],
-            "current-schema-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
-            "default-spec-id": 0,
-            "last-partition-id": 999 + len(spec_fields),
-            "sort-orders": [{"order-id": 0, "fields": []}],
-            "default-sort-order-id": 0,
-            "properties": dict(properties or {}),
-            "current-snapshot-id": -1,
-            "snapshots": [],
-            "snapshot-log": [],
-            "metadata-log": [],
-            "refs": {},
-        }
+        spec_fields = partition_fields_for(schema, partition_source, granularity)
+        metadata = new_table_metadata(location, schema, last_column_id, spec_fields, properties)
         _write_metadata_version(location, 1, metadata)
         _swap_version_hint(location, 1)
         return FsTable(location)
@@ -523,97 +818,17 @@ class FsTable:
                 f"table advanced from snapshot {expected_base_snapshot} to "
                 f"{md['current-snapshot-id']} since the rewrite was planned; re-plan"
             )
-        seq = md["last-sequence-number"] + 1
-        snapshot_id = int.from_bytes(os.urandom(8), "big") >> 1
-        parent = md["current-snapshot-id"]
-        now_ms = int(time.time() * 1000)
-        meta_dir = os.path.join(self.location, "metadata")
-        spec_fields = next(
-            s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"]
-        )["fields"]
-
-        manifest_path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
-        entries = [
-            {
-                "status": STATUS_ADDED,
-                "snapshot_id": snapshot_id,
-                "sequence_number": seq,
-                "file_sequence_number": seq,
-                "data_file": {
-                    "content": 0,
-                    "file_path": f.file_path,
-                    "file_format": "PARQUET",
-                    "partition": {pf["name"]: f.partition.get(pf["name"]) for pf in spec_fields},
-                    "record_count": f.record_count,
-                    "file_size_in_bytes": f.file_size_in_bytes,
-                },
-            }
-            for f in files
-        ]
-        manifest_len = write_ocf(
-            manifest_path,
-            manifest_avro_schema(spec_fields),
-            entries,
-            extra_metadata={
-                "schema": json.dumps(md["schemas"][md["current-schema-id"]]),
-                "partition-spec": json.dumps(spec_fields),
-                "partition-spec-id": str(md["default-spec-id"]),
-                "format-version": "2",
-                "content": "data",
-            },
+        snapshot = write_snapshot_tree(
+            self.location,
+            md,
+            files,
+            operation=operation,
+            carry_forward=carry_forward,
+            extra_summary=extra_summary,
         )
-
-        new_manifest = {
-            "manifest_path": manifest_path,
-            "manifest_length": manifest_len,
-            "partition_spec_id": md["default-spec-id"],
-            "content": 0,
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-            "added_snapshot_id": snapshot_id,
-            "added_files_count": len(files),
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": sum(f.record_count for f in files),
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-        }
-        manifests = [new_manifest]
-        if carry_forward and parent != -1:
-            cur = next(s for s in md["snapshots"] if s["snapshot-id"] == parent)
-            _, _, prior_manifests = read_ocf(cur["manifest-list"])
-            manifests += prior_manifests
-
-        list_path = os.path.join(
-            meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
-        )
-        write_ocf(
-            list_path,
-            MANIFEST_LIST_SCHEMA,
-            manifests,
-            extra_metadata={
-                "snapshot-id": str(snapshot_id),
-                "parent-snapshot-id": str(parent),
-                "sequence-number": str(seq),
-                "format-version": "2",
-            },
-        )
-
-        summary = {
-            "operation": operation,
-            "added-data-files": str(len(files)),
-            "added-records": str(sum(f.record_count for f in files)),
-        }
-        summary.update(extra_summary)
-        snapshot = {
-            "snapshot-id": snapshot_id,
-            "parent-snapshot-id": parent if parent != -1 else None,
-            "sequence-number": seq,
-            "timestamp-ms": now_ms,
-            "manifest-list": list_path,
-            "summary": summary,
-            "schema-id": md["current-schema-id"],
-        }
+        snapshot_id = snapshot["snapshot-id"]
+        seq = snapshot["sequence-number"]
+        now_ms = snapshot["timestamp-ms"]
         new_md = dict(md)
         new_md["last-sequence-number"] = seq
         new_md["last-updated-ms"] = now_ms
@@ -646,21 +861,7 @@ class FsTable:
         empty-batch short-circuit: the 5-way metric demux routinely
         produces empty per-type frames; an empty snapshot per type per
         micro-batch would bloat metadata for no data)."""
-        spec = self.partition_spec()
-        batch_dir = os.path.join(self.location, "data", uuid.uuid4().hex)
-        if spec:
-            pf = spec[0]
-            source = _field_name_by_id(self.metadata(), pf["source-id"])
-            pcol = pf["name"]
-            (
-                df.withColumn(pcol, transform_column(source, pf["transform"]))
-                .repartition(F.col(pcol))  # few large files per partition
-                .write.partitionBy(pcol)
-                .parquet(batch_dir)
-            )
-        else:
-            df.write.parquet(batch_dir)
-        files = _scan_written_files(batch_dir, [pf["name"]] if spec else [])
+        files = write_partitioned_batch(df, self.location, self.metadata())
         if not files:  # F1: no data files -> no snapshot
             return None
         return self.append_files(files, snapshot_properties)
@@ -676,31 +877,7 @@ class FsTable:
         output (sinks/parquet_sink.py layout) as table data files,
         mapping Hive values to the table's transform values. No data is
         moved or rewritten (catalog_rest.go:306-367)."""
-        spec = self.partition_spec()
-        files: list[DataFile] = []
-        for path in sorted(
-            glob.glob(os.path.join(source_dir, "**", "*.parquet"), recursive=True)
-        ):
-            partition: dict[str, int] = {}
-            if spec:
-                pf = spec[0]
-                parts = _hive_values(os.path.relpath(path, source_dir))
-                ts = datetime(
-                    int(parts.get("year", 1970)),
-                    int(parts.get("month", 1)),
-                    int(parts.get("day", 1)),
-                    int(parts.get("hour", 0)),
-                    tzinfo=timezone.utc,
-                )
-                partition[pf["name"]] = transform_value(ts, pf["transform"])
-            files.append(
-                DataFile(
-                    file_path=os.path.abspath(path),
-                    file_size_in_bytes=os.path.getsize(path),
-                    record_count=_parquet_row_count(path),
-                    partition=partition,
-                )
-            )
+        files = hive_data_files(source_dir, self.partition_spec())
         props = {"operation-detail": "add_files", **(snapshot_properties or {})}
         return self.append_files(files, props)
 
@@ -712,32 +889,7 @@ class FsTable:
         values come from `key=value` path segments — either the
         partition field's own name (`ts_hour=473040`, the append
         layout) or raw-sink `year=/month=/day=/hour=` values."""
-        spec = self.partition_spec()
-        files: list[DataFile] = []
-        for path in sorted(paths):
-            partition: dict[str, int] = {}
-            if spec:
-                pf = spec[0]
-                hive = _hive_values_scoped(path, self.location)
-                if pf["name"] in hive:
-                    partition[pf["name"]] = _part_int(hive[pf["name"]])
-                elif "year" in hive:
-                    ts = datetime(
-                        int(hive["year"]),
-                        int(hive.get("month", 1)),
-                        int(hive.get("day", 1)),
-                        int(hive.get("hour", 0)),
-                        tzinfo=timezone.utc,
-                    )
-                    partition[pf["name"]] = transform_value(ts, pf["transform"])
-            files.append(
-                DataFile(
-                    file_path=os.path.abspath(path),
-                    file_size_in_bytes=os.path.getsize(path),
-                    record_count=_parquet_row_count(path),
-                    partition=partition,
-                )
-            )
+        files = data_files_for_paths(paths, self.partition_spec(), self.location)
         props = {"operation-detail": "add_files", **(snapshot_properties or {})}
         return self.append_files(files, props)
 
@@ -746,15 +898,7 @@ class FsTable:
         registered-file set the reconciler diffs against (the Iceberg
         `all_files` metadata table; time-travel-aware dedup like
         catalog_rest.go:370-467)."""
-        md = self.metadata()
-        paths: set[str] = set()
-        for snapshot in md["snapshots"]:
-            _, _, manifests = read_ocf(snapshot["manifest-list"])
-            for m in manifests:
-                _, _, entries = read_ocf(m["manifest_path"])
-                for e in entries:
-                    paths.add(e["data_file"]["file_path"])
-        return sorted(paths)
+        return all_data_file_paths(self.metadata())
 
     # -- scan planning + read (with manifest-level pruning) ---------------
     def plan_files(
@@ -832,43 +976,19 @@ class FsTable:
         "process-only-what's-new" pipelines (embedding refresh, dedup
         re-index) feasible on a table with years of history.
         """
-        md = self.metadata()
-        snaps = md["snapshots"]  # commit order (CAS'd linear history)
-        ids = [s["snapshot-id"] for s in snaps]
-        if from_snapshot_id is not None and from_snapshot_id not in ids:
-            raise ValueError(f"unknown from snapshot {from_snapshot_id}")
-        if to_snapshot_id is not None and to_snapshot_id not in ids:
-            raise ValueError(f"unknown to snapshot {to_snapshot_id}")
-        start = ids.index(from_snapshot_id) + 1 if from_snapshot_id is not None else 0
-        end = ids.index(to_snapshot_id) + 1 if to_snapshot_id is not None else len(snaps)
-        if start > end:
-            raise ValueError("from snapshot is newer than to snapshot")
-        files: list[DataFile] = []
-        for s in snaps[start:end]:
-            if s["summary"].get("operation") != "append":
-                continue
-            _, _, manifests = read_ocf(s["manifest-list"])
-            for m in manifests:
-                if m["added_snapshot_id"] != s["snapshot-id"]:
-                    continue  # carried-forward manifest from an ancestor
-                _, _, entries = read_ocf(m["manifest_path"])
-                for e in entries:
-                    if e["status"] != STATUS_ADDED:
-                        continue
-                    df_ = e["data_file"]
-                    files.append(
-                        DataFile(
-                            file_path=df_["file_path"],
-                            file_size_in_bytes=df_["file_size_in_bytes"],
-                            record_count=df_["record_count"],
-                            partition={
-                                k: v
-                                for k, v in df_["partition"].items()
-                                if v is not None
-                            },
-                        )
-                    )
-        return files
+        return incremental_data_files(self.metadata(), from_snapshot_id, to_snapshot_id)[0]
+
+    def incremental_scan(
+        self,
+        from_snapshot_id: int | None = None,
+        to_snapshot_id: int | None = None,
+    ) -> tuple[list[DataFile], int | None]:
+        """Like incremental_files, but also returns the id of the LAST
+        snapshot the scan covered — the checkpoint value. Consumers must
+        checkpoint THIS id, not a freshly-loaded current snapshot: a
+        concurrent append landing after the scan would otherwise be
+        skipped by the next poll."""
+        return incremental_data_files(self.metadata(), from_snapshot_id, to_snapshot_id)
 
     def read_changes(
         self,

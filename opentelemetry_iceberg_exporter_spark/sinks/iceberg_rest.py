@@ -1,0 +1,435 @@
+"""Pure-Python Iceberg REST catalog client — the reference's production
+catalog mode, executed without jars.
+
+Reference parity: internal/iceberg/catalog_rest.go —
+  :86-126  catalog construction + /v1/config handshake + connection test
+  :129-165 EnsureNamespace (load, create, re-load on create race)
+  :168-240 EnsureTable (client cache, load-create-load race tolerance)
+  :243-303 AppendRecords (load fresh, append atomically with snapshot props)
+  :306-367 AppendDataFiles (register existing files in one transaction)
+  :370-467 ListDataFiles (ALL snapshots' manifests, deduped)
+The reference delegates the wire protocol to iceberg-go's REST client;
+this module speaks the same public Iceberg REST Catalog OpenAPI directly
+(config / namespaces / tables / CommitTable with requirements+updates).
+
+Division of labor is identical to the fs catalog (`iceberg_fs.py`):
+EXECUTORS write Parquet data files and the client writes Avro manifests
+to shared storage; the REST server arbitrates ONLY the metadata pointer
+swap. A commit POSTs `assert-ref-snapshot-id` (the optimistic-concurrency
+requirement) plus `add-snapshot`/`set-snapshot-ref` updates; a 409
+CommitFailedException means another writer won, and the client reloads
+and retries — appends never logically conflict. Commit payloads are
+O(new files), so the protocol is unchanged at 100 TB.
+
+Error classification (X2): HTTP failures raise RestError whose text
+embeds the server's error type + message, so `sinks/errors.py`
+classify_error applies the same permanent/transient matrix as
+errors.go:43-115 (401/403/400 permanent; 409 CommitFailed, 429, 5xx
+transient).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from .iceberg_fs import (
+    DataFile,
+    all_data_file_paths,
+    data_files_for_paths,
+    default_spec_fields,
+    hive_data_files,
+    iceberg_schema,
+    incremental_data_files,
+    partition_fields_for,
+    write_partitioned_batch,
+    write_snapshot_tree,
+    _spark_schema_placeholder,
+)
+
+
+class RestError(RuntimeError):
+    """An Iceberg REST catalog error response. str() embeds the server
+    error type + message so classify_error's substring matrix applies."""
+
+    def __init__(self, status: int, error_type: str, message: str):
+        self.status = status
+        self.error_type = error_type
+        self.message = message
+        super().__init__(f"{error_type or 'HTTP ' + str(status)}: {message} (status {status})")
+
+
+class RestCommitConflictError(RestError):
+    """409 CommitFailedException — another writer won the CAS; reload
+    the table state and retry the commit."""
+
+
+def _is_missing(err: RestError) -> bool:
+    return err.status == 404
+
+
+class RestCatalogClient:
+    """Minimal Iceberg REST Catalog API client (stdlib urllib only).
+
+    Speaks: GET /v1/config, GET/POST namespaces, GET/POST tables,
+    POST tables/{table} (CommitTable). Bearer-token auth like the
+    reference's rest.WithOAuthToken (catalog_rest.go:69-76).
+    """
+
+    def __init__(
+        self,
+        uri: str,
+        *,
+        warehouse: str = "",
+        token: str = "",
+        timeout: float = 30.0,
+    ):
+        self.uri = uri.rstrip("/")
+        self.warehouse = warehouse
+        self.token = token
+        self.timeout = timeout
+        self._table_cache: set[str] = set()  # catalog_rest.go:34-36 tableCache
+        # /v1/config handshake: server defaults are overridden by client
+        # settings, which are overridden by server overrides (spec order)
+        query = {"warehouse": warehouse} if warehouse else None
+        cfg = self._request("GET", "/v1/config", query=query)
+        merged = dict(cfg.get("defaults", {}))
+        merged.update(cfg.get("overrides", {}))
+        self.prefix = merged.get("prefix", "")
+        if not self.warehouse:
+            self.warehouse = merged.get("warehouse", "")
+
+    # -- transport ---------------------------------------------------------
+    def _request(
+        self,
+        method: str,
+        path: str,
+        body: dict | None = None,
+        query: dict | None = None,
+    ) -> dict:
+        url = self.uri + path
+        if query:
+            url += "?" + urllib.parse.urlencode(query)
+        data = json.dumps(body).encode() if body is not None else None
+        req = urllib.request.Request(url, data=data, method=method)
+        req.add_header("Accept", "application/json")
+        if data is not None:
+            req.add_header("Content-Type", "application/json")
+        if self.token:
+            req.add_header("Authorization", f"Bearer {self.token}")
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                raw = resp.read()
+                return json.loads(raw) if raw else {}
+        except urllib.error.HTTPError as exc:
+            raw = exc.read()
+            try:
+                err = json.loads(raw)["error"]
+                etype, msg = err.get("type", ""), err.get("message", "")
+            except Exception:  # noqa: BLE001 — non-JSON error body
+                etype, msg = "", raw.decode(errors="replace")[:200]
+            cls = (
+                RestCommitConflictError
+                if exc.code == 409 and "commitfailed" in etype.lower()
+                else RestError
+            )
+            raise cls(exc.code, etype, msg) from exc
+        except urllib.error.URLError as exc:
+            # connection refused / DNS / timeout — transient by the
+            # errors.go matrix; surface the reason text for classify_error
+            raise RestError(0, "ConnectionError", str(exc.reason)) from exc
+
+    def _table_path(self, namespace: str, name: str = "") -> str:
+        base = f"/v1/{self.prefix}" if self.prefix else "/v1"
+        ns = urllib.parse.quote(namespace, safe="")
+        path = f"{base}/namespaces/{ns}/tables"
+        return f"{path}/{urllib.parse.quote(name, safe='')}" if name else path
+
+    def _ns_path(self, namespace: str = "") -> str:
+        base = f"/v1/{self.prefix}" if self.prefix else "/v1"
+        if namespace:
+            return f"{base}/namespaces/{urllib.parse.quote(namespace, safe='')}"
+        return f"{base}/namespaces"
+
+    # -- namespaces (catalog_rest.go:129-165) ------------------------------
+    def list_namespaces(self) -> list[str]:
+        out = self._request("GET", self._ns_path())
+        return [".".join(ns) for ns in out.get("namespaces", [])]
+
+    def namespace_exists(self, namespace: str) -> bool:
+        try:
+            self._request("GET", self._ns_path(namespace))
+            return True
+        except RestError as exc:
+            if _is_missing(exc):
+                return False
+            raise
+
+    def create_namespace(self, namespace: str, properties: dict[str, str] | None = None) -> None:
+        props = dict(properties or {})
+        # warehouse with a URL scheme → explicit location, else let the
+        # server resolve (catalog_rest.go:138-142)
+        if self.warehouse and "://" in self.warehouse and "location" not in props:
+            props["location"] = f"{self.warehouse}/{namespace}"
+        self._request(
+            "POST", self._ns_path(), {"namespace": namespace.split("."), "properties": props}
+        )
+
+    def ensure_namespace(self, namespace: str) -> None:
+        """Load-else-create with create-race tolerance: a concurrent
+        creator's AlreadyExists resolves to success iff the namespace
+        now loads (catalog_rest.go:144-161)."""
+        if self.namespace_exists(namespace):
+            return
+        try:
+            self.create_namespace(namespace)
+        except RestError:
+            if self.namespace_exists(namespace):
+                return
+            raise
+
+    # -- tables (catalog_rest.go:168-240) ----------------------------------
+    def load_table(self, namespace: str, name: str) -> dict:
+        """LoadTableResult: {'metadata-location': ..., 'metadata': {...}}."""
+        return self._request("GET", self._table_path(namespace, name))
+
+    def table_exists(self, namespace: str, name: str) -> bool:
+        try:
+            self.load_table(namespace, name)
+            return True
+        except RestError as exc:
+            if _is_missing(exc):
+                return False
+            raise
+
+    def create_table(
+        self,
+        namespace: str,
+        name: str,
+        spark_schema: StructType,
+        partition_source: str | None = None,
+        granularity: str = "hourly",
+        properties: dict[str, str] | None = None,
+        location: str | None = None,
+    ) -> dict:
+        schema = iceberg_schema(spark_schema)
+        schema.pop("_last_column_id")
+        spec_fields = partition_fields_for(schema, partition_source, granularity)
+        body: dict[str, Any] = {
+            "name": name,
+            "schema": schema,
+            "partition-spec": {"spec-id": 0, "fields": spec_fields},
+            "properties": dict(properties or {}),
+            "stage-create": False,
+        }
+        if location:
+            body["location"] = location
+        return self._request("POST", self._table_path(namespace), body)
+
+    def ensure_table(
+        self,
+        namespace: str,
+        name: str,
+        spark_schema: StructType,
+        partition_source: str | None = None,
+        granularity: str = "hourly",
+        properties: dict[str, str] | None = None,
+    ) -> "RestTable":
+        """Cache → load → create → re-load-on-race, exactly the
+        EnsureTable ladder of catalog_rest.go:168-240."""
+        cache_key = f"{namespace}.{name}"
+        if cache_key in self._table_cache:
+            return RestTable(self, namespace, name)
+        try:
+            self.load_table(namespace, name)
+            self._table_cache.add(cache_key)
+            return RestTable(self, namespace, name)
+        except RestError as exc:
+            if not _is_missing(exc):
+                raise
+        try:
+            self.create_table(
+                namespace, name, spark_schema, partition_source, granularity, properties
+            )
+        except RestError:
+            # AlreadyExists race: success iff it loads now (go:214-219)
+            try:
+                self.load_table(namespace, name)
+            except RestError as check_exc:
+                raise check_exc from None
+        self._table_cache.add(cache_key)
+        return RestTable(self, namespace, name)
+
+    def commit_table(
+        self, namespace: str, name: str, requirements: list[dict], updates: list[dict]
+    ) -> dict:
+        """CommitTable: the server validates requirements against its
+        current state atomically and applies updates — the REST analog
+        of the fs catalog's version-file CAS."""
+        return self._request(
+            "POST",
+            self._table_path(namespace, name),
+            {
+                "identifier": {"namespace": namespace.split("."), "name": name},
+                "requirements": requirements,
+                "updates": updates,
+            },
+        )
+
+
+class RestTable:
+    """Table handle bound to a RestCatalogClient — same operation surface
+    as FsTable, with commits arbitrated by the REST server."""
+
+    def __init__(self, client: RestCatalogClient, namespace: str, name: str):
+        self.client = client
+        self.namespace = namespace
+        self.name = name
+
+    # -- metadata access (always fresh: catalog_rest.go:259-263 loads
+    # the table before every append so commits see the latest state) ----
+    def metadata(self) -> dict:
+        return self.client.load_table(self.namespace, self.name)["metadata"]
+
+    def location(self) -> str:
+        return self.metadata()["location"]
+
+    def partition_spec(self) -> list[dict]:
+        return default_spec_fields(self.metadata())
+
+    def snapshots(self) -> list[dict]:
+        return self.metadata()["snapshots"]
+
+    def current_snapshot(self) -> dict | None:
+        md = self.metadata()
+        sid = md.get("current-snapshot-id", -1)
+        if sid in (-1, None):
+            return None
+        return next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+
+    # -- commit protocol ---------------------------------------------------
+    def append_files(
+        self, files: list[DataFile], snapshot_properties: dict[str, str] | None = None
+    ) -> int:
+        """Atomic append via CommitTable. Builds the manifest tree in
+        shared storage, then asks the server to advance `main` — with
+        `assert-ref-snapshot-id` pinning the parent we built against.
+        On 409 (another writer won) the manifest tree is rebuilt on the
+        new base and the commit retried (catalog_rest.go:243-303; the
+        retry loop lives in iceberg-go's transaction there)."""
+        attempts = 3
+        for attempt in range(attempts):
+            md = self.metadata()
+            snapshot = write_snapshot_tree(
+                md["location"],
+                md,
+                files,
+                operation="append",
+                carry_forward=True,
+                extra_summary=snapshot_properties or {},
+            )
+            parent = md["current-snapshot-id"]
+            requirements = [
+                {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
+                {
+                    "type": "assert-ref-snapshot-id",
+                    "ref": "main",
+                    "snapshot-id": None if parent == -1 else parent,
+                },
+            ]
+            updates = [
+                {"action": "add-snapshot", "snapshot": snapshot},
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "main",
+                    "type": "branch",
+                    "snapshot-id": snapshot["snapshot-id"],
+                },
+            ]
+            try:
+                self.client.commit_table(self.namespace, self.name, requirements, updates)
+                return snapshot["snapshot-id"]
+            except RestCommitConflictError:
+                if attempt + 1 == attempts:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+        raise AssertionError("unreachable")
+
+    def append_dataframe(
+        self, df: DataFrame, snapshot_properties: dict[str, str] | None = None
+    ) -> int | None:
+        """K3 over REST: executors write Parquet (hidden-partitioned),
+        driver commits the file list through the catalog server. Empty
+        inputs commit nothing (F1)."""
+        md = self.metadata()
+        files = write_partitioned_batch(df, md["location"], md)
+        if not files:
+            return None
+        return self.append_files(files, snapshot_properties)
+
+    def add_files_hive(
+        self,
+        source_dir: str,
+        snapshot_properties: dict[str, str] | None = None,
+    ) -> int:
+        """K4 over REST: register raw-sink Hive-layout Parquet without
+        copying (catalog_rest.go:306-367 AppendDataFiles)."""
+        files = hive_data_files(source_dir, self.partition_spec())
+        props = {"operation-detail": "add_files", **(snapshot_properties or {})}
+        return self.append_files(files, props)
+
+    def add_data_files(
+        self, paths: list[str], snapshot_properties: dict[str, str] | None = None
+    ) -> int:
+        """Register specific Parquet files (recovery re-registration)."""
+        md = self.metadata()
+        files = data_files_for_paths(paths, default_spec_fields(md), md["location"])
+        props = {"operation-detail": "add_files", **(snapshot_properties or {})}
+        return self.append_files(files, props)
+
+    # -- listing / reads ---------------------------------------------------
+    def all_files(self) -> list[str]:
+        """ListDataFiles: every data file referenced by ANY snapshot,
+        deduped (catalog_rest.go:370-467). Missing tables list empty,
+        like the reference (go:383-390)."""
+        try:
+            md = self.metadata()
+        except RestError as exc:
+            if _is_missing(exc):
+                return []
+            raise
+        return all_data_file_paths(md)
+
+    def incremental_scan(
+        self,
+        from_snapshot_id: int | None = None,
+        to_snapshot_id: int | None = None,
+    ) -> tuple[list[DataFile], int | None]:
+        return incremental_data_files(self.metadata(), from_snapshot_id, to_snapshot_id)
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """Scan a committed snapshot's files (time travel via snapshot_id)."""
+        md = self.metadata()
+        sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
+        if sid in (-1, None):
+            return spark.createDataFrame([], _spark_schema_placeholder(md))
+        snapshot = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+        from .avro_ocf import read_ocf
+
+        paths: list[str] = []
+        _, _, manifests = read_ocf(snapshot["manifest-list"])
+        for m in manifests:
+            _, _, entries = read_ocf(m["manifest_path"])
+            for e in entries:
+                if e["status"] != 2:  # skip deleted
+                    paths.append(e["data_file"]["file_path"])
+        if not paths:
+            return spark.createDataFrame([], _spark_schema_placeholder(md))
+        return spark.read.parquet(*paths)

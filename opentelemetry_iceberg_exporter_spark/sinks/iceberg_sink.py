@@ -244,3 +244,80 @@ class FsIcebergSink:
 
     def read(self, signal: str, snapshot_id: int | None = None) -> DataFrame:
         return self._load(signal).read(self.spark, snapshot_id)
+
+
+class RestIcebergSink:
+    """Same surface as FsIcebergSink against a REST catalog server via
+    the pure-Python client (sinks/iceberg_rest.py) — the reference's
+    production catalog mode (catalog_rest.go), jar-free. Executors write
+    Parquet to the warehouse; the REST server arbitrates commits."""
+
+    def __init__(self, spark: SparkSession, config: ExporterConfig):
+        from .iceberg_rest import RestCatalogClient
+
+        self.spark = spark
+        self.config = config
+        self.client = RestCatalogClient(
+            config.catalog.uri,
+            warehouse=config.catalog.warehouse,
+            token=config.catalog.token,
+        )
+
+    def _table_props(self, signal: str) -> dict[str, str]:
+        props = dict(TABLE_PROPERTIES)
+        props[f"iceberg_exporter.{signal}_schema_version"] = S.SCHEMA_VERSION
+        props["write.parquet.compression-codec"] = self.config.storage.compression
+        return props
+
+    def _table_name(self, signal: str) -> str:
+        return S.table_name(
+            signal,
+            prefix=self.config.catalog.table_prefix,
+            overrides=self.config.catalog.table_overrides,
+        )
+
+    def ensure_all_tables(self) -> list[str]:
+        """C1 + C2 x7 over REST (ensure ladder with client-side cache —
+        catalog_rest.go:129-240)."""
+        ns = self.config.catalog.namespace
+        self.client.ensure_namespace(ns)
+        ensured = []
+        for signal in S.ALL_SIGNALS:
+            table = self._table_name(signal)
+            self.client.ensure_table(
+                ns,
+                table,
+                S.SCHEMAS[signal],
+                partition_source=S.partition_column(signal),
+                granularity=self.config.partition.granularity,
+                properties=self._table_props(signal),
+            )
+            ensured.append(table)
+        return ensured
+
+    def _load(self, signal: str):
+        ns = self.config.catalog.namespace
+        return self.client.ensure_table(
+            ns,
+            self._table_name(signal),
+            S.SCHEMAS[signal],
+            partition_source=S.partition_column(signal),
+            granularity=self.config.partition.granularity,
+            properties=self._table_props(signal),
+        )
+
+    def append(self, df: DataFrame, signal: str, record_count: int | None = None) -> int | None:
+        """K3 over REST (catalog_rest.go:243-303 AppendRecords)."""
+        props = {"otel.exporter": "opentelemetry-iceberg-exporter-spark"}
+        if record_count is not None:
+            props["otel.record_count"] = str(record_count)
+        self.client.ensure_namespace(self.config.catalog.namespace)
+        return self._load(signal).append_dataframe(S.conform(df, S.SCHEMAS[signal]), props)
+
+    def add_files(self, signal: str, source_path: str) -> int:
+        """K4 over REST (catalog_rest.go:306-367 AppendDataFiles)."""
+        self.client.ensure_namespace(self.config.catalog.namespace)
+        return self._load(signal).add_files_hive(source_path)
+
+    def read(self, signal: str, snapshot_id: int | None = None) -> DataFrame:
+        return self._load(signal).read(self.spark, snapshot_id)

@@ -99,6 +99,18 @@ def default_sink(config: ExporterConfig) -> SinkFn:
 
         return fs_sink
 
+    if config.catalog.catalog_type == "rest":
+        from ..sinks.iceberg_sink import RestIcebergSink
+
+        rest_holder: dict[str, RestIcebergSink] = {}
+
+        def rest_sink(df: DataFrame, signal: str) -> None:
+            if "sink" not in rest_holder:
+                rest_holder["sink"] = RestIcebergSink(df.sparkSession, config)
+            rest_holder["sink"].append(df, signal)
+
+        return rest_sink
+
     def sink(df: DataFrame, signal: str) -> None:
         write_raw_parquet(df, signal, config)
 

@@ -1,0 +1,282 @@
+"""In-process Iceberg REST catalog stub server for exercising the
+pure-Python REST client (sinks/iceberg_rest.py) without network or jars.
+
+Implements the slice of the public Iceberg REST Catalog OpenAPI the
+client speaks: /v1/config (with a non-empty prefix so prefix handling is
+exercised), namespace CRUD, table create/load, and CommitTable with
+requirement validation — `assert-ref-snapshot-id` mismatches return 409
+CommitFailedException exactly like a real catalog, which is what drives
+the client's optimistic retry loop. Metadata is authoritative in memory
+(guarded by one lock = the server-side atomic commit) and each committed
+version is also written to disk under the table location, so
+metadata-location behaves like a real warehouse-backed catalog.
+
+Test hooks: `inject(status, type, message, times)` fails the next N
+requests (error-classification and retry tests); `token=` enforces
+Bearer auth (401 NotAuthorizedException otherwise).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+PREFIX = "catalogs/demo"  # non-trivial prefix: clients must honor it
+
+
+class StubCatalogState:
+    def __init__(self, warehouse: str, token: str = ""):
+        self.warehouse = warehouse.rstrip("/")
+        self.token = token
+        self.lock = threading.Lock()
+        self.namespaces: dict[str, dict] = {}
+        self.tables: dict[tuple[str, str], dict] = {}  # (ns, name) -> metadata
+        self.versions: dict[tuple[str, str], int] = {}
+        self.injected: list[tuple[int, str, str, str | None, str | None]] = []
+        self.requests: list[tuple[str, str]] = []  # (method, path) log
+
+    def inject(
+        self,
+        status: int,
+        error_type: str,
+        message: str,
+        times: int = 1,
+        method: str | None = None,
+        path_re: str | None = None,
+    ) -> None:
+        """Fail the next `times` requests; with method/path_re set, only
+        matching requests consume an injection (others pass through)."""
+        self.injected.extend([(status, error_type, message, method, path_re)] * times)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    state: StubCatalogState  # set by make_server
+
+    # -- plumbing ----------------------------------------------------------
+    def log_message(self, *args):  # silence request logging
+        pass
+
+    def _send(self, status: int, body: dict | None = None) -> None:
+        data = json.dumps(body or {}).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _error(self, status: int, error_type: str, message: str) -> None:
+        self._send(status, {"error": {"message": message, "type": error_type, "code": status}})
+
+    def _body(self) -> dict:
+        length = int(self.headers.get("Content-Length", 0))
+        return json.loads(self.rfile.read(length)) if length else {}
+
+    def _guard(self) -> bool:
+        """Auth + injected-failure gate. Returns True if handled."""
+        st = self.state
+        st.requests.append((self.command, self.path))
+        if st.injected:
+            status, etype, msg, method, path_re = st.injected[0]
+            matches = (method is None or method == self.command) and (
+                path_re is None or re.search(path_re, self.path)
+            )
+            if matches:
+                st.injected.pop(0)
+                self._error(status, etype, msg)
+                return True
+        if st.token:
+            auth = self.headers.get("Authorization", "")
+            if auth != f"Bearer {st.token}":
+                self._error(401, "NotAuthorizedException", "unauthorized: missing or bad token")
+                return True
+        return False
+
+    # -- routing -----------------------------------------------------------
+    def do_GET(self):  # noqa: N802 (http.server API)
+        if self._guard():
+            return
+        parsed = urlparse(self.path)
+        path = parsed.path
+        if path == "/v1/config":
+            q = parse_qs(parsed.query)
+            wh = q.get("warehouse", [self.state.warehouse])[0]
+            self._send(
+                200,
+                {"defaults": {"warehouse": wh}, "overrides": {"prefix": PREFIX}},
+            )
+            return
+        m = re.fullmatch(f"/v1/{PREFIX}/namespaces", path)
+        if m:
+            self._send(200, {"namespaces": [[ns] for ns in sorted(self.state.namespaces)]})
+            return
+        m = re.fullmatch(f"/v1/{PREFIX}/namespaces/([^/]+)", path)
+        if m:
+            ns = m.group(1)
+            if ns not in self.state.namespaces:
+                self._error(404, "NoSuchNamespaceException", f"Namespace does not exist: {ns}")
+                return
+            self._send(200, {"namespace": [ns], "properties": self.state.namespaces[ns]})
+            return
+        m = re.fullmatch(f"/v1/{PREFIX}/namespaces/([^/]+)/tables/([^/]+)", path)
+        if m:
+            key = (m.group(1), m.group(2))
+            md = self.state.tables.get(key)
+            if md is None:
+                self._error(
+                    404, "NoSuchTableException", f"Table does not exist: {key[0]}.{key[1]}"
+                )
+                return
+            self._send(200, {"metadata-location": self._metadata_location(key), "metadata": md})
+            return
+        self._error(404, "NotFoundException", f"no route {path}")
+
+    def do_POST(self):  # noqa: N802
+        if self._guard():
+            return
+        path = urlparse(self.path).path
+        m = re.fullmatch(f"/v1/{PREFIX}/namespaces", path)
+        if m:
+            body = self._body()
+            ns = ".".join(body["namespace"])
+            with self.state.lock:
+                if ns in self.state.namespaces:
+                    self._error(409, "AlreadyExistsException", f"Namespace already exists: {ns}")
+                    return
+                self.state.namespaces[ns] = body.get("properties", {})
+            self._send(200, {"namespace": body["namespace"], "properties": {}})
+            return
+        m = re.fullmatch(f"/v1/{PREFIX}/namespaces/([^/]+)/tables", path)
+        if m:
+            self._create_table(m.group(1), self._body())
+            return
+        m = re.fullmatch(f"/v1/{PREFIX}/namespaces/([^/]+)/tables/([^/]+)", path)
+        if m:
+            self._commit_table((m.group(1), m.group(2)), self._body())
+            return
+        self._error(404, "NotFoundException", f"no route {path}")
+
+    # -- handlers ----------------------------------------------------------
+    def _metadata_location(self, key: tuple[str, str]) -> str:
+        v = self.state.versions.get(key, 0)
+        md = self.state.tables[key]
+        return os.path.join(md["location"], "metadata", f"{v:05d}-rest.metadata.json")
+
+    def _persist(self, key: tuple[str, str]) -> None:
+        """Write the committed version to disk like a warehouse-backed
+        catalog (readers of metadata-location see real bytes)."""
+        loc = self._metadata_location(key)
+        os.makedirs(os.path.dirname(loc), exist_ok=True)
+        with open(loc, "w", encoding="utf-8") as f:
+            json.dump(self.state.tables[key], f, indent=2)
+
+    def _create_table(self, ns: str, body: dict) -> None:
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import new_table_metadata
+
+        name = body["name"]
+        key = (ns, name)
+        with self.state.lock:
+            if ns not in self.state.namespaces:
+                self._error(404, "NoSuchNamespaceException", f"Namespace does not exist: {ns}")
+                return
+            if key in self.state.tables:
+                self._error(
+                    409, "AlreadyExistsException", f"Table already exists: {ns}.{name}"
+                )
+                return
+            schema = body["schema"]
+            location = body.get("location") or os.path.join(self.state.warehouse, ns, name)
+            last_col = max(
+                (f["id"] for f in schema.get("fields", [])), default=0
+            )
+            md = new_table_metadata(
+                location,
+                schema,
+                last_col,
+                body.get("partition-spec", {}).get("fields", []),
+                body.get("properties", {}),
+            )
+            self.state.tables[key] = md
+            self.state.versions[key] = 1
+            self._persist(key)
+            self._send(200, {"metadata-location": self._metadata_location(key), "metadata": md})
+
+    def _commit_table(self, key: tuple[str, str], body: dict) -> None:
+        with self.state.lock:
+            md = self.state.tables.get(key)
+            if md is None:
+                self._error(
+                    404, "NoSuchTableException", f"Table does not exist: {key[0]}.{key[1]}"
+                )
+                return
+            # requirement validation — the server-side half of optimistic
+            # concurrency; a stale assert-ref-snapshot-id is THE commit
+            # conflict signal clients retry on
+            for req in body.get("requirements", []):
+                rtype = req.get("type")
+                if rtype == "assert-table-uuid":
+                    if req.get("uuid") != md["table-uuid"]:
+                        self._error(
+                            409, "CommitFailedException", "Requirement failed: table UUID changed"
+                        )
+                        return
+                elif rtype == "assert-ref-snapshot-id":
+                    ref = md.get("refs", {}).get(req.get("ref", "main"))
+                    current = ref["snapshot-id"] if ref else None
+                    if current != req.get("snapshot-id"):
+                        self._error(
+                            409,
+                            "CommitFailedException",
+                            f"Requirement failed: branch {req.get('ref')} has changed: "
+                            f"expected id {req.get('snapshot-id')} != {current}",
+                        )
+                        return
+                elif rtype == "assert-create":
+                    self._error(409, "CommitFailedException", "Requirement failed: table exists")
+                    return
+            new_md = dict(md)
+            for upd in body.get("updates", []):
+                action = upd.get("action")
+                if action == "add-snapshot":
+                    snap = upd["snapshot"]
+                    new_md["snapshots"] = new_md["snapshots"] + [snap]
+                    new_md["last-sequence-number"] = max(
+                        new_md["last-sequence-number"], snap["sequence-number"]
+                    )
+                    new_md["last-updated-ms"] = snap["timestamp-ms"]
+                elif action == "set-snapshot-ref":
+                    sid = upd["snapshot-id"]
+                    new_md["current-snapshot-id"] = sid
+                    new_md["refs"] = {
+                        **new_md.get("refs", {}),
+                        upd["ref-name"]: {"snapshot-id": sid, "type": upd.get("type", "branch")},
+                    }
+                    new_md["snapshot-log"] = new_md.get("snapshot-log", []) + [
+                        {"timestamp-ms": new_md["last-updated-ms"], "snapshot-id": sid}
+                    ]
+                elif action == "set-properties":
+                    new_md["properties"] = {**new_md["properties"], **upd["updates"]}
+                else:
+                    self._error(400, "ValidationException", f"unsupported update {action}")
+                    return
+            self.state.tables[key] = new_md
+            self.state.versions[key] += 1
+            self._persist(key)
+            self._send(
+                200, {"metadata-location": self._metadata_location(key), "metadata": new_md}
+            )
+
+
+def make_server(warehouse: str, token: str = "") -> tuple[ThreadingHTTPServer, StubCatalogState, str]:
+    """Start a stub catalog on an ephemeral localhost port. Returns
+    (server, state, uri); caller must server.shutdown()."""
+    state = StubCatalogState(warehouse, token)
+    handler = type("BoundHandler", (_Handler,), {"state": state})
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    uri = f"http://127.0.0.1:{server.server_address[1]}"
+    return server, state, uri

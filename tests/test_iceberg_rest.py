@@ -1,0 +1,460 @@
+"""Executed Iceberg REST catalog protocol (pure-Python client vs an
+in-process HTTP stub server).
+
+The reference's production catalog mode is the REST client
+(catalog_rest.go:86-467). These tests run the actual HTTP protocol end
+to end: /v1/config handshake (with a server-assigned prefix), the
+EnsureNamespace / EnsureTable load-create-reload race ladders, atomic
+appends via CommitTable with assert-ref-snapshot-id (including genuine
+two-thread commit races arbitrated by the server), AddFiles over the
+raw sink layout, ListDataFiles across all snapshots, X2 error
+classification of REST failures, and o05-style reconciliation over the
+REST listing.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from opentelemetry_iceberg_exporter_spark.sinks.errors import (
+    PERMANENT,
+    TRANSIENT,
+    classify_error,
+)
+from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
+    RestCatalogClient,
+    RestCommitConflictError,
+    RestError,
+    RestTable,
+)
+from opentelemetry_iceberg_exporter_spark.recovery.rest_adapter import (
+    recover_rest_warehouse,
+    rest_registered_files,
+)
+
+from rest_stub import make_server
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    warehouse = str(tmp_path / "warehouse")
+    os.makedirs(warehouse)
+    server, state, uri = make_server(warehouse)
+    client = RestCatalogClient(uri, warehouse=warehouse)
+    yield client, state, warehouse
+    server.shutdown()
+
+
+def _events_df(spark, n=40, hours=4):
+    return (
+        spark.range(n)
+        .withColumn(
+            "ts",
+            F.to_timestamp(
+                F.lit("2024-03-01 00:00:00").cast("timestamp")
+                + F.make_interval(hours=(F.col("id") % hours).cast("int"))
+            ),
+        )
+        .withColumn("name", F.concat(F.lit("evt-"), F.col("id")))
+        .select("id", "ts", "name")
+    )
+
+
+# --------------------------------------------------------------------------
+# handshake + namespaces + tables (catalog_rest.go:86-240)
+# --------------------------------------------------------------------------
+
+
+class TestCatalogProtocol:
+    def test_config_handshake_applies_server_prefix(self, catalog):
+        client, state, _ = catalog
+        assert client.prefix == "catalogs/demo"
+        # all subsequent routes carry the prefix
+        client.ensure_namespace("otel")
+        assert any("/catalogs/demo/namespaces" in p for _, p in state.requests)
+
+    def test_ensure_namespace_idempotent_and_race_tolerant(self, catalog):
+        client, state, _ = catalog
+        client.ensure_namespace("otel")
+        assert client.namespace_exists("otel")
+        client.ensure_namespace("otel")  # second call: load short-circuits
+        # create race: another writer created it between our 404 and our
+        # POST -> AlreadyExists resolves to success via re-load
+        # (catalog_rest.go:144-161)
+        state.namespaces["racing"] = {}
+        state.inject(404, "NoSuchNamespaceException", "Namespace does not exist: racing")
+        client.ensure_namespace("racing")
+
+    def test_ensure_table_caches_and_tolerates_create_race(self, catalog, spark):
+        client, state, _ = catalog
+        df = _events_df(spark)
+        client.ensure_namespace("otel")
+        client.ensure_table("otel", "traces", df.schema, partition_source="ts")
+        n_before = len(state.requests)
+        client.ensure_table("otel", "traces", df.schema, partition_source="ts")
+        assert len(state.requests) == n_before  # cache hit: zero HTTP calls
+
+        # create race (go:214-219): our existence check 404s, our create
+        # then collides with the concurrent creator -> resolved by re-load
+        client2 = RestCatalogClient(client.uri, warehouse=client.warehouse)
+        state.inject(404, "NoSuchTableException", "Table does not exist: otel.traces")
+        t = client2.ensure_table("otel", "traces", df.schema, partition_source="ts")
+        assert t.metadata()["table-uuid"]
+
+    def test_create_table_metadata_shape(self, catalog, spark):
+        client, _, warehouse = catalog
+        df = _events_df(spark)
+        client.ensure_namespace("otel")
+        t = client.ensure_table(
+            "otel", "traces", df.schema, partition_source="ts", granularity="hourly"
+        )
+        md = t.metadata()
+        assert md["format-version"] == 2
+        assert md["location"] == os.path.join(warehouse, "otel", "traces")
+        spec = t.partition_spec()
+        assert spec[0]["transform"] == "hours" and spec[0]["name"] == "ts_hour"
+        names = [f["name"] for f in md["schemas"][0]["fields"]]
+        assert names == ["id", "ts", "name"]
+
+    def test_missing_table_raises_404_resterror(self, catalog):
+        client, _, _ = catalog
+        client.ensure_namespace("otel")
+        with pytest.raises(RestError) as exc_info:
+            client.load_table("otel", "nope")
+        assert exc_info.value.status == 404
+
+
+# --------------------------------------------------------------------------
+# commit protocol (catalog_rest.go:243-303)
+# --------------------------------------------------------------------------
+
+
+class TestRestCommit:
+    def test_append_dataframe_roundtrip_with_snapshot_props(self, catalog, spark):
+        client, _, _ = catalog
+        df = _events_df(spark)
+        client.ensure_namespace("otel")
+        t = client.ensure_table("otel", "events", df.schema, partition_source="ts")
+        sid = t.append_dataframe(df, {"otel.exporter": "iceberg", "otel.record_count": "40"})
+        assert sid is not None
+        snap = t.current_snapshot()
+        assert snap["snapshot-id"] == sid
+        assert snap["summary"]["otel.exporter"] == "iceberg"
+        assert snap["summary"]["operation"] == "append"
+        back = t.read(spark)
+        assert back.count() == 40
+        assert {r.name for r in back.select("name").limit(3).collect()} <= {
+            f"evt-{i}" for i in range(40)
+        }
+
+    def test_empty_append_commits_nothing(self, catalog, spark):
+        client, _, _ = catalog
+        df = _events_df(spark).limit(0)
+        client.ensure_namespace("otel")
+        t = client.ensure_table("otel", "empty", df.schema, partition_source="ts")
+        assert t.append_dataframe(df) is None  # F1 short-circuit
+        assert t.snapshots() == []
+
+    def test_sequential_appends_accumulate(self, catalog, spark):
+        client, _, _ = catalog
+        df = _events_df(spark, n=20)
+        client.ensure_namespace("otel")
+        t = client.ensure_table("otel", "acc", df.schema, partition_source="ts")
+        t.append_dataframe(df)
+        t.append_dataframe(df)
+        assert len(t.snapshots()) == 2
+        assert t.read(spark).count() == 40
+        seqs = [s["sequence-number"] for s in t.snapshots()]
+        assert seqs == [1, 2]
+
+    def test_injected_conflict_retries_and_lands(self, catalog, spark):
+        client, state, _ = catalog
+        df = _events_df(spark, n=10)
+        client.ensure_namespace("otel")
+        t = client.ensure_table("otel", "retry", df.schema, partition_source="ts")
+        state.inject(
+            409,
+            "CommitFailedException",
+            "Requirement failed: branch main has changed",
+            method="POST",
+            path_re=r"/tables/retry$",
+        )
+        # injection consumes the first commit POST; the retry reloads and lands
+        sid = t.append_dataframe(df)
+        assert sid is not None and t.current_snapshot()["snapshot-id"] == sid
+
+    def test_exhausted_retries_raise_conflict(self, catalog, spark):
+        client, state, _ = catalog
+        df = _events_df(spark, n=5)
+        client.ensure_namespace("otel")
+        t = client.ensure_table("otel", "lose", df.schema, partition_source="ts")
+        files = []
+        # every commit POST conflicts -> the client gives up after 3 tries
+        state.inject(
+            409,
+            "CommitFailedException",
+            "Requirement failed: branch main has changed",
+            times=10,
+            method="POST",
+            path_re=r"/tables/lose$",
+        )
+        with pytest.raises(RestCommitConflictError):
+            t.append_files(files)
+
+    def test_concurrent_two_writer_race_both_land(self, catalog, spark):
+        """Genuine concurrency: two threads commit to one table at once.
+        The server's lock admits one; the loser's assert-ref-snapshot-id
+        fails with 409 and its client-side retry rebuilds on the new
+        base — both snapshots land, linear history, no lost updates."""
+        client, _, _ = catalog
+        df = _events_df(spark, n=12)
+        client.ensure_namespace("otel")
+        t = client.ensure_table("otel", "race", df.schema, partition_source="ts")
+        # pre-write both file sets so threads only race the COMMIT
+        md = t.metadata()
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            write_partitioned_batch,
+        )
+
+        files_a = write_partitioned_batch(df, md["location"], md)
+        files_b = write_partitioned_batch(df, md["location"], md)
+        results, errors = [], []
+        barrier = threading.Barrier(2)
+
+        def commit(files):
+            try:
+                barrier.wait()
+                results.append(t.append_files(files))
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        threads = [threading.Thread(target=commit, args=(fs,)) for fs in (files_a, files_b)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors
+        assert len(results) == 2
+        snaps = t.snapshots()
+        assert {s["snapshot-id"] for s in snaps} == set(results)
+        assert [s["sequence-number"] for s in snaps] == [1, 2]
+        assert t.read(spark).count() == 24  # no lost update
+
+
+# --------------------------------------------------------------------------
+# add_files + listing (catalog_rest.go:306-467)
+# --------------------------------------------------------------------------
+
+
+class TestAddFilesAndListing:
+    def test_add_files_hive_registers_without_copy(self, catalog, spark, tmp_path):
+        client, _, _ = catalog
+        df = _events_df(spark, n=30, hours=3)
+        raw = str(tmp_path / "raw")
+        (
+            df.withColumn("year", F.year("ts"))
+            .withColumn("month", F.month("ts"))
+            .withColumn("day", F.dayofmonth("ts"))
+            .withColumn("hour", F.hour("ts"))
+            .write.partitionBy("year", "month", "day", "hour")
+            .parquet(raw)
+        )
+        client.ensure_namespace("otel")
+        t = client.ensure_table("otel", "addf", df.schema, partition_source="ts")
+        sid = t.add_files_hive(raw, {"otel.file_count": "3"})
+        snap = t.current_snapshot()
+        assert snap["snapshot-id"] == sid
+        assert snap["summary"]["operation-detail"] == "add_files"
+        # files registered in place — not copied under the table location
+        listed = t.all_files()
+        assert listed and all(p.startswith(raw) for p in listed)
+        assert t.read(spark).count() == 30
+
+    def test_all_files_dedupes_across_snapshots(self, catalog, spark):
+        client, _, _ = catalog
+        df = _events_df(spark, n=8)
+        client.ensure_namespace("otel")
+        t = client.ensure_table("otel", "lst", df.schema, partition_source="ts")
+        t.append_dataframe(df)
+        t.append_dataframe(df)
+        files = t.all_files()
+        # 2 snapshots, each carrying forward the prior manifest: listing
+        # is deduped and matches the union of both appends
+        assert len(files) == len(set(files))
+        assert t.read(spark).count() == 16
+
+    def test_all_files_missing_table_lists_empty(self, catalog):
+        client, _, _ = catalog
+        client.ensure_namespace("otel")
+        assert RestTable(client, "otel", "ghost").all_files() == []
+
+    def test_incremental_scan_returns_checkpoint_id(self, catalog, spark):
+        client, _, _ = catalog
+        df = _events_df(spark, n=6)
+        client.ensure_namespace("otel")
+        t = client.ensure_table("otel", "incr", df.schema, partition_source="ts")
+        s1 = t.append_dataframe(df)
+        s2 = t.append_dataframe(df)
+        files, end = t.incremental_scan(from_snapshot_id=s1)
+        assert end == s2
+        assert {f.file_path for f in files} == {
+            f.file_path for f in t.incremental_scan(from_snapshot_id=s1, to_snapshot_id=s2)[0]
+        }
+
+
+# --------------------------------------------------------------------------
+# X2 error classification over REST (errors.go:43-115)
+# --------------------------------------------------------------------------
+
+
+class TestRestErrorClassification:
+    def test_auth_errors_are_permanent(self, tmp_path):
+        warehouse = str(tmp_path / "wh")
+        os.makedirs(warehouse)
+        server, _, uri = make_server(warehouse, token="s3cret")
+        try:
+            with pytest.raises(RestError) as exc_info:
+                RestCatalogClient(uri, warehouse=warehouse)  # no token
+            assert exc_info.value.status == 401
+            assert classify_error(exc_info.value) == PERMANENT
+            # correct token connects
+            client = RestCatalogClient(uri, warehouse=warehouse, token="s3cret")
+            client.ensure_namespace("otel")
+        finally:
+            server.shutdown()
+
+    def test_status_matrix(self, catalog):
+        client, state, _ = catalog
+        cases = [
+            (403, "ForbiddenException", "forbidden", PERMANENT),
+            (400, "ValidationException", "validation failed: bad schema", PERMANENT),
+            (409, "CommitFailedException", "Requirement failed", TRANSIENT),
+            (503, "ServiceUnavailableException", "service unavailable", TRANSIENT),
+            (500, "InternalServerError", "internal server error", TRANSIENT),
+            (429, "TooManyRequestsException", "too many requests, slow down", TRANSIENT),
+        ]
+        for status, etype, msg, expected in cases:
+            state.inject(status, etype, msg)
+            with pytest.raises(RestError) as exc_info:
+                client.list_namespaces()
+            assert exc_info.value.status == status
+            assert classify_error(exc_info.value) == expected, (status, etype)
+
+    def test_connection_refused_is_transient(self):
+        with pytest.raises(RestError) as exc_info:
+            RestCatalogClient("http://127.0.0.1:9", timeout=0.5)  # discard port
+        assert classify_error(exc_info.value) == TRANSIENT
+
+
+# --------------------------------------------------------------------------
+# o05-style reconciliation over the REST listing (reconciler.go over
+# catalog_rest.go:306-467)
+# --------------------------------------------------------------------------
+
+
+class TestRestRecovery:
+    def test_recover_orphans_via_rest(self, catalog, spark):
+        client, _, warehouse = catalog
+        df = _events_df(spark, n=20)
+        client.ensure_namespace("otel")
+        t = client.ensure_table("otel", "traces", df.schema, partition_source="ts")
+        t.append_dataframe(df)
+
+        # a crashed writer: data files exist under the table, unregistered
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            write_partitioned_batch,
+        )
+
+        md = t.metadata()
+        orphans = {f.file_path for f in write_partitioned_batch(df, md["location"], md)}
+        assert orphans and orphans.isdisjoint(set(t.all_files()))
+
+        result = recover_rest_warehouse(
+            spark, client, "otel", ["traces"], warehouse, max_batch_size=2
+        )
+        assert result.orphaned == len(orphans)
+        registered = set(t.all_files())
+        assert orphans <= registered
+        # re-run is a no-op: listing now covers everything
+        again = recover_rest_warehouse(spark, client, "otel", ["traces"], warehouse)
+        assert again.orphaned == 0
+
+    def test_export_batch_through_rest_sink(self, catalog, spark, tmp_path):
+        """The reference's production main loop, executed over HTTP:
+        OTLP/JSON batch -> flatten -> conform -> REST CommitTable ->
+        read back (exporter.go consume -> catalog_rest.go append)."""
+        from opentelemetry_iceberg_exporter_spark import schemas as S
+        from opentelemetry_iceberg_exporter_spark.config import (
+            CatalogConfig,
+            ExporterConfig,
+            PartitionConfig,
+            StorageConfig,
+        )
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_sink import RestIcebergSink
+        from opentelemetry_iceberg_exporter_spark.streaming import export_batch
+
+        from test_otlp_flatten import _span, _traces_payload
+        from test_sinks_pipeline import _write_jsonl
+
+        client, _, warehouse = catalog
+        cfg = ExporterConfig(
+            storage=StorageConfig(provider="filesystem", bucket=str(tmp_path), prefix="raw"),
+            catalog=CatalogConfig(
+                catalog_type="rest", uri=client.uri, warehouse=warehouse
+            ),
+            partition=PartitionConfig(granularity="hourly"),
+        )
+        inp = tmp_path / "in" / "traces.jsonl"
+        _write_jsonl(str(inp), [_traces_payload([_span()])])
+        export_batch(spark, str(inp.parent), "traces", cfg)
+
+        sink = RestIcebergSink(spark, cfg)
+        got = sink.read(S.SIGNAL_TRACES)
+        assert got.count() == 1
+        assert got.first().service_name == "svc-a"
+        t = sink._load(S.SIGNAL_TRACES)
+        summary = t.current_snapshot()["summary"]
+        assert summary["otel.exporter"] == "opentelemetry-iceberg-exporter-spark"
+
+    def test_ensure_all_tables_over_rest(self, catalog, spark, tmp_path):
+        from opentelemetry_iceberg_exporter_spark import schemas as S
+        from opentelemetry_iceberg_exporter_spark.config import (
+            CatalogConfig,
+            ExporterConfig,
+            StorageConfig,
+        )
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_sink import RestIcebergSink
+
+        client, state, warehouse = catalog
+        cfg = ExporterConfig(
+            storage=StorageConfig(provider="filesystem", bucket=str(tmp_path)),
+            catalog=CatalogConfig(catalog_type="rest", uri=client.uri, warehouse=warehouse),
+        )
+        sink = RestIcebergSink(spark, cfg)
+        tables = sink.ensure_all_tables()
+        assert len(tables) == len(S.ALL_SIGNALS)
+        for table in tables:
+            md = state.tables[("otel", table)]
+            assert md["format-version"] == 2
+            assert md["partition-specs"][0]["fields"][0]["transform"] == "hours"
+            assert md["properties"]["format-version"] == "2"
+        # second ensure is cache-served: no extra table-create POSTs
+        n_before = len(state.requests)
+        sink.ensure_all_tables()
+        posts = [r for r in state.requests[n_before:] if r[0] == "POST"]
+        assert posts == []
+
+    def test_registered_files_shape(self, catalog, spark):
+        client, _, _ = catalog
+        df = _events_df(spark, n=4)
+        client.ensure_namespace("otel")
+        t = client.ensure_table("otel", "one", df.schema, partition_source="ts")
+        t.append_dataframe(df)
+        out = rest_registered_files(client, "otel", ["one", "missing"])
+        assert set(out) == {"one", "missing"}
+        assert out["missing"] == [] and len(out["one"]) >= 1
