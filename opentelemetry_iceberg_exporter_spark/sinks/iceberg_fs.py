@@ -27,8 +27,10 @@ When `iceberg-spark-runtime` IS on the classpath, prefer the SQL/
 DataFrameWriterV2 path in `iceberg_sink.py`; this module is the
 jar-less fallback and the executable verification of the commit
 semantics. The byte format follows the public Iceberg spec
-(format-version 2); with no second Iceberg reader in the container,
-conformance is verified by round-trip plus structural golden tests.
+(format-version 2); conformance is pinned byte-for-byte against
+independently spec-encoded golden fixtures (tests/golden/make_golden.py
+imports nothing from this package) in tests/test_golden_format.py, plus
+round-trip tests.
 """
 
 from __future__ import annotations

@@ -1,0 +1,341 @@
+"""Generate golden Iceberg v2 metadata fixtures INDEPENDENTLY of the
+package under test.
+
+Every byte emitted here is derived from the public Apache Avro 1.11
+specification (binary encoding + object container files) and the public
+Apache Iceberg table spec (format-version 2) — NOT from
+sinks/avro_ocf.py or sinks/iceberg_fs.py, which must never be imported
+here. The fixtures pin the package's on-disk byte format: the test suite
+freezes uuids/timestamps/sync markers and asserts the package writes
+these exact bytes and reads them back faithfully. A mismatch means
+either format drift or a spec misread — both are release blockers for
+interop with real Iceberg readers.
+
+Regenerate (should be byte-stable):  python tests/golden/make_golden.py
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+# ---------------------------------------------------------------------------
+# frozen inputs (mirrored by tests/test_golden_format.py)
+# ---------------------------------------------------------------------------
+
+LOC = "/tmp/spark_graft_golden/wh/otel/gold"
+TABLE_UUID = "00000000-0000-4000-8000-00000000abcd"
+MANIFEST_UUID_HEX = "11111111111111111111111111111111"
+LIST_UUID_HEX = "22222222222222222222222222222222"
+T_CREATE_MS = 1700000000000
+T_APPEND_MS = 1700000001000
+SYNC = bytes(range(16))
+SNAPSHOT_SEED = bytes.fromhex("123456789abcdef0")
+SNAPSHOT_ID = (int.from_bytes(SNAPSHOT_SEED, "big")) >> 1  # 655884233731895160
+
+FILE_A = f"{LOC}/data/b0/ts_hour=473040/part-00000.parquet"
+FILE_B = f"{LOC}/data/b0/ts_hour=__HIVE_DEFAULT_PARTITION__/part-00001.parquet"
+
+
+# ---------------------------------------------------------------------------
+# Avro 1.11 binary encoding, written from the spec
+# ---------------------------------------------------------------------------
+
+
+def zigzag_varint(n: int) -> bytes:
+    """Avro int/long: zigzag then base-128 varint, little-endian groups."""
+    u = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def avro_str(s: str) -> bytes:
+    raw = s.encode("utf-8")
+    return zigzag_varint(len(raw)) + raw
+
+
+def avro_opt_long(v: int | None) -> bytes:
+    """Union ["null","long"]: branch index (0=null, 1=long) then value."""
+    if v is None:
+        return zigzag_varint(0)
+    return zigzag_varint(1) + zigzag_varint(v)
+
+
+def avro_opt_int(v: int | None) -> bytes:
+    if v is None:
+        return zigzag_varint(0)
+    return zigzag_varint(1) + zigzag_varint(v)
+
+
+def ocf(schema_json: str, extra_meta: list[tuple[str, str]], rows: list[bytes]) -> bytes:
+    """Object container file: magic, metadata map (avro.schema,
+    avro.codec, extras in order), sync, one data block, sync."""
+    out = io.BytesIO()
+    out.write(b"Obj\x01")
+    meta: list[tuple[str, bytes]] = [
+        ("avro.schema", schema_json.encode("utf-8")),
+        ("avro.codec", b"null"),
+    ] + [(k, v.encode("utf-8")) for k, v in extra_meta]
+    out.write(zigzag_varint(len(meta)))
+    for k, v in meta:
+        out.write(avro_str(k))
+        out.write(zigzag_varint(len(v)) + v)
+    out.write(zigzag_varint(0))  # map terminator
+    out.write(SYNC)
+    if rows:
+        body = b"".join(rows)
+        out.write(zigzag_varint(len(rows)))
+        out.write(zigzag_varint(len(body)))
+        out.write(body)
+        out.write(SYNC)
+    return out.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Iceberg v2 table metadata (spec: "Table Metadata" fields)
+# ---------------------------------------------------------------------------
+
+SCHEMA = {
+    "type": "struct",
+    "schema-id": 0,
+    "fields": [
+        {"id": 1, "name": "id", "required": True, "type": "long"},
+        {"id": 2, "name": "ts", "required": False, "type": "timestamptz"},
+        {"id": 3, "name": "name", "required": False, "type": "string"},
+    ],
+}
+
+SPEC_FIELDS = [
+    {"name": "ts_hour", "transform": "hours", "source-id": 2, "field-id": 1000}
+]
+
+METADATA_V1 = {
+    "format-version": 2,
+    "table-uuid": TABLE_UUID,
+    "location": LOC,
+    "last-sequence-number": 0,
+    "last-updated-ms": T_CREATE_MS,
+    "last-column-id": 3,
+    "schemas": [SCHEMA],
+    "current-schema-id": 0,
+    "partition-specs": [{"spec-id": 0, "fields": SPEC_FIELDS}],
+    "default-spec-id": 0,
+    "last-partition-id": 1000,
+    "sort-orders": [{"order-id": 0, "fields": []}],
+    "default-sort-order-id": 0,
+    "properties": {"owner": "golden"},
+    "current-snapshot-id": -1,
+    "snapshots": [],
+    "snapshot-log": [],
+    "metadata-log": [],
+    "refs": {},
+}
+
+MANIFEST_PATH = f"{LOC}/metadata/{MANIFEST_UUID_HEX}-m0.avro"
+LIST_PATH = f"{LOC}/metadata/snap-{SNAPSHOT_ID}-1-{LIST_UUID_HEX}.avro"
+
+
+# -- manifest file (spec: "Manifests"; required v2 subset of field IDs) -----
+
+
+def manifest_entry(path: str, size: int, count: int, ts_hour: int | None) -> bytes:
+    """One manifest_entry row: record fields in declared order."""
+    return b"".join(
+        [
+            zigzag_varint(1),  # status int: 1 = ADDED
+            avro_opt_long(SNAPSHOT_ID),
+            avro_opt_long(1),  # sequence_number
+            avro_opt_long(1),  # file_sequence_number
+            # data_file record:
+            zigzag_varint(0),  # content: 0 = data
+            avro_str(path),
+            avro_str("PARQUET"),
+            avro_opt_int(ts_hour),  # partition record: one optional int
+            zigzag_varint(count),
+            zigzag_varint(size),
+        ]
+    )
+
+
+def build_manifest() -> bytes:
+    # metadata key order: schema, partition-spec, partition-spec-id,
+    # format-version, content (the keys Iceberg manifests carry)
+    extra = [
+        ("schema", json.dumps(SCHEMA)),
+        ("partition-spec", json.dumps(SPEC_FIELDS)),
+        ("partition-spec-id", "0"),
+        ("format-version", "2"),
+        ("content", "data"),
+    ]
+    # data_file fields in spec order: content, file_path, file_format,
+    # partition, record_count, file_size_in_bytes
+    manifest_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 4,
+            },
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int", "field-id": 134},
+                        {"name": "file_path", "type": "string", "field-id": 100},
+                        {"name": "file_format", "type": "string", "field-id": 101},
+                        {
+                            "name": "partition",
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": [
+                                    {
+                                        "name": "ts_hour",
+                                        "type": ["null", "int"],
+                                        "default": None,
+                                        "field-id": 1000,
+                                    }
+                                ],
+                            },
+                            "field-id": 102,
+                        },
+                        {"name": "record_count", "type": "long", "field-id": 103},
+                        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                    ],
+                },
+                "field-id": 2,
+            },
+        ],
+    }
+    rows = [
+        manifest_entry(FILE_A, 1234, 10, 473040),
+        manifest_entry(FILE_B, 567, 3, None),
+    ]
+    return ocf(json.dumps(manifest_schema), extra, rows)
+
+
+# -- manifest list (spec: "Manifest Lists"; required v2 subset) -------------
+
+MANIFEST_LIST_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+def build_manifest_list(manifest_len: int) -> bytes:
+    extra = [
+        ("snapshot-id", str(SNAPSHOT_ID)),
+        ("parent-snapshot-id", "-1"),
+        ("sequence-number", "1"),
+        ("format-version", "2"),
+    ]
+    row = b"".join(
+        [
+            avro_str(MANIFEST_PATH),
+            zigzag_varint(manifest_len),
+            zigzag_varint(0),  # partition_spec_id
+            zigzag_varint(0),  # content: 0 = data
+            zigzag_varint(1),  # sequence_number
+            zigzag_varint(1),  # min_sequence_number
+            zigzag_varint(SNAPSHOT_ID),
+            zigzag_varint(2),  # added_files_count
+            zigzag_varint(0),
+            zigzag_varint(0),
+            zigzag_varint(13),  # added_rows_count = 10 + 3
+            zigzag_varint(0),
+            zigzag_varint(0),
+        ]
+    )
+    return ocf(json.dumps(MANIFEST_LIST_AVRO_SCHEMA), extra, [row])
+
+
+def build_metadata_v2() -> dict:
+    snapshot = {
+        "snapshot-id": SNAPSHOT_ID,
+        "parent-snapshot-id": None,
+        "sequence-number": 1,
+        "timestamp-ms": T_APPEND_MS,
+        "manifest-list": LIST_PATH,
+        "summary": {
+            "operation": "append",
+            "added-data-files": "2",
+            "added-records": "13",
+        },
+        "schema-id": 0,
+    }
+    md = dict(METADATA_V1)
+    md["last-sequence-number"] = 1
+    md["last-updated-ms"] = T_APPEND_MS
+    md["snapshots"] = [snapshot]
+    md["current-snapshot-id"] = SNAPSHOT_ID
+    md["refs"] = {"main": {"snapshot-id": SNAPSHOT_ID, "type": "branch"}}
+    md["snapshot-log"] = [{"timestamp-ms": T_APPEND_MS, "snapshot-id": SNAPSHOT_ID}]
+    md["metadata-log"] = [
+        {"timestamp-ms": T_CREATE_MS, "metadata-file": f"{LOC}/metadata/v1.metadata.json"}
+    ]
+    return md
+
+
+def main() -> None:
+    manifest = build_manifest()
+    mlist = build_manifest_list(len(manifest))
+    out = {
+        "manifest.avro": manifest,
+        "manifest-list.avro": mlist,
+    }
+    for name, data in out.items():
+        with open(os.path.join(HERE, name), "wb") as f:
+            f.write(data)
+    for name, md in (
+        ("v1.metadata.json", METADATA_V1),
+        ("v2.metadata.json", build_metadata_v2()),
+    ):
+        with open(os.path.join(HERE, name), "w", encoding="utf-8") as f:
+            json.dump(md, f, indent=2)
+    print(
+        json.dumps(
+            {
+                "snapshot_id": SNAPSHOT_ID,
+                "manifest_bytes": len(manifest),
+                "list_bytes": len(mlist),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
