@@ -1,14 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque `binary`
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
-Decode status: uncompressed formats decode for REAL with numpy alone —
-binary PPM (P6) and uncompressed 24-bit BMP (`decode_image`) — so the
-decode -> resize -> checksum path runs end to end on actual pixel data.
-Compressed codecs (JPEG/PNG/WebP) require PIL/opencv, which this
-container lacks; that branch raises NotImplementedError and is the one
-remaining environment stub (swap in PIL.Image.open — one function).
-Everything Spark-side — schema, partition sizing, UDF signature, Arrow
-batch shape — is real and tested either way.
+Decode status: PPM (P6), uncompressed 24-bit BMP, and non-interlaced
+8-bit PNG (stdlib zlib inflate + numpy unfiltering, all five scanline
+filters) decode for REAL — the decode -> resize -> checksum path runs
+end to end on actual pixel data, compressed included. JPEG/WebP entropy
+coding requires PIL/opencv, which this container lacks; that branch
+raises NotImplementedError and is the one remaining environment stub
+(swap in PIL.Image.open — one function). Everything Spark-side —
+schema, partition sizing, UDF signature, Arrow batch shape — is real
+and tested either way.
 
 Scale design: mapInPandas streams Arrow batches (no per-row Python
 overhead); `spark.sql.execution.arrow.maxRecordsPerBatch` bounds batch
@@ -127,23 +128,144 @@ def _decode_bmp(content: bytes):
     return pix[:, :, ::-1].copy()  # BGR -> RGB
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, ch: int):
+    """Reverse PNG scanline filtering (spec filters 0-4) into the
+    reconstructed byte matrix. None/Sub/Up are fully vectorized (Sub's
+    along-row prefix dependency = per-channel-lane cumsum mod 256);
+    Average/Paeth depend on the already-reconstructed left neighbor AND
+    the prior row, so those rows fall back to an in-row loop — real
+    encoders emit them rarely on synthetic data, and the decode stays
+    Arrow-batched per file either way."""
+    import numpy as np
+
+    rows = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    filters = rows[:, 0]
+    data = rows[:, 1:]
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        line = data[y]
+        prior = recon[y - 1] if y else zero_row
+        if f == 0:  # None
+            recon[y] = line
+        elif f == 1:  # Sub: recon[x] = line[x] + recon[x-ch]
+            lanes = line.reshape(-1, ch).astype(np.int64)
+            recon[y] = (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up: uint8 addition wraps mod 256
+            recon[y] = line + prior
+        elif f == 3:  # Average
+            out = recon[y]
+            for x in range(stride):
+                left = int(out[x - ch]) if x >= ch else 0
+                out[x] = (int(line[x]) + ((left + int(prior[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            out = recon[y]
+            for x in range(stride):
+                a = int(out[x - ch]) if x >= ch else 0
+                b = int(prior[x])
+                c = int(prior[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                out[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+    return recon
+
+
+def _decode_png(content: bytes):
+    """REAL decoder for non-interlaced 8-bit PNG: stdlib zlib inflate +
+    numpy unfiltering, written from the public PNG specification (no
+    codec library). Supports color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA); output is always (H, W, 3) RGB with alpha
+    dropped. Adam7 interlacing and 16-bit depth raise."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos = len(PNG_SIGNATURE)
+    width = height = None
+    bit_depth = color_type = interlace = None
+    palette = None
+    idat: list[bytes] = []
+    while pos < len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        body = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8:
+        raise NotImplementedError(f"only 8-bit PNG supported (got depth {bit_depth})")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"invalid PNG color type {color_type}")
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    raw = zlib.decompress(b"".join(idat))
+    recon = _png_unfilter(raw, height, stride, ch)
+    if color_type == 2:
+        return recon.reshape(height, width, 3).copy()
+    if color_type == 6:
+        return recon.reshape(height, width, 4)[:, :, :3].copy()
+    if color_type == 0:
+        gray = recon.reshape(height, width)
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    if color_type == 4:
+        gray = recon.reshape(height, width, 2)[:, :, 0]
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    # color_type == 3: palette lookup
+    if palette is None:
+        raise ValueError("paletted PNG missing PLTE chunk")
+    idx = recon.reshape(height, width)
+    return palette[idx]
+
+
 def decode_image(content: bytes) -> Any:
     """Decode a binary image payload to an (H, W, 3) uint8 RGB array.
 
-    REAL for the uncompressed formats a numpy-only container can parse
-    (binary PPM 'P6', uncompressed 24-bit BMP 'BM'); compressed codecs
-    (JPEG/PNG/WebP) still require PIL/opencv and raise — that branch is
-    the only remaining environment stub, swap in
-    `PIL.Image.open(io.BytesIO(content))` when a codec library ships.
+    REAL for every format a stdlib+numpy container can parse: binary PPM
+    'P6', uncompressed 24-bit BMP 'BM', and non-interlaced 8-bit PNG
+    (zlib inflate + numpy unfiltering). JPEG/WebP entropy coding still
+    requires PIL/opencv and raises — the one remaining environment stub;
+    swap in `PIL.Image.open(io.BytesIO(content))` when a codec library
+    ships.
     """
     if content[:2] == b"P6":
         return _decode_ppm(content)
     if content[:2] == b"BM":
         return _decode_bmp(content)
+    if content[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
+        return _decode_png(content)
     raise NotImplementedError(
-        "compressed-codec decoding (JPEG/PNG/...) requires PIL/opencv which "
-        "are not installed; PPM(P6)/BMP decode natively, or use "
-        "fake_decode=True for the deterministic test decoder"
+        "JPEG/WebP decoding requires PIL/opencv which are not installed; "
+        "PPM(P6)/BMP/PNG decode natively, or use fake_decode=True for the "
+        "deterministic test decoder"
     )
 
 

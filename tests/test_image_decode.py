@@ -1,7 +1,9 @@
-"""Real image decoding for uncompressed formats (operators/multimodal.py
-decode_image): PPM(P6) and 24-bit BMP synthesized byte-for-byte from the
-public specs, decoded with numpy alone, and run through the full
-decode -> resize -> checksum mapInPandas path on a Spark DataFrame."""
+"""Real image decoding (operators/multimodal.py decode_image): PPM(P6),
+24-bit BMP, and 8-bit PNG synthesized byte-for-byte from the public
+specs by independent test encoders (all five PNG scanline filters, CRCd
+chunks, zlib streams), decoded with stdlib+numpy alone, and run through
+the full decode -> resize -> checksum mapInPandas path on a Spark
+DataFrame."""
 
 from __future__ import annotations
 
@@ -72,9 +74,165 @@ def test_bmp_roundtrip(w, h, top_down):
     assert np.array_equal(decode_image(make_bmp(img, top_down)), img)
 
 
+# --------------------------------------------------------------------------
+# PNG: spec-derived test encoder (signature, chunk CRCs, per-row filters,
+# zlib deflate) -> stdlib+numpy decoder
+# --------------------------------------------------------------------------
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def _filter_row(line: np.ndarray, prior: np.ndarray, ch: int, ftype: int) -> np.ndarray:
+    """Apply the PNG filter FORWARD (encoder side) so the decoder must
+    reverse it. line/prior are reconstructed byte rows."""
+    out = np.zeros_like(line)
+    for x in range(line.size):
+        a = int(line[x - ch]) if x >= ch else 0
+        b = int(prior[x])
+        c = int(prior[x - ch]) if x >= ch else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) >> 1
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[x] = (int(line[x]) - pred) & 0xFF
+    return out
+
+
+def make_png(
+    arr: np.ndarray,
+    color_type: int = 2,
+    filters: list[int] | None = None,
+    palette: np.ndarray | None = None,
+    interlace: int = 0,
+    bit_depth: int = 8,
+) -> bytes:
+    """Minimal PNG encoder written from the spec (independent of the
+    decoder under test). arr is the raw sample matrix: (H, W) for gray /
+    palette indices, (H, W, C) otherwise."""
+    import zlib
+
+    h, w = arr.shape[:2]
+    ch = 1 if arr.ndim == 2 else arr.shape[2]
+    filters = filters if filters is not None else [0] * h
+    flat = arr.reshape(h, w * ch).astype(np.uint8)
+    prior = np.zeros(w * ch, dtype=np.uint8)
+    scanlines = b""
+    for y in range(h):
+        filtered = _filter_row(flat[y], prior, ch, filters[y])
+        scanlines += bytes([filters[y]]) + filtered.tobytes()
+        prior = flat[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += _png_chunk(b"IDAT", zlib.compress(scanlines))
+    return out + _png_chunk(b"IEND", b"")
+
+
+@pytest.mark.parametrize("w,h", [(7, 5), (64, 1), (16, 16)])
+def test_png_rgb_roundtrip_unfiltered(w, h):
+    img = _rgb(w, h)
+    assert np.array_equal(decode_image(make_png(img)), img)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_each_filter_type_reverses(ftype):
+    img = _rgb(9, 6)
+    png = make_png(img, filters=[ftype] * 6)
+    assert np.array_equal(decode_image(png), img)
+
+
+def test_png_mixed_filters_reverses():
+    img = _rgb(8, 5)
+    png = make_png(img, filters=[0, 1, 2, 3, 4])
+    assert np.array_equal(decode_image(png), img)
+
+
+def test_png_rgba_drops_alpha():
+    img = _rgb(6, 4)
+    rgba = np.dstack([img, np.full((4, 6), 200, np.uint8)])
+    png = make_png(rgba, color_type=6, filters=[4, 1, 2, 3])
+    assert np.array_equal(decode_image(png), img)
+
+
+def test_png_grayscale_expands_to_rgb():
+    gray = (np.arange(30, dtype=np.uint8) * 7 % 256).reshape(5, 6)
+    png = make_png(gray, color_type=0, filters=[1, 0, 2, 3, 4])
+    out = decode_image(png)
+    assert out.shape == (5, 6, 3)
+    assert np.array_equal(out[:, :, 0], gray)
+    assert np.array_equal(out[:, :, 1], gray)
+
+
+def test_png_gray_alpha():
+    gray = (np.arange(12, dtype=np.uint8) * 11).reshape(3, 4)
+    ga = np.dstack([gray, np.full((3, 4), 128, np.uint8)])
+    png = make_png(ga, color_type=4, filters=[2, 4, 1])
+    out = decode_image(png)
+    assert np.array_equal(out[:, :, 0], gray)
+
+
+def test_png_palette():
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], np.uint8)
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], np.uint8)
+    png = make_png(idx, color_type=3, palette=palette, filters=[0, 1])
+    assert np.array_equal(decode_image(png), palette[idx])
+
+
+def test_png_multiple_idat_chunks():
+    """IDAT may be split arbitrarily; the concatenation is one zlib stream."""
+    import zlib
+
+    img = _rgb(10, 3)
+    png = make_png(img)
+    # split the single IDAT into two
+    sig_end = 8 + 12 + 13  # signature + IHDR chunk
+    (length,) = struct.unpack_from(">I", png, sig_end)
+    idat_body = png[sig_end + 8 : sig_end + 8 + length]
+    rest = png[sig_end + 12 + length :]
+    half = len(idat_body) // 2
+    rebuilt = (
+        png[:sig_end]
+        + _png_chunk(b"IDAT", idat_body[:half])
+        + _png_chunk(b"IDAT", idat_body[half:])
+        + rest
+    )
+    assert np.array_equal(decode_image(rebuilt), img)
+
+
+def test_png_interlaced_raises():
+    img = _rgb(4, 4)
+    with pytest.raises(NotImplementedError, match="interlace"):
+        decode_image(make_png(img, interlace=1))
+
+
+def test_png_16bit_raises():
+    img = _rgb(4, 4)
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_image(make_png(img, bit_depth=16))
+
+
 def test_codec_formats_still_raise():
+    # JPEG SOI marker — entropy coding stays the environment stub
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"\x89PNG\r\n\x1a\n garbage")
+        decode_image(b"\xff\xd8\xff\xe0 garbage")
 
 
 def test_real_decode_through_spark(spark):
@@ -84,6 +242,7 @@ def test_real_decode_through_spark(spark):
         (1, make_ppm(_rgb(100, 40))),
         (2, make_bmp(_rgb(30, 80))),
         (3, make_ppm(_rgb(16, 16))),
+        (4, make_png(_rgb(128, 20), filters=[4, 1, 2, 3] * 5)),
     ]
     df = spark.createDataFrame(blobs, "media_id long, content binary")
     feats = {r["media_id"]: r for r in extract_media_features(df).collect()}
@@ -93,6 +252,9 @@ def test_real_decode_through_spark(spark):
     assert (feats[1]["out_width"], feats[1]["out_height"]) == (64, 25)
     assert (feats[2]["out_width"], feats[2]["out_height"]) == (24, 64)
     assert (feats[3]["out_width"], feats[3]["out_height"]) == (16, 16)
+    # PNG decoded inside the same mapInPandas pass: 128x20 -> 64x10
+    assert (feats[4]["width"], feats[4]["height"]) == (128, 20)
+    assert (feats[4]["out_width"], feats[4]["out_height"]) == (64, 10)
 
     resized = {r["media_id"]: r for r in resize_media(df, fake_decode=False).collect()}
     assert resized[1]["out_bytes"] == 64 * 25 * 3
