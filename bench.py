@@ -36,6 +36,7 @@ HEADLINE = [
     "d04_ngram_jaccard_pairs",
     "d02_signatures",
     "s01_knn_bruteforce",
+    "s02_ann_lsh",
     "s03_ann_ivf",
     "t01_doc_features",
     "t05_top_bigrams",

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .anyvalue import attributes_to_json_sql, log_body_to_string_sql
-from .model import LOGS_REQUEST
+from .model import ATTR_DEPTH, LOGS_REQUEST, at_depth
 from .traces import (
     empty_to_null,
     hex_id_or_null,
@@ -25,13 +25,15 @@ from .traces import (
 )
 
 
-def parse_logs_json(df: DataFrame, json_col: str = "value") -> DataFrame:
-    return df.select(F.from_json(F.col(json_col), LOGS_REQUEST).alias("req")).select(
-        "req.resourceLogs"
-    )
+def parse_logs_json(
+    df: DataFrame, json_col: str = "value", depth: int = ATTR_DEPTH
+) -> DataFrame:
+    return df.select(
+        F.from_json(F.col(json_col), at_depth(LOGS_REQUEST, depth)).alias("req")
+    ).select("req.resourceLogs")
 
 
-def flatten_logs(df: DataFrame) -> DataFrame:
+def flatten_logs(df: DataFrame, depth: int = ATTR_DEPTH) -> DataFrame:
     """resourceLogs DF -> 18-column otel_logs DF (one plan)."""
     rl = df.select(F.explode("resourceLogs").alias("rl"))
     sl = rl.select(
@@ -53,8 +55,8 @@ def flatten_logs(df: DataFrame) -> DataFrame:
         ns_str_to_ts(rec["timeUnixNano"]).alias("time_unix_nano"),
         F.coalesce(rec["severityNumber"], F.lit(0)).cast("int").alias("severity_number"),
         empty_to_null(rec["severityText"]).alias("severity_text"),
-        F.coalesce(F.expr(log_body_to_string_sql("rec.body")), F.lit("")).alias("body"),
-        F.expr(attributes_to_json_sql("rec.attributes")).alias("log_attributes"),
+        F.coalesce(F.expr(log_body_to_string_sql("rec.body", depth)), F.lit("")).alias("body"),
+        F.expr(attributes_to_json_sql("rec.attributes", depth)).alias("log_attributes"),
         F.coalesce(rec["droppedAttributesCount"], F.lit(0)).alias("dropped_attributes_count"),
         F.coalesce(rec["flags"], F.lit(0)).alias("log_flags"),
         hex_id_or_null(rec["traceId"], 16).alias("trace_id"),
@@ -68,13 +70,13 @@ def flatten_logs(df: DataFrame) -> DataFrame:
         # always NULL in the reference (logs.go:158-160 placeholder)
         F.lit(None).cast("string").alias("event_name"),
         service_name_col(res["attributes"]).alias("service_name"),
-        F.expr(attributes_to_json_sql("resource.attributes")).alias("resource_attributes"),
+        F.expr(attributes_to_json_sql("resource.attributes", depth)).alias("resource_attributes"),
         F.coalesce(res["droppedAttributesCount"], F.lit(0)).alias(
             "resource_dropped_attributes_count"
         ),
         empty_to_null(scope["name"]).alias("scope_name"),
         empty_to_null(scope["version"]).alias("scope_version"),
-        F.expr(attributes_to_json_sql("scope.attributes")).alias("scope_attributes"),
+        F.expr(attributes_to_json_sql("scope.attributes", depth)).alias("scope_attributes"),
         F.coalesce(scope["droppedAttributesCount"], F.lit(0)).alias(
             "scope_dropped_attributes_count"
         ),

@@ -27,15 +27,17 @@ from pyspark.sql import functions as F
 
 from .. import schemas as S
 from .anyvalue import attributes_to_json_sql
-from .model import METRICS_REQUEST
+from .model import ATTR_DEPTH, METRICS_REQUEST, at_depth
 from .traces import empty_to_null, hex_id_or_null, ns_str_to_ts, service_name_col
 
 TEMPORALITY = ["UNSPECIFIED", "DELTA", "CUMULATIVE"]  # metrics.go:776-787
 
 
-def parse_metrics_json(df: DataFrame, json_col: str = "value") -> DataFrame:
+def parse_metrics_json(
+    df: DataFrame, json_col: str = "value", depth: int = ATTR_DEPTH
+) -> DataFrame:
     return df.select(
-        F.from_json(F.col(json_col), METRICS_REQUEST).alias("req")
+        F.from_json(F.col(json_col), at_depth(METRICS_REQUEST, depth)).alias("req")
     ).select("req.resourceMetrics")
 
 
@@ -49,22 +51,26 @@ def _explode_to_metric(df: DataFrame) -> DataFrame:
     )
 
 
-def _common_cols(dp: Column) -> list[Column]:
+def _common_cols(dp_name: str = "dp", depth: int = ATTR_DEPTH) -> list[Column]:
     """The 15-column metrics prefix (schema.go:425-455).
 
     Attribute encoders use the SQL-text form (anyvalue.*_sql via one
     F.expr each): the Column form costs ~4.5k py4j round trips PER
     encoded column, which made every metrics flatten spend ~20 s in
-    plan construction alone (see anyvalue.py)."""
+    plan construction alone (see anyvalue.py). Takes the exploded
+    data-point column NAME (not a Column) so the Column references and
+    the SQL-text paths are derived from the same string and cannot
+    silently diverge."""
+    dp = F.col(dp_name)
     res = F.col("resource")
     scope = F.col("scope")
     m = F.col("metric")
     start_ns = dp["startTimeUnixNano"].cast("long")
-    meta_json = F.expr(attributes_to_json_sql("metric.metadata"))
+    meta_json = F.expr(attributes_to_json_sql("metric.metadata", depth))
     return [
         ns_str_to_ts(dp["timeUnixNano"]).alias("time_unix_nano"),
         service_name_col(res["attributes"]).alias("service_name"),
-        F.expr(attributes_to_json_sql("resource.attributes")).alias(
+        F.expr(attributes_to_json_sql("resource.attributes", depth)).alias(
             "resource_attributes"
         ),
         F.coalesce(res["droppedAttributesCount"], F.lit(0)).alias(
@@ -72,7 +78,7 @@ def _common_cols(dp: Column) -> list[Column]:
         ),
         empty_to_null(scope["name"]).alias("scope_name"),
         empty_to_null(scope["version"]).alias("scope_version"),
-        F.expr(attributes_to_json_sql("scope.attributes")).alias("scope_attributes"),
+        F.expr(attributes_to_json_sql("scope.attributes", depth)).alias("scope_attributes"),
         F.coalesce(scope["droppedAttributesCount"], F.lit(0)).alias(
             "scope_dropped_attributes_count"
         ),
@@ -83,7 +89,7 @@ def _common_cols(dp: Column) -> list[Column]:
         F.when(meta_json == "{}", F.lit(None).cast("string")).otherwise(meta_json).alias(
             "metric_metadata"
         ),
-        F.expr(attributes_to_json_sql("dp.attributes")).alias("attributes"),
+        F.expr(attributes_to_json_sql(f"{dp_name}.attributes", depth)).alias("attributes"),
         # zero start time -> NULL (metrics.go:396-400)
         F.when(
             start_ns.isNull() | (start_ns == 0), F.lit(None).cast("timestamp")
@@ -92,13 +98,14 @@ def _common_cols(dp: Column) -> list[Column]:
     ]
 
 
-def _exemplar_cols(dp: Column) -> list[Column]:
+def _exemplar_cols(dp_name: str = "dp", depth: int = ATTR_DEPTH) -> list[Column]:
     """6 parallel exemplar lists (metrics.go:423-470).
 
     Empty/absent exemplar set -> NULL lists (not empty, :431-438); the
     unused value representation is 0-padded INSIDE lists (:456-466).
+    Column name and SQL-text paths derive from dp_name (see _common_cols).
     """
-    ex = dp["exemplars"]
+    ex = F.col(dp_name)["exemplars"]
     absent = ex.isNull() | (F.size(ex) == 0)
 
     def lst(builder, out_type: str) -> Column:
@@ -125,8 +132,8 @@ def _exemplar_cols(dp: Column) -> list[Column]:
         F.when(absent, F.lit(None).cast("array<string>"))
         .otherwise(
             F.expr(
-                "transform(dp.exemplars, ex0 -> "
-                + attributes_to_json_sql("ex0.filteredAttributes")
+                f"transform({dp_name}.exemplars, ex0 -> "
+                + attributes_to_json_sql("ex0.filteredAttributes", depth)
                 + ")"
             )
         )
@@ -151,7 +158,9 @@ def _uint_list(col: Column) -> Column:
     )
 
 
-def flatten_metrics(df: DataFrame, cache: bool = False) -> dict[str, DataFrame]:
+def flatten_metrics(
+    df: DataFrame, cache: bool = False, depth: int = ATTR_DEPTH
+) -> dict[str, DataFrame]:
     """resourceMetrics DF -> {signal: DataFrame} for the 5 metric tables.
 
     The metric-level exploded DF is shared by all 5 branch filters.
@@ -165,10 +174,12 @@ def flatten_metrics(df: DataFrame, cache: bool = False) -> dict[str, DataFrame]:
     metric = _explode_to_metric(df)
     if cache:
         metric = metric.cache()
-    return flatten_metrics_from_metric(metric)
+    return flatten_metrics_from_metric(metric, depth)
 
 
-def flatten_metrics_from_metric(metric: DataFrame) -> dict[str, DataFrame]:
+def flatten_metrics_from_metric(
+    metric: DataFrame, depth: int = ATTR_DEPTH
+) -> dict[str, DataFrame]:
     """The 5 per-type projections over an already-exploded metric-level
     DF (one row per metric, columns resource/scope/metric). Callers that
     persist `metric` own its unpersist."""
@@ -179,20 +190,22 @@ def flatten_metrics_from_metric(metric: DataFrame) -> dict[str, DataFrame]:
         "resource", "scope", "metric", F.explode(m["gauge"]["dataPoints"]).alias("dp")
     )
     dp = F.col("dp")
-    gauge = g.select(*_common_cols(dp), *_number_value_cols(dp), *_exemplar_cols(dp))
+    gauge = g.select(
+        *_common_cols("dp", depth), *_number_value_cols(dp), *_exemplar_cols("dp", depth)
+    )
 
     # sum (metrics.go:494-516)
     s = metric.filter(m["sum"].isNotNull()).select(
         "resource", "scope", "metric", F.explode(m["sum"]["dataPoints"]).alias("dp")
     )
     sum_df = s.select(
-        *_common_cols(dp),
+        *_common_cols("dp", depth),
         *_number_value_cols(dp),
         F.coalesce(F.col("metric")["sum"]["isMonotonic"], F.lit(False)).alias("is_monotonic"),
         _temporality(F.col("metric")["sum"]["aggregationTemporality"]).alias(
             "aggregation_temporality"
         ),
-        *_exemplar_cols(dp),
+        *_exemplar_cols("dp", depth),
     )
 
     # histogram (metrics.go:518-542)
@@ -200,7 +213,7 @@ def flatten_metrics_from_metric(metric: DataFrame) -> dict[str, DataFrame]:
         "resource", "scope", "metric", F.explode(m["histogram"]["dataPoints"]).alias("dp")
     )
     hist = h.select(
-        *_common_cols(dp),
+        *_common_cols("dp", depth),
         F.coalesce(dp["count"].cast("long"), F.lit(0)).alias("count"),
         dp["sum"].alias("sum"),
         dp["min"].alias("min"),
@@ -212,7 +225,7 @@ def flatten_metrics_from_metric(metric: DataFrame) -> dict[str, DataFrame]:
         _temporality(F.col("metric")["histogram"]["aggregationTemporality"]).alias(
             "aggregation_temporality"
         ),
-        *_exemplar_cols(dp),
+        *_exemplar_cols("dp", depth),
     )
 
     # exponential histogram (metrics.go:544-573)
@@ -223,7 +236,7 @@ def flatten_metrics_from_metric(metric: DataFrame) -> dict[str, DataFrame]:
         F.explode(m["exponentialHistogram"]["dataPoints"]).alias("dp"),
     )
     exp = e.select(
-        *_common_cols(dp),
+        *_common_cols("dp", depth),
         F.coalesce(dp["count"].cast("long"), F.lit(0)).alias("count"),
         dp["sum"].alias("sum"),
         dp["min"].alias("min"),
@@ -238,7 +251,7 @@ def flatten_metrics_from_metric(metric: DataFrame) -> dict[str, DataFrame]:
         _temporality(
             F.col("metric")["exponentialHistogram"]["aggregationTemporality"]
         ).alias("aggregation_temporality"),
-        *_exemplar_cols(dp),
+        *_exemplar_cols("dp", depth),
     )
 
     # summary (metrics.go:575-594) — dot column names kept for parity
@@ -246,7 +259,7 @@ def flatten_metrics_from_metric(metric: DataFrame) -> dict[str, DataFrame]:
         "resource", "scope", "metric", F.explode(m["summary"]["dataPoints"]).alias("dp")
     )
     summary = su.select(
-        *_common_cols(dp),
+        *_common_cols("dp", depth),
         F.coalesce(dp["count"].cast("long"), F.lit(0)).alias("count"),
         F.coalesce(dp["sum"], F.lit(0.0)).alias("sum"),
         F.transform(

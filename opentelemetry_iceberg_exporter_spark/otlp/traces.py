@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .anyvalue import attributes_to_json_sql
-from .model import TRACES_REQUEST
+from .model import ATTR_DEPTH, TRACES_REQUEST, at_depth
 
 SPAN_KINDS = ["UNSPECIFIED", "INTERNAL", "SERVER", "CLIENT", "PRODUCER", "CONSUMER"]
 
@@ -83,15 +83,21 @@ def service_name_col(res_attrs: Column) -> Column:
     return empty_to_null(v)
 
 
-def parse_traces_json(df: DataFrame, json_col: str = "value") -> DataFrame:
-    """Parse OTLP/JSON request lines with the declared schema."""
+def parse_traces_json(
+    df: DataFrame, json_col: str = "value", depth: int = ATTR_DEPTH
+) -> DataFrame:
+    """Parse OTLP/JSON request lines with the declared schema; `depth`
+    bounds AnyValue nesting (config.attr_depth — plan-compile cost vs
+    deep-kvlist fidelity trade, see model.py)."""
     return df.select(
-        F.from_json(F.col(json_col), TRACES_REQUEST).alias("req")
+        F.from_json(F.col(json_col), at_depth(TRACES_REQUEST, depth)).alias("req")
     ).select("req.resourceSpans")
 
 
-def flatten_traces(df: DataFrame) -> DataFrame:
-    """resourceSpans DF -> 33-column otel_traces DF (one plan)."""
+def flatten_traces(df: DataFrame, depth: int = ATTR_DEPTH) -> DataFrame:
+    """resourceSpans DF -> 33-column otel_traces DF (one plan). `depth`
+    must match the parse depth so the JSON encoders render every parsed
+    level."""
     rs = df.select(F.explode("resourceSpans").alias("rs"))
     ss = rs.select(
         F.col("rs.resource").alias("resource"),
@@ -119,7 +125,7 @@ def flatten_traces(df: DataFrame) -> DataFrame:
         enum_str(span["kind"], SPAN_KINDS).alias("span_kind"),
         F.timestamp_micros(_int_div_1000(start_ns)).alias("start_time_unix_nano"),
         F.timestamp_micros(_int_div_1000(end_ns)).alias("end_time_unix_nano"),
-        F.expr(attributes_to_json_sql("span.attributes")).alias("span_attributes"),
+        F.expr(attributes_to_json_sql("span.attributes", depth)).alias("span_attributes"),
         F.coalesce(span["droppedAttributesCount"], F.lit(0)).alias("dropped_attributes_count"),
         F.transform(
             F.coalesce(span["events"], F.array()),
@@ -130,7 +136,7 @@ def flatten_traces(df: DataFrame) -> DataFrame:
         ).alias("events_name"),
         F.expr(
             "transform(coalesce(span.events, array()), ev0 -> "
-            + attributes_to_json_sql("ev0.attributes")
+            + attributes_to_json_sql("ev0.attributes", depth)
             + ")"
         ).alias("events_attributes"),
         F.transform(
@@ -149,7 +155,7 @@ def flatten_traces(df: DataFrame) -> DataFrame:
         ).alias("links_trace_state"),
         F.expr(
             "transform(coalesce(span.links, array()), lk0 -> "
-            + attributes_to_json_sql("lk0.attributes")
+            + attributes_to_json_sql("lk0.attributes", depth)
             + ")"
         ).alias("links_attributes"),
         F.transform(
@@ -165,13 +171,13 @@ def flatten_traces(df: DataFrame) -> DataFrame:
         # duration from RAW ns, before us truncation (traces.go:218-220)
         (end_ns - start_ns).alias("duration"),
         service_name_col(res["attributes"]).alias("service_name"),
-        F.expr(attributes_to_json_sql("resource.attributes")).alias("resource_attributes"),
+        F.expr(attributes_to_json_sql("resource.attributes", depth)).alias("resource_attributes"),
         F.coalesce(res["droppedAttributesCount"], F.lit(0)).alias(
             "resource_dropped_attributes_count"
         ),
         empty_to_null(scope["name"]).alias("scope_name"),
         empty_to_null(scope["version"]).alias("scope_version"),
-        F.expr(attributes_to_json_sql("scope.attributes")).alias("scope_attributes"),
+        F.expr(attributes_to_json_sql("scope.attributes", depth)).alias("scope_attributes"),
         F.coalesce(scope["droppedAttributesCount"], F.lit(0)).alias(
             "scope_dropped_attributes_count"
         ),

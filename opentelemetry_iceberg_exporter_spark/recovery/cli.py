@@ -4,12 +4,14 @@ Flags mirror cmd/recovery/main.go:122-143: --root (storage prefix),
 --table (restrict to one table), --after/--before accepting RFC3339 or
 date-only strings (main.go:356-372), --dry-run (X5), --max-batch-size.
 
-Catalog mode: with an Iceberg catalog attached, the registered set comes
-from each table's `all_files` metadata (all snapshots — matching the
-reference's time-travel-aware dedup, catalog_rest.go:370-467) and
-registration is the `add_files` procedure. Without one (this container),
---registered-manifest points at a text file of registered URIs — the
-mock-catalog seam the reference's own tests use (mock_catalog.go).
+Catalog modes: `--warehouse` reconciles against the filesystem Iceberg
+catalog, `--rest-uri` against a REST catalog server (the reference's
+production path) — in both, the registered set comes from each table's
+all-snapshots file listing (time-travel-aware dedup,
+catalog_rest.go:370-467) and registration is the `add_files` procedure.
+With neither, --registered-manifest points at a text file of registered
+URIs — the mock-catalog seam the reference's own tests use
+(mock_catalog.go) — and registration degrades to dry-run/report.
 """
 
 from __future__ import annotations
@@ -55,7 +57,16 @@ def build_parser() -> argparse.ArgumentParser:
         "{warehouse}/{namespace} and orphans are re-registered via "
         "metadata-only add_files commits",
     )
-    p.add_argument("--namespace", default="otel", help="fs-catalog namespace")
+    p.add_argument("--namespace", default="otel", help="catalog namespace")
+    p.add_argument(
+        "--rest-uri",
+        default=None,
+        help="REST-catalog mode: catalog endpoint; registered sets come "
+        "from ListDataFiles and orphans re-register via REST add_files "
+        "commits (requires --rest-warehouse for the storage root)",
+    )
+    p.add_argument("--rest-warehouse", default=None, help="REST-catalog storage root")
+    p.add_argument("--token", default=None, help="REST-catalog bearer token")
     return p
 
 
@@ -93,6 +104,34 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(res.__dict__, default=str))
         return 0 if res.failed == 0 else 1
 
+    if args.rest_uri:
+        # REST-catalog mode (the reference's production path): listing
+        # and registration through the catalog server
+        from ..sinks.iceberg_rest import RestCatalogClient
+        from .reconciler import distinct_tables
+        from .rest_adapter import rest_register_fn, rest_registered_files
+
+        client = RestCatalogClient(
+            args.rest_uri,
+            warehouse=args.rest_warehouse or "",
+            token=args.token or "",
+        )
+        tables = [args.table] if args.table else distinct_tables(scanned)
+        tables = [t for t in tables if client.table_exists(args.namespace, t)]
+        registered = registered_files(
+            spark, rest_registered_files(client, args.namespace, tables)
+        )
+        scanned = scanned.filter(scanned.table.isin(tables))
+        res = recover(
+            scanned,
+            registered,
+            rest_register_fn(client, args.namespace),
+            max_batch_size=args.max_batch_size,
+            dry_run=args.dry_run,
+        )
+        print(json.dumps(res.__dict__, default=str))
+        return 0 if res.failed == 0 else 1
+
     manifest: list[str] = []
     if args.registered_manifest:
         with open(args.registered_manifest) as f:
@@ -101,7 +140,11 @@ def main(argv: list[str] | None = None) -> int:
 
     def register_fn(table: str, uris: list[str]) -> None:
         raise NotImplementedError(
-            "attach an Iceberg catalog (add_files) to register; dry-run only here"
+            "no catalog attached, so orphans cannot be registered from a "
+            "manifest file alone — pass `--warehouse <root>` (filesystem "
+            "Iceberg catalog) or `--rest-uri <url>` (REST catalog) to "
+            "reconcile end to end via add_files commits, or --dry-run to "
+            "report only"
         )
 
     res = recover(

@@ -111,21 +111,33 @@ def recover(
     res.catalog_only = catalog_only_count(scanned, registered)
 
     orphans = find_orphans(scanned, registered)
-    # T4 group-by table; paths only to the driver
-    rows = orphans.select("table", "uri").collect()
-    res.orphaned = len(rows)
-    if dry_run:  # X5
+    if dry_run:  # X5: report-only, no paths needed on the driver
+        res.orphaned = orphans.count()
         return res
 
-    by_table: dict[str, list[str]] = {}
-    for r in rows:
-        by_table.setdefault(r["table"], []).append(r["uri"])
+    # T4 group-by table. Paths stream to the driver in (table, uri) order
+    # via toLocalIterator — the driver holds at most one max_batch_size
+    # buffer, never the whole orphan set (after a mass outage at scale,
+    # millions of orphans must not be materialized driver-side at once).
+    buffer: list[str] = []
+    current_table: str | None = None
 
-    for table, uris in sorted(by_table.items()):
-        for i in range(0, len(uris), max_batch_size):
+    def flush() -> None:
+        if buffer:
             _register_adaptive(
-                table, uris[i : i + max_batch_size], register_fn, repartition_fn, res, max_batch_size
+                current_table, list(buffer), register_fn, repartition_fn, res, max_batch_size
             )
+            buffer.clear()
+
+    for row in orphans.select("table", "uri").sort("table", "uri").toLocalIterator():
+        if row["table"] != current_table:
+            flush()
+            current_table = row["table"]
+        buffer.append(row["uri"])
+        res.orphaned += 1
+        if len(buffer) >= max_batch_size:
+            flush()
+    flush()
     return res
 
 

@@ -45,40 +45,45 @@ log = logging.getLogger(__name__)
 SinkFn = Callable[[DataFrame, str], None]
 
 
-def flatten_signal(df: DataFrame, signal_kind: str) -> dict[str, DataFrame]:
+def flatten_signal(
+    df: DataFrame, signal_kind: str, depth: int | None = None
+) -> dict[str, DataFrame]:
     """Parse+flatten a DataFrame of OTLP/JSON lines (column `value`) into
     {signal: conformed DataFrame}. signal_kind in {traces, logs, metrics}.
 
     For metrics the 5 projections share one un-cached exploded plan; use
     flatten_signal_cached inside foreachBatch to persist the shared
     explode for the batch's lifetime (and unpersist it afterwards)."""
-    dfs, _ = flatten_signal_cached(df, signal_kind, cache=False)
+    dfs, _ = flatten_signal_cached(df, signal_kind, cache=False, depth=depth)
     return dfs
 
 
 def flatten_signal_cached(
-    df: DataFrame, signal_kind: str, cache: bool = True
+    df: DataFrame, signal_kind: str, cache: bool = True, depth: int | None = None
 ) -> tuple[dict[str, DataFrame], DataFrame | None]:
     """Like flatten_signal, but returns the persisted shared intermediate
     (or None) so the caller can unpersist it when done — the fix for the
     per-micro-batch CacheManager leak: an inner .cache() with no handle
     accumulates one InMemoryRelation per batch on a long-running
     metrics stream."""
+    from ..otlp.model import ATTR_DEPTH
+
+    depth = ATTR_DEPTH if depth is None else depth
     if signal_kind == "traces":
-        flat = flatten_traces(parse_traces_json(df))
+        flat = flatten_traces(parse_traces_json(df, depth=depth), depth)
         return {S.SIGNAL_TRACES: S.conform(flat, S.TRACES_SCHEMA)}, None
     if signal_kind == "logs":
-        flat = flatten_logs(parse_logs_json(df))
+        flat = flatten_logs(parse_logs_json(df, depth=depth), depth)
         return {S.SIGNAL_LOGS: S.conform(flat, S.LOGS_SCHEMA)}, None
     if signal_kind == "metrics":
         from ..otlp.metrics import _explode_to_metric, flatten_metrics_from_metric
 
-        metric = _explode_to_metric(parse_metrics_json(df))
+        metric = _explode_to_metric(parse_metrics_json(df, depth=depth))
         handle: DataFrame | None = None
         if cache:
             metric = metric.persist()
             handle = metric
-        dfs = flatten_metrics_from_metric(metric)
+        dfs = flatten_metrics_from_metric(metric, depth)
         return {sig: S.conform(d, S.SCHEMAS[sig]) for sig, d in dfs.items()}, handle
     raise ValueError(f"unknown signal kind {signal_kind!r}")
 
@@ -133,7 +138,9 @@ def make_batch_processor(
         # 5-way metric demux persists the exploded source once (§4) and
         # releases it in the finally block — the handle-less inner cache
         # of r1 leaked one InMemoryRelation per micro-batch.
-        flattened, cached = flatten_signal_cached(batch_df, signal_kind)
+        flattened, cached = flatten_signal_cached(
+            batch_df, signal_kind, depth=config.attr_depth
+        )
         try:
             for signal, df in flattened.items():
                 try:
@@ -286,7 +293,7 @@ def export_batch(
         raw = protobuf_to_json_lines(binary, signal_kind)
     else:
         raw = spark.read.text(input_path)
-    flattened, cached = flatten_signal_cached(raw, signal_kind)
+    flattened, cached = flatten_signal_cached(raw, signal_kind, depth=config.attr_depth)
     sink = sink or default_sink(config)
     counts: dict[str, int] = {}
     try:

@@ -509,6 +509,42 @@ class TestCommitEdgeCases:
         assert paths == {"/data/mine.parquet", "/data/theirs.parquet"}
         assert len(t.snapshots()) == 2
 
+    def test_genuinely_concurrent_two_writer_race(self, spark, tmp_path, events_df):
+        """Real concurrency, not an injected race: two threads run the
+        full append path (Spark data write + CAS commit) against one
+        table simultaneously. The version-file CAS admits one; the loser
+        retries on the new base. Both snapshots land, history is linear,
+        no files are lost."""
+        import threading
+
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("ns", "race", events_df.schema, "ts", "hourly")
+        results: list[int] = []
+        errors: list[Exception] = []
+        barrier = threading.Barrier(2)
+
+        def appender(tag: int) -> None:
+            try:
+                barrier.wait()
+                results.append(
+                    t.append_dataframe(events_df, {"otel.writer": str(tag)})
+                )
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        threads = [threading.Thread(target=appender, args=(i,)) for i in (1, 2)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors, errors
+        snaps = t.snapshots()
+        assert {s["snapshot-id"] for s in snaps} == set(results) and len(results) == 2
+        assert [s["sequence-number"] for s in snaps] == [1, 2]
+        # linear parentage: second snapshot's parent is the first
+        assert snaps[1]["parent-snapshot-id"] == snaps[0]["snapshot-id"]
+        assert t.read(spark).count() == events_df.count() * 2
+
     def test_rewrite_with_zorder_sorts_rows(self, spark, tmp_path, events_df):
         """Compaction + layout in one pass: the rewritten file's rows
         follow the Z-curve (here 1-D: plain ascending event_id)."""

@@ -449,6 +449,39 @@ class TestRestRecovery:
         posts = [r for r in state.requests[n_before:] if r[0] == "POST"]
         assert posts == []
 
+    def test_recovery_cli_rest_mode(self, catalog, spark, capsys):
+        """`otel-spark-recover --rest-uri ...` end to end: scan, diff
+        against ListDataFiles, re-register orphans via REST add_files."""
+        import json as json_mod
+
+        from opentelemetry_iceberg_exporter_spark.recovery.cli import main
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            write_partitioned_batch,
+        )
+
+        client, _, warehouse = catalog
+        df = _events_df(spark, n=10)
+        client.ensure_namespace("otel")
+        t = client.ensure_table("otel", "cli", df.schema, partition_source="ts")
+        t.append_dataframe(df)
+        md = t.metadata()
+        orphans = {f.file_path for f in write_partitioned_batch(df, md["location"], md)}
+
+        rc = main(
+            [
+                "--root",
+                f"{warehouse}/otel",
+                "--rest-uri",
+                client.uri,
+                "--rest-warehouse",
+                warehouse,
+            ]
+        )
+        assert rc == 0
+        out = json_mod.loads(capsys.readouterr().out)
+        assert out["orphaned"] == len(orphans) and out["failed"] == 0
+        assert orphans <= set(t.all_files())
+
     def test_registered_files_shape(self, catalog, spark):
         client, _, _ = catalog
         df = _events_df(spark, n=4)

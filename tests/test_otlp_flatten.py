@@ -319,6 +319,80 @@ class TestTracesFlatten:
         r = _flatten_traces_rows(spark, _traces_payload([sp]))[0]
         assert r["span_attributes"] == '{"a":{"b":{"c":null}}}'
 
+    def test_attr_depth_configurable_renders_deep_kvlist_faithfully(self, spark):
+        """attr_depth config (ExporterConfig.attr_depth -> model.at_depth):
+        the SAME depth-4 payload truncates at the default depth 2 but
+        renders faithfully at depth 4 — matching the reference's
+        unbounded recursion (traces.go:252-291) for corpora that need it.
+        Plan-build cost is the documented trade (roughly doubles per
+        level); measured here so regressions surface."""
+        import json
+        import time as time_mod
+
+        from opentelemetry_iceberg_exporter_spark.streaming.pipeline import (
+            flatten_signal,
+        )
+
+        deep = _span(
+            attributes=[
+                _attr(
+                    "l1",
+                    kvlistValue={
+                        "values": [
+                            _attr(
+                                "l2",
+                                kvlistValue={
+                                    "values": [
+                                        _attr(
+                                            "l3",
+                                            kvlistValue={
+                                                "values": [
+                                                    _attr("l4", stringValue="deep")
+                                                ]
+                                            },
+                                        )
+                                    ]
+                                },
+                            )
+                        ]
+                    },
+                )
+            ]
+        )
+        payload = json.dumps(_traces_payload([deep]))
+        raw = spark.createDataFrame([(payload,)], "value string")
+
+        shallow = flatten_signal(raw, "traces")["traces"].first()
+        assert shallow["span_attributes"] == '{"l1":{"l2":{"l3":null}}}'
+
+        t0 = time_mod.perf_counter()
+        faithful_df = flatten_signal(raw, "traces", depth=4)["traces"]
+        build_s = time_mod.perf_counter() - t0
+        faithful = faithful_df.first()
+        assert faithful["span_attributes"] == '{"l1":{"l2":{"l3":{"l4":"deep"}}}}'
+        # depth-4 plan construction stays bounded (SQL-text encoders;
+        # the r1 Column-built form took ~20s at depth 2 alone)
+        assert build_s < 30, f"depth-4 plan build took {build_s:.1f}s"
+
+    def test_attr_depth_zero_keeps_scalars_only(self, spark):
+        from opentelemetry_iceberg_exporter_spark.streaming.pipeline import (
+            flatten_signal,
+        )
+        import json
+
+        sp = _span(
+            attributes=[
+                _attr("s", stringValue="x"),
+                _attr("m", kvlistValue={"values": [_attr("k", intValue="1")]}),
+            ]
+        )
+        raw = spark.createDataFrame(
+            [(json.dumps(_traces_payload([sp])),)], "value string"
+        )
+        r = flatten_signal(raw, "traces", depth=0)["traces"].first()
+        # scalar survives; the nested branch doesn't exist at depth 0
+        assert json.loads(r["span_attributes"]) == {"s": "x", "m": None}
+
 
 def _log_record(**over):
     base = {

@@ -150,6 +150,32 @@ class TestReconciler:
         tables = sorted(c[0] for c in calls)
         assert tables == ["otel_logs", "otel_traces"]
 
+    def test_recover_streams_orphans_without_collect(self, spark, warehouse, monkeypatch):
+        """Driver-memory bound: the registration loop consumes orphan
+        paths through toLocalIterator in max_batch_size chunks and never
+        materializes the full orphan set with collect() (mass-outage
+        recovery at scale must not OOM the driver)."""
+        from pyspark.sql import DataFrame
+
+        root, paths = warehouse
+        scanned = scan_files(spark, root)
+        registered = registered_files(spark, {"otel_traces": [paths["t1_h10"]]})
+        batches: list[tuple[str, int]] = []
+
+        def register_fn(table, uris):
+            batches.append((table, len(uris)))
+
+        monkeypatch.setattr(
+            DataFrame,
+            "collect",
+            lambda self: (_ for _ in ()).throw(AssertionError("collect() in recover")),
+        )
+        res = recover(scanned, registered, register_fn, max_batch_size=2)
+        assert res.orphaned == 3 and res.recovered == 3
+        # chunked at max_batch_size, grouped per table
+        assert all(n <= 2 for _, n in batches)
+        assert sorted({t for t, _ in batches}) == ["otel_logs", "otel_traces"]
+
     def test_dry_run_touches_nothing(self, spark, warehouse):
         root, _ = warehouse
         scanned = scan_files(spark, root)
@@ -214,6 +240,25 @@ class TestCli:
         assert parse_time_flag("2024-01-15T10:30:00Z") == datetime(2024, 1, 15, 10, 30)
         with pytest.raises(ValueError):
             parse_time_flag("not-a-time")
+
+    def test_no_catalog_registration_points_at_executable_modes(
+        self, spark, warehouse, tmp_path, capsys
+    ):
+        """A manifest-only run with orphans must not silently report a
+        bare NotImplementedError — the failure text names the two
+        catalog modes that DO register (--warehouse / --rest-uri)."""
+        import json
+
+        from opentelemetry_iceberg_exporter_spark.recovery.cli import main
+
+        root, paths = warehouse
+        manifest = tmp_path / "registered.txt"
+        manifest.write_text(paths["t1_h10"] + "\n")
+        rc = main(["--root", root, "--registered-manifest", str(manifest)])
+        assert rc == 1  # orphans exist, registration not possible
+        out = json.loads(capsys.readouterr().out)
+        assert out["failed"] > 0
+        assert any("--warehouse" in err and "--rest-uri" in err for _, err in out["failures"])
 
 
 class TestRepartitioner:
