@@ -227,23 +227,30 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "changes":
-        from .sinks.iceberg_fs import FsCatalog
+        from .sinks.iceberg_fs import FsCatalog, _spark_schema_placeholder
 
         table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
-        out = table.read_changes(
-            spark,
+        # one metadata load drives BOTH the scan and the checkpoint id:
+        # printing a current_snapshot loaded separately would race a
+        # concurrent append (or, with --to-snapshot, point past the
+        # requested window) and make the next poll skip the gap
+        files, end_snapshot = table.incremental_scan(
             from_snapshot_id=args.from_snapshot,
             to_snapshot_id=args.to_snapshot,
         )
+        if files:
+            out = spark.read.parquet(*[f.file_path for f in files])
+        else:
+            out = spark.createDataFrame([], _spark_schema_placeholder(table.metadata()))
         out.write.mode("overwrite").parquet(args.output)
-        cur = table.current_snapshot()
         print(
             json.dumps(
                 {
                     "rows": out.count(),
-                    # callers checkpoint this id and pass it as
-                    # --from-snapshot on the next poll
-                    "current_snapshot": cur["snapshot-id"] if cur else None,
+                    # the LAST snapshot this scan covered — callers
+                    # checkpoint this id and pass it as --from-snapshot
+                    # on the next poll
+                    "checkpoint_snapshot": end_snapshot,
                 }
             )
         )

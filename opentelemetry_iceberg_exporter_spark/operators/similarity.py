@@ -13,6 +13,7 @@ bit-identical across engines, so even unrounded cosines hash-match.
 
 from __future__ import annotations
 
+import logging
 import random
 
 from pyspark.sql import DataFrame, SparkSession
@@ -21,6 +22,8 @@ from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
 from ..queries import register
+
+log = logging.getLogger(__name__)
 
 DIM = 64  # embedding dimensionality of the testdata corpus
 TOP_K = 5
@@ -493,8 +496,8 @@ def kmeans_fit(
     """
     cents = _hash_min_init(df, id_col, vec_col, k)
     base = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
-    assigned = None
-    for _ in range(max_iter):
+
+    def assign_to(centroids: list[list[float]]) -> DataFrame:
         scored = F.array(
             *[
                 F.struct(
@@ -510,10 +513,14 @@ def kmeans_fit(
                     ).alias("dist"),
                     F.lit(j).alias("cell"),
                 )
-                for j, c in enumerate(cents)
+                for j, c in enumerate(centroids)
             ]
         )
-        assigned = base.withColumn("cell", F.array_min(scored)["cell"])
+        return base.withColumn("cell", F.array_min(scored)["cell"])
+
+    converged = False
+    for _ in range(max_iter):
+        assigned = assign_to(cents)
         sums = (
             assigned.select("cell", F.posexplode("__v").alias("pos", "val"))
             .groupBy("cell", "pos")
@@ -536,8 +543,18 @@ def kmeans_fit(
         )
         cents = new_cents
         if shift <= tol:
+            converged = True
             break
-    assignments = assigned.select(F.col(id_col), "cell")
+    if not converged:
+        log.warning(
+            "kmeans_fit hit max_iter=%d before tol=%g convergence", max_iter, tol
+        )
+    # the loop's last assignment was computed against the PREVIOUS
+    # centroids (one update step behind); re-assign against the final
+    # centroids so (cents, assignments) are mutually consistent — at a
+    # fixpoint this is identical, after max_iter it is the correction
+    # that keeps ivf_assign cells aligned with the centroid table
+    assignments = assign_to(cents).select(F.col(id_col), "cell")
     return cents, assignments
 
 

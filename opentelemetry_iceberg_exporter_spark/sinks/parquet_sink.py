@@ -48,14 +48,20 @@ def partition_value_columns(
     reference's %04d/%02d path rendering (partition.go:169-180).
 
     `ts` must be an instant (TIMESTAMP_LTZ, what load_table/flatten
-    produce). convert_timezone turns it into the target-zone wall clock
-    as TIMESTAMP_NTZ, and date_format on NTZ renders that wall clock
-    verbatim — so the partition values do NOT depend on
-    spark.sql.session.timeZone (a bare date_format(ltz) does, which
-    silently re-partitions data when a cluster runs non-UTC).
+    produce). The instant is lowered to epoch micros (unix_micros is
+    session-tz-independent), rebuilt as the UTC wall clock on a
+    TIMESTAMP_NTZ epoch, then converted UTC->target zone; date_format on
+    NTZ renders that wall clock verbatim. This avoids
+    convert_timezone(None, tz, ltz), whose implicit LTZ->NTZ cast
+    round-trips through the SESSION zone's wall clock and picks one
+    offset in a DST fall-back fold — partition values here never depend
+    on spark.sql.session.timeZone, fold instants included.
     """
     depth = _GRANULARITY_DEPTH[granularity]
-    local = F.convert_timezone(None, F.lit(timezone), ts)
+    utc_wall = F.timestamp_add(
+        "MICROSECOND", F.unix_micros(ts), F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    local = F.convert_timezone(F.lit("UTC"), F.lit(timezone), utc_wall)
     return [
         (name, F.date_format(local, fmt))
         for name, fmt in zip(_PART_FIELDS[:depth], _PART_FORMATS[:depth])

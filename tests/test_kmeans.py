@@ -101,6 +101,24 @@ def test_inertia_decreases_on_real_embeddings(spark, sf_dir):
     assert len(set(cells10.values())) == 10
 
 
+def test_assignments_consistent_with_final_centroids_at_max_iter(spark, sf_dir):
+    """When max_iter exhausts before convergence, the returned
+    assignments must be computed against the RETURNED centroids (not one
+    update step behind) — otherwise ivf_assign cells diverge from the
+    centroid table."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, assign = kmeans_fit(emb, "vec_id", "embedding", k=10, max_iter=1)
+    cells = {r["vec_id"]: r["cell"] for r in assign.collect()}
+    c = np.array(cents)
+    for r in emb.collect():
+        v = np.array([float(x) for x in r["embedding"]])
+        d = ((c - v) ** 2).sum(axis=1)
+        best = int(np.flatnonzero(d == d.min())[0])  # tie -> lower cell
+        assert cells[r["vec_id"]] == best, r["vec_id"]
+
+
 def test_trained_centroids_feed_ivf(spark):
     df = _synthetic(spark)
     cents, _ = kmeans_fit(df, "vec_id", "embedding", k=3, max_iter=10)

@@ -75,3 +75,41 @@ def test_asof_join_matches_under_tokyo(tokyo_spark, sf_dir):
     s_rows = {tuple(r) for r in spec.fn(tokyo_spark, sf_dir).collect()}
     d_rows = {tuple(r) for r in con.sql(spec.oracle).fetchall()}
     assert s_rows == d_rows
+
+
+def test_partition_values_correct_in_dst_fold(spark):
+    """DST fall-back fold: under a session zone where the instant's wall
+    clock is ambiguous, the old convert_timezone(None, tz, ltz) path
+    round-tripped through the session wall clock and picked one offset —
+    mispartitioning the second occurrence. The epoch-micros NTZ build
+    must place both fold instants in their true UTC hours regardless of
+    session zone."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_iceberg_exporter_spark.sinks.parquet_sink import (
+        partition_value_columns,
+    )
+
+    s = spark.newSession()
+    s.conf.set("spark.sql.session.timeZone", "America/New_York")
+    # 2024-11-03 NY fall-back: 05:30Z = 01:30 EDT (first), 06:30Z = 01:30
+    # EST (second) — same NY wall clock, different instants/UTC hours
+    df = s.createDataFrame(
+        [(1, "2024-11-03T05:30:00+00:00"), (2, "2024-11-03T06:30:00+00:00")],
+        "id int, iso string",
+    ).select("id", F.to_timestamp("iso").alias("ts"))
+    cols = partition_value_columns(F.col("ts"), "hourly", "UTC")
+    out = {
+        r["id"]: (r["year"], r["month"], r["day"], r["hour"])
+        for r in df.select("id", *[c.alias(n) for n, c in cols]).collect()
+    }
+    assert out[1] == ("2024", "11", "03", "05")
+    assert out[2] == ("2024", "11", "03", "06")  # the fold victim
+
+    # target-zone rendering also lands both in NY hour 01 (same wall)
+    cols_ny = partition_value_columns(F.col("ts"), "hourly", "America/New_York")
+    out_ny = {
+        r["id"]: r["hour"]
+        for r in df.select("id", *[c.alias(n) for n, c in cols_ny]).collect()
+    }
+    assert out_ny[1] == "01" and out_ny[2] == "01"
