@@ -696,6 +696,44 @@ class TestIncrementalRead:
         # while a window over the appends still yields exactly the appends
         assert t.read_changes(spark, from_snapshot_id=s1).count() == 70
 
+    def test_incremental_scan_returns_window_end_not_current(
+        self, spark, tmp_path, events_df
+    ):
+        """incremental_scan returns the LAST snapshot the scan covered —
+        the checkpoint value. With --to-snapshot it is that id even when
+        newer snapshots exist; on an empty table it is None."""
+        t, (s1, s2, s3) = self._three_appends(spark, tmp_path, events_df)
+        files, end = t.incremental_scan(from_snapshot_id=s1, to_snapshot_id=s2)
+        assert end == s2  # NOT s3 — a consumer checkpointing s3 skips it
+        _, end_open = t.incremental_scan(from_snapshot_id=s1)
+        assert end_open == s3
+        cat = FsCatalog(str(tmp_path / "wh2"))
+        empty = cat.create_table("ns", "none", events_df.schema, "ts", "hourly")
+        assert empty.incremental_scan() == ([], None)
+
+    def test_unknown_operation_in_window_raises(self, spark, tmp_path, events_df):
+        """Iceberg's incremental append scan FAILS on overwrite/delete
+        snapshots rather than silently dropping their effects; pin the
+        same contract (today only append/replace are ever committed, so
+        this guards a future operation being added without updating the
+        change-stream semantics)."""
+        import json as json_mod
+
+        t, (s1, _, _) = self._three_appends(spark, tmp_path, events_df)
+        # hand-forge an 'overwrite' snapshot in the metadata history
+        version = t.current_version()
+        md_path = os.path.join(t.location, "metadata", f"v{version}.metadata.json")
+        with open(md_path) as f:
+            md = json_mod.load(f)
+        forged = dict(md["snapshots"][-1])
+        forged["snapshot-id"] = 999999
+        forged["summary"] = {"operation": "overwrite"}
+        md["snapshots"] = md["snapshots"] + [forged]
+        with open(md_path, "w") as f:
+            json_mod.dump(md, f)
+        with pytest.raises(ValueError, match="overwrite"):
+            t.incremental_files(from_snapshot_id=s1)
+
     def test_consumer_checkpoint_loop(self, spark, tmp_path, events_df):
         """The intended consumption pattern: checkpoint the last snapshot
         processed, pass it as from on the next poll — every row arrives
