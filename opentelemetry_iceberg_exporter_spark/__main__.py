@@ -145,6 +145,20 @@ def main(argv: list[str] | None = None) -> int:
     pch.add_argument("--from-snapshot", type=int, default=None)
     pch.add_argument("--to-snapshot", type=int, default=None)
 
+    pi = sub.add_parser(
+        "inspect",
+        help="Iceberg-style metadata tables (snapshots/history/files/"
+        "all_files/manifests) printed as JSON lines",
+    )
+    pi.add_argument("--warehouse", required=True)
+    pi.add_argument("--namespace", default="otel")
+    pi.add_argument("--table", required=True)
+    pi.add_argument(
+        "--what",
+        default="snapshots",
+        choices=("snapshots", "history", "files", "all_files", "manifests"),
+    )
+
     pm = sub.add_parser(
         "maintain", help="fs-catalog table maintenance: rewrite_data_files + expire_snapshots"
     )
@@ -227,7 +241,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "changes":
-        from .sinks.iceberg_fs import FsCatalog, _spark_schema_placeholder
+        from .sinks.iceberg_fs import FsCatalog, spark_read_schema
 
         table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
         # one metadata load drives BOTH the scan and the checkpoint id:
@@ -241,7 +255,7 @@ def main(argv: list[str] | None = None) -> int:
         if files:
             out = spark.read.parquet(*[f.file_path for f in files])
         else:
-            out = spark.createDataFrame([], _spark_schema_placeholder(table.metadata()))
+            out = spark.createDataFrame([], spark_read_schema(table.metadata()))
         out.write.mode("overwrite").parquet(args.output)
         print(
             json.dumps(
@@ -254,6 +268,14 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "inspect":
+        from .sinks.iceberg_fs import FsCatalog
+
+        table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
+        for row in table.metadata_table(spark, args.what).toJSON().collect():
+            print(row)
         return 0
 
     if args.cmd == "maintain":

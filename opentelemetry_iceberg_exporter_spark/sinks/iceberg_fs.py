@@ -60,6 +60,7 @@ from pyspark.sql.types import (
     MapType,
     ShortType,
     StringType,
+    StructField,
     StructType,
     TimestampType,
 )
@@ -145,6 +146,66 @@ def _iceberg_type(dt: DataType, next_id: list[int]) -> Any:
             )
         return {"type": "struct", "fields": fields}
     raise ValueError(f"no Iceberg mapping for Spark type {dt!r}")
+
+
+def current_schema(md: dict) -> dict:
+    """Resolve the current schema BY ID (not list position) — evolution
+    appends schema versions and ids must stay authoritative."""
+    sid = md["current-schema-id"]
+    return next(s for s in md["schemas"] if s.get("schema-id", 0) == sid)
+
+
+def _spark_type(t: Any) -> DataType:
+    """Inverse of _iceberg_type: Iceberg schema JSON type -> Spark type."""
+    if isinstance(t, str):
+        if t.startswith("decimal("):
+            p, s = t[8:-1].split(",")
+            return DecimalType(int(p), int(s))
+        simple = {
+            "long": LongType(),
+            "int": IntegerType(),
+            "string": StringType(),
+            "double": DoubleType(),
+            "float": FloatType(),
+            "boolean": BooleanType(),
+            "binary": BinaryType(),
+            "timestamptz": TimestampType(),
+            "date": DateType(),
+        }
+        if t in simple:
+            return simple[t]
+        raise ValueError(f"no Spark mapping for Iceberg type {t!r}")
+    if t["type"] == "list":
+        return ArrayType(_spark_type(t["element"]), not t.get("element-required", False))
+    if t["type"] == "map":
+        return MapType(
+            _spark_type(t["key"]),
+            _spark_type(t["value"]),
+            not t.get("value-required", False),
+        )
+    if t["type"] == "struct":
+        return StructType(
+            [
+                # StructField imported at module top
+                StructField(f_["name"], _spark_type(f_["type"]), not f_["required"])
+                for f_ in t["fields"]
+            ]
+        )
+    raise ValueError(f"no Spark mapping for Iceberg type {t!r}")
+
+
+def spark_read_schema(md: dict) -> StructType:
+    """The CURRENT Iceberg schema as a Spark StructType — applied
+    explicitly on reads so files written under OLDER schemas surface
+    added columns as nulls (Iceberg schema-evolution read semantics)
+    and empty tables keep exact types."""
+    schema = current_schema(md)
+    return StructType(
+        [
+            StructField(f_["name"], _spark_type(f_["type"]), not f_["required"])
+            for f_ in schema["fields"]
+        ]
+    )
 
 
 def iceberg_schema(spark_schema: StructType, schema_id: int = 0) -> dict:
@@ -340,7 +401,7 @@ def write_snapshot_tree(
         manifest_avro_schema(spec_fields),
         entries,
         extra_metadata={
-            "schema": json.dumps(md["schemas"][md["current-schema-id"]]),
+            "schema": json.dumps(current_schema(md)),
             "partition-spec": json.dumps(spec_fields),
             "partition-spec-id": str(md["default-spec-id"]),
             "format-version": "2",
@@ -610,6 +671,155 @@ def incremental_data_files(
                     )
                 )
     return files, end_snapshot_id
+
+
+def evolved_schema(md: dict, new_fields: list) -> tuple[dict, int]:
+    """Build the next schema version for an add-columns evolution:
+    existing fields keep their ids verbatim (the Iceberg invariant that
+    makes old data files readable forever), new top-level fields get
+    fresh ids above last-column-id, and nested ids continue after them.
+    Returns (new_schema_dict, new_last_column_id); the caller commits it
+    as a new entry in `schemas` with current-schema-id bumped."""
+    current = current_schema(md)
+    existing = {f_["name"] for f_ in current["fields"]}
+    clashes = [f_.name for f_ in new_fields if f_.name in existing]
+    if clashes:
+        raise ValueError(f"column(s) already exist: {clashes}")
+    # top-level ids first, then nested — same discipline as iceberg_schema
+    next_id = [md["last-column-id"] + 1 + len(new_fields)]
+    added = []
+    for i, f_ in enumerate(new_fields):
+        added.append(
+            {
+                "id": md["last-column-id"] + 1 + i,
+                "name": f_.name,
+                "required": not f_.nullable,
+                "type": _iceberg_type(f_.dataType, next_id),
+            }
+        )
+    new_schema = {
+        "type": "struct",
+        "schema-id": max(s["schema-id"] for s in md["schemas"]) + 1,
+        "fields": current["fields"] + added,
+    }
+    return new_schema, next_id[0] - 1
+
+
+METADATA_TABLES = ("snapshots", "history", "files", "all_files", "manifests")
+
+
+def metadata_table(spark: SparkSession, md: dict, name: str) -> "DataFrame":
+    """Iceberg-style inspection tables over table metadata — the same
+    surface as `SELECT * FROM tbl.snapshots|history|files|manifests` on
+    a jar-backed Iceberg table (public Iceberg metadata-table layout,
+    required-column subset). Driver cost is O(metadata); the result is a
+    small DataFrame, so inspection composes with the query surface.
+
+    `files` lists the CURRENT snapshot's live data files; `all_files`
+    every file any snapshot references (the reconciler's set)."""
+    if name == "snapshots":
+        rows = [
+            (
+                datetime.fromtimestamp(s["timestamp-ms"] / 1000, tz=timezone.utc),
+                s["snapshot-id"],
+                s.get("parent-snapshot-id"),
+                s["summary"].get("operation"),
+                s["manifest-list"],
+                dict(s["summary"]),
+            )
+            for s in md["snapshots"]
+        ]
+        return spark.createDataFrame(
+            rows,
+            "committed_at timestamp, snapshot_id long, parent_id long, "
+            "operation string, manifest_list string, summary map<string,string>",
+        )
+    if name == "history":
+        current = md.get("current-snapshot-id", -1)
+        ancestors: set[int] = set()
+        by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+        cursor = current if current != -1 else None
+        while cursor is not None and cursor in by_id:
+            ancestors.add(cursor)
+            cursor = by_id[cursor].get("parent-snapshot-id")
+        rows = [
+            (
+                datetime.fromtimestamp(e["timestamp-ms"] / 1000, tz=timezone.utc),
+                e["snapshot-id"],
+                by_id.get(e["snapshot-id"], {}).get("parent-snapshot-id"),
+                e["snapshot-id"] in ancestors,
+            )
+            for e in md.get("snapshot-log", [])
+        ]
+        return spark.createDataFrame(
+            rows,
+            "made_current_at timestamp, snapshot_id long, parent_id long, "
+            "is_current_ancestor boolean",
+        )
+    if name in ("files", "all_files"):
+        sid = md.get("current-snapshot-id", -1)
+        entries: list[tuple] = []
+        snapshots = (
+            md["snapshots"]
+            if name == "all_files"
+            else [s for s in md["snapshots"] if s["snapshot-id"] == sid]
+        )
+        seen: set[str] = set()
+        for s in snapshots:
+            _, _, manifests = read_ocf(s["manifest-list"])
+            for m in manifests:
+                _, _, es = read_ocf(m["manifest_path"])
+                for e in es:
+                    if name == "files" and e["status"] == STATUS_DELETED:
+                        continue
+                    d = e["data_file"]
+                    if d["file_path"] in seen:
+                        continue
+                    seen.add(d["file_path"])
+                    entries.append(
+                        (
+                            d["content"],
+                            d["file_path"],
+                            d["file_format"],
+                            {k: str(v) if v is not None else None for k, v in d["partition"].items()},
+                            d["record_count"],
+                            d["file_size_in_bytes"],
+                        )
+                    )
+        return spark.createDataFrame(
+            entries,
+            "content int, file_path string, file_format string, "
+            "partition map<string,string>, record_count long, "
+            "file_size_in_bytes long",
+        )
+    if name == "manifests":
+        sid = md.get("current-snapshot-id", -1)
+        rows = []
+        if sid != -1:
+            snapshot = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+            _, _, manifests = read_ocf(snapshot["manifest-list"])
+            rows = [
+                (
+                    m["manifest_path"],
+                    m["manifest_length"],
+                    m["partition_spec_id"],
+                    m["content"],
+                    m["added_snapshot_id"],
+                    m["added_files_count"],
+                    m["existing_files_count"],
+                    m["deleted_files_count"],
+                    m["added_rows_count"],
+                )
+                for m in manifests
+            ]
+        return spark.createDataFrame(
+            rows,
+            "path string, length long, partition_spec_id int, content int, "
+            "added_snapshot_id long, added_data_files_count int, "
+            "existing_data_files_count int, deleted_data_files_count int, "
+            "added_rows_count long",
+        )
+    raise ValueError(f"unknown metadata table {name!r}; one of {METADATA_TABLES}")
 
 
 # --------------------------------------------------------------------------
@@ -951,12 +1161,13 @@ class FsTable:
         partition_range: tuple[int, int] | None = None,
     ) -> DataFrame:
         """Time-travel-capable scan: metadata resolves the file list, the
-        Spark scan reads exactly those Parquet files."""
+        Spark scan reads exactly those Parquet files under the CURRENT
+        schema (pre-evolution files surface added columns as nulls)."""
+        schema = spark_read_schema(self.metadata())
         files, _ = self.plan_files(snapshot_id, partition_range)
         if not files:
-            schema = _spark_schema_placeholder(self.metadata())
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(*[f.file_path for f in files])
+        return spark.read.schema(schema).parquet(*[f.file_path for f in files])
 
     # -- incremental (snapshot-diff) consumption ---------------------------
     def incremental_files(
@@ -992,6 +1203,51 @@ class FsTable:
         skipped by the next poll."""
         return incremental_data_files(self.metadata(), from_snapshot_id, to_snapshot_id)
 
+    def metadata_table(self, spark: SparkSession, name: str) -> DataFrame:
+        """Inspection tables (snapshots/history/files/all_files/
+        manifests) — see module-level metadata_table."""
+        return metadata_table(spark, self.metadata(), name)
+
+    # -- schema evolution --------------------------------------------------
+    def add_columns(self, new_fields: list[StructField] | StructType) -> int:
+        """Add nullable columns (Iceberg add-column evolution): existing
+        field ids are untouched, so every old data file stays readable;
+        reads surface the new columns as nulls for pre-evolution files
+        (spark_read_schema applies the CURRENT schema explicitly).
+        Metadata-only commit — no snapshot, no data rewrite. Returns the
+        new schema id."""
+        fields = list(new_fields.fields if isinstance(new_fields, StructType) else new_fields)
+        attempts = 3
+        for attempt in range(attempts):
+            base_version, md = self._load_state()
+            new_schema, last_col = evolved_schema(md, fields)
+            new_md = dict(md)
+            new_md["schemas"] = md["schemas"] + [new_schema]
+            new_md["current-schema-id"] = new_schema["schema-id"]
+            new_md["last-column-id"] = last_col
+            new_md["last-updated-ms"] = int(time.time() * 1000)
+            new_md["metadata-log"] = md["metadata-log"] + [
+                {
+                    "timestamp-ms": md["last-updated-ms"],
+                    "metadata-file": _metadata_path(self.location, base_version),
+                }
+            ]
+            try:
+                _write_metadata_version(self.location, base_version + 1, new_md)
+            except CommitConflictError:
+                if attempt + 1 == attempts:
+                    raise
+                for _ in range(10):
+                    if self.current_version() != base_version:
+                        break
+                    time.sleep(0.05)
+                else:
+                    raise
+                continue
+            _swap_version_hint(self.location, base_version + 1)
+            return new_schema["schema-id"]
+        raise AssertionError("unreachable")
+
     def read_changes(
         self,
         spark: SparkSession,
@@ -1002,11 +1258,11 @@ class FsTable:
         consumption side of exactly-once micro-batch commits: a consumer
         checkpoints the last snapshot id it processed and passes it as
         from_snapshot_id on the next run."""
+        schema = spark_read_schema(self.metadata())
         files = self.incremental_files(from_snapshot_id, to_snapshot_id)
         if not files:
-            schema = _spark_schema_placeholder(self.metadata())
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(*[f.file_path for f in files])
+        return spark.read.schema(schema).parquet(*[f.file_path for f in files])
 
     # -- table maintenance -------------------------------------------------
     def rewrite_data_files(
@@ -1168,7 +1424,7 @@ class FsTable:
 
 
 def _field_name_by_id(md: dict, field_id: int) -> str:
-    schema = md["schemas"][md["current-schema-id"]]
+    schema = current_schema(md)
     return next(f_["name"] for f_ in schema["fields"] if f_["id"] == field_id)
 
 
@@ -1228,26 +1484,3 @@ def _scan_written_files(batch_dir: str, partition_names: list[str]) -> list[Data
     return files
 
 
-_SPARK_TYPE_FOR = {
-    "long": "bigint",
-    "int": "int",
-    "string": "string",
-    "double": "double",
-    "float": "float",
-    "boolean": "boolean",
-    "binary": "binary",
-    "timestamptz": "timestamp",
-    "date": "date",
-}
-
-
-def _spark_schema_placeholder(md: dict):
-    """DDL schema for empty-table reads (top-level primitive columns;
-    nested columns surface as strings — placeholder only)."""
-    schema = md["schemas"][md["current-schema-id"]]
-    cols = []
-    for f_ in schema["fields"]:
-        t = f_["type"]
-        ddl = _SPARK_TYPE_FOR.get(t, "string") if isinstance(t, str) else "string"
-        cols.append(f"`{f_['name']}` {ddl}")
-    return ", ".join(cols)

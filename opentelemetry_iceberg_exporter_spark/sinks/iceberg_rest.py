@@ -51,7 +51,7 @@ from .iceberg_fs import (
     partition_fields_for,
     write_partitioned_batch,
     write_snapshot_tree,
-    _spark_schema_placeholder,
+    spark_read_schema,
 )
 
 
@@ -414,12 +414,41 @@ class RestTable:
     ) -> tuple[list[DataFile], int | None]:
         return incremental_data_files(self.metadata(), from_snapshot_id, to_snapshot_id)
 
+    def metadata_table(self, spark: SparkSession, name: str) -> DataFrame:
+        """Inspection tables (snapshots/history/files/all_files/
+        manifests) over the REST-loaded metadata."""
+        from .iceberg_fs import metadata_table
+
+        return metadata_table(spark, self.metadata(), name)
+
+    def add_columns(self, new_fields) -> int:
+        """Schema evolution over REST: add nullable columns via a
+        CommitTable with add-schema + set-current-schema updates (the
+        REST spec's schema-evolution actions). Existing field ids are
+        untouched; returns the new schema id."""
+        from .iceberg_fs import evolved_schema
+
+        fields = list(new_fields.fields if isinstance(new_fields, StructType) else new_fields)
+        md = self.metadata()
+        new_schema, last_col = evolved_schema(md, fields)
+        self.client.commit_table(
+            self.namespace,
+            self.name,
+            requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
+            updates=[
+                {"action": "add-schema", "schema": new_schema, "last-column-id": last_col},
+                {"action": "set-current-schema", "schema-id": new_schema["schema-id"]},
+            ],
+        )
+        return new_schema["schema-id"]
+
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         """Scan a committed snapshot's files (time travel via snapshot_id)."""
         md = self.metadata()
+        schema = spark_read_schema(md)
         sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
         if sid in (-1, None):
-            return spark.createDataFrame([], _spark_schema_placeholder(md))
+            return spark.createDataFrame([], schema)
         snapshot = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
         from .avro_ocf import read_ocf
 
@@ -431,5 +460,5 @@ class RestTable:
                 if e["status"] != 2:  # skip deleted
                     paths.append(e["data_file"]["file_path"])
         if not paths:
-            return spark.createDataFrame([], _spark_schema_placeholder(md))
-        return spark.read.parquet(*paths)
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*paths)

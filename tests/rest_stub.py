@@ -259,6 +259,22 @@ class _Handler(BaseHTTPRequestHandler):
                     ]
                 elif action == "set-properties":
                     new_md["properties"] = {**new_md["properties"], **upd["updates"]}
+                elif action == "add-schema":
+                    new_md["schemas"] = new_md["schemas"] + [upd["schema"]]
+                    if "last-column-id" in upd:
+                        new_md["last-column-id"] = max(
+                            new_md["last-column-id"], upd["last-column-id"]
+                        )
+                elif action == "set-current-schema":
+                    sid_ = upd["schema-id"]
+                    if sid_ == -1:  # spec: -1 = the schema added in this commit
+                        sid_ = new_md["schemas"][-1]["schema-id"]
+                    if sid_ not in {s["schema-id"] for s in new_md["schemas"]}:
+                        self._error(
+                            400, "ValidationException", f"unknown schema-id {sid_}"
+                        )
+                        return
+                    new_md["current-schema-id"] = sid_
                 else:
                     self._error(400, "ValidationException", f"unsupported update {action}")
                     return
