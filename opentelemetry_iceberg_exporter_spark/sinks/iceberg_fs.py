@@ -705,6 +705,115 @@ def evolved_schema(md: dict, new_fields: list) -> tuple[dict, int]:
     return new_schema, next_id[0] - 1
 
 
+def plan_rewrite(
+    spark: SparkSession,
+    live: list[DataFile],
+    location: str,
+    *,
+    target_bytes: int,
+    min_files: int,
+    zorder_by: list[str] | None = None,
+) -> tuple[list[DataFile], int, int] | None:
+    """Transport-neutral compaction planning + data rewrite: partitions
+    with >= min_files live files under target_bytes are rewritten into
+    one file each (optionally Z-ordered). WRITES the new Parquet files
+    under {location}/data and returns (replacement file set =
+    survivors + rewritten, n_compacted, n_rewritten), or None when
+    nothing qualifies. The caller owns the replace COMMIT on its
+    transport."""
+    by_part: dict[tuple, list[DataFile]] = {}
+    for f in live:
+        by_part.setdefault(tuple(sorted(f.partition.items())), []).append(f)
+
+    survivors: list[DataFile] = []
+    rewritten: list[DataFile] = []
+    n_compacted = 0
+    for part_key, files in sorted(by_part.items()):
+        small = [f for f in files if f.file_size_in_bytes < target_bytes]
+        if len(small) < min_files:
+            survivors.extend(files)
+            continue
+        survivors.extend(f for f in files if f.file_size_in_bytes >= target_bytes)
+        out_dir = os.path.join(location, "data", f"rewrite-{uuid.uuid4().hex}")
+        part_df = spark.read.parquet(*[f.file_path for f in small]).coalesce(1)
+        if zorder_by:
+            from ..operators.layout import sort_by_zorder
+
+            part_df = sort_by_zorder(part_df, zorder_by)
+        part_df.write.parquet(out_dir)
+        for new in _scan_written_files(out_dir, []):
+            rewritten.append(
+                DataFile(
+                    file_path=new.file_path,
+                    file_size_in_bytes=new.file_size_in_bytes,
+                    record_count=new.record_count,
+                    partition=dict(part_key),
+                )
+            )
+        n_compacted += len(small)
+    if not rewritten:
+        return None
+    return survivors + rewritten, n_compacted, len(rewritten)
+
+
+def snapshot_file_tree(snapshot: dict) -> tuple[set[str], set[str]]:
+    """(data files, manifests) a snapshot references — manifests are
+    SHARED across snapshots (appends carry them forward), so expiry must
+    collect whole trees before deleting anything."""
+    files: set[str] = set()
+    manifests: set[str] = set()
+    _, _, mlist = read_ocf(snapshot["manifest-list"])
+    for m in mlist:
+        manifests.add(m["manifest_path"])
+        _, _, entries = read_ocf(m["manifest_path"])
+        files.update(e["data_file"]["file_path"] for e in entries)
+    return files, manifests
+
+
+def expire_plan(md: dict, keep_last: int) -> dict | None:
+    """Transport-neutral expiry planning: which snapshots to drop and
+    which physical files/manifests/manifest-lists become unreferenced
+    once they are gone. None when nothing expires."""
+    snaps = md["snapshots"]
+    if len(snaps) <= keep_last:
+        return None
+    retained, expired = snaps[-keep_last:], snaps[:-keep_last]
+    keep_files: set[str] = set()
+    keep_manifests: set[str] = set()
+    for s in retained:
+        f_, m_ = snapshot_file_tree(s)
+        keep_files |= f_
+        keep_manifests |= m_
+    expired_files: set[str] = set()
+    expired_manifests: set[str] = set()
+    for s in expired:
+        f_, m_ = snapshot_file_tree(s)
+        expired_files |= f_
+        expired_manifests |= m_
+    return {
+        "retained": retained,
+        "expired": expired,
+        "delete_files": sorted(expired_files - keep_files),
+        "delete_manifests": (expired_manifests - keep_manifests)
+        | {s["manifest-list"] for s in expired},
+    }
+
+
+def delete_expired_paths(plan: dict) -> list[str]:
+    """Post-commit physical deletion (commit-then-delete: a crash before
+    the commit leaves the table intact; after it, only harmless
+    unreferenced files). Returns deleted data-file paths."""
+    deleted: list[str] = []
+    for p in plan["delete_files"]:
+        if os.path.exists(p):
+            os.remove(p)
+            deleted.append(p)
+    for p in plan["delete_manifests"]:
+        if os.path.exists(p):
+            os.remove(p)
+    return deleted
+
+
 METADATA_TABLES = ("snapshots", "history", "files", "all_files", "manifests")
 
 
@@ -1295,48 +1404,27 @@ class FsTable:
         live, _ = self.plan_files(
             snapshot_id=planned_snapshot if planned_snapshot != -1 else None
         )
-        by_part: dict[tuple, list[DataFile]] = {}
-        for f in live:
-            by_part.setdefault(tuple(sorted(f.partition.items())), []).append(f)
-
-        survivors: list[DataFile] = []
-        rewritten: list[DataFile] = []
-        n_compacted = 0
-        for part_key, files in sorted(by_part.items()):
-            small = [f for f in files if f.file_size_in_bytes < target_bytes]
-            if len(small) < min_files:
-                survivors.extend(files)
-                continue
-            survivors.extend(f for f in files if f.file_size_in_bytes >= target_bytes)
-            out_dir = os.path.join(self.location, "data", f"rewrite-{uuid.uuid4().hex}")
-            part_df = spark.read.parquet(*[f.file_path for f in small]).coalesce(1)
-            if zorder_by:
-                from ..operators.layout import sort_by_zorder
-
-                part_df = sort_by_zorder(part_df, zorder_by)
-            part_df.write.parquet(out_dir)
-            for new in _scan_written_files(out_dir, []):
-                rewritten.append(
-                    DataFile(
-                        file_path=new.file_path,
-                        file_size_in_bytes=new.file_size_in_bytes,
-                        record_count=new.record_count,
-                        partition=dict(part_key),
-                    )
-                )
-            n_compacted += len(small)
-        if not rewritten:
+        planned = plan_rewrite(
+            spark,
+            live,
+            self.location,
+            target_bytes=target_bytes,
+            min_files=min_files,
+            zorder_by=zorder_by,
+        )
+        if planned is None:
             return None
+        replacement, n_compacted, n_rewritten = planned
         # replace commits validate the planning base: if a concurrent
         # append advanced the table mid-rewrite, merging would silently
         # drop the appended files — raise ReplaceConflictError instead
         return self._commit_with_retry(
-            survivors + rewritten,
+            replacement,
             operation="replace",
             carry_forward=False,
             extra_summary={
                 "compacted-files": str(n_compacted),
-                "added-data-files": str(len(rewritten)),
+                "added-data-files": str(n_rewritten),
             },
             expected_base_snapshot=planned_snapshot,
         )
@@ -1352,45 +1440,16 @@ class FsTable:
         attempts = 3
         for attempt in range(attempts):
             base_version, md = self._load_state()
-            snaps = md["snapshots"]
-            if len(snaps) <= keep_last:
+            plan = expire_plan(md, keep_last)
+            if plan is None:
                 return []
-            retained, expired = snaps[-keep_last:], snaps[:-keep_last]
-
-            # read phase: manifests are SHARED across snapshots (append
-            # carries them forward) — collect everything before deleting
-            def manifest_tree(snapshot: dict) -> tuple[set[str], set[str]]:
-                files: set[str] = set()
-                manifests: set[str] = set()
-                _, _, mlist = read_ocf(snapshot["manifest-list"])
-                for m in mlist:
-                    manifests.add(m["manifest_path"])
-                    _, _, entries = read_ocf(m["manifest_path"])
-                    files.update(e["data_file"]["file_path"] for e in entries)
-                return files, manifests
-
-            keep_files: set[str] = set()
-            keep_manifests: set[str] = set()
-            for s in retained:
-                f_, m_ = manifest_tree(s)
-                keep_files |= f_
-                keep_manifests |= m_
-            expired_files: set[str] = set()
-            expired_manifests: set[str] = set()
-            expired_lists = {s["manifest-list"] for s in expired}
-            for s in expired:
-                f_, m_ = manifest_tree(s)
-                expired_files |= f_
-                expired_manifests |= m_
-
-            now_ms = int(time.time() * 1000)
-            retained_ids = {s["snapshot-id"] for s in retained}
+            retained_ids = {s["snapshot-id"] for s in plan["retained"]}
             new_md = dict(md)
-            new_md["snapshots"] = retained
+            new_md["snapshots"] = plan["retained"]
             new_md["snapshot-log"] = [
                 e for e in md["snapshot-log"] if e["snapshot-id"] in retained_ids
             ]
-            new_md["last-updated-ms"] = now_ms
+            new_md["last-updated-ms"] = int(time.time() * 1000)
             try:
                 _write_metadata_version(self.location, base_version + 1, new_md)
             except CommitConflictError:
@@ -1404,17 +1463,8 @@ class FsTable:
                     raise
                 continue  # re-plan against the new base
             _swap_version_hint(self.location, base_version + 1)
-
             # delete phase (post-commit): no metadata references these
-            deleted: list[str] = []
-            for p in sorted(expired_files - keep_files):
-                if os.path.exists(p):
-                    os.remove(p)
-                    deleted.append(p)
-            for p in (expired_manifests - keep_manifests) | expired_lists:
-                if os.path.exists(p):
-                    os.remove(p)
-            return deleted
+            return delete_expired_paths(plan)
         raise AssertionError("unreachable")
 
 

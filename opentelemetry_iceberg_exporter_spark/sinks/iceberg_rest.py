@@ -421,6 +421,124 @@ class RestTable:
 
         return metadata_table(spark, self.metadata(), name)
 
+    # -- table maintenance over REST ---------------------------------------
+    def rewrite_data_files(
+        self,
+        spark: SparkSession,
+        target_bytes: int = 128 * 1024 * 1024,
+        min_files: int = 2,
+        zorder_by: list | None = None,
+    ) -> int | None:
+        """Iceberg-style compaction with the replace COMMIT arbitrated by
+        the catalog server: the planning base is pinned with
+        assert-ref-snapshot-id, so a concurrent append advancing `main`
+        mid-rewrite fails the commit (409) instead of silently dropping
+        the appended files — the client surfaces ReplaceConflictError
+        for the caller to re-plan (replaces cannot auto-retry)."""
+        from .iceberg_fs import (
+            ReplaceConflictError,
+            plan_rewrite,
+        )
+
+        md = self.metadata()
+        planned_snapshot = md["current-snapshot-id"]
+        if planned_snapshot == -1:
+            return None
+        live, _ = self._live_files(md, planned_snapshot)
+        planned = plan_rewrite(
+            spark,
+            live,
+            md["location"],
+            target_bytes=target_bytes,
+            min_files=min_files,
+            zorder_by=zorder_by,
+        )
+        if planned is None:
+            return None
+        replacement, n_compacted, n_rewritten = planned
+        snapshot = write_snapshot_tree(
+            md["location"],
+            md,
+            replacement,
+            operation="replace",
+            carry_forward=False,
+            extra_summary={
+                "compacted-files": str(n_compacted),
+                "added-data-files": str(n_rewritten),
+            },
+        )
+        requirements = [
+            {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
+            {
+                "type": "assert-ref-snapshot-id",
+                "ref": "main",
+                "snapshot-id": planned_snapshot,
+            },
+        ]
+        updates = [
+            {"action": "add-snapshot", "snapshot": snapshot},
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": snapshot["snapshot-id"],
+            },
+        ]
+        try:
+            self.client.commit_table(self.namespace, self.name, requirements, updates)
+        except RestCommitConflictError as exc:
+            raise ReplaceConflictError(
+                f"table advanced past snapshot {planned_snapshot} during the "
+                "rewrite; re-plan"
+            ) from exc
+        return snapshot["snapshot-id"]
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Expire via the REST remove-snapshots update, then physically
+        delete files no retained snapshot references (commit-then-delete
+        like the fs catalog). Returns deleted data-file paths."""
+        from .iceberg_fs import delete_expired_paths, expire_plan
+
+        md = self.metadata()
+        plan = expire_plan(md, keep_last)
+        if plan is None:
+            return []
+        self.client.commit_table(
+            self.namespace,
+            self.name,
+            requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
+            updates=[
+                {
+                    "action": "remove-snapshots",
+                    "snapshot-ids": [s["snapshot-id"] for s in plan["expired"]],
+                }
+            ],
+        )
+        return delete_expired_paths(plan)
+
+    def _live_files(self, md: dict, snapshot_id: int) -> tuple[list[DataFile], int]:
+        """Live data files of a snapshot from its manifest tree."""
+        from .avro_ocf import read_ocf
+
+        snapshot = next(s for s in md["snapshots"] if s["snapshot-id"] == snapshot_id)
+        files: list[DataFile] = []
+        _, _, manifests = read_ocf(snapshot["manifest-list"])
+        for m in manifests:
+            _, _, entries = read_ocf(m["manifest_path"])
+            for e in entries:
+                if e["status"] == 2:
+                    continue
+                d = e["data_file"]
+                files.append(
+                    DataFile(
+                        file_path=d["file_path"],
+                        file_size_in_bytes=d["file_size_in_bytes"],
+                        record_count=d["record_count"],
+                        partition={k: v for k, v in d["partition"].items() if v is not None},
+                    )
+                )
+        return files, 0
+
     def add_columns(self, new_fields) -> int:
         """Schema evolution over REST: add nullable columns via a
         CommitTable with add-schema + set-current-schema updates (the

@@ -265,6 +265,21 @@ class _Handler(BaseHTTPRequestHandler):
                         new_md["last-column-id"] = max(
                             new_md["last-column-id"], upd["last-column-id"]
                         )
+                elif action == "remove-snapshots":
+                    drop = set(upd["snapshot-ids"])
+                    if new_md.get("current-snapshot-id") in drop:
+                        self._error(
+                            400, "ValidationException", "cannot remove the current snapshot"
+                        )
+                        return
+                    new_md["snapshots"] = [
+                        s for s in new_md["snapshots"] if s["snapshot-id"] not in drop
+                    ]
+                    new_md["snapshot-log"] = [
+                        e
+                        for e in new_md.get("snapshot-log", [])
+                        if e["snapshot-id"] not in drop
+                    ]
                 elif action == "set-current-schema":
                     sid_ = upd["schema-id"]
                     if sid_ == -1:  # spec: -1 = the schema added in this commit

@@ -308,6 +308,77 @@ class TestAddFilesAndListing:
 
 
 # --------------------------------------------------------------------------
+# table maintenance over REST (compaction + expiry, server-arbitrated)
+# --------------------------------------------------------------------------
+
+
+class TestRestMaintenance:
+    def _small_file_table(self, catalog, spark):
+        client, state, _ = catalog
+        df = _events_df(spark, n=24, hours=2)
+        client.ensure_namespace("otel")
+        t = client.ensure_table("otel", "mnt", df.schema, partition_source="ts")
+        t.append_dataframe(df)
+        t.append_dataframe(df)  # 2 snapshots x 2 hourly partitions
+        return t, state
+
+    def test_rewrite_compacts_and_time_travel_survives(self, catalog, spark):
+        t, _ = self._small_file_table(catalog, spark)
+        old_snapshot = t.snapshots()[0]["snapshot-id"]
+        sid = t.rewrite_data_files(spark, target_bytes=1 << 20, min_files=2)
+        assert sid is not None
+        snap = t.current_snapshot()
+        assert snap["summary"]["operation"] == "replace"
+        assert snap["summary"]["compacted-files"] == "4"
+        # one file per partition now; 48 rows intact
+        assert t.metadata_table(spark, "files").count() == 2
+        assert t.read(spark).count() == 48
+        # old snapshot still time-travels (its files untouched)
+        assert t.read(spark, snapshot_id=old_snapshot).count() == 24
+
+    def test_rewrite_conflicts_when_table_advances(self, catalog, spark):
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            ReplaceConflictError,
+        )
+
+        t, state = self._small_file_table(catalog, spark)
+        state.inject(
+            409,
+            "CommitFailedException",
+            "Requirement failed: branch main has changed",
+            method="POST",
+            path_re=r"/tables/mnt$",
+        )
+        with pytest.raises(ReplaceConflictError):
+            t.rewrite_data_files(spark, target_bytes=1 << 20, min_files=2)
+
+    def test_expire_reclaims_only_unreferenced(self, catalog, spark):
+        import os as os_mod
+
+        t, _ = self._small_file_table(catalog, spark)
+        t.rewrite_data_files(spark, target_bytes=1 << 20, min_files=2)
+        before = set(t.all_files())
+        deleted = t.expire_snapshots(keep_last=1)
+        assert deleted  # the pre-compaction files are reclaimed
+        assert len(t.snapshots()) == 1
+        live = set(t.all_files())
+        assert live < before
+        for p in deleted:
+            assert not os_mod.path.exists(p)
+        for p in live:
+            assert os_mod.path.exists(p)
+        assert t.read(spark).count() == 48
+
+    def test_expire_noop_when_nothing_to_drop(self, catalog, spark):
+        client, _, _ = catalog
+        df = _events_df(spark, n=4)
+        client.ensure_namespace("otel")
+        t = client.ensure_table("otel", "one_snap", df.schema, partition_source="ts")
+        t.append_dataframe(df)
+        assert t.expire_snapshots(keep_last=1) == []
+
+
+# --------------------------------------------------------------------------
 # X2 error classification over REST (errors.go:43-115)
 # --------------------------------------------------------------------------
 
