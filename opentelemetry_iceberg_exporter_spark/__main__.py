@@ -159,6 +159,17 @@ def main(argv: list[str] | None = None) -> int:
         choices=("snapshots", "history", "files", "all_files", "manifests"),
     )
 
+    pdel = sub.add_parser(
+        "delete",
+        help="row-level copy-on-write delete: purge rows matching a SQL "
+        "predicate (GDPR/contamination removal), only files containing "
+        "matches are rewritten",
+    )
+    pdel.add_argument("--warehouse", required=True)
+    pdel.add_argument("--namespace", default="otel")
+    pdel.add_argument("--table", required=True)
+    pdel.add_argument("--where", required=True, help="SQL predicate for rows to DELETE")
+
     pm = sub.add_parser(
         "maintain", help="fs-catalog table maintenance: rewrite_data_files + expire_snapshots"
     )
@@ -276,6 +287,14 @@ def main(argv: list[str] | None = None) -> int:
         table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
         for row in table.metadata_table(spark, args.what).toJSON().collect():
             print(row)
+        return 0
+
+    if args.cmd == "delete":
+        from .sinks.iceberg_fs import FsCatalog
+
+        table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
+        sid, n = table.delete_where(spark, args.where)
+        print(json.dumps({"snapshot": sid, "deleted_rows": n}))
         return 0
 
     if args.cmd == "maintain":

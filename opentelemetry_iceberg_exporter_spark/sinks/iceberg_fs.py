@@ -1429,6 +1429,69 @@ class FsTable:
             expected_base_snapshot=planned_snapshot,
         )
 
+    def delete_where(self, spark: SparkSession, predicate: str) -> tuple[int | None, int]:
+        """Row-level copy-on-write DELETE: files containing matching rows
+        are rewritten without them; untouched files survive as-is; the
+        commit REPLACES the live file set in an `overwrite` snapshot
+        (time travel to pre-delete snapshots still sees the rows until
+        expire_snapshots reclaims them).
+
+        The scan phase is file-granular and distributed: each candidate
+        file is tested with a pushed-down count, so files with zero
+        matches are never rewritten — at scale the rewrite cost tracks
+        the files actually containing matches, not the table. This is
+        the engine's GDPR/contamination-purge primitive (drop poisoned
+        or opted-out documents from a training corpus without a
+        full-table rewrite).
+
+        Returns (new snapshot id or None if nothing matched,
+        rows deleted). Like rewrite_data_files, the commit validates the
+        planning base and raises ReplaceConflictError if the table
+        advanced mid-delete."""
+        _, planned_md = self._load_state()
+        planned_snapshot = planned_md["current-snapshot-id"]
+        if planned_snapshot == -1:
+            return None, 0
+        live, _ = self.plan_files(snapshot_id=planned_snapshot)
+        schema = spark_read_schema(planned_md)
+        survivors: list[DataFile] = []
+        rewritten: list[DataFile] = []
+        n_deleted = 0
+        for f in live:
+            df = spark.read.schema(schema).parquet(f.file_path)
+            matches = df.filter(predicate).count()  # pushed-down scan
+            if matches == 0:
+                survivors.append(f)
+                continue
+            n_deleted += matches
+            keep = df.filter(f"NOT ({predicate})")
+            if keep.isEmpty():
+                continue  # whole file deleted — no replacement written
+            out_dir = os.path.join(self.location, "data", f"delete-{uuid.uuid4().hex}")
+            keep.coalesce(1).write.parquet(out_dir)
+            for new in _scan_written_files(out_dir, []):
+                rewritten.append(
+                    DataFile(
+                        file_path=new.file_path,
+                        file_size_in_bytes=new.file_size_in_bytes,
+                        record_count=new.record_count,
+                        partition=dict(f.partition),
+                    )
+                )
+        if n_deleted == 0:
+            return None, 0
+        sid = self._commit_with_retry(
+            survivors + rewritten,
+            operation="overwrite",
+            carry_forward=False,
+            extra_summary={
+                "deleted-records": str(n_deleted),
+                "rewritten-data-files": str(len(rewritten)),
+            },
+            expected_base_snapshot=planned_snapshot,
+        )
+        return sid, n_deleted
+
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Drop all but the last `keep_last` snapshots, COMMIT the pruned
         metadata, and only then physically delete data files and

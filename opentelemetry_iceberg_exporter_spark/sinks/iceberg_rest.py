@@ -493,6 +493,88 @@ class RestTable:
             ) from exc
         return snapshot["snapshot-id"]
 
+    def delete_where(self, spark: SparkSession, predicate: str) -> tuple[int | None, int]:
+        """Row-level copy-on-write DELETE over REST (see
+        FsTable.delete_where): only files containing matches are
+        rewritten; the overwrite commit pins the planning base with
+        assert-ref-snapshot-id, so a concurrent append conflicts instead
+        of being silently dropped."""
+        import os
+        import uuid as uuid_mod
+
+        from .iceberg_fs import ReplaceConflictError, _scan_written_files
+
+        md = self.metadata()
+        planned_snapshot = md["current-snapshot-id"]
+        if planned_snapshot == -1:
+            return None, 0
+        live, _ = self._live_files(md, planned_snapshot)
+        schema = spark_read_schema(md)
+        survivors: list[DataFile] = []
+        rewritten: list[DataFile] = []
+        n_deleted = 0
+        for f in live:
+            df = spark.read.schema(schema).parquet(f.file_path)
+            matches = df.filter(predicate).count()
+            if matches == 0:
+                survivors.append(f)
+                continue
+            n_deleted += matches
+            keep = df.filter(f"NOT ({predicate})")
+            if keep.isEmpty():
+                continue
+            out_dir = os.path.join(
+                md["location"], "data", f"delete-{uuid_mod.uuid4().hex}"
+            )
+            keep.coalesce(1).write.parquet(out_dir)
+            for new in _scan_written_files(out_dir, []):
+                rewritten.append(
+                    DataFile(
+                        file_path=new.file_path,
+                        file_size_in_bytes=new.file_size_in_bytes,
+                        record_count=new.record_count,
+                        partition=dict(f.partition),
+                    )
+                )
+        if n_deleted == 0:
+            return None, 0
+        snapshot = write_snapshot_tree(
+            md["location"],
+            md,
+            survivors + rewritten,
+            operation="overwrite",
+            carry_forward=False,
+            extra_summary={
+                "deleted-records": str(n_deleted),
+                "rewritten-data-files": str(len(rewritten)),
+            },
+        )
+        requirements = [
+            {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
+            {
+                "type": "assert-ref-snapshot-id",
+                "ref": "main",
+                "snapshot-id": planned_snapshot,
+            },
+        ]
+        updates = [
+            {"action": "add-snapshot", "snapshot": snapshot},
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": snapshot["snapshot-id"],
+            },
+        ]
+        try:
+            self.client.commit_table(self.namespace, self.name, requirements, updates)
+        except RestCommitConflictError as exc:
+            raise ReplaceConflictError(
+                f"table advanced past snapshot {planned_snapshot} during the "
+                "delete; re-plan"
+            ) from exc
+        return snapshot["snapshot-id"], n_deleted
+
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Expire via the REST remove-snapshots update, then physically
         delete files no retained snapshot references (commit-then-delete
