@@ -308,6 +308,65 @@ class TestAddFilesAndListing:
 
 
 # --------------------------------------------------------------------------
+# streaming export through the REST sink (the reference's steady state)
+# --------------------------------------------------------------------------
+
+
+class TestStreamingToRestCatalog:
+    def test_stream_commits_per_batch_and_restarts_cleanly(
+        self, catalog, spark, tmp_path
+    ):
+        """foreachBatch -> REST CommitTable, one atomic commit per
+        micro-batch; a restart resumes from the checkpoint without
+        duplicating data (exactly-once per micro-batch on the
+        production catalog transport)."""
+        from opentelemetry_iceberg_exporter_spark import schemas as S
+        from opentelemetry_iceberg_exporter_spark.config import (
+            CatalogConfig,
+            ExporterConfig,
+            PartitionConfig,
+            StorageConfig,
+        )
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_sink import (
+            RestIcebergSink,
+        )
+        from opentelemetry_iceberg_exporter_spark.streaming import start_export_stream
+
+        from test_otlp_flatten import _span, _traces_payload
+        from test_sinks_pipeline import _write_jsonl
+
+        client, _, warehouse = catalog
+        cfg = ExporterConfig(
+            storage=StorageConfig(provider="filesystem", bucket=str(tmp_path), prefix="raw"),
+            catalog=CatalogConfig(catalog_type="rest", uri=client.uri, warehouse=warehouse),
+            partition=PartitionConfig(granularity="hourly"),
+        )
+        src_dir = tmp_path / "stream-in"
+        ckpt = str(tmp_path / "ckpt")
+        _write_jsonl(str(src_dir / "b1.jsonl"), [_traces_payload([_span()])])
+
+        q = start_export_stream(spark, str(src_dir), "traces", cfg, ckpt, trigger_once=True)
+        q.awaitTermination(120)
+
+        sink = RestIcebergSink(spark, cfg)
+        t = sink._load(S.SIGNAL_TRACES)
+        assert t.read(spark).count() == 1
+        assert len(t.snapshots()) == 1
+
+        _write_jsonl(
+            str(src_dir / "b2.jsonl"),
+            [_traces_payload([_span(spanId="bbbb030405060708")])],
+        )
+        q2 = start_export_stream(spark, str(src_dir), "traces", cfg, ckpt, trigger_once=True)
+        q2.awaitTermination(120)
+
+        got = t.read(spark)
+        assert got.count() == 2  # b1 NOT reprocessed
+        assert got.select("span_id").distinct().count() == 2
+        assert len(t.snapshots()) == 2  # one commit per micro-batch
+
+
+# --------------------------------------------------------------------------
 # table maintenance over REST (compaction + expiry, server-arbitrated)
 # --------------------------------------------------------------------------
 
