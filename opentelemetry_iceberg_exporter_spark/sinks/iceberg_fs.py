@@ -756,6 +756,75 @@ def plan_rewrite(
     return survivors + rewritten, n_compacted, len(rewritten)
 
 
+def plan_merge(
+    spark: SparkSession,
+    md: dict,
+    live: list[DataFile],
+    source: DataFrame,
+    key_cols: list[str],
+) -> tuple[list[DataFile], int, int]:
+    """Transport-neutral copy-on-write MERGE (keyed upsert) planning:
+    rows in `source` replace same-key rows; unmatched source rows are
+    inserted. Returns (replacement file set, n_updated, n_inserted) and
+    WRITES the rewritten + inserted Parquet files; the caller owns the
+    overwrite COMMIT.
+
+    Distributed shape: ONE scan of the live files tagged with
+    input_file_name, semi-joined against the (broadcastable) distinct
+    source keys, resolves which files contain matches — only file PATHS
+    reach the driver, and only those files are rewritten (anti-join
+    dropping the matched keys). The source lands as fresh
+    hidden-partitioned files via the normal append writer. Cost tracks
+    files-containing-matches + source size, never the table."""
+    schema = spark_read_schema(md)
+    keys = source.select(*key_cols).distinct()
+    n_updated = 0
+    n_inserted = source.count()
+    hit_paths: set[str] = set()
+    if live:
+        tbl = (
+            spark.read.schema(schema)
+            .parquet(*[f.file_path for f in live])
+            .withColumn("__file", F.input_file_name())
+        )
+        matched = tbl.join(F.broadcast(keys), key_cols, "semi")
+        stats = matched.groupBy("__file").count().collect()  # paths only
+        hit_paths = {_strip_file_scheme(r["__file"]) for r in stats}
+        n_updated = sum(r["count"] for r in stats)
+        tbl_keys = tbl.select(*key_cols).distinct()
+        n_inserted -= source.join(tbl_keys, key_cols, "left_semi").count()
+
+    survivors = [f for f in live if f.file_path not in hit_paths]
+    rewritten: list[DataFile] = []
+    for f in (f for f in live if f.file_path in hit_paths):
+        keep = (
+            spark.read.schema(schema)
+            .parquet(f.file_path)
+            .join(F.broadcast(keys), key_cols, "anti")
+        )
+        if keep.isEmpty():
+            continue
+        out_dir = os.path.join(md["location"], "data", f"merge-{uuid.uuid4().hex}")
+        keep.coalesce(1).write.parquet(out_dir)
+        for new in _scan_written_files(out_dir, []):
+            rewritten.append(
+                DataFile(
+                    file_path=new.file_path,
+                    file_size_in_bytes=new.file_size_in_bytes,
+                    record_count=new.record_count,
+                    partition=dict(f.partition),
+                )
+            )
+    inserted_files = write_partitioned_batch(
+        source.select(*[f_.name for f_ in schema.fields]), md["location"], md
+    )
+    return survivors + rewritten + inserted_files, n_updated, n_inserted
+
+
+def _strip_file_scheme(uri: str) -> str:
+    return uri[7:] if uri.startswith("file://") else uri
+
+
 def snapshot_file_tree(snapshot: dict) -> tuple[set[str], set[str]]:
     """(data files, manifests) a snapshot references — manifests are
     SHARED across snapshots (appends carry them forward), so expiry must
@@ -1491,6 +1560,36 @@ class FsTable:
             expected_base_snapshot=planned_snapshot,
         )
         return sid, n_deleted
+
+    def merge_rows(
+        self, spark: SparkSession, source: DataFrame, key_cols: list[str]
+    ) -> tuple[int, int, int]:
+        """Copy-on-write MERGE (keyed upsert): source rows replace
+        same-key table rows, unmatched source rows insert — one atomic
+        overwrite snapshot (see plan_merge for the distributed shape).
+        Returns (snapshot_id, n_updated, n_inserted). Raises
+        ReplaceConflictError if the table advances mid-merge."""
+        _, planned_md = self._load_state()
+        planned_snapshot = planned_md["current-snapshot-id"]
+        live, _ = (
+            self.plan_files(snapshot_id=planned_snapshot)
+            if planned_snapshot != -1
+            else ([], 0)
+        )
+        replacement, n_updated, n_inserted = plan_merge(
+            spark, planned_md, live, source, key_cols
+        )
+        sid = self._commit_with_retry(
+            replacement,
+            operation="overwrite",
+            carry_forward=False,
+            extra_summary={
+                "merged-records": str(n_updated),
+                "inserted-records": str(n_inserted),
+            },
+            expected_base_snapshot=planned_snapshot,
+        )
+        return sid, n_updated, n_inserted
 
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Drop all but the last `keep_last` snapshots, COMMIT the pruned

@@ -575,6 +575,58 @@ class RestTable:
             ) from exc
         return snapshot["snapshot-id"], n_deleted
 
+    def merge_rows(
+        self, spark: SparkSession, source: DataFrame, key_cols: list[str]
+    ) -> tuple[int, int, int]:
+        """Copy-on-write MERGE (keyed upsert) over REST — shared
+        plan_merge, overwrite commit pinned to the planning base."""
+        from .iceberg_fs import ReplaceConflictError, plan_merge
+
+        md = self.metadata()
+        planned_snapshot = md["current-snapshot-id"]
+        live = (
+            self._live_files(md, planned_snapshot)[0] if planned_snapshot != -1 else []
+        )
+        replacement, n_updated, n_inserted = plan_merge(
+            spark, md, live, source, key_cols
+        )
+        snapshot = write_snapshot_tree(
+            md["location"],
+            md,
+            replacement,
+            operation="overwrite",
+            carry_forward=False,
+            extra_summary={
+                "merged-records": str(n_updated),
+                "inserted-records": str(n_inserted),
+            },
+        )
+        requirements = [
+            {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
+            {
+                "type": "assert-ref-snapshot-id",
+                "ref": "main",
+                "snapshot-id": None if planned_snapshot == -1 else planned_snapshot,
+            },
+        ]
+        updates = [
+            {"action": "add-snapshot", "snapshot": snapshot},
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": snapshot["snapshot-id"],
+            },
+        ]
+        try:
+            self.client.commit_table(self.namespace, self.name, requirements, updates)
+        except RestCommitConflictError as exc:
+            raise ReplaceConflictError(
+                f"table advanced past snapshot {planned_snapshot} during the "
+                "merge; re-plan"
+            ) from exc
+        return snapshot["snapshot-id"], n_updated, n_inserted
+
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Expire via the REST remove-snapshots update, then physically
         delete files no retained snapshot references (commit-then-delete
