@@ -756,6 +756,46 @@ def plan_rewrite(
     return survivors + rewritten, n_compacted, len(rewritten)
 
 
+def plan_delete(
+    spark: SparkSession,
+    md: dict,
+    live: list[DataFile],
+    predicate: str,
+) -> tuple[list[DataFile], int, int] | None:
+    """Transport-neutral copy-on-write DELETE planning in TWO Spark jobs
+    total, regardless of file count: (1) one scan tagged with
+    input_file_name counts matches per file — only paths and counts
+    reach the driver; (2) one partitioned rewrite of the kept rows from
+    exactly the files that contained matches (untouched files survive
+    by reference). Returns (replacement file set, n_deleted,
+    n_rewritten) or None when nothing matched.
+
+    SQL DELETE semantics: rows where the predicate evaluates NULL are
+    NOT matched — they are kept (`NOT pred` alone would drop them)."""
+    if not live:
+        return None
+    schema = spark_read_schema(md)
+    match = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
+    tagged = (
+        spark.read.schema(schema)
+        .parquet(*[f.file_path for f in live])
+        .withColumn("__file", F.input_file_name())
+    )
+    stats = tagged.filter(match).groupBy("__file").count().collect()
+    if not stats:
+        return None
+    hit_paths = {_strip_file_scheme(r["__file"]) for r in stats}
+    n_deleted = sum(r["count"] for r in stats)
+    survivors = [f for f in live if f.file_path not in hit_paths]
+    keep = (
+        spark.read.schema(schema)
+        .parquet(*sorted(hit_paths))
+        .filter(~F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False)))
+    )
+    rewritten = write_partitioned_batch(keep, md["location"], md)
+    return survivors + rewritten, n_deleted, len(rewritten)
+
+
 def plan_merge(
     spark: SparkSession,
     md: dict,
@@ -796,25 +836,14 @@ def plan_merge(
 
     survivors = [f for f in live if f.file_path not in hit_paths]
     rewritten: list[DataFile] = []
-    for f in (f for f in live if f.file_path in hit_paths):
+    if hit_paths:
+        # ONE partitioned rewrite job for every file containing matches
         keep = (
             spark.read.schema(schema)
-            .parquet(f.file_path)
+            .parquet(*sorted(hit_paths))
             .join(F.broadcast(keys), key_cols, "anti")
         )
-        if keep.isEmpty():
-            continue
-        out_dir = os.path.join(md["location"], "data", f"merge-{uuid.uuid4().hex}")
-        keep.coalesce(1).write.parquet(out_dir)
-        for new in _scan_written_files(out_dir, []):
-            rewritten.append(
-                DataFile(
-                    file_path=new.file_path,
-                    file_size_in_bytes=new.file_size_in_bytes,
-                    record_count=new.record_count,
-                    partition=dict(f.partition),
-                )
-            )
+        rewritten = write_partitioned_batch(keep, md["location"], md)
     inserted_files = write_partitioned_batch(
         source.select(*[f_.name for f_ in schema.fields]), md["location"], md
     )
@@ -1522,40 +1551,17 @@ class FsTable:
         if planned_snapshot == -1:
             return None, 0
         live, _ = self.plan_files(snapshot_id=planned_snapshot)
-        schema = spark_read_schema(planned_md)
-        survivors: list[DataFile] = []
-        rewritten: list[DataFile] = []
-        n_deleted = 0
-        for f in live:
-            df = spark.read.schema(schema).parquet(f.file_path)
-            matches = df.filter(predicate).count()  # pushed-down scan
-            if matches == 0:
-                survivors.append(f)
-                continue
-            n_deleted += matches
-            keep = df.filter(f"NOT ({predicate})")
-            if keep.isEmpty():
-                continue  # whole file deleted — no replacement written
-            out_dir = os.path.join(self.location, "data", f"delete-{uuid.uuid4().hex}")
-            keep.coalesce(1).write.parquet(out_dir)
-            for new in _scan_written_files(out_dir, []):
-                rewritten.append(
-                    DataFile(
-                        file_path=new.file_path,
-                        file_size_in_bytes=new.file_size_in_bytes,
-                        record_count=new.record_count,
-                        partition=dict(f.partition),
-                    )
-                )
-        if n_deleted == 0:
+        planned = plan_delete(spark, planned_md, live, predicate)
+        if planned is None:
             return None, 0
+        replacement, n_deleted, n_rewritten = planned
         sid = self._commit_with_retry(
-            survivors + rewritten,
+            replacement,
             operation="overwrite",
             carry_forward=False,
             extra_summary={
                 "deleted-records": str(n_deleted),
-                "rewritten-data-files": str(len(rewritten)),
+                "rewritten-data-files": str(n_rewritten),
             },
             expected_base_snapshot=planned_snapshot,
         )

@@ -495,58 +495,30 @@ class RestTable:
 
     def delete_where(self, spark: SparkSession, predicate: str) -> tuple[int | None, int]:
         """Row-level copy-on-write DELETE over REST (see
-        FsTable.delete_where): only files containing matches are
-        rewritten; the overwrite commit pins the planning base with
+        FsTable.delete_where / plan_delete — two Spark jobs total): the
+        overwrite commit pins the planning base with
         assert-ref-snapshot-id, so a concurrent append conflicts instead
         of being silently dropped."""
-        import os
-        import uuid as uuid_mod
-
-        from .iceberg_fs import ReplaceConflictError, _scan_written_files
+        from .iceberg_fs import ReplaceConflictError, plan_delete
 
         md = self.metadata()
         planned_snapshot = md["current-snapshot-id"]
         if planned_snapshot == -1:
             return None, 0
         live, _ = self._live_files(md, planned_snapshot)
-        schema = spark_read_schema(md)
-        survivors: list[DataFile] = []
-        rewritten: list[DataFile] = []
-        n_deleted = 0
-        for f in live:
-            df = spark.read.schema(schema).parquet(f.file_path)
-            matches = df.filter(predicate).count()
-            if matches == 0:
-                survivors.append(f)
-                continue
-            n_deleted += matches
-            keep = df.filter(f"NOT ({predicate})")
-            if keep.isEmpty():
-                continue
-            out_dir = os.path.join(
-                md["location"], "data", f"delete-{uuid_mod.uuid4().hex}"
-            )
-            keep.coalesce(1).write.parquet(out_dir)
-            for new in _scan_written_files(out_dir, []):
-                rewritten.append(
-                    DataFile(
-                        file_path=new.file_path,
-                        file_size_in_bytes=new.file_size_in_bytes,
-                        record_count=new.record_count,
-                        partition=dict(f.partition),
-                    )
-                )
-        if n_deleted == 0:
+        planned = plan_delete(spark, md, live, predicate)
+        if planned is None:
             return None, 0
+        replacement, n_deleted, n_rewritten = planned
         snapshot = write_snapshot_tree(
             md["location"],
             md,
-            survivors + rewritten,
+            replacement,
             operation="overwrite",
             carry_forward=False,
             extra_summary={
                 "deleted-records": str(n_deleted),
-                "rewritten-data-files": str(len(rewritten)),
+                "rewritten-data-files": str(n_rewritten),
             },
         )
         requirements = [

@@ -79,6 +79,22 @@ class TestFsDeleteWhere:
         assert len(files) == 3  # partition's file gone, nothing written for it
         assert t.read(spark).count() == 30
 
+    def test_null_predicate_rows_are_kept(self, spark, tmp_path):
+        """SQL DELETE semantics: a predicate evaluating NULL does not
+        match — those rows must survive (a bare NOT(pred) filter would
+        silently drop them)."""
+        df = _docs_df(spark).withColumn(
+            "maybe", F.when(F.col("id") % 2 == 0, F.col("id"))
+        )  # odd ids -> NULL
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("otel", "nulls", df.schema, partition_source="ts")
+        t.append_dataframe(df)
+        sid, n = t.delete_where(spark, "maybe = 0")  # NULL for odd ids
+        assert n == 1  # only id=0 matches
+        out = t.read(spark)
+        assert out.count() == 39
+        assert out.filter("maybe IS NULL").count() == 20  # all odd rows kept
+
     def test_no_match_is_a_noop(self, spark, fs_table):
         t, _ = fs_table
         assert t.delete_where(spark, "id = 99999") == (None, 0)
