@@ -55,6 +55,11 @@ def build_session(
         # loader converts ns -> us TimestampType, mirroring the reference's
         # ns->us truncation policy (traces.go:141-142, README.md:430).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # INT64 micros instead of deprecated INT96: footers then carry
+        # min/max stats for timestamp columns, which the Iceberg
+        # manifests record as per-file bounds (file-skipping); Iceberg
+        # itself requires int64 timestamps.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # ~128MB input splits — good default for local[32] and clusters.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

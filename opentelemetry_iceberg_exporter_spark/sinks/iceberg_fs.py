@@ -280,6 +280,32 @@ def transform_column(col: str, transform: str):
 # --------------------------------------------------------------------------
 
 
+def _bounds_field(name: str, field_id: int, key_id: int, value_id: int) -> dict:
+    """lower_bounds / upper_bounds: Iceberg's map<int, binary> of
+    column-id -> single-value-serialized bound, rendered in Avro as the
+    spec's array-of-key/value-records map form."""
+    return {
+        "name": name,
+        "type": [
+            "null",
+            {
+                "type": "array",
+                "logicalType": "map",
+                "items": {
+                    "type": "record",
+                    "name": f"k{key_id}_v{value_id}",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": key_id},
+                        {"name": "value", "type": "bytes", "field-id": value_id},
+                    ],
+                },
+            },
+        ],
+        "default": None,
+        "field-id": field_id,
+    }
+
+
 def manifest_avro_schema(partition_fields: list[dict]) -> dict:
     partition_record = {
         "type": "record",
@@ -304,6 +330,8 @@ def manifest_avro_schema(partition_fields: list[dict]) -> dict:
             {"name": "partition", "type": partition_record, "field-id": 102},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            _bounds_field("lower_bounds", 125, 126, 127),
+            _bounds_field("upper_bounds", 128, 129, 130),
         ],
     }
     return {
@@ -322,6 +350,120 @@ def manifest_avro_schema(partition_fields: list[dict]) -> dict:
             {"name": "data_file", "type": data_file, "field-id": 2},
         ],
     }
+
+
+# -- column-bound stats (Iceberg single-value serialization, binary) -------
+
+
+def encode_bound(value: Any, iceberg_type: str) -> bytes | None:
+    """Iceberg single-value binary serialization for bound values
+    (spec appendix D): little-endian fixed-width numerics, UTF-8
+    strings, epoch-micros timestamps, epoch-days dates."""
+    import struct as _struct
+
+    if value is None:
+        return None
+    if iceberg_type == "long":
+        return _struct.pack("<q", int(value))
+    if iceberg_type == "int":
+        return _struct.pack("<i", int(value))
+    if iceberg_type == "double":
+        return _struct.pack("<d", float(value))
+    if iceberg_type == "float":
+        return _struct.pack("<f", float(value))
+    if iceberg_type == "boolean":
+        return b"\x01" if value else b"\x00"
+    if iceberg_type == "string":
+        return str(value).encode("utf-8")
+    if iceberg_type == "timestamptz":
+        if isinstance(value, datetime):
+            v = value if value.tzinfo else value.replace(tzinfo=timezone.utc)
+            micros = int(v.timestamp()) * 1_000_000 + v.microsecond
+        else:
+            micros = int(value)
+        return _struct.pack("<q", micros)
+    if iceberg_type == "date":
+        days = (value - type(value)(1970, 1, 1)).days if not isinstance(value, int) else value
+        return _struct.pack("<i", days)
+    return None  # unsupported types carry no bounds
+
+
+def decode_bound(data: bytes, iceberg_type: str) -> Any:
+    import struct as _struct
+
+    if iceberg_type == "long":
+        return _struct.unpack("<q", data)[0]
+    if iceberg_type == "int":
+        return _struct.unpack("<i", data)[0]
+    if iceberg_type == "double":
+        return _struct.unpack("<d", data)[0]
+    if iceberg_type == "float":
+        return _struct.unpack("<f", data)[0]
+    if iceberg_type == "boolean":
+        return data == b"\x01"
+    if iceberg_type == "string":
+        return data.decode("utf-8")
+    if iceberg_type == "timestamptz":
+        micros = _struct.unpack("<q", data)[0]
+        return datetime.fromtimestamp(micros / 1_000_000, tz=timezone.utc)
+    if iceberg_type == "date":
+        from datetime import date, timedelta
+
+        return date(1970, 1, 1) + timedelta(days=_struct.unpack("<i", data)[0])
+    raise ValueError(f"no bound decoding for {iceberg_type!r}")
+
+
+def file_column_bounds(path: str, md: dict) -> tuple[dict[int, bytes], dict[int, bytes]]:
+    """Per-column (field-id keyed) min/max bounds from the Parquet
+    footer, for the table's top-level primitive columns. Pure footer
+    metadata — no data pages are read. Missing files / missing stats
+    yield empty maps (bounds are optional in manifests)."""
+    import pyarrow.parquet as pq
+
+    try:
+        meta = pq.ParquetFile(path).metadata
+    except Exception:  # noqa: BLE001 — unreadable/missing: no bounds
+        return {}, {}
+    by_name = {
+        f_["name"]: (f_["id"], f_["type"])
+        for f_ in current_schema(md)["fields"]
+        if isinstance(f_["type"], str)
+    }
+    lows: dict[int, Any] = {}
+    highs: dict[int, Any] = {}
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            if name not in by_name:
+                continue
+            stats = col.statistics
+            if stats is None or not stats.has_min_max:
+                continue
+            fid, _ = by_name[name]
+            lows[fid] = stats.min if fid not in lows else min(lows[fid], stats.min)
+            highs[fid] = stats.max if fid not in highs else max(highs[fid], stats.max)
+    types = {fid: t for _, (fid, t) in by_name.items()}
+    lower = {
+        fid: enc for fid, v in lows.items() if (enc := encode_bound(v, types[fid])) is not None
+    }
+    upper = {
+        fid: enc for fid, v in highs.items() if (enc := encode_bound(v, types[fid])) is not None
+    }
+    return lower, upper
+
+
+def _bounds_to_avro(bounds: dict[int, bytes]) -> list[dict] | None:
+    if not bounds:
+        return None
+    return [{"key": k, "value": v} for k, v in sorted(bounds.items())]
+
+
+def _bounds_from_avro(entries: Any) -> dict[int, bytes]:
+    if not entries:
+        return {}
+    return {e["key"]: e["value"] for e in entries}
 
 
 MANIFEST_LIST_SCHEMA = {
@@ -379,23 +521,31 @@ def write_snapshot_tree(
     )["fields"]
 
     manifest_path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
-    entries = [
-        {
-            "status": STATUS_ADDED,
-            "snapshot_id": snapshot_id,
-            "sequence_number": seq,
-            "file_sequence_number": seq,
-            "data_file": {
-                "content": 0,
-                "file_path": f.file_path,
-                "file_format": "PARQUET",
-                "partition": {pf["name"]: f.partition.get(pf["name"]) for pf in spec_fields},
-                "record_count": f.record_count,
-                "file_size_in_bytes": f.file_size_in_bytes,
-            },
-        }
-        for f in files
-    ]
+    entries = []
+    for f in files:
+        # column bounds from the Parquet footer (metadata-only read, one
+        # per NEW file per commit; carried-forward manifests keep theirs)
+        lower, upper = file_column_bounds(f.file_path, md)
+        entries.append(
+            {
+                "status": STATUS_ADDED,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f.file_path,
+                    "file_format": "PARQUET",
+                    "partition": {
+                        pf["name"]: f.partition.get(pf["name"]) for pf in spec_fields
+                    },
+                    "record_count": f.record_count,
+                    "file_size_in_bytes": f.file_size_in_bytes,
+                    "lower_bounds": _bounds_to_avro(lower),
+                    "upper_bounds": _bounds_to_avro(upper),
+                },
+            }
+        )
     manifest_len = write_ocf(
         manifest_path,
         manifest_avro_schema(spec_fields),
@@ -1324,17 +1474,28 @@ class FsTable:
         self,
         snapshot_id: int | None = None,
         partition_range: tuple[int, int] | None = None,
+        column_range: tuple[str, Any, Any] | None = None,
     ) -> tuple[list[DataFile], int]:
         """Resolve live data files for a snapshot; optionally prune by
-        transform-value range (the scan never opens pruned files —
-        manifest stats make the skip O(metadata)). Returns (files,
-        n_pruned)."""
+        transform-value range AND/OR a column value range
+        (`column_range=(name, lo, hi)`) against the manifest-recorded
+        per-file min/max bounds — the scan never opens pruned files;
+        both skips are O(metadata). Files without bounds (or legacy
+        manifests) are conservatively kept. Returns (files, n_pruned)."""
         md = self.metadata()
         sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
         if sid == -1:
             return [], 0
         snapshot = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
         spec_names = [pf["name"] for pf in self.partition_spec()]
+        col_field = None
+        if column_range is not None:
+            name, lo_v, hi_v = column_range
+            col_field = next(
+                (f_ for f_ in current_schema(md)["fields"] if f_["name"] == name), None
+            )
+            if col_field is None or not isinstance(col_field["type"], str):
+                raise ValueError(f"no boundable column {name!r}")
         files: list[DataFile] = []
         pruned = 0
         _, _, manifests = read_ocf(snapshot["manifest-list"])
@@ -1351,6 +1512,18 @@ class FsTable:
                     if value is not None and not lo <= value <= hi:
                         pruned += 1
                         continue
+                if col_field is not None:
+                    fid, ftype = col_field["id"], col_field["type"]
+                    lower = _bounds_from_avro(df_.get("lower_bounds")).get(fid)
+                    upper = _bounds_from_avro(df_.get("upper_bounds")).get(fid)
+                    if lower is not None and hi_v is not None:
+                        if decode_bound(lower, ftype) > hi_v:
+                            pruned += 1
+                            continue
+                    if upper is not None and lo_v is not None:
+                        if decode_bound(upper, ftype) < lo_v:
+                            pruned += 1
+                            continue
                 files.append(
                     DataFile(
                         file_path=df_["file_path"],
@@ -1366,12 +1539,15 @@ class FsTable:
         spark: SparkSession,
         snapshot_id: int | None = None,
         partition_range: tuple[int, int] | None = None,
+        column_range: tuple[str, Any, Any] | None = None,
     ) -> DataFrame:
-        """Time-travel-capable scan: metadata resolves the file list, the
-        Spark scan reads exactly those Parquet files under the CURRENT
-        schema (pre-evolution files surface added columns as nulls)."""
+        """Time-travel-capable scan: metadata resolves the file list
+        (partition + column-bound pruning applied there), the Spark scan
+        reads exactly those Parquet files under the CURRENT schema
+        (pre-evolution files surface added columns as nulls). NOTE:
+        column_range prunes FILES; apply the row filter on the result."""
         schema = spark_read_schema(self.metadata())
-        files, _ = self.plan_files(snapshot_id, partition_range)
+        files, _ = self.plan_files(snapshot_id, partition_range, column_range)
         if not files:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*[f.file_path for f in files])

@@ -146,11 +146,37 @@ MANIFEST_PATH = f"{LOC}/metadata/{MANIFEST_UUID_HEX}-m0.avro"
 LIST_PATH = f"{LOC}/metadata/snap-{SNAPSHOT_ID}-1-{LIST_UUID_HEX}.avro"
 
 
-# -- manifest file (spec: "Manifests"; required v2 subset of field IDs) -----
+# -- manifest file (spec: "Manifests"; required v2 subset of field IDs
+# plus optional lower/upper bounds as map<int, binary>) ---------------------
+
+
+def _bounds_field(name: str, field_id: int, key_id: int, value_id: int) -> dict:
+    return {
+        "name": name,
+        "type": [
+            "null",
+            {
+                "type": "array",
+                "logicalType": "map",
+                "items": {
+                    "type": "record",
+                    "name": f"k{key_id}_v{value_id}",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": key_id},
+                        {"name": "value", "type": "bytes", "field-id": value_id},
+                    ],
+                },
+            },
+        ],
+        "default": None,
+        "field-id": field_id,
+    }
 
 
 def manifest_entry(path: str, size: int, count: int, ts_hour: int | None) -> bytes:
-    """One manifest_entry row: record fields in declared order."""
+    """One manifest_entry row: record fields in declared order. The
+    fixture's data files do not exist on disk, so lower/upper bounds are
+    the null union branch (bounds are optional per the spec)."""
     return b"".join(
         [
             zigzag_varint(1),  # status int: 1 = ADDED
@@ -164,6 +190,8 @@ def manifest_entry(path: str, size: int, count: int, ts_hour: int | None) -> byt
             avro_opt_int(ts_hour),  # partition record: one optional int
             zigzag_varint(count),
             zigzag_varint(size),
+            zigzag_varint(0),  # lower_bounds: null branch
+            zigzag_varint(0),  # upper_bounds: null branch
         ]
     )
 
@@ -220,6 +248,8 @@ def build_manifest() -> bytes:
                         },
                         {"name": "record_count", "type": "long", "field-id": 103},
                         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                        _bounds_field("lower_bounds", 125, 126, 127),
+                        _bounds_field("upper_bounds", 128, 129, 130),
                     ],
                 },
                 "field-id": 2,

@@ -245,7 +245,18 @@ class TestManifestStatsVsParquetFooters:
         t.append_dataframe(df)
         snapshot = t.current_snapshot()
         _, _, manifests = read_ocf(snapshot["manifest-list"])
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            current_schema,
+            decode_bound,
+        )
+
+        schema_fields = {
+            f_["id"]: f_["type"]
+            for f_ in current_schema(t.metadata())["fields"]
+            if isinstance(f_["type"], str)
+        }
         n_checked = 0
+        n_bounds = 0
         for m in manifests:
             _, _, entries = read_ocf(m["manifest_path"])
             for e in entries:
@@ -253,7 +264,22 @@ class TestManifestStatsVsParquetFooters:
                 footer = pq.ParquetFile(d["file_path"]).metadata
                 assert d["record_count"] == footer.num_rows
                 assert d["file_size_in_bytes"] == os.path.getsize(d["file_path"])
+                # manifest-recorded bounds decode to the footer min/max
+                lower = {b["key"]: b["value"] for b in d["lower_bounds"] or []}
+                upper = {b["key"]: b["value"] for b in d["upper_bounds"] or []}
+                assert set(lower) == set(schema_fields)  # id + name bounded
+                actual = spark.read.parquet(d["file_path"])
+                lo_id, hi_id = (
+                    actual.selectExpr("min(id)", "max(id)").first()
+                )
+                id_fid = next(
+                    fid for fid, ty in schema_fields.items() if ty == "long"
+                )
+                assert decode_bound(lower[id_fid], "long") == lo_id
+                assert decode_bound(upper[id_fid], "long") == hi_id
+                n_bounds += 1
                 n_checked += 1
         assert n_checked >= 5  # one file per hour partition
+        assert n_bounds == n_checked
         # manifest-list rollups agree with the entry sums
         assert sum(m["added_rows_count"] for m in manifests) == 50
