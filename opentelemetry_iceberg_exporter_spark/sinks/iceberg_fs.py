@@ -1021,11 +1021,17 @@ def snapshot_file_tree(snapshot: dict) -> tuple[set[str], set[str]]:
 def expire_plan(md: dict, keep_last: int) -> dict | None:
     """Transport-neutral expiry planning: which snapshots to drop and
     which physical files/manifests/manifest-lists become unreferenced
-    once they are gone. None when nothing expires."""
+    once they are gone. Snapshots pinned by ANY ref (tags, branches) are
+    always retained, like Iceberg's expire_snapshots. None when nothing
+    expires."""
     snaps = md["snapshots"]
-    if len(snaps) <= keep_last:
+    ref_ids = {r["snapshot-id"] for r in md.get("refs", {}).values()}
+    candidates = snaps[:-keep_last] if keep_last else list(snaps)
+    expired = [s for s in candidates if s["snapshot-id"] not in ref_ids]
+    if not expired:
         return None
-    retained, expired = snaps[-keep_last:], snaps[:-keep_last]
+    expired_ids = {s["snapshot-id"] for s in expired}
+    retained = [s for s in snaps if s["snapshot-id"] not in expired_ids]
     keep_files: set[str] = set()
     keep_manifests: set[str] = set()
     for s in retained:
@@ -1403,7 +1409,11 @@ class FsTable:
         new_md["last-updated-ms"] = now_ms
         new_md["snapshots"] = md["snapshots"] + [snapshot]
         new_md["current-snapshot-id"] = snapshot_id
-        new_md["refs"] = {"main": {"snapshot-id": snapshot_id, "type": "branch"}}
+        # advance main, PRESERVE other refs (tags/branches pin snapshots)
+        new_md["refs"] = {
+            **md.get("refs", {}),
+            "main": {"snapshot-id": snapshot_id, "type": "branch"},
+        }
         new_md["snapshot-log"] = md["snapshot-log"] + [
             {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
         ]
@@ -1590,6 +1600,83 @@ class FsTable:
         """Inspection tables (snapshots/history/files/all_files/
         manifests) — see module-level metadata_table."""
         return metadata_table(spark, self.metadata(), name)
+
+    # -- refs: tags + branches ---------------------------------------------
+    def set_ref(self, name: str, snapshot_id: int, ref_type: str = "tag") -> None:
+        """Create/move a named ref (tag = immutable bookmark, branch =
+        movable pointer) to a committed snapshot — metadata-only commit.
+        Ref'd snapshots are protected from expire_snapshots, so a tag
+        pins a dataset version (e.g. a training-corpus release) for as
+        long as the ref exists."""
+        if ref_type not in ("tag", "branch"):
+            raise ValueError(f"ref type must be tag|branch, got {ref_type!r}")
+        attempts = 3
+        for attempt in range(attempts):
+            base_version, md = self._load_state()
+            if snapshot_id not in {s["snapshot-id"] for s in md["snapshots"]}:
+                raise ValueError(f"unknown snapshot {snapshot_id}")
+            new_md = dict(md)
+            new_md["refs"] = {
+                **md.get("refs", {}),
+                name: {"snapshot-id": snapshot_id, "type": ref_type},
+            }
+            new_md["last-updated-ms"] = int(time.time() * 1000)
+            try:
+                _write_metadata_version(self.location, base_version + 1, new_md)
+            except CommitConflictError:
+                if attempt + 1 == attempts:
+                    raise
+                for _ in range(10):
+                    if self.current_version() != base_version:
+                        break
+                    time.sleep(0.05)
+                else:
+                    raise
+                continue
+            _swap_version_hint(self.location, base_version + 1)
+            return
+        raise AssertionError("unreachable")
+
+    def drop_ref(self, name: str) -> None:
+        """Remove a named ref (its snapshot becomes expirable again)."""
+        if name == "main":
+            raise ValueError("cannot drop the main branch")
+        attempts = 3
+        for attempt in range(attempts):
+            base_version, md = self._load_state()
+            refs = dict(md.get("refs", {}))
+            if name not in refs:
+                return
+            del refs[name]
+            new_md = dict(md)
+            new_md["refs"] = refs
+            new_md["last-updated-ms"] = int(time.time() * 1000)
+            try:
+                _write_metadata_version(self.location, base_version + 1, new_md)
+            except CommitConflictError:
+                if attempt + 1 == attempts:
+                    raise
+                for _ in range(10):
+                    if self.current_version() != base_version:
+                        break
+                    time.sleep(0.05)
+                else:
+                    raise
+                continue
+            _swap_version_hint(self.location, base_version + 1)
+            return
+        raise AssertionError("unreachable")
+
+    def resolve_ref(self, name: str) -> int:
+        ref = self.metadata().get("refs", {}).get(name)
+        if ref is None:
+            raise ValueError(f"unknown ref {name!r}")
+        return ref["snapshot-id"]
+
+    def read_ref(self, spark: SparkSession, name: str) -> DataFrame:
+        """Scan the snapshot a ref points at (SELECT ... VERSION AS OF
+        'tag' semantics)."""
+        return self.read(spark, snapshot_id=self.resolve_ref(name))
 
     # -- schema evolution --------------------------------------------------
     def add_columns(self, new_fields: list[StructField] | StructType) -> int:

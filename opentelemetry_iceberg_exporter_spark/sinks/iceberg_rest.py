@@ -645,6 +645,36 @@ class RestTable:
                 )
         return files, 0
 
+    # -- refs: tags + branches ---------------------------------------------
+    def set_ref(self, name: str, snapshot_id: int, ref_type: str = "tag") -> None:
+        """Create/move a tag or branch via set-snapshot-ref (the same
+        update action appends use for main)."""
+        if ref_type not in ("tag", "branch"):
+            raise ValueError(f"ref type must be tag|branch, got {ref_type!r}")
+        md = self.metadata()
+        self.client.commit_table(
+            self.namespace,
+            self.name,
+            requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
+            updates=[
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": name,
+                    "type": ref_type,
+                    "snapshot-id": snapshot_id,
+                }
+            ],
+        )
+
+    def resolve_ref(self, name: str) -> int:
+        ref = self.metadata().get("refs", {}).get(name)
+        if ref is None:
+            raise ValueError(f"unknown ref {name!r}")
+        return ref["snapshot-id"]
+
+    def read_ref(self, spark: SparkSession, name: str) -> DataFrame:
+        return self.read(spark, snapshot_id=self.resolve_ref(name))
+
     def add_columns(self, new_fields) -> int:
         """Schema evolution over REST: add nullable columns via a
         CommitTable with add-schema + set-current-schema updates (the

@@ -249,14 +249,21 @@ class _Handler(BaseHTTPRequestHandler):
                     new_md["last-updated-ms"] = snap["timestamp-ms"]
                 elif action == "set-snapshot-ref":
                     sid = upd["snapshot-id"]
-                    new_md["current-snapshot-id"] = sid
+                    if sid not in {s["snapshot-id"] for s in new_md["snapshots"]}:
+                        self._error(
+                            400, "ValidationException", f"unknown snapshot {sid}"
+                        )
+                        return
                     new_md["refs"] = {
                         **new_md.get("refs", {}),
                         upd["ref-name"]: {"snapshot-id": sid, "type": upd.get("type", "branch")},
                     }
-                    new_md["snapshot-log"] = new_md.get("snapshot-log", []) + [
-                        {"timestamp-ms": new_md["last-updated-ms"], "snapshot-id": sid}
-                    ]
+                    # only main drives the table's current snapshot
+                    if upd["ref-name"] == "main":
+                        new_md["current-snapshot-id"] = sid
+                        new_md["snapshot-log"] = new_md.get("snapshot-log", []) + [
+                            {"timestamp-ms": new_md["last-updated-ms"], "snapshot-id": sid}
+                        ]
                 elif action == "set-properties":
                     new_md["properties"] = {**new_md["properties"], **upd["updates"]}
                 elif action == "add-schema":

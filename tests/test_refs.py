@@ -1,0 +1,105 @@
+"""Named refs (tags + branches) on both catalog transports: a tag pins
+a snapshot (a dataset release) against expiry, reads resolve through
+refs, appends preserve existing refs, and dropping a ref makes its
+snapshot expirable again."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import FsCatalog
+
+from rest_stub import make_server
+
+
+def _df(spark, n=20, tag=""):
+    return (
+        spark.range(n)
+        .withColumn("ts", F.to_timestamp(F.lit("2024-03-01 00:00:00")))
+        .withColumn("v", F.lit(tag))
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    cat = FsCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("otel", "r", _df(spark).schema, partition_source="ts")
+    s1 = t.append_dataframe(_df(spark, tag="v1"))
+    s2 = t.append_dataframe(_df(spark, tag="v2"))
+    return t, (s1, s2)
+
+
+class TestFsRefs:
+    def test_tag_pins_and_reads(self, spark, table):
+        t, (s1, s2) = table
+        t.set_ref("release-1", s1, "tag")
+        assert t.resolve_ref("release-1") == s1
+        out = t.read_ref(spark, "release-1")
+        assert out.count() == 20 and out.filter("v = 'v2'").count() == 0
+        # main still reads the latest
+        assert t.read(spark).count() == 40
+
+    def test_appends_preserve_refs(self, spark, table):
+        t, (s1, _) = table
+        t.set_ref("release-1", s1, "tag")
+        t.append_dataframe(_df(spark, tag="v3"))
+        assert t.resolve_ref("release-1") == s1  # not clobbered by append
+        assert t.metadata()["refs"]["main"]["snapshot-id"] == t.current_snapshot()["snapshot-id"]
+
+    def test_tagged_snapshot_survives_expiry(self, spark, table):
+        t, (s1, s2) = table
+        t.set_ref("release-1", s1, "tag")
+        deleted = t.expire_snapshots(keep_last=1)
+        ids = {s["snapshot-id"] for s in t.snapshots()}
+        assert s1 in ids and s2 in ids  # s1 pinned by tag, s2 is tail
+        assert deleted == []  # nothing was actually expirable
+        # drop the tag -> s1 becomes expirable
+        t.drop_ref("release-1")
+        t.expire_snapshots(keep_last=1)
+        ids = {s["snapshot-id"] for s in t.snapshots()}
+        assert s1 not in ids and s2 in ids
+        assert t.read(spark).count() == 40  # current data intact
+
+    def test_ref_validation(self, spark, table):
+        t, (s1, _) = table
+        with pytest.raises(ValueError, match="unknown snapshot"):
+            t.set_ref("x", 123456789, "tag")
+        with pytest.raises(ValueError, match="tag|branch"):
+            t.set_ref("x", s1, "bookmark")
+        with pytest.raises(ValueError, match="main"):
+            t.drop_ref("main")
+        with pytest.raises(ValueError, match="unknown ref"):
+            t.resolve_ref("ghost")
+
+
+class TestRestRefs:
+    def test_tag_over_rest(self, spark, tmp_path):
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
+            RestCatalogClient,
+        )
+
+        warehouse = str(tmp_path / "rwh")
+        os.makedirs(warehouse)
+        server, _, uri = make_server(warehouse)
+        try:
+            client = RestCatalogClient(uri, warehouse=warehouse)
+            client.ensure_namespace("otel")
+            t = client.ensure_table(
+                "otel", "r", _df(spark).schema, partition_source="ts"
+            )
+            s1 = t.append_dataframe(_df(spark, tag="v1"))
+            s2 = t.append_dataframe(_df(spark, tag="v2"))
+            t.set_ref("release-1", s1, "tag")
+            assert t.resolve_ref("release-1") == s1
+            # tagging does NOT move the current snapshot
+            assert t.current_snapshot()["snapshot-id"] == s2
+            assert t.read_ref(spark, "release-1").count() == 20
+            # append preserves the tag (stub merges refs)
+            t.append_dataframe(_df(spark, tag="v3"))
+            assert t.resolve_ref("release-1") == s1
+        finally:
+            server.shutdown()
