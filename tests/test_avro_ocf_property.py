@@ -63,6 +63,13 @@ def test_bytes_and_string_roundtrip(b, s):
     assert roundtrip("string", s) == s
 
 
+_bounds_lists = st.lists(
+    st.fixed_dictionaries(
+        {"key": st.integers(1, 2**31 - 1), "value": st.binary(max_size=24)}
+    ),
+    max_size=4,
+)
+
 manifest_entries = st.fixed_dictionaries(
     {
         "status": st.sampled_from([0, 1, 2]),
@@ -79,6 +86,9 @@ manifest_entries = st.fixed_dictionaries(
                 ),
                 "record_count": st.integers(0, 2**40),
                 "file_size_in_bytes": st.integers(0, 2**40),
+                # optional column-bound maps (array-of-record map form)
+                "lower_bounds": st.one_of(st.none(), _bounds_lists),
+                "upper_bounds": st.one_of(st.none(), _bounds_lists),
             }
         ),
     }
