@@ -179,6 +179,14 @@ def main(argv: list[str] | None = None) -> int:
     pm.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
     pm.add_argument("--min-files", type=int, default=2)
     pm.add_argument("--expire-keep", type=int, default=0, help="0 = don't expire")
+    pm.add_argument(
+        "--remove-orphans-older-than",
+        type=float,
+        default=None,
+        help="also sweep unreferenced data files older than this many "
+        "seconds (leftovers from crashed writes; 259200 = Iceberg's "
+        "3-day default)",
+    )
 
     args = parser.parse_args(argv)
 
@@ -305,9 +313,18 @@ def main(argv: list[str] | None = None) -> int:
             spark, target_bytes=args.target_bytes, min_files=args.min_files
         )
         expired = table.expire_snapshots(args.expire_keep) if args.expire_keep else []
+        orphaned = (
+            table.remove_orphan_files(args.remove_orphans_older_than)
+            if args.remove_orphans_older_than is not None
+            else []
+        )
         print(
             json.dumps(
-                {"rewrite_snapshot": rewritten, "expired_data_files": len(expired)}
+                {
+                    "rewrite_snapshot": rewritten,
+                    "expired_data_files": len(expired),
+                    "orphans_removed": len(orphaned),
+                }
             )
         )
         return 0

@@ -1830,6 +1830,32 @@ class FsTable:
         )
         return sid, n_deleted
 
+    def remove_orphan_files(self, older_than_seconds: float = 3 * 86400) -> list[str]:
+        """Reclaim data files under the table location that NO snapshot
+        references — the inverse of recovery (which re-registers them):
+        leftovers from failed/raced writes whose commit never landed.
+        Only files older than `older_than_seconds` are deleted (default
+        3 days, Iceberg's default) so in-flight writes racing this call
+        are never swept. Purely driver-side metadata + listing work.
+        Returns deleted paths."""
+        cutoff = time.time() - older_than_seconds
+        referenced = set(self.all_files())
+        deleted: list[str] = []
+        for path in glob.glob(
+            os.path.join(self.location, "data", "**", "*.parquet"), recursive=True
+        ):
+            path = os.path.abspath(path)
+            if path in referenced:
+                continue
+            try:
+                if os.path.getmtime(path) >= cutoff:
+                    continue  # too fresh — may belong to an in-flight commit
+                os.remove(path)
+                deleted.append(path)
+            except OSError:
+                continue  # raced with another cleaner — fine
+        return sorted(deleted)
+
     def merge_rows(
         self, spark: SparkSession, source: DataFrame, key_cols: list[str]
     ) -> tuple[int, int, int]:

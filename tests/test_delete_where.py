@@ -139,6 +139,54 @@ class TestFsDeleteWhere:
             assert not os.path.exists(p)
 
 
+class TestRemoveOrphanFiles:
+    def test_sweeps_only_old_unreferenced(self, spark, fs_table):
+        """Orphans older than the age guard are reclaimed; referenced
+        files and fresh orphans survive."""
+        import time as time_mod
+
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            write_partitioned_batch,
+        )
+
+        t, df = fs_table
+        referenced = set(t.all_files())
+        orphans = {
+            f.file_path for f in write_partitioned_batch(df, t.location, t.metadata())
+        }
+        # fresh orphans are NOT swept (in-flight-commit protection)
+        assert t.remove_orphan_files(older_than_seconds=3600) == []
+        # age them past the cutoff
+        old = time_mod.time() - 10
+        for p in orphans:
+            os.utime(p, (old, old))
+        deleted = set(t.remove_orphan_files(older_than_seconds=5))
+        assert deleted == orphans
+        for p in referenced:
+            assert os.path.exists(p)
+        assert t.read(spark).count() == 40  # table untouched
+
+    def test_recovery_beats_sweep_when_both_apply(self, spark, fs_table):
+        """The two orphan treatments compose: files re-registered by
+        recovery become referenced and are never swept."""
+        import time as time_mod
+
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            write_partitioned_batch,
+        )
+
+        t, df = fs_table
+        orphans = [
+            f.file_path for f in write_partitioned_batch(df, t.location, t.metadata())
+        ]
+        t.add_data_files(orphans)  # recovery path registers them
+        old = time_mod.time() - 10
+        for p in orphans:
+            os.utime(p, (old, old))
+        assert t.remove_orphan_files(older_than_seconds=5) == []
+        assert t.read(spark).count() == 80
+
+
 class TestDeleteCli:
     def test_delete_subcommand(self, spark, fs_table, capsys):
         import json
