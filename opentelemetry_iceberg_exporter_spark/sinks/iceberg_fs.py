@@ -921,17 +921,20 @@ def plan_delete(
     n_rewritten) or None when nothing matched.
 
     SQL DELETE semantics: rows where the predicate evaluates NULL are
-    NOT matched — they are kept (`NOT pred` alone would drop them)."""
+    NOT matched — they are kept. The match scan filters on the BARE
+    predicate (filter already excludes NULL evaluations, and a bare
+    comparison pushes into the Parquet scan — coalesce-wrapping it
+    would block pushdown, pinned by test_plans.py); only the keep side
+    needs the explicit NULL-keeps coalesce."""
     if not live:
         return None
     schema = spark_read_schema(md)
-    match = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
     tagged = (
         spark.read.schema(schema)
         .parquet(*[f.file_path for f in live])
         .withColumn("__file", F.input_file_name())
     )
-    stats = tagged.filter(match).groupBy("__file").count().collect()
+    stats = tagged.filter(F.expr(predicate)).groupBy("__file").count().collect()
     if not stats:
         return None
     hit_paths = {_strip_file_scheme(r["__file"]) for r in stats}

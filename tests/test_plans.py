@@ -200,3 +200,68 @@ class TestNewOperatorPlans:
         docs = load_table(spark, sf_dir, "documents")
         out = stratified_sample(docs, ["lang"], 0.2, "doc_id")
         assert num_shuffles(out) == 1  # the window partition; count rides it
+
+
+class TestDmlPlanContracts:
+    """The catalog DML paths must keep their 100 TB shapes: merge's key
+    join broadcasts the (small) source-key side, and delete's match
+    scan pushes the predicate into the Parquet scan."""
+
+    @pytest.fixture()
+    def dml_table(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import FsCatalog
+
+        df = (
+            spark.range(200)
+            .withColumn(
+                "ts",
+                F.to_timestamp(
+                    F.lit("2024-03-01 00:00:00").cast("timestamp")
+                    + F.make_interval(hours=(F.col("id") % 4).cast("int"))
+                ),
+            )
+            .withColumn("flag", F.col("id") % 7 == 0)
+        )
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("otel", "dml", df.schema, partition_source="ts")
+        t.append_dataframe(df)
+        return t, df
+
+    def test_merge_key_join_broadcasts(self, spark, dml_table):
+        from pyspark.sql import functions as F
+
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            spark_read_schema,
+        )
+
+        t, df = dml_table
+        md = t.metadata()
+        keys = df.limit(5).select("id").distinct()
+        tagged = (
+            spark.read.schema(spark_read_schema(md))
+            .parquet(*[f.file_path for f in t.plan_files()[0]])
+            .withColumn("__file", F.input_file_name())
+        )
+        probe = tagged.join(F.broadcast(keys), ["id"], "semi")
+        js = join_strategies(probe)
+        assert js and all(j == "BroadcastHashJoin" for j in js), js
+
+    def test_delete_match_scan_pushes_predicate(self, spark, dml_table):
+        from pyspark.sql import functions as F
+
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            spark_read_schema,
+        )
+
+        t, _ = dml_table
+        md = t.metadata()
+        # the bare predicate, exactly as plan_delete's match scan uses it
+        scan = (
+            spark.read.schema(spark_read_schema(md))
+            .parquet(*[f.file_path for f in t.plan_files()[0]])
+            .filter(F.expr("id > 150"))
+        )
+        pf = " ".join(pushed_filters(scan))
+        assert "GreaterThan(id" in pf, pf
