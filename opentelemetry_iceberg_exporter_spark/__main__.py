@@ -161,14 +161,23 @@ def main(argv: list[str] | None = None) -> int:
 
     pdel = sub.add_parser(
         "delete",
-        help="row-level copy-on-write delete: purge rows matching a SQL "
-        "predicate (GDPR/contamination removal), only files containing "
-        "matches are rewritten",
+        help="row-level delete: purge rows matching a SQL predicate "
+        "(GDPR/contamination removal). copy-on-write rewrites only the "
+        "files containing matches; merge-on-read writes an Iceberg v2 "
+        "position-delete file and touches NO data file",
     )
     pdel.add_argument("--warehouse", required=True)
     pdel.add_argument("--namespace", default="otel")
     pdel.add_argument("--table", required=True)
     pdel.add_argument("--where", required=True, help="SQL predicate for rows to DELETE")
+    pdel.add_argument(
+        "--mode",
+        choices=["copy-on-write", "merge-on-read"],
+        default="copy-on-write",
+        help="merge-on-read defers the rewrite: delete cost tracks the "
+        "matches, not the files containing them (fold in later with "
+        "maintain --fold-deletes)",
+    )
 
     pm = sub.add_parser(
         "maintain", help="fs-catalog table maintenance: rewrite_data_files + expire_snapshots"
@@ -186,6 +195,12 @@ def main(argv: list[str] | None = None) -> int:
         help="also sweep unreferenced data files older than this many "
         "seconds (leftovers from crashed writes; 259200 = Iceberg's "
         "3-day default)",
+    )
+    pm.add_argument(
+        "--fold-deletes",
+        action="store_true",
+        help="rewrite_position_deletes: fold pending merge-on-read "
+        "position deletes into the data files and drop the delete files",
     )
 
     args = parser.parse_args(argv)
@@ -301,14 +316,15 @@ def main(argv: list[str] | None = None) -> int:
         from .sinks.iceberg_fs import FsCatalog
 
         table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
-        sid, n = table.delete_where(spark, args.where)
-        print(json.dumps({"snapshot": sid, "deleted_rows": n}))
+        sid, n = table.delete_where(spark, args.where, mode=args.mode)
+        print(json.dumps({"snapshot": sid, "deleted_rows": n, "mode": args.mode}))
         return 0
 
     if args.cmd == "maintain":
         from .sinks.iceberg_fs import FsCatalog
 
         table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
+        folded = table.rewrite_position_deletes(spark) if args.fold_deletes else None
         rewritten = table.rewrite_data_files(
             spark, target_bytes=args.target_bytes, min_files=args.min_files
         )
@@ -322,6 +338,7 @@ def main(argv: list[str] | None = None) -> int:
             json.dumps(
                 {
                     "rewrite_snapshot": rewritten,
+                    "fold_deletes_snapshot": folded,
                     "expired_data_files": len(expired),
                     "orphans_removed": len(orphaned),
                 }

@@ -237,7 +237,9 @@ def iceberg_schema(spark_schema: StructType, schema_id: int = 0) -> dict:
 
 @dataclass(frozen=True)
 class DataFile:
-    """One Parquet data file as recorded in a manifest."""
+    """One Parquet file as recorded in a manifest: a data file
+    (content=0) or a position-delete file (content=1, Iceberg v2
+    merge-on-read)."""
 
     file_path: str
     file_size_in_bytes: int
@@ -245,6 +247,8 @@ class DataFile:
     # transform-value per partition field name (e.g. hours since epoch);
     # None = null source timestamp (file is never partition-pruned)
     partition: dict[str, int | None] = field(default_factory=dict)
+    # Iceberg file content: 0 = data, 1 = position deletes
+    content: int = 0
 
 
 def transform_value(ts: datetime, transform: str) -> int:
@@ -520,61 +524,79 @@ def write_snapshot_tree(
         s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"]
     )["fields"]
 
-    manifest_path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
-    entries = []
-    for f in files:
-        # column bounds from the Parquet footer (metadata-only read, one
-        # per NEW file per commit; carried-forward manifests keep theirs)
-        lower, upper = file_column_bounds(f.file_path, md)
-        entries.append(
-            {
-                "status": STATUS_ADDED,
-                "snapshot_id": snapshot_id,
-                "sequence_number": seq,
-                "file_sequence_number": seq,
-                "data_file": {
-                    "content": 0,
-                    "file_path": f.file_path,
-                    "file_format": "PARQUET",
-                    "partition": {
-                        pf["name"]: f.partition.get(pf["name"]) for pf in spec_fields
+    data_group = [f for f in files if f.content == 0]
+    delete_group = [f for f in files if f.content == 1]
+    # a manifest holds data files OR delete files, never both (spec);
+    # the data manifest is always written when there are no deletes so
+    # pre-MoR commit trees (and the golden fixtures) are byte-identical
+    groups: list[tuple[int, list[DataFile]]] = []
+    if data_group or not delete_group:
+        groups.append((0, data_group))
+    if delete_group:
+        groups.append((1, delete_group))
+
+    manifests = []
+    for content_id, group in groups:
+        manifest_path = os.path.join(
+            meta_dir, f"{uuid.uuid4().hex}-m{content_id}.avro"
+        )
+        entries = []
+        for f in group:
+            # column bounds from the Parquet footer (metadata-only read,
+            # one per NEW file per commit; carried-forward manifests keep
+            # theirs). Delete files carry no table-column bounds.
+            lower, upper = (
+                file_column_bounds(f.file_path, md) if content_id == 0 else ({}, {})
+            )
+            entries.append(
+                {
+                    "status": STATUS_ADDED,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": content_id,
+                        "file_path": f.file_path,
+                        "file_format": "PARQUET",
+                        "partition": {
+                            pf["name"]: f.partition.get(pf["name"]) for pf in spec_fields
+                        },
+                        "record_count": f.record_count,
+                        "file_size_in_bytes": f.file_size_in_bytes,
+                        "lower_bounds": _bounds_to_avro(lower),
+                        "upper_bounds": _bounds_to_avro(upper),
                     },
-                    "record_count": f.record_count,
-                    "file_size_in_bytes": f.file_size_in_bytes,
-                    "lower_bounds": _bounds_to_avro(lower),
-                    "upper_bounds": _bounds_to_avro(upper),
-                },
+                }
+            )
+        manifest_len = write_ocf(
+            manifest_path,
+            manifest_avro_schema(spec_fields),
+            entries,
+            extra_metadata={
+                "schema": json.dumps(current_schema(md)),
+                "partition-spec": json.dumps(spec_fields),
+                "partition-spec-id": str(md["default-spec-id"]),
+                "format-version": "2",
+                "content": "data" if content_id == 0 else "deletes",
+            },
+        )
+        manifests.append(
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": manifest_len,
+                "partition_spec_id": md["default-spec-id"],
+                "content": content_id,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(group),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(f.record_count for f in group),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
             }
         )
-    manifest_len = write_ocf(
-        manifest_path,
-        manifest_avro_schema(spec_fields),
-        entries,
-        extra_metadata={
-            "schema": json.dumps(current_schema(md)),
-            "partition-spec": json.dumps(spec_fields),
-            "partition-spec-id": str(md["default-spec-id"]),
-            "format-version": "2",
-            "content": "data",
-        },
-    )
-
-    new_manifest = {
-        "manifest_path": manifest_path,
-        "manifest_length": manifest_len,
-        "partition_spec_id": md["default-spec-id"],
-        "content": 0,
-        "sequence_number": seq,
-        "min_sequence_number": seq,
-        "added_snapshot_id": snapshot_id,
-        "added_files_count": len(files),
-        "existing_files_count": 0,
-        "deleted_files_count": 0,
-        "added_rows_count": sum(f.record_count for f in files),
-        "existing_rows_count": 0,
-        "deleted_rows_count": 0,
-    }
-    manifests = [new_manifest]
     if carry_forward and parent != -1:
         cur = next(s for s in md["snapshots"] if s["snapshot-id"] == parent)
         _, _, prior_manifests = read_ocf(cur["manifest-list"])
@@ -595,9 +617,14 @@ def write_snapshot_tree(
 
     summary = {
         "operation": operation,
-        "added-data-files": str(len(files)),
-        "added-records": str(sum(f.record_count for f in files)),
+        "added-data-files": str(len(data_group)),
+        "added-records": str(sum(f.record_count for f in data_group)),
     }
+    if delete_group:
+        summary["added-delete-files"] = str(len(delete_group))
+        summary["added-position-deletes"] = str(
+            sum(f.record_count for f in delete_group)
+        )
     summary.update(extra_summary)
     return {
         "snapshot-id": snapshot_id,
@@ -686,6 +713,210 @@ def write_partitioned_batch(df: DataFrame, location: str, md: dict) -> list[Data
     else:
         df.write.parquet(batch_dir)
     return _scan_written_files(batch_dir, [spec[0]["name"]] if spec else [])
+
+
+# --------------------------------------------------------------------------
+# Iceberg v2 position deletes (merge-on-read)
+#
+# A position-delete file is a Parquet file of (file_path, pos) rows — the
+# exact rows of specific DATA files that are logically deleted — tracked in
+# DELETE manifests (manifest-list content=1). Reads subtract them with an
+# anti-join; data files are never rewritten at delete time. This is the
+# 100 TB delete primitive: purging 0.001% of rows from a corpus commits a
+# few KB of metadata plus a delete file proportional to the MATCHES, where
+# copy-on-write would rewrite every file that contains one.
+# (Spec: Iceberg table format v2, "Position Delete Files"; reserved field
+# ids 2147483546/2147483545.)
+# --------------------------------------------------------------------------
+
+POS_DELETE_FILE_PATH_ID = 2147483546
+POS_DELETE_POS_ID = 2147483545
+
+# above this many delete rows (from manifest record counts — known before
+# any job runs) the anti-join shuffles instead of broadcasting
+BROADCAST_DELETE_ROWS = 2_000_000
+
+
+def _pos_delete_write_cols() -> list:
+    """file_path/pos projection carrying the spec's reserved Parquet
+    field ids (Spark writes them when fieldId.write is enabled)."""
+    return [
+        F.col("file_path").alias("file_path", metadata={"parquet.field.id": POS_DELETE_FILE_PATH_ID}),
+        F.col("pos").alias("pos", metadata={"parquet.field.id": POS_DELETE_POS_ID}),
+    ]
+
+
+def _norm_meta_path():
+    """`_metadata.file_path` (file:/abs or file:///abs) normalized to the
+    scheme-less absolute path manifests record."""
+    return F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+
+
+def read_position_deletes(spark: SparkSession, delete_files: list[DataFile]) -> DataFrame:
+    return (
+        spark.read.schema("file_path string, pos long")
+        .parquet(*[f.file_path for f in delete_files])
+        .select("file_path", "pos")
+    )
+
+
+def apply_position_deletes(
+    spark: SparkSession, df: DataFrame, delete_files: list[DataFile]
+) -> DataFrame:
+    """Subtract position-deleted rows from a Parquet-backed scan: tag each
+    row with (normalized _metadata.file_path, _metadata.row_index) and
+    anti-join the delete rows. Delete rows name exact file paths, so no
+    sequence-number filter is needed: a row can only match a delete
+    written at-or-after its file's commit (paths are never reused), and
+    deletes referencing rewritten (dropped) files match nothing.
+
+    The join side is chosen from metadata alone: manifests record each
+    delete file's row count, so small delete sets broadcast (one map-side
+    anti-join, no shuffle of the table) and only genuinely large ones
+    shuffle — decided before any job runs."""
+    if not delete_files:
+        return df
+    out_cols = df.columns
+    dels = read_position_deletes(spark, delete_files)
+    if sum(f.record_count for f in delete_files) <= BROADCAST_DELETE_ROWS:
+        dels = F.broadcast(dels)
+    tagged = df.select(
+        "*",
+        _norm_meta_path().alias("__dfile"),
+        F.col("_metadata.row_index").alias("__dpos"),
+    )
+    joined = tagged.join(
+        dels,
+        (tagged["__dfile"] == dels["file_path"]) & (tagged["__dpos"] == dels["pos"]),
+        "left_anti",
+    )
+    return joined.select(*out_cols)
+
+
+def _tagged_live_scan(
+    spark: SparkSession,
+    schema: StructType,
+    paths: list[str],
+    delete_files: list[DataFile],
+) -> DataFrame:
+    """Scan `paths` under `schema` with position deletes applied, keeping
+    a `__file` column (the scheme-less absolute path, as manifests record
+    it) for file-granular DML planning. The tag comes from the scan's
+    _metadata column — BEFORE the anti-join, because input_file_name()
+    is scan-stage-bound and unreliable on a join output."""
+    scan = spark.read.schema(schema).parquet(*paths)
+    tagged = scan.select(
+        "*",
+        _norm_meta_path().alias("__file"),
+        F.col("_metadata.row_index").alias("__dpos"),
+    )
+    if delete_files:
+        dels = read_position_deletes(spark, delete_files)
+        if sum(f.record_count for f in delete_files) <= BROADCAST_DELETE_ROWS:
+            dels = F.broadcast(dels)
+        tagged = tagged.join(
+            dels,
+            (tagged["__file"] == dels["file_path"]) & (tagged["__dpos"] == dels["pos"]),
+            "left_anti",
+        )
+    return tagged.drop("__dpos")
+
+
+def scan_with_deletes(
+    spark: SparkSession,
+    md: dict,
+    data_files: list[DataFile],
+    delete_files: list[DataFile],
+) -> DataFrame:
+    """Snapshot scan under the current schema with position deletes
+    applied (the merge-on-read read path)."""
+    schema = spark_read_schema(md)
+    if not data_files:
+        return spark.createDataFrame([], schema)
+    df = spark.read.schema(schema).parquet(*[f.file_path for f in data_files])
+    return apply_position_deletes(spark, df, delete_files)
+
+
+def live_files(md: dict, snapshot_id: int) -> tuple[list[DataFile], list[DataFile]]:
+    """(data files, position-delete files) live in a snapshot — the
+    transport-neutral manifest walk both catalogs plan scans from."""
+    snapshot = next(s for s in md["snapshots"] if s["snapshot-id"] == snapshot_id)
+    data: list[DataFile] = []
+    deletes: list[DataFile] = []
+    _, _, manifests = read_ocf(snapshot["manifest-list"])
+    for m in manifests:
+        _, _, entries = read_ocf(m["manifest_path"])
+        for e in entries:
+            if e["status"] == STATUS_DELETED:
+                continue
+            d = e["data_file"]
+            f = DataFile(
+                file_path=d["file_path"],
+                file_size_in_bytes=d["file_size_in_bytes"],
+                record_count=d["record_count"],
+                partition={k: v for k, v in d["partition"].items() if v is not None},
+                content=d.get("content", 0),
+            )
+            (deletes if f.content == 1 else data).append(f)
+    return data, deletes
+
+
+def plan_position_delete(
+    spark: SparkSession,
+    md: dict,
+    data_files: list[DataFile],
+    delete_files: list[DataFile],
+    predicate: str,
+) -> tuple[list[DataFile], int] | None:
+    """Merge-on-read DELETE planning: TWO Spark jobs regardless of table
+    size — (1) count the live rows matching the bare predicate (filter
+    pushes into the Parquet scan; rows already position-deleted are
+    anti-joined out so they are neither double-counted nor re-recorded),
+    (2) write the (file_path, pos) matches as position-delete Parquet,
+    globally sorted by (file_path, pos) via ONE repartitionByRange of
+    just the delete tuples — the spec's required delete-file ordering.
+    No data file is read beyond the predicate scan and none is
+    rewritten. Returns (new delete DataFiles, rows deleted) or None."""
+    if not data_files:
+        return None
+    schema = spark_read_schema(md)
+    scan = spark.read.schema(schema).parquet(*[f.file_path for f in data_files])
+    matches = (
+        scan.select(
+            "*",
+            _norm_meta_path().alias("__dfile"),
+            F.col("_metadata.row_index").alias("__dpos"),
+        )
+        .filter(F.expr(predicate))
+        .select(F.col("__dfile").alias("file_path"), F.col("__dpos").alias("pos"))
+    )
+    if delete_files:
+        dels = read_position_deletes(spark, delete_files)
+        if sum(f.record_count for f in delete_files) <= BROADCAST_DELETE_ROWS:
+            dels = F.broadcast(dels)
+        matches = matches.join(dels, ["file_path", "pos"], "left_anti")
+    n_deleted = matches.count()
+    if n_deleted == 0:
+        return None
+    out_dir = os.path.join(md["location"], "data", f"deletes-{uuid.uuid4().hex}")
+    n_parts = max(1, min(64, -(-n_deleted // 5_000_000)))
+    (
+        matches.repartitionByRange(n_parts, "file_path", "pos")
+        .sortWithinPartitions("file_path", "pos")
+        .select(*_pos_delete_write_cols())
+        .write.parquet(out_dir)
+    )
+    new_deletes = [
+        DataFile(
+            file_path=f.file_path,
+            file_size_in_bytes=f.file_size_in_bytes,
+            record_count=f.record_count,
+            partition={},
+            content=1,
+        )
+        for f in _scan_written_files(out_dir, [])
+    ]
+    return new_deletes, n_deleted
 
 
 def hive_data_files(source_dir: str, spec: list[dict]) -> list[DataFile]:
@@ -863,6 +1094,7 @@ def plan_rewrite(
     target_bytes: int,
     min_files: int,
     zorder_by: list[str] | None = None,
+    delete_files: list[DataFile] | None = None,
 ) -> tuple[list[DataFile], int, int] | None:
     """Transport-neutral compaction planning + data rewrite: partitions
     with >= min_files live files under target_bytes are rewritten into
@@ -885,7 +1117,10 @@ def plan_rewrite(
             continue
         survivors.extend(f for f in files if f.file_size_in_bytes >= target_bytes)
         out_dir = os.path.join(location, "data", f"rewrite-{uuid.uuid4().hex}")
-        part_df = spark.read.parquet(*[f.file_path for f in small]).coalesce(1)
+        part_df = spark.read.parquet(*[f.file_path for f in small])
+        # pending position deletes on the compacted files are MATERIALIZED
+        # by the rewrite (the new files simply omit those rows)
+        part_df = apply_position_deletes(spark, part_df, delete_files or []).coalesce(1)
         if zorder_by:
             from ..operators.layout import sort_by_zorder
 
@@ -911,6 +1146,7 @@ def plan_delete(
     md: dict,
     live: list[DataFile],
     predicate: str,
+    delete_files: list[DataFile] | None = None,
 ) -> tuple[list[DataFile], int, int] | None:
     """Transport-neutral copy-on-write DELETE planning in TWO Spark jobs
     total, regardless of file count: (1) one scan tagged with
@@ -928,22 +1164,21 @@ def plan_delete(
     needs the explicit NULL-keeps coalesce."""
     if not live:
         return None
+    delete_files = delete_files or []
     schema = spark_read_schema(md)
-    tagged = (
-        spark.read.schema(schema)
-        .parquet(*[f.file_path for f in live])
-        .withColumn("__file", F.input_file_name())
+    tagged = _tagged_live_scan(
+        spark, schema, [f.file_path for f in live], delete_files
     )
     stats = tagged.filter(F.expr(predicate)).groupBy("__file").count().collect()
     if not stats:
         return None
-    hit_paths = {_strip_file_scheme(r["__file"]) for r in stats}
+    hit_paths = {r["__file"] for r in stats}
     n_deleted = sum(r["count"] for r in stats)
     survivors = [f for f in live if f.file_path not in hit_paths]
     keep = (
-        spark.read.schema(schema)
-        .parquet(*sorted(hit_paths))
+        _tagged_live_scan(spark, schema, sorted(hit_paths), delete_files)
         .filter(~F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False)))
+        .drop("__file")
     )
     rewritten = write_partitioned_batch(keep, md["location"], md)
     return survivors + rewritten, n_deleted, len(rewritten)
@@ -955,6 +1190,7 @@ def plan_merge(
     live: list[DataFile],
     source: DataFrame,
     key_cols: list[str],
+    delete_files: list[DataFile] | None = None,
 ) -> tuple[list[DataFile], int, int]:
     """Transport-neutral copy-on-write MERGE (keyed upsert) planning:
     rows in `source` replace same-key rows; unmatched source rows are
@@ -969,20 +1205,19 @@ def plan_merge(
     dropping the matched keys). The source lands as fresh
     hidden-partitioned files via the normal append writer. Cost tracks
     files-containing-matches + source size, never the table."""
+    delete_files = delete_files or []
     schema = spark_read_schema(md)
     keys = source.select(*key_cols).distinct()
     n_updated = 0
     n_inserted = source.count()
     hit_paths: set[str] = set()
     if live:
-        tbl = (
-            spark.read.schema(schema)
-            .parquet(*[f.file_path for f in live])
-            .withColumn("__file", F.input_file_name())
+        tbl = _tagged_live_scan(
+            spark, schema, [f.file_path for f in live], delete_files
         )
         matched = tbl.join(F.broadcast(keys), key_cols, "semi")
         stats = matched.groupBy("__file").count().collect()  # paths only
-        hit_paths = {_strip_file_scheme(r["__file"]) for r in stats}
+        hit_paths = {r["__file"] for r in stats}
         n_updated = sum(r["count"] for r in stats)
         tbl_keys = tbl.select(*key_cols).distinct()
         n_inserted -= source.join(tbl_keys, key_cols, "left_semi").count()
@@ -992,8 +1227,8 @@ def plan_merge(
     if hit_paths:
         # ONE partitioned rewrite job for every file containing matches
         keep = (
-            spark.read.schema(schema)
-            .parquet(*sorted(hit_paths))
+            _tagged_live_scan(spark, schema, sorted(hit_paths), delete_files)
+            .drop("__file")
             .join(F.broadcast(keys), key_cols, "anti")
         )
         rewritten = write_partitioned_batch(keep, md["location"], md)
@@ -1001,6 +1236,29 @@ def plan_merge(
         source.select(*[f_.name for f_ in schema.fields]), md["location"], md
     )
     return survivors + rewritten + inserted_files, n_updated, n_inserted
+
+
+def plan_delete_rewrite(
+    spark: SparkSession,
+    md: dict,
+    live: list[DataFile],
+    deletes: list[DataFile],
+) -> tuple[list[DataFile], int]:
+    """Transport-neutral planning for rewrite_position_deletes: rewrite
+    exactly the data files referenced by live delete rows (deletes
+    applied), keep the rest by reference. Returns (replacement data-file
+    set — NO delete files — and n_rewritten); the caller owns the
+    replace commit."""
+    dels = read_position_deletes(spark, deletes)
+    hit = {r["file_path"] for r in dels.select("file_path").distinct().collect()}
+    hit &= {f.file_path for f in live}  # stale refs to rewritten files: skip
+    survivors = [f for f in live if f.file_path not in hit]
+    rewritten: list[DataFile] = []
+    if hit:
+        schema = spark_read_schema(md)
+        keep = _tagged_live_scan(spark, schema, sorted(hit), deletes).drop("__file")
+        rewritten = write_partitioned_batch(keep, md["location"], md)
+    return survivors + rewritten, len(rewritten)
 
 
 def _strip_file_scheme(uri: str) -> str:
@@ -1489,16 +1747,30 @@ class FsTable:
         partition_range: tuple[int, int] | None = None,
         column_range: tuple[str, Any, Any] | None = None,
     ) -> tuple[list[DataFile], int]:
-        """Resolve live data files for a snapshot; optionally prune by
+        """Resolve live DATA files for a snapshot (see plan_scan, which
+        also returns position-delete files). Returns (files, n_pruned)."""
+        data, _, pruned = self.plan_scan(snapshot_id, partition_range, column_range)
+        return data, pruned
+
+    def plan_scan(
+        self,
+        snapshot_id: int | None = None,
+        partition_range: tuple[int, int] | None = None,
+        column_range: tuple[str, Any, Any] | None = None,
+    ) -> tuple[list[DataFile], list[DataFile], int]:
+        """Resolve a snapshot's live files into (data files, position-
+        delete files, n_pruned); data files are optionally pruned by
         transform-value range AND/OR a column value range
         (`column_range=(name, lo, hi)`) against the manifest-recorded
         per-file min/max bounds — the scan never opens pruned files;
         both skips are O(metadata). Files without bounds (or legacy
-        manifests) are conservatively kept. Returns (files, n_pruned)."""
+        manifests) are conservatively kept. Delete files are never
+        pruned (a delete row for a pruned-away data file simply matches
+        nothing)."""
         md = self.metadata()
         sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
         if sid == -1:
-            return [], 0
+            return [], [], 0
         snapshot = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
         spec_names = [pf["name"] for pf in self.partition_spec()]
         col_field = None
@@ -1510,6 +1782,7 @@ class FsTable:
             if col_field is None or not isinstance(col_field["type"], str):
                 raise ValueError(f"no boundable column {name!r}")
         files: list[DataFile] = []
+        deletes: list[DataFile] = []
         pruned = 0
         _, _, manifests = read_ocf(snapshot["manifest-list"])
         for m in manifests:
@@ -1519,6 +1792,17 @@ class FsTable:
                     continue
                 df_ = e["data_file"]
                 part = {k: v for k, v in df_["partition"].items() if v is not None}
+                if df_.get("content", 0) == 1:
+                    deletes.append(
+                        DataFile(
+                            file_path=df_["file_path"],
+                            file_size_in_bytes=df_["file_size_in_bytes"],
+                            record_count=df_["record_count"],
+                            partition=part,
+                            content=1,
+                        )
+                    )
+                    continue
                 if partition_range and spec_names:
                     value = part.get(spec_names[0])
                     lo, hi = partition_range
@@ -1545,7 +1829,7 @@ class FsTable:
                         partition=part,
                     )
                 )
-        return files, pruned
+        return files, deletes, pruned
 
     def read(
         self,
@@ -1557,13 +1841,12 @@ class FsTable:
         """Time-travel-capable scan: metadata resolves the file list
         (partition + column-bound pruning applied there), the Spark scan
         reads exactly those Parquet files under the CURRENT schema
-        (pre-evolution files surface added columns as nulls). NOTE:
+        (pre-evolution files surface added columns as nulls), and any
+        position-delete files are subtracted (merge-on-read). NOTE:
         column_range prunes FILES; apply the row filter on the result."""
-        schema = spark_read_schema(self.metadata())
-        files, _ = self.plan_files(snapshot_id, partition_range, column_range)
-        if not files:
-            return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*[f.file_path for f in files])
+        md = self.metadata()
+        data, deletes, _ = self.plan_scan(snapshot_id, partition_range, column_range)
+        return scan_with_deletes(spark, md, data, deletes)
 
     # -- incremental (snapshot-diff) consumption ---------------------------
     def incremental_files(
@@ -1765,9 +2048,9 @@ class FsTable:
         pass, like Iceberg's sort-order rewrite."""
         _, planned_md = self._load_state()
         planned_snapshot = planned_md["current-snapshot-id"]
-        live, _ = self.plan_files(
-            snapshot_id=planned_snapshot if planned_snapshot != -1 else None
-        )
+        if planned_snapshot == -1:
+            return None
+        live, deletes, _ = self.plan_scan(snapshot_id=planned_snapshot)
         planned = plan_rewrite(
             spark,
             live,
@@ -1775,10 +2058,15 @@ class FsTable:
             target_bytes=target_bytes,
             min_files=min_files,
             zorder_by=zorder_by,
+            delete_files=deletes,
         )
         if planned is None:
             return None
         replacement, n_compacted, n_rewritten = planned
+        # pending position deletes stay live for the SURVIVING files
+        # (compacted files had theirs materialized by the rewrite; their
+        # now-stale delete rows match nothing)
+        replacement = replacement + deletes
         # replace commits validate the planning base: if a concurrent
         # append advanced the table mid-rewrite, merging would silently
         # drop the appended files — raise ReplaceConflictError instead
@@ -1793,34 +2081,59 @@ class FsTable:
             expected_base_snapshot=planned_snapshot,
         )
 
-    def delete_where(self, spark: SparkSession, predicate: str) -> tuple[int | None, int]:
-        """Row-level copy-on-write DELETE: files containing matching rows
-        are rewritten without them; untouched files survive as-is; the
-        commit REPLACES the live file set in an `overwrite` snapshot
-        (time travel to pre-delete snapshots still sees the rows until
-        expire_snapshots reclaims them).
+    def delete_where(
+        self, spark: SparkSession, predicate: str, mode: str = "copy-on-write"
+    ) -> tuple[int | None, int]:
+        """Row-level DELETE, two strategies sharing one predicate scan:
 
-        The scan phase is file-granular and distributed: each candidate
-        file is tested with a pushed-down count, so files with zero
-        matches are never rewritten — at scale the rewrite cost tracks
-        the files actually containing matches, not the table. This is
-        the engine's GDPR/contamination-purge primitive (drop poisoned
-        or opted-out documents from a training corpus without a
-        full-table rewrite).
+        * ``copy-on-write`` (default): files containing matching rows are
+          rewritten without them; the commit REPLACES the live file set
+          in an `overwrite` snapshot. Read cost stays a plain scan;
+          delete cost tracks the files containing matches.
+        * ``merge-on-read``: NO data file is touched — the matching
+          (file_path, pos) pairs are written as an Iceberg v2
+          position-delete file and committed in a `delete` snapshot;
+          reads subtract them with a metadata-sized anti-join. Delete
+          cost tracks the MATCHES, the scale path when matches are
+          sparse (GDPR/opt-out purges over a 100 TB corpus). Apply
+          rewrite_position_deletes later to fold them in.
 
-        Returns (new snapshot id or None if nothing matched,
-        rows deleted). Like rewrite_data_files, the commit validates the
-        planning base and raises ReplaceConflictError if the table
-        advanced mid-delete."""
+        Time travel to pre-delete snapshots still sees the rows until
+        expire_snapshots reclaims them. Returns (new snapshot id or None
+        if nothing matched, rows deleted).
+
+        Concurrency: copy-on-write pins the planning base and raises
+        ReplaceConflictError if the table advanced mid-delete (a replace
+        cannot merge). Merge-on-read commits like an APPEND — it only
+        ADDS a delete file, so it retries cleanly over concurrent
+        appends; rows landing after planning are not covered (snapshot
+        isolation, same as Iceberg's default)."""
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"mode must be copy-on-write|merge-on-read, got {mode!r}")
         _, planned_md = self._load_state()
         planned_snapshot = planned_md["current-snapshot-id"]
         if planned_snapshot == -1:
             return None, 0
-        live, _ = self.plan_files(snapshot_id=planned_snapshot)
-        planned = plan_delete(spark, planned_md, live, predicate)
+        live, deletes, _ = self.plan_scan(snapshot_id=planned_snapshot)
+        if mode == "merge-on-read":
+            planned = plan_position_delete(spark, planned_md, live, deletes, predicate)
+            if planned is None:
+                return None, 0
+            new_deletes, n_deleted = planned
+            sid = self._commit_with_retry(
+                new_deletes,
+                operation="delete",
+                carry_forward=True,
+                extra_summary={"deleted-records": str(n_deleted)},
+            )
+            return sid, n_deleted
+        planned = plan_delete(spark, planned_md, live, predicate, delete_files=deletes)
         if planned is None:
             return None, 0
         replacement, n_deleted, n_rewritten = planned
+        # delete rows for SURVIVING files must stay live; entries for
+        # rewritten files are stale and match nothing
+        replacement = replacement + deletes
         sid = self._commit_with_retry(
             replacement,
             operation="overwrite",
@@ -1832,6 +2145,37 @@ class FsTable:
             expected_base_snapshot=planned_snapshot,
         )
         return sid, n_deleted
+
+    def rewrite_position_deletes(self, spark: SparkSession) -> int | None:
+        """Maintenance: fold all pending position deletes into the data
+        files — exactly the files the delete rows reference are rewritten
+        without the deleted rows, every delete file is dropped, and the
+        result commits as a `replace` snapshot (logically a no-op, so
+        incremental consumers skip it, like compaction). Run this when
+        accumulated deletes start taxing the read-side anti-join.
+
+        Cost tracks the files containing deletes, never the table: the
+        referenced paths come from the delete files themselves (one
+        distinct over delete tuples — O(affected files) to the driver).
+        Returns the new snapshot id, or None when there are no deletes."""
+        _, planned_md = self._load_state()
+        planned_snapshot = planned_md["current-snapshot-id"]
+        if planned_snapshot == -1:
+            return None
+        live, deletes, _ = self.plan_scan(snapshot_id=planned_snapshot)
+        if not deletes:
+            return None
+        replacement, n_rewritten = plan_delete_rewrite(spark, planned_md, live, deletes)
+        return self._commit_with_retry(
+            replacement,
+            operation="replace",
+            carry_forward=False,
+            extra_summary={
+                "removed-delete-files": str(len(deletes)),
+                "rewritten-data-files": str(n_rewritten),
+            },
+            expected_base_snapshot=planned_snapshot,
+        )
 
     def remove_orphan_files(self, older_than_seconds: float = 3 * 86400) -> list[str]:
         """Reclaim data files under the table location that NO snapshot
@@ -1869,16 +2213,16 @@ class FsTable:
         ReplaceConflictError if the table advances mid-merge."""
         _, planned_md = self._load_state()
         planned_snapshot = planned_md["current-snapshot-id"]
-        live, _ = (
-            self.plan_files(snapshot_id=planned_snapshot)
+        live, deletes, _ = (
+            self.plan_scan(snapshot_id=planned_snapshot)
             if planned_snapshot != -1
-            else ([], 0)
+            else ([], [], 0)
         )
         replacement, n_updated, n_inserted = plan_merge(
-            spark, planned_md, live, source, key_cols
+            spark, planned_md, live, source, key_cols, delete_files=deletes
         )
         sid = self._commit_with_retry(
-            replacement,
+            replacement + deletes,
             operation="overwrite",
             carry_forward=False,
             extra_summary={

@@ -48,7 +48,11 @@ from .iceberg_fs import (
     hive_data_files,
     iceberg_schema,
     incremental_data_files,
+    live_files,
     partition_fields_for,
+    plan_delete_rewrite,
+    plan_position_delete,
+    scan_with_deletes,
     write_partitioned_batch,
     write_snapshot_tree,
     spark_read_schema,
@@ -324,6 +328,15 @@ class RestTable:
         On 409 (another writer won) the manifest tree is rebuilt on the
         new base and the commit retried (catalog_rest.go:243-303; the
         retry loop lives in iceberg-go's transaction there)."""
+        return self._commit_add(files, "append", snapshot_properties or {})
+
+    def _commit_add(
+        self, files: list[DataFile], operation: str, extra_summary: dict[str, str]
+    ) -> int:
+        """Append-style commit (carry-forward manifests + one new
+        manifest tree) with conflict retry — used by appends AND
+        merge-on-read deletes, which only ADD a delete file and so merge
+        cleanly over concurrent appends."""
         attempts = 3
         for attempt in range(attempts):
             md = self.metadata()
@@ -331,9 +344,9 @@ class RestTable:
                 md["location"],
                 md,
                 files,
-                operation="append",
+                operation=operation,
                 carry_forward=True,
-                extra_summary=snapshot_properties or {},
+                extra_summary=extra_summary,
             )
             parent = md["current-snapshot-id"]
             requirements = [
@@ -422,156 +435,29 @@ class RestTable:
         return metadata_table(spark, self.metadata(), name)
 
     # -- table maintenance over REST ---------------------------------------
-    def rewrite_data_files(
+    def _commit_replace(
         self,
-        spark: SparkSession,
-        target_bytes: int = 128 * 1024 * 1024,
-        min_files: int = 2,
-        zorder_by: list | None = None,
-    ) -> int | None:
-        """Iceberg-style compaction with the replace COMMIT arbitrated by
-        the catalog server: the planning base is pinned with
-        assert-ref-snapshot-id, so a concurrent append advancing `main`
-        mid-rewrite fails the commit (409) instead of silently dropping
-        the appended files — the client surfaces ReplaceConflictError
-        for the caller to re-plan (replaces cannot auto-retry)."""
-        from .iceberg_fs import (
-            ReplaceConflictError,
-            plan_rewrite,
-        )
+        md: dict,
+        planned_snapshot: int,
+        files: list[DataFile],
+        operation: str,
+        extra_summary: dict[str, str],
+        conflict_what: str,
+    ) -> int:
+        """Replace-style commit (the new manifest tree IS the complete
+        live file set) pinned to the planning base: a concurrent writer
+        advancing `main` mid-plan turns into ReplaceConflictError (the
+        server 409s the assert-ref-snapshot-id requirement) instead of
+        silently dropping its files — replaces cannot merge."""
+        from .iceberg_fs import ReplaceConflictError
 
-        md = self.metadata()
-        planned_snapshot = md["current-snapshot-id"]
-        if planned_snapshot == -1:
-            return None
-        live, _ = self._live_files(md, planned_snapshot)
-        planned = plan_rewrite(
-            spark,
-            live,
-            md["location"],
-            target_bytes=target_bytes,
-            min_files=min_files,
-            zorder_by=zorder_by,
-        )
-        if planned is None:
-            return None
-        replacement, n_compacted, n_rewritten = planned
         snapshot = write_snapshot_tree(
             md["location"],
             md,
-            replacement,
-            operation="replace",
+            files,
+            operation=operation,
             carry_forward=False,
-            extra_summary={
-                "compacted-files": str(n_compacted),
-                "added-data-files": str(n_rewritten),
-            },
-        )
-        requirements = [
-            {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
-            {
-                "type": "assert-ref-snapshot-id",
-                "ref": "main",
-                "snapshot-id": planned_snapshot,
-            },
-        ]
-        updates = [
-            {"action": "add-snapshot", "snapshot": snapshot},
-            {
-                "action": "set-snapshot-ref",
-                "ref-name": "main",
-                "type": "branch",
-                "snapshot-id": snapshot["snapshot-id"],
-            },
-        ]
-        try:
-            self.client.commit_table(self.namespace, self.name, requirements, updates)
-        except RestCommitConflictError as exc:
-            raise ReplaceConflictError(
-                f"table advanced past snapshot {planned_snapshot} during the "
-                "rewrite; re-plan"
-            ) from exc
-        return snapshot["snapshot-id"]
-
-    def delete_where(self, spark: SparkSession, predicate: str) -> tuple[int | None, int]:
-        """Row-level copy-on-write DELETE over REST (see
-        FsTable.delete_where / plan_delete — two Spark jobs total): the
-        overwrite commit pins the planning base with
-        assert-ref-snapshot-id, so a concurrent append conflicts instead
-        of being silently dropped."""
-        from .iceberg_fs import ReplaceConflictError, plan_delete
-
-        md = self.metadata()
-        planned_snapshot = md["current-snapshot-id"]
-        if planned_snapshot == -1:
-            return None, 0
-        live, _ = self._live_files(md, planned_snapshot)
-        planned = plan_delete(spark, md, live, predicate)
-        if planned is None:
-            return None, 0
-        replacement, n_deleted, n_rewritten = planned
-        snapshot = write_snapshot_tree(
-            md["location"],
-            md,
-            replacement,
-            operation="overwrite",
-            carry_forward=False,
-            extra_summary={
-                "deleted-records": str(n_deleted),
-                "rewritten-data-files": str(n_rewritten),
-            },
-        )
-        requirements = [
-            {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
-            {
-                "type": "assert-ref-snapshot-id",
-                "ref": "main",
-                "snapshot-id": planned_snapshot,
-            },
-        ]
-        updates = [
-            {"action": "add-snapshot", "snapshot": snapshot},
-            {
-                "action": "set-snapshot-ref",
-                "ref-name": "main",
-                "type": "branch",
-                "snapshot-id": snapshot["snapshot-id"],
-            },
-        ]
-        try:
-            self.client.commit_table(self.namespace, self.name, requirements, updates)
-        except RestCommitConflictError as exc:
-            raise ReplaceConflictError(
-                f"table advanced past snapshot {planned_snapshot} during the "
-                "delete; re-plan"
-            ) from exc
-        return snapshot["snapshot-id"], n_deleted
-
-    def merge_rows(
-        self, spark: SparkSession, source: DataFrame, key_cols: list[str]
-    ) -> tuple[int, int, int]:
-        """Copy-on-write MERGE (keyed upsert) over REST — shared
-        plan_merge, overwrite commit pinned to the planning base."""
-        from .iceberg_fs import ReplaceConflictError, plan_merge
-
-        md = self.metadata()
-        planned_snapshot = md["current-snapshot-id"]
-        live = (
-            self._live_files(md, planned_snapshot)[0] if planned_snapshot != -1 else []
-        )
-        replacement, n_updated, n_inserted = plan_merge(
-            spark, md, live, source, key_cols
-        )
-        snapshot = write_snapshot_tree(
-            md["location"],
-            md,
-            replacement,
-            operation="overwrite",
-            carry_forward=False,
-            extra_summary={
-                "merged-records": str(n_updated),
-                "inserted-records": str(n_inserted),
-            },
+            extra_summary=extra_summary,
         )
         requirements = [
             {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
@@ -595,9 +481,151 @@ class RestTable:
         except RestCommitConflictError as exc:
             raise ReplaceConflictError(
                 f"table advanced past snapshot {planned_snapshot} during the "
-                "merge; re-plan"
+                f"{conflict_what}; re-plan"
             ) from exc
-        return snapshot["snapshot-id"], n_updated, n_inserted
+        return snapshot["snapshot-id"]
+
+    def rewrite_data_files(
+        self,
+        spark: SparkSession,
+        target_bytes: int = 128 * 1024 * 1024,
+        min_files: int = 2,
+        zorder_by: list | None = None,
+    ) -> int | None:
+        """Iceberg-style compaction with the replace COMMIT arbitrated by
+        the catalog server: the planning base is pinned with
+        assert-ref-snapshot-id, so a concurrent append advancing `main`
+        mid-rewrite fails the commit (409) instead of silently dropping
+        the appended files — the client surfaces ReplaceConflictError
+        for the caller to re-plan (replaces cannot auto-retry)."""
+        from .iceberg_fs import plan_rewrite
+
+        md = self.metadata()
+        planned_snapshot = md["current-snapshot-id"]
+        if planned_snapshot == -1:
+            return None
+        live, deletes = self._live_files(md, planned_snapshot)
+        planned = plan_rewrite(
+            spark,
+            live,
+            md["location"],
+            target_bytes=target_bytes,
+            min_files=min_files,
+            zorder_by=zorder_by,
+            delete_files=deletes,
+        )
+        if planned is None:
+            return None
+        replacement, n_compacted, n_rewritten = planned
+        return self._commit_replace(
+            md,
+            planned_snapshot,
+            replacement + deletes,  # pending deletes stay live for survivors
+            "replace",
+            {
+                "compacted-files": str(n_compacted),
+                "added-data-files": str(n_rewritten),
+            },
+            "rewrite",
+        )
+
+    def delete_where(
+        self, spark: SparkSession, predicate: str, mode: str = "copy-on-write"
+    ) -> tuple[int | None, int]:
+        """Row-level DELETE over REST — same two strategies as
+        FsTable.delete_where: copy-on-write (overwrite commit pinned to
+        the planning base) or merge-on-read (position-delete file added
+        in a `delete` snapshot that, like an append, retries cleanly over
+        concurrent commits)."""
+        from .iceberg_fs import plan_delete
+
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"mode must be copy-on-write|merge-on-read, got {mode!r}")
+        md = self.metadata()
+        planned_snapshot = md["current-snapshot-id"]
+        if planned_snapshot == -1:
+            return None, 0
+        live, deletes = self._live_files(md, planned_snapshot)
+        if mode == "merge-on-read":
+            planned = plan_position_delete(spark, md, live, deletes, predicate)
+            if planned is None:
+                return None, 0
+            new_deletes, n_deleted = planned
+            sid = self._commit_add(
+                new_deletes, "delete", {"deleted-records": str(n_deleted)}
+            )
+            return sid, n_deleted
+        planned = plan_delete(spark, md, live, predicate, delete_files=deletes)
+        if planned is None:
+            return None, 0
+        replacement, n_deleted, n_rewritten = planned
+        sid = self._commit_replace(
+            md,
+            planned_snapshot,
+            replacement + deletes,  # delete rows for surviving files stay live
+            "overwrite",
+            {
+                "deleted-records": str(n_deleted),
+                "rewritten-data-files": str(n_rewritten),
+            },
+            "delete",
+        )
+        return sid, n_deleted
+
+    def rewrite_position_deletes(self, spark: SparkSession) -> int | None:
+        """Maintenance over REST: fold pending position deletes into the
+        data files and drop every delete file (replace snapshot — a
+        logical no-op, like compaction). See
+        FsTable.rewrite_position_deletes."""
+        md = self.metadata()
+        planned_snapshot = md["current-snapshot-id"]
+        if planned_snapshot == -1:
+            return None
+        live, deletes = self._live_files(md, planned_snapshot)
+        if not deletes:
+            return None
+        replacement, n_rewritten = plan_delete_rewrite(spark, md, live, deletes)
+        return self._commit_replace(
+            md,
+            planned_snapshot,
+            replacement,
+            "replace",
+            {
+                "removed-delete-files": str(len(deletes)),
+                "rewritten-data-files": str(n_rewritten),
+            },
+            "position-delete rewrite",
+        )
+
+    def merge_rows(
+        self, spark: SparkSession, source: DataFrame, key_cols: list[str]
+    ) -> tuple[int, int, int]:
+        """Copy-on-write MERGE (keyed upsert) over REST — shared
+        plan_merge, overwrite commit pinned to the planning base."""
+        from .iceberg_fs import plan_merge
+
+        md = self.metadata()
+        planned_snapshot = md["current-snapshot-id"]
+        live, deletes = (
+            self._live_files(md, planned_snapshot)
+            if planned_snapshot != -1
+            else ([], [])
+        )
+        replacement, n_updated, n_inserted = plan_merge(
+            spark, md, live, source, key_cols, delete_files=deletes
+        )
+        sid = self._commit_replace(
+            md,
+            planned_snapshot,
+            replacement + deletes,
+            "overwrite",
+            {
+                "merged-records": str(n_updated),
+                "inserted-records": str(n_inserted),
+            },
+            "merge",
+        )
+        return sid, n_updated, n_inserted
 
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Expire via the REST remove-snapshots update, then physically
@@ -622,28 +650,11 @@ class RestTable:
         )
         return delete_expired_paths(plan)
 
-    def _live_files(self, md: dict, snapshot_id: int) -> tuple[list[DataFile], int]:
-        """Live data files of a snapshot from its manifest tree."""
-        from .avro_ocf import read_ocf
-
-        snapshot = next(s for s in md["snapshots"] if s["snapshot-id"] == snapshot_id)
-        files: list[DataFile] = []
-        _, _, manifests = read_ocf(snapshot["manifest-list"])
-        for m in manifests:
-            _, _, entries = read_ocf(m["manifest_path"])
-            for e in entries:
-                if e["status"] == 2:
-                    continue
-                d = e["data_file"]
-                files.append(
-                    DataFile(
-                        file_path=d["file_path"],
-                        file_size_in_bytes=d["file_size_in_bytes"],
-                        record_count=d["record_count"],
-                        partition={k: v for k, v in d["partition"].items() if v is not None},
-                    )
-                )
-        return files, 0
+    def _live_files(
+        self, md: dict, snapshot_id: int
+    ) -> tuple[list[DataFile], list[DataFile]]:
+        """(data files, position-delete files) live in a snapshot."""
+        return live_files(md, snapshot_id)
 
     # -- refs: tags + branches ---------------------------------------------
     def set_ref(self, name: str, snapshot_id: int, ref_type: str = "tag") -> None:
@@ -697,22 +708,11 @@ class RestTable:
         return new_schema["schema-id"]
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
-        """Scan a committed snapshot's files (time travel via snapshot_id)."""
+        """Scan a committed snapshot's files (time travel via
+        snapshot_id), with position deletes subtracted (merge-on-read)."""
         md = self.metadata()
-        schema = spark_read_schema(md)
         sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
         if sid in (-1, None):
-            return spark.createDataFrame([], schema)
-        snapshot = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
-        from .avro_ocf import read_ocf
-
-        paths: list[str] = []
-        _, _, manifests = read_ocf(snapshot["manifest-list"])
-        for m in manifests:
-            _, _, entries = read_ocf(m["manifest_path"])
-            for e in entries:
-                if e["status"] != 2:  # skip deleted
-                    paths.append(e["data_file"]["file_path"])
-        if not paths:
-            return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*paths)
+            return spark.createDataFrame([], spark_read_schema(md))
+        data, deletes = self._live_files(md, sid)
+        return scan_with_deletes(spark, md, data, deletes)

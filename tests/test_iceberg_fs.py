@@ -627,7 +627,7 @@ class TestReviewRegressions:
         t.append_dataframe(events_df.filter("event_id < 50"))
         t.append_dataframe(events_df.filter("event_id >= 50 AND event_id < 80"))
 
-        real_plan = t.plan_files
+        real_plan = t.plan_scan
         state = {"raced": False}
 
         def racy_plan(*a, **k):
@@ -640,7 +640,7 @@ class TestReviewRegressions:
                 )
             return out
 
-        monkeypatch.setattr(t, "plan_files", racy_plan)
+        monkeypatch.setattr(t, "plan_scan", racy_plan)
         with pytest.raises(ReplaceConflictError):
             t.rewrite_data_files(spark, target_bytes=1 << 20, min_files=2)
         # nothing lost: the late append's file is still live
