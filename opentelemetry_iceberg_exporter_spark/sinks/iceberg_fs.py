@@ -194,18 +194,99 @@ def _spark_type(t: Any) -> DataType:
     raise ValueError(f"no Spark mapping for Iceberg type {t!r}")
 
 
-def spark_read_schema(md: dict) -> StructType:
+def spark_read_schema(md: dict, field_ids: bool = False) -> StructType:
     """The CURRENT Iceberg schema as a Spark StructType — applied
     explicitly on reads so files written under OLDER schemas surface
     added columns as nulls (Iceberg schema-evolution read semantics)
-    and empty tables keep exact types."""
+    and empty tables keep exact types. With field_ids=True each
+    top-level field carries its Iceberg id as `parquet.field.id`
+    metadata, enabling Spark's id-based column resolution."""
     schema = current_schema(md)
     return StructType(
         [
-            StructField(f_["name"], _spark_type(f_["type"]), not f_["required"])
+            StructField(
+                f_["name"],
+                _spark_type(f_["type"]),
+                not f_["required"],
+                {"parquet.field.id": f_["id"]} if field_ids else None,
+            )
             for f_ in schema["fields"]
         ]
     )
+
+
+def schema_requires_id_read(md: dict) -> bool:
+    """True when name-based column resolution is no longer sound for
+    this table: some field id has carried different names across the
+    schema history (a rename), or some name has been bound to different
+    ids (dropped then re-added). Reads must then resolve columns by
+    parquet field id — which every engine-written data file carries."""
+    names_by_id: dict[int, set[str]] = {}
+    ids_by_name: dict[str, set[int]] = {}
+    for s in md["schemas"]:
+        for f_ in s["fields"]:
+            names_by_id.setdefault(f_["id"], set()).add(f_["name"])
+            ids_by_name.setdefault(f_["name"], set()).add(f_["id"])
+    return any(len(v) > 1 for v in names_by_id.values()) or any(
+        len(v) > 1 for v in ids_by_name.values()
+    )
+
+
+def read_schema_for(spark: SparkSession, md: dict) -> StructType:
+    """Read schema for a table scan; flips the session to parquet
+    field-id resolution when the schema history demands it (rename /
+    drop-and-readd). fieldId.read.enabled is safe to leave on: schemas
+    WITHOUT id metadata still resolve by name (only id-carrying
+    requested schemas use ids)."""
+    if schema_requires_id_read(md):
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        return spark_read_schema(md, field_ids=True)
+    return spark_read_schema(md)
+
+
+def with_field_ids(df: DataFrame, md: dict) -> DataFrame:
+    """Alias each top-level table column with its Iceberg field id as
+    `parquet.field.id` metadata so the written Parquet is
+    self-describing for id-based resolution (Spark writes the ids;
+    fieldId.write is on by default). Columns not in the table schema
+    (e.g. the hidden partition value) pass through untouched."""
+    ids = {f_["name"]: f_["id"] for f_ in current_schema(md)["fields"]}
+    return df.select(
+        *[
+            F.col(c).alias(c, metadata={"parquet.field.id": ids[c]})
+            if c in ids
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def require_field_ids(paths: list[str]) -> None:
+    """Guard for rename / drop-and-readd evolution: every live data file
+    must carry parquet field ids (engine-written files do; files
+    registered via add_files may not). Pure footer-metadata reads.
+    Raises with the offending paths — without ids, id-based resolution
+    would surface those files as all-null."""
+    import pyarrow.parquet as pq
+
+    missing = []
+    for p in paths:
+        try:
+            schema = pq.read_schema(p)
+        except Exception:  # noqa: BLE001 — unreadable: the read would fail anyway
+            missing.append(p)
+            continue
+        for f_ in schema:
+            if not f_.metadata or b"PARQUET:field_id" not in f_.metadata:
+                missing.append(p)
+                break
+    if missing:
+        raise ValueError(
+            "column rename/re-add requires parquet field ids on every live "
+            f"data file, but {len(missing)} file(s) lack them (registered "
+            f"via add_files?): {missing[:3]}... Rewrite them through the "
+            "engine first (e.g. rewrite_data_files)."
+        )
 
 
 def iceberg_schema(spark_schema: StructType, schema_id: int = 0) -> dict:
@@ -700,6 +781,7 @@ def write_partitioned_batch(df: DataFrame, location: str, md: dict) -> list[Data
     the written files for the driver-side metadata commit."""
     spec = default_spec_fields(md)
     batch_dir = os.path.join(location, "data", uuid.uuid4().hex)
+    df = with_field_ids(df, md)  # self-describing files (rename-safe)
     if spec:
         pf = spec[0]
         source = _field_name_by_id(md, pf["source-id"])
@@ -830,7 +912,7 @@ def scan_with_deletes(
 ) -> DataFrame:
     """Snapshot scan under the current schema with position deletes
     applied (the merge-on-read read path)."""
-    schema = spark_read_schema(md)
+    schema = read_schema_for(spark, md)
     if not data_files:
         return spark.createDataFrame([], schema)
     df = spark.read.schema(schema).parquet(*[f.file_path for f in data_files])
@@ -879,7 +961,7 @@ def plan_position_delete(
     rewritten. Returns (new delete DataFiles, rows deleted) or None."""
     if not data_files:
         return None
-    schema = spark_read_schema(md)
+    schema = read_schema_for(spark, md)
     scan = spark.read.schema(schema).parquet(*[f.file_path for f in data_files])
     matches = (
         scan.select(
@@ -1086,10 +1168,105 @@ def evolved_schema(md: dict, new_fields: list) -> tuple[dict, int]:
     return new_schema, next_id[0] - 1
 
 
+def evolved_schema_rename(md: dict, old: str, new: str) -> dict:
+    """Next schema version for a column rename: the field KEEPS its id
+    (the Iceberg invariant), only the name changes. Old data files stay
+    readable because reads resolve the renamed column by parquet field
+    id (see schema_requires_id_read)."""
+    current = current_schema(md)
+    names = {f_["name"] for f_ in current["fields"]}
+    if old not in names:
+        raise ValueError(f"no column {old!r} to rename")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    fields = [
+        {**f_, "name": new} if f_["name"] == old else dict(f_)
+        for f_ in current["fields"]
+    ]
+    return {
+        "type": "struct",
+        "schema-id": max(s["schema-id"] for s in md["schemas"]) + 1,
+        "fields": fields,
+    }
+
+
+def evolved_schema_drop(md: dict, name: str) -> dict:
+    """Next schema version for a column drop: the field disappears from
+    the CURRENT schema (reads stop projecting it; old files keep the
+    bytes until rewritten) and its id is never reused
+    (last-column-id is monotone). Partition-source columns cannot be
+    dropped — every spec's transform references them by id."""
+    current = current_schema(md)
+    target = next((f_ for f_ in current["fields"] if f_["name"] == name), None)
+    if target is None:
+        raise ValueError(f"no column {name!r} to drop")
+    if len(current["fields"]) == 1:
+        raise ValueError("cannot drop the only column")
+    for s in md["partition-specs"]:
+        if any(pf["source-id"] == target["id"] for pf in s["fields"]):
+            raise ValueError(
+                f"column {name!r} is a partition source (spec {s['spec-id']}); "
+                "evolve the partition spec away from it first"
+            )
+    return {
+        "type": "struct",
+        "schema-id": max(s["schema-id"] for s in md["schemas"]) + 1,
+        "fields": [dict(f_) for f_ in current["fields"] if f_["name"] != name],
+    }
+
+
+def evolved_spec(
+    md: dict, partition_source: str | None, granularity: str = "hourly"
+) -> dict | None:
+    """Build the next partition spec for a hidden-partitioning evolution
+    (hourly → daily as volume grows, or → unpartitioned). Iceberg rules:
+    the new spec gets a fresh spec-id; a partition field reuses its
+    field-id when the same (source-id, transform) appeared in ANY prior
+    spec, otherwise it gets last-partition-id + 1. Existing data files
+    keep their original spec (manifests record partition_spec_id), only
+    NEW writes use the new one. Returns None when the evolution is a
+    no-op (same fields as the current default spec)."""
+    schema = current_schema(md)
+    if partition_source is None:
+        fields: list[dict] = []
+    else:
+        transform = _TRANSFORM_FOR_GRANULARITY[granularity]
+        source_id = next(
+            (f_["id"] for f_ in schema["fields"] if f_["name"] == partition_source), None
+        )
+        if source_id is None:
+            raise ValueError(f"no column {partition_source!r} in the current schema")
+        reused = None
+        for s in md["partition-specs"]:
+            for f_ in s["fields"]:
+                if f_["source-id"] == source_id and f_["transform"] == transform:
+                    reused = dict(f_)
+        if reused is not None:
+            fields = [reused]
+        else:
+            fields = [
+                {
+                    "name": f"{partition_source}_{transform.rstrip('s')}",
+                    "transform": transform,
+                    "source-id": source_id,
+                    "field-id": md.get("last-partition-id", 999) + 1,
+                }
+            ]
+    current_default = next(
+        s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"]
+    )
+    if fields == current_default["fields"]:
+        return None
+    return {
+        "spec-id": max(s["spec-id"] for s in md["partition-specs"]) + 1,
+        "fields": fields,
+    }
+
+
 def plan_rewrite(
     spark: SparkSession,
+    md: dict,
     live: list[DataFile],
-    location: str,
     *,
     target_bytes: int,
     min_files: int,
@@ -1116,11 +1293,15 @@ def plan_rewrite(
             survivors.extend(files)
             continue
         survivors.extend(f for f in files if f.file_size_in_bytes >= target_bytes)
-        out_dir = os.path.join(location, "data", f"rewrite-{uuid.uuid4().hex}")
-        part_df = spark.read.parquet(*[f.file_path for f in small])
+        out_dir = os.path.join(md["location"], "data", f"rewrite-{uuid.uuid4().hex}")
+        part_df = spark.read.schema(read_schema_for(spark, md)).parquet(
+            *[f.file_path for f in small]
+        )
         # pending position deletes on the compacted files are MATERIALIZED
         # by the rewrite (the new files simply omit those rows)
-        part_df = apply_position_deletes(spark, part_df, delete_files or []).coalesce(1)
+        part_df = with_field_ids(
+            apply_position_deletes(spark, part_df, delete_files or []), md
+        ).coalesce(1)
         if zorder_by:
             from ..operators.layout import sort_by_zorder
 
@@ -1165,7 +1346,7 @@ def plan_delete(
     if not live:
         return None
     delete_files = delete_files or []
-    schema = spark_read_schema(md)
+    schema = read_schema_for(spark, md)
     tagged = _tagged_live_scan(
         spark, schema, [f.file_path for f in live], delete_files
     )
@@ -1206,7 +1387,7 @@ def plan_merge(
     hidden-partitioned files via the normal append writer. Cost tracks
     files-containing-matches + source size, never the table."""
     delete_files = delete_files or []
-    schema = spark_read_schema(md)
+    schema = read_schema_for(spark, md)
     keys = source.select(*key_cols).distinct()
     n_updated = 0
     n_inserted = source.count()
@@ -1255,7 +1436,7 @@ def plan_delete_rewrite(
     survivors = [f for f in live if f.file_path not in hit]
     rewritten: list[DataFile] = []
     if hit:
-        schema = spark_read_schema(md)
+        schema = read_schema_for(spark, md)
         keep = _tagged_live_scan(spark, schema, sorted(hit), deletes).drop("__file")
         rewritten = write_partitioned_batch(keep, md["location"], md)
     return survivors + rewritten, len(rewritten)
@@ -1976,6 +2157,14 @@ class FsTable:
         attempts = 3
         for attempt in range(attempts):
             base_version, md = self._load_state()
+            # re-adding a previously-dropped name binds it to a NEW id;
+            # name-based resolution would resurrect the old column's
+            # bytes, so the table must be id-resolvable first
+            historic = {f_["name"] for s in md["schemas"] for f_ in s["fields"]}
+            current_names = {f_["name"] for f_ in current_schema(md)["fields"]}
+            if any(f_.name in historic - current_names for f_ in fields):
+                live, _, _ = self.plan_scan()
+                require_field_ids([f.file_path for f in live])
             new_schema, last_col = evolved_schema(md, fields)
             new_md = dict(md)
             new_md["schemas"] = md["schemas"] + [new_schema]
@@ -2004,6 +2193,101 @@ class FsTable:
             return new_schema["schema-id"]
         raise AssertionError("unreachable")
 
+    def _commit_metadata(self, mutate) -> Any:
+        """Metadata-only commit with CAS retry: `mutate(md)` returns
+        (new_md, result) — or (None, result) for a no-op — and the new
+        metadata version is swapped in atomically. No snapshot, no data
+        files touched."""
+        attempts = 3
+        for attempt in range(attempts):
+            base_version, md = self._load_state()
+            new_md, result = mutate(md)
+            if new_md is None:
+                return result
+            new_md["last-updated-ms"] = int(time.time() * 1000)
+            new_md["metadata-log"] = md["metadata-log"] + [
+                {
+                    "timestamp-ms": md["last-updated-ms"],
+                    "metadata-file": _metadata_path(self.location, base_version),
+                }
+            ]
+            try:
+                _write_metadata_version(self.location, base_version + 1, new_md)
+            except CommitConflictError:
+                if attempt + 1 == attempts:
+                    raise
+                for _ in range(10):
+                    if self.current_version() != base_version:
+                        break
+                    time.sleep(0.05)
+                else:
+                    raise
+                continue
+            _swap_version_hint(self.location, base_version + 1)
+            return result
+        raise AssertionError("unreachable")
+
+    def update_partition_spec(
+        self, partition_source: str | None, granularity: str = "hourly"
+    ) -> int | None:
+        """Partition-spec evolution (Iceberg `ALTER TABLE ... WRITE
+        ORDERED/PARTITIONED BY` analog): switch the hidden time partition
+        to a different granularity, a different source column, or to
+        unpartitioned. Metadata-only commit; existing files keep their
+        original spec and are never rewritten — only NEW writes use the
+        new layout. Scans prune on the default spec's field and keep
+        old-spec files conservatively (their partition tuple doesn't
+        carry the new field). Returns the new spec id, or None if the
+        requested spec is already the default."""
+
+        def mutate(md: dict):
+            spec = evolved_spec(md, partition_source, granularity)
+            if spec is None:
+                return None, None
+            new_md = dict(md)
+            new_md["partition-specs"] = md["partition-specs"] + [spec]
+            new_md["default-spec-id"] = spec["spec-id"]
+            new_md["last-partition-id"] = max(
+                md.get("last-partition-id", 999),
+                max((f_["field-id"] for f_ in spec["fields"]), default=0),
+            )
+            return new_md, spec["spec-id"]
+
+        return self._commit_metadata(mutate)
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Column rename (Iceberg RENAME COLUMN): metadata-only — the
+        field keeps its id, no file is rewritten, and reads resolve the
+        column by parquet field id from then on. Guarded: every live
+        data file must carry field ids (engine-written files do;
+        add_files-registered ones may not — they would read as null
+        under id resolution, so the rename refuses instead)."""
+        live, _, _ = self.plan_scan()
+        require_field_ids([f.file_path for f in live])
+
+        def mutate(md: dict):
+            schema = evolved_schema_rename(md, old, new)
+            new_md = dict(md)
+            new_md["schemas"] = md["schemas"] + [schema]
+            new_md["current-schema-id"] = schema["schema-id"]
+            return new_md, schema["schema-id"]
+
+        return self._commit_metadata(mutate)
+
+    def drop_column(self, name: str) -> int:
+        """Column drop (Iceberg DROP COLUMN): metadata-only — reads stop
+        projecting the column; old files keep the bytes until rewritten;
+        the id is never reused. Partition sources cannot be dropped."""
+
+        def mutate(md: dict):
+            schema = evolved_schema_drop(md, name)
+            new_md = dict(md)
+            new_md["schemas"] = md["schemas"] + [schema]
+            new_md["current-schema-id"] = schema["schema-id"]
+            return new_md, schema["schema-id"]
+
+        return self._commit_metadata(mutate)
+
     def read_changes(
         self,
         spark: SparkSession,
@@ -2014,7 +2298,7 @@ class FsTable:
         consumption side of exactly-once micro-batch commits: a consumer
         checkpoints the last snapshot id it processed and passes it as
         from_snapshot_id on the next run."""
-        schema = spark_read_schema(self.metadata())
+        schema = read_schema_for(spark, self.metadata())
         files = self.incremental_files(from_snapshot_id, to_snapshot_id)
         if not files:
             return spark.createDataFrame([], schema)
@@ -2053,8 +2337,8 @@ class FsTable:
         live, deletes, _ = self.plan_scan(snapshot_id=planned_snapshot)
         planned = plan_rewrite(
             spark,
+            planned_md,
             live,
-            self.location,
             target_bytes=target_bytes,
             min_files=min_files,
             zorder_by=zorder_by,

@@ -507,8 +507,8 @@ class RestTable:
         live, deletes = self._live_files(md, planned_snapshot)
         planned = plan_rewrite(
             spark,
+            md,
             live,
-            md["location"],
             target_bytes=target_bytes,
             min_files=min_files,
             zorder_by=zorder_by,
@@ -691,10 +691,23 @@ class RestTable:
         CommitTable with add-schema + set-current-schema updates (the
         REST spec's schema-evolution actions). Existing field ids are
         untouched; returns the new schema id."""
-        from .iceberg_fs import evolved_schema
+        from .iceberg_fs import (
+            current_schema,
+            evolved_schema,
+            live_files,
+            require_field_ids,
+        )
 
         fields = list(new_fields.fields if isinstance(new_fields, StructType) else new_fields)
         md = self.metadata()
+        # re-added names bind to NEW ids -> id-resolution required
+        historic = {f_["name"] for s in md["schemas"] for f_ in s["fields"]}
+        current_names = {f_["name"] for f_ in current_schema(md)["fields"]}
+        if any(f_.name in historic - current_names for f_ in fields):
+            sid = md.get("current-snapshot-id", -1)
+            if sid != -1:
+                data, _ = live_files(md, sid)
+                require_field_ids([f.file_path for f in data])
         new_schema, last_col = evolved_schema(md, fields)
         self.client.commit_table(
             self.namespace,
@@ -706,6 +719,63 @@ class RestTable:
             ],
         )
         return new_schema["schema-id"]
+
+    def _commit_schema(self, md: dict, schema: dict) -> int:
+        """add-schema + set-current-schema CommitTable shared by every
+        schema evolution (add / rename / drop)."""
+        self.client.commit_table(
+            self.namespace,
+            self.name,
+            requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
+            updates=[
+                {"action": "add-schema", "schema": schema},
+                {"action": "set-current-schema", "schema-id": schema["schema-id"]},
+            ],
+        )
+        return schema["schema-id"]
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Column rename over REST (see FsTable.rename_column): the
+        field keeps its id; reads resolve by parquet field id. Guarded
+        on live files carrying field ids."""
+        from .iceberg_fs import evolved_schema_rename, live_files, require_field_ids
+
+        md = self.metadata()
+        sid = md.get("current-snapshot-id", -1)
+        if sid != -1:
+            data, _ = live_files(md, sid)
+            require_field_ids([f.file_path for f in data])
+        return self._commit_schema(md, evolved_schema_rename(md, old, new))
+
+    def drop_column(self, name: str) -> int:
+        """Column drop over REST (see FsTable.drop_column)."""
+        from .iceberg_fs import evolved_schema_drop
+
+        md = self.metadata()
+        return self._commit_schema(md, evolved_schema_drop(md, name))
+
+    def update_partition_spec(
+        self, partition_source: str | None, granularity: str = "hourly"
+    ) -> int | None:
+        """Partition-spec evolution over REST via add-spec +
+        set-default-spec updates (the REST spec's actions). Metadata
+        only; see FsTable.update_partition_spec for the semantics."""
+        from .iceberg_fs import evolved_spec
+
+        md = self.metadata()
+        spec = evolved_spec(md, partition_source, granularity)
+        if spec is None:
+            return None
+        self.client.commit_table(
+            self.namespace,
+            self.name,
+            requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
+            updates=[
+                {"action": "add-spec", "spec": spec},
+                {"action": "set-default-spec", "spec-id": spec["spec-id"]},
+            ],
+        )
+        return spec["spec-id"]
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         """Scan a committed snapshot's files (time travel via

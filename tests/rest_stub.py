@@ -287,6 +287,25 @@ class _Handler(BaseHTTPRequestHandler):
                         for e in new_md.get("snapshot-log", [])
                         if e["snapshot-id"] not in drop
                     ]
+                elif action == "add-spec":
+                    new_md["partition-specs"] = new_md["partition-specs"] + [upd["spec"]]
+                    new_md["last-partition-id"] = max(
+                        new_md.get("last-partition-id", 999),
+                        max(
+                            (f["field-id"] for f in upd["spec"]["fields"]),
+                            default=0,
+                        ),
+                    )
+                elif action == "set-default-spec":
+                    spec_id = upd["spec-id"]
+                    if spec_id == -1:  # spec: -1 = the spec added in this commit
+                        spec_id = new_md["partition-specs"][-1]["spec-id"]
+                    if spec_id not in {s["spec-id"] for s in new_md["partition-specs"]}:
+                        self._error(
+                            400, "ValidationException", f"unknown spec-id {spec_id}"
+                        )
+                        return
+                    new_md["default-spec-id"] = spec_id
                 elif action == "set-current-schema":
                     sid_ = upd["schema-id"]
                     if sid_ == -1:  # spec: -1 = the schema added in this commit
