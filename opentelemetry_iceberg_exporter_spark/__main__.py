@@ -179,6 +179,32 @@ def main(argv: list[str] | None = None) -> int:
         "maintain --fold-deletes)",
     )
 
+    pu = sub.add_parser(
+        "update",
+        help="row-level copy-on-write UPDATE: apply SET expressions to "
+        "rows matching a SQL predicate; only files containing matches "
+        "are rewritten",
+    )
+    pu.add_argument("--warehouse", required=True)
+    pu.add_argument("--namespace", default="otel")
+    pu.add_argument("--table", required=True)
+    pu.add_argument("--where", required=True, help="SQL predicate for rows to UPDATE")
+    pu.add_argument(
+        "--set",
+        dest="set_exprs",
+        action="append",
+        required=True,
+        metavar="COL=EXPR",
+        help="column assignment (repeatable), e.g. --set 'v = v * 2'",
+    )
+    pu.add_argument(
+        "--mode",
+        choices=["copy-on-write", "merge-on-read"],
+        default="copy-on-write",
+        help="merge-on-read writes a row-delta (position deletes + new "
+        "row versions) instead of rewriting the matched files",
+    )
+
     pm = sub.add_parser(
         "maintain", help="fs-catalog table maintenance: rewrite_data_files + expire_snapshots"
     )
@@ -318,6 +344,20 @@ def main(argv: list[str] | None = None) -> int:
         table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
         sid, n = table.delete_where(spark, args.where, mode=args.mode)
         print(json.dumps({"snapshot": sid, "deleted_rows": n, "mode": args.mode}))
+        return 0
+
+    if args.cmd == "update":
+        from .sinks.iceberg_fs import FsCatalog
+
+        sets: dict[str, str] = {}
+        for item in args.set_exprs:
+            col, _, expr = item.partition("=")
+            if not _ or not col.strip() or not expr.strip():
+                raise SystemExit(f"--set must be COL=EXPR, got {item!r}")
+            sets[col.strip()] = expr.strip()
+        table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
+        sid, n = table.update_where(spark, args.where, sets, mode=args.mode)
+        print(json.dumps({"snapshot": sid, "updated_rows": n, "mode": args.mode}))
         return 0
 
     if args.cmd == "maintain":

@@ -1419,6 +1419,166 @@ def plan_merge(
     return survivors + rewritten + inserted_files, n_updated, n_inserted
 
 
+def plan_update(
+    spark: SparkSession,
+    md: dict,
+    live: list[DataFile],
+    predicate: str,
+    set_exprs: dict[str, str],
+    delete_files: list[DataFile] | None = None,
+) -> tuple[list[DataFile], int, int] | None:
+    """Transport-neutral copy-on-write UPDATE planning (SQL `UPDATE SET
+    ... WHERE ...`), same two-job shape as plan_delete: (1) one tagged
+    scan counts matches per file — only paths/counts reach the driver;
+    (2) exactly the files containing matches are rewritten with the SET
+    expressions applied to matching rows (CASE WHEN, so non-matching
+    rows in the same file pass through byte-identical values). Untouched
+    files survive by reference. Rows where the predicate evaluates NULL
+    are NOT updated, per SQL semantics. SET may target the partition
+    source column — rewritten rows then land in their new partitions
+    (the partitioned writer re-derives the transform). Returns
+    (replacement file set, n_updated, n_rewritten) or None."""
+    if not live:
+        return None
+    unknown = set(set_exprs) - {f_.name for f_ in spark_read_schema(md).fields}
+    if unknown:
+        raise ValueError(f"SET targets unknown column(s): {sorted(unknown)}")
+    delete_files = delete_files or []
+    schema = read_schema_for(spark, md)
+    tagged = _tagged_live_scan(
+        spark, schema, [f.file_path for f in live], delete_files
+    )
+    stats = tagged.filter(F.expr(predicate)).groupBy("__file").count().collect()
+    if not stats:
+        return None
+    hit_paths = {r["__file"] for r in stats}
+    n_updated = sum(r["count"] for r in stats)
+    survivors = [f for f in live if f.file_path not in hit_paths]
+    matched = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
+    cols = [
+        F.when(matched, F.expr(set_exprs[f_.name]).cast(f_.dataType))
+        .otherwise(F.col(f_.name))
+        .alias(f_.name)
+        if f_.name in set_exprs
+        else F.col(f_.name)
+        for f_ in schema.fields
+    ]
+    keep = (
+        _tagged_live_scan(spark, schema, sorted(hit_paths), delete_files)
+        .drop("__file")
+        .select(*cols)
+    )
+    rewritten = write_partitioned_batch(keep, md["location"], md)
+    return survivors + rewritten, n_updated, len(rewritten)
+
+
+def plan_update_mor(
+    spark: SparkSession,
+    md: dict,
+    data_files: list[DataFile],
+    delete_files: list[DataFile],
+    predicate: str,
+    set_exprs: dict[str, str],
+) -> tuple[list[DataFile], int] | None:
+    """Merge-on-read UPDATE planning (Iceberg row-delta): the matching
+    rows' (file_path, pos) tuples become a position-delete file AND
+    their updated copies append as fresh hidden-partitioned data files —
+    NO existing data file is rewritten, cost tracks the matches. The
+    caller commits both file groups in ONE `overwrite` snapshot, so
+    readers atomically stop seeing the old versions and start seeing the
+    new. Returns (new files: deletes + data, n_updated) or None."""
+    if not data_files:
+        return None
+    unknown = set(set_exprs) - {f_.name for f_ in spark_read_schema(md).fields}
+    if unknown:
+        raise ValueError(f"SET targets unknown column(s): {sorted(unknown)}")
+    planned = plan_position_delete(spark, md, data_files, delete_files, predicate)
+    if planned is None:
+        return None
+    new_deletes, n_updated = planned
+    schema = read_schema_for(spark, md)
+    # every row in the matched scan matches: apply SET unconditionally
+    matched = _tagged_live_scan(
+        spark, schema, [f.file_path for f in data_files], delete_files
+    ).filter(F.expr(predicate)).drop("__file")
+    updated = matched.select(
+        *[
+            F.expr(set_exprs[f_.name]).cast(f_.dataType).alias(f_.name)
+            if f_.name in set_exprs
+            else F.col(f_.name)
+            for f_ in schema.fields
+        ]
+    )
+    new_data = write_partitioned_batch(updated, md["location"], md)
+    return new_deletes + new_data, n_updated
+
+
+def plan_merge_mor(
+    spark: SparkSession,
+    md: dict,
+    data_files: list[DataFile],
+    delete_files: list[DataFile],
+    source: DataFrame,
+    key_cols: list[str],
+) -> tuple[list[DataFile], int, int]:
+    """Merge-on-read MERGE planning (row-delta upsert): live rows whose
+    keys appear in the source get position-deleted, and the ENTIRE
+    source appends as fresh data files — old row versions are shadowed,
+    unmatched source rows insert, no data file is rewritten. Returns
+    (new files: deletes + data, n_updated, n_inserted)."""
+    schema = read_schema_for(spark, md)
+    keys = source.select(*key_cols).distinct()
+    n_inserted = source.count()
+    new_deletes: list[DataFile] = []
+    n_updated = 0
+    if data_files:
+        tagged = _tagged_live_scan(
+            spark, schema, [f.file_path for f in data_files], delete_files
+        )
+        # __file is already normalized; row position must be re-derived
+        # (dropped by _tagged_live_scan) — tag again for the delete tuples
+        scan = spark.read.schema(schema).parquet(*[f.file_path for f in data_files])
+        tuples = scan.select(
+            *key_cols,
+            _norm_meta_path().alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        if delete_files:
+            dels = read_position_deletes(spark, delete_files)
+            if sum(f.record_count for f in delete_files) <= BROADCAST_DELETE_ROWS:
+                dels = F.broadcast(dels)
+            tuples = tuples.join(dels, ["file_path", "pos"], "left_anti")
+        matches = tuples.join(F.broadcast(keys), key_cols, "semi").select(
+            "file_path", "pos"
+        )
+        n_updated = matches.count()
+        if n_updated:
+            out_dir = os.path.join(md["location"], "data", f"deletes-{uuid.uuid4().hex}")
+            n_parts = max(1, min(64, -(-n_updated // 5_000_000)))
+            (
+                matches.repartitionByRange(n_parts, "file_path", "pos")
+                .sortWithinPartitions("file_path", "pos")
+                .select(*_pos_delete_write_cols())
+                .write.parquet(out_dir)
+            )
+            new_deletes = [
+                DataFile(
+                    file_path=f.file_path,
+                    file_size_in_bytes=f.file_size_in_bytes,
+                    record_count=f.record_count,
+                    partition={},
+                    content=1,
+                )
+                for f in _scan_written_files(out_dir, [])
+            ]
+        tbl_keys = tagged.select(*key_cols).distinct()
+        n_inserted -= source.join(tbl_keys, key_cols, "left_semi").count()
+    new_data = write_partitioned_batch(
+        source.select(*[f_.name for f_ in schema.fields]), md["location"], md
+    )
+    return new_deletes + new_data, n_updated, n_inserted
+
+
 def plan_delete_rewrite(
     spark: SparkSession,
     md: dict,
@@ -2461,6 +2621,65 @@ class FsTable:
             expected_base_snapshot=planned_snapshot,
         )
 
+    def update_where(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        set_exprs: dict[str, str],
+        mode: str = "copy-on-write",
+    ) -> tuple[int | None, int]:
+        """Row-level UPDATE (`UPDATE SET col = expr WHERE pred`):
+
+        * ``copy-on-write`` (default): only files containing matches are
+          rewritten, SET applied to matching rows (plan_update);
+          `overwrite` snapshot pinned to the planning base.
+        * ``merge-on-read``: an Iceberg row-delta — matched rows'
+          positions become a delete file and their updated copies append
+          as new data files, NO existing file rewritten; cost tracks the
+          matches. Commits like an append (retries over concurrent
+          appends; snapshot isolation).
+
+        Returns (new snapshot id or None if nothing matched, rows
+        updated)."""
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"mode must be copy-on-write|merge-on-read, got {mode!r}")
+        _, planned_md = self._load_state()
+        planned_snapshot = planned_md["current-snapshot-id"]
+        if planned_snapshot == -1:
+            return None, 0
+        live, deletes, _ = self.plan_scan(snapshot_id=planned_snapshot)
+        if mode == "merge-on-read":
+            planned = plan_update_mor(
+                spark, planned_md, live, deletes, predicate, set_exprs
+            )
+            if planned is None:
+                return None, 0
+            new_files, n_updated = planned
+            sid = self._commit_with_retry(
+                new_files,
+                operation="overwrite",
+                carry_forward=True,
+                extra_summary={"updated-records": str(n_updated)},
+            )
+            return sid, n_updated
+        planned = plan_update(
+            spark, planned_md, live, predicate, set_exprs, delete_files=deletes
+        )
+        if planned is None:
+            return None, 0
+        replacement, n_updated, n_rewritten = planned
+        sid = self._commit_with_retry(
+            replacement + deletes,  # pending deletes stay live for survivors
+            operation="overwrite",
+            carry_forward=False,
+            extra_summary={
+                "updated-records": str(n_updated),
+                "rewritten-data-files": str(n_rewritten),
+            },
+            expected_base_snapshot=planned_snapshot,
+        )
+        return sid, n_updated
+
     def remove_orphan_files(self, older_than_seconds: float = 3 * 86400) -> list[str]:
         """Reclaim data files under the table location that NO snapshot
         references — the inverse of recovery (which re-registers them):
@@ -2488,13 +2707,25 @@ class FsTable:
         return sorted(deleted)
 
     def merge_rows(
-        self, spark: SparkSession, source: DataFrame, key_cols: list[str]
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        mode: str = "copy-on-write",
     ) -> tuple[int, int, int]:
-        """Copy-on-write MERGE (keyed upsert): source rows replace
-        same-key table rows, unmatched source rows insert — one atomic
-        overwrite snapshot (see plan_merge for the distributed shape).
-        Returns (snapshot_id, n_updated, n_inserted). Raises
-        ReplaceConflictError if the table advances mid-merge."""
+        """MERGE (keyed upsert): source rows replace same-key table rows,
+        unmatched source rows insert — one atomic overwrite snapshot.
+
+        ``copy-on-write`` rewrites the files containing matches
+        (plan_merge); ``merge-on-read`` position-deletes the matched row
+        versions and appends the source (plan_merge_mor — a row-delta:
+        no file rewritten, cost tracks matches + source size, commits
+        like an append over concurrent writers).
+
+        Returns (snapshot_id, n_updated, n_inserted). Copy-on-write
+        raises ReplaceConflictError if the table advances mid-merge."""
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"mode must be copy-on-write|merge-on-read, got {mode!r}")
         _, planned_md = self._load_state()
         planned_snapshot = planned_md["current-snapshot-id"]
         live, deletes, _ = (
@@ -2502,6 +2733,20 @@ class FsTable:
             if planned_snapshot != -1
             else ([], [], 0)
         )
+        if mode == "merge-on-read":
+            new_files, n_updated, n_inserted = plan_merge_mor(
+                spark, planned_md, live, deletes, source, key_cols
+            )
+            sid = self._commit_with_retry(
+                new_files,
+                operation="overwrite",
+                carry_forward=True,
+                extra_summary={
+                    "merged-records": str(n_updated),
+                    "inserted-records": str(n_inserted),
+                },
+            )
+            return sid, n_updated, n_inserted
         replacement, n_updated, n_inserted = plan_merge(
             spark, planned_md, live, source, key_cols, delete_files=deletes
         )

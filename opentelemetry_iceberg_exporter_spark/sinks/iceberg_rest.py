@@ -572,6 +572,53 @@ class RestTable:
         )
         return sid, n_deleted
 
+    def update_where(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        set_exprs: dict[str, str],
+        mode: str = "copy-on-write",
+    ) -> tuple[int | None, int]:
+        """Row-level UPDATE over REST (see FsTable.update_where):
+        copy-on-write rewrite pinned to the planning base, or a
+        merge-on-read row-delta committed like an append."""
+        from .iceberg_fs import plan_update, plan_update_mor
+
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"mode must be copy-on-write|merge-on-read, got {mode!r}")
+        md = self.metadata()
+        planned_snapshot = md["current-snapshot-id"]
+        if planned_snapshot == -1:
+            return None, 0
+        live, deletes = self._live_files(md, planned_snapshot)
+        if mode == "merge-on-read":
+            planned = plan_update_mor(spark, md, live, deletes, predicate, set_exprs)
+            if planned is None:
+                return None, 0
+            new_files, n_updated = planned
+            sid = self._commit_add(
+                new_files, "overwrite", {"updated-records": str(n_updated)}
+            )
+            return sid, n_updated
+        planned = plan_update(
+            spark, md, live, predicate, set_exprs, delete_files=deletes
+        )
+        if planned is None:
+            return None, 0
+        replacement, n_updated, n_rewritten = planned
+        sid = self._commit_replace(
+            md,
+            planned_snapshot,
+            replacement + deletes,
+            "overwrite",
+            {
+                "updated-records": str(n_updated),
+                "rewritten-data-files": str(n_rewritten),
+            },
+            "update",
+        )
+        return sid, n_updated
+
     def rewrite_position_deletes(self, spark: SparkSession) -> int | None:
         """Maintenance over REST: fold pending position deletes into the
         data files and drop every delete file (replace snapshot — a
@@ -598,12 +645,20 @@ class RestTable:
         )
 
     def merge_rows(
-        self, spark: SparkSession, source: DataFrame, key_cols: list[str]
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        mode: str = "copy-on-write",
     ) -> tuple[int, int, int]:
-        """Copy-on-write MERGE (keyed upsert) over REST — shared
-        plan_merge, overwrite commit pinned to the planning base."""
-        from .iceberg_fs import plan_merge
+        """MERGE (keyed upsert) over REST — copy-on-write (shared
+        plan_merge, overwrite commit pinned to the planning base) or a
+        merge-on-read row-delta (plan_merge_mor, committed like an
+        append)."""
+        from .iceberg_fs import plan_merge, plan_merge_mor
 
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"mode must be copy-on-write|merge-on-read, got {mode!r}")
         md = self.metadata()
         planned_snapshot = md["current-snapshot-id"]
         live, deletes = (
@@ -611,6 +666,19 @@ class RestTable:
             if planned_snapshot != -1
             else ([], [])
         )
+        if mode == "merge-on-read":
+            new_files, n_updated, n_inserted = plan_merge_mor(
+                spark, md, live, deletes, source, key_cols
+            )
+            sid = self._commit_add(
+                new_files,
+                "overwrite",
+                {
+                    "merged-records": str(n_updated),
+                    "inserted-records": str(n_inserted),
+                },
+            )
+            return sid, n_updated, n_inserted
         replacement, n_updated, n_inserted = plan_merge(
             spark, md, live, source, key_cols, delete_files=deletes
         )

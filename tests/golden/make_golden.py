@@ -40,6 +40,17 @@ SNAPSHOT_ID = (int.from_bytes(SNAPSHOT_SEED, "big")) >> 1  # 655884233731895160
 FILE_A = f"{LOC}/data/b0/ts_hour=473040/part-00000.parquet"
 FILE_B = f"{LOC}/data/b0/ts_hour=__HIVE_DEFAULT_PARTITION__/part-00001.parquet"
 
+# -- second commit: a merge-on-read position delete (Iceberg v2
+# "Position Delete Files": content=1 entries in a content=1 manifest) ------
+DELETE_MANIFEST_UUID_HEX = "33333333333333333333333333333333"
+DELETE_LIST_UUID_HEX = "44444444444444444444444444444444"
+T_DELETE_MS = 1700000002000
+SNAPSHOT2_SEED = bytes.fromhex("23456789abcdef01")
+SNAPSHOT2_ID = (int.from_bytes(SNAPSHOT2_SEED, "big")) >> 1
+DELETE_FILE = f"{LOC}/data/deletes-00d0/part-00000.parquet"
+DELETE_FILE_SIZE = 321
+DELETE_ROW_COUNT = 4
+
 
 # ---------------------------------------------------------------------------
 # Avro 1.11 binary encoding, written from the spec
@@ -144,6 +155,9 @@ METADATA_V1 = {
 
 MANIFEST_PATH = f"{LOC}/metadata/{MANIFEST_UUID_HEX}-m0.avro"
 LIST_PATH = f"{LOC}/metadata/snap-{SNAPSHOT_ID}-1-{LIST_UUID_HEX}.avro"
+# delete manifests carry the -m1 suffix (the writer's content-group index)
+DELETE_MANIFEST_PATH = f"{LOC}/metadata/{DELETE_MANIFEST_UUID_HEX}-m1.avro"
+DELETE_LIST_PATH = f"{LOC}/metadata/snap-{SNAPSHOT2_ID}-1-{DELETE_LIST_UUID_HEX}.avro"
 
 
 # -- manifest file (spec: "Manifests"; required v2 subset of field IDs
@@ -173,18 +187,28 @@ def _bounds_field(name: str, field_id: int, key_id: int, value_id: int) -> dict:
     }
 
 
-def manifest_entry(path: str, size: int, count: int, ts_hour: int | None) -> bytes:
+def manifest_entry(
+    path: str,
+    size: int,
+    count: int,
+    ts_hour: int | None,
+    *,
+    content: int = 0,
+    snapshot_id: int = SNAPSHOT_ID,
+    seq: int = 1,
+) -> bytes:
     """One manifest_entry row: record fields in declared order. The
     fixture's data files do not exist on disk, so lower/upper bounds are
-    the null union branch (bounds are optional per the spec)."""
+    the null union branch (bounds are optional per the spec). content=1
+    encodes a position-delete file (v2 merge-on-read)."""
     return b"".join(
         [
             zigzag_varint(1),  # status int: 1 = ADDED
-            avro_opt_long(SNAPSHOT_ID),
-            avro_opt_long(1),  # sequence_number
-            avro_opt_long(1),  # file_sequence_number
+            avro_opt_long(snapshot_id),
+            avro_opt_long(seq),  # sequence_number
+            avro_opt_long(seq),  # file_sequence_number
             # data_file record:
-            zigzag_varint(0),  # content: 0 = data
+            zigzag_varint(content),  # 0 = data, 1 = position deletes
             avro_str(path),
             avro_str("PARQUET"),
             avro_opt_int(ts_hour),  # partition record: one optional int
@@ -196,19 +220,9 @@ def manifest_entry(path: str, size: int, count: int, ts_hour: int | None) -> byt
     )
 
 
-def build_manifest() -> bytes:
-    # metadata key order: schema, partition-spec, partition-spec-id,
-    # format-version, content (the keys Iceberg manifests carry)
-    extra = [
-        ("schema", json.dumps(SCHEMA)),
-        ("partition-spec", json.dumps(SPEC_FIELDS)),
-        ("partition-spec-id", "0"),
-        ("format-version", "2"),
-        ("content", "data"),
-    ]
-    # data_file fields in spec order: content, file_path, file_format,
-    # partition, record_count, file_size_in_bytes
-    manifest_schema = {
+# data_file fields in spec order: content, file_path, file_format,
+# partition, record_count, file_size_in_bytes
+MANIFEST_AVRO_SCHEMA = {
         "type": "record",
         "name": "manifest_entry",
         "fields": [
@@ -255,12 +269,44 @@ def build_manifest() -> bytes:
                 "field-id": 2,
             },
         ],
-    }
+}
+
+
+def _manifest_meta(content: str) -> list[tuple[str, str]]:
+    # metadata key order: schema, partition-spec, partition-spec-id,
+    # format-version, content (the keys Iceberg manifests carry)
+    return [
+        ("schema", json.dumps(SCHEMA)),
+        ("partition-spec", json.dumps(SPEC_FIELDS)),
+        ("partition-spec-id", "0"),
+        ("format-version", "2"),
+        ("content", content),
+    ]
+
+
+def build_manifest() -> bytes:
     rows = [
         manifest_entry(FILE_A, 1234, 10, 473040),
         manifest_entry(FILE_B, 567, 3, None),
     ]
-    return ocf(json.dumps(manifest_schema), extra, rows)
+    return ocf(json.dumps(MANIFEST_AVRO_SCHEMA), _manifest_meta("data"), rows)
+
+
+def build_delete_manifest() -> bytes:
+    """A DELETE manifest: content=1 entries (position-delete files) under
+    sequence number 2, tagged content=deletes in its OCF metadata."""
+    rows = [
+        manifest_entry(
+            DELETE_FILE,
+            DELETE_FILE_SIZE,
+            DELETE_ROW_COUNT,
+            None,
+            content=1,
+            snapshot_id=SNAPSHOT2_ID,
+            seq=2,
+        )
+    ]
+    return ocf(json.dumps(MANIFEST_AVRO_SCHEMA), _manifest_meta("deletes"), rows)
 
 
 # -- manifest list (spec: "Manifest Lists"; required v2 subset) -------------
@@ -286,14 +332,8 @@ MANIFEST_LIST_AVRO_SCHEMA = {
 }
 
 
-def build_manifest_list(manifest_len: int) -> bytes:
-    extra = [
-        ("snapshot-id", str(SNAPSHOT_ID)),
-        ("parent-snapshot-id", "-1"),
-        ("sequence-number", "1"),
-        ("format-version", "2"),
-    ]
-    row = b"".join(
+def _data_manifest_row(manifest_len: int) -> bytes:
+    return b"".join(
         [
             avro_str(MANIFEST_PATH),
             zigzag_varint(manifest_len),
@@ -310,7 +350,50 @@ def build_manifest_list(manifest_len: int) -> bytes:
             zigzag_varint(0),
         ]
     )
-    return ocf(json.dumps(MANIFEST_LIST_AVRO_SCHEMA), extra, [row])
+
+
+def build_manifest_list(manifest_len: int) -> bytes:
+    extra = [
+        ("snapshot-id", str(SNAPSHOT_ID)),
+        ("parent-snapshot-id", "-1"),
+        ("sequence-number", "1"),
+        ("format-version", "2"),
+    ]
+    return ocf(json.dumps(MANIFEST_LIST_AVRO_SCHEMA), extra, [_data_manifest_row(manifest_len)])
+
+
+def build_delete_manifest_list(delete_manifest_len: int, data_manifest_len: int) -> bytes:
+    """Snapshot 2's manifest list: the NEW delete manifest first (the
+    writer prepends new manifests), then the parent's data manifest
+    carried forward verbatim."""
+    extra = [
+        ("snapshot-id", str(SNAPSHOT2_ID)),
+        ("parent-snapshot-id", str(SNAPSHOT_ID)),
+        ("sequence-number", "2"),
+        ("format-version", "2"),
+    ]
+    delete_row = b"".join(
+        [
+            avro_str(DELETE_MANIFEST_PATH),
+            zigzag_varint(delete_manifest_len),
+            zigzag_varint(0),  # partition_spec_id
+            zigzag_varint(1),  # content: 1 = deletes
+            zigzag_varint(2),  # sequence_number
+            zigzag_varint(2),  # min_sequence_number
+            zigzag_varint(SNAPSHOT2_ID),
+            zigzag_varint(1),  # added_files_count
+            zigzag_varint(0),
+            zigzag_varint(0),
+            zigzag_varint(DELETE_ROW_COUNT),  # added_rows_count
+            zigzag_varint(0),
+            zigzag_varint(0),
+        ]
+    )
+    return ocf(
+        json.dumps(MANIFEST_LIST_AVRO_SCHEMA),
+        extra,
+        [delete_row, _data_manifest_row(data_manifest_len)],
+    )
 
 
 def build_metadata_v2() -> dict:
@@ -340,12 +423,52 @@ def build_metadata_v2() -> dict:
     return md
 
 
+def build_metadata_v3() -> dict:
+    """Metadata after the merge-on-read delete commit: a `delete`
+    snapshot whose summary counts the delete file and its rows; data
+    counts are zero because no data file was added."""
+    md_v2 = build_metadata_v2()
+    snapshot2 = {
+        "snapshot-id": SNAPSHOT2_ID,
+        "parent-snapshot-id": SNAPSHOT_ID,
+        "sequence-number": 2,
+        "timestamp-ms": T_DELETE_MS,
+        "manifest-list": DELETE_LIST_PATH,
+        "summary": {
+            "operation": "delete",
+            "added-data-files": "0",
+            "added-records": "0",
+            "added-delete-files": "1",
+            "added-position-deletes": str(DELETE_ROW_COUNT),
+            "deleted-records": str(DELETE_ROW_COUNT),
+        },
+        "schema-id": 0,
+    }
+    md = dict(md_v2)
+    md["last-sequence-number"] = 2
+    md["last-updated-ms"] = T_DELETE_MS
+    md["snapshots"] = md_v2["snapshots"] + [snapshot2]
+    md["current-snapshot-id"] = SNAPSHOT2_ID
+    md["refs"] = {"main": {"snapshot-id": SNAPSHOT2_ID, "type": "branch"}}
+    md["snapshot-log"] = md_v2["snapshot-log"] + [
+        {"timestamp-ms": T_DELETE_MS, "snapshot-id": SNAPSHOT2_ID}
+    ]
+    md["metadata-log"] = md_v2["metadata-log"] + [
+        {"timestamp-ms": T_APPEND_MS, "metadata-file": f"{LOC}/metadata/v2.metadata.json"}
+    ]
+    return md
+
+
 def main() -> None:
     manifest = build_manifest()
     mlist = build_manifest_list(len(manifest))
+    delete_manifest = build_delete_manifest()
+    delete_list = build_delete_manifest_list(len(delete_manifest), len(manifest))
     out = {
         "manifest.avro": manifest,
         "manifest-list.avro": mlist,
+        "delete-manifest.avro": delete_manifest,
+        "delete-manifest-list.avro": delete_list,
     }
     for name, data in out.items():
         with open(os.path.join(HERE, name), "wb") as f:
@@ -353,6 +476,7 @@ def main() -> None:
     for name, md in (
         ("v1.metadata.json", METADATA_V1),
         ("v2.metadata.json", build_metadata_v2()),
+        ("v3.metadata.json", build_metadata_v3()),
     ):
         with open(os.path.join(HERE, name), "w", encoding="utf-8") as f:
             json.dump(md, f, indent=2)
@@ -360,8 +484,11 @@ def main() -> None:
         json.dumps(
             {
                 "snapshot_id": SNAPSHOT_ID,
+                "snapshot2_id": SNAPSHOT2_ID,
                 "manifest_bytes": len(manifest),
                 "list_bytes": len(mlist),
+                "delete_manifest_bytes": len(delete_manifest),
+                "delete_list_bytes": len(delete_list),
             }
         )
     )

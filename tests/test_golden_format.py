@@ -75,13 +75,23 @@ def frozen(monkeypatch):
             uuid_mod.UUID(hex=GEN.MANIFEST_UUID_HEX),  # manifest file
             uuid_mod.UUID(hex=GEN.LIST_UUID_HEX),  # manifest list file
             uuid_mod.UUID(hex="b" * 32),  # version-hint tmp
+            uuid_mod.UUID(hex=GEN.DELETE_MANIFEST_UUID_HEX),  # delete manifest
+            uuid_mod.UUID(hex=GEN.DELETE_LIST_UUID_HEX),  # delete manifest list
+            uuid_mod.UUID(hex="c" * 32),  # version-hint tmp
         ]
     )
-    times = iter([GEN.T_CREATE_MS / 1000.0, GEN.T_APPEND_MS / 1000.0])
+    times = iter(
+        [
+            GEN.T_CREATE_MS / 1000.0,
+            GEN.T_APPEND_MS / 1000.0,
+            GEN.T_DELETE_MS / 1000.0,
+        ]
+    )
+    seeds = iter([GEN.SNAPSHOT_SEED, GEN.SNAPSHOT2_SEED])
 
     def fake_urandom(n: int) -> bytes:
         if n == 8:
-            return GEN.SNAPSHOT_SEED
+            return next(seeds)
         if n == 16:
             return GEN.SYNC
         raise AssertionError(f"unexpected urandom({n})")
@@ -147,6 +157,43 @@ class TestGoldenWrite:
             assert f.read() == _golden_bytes("manifest-list.avro"), "manifest-list byte drift"
         with open(os.path.join(GEN.LOC, "metadata", "v2.metadata.json"), "rb") as f:
             assert f.read() == _golden_bytes("v2.metadata.json"), "metadata JSON drift"
+
+        # third artifact set: a merge-on-read position-delete commit —
+        # the DELETE manifest (content=1, -m1 suffix), its manifest list
+        # (new delete manifest + carried data manifest), and v3 metadata
+        sid2 = table._commit_with_retry(
+            [
+                DataFile(
+                    GEN.DELETE_FILE,
+                    GEN.DELETE_FILE_SIZE,
+                    GEN.DELETE_ROW_COUNT,
+                    {},
+                    content=1,
+                )
+            ],
+            operation="delete",
+            carry_forward=True,
+            extra_summary={"deleted-records": str(GEN.DELETE_ROW_COUNT)},
+        )
+        assert sid2 == GEN.SNAPSHOT2_ID
+        with open(
+            os.path.join(GEN.LOC, "metadata", f"{GEN.DELETE_MANIFEST_UUID_HEX}-m1.avro"),
+            "rb",
+        ) as f:
+            assert f.read() == _golden_bytes("delete-manifest.avro"), "delete manifest drift"
+        with open(
+            os.path.join(
+                GEN.LOC,
+                "metadata",
+                f"snap-{GEN.SNAPSHOT2_ID}-1-{GEN.DELETE_LIST_UUID_HEX}.avro",
+            ),
+            "rb",
+        ) as f:
+            assert f.read() == _golden_bytes("delete-manifest-list.avro"), (
+                "delete manifest-list drift"
+            )
+        with open(os.path.join(GEN.LOC, "metadata", "v3.metadata.json"), "rb") as f:
+            assert f.read() == _golden_bytes("v3.metadata.json"), "v3 metadata drift"
         shutil.rmtree("/tmp/spark_graft_golden", ignore_errors=True)
 
     def test_generator_is_byte_stable(self, tmp_path):
@@ -159,7 +206,15 @@ class TestGoldenWrite:
         work.mkdir()
         shutil.copy(os.path.join(GOLDEN, "make_golden.py"), work / "make_golden.py")
         subprocess.run([sys.executable, str(work / "make_golden.py")], check=True)
-        for name in ("manifest.avro", "manifest-list.avro", "v1.metadata.json", "v2.metadata.json"):
+        for name in (
+            "manifest.avro",
+            "manifest-list.avro",
+            "delete-manifest.avro",
+            "delete-manifest-list.avro",
+            "v1.metadata.json",
+            "v2.metadata.json",
+            "v3.metadata.json",
+        ):
             with open(work / name, "rb") as f:
                 assert f.read() == _golden_bytes(name), name
 
@@ -206,6 +261,49 @@ class TestGoldenRead:
         files, end = golden_table.incremental_scan()
         assert end == GEN.SNAPSHOT_ID
         assert {f.file_path for f in files} == {GEN.FILE_A, GEN.FILE_B}
+
+    @pytest.fixture()
+    def golden_table_v3(self):
+        """The fixture table AFTER the independently-encoded
+        merge-on-read delete commit (version-hint 3)."""
+        shutil.rmtree("/tmp/spark_graft_golden", ignore_errors=True)
+        meta_dir = os.path.join(GEN.LOC, "metadata")
+        os.makedirs(meta_dir)
+        for src, dst in (
+            ("v1.metadata.json", "v1.metadata.json"),
+            ("v2.metadata.json", "v2.metadata.json"),
+            ("v3.metadata.json", "v3.metadata.json"),
+            ("manifest.avro", f"{GEN.MANIFEST_UUID_HEX}-m0.avro"),
+            ("manifest-list.avro", f"snap-{GEN.SNAPSHOT_ID}-1-{GEN.LIST_UUID_HEX}.avro"),
+            ("delete-manifest.avro", f"{GEN.DELETE_MANIFEST_UUID_HEX}-m1.avro"),
+            (
+                "delete-manifest-list.avro",
+                f"snap-{GEN.SNAPSHOT2_ID}-1-{GEN.DELETE_LIST_UUID_HEX}.avro",
+            ),
+        ):
+            shutil.copy(os.path.join(GOLDEN, src), os.path.join(meta_dir, dst))
+        with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+            f.write("3")
+        yield FsTable(GEN.LOC)
+        shutil.rmtree("/tmp/spark_graft_golden", ignore_errors=True)
+
+    def test_package_reads_independent_delete_commit(self, golden_table_v3):
+        t = golden_table_v3
+        assert t.current_snapshot()["snapshot-id"] == GEN.SNAPSHOT2_ID
+        assert t.current_snapshot()["summary"]["operation"] == "delete"
+        data, deletes, _ = t.plan_scan()
+        assert {f.file_path for f in data} == {GEN.FILE_A, GEN.FILE_B}
+        assert [f.file_path for f in deletes] == [GEN.DELETE_FILE]
+        assert deletes[0].content == 1
+        assert deletes[0].record_count == GEN.DELETE_ROW_COUNT
+        # the delete file is a first-class reference
+        assert GEN.DELETE_FILE in t.all_files()
+        # time travel to the pre-delete snapshot sees no delete files
+        data1, deletes1, _ = t.plan_scan(snapshot_id=GEN.SNAPSHOT_ID)
+        assert deletes1 == [] and len(data1) == 2
+        # incremental scans refuse to cross the delete snapshot
+        with pytest.raises(ValueError, match="delete"):
+            t.incremental_files(from_snapshot_id=GEN.SNAPSHOT_ID)
 
     def test_ocf_decode_matches_expected_rows(self):
         schema, meta, rows = read_ocf(os.path.join(GOLDEN, "manifest.avro"))
