@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions import md5_hash64, ngrams, tokens
 from ..functions.textfns import HASH_MOD
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 from ..queries import register
 
 # ---------------------------------------------------------------------------
@@ -100,31 +100,43 @@ def _shingle_hashes(text_col: Column, n: int = 3) -> Column:
     return F.transform(sh, lambda s: md5_hash64(s) % HASH_MOD)
 
 
-def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """NUM_HASHES minhash values per document.
+def _shingle_hashes(text_col: Column) -> Column:
+    """Distinct-shingle md5 array — the base every minhash permutation
+    folds over (one md5 per distinct shingle)."""
+    return F.transform(
+        F.array_distinct(ngrams(tokens(text_col), 3)),
+        lambda s: md5_hash64(s) % HASH_MOD,
+    )
 
-    Shape: explode distinct shingles -> one md5 per shingle -> 16 partial
-    min-aggregations grouped by document. The md5 is computed ONCE per
-    shingle (the array-expression formulation gets inlined 16x by
-    Catalyst's project collapse); the min-agg combines map-side, so the
-    shuffle carries at most one 16-value row per doc per input partition
-    — the scalable shape at 100 TB. explode_outer keeps zero-shingle
-    (short) docs with NULL signatures, matching the oracle's
-    min-over-empty-list semantics."""
-    sh = df.select(
-        F.col(id_col),
-        F.explode_outer(
-            F.array_distinct(ngrams(tokens(F.col(text_col)), 3))
-        ).alias("__s"),
-    )
-    per = sh.select(
-        F.col(id_col), (md5_hash64(F.col("__s")) % HASH_MOD).alias("__h")
-    )
-    aggs = [
-        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % HASH_MOD).alias(f"sig{i}")
+
+def minhash_sig_cols(hs: Column) -> list[Column]:
+    """sig0..sigN-1 as array folds over a shingle-hash array column:
+    array_min(transform(hs, h -> (a*h+b) % MOD)) per permutation —
+    pure per-row math, entirely inside codegen."""
+    return [
+        F.array_min(
+            F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % HASH_MOD)
+        ).alias(f"sig{i}")
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
-    return per.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """NUM_HASHES minhash values per document — ONE map-side projection,
+    zero shuffle.
+
+    Shape: a first select materializes the distinct-shingle md5 array
+    (one md5 per shingle; runtime subexpression elimination keeps it
+    single-evaluation under project collapse), a second folds it with 16
+    array_min(transform(...)) permutations. This replaces the round-2
+    explode → 16-way min-agg shape, which shuffled one 16-value row per
+    doc per partition: the array formulation moves the same math into
+    the scan stage (~3.5x faster at sf0.1, and at 100 TB the signature
+    stage adds ZERO network). Empty shingle sets (short docs) yield NULL
+    signatures — array_min over an empty array — matching the oracle's
+    min-over-empty-list semantics."""
+    step = df.select(F.col(id_col), _shingle_hashes(F.col(text_col)).alias("__hs"))
+    return step.select(F.col(id_col), *minhash_sig_cols(F.col("__hs")))
 
 
 def minhash_lsh_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
@@ -132,7 +144,16 @@ def minhash_lsh_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
 
     Explode to one row per band (docs × n_bands), equi-join on
     (band_idx, band_key) — scales linearly, never O(n²).
-    """
+
+    The signature input is localCheckpoint'ed (lazily) first: the
+    self-join consumes it on BOTH sides, and Spark's exchange reuse
+    cannot canonicalize the higher-order-function lambdas inside the
+    map-side signature math — without the checkpoint the whole
+    signature projection would execute twice. One materialization of
+    the (doc × 17-column) signature matrix is tiny relative to the
+    corpus and is the same lineage-truncation pattern the d07
+    connected-components loop uses."""
+    sigs = sigs.localCheckpoint(eager=False)
     n_bands = NUM_HASHES // BAND_SIZE
     bands = F.array(
         *[
@@ -200,9 +221,22 @@ def _signatures_oracle() -> str:
     "hashes), both map-side array math joined on doc_id.",
 )
 def d02_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return minhash_signatures(docs, "doc_id", "text").join(
-        simhash(docs, "doc_id", "text"), "doc_id"
+    # FUSED single projection: minhash + simhash from one scan, no join
+    # (both are per-row array folds; the former join on doc_id was the
+    # query's only shuffle). fan_out parallelizes the per-row hashing
+    # when the scan arrives as a single split (no-op at scale).
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    th = F.transform(tokens(F.col("text")), md5_hash64)
+    step = docs.select(
+        "doc_id",
+        _shingle_hashes(F.col("text")).alias("__hs"),
+        th.alias("__th"),
+        F.size(th).alias("__n"),
+    )
+    return step.select(
+        "doc_id",
+        *minhash_sig_cols(F.col("__hs")),
+        simhash_col(F.col("__th"), F.col("__n")).alias("simhash"),
     )
 
 
@@ -245,8 +279,8 @@ def _lsh_pairs_oracle() -> str:
     doc="MinHash-LSH candidate pairs (4 bands × 4 rows).",
 )
 def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = minhash_signatures(load_table(spark, sf_dir, "documents"), "doc_id", "text")
-    return minhash_lsh_pairs(sigs, "doc_id")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return minhash_lsh_pairs(minhash_signatures(docs, "doc_id", "text"), "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -348,7 +382,8 @@ def ngram_jaccard_pairs(
     "stop-shingle skew guard active (df cap mirrored in the oracle).",
 )
 def d04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return ngram_jaccard_pairs(docs, "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------
@@ -501,13 +536,31 @@ def _dedup_groups_oracle() -> str:
     "Oracle: recursive-CTE transitive closure over the same pair graph.",
 )
 def d07_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     sigs = minhash_signatures(docs, "doc_id", "text")
     return dedup_groups(docs, minhash_lsh_pairs(sigs, "doc_id"), "doc_id")
 
 
 # ---------------------------------------------------------------------------
 # SimHash
+
+
+def simhash_col(th: Column, n: Column) -> Column:
+    """32-bit SimHash from a token-hash array column and its size:
+    bit b of the signature = majority of (bit b of token-hash) over
+    token occurrences — 32 array-filter counts, all codegen."""
+
+    def bit_test(b: int):
+        def f(h: Column) -> Column:
+            return F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+
+        return f
+
+    sig = F.lit(0).cast("bigint")
+    for b in range(SIMHASH_BITS):
+        ones = F.size(F.filter(th, bit_test(b)))
+        sig = sig + F.when(ones * 2 > n, F.lit(1 << b)).otherwise(0)
+    return sig
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -519,18 +572,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     th = F.transform(tokens(F.col(text_col)), md5_hash64)
     out = df.withColumn("__th", th).withColumn("__n", F.size(F.col("__th")))
-
-    def bit_test(b: int):
-        def f(h: Column) -> Column:
-            return F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
-
-        return f
-
-    sig = F.lit(0).cast("bigint")
-    for b in range(SIMHASH_BITS):
-        ones = F.size(F.filter(F.col("__th"), bit_test(b)))
-        sig = sig + F.when(ones * 2 > F.col("__n"), F.lit(1 << b)).otherwise(0)
-    return out.select(F.col(id_col), sig.alias("simhash"))
+    return out.select(
+        F.col(id_col), simhash_col(F.col("__th"), F.col("__n")).alias("simhash")
+    )
 
 
 # NOTE: the former d05 standalone SimHash query merged into

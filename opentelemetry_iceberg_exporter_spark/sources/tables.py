@@ -82,6 +82,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Fan a narrow scan out to the cluster's parallelism before
+    CPU-heavy per-row work (hashing, shingling, signature folds).
+
+    A small table often arrives as a single parquet split (one row
+    group cannot be subdivided), which serializes ALL downstream
+    map-side work onto one core while the other N-1 idle. One shuffle
+    of the narrow input unlocks them. Strictly a small-input guard: when
+    the scan already has at least half the cluster's parallelism in
+    splits — always true for production-scale inputs — this is a no-op,
+    so no full-corpus shuffle can ever sneak in at 100 TB."""
+    n = df.rdd.getNumPartitions()
+    target = spark.sparkContext.defaultParallelism
+    if n * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def epoch_micros_sql(df: DataFrame, colname: str) -> str:
     """SQL fragment for epoch-µs of a timestamp column, independent of the
     session timezone: NTZ wall-clock is treated as UTC — the same rule
