@@ -62,6 +62,10 @@ class CatalogConfig:
     # per-signal table-name overrides (catalog.go:167-222)
     table_prefix: str = "otel"
     table_overrides: dict[str, str] = field(default_factory=dict)
+    # write-audit-publish: when set, exporter appends stage on this
+    # BRANCH instead of main; publish_staged() fast-forwards main after
+    # validation (Iceberg's spark.wap.branch workflow). "" = direct.
+    wap_branch: str = ""
 
     def validate(self) -> None:
         if self.catalog_type not in VALID_CATALOG_TYPES:
@@ -70,6 +74,8 @@ class CatalogConfig:
             raise ValueError("catalog.uri required for rest catalog")
         if self.catalog_type == "fs" and not self.warehouse:
             raise ValueError("catalog.warehouse required for fs catalog")
+        if self.wap_branch == "main":
+            raise ValueError("catalog.wap_branch cannot be 'main'; leave empty for direct writes")
 
 
 @dataclass

@@ -591,14 +591,17 @@ def write_snapshot_tree(
     operation: str,
     carry_forward: bool,
     extra_summary: dict[str, str],
+    parent_override: int | None = None,
 ) -> dict:
     """Write one manifest (the new files) + one manifest list (new manifest
     plus, for appends, the parent snapshot's carried-forward manifests)
     under {location}/metadata and return the snapshot dict that references
-    them. Pure metadata: O(len(files)) regardless of table size."""
+    them. Pure metadata: O(len(files)) regardless of table size.
+    parent_override builds the snapshot on a different parent than
+    `main`'s head (branch commits)."""
     seq = md["last-sequence-number"] + 1
     snapshot_id = int.from_bytes(os.urandom(8), "big") >> 1
-    parent = md["current-snapshot-id"]
+    parent = md["current-snapshot-id"] if parent_override is None else parent_override
     now_ms = int(time.time() * 1000)
     meta_dir = os.path.join(location, "metadata")
     spec_fields = next(
@@ -1934,6 +1937,83 @@ class FsTable:
             extra_summary=snapshot_properties or {},
         )
 
+    def append_files_to_branch(
+        self,
+        branch: str,
+        files: list[DataFile],
+        snapshot_properties: dict[str, str] | None = None,
+    ) -> int:
+        """Write-audit-publish staging: append on a named BRANCH without
+        advancing `main`. The snapshot's parent is the branch head (the
+        branch forks from main's head on first use); readers of `main`
+        never see the staged data until `fast_forward(branch)` publishes
+        it. This is Iceberg's WAP pattern (spark.wap.branch): load →
+        stage on the audit branch → validate via read_ref → publish or
+        drop_ref."""
+        if branch == "main":
+            return self.append_files(files, snapshot_properties)
+        return self._commit_with_retry(
+            files,
+            operation="append",
+            carry_forward=True,
+            extra_summary=snapshot_properties or {},
+            branch=branch,
+        )
+
+    def append_dataframe_to_branch(
+        self,
+        branch: str,
+        df: DataFrame,
+        snapshot_properties: dict[str, str] | None = None,
+    ) -> int | None:
+        """append_dataframe staged on a branch (WAP); empty inputs
+        commit nothing."""
+        files = write_partitioned_batch(df, self.location, self.metadata())
+        if not files:
+            return None
+        return self.append_files_to_branch(branch, files, snapshot_properties)
+
+    def fast_forward(self, branch: str) -> int:
+        """WAP publish: advance `main` to a branch head. Fast-forward
+        ONLY — main's current snapshot must be an ancestor of the branch
+        head (no audit-branch commit can silently drop concurrent main
+        commits); otherwise re-stage on a fresh branch. Returns the new
+        main head."""
+
+        def mutate(md: dict):
+            ref = md.get("refs", {}).get(branch)
+            if ref is None:
+                raise ValueError(f"unknown branch {branch!r}")
+            head = ref["snapshot-id"]
+            cur = md["current-snapshot-id"]
+            if cur == head:
+                return None, head
+            by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+            node, ok = head, cur == -1
+            while node is not None and not ok:
+                if node == cur:
+                    ok = True
+                    break
+                node = by_id.get(node, {}).get("parent-snapshot-id")
+            if not ok:
+                raise ValueError(
+                    f"cannot fast-forward: main ({cur}) is not an ancestor of "
+                    f"branch {branch!r} head ({head}); main advanced since the "
+                    "branch forked — re-stage against the new main"
+                )
+            new_md = dict(md)
+            new_md["current-snapshot-id"] = head
+            new_md["refs"] = {
+                **md.get("refs", {}),
+                "main": {"snapshot-id": head, "type": "branch"},
+            }
+            new_md["snapshot-log"] = md["snapshot-log"] + [
+                {"timestamp-ms": int(time.time() * 1000), "snapshot-id": head}
+            ]
+            return new_md, head
+
+        return self._commit_metadata(mutate)
+
     def _commit_with_retry(
         self,
         files: list[DataFile],
@@ -1942,6 +2022,7 @@ class FsTable:
         carry_forward: bool,
         extra_summary: dict[str, str],
         expected_base_snapshot: int | None = None,
+        branch: str = "main",
     ) -> int:
         attempts = 3
         for attempt in range(attempts):
@@ -1955,6 +2036,7 @@ class FsTable:
                     carry_forward=carry_forward,
                     extra_summary=extra_summary,
                     expected_base_snapshot=expected_base_snapshot,
+                    branch=branch,
                 )
             except CommitConflictError:
                 if attempt + 1 == attempts:
@@ -1979,6 +2061,7 @@ class FsTable:
         carry_forward: bool,
         extra_summary: dict[str, str],
         expected_base_snapshot: int | None = None,
+        branch: str = "main",
     ) -> int:
         """One commit attempt against the pinned (base_version, md).
 
@@ -1986,7 +2069,11 @@ class FsTable:
         snapshot's manifests (append semantics); False makes the new
         manifest the COMPLETE live file set (replace semantics, which
         also requires the base snapshot to be unchanged since planning —
-        a replace cannot merge with concurrent appends)."""
+        a replace cannot merge with concurrent appends).
+
+        branch != "main" commits on that branch's head (forking from
+        main's head if the branch is new) WITHOUT advancing main or the
+        snapshot log — the WAP staging path."""
         if (
             expected_base_snapshot is not None
             and md["current-snapshot-id"] != expected_base_snapshot
@@ -1995,6 +2082,10 @@ class FsTable:
                 f"table advanced from snapshot {expected_base_snapshot} to "
                 f"{md['current-snapshot-id']} since the rewrite was planned; re-plan"
             )
+        branch_ref = md.get("refs", {}).get(branch)
+        parent_override = (
+            None if branch == "main" else (branch_ref or {"snapshot-id": md["current-snapshot-id"]})["snapshot-id"]
+        )
         snapshot = write_snapshot_tree(
             self.location,
             md,
@@ -2002,6 +2093,7 @@ class FsTable:
             operation=operation,
             carry_forward=carry_forward,
             extra_summary=extra_summary,
+            parent_override=parent_override,
         )
         snapshot_id = snapshot["snapshot-id"]
         seq = snapshot["sequence-number"]
@@ -2010,15 +2102,17 @@ class FsTable:
         new_md["last-sequence-number"] = seq
         new_md["last-updated-ms"] = now_ms
         new_md["snapshots"] = md["snapshots"] + [snapshot]
-        new_md["current-snapshot-id"] = snapshot_id
-        # advance main, PRESERVE other refs (tags/branches pin snapshots)
+        # advance the TARGET ref, PRESERVE the rest (tags/branches pin
+        # snapshots); only main moves the current snapshot + history log
         new_md["refs"] = {
             **md.get("refs", {}),
-            "main": {"snapshot-id": snapshot_id, "type": "branch"},
+            branch: {"snapshot-id": snapshot_id, "type": "branch"},
         }
-        new_md["snapshot-log"] = md["snapshot-log"] + [
-            {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
-        ]
+        if branch == "main":
+            new_md["current-snapshot-id"] = snapshot_id
+            new_md["snapshot-log"] = md["snapshot-log"] + [
+                {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+            ]
         new_md["metadata-log"] = md["metadata-log"] + [
             {"timestamp-ms": md["last-updated-ms"], "metadata-file": _metadata_path(self.location, base_version)}
         ]

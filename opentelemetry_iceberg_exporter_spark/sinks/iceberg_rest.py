@@ -331,15 +331,28 @@ class RestTable:
         return self._commit_add(files, "append", snapshot_properties or {})
 
     def _commit_add(
-        self, files: list[DataFile], operation: str, extra_summary: dict[str, str]
+        self,
+        files: list[DataFile],
+        operation: str,
+        extra_summary: dict[str, str],
+        branch: str = "main",
     ) -> int:
         """Append-style commit (carry-forward manifests + one new
         manifest tree) with conflict retry — used by appends AND
-        merge-on-read deletes, which only ADD a delete file and so merge
-        cleanly over concurrent appends."""
+        merge-on-read deltas, which only ADD files and so merge cleanly
+        over concurrent appends. branch != "main" stages the snapshot on
+        that branch (WAP): the server advances only the branch ref."""
         attempts = 3
         for attempt in range(attempts):
             md = self.metadata()
+            branch_ref = md.get("refs", {}).get(branch)
+            parent = (
+                md["current-snapshot-id"]
+                if branch == "main"
+                else (branch_ref or {"snapshot-id": md["current-snapshot-id"]})[
+                    "snapshot-id"
+                ]
+            )
             snapshot = write_snapshot_tree(
                 md["location"],
                 md,
@@ -347,21 +360,25 @@ class RestTable:
                 operation=operation,
                 carry_forward=True,
                 extra_summary=extra_summary,
+                parent_override=None if branch == "main" else parent,
             )
-            parent = md["current-snapshot-id"]
             requirements = [
                 {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
                 {
                     "type": "assert-ref-snapshot-id",
-                    "ref": "main",
-                    "snapshot-id": None if parent == -1 else parent,
+                    "ref": branch,
+                    "snapshot-id": (
+                        None
+                        if (branch == "main" and parent == -1) or (branch != "main" and branch_ref is None)
+                        else parent
+                    ),
                 },
             ]
             updates = [
                 {"action": "add-snapshot", "snapshot": snapshot},
                 {
                     "action": "set-snapshot-ref",
-                    "ref-name": "main",
+                    "ref-name": branch,
                     "type": "branch",
                     "snapshot-id": snapshot["snapshot-id"],
                 },
@@ -374,6 +391,76 @@ class RestTable:
                     raise
                 time.sleep(0.05 * (attempt + 1))
         raise AssertionError("unreachable")
+
+    def append_files_to_branch(
+        self,
+        branch: str,
+        files: list[DataFile],
+        snapshot_properties: dict[str, str] | None = None,
+    ) -> int:
+        """WAP staging over REST: append on a branch without advancing
+        main (see FsTable.append_files_to_branch)."""
+        if branch == "main":
+            return self.append_files(files, snapshot_properties)
+        return self._commit_add(files, "append", snapshot_properties or {}, branch)
+
+    def append_dataframe_to_branch(
+        self,
+        branch: str,
+        df: DataFrame,
+        snapshot_properties: dict[str, str] | None = None,
+    ) -> int | None:
+        md = self.metadata()
+        files = write_partitioned_batch(df, md["location"], md)
+        if not files:
+            return None
+        return self.append_files_to_branch(branch, files, snapshot_properties)
+
+    def fast_forward(self, branch: str) -> int:
+        """WAP publish over REST: advance main to the branch head,
+        fast-forward only, with main pinned by assert-ref-snapshot-id so
+        a concurrent main commit conflicts instead of being dropped."""
+        md = self.metadata()
+        ref = md.get("refs", {}).get(branch)
+        if ref is None:
+            raise ValueError(f"unknown branch {branch!r}")
+        head = ref["snapshot-id"]
+        cur = md["current-snapshot-id"]
+        if cur == head:
+            return head
+        by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+        node, ok = head, cur == -1
+        while node is not None and not ok:
+            if node == cur:
+                ok = True
+                break
+            node = by_id.get(node, {}).get("parent-snapshot-id")
+        if not ok:
+            raise ValueError(
+                f"cannot fast-forward: main ({cur}) is not an ancestor of "
+                f"branch {branch!r} head ({head})"
+            )
+        self.client.commit_table(
+            self.namespace,
+            self.name,
+            requirements=[
+                {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
+                {
+                    "type": "assert-ref-snapshot-id",
+                    "ref": "main",
+                    "snapshot-id": None if cur == -1 else cur,
+                },
+            ],
+            updates=[
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "main",
+                    "type": "branch",
+                    "snapshot-id": head,
+                }
+            ],
+        )
+        return head
 
     def append_dataframe(
         self, df: DataFrame, snapshot_properties: dict[str, str] | None = None

@@ -229,12 +229,31 @@ class FsIcebergSink:
     def append(self, df: DataFrame, signal: str, record_count: int | None = None) -> int | None:
         """K3: executors write Parquet, driver commits one snapshot with
         the reference's snapshot properties. Returns the snapshot id, or
-        None for an empty batch (F1 short-circuit — no empty snapshots)."""
+        None for an empty batch (F1 short-circuit — no empty snapshots).
+        With catalog.wap_branch set, the commit stages on that branch
+        (write-audit-publish) and main is untouched until
+        publish_staged()."""
         props = {"otel.exporter": "opentelemetry-iceberg-exporter-spark"}
         if record_count is not None:
             props["otel.record_count"] = str(record_count)
         table = self._load(signal)
-        return table.append_dataframe(S.conform(df, S.SCHEMAS[signal]), props)
+        conformed = S.conform(df, S.SCHEMAS[signal])
+        branch = self.config.catalog.wap_branch
+        if branch:
+            return table.append_dataframe_to_branch(branch, conformed, props)
+        return table.append_dataframe(conformed, props)
+
+    def publish_staged(self, signal: str) -> int | None:
+        """WAP publish: fast-forward main to the staged branch head for
+        one signal's table. No-op (None) when wap_branch is unset or the
+        branch has no staged commits."""
+        branch = self.config.catalog.wap_branch
+        if not branch:
+            return None
+        table = self._load(signal)
+        if branch not in table.metadata().get("refs", {}):
+            return None
+        return table.fast_forward(branch)
 
     def add_files(self, signal: str, source_path: str) -> int:
         """K4: register raw-sink Hive files without copying."""
@@ -307,12 +326,28 @@ class RestIcebergSink:
         )
 
     def append(self, df: DataFrame, signal: str, record_count: int | None = None) -> int | None:
-        """K3 over REST (catalog_rest.go:243-303 AppendRecords)."""
+        """K3 over REST (catalog_rest.go:243-303 AppendRecords); with
+        catalog.wap_branch set the commit stages on that branch (WAP)."""
         props = {"otel.exporter": "opentelemetry-iceberg-exporter-spark"}
         if record_count is not None:
             props["otel.record_count"] = str(record_count)
         self.client.ensure_namespace(self.config.catalog.namespace)
-        return self._load(signal).append_dataframe(S.conform(df, S.SCHEMAS[signal]), props)
+        conformed = S.conform(df, S.SCHEMAS[signal])
+        branch = self.config.catalog.wap_branch
+        if branch:
+            return self._load(signal).append_dataframe_to_branch(branch, conformed, props)
+        return self._load(signal).append_dataframe(conformed, props)
+
+    def publish_staged(self, signal: str) -> int | None:
+        """WAP publish over REST: fast-forward main to the staged branch
+        head for one signal's table."""
+        branch = self.config.catalog.wap_branch
+        if not branch:
+            return None
+        table = self._load(signal)
+        if branch not in table.metadata().get("refs", {}):
+            return None
+        return table.fast_forward(branch)
 
     def add_files(self, signal: str, source_path: str) -> int:
         """K4 over REST (catalog_rest.go:306-367 AppendDataFiles)."""
