@@ -1,15 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque `binary`
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
-Decode status: PPM (P6), uncompressed 24-bit BMP, and non-interlaced
-8-bit PNG (stdlib zlib inflate + numpy unfiltering, all five scanline
-filters) decode for REAL — the decode -> resize -> checksum path runs
-end to end on actual pixel data, compressed included. JPEG/WebP entropy
-coding requires PIL/opencv, which this container lacks; that branch
-raises NotImplementedError and is the one remaining environment stub
-(swap in PIL.Image.open — one function). Everything Spark-side —
-schema, partition sizing, UDF signature, Arrow batch shape — is real
-and tested either way.
+Decode status: PPM (P6), uncompressed 24-bit BMP, non-interlaced 8-bit
+PNG (stdlib zlib inflate + numpy unfiltering, all five scanline
+filters), and baseline JPEG (full T.81 Huffman + IDCT pipeline,
+operators/jpeg.py) decode for REAL — the decode -> resize -> checksum
+path runs end to end on actual pixel data, compressed and
+entropy-coded included. Only WebP/AVIF-class codecs still require
+PIL/opencv; that branch raises NotImplementedError and is the one
+remaining environment stub. Everything Spark-side — schema, partition
+sizing, UDF signature, Arrow batch shape — is real and tested either
+way.
 
 Scale design: mapInPandas streams Arrow batches (no per-row Python
 overhead); `spark.sql.execution.arrow.maxRecordsPerBatch` bounds batch
@@ -249,12 +250,12 @@ def _decode_png(content: bytes):
 def decode_image(content: bytes) -> Any:
     """Decode a binary image payload to an (H, W, 3) uint8 RGB array.
 
-    REAL for every format a stdlib+numpy container can parse: binary PPM
-    'P6', uncompressed 24-bit BMP 'BM', and non-interlaced 8-bit PNG
-    (zlib inflate + numpy unfiltering). JPEG/WebP entropy coding still
-    requires PIL/opencv and raises — the one remaining environment stub;
-    swap in `PIL.Image.open(io.BytesIO(content))` when a codec library
-    ships.
+    REAL for every mainstream still-image format: binary PPM 'P6',
+    uncompressed 24-bit BMP 'BM', non-interlaced 8-bit PNG (zlib
+    inflate + numpy unfiltering), and baseline JPEG (full T.81 Huffman +
+    IDCT pipeline in operators/jpeg.py — 4:4:4/4:2:2/4:2:0, grayscale,
+    restart markers). Only WebP/AVIF-class codecs still require an
+    external library and raise.
     """
     if content[:2] == b"P6":
         return _decode_ppm(content)
@@ -262,10 +263,14 @@ def decode_image(content: bytes) -> Any:
         return _decode_bmp(content)
     if content[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
         return _decode_png(content)
+    if content[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     raise NotImplementedError(
-        "JPEG/WebP decoding requires PIL/opencv which are not installed; "
-        "PPM(P6)/BMP/PNG decode natively, or use fake_decode=True for the "
-        "deterministic test decoder"
+        "WebP/AVIF decoding requires PIL/opencv which are not installed; "
+        "PPM(P6)/BMP/PNG/baseline-JPEG decode natively, or use "
+        "fake_decode=True for the deterministic test decoder"
     )
 
 

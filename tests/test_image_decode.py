@@ -230,9 +230,10 @@ def test_png_16bit_raises():
 
 
 def test_codec_formats_still_raise():
-    # JPEG SOI marker — entropy coding stays the environment stub
+    # WebP container — the one remaining environment stub (JPEG now
+    # decodes natively; see test_jpeg_decode.py)
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"\xff\xd8\xff\xe0 garbage")
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 garbage")
 
 
 def test_real_decode_through_spark(spark):
