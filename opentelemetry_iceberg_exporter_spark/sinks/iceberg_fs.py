@@ -319,8 +319,8 @@ def iceberg_schema(spark_schema: StructType, schema_id: int = 0) -> dict:
 @dataclass(frozen=True)
 class DataFile:
     """One Parquet file as recorded in a manifest: a data file
-    (content=0) or a position-delete file (content=1, Iceberg v2
-    merge-on-read)."""
+    (content=0), a position-delete file (content=1), or an
+    equality-delete file (content=2) — Iceberg v2 merge-on-read."""
 
     file_path: str
     file_size_in_bytes: int
@@ -328,8 +328,18 @@ class DataFile:
     # transform-value per partition field name (e.g. hours since epoch);
     # None = null source timestamp (file is never partition-pruned)
     partition: dict[str, int | None] = field(default_factory=dict)
-    # Iceberg file content: 0 = data, 1 = position deletes
+    # Iceberg file content: 0 = data, 1 = position deletes, 2 = equality
     content: int = 0
+    # content=2 only: schema field ids of the equality columns
+    equality_ids: tuple[int, ...] | None = None
+    # data sequence number as recorded in the manifest entry. 0 = "not
+    # yet committed" — write_snapshot_tree assigns the commit's sequence
+    # number; a nonzero value (files read back from manifests) is
+    # PRESERVED on re-commit, so replace/overwrite snapshots keep each
+    # surviving file's original sequence number and pending equality
+    # deletes (which apply only to seq strictly below theirs) keep
+    # applying to exactly the rows they did before.
+    sequence_number: int = 0
 
 
 def transform_value(ts: datetime, transform: str) -> int:
@@ -417,6 +427,12 @@ def manifest_avro_schema(partition_fields: list[dict]) -> dict:
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
             _bounds_field("lower_bounds", 125, 126, 127),
             _bounds_field("upper_bounds", 128, 129, 130),
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int", "element-id": 136}],
+                "default": None,
+                "field-id": 135,
+            },
         ],
     }
     return {
@@ -609,7 +625,7 @@ def write_snapshot_tree(
     )["fields"]
 
     data_group = [f for f in files if f.content == 0]
-    delete_group = [f for f in files if f.content == 1]
+    delete_group = [f for f in files if f.content in (1, 2)]
     # a manifest holds data files OR delete files, never both (spec);
     # the data manifest is always written when there are no deletes so
     # pre-MoR commit trees (and the golden fixtures) are byte-identical
@@ -632,14 +648,17 @@ def write_snapshot_tree(
             lower, upper = (
                 file_column_bounds(f.file_path, md) if content_id == 0 else ({}, {})
             )
+            # files re-committed by replace/overwrite keep their original
+            # data sequence number (equality deletes apply to seq < theirs)
+            entry_seq = f.sequence_number if f.sequence_number else seq
             entries.append(
                 {
                     "status": STATUS_ADDED,
                     "snapshot_id": snapshot_id,
-                    "sequence_number": seq,
+                    "sequence_number": entry_seq,
                     "file_sequence_number": seq,
                     "data_file": {
-                        "content": content_id,
+                        "content": f.content,
                         "file_path": f.file_path,
                         "file_format": "PARQUET",
                         "partition": {
@@ -649,6 +668,7 @@ def write_snapshot_tree(
                         "file_size_in_bytes": f.file_size_in_bytes,
                         "lower_bounds": _bounds_to_avro(lower),
                         "upper_bounds": _bounds_to_avro(upper),
+                        "equality_ids": list(f.equality_ids) if f.equality_ids else None,
                     },
                 }
             )
@@ -671,7 +691,9 @@ def write_snapshot_tree(
                 "partition_spec_id": md["default-spec-id"],
                 "content": content_id,
                 "sequence_number": seq,
-                "min_sequence_number": seq,
+                "min_sequence_number": min(
+                    (f.sequence_number or seq for f in group), default=seq
+                ),
                 "added_snapshot_id": snapshot_id,
                 "added_files_count": len(group),
                 "existing_files_count": 0,
@@ -706,9 +728,12 @@ def write_snapshot_tree(
     }
     if delete_group:
         summary["added-delete-files"] = str(len(delete_group))
-        summary["added-position-deletes"] = str(
-            sum(f.record_count for f in delete_group)
-        )
+        pos_rows = sum(f.record_count for f in delete_group if f.content == 1)
+        eq_rows = sum(f.record_count for f in delete_group if f.content == 2)
+        if pos_rows:
+            summary["added-position-deletes"] = str(pos_rows)
+        if eq_rows:
+            summary["added-equality-deletes"] = str(eq_rows)
     summary.update(extra_summary)
     return {
         "snapshot-id": snapshot_id,
@@ -838,6 +863,9 @@ def _norm_meta_path():
 
 
 def read_position_deletes(spark: SparkSession, delete_files: list[DataFile]) -> DataFrame:
+    # defensive: callers may hold a mixed delete list — only content=1
+    # files have the (file_path, pos) layout
+    delete_files = [f for f in delete_files if f.content == 1]
     return (
         spark.read.schema("file_path string, pos long")
         .parquet(*[f.file_path for f in delete_files])
@@ -859,6 +887,7 @@ def apply_position_deletes(
     delete file's row count, so small delete sets broadcast (one map-side
     anti-join, no shuffle of the table) and only genuinely large ones
     shuffle — decided before any job runs."""
+    delete_files = [f for f in delete_files if f.content == 1]
     if not delete_files:
         return df
     out_cols = df.columns
@@ -878,32 +907,180 @@ def apply_position_deletes(
     return joined.select(*out_cols)
 
 
+# -- Iceberg v2 equality deletes (merge-on-read, CDC/upsert path) ----------
+#
+# An equality-delete file is a Parquet file holding VALUES of a subset of
+# table columns (`equality_ids`); it logically deletes every row whose
+# values null-safe-equal a delete row AND whose data file's sequence
+# number is STRICTLY BELOW the delete file's. The strict ordering is what
+# makes single-snapshot upserts work: a commit that adds both an equality
+# delete on the new keys and the new data files (same sequence number)
+# replaces old row versions without ever reading the table — the 100 TB
+# CDC primitive (a streaming writer commits KBs per batch regardless of
+# table size, where MERGE would scan and shuffle the table).
+# (Spec: Iceberg table format v2, "Equality Delete Files".)
+
+
+def _equality_fields(md: dict, ids: tuple[int, ...]) -> list[dict]:
+    """Top-level primitive schema fields for equality ids (spec restricts
+    equality columns to non-floating primitives; nested unsupported)."""
+    by_id = {f_["id"]: f_ for f_ in current_schema(md)["fields"]}
+    out = []
+    for i in ids:
+        fld = by_id.get(i)
+        if fld is None or not isinstance(fld["type"], str):
+            raise ValueError(
+                f"equality field id {i} is not a top-level primitive column"
+            )
+        if fld["type"] in ("float", "double"):
+            raise ValueError(
+                f"column {fld['name']!r}: floating-point equality-delete "
+                "columns are not allowed (NaN equality is undefined)"
+            )
+        out.append(fld)
+    return out
+
+
+def apply_equality_deletes(
+    spark: SparkSession,
+    tagged: DataFrame,
+    eq_files: list[DataFile],
+    md: dict,
+    seq_by_path: dict[str, int],
+) -> DataFrame:
+    """Subtract equality-deleted rows from a scan already tagged with
+    `__file`. Each data row learns its file's sequence number via a
+    broadcast join of the (path -> seq) manifest map (metadata-sized);
+    each delete-file group anti-joins on null-safe key equality plus the
+    strict seq comparison. Small delete sets broadcast — the common CDC
+    shape is a map-side anti-join per group, no shuffle of the table."""
+    if not eq_files:
+        return tagged
+    out_cols = tagged.columns
+    seq_df = spark.createDataFrame(
+        [(p, int(s)) for p, s in seq_by_path.items()], "__sfile string, __sseq long"
+    )
+    tagged = tagged.join(
+        F.broadcast(seq_df), tagged["__file"] == seq_df["__sfile"], "left"
+    ).drop("__sfile")
+    groups: dict[tuple[int, ...], list[DataFile]] = {}
+    for f in eq_files:
+        if not f.equality_ids:
+            raise ValueError(f"equality-delete file {f.file_path} missing equality_ids")
+        groups.setdefault(tuple(f.equality_ids), []).append(f)
+    for ids, group in sorted(groups.items()):
+        fields = _equality_fields(md, ids)
+        names = [f_["name"] for f_ in fields]
+        key_schema = StructType(
+            [StructField(f_["name"], _spark_type(f_["type"]), True) for f_ in fields]
+        )
+        dels = (
+            spark.read.schema(key_schema)
+            .parquet(*[f.file_path for f in group])
+            .select(
+                *[F.col(n).alias(f"__eq_{n}") for n in names],
+                _norm_meta_path().alias("__eq_src"),
+            )
+        )
+        dseq = spark.createDataFrame(
+            [(f.file_path, int(f.sequence_number)) for f in group],
+            "__eq_src string, __eq_seq long",
+        )
+        dels = dels.join(F.broadcast(dseq), "__eq_src").drop("__eq_src")
+        if sum(f.record_count for f in group) <= BROADCAST_DELETE_ROWS:
+            dels = F.broadcast(dels)
+        cond = F.col("__sseq") < F.col("__eq_seq")
+        for n in names:
+            cond = cond & F.col(n).eqNullSafe(F.col(f"__eq_{n}"))
+        tagged = tagged.join(dels, cond, "left_anti")
+    return tagged.select(*out_cols)
+
+
+def plan_equality_delete(
+    spark: SparkSession,
+    md: dict,
+    keys_df: DataFrame,
+    equality_cols: list[str],
+) -> tuple[list[DataFile], int] | None:
+    """Write the distinct key tuples of `keys_df` as Iceberg v2
+    equality-delete Parquet (columns carry their table field ids) and
+    return (DataFiles content=2, n_keys) — NO table read, no scan job:
+    cost tracks the KEY SET, never the table. The caller owns the commit
+    (which assigns the sequence number that scopes the delete)."""
+    name_to_field = {f_["name"]: f_ for f_ in current_schema(md)["fields"]}
+    ids = []
+    for c in equality_cols:
+        if c not in name_to_field:
+            raise ValueError(f"no column {c!r} in table schema")
+        ids.append(name_to_field[c]["id"])
+    ids_t = tuple(ids)
+    _equality_fields(md, ids_t)  # validates primitive / non-float
+    keys = keys_df.select(
+        *[
+            F.col(c).alias(c, metadata={"parquet.field.id": name_to_field[c]["id"]})
+            for c in equality_cols
+        ]
+    ).distinct()
+    n_keys = keys.count()
+    if n_keys == 0:
+        return None
+    out_dir = os.path.join(md["location"], "data", f"eq-deletes-{uuid.uuid4().hex}")
+    n_parts = max(1, min(64, -(-n_keys // 5_000_000)))
+    keys.repartition(n_parts, *equality_cols).write.parquet(out_dir)
+    return [
+        DataFile(
+            file_path=f.file_path,
+            file_size_in_bytes=f.file_size_in_bytes,
+            record_count=f.record_count,
+            partition={},
+            content=2,
+            equality_ids=ids_t,
+        )
+        for f in _scan_written_files(out_dir, [])
+    ], n_keys
+
+
 def _tagged_live_scan(
     spark: SparkSession,
     schema: StructType,
     paths: list[str],
     delete_files: list[DataFile],
+    md: dict | None = None,
+    data_files: list[DataFile] | None = None,
 ) -> DataFrame:
-    """Scan `paths` under `schema` with position deletes applied, keeping
-    a `__file` column (the scheme-less absolute path, as manifests record
-    it) for file-granular DML planning. The tag comes from the scan's
-    _metadata column — BEFORE the anti-join, because input_file_name()
-    is scan-stage-bound and unreliable on a join output."""
+    """Scan `paths` under `schema` with position AND equality deletes
+    applied, keeping a `__file` column (the scheme-less absolute path, as
+    manifests record it) for file-granular DML planning. The tag comes
+    from the scan's _metadata column — BEFORE the anti-join, because
+    input_file_name() is scan-stage-bound and unreliable on a join
+    output. Equality deletes need the per-file data sequence numbers, so
+    callers with content=2 files in `delete_files` must also pass `md`
+    and the live `data_files` (sequence numbers from the manifest walk)."""
+    pos = [f for f in delete_files if f.content == 1] if delete_files else []
+    eq = [f for f in delete_files if f.content == 2] if delete_files else []
     scan = spark.read.schema(schema).parquet(*paths)
     tagged = scan.select(
         "*",
         _norm_meta_path().alias("__file"),
         F.col("_metadata.row_index").alias("__dpos"),
     )
-    if delete_files:
-        dels = read_position_deletes(spark, delete_files)
-        if sum(f.record_count for f in delete_files) <= BROADCAST_DELETE_ROWS:
+    if pos:
+        dels = read_position_deletes(spark, pos)
+        if sum(f.record_count for f in pos) <= BROADCAST_DELETE_ROWS:
             dels = F.broadcast(dels)
         tagged = tagged.join(
             dels,
             (tagged["__file"] == dels["file_path"]) & (tagged["__dpos"] == dels["pos"]),
             "left_anti",
         )
+    if eq:
+        if md is None or data_files is None:
+            raise ValueError(
+                "equality-delete files present: the scan needs table "
+                "metadata and the live data files (for sequence numbers)"
+            )
+        seq_by_path = {f.file_path: f.sequence_number for f in data_files}
+        tagged = apply_equality_deletes(spark, tagged, eq, md, seq_by_path)
     return tagged.drop("__dpos")
 
 
@@ -913,18 +1090,30 @@ def scan_with_deletes(
     data_files: list[DataFile],
     delete_files: list[DataFile],
 ) -> DataFrame:
-    """Snapshot scan under the current schema with position deletes
-    applied (the merge-on-read read path)."""
+    """Snapshot scan under the current schema with position AND equality
+    deletes applied (the merge-on-read read path)."""
     schema = read_schema_for(spark, md)
     if not data_files:
         return spark.createDataFrame([], schema)
+    if any(f.content == 2 for f in delete_files):
+        tagged = _tagged_live_scan(
+            spark,
+            schema,
+            [f.file_path for f in data_files],
+            delete_files,
+            md,
+            data_files,
+        )
+        return tagged.select(*[f_.name for f_ in schema.fields])
     df = spark.read.schema(schema).parquet(*[f.file_path for f in data_files])
     return apply_position_deletes(spark, df, delete_files)
 
 
 def live_files(md: dict, snapshot_id: int) -> tuple[list[DataFile], list[DataFile]]:
-    """(data files, position-delete files) live in a snapshot — the
-    transport-neutral manifest walk both catalogs plan scans from."""
+    """(data files, delete files — position AND equality) live in a
+    snapshot — the transport-neutral manifest walk both catalogs plan
+    scans from. Each DataFile carries its data sequence number (null
+    entry seq inherits the manifest's, the spec's inheritance rule)."""
     snapshot = next(s for s in md["snapshots"] if s["snapshot-id"] == snapshot_id)
     data: list[DataFile] = []
     deletes: list[DataFile] = []
@@ -935,14 +1124,21 @@ def live_files(md: dict, snapshot_id: int) -> tuple[list[DataFile], list[DataFil
             if e["status"] == STATUS_DELETED:
                 continue
             d = e["data_file"]
+            eq = d.get("equality_ids")
             f = DataFile(
                 file_path=d["file_path"],
                 file_size_in_bytes=d["file_size_in_bytes"],
                 record_count=d["record_count"],
                 partition={k: v for k, v in d["partition"].items() if v is not None},
                 content=d.get("content", 0),
+                equality_ids=tuple(eq) if eq else None,
+                sequence_number=(
+                    e["sequence_number"]
+                    if e.get("sequence_number") is not None
+                    else m["sequence_number"]
+                ),
             )
-            (deletes if f.content == 1 else data).append(f)
+            (deletes if f.content in (1, 2) else data).append(f)
     return data, deletes
 
 
@@ -966,18 +1162,25 @@ def plan_position_delete(
         return None
     schema = read_schema_for(spark, md)
     scan = spark.read.schema(schema).parquet(*[f.file_path for f in data_files])
-    matches = (
-        scan.select(
-            "*",
-            _norm_meta_path().alias("__dfile"),
-            F.col("_metadata.row_index").alias("__dpos"),
-        )
-        .filter(F.expr(predicate))
-        .select(F.col("__dfile").alias("file_path"), F.col("__dpos").alias("pos"))
+    tagged = scan.select(
+        "*",
+        _norm_meta_path().alias("__file"),
+        F.col("_metadata.row_index").alias("__dpos"),
     )
-    if delete_files:
-        dels = read_position_deletes(spark, delete_files)
-        if sum(f.record_count for f in delete_files) <= BROADCAST_DELETE_ROWS:
+    eq = [f for f in delete_files if f.content == 2]
+    if eq:
+        # rows already equality-deleted are invisible: don't recount or
+        # re-record them as position deletes
+        tagged = apply_equality_deletes(
+            spark, tagged, eq, md, {f.file_path: f.sequence_number for f in data_files}
+        )
+    matches = tagged.filter(F.expr(predicate)).select(
+        F.col("__file").alias("file_path"), F.col("__dpos").alias("pos")
+    )
+    pos_files = [f for f in delete_files if f.content == 1]
+    if pos_files:
+        dels = read_position_deletes(spark, pos_files)
+        if sum(f.record_count for f in pos_files) <= BROADCAST_DELETE_ROWS:
             dels = F.broadcast(dels)
         matches = matches.join(dels, ["file_path", "pos"], "left_anti")
     n_deleted = matches.count()
@@ -1297,14 +1500,19 @@ def plan_rewrite(
             continue
         survivors.extend(f for f in files if f.file_size_in_bytes >= target_bytes)
         out_dir = os.path.join(md["location"], "data", f"rewrite-{uuid.uuid4().hex}")
-        part_df = spark.read.schema(read_schema_for(spark, md)).parquet(
-            *[f.file_path for f in small]
-        )
-        # pending position deletes on the compacted files are MATERIALIZED
-        # by the rewrite (the new files simply omit those rows)
-        part_df = with_field_ids(
-            apply_position_deletes(spark, part_df, delete_files or []), md
-        ).coalesce(1)
+        # pending deletes (position AND equality) on the compacted files
+        # are MATERIALIZED by the rewrite (the new files simply omit
+        # those rows); survivors keep their original sequence numbers,
+        # so still-live delete files keep applying to exactly them
+        part_df = _tagged_live_scan(
+            spark,
+            read_schema_for(spark, md),
+            [f.file_path for f in small],
+            delete_files or [],
+            md,
+            live,
+        ).drop("__file")
+        part_df = with_field_ids(part_df, md).coalesce(1)
         if zorder_by:
             from ..operators.layout import sort_by_zorder
 
@@ -1351,7 +1559,7 @@ def plan_delete(
     delete_files = delete_files or []
     schema = read_schema_for(spark, md)
     tagged = _tagged_live_scan(
-        spark, schema, [f.file_path for f in live], delete_files
+        spark, schema, [f.file_path for f in live], delete_files, md, live
     )
     stats = tagged.filter(F.expr(predicate)).groupBy("__file").count().collect()
     if not stats:
@@ -1360,7 +1568,7 @@ def plan_delete(
     n_deleted = sum(r["count"] for r in stats)
     survivors = [f for f in live if f.file_path not in hit_paths]
     keep = (
-        _tagged_live_scan(spark, schema, sorted(hit_paths), delete_files)
+        _tagged_live_scan(spark, schema, sorted(hit_paths), delete_files, md, live)
         .filter(~F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False)))
         .drop("__file")
     )
@@ -1397,7 +1605,7 @@ def plan_merge(
     hit_paths: set[str] = set()
     if live:
         tbl = _tagged_live_scan(
-            spark, schema, [f.file_path for f in live], delete_files
+            spark, schema, [f.file_path for f in live], delete_files, md, live
         )
         matched = tbl.join(F.broadcast(keys), key_cols, "semi")
         stats = matched.groupBy("__file").count().collect()  # paths only
@@ -1411,7 +1619,7 @@ def plan_merge(
     if hit_paths:
         # ONE partitioned rewrite job for every file containing matches
         keep = (
-            _tagged_live_scan(spark, schema, sorted(hit_paths), delete_files)
+            _tagged_live_scan(spark, schema, sorted(hit_paths), delete_files, md, live)
             .drop("__file")
             .join(F.broadcast(keys), key_cols, "anti")
         )
@@ -1449,7 +1657,7 @@ def plan_update(
     delete_files = delete_files or []
     schema = read_schema_for(spark, md)
     tagged = _tagged_live_scan(
-        spark, schema, [f.file_path for f in live], delete_files
+        spark, schema, [f.file_path for f in live], delete_files, md, live
     )
     stats = tagged.filter(F.expr(predicate)).groupBy("__file").count().collect()
     if not stats:
@@ -1467,7 +1675,7 @@ def plan_update(
         for f_ in schema.fields
     ]
     keep = (
-        _tagged_live_scan(spark, schema, sorted(hit_paths), delete_files)
+        _tagged_live_scan(spark, schema, sorted(hit_paths), delete_files, md, live)
         .drop("__file")
         .select(*cols)
     )
@@ -1502,7 +1710,7 @@ def plan_update_mor(
     schema = read_schema_for(spark, md)
     # every row in the matched scan matches: apply SET unconditionally
     matched = _tagged_live_scan(
-        spark, schema, [f.file_path for f in data_files], delete_files
+        spark, schema, [f.file_path for f in data_files], delete_files, md, data_files
     ).filter(F.expr(predicate)).drop("__file")
     updated = matched.select(
         *[
@@ -1536,7 +1744,7 @@ def plan_merge_mor(
     n_updated = 0
     if data_files:
         tagged = _tagged_live_scan(
-            spark, schema, [f.file_path for f in data_files], delete_files
+            spark, schema, [f.file_path for f in data_files], delete_files, md, data_files
         )
         # __file is already normalized; row position must be re-derived
         # (dropped by _tagged_live_scan) — tag again for the delete tuples
@@ -1546,9 +1754,10 @@ def plan_merge_mor(
             _norm_meta_path().alias("file_path"),
             F.col("_metadata.row_index").alias("pos"),
         )
-        if delete_files:
-            dels = read_position_deletes(spark, delete_files)
-            if sum(f.record_count for f in delete_files) <= BROADCAST_DELETE_ROWS:
+        pos_files = [f for f in delete_files if f.content == 1]
+        if pos_files:
+            dels = read_position_deletes(spark, pos_files)
+            if sum(f.record_count for f in pos_files) <= BROADCAST_DELETE_ROWS:
                 dels = F.broadcast(dels)
             tuples = tuples.join(dels, ["file_path", "pos"], "left_anti")
         matches = tuples.join(F.broadcast(keys), key_cols, "semi").select(
@@ -1600,7 +1809,7 @@ def plan_delete_rewrite(
     rewritten: list[DataFile] = []
     if hit:
         schema = read_schema_for(spark, md)
-        keep = _tagged_live_scan(spark, schema, sorted(hit), deletes).drop("__file")
+        keep = _tagged_live_scan(spark, schema, sorted(hit), deletes, md, live).drop("__file")
         rewritten = write_partitioned_batch(keep, md["location"], md)
     return survivors + rewritten, len(rewritten)
 
@@ -2227,14 +2436,22 @@ class FsTable:
                     continue
                 df_ = e["data_file"]
                 part = {k: v for k, v in df_["partition"].items() if v is not None}
-                if df_.get("content", 0) == 1:
+                entry_seq = (
+                    e["sequence_number"]
+                    if e.get("sequence_number") is not None
+                    else m["sequence_number"]
+                )
+                if df_.get("content", 0) in (1, 2):
+                    eq = df_.get("equality_ids")
                     deletes.append(
                         DataFile(
                             file_path=df_["file_path"],
                             file_size_in_bytes=df_["file_size_in_bytes"],
                             record_count=df_["record_count"],
                             partition=part,
-                            content=1,
+                            content=df_["content"],
+                            equality_ids=tuple(eq) if eq else None,
+                            sequence_number=entry_seq,
                         )
                     )
                     continue
@@ -2262,6 +2479,7 @@ class FsTable:
                         file_size_in_bytes=df_["file_size_in_bytes"],
                         record_count=df_["record_count"],
                         partition=part,
+                        sequence_number=entry_seq,
                     )
                 )
         return files, deletes, pruned
@@ -2684,6 +2902,60 @@ class FsTable:
         )
         return sid, n_deleted
 
+    def delete_where_equality(
+        self, spark: SparkSession, keys_df: DataFrame, equality_cols: list[str]
+    ) -> tuple[int | None, int]:
+        """Merge-on-read DELETE BY KEY: the distinct key tuples commit as
+        an Iceberg v2 equality-delete file (content=2) in a `delete`
+        snapshot — the table is NEVER read or scanned. Cost tracks the
+        key set: deleting a million opted-out user ids from a 100 TB
+        corpus is one small Parquet write plus a metadata commit, where
+        even a position delete needs a full predicate scan. Reads
+        subtract matching rows from all data files with sequence number
+        below the commit's (strictly — so rows re-inserted AFTER the
+        delete survive). Returns (snapshot id or None on empty
+        table/keys, n key tuples). Commits like an append: retries
+        cleanly over concurrent appends."""
+        _, planned_md = self._load_state()
+        if planned_md["current-snapshot-id"] == -1:
+            return None, 0
+        planned = plan_equality_delete(spark, planned_md, keys_df, equality_cols)
+        if planned is None:
+            return None, 0
+        new_deletes, n_keys = planned
+        sid = self._commit_with_retry(
+            new_deletes,
+            operation="delete",
+            carry_forward=True,
+            extra_summary={"deleted-key-tuples": str(n_keys)},
+        )
+        return sid, n_keys
+
+    def upsert_equality(
+        self, spark: SparkSession, df: DataFrame, equality_cols: list[str]
+    ) -> int:
+        """CDC upsert in ONE snapshot, zero table reads: commits the new
+        rows as data files AND an equality delete on their keys. Both
+        carry the same sequence number, and equality deletes apply only
+        to files with STRICTLY LOWER sequence numbers, so old row
+        versions vanish while the new rows survive — the Flink/Iceberg
+        streaming-upsert pattern. Per-batch cost is O(batch), never
+        O(table): this is the primitive that keeps a continuously
+        updated 100 TB feature table writable from a stream. Fold
+        accumulated deletes later with compaction maintenance."""
+        _, planned_md = self._load_state()
+        data_files = write_partitioned_batch(df, self.location, planned_md)
+        planned = plan_equality_delete(
+            spark, planned_md, df.select(*equality_cols), equality_cols
+        )
+        files = data_files + (planned[0] if planned else [])
+        return self._commit_with_retry(
+            files,
+            operation="overwrite",
+            carry_forward=True,
+            extra_summary={"upserted-records": str(sum(f.record_count for f in data_files))},
+        )
+
     def rewrite_position_deletes(self, spark: SparkSession) -> int | None:
         """Maintenance: fold all pending position deletes into the data
         files — exactly the files the delete rows reference are rewritten
@@ -2701,15 +2973,20 @@ class FsTable:
         if planned_snapshot == -1:
             return None
         live, deletes, _ = self.plan_scan(snapshot_id=planned_snapshot)
-        if not deletes:
+        pos = [f for f in deletes if f.content == 1]
+        eq = [f for f in deletes if f.content == 2]
+        if not pos:
             return None
         replacement, n_rewritten = plan_delete_rewrite(spark, planned_md, live, deletes)
+        # equality-delete files stay live for the SURVIVING files (which
+        # keep their original sequence numbers); the rewrite materialized
+        # them for the files it touched
         return self._commit_with_retry(
-            replacement,
+            replacement + eq,
             operation="replace",
             carry_forward=False,
             extra_summary={
-                "removed-delete-files": str(len(deletes)),
+                "removed-delete-files": str(len(pos)),
                 "rewritten-data-files": str(n_rewritten),
             },
             expected_base_snapshot=planned_snapshot,

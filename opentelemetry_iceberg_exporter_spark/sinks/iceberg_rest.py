@@ -659,6 +659,46 @@ class RestTable:
         )
         return sid, n_deleted
 
+    def delete_where_equality(
+        self, spark: SparkSession, keys_df: DataFrame, equality_cols: list[str]
+    ) -> tuple[int | None, int]:
+        """Equality DELETE over REST (see FsTable.delete_where_equality):
+        the key set commits as a content=2 delete file in a `delete`
+        snapshot — no table read; commits like an append."""
+        from .iceberg_fs import plan_equality_delete
+
+        md = self.metadata()
+        if md["current-snapshot-id"] == -1:
+            return None, 0
+        planned = plan_equality_delete(spark, md, keys_df, equality_cols)
+        if planned is None:
+            return None, 0
+        new_deletes, n_keys = planned
+        sid = self._commit_add(
+            new_deletes, "delete", {"deleted-key-tuples": str(n_keys)}
+        )
+        return sid, n_keys
+
+    def upsert_equality(
+        self, spark: SparkSession, df: DataFrame, equality_cols: list[str]
+    ) -> int:
+        """Single-snapshot CDC upsert over REST (see
+        FsTable.upsert_equality): new data files + an equality delete on
+        their keys, same sequence number, zero table reads."""
+        from .iceberg_fs import plan_equality_delete, write_partitioned_batch
+
+        md = self.metadata()
+        data_files = write_partitioned_batch(df, md["location"], md)
+        planned = plan_equality_delete(
+            spark, md, df.select(*equality_cols), equality_cols
+        )
+        files = data_files + (planned[0] if planned else [])
+        return self._commit_add(
+            files,
+            "overwrite",
+            {"upserted-records": str(sum(f.record_count for f in data_files))},
+        )
+
     def update_where(
         self,
         spark: SparkSession,
@@ -716,16 +756,20 @@ class RestTable:
         if planned_snapshot == -1:
             return None
         live, deletes = self._live_files(md, planned_snapshot)
-        if not deletes:
+        pos = [f for f in deletes if f.content == 1]
+        eq = [f for f in deletes if f.content == 2]
+        if not pos:
             return None
         replacement, n_rewritten = plan_delete_rewrite(spark, md, live, deletes)
+        # equality-delete files stay live for surviving files (original
+        # sequence numbers preserved); rewritten files materialized them
         return self._commit_replace(
             md,
             planned_snapshot,
-            replacement,
+            replacement + eq,
             "replace",
             {
-                "removed-delete-files": str(len(deletes)),
+                "removed-delete-files": str(len(pos)),
                 "rewritten-data-files": str(n_rewritten),
             },
             "position-delete rewrite",

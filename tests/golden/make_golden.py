@@ -51,6 +51,19 @@ DELETE_FILE = f"{LOC}/data/deletes-00d0/part-00000.parquet"
 DELETE_FILE_SIZE = 321
 DELETE_ROW_COUNT = 4
 
+# -- third commit: a merge-on-read EQUALITY delete (Iceberg v2 "Equality
+# Delete Files": content=2 entry with equality_ids, in a content=1
+# delete manifest) ---------------------------------------------------------
+EQ_MANIFEST_UUID_HEX = "55555555555555555555555555555555"
+EQ_LIST_UUID_HEX = "66666666666666666666666666666666"
+T_EQ_MS = 1700000003000
+SNAPSHOT3_SEED = bytes.fromhex("3456789abcdef012")
+SNAPSHOT3_ID = (int.from_bytes(SNAPSHOT3_SEED, "big")) >> 1
+EQ_FILE = f"{LOC}/data/eq-deletes-00e0/part-00000.parquet"
+EQ_FILE_SIZE = 210
+EQ_ROW_COUNT = 2
+EQ_FIELD_IDS = [1]  # equality on `id`
+
 
 # ---------------------------------------------------------------------------
 # Avro 1.11 binary encoding, written from the spec
@@ -158,6 +171,8 @@ LIST_PATH = f"{LOC}/metadata/snap-{SNAPSHOT_ID}-1-{LIST_UUID_HEX}.avro"
 # delete manifests carry the -m1 suffix (the writer's content-group index)
 DELETE_MANIFEST_PATH = f"{LOC}/metadata/{DELETE_MANIFEST_UUID_HEX}-m1.avro"
 DELETE_LIST_PATH = f"{LOC}/metadata/snap-{SNAPSHOT2_ID}-1-{DELETE_LIST_UUID_HEX}.avro"
+EQ_MANIFEST_PATH = f"{LOC}/metadata/{EQ_MANIFEST_UUID_HEX}-m1.avro"
+EQ_LIST_PATH = f"{LOC}/metadata/snap-{SNAPSHOT3_ID}-1-{EQ_LIST_UUID_HEX}.avro"
 
 
 # -- manifest file (spec: "Manifests"; required v2 subset of field IDs
@@ -196,11 +211,23 @@ def manifest_entry(
     content: int = 0,
     snapshot_id: int = SNAPSHOT_ID,
     seq: int = 1,
+    equality_ids: list[int] | None = None,
 ) -> bytes:
     """One manifest_entry row: record fields in declared order. The
     fixture's data files do not exist on disk, so lower/upper bounds are
     the null union branch (bounds are optional per the spec). content=1
-    encodes a position-delete file (v2 merge-on-read)."""
+    encodes a position-delete file, content=2 an equality-delete file
+    whose equality_ids (spec field 135, array of schema field ids) name
+    the columns rows are matched on (v2 merge-on-read)."""
+    if equality_ids is None:
+        eq = zigzag_varint(0)  # union: null branch
+    else:  # union branch 1, then array: one block then terminator
+        eq = (
+            zigzag_varint(1)
+            + zigzag_varint(len(equality_ids))
+            + b"".join(zigzag_varint(i) for i in equality_ids)
+            + zigzag_varint(0)
+        )
     return b"".join(
         [
             zigzag_varint(1),  # status int: 1 = ADDED
@@ -208,7 +235,7 @@ def manifest_entry(
             avro_opt_long(seq),  # sequence_number
             avro_opt_long(seq),  # file_sequence_number
             # data_file record:
-            zigzag_varint(content),  # 0 = data, 1 = position deletes
+            zigzag_varint(content),  # 0 = data, 1 = pos deletes, 2 = eq
             avro_str(path),
             avro_str("PARQUET"),
             avro_opt_int(ts_hour),  # partition record: one optional int
@@ -216,6 +243,7 @@ def manifest_entry(
             zigzag_varint(size),
             zigzag_varint(0),  # lower_bounds: null branch
             zigzag_varint(0),  # upper_bounds: null branch
+            eq,  # equality_ids
         ]
     )
 
@@ -264,6 +292,15 @@ MANIFEST_AVRO_SCHEMA = {
                         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
                         _bounds_field("lower_bounds", 125, 126, 127),
                         _bounds_field("upper_bounds", 128, 129, 130),
+                        {
+                            "name": "equality_ids",
+                            "type": [
+                                "null",
+                                {"type": "array", "items": "int", "element-id": 136},
+                            ],
+                            "default": None,
+                            "field-id": 135,
+                        },
                     ],
                 },
                 "field-id": 2,
@@ -372,7 +409,15 @@ def build_delete_manifest_list(delete_manifest_len: int, data_manifest_len: int)
         ("sequence-number", "2"),
         ("format-version", "2"),
     ]
-    delete_row = b"".join(
+    return ocf(
+        json.dumps(MANIFEST_LIST_AVRO_SCHEMA),
+        extra,
+        [_delete_manifest_row(delete_manifest_len), _data_manifest_row(data_manifest_len)],
+    )
+
+
+def _delete_manifest_row(delete_manifest_len: int) -> bytes:
+    return b"".join(
         [
             avro_str(DELETE_MANIFEST_PATH),
             zigzag_varint(delete_manifest_len),
@@ -389,10 +434,62 @@ def build_delete_manifest_list(delete_manifest_len: int, data_manifest_len: int)
             zigzag_varint(0),
         ]
     )
+
+
+def build_eq_manifest() -> bytes:
+    """A DELETE manifest holding one EQUALITY-delete file: content=2
+    entry with equality_ids=[1] (the `id` column), sequence number 3."""
+    rows = [
+        manifest_entry(
+            EQ_FILE,
+            EQ_FILE_SIZE,
+            EQ_ROW_COUNT,
+            None,
+            content=2,
+            snapshot_id=SNAPSHOT3_ID,
+            seq=3,
+            equality_ids=EQ_FIELD_IDS,
+        )
+    ]
+    return ocf(json.dumps(MANIFEST_AVRO_SCHEMA), _manifest_meta("deletes"), rows)
+
+
+def build_eq_manifest_list(
+    eq_manifest_len: int, delete_manifest_len: int, data_manifest_len: int
+) -> bytes:
+    """Snapshot 3's manifest list: the NEW equality-delete manifest
+    first, then the parent's manifests carried forward in order."""
+    extra = [
+        ("snapshot-id", str(SNAPSHOT3_ID)),
+        ("parent-snapshot-id", str(SNAPSHOT2_ID)),
+        ("sequence-number", "3"),
+        ("format-version", "2"),
+    ]
+    eq_row = b"".join(
+        [
+            avro_str(EQ_MANIFEST_PATH),
+            zigzag_varint(eq_manifest_len),
+            zigzag_varint(0),  # partition_spec_id
+            zigzag_varint(1),  # content: 1 = deletes (eq files included)
+            zigzag_varint(3),  # sequence_number
+            zigzag_varint(3),  # min_sequence_number
+            zigzag_varint(SNAPSHOT3_ID),
+            zigzag_varint(1),  # added_files_count
+            zigzag_varint(0),
+            zigzag_varint(0),
+            zigzag_varint(EQ_ROW_COUNT),  # added_rows_count
+            zigzag_varint(0),
+            zigzag_varint(0),
+        ]
+    )
     return ocf(
         json.dumps(MANIFEST_LIST_AVRO_SCHEMA),
         extra,
-        [delete_row, _data_manifest_row(data_manifest_len)],
+        [
+            eq_row,
+            _delete_manifest_row(delete_manifest_len),
+            _data_manifest_row(data_manifest_len),
+        ],
     )
 
 
@@ -459,16 +556,58 @@ def build_metadata_v3() -> dict:
     return md
 
 
+def build_metadata_v4() -> dict:
+    """Metadata after the equality-delete commit: another `delete`
+    snapshot; the summary counts equality-delete rows (key tuples), not
+    position deletes."""
+    md_v3 = build_metadata_v3()
+    snapshot3 = {
+        "snapshot-id": SNAPSHOT3_ID,
+        "parent-snapshot-id": SNAPSHOT2_ID,
+        "sequence-number": 3,
+        "timestamp-ms": T_EQ_MS,
+        "manifest-list": EQ_LIST_PATH,
+        "summary": {
+            "operation": "delete",
+            "added-data-files": "0",
+            "added-records": "0",
+            "added-delete-files": "1",
+            "added-equality-deletes": str(EQ_ROW_COUNT),
+            "deleted-key-tuples": str(EQ_ROW_COUNT),
+        },
+        "schema-id": 0,
+    }
+    md = dict(md_v3)
+    md["last-sequence-number"] = 3
+    md["last-updated-ms"] = T_EQ_MS
+    md["snapshots"] = md_v3["snapshots"] + [snapshot3]
+    md["current-snapshot-id"] = SNAPSHOT3_ID
+    md["refs"] = {"main": {"snapshot-id": SNAPSHOT3_ID, "type": "branch"}}
+    md["snapshot-log"] = md_v3["snapshot-log"] + [
+        {"timestamp-ms": T_EQ_MS, "snapshot-id": SNAPSHOT3_ID}
+    ]
+    md["metadata-log"] = md_v3["metadata-log"] + [
+        {"timestamp-ms": T_DELETE_MS, "metadata-file": f"{LOC}/metadata/v3.metadata.json"}
+    ]
+    return md
+
+
 def main() -> None:
     manifest = build_manifest()
     mlist = build_manifest_list(len(manifest))
     delete_manifest = build_delete_manifest()
     delete_list = build_delete_manifest_list(len(delete_manifest), len(manifest))
+    eq_manifest = build_eq_manifest()
+    eq_list = build_eq_manifest_list(
+        len(eq_manifest), len(delete_manifest), len(manifest)
+    )
     out = {
         "manifest.avro": manifest,
         "manifest-list.avro": mlist,
         "delete-manifest.avro": delete_manifest,
         "delete-manifest-list.avro": delete_list,
+        "eq-manifest.avro": eq_manifest,
+        "eq-manifest-list.avro": eq_list,
     }
     for name, data in out.items():
         with open(os.path.join(HERE, name), "wb") as f:
@@ -477,6 +616,7 @@ def main() -> None:
         ("v1.metadata.json", METADATA_V1),
         ("v2.metadata.json", build_metadata_v2()),
         ("v3.metadata.json", build_metadata_v3()),
+        ("v4.metadata.json", build_metadata_v4()),
     ):
         with open(os.path.join(HERE, name), "w", encoding="utf-8") as f:
             json.dump(md, f, indent=2)

@@ -78,6 +78,9 @@ def frozen(monkeypatch):
             uuid_mod.UUID(hex=GEN.DELETE_MANIFEST_UUID_HEX),  # delete manifest
             uuid_mod.UUID(hex=GEN.DELETE_LIST_UUID_HEX),  # delete manifest list
             uuid_mod.UUID(hex="c" * 32),  # version-hint tmp
+            uuid_mod.UUID(hex=GEN.EQ_MANIFEST_UUID_HEX),  # equality manifest
+            uuid_mod.UUID(hex=GEN.EQ_LIST_UUID_HEX),  # equality manifest list
+            uuid_mod.UUID(hex="d" * 32),  # version-hint tmp
         ]
     )
     times = iter(
@@ -85,9 +88,10 @@ def frozen(monkeypatch):
             GEN.T_CREATE_MS / 1000.0,
             GEN.T_APPEND_MS / 1000.0,
             GEN.T_DELETE_MS / 1000.0,
+            GEN.T_EQ_MS / 1000.0,
         ]
     )
-    seeds = iter([GEN.SNAPSHOT_SEED, GEN.SNAPSHOT2_SEED])
+    seeds = iter([GEN.SNAPSHOT_SEED, GEN.SNAPSHOT2_SEED, GEN.SNAPSHOT3_SEED])
 
     def fake_urandom(n: int) -> bytes:
         if n == 8:
@@ -194,6 +198,43 @@ class TestGoldenWrite:
             )
         with open(os.path.join(GEN.LOC, "metadata", "v3.metadata.json"), "rb") as f:
             assert f.read() == _golden_bytes("v3.metadata.json"), "v3 metadata drift"
+
+        # fourth artifact set: a merge-on-read EQUALITY-delete commit —
+        # content=2 entry with equality_ids in a content=1 manifest
+        sid3 = table._commit_with_retry(
+            [
+                DataFile(
+                    GEN.EQ_FILE,
+                    GEN.EQ_FILE_SIZE,
+                    GEN.EQ_ROW_COUNT,
+                    {},
+                    content=2,
+                    equality_ids=tuple(GEN.EQ_FIELD_IDS),
+                )
+            ],
+            operation="delete",
+            carry_forward=True,
+            extra_summary={"deleted-key-tuples": str(GEN.EQ_ROW_COUNT)},
+        )
+        assert sid3 == GEN.SNAPSHOT3_ID
+        with open(
+            os.path.join(GEN.LOC, "metadata", f"{GEN.EQ_MANIFEST_UUID_HEX}-m1.avro"),
+            "rb",
+        ) as f:
+            assert f.read() == _golden_bytes("eq-manifest.avro"), "eq manifest drift"
+        with open(
+            os.path.join(
+                GEN.LOC,
+                "metadata",
+                f"snap-{GEN.SNAPSHOT3_ID}-1-{GEN.EQ_LIST_UUID_HEX}.avro",
+            ),
+            "rb",
+        ) as f:
+            assert f.read() == _golden_bytes("eq-manifest-list.avro"), (
+                "eq manifest-list drift"
+            )
+        with open(os.path.join(GEN.LOC, "metadata", "v4.metadata.json"), "rb") as f:
+            assert f.read() == _golden_bytes("v4.metadata.json"), "v4 metadata drift"
         shutil.rmtree("/tmp/spark_graft_golden", ignore_errors=True)
 
     def test_generator_is_byte_stable(self, tmp_path):
@@ -211,9 +252,12 @@ class TestGoldenWrite:
             "manifest-list.avro",
             "delete-manifest.avro",
             "delete-manifest-list.avro",
+            "eq-manifest.avro",
+            "eq-manifest-list.avro",
             "v1.metadata.json",
             "v2.metadata.json",
             "v3.metadata.json",
+            "v4.metadata.json",
         ):
             with open(work / name, "rb") as f:
                 assert f.read() == _golden_bytes(name), name
@@ -304,6 +348,53 @@ class TestGoldenRead:
         # incremental scans refuse to cross the delete snapshot
         with pytest.raises(ValueError, match="delete"):
             t.incremental_files(from_snapshot_id=GEN.SNAPSHOT_ID)
+
+    @pytest.fixture()
+    def golden_table_v4(self):
+        """The fixture table AFTER the independently-encoded
+        equality-delete commit (version-hint 4)."""
+        shutil.rmtree("/tmp/spark_graft_golden", ignore_errors=True)
+        meta_dir = os.path.join(GEN.LOC, "metadata")
+        os.makedirs(meta_dir)
+        for src, dst in (
+            ("v1.metadata.json", "v1.metadata.json"),
+            ("v2.metadata.json", "v2.metadata.json"),
+            ("v3.metadata.json", "v3.metadata.json"),
+            ("v4.metadata.json", "v4.metadata.json"),
+            ("manifest.avro", f"{GEN.MANIFEST_UUID_HEX}-m0.avro"),
+            ("manifest-list.avro", f"snap-{GEN.SNAPSHOT_ID}-1-{GEN.LIST_UUID_HEX}.avro"),
+            ("delete-manifest.avro", f"{GEN.DELETE_MANIFEST_UUID_HEX}-m1.avro"),
+            (
+                "delete-manifest-list.avro",
+                f"snap-{GEN.SNAPSHOT2_ID}-1-{GEN.DELETE_LIST_UUID_HEX}.avro",
+            ),
+            ("eq-manifest.avro", f"{GEN.EQ_MANIFEST_UUID_HEX}-m1.avro"),
+            (
+                "eq-manifest-list.avro",
+                f"snap-{GEN.SNAPSHOT3_ID}-1-{GEN.EQ_LIST_UUID_HEX}.avro",
+            ),
+        ):
+            shutil.copy(os.path.join(GOLDEN, src), os.path.join(meta_dir, dst))
+        with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+            f.write("4")
+        yield FsTable(GEN.LOC)
+        shutil.rmtree("/tmp/spark_graft_golden", ignore_errors=True)
+
+    def test_package_reads_independent_equality_delete_commit(self, golden_table_v4):
+        t = golden_table_v4
+        assert t.current_snapshot()["snapshot-id"] == GEN.SNAPSHOT3_ID
+        data, deletes, _ = t.plan_scan()
+        assert {f.file_path for f in data} == {GEN.FILE_A, GEN.FILE_B}
+        by_path = {f.file_path: f for f in deletes}
+        assert set(by_path) == {GEN.DELETE_FILE, GEN.EQ_FILE}
+        eq = by_path[GEN.EQ_FILE]
+        assert eq.content == 2
+        assert eq.equality_ids == tuple(GEN.EQ_FIELD_IDS)
+        assert eq.sequence_number == 3
+        # data files carry their original (commit 1) sequence numbers —
+        # the strict seq<delete comparison depends on this
+        assert all(f.sequence_number == 1 for f in data)
+        assert by_path[GEN.DELETE_FILE].sequence_number == 2
 
     def test_ocf_decode_matches_expected_rows(self):
         schema, meta, rows = read_ocf(os.path.join(GOLDEN, "manifest.avro"))
