@@ -169,7 +169,7 @@ def main(argv: list[str] | None = None) -> int:
     pdel.add_argument("--warehouse", required=True)
     pdel.add_argument("--namespace", default="otel")
     pdel.add_argument("--table", required=True)
-    pdel.add_argument("--where", required=True, help="SQL predicate for rows to DELETE")
+    pdel.add_argument("--where", help="SQL predicate for rows to DELETE")
     pdel.add_argument(
         "--mode",
         choices=["copy-on-write", "merge-on-read"],
@@ -178,6 +178,29 @@ def main(argv: list[str] | None = None) -> int:
         "matches, not the files containing them (fold in later with "
         "maintain --fold-deletes)",
     )
+    pdel.add_argument(
+        "--keys",
+        help="instead of --where: Parquet file/dir of key tuples to "
+        "delete by EQUALITY (Iceberg v2 equality-delete file, content=2)"
+        " — the table is never read; cost tracks the key set",
+    )
+    pdel.add_argument(
+        "--key-cols",
+        help="comma-separated equality columns (required with --keys)",
+    )
+
+    pup = sub.add_parser(
+        "upsert",
+        help="zero-read CDC upsert: commit the input rows AND an "
+        "equality delete on their keys in ONE snapshot — old row "
+        "versions vanish, new rows survive (strict sequence-number "
+        "rule); per-batch cost is O(batch), never O(table)",
+    )
+    pup.add_argument("--warehouse", required=True)
+    pup.add_argument("--namespace", default="otel")
+    pup.add_argument("--table", required=True)
+    pup.add_argument("--input", required=True, help="Parquet file/dir of new rows")
+    pup.add_argument("--key-cols", required=True, help="comma-separated key columns")
 
     pu = sub.add_parser(
         "update",
@@ -342,8 +365,34 @@ def main(argv: list[str] | None = None) -> int:
         from .sinks.iceberg_fs import FsCatalog
 
         table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
+        if args.keys:
+            if not args.key_cols:
+                raise SystemExit("--keys requires --key-cols")
+            if args.where:
+                raise SystemExit("pass --where OR --keys, not both")
+            keys_df = spark.read.parquet(args.keys)
+            cols = [c.strip() for c in args.key_cols.split(",") if c.strip()]
+            sid, n = table.delete_where_equality(spark, keys_df, cols)
+            print(
+                json.dumps(
+                    {"snapshot": sid, "deleted_key_tuples": n, "mode": "equality"}
+                )
+            )
+            return 0
+        if not args.where:
+            raise SystemExit("pass --where (predicate) or --keys (equality)")
         sid, n = table.delete_where(spark, args.where, mode=args.mode)
         print(json.dumps({"snapshot": sid, "deleted_rows": n, "mode": args.mode}))
+        return 0
+
+    if args.cmd == "upsert":
+        from .sinks.iceberg_fs import FsCatalog
+
+        table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
+        cols = [c.strip() for c in args.key_cols.split(",") if c.strip()]
+        df = spark.read.parquet(args.input)
+        sid = table.upsert_equality(spark, df, cols)
+        print(json.dumps({"snapshot": sid, "upserted_rows": df.count()}))
         return 0
 
     if args.cmd == "update":

@@ -66,6 +66,13 @@ class CatalogConfig:
     # BRANCH instead of main; publish_staged() fast-forwards main after
     # validation (Iceberg's spark.wap.branch workflow). "" = direct.
     wap_branch: str = ""
+    # CDC-upsert: per-signal equality-key columns. A signal listed here
+    # commits each batch as a single-snapshot equality upsert (new data
+    # files + an equality delete on the batch's keys) instead of a plain
+    # append — re-exported rows REPLACE earlier versions instead of
+    # duplicating (e.g. {"traces": ["trace_id", "span_id"]} dedups
+    # re-sent spans). Zero table reads per batch; O(batch) forever.
+    upsert_keys: dict[str, list[str]] = field(default_factory=dict)
 
     def validate(self) -> None:
         if self.catalog_type not in VALID_CATALOG_TYPES:
@@ -76,6 +83,16 @@ class CatalogConfig:
             raise ValueError("catalog.warehouse required for fs catalog")
         if self.wap_branch == "main":
             raise ValueError("catalog.wap_branch cannot be 'main'; leave empty for direct writes")
+        for signal, cols in self.upsert_keys.items():
+            if not cols or not all(isinstance(c, str) and c for c in cols):
+                raise ValueError(
+                    f"catalog.upsert_keys[{signal!r}] must be a non-empty list of column names"
+                )
+        if self.upsert_keys and self.wap_branch:
+            raise ValueError(
+                "catalog.upsert_keys and catalog.wap_branch are mutually "
+                "exclusive (branch-staged upserts are not supported)"
+            )
 
 
 @dataclass

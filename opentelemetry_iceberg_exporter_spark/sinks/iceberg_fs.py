@@ -1961,13 +1961,20 @@ def metadata_table(spark: SparkSession, md: dict, name: str) -> "DataFrame":
                             {k: str(v) if v is not None else None for k, v in d["partition"].items()},
                             d["record_count"],
                             d["file_size_in_bytes"],
+                            (
+                                e["sequence_number"]
+                                if e.get("sequence_number") is not None
+                                else m["sequence_number"]
+                            ),
+                            list(d["equality_ids"]) if d.get("equality_ids") else None,
                         )
                     )
         return spark.createDataFrame(
             entries,
             "content int, file_path string, file_format string, "
             "partition map<string,string>, record_count long, "
-            "file_size_in_bytes long",
+            "file_size_in_bytes long, sequence_number long, "
+            "equality_ids array<int>",
         )
     if name == "manifests":
         sid = md.get("current-snapshot-id", -1)
@@ -2932,8 +2939,12 @@ class FsTable:
         return sid, n_keys
 
     def upsert_equality(
-        self, spark: SparkSession, df: DataFrame, equality_cols: list[str]
-    ) -> int:
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        equality_cols: list[str],
+        snapshot_properties: dict[str, str] | None = None,
+    ) -> int | None:
         """CDC upsert in ONE snapshot, zero table reads: commits the new
         rows as data files AND an equality delete on their keys. Both
         carry the same sequence number, and equality deletes apply only
@@ -2942,18 +2953,23 @@ class FsTable:
         streaming-upsert pattern. Per-batch cost is O(batch), never
         O(table): this is the primitive that keeps a continuously
         updated 100 TB feature table writable from a stream. Fold
-        accumulated deletes later with compaction maintenance."""
+        accumulated deletes later with compaction maintenance. Empty
+        inputs commit NOTHING and return None (F1 short-circuit)."""
         _, planned_md = self._load_state()
         data_files = write_partitioned_batch(df, self.location, planned_md)
+        if not data_files:  # F1: empty batch -> no snapshot
+            return None
         planned = plan_equality_delete(
             spark, planned_md, df.select(*equality_cols), equality_cols
         )
         files = data_files + (planned[0] if planned else [])
+        summary = {"upserted-records": str(sum(f.record_count for f in data_files))}
+        summary.update(snapshot_properties or {})
         return self._commit_with_retry(
             files,
             operation="overwrite",
             carry_forward=True,
-            extra_summary={"upserted-records": str(sum(f.record_count for f in data_files))},
+            extra_summary=summary,
         )
 
     def rewrite_position_deletes(self, spark: SparkSession) -> int | None:

@@ -680,24 +680,29 @@ class RestTable:
         return sid, n_keys
 
     def upsert_equality(
-        self, spark: SparkSession, df: DataFrame, equality_cols: list[str]
-    ) -> int:
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        equality_cols: list[str],
+        snapshot_properties: dict[str, str] | None = None,
+    ) -> int | None:
         """Single-snapshot CDC upsert over REST (see
         FsTable.upsert_equality): new data files + an equality delete on
-        their keys, same sequence number, zero table reads."""
+        their keys, same sequence number, zero table reads. Empty inputs
+        commit nothing (F1 short-circuit)."""
         from .iceberg_fs import plan_equality_delete, write_partitioned_batch
 
         md = self.metadata()
         data_files = write_partitioned_batch(df, md["location"], md)
+        if not data_files:
+            return None
         planned = plan_equality_delete(
             spark, md, df.select(*equality_cols), equality_cols
         )
         files = data_files + (planned[0] if planned else [])
-        return self._commit_add(
-            files,
-            "overwrite",
-            {"upserted-records": str(sum(f.record_count for f in data_files))},
-        )
+        summary = {"upserted-records": str(sum(f.record_count for f in data_files))}
+        summary.update(snapshot_properties or {})
+        return self._commit_add(files, "overwrite", summary)
 
     def update_where(
         self,

@@ -232,12 +232,18 @@ class FsIcebergSink:
         None for an empty batch (F1 short-circuit — no empty snapshots).
         With catalog.wap_branch set, the commit stages on that branch
         (write-audit-publish) and main is untouched until
-        publish_staged()."""
+        publish_staged(). With catalog.upsert_keys[signal] set, the
+        batch commits as a single-snapshot equality UPSERT instead —
+        re-exported rows replace earlier versions (CDC semantics) at
+        O(batch) cost, never O(table)."""
         props = {"otel.exporter": "opentelemetry-iceberg-exporter-spark"}
         if record_count is not None:
             props["otel.record_count"] = str(record_count)
         table = self._load(signal)
         conformed = S.conform(df, S.SCHEMAS[signal])
+        keys = self.config.catalog.upsert_keys.get(signal)
+        if keys:
+            return table.upsert_equality(self.spark, conformed, keys, props)
         branch = self.config.catalog.wap_branch
         if branch:
             return table.append_dataframe_to_branch(branch, conformed, props)
@@ -327,12 +333,17 @@ class RestIcebergSink:
 
     def append(self, df: DataFrame, signal: str, record_count: int | None = None) -> int | None:
         """K3 over REST (catalog_rest.go:243-303 AppendRecords); with
-        catalog.wap_branch set the commit stages on that branch (WAP)."""
+        catalog.wap_branch set the commit stages on that branch (WAP);
+        with catalog.upsert_keys[signal] set the batch commits as a
+        single-snapshot equality upsert (CDC semantics)."""
         props = {"otel.exporter": "opentelemetry-iceberg-exporter-spark"}
         if record_count is not None:
             props["otel.record_count"] = str(record_count)
         self.client.ensure_namespace(self.config.catalog.namespace)
         conformed = S.conform(df, S.SCHEMAS[signal])
+        keys = self.config.catalog.upsert_keys.get(signal)
+        if keys:
+            return self._load(signal).upsert_equality(self.spark, conformed, keys, props)
         branch = self.config.catalog.wap_branch
         if branch:
             return self._load(signal).append_dataframe_to_branch(branch, conformed, props)

@@ -89,6 +89,10 @@ manifest_entries = st.fixed_dictionaries(
                 # optional column-bound maps (array-of-record map form)
                 "lower_bounds": st.one_of(st.none(), _bounds_lists),
                 "upper_bounds": st.one_of(st.none(), _bounds_lists),
+                # optional equality-delete field ids (array of int)
+                "equality_ids": st.one_of(
+                    st.none(), st.lists(st.integers(1, 1000), min_size=1, max_size=4)
+                ),
             }
         ),
     }

@@ -17,6 +17,7 @@ REST parity.
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -145,6 +146,20 @@ class TestEqualityDelete:
         assert d["equality_ids"] == [id_field]
 
 
+    def test_files_metadata_table_shows_equality_file(self, spark, fs_table):
+        t = fs_table
+        t.delete_where_equality(
+            spark, spark.createDataFrame([(1,)], "id long"), ["id"]
+        )
+        rows = t.metadata_table(spark, "files").filter("content = 2").collect()
+        assert len(rows) == 1
+        assert list(rows[0]["equality_ids"] or []) != []
+        assert rows[0]["sequence_number"] == t.current_snapshot()["sequence-number"]
+        # data files keep their append-time sequence number
+        data_rows = t.metadata_table(spark, "files").filter("content = 0").collect()
+        assert all(r["sequence_number"] == 1 for r in data_rows)
+
+
 class TestUpsert:
     def test_single_snapshot_upsert(self, spark, fs_table):
         t = fs_table
@@ -243,6 +258,169 @@ class TestInterplay:
         assert [f.content for f in deletes] == [2]
         assert t.read(spark).count() == 179
         assert t.read(spark).filter("id = 11 or id % 10 = 7").count() == 0
+
+
+class TestExporterUpsertConfig:
+    def _sink(self, spark, tmp_path):
+        from opentelemetry_iceberg_exporter_spark import schemas as S
+        from opentelemetry_iceberg_exporter_spark.config import (
+            CatalogConfig,
+            ExporterConfig,
+            PartitionConfig,
+            StorageConfig,
+        )
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_sink import (
+            FsIcebergSink,
+        )
+
+        cfg = ExporterConfig(
+            storage=StorageConfig(
+                provider="filesystem", bucket=str(tmp_path), prefix="raw"
+            ),
+            catalog=CatalogConfig(
+                catalog_type="fs",
+                warehouse=str(tmp_path / "warehouse"),
+                upsert_keys={S.SIGNAL_TRACES: ["trace_id", "span_id"]},
+            ),
+            partition=PartitionConfig(granularity="hourly"),
+        )
+        cfg.catalog.validate()
+        return FsIcebergSink(spark, cfg), S
+
+    def _span_rows(self, spark, S, spans):
+        """spans: [(trace_id, span_id, span_name)] -> conforming DF."""
+        from datetime import datetime, timezone
+
+        from pyspark.sql.types import (
+            ArrayType,
+            BooleanType,
+            IntegerType,
+            LongType,
+            StringType,
+            TimestampType,
+        )
+
+        schema = S.SCHEMAS[S.SIGNAL_TRACES]
+
+        def default(dt):
+            if isinstance(dt, StringType):
+                return ""
+            if isinstance(dt, (LongType, IntegerType)):
+                return 0
+            if isinstance(dt, BooleanType):
+                return False
+            if isinstance(dt, TimestampType):
+                return datetime(2024, 3, 1, tzinfo=timezone.utc)
+            if isinstance(dt, ArrayType):
+                return []
+            return None
+
+        rows = []
+        for trace_id, span_id, name in spans:
+            row = {
+                f.name: (None if f.nullable else default(f.dataType))
+                for f in schema.fields
+            }
+            row["trace_id"] = trace_id
+            row["span_id"] = span_id
+            row["span_name"] = name
+            row[S.partition_column(S.SIGNAL_TRACES)] = datetime(
+                2024, 3, 1, tzinfo=timezone.utc
+            )
+            rows.append(row)
+        return spark.createDataFrame(rows, schema)
+
+    def test_resent_spans_replace_not_duplicate(self, spark, tmp_path):
+        """The exporter's CDC hookup: with catalog.upsert_keys set for
+        traces, a re-exported span REPLACES its earlier version instead
+        of duplicating — at O(batch) cost, no table read per commit."""
+        sink, S = self._sink(spark, tmp_path)
+        sink.append(
+            self._span_rows(spark, S, [("t1", "s1", "first"), ("t1", "s2", "x")]),
+            S.SIGNAL_TRACES,
+        )
+        # re-send s1 (corrected) plus a brand-new span in one batch
+        sink.append(
+            self._span_rows(spark, S, [("t1", "s1", "second"), ("t2", "s3", "y")]),
+            S.SIGNAL_TRACES,
+        )
+        out = sink.read(S.SIGNAL_TRACES)
+        assert out.count() == 3  # no duplicate for (t1, s1)
+        assert (
+            out.filter("trace_id = 't1' and span_id = 's1'")
+            .select("span_name")
+            .first()[0]
+            == "second"
+        )
+        assert out.groupBy("trace_id", "span_id").count().filter(
+            "count > 1"
+        ).count() == 0
+
+    def test_upsert_keys_validation(self):
+        from opentelemetry_iceberg_exporter_spark.config import CatalogConfig
+
+        with pytest.raises(ValueError, match="upsert_keys"):
+            CatalogConfig(
+                catalog_type="fs", warehouse="/tmp/x", upsert_keys={"traces": []}
+            ).validate()
+        with pytest.raises(ValueError, match="mutually"):
+            CatalogConfig(
+                catalog_type="fs",
+                warehouse="/tmp/x",
+                upsert_keys={"traces": ["trace_id"]},
+                wap_branch="audit",
+            ).validate()
+
+
+class TestCli:
+    def test_delete_by_keys_cli(self, spark, fs_table, tmp_path, capsys):
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        keys_path = str(tmp_path / "keys.parquet")
+        spark.createDataFrame([(3,), (4,)], "id long").write.parquet(keys_path)
+        wh = os.path.dirname(os.path.dirname(fs_table.location))
+        rc = main(
+            [
+                "delete",
+                "--warehouse", wh,
+                "--table", "events",
+                "--keys", keys_path,
+                "--key-cols", "id",
+            ]
+        )
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["deleted_key_tuples"] == 2
+        assert out["mode"] == "equality"
+        assert fs_table.read(spark).count() == 198
+
+    def test_upsert_cli(self, spark, fs_table, tmp_path, capsys):
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        batch_path = str(tmp_path / "batch.parquet")
+        _df(spark, n=5, tag="cli").withColumn("v", F.lit(-1)).write.parquet(
+            batch_path
+        )
+        wh = os.path.dirname(os.path.dirname(fs_table.location))
+        rc = main(
+            [
+                "upsert",
+                "--warehouse", wh,
+                "--table", "events",
+                "--input", batch_path,
+                "--key-cols", "id",
+            ]
+        )
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["upserted_rows"] == 5
+        assert fs_table.read(spark).count() == 200
+        assert fs_table.read(spark).filter("v = -1").count() == 5
+
+    def test_delete_requires_where_or_keys(self, fs_table):
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        wh = os.path.dirname(os.path.dirname(fs_table.location))
+        with pytest.raises(SystemExit, match="--where"):
+            main(["delete", "--warehouse", wh, "--table", "events"])
 
 
 class TestRestTransport:
