@@ -1342,6 +1342,176 @@ def incremental_data_files(
     return files, end_snapshot_id
 
 
+def _added_files(snapshot: dict) -> tuple[list[DataFile], bool]:
+    """(files ADDED by one snapshot — its own manifests only — with
+    content/equality_ids/sequence numbers, whether the snapshot CARRIES
+    ancestor manifests). Carry-forward distinguishes append-style
+    commits (appends, merge-on-read row deltas) from replace-style
+    overwrites, whose manifest holds the complete live set."""
+    out: list[DataFile] = []
+    carried = False
+    _, _, manifests = read_ocf(snapshot["manifest-list"])
+    for m in manifests:
+        if m["added_snapshot_id"] != snapshot["snapshot-id"]:
+            carried = True
+            continue
+        _, _, entries = read_ocf(m["manifest_path"])
+        for e in entries:
+            if e["status"] != STATUS_ADDED:
+                continue
+            d = e["data_file"]
+            eq = d.get("equality_ids")
+            out.append(
+                DataFile(
+                    file_path=d["file_path"],
+                    file_size_in_bytes=d["file_size_in_bytes"],
+                    record_count=d["record_count"],
+                    partition={k: v for k, v in d["partition"].items() if v is not None},
+                    content=d.get("content", 0),
+                    equality_ids=tuple(eq) if eq else None,
+                    sequence_number=(
+                        e["sequence_number"]
+                        if e.get("sequence_number") is not None
+                        else m["sequence_number"]
+                    ),
+                )
+            )
+    return out, carried
+
+
+def read_changelog(
+    spark: SparkSession,
+    md: dict,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Row-level CDC over a snapshot window — the read half of the CDC
+    story (upsert_equality/delete_where* are the write half). Returns
+    the table columns plus `_change_type`, `_commit_snapshot_id`, and
+    `_commit_sequence_number` (the global change order), one row per
+    logical change:
+
+    * `append` snapshots -> `insert` rows (the added files, read).
+    * `delete` snapshots with position deletes -> `delete` rows with
+      FULL row content (the tuples joined back to the parent snapshot's
+      data files — cost tracks the deleted rows' files, not the table).
+    * `delete`/`overwrite` snapshots with equality deletes ->
+      `delete_key` rows: the key columns populated, every other column
+      NULL (reconstructing full pre-images would cost a table scan; a
+      downstream materializer deletes by key anyway). An upsert commit
+      therefore emits its `delete_key` rows plus `insert` rows —
+      apply-delete-then-insert reproduces the table.
+    * `replace` snapshots (compaction, delete folding) are logical
+      no-ops and are SKIPPED.
+    * any other overwrite (copy-on-write DML rewrites) raises — its
+      row-level effects are not recoverable from metadata alone,
+      mirroring the incremental-scan contract.
+
+    Consumers poll with (from=last checkpoint, to=None) and checkpoint
+    the max `_commit_snapshot_id` they observed."""
+    schema = read_schema_for(spark, md)
+    cols = [f_.name for f_ in schema.fields]
+    snaps = md["snapshots"]
+    ids = [s["snapshot-id"] for s in snaps]
+    if from_snapshot_id is not None and from_snapshot_id not in ids:
+        raise ValueError(f"unknown from snapshot {from_snapshot_id}")
+    if to_snapshot_id is not None and to_snapshot_id not in ids:
+        raise ValueError(f"unknown to snapshot {to_snapshot_id}")
+    start = ids.index(from_snapshot_id) + 1 if from_snapshot_id is not None else 0
+    end = ids.index(to_snapshot_id) + 1 if to_snapshot_id is not None else len(snaps)
+    if start > end:
+        raise ValueError("from snapshot is newer than to snapshot")
+
+    parts: list[DataFrame] = []
+
+    def tag(df: DataFrame, ctype: str, s: dict) -> DataFrame:
+        return df.select(
+            *cols,
+            F.lit(ctype).alias("_change_type"),
+            F.lit(s["snapshot-id"]).alias("_commit_snapshot_id"),
+            F.lit(s["sequence-number"]).alias("_commit_sequence_number"),
+        )
+
+    for s in snaps[start:end]:
+        op = s["summary"].get("operation")
+        sid = s["snapshot-id"]
+        if op == "replace":
+            continue
+        added, carried = _added_files(s)
+        data = [f for f in added if f.content == 0]
+        pos = [f for f in added if f.content == 1]
+        eq = [f for f in added if f.content == 2]
+        if op not in ("append", "delete", "overwrite"):
+            raise ValueError(f"changelog cannot represent {op!r} snapshot {sid}")
+        has_parent = s.get("parent-snapshot-id") is not None
+        if op == "overwrite" and has_parent and not carried:
+            # replace-style overwrite (copy-on-write DML): the manifest
+            # holds the complete live set, so the removals are invisible
+            # to a metadata walk
+            raise ValueError(
+                f"changelog cannot represent copy-on-write overwrite snapshot {sid}"
+            )
+        if pos:
+            # deleted rows with full content: parent data files joined
+            # on the recorded (file_path, pos) tuples
+            parent = s.get("parent-snapshot-id")
+            parent_data, _ = live_files(md, parent)
+            dels = read_position_deletes(spark, pos)
+            if sum(f.record_count for f in pos) <= BROADCAST_DELETE_ROWS:
+                dels = F.broadcast(dels)
+            scan = spark.read.schema(schema).parquet(
+                *[f.file_path for f in parent_data]
+            )
+            tagged = scan.select(
+                "*",
+                _norm_meta_path().alias("__dfile"),
+                F.col("_metadata.row_index").alias("__dpos"),
+            )
+            hit = tagged.join(
+                dels,
+                (tagged["__dfile"] == dels["file_path"])
+                & (tagged["__dpos"] == dels["pos"]),
+                "left_semi",
+            )
+            parts.append(tag(hit, "delete", s))
+        for f in eq:
+            key_fields = _equality_fields(md, f.equality_ids)
+            key_names = {kf["name"] for kf in key_fields}
+            key_schema = StructType(
+                [
+                    StructField(kf["name"], _spark_type(kf["type"]), True)
+                    for kf in key_fields
+                ]
+            )
+            keys = spark.read.schema(key_schema).parquet(f.file_path)
+            widened = keys.select(
+                *[
+                    F.col(c) if c in key_names
+                    else F.lit(None).cast(f_.dataType).alias(c)
+                    for c, f_ in zip(cols, schema.fields)
+                ]
+            )
+            parts.append(tag(widened, "delete_key", s))
+        if data and op in ("append", "overwrite"):
+            ins = spark.read.schema(schema).parquet(*[f.file_path for f in data])
+            parts.append(tag(ins, "insert", s))
+
+    if not parts:
+        empty = StructType(
+            schema.fields
+            + [
+                StructField("_change_type", StringType(), False),
+                StructField("_commit_snapshot_id", LongType(), False),
+                StructField("_commit_sequence_number", LongType(), False),
+            ]
+        )
+        return spark.createDataFrame([], empty)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def evolved_schema(md: dict, new_fields: list) -> tuple[dict, int]:
     """Build the next schema version for an add-columns evolution:
     existing fields keep their ids verbatim (the Iceberg invariant that
@@ -2546,6 +2716,18 @@ class FsTable:
         """Inspection tables (snapshots/history/files/all_files/
         manifests) — see module-level metadata_table."""
         return metadata_table(spark, self.metadata(), name)
+
+    def changelog_scan(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int | None = None,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Row-level CDC read over a snapshot window (see module-level
+        read_changelog): `insert` rows for appends, full-content
+        `delete` rows for position deletes, key-only `delete_key` rows
+        for equality deletes; compaction skipped; CoW overwrites raise."""
+        return read_changelog(spark, self.metadata(), from_snapshot_id, to_snapshot_id)
 
     # -- refs: tags + branches ---------------------------------------------
     def set_ref(self, name: str, snapshot_id: int, ref_type: str = "tag") -> None:

@@ -514,6 +514,17 @@ class RestTable:
     ) -> tuple[list[DataFile], int | None]:
         return incremental_data_files(self.metadata(), from_snapshot_id, to_snapshot_id)
 
+    def changelog_scan(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int | None = None,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Row-level CDC read over REST (see iceberg_fs.read_changelog)."""
+        from .iceberg_fs import read_changelog
+
+        return read_changelog(spark, self.metadata(), from_snapshot_id, to_snapshot_id)
+
     def metadata_table(self, spark: SparkSession, name: str) -> DataFrame:
         """Inspection tables (snapshots/history/files/all_files/
         manifests) over the REST-loaded metadata."""

@@ -260,6 +260,52 @@ class TestInterplay:
         assert t.read(spark).filter("id = 11 or id % 10 = 7").count() == 0
 
 
+class TestPlanShape:
+    def test_small_equality_sets_broadcast(self, spark, fs_table):
+        """The read-side anti-join and the seq-map join both broadcast
+        when manifests say the delete set is small — a map-side scan
+        with no shuffle of the table (the 100 TB shape)."""
+        from opentelemetry_iceberg_exporter_spark.plans.inspect import (
+            join_strategies,
+            physical_plan,
+        )
+
+        t = fs_table
+        t.delete_where_equality(
+            spark, spark.createDataFrame([(1,), (2,)], "id long"), ["id"]
+        )
+        df = t.read(spark)
+        js = join_strategies(df)
+        assert js and all("Broadcast" in j for j in js), js
+        assert "LeftAnti" in physical_plan(df)
+
+    def test_large_equality_sets_shuffle(self, spark, fs_table, monkeypatch):
+        """Above the metadata threshold the delete side gets no
+        broadcast hint — the static plan shuffles (AQE may still
+        down-convert at runtime; assert with AQE off)."""
+        import opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs as mod
+        from opentelemetry_iceberg_exporter_spark.plans.inspect import (
+            join_strategies,
+        )
+
+        t = fs_table
+        t.delete_where_equality(
+            spark, spark.createDataFrame([(1,)], "id long"), ["id"]
+        )
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            monkeypatch.setattr(mod, "BROADCAST_DELETE_ROWS", 0)
+            js = join_strategies(t.read(spark))
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        # the seq-map join stays broadcast (explicitly hinted, metadata-
+        # sized); the delete anti-join itself must shuffle
+        assert any("Broadcast" not in j for j in js), js
+
+
 class TestExporterUpsertConfig:
     def _sink(self, spark, tmp_path):
         from opentelemetry_iceberg_exporter_spark import schemas as S
