@@ -144,6 +144,15 @@ def main(argv: list[str] | None = None) -> int:
     pch.add_argument("--output", required=True, help="output dir (parquet)")
     pch.add_argument("--from-snapshot", type=int, default=None)
     pch.add_argument("--to-snapshot", type=int, default=None)
+    pch.add_argument(
+        "--changelog",
+        action="store_true",
+        help="emit a row-level CDC changelog instead of the append-only "
+        "diff: each row tagged _change_type (insert / delete with full "
+        "pre-image / delete_key) + _commit_snapshot_id + "
+        "_commit_sequence_number; handles delete and upsert snapshots "
+        "the plain diff refuses",
+    )
 
     pi = sub.add_parser(
         "inspect",
@@ -327,6 +336,34 @@ def main(argv: list[str] | None = None) -> int:
         from .sinks.iceberg_fs import FsCatalog, spark_read_schema
 
         table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
+        if args.changelog:
+            from .sinks.iceberg_fs import read_changelog
+
+            # ONE metadata load drives both the scan and the checkpoint
+            # id (same race note as the plain diff below)
+            md = table.metadata()
+            end_snapshot = (
+                args.to_snapshot
+                if args.to_snapshot is not None
+                else (md["current-snapshot-id"] if md["current-snapshot-id"] != -1 else None)
+            )
+            out = read_changelog(
+                spark,
+                md,
+                from_snapshot_id=args.from_snapshot,
+                to_snapshot_id=args.to_snapshot,
+            )
+            out.write.mode("overwrite").parquet(args.output)
+            print(
+                json.dumps(
+                    {
+                        "rows": out.count(),
+                        "checkpoint_snapshot": end_snapshot,
+                        "changelog": True,
+                    }
+                )
+            )
+            return 0
         # one metadata load drives BOTH the scan and the checkpoint id:
         # printing a current_snapshot loaded separately would race a
         # concurrent append (or, with --to-snapshot, point past the

@@ -1283,6 +1283,48 @@ def all_data_file_paths(md: dict) -> list[str]:
     return sorted(paths)
 
 
+def _ancestry_window(
+    md: dict,
+    from_snapshot_id: int | None,
+    to_snapshot_id: int | None,
+) -> tuple[list[dict], int | None]:
+    """The snapshots STRICTLY AFTER `from` up to `to` (default: main's
+    current head), oldest first, following the PARENT CHAIN — not the
+    raw snapshots list, which also holds WAP-branch-staged commits that
+    must stay invisible to main consumers until fast-forward publishes
+    them (after publish, the chain runs through them exactly once).
+    Returns (window, end_snapshot_id) where end is the checkpoint id."""
+    by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+    tip = (
+        to_snapshot_id
+        if to_snapshot_id is not None
+        else md.get("current-snapshot-id", -1)
+    )
+    if to_snapshot_id is not None and to_snapshot_id not in by_id:
+        raise ValueError(f"unknown to snapshot {to_snapshot_id}")
+    if tip == -1:
+        if from_snapshot_id is not None:
+            raise ValueError(f"unknown from snapshot {from_snapshot_id}")
+        return [], None
+    chain: list[dict] = []
+    cur: int | None = tip
+    while cur is not None and cur in by_id:
+        chain.append(by_id[cur])
+        cur = by_id[cur].get("parent-snapshot-id")
+    chain.reverse()
+    ids = [s["snapshot-id"] for s in chain]
+    if from_snapshot_id is not None and from_snapshot_id not in ids:
+        if from_snapshot_id not in by_id:
+            raise ValueError(f"unknown from snapshot {from_snapshot_id}")
+        raise ValueError(
+            f"from snapshot {from_snapshot_id} is not an ancestor of the "
+            f"requested end snapshot {tip} (staged on an unpublished "
+            "branch, or newer than the window end)"
+        )
+    start = ids.index(from_snapshot_id) + 1 if from_snapshot_id is not None else 0
+    return chain[start:], tip
+
+
 def incremental_data_files(
     md: dict,
     from_snapshot_id: int | None = None,
@@ -1293,24 +1335,15 @@ def incremental_data_files(
     current when None) — Iceberg's incremental append scan. Returns
     (files, end_snapshot_id) where end_snapshot_id is the LAST snapshot
     the scan actually covered — the value a consumer must checkpoint
-    (None on an empty table). `replace` snapshots (compaction) rewrite
-    physical layout without changing logical data and are skipped; any
-    OTHER operation (overwrite/delete) raises, mirroring Iceberg's
-    incremental-scan contract — silently skipping one would hide its
-    logical effects from the change stream."""
-    snaps = md["snapshots"]  # commit order (linear history)
-    ids = [s["snapshot-id"] for s in snaps]
-    if from_snapshot_id is not None and from_snapshot_id not in ids:
-        raise ValueError(f"unknown from snapshot {from_snapshot_id}")
-    if to_snapshot_id is not None and to_snapshot_id not in ids:
-        raise ValueError(f"unknown to snapshot {to_snapshot_id}")
-    start = ids.index(from_snapshot_id) + 1 if from_snapshot_id is not None else 0
-    end = ids.index(to_snapshot_id) + 1 if to_snapshot_id is not None else len(snaps)
-    if start > end:
-        raise ValueError("from snapshot is newer than to snapshot")
-    end_snapshot_id = ids[end - 1] if end > 0 else None
+    (None on an empty table). Walks MAIN's ancestry only: WAP-staged
+    branch commits stay invisible until published. `replace` snapshots
+    (compaction) rewrite physical layout without changing logical data
+    and are skipped; any OTHER operation (overwrite/delete) raises,
+    mirroring Iceberg's incremental-scan contract — silently skipping
+    one would hide its logical effects from the change stream."""
+    window, end_snapshot_id = _ancestry_window(md, from_snapshot_id, to_snapshot_id)
     files: list[DataFile] = []
-    for s in snaps[start:end]:
+    for s in window:
         op = s["summary"].get("operation")
         if op == "replace":
             continue
@@ -1411,16 +1444,8 @@ def read_changelog(
     the max `_commit_snapshot_id` they observed."""
     schema = read_schema_for(spark, md)
     cols = [f_.name for f_ in schema.fields]
-    snaps = md["snapshots"]
-    ids = [s["snapshot-id"] for s in snaps]
-    if from_snapshot_id is not None and from_snapshot_id not in ids:
-        raise ValueError(f"unknown from snapshot {from_snapshot_id}")
-    if to_snapshot_id is not None and to_snapshot_id not in ids:
-        raise ValueError(f"unknown to snapshot {to_snapshot_id}")
-    start = ids.index(from_snapshot_id) + 1 if from_snapshot_id is not None else 0
-    end = ids.index(to_snapshot_id) + 1 if to_snapshot_id is not None else len(snaps)
-    if start > end:
-        raise ValueError("from snapshot is newer than to snapshot")
+    # main ancestry only: WAP-staged commits are invisible until published
+    window, _ = _ancestry_window(md, from_snapshot_id, to_snapshot_id)
 
     parts: list[DataFrame] = []
 
@@ -1432,7 +1457,7 @@ def read_changelog(
             F.lit(s["sequence-number"]).alias("_commit_sequence_number"),
         )
 
-    for s in snaps[start:end]:
+    for s in window:
         op = s["summary"].get("operation")
         sid = s["snapshot-id"]
         if op == "replace":

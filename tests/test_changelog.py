@@ -167,6 +167,60 @@ class TestChangelog:
         assert got == expect
 
 
+class TestBranchIsolation:
+    def test_staged_commits_invisible_until_published(self, spark, fs_table):
+        """WAP staging must not leak into main's change streams: a
+        branch-staged append is invisible to incremental_scan AND
+        changelog_scan (and does not advance the checkpoint) until
+        fast_forward publishes it — then it appears exactly once."""
+        t = fs_table
+        ck = t.current_snapshot()["snapshot-id"]
+        t.append_dataframe_to_branch("audit", _df(spark, n=5, base=900, tag="staged"))
+        files, end = t.incremental_scan(from_snapshot_id=ck)
+        assert files == [] and end == ck
+        assert t.changelog_scan(spark, from_snapshot_id=ck).count() == 0
+        # a staged snapshot id is not a valid main checkpoint either
+        staged_sid = t.metadata()["refs"]["audit"]["snapshot-id"]
+        with pytest.raises(ValueError, match="ancestor"):
+            t.incremental_scan(from_snapshot_id=staged_sid)
+        t.fast_forward("audit")
+        files2, end2 = t.incremental_scan(from_snapshot_id=ck)
+        assert sum(f.record_count for f in files2) == 5
+        assert end2 == t.current_snapshot()["snapshot-id"]
+        log = t.changelog_scan(spark, from_snapshot_id=ck)
+        assert log.count() == 5
+        assert log.filter("tag = 'staged'").count() == 5
+
+
+class TestChangelogCli:
+    def test_changes_changelog_cli(self, spark, fs_table, tmp_path, capsys):
+        import json
+
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        t = fs_table
+        ckpt = t.current_snapshot()["snapshot-id"]
+        t.upsert_equality(spark, _df(spark, n=5, tag="up"), ["id"])
+        out_dir = str(tmp_path / "out")
+        wh = os.path.dirname(os.path.dirname(t.location))
+        rc = main(
+            [
+                "changes",
+                "--warehouse", wh,
+                "--table", "events",
+                "--from-snapshot", str(ckpt),
+                "--output", out_dir,
+                "--changelog",
+            ]
+        )
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and res["rows"] == 10 and res["changelog"] is True
+        assert res["checkpoint_snapshot"] == t.current_snapshot()["snapshot-id"]
+        written = spark.read.parquet(out_dir)
+        assert written.filter("_change_type = 'insert'").count() == 5
+        assert written.filter("_change_type = 'delete_key'").count() == 5
+
+
 class TestRestChangelog:
     def test_changelog_over_rest(self, spark, tmp_path):
         warehouse = str(tmp_path / "warehouse")

@@ -727,8 +727,12 @@ class TestIncrementalRead:
             md = json_mod.load(f)
         forged = dict(md["snapshots"][-1])
         forged["snapshot-id"] = 999999
+        # link the forged snapshot into MAIN's ancestry (the walk follows
+        # the parent chain, so an unlinked snapshot would be ignored)
+        forged["parent-snapshot-id"] = md["current-snapshot-id"]
         forged["summary"] = {"operation": "overwrite"}
         md["snapshots"] = md["snapshots"] + [forged]
+        md["current-snapshot-id"] = 999999
         with open(md_path, "w") as f:
             json_mod.dump(md, f)
         with pytest.raises(ValueError, match="overwrite"):
