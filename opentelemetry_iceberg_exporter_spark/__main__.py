@@ -260,6 +260,12 @@ def main(argv: list[str] | None = None) -> int:
         help="rewrite_position_deletes: fold pending merge-on-read "
         "position deletes into the data files and drop the delete files",
     )
+    pm.add_argument(
+        "--fold-equality-deletes",
+        action="store_true",
+        help="rewrite_equality_deletes: fold pending equality (CDC) "
+        "deletes into the data files and drop the equality-delete files",
+    )
 
     args = parser.parse_args(argv)
 
@@ -451,6 +457,11 @@ def main(argv: list[str] | None = None) -> int:
 
         table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
         folded = table.rewrite_position_deletes(spark) if args.fold_deletes else None
+        folded_eq = (
+            table.rewrite_equality_deletes(spark)
+            if args.fold_equality_deletes
+            else None
+        )
         rewritten = table.rewrite_data_files(
             spark, target_bytes=args.target_bytes, min_files=args.min_files
         )
@@ -465,6 +476,7 @@ def main(argv: list[str] | None = None) -> int:
                 {
                     "rewrite_snapshot": rewritten,
                     "fold_deletes_snapshot": folded,
+                    "fold_equality_deletes_snapshot": folded_eq,
                     "expired_data_files": len(expired),
                     "orphans_removed": len(orphaned),
                 }

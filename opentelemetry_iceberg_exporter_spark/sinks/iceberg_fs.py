@@ -2009,6 +2009,59 @@ def plan_delete_rewrite(
     return survivors + rewritten, len(rewritten)
 
 
+def plan_equality_rewrite(
+    spark: SparkSession,
+    md: dict,
+    live: list[DataFile],
+    deletes: list[DataFile],
+) -> tuple[list[DataFile], int] | None:
+    """Transport-neutral planning for rewrite_equality_deletes: find the
+    data files that contain rows matched by live equality deletes (one
+    scan — the eq-delete semi-join tags hit files, only paths reach the
+    driver), rewrite exactly those files with ALL deletes applied, and
+    keep the rest by reference. Returns (replacement data-file set — no
+    equality files, position-delete files retained for survivors — and
+    n_rewritten), or None when no equality delete matches anything."""
+    eq = [f for f in deletes if f.content == 2]
+    pos = [f for f in deletes if f.content == 1]
+    if not eq or not live:
+        return None
+    schema = read_schema_for(spark, md)
+    seq_by_path = {f.file_path: f.sequence_number for f in live}
+    scan = spark.read.schema(schema).parquet(*[f.file_path for f in live])
+    tagged = scan.select("*", _norm_meta_path().alias("__file"))
+    # rows the equality deletes REMOVE = tagged minus survivors; a hit
+    # file is any file with at least one removed row. Rows already
+    # position-deleted still count as hits — harmless (the rewrite
+    # applies both kinds anyway).
+    kept = apply_equality_deletes(spark, tagged, eq, md, seq_by_path)
+    removed_files = (
+        tagged.groupBy("__file")
+        .count()
+        .join(
+            kept.groupBy("__file").agg(F.count(F.lit(1)).alias("kept_")),
+            "__file",
+            "left",
+        )
+        .filter(
+            F.coalesce(F.col("kept_"), F.lit(0)) < F.col("count")
+        )
+        .select("__file")
+        .collect()
+    )
+    hit = {r["__file"] for r in removed_files}
+    if not hit:
+        return None
+    survivors = [f for f in live if f.file_path not in hit]
+    keep = _tagged_live_scan(spark, schema, sorted(hit), deletes, md, live).drop(
+        "__file"
+    )
+    rewritten = write_partitioned_batch(keep, md["location"], md)
+    # position deletes stay live for SURVIVING files; entries naming the
+    # rewritten files are stale and match nothing
+    return survivors + rewritten + pos, len(rewritten)
+
+
 def _strip_file_scheme(uri: str) -> str:
     return uri[7:] if uri.startswith("file://") else uri
 
@@ -3210,6 +3263,39 @@ class FsTable:
             carry_forward=False,
             extra_summary={
                 "removed-delete-files": str(len(pos)),
+                "rewritten-data-files": str(n_rewritten),
+            },
+            expected_base_snapshot=planned_snapshot,
+        )
+
+    def rewrite_equality_deletes(self, spark: SparkSession) -> int | None:
+        """Maintenance: fold all pending EQUALITY deletes into the data
+        files — exactly the files containing matched rows are rewritten
+        without them (all delete kinds applied), every equality-delete
+        file drops, position deletes stay live for survivors, and the
+        result commits as a `replace` snapshot (logical no-op — change
+        streams skip it). Run when accumulated CDC deletes start taxing
+        the read-side anti-joins. Returns the new snapshot id, or None
+        when no equality delete matches anything (unmatched delete
+        files still drop in that case only if rows matched — a fully
+        stale delete file costs nothing at read time beyond one
+        metadata row, so it is left for expire_snapshots)."""
+        _, planned_md = self._load_state()
+        planned_snapshot = planned_md["current-snapshot-id"]
+        if planned_snapshot == -1:
+            return None
+        live, deletes, _ = self.plan_scan(snapshot_id=planned_snapshot)
+        planned = plan_equality_rewrite(spark, planned_md, live, deletes)
+        if planned is None:
+            return None
+        replacement, n_rewritten = planned
+        n_eq = sum(1 for f in deletes if f.content == 2)
+        return self._commit_with_retry(
+            replacement,
+            operation="replace",
+            carry_forward=False,
+            extra_summary={
+                "removed-delete-files": str(n_eq),
                 "rewritten-data-files": str(n_rewritten),
             },
             expected_base_snapshot=planned_snapshot,

@@ -791,6 +791,33 @@ class RestTable:
             "position-delete rewrite",
         )
 
+    def rewrite_equality_deletes(self, spark: SparkSession) -> int | None:
+        """Maintenance over REST: fold pending equality deletes into the
+        data files (see FsTable.rewrite_equality_deletes)."""
+        from .iceberg_fs import plan_equality_rewrite
+
+        md = self.metadata()
+        planned_snapshot = md["current-snapshot-id"]
+        if planned_snapshot == -1:
+            return None
+        live, deletes = self._live_files(md, planned_snapshot)
+        planned = plan_equality_rewrite(spark, md, live, deletes)
+        if planned is None:
+            return None
+        replacement, n_rewritten = planned
+        n_eq = sum(1 for f in deletes if f.content == 2)
+        return self._commit_replace(
+            md,
+            planned_snapshot,
+            replacement,
+            "replace",
+            {
+                "removed-delete-files": str(n_eq),
+                "rewritten-data-files": str(n_rewritten),
+            },
+            "equality-delete rewrite",
+        )
+
     def merge_rows(
         self,
         spark: SparkSession,

@@ -245,6 +245,49 @@ class TestInterplay:
         assert t.read(spark).count() == 398
         assert t.read(spark).filter("id = 2").count() == 0
 
+    def test_fold_equality_deletes(self, spark, fs_table):
+        """rewrite_equality_deletes materializes pending CDC deletes:
+        only files containing matched rows rewrite, the equality files
+        drop, reads stay correct, and the replace snapshot is invisible
+        to change streams."""
+        t = fs_table
+        t.delete_where_equality(
+            spark, spark.createDataFrame([(12,), (150,)], "id long"), ["id"]
+        )
+        before = {f.file_path for f in t.plan_files()[0]}
+        sid = t.rewrite_equality_deletes(spark)
+        assert sid is not None
+        _, deletes, _ = t.plan_scan()
+        assert [f for f in deletes if f.content == 2] == []
+        assert t.read(spark).count() == 198
+        assert t.read(spark).filter("id in (12, 150)").count() == 0
+        s = t.current_snapshot()["summary"]
+        assert s["operation"] == "replace"
+        # untouched files survive by reference
+        after = {f.file_path for f in t.plan_files()[0]}
+        assert before & after
+        # change streams skip the fold (logical no-op)
+        assert t.changelog_scan(spark).filter(
+            "_commit_snapshot_id = " + str(sid)
+        ).count() == 0
+        # no pending equality deletes -> fold is a no-op
+        assert t.rewrite_equality_deletes(spark) is None
+
+    def test_fold_equality_preserves_position_deletes(self, spark, fs_table):
+        t = fs_table
+        t.delete_where(spark, "id % 10 = 9", mode="merge-on-read")  # 20 rows
+        t.delete_where_equality(
+            spark, spark.createDataFrame([(14,)], "id long"), ["id"]
+        )
+        sid = t.rewrite_equality_deletes(spark)
+        assert sid is not None
+        _, deletes, _ = t.plan_scan()
+        # equality file folded away; position deletes for untouched
+        # files stay live
+        assert all(f.content == 1 for f in deletes)
+        assert t.read(spark).count() == 179
+        assert t.read(spark).filter("id = 14 or id % 10 = 9").count() == 0
+
     def test_fold_position_deletes_keeps_equality_live(self, spark, fs_table):
         t = fs_table
         t.delete_where(spark, "id % 10 = 7", mode="merge-on-read")  # 20 rows
@@ -507,6 +550,19 @@ class TestRestTransport:
         out = t.read(spark)
         assert out.count() == 200
         assert out.filter("id < 15 and v = id * 7").count() == 15
+
+    def test_rest_fold_equality_deletes(self, spark, rest_table):
+        t = rest_table
+        t.delete_where_equality(
+            spark, spark.createDataFrame([(42,)], "id long"), ["id"]
+        )
+        sid = t.rewrite_equality_deletes(spark)
+        assert sid is not None
+        md = t.metadata()
+        _, dels = t._live_files(md, md["current-snapshot-id"])
+        assert [f for f in dels if f.content == 2] == []
+        assert t.read(spark).count() == 199
+        assert t.read(spark).filter("id = 42").count() == 0
 
     def test_rest_fold_keeps_equality_live(self, spark, rest_table):
         t = rest_table
