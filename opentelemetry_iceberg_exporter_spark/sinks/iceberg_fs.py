@@ -66,6 +66,14 @@ from pyspark.sql.types import (
 )
 
 from .avro_ocf import read_ocf, write_ocf
+from .transforms import (
+    bucket_column,
+    bucket_value,
+    parse_transform,
+    transform_result_type,
+    truncate_column,
+    truncate_value,
+)
 
 # manifest-entry status (spec: 0=existing, 1=added, 2=deleted)
 STATUS_ADDED = 1
@@ -325,9 +333,11 @@ class DataFile:
     file_path: str
     file_size_in_bytes: int
     record_count: int
-    # transform-value per partition field name (e.g. hours since epoch);
-    # None = null source timestamp (file is never partition-pruned)
-    partition: dict[str, int | None] = field(default_factory=dict)
+    # transform-value per partition field name (e.g. hours since epoch,
+    # bucket ordinal, or a truncate prefix — ints for time/bucket
+    # transforms, str for truncate[string]); None = null source value
+    # (file is never partition-pruned)
+    partition: dict[str, int | str | None] = field(default_factory=dict)
     # Iceberg file content: 0 = data, 1 = position deletes, 2 = equality
     content: int = 0
     # content=2 only: schema field ids of the equality columns
@@ -353,14 +363,38 @@ def transform_value(ts: datetime, transform: str) -> int:
     raise ValueError(f"unsupported transform {transform!r}")
 
 
-def transform_column(col: str, transform: str):
+def apply_transform_value(value: Any, transform: str, source_type: str) -> Any:
+    """Driver-side evaluation of ANY supported transform on one value —
+    the scan planner uses this to turn an equality predicate on a source
+    column into the partition value to prune against."""
+    if value is None:
+        return None
+    base, param = parse_transform(transform)
+    if base == "bucket":
+        return bucket_value(value, param, source_type)
+    if base == "truncate":
+        return truncate_value(value, param, source_type)
+    if not isinstance(value, datetime):
+        raise ValueError(f"time transform {transform!r} needs a datetime, got {value!r}")
+    return transform_value(value, transform)
+
+
+def transform_column(col: str, transform: str, source_type: str = "timestamptz"):
     """The same transform as a Catalyst expression (append path) —
     executors derive the partition value, the driver never sees rows.
 
     FLOOR division, not Spark's `div` (which truncates toward zero):
     pre-1970 timestamps must land in hour -1, not hour 0, to match
     transform_value's Python `//` and the Iceberg spec. Double division
-    is exact here — epoch SECONDS (~2^31) are far below 2^53."""
+    is exact here — epoch SECONDS (~2^31) are far below 2^53.
+
+    bucket[N] / truncate[W] dispatch to transforms.py: truncate is pure
+    Catalyst; bucket's murmur3 is an Arrow-batched numpy kernel."""
+    base, param = parse_transform(transform)
+    if base == "bucket":
+        return bucket_column(col, param, source_type)
+    if base == "truncate":
+        return truncate_column(col, param, source_type)
     if transform in _SECONDS_PER:
         s = _SECONDS_PER[transform]
         return F.floor(F.col(col).cast("long") / F.lit(s)).cast("bigint")
@@ -401,14 +435,30 @@ def _bounds_field(name: str, field_id: int, key_id: int, value_id: int) -> dict:
     }
 
 
-def manifest_avro_schema(partition_fields: list[dict]) -> dict:
+_PARTITION_AVRO_TYPE = {"int": "int", "long": "long", "string": "string"}
+
+
+def partition_avro_type(pf: dict, schema: dict | None) -> str:
+    """Avro type of one partition field in the manifest's r102 record:
+    int for time/bucket transforms (schema-independent — golden-fixture
+    tables never consult the schema), the source's type for truncate."""
+    base, _ = parse_transform(pf["transform"])
+    if base != "truncate" or schema is None:
+        return "int"
+    source_type = next(
+        f_["type"] for f_ in schema["fields"] if f_["id"] == pf["source-id"]
+    )
+    return _PARTITION_AVRO_TYPE.get(source_type, "int") if isinstance(source_type, str) else "int"
+
+
+def manifest_avro_schema(partition_fields: list[dict], schema: dict | None = None) -> dict:
     partition_record = {
         "type": "record",
         "name": "r102",
         "fields": [
             {
                 "name": pf["name"],
-                "type": ["null", "int"],
+                "type": ["null", partition_avro_type(pf, schema)],
                 "default": None,
                 "field-id": pf["field-id"],
             }
@@ -674,7 +724,7 @@ def write_snapshot_tree(
             )
         manifest_len = write_ocf(
             manifest_path,
-            manifest_avro_schema(spec_fields),
+            manifest_avro_schema(spec_fields, current_schema(md)),
             entries,
             extra_metadata={
                 "schema": json.dumps(current_schema(md)),
@@ -765,6 +815,27 @@ def partition_fields_for(
     ]
 
 
+def spec_fields_from_partition_by(schema: dict, partition_by: list[tuple[str, str]]) -> list[dict]:
+    """Partition-spec fields for an explicit ``[(column, transform)]``
+    list — the general form behind ``bucket[N]`` / ``truncate[W]`` /
+    time-transform specs (field names follow the Iceberg convention:
+    ``{col}_bucket``, ``{col}_trunc``, ``{col}_hour`` ...)."""
+    fields = []
+    for i, (col, transform) in enumerate(partition_by):
+        source = next(f_ for f_ in schema["fields"] if f_["name"] == col)
+        base, _ = parse_transform(transform)
+        suffix = {"bucket": "bucket", "truncate": "trunc"}.get(base, base.rstrip("s"))
+        fields.append(
+            {
+                "name": f"{col}_{suffix}",
+                "transform": transform,
+                "source-id": source["id"],
+                "field-id": 1000 + i,
+            }
+        )
+    return fields
+
+
 def new_table_metadata(
     location: str,
     schema: dict,
@@ -811,18 +882,22 @@ def write_partitioned_batch(df: DataFrame, location: str, md: dict) -> list[Data
     batch_dir = os.path.join(location, "data", uuid.uuid4().hex)
     df = with_field_ids(df, md)  # self-describing files (rename-safe)
     if spec:
-        pf = spec[0]
-        source = _field_name_by_id(md, pf["source-id"])
-        pcol = pf["name"]
+        pcols = []
+        for pf in spec:
+            source = _field_name_by_id(md, pf["source-id"])
+            df = df.withColumn(
+                pf["name"],
+                transform_column(source, pf["transform"], _field_type_by_id(md, pf["source-id"])),
+            )
+            pcols.append(pf["name"])
         (
-            df.withColumn(pcol, transform_column(source, pf["transform"]))
-            .repartition(F.col(pcol))  # few large files per partition
-            .write.partitionBy(pcol)
+            df.repartition(*[F.col(c) for c in pcols])  # few large files per partition
+            .write.partitionBy(*pcols)
             .parquet(batch_dir)
         )
     else:
         df.write.parquet(batch_dir)
-    return _scan_written_files(batch_dir, [spec[0]["name"]] if spec else [])
+    return _scan_written_files(batch_dir, _partition_parse_types(md))
 
 
 # --------------------------------------------------------------------------
@@ -2293,8 +2368,12 @@ class FsCatalog:
         partition_source: str | None = None,
         granularity: str = "hourly",
         properties: dict[str, str] | None = None,
+        partition_by: list[tuple[str, str]] | None = None,
     ) -> "FsTable":
-        """Create-if-absent, load-else-create (catalog_rest.go:168-240)."""
+        """Create-if-absent, load-else-create (catalog_rest.go:168-240).
+        `partition_by=[(col, transform)]` overrides the hidden-time-
+        partition default with an explicit spec (bucket[N], truncate[W],
+        hours/days/months)."""
         if self.table_exists(namespace, name):
             return self.load_table(namespace, name)
         self.create_namespace(namespace)
@@ -2303,7 +2382,10 @@ class FsCatalog:
 
         schema = iceberg_schema(spark_schema)
         last_column_id = schema.pop("_last_column_id")
-        spec_fields = partition_fields_for(schema, partition_source, granularity)
+        if partition_by is not None:
+            spec_fields = spec_fields_from_partition_by(schema, partition_by)
+        else:
+            spec_fields = partition_fields_for(schema, partition_source, granularity)
         metadata = new_table_metadata(location, schema, last_column_id, spec_fields, properties)
         _write_metadata_version(location, 1, metadata)
         _swap_version_hint(location, 1)
@@ -2645,10 +2727,13 @@ class FsTable:
         snapshot_id: int | None = None,
         partition_range: tuple[int, int] | None = None,
         column_range: tuple[str, Any, Any] | None = None,
+        source_predicate: tuple[str, Any] | None = None,
     ) -> tuple[list[DataFile], int]:
         """Resolve live DATA files for a snapshot (see plan_scan, which
         also returns position-delete files). Returns (files, n_pruned)."""
-        data, _, pruned = self.plan_scan(snapshot_id, partition_range, column_range)
+        data, _, pruned = self.plan_scan(
+            snapshot_id, partition_range, column_range, source_predicate
+        )
         return data, pruned
 
     def plan_scan(
@@ -2656,6 +2741,7 @@ class FsTable:
         snapshot_id: int | None = None,
         partition_range: tuple[int, int] | None = None,
         column_range: tuple[str, Any, Any] | None = None,
+        source_predicate: tuple[str, Any] | None = None,
     ) -> tuple[list[DataFile], list[DataFile], int]:
         """Resolve a snapshot's live files into (data files, position-
         delete files, n_pruned); data files are optionally pruned by
@@ -2665,13 +2751,31 @@ class FsTable:
         both skips are O(metadata). Files without bounds (or legacy
         manifests) are conservatively kept. Delete files are never
         pruned (a delete row for a pruned-away data file simply matches
-        nothing)."""
+        nothing).
+
+        `source_predicate=(column, value)` is Iceberg's hidden-partition
+        predicate rewrite: for every spec field derived from `column`,
+        the transform of `value` is computed DRIVER-SIDE and files whose
+        partition value differs are skipped — a point lookup on a
+        bucket[N] table opens ~1/N of the files without the query ever
+        naming the partition column."""
         md = self.metadata()
         sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
         if sid == -1:
             return [], [], 0
         snapshot = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
         spec_names = [pf["name"] for pf in self.partition_spec()]
+        pred_parts: dict[str, Any] = {}
+        if source_predicate is not None:
+            pcol, pval = source_predicate
+            schema_fields = current_schema(md)["fields"]
+            src = next((f_ for f_ in schema_fields if f_["name"] == pcol), None)
+            if src is not None:
+                for pf in self.partition_spec():
+                    if pf["source-id"] == src["id"]:
+                        pred_parts[pf["name"]] = apply_transform_value(
+                            pval, pf["transform"], src["type"]
+                        )
         col_field = None
         if column_range is not None:
             name, lo_v, hi_v = column_range
@@ -2716,6 +2820,14 @@ class FsTable:
                     if value is not None and not lo <= value <= hi:
                         pruned += 1
                         continue
+                if pred_parts:
+                    mismatch = any(
+                        part.get(name) is not None and part.get(name) != expected
+                        for name, expected in pred_parts.items()
+                    )
+                    if mismatch:
+                        pruned += 1
+                        continue
                 if col_field is not None:
                     fid, ftype = col_field["id"], col_field["type"]
                     lower = _bounds_from_avro(df_.get("lower_bounds")).get(fid)
@@ -2745,15 +2857,19 @@ class FsTable:
         snapshot_id: int | None = None,
         partition_range: tuple[int, int] | None = None,
         column_range: tuple[str, Any, Any] | None = None,
+        source_predicate: tuple[str, Any] | None = None,
     ) -> DataFrame:
         """Time-travel-capable scan: metadata resolves the file list
-        (partition + column-bound pruning applied there), the Spark scan
-        reads exactly those Parquet files under the CURRENT schema
-        (pre-evolution files surface added columns as nulls), and any
-        position-delete files are subtracted (merge-on-read). NOTE:
-        column_range prunes FILES; apply the row filter on the result."""
+        (partition + column-bound + hidden-partition-predicate pruning
+        applied there), the Spark scan reads exactly those Parquet files
+        under the CURRENT schema (pre-evolution files surface added
+        columns as nulls), and any position-delete files are subtracted
+        (merge-on-read). NOTE: column_range / source_predicate prune
+        FILES; apply the row filter on the result."""
         md = self.metadata()
-        data, deletes, _ = self.plan_scan(snapshot_id, partition_range, column_range)
+        data, deletes, _ = self.plan_scan(
+            snapshot_id, partition_range, column_range, source_predicate
+        )
         return scan_with_deletes(spark, md, data, deletes)
 
     # -- incremental (snapshot-diff) consumption ---------------------------
@@ -3510,6 +3626,36 @@ def _part_int(value: str) -> int | None:
     return None if value == NULL_PARTITION else int(value)
 
 
+def _part_value(value: str, result_type: str) -> int | str | None:
+    """Typed variant of _part_int: truncate[string] partition values
+    come back as the (Hive-path-unescaped) string itself."""
+    if value == NULL_PARTITION:
+        return None
+    if result_type == "string":
+        from urllib.parse import unquote
+
+        return unquote(value)  # Spark escapes path-hostile chars as %XX
+    return int(value)
+
+
+def _field_type_by_id(md: dict, field_id: int) -> str:
+    schema = current_schema(md)
+    t = next(f_["type"] for f_ in schema["fields"] if f_["id"] == field_id)
+    if not isinstance(t, str):
+        raise ValueError(f"partition source field {field_id} has a non-primitive type")
+    return t
+
+
+def _partition_parse_types(md: dict) -> dict[str, str]:
+    """field name -> transform result type for the default spec."""
+    return {
+        pf["name"]: transform_result_type(
+            pf["transform"], _field_type_by_id(md, pf["source-id"])
+        )
+        for pf in default_spec_fields(md)
+    }
+
+
 def _hive_values_scoped(path: str, location: str) -> dict[str, str]:
     """`key=value` segments BELOW the table location only — a warehouse
     rooted under a path that itself contains `year=...`-style segments
@@ -3529,12 +3675,22 @@ def _parquet_row_count(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
-def _scan_written_files(batch_dir: str, partition_names: list[str]) -> list[DataFile]:
+def _scan_written_files(
+    batch_dir: str, partition_types: dict[str, str] | list[str]
+) -> list[DataFile]:
+    """Collect executor-written Parquet under batch_dir, mapping Hive
+    dir values back to typed partition values. `partition_types` maps
+    field name -> transform RESULT type (a bare name list means int,
+    the pre-bucket/truncate form)."""
+    if isinstance(partition_types, list):
+        partition_types = {name: "int" for name in partition_types}
     files: list[DataFile] = []
     for path in sorted(glob.glob(os.path.join(batch_dir, "**", "*.parquet"), recursive=True)):
         hive = _hive_values(os.path.relpath(path, batch_dir))
         partition = {
-            name: _part_int(hive[name]) for name in partition_names if name in hive
+            name: _part_value(hive[name], rtype)
+            for name, rtype in partition_types.items()
+            if name in hive
         }
         files.append(
             DataFile(

@@ -222,10 +222,16 @@ class RestCatalogClient:
         granularity: str = "hourly",
         properties: dict[str, str] | None = None,
         location: str | None = None,
+        partition_by: list[tuple[str, str]] | None = None,
     ) -> dict:
         schema = iceberg_schema(spark_schema)
         schema.pop("_last_column_id")
-        spec_fields = partition_fields_for(schema, partition_source, granularity)
+        if partition_by is not None:
+            from .iceberg_fs import spec_fields_from_partition_by
+
+            spec_fields = spec_fields_from_partition_by(schema, partition_by)
+        else:
+            spec_fields = partition_fields_for(schema, partition_source, granularity)
         body: dict[str, Any] = {
             "name": name,
             "schema": schema,

@@ -1,0 +1,298 @@
+"""bucket[N] / truncate[W] partition transforms.
+
+Three layers of checks:
+
+1. SPEC conformance — the Iceberg table spec (Appendix B) publishes the
+   exact 32-bit hash values a compliant implementation must produce
+   (``hash(34) == 2017239379``, ``hash("iceberg") == 1210000089``, ...).
+   Those constants come from the PUBLISHED spec, not from this repo, so
+   they pin compatibility with every other Iceberg writer/reader.
+2. Kernel parity — the vectorized numpy batch kernels must agree with
+   the scalar reference implementation on randomized data (all lengths,
+   negative longs, unicode, nulls).
+3. End-to-end — a bucket[4]-partitioned fs table writes at most 4
+   partitions, a point lookup prunes to ~1/4 of the files, and a
+   truncate[string] table round-trips string partition values through
+   Hive paths, Avro manifests, and scan pruning.
+"""
+
+from __future__ import annotations
+
+import random
+import uuid as uuidlib
+from datetime import date, datetime, timezone
+from decimal import Decimal
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+    FsCatalog,
+    apply_transform_value,
+    manifest_avro_schema,
+    spec_fields_from_partition_by,
+)
+from opentelemetry_iceberg_exporter_spark.sinks.transforms import (
+    bucket_value,
+    hash_value,
+    murmur3_bytes_batch,
+    murmur3_longs,
+    murmur3_x86_32,
+    parse_transform,
+    transform_result_type,
+    truncate_value,
+)
+
+
+class TestSpecConformanceVectors:
+    """Iceberg table spec, Appendix B 'Bucket transform requirements' —
+    published input/output pairs for the mandated Murmur3 x86 32-bit
+    hash with seed 0."""
+
+    def test_int_and_long_widen_to_same_hash(self):
+        assert hash_value(34, "int") == 2017239379
+        assert hash_value(34, "long") == 2017239379
+
+    def test_date(self):
+        assert hash_value(date(2017, 11, 16), "date") == -653330422
+        # raw day ordinal accepted too (driver-side pruning path)
+        assert hash_value(17486, "date") == -653330422
+
+    def test_time(self):
+        import datetime as dt
+
+        assert hash_value(dt.time(22, 31, 8), "time") == -662762989
+        assert hash_value(81068000000, "time") == -662762989
+
+    def test_timestamp_micros(self):
+        from datetime import timedelta
+
+        ts = datetime(2017, 11, 16, 22, 31, 8)
+        assert hash_value(ts, "timestamp") == -2047944441
+        tz = datetime(2017, 11, 16, 14, 31, 8, tzinfo=timezone(timedelta(hours=-8)))
+        assert hash_value(tz, "timestamptz") == -2047944441
+
+    def test_string(self):
+        assert hash_value("iceberg", "string") == 1210000089
+
+    def test_uuid(self):
+        u = uuidlib.UUID("f79c3e09-677c-4bbd-a479-3f349cb785e7")
+        assert hash_value(u, "uuid") == 1488055340
+
+    def test_fixed_binary(self):
+        assert hash_value(b"\x00\x01\x02\x03", "binary") == -188683207
+        assert hash_value(b"\x00\x01\x02\x03", "fixed[4]") == -188683207
+
+    def test_decimal(self):
+        assert hash_value(Decimal("14.20"), "decimal(9,2)") == -500754589
+
+    def test_empty_input(self):
+        # murmur3(b"") with seed 0 is 0 per the reference algorithm
+        assert murmur3_x86_32(b"") == 0
+
+
+class TestBucketTruncateSemantics:
+    def test_bucket_range_and_null(self):
+        for v in (0, 1, -1, 34, 2**62, -(2**62)):
+            b = bucket_value(v, 16, "long")
+            assert 0 <= b < 16
+        assert bucket_value(None, 16, "long") is None
+
+    def test_bucket_spec_example(self):
+        # spec worked example: bucket[...] of 34 uses hash 2017239379
+        assert bucket_value(34, 16, "int") == 2017239379 % 16
+
+    def test_truncate_integers_floor(self):
+        assert truncate_value(1, 10, "long") == 0
+        assert truncate_value(-1, 10, "long") == -10  # floor, NOT toward zero
+        assert truncate_value(10, 10, "int") == 10
+        assert truncate_value(-10, 10, "int") == -10
+
+    def test_truncate_string_code_points(self):
+        assert truncate_value("iceberg", 3, "string") == "ice"
+        assert truncate_value("日本語テスト", 2, "string") == "日本"  # chars, not bytes
+        assert truncate_value("ab", 5, "string") == "ab"
+
+    def test_truncate_binary_and_decimal(self):
+        assert truncate_value(b"\x01\x02\x03", 2, "binary") == b"\x01\x02"
+        assert truncate_value(Decimal("12.34"), 50, "decimal(9,2)") == Decimal("12.00")
+
+    def test_parse_and_result_types(self):
+        assert parse_transform("bucket[16]") == ("bucket", 16)
+        assert parse_transform("truncate[4]") == ("truncate", 4)
+        assert parse_transform("hours") == ("hours", None)
+        assert transform_result_type("bucket[8]", "string") == "int"
+        assert transform_result_type("truncate[4]", "string") == "string"
+        assert transform_result_type("truncate[10]", "long") == "long"
+        assert transform_result_type("hours", "timestamptz") == "int"
+
+
+class TestVectorizedKernelParity:
+    """The numpy batch kernels vs the scalar spec implementation."""
+
+    def test_longs(self):
+        rng = random.Random(7)
+        vals = [0, 1, -1, 34, 2**63 - 1, -(2**63)] + [
+            rng.randint(-(2**63), 2**63 - 1) for _ in range(500)
+        ]
+        got = murmur3_longs(np.array(vals, dtype=np.int64))
+        expected = [murmur3_x86_32(v.to_bytes(8, "little", signed=True)) for v in map(int, vals)]
+        assert got.tolist() == expected
+
+    def test_bytes_all_lengths(self):
+        rng = random.Random(11)
+        blobs = [bytes(rng.randrange(256) for _ in range(n)) for n in range(0, 40)]
+        blobs += [None, b"", "iceberg".encode(), "日本語".encode()]
+        got = murmur3_bytes_batch(pd.Series(blobs, dtype="object"))
+        for i, b in enumerate(blobs):
+            if b is not None:
+                assert got[i] == murmur3_x86_32(b), f"len={len(b)}"
+
+
+class TestEndToEndBucketTable(object):
+    def _make_table(self, spark, tmp_path, partition_by, schema=None):
+        cat = FsCatalog(str(tmp_path / "wh"))
+        schema = schema or StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("payload", StringType(), True),
+            ]
+        )
+        return cat.create_table("ns", "t", schema, partition_by=partition_by)
+
+    def test_bucket_long_write_prune_read(self, spark, tmp_path):
+        table = self._make_table(spark, tmp_path, [("id", "bucket[4]")])
+        spec = table.partition_spec()
+        assert spec == [
+            {"name": "id_bucket", "transform": "bucket[4]", "source-id": 1, "field-id": 1000}
+        ]
+        rows = [Row(id=i, payload=f"p{i}") for i in range(200)]
+        df = spark.createDataFrame(rows)
+        table.append_dataframe(df)
+
+        files, _ = table.plan_files()
+        buckets = {f.partition["id_bucket"] for f in files}
+        assert buckets <= {0, 1, 2, 3} and len(buckets) > 1
+        # every file's recorded bucket matches the spec transform of its rows
+        for f in files:
+            got = spark.read.parquet(f.file_path).select("id").collect()
+            for r in got:
+                assert bucket_value(r.id, 4, "long") == f.partition["id_bucket"]
+
+        # point lookup prunes to exactly the matching bucket's files
+        target = 123
+        expect_bucket = bucket_value(target, 4, "long")
+        pruned_files, n_pruned = table.plan_files(source_predicate=("id", target))
+        assert n_pruned > 0
+        assert {f.partition["id_bucket"] for f in pruned_files} == {expect_bucket}
+
+        got = (
+            table.read(spark, source_predicate=("id", target))
+            .filter(F.col("id") == target)
+            .collect()
+        )
+        assert [r.payload for r in got] == [f"p{target}"]
+
+    def test_bucket_string_source(self, spark, tmp_path):
+        schema = StructType(
+            [
+                StructField("doc_id", StringType(), False),
+                StructField("n", LongType(), True),
+            ]
+        )
+        table = self._make_table(spark, tmp_path, [("doc_id", "bucket[8]")], schema)
+        df = spark.createDataFrame(
+            [Row(doc_id=f"doc-{i:04d}", n=i) for i in range(100)]
+        )
+        table.append_dataframe(df)
+        files, _ = table.plan_files()
+        for f in files:
+            for r in spark.read.parquet(f.file_path).select("doc_id").collect():
+                assert bucket_value(r.doc_id, 8, "string") == f.partition["doc_id_bucket"]
+
+        keep, _ = table.plan_files(source_predicate=("doc_id", "doc-0042"))
+        assert {f.partition["doc_id_bucket"] for f in keep} == {
+            bucket_value("doc-0042", 8, "string")
+        }
+
+    def test_truncate_string_partition_roundtrip(self, spark, tmp_path):
+        schema = StructType(
+            [
+                StructField("url", StringType(), False),
+                StructField("n", LongType(), True),
+            ]
+        )
+        table = self._make_table(spark, tmp_path, [("url", "truncate[4]")], schema)
+        df = spark.createDataFrame(
+            [
+                Row(url="http://a.example/x", n=1),
+                Row(url="http://b.example/y", n=2),
+                Row(url="ftp://c.example/z", n=3),
+            ]
+        )
+        table.append_dataframe(df)
+        files, _ = table.plan_files()
+        parts = {f.partition["url_trunc"] for f in files}
+        # ':' is path-hostile — Spark %-escapes it; the scan must unescape
+        assert parts == {"http", "ftp:"}
+
+        keep, n_pruned = table.plan_files(source_predicate=("url", "ftp://c.example/z"))
+        assert n_pruned >= 1
+        assert {f.partition["url_trunc"] for f in keep} == {"ftp:"}
+        got = table.read(spark, source_predicate=("url", "ftp://c.example/z")).collect()
+        assert [r.n for r in got] == [3]
+
+    def test_truncate_long_partition(self, spark, tmp_path):
+        table = self._make_table(spark, tmp_path, [("id", "truncate[100]")])
+        df = spark.createDataFrame(
+            [Row(id=i, payload=str(i)) for i in (-150, -1, 0, 99, 100, 250)]
+        )
+        table.append_dataframe(df)
+        files, _ = table.plan_files()
+        parts = {f.partition["id_trunc"] for f in files}
+        assert parts == {-200, -100, 0, 100, 200}  # floor semantics for negatives
+        keep, _ = table.plan_files(source_predicate=("id", -1))
+        assert {f.partition["id_trunc"] for f in keep} == {-100}
+
+    def test_manifest_avro_types_follow_result_type(self):
+        schema = {
+            "type": "struct",
+            "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "id", "required": True, "type": "long"},
+                {"id": 2, "name": "url", "required": True, "type": "string"},
+            ],
+        }
+        spec = spec_fields_from_partition_by(
+            schema, [("id", "bucket[4]"), ("url", "truncate[4]"), ("id", "truncate[10]")]
+        )
+        avro = manifest_avro_schema(spec, schema)
+        part_fields = next(
+            f for f in _walk_datafile_fields(avro) if f["name"] == "partition"
+        )
+        types = {f["name"]: f["type"][1] for f in part_fields["type"]["fields"]}
+        assert types == {"id_bucket": "int", "url_trunc": "string", "id_trunc": "long"}
+
+    def test_apply_transform_value_dispatch(self):
+        assert apply_transform_value(34, "bucket[16]", "long") == 2017239379 % 16
+        assert apply_transform_value("iceberg", "truncate[3]", "string") == "ice"
+        ts = datetime(2024, 1, 1, 5, tzinfo=timezone.utc)
+        assert apply_transform_value(ts, "hours", "timestamptz") == int(ts.timestamp()) // 3600
+        assert apply_transform_value(None, "bucket[4]", "long") is None
+
+
+def _walk_datafile_fields(manifest_schema: dict):
+    data_file = next(
+        f for f in manifest_schema["fields"] if f["name"] == "data_file"
+    )
+    return data_file["type"]["fields"]
