@@ -1,0 +1,147 @@
+"""IcebergTailer: checkpointed micro-batch consumption of a table.
+
+Pins the streaming-read contract: no loss, no duplication across
+restarts and bounded batches, at-least-once re-delivery on crash
+before commit, mid-snapshot cursor resumption, compaction transparency,
+and the non-append refusal (mirroring Iceberg's incremental scan).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import FsCatalog
+from opentelemetry_iceberg_exporter_spark.streaming.iceberg_tail import IcebergTailer
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("v", StringType(), True),
+    ]
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    cat = FsCatalog(str(tmp_path / "wh"))
+    return cat.create_table("ns", "tail_t", SCHEMA)
+
+
+def _append(spark, table, lo, hi):
+    table.append_dataframe(
+        spark.createDataFrame([Row(id=i, v=f"v{i}") for i in range(lo, hi)])
+    )
+
+
+def _ids(df):
+    return sorted(r.id for r in df.collect())
+
+
+class TestTailing:
+    def test_drain_all_then_caught_up(self, spark, table, tmp_path):
+        _append(spark, table, 0, 10)
+        _append(spark, table, 10, 20)
+        tailer = IcebergTailer(table, str(tmp_path / "ck.json"))
+        seen = []
+        n = tailer.process_available(spark, lambda df, b: seen.extend(_ids(df)))
+        assert n >= 1
+        assert sorted(seen) == list(range(20))
+        assert tailer.poll(spark) is None  # caught up
+        # new commits resume from the cursor — only the new rows arrive
+        _append(spark, table, 20, 25)
+        seen2 = []
+        tailer.process_available(spark, lambda df, b: seen2.extend(_ids(df)))
+        assert sorted(seen2) == list(range(20, 25))
+
+    def test_bounded_batches_split_one_snapshot(self, spark, table, tmp_path):
+        # one snapshot, many files: repartition forces multiple files
+        df = spark.createDataFrame([Row(id=i, v=f"v{i}") for i in range(40)]).repartition(8)
+        table.append_dataframe(df)
+        tailer = IcebergTailer(table, str(tmp_path / "ck.json"), max_files_per_batch=3)
+        batches = []
+        tailer.process_available(spark, lambda d, b: batches.append((len(b.files), _ids(d))))
+        assert all(nf <= 3 for nf, _ in batches)
+        assert len(batches) >= 2  # the snapshot was split mid-way
+        assert sorted(i for _, ids in batches for i in ids) == list(range(40))
+
+    def test_restart_resumes_from_checkpoint(self, spark, table, tmp_path):
+        _append(spark, table, 0, 10)
+        ck = str(tmp_path / "ck.json")
+        t1 = IcebergTailer(table, ck, max_files_per_batch=2)
+        polled = t1.poll(spark)
+        assert polled is not None
+        df, batch = polled
+        first_ids = _ids(df)
+        t1.commit(batch)
+        del t1
+        # a NEW tailer (process restart) picks up exactly where the old
+        # one committed — nothing lost, nothing re-delivered
+        t2 = IcebergTailer(table, ck, max_files_per_batch=100)
+        rest = []
+        t2.process_available(spark, lambda d, b: rest.extend(_ids(d)))
+        assert sorted(first_ids + rest) == list(range(10))
+
+    def test_crash_before_commit_redelivers(self, spark, table, tmp_path):
+        _append(spark, table, 0, 5)
+        tailer = IcebergTailer(table, str(tmp_path / "ck.json"))
+        df1, b1 = tailer.poll(spark)
+        ids1 = _ids(df1)
+        # crash: no commit — the next poll re-plans the SAME batch
+        df2, b2 = tailer.poll(spark)
+        assert _ids(df2) == ids1
+        assert [f.file_path for f in b2.files] == [f.file_path for f in b1.files]
+        tailer.commit(b2)
+        assert tailer.poll(spark) is None
+
+    def test_compaction_is_invisible(self, spark, table, tmp_path):
+        _append(spark, table, 0, 10)
+        tailer = IcebergTailer(table, str(tmp_path / "ck.json"))
+        tailer.process_available(spark, lambda d, b: None)
+        # compaction rewrites layout; the tail must NOT re-deliver rows
+        table.rewrite_data_files(spark, target_bytes=1 << 30, min_files=1)
+        assert tailer.poll(spark) is None
+        _append(spark, table, 10, 12)
+        seen = []
+        tailer.process_available(spark, lambda d, b: seen.extend(_ids(d)))
+        assert sorted(seen) == [10, 11]
+
+    def test_non_append_raises(self, spark, table, tmp_path):
+        _append(spark, table, 0, 10)
+        tailer = IcebergTailer(table, str(tmp_path / "ck.json"))
+        tailer.process_available(spark, lambda d, b: None)
+        table.delete_where(spark, "id < 3")
+        with pytest.raises(ValueError, match="changelog"):
+            tailer.poll(spark)
+
+    def test_seed_to_current_skips_history(self, spark, table, tmp_path):
+        _append(spark, table, 0, 10)
+        tailer = IcebergTailer(table, str(tmp_path / "ck.json"))
+        assert tailer.seed_to_current() is not None
+        assert tailer.poll(spark) is None  # history skipped
+        _append(spark, table, 10, 13)
+        seen = []
+        tailer.process_available(spark, lambda d, b: seen.extend(_ids(d)))
+        assert sorted(seen) == [10, 11, 12]
+
+    def test_expired_checkpoint_snapshot_fails_loud(self, spark, table, tmp_path):
+        _append(spark, table, 0, 5)
+        tailer = IcebergTailer(table, str(tmp_path / "ck.json"))
+        tailer.process_available(spark, lambda d, b: None)
+        _append(spark, table, 5, 8)
+        _append(spark, table, 8, 11)
+        table.expire_snapshots(keep_last=1)
+        with pytest.raises(ValueError, match="no longer exists"):
+            tailer.poll(spark)
+
+    def test_schema_evolution_mid_stream(self, spark, table, tmp_path):
+        _append(spark, table, 0, 5)
+        tailer = IcebergTailer(table, str(tmp_path / "ck.json"))
+        table.add_columns([StructField("extra", StringType(), True)])
+        # rows written pre-evolution surface the new column as null
+        df, batch = tailer.poll(spark)
+        assert df.columns == ["id", "v", "extra"]
+        assert all(r.extra is None for r in df.collect())
+        tailer.commit(batch)
