@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from .config import CatalogConfig, ExporterConfig, PartitionConfig, StorageConfig
@@ -152,6 +153,30 @@ def main(argv: list[str] | None = None) -> int:
         "pre-image / delete_key) + _commit_snapshot_id + "
         "_commit_sequence_number; handles delete and upsert snapshots "
         "the plain diff refuses",
+    )
+
+    pt = sub.add_parser(
+        "tail",
+        help="checkpointed micro-batch consumption: drain rows appended "
+        "since the durable cursor into --output (parquet, append), one "
+        "micro-batch at a time, then exit (cron-friendly). The cursor "
+        "is (snapshot, file-offset), so huge snapshots split across "
+        "bounded batches; re-running resumes exactly where the last "
+        "run committed",
+    )
+    pt.add_argument("--warehouse", required=True)
+    pt.add_argument("--namespace", default="otel")
+    pt.add_argument("--table", required=True)
+    pt.add_argument("--output", required=True, help="output dir (parquet, appended)")
+    pt.add_argument("--checkpoint", required=True, help="durable cursor file (JSON)")
+    pt.add_argument(
+        "--max-files-per-batch", type=int, default=None,
+        help="bound each micro-batch to this many data files",
+    )
+    pt.add_argument(
+        "--seed-current", action="store_true",
+        help="first run only: start at the CURRENT snapshot instead of "
+        "replaying table history",
     )
 
     pi = sub.add_parser(
@@ -392,6 +417,33 @@ def main(argv: list[str] | None = None) -> int:
                     # on the next poll
                     "checkpoint_snapshot": end_snapshot,
                 }
+            )
+        )
+        return 0
+
+    if args.cmd == "tail":
+        from .sinks.iceberg_fs import FsCatalog
+        from .streaming.iceberg_tail import IcebergTailer
+
+        table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
+        tailer = IcebergTailer(
+            table, args.checkpoint, max_files_per_batch=args.max_files_per_batch
+        )
+        if args.seed_current and not os.path.exists(args.checkpoint):
+            tailer.seed_to_current()
+        stats = {"batches": 0, "rows": 0, "files": 0}
+
+        def _sink(df, batch):
+            df.write.mode("append").parquet(args.output)
+            stats["batches"] += 1
+            stats["rows"] += batch.record_count
+            stats["files"] += len(batch.files)
+
+        tailer.process_available(spark, _sink)
+        snapshot_id, file_offset = tailer.position()
+        print(
+            json.dumps(
+                {**stats, "checkpoint_snapshot": snapshot_id, "file_offset": file_offset}
             )
         )
         return 0

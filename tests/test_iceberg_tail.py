@@ -136,6 +136,38 @@ class TestTailing:
         with pytest.raises(ValueError, match="no longer exists"):
             tailer.poll(spark)
 
+    def test_cli_tail_drains_and_resumes(self, spark, table, tmp_path, capsys):
+        import json
+
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        _append(spark, table, 0, 10)
+        wh = str(tmp_path / "wh")
+        args = [
+            "tail",
+            "--warehouse", wh,
+            "--namespace", "ns",
+            "--table", "tail_t",
+            "--output", str(tmp_path / "out"),
+            "--checkpoint", str(tmp_path / "cli_ck.json"),
+        ]
+        assert main(args) == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["rows"] == 10 and stats["batches"] >= 1
+        got = spark.read.parquet(str(tmp_path / "out"))
+        assert _ids(got) == list(range(10))
+        # second run: caught up, nothing duplicated in the output dir
+        assert main(args) == 0
+        stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats2["rows"] == 0 and stats2["batches"] == 0
+        assert _ids(spark.read.parquet(str(tmp_path / "out"))) == list(range(10))
+        # new commit: only the delta lands
+        _append(spark, table, 10, 12)
+        assert main(args) == 0
+        stats3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats3["rows"] == 2
+        assert _ids(spark.read.parquet(str(tmp_path / "out"))) == list(range(12))
+
     def test_schema_evolution_mid_stream(self, spark, table, tmp_path):
         _append(spark, table, 0, 5)
         tailer = IcebergTailer(table, str(tmp_path / "ck.json"))
