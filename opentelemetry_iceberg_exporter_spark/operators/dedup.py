@@ -305,34 +305,46 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs above threshold.
 
-    shingle-explode -> equi-join on shingle -> per-pair shared count ->
-    jaccard = shared / (|A| + |B| - shared). Integer arithmetic until the
-    final division => deterministic.
+    shingle-explode -> per-shingle sorted doc list (ONE shuffle; the
+    df cap is a size filter on the list, no separate frequency join) ->
+    ordered pairs generated IN-PARTITION with higher-order functions ->
+    per-pair shared count. The old shape self-joined the exploded
+    relation (two sort-merge sorts of the biggest intermediate); the
+    grouped form never materializes the exploded relation twice and
+    generates exactly the same pairs map-side. Integer arithmetic until
+    the final division => deterministic.
     """
     sh = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(ngrams(tokens(F.col(text_col)), n))).alias("sh"),
     )
-    # explode fans ~50x out of a narrow scan: redistribute by the join key
-    # so the self-join runs partition-local and parallel even when the
-    # source parquet is a single split (also the co-location strategy at
-    # scale: one shuffle feeds join + both count branches)
+    # explode fans ~50x out of a narrow scan: redistribute by the group
+    # key so the per-shingle grouping runs partition-local and parallel
+    # even when the source parquet is a single split (also the
+    # co-location strategy at scale: one shuffle feeds pair generation
+    # and, via the exploded lists, the per-doc counts)
     sh = sh.repartition(F.col("sh"))
+    groups = sh.groupBy("sh").agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
     if df_cap is not None:
-        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
-        sh = sh.join(freq.filter(F.col("df_") <= df_cap), "sh", "inner").drop("df_")
-    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+        # stop-shingle cap == list-size filter (memory per group is
+        # bounded by the cap for exactly the same reason)
+        groups = groups.filter(F.size("ids") <= df_cap)
+    counts = (
+        groups.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    # all ordered (i < j) pairs of each shingle's sorted doc list,
+    # generated inside whole-stage codegen (no self-join, no resort)
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
     shared = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        groups.filter(F.size("ids") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
