@@ -338,6 +338,68 @@ def duck_content_flags_sql() -> str:
     """
 
 
+# PII patterns, deliberately written in the common subset of Java regex
+# (Spark) and RE2 (DuckDB): no lookaround, no backreferences, no \s
+# (whose character sets differ between the engines). Replacement order
+# matters and is part of the contract: EMAIL first (contains digits a
+# later pass could mangle), then IP (dots would read as phone
+# separators), then SSN (a phone-shaped digit group), then PHONE.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\+?[0-9][0-9() .-]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrubbing for pretraining corpora: counts per category
+    (emails, IPv4s, SSN-shaped ids, phone-shaped digit runs) measured on
+    the ORIGINAL text, plus `text_redacted` with each match replaced by
+    a typed placeholder token. One map-side projection — four
+    regexp_counts and a chain of four regexp_replaces inside whole-stage
+    codegen; no UDFs, no shuffle, embarrassingly parallel at any scale.
+
+    Counts are per ORIGINAL text on purpose: each category reports what
+    a reader of the raw document would find, independent of the
+    replacement order the redaction chain applies.
+    """
+    text = F.col(text_col)
+    redacted = text
+    counts = []
+    for name, pattern, token in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))).alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pattern, token)
+    out = df.select(F.col(id_col), *counts, redacted.alias("text_redacted"))
+    total = None
+    for name, _, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("pii_total", total)
+
+
+def duck_redact_pii_sql() -> str:
+    """DuckDB rendering of redact_pii over (doc_id, text) — the same
+    patterns, the same replacement order."""
+    counts = ",\n      ".join(
+        f"len(regexp_extract_all(text, '{p}')) AS n_{name}"
+        for name, p, _ in PII_PATTERNS
+    )
+    redacted = "text"
+    for _, p, token in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{p}', '{token}', 'g')"
+    total = " + ".join(f"len(regexp_extract_all(text, '{p}'))" for _, p, _ in PII_PATTERNS)
+    return f"""
+    SELECT doc_id,
+      {counts},
+      {redacted} AS text_redacted,
+      {total} AS pii_total
+    FROM documents
+    """
+
+
 def corpus_report(
     df: DataFrame, group_cols: list[str], id_col: str, text_col: str
 ) -> DataFrame:
