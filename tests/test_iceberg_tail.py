@@ -168,6 +168,44 @@ class TestTailing:
         assert stats3["rows"] == 2
         assert _ids(spark.read.parquet(str(tmp_path / "out"))) == list(range(12))
 
+    @pytest.mark.parametrize("seed", [3, 17, 99])
+    def test_randomized_interleaving_never_loses_or_duplicates(
+        self, spark, table, tmp_path, seed
+    ):
+        """Seeded random programs over {append, compact, poll-with-
+        random-cap, restart}: every appended row is delivered exactly
+        once, regardless of where batch boundaries and restarts fall."""
+        import random
+
+        rng = random.Random(seed)
+        ck = str(tmp_path / "ck.json")
+        appended, delivered = 0, []
+        tailer = IcebergTailer(table, ck, max_files_per_batch=rng.choice([1, 2, None]))
+        for _ in range(8):
+            op = rng.choice(["append", "append", "poll", "compact", "restart"])
+            if op == "append":
+                n = rng.randint(1, 6)
+                df = spark.createDataFrame(
+                    [Row(id=i, v=f"v{i}") for i in range(appended, appended + n)]
+                ).repartition(rng.randint(1, 3))
+                table.append_dataframe(df)
+                appended += n
+            elif op == "poll":
+                polled = tailer.poll(spark)
+                if polled is not None:
+                    df, batch = polled
+                    delivered.extend(_ids(df))
+                    tailer.commit(batch)
+            elif op == "compact":
+                table.rewrite_data_files(spark, target_bytes=1 << 30, min_files=2)
+            else:  # restart with a fresh cap
+                tailer = IcebergTailer(
+                    table, ck, max_files_per_batch=rng.choice([1, 3, None])
+                )
+        tailer = IcebergTailer(table, ck, max_files_per_batch=None)
+        tailer.process_available(spark, lambda d, b: delivered.extend(_ids(d)))
+        assert sorted(delivered) == list(range(appended))
+
     def test_schema_evolution_mid_stream(self, spark, table, tmp_path):
         _append(spark, table, 0, 5)
         tailer = IcebergTailer(table, str(tmp_path / "ck.json"))

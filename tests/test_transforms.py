@@ -291,6 +291,56 @@ class TestEndToEndBucketTable(object):
         assert apply_transform_value(None, "bucket[4]", "long") is None
 
 
+class TestRestTransportBucketTable:
+    """The REST catalog shares the metadata core — a bucket spec must
+    survive the CreateTable/CommitTable protocol and the write path."""
+
+    def test_bucket_table_over_rest(self, spark, tmp_path):
+        import os as _os
+        import sys as _sys
+
+        _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__)))
+        from rest_stub import make_server
+
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
+            RestCatalogClient,
+        )
+
+        warehouse = str(tmp_path / "warehouse")
+        _os.makedirs(warehouse)
+        server, state, uri = make_server(warehouse)
+        try:
+            client = RestCatalogClient(uri, warehouse=warehouse)
+            client.ensure_namespace("ns")
+            schema = StructType(
+                [
+                    StructField("id", LongType(), False),
+                    StructField("v", StringType(), True),
+                ]
+            )
+            client.create_table("ns", "bt", schema, partition_by=[("id", "bucket[4]")])
+            table = client.ensure_table("ns", "bt", schema)
+            assert table.partition_spec()[0]["transform"] == "bucket[4]"
+            df = spark.createDataFrame([Row(id=i, v=f"v{i}") for i in range(100)])
+            table.append_dataframe(df)
+            got = table.read(spark)
+            assert got.count() == 100
+            # the hidden partition landed in the data layout
+            import glob as _glob
+
+            dirs = _glob.glob(
+                _os.path.join(table.location(), "data", "*", "id_bucket=*")
+            )
+            buckets = {int(d.rsplit("=", 1)[1]) for d in dirs}
+            assert buckets <= {0, 1, 2, 3} and len(buckets) > 1
+            for b in buckets:
+                sub = _glob.glob(_os.path.join(table.location(), "data", "*", f"id_bucket={b}", "*.parquet"))
+                for r in spark.read.parquet(*sub).select("id").collect():
+                    assert bucket_value(r.id, 4, "long") == b
+        finally:
+            server.shutdown()
+
+
 def _walk_datafile_fields(manifest_schema: dict):
     data_file = next(
         f for f in manifest_schema["fields"] if f["name"] == "data_file"
