@@ -1184,6 +1184,115 @@ def scan_with_deletes(
     return apply_position_deletes(spark, df, delete_files)
 
 
+def plan_scan_metadata(
+    md: dict,
+    snapshot_id: int | None = None,
+    partition_range: tuple[int, int] | None = None,
+    column_range: tuple[str, Any, Any] | None = None,
+    source_predicate: tuple[str, Any] | None = None,
+) -> tuple[list[DataFile], list[DataFile], int]:
+    """Transport-neutral scan planner both catalogs share (FsTable and
+    RestTable delegate here): resolve a snapshot's live files into
+    (data files, delete files, n_pruned), skipping data files by
+    partition-transform-value range, manifest-recorded column bounds,
+    and/or the hidden-partition rewrite of an equality predicate on a
+    source column. All skips are O(metadata); files without the needed
+    stats are conservatively kept; delete files are never pruned (a
+    delete row for a pruned-away data file matches nothing)."""
+    sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    if sid == -1:
+        return [], [], 0
+    snapshot = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+    spec_fields = default_spec_fields(md)
+    spec_names = [pf["name"] for pf in spec_fields]
+    pred_parts: dict[str, Any] = {}
+    if source_predicate is not None:
+        pcol, pval = source_predicate
+        src = next(
+            (f_ for f_ in current_schema(md)["fields"] if f_["name"] == pcol), None
+        )
+        if src is not None:
+            for pf in spec_fields:
+                if pf["source-id"] == src["id"]:
+                    pred_parts[pf["name"]] = apply_transform_value(
+                        pval, pf["transform"], src["type"]
+                    )
+    col_field = None
+    if column_range is not None:
+        name, lo_v, hi_v = column_range
+        col_field = next(
+            (f_ for f_ in current_schema(md)["fields"] if f_["name"] == name), None
+        )
+        if col_field is None or not isinstance(col_field["type"], str):
+            raise ValueError(f"no boundable column {name!r}")
+    files: list[DataFile] = []
+    deletes: list[DataFile] = []
+    pruned = 0
+    _, _, manifests = read_ocf(snapshot["manifest-list"])
+    for m in manifests:
+        _, _, entries = read_ocf(m["manifest_path"])
+        for e in entries:
+            if e["status"] == STATUS_DELETED:
+                continue
+            df_ = e["data_file"]
+            part = {k: v for k, v in df_["partition"].items() if v is not None}
+            entry_seq = (
+                e["sequence_number"]
+                if e.get("sequence_number") is not None
+                else m["sequence_number"]
+            )
+            if df_.get("content", 0) in (1, 2):
+                eq = df_.get("equality_ids")
+                deletes.append(
+                    DataFile(
+                        file_path=df_["file_path"],
+                        file_size_in_bytes=df_["file_size_in_bytes"],
+                        record_count=df_["record_count"],
+                        partition=part,
+                        content=df_["content"],
+                        equality_ids=tuple(eq) if eq else None,
+                        sequence_number=entry_seq,
+                    )
+                )
+                continue
+            if partition_range and spec_names:
+                value = part.get(spec_names[0])
+                lo, hi = partition_range
+                if value is not None and not lo <= value <= hi:
+                    pruned += 1
+                    continue
+            if pred_parts:
+                mismatch = any(
+                    part.get(name) is not None and part.get(name) != expected
+                    for name, expected in pred_parts.items()
+                )
+                if mismatch:
+                    pruned += 1
+                    continue
+            if col_field is not None:
+                fid, ftype = col_field["id"], col_field["type"]
+                lower = _bounds_from_avro(df_.get("lower_bounds")).get(fid)
+                upper = _bounds_from_avro(df_.get("upper_bounds")).get(fid)
+                if lower is not None and hi_v is not None:
+                    if decode_bound(lower, ftype) > hi_v:
+                        pruned += 1
+                        continue
+                if upper is not None and lo_v is not None:
+                    if decode_bound(upper, ftype) < lo_v:
+                        pruned += 1
+                        continue
+            files.append(
+                DataFile(
+                    file_path=df_["file_path"],
+                    file_size_in_bytes=df_["file_size_in_bytes"],
+                    record_count=df_["record_count"],
+                    partition=part,
+                    sequence_number=entry_seq,
+                )
+            )
+    return files, deletes, pruned
+
+
 def live_files(md: dict, snapshot_id: int) -> tuple[list[DataFile], list[DataFile]]:
     """(data files, delete files — position AND equality) live in a
     snapshot — the transport-neutral manifest walk both catalogs plan
@@ -2759,97 +2868,9 @@ class FsTable:
         partition value differs are skipped — a point lookup on a
         bucket[N] table opens ~1/N of the files without the query ever
         naming the partition column."""
-        md = self.metadata()
-        sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
-        if sid == -1:
-            return [], [], 0
-        snapshot = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
-        spec_names = [pf["name"] for pf in self.partition_spec()]
-        pred_parts: dict[str, Any] = {}
-        if source_predicate is not None:
-            pcol, pval = source_predicate
-            schema_fields = current_schema(md)["fields"]
-            src = next((f_ for f_ in schema_fields if f_["name"] == pcol), None)
-            if src is not None:
-                for pf in self.partition_spec():
-                    if pf["source-id"] == src["id"]:
-                        pred_parts[pf["name"]] = apply_transform_value(
-                            pval, pf["transform"], src["type"]
-                        )
-        col_field = None
-        if column_range is not None:
-            name, lo_v, hi_v = column_range
-            col_field = next(
-                (f_ for f_ in current_schema(md)["fields"] if f_["name"] == name), None
-            )
-            if col_field is None or not isinstance(col_field["type"], str):
-                raise ValueError(f"no boundable column {name!r}")
-        files: list[DataFile] = []
-        deletes: list[DataFile] = []
-        pruned = 0
-        _, _, manifests = read_ocf(snapshot["manifest-list"])
-        for m in manifests:
-            _, _, entries = read_ocf(m["manifest_path"])
-            for e in entries:
-                if e["status"] == STATUS_DELETED:
-                    continue
-                df_ = e["data_file"]
-                part = {k: v for k, v in df_["partition"].items() if v is not None}
-                entry_seq = (
-                    e["sequence_number"]
-                    if e.get("sequence_number") is not None
-                    else m["sequence_number"]
-                )
-                if df_.get("content", 0) in (1, 2):
-                    eq = df_.get("equality_ids")
-                    deletes.append(
-                        DataFile(
-                            file_path=df_["file_path"],
-                            file_size_in_bytes=df_["file_size_in_bytes"],
-                            record_count=df_["record_count"],
-                            partition=part,
-                            content=df_["content"],
-                            equality_ids=tuple(eq) if eq else None,
-                            sequence_number=entry_seq,
-                        )
-                    )
-                    continue
-                if partition_range and spec_names:
-                    value = part.get(spec_names[0])
-                    lo, hi = partition_range
-                    if value is not None and not lo <= value <= hi:
-                        pruned += 1
-                        continue
-                if pred_parts:
-                    mismatch = any(
-                        part.get(name) is not None and part.get(name) != expected
-                        for name, expected in pred_parts.items()
-                    )
-                    if mismatch:
-                        pruned += 1
-                        continue
-                if col_field is not None:
-                    fid, ftype = col_field["id"], col_field["type"]
-                    lower = _bounds_from_avro(df_.get("lower_bounds")).get(fid)
-                    upper = _bounds_from_avro(df_.get("upper_bounds")).get(fid)
-                    if lower is not None and hi_v is not None:
-                        if decode_bound(lower, ftype) > hi_v:
-                            pruned += 1
-                            continue
-                    if upper is not None and lo_v is not None:
-                        if decode_bound(upper, ftype) < lo_v:
-                            pruned += 1
-                            continue
-                files.append(
-                    DataFile(
-                        file_path=df_["file_path"],
-                        file_size_in_bytes=df_["file_size_in_bytes"],
-                        record_count=df_["record_count"],
-                        partition=part,
-                        sequence_number=entry_seq,
-                    )
-                )
-        return files, deletes, pruned
+        return plan_scan_metadata(
+            self.metadata(), snapshot_id, partition_range, column_range, source_predicate
+        )
 
     def read(
         self,

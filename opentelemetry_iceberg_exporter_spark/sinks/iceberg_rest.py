@@ -50,6 +50,7 @@ from .iceberg_fs import (
     incremental_data_files,
     live_files,
     partition_fields_for,
+    plan_scan_metadata,
     plan_delete_rewrite,
     plan_position_delete,
     scan_with_deletes,
@@ -1025,12 +1026,38 @@ class RestTable:
         )
         return spec["spec-id"]
 
-    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+    def plan_files(
+        self,
+        snapshot_id: int | None = None,
+        partition_range: tuple[int, int] | None = None,
+        column_range: tuple[str, Any, Any] | None = None,
+        source_predicate: tuple[str, Any] | None = None,
+    ) -> tuple[list[DataFile], int]:
+        """Same pruning scan planner as FsTable (shared transport-
+        neutral plan_scan_metadata): (live data files, n_pruned)."""
+        data, _, pruned = plan_scan_metadata(
+            self.metadata(), snapshot_id, partition_range, column_range, source_predicate
+        )
+        return data, pruned
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        partition_range: tuple[int, int] | None = None,
+        column_range: tuple[str, Any, Any] | None = None,
+        source_predicate: tuple[str, Any] | None = None,
+    ) -> DataFrame:
         """Scan a committed snapshot's files (time travel via
-        snapshot_id), with position deletes subtracted (merge-on-read)."""
+        snapshot_id), with position deletes subtracted (merge-on-read)
+        and the same manifest-level pruning surface as FsTable.read
+        (partition_range / column_range / hidden-partition
+        source_predicate prune FILES; row filters are the caller's)."""
         md = self.metadata()
         sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
         if sid in (-1, None):
             return spark.createDataFrame([], spark_read_schema(md))
-        data, deletes = self._live_files(md, sid)
+        data, deletes, _ = plan_scan_metadata(
+            md, sid, partition_range, column_range, source_predicate
+        )
         return scan_with_deletes(spark, md, data, deletes)

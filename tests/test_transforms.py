@@ -337,6 +337,13 @@ class TestRestTransportBucketTable:
                 sub = _glob.glob(_os.path.join(table.location(), "data", "*", f"id_bucket={b}", "*.parquet"))
                 for r in spark.read.parquet(*sub).select("id").collect():
                     assert bucket_value(r.id, 4, "long") == b
+            # the REST table shares the pruning planner: a point lookup
+            # opens only the matching bucket's files
+            keep, n_pruned = table.plan_files(source_predicate=("id", 42))
+            assert n_pruned > 0
+            assert {f.partition["id_bucket"] for f in keep} == {bucket_value(42, 4, "long")}
+            got42 = table.read(spark, source_predicate=("id", 42)).filter("id = 42")
+            assert [r.v for r in got42.collect()] == ["v42"]
         finally:
             server.shutdown()
 
