@@ -1184,21 +1184,32 @@ def scan_with_deletes(
     return apply_position_deletes(spark, df, delete_files)
 
 
+# transforms that PRESERVE ORDER of their source values, so a source-
+# column range rewrites to a partition-value range (bucket does not)
+_MONOTONE_TRANSFORMS = {"hours", "days", "months", "truncate"}
+
+
 def plan_scan_metadata(
     md: dict,
     snapshot_id: int | None = None,
     partition_range: tuple[int, int] | None = None,
     column_range: tuple[str, Any, Any] | None = None,
     source_predicate: tuple[str, Any] | None = None,
+    source_range: tuple[str, Any, Any] | None = None,
 ) -> tuple[list[DataFile], list[DataFile], int]:
     """Transport-neutral scan planner both catalogs share (FsTable and
     RestTable delegate here): resolve a snapshot's live files into
     (data files, delete files, n_pruned), skipping data files by
     partition-transform-value range, manifest-recorded column bounds,
-    and/or the hidden-partition rewrite of an equality predicate on a
-    source column. All skips are O(metadata); files without the needed
-    stats are conservatively kept; delete files are never pruned (a
-    delete row for a pruned-away data file matches nothing)."""
+    the hidden-partition rewrite of an equality predicate on a source
+    column, and/or `source_range=(column, lo, hi)` — Iceberg's range
+    rewrite through MONOTONE transforms (time transforms and truncate,
+    never bucket): `col BETWEEN lo AND hi` keeps only files whose
+    partition value lies in [transform(lo), transform(hi)], with
+    one-sided bounds allowed (None). All skips are O(metadata); files
+    without the needed stats are conservatively kept; delete files are
+    never pruned (a delete row for a pruned-away data file matches
+    nothing)."""
     sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
     if sid == -1:
         return [], [], 0
@@ -1216,6 +1227,20 @@ def plan_scan_metadata(
                 if pf["source-id"] == src["id"]:
                     pred_parts[pf["name"]] = apply_transform_value(
                         pval, pf["transform"], src["type"]
+                    )
+    range_parts: dict[str, tuple[Any, Any]] = {}
+    if source_range is not None:
+        rcol, rlo, rhi = source_range
+        src = next(
+            (f_ for f_ in current_schema(md)["fields"] if f_["name"] == rcol), None
+        )
+        if src is not None:
+            for pf in spec_fields:
+                base, _ = parse_transform(pf["transform"])
+                if pf["source-id"] == src["id"] and base in _MONOTONE_TRANSFORMS:
+                    range_parts[pf["name"]] = (
+                        apply_transform_value(rlo, pf["transform"], src["type"]),
+                        apply_transform_value(rhi, pf["transform"], src["type"]),
                     )
     col_field = None
     if column_range is not None:
@@ -1267,6 +1292,18 @@ def plan_scan_metadata(
                     for name, expected in pred_parts.items()
                 )
                 if mismatch:
+                    pruned += 1
+                    continue
+            if range_parts:
+                out_of_range = any(
+                    part.get(name) is not None
+                    and (
+                        (lo_t is not None and part[name] < lo_t)
+                        or (hi_t is not None and part[name] > hi_t)
+                    )
+                    for name, (lo_t, hi_t) in range_parts.items()
+                )
+                if out_of_range:
                     pruned += 1
                     continue
             if col_field is not None:
@@ -2837,11 +2874,12 @@ class FsTable:
         partition_range: tuple[int, int] | None = None,
         column_range: tuple[str, Any, Any] | None = None,
         source_predicate: tuple[str, Any] | None = None,
+        source_range: tuple[str, Any, Any] | None = None,
     ) -> tuple[list[DataFile], int]:
         """Resolve live DATA files for a snapshot (see plan_scan, which
         also returns position-delete files). Returns (files, n_pruned)."""
         data, _, pruned = self.plan_scan(
-            snapshot_id, partition_range, column_range, source_predicate
+            snapshot_id, partition_range, column_range, source_predicate, source_range
         )
         return data, pruned
 
@@ -2851,6 +2889,7 @@ class FsTable:
         partition_range: tuple[int, int] | None = None,
         column_range: tuple[str, Any, Any] | None = None,
         source_predicate: tuple[str, Any] | None = None,
+        source_range: tuple[str, Any, Any] | None = None,
     ) -> tuple[list[DataFile], list[DataFile], int]:
         """Resolve a snapshot's live files into (data files, position-
         delete files, n_pruned); data files are optionally pruned by
@@ -2869,7 +2908,12 @@ class FsTable:
         bucket[N] table opens ~1/N of the files without the query ever
         naming the partition column."""
         return plan_scan_metadata(
-            self.metadata(), snapshot_id, partition_range, column_range, source_predicate
+            self.metadata(),
+            snapshot_id,
+            partition_range,
+            column_range,
+            source_predicate,
+            source_range,
         )
 
     def read(
@@ -2879,6 +2923,7 @@ class FsTable:
         partition_range: tuple[int, int] | None = None,
         column_range: tuple[str, Any, Any] | None = None,
         source_predicate: tuple[str, Any] | None = None,
+        source_range: tuple[str, Any, Any] | None = None,
     ) -> DataFrame:
         """Time-travel-capable scan: metadata resolves the file list
         (partition + column-bound + hidden-partition-predicate pruning
@@ -2889,7 +2934,7 @@ class FsTable:
         FILES; apply the row filter on the result."""
         md = self.metadata()
         data, deletes, _ = self.plan_scan(
-            snapshot_id, partition_range, column_range, source_predicate
+            snapshot_id, partition_range, column_range, source_predicate, source_range
         )
         return scan_with_deletes(spark, md, data, deletes)
 

@@ -1032,11 +1032,17 @@ class RestTable:
         partition_range: tuple[int, int] | None = None,
         column_range: tuple[str, Any, Any] | None = None,
         source_predicate: tuple[str, Any] | None = None,
+        source_range: tuple[str, Any, Any] | None = None,
     ) -> tuple[list[DataFile], int]:
         """Same pruning scan planner as FsTable (shared transport-
         neutral plan_scan_metadata): (live data files, n_pruned)."""
         data, _, pruned = plan_scan_metadata(
-            self.metadata(), snapshot_id, partition_range, column_range, source_predicate
+            self.metadata(),
+            snapshot_id,
+            partition_range,
+            column_range,
+            source_predicate,
+            source_range,
         )
         return data, pruned
 
@@ -1047,6 +1053,7 @@ class RestTable:
         partition_range: tuple[int, int] | None = None,
         column_range: tuple[str, Any, Any] | None = None,
         source_predicate: tuple[str, Any] | None = None,
+        source_range: tuple[str, Any, Any] | None = None,
     ) -> DataFrame:
         """Scan a committed snapshot's files (time travel via
         snapshot_id), with position deletes subtracted (merge-on-read)
@@ -1058,6 +1065,6 @@ class RestTable:
         if sid in (-1, None):
             return spark.createDataFrame([], spark_read_schema(md))
         data, deletes, _ = plan_scan_metadata(
-            md, sid, partition_range, column_range, source_predicate
+            md, sid, partition_range, column_range, source_predicate, source_range
         )
         return scan_with_deletes(spark, md, data, deletes)

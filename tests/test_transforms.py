@@ -264,6 +264,63 @@ class TestEndToEndBucketTable(object):
         keep, _ = table.plan_files(source_predicate=("id", -1))
         assert {f.partition["id_trunc"] for f in keep} == {-100}
 
+    def test_truncate_range_pruning_monotone(self, spark, tmp_path):
+        table = self._make_table(spark, tmp_path, [("id", "truncate[100]")])
+        df = spark.createDataFrame(
+            [Row(id=i, payload=str(i)) for i in (-150, -1, 0, 99, 100, 250, 555)]
+        )
+        table.append_dataframe(df)
+        # col BETWEEN 50 AND 120 -> partitions {0, 100} only
+        keep, n_pruned = table.plan_files(source_range=("id", 50, 120))
+        assert {f.partition["id_trunc"] for f in keep} == {0, 100}
+        assert n_pruned >= 3
+        # one-sided: id >= 200 -> partitions {200, 500}
+        keep, _ = table.plan_files(source_range=("id", 200, None))
+        assert {f.partition["id_trunc"] for f in keep} == {200, 500}
+        rows = table.read(spark, source_range=("id", 50, 120)).filter(
+            "id BETWEEN 50 AND 120"
+        )
+        assert sorted(r.id for r in rows.collect()) == [99, 100]
+
+    def test_bucket_never_range_prunes(self, spark, tmp_path):
+        # bucket is NOT monotone: a range predicate must keep every file
+        table = self._make_table(spark, tmp_path, [("id", "bucket[4]")])
+        table.append_dataframe(
+            spark.createDataFrame([Row(id=i, payload=str(i)) for i in range(50)])
+        )
+        all_files, _ = table.plan_files()
+        keep, n_pruned = table.plan_files(source_range=("id", 10, 12))
+        assert len(keep) == len(all_files) and n_pruned == 0
+
+    def test_time_transform_range_pruning(self, spark, tmp_path):
+        from pyspark.sql import functions as SF
+
+        cat = FsCatalog(str(tmp_path / "wh"))
+        schema = StructType(
+            [
+                StructField("ts", TimestampType(), True),
+                StructField("n", LongType(), True),
+            ]
+        )
+        table = cat.create_table(
+            "ns", "t_time", schema, partition_source="ts", granularity="hourly"
+        )
+        df = spark.range(48).select(
+            SF.to_timestamp(
+                SF.lit("2024-03-01 00:00:00").cast("timestamp")
+                + SF.make_interval(hours=SF.col("id").cast("int"))
+            ).alias("ts"),
+            SF.col("id").alias("n"),
+        )
+        table.append_dataframe(df)
+        lo = datetime(2024, 3, 1, 5, tzinfo=timezone.utc)
+        hi = datetime(2024, 3, 1, 7, tzinfo=timezone.utc)
+        keep, n_pruned = table.plan_files(source_range=("ts", lo, hi))
+        hours = {f.partition["ts_hour"] for f in keep}
+        lo_h = int(lo.timestamp()) // 3600
+        assert hours == {lo_h, lo_h + 1, lo_h + 2}
+        assert n_pruned == 45
+
     def test_manifest_avro_types_follow_result_type(self):
         schema = {
             "type": "struct",
