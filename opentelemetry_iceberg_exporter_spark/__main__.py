@@ -155,6 +155,24 @@ def main(argv: list[str] | None = None) -> int:
         "the plain diff refuses",
     )
 
+    pr = sub.add_parser(
+        "redact",
+        help="PII scrubbing: per-category counts (email/ip/ssn/phone) + "
+        "text_redacted with typed placeholder tokens, written as parquet "
+        "(map-side regexp chain, no shuffle)",
+    )
+    pr.add_argument("--input", required=True, help="parquet file/dir")
+    pr.add_argument("--output", required=True, help="output dir (parquet)")
+    pr.add_argument("--id-col", default="doc_id")
+    pr.add_argument("--text-col", default="text")
+    pr.add_argument(
+        "--replace-text",
+        action="store_true",
+        help="emit the full input row set with the text column REPLACED "
+        "by its redacted form (drop the count columns) instead of the "
+        "(id, counts, text_redacted) report",
+    )
+
     pt = sub.add_parser(
         "tail",
         help="checkpointed micro-batch consumption: drain rows appended "
@@ -416,6 +434,39 @@ def main(argv: list[str] | None = None) -> int:
                     # checkpoint this id and pass it as --from-snapshot
                     # on the next poll
                     "checkpoint_snapshot": end_snapshot,
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "redact":
+        from pyspark.sql import functions as F
+
+        from .operators.text import redact_pii
+
+        df = spark.read.parquet(args.input)
+        red = redact_pii(df, args.id_col, args.text_col)
+        if args.replace_text:
+            out = df.drop(args.text_col).join(
+                red.select(
+                    args.id_col, F.col("text_redacted").alias(args.text_col)
+                ),
+                args.id_col,
+            )
+        else:
+            out = red
+        out.write.mode("overwrite").parquet(args.output)
+        totals = red.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("pii_total").alias("pii_total"),
+            F.sum(F.when(F.col("pii_total") > 0, 1).otherwise(0)).alias("docs_with_pii"),
+        ).collect()[0]
+        print(
+            json.dumps(
+                {
+                    "rows": totals.rows,
+                    "pii_total": int(totals.pii_total or 0),
+                    "docs_with_pii": int(totals.docs_with_pii or 0),
                 }
             )
         )

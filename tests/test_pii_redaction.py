@@ -98,3 +98,33 @@ class TestCrossEngine:
     def test_testdata_documents(self, spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         self._compare(spark, docs, docs.toPandas())
+
+
+class TestCli:
+    def test_redact_report_and_replace(self, spark, sf_dir, tmp_path, capsys):
+        import json
+
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        report = str(tmp_path / "report")
+        rc = main(
+            ["redact", "--input", f"{sf_dir}/documents.parquet", "--output", report]
+        )
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["rows"] == spark.read.parquet(report).count()
+        assert set(spark.read.parquet(report).columns) >= {
+            "doc_id", "n_email", "n_ip", "n_ssn", "n_phone", "text_redacted", "pii_total",
+        }
+        replaced = str(tmp_path / "replaced")
+        rc = main(
+            [
+                "redact", "--input", f"{sf_dir}/documents.parquet",
+                "--output", replaced, "--replace-text",
+            ]
+        )
+        assert rc == 0
+        out = spark.read.parquet(replaced)
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        assert out.count() == src.count()
+        assert set(out.columns) == set(src.columns)  # schema preserved
