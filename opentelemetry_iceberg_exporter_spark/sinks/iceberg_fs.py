@@ -360,6 +360,11 @@ def transform_value(ts: datetime, transform: str) -> int:
         return epoch // _SECONDS_PER[transform]
     if transform == "months":
         return (ts.year - 1970) * 12 + (ts.month - 1)
+    if transform == "years":
+        # spec: years since 1970 (the exporter's config stops at monthly
+        # — factory.go:22-25 — but tables written by other Iceberg
+        # writers may carry a year spec)
+        return ts.year - 1970
     raise ValueError(f"unsupported transform {transform!r}")
 
 
@@ -400,6 +405,8 @@ def transform_column(col: str, transform: str, source_type: str = "timestamptz")
         return F.floor(F.col(col).cast("long") / F.lit(s)).cast("bigint")
     if transform == "months":
         return (F.year(col) - F.lit(1970)) * 12 + F.month(col) - F.lit(1)
+    if transform == "years":
+        return F.year(col) - F.lit(1970)
     raise ValueError(f"unsupported transform {transform!r}")
 
 
@@ -1186,7 +1193,7 @@ def scan_with_deletes(
 
 # transforms that PRESERVE ORDER of their source values, so a source-
 # column range rewrites to a partition-value range (bucket does not)
-_MONOTONE_TRANSFORMS = {"hours", "days", "months", "truncate"}
+_MONOTONE_TRANSFORMS = {"hours", "days", "months", "years", "truncate"}
 
 
 def plan_scan_metadata(

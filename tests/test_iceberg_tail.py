@@ -206,6 +206,38 @@ class TestTailing:
         tailer.process_available(spark, lambda d, b: delivered.extend(_ids(d)))
         assert sorted(delivered) == list(range(appended))
 
+    def test_tails_a_rest_table(self, spark, tmp_path):
+        """The tailer only reads metadata()+files — the REST transport
+        must work identically (the docstring's claim, executed)."""
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from rest_stub import make_server
+
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
+            RestCatalogClient,
+        )
+
+        warehouse = str(tmp_path / "wh_rest")
+        os.makedirs(warehouse)
+        server, _, uri = make_server(warehouse)
+        try:
+            client = RestCatalogClient(uri, warehouse=warehouse)
+            client.ensure_namespace("ns")
+            rtable = client.ensure_table("ns", "rt", SCHEMA)
+            _append(spark, rtable, 0, 7)
+            tailer = IcebergTailer(rtable, str(tmp_path / "rck.json"))
+            seen = []
+            tailer.process_available(spark, lambda d, b: seen.extend(_ids(d)))
+            assert sorted(seen) == list(range(7))
+            _append(spark, rtable, 7, 9)
+            seen2 = []
+            tailer.process_available(spark, lambda d, b: seen2.extend(_ids(d)))
+            assert sorted(seen2) == [7, 8]
+        finally:
+            server.shutdown()
+
     def test_schema_evolution_mid_stream(self, spark, table, tmp_path):
         _append(spark, table, 0, 5)
         tailer = IcebergTailer(table, str(tmp_path / "ck.json"))

@@ -348,6 +348,66 @@ class TestEndToEndBucketTable(object):
         assert apply_transform_value(None, "bucket[4]", "long") is None
 
 
+class TestYearsTransformAndTemporalBuckets:
+    def test_years_spec_roundtrip(self, spark, tmp_path):
+        from pyspark.sql import functions as SF
+
+        cat = FsCatalog(str(tmp_path / "wh"))
+        schema = StructType(
+            [
+                StructField("ts", TimestampType(), True),
+                StructField("n", LongType(), True),
+            ]
+        )
+        table = cat.create_table("ns", "ty", schema, partition_by=[("ts", "years")])
+        df = spark.createDataFrame(
+            [
+                Row(ts=datetime(1969, 6, 1, 12), n=1),
+                Row(ts=datetime(2024, 3, 1, 5), n=2),
+                Row(ts=datetime(2025, 12, 31, 23), n=3),
+            ]
+        )
+        table.append_dataframe(df)
+        files, _ = table.plan_files()
+        assert {f.partition["ts_year"] for f in files} == {-1, 54, 55}
+        lo = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        keep, n_pruned = table.plan_files(source_range=("ts", lo, None))
+        assert {f.partition["ts_year"] for f in keep} == {54, 55}
+        assert n_pruned == 1
+
+    def test_bucket_column_parity_timestamp_and_date(self, spark):
+        """The Spark bucket column must agree with the scalar spec
+        transform on temporal sources (micros / day ordinals)."""
+        from datetime import date as ddate
+
+        from pyspark.sql.types import DateType
+
+        from opentelemetry_iceberg_exporter_spark.sinks.transforms import (
+            bucket_column,
+        )
+
+        rows = [
+            Row(ts=datetime(2017, 11, 16, 22, 31, 8), d=ddate(2017, 11, 16)),
+            Row(ts=datetime(1969, 12, 31, 23, 59, 59, 999999), d=ddate(1969, 6, 1)),
+            Row(ts=datetime(2024, 2, 29, 0, 0, 0, 123456), d=ddate(2024, 2, 29)),
+            Row(ts=None, d=None),
+        ]
+        schema = StructType(
+            [StructField("ts", TimestampType(), True), StructField("d", DateType(), True)]
+        )
+        df = spark.createDataFrame(rows, schema)
+        got = df.select(
+            bucket_column("ts", 16, "timestamptz").alias("bt"),
+            bucket_column("d", 16, "date").alias("bd"),
+        ).collect()
+        for r, src in zip(got, rows):
+            ts_utc = (
+                src.ts.replace(tzinfo=timezone.utc) if src.ts is not None else None
+            )
+            assert r.bt == bucket_value(ts_utc, 16, "timestamptz")
+            assert r.bd == bucket_value(src.d, 16, "date")
+
+
 class TestRestTransportBucketTable:
     """The REST catalog shares the metadata core — a bucket spec must
     survive the CreateTable/CommitTable protocol and the write path."""
