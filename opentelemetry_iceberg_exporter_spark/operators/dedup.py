@@ -329,6 +329,12 @@ def ngram_jaccard_pairs(
         # stop-shingle cap == list-size filter (memory per group is
         # bounded by the cap for exactly the same reason)
         groups = groups.filter(F.size("ids") <= df_cap)
+    # three consumers (pair generation + both per-doc count branches) and
+    # exchange reuse cannot canonicalize through the HOF lambdas below —
+    # one lazy materialization of the (shingle -> ≤cap ids) table keeps
+    # the tokenize/explode/group lineage from running 3x (same pattern
+    # as d03's signature matrix)
+    groups = groups.localCheckpoint(eager=False)
     counts = (
         groups.select(F.explode("ids").alias(id_col))
         .groupBy(id_col)

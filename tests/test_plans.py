@@ -45,6 +45,19 @@ class TestJoinStrategies:
 
 
 class TestPushdownPruning:
+    def test_d04_has_no_self_join(self, spark, sf_dir, specs):
+        """d04: pair generation happens in-partition from per-shingle doc
+        lists — a join on the exploded shingle relation (the r2 shape)
+        would sort the widest intermediate twice at scale. Only the two
+        small count joins remain."""
+        df = specs["d04_ngram_jaccard_pairs"].fn(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "SortMergeJoin" not in plan, plan
+        # shuffles: fan-out repartition + shingle repartition, pair
+        # count agg, per-doc count agg (+ AQE may add reads) — the
+        # budget is the contract; the old shape needed strictly more
+        assert num_shuffles(df) <= 5
+
     def test_q09_filters_reach_scan(self, spark, sf_dir, specs):
         df = specs["q09_top10_filtered_lineitems"].fn(spark, sf_dir)
         pf = " ".join(pushed_filters(df))
