@@ -196,6 +196,13 @@ def main(argv: list[str] | None = None) -> int:
         help="first run only: start at the CURRENT snapshot instead of "
         "replaying table history",
     )
+    pt.add_argument(
+        "--changelog", action="store_true",
+        help="consume the row-level CDC changelog instead of the "
+        "append-only stream (handles delete/upsert snapshots; batches "
+        "are snapshot-granular, --max-files-per-batch bounds snapshots "
+        "per batch here)",
+    )
 
     pi = sub.add_parser(
         "inspect",
@@ -474,9 +481,23 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "tail":
         from .sinks.iceberg_fs import FsCatalog
-        from .streaming.iceberg_tail import IcebergTailer
+        from .streaming.iceberg_tail import ChangelogTailer, IcebergTailer
 
         table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
+        if args.changelog:
+            ctailer = ChangelogTailer(
+                table, args.checkpoint, max_snapshots_per_batch=args.max_files_per_batch
+            )
+            stats = {"batches": 0, "rows": 0}
+
+            def _cdc_sink(df, end):
+                df.write.mode("append").parquet(args.output)
+                stats["batches"] += 1
+                stats["rows"] += df.count()
+
+            ctailer.process_available(spark, _cdc_sink)
+            print(json.dumps({**stats, "checkpoint_snapshot": ctailer.position()}))
+            return 0
         tailer = IcebergTailer(
             table, args.checkpoint, max_files_per_batch=args.max_files_per_batch
         )

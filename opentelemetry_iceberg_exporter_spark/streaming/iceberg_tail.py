@@ -46,6 +46,7 @@ from ..sinks.iceberg_fs import (
     STATUS_ADDED,
     DataFile,
     _ancestry_window,
+    read_changelog,
     read_ocf,
     read_schema_for,
 )
@@ -222,4 +223,74 @@ class IcebergTailer:
             df, batch = polled
             fn(df, batch)
             self.commit(batch)
+            n += 1
+
+
+class ChangelogTailer:
+    """Checkpointed CDC consumption: the row-level counterpart of
+    `IcebergTailer` for tables that also DELETE (merge-on-read position
+    or equality deletes, upserts). Each micro-batch is a
+    `read_changelog` window — `insert` rows, full-pre-image `delete`
+    rows, key-only `delete_key` rows, `_commit_sequence_number` as the
+    global change order — and the durable cursor is the last snapshot
+    covered (snapshot-granular: a delete's row set only exists relative
+    to its whole commit, so there is no meaningful mid-snapshot file
+    offset here). `max_snapshots_per_batch` bounds a batch; compaction
+    is skipped inside read_changelog; copy-on-write overwrites raise
+    there, same contract as Iceberg's changelog scan."""
+
+    def __init__(
+        self,
+        table,
+        checkpoint_path: str,
+        max_snapshots_per_batch: int | None = None,
+    ):
+        self.table = table
+        self.checkpoint_path = checkpoint_path
+        self.max_snapshots_per_batch = max_snapshots_per_batch
+
+    def position(self) -> int | None:
+        if not os.path.exists(self.checkpoint_path):
+            return None
+        with open(self.checkpoint_path, encoding="utf-8") as f:
+            return json.load(f)["snapshot_id"]
+
+    def _store(self, snapshot_id: int) -> None:
+        tmp = f"{self.checkpoint_path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"snapshot_id": snapshot_id}, f)
+        os.replace(tmp, self.checkpoint_path)
+
+    def poll(self, spark: SparkSession) -> tuple[DataFrame, int] | None:
+        """(changelog rows, end snapshot to commit after processing), or
+        None when caught up."""
+        md = self.table.metadata()
+        ck = self.position()
+        if ck is not None and all(s["snapshot-id"] != ck for s in md["snapshots"]):
+            raise ValueError(
+                f"checkpointed snapshot {ck} no longer exists (expired?) — "
+                "the changelog tail cannot prove continuity"
+            )
+        window, _ = _ancestry_window(md, ck, None)
+        if not window:
+            return None
+        if self.max_snapshots_per_batch is not None:
+            window = window[: self.max_snapshots_per_batch]
+        end = window[-1]["snapshot-id"]
+        return read_changelog(spark, md, from_snapshot_id=ck, to_snapshot_id=end), end
+
+    def commit(self, end_snapshot_id: int) -> None:
+        self._store(end_snapshot_id)
+
+    def process_available(self, spark: SparkSession, fn) -> int:
+        """fn(df, end_snapshot_id) per batch, cursor committed after
+        each fn returns (at-least-once). Returns batches processed."""
+        n = 0
+        while True:
+            polled = self.poll(spark)
+            if polled is None:
+                return n
+            df, end = polled
+            fn(df, end)
+            self.commit(end)
             n += 1

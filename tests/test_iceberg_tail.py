@@ -14,7 +14,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import FsCatalog
-from opentelemetry_iceberg_exporter_spark.streaming.iceberg_tail import IcebergTailer
+from opentelemetry_iceberg_exporter_spark.streaming.iceberg_tail import (
+    ChangelogTailer,
+    IcebergTailer,
+)
 
 SCHEMA = StructType(
     [
@@ -205,6 +208,36 @@ class TestTailing:
         tailer = IcebergTailer(table, ck, max_files_per_batch=None)
         tailer.process_available(spark, lambda d, b: delivered.extend(_ids(d)))
         assert sorted(delivered) == list(range(appended))
+
+    def test_changelog_tailer_delivers_deletes(self, spark, table, tmp_path):
+        """The CDC tail handles the commits the append tail refuses:
+        a MoR delete arrives as full-pre-image delete rows, an upsert as
+        delete_key + insert, each exactly once across polls/restarts."""
+        ck = str(tmp_path / "cdc.json")
+        _append(spark, table, 0, 10)
+        tailer = ChangelogTailer(table, ck)
+        df, end = tailer.poll(spark)
+        rows = df.collect()
+        assert {r._change_type for r in rows} == {"insert"}
+        assert sorted(r.id for r in rows) == list(range(10))
+        tailer.commit(end)
+        assert tailer.poll(spark) is None
+
+        table.delete_where(spark, "id < 3", mode="merge-on-read")
+        _append(spark, table, 10, 12)
+        # restart mid-stream: a fresh tailer picks up from the cursor
+        tailer2 = ChangelogTailer(table, ck, max_snapshots_per_batch=1)
+        seen = []
+        n = tailer2.process_available(
+            spark, lambda d, e: seen.extend((r._change_type, r.id) for r in d.collect())
+        )
+        assert n == 2  # one snapshot per batch
+        assert sorted(x for x in seen if x[0] == "delete") == [
+            ("delete", 0), ("delete", 1), ("delete", 2),
+        ]
+        assert sorted(x for x in seen if x[0] == "insert") == [
+            ("insert", 10), ("insert", 11),
+        ]
 
     def test_tails_a_rest_table(self, spark, tmp_path):
         """The tailer only reads metadata()+files — the REST transport
