@@ -263,17 +263,30 @@ def murmur3_bytes_batch(encoded: "pd.Series") -> np.ndarray:
 
 
 def _bucket_udf_long(n: int):
+    """Takes the long PRE-SPLIT into (high 32 bits as int, low 32 bits
+    as long): a nullable int64 crosses Arrow as float64, which is exact
+    only below 2**53 — each half is < 2**32, so the full 64-bit value
+    survives any null-driven float conversion bit-for-bit."""
+
     @pandas_udf("int")
-    def _bucket(s: pd.Series) -> pd.Series:
-        mask = s.notna()
-        vals = s[mask].to_numpy(dtype=np.int64)
+    def _bucket(hi: pd.Series, lo: pd.Series) -> pd.Series:
+        mask = hi.notna()
+        h = hi[mask].to_numpy(dtype=np.int64)
+        l_ = lo[mask].to_numpy(dtype=np.int64)
+        vals = ((h.view(np.uint64) << np.uint64(32)) | l_.view(np.uint64)).view(np.int64)
         hashed = murmur3_longs(vals).astype(np.int64)
         buckets = (hashed & 0x7FFFFFFF) % n
-        out = pd.Series(np.full(len(s), np.nan), index=s.index, dtype="object")
+        out = pd.Series(np.full(len(hi), np.nan), index=hi.index, dtype="object")
         out[mask] = buckets
         return out.astype("Int32")
 
     return _bucket
+
+
+def _bucket_long_col(n: int, col: Column) -> Column:
+    hi = F.shiftright(col, 32).cast("int")
+    lo = col.bitwiseAND(F.lit(0xFFFFFFFF))  # long in [0, 2^32)
+    return _bucket_udf_long(n)(hi, lo)
 
 
 def _bucket_udf_string(n: int):
@@ -304,19 +317,16 @@ def _bucket_udf_binary(n: int):
 
 def bucket_column(source: str, n: int, source_type: str) -> Column:
     """``bucket[n]`` as a Spark Column: the long view of the source is
-    built with Catalyst expressions (unix_micros / datediff / cast) and
-    only the murmur3 itself runs in the Arrow-batched numpy kernel.
-
-    Precision note: int64 null batches cross Arrow as float64, exact
-    below 2**53 — large sparse id spaces with nulls should bucket over
-    the string form instead (the null rows themselves always partition
-    as null either way)."""
+    built with Catalyst expressions (unix_micros / datediff / cast),
+    split into 32-bit halves so Arrow's float64 null representation
+    cannot lose bits, and only the murmur3 itself runs in the
+    Arrow-batched numpy kernel."""
     if source_type in ("int", "long"):
-        return _bucket_udf_long(n)(F.col(source).cast("long"))
+        return _bucket_long_col(n, F.col(source).cast("long"))
     if source_type in ("timestamp", "timestamptz"):
-        return _bucket_udf_long(n)(F.unix_micros(F.col(source)))
+        return _bucket_long_col(n, F.unix_micros(F.col(source)))
     if source_type == "date":
-        return _bucket_udf_long(n)(F.datediff(F.col(source), F.lit("1970-01-01")).cast("long"))
+        return _bucket_long_col(n, F.datediff(F.col(source), F.lit("1970-01-01")).cast("long"))
     if source_type == "string":
         return _bucket_udf_string(n)(F.col(source))
     if source_type == "binary" or source_type.startswith("fixed"):

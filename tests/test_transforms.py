@@ -149,6 +149,29 @@ class TestVectorizedKernelParity:
         expected = [murmur3_x86_32(v.to_bytes(8, "little", signed=True)) for v in map(int, vals)]
         assert got.tolist() == expected
 
+    def test_bucket_column_exact_beyond_2_53_with_nulls(self, spark):
+        """Nullable int64 crosses Arrow as float64; the 32-bit split
+        must keep values above 2**53 bit-exact anyway."""
+        from opentelemetry_iceberg_exporter_spark.sinks.transforms import (
+            bucket_column,
+        )
+
+        vals = [
+            (1 << 62) + 1,
+            (1 << 62) + 2,  # collapse to the same float64, differ as longs
+            -(1 << 62) - 7,
+            9007199254740993,  # 2**53 + 1, first float-unrepresentable int
+            None,
+            34,
+        ]
+        df = spark.createDataFrame([Row(id=v) for v in vals], "id long")
+        got = [r.b for r in df.select(bucket_column("id", 1024, "long").alias("b")).collect()]
+        want = [bucket_value(v, 1024, "long") for v in vals]
+        assert got == want
+        # and the two float-identical longs land per their TRUE values
+        assert got[0] == bucket_value((1 << 62) + 1, 1024, "long")
+        assert got[1] == bucket_value((1 << 62) + 2, 1024, "long")
+
     def test_bytes_all_lengths(self):
         rng = random.Random(11)
         blobs = [bytes(rng.randrange(256) for _ in range(n)) for n in range(0, 40)]
