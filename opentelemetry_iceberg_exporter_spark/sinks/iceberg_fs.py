@@ -880,11 +880,15 @@ def default_spec_fields(md: dict) -> list[dict]:
     )["fields"]
 
 
-def write_partitioned_batch(df: DataFrame, location: str, md: dict) -> list[DataFile]:
+def write_partitioned_batch(
+    df: DataFrame, location: str, md: dict, fanout: int | None = None
+) -> list[DataFile]:
     """Data-plane half of an append: EXECUTORS write Parquet under
     data/<uuid>/, partitioned by the hidden-transform value (partitionBy
     drops the column from file contents — hidden partitioning). Returns
-    the written files for the driver-side metadata commit."""
+    the written files for the driver-side metadata commit. `fanout`
+    spreads each partition value across ~fanout writer tasks/files for
+    hot-partition backfills (see inline note)."""
     spec = default_spec_fields(md)
     batch_dir = os.path.join(location, "data", uuid.uuid4().hex)
     df = with_field_ids(df, md)  # self-describing files (rename-safe)
@@ -897,8 +901,19 @@ def write_partitioned_batch(df: DataFrame, location: str, md: dict) -> list[Data
                 transform_column(source, pf["transform"], _field_type_by_id(md, pf["source-id"])),
             )
             pcols.append(pf["name"])
+        keys = [F.col(c) for c in pcols]
+        if fanout and fanout > 1:
+            # backfill shape: a huge append concentrated in FEW partition
+            # values (one hour of history) would otherwise funnel through
+            # one writer task per value. A deterministic content-hash salt
+            # spreads each value over ~fanout writers / files — Iceberg's
+            # fanout-writer answer to write.distribution-mode=hash
+            # hotspots. Micro-batch appends keep the default (one large
+            # file per partition value beats fanout small ones).
+            data_cols = [c for c in df.columns if c not in pcols]
+            keys.append(F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), F.lit(fanout)))
         (
-            df.repartition(*[F.col(c) for c in pcols])  # few large files per partition
+            df.repartition(*keys)  # few large files per partition
             .write.partitionBy(*pcols)
             .parquet(batch_dir)
         )
@@ -2824,6 +2839,7 @@ class FsTable:
         self,
         df: DataFrame,
         snapshot_properties: dict[str, str] | None = None,
+        fanout: int | None = None,
     ) -> int | None:
         """K3 end to end: a Spark job writes Parquet under data/<uuid>/
         (partitioned by the hidden-transform value so each hour/day lands
@@ -2835,7 +2851,7 @@ class FsTable:
         empty-batch short-circuit: the 5-way metric demux routinely
         produces empty per-type frames; an empty snapshot per type per
         micro-batch would bloat metadata for no data)."""
-        files = write_partitioned_batch(df, self.location, self.metadata())
+        files = write_partitioned_batch(df, self.location, self.metadata(), fanout)
         if not files:  # F1: no data files -> no snapshot
             return None
         return self.append_files(files, snapshot_properties)

@@ -470,13 +470,17 @@ class RestTable:
         return head
 
     def append_dataframe(
-        self, df: DataFrame, snapshot_properties: dict[str, str] | None = None
+        self,
+        df: DataFrame,
+        snapshot_properties: dict[str, str] | None = None,
+        fanout: int | None = None,
     ) -> int | None:
         """K3 over REST: executors write Parquet (hidden-partitioned),
         driver commits the file list through the catalog server. Empty
-        inputs commit nothing (F1)."""
+        inputs commit nothing (F1). `fanout` spreads hot partition
+        values over ~fanout writer tasks (backfills)."""
         md = self.metadata()
-        files = write_partitioned_batch(df, md["location"], md)
+        files = write_partitioned_batch(df, md["location"], md, fanout)
         if not files:
             return None
         return self.append_files(files, snapshot_properties)

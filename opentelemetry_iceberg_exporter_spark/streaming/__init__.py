@@ -1,4 +1,5 @@
 from .stateful import dedup_stream, windowed_counts
+from .iceberg_tail import ChangelogTailer, IcebergTailer, TailBatch
 from .pipeline import (
     export_batch,
     flatten_signal,
@@ -19,4 +20,7 @@ __all__ = [
     "start_export_stream",
     "dedup_stream",
     "windowed_counts",
+    "ChangelogTailer",
+    "IcebergTailer",
+    "TailBatch",
 ]

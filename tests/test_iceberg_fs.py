@@ -242,6 +242,31 @@ def _fs_config(tmp_path) -> ExporterConfig:
     )
 
 
+    def test_fanout_spreads_hot_partition(self, spark, tmp_path):
+        """A backfill concentrated in ONE hour must not funnel through a
+        single writer: fanout splits the partition into multiple files,
+        all correctly recorded and read back."""
+        df = spark.range(400).select(
+            F.col("id").alias("event_id"),
+            F.to_timestamp(F.lit("2024-03-01 00:30:00")).alias("ts"),  # one hour
+            (F.col("id") * 2).alias("value"),
+        )
+        cat = FsCatalog(str(tmp_path))
+        plain = cat.create_table("ns", "plain", df.schema, "ts", "hourly")
+        plain.append_dataframe(df)
+        fan = cat.create_table("ns", "fan", df.schema, "ts", "hourly")
+        fan.append_dataframe(df, fanout=4)
+        n_plain = len(plain.plan_files()[0])
+        n_fan = len(fan.plan_files()[0])
+        assert n_plain == 1  # default: one large file for the hour
+        assert n_fan > 1  # fanout: several writers shared the hour
+        hours = {f.partition["ts_hour"] for f in fan.plan_files()[0]}
+        assert len(hours) == 1  # still ONE logical partition
+        got = fan.read(spark)
+        assert got.count() == 400
+        assert sorted(r.event_id for r in got.collect()) == list(range(400))
+
+
 class TestFsIcebergSink:
     def test_ensure_all_tables(self, spark, tmp_path):
         sink = FsIcebergSink(spark, _fs_config(tmp_path))
