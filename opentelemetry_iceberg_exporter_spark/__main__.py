@@ -204,6 +204,17 @@ def main(argv: list[str] | None = None) -> int:
         "per batch here)",
     )
 
+    prb = sub.add_parser(
+        "rollback",
+        help="move main's head back to an ancestor snapshot (un-publish "
+        "a bad commit; metadata-only, rolled-past snapshots stay "
+        "readable by id until expiry)",
+    )
+    prb.add_argument("--warehouse", required=True)
+    prb.add_argument("--namespace", default="otel")
+    prb.add_argument("--table", required=True)
+    prb.add_argument("--to-snapshot", type=int, required=True)
+
     pi = sub.add_parser(
         "inspect",
         help="Iceberg-style metadata tables (snapshots/history/files/"
@@ -518,6 +529,14 @@ def main(argv: list[str] | None = None) -> int:
                 {**stats, "checkpoint_snapshot": snapshot_id, "file_offset": file_offset}
             )
         )
+        return 0
+
+    if args.cmd == "rollback":
+        from .sinks.iceberg_fs import FsCatalog
+
+        table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
+        sid = table.rollback_to(args.to_snapshot)
+        print(json.dumps({"current_snapshot": sid}))
         return 0
 
     if args.cmd == "inspect":

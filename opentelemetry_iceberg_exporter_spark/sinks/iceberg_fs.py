@@ -1352,6 +1352,29 @@ def plan_scan_metadata(
     return files, deletes, pruned
 
 
+def snapshot_id_as_of(md: dict, timestamp_ms: int) -> int | None:
+    """Timestamp time travel (Iceberg's FOR SYSTEM_TIME AS OF): the
+    snapshot that was CURRENT at `timestamp_ms`, resolved from the
+    snapshot log (which records every head transition, including
+    rollbacks — so as-of reads reflect what a reader at that wall-clock
+    moment actually saw). None = the table had no snapshot yet."""
+    log = [e for e in md.get("snapshot-log", []) if e["timestamp-ms"] <= timestamp_ms]
+    return log[-1]["snapshot-id"] if log else None
+
+
+def require_main_ancestor(md: dict, snapshot_id: int) -> None:
+    """Rollback targets must be on main's CURRENT ancestry — moving the
+    head to an unrelated (expired-from-chain or branch-staged) snapshot
+    would corrupt every ancestry-walking consumer (incremental reads,
+    changelogs, tails)."""
+    chain, _ = _ancestry_window(md, None, None)
+    if snapshot_id not in {s["snapshot-id"] for s in chain}:
+        raise ValueError(
+            f"snapshot {snapshot_id} is not an ancestor of main's head — "
+            "cannot roll back to it"
+        )
+
+
 def live_files(md: dict, snapshot_id: int) -> tuple[list[DataFile], list[DataFile]]:
     """(data files, delete files — position AND equality) live in a
     snapshot — the transport-neutral manifest walk both catalogs plan
@@ -3136,6 +3159,35 @@ class FsTable:
             _swap_version_hint(self.location, base_version + 1)
             return new_schema["schema-id"]
         raise AssertionError("unreachable")
+
+    def snapshot_as_of(self, timestamp_ms: int) -> int | None:
+        """Snapshot id for timestamp time travel; pass to read()."""
+        return snapshot_id_as_of(self.metadata(), timestamp_ms)
+
+    def rollback_to(self, snapshot_id: int) -> int:
+        """Move main's head BACK to an ancestor snapshot (mistake
+        recovery: un-publish a bad append/delete without rewriting
+        anything). Metadata-only commit; the rolled-past snapshots stay
+        readable by id (and re-expirable) until expire_snapshots. The
+        snapshot log records the transition, so timestamp time travel
+        keeps reflecting what readers actually saw."""
+
+        def mutate(md: dict):
+            require_main_ancestor(md, snapshot_id)
+            if md["current-snapshot-id"] == snapshot_id:
+                return None, snapshot_id  # no-op
+            new_md = dict(md)
+            new_md["current-snapshot-id"] = snapshot_id
+            refs = dict(md.get("refs", {}))
+            if "main" in refs:
+                refs["main"] = {**refs["main"], "snapshot-id": snapshot_id}
+            new_md["refs"] = refs
+            new_md["snapshot-log"] = md["snapshot-log"] + [
+                {"timestamp-ms": int(time.time() * 1000), "snapshot-id": snapshot_id}
+            ]
+            return new_md, snapshot_id
+
+        return self._commit_metadata(mutate)
 
     def _commit_metadata(self, mutate) -> Any:
         """Metadata-only commit with CAS retry: `mutate(md)` returns

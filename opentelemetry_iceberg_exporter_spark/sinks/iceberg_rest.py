@@ -930,6 +930,24 @@ class RestTable:
             ],
         )
 
+    def snapshot_as_of(self, timestamp_ms: int) -> int | None:
+        """Snapshot id for timestamp time travel; pass to read()."""
+        from .iceberg_fs import snapshot_id_as_of
+
+        return snapshot_id_as_of(self.metadata(), timestamp_ms)
+
+    def rollback_to(self, snapshot_id: int) -> int:
+        """Move main's head back to an ancestor snapshot over REST —
+        the same set-snapshot-ref update an append uses; the server
+        arbitrates the commit."""
+        from .iceberg_fs import require_main_ancestor
+
+        md = self.metadata()
+        require_main_ancestor(md, snapshot_id)
+        if md["current-snapshot-id"] != snapshot_id:
+            self.set_ref("main", snapshot_id, "branch")
+        return snapshot_id
+
     def resolve_ref(self, name: str) -> int:
         ref = self.metadata().get("refs", {}).get(name)
         if ref is None:

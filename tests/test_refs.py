@@ -76,6 +76,89 @@ class TestFsRefs:
             t.resolve_ref("ghost")
 
 
+class TestRollbackAndAsOf:
+    def test_rollback_unpublishes_then_as_of_reflects_it(self, spark, table):
+        import time as _time
+
+        t, (s1, s2) = table
+        before_rollback_ms = int(_time.time() * 1000)
+        assert t.read(spark).count() == 40
+        # un-publish the bad second append
+        assert t.rollback_to(s1) == s1
+        assert t.metadata()["current-snapshot-id"] == s1
+        assert t.read(spark).count() == 20
+        # rolled-past snapshot still readable by explicit id (time travel)
+        assert t.read(spark, snapshot_id=s2).count() == 40
+        # timestamp as-of: a reader "before the rollback" saw s2...
+        assert t.snapshot_as_of(before_rollback_ms) == s2
+        # ...and a reader "now" sees s1 (the rollback is in the log)
+        _time.sleep(0.01)
+        assert t.snapshot_as_of(int(_time.time() * 1000)) == s1
+        # appends continue from the rolled-back head
+        s4 = t.append_dataframe(_df(spark, tag="v4"))
+        snap = t.current_snapshot()
+        assert snap["snapshot-id"] == s4 and snap["parent-snapshot-id"] == s1
+        got = t.read(spark)
+        assert got.count() == 40 and got.filter("v = 'v2'").count() == 0
+
+    def test_rollback_rejects_non_ancestor(self, spark, table):
+        t, (s1, s2) = table
+        t.rollback_to(s1)
+        s3 = t.append_dataframe(_df(spark, tag="v3"))
+        # s2 forked off: it is no longer on main's ancestry
+        with pytest.raises(ValueError, match="not an ancestor"):
+            t.rollback_to(s2)
+        assert t.metadata()["current-snapshot-id"] == s3
+
+    def test_as_of_before_first_commit_is_none(self, spark, table):
+        t, _ = table
+        assert t.snapshot_as_of(0) is None
+
+    def test_cli_rollback(self, spark, tmp_path, capsys):
+        import json
+
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("otel", "rc", _df(spark).schema)
+        s1 = t.append_dataframe(_df(spark, tag="v1"))
+        t.append_dataframe(_df(spark, tag="v2"))
+        rc = main(
+            [
+                "rollback",
+                "--warehouse", str(tmp_path / "wh"),
+                "--table", "rc",
+                "--to-snapshot", str(s1),
+            ]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["current_snapshot"] == s1
+        assert t.read(spark).count() == 20
+
+    def test_rest_rollback(self, spark, tmp_path):
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
+            RestCatalogClient,
+        )
+
+        warehouse = str(tmp_path / "wh_rest")
+        os.makedirs(warehouse)
+        server, _, uri = make_server(warehouse)
+        try:
+            client = RestCatalogClient(uri, warehouse=warehouse)
+            client.ensure_namespace("otel")
+            t = client.ensure_table("otel", "rr", _df(spark).schema)
+            s1 = t.append_dataframe(_df(spark, tag="v1"))
+            t.append_dataframe(_df(spark, tag="v2"))
+            assert t.rollback_to(s1) == s1
+            assert t.metadata()["current-snapshot-id"] == s1
+            assert t.read(spark).count() == 20
+            with pytest.raises(ValueError, match="not an ancestor"):
+                t.rollback_to(123456789)
+        finally:
+            server.shutdown()
+
+
 class TestRestRefs:
     def test_tag_over_rest(self, spark, tmp_path):
         from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
