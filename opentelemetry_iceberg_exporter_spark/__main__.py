@@ -226,7 +226,10 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument(
         "--what",
         default="snapshots",
-        choices=("snapshots", "history", "files", "all_files", "manifests"),
+        choices=(
+            "snapshots", "history", "files", "all_files", "manifests",
+            "refs", "partitions",
+        ),
     )
 
     pdel = sub.add_parser(

@@ -2396,7 +2396,15 @@ def delete_expired_paths(plan: dict) -> list[str]:
     return deleted
 
 
-METADATA_TABLES = ("snapshots", "history", "files", "all_files", "manifests")
+METADATA_TABLES = (
+    "snapshots",
+    "history",
+    "files",
+    "all_files",
+    "manifests",
+    "refs",
+    "partitions",
+)
 
 
 def metadata_table(spark: SparkSession, md: dict, name: str) -> "DataFrame":
@@ -2516,6 +2524,41 @@ def metadata_table(spark: SparkSession, md: dict, name: str) -> "DataFrame":
             "added_snapshot_id long, added_data_files_count int, "
             "existing_data_files_count int, deleted_data_files_count int, "
             "added_rows_count long",
+        )
+    if name == "refs":
+        rows = [
+            (
+                ref_name,
+                ref["type"],
+                ref["snapshot-id"],
+            )
+            for ref_name, ref in md.get("refs", {}).items()
+        ]
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long"
+        )
+    if name == "partitions":
+        # per-partition rollup of the CURRENT snapshot's live data files
+        # (Iceberg's `partitions` table, required-column subset) — the
+        # small-file / skew diagnostic: file_count >> 1 per partition
+        # says compact, one giant partition says salt or re-spec
+        sid = md.get("current-snapshot-id", -1)
+        agg: dict[tuple, list[int]] = {}
+        if sid != -1:
+            data, _, _ = plan_scan_metadata(md, sid)
+            for f in data:
+                key = tuple(sorted((k, str(v)) for k, v in f.partition.items()))
+                got = agg.setdefault(key, [0, 0, 0])
+                got[0] += f.record_count
+                got[1] += 1
+                got[2] += f.file_size_in_bytes
+        rows = [
+            (dict(key) or None, rc, fc, sz) for key, (rc, fc, sz) in sorted(agg.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "partition map<string,string>, record_count long, "
+            "file_count long, total_size_in_bytes long",
         )
     raise ValueError(f"unknown metadata table {name!r}; one of {METADATA_TABLES}")
 

@@ -81,6 +81,31 @@ class TestMetadataTables:
             assert r["length"] == os.path.getsize(r["path"])
             assert r["added_data_files_count"] == 4
 
+    def test_refs(self, spark, table_with_history):
+        t, (s1, _), _ = table_with_history
+        t.set_ref("release-1", s1, "tag")
+        rows = {r.name: r for r in t.metadata_table(spark, "refs").collect()}
+        assert rows["release-1"].type == "tag"
+        assert rows["release-1"].snapshot_id == s1
+
+    def test_partitions_rollup(self, spark, table_with_history):
+        t, _, df = table_with_history
+        rows = t.metadata_table(spark, "partitions").collect()
+        # 4 distinct hours -> 4 partitions, counts roll up to the table
+        assert len(rows) == 4
+        assert sum(r.record_count for r in rows) == df.count()
+        assert all(r.file_count >= 1 and r.total_size_in_bytes > 0 for r in rows)
+        # per-partition record counts match a real group-by on the data
+        want = {
+            str(r.h): r.c
+            for r in t.read(spark)
+            .groupBy((F.unix_timestamp("ts") / 3600).cast("long").alias("h"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        got = {r.partition["ts_hour"]: r.record_count for r in rows}
+        assert got == want
+
     def test_unknown_name_raises(self, spark, table_with_history):
         t, _, _ = table_with_history
         with pytest.raises(ValueError, match="unknown metadata table"):
