@@ -257,31 +257,42 @@ def write_ocf(
 
 
 def read_ocf(path: str) -> tuple[dict, dict[str, str], list[dict]]:
-    """Read an Avro OCF: returns (schema, file-metadata, rows)."""
+    """Read an Avro OCF: returns (schema, file-metadata, rows).
+
+    Codecs: `null` (what this module writes) and `deflate` — RFC 1951
+    raw deflate per block, the Java Iceberg writer's DEFAULT for
+    manifests — so manifests committed by jar-backed engines read back
+    here (stdlib zlib; the reference inherits the same via iceberg-go)."""
     with open(path, "rb") as f:
         buf = io.BytesIO(f.read())
     if buf.read(4) != MAGIC:
         raise ValueError(f"{path}: not an Avro object container file")
     raw_meta = decode_value(buf, _META_SCHEMA)
     meta = {k: v.decode("utf-8") for k, v in raw_meta.items()}
-    if meta.get("avro.codec", "null") != "null":
+    codec = meta.get("avro.codec", "null")
+    if codec not in ("null", "deflate"):
         raise ValueError(f"{path}: unsupported codec {meta['avro.codec']!r}")
     schema = json.loads(meta["avro.schema"])
     buf.read(SYNC_SIZE)
 
     rows: list[dict] = []
-    for count in _iter_block_counts(buf):
+    for count, block_len in _iter_block_headers(buf):
+        if codec == "deflate":
+            import zlib
+
+            block = io.BytesIO(zlib.decompress(buf.read(block_len), -15))
+        else:
+            block = buf
         for _ in range(count):
-            rows.append(decode_value(buf, schema))
+            rows.append(decode_value(block, schema))
         buf.read(SYNC_SIZE)
     return schema, meta, rows
 
 
-def _iter_block_counts(buf: io.BytesIO) -> Iterator[int]:
+def _iter_block_headers(buf: io.BytesIO) -> Iterator[tuple[int, int]]:
     while True:
         try:
             count = _decode_long(buf)
         except EOFError:
             return
-        _decode_long(buf)  # block byte size
-        yield count
+        yield count, _decode_long(buf)  # (row count, block byte size)

@@ -140,3 +140,65 @@ def test_manifest_list_roundtrip(tmp_path_factory, manifests):
     write_ocf(path, MANIFEST_LIST_SCHEMA, manifests)
     _, _, rows = read_ocf(path)
     assert rows == manifests
+
+
+def test_deflate_codec_reads_back(tmp_path_factory):
+    """The Java Iceberg writer deflate-compresses manifest blocks by
+    default; the reader must handle them. The deflate OCF here is built
+    by hand (raw RFC-1951 per block) so the reader is tested against
+    independently produced bytes, not its own writer."""
+    import io
+    import json
+    import os
+    import zlib
+
+    from opentelemetry_iceberg_exporter_spark.sinks.avro_ocf import (
+        MAGIC,
+        SYNC_SIZE,
+        encode_value,
+        read_ocf,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "path", "type": "string", "field-id": 1},
+            {"name": "n", "type": "long", "field-id": 2},
+        ],
+    }
+    rows = [{"path": f"f{i}.parquet", "n": i * 7} for i in range(50)]
+
+    body = io.BytesIO()
+    for row in rows:
+        encode_value(body, schema, row)
+    comp = zlib.compressobj(9, zlib.DEFLATED, -15)  # raw deflate
+    compressed = comp.compress(body.getvalue()) + comp.flush()
+
+    sync = os.urandom(SYNC_SIZE)
+    meta_schema = {"type": "map", "values": "bytes"}
+    out = io.BytesIO()
+    out.write(MAGIC)
+    encode_value(
+        out,
+        meta_schema,
+        {
+            "avro.schema": json.dumps(schema).encode(),
+            "avro.codec": b"deflate",
+        },
+    )
+    out.write(sync)
+    count_len = io.BytesIO()
+    encode_value(count_len, "long", len(rows))
+    encode_value(count_len, "long", len(compressed))
+    out.write(count_len.getvalue())
+    out.write(compressed)
+    out.write(sync)
+
+    path = str(tmp_path_factory.mktemp("deflate") / "m.avro")
+    with open(path, "wb") as f:
+        f.write(out.getvalue())
+
+    got_schema, got_meta, got_rows = read_ocf(path)
+    assert got_meta["avro.codec"] == "deflate"
+    assert got_rows == rows
