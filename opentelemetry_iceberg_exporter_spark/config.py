@@ -73,10 +73,18 @@ class CatalogConfig:
     # duplicating (e.g. {"traces": ["trace_id", "span_id"]} dedups
     # re-sent spans). Zero table reads per batch; O(batch) forever.
     upsert_keys: dict[str, list[str]] = field(default_factory=dict)
+    # write fanout: spread each hidden-partition value over ~N writer
+    # tasks/files. None (default) = one large file per partition value,
+    # the right shape for streaming micro-batches; set for BACKFILL
+    # replays whose batches concentrate in few hours and would otherwise
+    # funnel through one writer task per hour.
+    write_fanout: int | None = None
 
     def validate(self) -> None:
         if self.catalog_type not in VALID_CATALOG_TYPES:
             raise ValueError(f"invalid catalog type {self.catalog_type!r}")
+        if self.write_fanout is not None and self.write_fanout < 2:
+            raise ValueError("catalog.write_fanout must be >= 2 (or None)")
         if self.catalog_type == "rest" and not self.uri:
             raise ValueError("catalog.uri required for rest catalog")
         if self.catalog_type == "fs" and not self.warehouse:

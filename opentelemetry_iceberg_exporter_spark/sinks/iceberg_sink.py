@@ -247,7 +247,9 @@ class FsIcebergSink:
         branch = self.config.catalog.wap_branch
         if branch:
             return table.append_dataframe_to_branch(branch, conformed, props)
-        return table.append_dataframe(conformed, props)
+        return table.append_dataframe(
+            conformed, props, fanout=self.config.catalog.write_fanout
+        )
 
     def publish_staged(self, signal: str) -> int | None:
         """WAP publish: fast-forward main to the staged branch head for
@@ -347,7 +349,9 @@ class RestIcebergSink:
         branch = self.config.catalog.wap_branch
         if branch:
             return self._load(signal).append_dataframe_to_branch(branch, conformed, props)
-        return self._load(signal).append_dataframe(conformed, props)
+        return self._load(signal).append_dataframe(
+            conformed, props, fanout=self.config.catalog.write_fanout
+        )
 
     def publish_staged(self, signal: str) -> int | None:
         """WAP publish over REST: fast-forward main to the staged branch

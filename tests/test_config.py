@@ -58,6 +58,12 @@ class TestCatalogConfig:
         with pytest.raises(ValueError, match="catalog type"):
             CatalogConfig(catalog_type="hive").validate()
 
+    def test_write_fanout_bounds(self):
+        CatalogConfig(catalog_type="none", write_fanout=None).validate()
+        CatalogConfig(catalog_type="none", write_fanout=8).validate()
+        with pytest.raises(ValueError, match="write_fanout"):
+            CatalogConfig(catalog_type="none", write_fanout=1).validate()
+
 
 class TestPartitionConfig:
     @pytest.mark.parametrize("g", ["hourly", "daily", "monthly"])
