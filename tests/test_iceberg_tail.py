@@ -239,6 +239,32 @@ class TestTailing:
             ("insert", 10), ("insert", 11),
         ]
 
+    def test_cli_tail_changelog(self, spark, table, tmp_path, capsys):
+        import json
+
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        _append(spark, table, 0, 6)
+        table.delete_where(spark, "id < 2", mode="merge-on-read")
+        args = [
+            "tail", "--changelog",
+            "--warehouse", str(tmp_path / "wh"),
+            "--namespace", "ns",
+            "--table", "tail_t",
+            "--output", str(tmp_path / "cdc_out"),
+            "--checkpoint", str(tmp_path / "cdc_ck.json"),
+        ]
+        assert main(args) == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["rows"] == 8  # 6 inserts + 2 delete pre-images
+        out = spark.read.parquet(str(tmp_path / "cdc_out"))
+        kinds = {r._change_type for r in out.collect()}
+        assert kinds == {"insert", "delete"}
+        # second run: caught up
+        assert main(args) == 0
+        stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats2["rows"] == 0 and stats2["batches"] == 0
+
     def test_tails_a_rest_table(self, spark, tmp_path):
         """The tailer only reads metadata()+files — the REST transport
         must work identically (the docstring's claim, executed)."""

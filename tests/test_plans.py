@@ -142,6 +142,13 @@ class TestPartitionPruning:
 
 
 class TestNewOperatorContracts:
+    def test_s02_lsh_bucket_join_is_equijoin(self, spark, sf_dir, specs):
+        """s02: candidate generation must be a hash equi-join on the
+        LSH bucket key — never a cartesian expansion."""
+        df = specs["s02_ann_lsh"].fn(spark, sf_dir)
+        js = join_strategies(df)
+        assert "BroadcastNestedLoopJoin" not in js and "CartesianProduct" not in js
+
     def test_s03_ivf_candidate_join_is_broadcast_hash(self, spark, sf_dir, specs):
         """s03: the cell-candidate join must be a hash equi-join (the
         centroid-assignment NLJ against the broadcast centroid table is
