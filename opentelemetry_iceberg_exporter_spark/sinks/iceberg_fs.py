@@ -3393,14 +3393,19 @@ class FsTable:
         # replace commits validate the planning base: if a concurrent
         # append advanced the table mid-rewrite, merging would silently
         # drop the appended files — raise ReplaceConflictError instead
+        extra = {
+            "compacted-files": str(n_compacted),
+            "added-data-files": str(n_rewritten),
+        }
+        if zorder_by:
+            # informational: Z-ordering is an action-side strategy, not a
+            # spec sort order — record what the layout was clustered by
+            extra["zorder-by"] = ",".join(zorder_by)
         return self._commit_with_retry(
             replacement,
             operation="replace",
             carry_forward=False,
-            extra_summary={
-                "compacted-files": str(n_compacted),
-                "added-data-files": str(n_rewritten),
-            },
+            extra_summary=extra,
             expected_base_snapshot=planned_snapshot,
         )
 

@@ -626,15 +626,18 @@ class RestTable:
         if planned is None:
             return None
         replacement, n_compacted, n_rewritten = planned
+        extra = {
+            "compacted-files": str(n_compacted),
+            "added-data-files": str(n_rewritten),
+        }
+        if zorder_by:
+            extra["zorder-by"] = ",".join(zorder_by)  # informational (see FsTable)
         return self._commit_replace(
             md,
             planned_snapshot,
             replacement + deletes,  # pending deletes stay live for survivors
             "replace",
-            {
-                "compacted-files": str(n_compacted),
-                "added-data-files": str(n_rewritten),
-            },
+            extra,
             "rewrite",
         )
 

@@ -587,6 +587,8 @@ class TestCommitEdgeCases:
 
             ids = pq.read_table(f.file_path, columns=["event_id"])["event_id"].to_pylist()
             assert ids == sorted(ids)
+        # the clustering is discoverable from the snapshot summary
+        assert t.current_snapshot()["summary"]["zorder-by"] == "event_id"
 
 
 # --------------------------------------------------------------------------
