@@ -204,6 +204,33 @@ def main(argv: list[str] | None = None) -> int:
         "per batch here)",
     )
 
+    psc = sub.add_parser(
+        "scan",
+        help="pruned table scan: read a catalog table with manifest-level "
+        "file skipping (hidden-partition equality / monotone range "
+        "rewrite) and write matching rows as parquet, reporting how many "
+        "files the metadata pruned before Spark planned anything",
+    )
+    psc.add_argument("--warehouse", required=True)
+    psc.add_argument("--namespace", default="otel")
+    psc.add_argument("--table", required=True)
+    psc.add_argument("--output", required=True, help="output dir (parquet)")
+    psc.add_argument("--snapshot", type=int, default=None, help="time travel by id")
+    psc.add_argument(
+        "--as-of-ms", type=int, default=None,
+        help="time travel by wall clock (epoch millis; snapshot-log resolution)",
+    )
+    psc.add_argument(
+        "--equals", default=None, metavar="COL=VALUE",
+        help="equality predicate: prunes via every partition transform "
+        "derived from COL (bucket included), then filters rows",
+    )
+    psc.add_argument(
+        "--range", default=None, nargs=3, metavar=("COL", "LO", "HI"),
+        help="range predicate (inclusive; '-' = unbounded side): prunes "
+        "via monotone transforms (time/truncate), then filters rows",
+    )
+
     prb = sub.add_parser(
         "rollback",
         help="move main's head back to an ancestor snapshot (un-publish "
@@ -530,6 +557,68 @@ def main(argv: list[str] | None = None) -> int:
         print(
             json.dumps(
                 {**stats, "checkpoint_snapshot": snapshot_id, "file_offset": file_offset}
+            )
+        )
+        return 0
+
+    if args.cmd == "scan":
+        from pyspark.sql import functions as F
+
+        from .sinks.iceberg_fs import FsCatalog, current_schema
+
+        table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
+        md = table.metadata()
+
+        def typed(col: str, raw: str):
+            t = next(
+                (f["type"] for f in current_schema(md)["fields"] if f["name"] == col),
+                "string",
+            )
+            if not isinstance(t, str):
+                raise SystemExit(f"column {col!r} is not a primitive")
+            if t in ("int", "long"):
+                return int(raw)
+            if t in ("float", "double"):
+                return float(raw)
+            if t in ("timestamp", "timestamptz"):
+                from datetime import datetime, timezone
+
+                return datetime.fromisoformat(raw).replace(tzinfo=timezone.utc)
+            return raw
+
+        sid = args.snapshot
+        if sid is None and args.as_of_ms is not None:
+            sid = table.snapshot_as_of(args.as_of_ms)
+        predicate = row_filter = None
+        srange = None
+        if args.equals:
+            col, _, raw = args.equals.partition("=")
+            value = typed(col, raw)
+            predicate = (col, value)
+            row_filter = F.col(col) == F.lit(value)
+        if args.range:
+            col, lo_raw, hi_raw = args.range
+            lo = None if lo_raw == "-" else typed(col, lo_raw)
+            hi = None if hi_raw == "-" else typed(col, hi_raw)
+            srange = (col, lo, hi)
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(col) <= F.lit(hi))
+            row_filter = cond if row_filter is None else (row_filter & cond)
+        _, n_pruned = table.plan_files(
+            snapshot_id=sid, source_predicate=predicate, source_range=srange
+        )
+        out = table.read(
+            spark, snapshot_id=sid, source_predicate=predicate, source_range=srange
+        )
+        if row_filter is not None:
+            out = out.filter(row_filter)
+        out.write.mode("overwrite").parquet(args.output)
+        print(
+            json.dumps(
+                {"rows": out.count(), "files_pruned": n_pruned, "snapshot": sid}
             )
         )
         return 0

@@ -488,6 +488,74 @@ class TestRestTransportBucketTable:
             server.shutdown()
 
 
+class TestScanCli:
+    def test_scan_equals_prunes_buckets(self, spark, tmp_path, capsys):
+        import json
+
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        cat = FsCatalog(str(tmp_path / "wh"))
+        schema = StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("payload", StringType(), True),
+            ]
+        )
+        t = cat.create_table("ns", "bt", schema, partition_by=[("id", "bucket[4]")])
+        t.append_dataframe(
+            spark.createDataFrame([Row(id=i, payload=f"p{i}") for i in range(200)])
+        )
+        out = str(tmp_path / "out")
+        rc = main(
+            [
+                "scan",
+                "--warehouse", str(tmp_path / "wh"),
+                "--namespace", "ns",
+                "--table", "bt",
+                "--output", out,
+                "--equals", "id=123",
+            ]
+        )
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["rows"] == 1 and stats["files_pruned"] > 0
+        got = spark.read.parquet(out).collect()
+        assert [r.payload for r in got] == ["p123"]
+
+    def test_scan_range_on_truncate(self, spark, tmp_path, capsys):
+        import json
+
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        cat = FsCatalog(str(tmp_path / "wh2"))
+        schema = StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("payload", StringType(), True),
+            ]
+        )
+        t = cat.create_table("ns", "tt", schema, partition_by=[("id", "truncate[100]")])
+        t.append_dataframe(
+            spark.createDataFrame([Row(id=i, payload=f"p{i}") for i in range(0, 400, 10)])
+        )
+        out = str(tmp_path / "out2")
+        rc = main(
+            [
+                "scan",
+                "--warehouse", str(tmp_path / "wh2"),
+                "--namespace", "ns",
+                "--table", "tt",
+                "--output", out,
+                "--range", "id", "150", "-",
+            ]
+        )
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["files_pruned"] > 0
+        got = sorted(r.id for r in spark.read.parquet(out).collect())
+        assert got == list(range(150, 400, 10))
+
+
 def _walk_datafile_fields(manifest_schema: dict):
     data_file = next(
         f for f in manifest_schema["fields"] if f["name"] == "data_file"
