@@ -400,6 +400,129 @@ def duck_redact_pii_sql() -> str:
     """
 
 
+# repetition signals (Gopher-style): fraction of the document's
+# characters covered by the single most common word n-gram (short n —
+# catchphrase/boilerplate loops) and by ALL duplicated n-grams (longer
+# n — copy-paste blocks). Character mass is measured over the
+# space-joined token stream in both engines so the fractions agree
+# bit-for-bit.
+REPETITION_TOP_NS = (2, 3, 4)
+REPETITION_DUP_NS = (5, 8)
+
+
+def repetition_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document repetition ratios a pretraining quality filter keys
+    on (Rae et al., Gopher §A1.1): ``top_{n}gram_char_frac`` for
+    n=2,3,4 and ``dup_{n}gram_char_frac`` for n=5,8, each in [0,1],
+    0.0 for docs too short to form an n-gram.
+
+    Shape: ONE explode of all tagged n-grams -> count per (doc, n,
+    gram) -> per-(doc, n) aggregate -> conditional-aggregation pivot.
+    Two shuffles total regardless of how many n values are computed;
+    ties for the top gram break deterministically toward the larger
+    character mass (max over a (count, char-mass) struct, mirrored in
+    the DuckDB SQL)."""
+    from ..functions import ngrams, tokens
+
+    all_ns = sorted(set(REPETITION_TOP_NS) | set(REPETITION_DUP_NS))
+    toks = tokens(F.col(text_col))
+
+    def tag(n: int):
+        # NB: a single-parameter lambda only — pyspark calls two-param
+        # lambdas as (element, index), so `lambda g, n=n` would tag each
+        # gram with its ARRAY INDEX instead of the n-gram size
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    tagged = F.flatten(F.array(*[F.transform(ngrams(toks, n), tag(n)) for n in all_ns]))
+    base = df.select(
+        F.col(id_col),
+        F.greatest(F.length(F.concat_ws(" ", toks)), F.lit(1)).alias("__tc"),
+        F.explode(tagged).alias("__g"),
+    )
+    counts = base.groupBy(
+        F.col(id_col), F.col("__tc"), F.col("__g.n").alias("__n"), F.col("__g.gram").alias("__gram")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    gram_chars = F.col("__c") * F.length("__gram")
+    stats = counts.groupBy(id_col, "__tc", "__n").agg(
+        F.max(F.struct(F.col("__c"), gram_chars.alias("__l"))).alias("__top"),
+        F.sum(F.when(F.col("__c") > 1, gram_chars).otherwise(F.lit(0))).alias("__dup"),
+    )
+    metrics = stats.select(
+        F.col(id_col),
+        "__n",
+        F.round(F.col("__top.__l").cast("double") / F.col("__tc"), 6).alias("__top_frac"),
+        F.round(
+            F.least(F.lit(1.0), F.col("__dup").cast("double") / F.col("__tc")), 6
+        ).alias("__dup_frac"),
+    )
+    agg_cols = [
+        F.max(F.when(F.col("__n") == n, F.col("__top_frac"))).alias(
+            f"top_{n}gram_char_frac"
+        )
+        for n in REPETITION_TOP_NS
+    ] + [
+        F.max(F.when(F.col("__n") == n, F.col("__dup_frac"))).alias(
+            f"dup_{n}gram_char_frac"
+        )
+        for n in REPETITION_DUP_NS
+    ]
+    out = df.select(F.col(id_col)).join(
+        metrics.groupBy(id_col).agg(*agg_cols), id_col, "left"
+    )
+    return out.fillna(0.0)  # docs too short for any n-gram
+
+
+def duck_repetition_flags_sql() -> str:
+    """DuckDB rendering of repetition_flags over (doc_id, text)."""
+
+    def gram_list(n: int) -> str:
+        terms = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+        return f"list_transform(range(1, greatest(len(t) - {n - 1}, 0) + 1), i -> {terms})"
+
+    all_ns = sorted(set(REPETITION_TOP_NS) | set(REPETITION_DUP_NS))
+    gram_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, tc, {n} AS n, unnest({gram_list(n)}) AS gram FROM base"
+        for n in all_ns
+    )
+    top_cols = ",\n      ".join(
+        f"COALESCE(ROUND(MAX(CASE WHEN n = {n} THEN topl END)::DOUBLE"
+        f" / MAX(CASE WHEN n = {n} THEN tc END), 6), 0.0) AS top_{n}gram_char_frac"
+        for n in REPETITION_TOP_NS
+    )
+    # NB: DuckDB's LEAST skips NULLs (LEAST(1.0, NULL) = 1.0, unlike
+    # Spark's null-propagating least) — guard the no-gram case explicitly
+    dup_cols = ",\n      ".join(
+        f"COALESCE(CASE WHEN MAX(CASE WHEN n = {n} THEN dup END) IS NULL THEN NULL"
+        f" ELSE ROUND(LEAST(1.0, MAX(CASE WHEN n = {n} THEN dup END)::DOUBLE"
+        f" / MAX(CASE WHEN n = {n} THEN tc END)), 6) END, 0.0)"
+        f" AS dup_{n}gram_char_frac"
+        for n in REPETITION_DUP_NS
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+    ), base AS (
+      SELECT doc_id, greatest(length(array_to_string(t, ' ')), 1) AS tc, t
+      FROM tok
+    ), grams AS (
+      {gram_rows}
+    ), counts AS (
+      SELECT doc_id, tc, n, gram, COUNT(*) AS c
+      FROM grams GROUP BY doc_id, tc, n, gram
+    ), stats AS (
+      SELECT doc_id, tc, n,
+             (MAX(struct_pack(c := c, l := c * length(gram)))).l AS topl,
+             SUM(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS dup
+      FROM counts GROUP BY doc_id, tc, n
+    )
+    SELECT d.doc_id,
+      {top_cols},
+      {dup_cols}
+    FROM documents d LEFT JOIN stats ON d.doc_id = stats.doc_id
+    GROUP BY d.doc_id
+    """
+
+
 def corpus_report(
     df: DataFrame, group_cols: list[str], id_col: str, text_col: str
 ) -> DataFrame:
