@@ -45,6 +45,23 @@ class TestJoinStrategies:
 
 
 class TestPushdownPruning:
+    def test_otlp_flatten_is_shuffle_free(self, spark, sf_dir, specs):
+        """The reference's core loop (OTLP -> flat tables) must stay a
+        pure narrow pipeline: explode + projection, zero exchanges,
+        zero joins — at 100 TB the flatten cost is then exactly one
+        pass over the wire bytes, embarrassingly parallel."""
+        for q in (
+            "o01_flatten_traces",
+            "o02_flatten_logs",
+            "o03_metrics_demux_counts",
+            "o04_flatten_gauge_sum",
+            "o07_flatten_histogram",
+            "o08_flatten_exp_histogram",
+        ):
+            df = specs[q].fn(spark, sf_dir)
+            assert num_shuffles(df) == 0, q
+            assert join_strategies(df) == [], q
+
     def test_d04_has_no_self_join(self, spark, sf_dir, specs):
         """d04: pair generation happens in-partition from per-shingle doc
         lists — a join on the exploded shingle relation (the r2 shape)
