@@ -182,6 +182,38 @@ class TestVectorizedKernelParity:
                 assert got[i] == murmur3_x86_32(b), f"len={len(b)}"
 
 
+class TestKernelProperties:
+    """Hypothesis: the batch kernels agree with the scalar spec hash on
+    ARBITRARY inputs (not just the seeded samples above)."""
+
+    def test_bytes_batch_matches_scalar_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(st.one_of(st.none(), st.binary(max_size=64)), max_size=40))
+        def check(blobs):
+            got = murmur3_bytes_batch(pd.Series(blobs, dtype="object"))
+            for i, b in enumerate(blobs):
+                if b is not None:
+                    assert got[i] == murmur3_x86_32(b)
+
+        check()
+
+    def test_longs_match_scalar_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=40))
+        def check(vals):
+            got = murmur3_longs(np.array(vals, dtype=np.int64))
+            for i, v in enumerate(vals):
+                assert got[i] == murmur3_x86_32(v.to_bytes(8, "little", signed=True))
+
+        check()
+
+
 class TestEndToEndBucketTable(object):
     def _make_table(self, spark, tmp_path, partition_by, schema=None):
         cat = FsCatalog(str(tmp_path / "wh"))
