@@ -1,0 +1,326 @@
+"""`spark.read.format("iceberg_fs")` / `spark.readStream.format("iceberg_fs")`
+— the fs catalog as a FIRST-CLASS Spark data source via the Python Data
+Source API (Spark 4), no jars.
+
+This turns the pure-Python catalog from "a library you call" into "a
+format Spark plans": batch reads get manifest-level file pruning driven
+by Spark's own pushed filters (EqualTo -> hidden-partition transform
+rewrite, range filters -> monotone-transform rewrite), merge-on-read
+position deletes are applied per file inside the scan, and the
+streaming reader exposes the exporter's commits as a REAL Structured
+Streaming source — offsets are (snapshot, files-consumed) cursors that
+SPARK checkpoints, so exactly-once end-to-end comes from the engine's
+own commit protocol instead of the hand-rolled tailer loop
+(`streaming/iceberg_tail.py` remains the no-streaming-runtime
+alternative).
+
+Division of labor at 100 TB: the DRIVER plans O(metadata) (ancestry
+walk + manifest reads); EXECUTORS each read one Parquet file via Arrow
+and stream RecordBatches straight into Spark's vectorized path.
+
+Usage::
+
+    spark.dataSource.register(IcebergFsDataSource)
+    df = spark.read.format("iceberg_fs").load(table_location)
+    stream = (spark.readStream.format("iceberg_fs")
+              .option("starting", "latest").load(table_location))
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from ..sinks.iceberg_fs import (
+    FsTable,
+    _ancestry_window,
+    current_schema,
+    plan_scan_metadata,
+    read_ocf,
+    spark_read_schema,
+)
+from ..streaming.iceberg_tail import _added_data_files_ordered
+
+_ARROW_TYPES = {
+    "long": "int64",
+    "int": "int32",
+    "double": "float64",
+    "float": "float32",
+    "boolean": "bool_",
+    "string": "string",
+    "binary": "binary",
+    "date": "date32",
+}
+
+
+def _arrow_field(name: str, iceberg_type, required: bool):
+    import pyarrow as pa
+
+    if isinstance(iceberg_type, str):
+        if iceberg_type in _ARROW_TYPES:
+            t = getattr(pa, _ARROW_TYPES[iceberg_type])()
+        elif iceberg_type == "timestamptz":
+            t = pa.timestamp("us", tz="UTC")
+        elif iceberg_type == "timestamp":
+            t = pa.timestamp("us")
+        elif iceberg_type.startswith("decimal("):
+            p, s = iceberg_type[8:-1].split(",")
+            t = pa.decimal128(int(p), int(s))
+        else:
+            raise ValueError(f"no arrow mapping for Iceberg type {iceberg_type!r}")
+        return pa.field(name, t, nullable=not required)
+    raise ValueError(
+        f"iceberg_fs data source supports primitive columns only, got {iceberg_type!r}"
+    )
+
+
+def _arrow_schema(md: dict):
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            _arrow_field(f["name"], f["type"], f["required"])
+            for f in current_schema(md)["fields"]
+        ]
+    )
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    """One Parquet data file; `deleted_positions` are the merge-on-read
+    position deletes scoped to exactly this file (sorted)."""
+
+    file_path: str
+    schema_fields: tuple  # ((name, iceberg_type_json, required, field_id), ...)
+    deleted_positions: tuple = field(default=())
+
+
+def _partition_schema_fields(md: dict) -> tuple:
+    return tuple(
+        (f["name"], json.dumps(f["type"]), f["required"], f["id"])
+        for f in current_schema(md)["fields"]
+    )
+
+
+def _read_file_partition(part: _FilePartition):
+    """EXECUTOR-side: one file -> aligned Arrow batches. Columns resolve
+    by parquet field id when present (rename-safe), by name otherwise;
+    columns missing from the file (pre-evolution) surface as nulls."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(part.file_path)
+    if part.deleted_positions:
+        import numpy as np
+
+        keep = np.ones(table.num_rows, dtype=bool)
+        keep[list(part.deleted_positions)] = False
+        table = table.filter(pa.array(keep))
+
+    # map file columns: field-id first, then name
+    by_id: dict[int, str] = {}
+    for f in table.schema:
+        if f.metadata and b"PARQUET:field_id" in f.metadata:
+            by_id[int(f.metadata[b"PARQUET:field_id"])] = f.name
+    cols = []
+    fields = []
+    for name, type_json, required, fid in part.schema_fields:
+        target = _arrow_field(name, json.loads(type_json), required)
+        src = by_id.get(fid, name if name in table.schema.names else None)
+        if src is None:
+            cols.append(pa.nulls(table.num_rows, type=target.type))
+        else:
+            cols.append(table[src].cast(target.type))
+        fields.append(target)
+    aligned = pa.table(cols, schema=pa.schema(fields))
+    yield from aligned.to_batches(max_chunksize=1 << 16)
+
+
+def _positions_by_file(delete_files) -> dict[str, tuple]:
+    """Driver-side: read the (small) position-delete Parquet files and
+    group deleted row positions per data file."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, list[int]] = {}
+    for d in delete_files:
+        t = pq.read_table(d.file_path, columns=["file_path", "pos"])
+        for fp, pos in zip(
+            t["file_path"].to_pylist(), t["pos"].to_pylist()
+        ):
+            out.setdefault(fp, []).append(pos)
+    return {k: tuple(sorted(set(v))) for k, v in out.items()}
+
+
+class _BatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.table = FsTable(options["path"])
+        self.snapshot_id = (
+            int(options["snapshot-id"]) if options.get("snapshot-id") else None
+        )
+        self._predicate = None
+        self._range = None
+
+    def pushFilters(self, filters):
+        """File pruning from Spark's own predicates: the first usable
+        EqualTo becomes the hidden-partition rewrite, comparison pairs
+        become the monotone-range rewrite. Every filter is returned as
+        unsupported — pruning selects FILES; Spark still applies the
+        row-level filter (strict bounds stay correct that way)."""
+        lo: dict[str, object] = {}
+        hi: dict[str, object] = {}
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:
+                continue
+            col = attr[0]
+            if isinstance(f, EqualTo) and self._predicate is None:
+                self._predicate = (col, f.value)
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                lo[col] = f.value
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                hi[col] = f.value
+        for col in set(lo) | set(hi):
+            self._range = (col, lo.get(col), hi.get(col))
+            break
+        return filters  # Spark re-applies everything row-level
+
+    def partitions(self):
+        md = self.table.metadata()
+        data, deletes, _ = plan_scan_metadata(
+            md,
+            self.snapshot_id,
+            source_predicate=self._predicate,
+            source_range=self._range,
+        )
+        if any(d.content == 2 for d in deletes):
+            raise ValueError(
+                "table has pending equality deletes; the iceberg_fs data "
+                "source applies position deletes only — fold them first "
+                "(rewrite_equality_deletes) or read via FsTable.read"
+            )
+        pos = _positions_by_file([d for d in deletes if d.content == 1])
+        fields = _partition_schema_fields(md)
+        return [
+            _FilePartition(f.file_path, fields, pos.get(f.file_path, ()))
+            for f in data
+        ]
+
+    def read(self, partition):
+        yield from _read_file_partition(partition)
+
+
+class _StreamReader(DataSourceStreamReader):
+    """Offsets are ``{"snapshot_id": id, "file_offset": k}`` — the same
+    cursor the standalone tailer uses, except SPARK persists it in the
+    query checkpoint (exactly-once across restarts for free)."""
+
+    def __init__(self, options):
+        self.table = FsTable(options["path"])
+        self.starting = options.get("starting", "earliest")
+
+    def initialOffset(self) -> dict:
+        if self.starting == "latest":
+            md = self.table.metadata()
+            sid = md.get("current-snapshot-id", -1)
+            if sid != -1:
+                by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+                n = len(_added_data_files_ordered(by_id[sid]))
+                return {"snapshot_id": sid, "file_offset": n}
+        return {"snapshot_id": -1, "file_offset": 0}
+
+    def latestOffset(self) -> dict:
+        md = self.table.metadata()
+        sid = md.get("current-snapshot-id", -1)
+        if sid == -1:
+            return {"snapshot_id": -1, "file_offset": 0}
+        by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+        snap = by_id[sid]
+        n = (
+            len(_added_data_files_ordered(snap))
+            if snap["summary"].get("operation") == "append"
+            else 0
+        )
+        return {"snapshot_id": sid, "file_offset": n}
+
+    def partitions(self, start: dict, end: dict):
+        md = self.table.metadata()
+        fields = _partition_schema_fields(md)
+        start_id, start_off = start["snapshot_id"], start["file_offset"]
+        end_id, end_off = end["snapshot_id"], end["file_offset"]
+        if end_id == -1:
+            return []
+        by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+        window, _ = _ancestry_window(
+            md, None if start_id == -1 else start_id, end_id
+        )
+        if start_id != -1 and start_id in by_id:
+            snap = by_id[start_id]
+            if start_off < len(_added_data_files_ordered(snap)):
+                window = [snap] + window  # partially consumed snapshot
+        files = []
+        for snap in window:
+            op = snap["summary"].get("operation")
+            if op == "replace":
+                continue  # compaction: no logical change
+            if op != "append":
+                raise ValueError(
+                    f"stream window contains a {op!r} snapshot; the "
+                    "iceberg_fs stream is append-only — consume deletes "
+                    "via changelog_scan / ChangelogTailer"
+                )
+            ordered = _added_data_files_ordered(snap)
+            lo = start_off if snap["snapshot-id"] == start_id else 0
+            hi = end_off if snap["snapshot-id"] == end_id else len(ordered)
+            files.extend(ordered[lo:hi])
+        return [_FilePartition(f.file_path, fields) for f in files]
+
+    def read(self, partition):
+        yield from _read_file_partition(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # Spark's checkpoint owns the cursor
+
+
+class IcebergFsDataSource(DataSource):
+    """`format("iceberg_fs")`: batch + streaming reads of a pure-Python
+    fs-catalog table. Options: `path` (table location), `snapshot-id`
+    (batch time travel), `starting` = earliest|latest (stream seed)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_fs"
+
+    def schema(self) -> StructType:
+        if "path" not in self.options:
+            raise ValueError("iceberg_fs requires .load(<table location>)")
+        if not os.path.isfile(
+            os.path.join(self.options["path"], "metadata", "version-hint.text")
+        ):
+            raise FileNotFoundError(
+                f"no Iceberg table at {self.options['path']!r}"
+            )
+        return spark_read_schema(FsTable(self.options["path"]).metadata())
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _BatchReader(self.options)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _StreamReader(self.options)
+
+
+def register_iceberg_source(spark) -> None:
+    spark.dataSource.register(IcebergFsDataSource)

@@ -1,0 +1,184 @@
+"""The fs catalog as a first-class Spark format (Python Data Source
+API): batch reads with pushed-filter file pruning and merge-on-read
+deletes, plus a REAL Structured Streaming source whose offsets live in
+Spark's own checkpoint (exactly-once across restarts)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import FsCatalog
+from opentelemetry_iceberg_exporter_spark.sinks.transforms import bucket_value
+from opentelemetry_iceberg_exporter_spark.sources.iceberg_source import (
+    IcebergFsDataSource,
+    _BatchReader,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("v", StringType(), True),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(IcebergFsDataSource)
+    return spark
+
+
+def _make(spark, tmp_path, n=100, partition_by=None):
+    cat = FsCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("ns", "src_t", SCHEMA, partition_by=partition_by)
+    t.append_dataframe(
+        spark.createDataFrame([Row(id=i, v=f"v{i}") for i in range(n)])
+    )
+    return t
+
+
+class TestBatchFormat:
+    def test_roundtrip(self, registered, tmp_path):
+        t = _make(registered, tmp_path)
+        df = registered.read.format("iceberg_fs").load(t.location)
+        assert df.count() == 100
+        assert sorted(r.id for r in df.collect()) == list(range(100))
+        assert df.schema["id"].dataType == LongType()
+
+    def test_time_travel_option(self, registered, tmp_path):
+        t = _make(registered, tmp_path, n=10)
+        s1 = t.current_snapshot()["snapshot-id"]
+        t.append_dataframe(
+            registered.createDataFrame([Row(id=i, v=f"v{i}") for i in range(10, 20)])
+        )
+        old = (
+            registered.read.format("iceberg_fs")
+            .option("snapshot-id", str(s1))
+            .load(t.location)
+        )
+        assert old.count() == 10
+        assert registered.read.format("iceberg_fs").load(t.location).count() == 20
+
+    def test_pushed_equality_prunes_bucket_files(self, registered, tmp_path):
+        t = _make(registered, tmp_path, partition_by=[("id", "bucket[4]")])
+        # engine-level: correct rows through the format with the filter
+        got = (
+            registered.read.format("iceberg_fs")
+            .load(t.location)
+            .filter(F.col("id") == 42)
+            .collect()
+        )
+        assert [r.v for r in got] == ["v42"]
+        # reader-level: the pushed EqualTo selects only the bucket's files
+        from pyspark.sql.datasource import EqualTo
+
+        reader = _BatchReader({"path": t.location})
+        n_all = len(reader.partitions())
+        reader2 = _BatchReader({"path": t.location})
+        reader2.pushFilters([EqualTo(("id",), 42)])
+        pruned = reader2.partitions()
+        assert 0 < len(pruned) < n_all
+        want_bucket = bucket_value(42, 4, "long")
+        files, _ = t.plan_files(source_predicate=("id", 42))
+        assert {p.file_path for p in pruned} == {f.file_path for f in files}
+        assert {f.partition["id_bucket"] for f in files} == {want_bucket}
+
+    def test_position_deletes_applied(self, registered, tmp_path):
+        t = _make(registered, tmp_path, n=50)
+        t.delete_where(registered, "id < 10", mode="merge-on-read")
+        df = registered.read.format("iceberg_fs").load(t.location)
+        assert sorted(r.id for r in df.collect()) == list(range(10, 50))
+
+    def test_equality_deletes_fail_loud(self, registered, tmp_path):
+        t = _make(registered, tmp_path, n=20)
+        keys = registered.createDataFrame([Row(id=3)])
+        t.delete_where_equality(registered, keys, ["id"])
+        with pytest.raises(Exception, match="equality deletes"):
+            registered.read.format("iceberg_fs").load(t.location).collect()
+
+    def test_schema_evolution_nulls(self, registered, tmp_path):
+        t = _make(registered, tmp_path, n=5)
+        t.add_columns([StructField("extra", StringType(), True)])
+        df = registered.read.format("iceberg_fs").load(t.location)
+        assert df.columns == ["id", "v", "extra"]
+        assert all(r.extra is None for r in df.collect())
+
+
+class TestStreamFormat:
+    def _run_available_now(self, spark, loc, out, ck):
+        q = (
+            spark.readStream.format("iceberg_fs")
+            .load(loc)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def test_stream_exactly_once_across_restarts(self, registered, tmp_path):
+        t = _make(registered, tmp_path, n=30)
+        out = str(tmp_path / "out")
+        ck = str(tmp_path / "ck")
+        self._run_available_now(registered, t.location, out, ck)
+        got = registered.read.parquet(out)
+        assert sorted(r.id for r in got.collect()) == list(range(30))
+        # restart with the SAME checkpoint: nothing re-delivered
+        self._run_available_now(registered, t.location, out, ck)
+        assert registered.read.parquet(out).count() == 30
+        # new commits: only the delta arrives
+        t.append_dataframe(
+            registered.createDataFrame([Row(id=i, v=f"v{i}") for i in range(30, 36)])
+        )
+        self._run_available_now(registered, t.location, out, ck)
+        assert sorted(r.id for r in registered.read.parquet(out).collect()) == list(
+            range(36)
+        )
+
+    def test_starting_latest_skips_history(self, registered, tmp_path):
+        t = _make(registered, tmp_path, n=25)
+        out = str(tmp_path / "out2")
+        ck = str(tmp_path / "ck2")
+        q = (
+            registered.readStream.format("iceberg_fs")
+            .option("starting", "latest")
+            .load(t.location)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        import glob
+
+        assert registered.read.schema(SCHEMA).parquet(out).count() == 0
+        t.append_dataframe(registered.createDataFrame([Row(id=99, v="new")]))
+        q = (
+            registered.readStream.format("iceberg_fs")
+            .option("starting", "latest")
+            .load(t.location)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert [r.id for r in registered.read.parquet(out).collect()] == [99]
+
+    def test_compaction_invisible_to_stream(self, registered, tmp_path):
+        t = _make(registered, tmp_path, n=12)
+        out = str(tmp_path / "out3")
+        ck = str(tmp_path / "ck3")
+        self._run_available_now(registered, t.location, out, ck)
+        assert registered.read.parquet(out).count() == 12
+        t.rewrite_data_files(registered, target_bytes=1 << 30, min_files=1)
+        t.append_dataframe(registered.createDataFrame([Row(id=100, v="x")]))
+        self._run_available_now(registered, t.location, out, ck)
+        got = sorted(r.id for r in registered.read.parquet(out).collect())
+        assert got == list(range(12)) + [100]  # nothing replayed
