@@ -321,6 +321,16 @@ class IcebergFsDataSource(DataSource):
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _StreamReader(self.options)
 
+    def writer(self, schema: StructType, overwrite: bool):
+        from .iceberg_writer import IcebergFsArrowWriter
+
+        return IcebergFsArrowWriter(self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        from .iceberg_writer import IcebergFsStreamWriter
+
+        return IcebergFsStreamWriter(self.options, overwrite)
+
 
 def register_iceberg_source(spark) -> None:
     spark.dataSource.register(IcebergFsDataSource)
