@@ -269,12 +269,11 @@ def with_field_ids(df: DataFrame, md: dict) -> DataFrame:
     )
 
 
-def require_field_ids(paths: list[str]) -> None:
-    """Guard for rename / drop-and-readd evolution: every live data file
-    must carry parquet field ids (engine-written files do; files
-    registered via add_files may not). Pure footer-metadata reads.
-    Raises with the offending paths — without ids, id-based resolution
-    would surface those files as all-null."""
+def field_idless_files(paths: list[str]) -> list[str]:
+    """The subset of `paths` whose Parquet footer lacks field ids on at
+    least one column (engine-written files carry them; files registered
+    via add_files may not). Pure footer-metadata reads; unreadable files
+    count as id-less (the read would fail anyway)."""
     import pyarrow.parquet as pq
 
     missing = []
@@ -288,6 +287,15 @@ def require_field_ids(paths: list[str]) -> None:
             if not f_.metadata or b"PARQUET:field_id" not in f_.metadata:
                 missing.append(p)
                 break
+    return missing
+
+
+def require_field_ids(paths: list[str]) -> None:
+    """Guard for rename / drop-and-readd evolution: every live data file
+    must carry parquet field ids. Raises with the offending paths —
+    without ids, id-based resolution would surface those files as
+    all-null."""
+    missing = field_idless_files(paths)
     if missing:
         raise ValueError(
             "column rename/re-add requires parquet field ids on every live "
@@ -295,6 +303,164 @@ def require_field_ids(paths: list[str]) -> None:
             f"via add_files?): {missing[:3]}... Rewrite them through the "
             "engine first (e.g. rewrite_data_files)."
         )
+
+
+# -- name mapping (Iceberg spec: schema.name-mapping.default) --------------
+#
+# Files registered via add_files carry no parquet field ids, so after a
+# rename (which flips reads to id-based resolution) they would surface
+# as all-null. The spec's answer is a NAME MAPPING: a table property
+# holding [{"field-id": N, "names": [...]}] that assigns ids to columns
+# of id-less files by footer name. add_files maintains the property
+# automatically; reads resolve id-less files through it; rename/drop
+# stay refused only for id-less files the mapping does not cover.
+
+NAME_MAPPING_PROP = "schema.name-mapping.default"
+
+
+def parse_name_mapping(md: dict) -> dict[str, int] | None:
+    """The table's name mapping as {column name -> field id}, or None
+    when the property is absent. Spec names are unique across entries,
+    so the flat dict is lossless for this engine's flat schemas."""
+    raw = md.get("properties", {}).get(NAME_MAPPING_PROP)
+    if raw is None:
+        return None
+    out: dict[str, int] = {}
+    for entry in json.loads(raw):
+        for n in entry["names"]:
+            out[n] = entry["field-id"]
+    return out
+
+
+def merged_name_mapping(md: dict) -> str:
+    """The serialized mapping AFTER folding the current schema into any
+    existing mapping: every current field's name is appended to its
+    field-id entry (so files registered after a rename resolve by the
+    new name too). A current name already bound to a DIFFERENT id
+    (drop-then-readd) raises — id-less files cannot distinguish old
+    bytes from new, so registration must refuse rather than resurrect."""
+    entries: dict[int, list[str]] = {}
+    existing = parse_name_mapping(md) or {}
+    for n, fid in existing.items():
+        entries.setdefault(fid, []).append(n)
+    for f_ in current_schema(md)["fields"]:
+        bound = existing.get(f_["name"])
+        if bound is not None and bound != f_["id"]:
+            raise ValueError(
+                f"name mapping conflict: column {f_['name']!r} was "
+                f"previously bound to field id {bound} (dropped and "
+                f"re-added?) — id-less files cannot be registered against "
+                "a re-added column"
+            )
+        if bound is None:
+            entries.setdefault(f_["id"], []).append(f_["name"])
+    return json.dumps(
+        [
+            {"field-id": fid, "names": names}
+            for fid, names in sorted(entries.items())
+        ],
+        sort_keys=True,
+    )
+
+
+def require_id_resolvable(paths: list[str], md: dict) -> None:
+    """Rename/drop guard, name-mapping-aware: id-less live files are
+    acceptable when the table's name mapping covers every column in
+    their footer (reads then resolve them through the mapping); without
+    coverage the evolution refuses, as before."""
+    import pyarrow.parquet as pq
+
+    idless = field_idless_files(paths)
+    if not idless:
+        return
+    mapping = parse_name_mapping(md)
+    if mapping is None:
+        require_field_ids(idless)  # raises with the standard message
+    bad = []
+    for p in idless:
+        try:
+            names = pq.read_schema(p).names
+        except Exception:  # noqa: BLE001
+            bad.append(p)
+            continue
+        if any(n not in mapping for n in names):
+            bad.append(p)
+    if bad:
+        raise ValueError(
+            "column rename/re-add requires every id-less live data file "
+            f"to be covered by {NAME_MAPPING_PROP}, but {len(bad)} "
+            f"file(s) have unmapped columns: {bad[:3]}... Rewrite them "
+            "through the engine first (e.g. rewrite_data_files)."
+        )
+
+
+def table_file_scan(
+    spark: SparkSession,
+    md: dict | None,
+    schema: StructType,
+    paths: list[str],
+    tag_cols: tuple[tuple[str, str], ...] = (),
+) -> DataFrame:
+    """Scan table data files under the read schema, resolving files
+    WITHOUT parquet field ids through the table's name mapping whenever
+    id-based resolution is active (rename / drop-readd history) — the
+    Iceberg read path for add_files-registered files. `tag_cols` adds
+    metadata-derived columns ((alias, "path"|"pos")) INSIDE each scan
+    branch, where `_metadata` is still resolvable (it is not after a
+    union). Id-less-file detection is one footer-metadata read per file,
+    only on tables whose schema history demands id reads — the same
+    cost the rename guard already paid."""
+
+    def tags():
+        return [
+            _norm_meta_path().alias(a)
+            if kind == "path"
+            else F.col("_metadata.row_index").alias(a)
+            for a, kind in tag_cols
+        ]
+
+    mapping = parse_name_mapping(md) if md is not None else None
+    if mapping is None or not schema_requires_id_read(md):
+        scan = spark.read.schema(schema).parquet(*paths)
+        return scan.select("*", *tags()) if tag_cols else scan
+    import pyarrow.parquet as pq
+
+    idless = set(field_idless_files(paths))
+    with_ids = [p for p in paths if p not in idless]
+    cur_by_id = {f_["id"]: f_ for f_ in current_schema(md)["fields"]}
+    parts: list[DataFrame] = []
+    if with_ids:
+        scan = spark.read.schema(schema).parquet(*with_ids)
+        parts.append(scan.select(*[f_.name for f_ in schema.fields], *tags()))
+    # group id-less files by footer column signature; each group reads
+    # name-based under the FILE's names, aliased to current names via
+    # the mapping (unmapped or since-dropped columns are ignored;
+    # columns the file predates null-fill)
+    by_sig: dict[tuple[str, ...], list[str]] = {}
+    for p in sorted(idless):
+        by_sig.setdefault(tuple(pq.read_schema(p).names), []).append(p)
+    for names, group in by_sig.items():
+        file_name_for: dict[str, str] = {}  # current name -> file column
+        read_fields = []
+        for n in names:
+            fid = mapping.get(n)
+            cur = cur_by_id.get(fid) if fid is not None else None
+            if cur is None:
+                continue  # unmapped, or column dropped from the schema
+            file_name_for[cur["name"]] = n
+            read_fields.append(StructField(n, _spark_type(cur["type"]), True))
+        scan = spark.read.schema(StructType(read_fields)).parquet(*group)
+        sel = [
+            F.col(file_name_for[f_.name]).alias(f_.name)
+            if f_.name in file_name_for
+            else F.lit(None).cast(f_.dataType).alias(f_.name)
+            for f_ in schema.fields
+        ]
+        parts.append(scan.select(*sel, *tags()))
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
 
 
 def iceberg_schema(spark_schema: StructType, schema_id: int = 0) -> dict:
@@ -1155,11 +1321,8 @@ def _tagged_live_scan(
     and the live `data_files` (sequence numbers from the manifest walk)."""
     pos = [f for f in delete_files if f.content == 1] if delete_files else []
     eq = [f for f in delete_files if f.content == 2] if delete_files else []
-    scan = spark.read.schema(schema).parquet(*paths)
-    tagged = scan.select(
-        "*",
-        _norm_meta_path().alias("__file"),
-        F.col("_metadata.row_index").alias("__dpos"),
+    tagged = table_file_scan(
+        spark, md, schema, paths, tag_cols=(("__file", "path"), ("__dpos", "pos"))
     )
     if pos:
         dels = read_position_deletes(spark, pos)
@@ -1192,7 +1355,16 @@ def scan_with_deletes(
     schema = read_schema_for(spark, md)
     if not data_files:
         return spark.createDataFrame([], schema)
-    if any(f.content == 2 for f in delete_files):
+    needs_tagged = any(f.content == 2 for f in delete_files) or (
+        any(f.content == 1 for f in delete_files)
+        and parse_name_mapping(md) is not None
+        and schema_requires_id_read(md)
+    )
+    if needs_tagged:
+        # the tagged path computes (__file, __dpos) INSIDE each scan
+        # branch — required both for equality deletes and whenever a
+        # name-mapped scan unions branches (where _metadata is no
+        # longer resolvable on the result)
         tagged = _tagged_live_scan(
             spark,
             schema,
@@ -1202,7 +1374,7 @@ def scan_with_deletes(
             data_files,
         )
         return tagged.select(*[f_.name for f_ in schema.fields])
-    df = spark.read.schema(schema).parquet(*[f.file_path for f in data_files])
+    df = table_file_scan(spark, md, schema, [f.file_path for f in data_files])
     return apply_position_deletes(spark, df, delete_files)
 
 
@@ -1427,11 +1599,12 @@ def plan_position_delete(
     if not data_files:
         return None
     schema = read_schema_for(spark, md)
-    scan = spark.read.schema(schema).parquet(*[f.file_path for f in data_files])
-    tagged = scan.select(
-        "*",
-        _norm_meta_path().alias("__file"),
-        F.col("_metadata.row_index").alias("__dpos"),
+    tagged = table_file_scan(
+        spark,
+        md,
+        schema,
+        [f.file_path for f in data_files],
+        tag_cols=(("__file", "path"), ("__dpos", "pos")),
     )
     eq = [f for f in delete_files if f.content == 2]
     if eq:
@@ -1547,6 +1720,33 @@ def all_data_file_paths(md: dict) -> list[str]:
             for e in entries:
                 paths.add(e["data_file"]["file_path"])
     return sorted(paths)
+
+
+def sweep_orphan_files(
+    location: str, referenced: set[str], older_than_seconds: float
+) -> list[str]:
+    """Transport-neutral orphan sweep both table handles share: delete
+    every `data/**/*.parquet` under `location` that `referenced` (the
+    all-snapshots file set — data AND delete files, since delete
+    manifests' entries land in all_data_file_paths too) does not name
+    and that is older than the cutoff (fresh files may belong to an
+    in-flight commit racing this call). Returns deleted paths."""
+    cutoff = time.time() - older_than_seconds
+    deleted: list[str] = []
+    for path in glob.glob(
+        os.path.join(location, "data", "**", "*.parquet"), recursive=True
+    ):
+        path = os.path.abspath(path)
+        if path in referenced:
+            continue
+        try:
+            if os.path.getmtime(path) >= cutoff:
+                continue  # too fresh — may belong to an in-flight commit
+            os.remove(path)
+            deleted.append(path)
+        except OSError:
+            continue  # raced with another cleaner — fine
+    return sorted(deleted)
 
 
 def _ancestry_window(
@@ -1750,13 +1950,12 @@ def read_changelog(
             dels = read_position_deletes(spark, pos)
             if sum(f.record_count for f in pos) <= BROADCAST_DELETE_ROWS:
                 dels = F.broadcast(dels)
-            scan = spark.read.schema(schema).parquet(
-                *[f.file_path for f in parent_data]
-            )
-            tagged = scan.select(
-                "*",
-                _norm_meta_path().alias("__dfile"),
-                F.col("_metadata.row_index").alias("__dpos"),
+            tagged = table_file_scan(
+                spark,
+                md,
+                schema,
+                [f.file_path for f in parent_data],
+                tag_cols=(("__dfile", "path"), ("__dpos", "pos")),
             )
             hit = tagged.join(
                 dels,
@@ -1784,7 +1983,7 @@ def read_changelog(
             )
             parts.append(tag(widened, "delete_key", s))
         if data and op in ("append", "overwrite"):
-            ins = spark.read.schema(schema).parquet(*[f.file_path for f in data])
+            ins = table_file_scan(spark, md, schema, [f.file_path for f in data])
             parts.append(tag(ins, "insert", s))
 
     if not parts:
@@ -2209,12 +2408,13 @@ def plan_merge_mor(
         )
         # __file is already normalized; row position must be re-derived
         # (dropped by _tagged_live_scan) — tag again for the delete tuples
-        scan = spark.read.schema(schema).parquet(*[f.file_path for f in data_files])
-        tuples = scan.select(
-            *key_cols,
-            _norm_meta_path().alias("file_path"),
-            F.col("_metadata.row_index").alias("pos"),
-        )
+        tuples = table_file_scan(
+            spark,
+            md,
+            schema,
+            [f.file_path for f in data_files],
+            tag_cols=(("file_path", "path"), ("pos", "pos")),
+        ).select(*key_cols, "file_path", "pos")
         pos_files = [f for f in delete_files if f.content == 1]
         if pos_files:
             dels = read_position_deletes(spark, pos_files)
@@ -2294,8 +2494,9 @@ def plan_equality_rewrite(
         return None
     schema = read_schema_for(spark, md)
     seq_by_path = {f.file_path: f.sequence_number for f in live}
-    scan = spark.read.schema(schema).parquet(*[f.file_path for f in live])
-    tagged = scan.select("*", _norm_meta_path().alias("__file"))
+    tagged = table_file_scan(
+        spark, md, schema, [f.file_path for f in live], tag_cols=(("__file", "path"),)
+    )
     # rows the equality deletes REMOVE = tagged minus survivors; a hit
     # file is any file with at least one removed row. Rows already
     # position-deleted still count as hits — harmless (the rewrite
@@ -2934,6 +3135,7 @@ class FsTable:
         mapping Hive values to the table's transform values. No data is
         moved or rewritten (catalog_rest.go:306-367)."""
         files = hive_data_files(source_dir, self.partition_spec())
+        self._ensure_name_mapping(files)
         props = {"operation-detail": "add_files", **(snapshot_properties or {})}
         return self.append_files(files, props)
 
@@ -2946,8 +3148,32 @@ class FsTable:
         partition field's own name (`ts_hour=473040`, the append
         layout) or raw-sink `year=/month=/day=/hour=` values."""
         files = data_files_for_paths(paths, self.partition_spec(), self.location)
+        self._ensure_name_mapping(files)
         props = {"operation-detail": "add_files", **(snapshot_properties or {})}
         return self.append_files(files, props)
+
+    def set_properties(self, props: dict[str, str]) -> None:
+        """Merge table properties (metadata-only CAS commit)."""
+
+        def mutate(md: dict):
+            new_md = dict(md)
+            new_md["properties"] = {**md.get("properties", {}), **props}
+            return new_md, None
+
+        self._commit_metadata(mutate)
+
+    def _ensure_name_mapping(self, files: list[DataFile]) -> None:
+        """Registering files without parquet field ids: fold the current
+        schema into schema.name-mapping.default (creating it on first
+        use) so those files stay resolvable after a future rename /
+        drop-readd flips reads to id-based resolution. Engine-written
+        (id-carrying) registrations leave the property untouched."""
+        if not field_idless_files([f.file_path for f in files]):
+            return
+        md = self.metadata()
+        merged = merged_name_mapping(md)
+        if md.get("properties", {}).get(NAME_MAPPING_PROP) != merged:
+            self.set_properties({NAME_MAPPING_PROP: merged})
 
     def all_files(self) -> list[str]:
         """Every data-file path referenced by ANY snapshot — the
@@ -3174,7 +3400,7 @@ class FsTable:
             current_names = {f_["name"] for f_ in current_schema(md)["fields"]}
             if any(f_.name in historic - current_names for f_ in fields):
                 live, _, _ = self.plan_scan()
-                require_field_ids([f.file_path for f in live])
+                require_id_resolvable([f.file_path for f in live], md)
             new_schema, last_col = evolved_schema(md, fields)
             new_md = dict(md)
             new_md["schemas"] = md["schemas"] + [new_schema]
@@ -3298,11 +3524,12 @@ class FsTable:
         """Column rename (Iceberg RENAME COLUMN): metadata-only — the
         field keeps its id, no file is rewritten, and reads resolve the
         column by parquet field id from then on. Guarded: every live
-        data file must carry field ids (engine-written files do;
-        add_files-registered ones may not — they would read as null
-        under id resolution, so the rename refuses instead)."""
+        data file must either carry field ids (engine-written files do)
+        or be covered by the table's name mapping (add_files maintains
+        schema.name-mapping.default) — otherwise the file would read as
+        null under id resolution, so the rename refuses instead."""
         live, _, _ = self.plan_scan()
-        require_field_ids([f.file_path for f in live])
+        require_id_resolvable([f.file_path for f in live], self.metadata())
 
         def mutate(md: dict):
             schema = evolved_schema_rename(md, old, new)
@@ -3337,11 +3564,12 @@ class FsTable:
         consumption side of exactly-once micro-batch commits: a consumer
         checkpoints the last snapshot id it processed and passes it as
         from_snapshot_id on the next run."""
-        schema = read_schema_for(spark, self.metadata())
+        md = self.metadata()
+        schema = read_schema_for(spark, md)
         files = self.incremental_files(from_snapshot_id, to_snapshot_id)
         if not files:
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*[f.file_path for f in files])
+        return table_file_scan(spark, md, schema, [f.file_path for f in files])
 
     # -- table maintenance -------------------------------------------------
     def rewrite_data_files(
@@ -3673,23 +3901,9 @@ class FsTable:
         3 days, Iceberg's default) so in-flight writes racing this call
         are never swept. Purely driver-side metadata + listing work.
         Returns deleted paths."""
-        cutoff = time.time() - older_than_seconds
-        referenced = set(self.all_files())
-        deleted: list[str] = []
-        for path in glob.glob(
-            os.path.join(self.location, "data", "**", "*.parquet"), recursive=True
-        ):
-            path = os.path.abspath(path)
-            if path in referenced:
-                continue
-            try:
-                if os.path.getmtime(path) >= cutoff:
-                    continue  # too fresh — may belong to an in-flight commit
-                os.remove(path)
-                deleted.append(path)
-            except OSError:
-                continue  # raced with another cleaner — fine
-        return sorted(deleted)
+        return sweep_orphan_files(
+            self.location, set(self.all_files()), older_than_seconds
+        )
 
     def merge_rows(
         self,

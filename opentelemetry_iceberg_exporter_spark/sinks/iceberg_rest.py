@@ -337,6 +337,46 @@ class RestTable:
         retry loop lives in iceberg-go's transaction there)."""
         return self._commit_add(files, "append", snapshot_properties or {})
 
+    def _build_append(
+        self,
+        md: dict,
+        files: list[DataFile],
+        operation: str,
+        extra_summary: dict[str, str],
+    ) -> tuple[list[dict], list[dict], int]:
+        """Build (but do not send) one append commit against `md`: the
+        manifest tree lands in shared storage and the returned
+        (requirements, updates, snapshot_id) plug into CommitTable or a
+        multi-table CommitTransaction. The assert-ref-snapshot-id pins
+        main at the parent the tree was built on."""
+        parent = md["current-snapshot-id"]
+        snapshot = write_snapshot_tree(
+            md["location"],
+            md,
+            files,
+            operation=operation,
+            carry_forward=True,
+            extra_summary=extra_summary,
+        )
+        requirements = [
+            {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
+            {
+                "type": "assert-ref-snapshot-id",
+                "ref": "main",
+                "snapshot-id": None if parent == -1 else parent,
+            },
+        ]
+        updates = [
+            {"action": "add-snapshot", "snapshot": snapshot},
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": snapshot["snapshot-id"],
+            },
+        ]
+        return requirements, updates, snapshot["snapshot-id"]
+
     def _commit_add(
         self,
         files: list[DataFile],
@@ -493,6 +533,7 @@ class RestTable:
         """K4 over REST: register raw-sink Hive-layout Parquet without
         copying (catalog_rest.go:306-367 AppendDataFiles)."""
         files = hive_data_files(source_dir, self.partition_spec())
+        self._ensure_name_mapping(files)
         props = {"operation-detail": "add_files", **(snapshot_properties or {})}
         return self.append_files(files, props)
 
@@ -502,8 +543,34 @@ class RestTable:
         """Register specific Parquet files (recovery re-registration)."""
         md = self.metadata()
         files = data_files_for_paths(paths, default_spec_fields(md), md["location"])
+        self._ensure_name_mapping(files)
         props = {"operation-detail": "add_files", **(snapshot_properties or {})}
         return self.append_files(files, props)
+
+    def set_properties(self, props: dict[str, str]) -> None:
+        """Merge table properties via a set-properties CommitTable."""
+        md = self.metadata()
+        self.client.commit_table(
+            self.namespace,
+            self.name,
+            requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
+            updates=[{"action": "set-properties", "updates": props}],
+        )
+
+    def _ensure_name_mapping(self, files) -> None:
+        """See FsTable._ensure_name_mapping — same rule, REST commit."""
+        from .iceberg_fs import (
+            NAME_MAPPING_PROP,
+            field_idless_files,
+            merged_name_mapping,
+        )
+
+        if not field_idless_files([f.file_path for f in files]):
+            return
+        md = self.metadata()
+        merged = merged_name_mapping(md)
+        if md.get("properties", {}).get(NAME_MAPPING_PROP) != merged:
+            self.set_properties({NAME_MAPPING_PROP: merged})
 
     # -- listing / reads ---------------------------------------------------
     def all_files(self) -> list[str]:
@@ -906,6 +973,19 @@ class RestTable:
         )
         return delete_expired_paths(plan)
 
+    def remove_orphan_files(self, older_than_seconds: float = 3 * 86400) -> list[str]:
+        """Reclaim data files under the table location that NO snapshot
+        references (same sweep as FsTable — the REST catalog arbitrates
+        commits but the warehouse is the same filesystem): leftovers
+        from failed/raced writes whose commit never landed. Only files
+        older than the cutoff are deleted so in-flight writes racing
+        this call are never swept. Returns deleted paths."""
+        from .iceberg_fs import sweep_orphan_files
+
+        return sweep_orphan_files(
+            self.location(), set(self.all_files()), older_than_seconds
+        )
+
     def _live_files(
         self, md: dict, snapshot_id: int
     ) -> tuple[list[DataFile], list[DataFile]]:
@@ -969,7 +1049,7 @@ class RestTable:
             current_schema,
             evolved_schema,
             live_files,
-            require_field_ids,
+            require_id_resolvable,
         )
 
         fields = list(new_fields.fields if isinstance(new_fields, StructType) else new_fields)
@@ -981,7 +1061,7 @@ class RestTable:
             sid = md.get("current-snapshot-id", -1)
             if sid != -1:
                 data, _ = live_files(md, sid)
-                require_field_ids([f.file_path for f in data])
+                require_id_resolvable([f.file_path for f in data], md)
         new_schema, last_col = evolved_schema(md, fields)
         self.client.commit_table(
             self.namespace,
@@ -1011,14 +1091,18 @@ class RestTable:
     def rename_column(self, old: str, new: str) -> int:
         """Column rename over REST (see FsTable.rename_column): the
         field keeps its id; reads resolve by parquet field id. Guarded
-        on live files carrying field ids."""
-        from .iceberg_fs import evolved_schema_rename, live_files, require_field_ids
+        on live files carrying field ids or name-mapping coverage."""
+        from .iceberg_fs import (
+            evolved_schema_rename,
+            live_files,
+            require_id_resolvable,
+        )
 
         md = self.metadata()
         sid = md.get("current-snapshot-id", -1)
         if sid != -1:
             data, _ = live_files(md, sid)
-            require_field_ids([f.file_path for f in data])
+            require_id_resolvable([f.file_path for f in data], md)
         return self._commit_schema(md, evolved_schema_rename(md, old, new))
 
     def drop_column(self, name: str) -> int:

@@ -107,6 +107,7 @@ class _FilePartition(InputPartition):
     file_path: str
     schema_fields: tuple  # ((name, iceberg_type_json, required, field_id), ...)
     deleted_positions: tuple = field(default=())
+    name_mapping: tuple = field(default=())  # ((file column name, field id), ...)
 
 
 def _partition_schema_fields(md: dict) -> tuple:
@@ -114,6 +115,16 @@ def _partition_schema_fields(md: dict) -> tuple:
         (f["name"], json.dumps(f["type"]), f["required"], f["id"])
         for f in current_schema(md)["fields"]
     )
+
+
+def _partition_name_mapping(md: dict) -> tuple:
+    """The table's schema.name-mapping.default as pickleable pairs —
+    lets executors resolve columns of id-less (add_files-registered)
+    files after a rename, per the Iceberg name-mapping spec."""
+    from ..sinks.iceberg_fs import parse_name_mapping
+
+    mapping = parse_name_mapping(md)
+    return tuple(sorted(mapping.items())) if mapping else ()
 
 
 def _read_file_partition(part: _FilePartition):
@@ -131,11 +142,17 @@ def _read_file_partition(part: _FilePartition):
         keep[list(part.deleted_positions)] = False
         table = table.filter(pa.array(keep))
 
-    # map file columns: field-id first, then name
+    # map file columns: footer field-id first, then the table's name
+    # mapping (id-less add_files-registered files), then current name
     by_id: dict[int, str] = {}
     for f in table.schema:
         if f.metadata and b"PARQUET:field_id" in f.metadata:
             by_id[int(f.metadata[b"PARQUET:field_id"])] = f.name
+    if not by_id and part.name_mapping:
+        mapped = dict(part.name_mapping)
+        by_id = {
+            mapped[n]: n for n in table.schema.names if n in mapped
+        }
     cols = []
     fields = []
     for name, type_json, required, fid in part.schema_fields:
@@ -214,8 +231,9 @@ class _BatchReader(DataSourceReader):
             )
         pos = _positions_by_file([d for d in deletes if d.content == 1])
         fields = _partition_schema_fields(md)
+        mapping = _partition_name_mapping(md)
         return [
-            _FilePartition(f.file_path, fields, pos.get(f.file_path, ()))
+            _FilePartition(f.file_path, fields, pos.get(f.file_path, ()), mapping)
             for f in data
         ]
 
@@ -286,7 +304,10 @@ class _StreamReader(DataSourceStreamReader):
             lo = start_off if snap["snapshot-id"] == start_id else 0
             hi = end_off if snap["snapshot-id"] == end_id else len(ordered)
             files.extend(ordered[lo:hi])
-        return [_FilePartition(f.file_path, fields) for f in files]
+        mapping = _partition_name_mapping(md)
+        return [
+            _FilePartition(f.file_path, fields, (), mapping) for f in files
+        ]
 
     def read(self, partition):
         yield from _read_file_partition(partition)

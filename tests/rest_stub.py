@@ -157,6 +157,9 @@ class _Handler(BaseHTTPRequestHandler):
         if m:
             self._commit_table((m.group(1), m.group(2)), self._body())
             return
+        if re.fullmatch(f"/v1/{PREFIX}/transactions/commit", path):
+            self._commit_transaction(self._body())
+            return
         self._error(404, "NotFoundException", f"no route {path}")
 
     # -- handlers ----------------------------------------------------------
@@ -204,6 +207,33 @@ class _Handler(BaseHTTPRequestHandler):
             self._persist(key)
             self._send(200, {"metadata-location": self._metadata_location(key), "metadata": md})
 
+    @staticmethod
+    def _check_requirements(md: dict, reqs: list[dict]) -> tuple[int, str, str] | None:
+        """Requirement validation — the server-side half of optimistic
+        concurrency; a stale assert-ref-snapshot-id is THE commit
+        conflict signal clients retry on. Returns an error triple or
+        None when all requirements hold."""
+        for req in reqs:
+            rtype = req.get("type")
+            if rtype == "assert-table-uuid":
+                if req.get("uuid") != md["table-uuid"]:
+                    return (
+                        409, "CommitFailedException", "Requirement failed: table UUID changed"
+                    )
+            elif rtype == "assert-ref-snapshot-id":
+                ref = md.get("refs", {}).get(req.get("ref", "main"))
+                current = ref["snapshot-id"] if ref else None
+                if current != req.get("snapshot-id"):
+                    return (
+                        409,
+                        "CommitFailedException",
+                        f"Requirement failed: branch {req.get('ref')} has changed: "
+                        f"expected id {req.get('snapshot-id')} != {current}",
+                    )
+            elif rtype == "assert-create":
+                return (409, "CommitFailedException", "Requirement failed: table exists")
+        return None
+
     def _commit_table(self, key: tuple[str, str], body: dict) -> None:
         with self.state.lock:
             md = self.state.tables.get(key)
@@ -212,119 +242,131 @@ class _Handler(BaseHTTPRequestHandler):
                     404, "NoSuchTableException", f"Table does not exist: {key[0]}.{key[1]}"
                 )
                 return
-            # requirement validation — the server-side half of optimistic
-            # concurrency; a stale assert-ref-snapshot-id is THE commit
-            # conflict signal clients retry on
-            for req in body.get("requirements", []):
-                rtype = req.get("type")
-                if rtype == "assert-table-uuid":
-                    if req.get("uuid") != md["table-uuid"]:
-                        self._error(
-                            409, "CommitFailedException", "Requirement failed: table UUID changed"
-                        )
-                        return
-                elif rtype == "assert-ref-snapshot-id":
-                    ref = md.get("refs", {}).get(req.get("ref", "main"))
-                    current = ref["snapshot-id"] if ref else None
-                    if current != req.get("snapshot-id"):
-                        self._error(
-                            409,
-                            "CommitFailedException",
-                            f"Requirement failed: branch {req.get('ref')} has changed: "
-                            f"expected id {req.get('snapshot-id')} != {current}",
-                        )
-                        return
-                elif rtype == "assert-create":
-                    self._error(409, "CommitFailedException", "Requirement failed: table exists")
-                    return
+            failed = self._check_requirements(md, body.get("requirements", []))
+            if failed is not None:
+                self._error(*failed)
+                return
             new_md = dict(md)
-            for upd in body.get("updates", []):
-                action = upd.get("action")
-                if action == "add-snapshot":
-                    snap = upd["snapshot"]
-                    new_md["snapshots"] = new_md["snapshots"] + [snap]
-                    new_md["last-sequence-number"] = max(
-                        new_md["last-sequence-number"], snap["sequence-number"]
-                    )
-                    new_md["last-updated-ms"] = snap["timestamp-ms"]
-                elif action == "set-snapshot-ref":
-                    sid = upd["snapshot-id"]
-                    if sid not in {s["snapshot-id"] for s in new_md["snapshots"]}:
-                        self._error(
-                            400, "ValidationException", f"unknown snapshot {sid}"
-                        )
-                        return
-                    new_md["refs"] = {
-                        **new_md.get("refs", {}),
-                        upd["ref-name"]: {"snapshot-id": sid, "type": upd.get("type", "branch")},
-                    }
-                    # only main drives the table's current snapshot
-                    if upd["ref-name"] == "main":
-                        new_md["current-snapshot-id"] = sid
-                        new_md["snapshot-log"] = new_md.get("snapshot-log", []) + [
-                            {"timestamp-ms": new_md["last-updated-ms"], "snapshot-id": sid}
-                        ]
-                elif action == "set-properties":
-                    new_md["properties"] = {**new_md["properties"], **upd["updates"]}
-                elif action == "add-schema":
-                    new_md["schemas"] = new_md["schemas"] + [upd["schema"]]
-                    if "last-column-id" in upd:
-                        new_md["last-column-id"] = max(
-                            new_md["last-column-id"], upd["last-column-id"]
-                        )
-                elif action == "remove-snapshots":
-                    drop = set(upd["snapshot-ids"])
-                    if new_md.get("current-snapshot-id") in drop:
-                        self._error(
-                            400, "ValidationException", "cannot remove the current snapshot"
-                        )
-                        return
-                    new_md["snapshots"] = [
-                        s for s in new_md["snapshots"] if s["snapshot-id"] not in drop
-                    ]
-                    new_md["snapshot-log"] = [
-                        e
-                        for e in new_md.get("snapshot-log", [])
-                        if e["snapshot-id"] not in drop
-                    ]
-                elif action == "add-spec":
-                    new_md["partition-specs"] = new_md["partition-specs"] + [upd["spec"]]
-                    new_md["last-partition-id"] = max(
-                        new_md.get("last-partition-id", 999),
-                        max(
-                            (f["field-id"] for f in upd["spec"]["fields"]),
-                            default=0,
-                        ),
-                    )
-                elif action == "set-default-spec":
-                    spec_id = upd["spec-id"]
-                    if spec_id == -1:  # spec: -1 = the spec added in this commit
-                        spec_id = new_md["partition-specs"][-1]["spec-id"]
-                    if spec_id not in {s["spec-id"] for s in new_md["partition-specs"]}:
-                        self._error(
-                            400, "ValidationException", f"unknown spec-id {spec_id}"
-                        )
-                        return
-                    new_md["default-spec-id"] = spec_id
-                elif action == "set-current-schema":
-                    sid_ = upd["schema-id"]
-                    if sid_ == -1:  # spec: -1 = the schema added in this commit
-                        sid_ = new_md["schemas"][-1]["schema-id"]
-                    if sid_ not in {s["schema-id"] for s in new_md["schemas"]}:
-                        self._error(
-                            400, "ValidationException", f"unknown schema-id {sid_}"
-                        )
-                        return
-                    new_md["current-schema-id"] = sid_
-                else:
-                    self._error(400, "ValidationException", f"unsupported update {action}")
-                    return
+            failed = self._apply_updates(new_md, body.get("updates", []))
+            if failed is not None:
+                self._error(*failed)
+                return
             self.state.tables[key] = new_md
             self.state.versions[key] += 1
             self._persist(key)
             self._send(
                 200, {"metadata-location": self._metadata_location(key), "metadata": new_md}
             )
+
+    @staticmethod
+    def _apply_updates(new_md: dict, updates: list[dict]) -> tuple[int, str, str] | None:
+        """Apply CommitTable updates to `new_md` in place. Returns an
+        error triple (the caller discards new_md) or None on success."""
+        for upd in updates:
+            action = upd.get("action")
+            if action == "add-snapshot":
+                snap = upd["snapshot"]
+                new_md["snapshots"] = new_md["snapshots"] + [snap]
+                new_md["last-sequence-number"] = max(
+                    new_md["last-sequence-number"], snap["sequence-number"]
+                )
+                new_md["last-updated-ms"] = snap["timestamp-ms"]
+            elif action == "set-snapshot-ref":
+                sid = upd["snapshot-id"]
+                if sid not in {s["snapshot-id"] for s in new_md["snapshots"]}:
+                    return (400, "ValidationException", f"unknown snapshot {sid}")
+                new_md["refs"] = {
+                    **new_md.get("refs", {}),
+                    upd["ref-name"]: {"snapshot-id": sid, "type": upd.get("type", "branch")},
+                }
+                # only main drives the table's current snapshot
+                if upd["ref-name"] == "main":
+                    new_md["current-snapshot-id"] = sid
+                    new_md["snapshot-log"] = new_md.get("snapshot-log", []) + [
+                        {"timestamp-ms": new_md["last-updated-ms"], "snapshot-id": sid}
+                    ]
+            elif action == "set-properties":
+                new_md["properties"] = {**new_md["properties"], **upd["updates"]}
+            elif action == "add-schema":
+                new_md["schemas"] = new_md["schemas"] + [upd["schema"]]
+                if "last-column-id" in upd:
+                    new_md["last-column-id"] = max(
+                        new_md["last-column-id"], upd["last-column-id"]
+                    )
+            elif action == "remove-snapshots":
+                drop = set(upd["snapshot-ids"])
+                if new_md.get("current-snapshot-id") in drop:
+                    return (400, "ValidationException", "cannot remove the current snapshot")
+                new_md["snapshots"] = [
+                    s for s in new_md["snapshots"] if s["snapshot-id"] not in drop
+                ]
+                new_md["snapshot-log"] = [
+                    e
+                    for e in new_md.get("snapshot-log", [])
+                    if e["snapshot-id"] not in drop
+                ]
+            elif action == "add-spec":
+                new_md["partition-specs"] = new_md["partition-specs"] + [upd["spec"]]
+                new_md["last-partition-id"] = max(
+                    new_md.get("last-partition-id", 999),
+                    max(
+                        (f["field-id"] for f in upd["spec"]["fields"]),
+                        default=0,
+                    ),
+                )
+            elif action == "set-default-spec":
+                spec_id = upd["spec-id"]
+                if spec_id == -1:  # spec: -1 = the spec added in this commit
+                    spec_id = new_md["partition-specs"][-1]["spec-id"]
+                if spec_id not in {s["spec-id"] for s in new_md["partition-specs"]}:
+                    return (400, "ValidationException", f"unknown spec-id {spec_id}")
+                new_md["default-spec-id"] = spec_id
+            elif action == "set-current-schema":
+                sid_ = upd["schema-id"]
+                if sid_ == -1:  # spec: -1 = the schema added in this commit
+                    sid_ = new_md["schemas"][-1]["schema-id"]
+                if sid_ not in {s["schema-id"] for s in new_md["schemas"]}:
+                    return (400, "ValidationException", f"unknown schema-id {sid_}")
+                new_md["current-schema-id"] = sid_
+            else:
+                return (400, "ValidationException", f"unsupported update {action}")
+        return None
+
+    def _commit_transaction(self, body: dict) -> None:
+        """CommitTransaction (the REST spec's /v1/{prefix}/transactions/
+        commit): N CommitTableRequests applied ALL-OR-NOTHING under one
+        lock — every change's requirements are validated against the
+        CURRENT state first, and only if all hold are all updates
+        applied and persisted. Any failure leaves every table untouched."""
+        changes = body.get("table-changes", [])
+        with self.state.lock:
+            staged: list[tuple[tuple[str, str], dict]] = []
+            for ch in changes:
+                ident = ch.get("identifier", {})
+                key = (".".join(ident.get("namespace", [])), ident.get("name", ""))
+                md = self.state.tables.get(key)
+                if md is None:
+                    self._error(
+                        404,
+                        "NoSuchTableException",
+                        f"Table does not exist: {key[0]}.{key[1]}",
+                    )
+                    return
+                failed = self._check_requirements(md, ch.get("requirements", []))
+                if failed is not None:
+                    self._error(*failed)
+                    return
+                new_md = dict(md)
+                failed = self._apply_updates(new_md, ch.get("updates", []))
+                if failed is not None:
+                    self._error(*failed)
+                    return
+                staged.append((key, new_md))
+            for key, new_md in staged:
+                self.state.tables[key] = new_md
+                self.state.versions[key] += 1
+                self._persist(key)
+            self._send(200, {})
 
 
 def make_server(warehouse: str, token: str = "") -> tuple[ThreadingHTTPServer, StubCatalogState, str]:

@@ -436,6 +436,30 @@ class TestRestMaintenance:
         t.append_dataframe(df)
         assert t.expire_snapshots(keep_last=1) == []
 
+    def test_remove_orphan_files_sweeps_unreferenced_only(self, catalog, spark):
+        import time as time_mod
+
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            write_partitioned_batch,
+        )
+
+        t, _ = self._small_file_table(catalog, spark)
+        referenced = set(t.all_files())
+        df = _events_df(spark, n=24, hours=2)
+        orphans = {
+            f.file_path for f in write_partitioned_batch(df, t.location(), t.metadata())
+        }
+        # fresh orphans are protected (may belong to an in-flight commit)
+        assert t.remove_orphan_files(older_than_seconds=3600) == []
+        old = time_mod.time() - 10
+        for p in orphans:
+            os.utime(p, (old, old))
+        deleted = set(t.remove_orphan_files(older_than_seconds=5))
+        assert deleted == orphans
+        for p in referenced:
+            assert os.path.exists(p)
+        assert t.read(spark).count() == 48  # table untouched
+
 
 # --------------------------------------------------------------------------
 # X2 error classification over REST (errors.go:43-115)

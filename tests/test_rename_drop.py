@@ -80,14 +80,20 @@ class TestRename:
         with pytest.raises(ValueError, match="no column"):
             fs_table.rename_column("nope", "x")
 
-    def test_rename_refused_when_live_files_lack_ids(self, spark, fs_table, tmp_path):
-        # register a raw parquet file (no parquet field ids) via add_files
+    def test_rename_refused_when_idless_files_lack_mapping_coverage(
+        self, spark, fs_table, tmp_path
+    ):
+        # add_files now maintains schema.name-mapping.default, so plain
+        # id-less registrations no longer block renames (covered in
+        # test_name_mapping.py). The refusal survives only for id-less
+        # files the mapping cannot cover — e.g. carrying an extra
+        # column the table schema never had.
         raw = str(tmp_path / "raw")
-        _df(spark, 10).selectExpr(
-            "id", "ts", "v"
+        _df(spark, 10).selectExpr("id", "ts", "v").withColumn(
+            "mystery", F.lit(1)
         ).write.parquet(raw + "/year=2024/month=3/day=1/hour=0")
         fs_table.add_files_hive(raw)
-        with pytest.raises(ValueError, match="field ids"):
+        with pytest.raises(ValueError, match="unmapped"):
             fs_table.rename_column("v", "value")
 
     def test_dml_works_on_renamed_table(self, spark, fs_table):
