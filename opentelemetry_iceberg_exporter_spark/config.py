@@ -79,6 +79,12 @@ class CatalogConfig:
     # replays whose batches concentrate in few hours and would otherwise
     # funnel through one writer task per hour.
     write_fanout: int | None = None
+    # atomic multi-signal batches (REST only): commit every signal's
+    # append for a micro-batch in ONE CommitTransaction
+    # (/v1/{prefix}/transactions/commit) — a crash can never persist a
+    # batch's traces without its logs/metrics halves. Per-table commit
+    # shapes (wap_branch, upsert_keys) are mutually exclusive.
+    atomic_batch: bool = False
 
     def validate(self) -> None:
         if self.catalog_type not in VALID_CATALOG_TYPES:
@@ -101,6 +107,17 @@ class CatalogConfig:
                 "catalog.upsert_keys and catalog.wap_branch are mutually "
                 "exclusive (branch-staged upserts are not supported)"
             )
+        if self.atomic_batch:
+            if self.catalog_type != "rest":
+                raise ValueError(
+                    "catalog.atomic_batch requires catalog_type='rest' — "
+                    "multi-table transactions are a REST-protocol feature"
+                )
+            if self.wap_branch or self.upsert_keys:
+                raise ValueError(
+                    "catalog.atomic_batch commits straight to main; it "
+                    "cannot combine with wap_branch or upsert_keys"
+                )
 
 
 @dataclass

@@ -294,6 +294,69 @@ class RestCatalogClient:
             },
         )
 
+    def commit_transaction(
+        self, table_changes: list[tuple[str, str, list[dict], list[dict]]]
+    ) -> None:
+        """CommitTransaction (REST spec `/v1/{prefix}/transactions/
+        commit`): N per-table (requirements, updates) applied
+        ALL-OR-NOTHING by the server — the multi-table atomic commit
+        single-table CommitTable cannot express. Any failed requirement
+        (or any error) leaves every table untouched."""
+        base = f"/v1/{self.prefix}" if self.prefix else "/v1"
+        self._request(
+            "POST",
+            f"{base}/transactions/commit",
+            {
+                "table-changes": [
+                    {
+                        "identifier": {"namespace": ns.split("."), "name": name},
+                        "requirements": reqs,
+                        "updates": upds,
+                    }
+                    for ns, name, reqs, upds in table_changes
+                ]
+            },
+        )
+
+
+def commit_append_transaction(
+    client: RestCatalogClient,
+    parts: list[tuple["RestTable", list, dict | None]],
+) -> dict[tuple[str, str], int]:
+    """Commit one append snapshot on EACH table in a single atomic
+    CommitTransaction — either every table advances or none does (the
+    exporter uses this so a crash can never persist a traces batch
+    whose logs/metrics halves are missing). `parts` is
+    [(table, data files, snapshot properties)]; empty file lists are
+    skipped. Returns {(namespace, name): snapshot_id}.
+
+    Same optimistic retry as single-table appends: on 409 every
+    manifest tree is rebuilt against the new bases (losers' abandoned
+    trees are unreferenced and reclaimed by remove_orphan_files)."""
+    parts = [(t, files, props) for t, files, props in parts if files]
+    if not parts:
+        return {}
+    keys = [(t.namespace, t.name) for t, _, _ in parts]
+    if len(set(keys)) != len(keys):
+        raise ValueError("a table may appear at most once per transaction")
+    attempts = 3
+    for attempt in range(attempts):
+        changes: list[tuple[str, str, list[dict], list[dict]]] = []
+        sids: dict[tuple[str, str], int] = {}
+        for t, files, props in parts:
+            md = t.metadata()
+            reqs, upds, sid = t._build_append(md, files, "append", props or {})
+            changes.append((t.namespace, t.name, reqs, upds))
+            sids[(t.namespace, t.name)] = sid
+        try:
+            client.commit_transaction(changes)
+            return sids
+        except RestCommitConflictError:
+            if attempt + 1 == attempts:
+                raise
+            time.sleep(0.05 * (attempt + 1))
+    raise AssertionError("unreachable")
+
 
 class RestTable:
     """Table handle bound to a RestCatalogClient — same operation surface

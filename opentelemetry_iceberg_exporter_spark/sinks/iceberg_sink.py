@@ -353,6 +353,39 @@ class RestIcebergSink:
             conformed, props, fanout=self.config.catalog.write_fanout
         )
 
+    def append_all(self, dfs: dict[str, DataFrame]) -> dict[str, int]:
+        """Atomic MULTI-SIGNAL append: every signal's data files are
+        written first, then ONE CommitTransaction advances all the
+        tables together (REST `/v1/{prefix}/transactions/commit`) — a
+        crash or conflict can never persist a batch's traces without
+        its logs/metrics halves, which per-table appends cannot
+        guarantee. Empty frames are skipped; returns per-signal
+        snapshot ids. Mutually exclusive with wap_branch/upsert_keys
+        (those are per-table commit shapes)."""
+        from .iceberg_fs import write_partitioned_batch
+        from .iceberg_rest import commit_append_transaction
+
+        if self.config.catalog.wap_branch or self.config.catalog.upsert_keys:
+            raise ValueError(
+                "append_all commits straight to main; it cannot combine "
+                "with wap_branch or upsert_keys"
+            )
+        self.client.ensure_namespace(self.config.catalog.namespace)
+        props = {"otel.exporter": "opentelemetry-iceberg-exporter-spark"}
+        parts = []
+        signal_of = {}
+        for signal, df in dfs.items():
+            table = self._load(signal)
+            md = table.metadata()
+            conformed = S.conform(df, S.SCHEMAS[signal])
+            files = write_partitioned_batch(
+                conformed, md["location"], md, self.config.catalog.write_fanout
+            )
+            parts.append((table, files, props))
+            signal_of[(table.namespace, table.name)] = signal
+        sids = commit_append_transaction(self.client, parts)
+        return {signal_of[k]: sid for k, sid in sids.items()}
+
     def publish_staged(self, signal: str) -> int | None:
         """WAP publish over REST: fast-forward main to the staged branch
         head for one signal's table."""

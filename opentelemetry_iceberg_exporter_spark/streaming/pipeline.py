@@ -129,8 +129,33 @@ def make_batch_processor(
     dead_letter: SinkFn | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The foreachBatch body: flatten, demux, empty-skip (F1), append,
-    classify errors (X2)."""
+    classify errors (X2). With catalog.atomic_batch (REST), the demuxed
+    signals commit in ONE multi-table CommitTransaction instead of
+    per-signal appends."""
+    atomic = (
+        sink is None
+        and config.catalog.catalog_type == "rest"
+        and config.catalog.atomic_batch
+    )
     sink = sink or default_sink(config)
+    atomic_holder: dict[str, object] = {}
+
+    def atomic_commit(flattened: dict[str, DataFrame], batch_id: int) -> None:
+        from ..sinks.iceberg_sink import RestIcebergSink
+
+        try:
+            if "sink" not in atomic_holder:
+                some_df = next(iter(flattened.values()))
+                atomic_holder["sink"] = RestIcebergSink(some_df.sparkSession, config)
+            atomic_holder["sink"].append_all(flattened)
+        except Exception as exc:  # noqa: BLE001 — classified below
+            if classify_error(exc) == PERMANENT:
+                log.error("permanent error on batch %s (atomic): %s", batch_id, exc)
+                if dead_letter is not None:
+                    for signal, df in flattened.items():
+                        dead_letter(df, signal)
+                return  # swallowed: collector semantics (X2)
+            raise  # transient: streaming engine retries the WHOLE batch
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():  # F1 empty-batch short-circuit
@@ -142,6 +167,9 @@ def make_batch_processor(
             batch_df, signal_kind, depth=config.attr_depth
         )
         try:
+            if atomic:
+                atomic_commit(flattened, batch_id)
+                return
             for signal, df in flattened.items():
                 try:
                     sink(df, signal)
@@ -294,16 +322,38 @@ def export_batch(
     else:
         raw = spark.read.text(input_path)
     flattened, cached = flatten_signal_cached(raw, signal_kind, depth=config.attr_depth)
-    sink = sink or default_sink(config)
+    atomic = (
+        sink is None
+        and config.catalog.catalog_type == "rest"
+        and config.catalog.atomic_batch
+    )
+    sink = None if atomic else (sink or default_sink(config))
     counts: dict[str, int] = {}
     try:
-        for signal, df in flattened.items():
-            df = df.persist()
-            n = df.count()
-            counts[signal] = n
-            if n:  # F1
-                sink(df, signal)
-            df.unpersist()
+        if atomic:
+            from ..sinks.iceberg_sink import RestIcebergSink
+
+            frames: dict[str, DataFrame] = {}
+            for signal, df in flattened.items():
+                df = df.persist()
+                counts[signal] = df.count()
+                if counts[signal]:  # F1
+                    frames[signal] = df
+                else:
+                    df.unpersist()
+            if frames:
+                # every signal of the batch advances in ONE transaction
+                RestIcebergSink(spark, config).append_all(frames)
+            for df in frames.values():
+                df.unpersist()
+        else:
+            for signal, df in flattened.items():
+                df = df.persist()
+                n = df.count()
+                counts[signal] = n
+                if n:  # F1
+                    sink(df, signal)
+                df.unpersist()
     finally:
         if cached is not None:
             cached.unpersist()

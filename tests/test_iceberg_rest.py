@@ -645,3 +645,234 @@ class TestRestRecovery:
         out = rest_registered_files(client, "otel", ["one", "missing"])
         assert set(out) == {"one", "missing"}
         assert out["missing"] == [] and len(out["one"]) >= 1
+
+
+# --------------------------------------------------------------------------
+# multi-table transactions (/v1/{prefix}/transactions/commit)
+# --------------------------------------------------------------------------
+
+
+class TestTransactions:
+    def _two_tables(self, catalog, spark):
+        client, state, _ = catalog
+        df = _events_df(spark)
+        client.ensure_namespace("otel")
+        ta = client.ensure_table("otel", "ta", df.schema, partition_source="ts")
+        tb = client.ensure_table("otel", "tb", df.schema, partition_source="ts")
+        return client, state, ta, tb, df
+
+    def test_multi_table_append_commits_both(self, catalog, spark):
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            write_partitioned_batch,
+        )
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
+            commit_append_transaction,
+        )
+
+        client, state, ta, tb, df = self._two_tables(catalog, spark)
+        fa = write_partitioned_batch(df, ta.location(), ta.metadata())
+        fb = write_partitioned_batch(df.limit(10), tb.location(), tb.metadata())
+        sids = commit_append_transaction(
+            client, [(ta, fa, {"k": "v"}), (tb, fb, None)]
+        )
+        assert sids[("otel", "ta")] == ta.current_snapshot()["snapshot-id"]
+        assert sids[("otel", "tb")] == tb.current_snapshot()["snapshot-id"]
+        assert ta.read(spark).count() == 40
+        assert tb.read(spark).count() == 10
+        assert ta.current_snapshot()["summary"]["k"] == "v"
+        # exactly one transactions/commit POST, zero per-table commits
+        commits = [
+            p for m, p in state.requests if m == "POST" and "transactions" in p
+        ]
+        table_commits = [
+            p
+            for m, p in state.requests
+            if m == "POST" and p.endswith(("/tables/ta", "/tables/tb"))
+        ]
+        assert len(commits) == 1 and table_commits == []
+
+    def test_all_or_nothing_on_stale_requirement(self, catalog, spark):
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            write_partitioned_batch,
+        )
+
+        client, state, ta, tb, df = self._two_tables(catalog, spark)
+        fa = write_partitioned_batch(df, ta.location(), ta.metadata())
+        reqs_a, upds_a, _ = ta._build_append(ta.metadata(), fa, "append", {})
+        fb = write_partitioned_batch(df, tb.location(), tb.metadata())
+        reqs_b, upds_b, _ = tb._build_append(tb.metadata(), fb, "append", {})
+        # make tb's requirement STALE: its main moved after the build
+        tb.append_dataframe(_events_df(spark, n=4))
+        with pytest.raises(RestCommitConflictError):
+            client.commit_transaction(
+                [("otel", "ta", reqs_a, upds_a), ("otel", "tb", reqs_b, upds_b)]
+            )
+        # the VALID ta change must not have been applied either
+        assert ta.current_snapshot() is None
+        assert tb.read(spark).count() == 4  # only the interloper commit
+
+    def test_conflict_retries_rebuild_and_land(self, catalog, spark):
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            write_partitioned_batch,
+        )
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
+            commit_append_transaction,
+        )
+
+        client, state, ta, tb, df = self._two_tables(catalog, spark)
+        state.inject(
+            409,
+            "CommitFailedException",
+            "Requirement failed: branch main has changed",
+            method="POST",
+            path_re=r"/transactions/commit$",
+        )
+        fa = write_partitioned_batch(df, ta.location(), ta.metadata())
+        fb = write_partitioned_batch(df, tb.location(), tb.metadata())
+        sids = commit_append_transaction(client, [(ta, fa, None), (tb, fb, None)])
+        assert len(sids) == 2
+        assert ta.read(spark).count() == 40 and tb.read(spark).count() == 40
+
+    def test_empty_parts_commit_nothing(self, catalog, spark):
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
+            commit_append_transaction,
+        )
+
+        client, state, ta, tb, df = self._two_tables(catalog, spark)
+        n_before = len(state.requests)
+        assert commit_append_transaction(client, [(ta, [], None)]) == {}
+        assert len(state.requests) == n_before  # no HTTP at all
+
+    def test_duplicate_table_rejected(self, catalog, spark):
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
+            commit_append_transaction,
+        )
+
+        client, _, ta, _, df = self._two_tables(catalog, spark)
+        with pytest.raises(ValueError, match="at most once"):
+            commit_append_transaction(
+                client, [(ta, [object()], None), (ta, [object()], None)]
+            )
+
+
+class TestAtomicExporterBatches:
+    def test_metrics_batch_commits_all_tables_in_one_transaction(
+        self, catalog, spark, tmp_path
+    ):
+        """catalog.atomic_batch: one OTLP metrics batch demuxes into
+        gauge+sum tables and BOTH commit in a single CommitTransaction
+        (a crash can never persist half a batch)."""
+        from opentelemetry_iceberg_exporter_spark import schemas as S
+        from opentelemetry_iceberg_exporter_spark.config import (
+            CatalogConfig,
+            ExporterConfig,
+            PartitionConfig,
+            StorageConfig,
+        )
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_sink import (
+            RestIcebergSink,
+        )
+        from opentelemetry_iceberg_exporter_spark.streaming import export_batch
+
+        from test_otlp_flatten import GAUGE_DP, _metrics_payload
+        from test_sinks_pipeline import _write_jsonl
+
+        client, state, warehouse = catalog
+        cfg = ExporterConfig(
+            storage=StorageConfig(
+                provider="filesystem", bucket=str(tmp_path), prefix="raw"
+            ),
+            catalog=CatalogConfig(
+                catalog_type="rest",
+                uri=client.uri,
+                warehouse=warehouse,
+                atomic_batch=True,
+            ),
+            partition=PartitionConfig(granularity="hourly"),
+        )
+        payload = _metrics_payload(
+            [
+                {"name": "g", "gauge": {"dataPoints": [GAUGE_DP]}},
+                {
+                    "name": "s",
+                    "sum": {
+                        "dataPoints": [GAUGE_DP],
+                        "aggregationTemporality": 2,
+                        "isMonotonic": True,
+                    },
+                },
+            ]
+        )
+        inp = tmp_path / "in" / "metrics.jsonl"
+        _write_jsonl(str(inp), [payload])
+        export_batch(spark, str(inp.parent), "metrics", cfg)
+
+        sink = RestIcebergSink(spark, cfg)
+        assert sink.read(S.SIGNAL_METRICS_GAUGE).count() == 1
+        assert sink.read(S.SIGNAL_METRICS_SUM).count() == 1
+        commits = [
+            p for m, p in state.requests if m == "POST" and "transactions" in p
+        ]
+        assert len(commits) == 1
+
+    def test_atomic_batch_config_validation(self):
+        from opentelemetry_iceberg_exporter_spark.config import CatalogConfig
+
+        with pytest.raises(ValueError, match="rest"):
+            CatalogConfig(
+                catalog_type="fs", warehouse="/w", atomic_batch=True
+            ).validate()
+        with pytest.raises(ValueError, match="wap_branch"):
+            CatalogConfig(
+                catalog_type="rest",
+                uri="http://x",
+                atomic_batch=True,
+                wap_branch="audit",
+            ).validate()
+
+    def test_streaming_atomic_batch_commits_via_transaction(
+        self, catalog, spark, tmp_path
+    ):
+        """catalog.atomic_batch in STREAMING mode: the foreachBatch body
+        routes each micro-batch's signals through one
+        CommitTransaction instead of per-table CommitTable posts."""
+        from opentelemetry_iceberg_exporter_spark import schemas as S
+        from opentelemetry_iceberg_exporter_spark.config import (
+            CatalogConfig,
+            ExporterConfig,
+            PartitionConfig,
+            StorageConfig,
+        )
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_sink import (
+            RestIcebergSink,
+        )
+        from opentelemetry_iceberg_exporter_spark.streaming import start_export_stream
+
+        from test_otlp_flatten import _span, _traces_payload
+        from test_sinks_pipeline import _write_jsonl
+
+        client, state, warehouse = catalog
+        cfg = ExporterConfig(
+            storage=StorageConfig(provider="filesystem", bucket=str(tmp_path), prefix="raw"),
+            catalog=CatalogConfig(
+                catalog_type="rest",
+                uri=client.uri,
+                warehouse=warehouse,
+                atomic_batch=True,
+            ),
+            partition=PartitionConfig(granularity="hourly"),
+        )
+        src_dir = tmp_path / "stream-in"
+        ckpt = str(tmp_path / "ckpt")
+        _write_jsonl(str(src_dir / "b1.jsonl"), [_traces_payload([_span()])])
+
+        q = start_export_stream(spark, str(src_dir), "traces", cfg, ckpt, trigger_once=True)
+        q.awaitTermination(120)
+
+        sink = RestIcebergSink(spark, cfg)
+        t = sink._load(S.SIGNAL_TRACES)
+        assert t.read(spark).count() == 1
+        commits = [
+            p for m, p in state.requests if m == "POST" and "transactions" in p
+        ]
+        assert len(commits) == 1
