@@ -42,6 +42,37 @@ def _config_from_args(args) -> ExporterConfig:
     return cfg
 
 
+def _add_catalog_args(p: argparse.ArgumentParser) -> None:
+    """Table-addressing args shared by every catalog subcommand; the
+    default transport is the fs catalog (--warehouse version-hint CAS),
+    --rest-uri switches to the REST catalog client (server-arbitrated
+    commits) — same operation surface on both handles."""
+    p.add_argument("--warehouse", default=None, help="fs warehouse root (required without --rest-uri)")
+    p.add_argument("--namespace", default="otel")
+    p.add_argument("--table", required=True)
+    p.add_argument("--rest-uri", default=None, help="Iceberg REST catalog URI (switches transport)")
+    p.add_argument("--rest-token", default="", help="bearer token for --rest-uri")
+
+
+def _load_cli_table(args):
+    """Resolve the table handle for a catalog subcommand (FsTable or
+    RestTable — the surfaces match)."""
+    if args.rest_uri:
+        from .sinks.iceberg_rest import RestCatalogClient, RestTable
+
+        client = RestCatalogClient(
+            args.rest_uri, warehouse=args.warehouse or "", token=args.rest_token
+        )
+        table = RestTable(client, args.namespace, args.table)
+        table.metadata()  # fail fast on a missing table
+        return table
+    if not args.warehouse:
+        raise SystemExit("--warehouse is required without --rest-uri")
+    from .sinks.iceberg_fs import FsCatalog
+
+    return FsCatalog(args.warehouse).load_table(args.namespace, args.table)
+
+
 def _add_export_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--input", required=True, help="OTLP/JSON-lines file or dir")
     p.add_argument("--signal", required=True, choices=["traces", "logs", "metrics"])
@@ -139,9 +170,7 @@ def main(argv: list[str] | None = None) -> int:
         help="incremental snapshot-diff read from the fs catalog: rows "
         "appended after --from-snapshot, written as parquet",
     )
-    pch.add_argument("--warehouse", required=True)
-    pch.add_argument("--namespace", default="otel")
-    pch.add_argument("--table", required=True)
+    _add_catalog_args(pch)
     pch.add_argument("--output", required=True, help="output dir (parquet)")
     pch.add_argument("--from-snapshot", type=int, default=None)
     pch.add_argument("--to-snapshot", type=int, default=None)
@@ -182,9 +211,7 @@ def main(argv: list[str] | None = None) -> int:
         "bounded batches; re-running resumes exactly where the last "
         "run committed",
     )
-    pt.add_argument("--warehouse", required=True)
-    pt.add_argument("--namespace", default="otel")
-    pt.add_argument("--table", required=True)
+    _add_catalog_args(pt)
     pt.add_argument("--output", required=True, help="output dir (parquet, appended)")
     pt.add_argument("--checkpoint", required=True, help="durable cursor file (JSON)")
     pt.add_argument(
@@ -211,9 +238,7 @@ def main(argv: list[str] | None = None) -> int:
         "rewrite) and write matching rows as parquet, reporting how many "
         "files the metadata pruned before Spark planned anything",
     )
-    psc.add_argument("--warehouse", required=True)
-    psc.add_argument("--namespace", default="otel")
-    psc.add_argument("--table", required=True)
+    _add_catalog_args(psc)
     psc.add_argument("--output", required=True, help="output dir (parquet)")
     psc.add_argument("--snapshot", type=int, default=None, help="time travel by id")
     psc.add_argument(
@@ -237,9 +262,7 @@ def main(argv: list[str] | None = None) -> int:
         "a bad commit; metadata-only, rolled-past snapshots stay "
         "readable by id until expiry)",
     )
-    prb.add_argument("--warehouse", required=True)
-    prb.add_argument("--namespace", default="otel")
-    prb.add_argument("--table", required=True)
+    _add_catalog_args(prb)
     prb.add_argument("--to-snapshot", type=int, required=True)
 
     pi = sub.add_parser(
@@ -247,9 +270,7 @@ def main(argv: list[str] | None = None) -> int:
         help="Iceberg-style metadata tables (snapshots/history/files/"
         "all_files/manifests) printed as JSON lines",
     )
-    pi.add_argument("--warehouse", required=True)
-    pi.add_argument("--namespace", default="otel")
-    pi.add_argument("--table", required=True)
+    _add_catalog_args(pi)
     pi.add_argument(
         "--what",
         default="snapshots",
@@ -266,9 +287,7 @@ def main(argv: list[str] | None = None) -> int:
         "files containing matches; merge-on-read writes an Iceberg v2 "
         "position-delete file and touches NO data file",
     )
-    pdel.add_argument("--warehouse", required=True)
-    pdel.add_argument("--namespace", default="otel")
-    pdel.add_argument("--table", required=True)
+    _add_catalog_args(pdel)
     pdel.add_argument("--where", help="SQL predicate for rows to DELETE")
     pdel.add_argument(
         "--mode",
@@ -296,9 +315,7 @@ def main(argv: list[str] | None = None) -> int:
         "versions vanish, new rows survive (strict sequence-number "
         "rule); per-batch cost is O(batch), never O(table)",
     )
-    pup.add_argument("--warehouse", required=True)
-    pup.add_argument("--namespace", default="otel")
-    pup.add_argument("--table", required=True)
+    _add_catalog_args(pup)
     pup.add_argument("--input", required=True, help="Parquet file/dir of new rows")
     pup.add_argument("--key-cols", required=True, help="comma-separated key columns")
 
@@ -308,9 +325,7 @@ def main(argv: list[str] | None = None) -> int:
         "rows matching a SQL predicate; only files containing matches "
         "are rewritten",
     )
-    pu.add_argument("--warehouse", required=True)
-    pu.add_argument("--namespace", default="otel")
-    pu.add_argument("--table", required=True)
+    _add_catalog_args(pu)
     pu.add_argument("--where", required=True, help="SQL predicate for rows to UPDATE")
     pu.add_argument(
         "--set",
@@ -329,11 +344,9 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     pm = sub.add_parser(
-        "maintain", help="fs-catalog table maintenance: rewrite_data_files + expire_snapshots"
+        "maintain", help="catalog table maintenance (fs or --rest-uri): rewrite_data_files + expire_snapshots + orphan sweep + delete folds"
     )
-    pm.add_argument("--warehouse", required=True)
-    pm.add_argument("--namespace", default="otel")
-    pm.add_argument("--table", required=True)
+    _add_catalog_args(pm)
     pm.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
     pm.add_argument("--min-files", type=int, default=2)
     pm.add_argument("--expire-keep", type=int, default=0, help="0 = don't expire")
@@ -430,9 +443,9 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "changes":
-        from .sinks.iceberg_fs import FsCatalog, spark_read_schema
+        from .sinks.iceberg_fs import spark_read_schema
 
-        table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
+        table = _load_cli_table(args)
         if args.changelog:
             from .sinks.iceberg_fs import read_changelog
 
@@ -521,10 +534,9 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "tail":
-        from .sinks.iceberg_fs import FsCatalog
         from .streaming.iceberg_tail import ChangelogTailer, IcebergTailer
 
-        table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
+        table = _load_cli_table(args)
         if args.changelog:
             ctailer = ChangelogTailer(
                 table, args.checkpoint, max_snapshots_per_batch=args.max_files_per_batch
@@ -564,9 +576,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "scan":
         from pyspark.sql import functions as F
 
-        from .sinks.iceberg_fs import FsCatalog, current_schema
+        from .sinks.iceberg_fs import current_schema
 
-        table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
+        table = _load_cli_table(args)
         md = table.metadata()
 
         def typed(col: str, raw: str):
@@ -624,25 +636,22 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "rollback":
-        from .sinks.iceberg_fs import FsCatalog
 
-        table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
+        table = _load_cli_table(args)
         sid = table.rollback_to(args.to_snapshot)
         print(json.dumps({"current_snapshot": sid}))
         return 0
 
     if args.cmd == "inspect":
-        from .sinks.iceberg_fs import FsCatalog
 
-        table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
+        table = _load_cli_table(args)
         for row in table.metadata_table(spark, args.what).toJSON().collect():
             print(row)
         return 0
 
     if args.cmd == "delete":
-        from .sinks.iceberg_fs import FsCatalog
 
-        table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
+        table = _load_cli_table(args)
         if args.keys:
             if not args.key_cols:
                 raise SystemExit("--keys requires --key-cols")
@@ -664,9 +673,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "upsert":
-        from .sinks.iceberg_fs import FsCatalog
 
-        table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
+        table = _load_cli_table(args)
         cols = [c.strip() for c in args.key_cols.split(",") if c.strip()]
         df = spark.read.parquet(args.input)
         sid = table.upsert_equality(spark, df, cols)
@@ -674,7 +682,6 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "update":
-        from .sinks.iceberg_fs import FsCatalog
 
         sets: dict[str, str] = {}
         for item in args.set_exprs:
@@ -682,15 +689,14 @@ def main(argv: list[str] | None = None) -> int:
             if not _ or not col.strip() or not expr.strip():
                 raise SystemExit(f"--set must be COL=EXPR, got {item!r}")
             sets[col.strip()] = expr.strip()
-        table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
+        table = _load_cli_table(args)
         sid, n = table.update_where(spark, args.where, sets, mode=args.mode)
         print(json.dumps({"snapshot": sid, "updated_rows": n, "mode": args.mode}))
         return 0
 
     if args.cmd == "maintain":
-        from .sinks.iceberg_fs import FsCatalog
 
-        table = FsCatalog(args.warehouse).load_table(args.namespace, args.table)
+        table = _load_cli_table(args)
         folded = table.rewrite_position_deletes(spark) if args.fold_deletes else None
         folded_eq = (
             table.rewrite_equality_deletes(spark)

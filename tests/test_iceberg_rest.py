@@ -876,3 +876,80 @@ class TestAtomicExporterBatches:
             p for m, p in state.requests if m == "POST" and "transactions" in p
         ]
         assert len(commits) == 1
+
+
+class TestRestCli:
+    """Every table-bound CLI subcommand accepts --rest-uri and runs
+    against the REST transport (same handle surface as FsTable)."""
+
+    def test_inspect_maintain_rollback_over_rest(self, catalog, spark, capsys):
+        import json as json_mod
+
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        client, _, warehouse = catalog
+        df = _events_df(spark)
+        client.ensure_namespace("otel")
+        t = client.ensure_table("otel", "clit", df.schema, partition_source="ts")
+        t.append_dataframe(df)
+        t.append_dataframe(df)
+
+        rc = main(
+            ["inspect", "--rest-uri", client.uri, "--table", "clit", "--what", "snapshots"]
+        )
+        assert rc == 0
+        rows = [json_mod.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+        assert len(rows) == 2 and all(r["operation"] == "append" for r in rows)
+
+        rc = main(
+            [
+                "maintain",
+                "--rest-uri",
+                client.uri,
+                "--table",
+                "clit",
+                "--target-bytes",
+                str(1 << 20),
+                "--expire-keep",
+                "1",
+                "--remove-orphans-older-than",
+                "3600",
+            ]
+        )
+        assert rc == 0
+        out = json_mod.loads(capsys.readouterr().out)
+        assert out["rewrite_snapshot"] is not None
+        assert out["expired_data_files"] > 0
+        assert t.read(spark).count() == 80
+
+    def test_delete_where_over_rest_cli(self, catalog, spark, capsys):
+        import json as json_mod
+
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        client, _, _ = catalog
+        df = _events_df(spark)
+        client.ensure_namespace("otel")
+        t = client.ensure_table("otel", "cldel", df.schema, partition_source="ts")
+        t.append_dataframe(df)
+        rc = main(
+            [
+                "delete",
+                "--rest-uri",
+                client.uri,
+                "--table",
+                "cldel",
+                "--where",
+                "id < 10",
+            ]
+        )
+        assert rc == 0
+        out = json_mod.loads(capsys.readouterr().out)
+        assert out["deleted_rows"] == 10
+        assert t.read(spark).count() == 30
+
+    def test_missing_warehouse_without_rest_uri_errors(self):
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        with pytest.raises(SystemExit, match="--warehouse"):
+            main(["inspect", "--table", "x"])
