@@ -370,6 +370,12 @@ def main(argv: list[str] | None = None) -> int:
         help="rewrite_equality_deletes: fold pending equality (CDC) "
         "deletes into the data files and drop the equality-delete files",
     )
+    pm.add_argument(
+        "--partition-stats",
+        action="store_true",
+        help="write + register the Iceberg partition-statistics file "
+        "for the (post-maintenance) current snapshot",
+    )
 
     args = parser.parse_args(argv)
 
@@ -712,6 +718,9 @@ def main(argv: list[str] | None = None) -> int:
             if args.remove_orphans_older_than is not None
             else []
         )
+        stats_entry = (
+            table.compute_partition_stats() if args.partition_stats else None
+        )
         print(
             json.dumps(
                 {
@@ -720,6 +729,9 @@ def main(argv: list[str] | None = None) -> int:
                     "fold_equality_deletes_snapshot": folded_eq,
                     "expired_data_files": len(expired),
                     "orphans_removed": len(orphaned),
+                    "partition_stats": (
+                        stats_entry["statistics-path"] if stats_entry else None
+                    ),
                 }
             )
         )

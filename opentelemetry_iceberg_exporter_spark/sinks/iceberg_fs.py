@@ -2765,6 +2765,185 @@ def metadata_table(spark: SparkSession, md: dict, name: str) -> "DataFrame":
 
 
 # --------------------------------------------------------------------------
+# partition statistics files (Iceberg spec "Partition Statistics")
+# --------------------------------------------------------------------------
+#
+# A per-snapshot Parquet file of per-partition rollups, registered in
+# table metadata under `partition-statistics` — planners read ONE small
+# file instead of walking every manifest to answer "how big is each
+# partition", which is what keeps stats-driven decisions (compaction
+# targeting, skew detection, scan sizing) O(1) on a 100 TB table.
+# Field ids and column names follow the spec's partition-statistics
+# schema; the unified partition struct spans every spec's fields.
+
+
+def _unified_partition_fields(md: dict) -> list[dict]:
+    """The union of partition fields across ALL specs (spec evolution
+    leaves old files under old specs), in first-seen order."""
+    seen: dict[str, dict] = {}
+    for spec in md.get("partition-specs", []):
+        for pf in spec.get("fields", []):
+            seen.setdefault(pf["name"], pf)
+    return list(seen.values())
+
+
+def compute_partition_stats_rows(
+    md: dict, snapshot_id: int | None = None
+) -> list[dict]:
+    """Per-partition rollup of a snapshot's live files — data AND
+    merge-on-read delete files — from metadata only (no data file is
+    opened)."""
+    sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    if sid == -1:
+        return []
+    data, deletes, _ = plan_scan_metadata(md, sid)
+    spec_by_names = {
+        tuple(sorted(pf["name"] for pf in spec.get("fields", []))): spec["spec-id"]
+        for spec in md.get("partition-specs", [])
+    }
+    agg: dict[tuple, list[int]] = {}
+    for f in data + deletes:
+        key = tuple(sorted(f.partition.items()))
+        a = agg.setdefault(key, [0, 0, 0, 0, 0, 0, 0])
+        if f.content == 0:
+            a[0] += f.record_count
+            a[1] += 1
+            a[2] += f.file_size_in_bytes
+        elif f.content == 1:
+            a[3] += f.record_count
+            a[4] += 1
+        else:
+            a[5] += f.record_count
+            a[6] += 1
+    rows = []
+    for key, a in sorted(agg.items(), key=lambda kv: str(kv[0])):
+        part = dict(key)
+        rows.append(
+            {
+                "partition": part,
+                "spec_id": spec_by_names.get(tuple(sorted(part)), 0),
+                "data_record_count": a[0],
+                "data_file_count": a[1],
+                "total_data_file_size_in_bytes": a[2],
+                "position_delete_record_count": a[3],
+                "position_delete_file_count": a[4],
+                "equality_delete_record_count": a[5],
+                "equality_delete_file_count": a[6],
+            }
+        )
+    return rows
+
+
+def write_partition_stats_file(
+    location: str, md: dict, snapshot_id: int | None = None
+) -> dict | None:
+    """Write the spec's partition statistics Parquet for a snapshot and
+    return its metadata entry {snapshot-id, statistics-path,
+    file-size-in-bytes} (None for an empty table). Spec field ids:
+    partition=1 (nested fields keep their spec field-ids), spec_id=2,
+    data_record_count=3, data_file_count=4,
+    total_data_file_size_in_bytes=5, position_delete_record_count=6,
+    position_delete_file_count=7, equality_delete_record_count=8,
+    equality_delete_file_count=9."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    if sid == -1:
+        return None
+    rows = compute_partition_stats_rows(md, sid)
+    schema_struct = current_schema(md)
+    ufields = _unified_partition_fields(md)
+
+    def arrow_type(pf: dict) -> pa.DataType:
+        t = partition_avro_type(pf, schema_struct)
+        return pa.string() if t == "string" else pa.int64()
+
+    def fid(n: int) -> dict:
+        return {b"PARQUET:field_id": str(n).encode()}
+
+    part_type = pa.struct(
+        [
+            pa.field(pf["name"], arrow_type(pf), metadata=fid(pf["field-id"]))
+            for pf in ufields
+        ]
+    )
+    fields = [
+        pa.field("partition", part_type, metadata=fid(1)),
+        pa.field("spec_id", pa.int32(), nullable=False, metadata=fid(2)),
+        pa.field("data_record_count", pa.int64(), nullable=False, metadata=fid(3)),
+        pa.field("data_file_count", pa.int32(), nullable=False, metadata=fid(4)),
+        pa.field(
+            "total_data_file_size_in_bytes", pa.int64(), nullable=False, metadata=fid(5)
+        ),
+        pa.field("position_delete_record_count", pa.int64(), metadata=fid(6)),
+        pa.field("position_delete_file_count", pa.int32(), metadata=fid(7)),
+        pa.field("equality_delete_record_count", pa.int64(), metadata=fid(8)),
+        pa.field("equality_delete_file_count", pa.int32(), metadata=fid(9)),
+    ]
+    table = pa.table(
+        {
+            "partition": [
+                {pf["name"]: r["partition"].get(pf["name"]) for pf in ufields}
+                for r in rows
+            ],
+            "spec_id": [r["spec_id"] for r in rows],
+            "data_record_count": [r["data_record_count"] for r in rows],
+            "data_file_count": [r["data_file_count"] for r in rows],
+            "total_data_file_size_in_bytes": [
+                r["total_data_file_size_in_bytes"] for r in rows
+            ],
+            "position_delete_record_count": [
+                r["position_delete_record_count"] for r in rows
+            ],
+            "position_delete_file_count": [
+                r["position_delete_file_count"] for r in rows
+            ],
+            "equality_delete_record_count": [
+                r["equality_delete_record_count"] for r in rows
+            ],
+            "equality_delete_file_count": [
+                r["equality_delete_file_count"] for r in rows
+            ],
+        },
+        schema=pa.schema(fields),
+    )
+    os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
+    path = os.path.join(
+        location, "metadata", f"partition-stats-{sid}-{uuid.uuid4().hex}.parquet"
+    )
+    pq.write_table(table, path)
+    return {
+        "snapshot-id": sid,
+        "statistics-path": os.path.abspath(path),
+        "file-size-in-bytes": os.path.getsize(path),
+    }
+
+
+def read_partition_stats(
+    spark: SparkSession, md: dict, snapshot_id: int | None = None
+) -> DataFrame:
+    """Read the REGISTERED partition statistics file for a snapshot
+    (current when None). Raises if none is registered — callers run
+    compute_partition_stats first."""
+    sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    entry = next(
+        (
+            e
+            for e in md.get("partition-statistics", [])
+            if e["snapshot-id"] == sid
+        ),
+        None,
+    )
+    if entry is None:
+        raise ValueError(
+            f"no partition statistics registered for snapshot {sid}; "
+            "run compute_partition_stats()"
+        )
+    return spark.read.parquet(entry["statistics-path"])
+
+
+# --------------------------------------------------------------------------
 # catalog + table
 # --------------------------------------------------------------------------
 
@@ -3291,6 +3470,34 @@ class FsTable:
         """Inspection tables (snapshots/history/files/all_files/
         manifests) — see module-level metadata_table."""
         return metadata_table(spark, self.metadata(), name)
+
+    def compute_partition_stats(self, snapshot_id: int | None = None) -> dict | None:
+        """Write the spec's partition statistics Parquet for a snapshot
+        (current when None) and register it in table metadata
+        (`partition-statistics`), replacing any prior entry for that
+        snapshot. Returns the entry, or None on an empty table."""
+        entry = write_partition_stats_file(self.location, self.metadata(), snapshot_id)
+        if entry is None:
+            return None
+
+        def mutate(md: dict):
+            stats = [
+                e
+                for e in md.get("partition-statistics", [])
+                if e["snapshot-id"] != entry["snapshot-id"]
+            ]
+            new_md = dict(md)
+            new_md["partition-statistics"] = stats + [entry]
+            return new_md, entry
+
+        return self._commit_metadata(mutate)
+
+    def partition_stats(
+        self, spark: SparkSession, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Read the registered partition statistics file (see
+        read_partition_stats)."""
+        return read_partition_stats(spark, self.metadata(), snapshot_id)
 
     def changelog_scan(
         self,
@@ -3981,6 +4188,13 @@ class FsTable:
             new_md["snapshot-log"] = [
                 e for e in md["snapshot-log"] if e["snapshot-id"] in retained_ids
             ]
+            if md.get("partition-statistics"):
+                # stats files of expired snapshots leave with them
+                new_md["partition-statistics"] = [
+                    e
+                    for e in md["partition-statistics"]
+                    if e["snapshot-id"] in retained_ids
+                ]
             new_md["last-updated-ms"] = int(time.time() * 1000)
             try:
                 _write_metadata_version(self.location, base_version + 1, new_md)
@@ -3996,6 +4210,12 @@ class FsTable:
                 continue  # re-plan against the new base
             _swap_version_hint(self.location, base_version + 1)
             # delete phase (post-commit): no metadata references these
+            for e in md.get("partition-statistics", []):
+                if e["snapshot-id"] not in retained_ids:
+                    try:
+                        os.remove(e["statistics-path"])
+                    except OSError:
+                        pass
             return delete_expired_paths(plan)
         raise AssertionError("unreachable")
 

@@ -31,6 +31,7 @@ transient).
 from __future__ import annotations
 
 import json
+import os
 import time
 import urllib.error
 import urllib.parse
@@ -1023,6 +1024,7 @@ class RestTable:
         plan = expire_plan(md, keep_last)
         if plan is None:
             return []
+        expired_ids = {s["snapshot-id"] for s in plan["expired"]}
         self.client.commit_table(
             self.namespace,
             self.name,
@@ -1030,11 +1032,45 @@ class RestTable:
             updates=[
                 {
                     "action": "remove-snapshots",
-                    "snapshot-ids": [s["snapshot-id"] for s in plan["expired"]],
+                    "snapshot-ids": sorted(expired_ids),
                 }
             ],
         )
+        for e in md.get("partition-statistics", []):
+            if e["snapshot-id"] in expired_ids:
+                try:
+                    os.remove(e["statistics-path"])
+                except OSError:
+                    pass
         return delete_expired_paths(plan)
+
+    def compute_partition_stats(self, snapshot_id: int | None = None) -> dict | None:
+        """Partition statistics over REST: write the spec's stats
+        Parquet, then register it via the set-partition-statistics
+        update (the REST spec's action). Returns the entry or None on
+        an empty table."""
+        from .iceberg_fs import write_partition_stats_file
+
+        md = self.metadata()
+        entry = write_partition_stats_file(md["location"], md, snapshot_id)
+        if entry is None:
+            return None
+        self.client.commit_table(
+            self.namespace,
+            self.name,
+            requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
+            updates=[
+                {"action": "set-partition-statistics", "partition-statistics": entry}
+            ],
+        )
+        return entry
+
+    def partition_stats(
+        self, spark: SparkSession, snapshot_id: int | None = None
+    ) -> DataFrame:
+        from .iceberg_fs import read_partition_stats
+
+        return read_partition_stats(spark, self.metadata(), snapshot_id)
 
     def remove_orphan_files(self, older_than_seconds: float = 3 * 86400) -> list[str]:
         """Reclaim data files under the table location that NO snapshot

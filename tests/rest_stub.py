@@ -287,6 +287,19 @@ class _Handler(BaseHTTPRequestHandler):
                     ]
             elif action == "set-properties":
                 new_md["properties"] = {**new_md["properties"], **upd["updates"]}
+            elif action == "set-partition-statistics":
+                entry = upd["partition-statistics"]
+                new_md["partition-statistics"] = [
+                    e
+                    for e in new_md.get("partition-statistics", [])
+                    if e["snapshot-id"] != entry["snapshot-id"]
+                ] + [entry]
+            elif action == "remove-partition-statistics":
+                new_md["partition-statistics"] = [
+                    e
+                    for e in new_md.get("partition-statistics", [])
+                    if e["snapshot-id"] != upd["snapshot-id"]
+                ]
             elif action == "add-schema":
                 new_md["schemas"] = new_md["schemas"] + [upd["schema"]]
                 if "last-column-id" in upd:
@@ -303,6 +316,11 @@ class _Handler(BaseHTTPRequestHandler):
                 new_md["snapshot-log"] = [
                     e
                     for e in new_md.get("snapshot-log", [])
+                    if e["snapshot-id"] not in drop
+                ]
+                new_md["partition-statistics"] = [
+                    e
+                    for e in new_md.get("partition-statistics", [])
                     if e["snapshot-id"] not in drop
                 ]
             elif action == "add-spec":
