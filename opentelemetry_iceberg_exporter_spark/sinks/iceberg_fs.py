@@ -1009,14 +1009,55 @@ def spec_fields_from_partition_by(schema: dict, partition_by: list[tuple[str, st
     return fields
 
 
+def sort_fields_from(schema: dict, sort_by: list[str]) -> list[dict]:
+    """Iceberg sort-order fields (identity asc, nulls-first) for the
+    named schema columns — the spec's SortField shape."""
+    by_name = {f_["name"]: f_["id"] for f_ in schema["fields"]}
+    fields = []
+    for col in sort_by:
+        if col not in by_name:
+            raise ValueError(f"no column {col!r} to sort by")
+        fields.append(
+            {
+                "transform": "identity",
+                "source-id": by_name[col],
+                "direction": "asc",
+                "null-order": "nulls-first",
+            }
+        )
+    return fields
+
+
+def default_sort_fields(md: dict) -> list[dict]:
+    """Fields of the default sort order ([] for unsorted tables)."""
+    oid = md.get("default-sort-order-id", 0)
+    order = next(
+        (o for o in md.get("sort-orders", []) if o["order-id"] == oid), None
+    )
+    return order["fields"] if order else []
+
+
 def new_table_metadata(
     location: str,
     schema: dict,
     last_column_id: int,
     spec_fields: list[dict],
     properties: dict[str, str] | None = None,
+    sort_fields: list[dict] | None = None,
 ) -> dict:
-    """Fresh format-v2 table metadata (no snapshots)."""
+    """Fresh format-v2 table metadata (no snapshots). `sort_fields`
+    declares a write sort order (Iceberg sort-orders; order-id 1) —
+    appends then sort rows inside each data file, which is what makes
+    min/max file skipping on the sort columns sharp."""
+    if sort_fields:
+        orders = [
+            {"order-id": 0, "fields": []},
+            {"order-id": 1, "fields": sort_fields},
+        ]
+        default_order = 1
+    else:
+        orders = [{"order-id": 0, "fields": []}]
+        default_order = 0
     return {
         "format-version": 2,
         "table-uuid": str(uuid.uuid4()),
@@ -1029,8 +1070,8 @@ def new_table_metadata(
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "default-spec-id": 0,
         "last-partition-id": 999 + len(spec_fields),
-        "sort-orders": [{"order-id": 0, "fields": []}],
-        "default-sort-order-id": 0,
+        "sort-orders": orders,
+        "default-sort-order-id": default_order,
         "properties": dict(properties or {}),
         "current-snapshot-id": -1,
         "snapshots": [],
@@ -1067,6 +1108,9 @@ def write_partitioned_batch(
                 transform_column(source, pf["transform"], _field_type_by_id(md, pf["source-id"])),
             )
             pcols.append(pf["name"])
+        sort_cols = [
+            _field_name_by_id(md, sf["source-id"]) for sf in default_sort_fields(md)
+        ]
         keys = [F.col(c) for c in pcols]
         if fanout and fanout > 1:
             # backfill shape: a huge append concentrated in FEW partition
@@ -1078,13 +1122,33 @@ def write_partitioned_batch(
             # file per partition value beats fanout small ones).
             data_cols = [c for c in df.columns if c not in pcols]
             keys.append(F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), F.lit(fanout)))
-        (
-            df.repartition(*keys)  # few large files per partition
-            .write.partitionBy(*pcols)
-            .parquet(batch_dir)
-        )
+        if sort_cols:
+            # declared write sort order: RANGE distribution on
+            # (partition, sort columns) + an in-task sort, Iceberg's
+            # write.distribution-mode=range for sorted tables — each
+            # file covers a DISJOINT slice of the sort key, so manifest
+            # min/max bounds barely overlap and file skipping is sharp
+            # (a hash/fanout distribution would scatter the key across
+            # every file and leave nothing to skip). With `fanout` the
+            # slice count is EXPLICIT (total range slices — explicit
+            # numPartitions also opts out of AQE coalescing, which
+            # would otherwise merge a small batch into one file);
+            # without it AQE sizes the slices.
+            range_keys = [F.col(c) for c in pcols] + [F.col(c) for c in sort_cols]
+            out = (
+                df.repartitionByRange(int(fanout), *range_keys)
+                if fanout and fanout > 1
+                else df.repartitionByRange(*range_keys)
+            ).sortWithinPartitions(*pcols, *sort_cols)
+        else:
+            out = df.repartition(*keys)  # few large files per partition
+        out.write.partitionBy(*pcols).parquet(batch_dir)
     else:
-        df.write.parquet(batch_dir)
+        sort_cols = [
+            _field_name_by_id(md, sf["source-id"]) for sf in default_sort_fields(md)
+        ]
+        out = df.sortWithinPartitions(*sort_cols) if sort_cols else df
+        out.write.parquet(batch_dir)
     return _scan_written_files(batch_dir, _partition_parse_types(md))
 
 
@@ -2983,11 +3047,13 @@ class FsCatalog:
         granularity: str = "hourly",
         properties: dict[str, str] | None = None,
         partition_by: list[tuple[str, str]] | None = None,
+        sort_by: list[str] | None = None,
     ) -> "FsTable":
         """Create-if-absent, load-else-create (catalog_rest.go:168-240).
         `partition_by=[(col, transform)]` overrides the hidden-time-
         partition default with an explicit spec (bucket[N], truncate[W],
-        hours/days/months)."""
+        hours/days/months). `sort_by` declares a write sort order
+        (identity asc) — appends sort rows inside each data file."""
         if self.table_exists(namespace, name):
             return self.load_table(namespace, name)
         self.create_namespace(namespace)
@@ -3000,7 +3066,10 @@ class FsCatalog:
             spec_fields = spec_fields_from_partition_by(schema, partition_by)
         else:
             spec_fields = partition_fields_for(schema, partition_source, granularity)
-        metadata = new_table_metadata(location, schema, last_column_id, spec_fields, properties)
+        sort_fields = sort_fields_from(schema, sort_by) if sort_by else None
+        metadata = new_table_metadata(
+            location, schema, last_column_id, spec_fields, properties, sort_fields
+        )
         _write_metadata_version(location, 1, metadata)
         _swap_version_hint(location, 1)
         return FsTable(location)

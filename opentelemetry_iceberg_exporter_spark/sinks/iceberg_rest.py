@@ -225,6 +225,7 @@ class RestCatalogClient:
         properties: dict[str, str] | None = None,
         location: str | None = None,
         partition_by: list[tuple[str, str]] | None = None,
+        sort_by: list[str] | None = None,
     ) -> dict:
         schema = iceberg_schema(spark_schema)
         schema.pop("_last_column_id")
@@ -241,6 +242,14 @@ class RestCatalogClient:
             "properties": dict(properties or {}),
             "stage-create": False,
         }
+        if sort_by:
+            from .iceberg_fs import sort_fields_from
+
+            # CreateTableRequest.write-order (REST spec)
+            body["write-order"] = {
+                "order-id": 1,
+                "fields": sort_fields_from(schema, sort_by),
+            }
         if location:
             body["location"] = location
         return self._request("POST", self._table_path(namespace), body)
@@ -253,6 +262,7 @@ class RestCatalogClient:
         partition_source: str | None = None,
         granularity: str = "hourly",
         properties: dict[str, str] | None = None,
+        sort_by: list[str] | None = None,
     ) -> "RestTable":
         """Cache → load → create → re-load-on-race, exactly the
         EnsureTable ladder of catalog_rest.go:168-240."""
@@ -268,7 +278,13 @@ class RestCatalogClient:
                 raise
         try:
             self.create_table(
-                namespace, name, spark_schema, partition_source, granularity, properties
+                namespace,
+                name,
+                spark_schema,
+                partition_source,
+                granularity,
+                properties,
+                sort_by=sort_by,
             )
         except RestError:
             # AlreadyExists race: success iff it loads now (go:214-219)

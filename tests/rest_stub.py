@@ -201,6 +201,7 @@ class _Handler(BaseHTTPRequestHandler):
                 last_col,
                 body.get("partition-spec", {}).get("fields", []),
                 body.get("properties", {}),
+                body.get("write-order", {}).get("fields") or None,
             )
             self.state.tables[key] = md
             self.state.versions[key] = 1
