@@ -1098,6 +1098,9 @@ def write_partitioned_batch(
     hot-partition backfills (see inline note)."""
     spec = default_spec_fields(md)
     batch_dir = os.path.join(location, "data", uuid.uuid4().hex)
+    # honor the Iceberg table property (exporter sinks set it from
+    # StorageConfig.compression); absent -> session default (snappy)
+    codec = md.get("properties", {}).get("write.parquet.compression-codec")
     df = with_field_ids(df, md)  # self-describing files (rename-safe)
     if spec:
         pcols = []
@@ -1142,13 +1145,19 @@ def write_partitioned_batch(
             ).sortWithinPartitions(*pcols, *sort_cols)
         else:
             out = df.repartition(*keys)  # few large files per partition
-        out.write.partitionBy(*pcols).parquet(batch_dir)
+        writer = out.write.partitionBy(*pcols)
+        if codec:
+            writer = writer.option("compression", codec)
+        writer.parquet(batch_dir)
     else:
         sort_cols = [
             _field_name_by_id(md, sf["source-id"]) for sf in default_sort_fields(md)
         ]
         out = df.sortWithinPartitions(*sort_cols) if sort_cols else df
-        out.write.parquet(batch_dir)
+        writer = out.write
+        if codec:
+            writer = writer.option("compression", codec)
+        writer.parquet(batch_dir)
     return _scan_written_files(batch_dir, _partition_parse_types(md))
 
 

@@ -124,3 +124,19 @@ class TestRestSortOrder:
                 assert _file_is_sorted(f.file_path, "v")
         finally:
             server.shutdown()
+
+
+class TestWriteCodecProperty:
+    def test_table_compression_property_honored(self, spark, tmp_path):
+        import glob as glob_mod
+
+        cat = FsCatalog(str(tmp_path / "whz"))
+        t = cat.create_table(
+            "otel", "z", _df(spark).schema, partition_source="ts",
+            properties={"write.parquet.compression-codec": "zstd"},
+        )
+        t.append_dataframe(_df(spark))
+        files = glob_mod.glob(os.path.join(t.location, "data", "**", "*.parquet"),
+                              recursive=True)
+        assert files and all(".zstd." in os.path.basename(f) for f in files)
+        assert t.read(spark).count() == 200
