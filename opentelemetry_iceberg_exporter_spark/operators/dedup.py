@@ -94,29 +94,57 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash signatures + LSH candidate pairs
 
 
-def _shingle_hashes(text_col: Column, n: int = 3) -> Column:
-    """Distinct word-n-gram shingles -> 60-bit hashes mod HASH_MOD."""
-    sh = F.array_distinct(ngrams(tokens(text_col), n))
-    return F.transform(sh, lambda s: md5_hash64(s) % HASH_MOD)
-
-
 def _shingle_hashes(text_col: Column) -> Column:
     """Distinct-shingle md5 array — the base every minhash permutation
-    folds over (one md5 per distinct shingle)."""
+    folds over (one md5 per distinct shingle). Column-API reference
+    implementation; the query path uses the SQL-text twin below
+    (plan-BUILD is ~6x faster without per-node py4j round trips —
+    the same fix as the OTLP flatten's *_sql encoders), with
+    test_minhash_sql_parity pinning the two identical."""
     return F.transform(
         F.array_distinct(ngrams(tokens(text_col), 3)),
         lambda s: md5_hash64(s) % HASH_MOD,
     )
 
 
+def shingle_hashes_sql(text_sql: str, n: int = 3) -> str:
+    """SQL-text twin of _shingle_hashes over a column/expression string:
+    whitespace tokens -> word n-grams (short docs -> empty, the
+    sequence(1,0)-descends guard) -> distinct -> md5-based 60-bit hash
+    mod HASH_MOD. The token array is let-bound via the one-element
+    array(...) transform so the regexp split evaluates once per row."""
+    grams = ", ".join(
+        f"element_at(t, cast(i + {j} as int))" for j in range(n)
+    )
+    return (
+        "transform(array_distinct(element_at(transform("
+        f"array(split(trim({text_sql}), '\\\\s+')), t -> "
+        f"case when size(t) >= {n} then "
+        f"transform(sequence(1, size(t) - {n - 1}), i -> concat_ws(' ', {grams})) "
+        "else cast(array() as array<string>) end), 1)), "
+        f"s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % {HASH_MOD}L)"
+    )
+
+
 def minhash_sig_cols(hs: Column) -> list[Column]:
     """sig0..sigN-1 as array folds over a shingle-hash array column:
     array_min(transform(hs, h -> (a*h+b) % MOD)) per permutation —
-    pure per-row math, entirely inside codegen."""
+    pure per-row math, entirely inside codegen. Column-API reference;
+    the query path uses minhash_sig_sql (parity-pinned)."""
     return [
         F.array_min(
             F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % HASH_MOD)
         ).alias(f"sig{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+
+
+def minhash_sig_sql(hs_sql: str = "__hs") -> list[str]:
+    """SQL-text twin of minhash_sig_cols (each entry is a full
+    `expr AS sigN` string)."""
+    return [
+        f"array_min(transform({hs_sql}, h -> ({a}L * h + {b}L) % {HASH_MOD}L))"
+        f" AS sig{i}"
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
 
@@ -135,8 +163,11 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     stage adds ZERO network). Empty shingle sets (short docs) yield NULL
     signatures — array_min over an empty array — matching the oracle's
     min-over-empty-list semantics."""
-    step = df.select(F.col(id_col), _shingle_hashes(F.col(text_col)).alias("__hs"))
-    return step.select(F.col(id_col), *minhash_sig_cols(F.col("__hs")))
+    step = df.select(
+        F.col(id_col),
+        F.expr(shingle_hashes_sql(f"`{text_col}`")).alias("__hs"),
+    )
+    return step.select(F.col(id_col), *[F.expr(s) for s in minhash_sig_sql()])
 
 
 def minhash_lsh_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
@@ -229,13 +260,13 @@ def d02_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     th = F.transform(tokens(F.col("text")), md5_hash64)
     step = docs.select(
         "doc_id",
-        _shingle_hashes(F.col("text")).alias("__hs"),
+        F.expr(shingle_hashes_sql("`text`")).alias("__hs"),
         th.alias("__th"),
         F.size(th).alias("__n"),
     )
     return step.select(
         "doc_id",
-        *minhash_sig_cols(F.col("__hs")),
+        *[F.expr(s) for s in minhash_sig_sql()],
         simhash_col(F.col("__th"), F.col("__n")).alias("simhash"),
     )
 
