@@ -42,6 +42,26 @@ def tokens(col: Column | str) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+def tokens_sql(col_sql: str) -> str:
+    """SQL-text twin of tokens() (plan-build fast path; see
+    test_minhash_sql_parity for the pinning pattern)."""
+    return f"split(trim({col_sql}), '\\\\s+')"
+
+
+def ngrams_sql(tokens_sql_expr: str, n: int, sep: str = " ") -> str:
+    """SQL-text twin of ngrams(): word n-grams from a token-array SQL
+    expression, let-bound via the one-element array(...) transform so
+    the input evaluates once per row; short docs yield an EMPTY array
+    (the sequence(1,0)-descends guard)."""
+    grams = ", ".join(f"element_at(t, cast(i + {j} as int))" for j in range(n))
+    return (
+        f"element_at(transform(array({tokens_sql_expr}), t -> "
+        f"case when size(t) >= {n} then "
+        f"transform(sequence(1, size(t) - {n - 1}), i -> concat_ws('{sep}', {grams})) "
+        "else cast(array() as array<string>) end), 1)"
+    )
+
+
 def ngrams(tokens_col: Column, n: int, sep: str = " ") -> Column:
     """Word n-grams as strings from a token array (1-indexed element_at).
 

@@ -109,19 +109,12 @@ def _shingle_hashes(text_col: Column) -> Column:
 
 def shingle_hashes_sql(text_sql: str, n: int = 3) -> str:
     """SQL-text twin of _shingle_hashes over a column/expression string:
-    whitespace tokens -> word n-grams (short docs -> empty, the
-    sequence(1,0)-descends guard) -> distinct -> md5-based 60-bit hash
-    mod HASH_MOD. The token array is let-bound via the one-element
-    array(...) transform so the regexp split evaluates once per row."""
-    grams = ", ".join(
-        f"element_at(t, cast(i + {j} as int))" for j in range(n)
-    )
+    whitespace tokens -> word n-grams (short docs -> empty) ->
+    distinct -> md5-based 60-bit hash mod HASH_MOD."""
+    from ..functions.textfns import ngrams_sql, tokens_sql
+
     return (
-        "transform(array_distinct(element_at(transform("
-        f"array(split(trim({text_sql}), '\\\\s+')), t -> "
-        f"case when size(t) >= {n} then "
-        f"transform(sequence(1, size(t) - {n - 1}), i -> concat_ws(' ', {grams})) "
-        "else cast(array() as array<string>) end), 1)), "
+        f"transform(array_distinct({ngrams_sql(tokens_sql(text_sql), n)}), "
         f"s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % {HASH_MOD}L)"
     )
 
@@ -345,9 +338,15 @@ def ngram_jaccard_pairs(
     generates exactly the same pairs map-side. Integer arithmetic until
     the final division => deterministic.
     """
+    from ..functions.textfns import ngrams_sql, tokens_sql
+
     sh = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(ngrams(tokens(F.col(text_col)), n))).alias("sh"),
+        F.explode(
+            F.expr(
+                f"array_distinct({ngrams_sql(tokens_sql(f'`{text_col}`'), n)})"
+            )
+        ).alias("sh"),
     )
     # explode fans ~50x out of a narrow scan: redistribute by the group
     # key so the per-shingle grouping runs partition-local and parallel

@@ -64,3 +64,23 @@ def test_edge_docs(spark):
         F.sort_array(F.expr(shingle_hashes_sql("`text`"))).alias("hs"),
     ).collect()
     assert {r["doc_id"]: r["hs"] for r in ref} == {r["doc_id"]: r["hs"] for r in sql}
+
+
+def test_ngrams_sql_matches_column_api(spark, sf_dir):
+    from opentelemetry_iceberg_exporter_spark.functions import ngrams, tokens
+    from opentelemetry_iceberg_exporter_spark.functions.textfns import (
+        ngrams_sql,
+        tokens_sql,
+    )
+
+    docs = _docs(spark, sf_dir)
+    for n in (2, 3, 5):
+        ref = docs.select(
+            "doc_id", ngrams(tokens(F.col("text")), n).alias("g")
+        )
+        sql = docs.select(
+            "doc_id", F.expr(ngrams_sql(tokens_sql("`text`"), n)).alias("g")
+        )
+        a = {r["doc_id"]: r["g"] for r in ref.collect()}
+        b = {r["doc_id"]: r["g"] for r in sql.collect()}
+        assert a == b
