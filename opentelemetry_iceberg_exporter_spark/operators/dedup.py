@@ -163,6 +163,33 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return step.select(F.col(id_col), *[F.expr(s) for s in minhash_sig_sql()])
 
 
+def band_keys_col() -> Column:
+    """Array of LSH band keys (md5 over each band's signature slice) —
+    the column form shared by the batch self-join (d03) and the
+    incremental corpus index (operators/incremental_dedup.py). NULL
+    signatures (empty shingle sets — short docs) produce the same
+    md5(\"\") key in every band because concat_ws skips NULLs."""
+    n_bands = NUM_HASHES // BAND_SIZE
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"sig{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def band_rows(sigs: DataFrame, id_col: str) -> DataFrame:
+    """(id, band_idx, band_key) — one row per (doc, band). The exploded
+    form both d03's self-join and the incremental index store consume."""
+    return sigs.select(
+        F.col(id_col), F.posexplode(band_keys_col()).alias("band_idx", "band_key")
+    )
+
+
 def minhash_lsh_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band.
 
@@ -178,20 +205,7 @@ def minhash_lsh_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
     corpus and is the same lineage-truncation pattern the d07
     connected-components loop uses."""
     sigs = sigs.localCheckpoint(eager=False)
-    n_bands = NUM_HASHES // BAND_SIZE
-    bands = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",", *[F.col(f"sig{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
-                )
-            )
-            for b in range(n_bands)
-        ]
-    )
-    exploded = sigs.select(
-        F.col(id_col), F.posexplode(bands).alias("band_idx", "band_key")
-    )
+    exploded = band_rows(sigs, id_col)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (

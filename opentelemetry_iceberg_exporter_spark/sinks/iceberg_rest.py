@@ -263,6 +263,7 @@ class RestCatalogClient:
         granularity: str = "hourly",
         properties: dict[str, str] | None = None,
         sort_by: list[str] | None = None,
+        partition_by: list[tuple[str, str]] | None = None,
     ) -> "RestTable":
         """Cache → load → create → re-load-on-race, exactly the
         EnsureTable ladder of catalog_rest.go:168-240."""
@@ -285,6 +286,7 @@ class RestCatalogClient:
                 granularity,
                 properties,
                 sort_by=sort_by,
+                partition_by=partition_by,
             )
         except RestError:
             # AlreadyExists race: success iff it loads now (go:214-219)
