@@ -141,6 +141,58 @@ def main(argv: list[str] | None = None) -> int:
         "of the full (id, group_id, group_size, is_canonical) map",
     )
 
+    pdi = sub.add_parser(
+        "dedup-ingest",
+        help="incremental dedup: filter a NEW batch of documents against a "
+        "catalog-backed LSH band index (created if absent), append the "
+        "accepted docs' bands atomically, and write per-doc decisions",
+    )
+    pdi.add_argument("--input", required=True, help="parquet file/dir of new documents")
+    pdi.add_argument("--id-col", default="doc_id")
+    pdi.add_argument("--text-col", default="text")
+    pdi.add_argument("--output", default=None, help="write (doc_id,status,match_id) parquet here")
+    pdi.add_argument(
+        "--accepted-output",
+        default=None,
+        help="write the accepted input rows (full columns) as parquet here",
+    )
+    pdi.add_argument("--warehouse", default=None, help="fs warehouse root (required without --rest-uri)")
+    pdi.add_argument("--namespace", default="dedup")
+    pdi.add_argument("--table", default="band_index")
+    pdi.add_argument("--rest-uri", default=None, help="Iceberg REST catalog URI (switches transport)")
+    pdi.add_argument("--rest-token", default="", help="bearer token for --rest-uri")
+
+    pqt = sub.add_parser(
+        "quality-train",
+        help="train the hashed-ngram quality classifier (distributed "
+        "full-batch AdaGrad) and save the model as JSON",
+    )
+    pqt.add_argument("--input", required=True, help="parquet of labeled documents")
+    pqt.add_argument("--id-col", default="doc_id")
+    pqt.add_argument("--text-col", default="text")
+    pqt.add_argument("--label-col", required=True, help="0/1 column (1 = keep)")
+    pqt.add_argument("--model-out", required=True, help="model JSON path")
+    pqt.add_argument("--dim", type=int, default=1 << 15)
+    pqt.add_argument("--iters", type=int, default=30)
+    pqt.add_argument("--lr", type=float, default=1.0)
+
+    pqs = sub.add_parser(
+        "quality-score",
+        help="score documents with a trained quality model (one broadcast "
+        "join) and write (id, quality_score, quality_keep) parquet",
+    )
+    pqs.add_argument("--input", required=True, help="parquet of documents")
+    pqs.add_argument("--id-col", default="doc_id")
+    pqs.add_argument("--text-col", default="text")
+    pqs.add_argument("--model", required=True, help="model JSON from quality-train")
+    pqs.add_argument("--output", required=True)
+    pqs.add_argument("--threshold", type=float, default=0.5)
+    pqs.add_argument(
+        "--keep-only",
+        action="store_true",
+        help="write the kept input rows (full columns) instead of scores",
+    )
+
     psm = sub.add_parser(
         "sample",
         help="deterministic dataset splitting/sampling: write split-labeled "
@@ -446,6 +498,118 @@ def main(argv: list[str] | None = None) -> int:
             out = groups
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"rows": out.count(), "method": args.method}))
+        return 0
+
+    if args.cmd == "dedup-ingest":
+        from pyspark.sql import functions as F
+
+        from .operators.incremental_dedup import (
+            IncrementalDeduper,
+            create_index_table,
+        )
+
+        if args.rest_uri:
+            from .sinks.iceberg_rest import RestCatalogClient
+
+            catalog = RestCatalogClient(
+                args.rest_uri, warehouse=args.warehouse or "", token=args.rest_token
+            )
+        else:
+            if not args.warehouse:
+                raise SystemExit("--warehouse is required without --rest-uri")
+            from .sinks.iceberg_fs import FsCatalog
+
+            catalog = FsCatalog(args.warehouse)
+        table = create_index_table(catalog, args.namespace, args.table)
+        dd = IncrementalDeduper(table, id_col=args.id_col, text_col=args.text_col)
+        batch = spark.read.parquet(args.input)
+        res = dd.ingest(spark, batch)
+        if args.output:
+            res.decisions.write.mode("overwrite").parquet(args.output)
+        if args.accepted_output:
+            batch.join(
+                res.decisions.filter(
+                    F.col("status").isin("accepted", "unbandable")
+                ).select(args.id_col),
+                args.id_col,
+                "semi",
+            ).write.mode("overwrite").parquet(args.accepted_output)
+        print(
+            json.dumps(
+                {
+                    "cmd": "dedup-ingest",
+                    "accepted": res.accepted,
+                    "duplicates": res.duplicates,
+                    "already": res.already,
+                    "unbandable": res.unbandable,
+                    "index_snapshot": res.snapshot_id,
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "quality-train":
+        from .operators.quality_classifier import (
+            fit_linear_classifier,
+            model_to_rows,
+        )
+
+        docs = spark.read.parquet(args.input)
+        model = fit_linear_classifier(
+            spark,
+            docs,
+            args.id_col,
+            args.text_col,
+            args.label_col,
+            dim=args.dim,
+            iters=args.iters,
+            lr=args.lr,
+        )
+        with open(args.model_out, "w", encoding="utf-8") as f:
+            json.dump(
+                {"dim": model.dim, "rows": model_to_rows(model)}, f
+            )
+        print(
+            json.dumps(
+                {
+                    "cmd": "quality-train",
+                    "dim": model.dim,
+                    "final_loss": model.loss_history[-1],
+                    "nonzero_weights": len(model_to_rows(model)) - 1,
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "quality-score":
+        from pyspark.sql import functions as F
+
+        from .operators.quality_classifier import model_from_rows, score_documents
+
+        with open(args.model, encoding="utf-8") as f:
+            saved = json.load(f)
+        model = model_from_rows(
+            [(int(b), float(v)) for b, v in saved["rows"]], dim=int(saved["dim"])
+        )
+        docs = spark.read.parquet(args.input)
+        scored = score_documents(
+            spark, docs, model, args.id_col, args.text_col, threshold=args.threshold
+        )
+        if args.keep_only:
+            out = docs.join(
+                scored.filter(F.col("quality_keep")).select(args.id_col),
+                args.id_col,
+                "semi",
+            )
+        else:
+            out = scored
+        out.write.mode("overwrite").parquet(args.output)
+        kept = scored.filter(F.col("quality_keep")).count()
+        print(
+            json.dumps(
+                {"cmd": "quality-score", "rows": out.count(), "kept": kept}
+            )
+        )
         return 0
 
     if args.cmd == "changes":
