@@ -45,13 +45,15 @@ def _spark_dot(a: str, b: str):
     are bit-identical across engines. The compact expression tree also
     keeps whole-stage codegen viable (the 64-term unrolled form forced
     interpreted fallback).
+
+    Built as SQL TEXT, not Column lambdas: each python zip_with/aggregate
+    lambda costs a py4j callback round trip at PLAN BUILD time, and s02
+    evaluates 2 x (8 planes + norm + dot) of them — the text form cut
+    s02's plan construction ~4x (same fix as the OTLP anyvalue encoders).
     """
-    return F.aggregate(
-        F.zip_with(
-            F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> double(x) * double(y)), "
+        "0.0D, (acc, t) -> acc + t)"
     )
 
 
@@ -60,11 +62,10 @@ def _duck_dot(a: str, b: str) -> str:
 
 
 def _spark_plane_dot(a: str, plane: list[float]):
-    coeffs = F.array(*[F.lit(float(c)) for c in plane])
-    return F.aggregate(
-        F.zip_with(F.col(a), coeffs, lambda x, c: x.cast("double") * c),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
+    coeffs = ", ".join(f"{float(c)!r}D" for c in plane)
+    return F.expr(
+        f"aggregate(zip_with({a}, array({coeffs}), (x, c) -> double(x) * c), "
+        "0.0D, (acc, t) -> acc + t)"
     )
 
 
