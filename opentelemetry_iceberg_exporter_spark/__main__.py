@@ -193,6 +193,31 @@ def main(argv: list[str] | None = None) -> int:
         help="write the kept input rows (full columns) instead of scores",
     )
 
+    pcb = sub.add_parser(
+        "corpus-build",
+        help="end-to-end training-corpus funnel: paragraph boilerplate "
+        "removal -> benchmark decontamination -> exact dedup -> near "
+        "dedup -> quality filter -> sequence packing, with a per-stage "
+        "survivor report",
+    )
+    pcb.add_argument("--input", required=True, help="parquet file/dir of documents")
+    pcb.add_argument("--output", required=True, help="output dir (parquet)")
+    pcb.add_argument("--id-col", default="doc_id")
+    pcb.add_argument("--text-col", default="text")
+    pcb.add_argument(
+        "--boilerplate-max-docs",
+        type=int,
+        default=2,
+        help="drop paragraphs appearing in more than N docs (0 = skip stage)",
+    )
+    pcb.add_argument("--benchmark", default=None, help="parquet of benchmark texts to decontaminate against")
+    pcb.add_argument("--bench-text-col", default=None)
+    pcb.add_argument("--skip-exact", action="store_true")
+    pcb.add_argument("--skip-near", action="store_true")
+    pcb.add_argument("--model", default=None, help="quality model JSON (from quality-train)")
+    pcb.add_argument("--threshold", type=float, default=0.5)
+    pcb.add_argument("--pack-budget", type=int, default=None, help="pack into sequences of N tokens")
+
     psm = sub.add_parser(
         "sample",
         help="deterministic dataset splitting/sampling: write split-labeled "
@@ -546,6 +571,39 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "corpus-build":
+        from .operators.corpus_build import build_corpus
+
+        model = None
+        if args.model:
+            from .operators.quality_classifier import model_from_rows
+
+            with open(args.model, encoding="utf-8") as f:
+                saved = json.load(f)
+            model = model_from_rows(
+                [(int(b), float(v)) for b, v in saved["rows"]], dim=int(saved["dim"])
+            )
+        benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
+        out, report = build_corpus(
+            spark,
+            spark.read.parquet(args.input),
+            args.id_col,
+            args.text_col,
+            boilerplate_max_docs=(
+                args.boilerplate_max_docs if args.boilerplate_max_docs > 0 else None
+            ),
+            benchmark=benchmark,
+            bench_text_col=args.bench_text_col,
+            exact=not args.skip_exact,
+            near=not args.skip_near,
+            quality_model=model,
+            quality_threshold=args.threshold,
+            pack_budget=args.pack_budget,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"cmd": "corpus-build", "funnel": report.as_dict()}))
         return 0
 
     if args.cmd == "quality-train":

@@ -1,0 +1,137 @@
+"""End-to-end training-corpus construction: the composed funnel a
+pretraining data pipeline actually runs, built from this repo's
+operators in the canonical order:
+
+  1. paragraph boilerplate removal   (cleaning.dedup_paragraphs)
+  2. benchmark decontamination       (cleaning.flag_contamination)
+  3. exact dedup                     (dedup.exact_dedup)
+  4. near dedup, canonical per group (dedup minhash -> LSH -> CC groups)
+  5. quality filter                  (quality_classifier, optional)
+  6. sequence packing                (packing.pack_concat_chunks)
+
+Each stage is one of the already-plan-audited operators — the funnel
+composes their DataFrames lazily; only the per-stage survivor counts
+(for the report) force evaluation, and `report_counts=False` turns the
+whole build into a single lazy plan for production runs where the
+funnel report isn't worth the extra actions.
+
+Scale posture is inherited: every stage is either map-side or one
+bounded equi-join/shuffle; nothing here adds a driver-side data path.
+The reference has no counterpart (LLM-pipeline extension surface).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textfns import tokens
+from .cleaning import dedup_paragraphs, flag_contamination
+from .dedup import dedup_groups, exact_dedup, minhash_lsh_pairs, minhash_signatures
+
+
+@dataclass
+class CorpusReport:
+    """Funnel counts: how many documents survived each stage (empty when
+    report_counts=False)."""
+
+    stages: list = field(default_factory=list)  # [(stage, rows_after)]
+
+    def add(self, stage: str, rows: int | None) -> None:
+        self.stages.append((stage, rows))
+
+    def as_dict(self) -> dict:
+        return {s: n for s, n in self.stages}
+
+
+def build_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    boilerplate_max_docs: int | None = 2,
+    benchmark: DataFrame | None = None,
+    bench_text_col: str | None = None,
+    exact: bool = True,
+    near: bool = True,
+    quality_model=None,
+    quality_threshold: float = 0.5,
+    pack_budget: int | None = None,
+    report_counts: bool = True,
+) -> tuple[DataFrame, CorpusReport]:
+    """Run the funnel; returns (corpus, report). The output keeps the
+    input columns (text rewritten in place when paragraph dedup runs)
+    plus `n_tokens`, `quality_score` (when a model is given) and the
+    packing columns (when `pack_budget` is set)."""
+    report = CorpusReport()
+
+    def count(stage: str, df: DataFrame) -> DataFrame:
+        if report_counts:
+            df = df.localCheckpoint(eager=False)
+            report.add(stage, df.count())
+        else:
+            report.add(stage, None)
+        return df
+
+    out = count("input", docs)
+
+    if boilerplate_max_docs is not None:
+        rewritten = dedup_paragraphs(out, id_col, text_col, boilerplate_max_docs)
+        out = (
+            out.drop(text_col)
+            .join(
+                rewritten.select(id_col, F.col("text_deduped").alias(text_col)),
+                id_col,
+            )
+        )
+        out = count("paragraph_dedup", out)
+
+    if benchmark is not None:
+        flags = flag_contamination(
+            out, benchmark, id_col, text_col, bench_text_col=bench_text_col
+        )
+        out = out.join(
+            flags.filter(~F.col("contaminated")).select(id_col), id_col, "semi"
+        )
+        out = count("decontaminated", out)
+
+    if exact:
+        kept = exact_dedup(out, text_col, id_col)
+        out = out.join(kept.select(id_col), id_col, "semi")
+        out = count("exact_dedup", out)
+
+    if near:
+        pairs = minhash_lsh_pairs(minhash_signatures(out, id_col, text_col), id_col)
+        groups = dedup_groups(out, pairs, id_col)
+        out = out.join(
+            groups.filter(F.col("is_canonical")).select(id_col), id_col, "semi"
+        )
+        out = count("near_dedup", out)
+
+    if quality_model is not None:
+        from .quality_classifier import score_documents
+
+        scored = score_documents(
+            spark, out, quality_model, id_col, text_col, threshold=quality_threshold
+        )
+        out = out.join(
+            scored.filter(F.col("quality_keep")).select(id_col, "quality_score"),
+            id_col,
+        )
+        out = count("quality_filter", out)
+
+    out = out.withColumn("n_tokens", F.size(tokens(F.col(text_col))))
+
+    if pack_budget is not None:
+        from .packing import pack_concat_chunks
+
+        packed = pack_concat_chunks(out, id_col, "n_tokens", pack_budget)
+        out = out.join(
+            packed.select(id_col, "start_offset", "first_seq", "last_seq"), id_col
+        )
+        out = count("packed", out)
+
+    return out, report

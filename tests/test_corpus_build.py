@@ -1,0 +1,157 @@
+"""The composed training-corpus funnel (operators/corpus_build.py +
+the corpus-build CLI): stage ordering, survivor counts, text rewrite,
+packing integration."""
+
+from __future__ import annotations
+
+import json
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_iceberg_exporter_spark.__main__ import main
+from opentelemetry_iceberg_exporter_spark.operators.corpus_build import build_corpus
+
+BOILER = "subscribe to our newsletter for updates"
+UNIQUE_A = (
+    "the expedition crossed the northern ridge before dawn carrying "
+    "supplies for nine days of alpine travel over glacial terrain"
+)
+UNIQUE_B = (
+    "harvest records from the river delta show rotating crops of barley "
+    "and flax sustained the settlement through four dry seasons"
+)
+UNIQUE_C = (
+    "the printing workshop catalogued twelve typefaces cut by hand and "
+    "stored the punches in oak drawers beside the press room"
+)
+BENCH_TEXT = (
+    # embeds a verbatim 13-word span of UNIQUE_B (the GPT-3 13-gram rule)
+    "question about farming answer records from the river delta show "
+    "rotating crops of barley and flax sustained the local population"
+)
+
+
+def _docs(spark):
+    rows = [
+        # two docs sharing the boilerplate paragraph + unique bodies
+        ("a1", f"{BOILER}\n\n{UNIQUE_A}"),
+        ("a2", f"{BOILER}\n\n{UNIQUE_B}"),
+        ("a3", f"{BOILER}\n\n{UNIQUE_C}"),
+        # exact duplicate of a1's post-clean text
+        ("b1", UNIQUE_A),
+        # near duplicate of a2's body (one word changed; this particular
+        # substitution shares 2 LSH bands with UNIQUE_B under the pinned
+        # minhash constants — verified, not probabilistic)
+        ("c1", UNIQUE_B.replace("dry", "wet")),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestBuildCorpus:
+    def test_full_funnel_counts(self, spark):
+        out, report = build_corpus(spark, _docs(spark), pack_budget=16)
+        funnel = report.as_dict()
+        assert funnel["input"] == 5
+        # boilerplate appears in 3 docs > max_docs=2 -> stripped, all rows kept
+        assert funnel["paragraph_dedup"] == 5
+        # a1 (now == UNIQUE_A) collides with b1 -> one survives
+        assert funnel["exact_dedup"] == 4
+        # c1 is a near-dup of a2's cleaned body -> one survives
+        assert funnel["near_dedup"] == 3
+        assert funnel["packed"] == 3
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert set(rows) == {"a1", "a2", "a3"}
+        # text was rewritten in place: boilerplate gone, body intact
+        assert rows["a1"]["text"] == UNIQUE_A
+        assert rows["a2"]["text"] == UNIQUE_B
+        # packing columns present and offsets gapless across the corpus
+        ordered = sorted(rows.values(), key=lambda r: r["start_offset"])
+        pos = 0
+        for r in ordered:
+            assert r["start_offset"] == pos
+            pos += r["n_tokens"]
+        assert pos == sum(r["n_tokens"] for r in rows.values())
+
+    def test_decontamination_stage(self, spark):
+        bench = spark.createDataFrame([(BENCH_TEXT,)], ["text"])
+        out, report = build_corpus(
+            spark, _docs(spark), benchmark=bench, boilerplate_max_docs=None,
+            exact=False, near=False,
+        )
+        funnel = report.as_dict()
+        # a2 AND its near-variant c1 share a 13-gram with the benchmark
+        assert funnel["decontaminated"] == 3
+        survivors = {r["doc_id"] for r in out.collect()}
+        assert survivors == {"a1", "a3", "b1"}
+
+    def test_quality_stage_filters_and_scores(self, spark):
+        from opentelemetry_iceberg_exporter_spark.operators.quality_classifier import (
+            fit_linear_classifier,
+        )
+
+        junk = "click free winner " * 6
+        labeled = spark.createDataFrame(
+            [("g", UNIQUE_A, 1), ("g2", UNIQUE_C, 1), ("j", junk, 0),
+             ("j2", "free click winner free click winner deal", 0)],
+            ["doc_id", "text", "label"],
+        )
+        model = fit_linear_classifier(
+            spark, labeled, "doc_id", "text", "label", dim=1 << 10, iters=10
+        )
+        docs = spark.createDataFrame(
+            [("d1", UNIQUE_B), ("d2", junk)], ["doc_id", "text"]
+        )
+        out, report = build_corpus(
+            spark, docs, boilerplate_max_docs=None, exact=False, near=False,
+            quality_model=model,
+        )
+        rows = out.collect()
+        assert [r["doc_id"] for r in rows] == ["d1"]
+        assert 0.5 <= rows[0]["quality_score"] <= 1.0
+        assert report.as_dict()["quality_filter"] == 1
+
+    def test_lazy_mode_skips_counts(self, spark):
+        out, report = build_corpus(spark, _docs(spark), report_counts=False)
+        assert all(n is None for _, n in report.stages)
+        assert out.count() == 3  # still correct
+
+
+def test_packing_offsets_contiguous(spark):
+    docs = spark.createDataFrame(
+        [("x", "one two three"), ("y", "four five"), ("z", "six")],
+        ["doc_id", "text"],
+    )
+    out, _ = build_corpus(
+        spark, docs, boilerplate_max_docs=None, exact=False, near=False,
+        pack_budget=4,
+    )
+    rows = sorted(out.collect(), key=lambda r: r["start_offset"])
+    pos = 0
+    for r in rows:
+        assert r["start_offset"] == pos
+        pos += r["n_tokens"]
+    assert pos == 6
+    assert all(r["first_seq"] == r["start_offset"] // 4 for r in rows)
+
+
+class TestCorpusBuildCli:
+    def test_cli_funnel(self, spark, tmp_path, capsys):
+        inp = str(tmp_path / "docs")
+        _docs(spark).write.parquet(inp)
+        outp = str(tmp_path / "out")
+        rc = main(
+            [
+                "corpus-build", "--input", inp, "--output", outp,
+                "--pack-budget", "16",
+            ]
+        )
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["funnel"]["input"] == 5
+        assert stats["funnel"]["packed"] == 3
+        got = duckdb.sql(
+            f"SELECT doc_id, n_tokens, start_offset FROM '{outp}/*.parquet' ORDER BY doc_id"
+        ).fetchall()
+        assert [g[0] for g in got] == ["a1", "a2", "a3"]
