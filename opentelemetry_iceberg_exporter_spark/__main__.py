@@ -453,6 +453,12 @@ def main(argv: list[str] | None = None) -> int:
         help="write + register the Iceberg partition-statistics file "
         "for the (post-maintenance) current snapshot",
     )
+    pm.add_argument(
+        "--column-stats",
+        action="store_true",
+        help="compute + register the Puffin column-NDV statistics file "
+        "for the (post-maintenance) current snapshot",
+    )
 
     args = parser.parse_args(argv)
 
@@ -943,6 +949,9 @@ def main(argv: list[str] | None = None) -> int:
         stats_entry = (
             table.compute_partition_stats() if args.partition_stats else None
         )
+        col_entry = (
+            table.compute_column_stats(spark) if args.column_stats else None
+        )
         print(
             json.dumps(
                 {
@@ -953,6 +962,9 @@ def main(argv: list[str] | None = None) -> int:
                     "orphans_removed": len(orphaned),
                     "partition_stats": (
                         stats_entry["statistics-path"] if stats_entry else None
+                    ),
+                    "column_stats": (
+                        col_entry["statistics-path"] if col_entry else None
                     ),
                 }
             )

@@ -3570,6 +3570,48 @@ class FsTable:
 
         return self._commit_metadata(mutate)
 
+    def compute_column_stats(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        columns: list[str] | None = None,
+    ) -> dict | None:
+        """Write the Puffin column-NDV statistics file for a snapshot
+        (current when None; deletes-applied scan) and register it in
+        table metadata (`statistics`), replacing any prior entry for
+        that snapshot. Returns the StatisticsFile entry, or None on an
+        empty table / no primitive columns."""
+        from .puffin import write_column_stats_file
+
+        md = self.metadata()
+        sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
+        if sid == -1:
+            return None
+        entry = write_column_stats_file(
+            spark, self.location, md, self.read(spark, snapshot_id=sid), sid, columns
+        )
+        if entry is None:
+            return None
+
+        def mutate(cur: dict):
+            new_md = dict(cur)
+            stats = [
+                e
+                for e in cur.get("statistics", [])
+                if e["snapshot-id"] != entry["snapshot-id"]
+            ]
+            new_md["statistics"] = stats + [entry]
+            return new_md, None
+
+        self._commit_metadata(mutate)
+        return entry
+
+    def column_stats(self, snapshot_id: int | None = None) -> dict[str, dict]:
+        """Registered per-column NDV stats (see puffin.read_column_stats)."""
+        from .puffin import read_column_stats
+
+        return read_column_stats(self.metadata(), snapshot_id)
+
     def partition_stats(
         self, spark: SparkSession, snapshot_id: int | None = None
     ) -> DataFrame:
@@ -4273,6 +4315,10 @@ class FsTable:
                     for e in md["partition-statistics"]
                     if e["snapshot-id"] in retained_ids
                 ]
+            if md.get("statistics"):
+                new_md["statistics"] = [
+                    e for e in md["statistics"] if e["snapshot-id"] in retained_ids
+                ]
             new_md["last-updated-ms"] = int(time.time() * 1000)
             try:
                 _write_metadata_version(self.location, base_version + 1, new_md)
@@ -4288,12 +4334,13 @@ class FsTable:
                 continue  # re-plan against the new base
             _swap_version_hint(self.location, base_version + 1)
             # delete phase (post-commit): no metadata references these
-            for e in md.get("partition-statistics", []):
-                if e["snapshot-id"] not in retained_ids:
-                    try:
-                        os.remove(e["statistics-path"])
-                    except OSError:
-                        pass
+            for key in ("partition-statistics", "statistics"):
+                for e in md.get(key, []):
+                    if e["snapshot-id"] not in retained_ids:
+                        try:
+                            os.remove(e["statistics-path"])
+                        except OSError:
+                            pass
             return delete_expired_paths(plan)
         raise AssertionError("unreachable")
 

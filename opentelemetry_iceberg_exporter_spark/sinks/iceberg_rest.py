@@ -1054,12 +1054,13 @@ class RestTable:
                 }
             ],
         )
-        for e in md.get("partition-statistics", []):
-            if e["snapshot-id"] in expired_ids:
-                try:
-                    os.remove(e["statistics-path"])
-                except OSError:
-                    pass
+        for key in ("partition-statistics", "statistics"):
+            for e in md.get(key, []):
+                if e["snapshot-id"] in expired_ids:
+                    try:
+                        os.remove(e["statistics-path"])
+                    except OSError:
+                        pass
         return delete_expired_paths(plan)
 
     def compute_partition_stats(self, snapshot_id: int | None = None) -> dict | None:
@@ -1089,6 +1090,49 @@ class RestTable:
         from .iceberg_fs import read_partition_stats
 
         return read_partition_stats(spark, self.metadata(), snapshot_id)
+
+    def compute_column_stats(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        columns: list[str] | None = None,
+    ) -> dict | None:
+        """Column NDV statistics over REST: write the Puffin file, then
+        register it via the spec's set-statistics update action."""
+        from .puffin import write_column_stats_file
+
+        md = self.metadata()
+        sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
+        if sid == -1:
+            return None
+        entry = write_column_stats_file(
+            spark,
+            md["location"],
+            md,
+            self.read(spark, snapshot_id=sid),
+            sid,
+            columns,
+        )
+        if entry is None:
+            return None
+        self.client.commit_table(
+            self.namespace,
+            self.name,
+            requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
+            updates=[
+                {
+                    "action": "set-statistics",
+                    "snapshot-id": entry["snapshot-id"],
+                    "statistics": entry,
+                }
+            ],
+        )
+        return entry
+
+    def column_stats(self, snapshot_id: int | None = None) -> dict[str, dict]:
+        from .puffin import read_column_stats
+
+        return read_column_stats(self.metadata(), snapshot_id)
 
     def remove_orphan_files(self, older_than_seconds: float = 3 * 86400) -> list[str]:
         """Reclaim data files under the table location that NO snapshot

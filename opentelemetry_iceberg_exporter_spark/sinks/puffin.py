@@ -1,0 +1,301 @@
+"""Puffin statistics files (Apache Iceberg's "Puffin file format" spec)
++ per-column NDV statistics computed as distributed Spark jobs.
+
+Container layout, implemented exactly from the public spec:
+
+    Puffin  == Magic Blob_1 ... Blob_n Footer
+    Footer  == Magic FooterPayload FooterPayloadSize Flags Magic
+    Magic   == 0x50 0x46 0x41 0x31 ("PFA1")
+
+FooterPayload is the UTF-8 JSON FileMetadata ({"blobs": [BlobMetadata],
+"properties": {...}}); FooterPayloadSize is a 4-byte little-endian int;
+Flags is 4 bytes (bit 0 of byte 0 = payload compressed — this writer
+always emits uncompressed, flag 0, and the reader rejects the
+compressed bit it does not implement). BlobMetadata carries type,
+fields (source field ids), snapshot-id, sequence-number, offset,
+length, and properties. Footer JSON is serialized with sorted keys and
+compact separators so the bytes are deterministic (pinned by the
+spec-independent golden fixtures in tests/golden/).
+
+The NDV blob type is ``engine-kmv-ndv-v1`` — a K-Minimum-Values sketch
+over the repo's cross-engine md5-derived 60-bit hash (NOT Apache
+DataSketches' theta serialization: emitting foreign bytes under the
+``apache-datasketches-theta-v1`` name without a second reader to verify
+them would be worse than an honest engine-specific type, which the
+Puffin spec explicitly permits and other readers skip). The blob
+payload is ``KMV1 | k:u32le | n:u32le | n ascending u64le hashes``;
+the exact NDV (computed distributed) travels in the blob's ``ndv``
+property — the same property engines read off theta blobs — so
+planners never parse the sketch for the common case.
+
+Statistics registration follows the table-spec ``statistics`` field
+(StatisticsFile: snapshot-id, statistics-path, file-size-in-bytes,
+file-footer-size-in-bytes, blob-metadata), committed on the fs catalog
+via a metadata-only CAS and over REST via the spec's set-statistics /
+remove-statistics update actions. One statistics file per snapshot;
+recompute replaces, snapshot expiry drops entry + file.
+
+No reference counterpart (the reference delegates all statistics to
+iceberg-go); engine extension R25.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MAGIC = b"PFA1"
+KMV_BLOB_TYPE = "engine-kmv-ndv-v1"
+KMV_MAGIC = b"KMV1"
+KMV_K = 64
+# 60-bit hash space of md5_hash64 (15 hex chars)
+HASH_SPACE = 1 << 60
+
+
+# ---------------------------------------------------------------------------
+# container
+
+
+def write_puffin(path: str, blobs: list[dict], properties: dict | None = None) -> dict:
+    """Write a Puffin file. Each blob dict: {type, fields, snapshot-id,
+    sequence-number, payload: bytes, properties: dict}. Returns the
+    StatisticsFile fragment {file-size-in-bytes, file-footer-size-in-
+    bytes, blob-metadata} (path/snapshot added by the caller)."""
+    blob_meta: list[dict] = []
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        offset = len(MAGIC)
+        for b in blobs:
+            payload = b["payload"]
+            f.write(payload)
+            blob_meta.append(
+                {
+                    "type": b["type"],
+                    "fields": list(b["fields"]),
+                    "snapshot-id": b["snapshot-id"],
+                    "sequence-number": b["sequence-number"],
+                    "offset": offset,
+                    "length": len(payload),
+                    "properties": dict(b.get("properties", {})),
+                }
+            )
+            offset += len(payload)
+        footer_payload = json.dumps(
+            {"blobs": blob_meta, "properties": dict(properties or {})},
+            sort_keys=True,
+            separators=(",", ":"),
+        ).encode("utf-8")
+        f.write(MAGIC)
+        f.write(footer_payload)
+        f.write(struct.pack("<i", len(footer_payload)))
+        f.write(b"\x00\x00\x00\x00")  # flags: uncompressed footer
+        f.write(MAGIC)
+    footer_size = len(MAGIC) * 2 + len(footer_payload) + 8
+    return {
+        "file-size-in-bytes": os.path.getsize(path),
+        "file-footer-size-in-bytes": footer_size,
+        "blob-metadata": blob_meta,
+    }
+
+
+def read_puffin(path: str) -> tuple[dict, list[bytes]]:
+    """Read a Puffin file -> (FileMetadata, payload bytes per blob,
+    in blob-metadata order). Validates all three magics and rejects
+    the footer-compression flag (never written here)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != MAGIC or data[-4:] != MAGIC:
+        raise ValueError(f"{path}: not a Puffin file (bad magic)")
+    flags = data[-8:-4]
+    if flags[0] & 1:
+        raise ValueError(f"{path}: compressed footer payload not supported")
+    if any(flags[1:]) or flags[0] & ~1:
+        raise ValueError(f"{path}: reserved Puffin flag bits set")
+    (payload_size,) = struct.unpack("<i", data[-12:-8])
+    payload_end = len(data) - 12
+    payload_start = payload_end - payload_size
+    if data[payload_start - 4 : payload_start] != MAGIC:
+        raise ValueError(f"{path}: footer start magic missing")
+    meta = json.loads(data[payload_start:payload_end].decode("utf-8"))
+    payloads = [
+        data[b["offset"] : b["offset"] + b["length"]] for b in meta.get("blobs", [])
+    ]
+    return meta, payloads
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch
+
+
+def encode_kmv(hashes: list[int], k: int = KMV_K) -> bytes:
+    """KMV1 | k:u32le | n:u32le | ascending u64le hashes."""
+    hs = sorted(hashes)[:k]
+    return (
+        KMV_MAGIC
+        + struct.pack("<II", k, len(hs))
+        + b"".join(struct.pack("<Q", h) for h in hs)
+    )
+
+
+def decode_kmv(payload: bytes) -> tuple[int, list[int]]:
+    if payload[:4] != KMV_MAGIC:
+        raise ValueError("not a KMV1 payload")
+    k, n = struct.unpack("<II", payload[4:12])
+    hashes = [
+        struct.unpack("<Q", payload[12 + 8 * i : 20 + 8 * i])[0] for i in range(n)
+    ]
+    return k, hashes
+
+
+def kmv_estimate(k: int, hashes: list[int]) -> float:
+    """NDV estimate: fewer than k distinct values -> exact count; else
+    (k-1)/theta with theta = kth-min / hash-space."""
+    if len(hashes) < k:
+        return float(len(hashes))
+    theta = hashes[k - 1] / HASH_SPACE
+    return (k - 1) / theta
+
+
+# ---------------------------------------------------------------------------
+# distributed NDV computation
+
+
+def _stats_columns(md: dict) -> list[dict]:
+    """Top-level primitive fields of the current schema (same support
+    surface as manifest column bounds)."""
+    from .iceberg_fs import current_schema
+
+    return [
+        f
+        for f in current_schema(md)["fields"]
+        if isinstance(f["type"], str)  # primitives are plain strings
+    ]
+
+
+def compute_ndv_blobs(
+    spark_df: DataFrame,
+    fields: list[dict],
+    snapshot_id: int,
+    sequence_number: int,
+) -> list[dict]:
+    """One KMV blob per column. Distributed shape: ONE multi-column
+    count_distinct aggregate for the exact NDVs (single scan), then per
+    column a distinct -> TakeOrdered(k) job over the md5-derived hash —
+    only k longs ever reach the driver per column, and the scans are
+    column-pruned. The exact count is a full distinct per column (this
+    is an offline stats job, same cost class as Iceberg's own
+    compute_table_stats action)."""
+    from ..functions.textfns import md5_hash64
+
+    if not fields:
+        return []
+    exact = spark_df.agg(
+        *[
+            F.count_distinct(F.col(f["name"])).alias(f["name"])
+            for f in fields
+        ]
+    ).collect()[0]
+    blobs = []
+    for f in fields:
+        name = f["name"]
+        hashes = [
+            r["h"]
+            for r in (
+                spark_df.select(
+                    md5_hash64(F.col(name).cast("string")).alias("h")
+                )
+                .filter(F.col("h").isNotNull())
+                .distinct()
+                .orderBy("h")
+                .limit(KMV_K)
+                .collect()
+            )
+        ]
+        blobs.append(
+            {
+                "type": KMV_BLOB_TYPE,
+                "fields": [f["id"]],
+                "snapshot-id": snapshot_id,
+                "sequence-number": sequence_number,
+                "payload": encode_kmv(hashes),
+                "properties": {"ndv": str(int(exact[name]))},
+            }
+        )
+    return blobs
+
+
+def write_column_stats_file(
+    spark: SparkSession,
+    location: str,
+    md: dict,
+    table_df: DataFrame,
+    snapshot_id: int,
+    columns: list[str] | None = None,
+) -> dict | None:
+    """Compute + write the Puffin for a snapshot; returns the full
+    StatisticsFile entry (None when the schema has no primitive
+    columns). `table_df` must be the snapshot's deletes-applied scan."""
+    fields = _stats_columns(md)
+    if columns is not None:
+        want = set(columns)
+        unknown = want - {f["name"] for f in fields}
+        if unknown:
+            raise ValueError(
+                f"no such primitive top-level column(s): {sorted(unknown)}"
+            )
+        fields = [f for f in fields if f["name"] in want]
+    if not fields:
+        return None
+    snap = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == snapshot_id
+    )
+    blobs = compute_ndv_blobs(
+        table_df, fields, snapshot_id, snap.get("sequence-number", 0)
+    )
+    os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
+    path = os.path.join(
+        location, "metadata", f"stats-{snapshot_id}-{uuid.uuid4().hex}.puffin"
+    )
+    frag = write_puffin(path, blobs, {"created-by": "otel-spark-engine"})
+    return {
+        "snapshot-id": snapshot_id,
+        "statistics-path": os.path.abspath(path),
+        **frag,
+    }
+
+
+def read_column_stats(md: dict, snapshot_id: int | None = None) -> dict[str, dict]:
+    """{column_name: {"ndv": int, "k": int, "sketch": [hashes],
+    "estimate": float}} from the REGISTERED statistics file of a
+    snapshot (current when None). Raises if none is registered."""
+    from .iceberg_fs import current_schema
+
+    sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    entry = next(
+        (e for e in md.get("statistics", []) if e["snapshot-id"] == sid), None
+    )
+    if entry is None:
+        raise FileNotFoundError(
+            f"no statistics file registered for snapshot {sid}; run "
+            "compute_column_stats()"
+        )
+    meta, payloads = read_puffin(entry["statistics-path"])
+    by_id = {f["id"]: f["name"] for f in current_schema(md)["fields"]}
+    out: dict[str, dict] = {}
+    for bm, payload in zip(meta["blobs"], payloads):
+        if bm["type"] != KMV_BLOB_TYPE:
+            continue  # unknown blob types are skippable per spec
+        k, hashes = decode_kmv(payload)
+        name = by_id.get(bm["fields"][0], f"field-{bm['fields'][0]}")
+        out[name] = {
+            "ndv": int(bm["properties"]["ndv"]),
+            "k": k,
+            "sketch": hashes,
+            "estimate": kmv_estimate(k, hashes),
+        }
+    return out

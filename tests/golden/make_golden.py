@@ -592,6 +592,52 @@ def build_metadata_v4() -> dict:
     return md
 
 
+# ---------------------------------------------------------------------------
+# Puffin statistics file ("Puffin file format" spec): Magic Blob Footer,
+# Footer == Magic FooterPayload FooterPayloadSize(le i32) Flags(4B) Magic
+# ---------------------------------------------------------------------------
+
+PUFFIN_SEQ = 1
+PUFFIN_NDV = 5
+PUFFIN_K = 64
+PUFFIN_HASHES = [3, 11, 42, 900, 123456]  # ascending, < 2^60
+
+
+def build_puffin() -> bytes:
+    magic = b"PFA1"
+    # blob payload: engine KMV sketch (KMV1 | k u32le | n u32le | u64le...)
+    payload = (
+        b"KMV1"
+        + struct.pack("<II", PUFFIN_K, len(PUFFIN_HASHES))
+        + b"".join(struct.pack("<Q", h) for h in PUFFIN_HASHES)
+    )
+    blob_meta = [
+        {
+            "type": "engine-kmv-ndv-v1",
+            "fields": [1],
+            "snapshot-id": SNAPSHOT_ID,
+            "sequence-number": PUFFIN_SEQ,
+            "offset": 4,
+            "length": len(payload),
+            "properties": {"ndv": str(PUFFIN_NDV)},
+        }
+    ]
+    footer_payload = json.dumps(
+        {"blobs": blob_meta, "properties": {"created-by": "otel-spark-engine"}},
+        sort_keys=True,
+        separators=(",", ":"),
+    ).encode("utf-8")
+    return (
+        magic
+        + payload
+        + magic
+        + footer_payload
+        + struct.pack("<i", len(footer_payload))
+        + b"\x00\x00\x00\x00"  # flags: uncompressed footer
+        + magic
+    )
+
+
 def main() -> None:
     manifest = build_manifest()
     mlist = build_manifest_list(len(manifest))
@@ -608,6 +654,7 @@ def main() -> None:
         "delete-manifest-list.avro": delete_list,
         "eq-manifest.avro": eq_manifest,
         "eq-manifest-list.avro": eq_list,
+        "stats.puffin": build_puffin(),
     }
     for name, data in out.items():
         with open(os.path.join(HERE, name), "wb") as f:

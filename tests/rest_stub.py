@@ -301,6 +301,19 @@ class _Handler(BaseHTTPRequestHandler):
                     for e in new_md.get("partition-statistics", [])
                     if e["snapshot-id"] != upd["snapshot-id"]
                 ]
+            elif action == "set-statistics":
+                entry = upd["statistics"]
+                new_md["statistics"] = [
+                    e
+                    for e in new_md.get("statistics", [])
+                    if e["snapshot-id"] != entry["snapshot-id"]
+                ] + [entry]
+            elif action == "remove-statistics":
+                new_md["statistics"] = [
+                    e
+                    for e in new_md.get("statistics", [])
+                    if e["snapshot-id"] != upd["snapshot-id"]
+                ]
             elif action == "add-schema":
                 new_md["schemas"] = new_md["schemas"] + [upd["schema"]]
                 if "last-column-id" in upd:
@@ -322,6 +335,11 @@ class _Handler(BaseHTTPRequestHandler):
                 new_md["partition-statistics"] = [
                     e
                     for e in new_md.get("partition-statistics", [])
+                    if e["snapshot-id"] not in drop
+                ]
+                new_md["statistics"] = [
+                    e
+                    for e in new_md.get("statistics", [])
                     if e["snapshot-id"] not in drop
                 ]
             elif action == "add-spec":

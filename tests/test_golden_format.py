@@ -258,9 +258,60 @@ class TestGoldenWrite:
             "v2.metadata.json",
             "v3.metadata.json",
             "v4.metadata.json",
+            "stats.puffin",
         ):
             with open(work / name, "rb") as f:
                 assert f.read() == _golden_bytes(name), name
+
+
+class TestGoldenPuffin:
+    """The Puffin container byte format, pinned against the independent
+    spec encoder in make_golden.py (which imports nothing from the
+    package)."""
+
+    def test_package_writes_exact_golden_bytes(self, tmp_path):
+        from opentelemetry_iceberg_exporter_spark.sinks.puffin import (
+            encode_kmv,
+            write_puffin,
+        )
+
+        g = GEN
+
+        path = str(tmp_path / "stats.puffin")
+        write_puffin(
+            path,
+            [
+                {
+                    "type": "engine-kmv-ndv-v1",
+                    "fields": [1],
+                    "snapshot-id": g.SNAPSHOT_ID,
+                    "sequence-number": g.PUFFIN_SEQ,
+                    "payload": encode_kmv(g.PUFFIN_HASHES, k=g.PUFFIN_K),
+                    "properties": {"ndv": str(g.PUFFIN_NDV)},
+                }
+            ],
+            {"created-by": "otel-spark-engine"},
+        )
+        with open(path, "rb") as f:
+            assert f.read() == _golden_bytes("stats.puffin")
+
+    def test_package_reads_independent_bytes(self):
+        from opentelemetry_iceberg_exporter_spark.sinks.puffin import (
+            decode_kmv,
+            kmv_estimate,
+            read_puffin,
+        )
+
+        g = GEN
+
+        meta, payloads = read_puffin(os.path.join(GOLDEN, "stats.puffin"))
+        (bm,) = meta["blobs"]
+        assert bm["type"] == "engine-kmv-ndv-v1"
+        assert bm["snapshot-id"] == g.SNAPSHOT_ID
+        assert bm["properties"] == {"ndv": str(g.PUFFIN_NDV)}
+        k, hashes = decode_kmv(payloads[0])
+        assert (k, hashes) == (g.PUFFIN_K, g.PUFFIN_HASHES)
+        assert kmv_estimate(k, hashes) == float(len(g.PUFFIN_HASHES))
 
 
 class TestGoldenRead:
