@@ -353,7 +353,7 @@ def main(argv: list[str] | None = None) -> int:
         default="snapshots",
         choices=(
             "snapshots", "history", "files", "all_files", "manifests",
-            "refs", "partitions",
+            "refs", "partitions", "statistics",
         ),
     )
 

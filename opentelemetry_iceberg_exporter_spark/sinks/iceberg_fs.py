@@ -2678,6 +2678,7 @@ METADATA_TABLES = (
     "manifests",
     "refs",
     "partitions",
+    "statistics",
 )
 
 
@@ -2833,6 +2834,31 @@ def metadata_table(spark: SparkSession, md: dict, name: str) -> "DataFrame":
             rows,
             "partition map<string,string>, record_count long, "
             "file_count long, total_size_in_bytes long",
+        )
+    if name == "statistics":
+        # the table-spec `statistics` registry (Puffin column NDV files)
+        rows = [
+            (
+                e["snapshot-id"],
+                e["statistics-path"],
+                e["file-size-in-bytes"],
+                e.get("file-footer-size-in-bytes"),
+                [bm["type"] for bm in e.get("blob-metadata", [])],
+                {
+                    str(bm["fields"][0]): bm.get("properties", {}).get("ndv")
+                    for bm in e.get("blob-metadata", [])
+                    if bm.get("fields")
+                },
+            )
+            for e in sorted(
+                md.get("statistics", []), key=lambda e: e["snapshot-id"]
+            )
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, statistics_path string, "
+            "file_size_in_bytes long, file_footer_size_in_bytes long, "
+            "blob_types array<string>, ndv_by_field_id map<string,string>",
         )
     raise ValueError(f"unknown metadata table {name!r}; one of {METADATA_TABLES}")
 

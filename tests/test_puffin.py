@@ -252,6 +252,25 @@ class TestRestParity:
             server.shutdown()
 
 
+class TestInspection:
+    def test_statistics_metadata_table(self, spark, tmp_path):
+        t = _table(tmp_path)
+        t.append_dataframe(_df(spark, n=30, cats=3))
+        entry = t.compute_column_stats(spark)
+        rows = t.metadata_table(spark, "statistics").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["snapshot_id"] == entry["snapshot-id"]
+        assert r["statistics_path"] == entry["statistics-path"]
+        assert r["blob_types"] == [KMV_BLOB_TYPE] * 3
+        # field id 2 = category
+        assert r["ndv_by_field_id"]["2"] == "3"
+
+    def test_statistics_table_empty(self, spark, tmp_path):
+        t = _table(tmp_path)
+        assert t.metadata_table(spark, "statistics").count() == 0
+
+
 class TestCli:
     def test_maintain_column_stats(self, spark, tmp_path, capsys):
         from opentelemetry_iceberg_exporter_spark.__main__ import main
