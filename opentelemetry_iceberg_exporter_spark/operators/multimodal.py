@@ -267,9 +267,13 @@ def decode_image(content: bytes) -> Any:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(content)
+    if content[:4] == b"GIF8":
+        from .gif import decode_gif
+
+        return decode_gif(content)
     raise NotImplementedError(
         "WebP/AVIF decoding requires PIL/opencv which are not installed; "
-        "PPM(P6)/BMP/PNG/baseline-JPEG decode natively, or use "
+        "PPM(P6)/BMP/PNG/GIF/baseline-JPEG decode natively, or use "
         "fake_decode=True for the deterministic test decoder"
     )
 
