@@ -68,11 +68,24 @@ def decode_wav(content: bytes):
 
 
 def wav_feature_row(content: bytes) -> dict:
-    """Per-clip features from decoded PCM (numpy-vectorized)."""
+    """Per-clip features from decoded PCM (numpy-vectorized), including
+    two spectral signals from one rfft over the mono channel: the
+    dominant frequency (peak magnitude bin, DC excluded) and the
+    spectral centroid (magnitude-weighted mean frequency) — the
+    standard cheap discriminators between speech, tones, and noise."""
     samples, rate = decode_wav(content)
     mono = samples[:, 0].astype(np.float64) / 32768.0
     n = len(mono)
     zc = int(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0
+    dominant = centroid = 0.0
+    if n > 1:
+        mag = np.abs(np.fft.rfft(mono))
+        freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+        if len(mag) > 1:
+            dominant = float(freqs[1 + int(np.argmax(mag[1:]))])
+            total = float(np.sum(mag[1:]))
+            if total > 0:
+                centroid = float(np.sum(mag[1:] * freqs[1:]) / total)
     return {
         "sample_rate": rate,
         "n_channels": samples.shape[1],
@@ -81,12 +94,15 @@ def wav_feature_row(content: bytes) -> dict:
         "rms": round(float(np.sqrt(np.mean(mono**2))) if n else 0.0, 6),
         "peak": round(float(np.max(np.abs(mono))) if n else 0.0, 6),
         "zero_crossing_rate": round(zc / (n - 1), 6) if n > 1 else 0.0,
+        "dominant_freq_hz": round(dominant, 3),
+        "spectral_centroid_hz": round(centroid, 3),
     }
 
 
 AUDIO_FEATURE_SCHEMA = (
     "media_id long, sample_rate int, n_channels int, n_frames long, "
     "duration_s double, rms double, peak double, zero_crossing_rate double, "
+    "dominant_freq_hz double, spectral_centroid_hz double, "
     "decode_error string"
 )
 
@@ -111,6 +127,8 @@ def audio_features(df: DataFrame, id_col: str = "media_id",
                     "rms": None,
                     "peak": None,
                     "zero_crossing_rate": None,
+                    "dominant_freq_hz": None,
+                    "spectral_centroid_hz": None,
                     "decode_error": None,
                 }
                 try:

@@ -95,6 +95,25 @@ class TestWavDecode:
         assert abs(row["rms"] - 0.5 / math.sqrt(2)) < 1e-3
         assert abs(row["peak"] - 0.5) < 1e-3
         assert abs(row["zero_crossing_rate"] - 2 * 440 / 8000) < 5e-3
+        # a pure tone's spectrum peaks AT the tone; its centroid sits on
+        # it too (spectral leakage pulls it off by well under a bin width)
+        assert abs(row["dominant_freq_hz"] - 440.0) < 1.0
+        assert abs(row["spectral_centroid_hz"] - 440.0) < 25.0
+
+    def test_spectral_features_separate_tone_from_noise(self):
+        tone = wav_feature_row(make_wav(sine(freq=200.0, seconds=1.0), 8000))
+        rng = np.random.RandomState(5)
+        noise = wav_feature_row(
+            make_wav(
+                (rng.uniform(-0.5, 0.5, 8000) * 32767).astype(np.int16).reshape(-1, 1),
+                8000,
+            )
+        )
+        assert abs(tone["dominant_freq_hz"] - 200.0) < 1.0
+        # white noise's centroid sits near mid-band (rate/4), far above
+        # the tone's
+        assert noise["spectral_centroid_hz"] > 1500.0
+        assert tone["spectral_centroid_hz"] < 300.0
 
     def test_rejects_non_wav_and_non_pcm(self):
         with pytest.raises(ValueError, match="RIFF"):
