@@ -157,7 +157,9 @@ def kmv_estimate(k: int, hashes: list[int]) -> float:
     (k-1)/theta with theta = kth-min / hash-space."""
     if len(hashes) < k:
         return float(len(hashes))
-    theta = hashes[k - 1] / HASH_SPACE
+    # kth-min of 0 (only possible at k=1) would zero theta; clamp to the
+    # smallest representable fraction of the hash space
+    theta = max(hashes[k - 1], 1) / HASH_SPACE
     return (k - 1) / theta
 
 
