@@ -3638,6 +3638,34 @@ class FsTable:
 
         return read_column_stats(self.metadata(), snapshot_id)
 
+    def update_column_stats_incremental(self, spark: SparkSession) -> dict | None:
+        """Refresh column stats to the CURRENT snapshot by sketching only
+        the rows appended since the nearest ancestor snapshot that has
+        stats, then KMV-merging — O(increment), never O(table). Falls
+        back semantics: no prior stats anywhere -> raises (run
+        compute_column_stats once first); a delete/overwrite inside the
+        window -> incremental_data_files raises (sketches cannot
+        subtract; recompute instead). Exactness degrades to the KMV
+        estimate only once a sketch saturates its k."""
+        from .puffin import plan_incremental_stats
+
+        status, entry = plan_incremental_stats(spark, self.metadata(), self.location)
+        if status != "new" or entry is None:
+            return entry
+
+        def mutate(cur: dict):
+            new_md = dict(cur)
+            stats = [
+                e
+                for e in cur.get("statistics", [])
+                if e["snapshot-id"] != entry["snapshot-id"]
+            ]
+            new_md["statistics"] = stats + [entry]
+            return new_md, None
+
+        self._commit_metadata(mutate)
+        return entry
+
     def partition_stats(
         self, spark: SparkSession, snapshot_id: int | None = None
     ) -> DataFrame:

@@ -1134,6 +1134,30 @@ class RestTable:
 
         return read_column_stats(self.metadata(), snapshot_id)
 
+    def update_column_stats_incremental(self, spark: SparkSession) -> dict | None:
+        """Incremental stats refresh over REST: sketch only the appended
+        window, KMV-merge, register via set-statistics (see
+        FsTable.update_column_stats_incremental for semantics)."""
+        from .puffin import plan_incremental_stats
+
+        md = self.metadata()
+        status, entry = plan_incremental_stats(spark, md, md["location"])
+        if status != "new" or entry is None:
+            return entry
+        self.client.commit_table(
+            self.namespace,
+            self.name,
+            requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
+            updates=[
+                {
+                    "action": "set-statistics",
+                    "snapshot-id": entry["snapshot-id"],
+                    "statistics": entry,
+                }
+            ],
+        )
+        return entry
+
     def remove_orphan_files(self, older_than_seconds: float = 3 * 86400) -> list[str]:
         """Reclaim data files under the table location that NO snapshot
         references (same sweep as FsTable — the REST catalog arbitrates

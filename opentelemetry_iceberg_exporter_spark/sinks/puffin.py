@@ -271,6 +271,131 @@ def write_column_stats_file(
     }
 
 
+def merge_kmv(parts: list[tuple[int, list[int]]]) -> tuple[int, list[int], int | None]:
+    """Union KMV sketches (the reason sketches exist: stats of an
+    append-only window merge into stats of the whole table without a
+    rescan). Returns (k, merged_k_min_hashes, exact_ndv_or_None):
+    a sketch holding FEWER than its k hashes is the COMPLETE distinct-
+    hash set of its input, so if every part is complete the union is the
+    complete set and its size is the exact (hash-)distinct count —
+    otherwise only the (k-1)/theta estimate applies."""
+    k = min(p[0] for p in parts)
+    complete = all(len(h) < pk for pk, h in parts)
+    union = sorted(set().union(*[set(h) for _, h in parts]))
+    exact = len(union) if complete else None
+    return k, union[:k], exact
+
+
+def incremental_column_stats_entry(
+    spark: SparkSession,
+    location: str,
+    md: dict,
+    new_files_df: DataFrame,
+    prev_stats: dict[str, dict],
+    snapshot_id: int,
+    sequence_number: int,
+) -> dict | None:
+    """Build the StatisticsFile for `snapshot_id` by sketching ONLY the
+    window's new rows and KMV-merging with the previous snapshot's
+    sketches — O(increment), never O(table). The `ndv` property is the
+    exact hash-distinct union size when both sides' sketches are
+    complete, else the KMV estimate; `ndv-exact` records which."""
+    fields = [f for f in _stats_columns(md) if f["name"] in prev_stats]
+    if not fields:
+        return None
+    inc_blobs = compute_ndv_blobs(
+        new_files_df, fields, snapshot_id, sequence_number
+    )
+    blobs = []
+    for f, inc in zip(fields, inc_blobs):
+        prev = prev_stats[f["name"]]
+        _, inc_hashes = decode_kmv(inc["payload"])
+        k, merged, exact = merge_kmv(
+            [(prev["k"], prev["sketch"]), (KMV_K, inc_hashes)]
+        )
+        # a previous EXACT ndv with a complete sketch keeps exactness
+        prev_complete = len(prev["sketch"]) < prev["k"]
+        if exact is not None and prev.get("exact", True) and prev_complete:
+            ndv, is_exact = exact, True
+        else:
+            ndv, is_exact = int(round(kmv_estimate(k, merged))), False
+        blobs.append(
+            {
+                "type": KMV_BLOB_TYPE,
+                "fields": [f["id"]],
+                "snapshot-id": snapshot_id,
+                "sequence-number": sequence_number,
+                "payload": encode_kmv(merged, k=k),
+                "properties": {
+                    "ndv": str(ndv),
+                    "ndv-exact": "true" if is_exact else "false",
+                },
+            }
+        )
+    os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
+    path = os.path.join(
+        location, "metadata", f"stats-{snapshot_id}-{uuid.uuid4().hex}.puffin"
+    )
+    frag = write_puffin(path, blobs, {"created-by": "otel-spark-engine"})
+    return {
+        "snapshot-id": snapshot_id,
+        "statistics-path": os.path.abspath(path),
+        **frag,
+    }
+
+
+def plan_incremental_stats(
+    spark: SparkSession, md: dict, location: str
+) -> tuple[str, dict | None]:
+    """Transport-neutral planning for an incremental stats refresh.
+    Returns ("empty", None) on an empty table, ("existing", entry) when
+    the current snapshot already has stats, or ("new", entry) with the
+    entry to commit. Raises when no ancestor has stats (seed with a
+    full compute first) or the window contains a delete/overwrite
+    (sketches cannot subtract)."""
+    from .iceberg_fs import incremental_data_files, read_schema_for, table_file_scan
+
+    current = md["current-snapshot-id"]
+    if current == -1:
+        return "empty", None
+    with_stats = {e["snapshot-id"] for e in md.get("statistics", [])}
+    by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+    cursor, prev_sid = current, None
+    while cursor is not None and cursor in by_id:
+        if cursor in with_stats:
+            prev_sid = cursor
+            break
+        cursor = by_id[cursor].get("parent-snapshot-id")
+    if prev_sid is None:
+        raise FileNotFoundError(
+            "no ancestor snapshot has column stats; run "
+            "compute_column_stats() once to seed"
+        )
+    if prev_sid == current:
+        return "existing", next(
+            e for e in md["statistics"] if e["snapshot-id"] == current
+        )
+    prev_stats = read_column_stats(md, prev_sid)
+    files = incremental_data_files(md, prev_sid, current)[0]
+    schema = read_schema_for(spark, md)
+    new_df = (
+        table_file_scan(spark, md, schema, [f.file_path for f in files])
+        if files
+        else spark.createDataFrame([], schema)
+    )
+    snap = by_id[current]
+    entry = incremental_column_stats_entry(
+        spark,
+        location,
+        md,
+        new_df,
+        prev_stats,
+        current,
+        snap.get("sequence-number", 0),
+    )
+    return "new", entry
+
+
 def read_column_stats(md: dict, snapshot_id: int | None = None) -> dict[str, dict]:
     """{column_name: {"ndv": int, "k": int, "sketch": [hashes],
     "estimate": float}} from the REGISTERED statistics file of a
@@ -296,6 +421,7 @@ def read_column_stats(md: dict, snapshot_id: int | None = None) -> dict[str, dic
         name = by_id.get(bm["fields"][0], f"field-{bm['fields'][0]}")
         out[name] = {
             "ndv": int(bm["properties"]["ndv"]),
+            "exact": bm["properties"].get("ndv-exact", "true") == "true",
             "k": k,
             "sketch": hashes,
             "estimate": kmv_estimate(k, hashes),

@@ -222,6 +222,105 @@ class TestCatalogIntegration:
             t.column_stats()
 
 
+class TestMergeKmv:
+    def test_complete_union_is_exact(self):
+        from opentelemetry_iceberg_exporter_spark.sinks.puffin import merge_kmv
+
+        k, merged, exact = merge_kmv([(8, [1, 5]), (8, [5, 9, 12])])
+        assert (k, merged, exact) == (8, [1, 5, 9, 12], 4)
+
+    def test_saturated_part_loses_exactness(self):
+        from opentelemetry_iceberg_exporter_spark.sinks.puffin import merge_kmv
+
+        k, merged, exact = merge_kmv([(3, [1, 5, 9]), (8, [2])])  # first is full
+        assert exact is None
+        assert k == 3 and merged == [1, 2, 5]
+
+
+class TestIncrementalStats:
+    def test_append_only_refresh_is_exact_below_k(self, spark, tmp_path):
+        t = _table(tmp_path)
+        t.append_dataframe(_df(spark, n=20, cats=4))
+        t.compute_column_stats(spark)
+        # new batch: 10 overlapping + 10 new ids, two new categories
+        t.append_dataframe(
+            spark.range(10, 30).select(
+                F.col("id"),
+                F.concat(F.lit("cat-"), (F.col("id") % 6).cast("string")).alias(
+                    "category"
+                ),
+                (F.col("id") % 50).cast("int").alias("score"),
+            )
+        )
+        entry = t.update_column_stats_incremental(spark)
+        assert entry["snapshot-id"] == t.metadata()["current-snapshot-id"]
+        stats = t.column_stats()
+        assert stats["category"]["ndv"] == 6 and stats["category"]["exact"]
+        assert stats["id"]["ndv"] == 30 and stats["id"]["exact"]
+        assert stats["score"]["ndv"] == 30 and stats["score"]["exact"]
+
+    def test_saturation_degrades_to_estimate(self, spark, tmp_path):
+        t = _table(tmp_path)
+        t.append_dataframe(_df(spark, n=100))  # id ndv 100 > k=64
+        t.compute_column_stats(spark)
+        t.append_dataframe(
+            _df(spark, n=100).withColumn("id", F.col("id") + 100)
+        )
+        t.update_column_stats_incremental(spark)
+        stats = t.column_stats()
+        assert not stats["id"]["exact"]
+        assert abs(stats["id"]["ndv"] - 200) / 200 < 0.5
+        # category stayed complete -> still exact
+        assert stats["category"]["ndv"] == 7 and stats["category"]["exact"]
+
+    def test_requires_seed(self, spark, tmp_path):
+        t = _table(tmp_path)
+        t.append_dataframe(_df(spark, n=10))
+        with pytest.raises(FileNotFoundError, match="seed"):
+            t.update_column_stats_incremental(spark)
+
+    def test_noop_when_current_has_stats(self, spark, tmp_path):
+        t = _table(tmp_path)
+        t.append_dataframe(_df(spark, n=10))
+        seeded = t.compute_column_stats(spark)
+        again = t.update_column_stats_incremental(spark)
+        assert again["statistics-path"] == seeded["statistics-path"]
+        assert len(t.metadata()["statistics"]) == 1
+
+    def test_delete_in_window_raises(self, spark, tmp_path):
+        t = _table(tmp_path)
+        t.append_dataframe(_df(spark, n=20))
+        t.compute_column_stats(spark)
+        t.delete_where(spark, "id < 5")
+        with pytest.raises(ValueError, match="incremental"):
+            t.update_column_stats_incremental(spark)
+
+    def test_incremental_over_rest(self, spark, tmp_path):
+        from rest_stub import make_server
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
+            RestCatalogClient,
+        )
+
+        warehouse = str(tmp_path / "wh")
+        os.makedirs(warehouse)
+        server, _, uri = make_server(warehouse)
+        try:
+            cat = RestCatalogClient(uri, warehouse=warehouse)
+            cat.ensure_namespace("stats")
+            t = cat.ensure_table("stats", "events", SCHEMA)
+            t.append_dataframe(_df(spark, n=20, cats=4))
+            t.compute_column_stats(spark)
+            t.append_dataframe(
+                _df(spark, n=20, cats=4).withColumn("id", F.col("id") + 20)
+            )
+            entry = t.update_column_stats_incremental(spark)
+            assert entry["snapshot-id"] == t.metadata()["current-snapshot-id"]
+            stats = t.column_stats()
+            assert stats["id"]["ndv"] == 40 and stats["id"]["exact"]
+        finally:
+            server.shutdown()
+
+
 class TestRestParity:
     def test_compute_read_expire_over_rest(self, spark, tmp_path):
         from rest_stub import make_server
