@@ -162,6 +162,34 @@ def main(argv: list[str] | None = None) -> int:
     pdi.add_argument("--rest-uri", default=None, help="Iceberg REST catalog URI (switches transport)")
     pdi.add_argument("--rest-token", default="", help="bearer token for --rest-uri")
 
+    pdt = sub.add_parser(
+        "dedup-tail",
+        help="continuous corpus dedup: drain new snapshots of a catalog "
+        "documents table through the incremental LSH index "
+        "(checkpointed, exactly-once), optionally appending accepted "
+        "rows as parquet",
+    )
+    pdt.add_argument("--warehouse", default=None, help="fs warehouse root (required without --rest-uri)")
+    pdt.add_argument("--rest-uri", default=None, help="Iceberg REST catalog URI (switches transport)")
+    pdt.add_argument("--rest-token", default="", help="bearer token for --rest-uri")
+    pdt.add_argument(
+        "--source-table", required=True, help="documents table as namespace.name"
+    )
+    pdt.add_argument(
+        "--index-table",
+        default="dedup.band_index",
+        help="LSH band index table as namespace.name (created if absent)",
+    )
+    pdt.add_argument("--checkpoint", required=True, help="tail cursor file")
+    pdt.add_argument("--id-col", default="doc_id")
+    pdt.add_argument("--text-col", default="text")
+    pdt.add_argument(
+        "--accepted-output",
+        default=None,
+        help="append each batch's accepted rows (full columns) as parquet here",
+    )
+    pdt.add_argument("--max-files-per-batch", type=int, default=None)
+
     pqt = sub.add_parser(
         "quality-train",
         help="train the hashed-ngram quality classifier (distributed "
@@ -574,6 +602,74 @@ def main(argv: list[str] | None = None) -> int:
                     "already": res.already,
                     "unbandable": res.unbandable,
                     "index_snapshot": res.snapshot_id,
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "dedup-tail":
+        from pyspark.sql import functions as F
+
+        from .operators.incremental_dedup import (
+            IncrementalDeduper,
+            create_index_table,
+            dedup_tail,
+        )
+
+        def parse_ref(ref: str) -> tuple[str, str]:
+            if ref.count(".") != 1:
+                raise SystemExit(f"table ref must be namespace.name, got {ref!r}")
+            ns, name = ref.split(".")
+            return ns, name
+
+        if args.rest_uri:
+            from .sinks.iceberg_rest import RestCatalogClient, RestTable
+
+            catalog = RestCatalogClient(
+                args.rest_uri, warehouse=args.warehouse or "", token=args.rest_token
+            )
+            src_ns, src_name = parse_ref(args.source_table)
+            source = RestTable(catalog, src_ns, src_name)
+            source.metadata()  # fail fast
+        else:
+            if not args.warehouse:
+                raise SystemExit("--warehouse is required without --rest-uri")
+            from .sinks.iceberg_fs import FsCatalog
+
+            catalog = FsCatalog(args.warehouse)
+            src_ns, src_name = parse_ref(args.source_table)
+            source = catalog.load_table(src_ns, src_name)
+        idx_ns, idx_name = parse_ref(args.index_table)
+        index = create_index_table(catalog, idx_ns, idx_name)
+        dd = IncrementalDeduper(index, id_col=args.id_col, text_col=args.text_col)
+
+        def on_batch(df, res):
+            if args.accepted_output:
+                df.join(
+                    res.decisions.filter(
+                        F.col("status").isin("accepted", "unbandable")
+                    ).select(args.id_col),
+                    args.id_col,
+                    "semi",
+                ).write.mode("append").parquet(args.accepted_output)
+
+        results = dedup_tail(
+            spark,
+            source,
+            dd,
+            args.checkpoint,
+            on_batch=on_batch,
+            max_files_per_batch=args.max_files_per_batch,
+        )
+        print(
+            json.dumps(
+                {
+                    "cmd": "dedup-tail",
+                    "batches": len(results),
+                    "accepted": sum(r.accepted for r in results),
+                    "duplicates": sum(r.duplicates for r in results),
+                    "already": sum(r.already for r in results),
+                    "unbandable": sum(r.unbandable for r in results),
                 }
             )
         )

@@ -78,6 +78,69 @@ class TestDedupIngestCli:
             main(["dedup-ingest", "--input", b1])
 
 
+class TestDedupTailCli:
+    def test_continuous_tail_exactly_once(self, spark, tmp_path, capsys):
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import FsCatalog
+
+        wh = str(tmp_path / "wh")
+        cat = FsCatalog(wh)
+        schema = StructType(
+            [
+                StructField("doc_id", StringType(), False),
+                StructField("text", StringType(), True),
+            ]
+        )
+        docs = cat.create_table("corpus", "documents", schema)
+        docs.append_dataframe(
+            spark.createDataFrame([("d1", BASE), ("d2", OTHER)], ["doc_id", "text"])
+        )
+        docs.append_dataframe(
+            spark.createDataFrame([("d3", BASE)], ["doc_id", "text"])
+        )
+        ck = str(tmp_path / "cursor.json")
+        acc = str(tmp_path / "accepted")
+        argv = [
+            "dedup-tail", "--warehouse", wh,
+            "--source-table", "corpus.documents",
+            "--checkpoint", ck, "--accepted-output", acc,
+        ]
+        assert main(argv) == 0
+        s1 = _last_json(capsys)
+        assert s1["accepted"] == 2 and s1["duplicates"] == 1
+
+        # caught up: second run does nothing
+        assert main(argv) == 0
+        s2 = _last_json(capsys)
+        assert s2["batches"] == 0
+
+        # a later append is deduped against the whole history
+        docs.append_dataframe(
+            spark.createDataFrame(
+                [("d4", OTHER), ("d5", "genuinely new content here")],
+                ["doc_id", "text"],
+            )
+        )
+        assert main(argv) == 0
+        s3 = _last_json(capsys)
+        assert s3["accepted"] == 1 and s3["duplicates"] == 1
+        kept = sorted(
+            r[0] for r in duckdb.sql(f"SELECT doc_id FROM '{acc}/*.parquet'").fetchall()
+        )
+        assert kept == ["d1", "d2", "d5"]
+
+    def test_bad_table_ref(self, tmp_path):
+        with pytest.raises(SystemExit, match="namespace.name"):
+            main(
+                [
+                    "dedup-tail", "--warehouse", str(tmp_path),
+                    "--source-table", "nodots",
+                    "--checkpoint", str(tmp_path / "ck"),
+                ]
+            )
+
+
 class TestQualityCli:
     def test_train_then_score_roundtrip(self, spark, tmp_path, capsys):
         good = [(f"g{i}", f"a clear factual sentence about topic {i} with details", 1)
