@@ -230,6 +230,34 @@ class TestDedupTail:
         )
 
 
+class TestPlanContract:
+    def test_ingest_decisions_have_no_cartesian(self, spark, deduper):
+        """Both joins of an ingest (index lookup, within-batch pairs)
+        must stay equi-joins — a band-key typo degrading either to a
+        nested-loop join would still pass the semantic tests on tiny
+        batches while being quadratic at scale."""
+        deduper.ingest(spark, _df(spark, [("d1", BASE)]))
+        # build (don't run) a second ingest's decision plan
+        batch = _df(spark, [("x", NEAR), ("y", OTHER)])
+        from opentelemetry_iceberg_exporter_spark.operators.dedup import (
+            band_rows,
+            minhash_signatures,
+        )
+
+        rows = band_rows(
+            minhash_signatures(batch, "doc_id", "text"), "doc_id"
+        )
+        idx = deduper.read_index(spark)
+        joined = rows.join(
+            idx,
+            (rows["band_idx"] == idx["band_idx"])
+            & (rows["band_key"] == idx["band_key"]),
+        )
+        js = joined._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in js
+        assert "BroadcastNestedLoopJoin" not in js
+
+
 class TestRestParity:
     def test_ingest_over_rest_transport(self, spark, tmp_path):
         from rest_stub import make_server
