@@ -385,6 +385,20 @@ def main(argv: list[str] | None = None) -> int:
         ),
     )
 
+    psql = sub.add_parser(
+        "sql",
+        help="run SQL over the warehouse: every fs-catalog table is "
+        "registered as a <namespace>_<table> temp view over the "
+        "jar-less iceberg_fs format (pushed-filter pruning, "
+        "merge-on-read deletes), result printed as JSON lines or "
+        "written as parquet",
+    )
+    psql.add_argument("--warehouse", required=True, help="fs warehouse root")
+    psql.add_argument("--namespace", default=None, help="restrict registered views")
+    psql.add_argument("--query", required=True, help="SQL text")
+    psql.add_argument("--output", default=None, help="write parquet here instead of printing")
+    psql.add_argument("--limit", type=int, default=100, help="max printed rows")
+
     pdel = sub.add_parser(
         "delete",
         help="row-level delete: purge rows matching a SQL predicate "
@@ -977,6 +991,29 @@ def main(argv: list[str] | None = None) -> int:
         table = _load_cli_table(args)
         for row in table.metadata_table(spark, args.what).toJSON().collect():
             print(row)
+        return 0
+
+    if args.cmd == "sql":
+        from .sources.iceberg_source import register_table_views
+
+        views = register_table_views(spark, args.warehouse, args.namespace)
+        result = spark.sql(args.query)
+        if args.output:
+            result.write.mode("overwrite").parquet(args.output)
+            print(
+                json.dumps(
+                    {"cmd": "sql", "views": sorted(views), "rows": result.count()}
+                )
+            )
+        else:
+            rows = result.limit(args.limit).collect()
+            for r in rows:
+                print(json.dumps(r.asDict(recursive=True), default=str))
+            print(
+                json.dumps(
+                    {"cmd": "sql", "views": sorted(views), "rows": len(rows)}
+                )
+            )
         return 0
 
     if args.cmd == "delete":

@@ -3115,6 +3115,31 @@ class FsCatalog:
             raise FileNotFoundError(f"no such table {namespace}.{name} under {self.warehouse}")
         return FsTable(location)
 
+    def list_namespaces(self) -> list[str]:
+        """Namespaces = first-level warehouse directories holding at
+        least one table (or created empty). Sorted, O(dir listing)."""
+        if not os.path.isdir(self.warehouse):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, d))
+        )
+
+    def list_tables(self, namespace: str) -> list[str]:
+        """Tables of a namespace: directories with a committed metadata
+        version hint. Sorted, O(dir listing)."""
+        ns_dir = os.path.join(self.warehouse, namespace)
+        if not os.path.isdir(ns_dir):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(ns_dir)
+            if os.path.exists(
+                os.path.join(ns_dir, d, "metadata", "version-hint.text")
+            )
+        )
+
 
 def _metadata_path(location: str, version: int) -> str:
     return os.path.join(location, "metadata", f"v{version}.metadata.json")

@@ -355,3 +355,29 @@ class IcebergFsDataSource(DataSource):
 
 def register_iceberg_source(spark) -> None:
     spark.dataSource.register(IcebergFsDataSource)
+
+
+def register_table_views(
+    spark, warehouse: str, namespace: str | None = None
+) -> dict[str, str]:
+    """Register every fs-catalog table as a temp view named
+    ``<namespace>_<table>`` over the jar-less iceberg_fs format, so the
+    whole warehouse is queryable with plain ``spark.sql`` (the `sql`
+    CLI drives this). Returns {view_name: table_location}. Reads get
+    the full data source behavior: pushed-filter hidden-partition file
+    pruning, merge-on-read deletes, field-id column resolution."""
+    from ..sinks.iceberg_fs import FsCatalog
+
+    register_iceberg_source(spark)
+    catalog = FsCatalog(warehouse)
+    views: dict[str, str] = {}
+    namespaces = [namespace] if namespace else catalog.list_namespaces()
+    for ns in namespaces:
+        for name in catalog.list_tables(ns):
+            location = catalog.table_location(ns, name)
+            view = f"{ns}_{name}"
+            spark.read.format("iceberg_fs").load(location).createOrReplaceTempView(
+                view
+            )
+            views[view] = location
+    return views
