@@ -1,0 +1,124 @@
+"""Distributed BPE training (operators/bpe.py), cross-checked against
+an INDEPENDENT in-test reference implementation of the published
+algorithm (Sennrich et al. 2016, adjacent-pair counting over a word
+frequency table, greedy left-to-right merge application) sharing
+nothing with the operator."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from opentelemetry_iceberg_exporter_spark.operators.bpe import (
+    EOW,
+    bpe_encode,
+    encode_word,
+    train_bpe,
+)
+
+CORPUS = [
+    ("d1", "low low low low low"),
+    ("d2", "lower lower newest newest"),
+    ("d3", "newest newest newest newest widest"),
+    ("d4", "widest widest low lower"),
+]
+
+
+# ---------------------------------------------------------- reference
+def ref_train(texts, num_merges, min_freq=2):
+    """The paper's algorithm, straight from its pseudocode."""
+    freqs = Counter()
+    for t in texts:
+        for w in t.split():
+            freqs[tuple(list(w) + [EOW])] += 1
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for syms, f in freqs.items():
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] += f
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_freq:
+            break
+        merges.append((a, b))
+        new = Counter()
+        for syms, f in freqs.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new[tuple(out)] += f
+        freqs = new
+    return merges, freqs
+
+
+def _df(spark, repartition=None):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    return df.repartition(repartition) if repartition else df
+
+
+class TestTraining:
+    def test_merges_match_reference(self, spark):
+        model = train_bpe(spark, _df(spark), "text", num_merges=8)
+        ref_merges, _ = ref_train([t for _, t in CORPUS], 8)
+        assert model.merges == ref_merges
+
+    def test_vocab_matches_reference_state(self, spark):
+        model = train_bpe(spark, _df(spark), "text", num_merges=8)
+        _, ref_freqs = ref_train([t for _, t in CORPUS], 8)
+        ref_vocab = sorted({s for syms in ref_freqs for s in syms})
+        assert model.vocab == ref_vocab
+
+    def test_partition_invariant(self, spark):
+        m1 = train_bpe(spark, _df(spark, 1), "text", num_merges=6)
+        m7 = train_bpe(spark, _df(spark, 7), "text", num_merges=6)
+        assert m1.merges == m7.merges and m1.vocab == m7.vocab
+
+    def test_min_freq_stops_early(self, spark):
+        model = train_bpe(spark, _df(spark), "text", num_merges=100, min_freq=4)
+        ref_merges, _ = ref_train([t for _, t in CORPUS], 100, min_freq=4)
+        assert model.merges == ref_merges
+        assert len(model.merges) < 100
+
+    def test_learns_meaningful_units(self, spark):
+        """'est</w>' dominates this corpus (newest x6, widest x3) — the
+        trained merges must assemble it on the way to larger units."""
+        model = train_bpe(spark, _df(spark), "text", num_merges=10)
+        built = {a + b for a, b in model.merges}
+        assert "est" + EOW in built
+
+
+class TestEncoding:
+    def test_encode_word_matches_training_segmentation(self, spark):
+        model = train_bpe(spark, _df(spark), "text", num_merges=8)
+        _, ref_freqs = ref_train([t for _, t in CORPUS], 8)
+        ref_seg = {"".join(s for s in syms if s != EOW).replace(EOW, ""): list(syms)
+                   for syms in ref_freqs}
+        for word in ("low", "lower", "newest", "widest"):
+            assert encode_word(word, model.merges) == ref_seg[word]
+
+    def test_unseen_word_falls_back_gracefully(self, spark):
+        model = train_bpe(spark, _df(spark), "text", num_merges=8)
+        syms = encode_word("lowest", model.merges)
+        assert "".join(syms) == "lowest" + EOW  # lossless
+        assert len(syms) < len("lowest") + 1  # shares learned units
+
+    def test_bpe_encode_dataframe(self, spark):
+        model = train_bpe(spark, _df(spark), "text", num_merges=8)
+        docs = spark.createDataFrame(
+            [("a", "low newest"), ("b", ""), ("c", None)], ["doc_id", "text"]
+        )
+        rows = {r["doc_id"]: r for r in
+                bpe_encode(docs, "doc_id", "text", model).collect()}
+        expected = encode_word("low", model.merges) + encode_word(
+            "newest", model.merges
+        )
+        assert rows["a"]["bpe_tokens"] == expected
+        assert rows["a"]["n_bpe_tokens"] == len(expected)
+        assert rows["b"]["bpe_tokens"] == [] and rows["b"]["n_bpe_tokens"] == 0
+        assert rows["c"]["bpe_tokens"] == []
