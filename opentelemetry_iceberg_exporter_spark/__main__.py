@@ -244,7 +244,43 @@ def main(argv: list[str] | None = None) -> int:
     pcb.add_argument("--skip-near", action="store_true")
     pcb.add_argument("--model", default=None, help="quality model JSON (from quality-train)")
     pcb.add_argument("--threshold", type=float, default=0.5)
+    pcb.add_argument(
+        "--lm-reference",
+        default=None,
+        help="parquet of reference text: train a bigram LM on it and "
+        "drop docs whose perplexity exceeds --max-perplexity",
+    )
+    pcb.add_argument("--max-perplexity", type=float, default=None)
+    pcb.add_argument(
+        "--bpe-model",
+        default=None,
+        help="merges JSON from bpe-train: adds n_bpe_tokens and packs "
+        "by real tokenizer counts",
+    )
     pcb.add_argument("--pack-budget", type=int, default=None, help="pack into sequences of N tokens")
+
+    pbt = sub.add_parser(
+        "bpe-train",
+        help="train a BPE tokenizer on the corpus (distributed merges) "
+        "and save the merge list as JSON",
+    )
+    pbt.add_argument("--input", required=True, help="parquet of documents")
+    pbt.add_argument("--text-col", default="text")
+    pbt.add_argument("--num-merges", type=int, default=1000)
+    pbt.add_argument("--min-freq", type=int, default=2)
+    pbt.add_argument("--model-out", required=True, help="merges JSON path")
+
+    plm = sub.add_parser(
+        "lm-score",
+        help="train a bigram LM on reference text and score document "
+        "perplexity (CCNet-style quality signal)",
+    )
+    plm.add_argument("--train-input", required=True, help="reference parquet")
+    plm.add_argument("--input", required=True, help="documents parquet to score")
+    plm.add_argument("--output", required=True)
+    plm.add_argument("--id-col", default="doc_id")
+    plm.add_argument("--text-col", default="text")
+    plm.add_argument("--add-k", type=float, default=0.5)
 
     psm = sub.add_parser(
         "sample",
@@ -702,6 +738,22 @@ def main(argv: list[str] | None = None) -> int:
                 [(int(b), float(v)) for b, v in saved["rows"]], dim=int(saved["dim"])
             )
         benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
+        lm_model = None
+        if args.lm_reference:
+            from .operators.lm import train_bigram_lm
+
+            lm_model = train_bigram_lm(
+                spark, spark.read.parquet(args.lm_reference), args.text_col
+            )
+        bpe_model = None
+        if args.bpe_model:
+            from .operators.bpe import BpeModel
+
+            with open(args.bpe_model, encoding="utf-8") as f:
+                saved = json.load(f)
+            bpe_model = BpeModel(
+                merges=[tuple(m) for m in saved["merges"]], vocab=saved["vocab"]
+            )
         out, report = build_corpus(
             spark,
             spark.read.parquet(args.input),
@@ -716,10 +768,62 @@ def main(argv: list[str] | None = None) -> int:
             near=not args.skip_near,
             quality_model=model,
             quality_threshold=args.threshold,
+            lm_model=lm_model,
+            max_perplexity=args.max_perplexity,
+            bpe_model=bpe_model,
             pack_budget=args.pack_budget,
         )
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"cmd": "corpus-build", "funnel": report.as_dict()}))
+        return 0
+
+    if args.cmd == "bpe-train":
+        from .operators.bpe import train_bpe
+
+        model = train_bpe(
+            spark,
+            spark.read.parquet(args.input),
+            args.text_col,
+            num_merges=args.num_merges,
+            min_freq=args.min_freq,
+        )
+        with open(args.model_out, "w", encoding="utf-8") as f:
+            json.dump(
+                {"merges": [list(m) for m in model.merges], "vocab": model.vocab}, f
+            )
+        print(
+            json.dumps(
+                {
+                    "cmd": "bpe-train",
+                    "merges": len(model.merges),
+                    "vocab_size": len(model.vocab),
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "lm-score":
+        from .operators.lm import score_perplexity, train_bigram_lm
+
+        model = train_bigram_lm(
+            spark,
+            spark.read.parquet(args.train_input),
+            args.text_col,
+            add_k=args.add_k,
+        )
+        scored = score_perplexity(
+            spark.read.parquet(args.input), model, args.id_col, args.text_col
+        )
+        scored.write.mode("overwrite").parquet(args.output)
+        print(
+            json.dumps(
+                {
+                    "cmd": "lm-score",
+                    "rows": scored.count(),
+                    "vocab_size": model.vocab_size,
+                }
+            )
+        )
         return 0
 
     if args.cmd == "quality-train":

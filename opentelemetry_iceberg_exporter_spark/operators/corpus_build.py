@@ -59,13 +59,19 @@ def build_corpus(
     near: bool = True,
     quality_model=None,
     quality_threshold: float = 0.5,
+    lm_model=None,
+    max_perplexity: float | None = None,
+    bpe_model=None,
     pack_budget: int | None = None,
     report_counts: bool = True,
 ) -> tuple[DataFrame, CorpusReport]:
     """Run the funnel; returns (corpus, report). The output keeps the
     input columns (text rewritten in place when paragraph dedup runs)
-    plus `n_tokens`, `quality_score` (when a model is given) and the
-    packing columns (when `pack_budget` is set)."""
+    plus `n_tokens`, `quality_score` (when a model is given),
+    `perplexity` (when an LM is given; rows above `max_perplexity`
+    drop), `n_bpe_tokens` (when a BPE model is given — and packing then
+    budgets by REAL tokenizer counts instead of whitespace words) and
+    the packing columns (when `pack_budget` is set)."""
     report = CorpusReport()
 
     def count(stage: str, df: DataFrame) -> DataFrame:
@@ -123,12 +129,33 @@ def build_corpus(
         )
         out = count("quality_filter", out)
 
+    if lm_model is not None and max_perplexity is not None:
+        from .lm import score_perplexity
+
+        ppl = score_perplexity(out, lm_model, id_col, text_col)
+        out = out.join(
+            ppl.filter(
+                F.col("perplexity").isNotNull()
+                & (F.col("perplexity") <= F.lit(float(max_perplexity)))
+            ).select(id_col, "perplexity"),
+            id_col,
+        )
+        out = count("perplexity_filter", out)
+
     out = out.withColumn("n_tokens", F.size(tokens(F.col(text_col))))
+
+    budget_col = "n_tokens"
+    if bpe_model is not None:
+        from .bpe import bpe_encode
+
+        enc = bpe_encode(out.select(id_col, text_col), id_col, text_col, bpe_model)
+        out = out.join(enc.select(id_col, "n_bpe_tokens"), id_col)
+        budget_col = "n_bpe_tokens"
 
     if pack_budget is not None:
         from .packing import pack_concat_chunks
 
-        packed = pack_concat_chunks(out, id_col, "n_tokens", pack_budget)
+        packed = pack_concat_chunks(out, id_col, budget_col, pack_budget)
         out = out.join(
             packed.select(id_col, "start_offset", "first_seq", "last_seq"), id_col
         )

@@ -77,11 +77,14 @@ def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def train_bigram_lm(
     spark: SparkSession,
     df: DataFrame,
-    id_col: str,
     text_col: str,
     add_k: float = 0.5,
 ) -> BigramLM:
-    bigrams = _doc_bigrams(df, id_col, text_col)
+    """Training needs only the text column; any id/metadata columns in
+    `df` are ignored."""
+    bigrams = _doc_bigrams(
+        df.select(F.lit(0).alias("__id"), F.col(text_col)), "__id", text_col
+    )
     c12 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12")).localCheckpoint()
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1")).localCheckpoint()
     vocab = c12.select("w2").distinct().count()

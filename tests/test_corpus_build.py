@@ -136,6 +136,66 @@ def test_packing_offsets_contiguous(spark):
     assert all(r["first_seq"] == r["start_offset"] // 4 for r in rows)
 
 
+class TestLmAndBpeStages:
+    def test_perplexity_stage_filters(self, spark):
+        from opentelemetry_iceberg_exporter_spark.operators.lm import (
+            train_bigram_lm,
+        )
+
+        ref = spark.createDataFrame(
+            [("r1", UNIQUE_A), ("r2", UNIQUE_B), ("r3", UNIQUE_C)],
+            ["doc_id", "text"],
+        )
+        lm = train_bigram_lm(spark, ref, "text")
+        docs = spark.createDataFrame(
+            [("in", UNIQUE_A), ("out", "zzq qqv xxw lkj mmn ppo")],
+            ["doc_id", "text"],
+        )
+        # threshold between the two scores
+        from opentelemetry_iceberg_exporter_spark.operators.lm import (
+            score_perplexity,
+        )
+
+        ppl = {r["doc_id"]: r["perplexity"]
+               for r in score_perplexity(docs, lm, "doc_id", "text").collect()}
+        cut = (ppl["in"] + ppl["out"]) / 2
+        out, report = build_corpus(
+            spark, docs, boilerplate_max_docs=None, exact=False, near=False,
+            lm_model=lm, max_perplexity=cut,
+        )
+        rows = out.collect()
+        assert [r["doc_id"] for r in rows] == ["in"]
+        assert rows[0]["perplexity"] == ppl["in"]
+        assert report.as_dict()["perplexity_filter"] == 1
+
+    def test_bpe_token_counts_drive_packing(self, spark):
+        from opentelemetry_iceberg_exporter_spark.operators.bpe import (
+            encode_word,
+            train_bpe,
+        )
+
+        docs = spark.createDataFrame(
+            [("a", "low low low low lower lower"), ("b", "low newest newest newest")],
+            ["doc_id", "text"],
+        )
+        model = train_bpe(spark, docs, "text", num_merges=6)
+        out, _ = build_corpus(
+            spark, docs, boilerplate_max_docs=None, exact=False, near=False,
+            bpe_model=model, pack_budget=8,
+        )
+        rows = {r["doc_id"]: r for r in out.collect()}
+        for doc_id, text in (("a", "low low low low lower lower"),
+                             ("b", "low newest newest newest")):
+            expect = sum(len(encode_word(w, model.merges)) for w in text.split())
+            assert rows[doc_id]["n_bpe_tokens"] == expect
+        # packing offsets budget by BPE counts: contiguous over bpe sums
+        ordered = sorted(rows.values(), key=lambda r: r["start_offset"])
+        pos = 0
+        for r in ordered:
+            assert r["start_offset"] == pos
+            pos += r["n_bpe_tokens"]
+
+
 class TestCorpusBuildCli:
     def test_cli_funnel(self, spark, tmp_path, capsys):
         inp = str(tmp_path / "docs")
@@ -155,3 +215,49 @@ class TestCorpusBuildCli:
             f"SELECT doc_id, n_tokens, start_offset FROM '{outp}/*.parquet' ORDER BY doc_id"
         ).fetchall()
         assert [g[0] for g in got] == ["a1", "a2", "a3"]
+
+    def test_cli_bpe_train_then_pack_by_tokens(self, spark, tmp_path, capsys):
+        inp = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [("a", "low low low low lower"), ("b", "newest newest newest")],
+            ["doc_id", "text"],
+        ).write.parquet(inp)
+        model = str(tmp_path / "merges.json")
+        rc = main(
+            ["bpe-train", "--input", inp, "--model-out", model,
+             "--num-merges", "6"]
+        )
+        assert rc == 0
+        t = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert t["merges"] > 0 and t["vocab_size"] > 0
+        outp = str(tmp_path / "out")
+        rc = main(
+            ["corpus-build", "--input", inp, "--output", outp,
+             "--boilerplate-max-docs", "0", "--skip-exact", "--skip-near",
+             "--bpe-model", model, "--pack-budget", "8"]
+        )
+        assert rc == 0
+        capsys.readouterr()
+        cols = {r[0] for r in duckdb.sql(
+            f"DESCRIBE SELECT * FROM '{outp}/*.parquet'").fetchall()}
+        assert {"n_bpe_tokens", "start_offset", "first_seq"} <= cols
+
+    def test_cli_lm_score(self, spark, tmp_path, capsys):
+        ref = str(tmp_path / "ref")
+        spark.createDataFrame(
+            [("r", UNIQUE_A), ("r2", UNIQUE_B)], ["doc_id", "text"]
+        ).write.parquet(ref)
+        inp = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [("d1", UNIQUE_A), ("d2", "qq zz xx vv ww")], ["doc_id", "text"]
+        ).write.parquet(inp)
+        outp = str(tmp_path / "scored")
+        rc = main(
+            ["lm-score", "--train-input", ref, "--input", inp,
+             "--output", outp]
+        )
+        assert rc == 0
+        assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"] == 2
+        got = {r[0]: r[1] for r in duckdb.sql(
+            f"SELECT doc_id, perplexity FROM '{outp}/*.parquet'").fetchall()}
+        assert got["d1"] < got["d2"]

@@ -25,7 +25,7 @@ CORPUS = [
 @pytest.fixture(scope="module")
 def model(spark):
     return train_bigram_lm(
-        spark, spark.createDataFrame(CORPUS, ["doc_id", "text"]), "doc_id", "text"
+        spark, spark.createDataFrame(CORPUS, ["doc_id", "text"]), "text"
     )
 
 
@@ -46,8 +46,8 @@ class TestTraining:
 
     def test_training_partition_invariant(self, spark):
         df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
-        a = train_bigram_lm(spark, df.repartition(1), "doc_id", "text")
-        b = train_bigram_lm(spark, df.repartition(7), "doc_id", "text")
+        a = train_bigram_lm(spark, df.repartition(1), "text")
+        b = train_bigram_lm(spark, df.repartition(7), "text")
         assert sorted(map(tuple, a.bigrams.collect())) == sorted(
             map(tuple, b.bigrams.collect())
         )
