@@ -257,20 +257,31 @@ def decode_image(content: bytes) -> Any:
     restart markers). Only WebP/AVIF-class codecs still require an
     external library and raise.
     """
-    if content[:2] == b"P6":
-        return _decode_ppm(content)
-    if content[:2] == b"BM":
-        return _decode_bmp(content)
-    if content[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
-        return _decode_png(content)
-    if content[:2] == b"\xff\xd8":
-        from .jpeg import decode_jpeg
+    try:
+        if content[:2] == b"P6":
+            return _decode_ppm(content)
+        if content[:2] == b"BM":
+            return _decode_bmp(content)
+        if content[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
+            return _decode_png(content)
+        if content[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg
 
-        return decode_jpeg(content)
-    if content[:4] == b"GIF8":
-        from .gif import decode_gif
+            return decode_jpeg(content)
+        if content[:4] == b"GIF8":
+            from .gif import decode_gif
 
-        return decode_gif(content)
+            return decode_gif(content)
+    except (ValueError, NotImplementedError):
+        raise
+    except Exception as exc:
+        # normalize low-level decoder failures on corrupt payloads
+        # (struct.error, zlib.error, IndexError, numpy reshape errors,
+        # ...) to the one exception type callers are contracted to
+        # handle — at corpus scale corrupt blobs are a certainty and
+        # must never escape as an arbitrary exception that fails the
+        # whole Arrow batch
+        raise ValueError(f"corrupt media payload: {exc}") from exc
     raise NotImplementedError(
         "WebP/AVIF decoding requires PIL/opencv which are not installed; "
         "PPM(P6)/BMP/PNG/GIF/baseline-JPEG decode natively, or use "
@@ -339,8 +350,27 @@ def extract_media_features(
                 if fake_decode:
                     w, h = _fake_dims(b)
                 else:
-                    arr = decode_image(b)
-                    h, w = arr.shape[:2]
+                    try:
+                        arr = decode_image(b)
+                        h, w = arr.shape[:2]
+                    except (ValueError, NotImplementedError):
+                        # corrupt/undecodable payload: NULL dims, row
+                        # kept — one bad blob must never fail the batch
+                        # (same corrupt-tolerance policy as the audio
+                        # path and the parquet source)
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "n_bytes": len(b),
+                                "head_hex": b[:8].hex(),
+                                "width": None,
+                                "height": None,
+                                "out_width": None,
+                                "out_height": None,
+                                "out_bytes": None,
+                            }
+                        )
+                        continue
                 scale = min(1.0, float(target) / w, float(target) / h)
                 ow = max(1, math.floor(w * scale))
                 oh = max(1, math.floor(h * scale))

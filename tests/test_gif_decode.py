@@ -220,6 +220,24 @@ def test_dispatch_through_decode_image():
     assert got.shape == (12, 20, 3)
 
 
+def test_corrupt_blob_yields_null_dims_not_job_failure(spark):
+    """One corrupt payload in a batch must not fail the feature pass —
+    it yields NULL dims and every other row still decodes."""
+    pal = _palette(4)
+    good = make_gif(_raster(10, 6, 4), pal)
+    blobs = [
+        (1, good),
+        (2, b"GIF89a" + b"\x00\x01garbage"),  # corrupt
+        (3, b"\x89PNG\r\n\x1a\ntruncated"),  # corrupt PNG
+    ]
+    df = spark.createDataFrame(blobs, "media_id long, content binary")
+    feats = {r["media_id"]: r for r in extract_media_features(df).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (10, 6)
+    assert feats[2]["width"] is None and feats[2]["out_bytes"] is None
+    assert feats[3]["width"] is None
+    assert feats[2]["n_bytes"] == len(blobs[1][1])  # row preserved
+
+
 def test_gif_through_spark(spark):
     """GIF bytes in a binary column through the mapInPandas decode path."""
     pal = _palette(8)

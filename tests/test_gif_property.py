@@ -48,6 +48,26 @@ def test_clear_flood_encoder_roundtrip(dims, exp, data):
     assert np.array_equal(got, pal[idx])
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    magic=st.sampled_from([b"P6", b"BM", b"\x89PNG\r\n\x1a\n", b"\xff\xd8",
+                           b"GIF87a", b"GIF89a", b"RIFF", b""]),
+    junk=st.binary(min_size=0, max_size=200),
+)
+def test_decode_image_corrupt_inputs_raise_only_contract_errors(magic, junk):
+    """At corpus scale corrupt blobs are a certainty: decode_image must
+    raise ONLY ValueError/NotImplementedError on arbitrary bytes —
+    anything else would fail whole Arrow batches in the feature pass."""
+    from opentelemetry_iceberg_exporter_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    try:
+        decode_image(magic + junk)
+    except (ValueError, NotImplementedError):
+        pass
+
+
 @settings(max_examples=50, deadline=None)
 @given(
     hashes=st.lists(
