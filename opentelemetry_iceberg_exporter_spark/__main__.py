@@ -275,7 +275,9 @@ def main(argv: list[str] | None = None) -> int:
         help="train a bigram LM on reference text and score document "
         "perplexity (CCNet-style quality signal)",
     )
-    plm.add_argument("--train-input", required=True, help="reference parquet")
+    plm.add_argument("--train-input", default=None, help="reference parquet (or --model)")
+    plm.add_argument("--model", default=None, help="saved LM dir (from --model-out)")
+    plm.add_argument("--model-out", default=None, help="save the trained LM here")
     plm.add_argument("--input", required=True, help="documents parquet to score")
     plm.add_argument("--output", required=True)
     plm.add_argument("--id-col", default="doc_id")
@@ -803,14 +805,21 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "lm-score":
-        from .operators.lm import score_perplexity, train_bigram_lm
+        from .operators.lm import BigramLM, score_perplexity, train_bigram_lm
 
-        model = train_bigram_lm(
-            spark,
-            spark.read.parquet(args.train_input),
-            args.text_col,
-            add_k=args.add_k,
-        )
+        if args.model:
+            model = BigramLM.load(spark, args.model)
+        elif args.train_input:
+            model = train_bigram_lm(
+                spark,
+                spark.read.parquet(args.train_input),
+                args.text_col,
+                add_k=args.add_k,
+            )
+        else:
+            raise SystemExit("lm-score needs --train-input or --model")
+        if args.model_out:
+            model.save(args.model_out)
         scored = score_perplexity(
             spark.read.parquet(args.input), model, args.id_col, args.text_col
         )

@@ -52,6 +52,31 @@ class BigramLM:
     vocab_size: int
     add_k: float = 0.5
 
+    def save(self, path: str) -> None:
+        """Persist as parquet count tables + a meta JSON — train once on
+        the reference corpus, score any number of batches later."""
+        import json
+        import os
+
+        self.bigrams.write.mode("overwrite").parquet(os.path.join(path, "bigrams"))
+        self.contexts.write.mode("overwrite").parquet(os.path.join(path, "contexts"))
+        with open(os.path.join(path, "meta.json"), "w", encoding="utf-8") as f:
+            json.dump({"vocab_size": self.vocab_size, "add_k": self.add_k}, f)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "BigramLM":
+        import json
+        import os
+
+        with open(os.path.join(path, "meta.json"), encoding="utf-8") as f:
+            meta = json.load(f)
+        return cls(
+            bigrams=spark.read.parquet(os.path.join(path, "bigrams")),
+            contexts=spark.read.parquet(os.path.join(path, "contexts")),
+            vocab_size=int(meta["vocab_size"]),
+            add_k=float(meta["add_k"]),
+        )
+
 
 def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, w1, w2) for every adjacent token pair, with a BOS context

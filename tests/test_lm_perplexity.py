@@ -97,6 +97,19 @@ class TestScoring:
         b = score_perplexity(docs.repartition(9), model, "doc_id", "text").collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
+    def test_save_load_roundtrip(self, spark, model, tmp_path):
+        from opentelemetry_iceberg_exporter_spark.operators.lm import BigramLM
+
+        path = str(tmp_path / "lm")
+        model.save(path)
+        loaded = BigramLM.load(spark, path)
+        assert loaded.vocab_size == model.vocab_size
+        assert loaded.add_k == model.add_k
+        doc = spark.createDataFrame([("d", "the cat sat")], ["doc_id", "text"])
+        a = score_perplexity(doc, model, "doc_id", "text").collect()
+        b = score_perplexity(doc, loaded, "doc_id", "text").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
     def test_model_tables_broadcast(self, spark, model):
         docs = spark.createDataFrame([("d", "the cat")], ["doc_id", "text"])
         plan = (
