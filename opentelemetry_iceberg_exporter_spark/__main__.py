@@ -190,6 +190,43 @@ def main(argv: list[str] | None = None) -> int:
     )
     pdt.add_argument("--max-files-per-batch", type=int, default=None)
 
+    def _add_ann_args(p):
+        p.add_argument("--warehouse", default=None, help="fs warehouse root (required without --rest-uri)")
+        p.add_argument("--rest-uri", default=None)
+        p.add_argument("--rest-token", default="")
+        p.add_argument("--namespace", default="ann")
+        p.add_argument("--index", default="docs", help="index name (tables <index>_centroids/_vectors)")
+        p.add_argument("--id-col", default="vec_id")
+        p.add_argument("--vec-col", default="embedding")
+
+    pab = sub.add_parser(
+        "ann-build",
+        help="train an IVF codebook on an embeddings parquet and create "
+        "the catalog-backed index (cell-partitioned vector lists)",
+    )
+    _add_ann_args(pab)
+    pab.add_argument("--input", required=True, help="embeddings parquet")
+    pab.add_argument("--k", type=int, default=16, help="codebook size (cells)")
+
+    pai = sub.add_parser(
+        "ann-ingest",
+        help="upsert an embeddings batch into the index (one CDC "
+        "snapshot; re-ingested ids replace old versions)",
+    )
+    _add_ann_args(pai)
+    pai.add_argument("--input", required=True, help="embeddings parquet")
+
+    pas = sub.add_parser(
+        "ann-search",
+        help="top-k neighbors for a query embeddings parquet, reading "
+        "only the probed cells' partitions",
+    )
+    _add_ann_args(pas)
+    pas.add_argument("--input", required=True, help="query embeddings parquet")
+    pas.add_argument("--output", required=True)
+    pas.add_argument("--k", type=int, default=5)
+    pas.add_argument("--nprobe", type=int, default=2)
+
     pqt = sub.add_parser(
         "quality-train",
         help="train the hashed-ngram quality classifier (distributed "
@@ -777,6 +814,49 @@ def main(argv: list[str] | None = None) -> int:
         )
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"cmd": "corpus-build", "funnel": report.as_dict()}))
+        return 0
+
+    if args.cmd in ("ann-build", "ann-ingest", "ann-search"):
+        from .operators.ann_index import AnnIndex
+
+        if args.rest_uri:
+            from .sinks.iceberg_rest import RestCatalogClient
+
+            catalog = RestCatalogClient(
+                args.rest_uri, warehouse=args.warehouse or "", token=args.rest_token
+            )
+        else:
+            if not args.warehouse:
+                raise SystemExit("--warehouse is required without --rest-uri")
+            from .sinks.iceberg_fs import FsCatalog
+
+            catalog = FsCatalog(args.warehouse)
+        data = spark.read.parquet(args.input)
+        if args.cmd == "ann-build":
+            idx = AnnIndex.build(
+                spark, catalog, args.namespace, args.index, data,
+                id_col=args.id_col, vec_col=args.vec_col, k=args.k,
+            )
+            print(
+                json.dumps(
+                    {
+                        "cmd": "ann-build",
+                        "cells": args.k,
+                        "vectors": idx.vectors_table.read(spark).count(),
+                    }
+                )
+            )
+            return 0
+        idx = AnnIndex.open(catalog, args.namespace, args.index, vec_col=args.vec_col)
+        if args.cmd == "ann-ingest":
+            sid = idx.ingest(spark, data, id_col=args.id_col)
+            print(json.dumps({"cmd": "ann-ingest", "snapshot": sid}))
+            return 0
+        res = idx.search(
+            spark, data, id_col=args.id_col, k=args.k, nprobe=args.nprobe
+        )
+        res.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"cmd": "ann-search", "rows": res.count()}))
         return 0
 
     if args.cmd == "bpe-train":

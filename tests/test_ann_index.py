@@ -113,6 +113,42 @@ class TestIncrementalMaintenance:
         assert idx.search(spark, empty, id_col="vec_id").count() == 0
 
 
+class TestCli:
+    def test_build_ingest_search_cli(self, spark, tmp_path, capsys):
+        import duckdb
+        import json
+
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        wh = str(tmp_path / "wh")
+        base = str(tmp_path / "base")
+        _clustered(spark).write.parquet(base)
+        rc = main(
+            ["ann-build", "--warehouse", wh, "--input", base,
+             "--k", str(N_CLUSTERS)]
+        )
+        assert rc == 0
+        b = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert b["vectors"] == N_CLUSTERS * 12
+
+        newb = str(tmp_path / "new")
+        _clustered(spark, n_per=2, offset=600, seed=8).write.parquet(newb)
+        assert main(["ann-ingest", "--warehouse", wh, "--input", newb]) == 0
+        capsys.readouterr()
+
+        qs = str(tmp_path / "q")
+        _clustered(spark, n_per=1, offset=905, seed=77).write.parquet(qs)
+        out = str(tmp_path / "res")
+        rc = main(
+            ["ann-search", "--warehouse", wh, "--input", qs,
+             "--output", out, "--k", "3", "--nprobe", "1"]
+        )
+        assert rc == 0
+        assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"] == N_CLUSTERS * 3
+        rows = duckdb.sql(f"SELECT q_id, vec_id FROM '{out}/*.parquet'").fetchall()
+        assert all(v.split("_")[0] == q.split("_")[0] for q, v in rows)
+
+
 class TestRestParity:
     def test_build_ingest_search_over_rest(self, spark, tmp_path):
         from rest_stub import make_server
