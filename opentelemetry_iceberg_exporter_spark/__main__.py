@@ -141,6 +141,23 @@ def main(argv: list[str] | None = None) -> int:
         "of the full (id, group_id, group_size, is_canonical) map",
     )
 
+    pim = sub.add_parser(
+        "image-dedup",
+        help="perceptual image dedup: dHash over decoded pixels, banded "
+        "candidate pairs, Hamming verification, connected-component "
+        "groups with a canonical keeper per group",
+    )
+    pim.add_argument("--input", required=True, help="parquet with (id, binary content)")
+    pim.add_argument("--output", required=True, help="output dir (parquet)")
+    pim.add_argument("--id-col", default="media_id")
+    pim.add_argument("--content-col", default="content")
+    pim.add_argument("--max-distance", type=int, default=10)
+    pim.add_argument(
+        "--pairs-only",
+        action="store_true",
+        help="write verified (id_a, id_b, hamming) pairs instead of groups",
+    )
+
     pdi = sub.add_parser(
         "dedup-ingest",
         help="incremental dedup: filter a NEW batch of documents against a "
@@ -646,6 +663,31 @@ def main(argv: list[str] | None = None) -> int:
             out = groups
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"rows": out.count(), "method": args.method}))
+        return 0
+
+    if args.cmd == "image-dedup":
+        from .operators.dedup import dedup_groups
+        from .operators.image_dedup import image_neardup_pairs, image_signatures
+
+        media = spark.read.parquet(args.input)
+        sigs = image_signatures(media, args.id_col, args.content_col)
+        pairs = image_neardup_pairs(sigs, args.id_col, args.max_distance)
+        if args.pairs_only:
+            out = pairs
+        else:
+            out = dedup_groups(
+                media.select(args.id_col), pairs.select("id_a", "id_b"), args.id_col
+            )
+        out.write.mode("overwrite").parquet(args.output)
+        print(
+            json.dumps(
+                {
+                    "cmd": "image-dedup",
+                    "rows": out.count(),
+                    "mode": "pairs" if args.pairs_only else "groups",
+                }
+            )
+        )
         return 0
 
     if args.cmd == "dedup-ingest":
