@@ -87,33 +87,35 @@ def image_signatures(
     return df.mapInPandas(batches, schema=f"{id_col} long, dhash long")
 
 
-def _band_rows(sigs: DataFrame, id_col: str) -> DataFrame:
-    """One row per (image, byte-band): band_value = byte i of the hash."""
+def _band_rows(sigs: DataFrame, id_col: str, hash_col: str) -> DataFrame:
+    """One row per (item, byte-band): band_value = byte i of the hash."""
     bands = F.array(
         *[
-            F.expr(f"(cast(dhash as bigint) >> {8 * i}) & 255").cast("int")
+            F.expr(f"(cast({hash_col} as bigint) >> {8 * i}) & 255").cast("int")
             for i in range(BANDS)
         ]
     )
-    return sigs.filter(F.col("dhash").isNotNull()).select(
+    return sigs.filter(F.col(hash_col).isNotNull()).select(
         F.col(id_col), F.posexplode(bands).alias("band_idx", "band_value")
     )
 
 
-def image_neardup_pairs(
+def banded_hamming_pairs(
     sigs: DataFrame,
-    id_col: str = "media_id",
-    max_distance: int = DEFAULT_MAX_DISTANCE,
+    id_col: str,
+    hash_col: str,
+    max_distance: int,
 ) -> DataFrame:
-    """(id_a, id_b, hamming): candidate pairs from the byte-band
-    equi-join, verified with the exact Hamming distance (bit_count of
-    the XOR — whole-stage codegen), thresholded at `max_distance`.
-    Guaranteed recall for distance <= BANDS-1 (= 7 at defaults); the
-    default threshold 10 keeps the verified band above the guarantee
-    explicit: pairs at distance 8..10 are found only when band-aligned
-    damage spares a byte (document the trade or lower the threshold)."""
+    """Generic 64-bit perceptual-hash near-dup join, shared by the image
+    (dHash) and audio (spectrogram hash) operators: candidate pairs from
+    a byte-band equi-join, verified with the exact Hamming distance
+    (bit_count of the XOR — whole-stage codegen), thresholded at
+    `max_distance`. Guaranteed recall for distance <= BANDS-1 (= 7):
+    by pigeonhole, any such pair shares at least one intact byte; pairs
+    at distance 8..max_distance are found only when the damage spares a
+    byte (lower the threshold for a hard guarantee)."""
     sigs = sigs.localCheckpoint(eager=False)
-    rows = _band_rows(sigs, id_col)
+    rows = _band_rows(sigs, id_col, hash_col)
     a, b = rows.alias("a"), rows.alias("b")
     cands = (
         a.join(
@@ -128,8 +130,8 @@ def image_neardup_pairs(
         )
         .distinct()
     )
-    ha = sigs.select(F.col(id_col).alias("id_a"), F.col("dhash").alias("__ha"))
-    hb = sigs.select(F.col(id_col).alias("id_b"), F.col("dhash").alias("__hb"))
+    ha = sigs.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("__ha"))
+    hb = sigs.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("__hb"))
     return (
         cands.join(ha, "id_a")
         .join(hb, "id_b")
@@ -137,3 +139,13 @@ def image_neardup_pairs(
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def image_neardup_pairs(
+    sigs: DataFrame,
+    id_col: str = "media_id",
+    max_distance: int = DEFAULT_MAX_DISTANCE,
+) -> DataFrame:
+    """(id_a, id_b, hamming) over dHash signatures — see
+    banded_hamming_pairs for the join/recall contract."""
+    return banded_hamming_pairs(sigs, id_col, "dhash", max_distance)
