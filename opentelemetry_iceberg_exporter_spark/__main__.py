@@ -158,6 +158,18 @@ def main(argv: list[str] | None = None) -> int:
         help="write verified (id_a, id_b, hamming) pairs instead of groups",
     )
 
+    pad = sub.add_parser(
+        "audio-dedup",
+        help="perceptual audio dedup: spectrogram hash over decoded PCM, "
+        "banded candidate pairs, Hamming verification, groups",
+    )
+    pad.add_argument("--input", required=True, help="parquet with (id, binary WAV content)")
+    pad.add_argument("--output", required=True, help="output dir (parquet)")
+    pad.add_argument("--id-col", default="media_id")
+    pad.add_argument("--content-col", default="content")
+    pad.add_argument("--max-distance", type=int, default=8)
+    pad.add_argument("--pairs-only", action="store_true")
+
     pdi = sub.add_parser(
         "dedup-ingest",
         help="incremental dedup: filter a NEW batch of documents against a "
@@ -665,13 +677,26 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"rows": out.count(), "method": args.method}))
         return 0
 
-    if args.cmd == "image-dedup":
+    if args.cmd in ("image-dedup", "audio-dedup"):
         from .operators.dedup import dedup_groups
-        from .operators.image_dedup import image_neardup_pairs, image_signatures
 
         media = spark.read.parquet(args.input)
-        sigs = image_signatures(media, args.id_col, args.content_col)
-        pairs = image_neardup_pairs(sigs, args.id_col, args.max_distance)
+        if args.cmd == "image-dedup":
+            from .operators.image_dedup import (
+                image_neardup_pairs,
+                image_signatures,
+            )
+
+            sigs = image_signatures(media, args.id_col, args.content_col)
+            pairs = image_neardup_pairs(sigs, args.id_col, args.max_distance)
+        else:
+            from .operators.audio_dedup import (
+                audio_neardup_pairs,
+                audio_signatures,
+            )
+
+            sigs = audio_signatures(media, args.id_col, args.content_col)
+            pairs = audio_neardup_pairs(sigs, args.id_col, args.max_distance)
         if args.pairs_only:
             out = pairs
         else:
@@ -682,7 +707,7 @@ def main(argv: list[str] | None = None) -> int:
         print(
             json.dumps(
                 {
-                    "cmd": "image-dedup",
+                    "cmd": args.cmd,
                     "rows": out.count(),
                     "mode": "pairs" if args.pairs_only else "groups",
                 }

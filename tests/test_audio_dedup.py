@@ -68,6 +68,33 @@ class TestHash:
         assert d >= 8
 
 
+class TestCli:
+    def test_audio_dedup_groups(self, spark, tmp_path, capsys):
+        import duckdb
+        import json
+
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        inp = str(tmp_path / "media")
+        spark.createDataFrame(
+            [
+                (1, make_wav(tone(440), 8000)),
+                (2, make_wav(tone(440), 8000, bits=8)),
+                (3, make_wav(tone(1800), 8000)),
+            ],
+            "media_id long, content binary",
+        ).write.parquet(inp)
+        out = str(tmp_path / "groups")
+        rc = main(["audio-dedup", "--input", inp, "--output", out])
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["cmd"] == "audio-dedup" and stats["rows"] == 3
+        rows = duckdb.sql(
+            f"SELECT media_id, group_id, is_canonical FROM '{out}/*.parquet' ORDER BY media_id"
+        ).fetchall()
+        assert rows == [(1, 1, True), (2, 1, False), (3, 3, True)]
+
+
 class TestPairs:
     def test_reencoded_and_noised_pair_up(self, spark):
         rng = np.random.RandomState(7)
