@@ -294,8 +294,20 @@ def main(argv: list[str] | None = None) -> int:
         "dedup -> quality filter -> sequence packing, with a per-stage "
         "survivor report",
     )
-    pcb.add_argument("--input", required=True, help="parquet file/dir of documents")
-    pcb.add_argument("--output", required=True, help="output dir (parquet)")
+    pcb.add_argument("--input", default=None, help="parquet file/dir of documents")
+    pcb.add_argument("--output", default=None, help="output dir (parquet)")
+    pcb.add_argument("--warehouse", default=None, help="fs warehouse root (for table I/O)")
+    pcb.add_argument("--rest-uri", default=None)
+    pcb.add_argument("--rest-token", default="")
+    pcb.add_argument(
+        "--source-table", default=None,
+        help="read documents from a catalog table (namespace.name) instead of --input",
+    )
+    pcb.add_argument(
+        "--dest-table", default=None,
+        help="append the built corpus to a catalog table (namespace.name, "
+        "created if absent) instead of / in addition to --output",
+    )
     pcb.add_argument("--id-col", default="doc_id")
     pcb.add_argument("--text-col", default="text")
     pcb.add_argument(
@@ -605,6 +617,13 @@ def main(argv: list[str] | None = None) -> int:
         help="compute + register the Puffin column-NDV statistics file "
         "for the (post-maintenance) current snapshot",
     )
+    pm.add_argument(
+        "--incremental-column-stats",
+        action="store_true",
+        help="refresh column stats by KMV-merging sketches of only the "
+        "appended window (O(increment); requires a prior --column-stats "
+        "seed and an append-only window)",
+    )
 
     args = parser.parse_args(argv)
 
@@ -860,9 +879,38 @@ def main(argv: list[str] | None = None) -> int:
             bpe_model = BpeModel(
                 merges=[tuple(m) for m in saved["merges"]], vocab=saved["vocab"]
             )
+        def corpus_catalog():
+            if args.rest_uri:
+                from .sinks.iceberg_rest import RestCatalogClient
+
+                return RestCatalogClient(
+                    args.rest_uri, warehouse=args.warehouse or "",
+                    token=args.rest_token,
+                )
+            if not args.warehouse:
+                raise SystemExit("table I/O needs --warehouse or --rest-uri")
+            from .sinks.iceberg_fs import FsCatalog
+
+            return FsCatalog(args.warehouse)
+
+        if args.source_table:
+            ns, name = args.source_table.split(".")
+            cat = corpus_catalog()
+            if args.rest_uri:
+                from .sinks.iceberg_rest import RestTable
+
+                docs_df = RestTable(cat, ns, name).read(spark)
+            else:
+                docs_df = cat.load_table(ns, name).read(spark)
+        elif args.input:
+            docs_df = spark.read.parquet(args.input)
+        else:
+            raise SystemExit("corpus-build needs --input or --source-table")
+        if not (args.output or args.dest_table):
+            raise SystemExit("corpus-build needs --output or --dest-table")
         out, report = build_corpus(
             spark,
-            spark.read.parquet(args.input),
+            docs_df,
             args.id_col,
             args.text_col,
             boilerplate_max_docs=(
@@ -879,8 +927,27 @@ def main(argv: list[str] | None = None) -> int:
             bpe_model=bpe_model,
             pack_budget=args.pack_budget,
         )
-        out.write.mode("overwrite").parquet(args.output)
-        print(json.dumps({"cmd": "corpus-build", "funnel": report.as_dict()}))
+        dest_snapshot = None
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+        if args.dest_table:
+            ns, name = args.dest_table.split(".")
+            cat = corpus_catalog()
+            if args.rest_uri:
+                cat.ensure_namespace(ns)
+                dest = cat.ensure_table(ns, name, out.schema)
+            else:
+                dest = cat.create_table(ns, name, out.schema)
+            dest_snapshot = dest.append_dataframe(out)
+        print(
+            json.dumps(
+                {
+                    "cmd": "corpus-build",
+                    "funnel": report.as_dict(),
+                    "dest_snapshot": dest_snapshot,
+                }
+            )
+        )
         return 0
 
     if args.cmd in ("ann-build", "ann-ingest", "ann-search"):
@@ -1345,6 +1412,8 @@ def main(argv: list[str] | None = None) -> int:
         col_entry = (
             table.compute_column_stats(spark) if args.column_stats else None
         )
+        if args.incremental_column_stats:
+            col_entry = table.update_column_stats_incremental(spark)
         print(
             json.dumps(
                 {

@@ -242,6 +242,30 @@ class TestCorpusBuildCli:
             f"DESCRIBE SELECT * FROM '{outp}/*.parquet'").fetchall()}
         assert {"n_bpe_tokens", "start_offset", "first_seq"} <= cols
 
+    def test_cli_catalog_table_roundtrip(self, spark, tmp_path, capsys):
+        """corpus-build reading FROM a catalog table and appending the
+        built corpus TO another — the whole funnel over table I/O."""
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import FsCatalog
+
+        wh = str(tmp_path / "wh")
+        cat = FsCatalog(wh)
+        src = cat.create_table("corpus", "raw", _docs(spark).schema)
+        src.append_dataframe(_docs(spark))
+        rc = main(
+            [
+                "corpus-build", "--warehouse", wh,
+                "--source-table", "corpus.raw",
+                "--dest-table", "corpus.clean",
+            ]
+        )
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["funnel"]["near_dedup"] == 3
+        assert stats["dest_snapshot"] is not None
+        clean = cat.load_table("corpus", "clean").read(spark)
+        assert {r["doc_id"] for r in clean.collect()} == {"a1", "a2", "a3"}
+        assert "n_tokens" in clean.columns
+
     def test_cli_lm_score(self, spark, tmp_path, capsys):
         ref = str(tmp_path / "ref")
         spark.createDataFrame(

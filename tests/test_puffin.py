@@ -371,6 +371,27 @@ class TestInspection:
 
 
 class TestCli:
+    def test_maintain_incremental_column_stats(self, spark, tmp_path, capsys):
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        t = _table(tmp_path)
+        t.append_dataframe(_df(spark, n=10, cats=2))
+        t.compute_column_stats(spark)
+        t.append_dataframe(
+            _df(spark, n=10, cats=2).withColumn("id", F.col("id") + 10)
+        )
+        rc = main(
+            [
+                "maintain", "--warehouse", str(tmp_path / "wh"),
+                "--namespace", "stats", "--table", "events",
+                "--incremental-column-stats",
+            ]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["column_stats"].endswith(".puffin")
+        assert t.column_stats()["id"]["ndv"] == 20
+
     def test_maintain_column_stats(self, spark, tmp_path, capsys):
         from opentelemetry_iceberg_exporter_spark.__main__ import main
 
