@@ -1,15 +1,21 @@
-"""Video container probing: native ISO BMFF (MP4/MOV) box walking.
+"""Video container probing + MJPEG frame decode: native ISO BMFF
+(MP4/MOV) box walking, and REAL keyframe extraction for Motion-JPEG
+tracks.
 
-Frame DECODE needs codec libraries the container lacks (same policy as
-WebP), but the ISO base-media container itself is plain length-tagged
-boxes — so duration, timescale, and track layout parse natively, which
-is what corpus curation actually filters on (clip length, track
-presence) before any expensive decode.
-
-`probe_mp4` walks the top-level box list to `moov`, reads `mvhd`
-(movie timescale + duration, version 0 and 1) and counts `trak`
-boxes with their `hdlr` handler types (vide/soun/...). One
-mapInPandas pass (`video_probe`) surfaces it per row."""
+The ISO base-media container is plain length-tagged boxes, so duration,
+timescale, and track layout parse natively (`probe_mp4`); corpus
+curation filters on those before any decode. Beyond probing, the spec's
+SAMPLE TABLES (stsd codec entry, stsz sizes, stsc sample-to-chunk runs,
+stco/co64 chunk offsets — ISO 14496-12 §8.5-8.7) resolve every video
+sample to an absolute (offset, size) in the file — and for Motion-JPEG
+tracks each sample IS a baseline JPEG, which operators/jpeg.py decodes
+natively. So MJPEG keyframe extraction is REAL end to end with no codec
+library: `mjpeg_samples` plans the sample list (pure metadata),
+`video_keyframes` decodes a strided subset per clip and emits per-frame
+dims + the perceptual dHash (image_dedup), which makes VIDEO near-dup
+detection a banded-Hamming join over frame hashes. Inter-coded codecs
+(avc1/hevc/vp9) stay environment-stubbed like WebP — they need
+entropy/motion machinery, not container work."""
 
 from __future__ import annotations
 
@@ -78,6 +84,192 @@ def probe_mp4(content: bytes) -> dict:
         "n_tracks": n_tracks,
         "handlers": sorted(handlers),
     }
+
+
+# sample-entry 4CCs whose samples are standalone JPEG images
+MJPEG_FORMATS = {b"jpeg", b"mjpa", b"mjpb", b"MJPG", b"mjpg"}
+
+
+def _find_box(content: bytes, start: int, end: int, btype: bytes):
+    for t, s, e in _boxes(content, start, end):
+        if t == btype:
+            return s, e
+    return None
+
+
+def _video_stbl(content: bytes):
+    """(format 4cc, stbl span) of the first track whose hdlr is 'vide'.
+    Raises ValueError when no video track / sample tables exist."""
+    moov = _find_box(content, 0, len(content), b"moov")
+    if moov is None:
+        raise ValueError("no moov box: not an ISO BMFF movie")
+    for t, s, e in _boxes(content, *moov):
+        if t != b"trak":
+            continue
+        mdia = _find_box(content, s, e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find_box(content, *mdia, b"hdlr")
+        if hdlr is None or content[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        minf = _find_box(content, *mdia, b"minf")
+        if minf is None:
+            continue
+        stbl = _find_box(content, *minf, b"stbl")
+        if stbl is None:
+            continue
+        stsd = _find_box(content, *stbl, b"stsd")
+        if stsd is None:
+            raise ValueError("video track has no stsd")
+        # stsd: ver/flags(4) entry_count(4) then entries (size, format)
+        fmt = content[stsd[0] + 12 : stsd[0] + 16]
+        return fmt, stbl
+    raise ValueError("no video track with sample tables")
+
+
+def mjpeg_samples(content: bytes) -> list:
+    """[(absolute_offset, size)] for every sample of the first video
+    track, from the spec sample tables (stsz + stsc + stco/co64) — pure
+    metadata, nothing decoded. Raises NotImplementedError for
+    inter-coded codecs (the environment-stub boundary) and ValueError
+    on malformed tables."""
+    fmt, stbl = _video_stbl(content)
+    if fmt not in MJPEG_FORMATS:
+        raise NotImplementedError(
+            f"codec {fmt!r} needs a codec library; only MJPEG samples "
+            "decode natively"
+        )
+    stsz = _find_box(content, *stbl, b"stsz")
+    stsc = _find_box(content, *stbl, b"stsc")
+    stco = _find_box(content, *stbl, b"stco")
+    co64 = _find_box(content, *stbl, b"co64")
+    if stsz is None or stsc is None or (stco is None and co64 is None):
+        raise ValueError("video track missing stsz/stsc/stco tables")
+    # stsz: ver/flags(4) sample_size(4) count(4) [sizes]
+    fixed_size, n_samples = struct.unpack_from(">II", content, stsz[0] + 4)
+    if fixed_size:
+        sizes = [fixed_size] * n_samples
+    else:
+        sizes = list(
+            struct.unpack_from(f">{n_samples}I", content, stsz[0] + 12)
+        )
+    # stco/co64: ver/flags(4) count(4) [offsets]
+    if stco is not None:
+        (n_chunks,) = struct.unpack_from(">I", content, stco[0] + 4)
+        offsets = list(struct.unpack_from(f">{n_chunks}I", content, stco[0] + 8))
+    else:
+        (n_chunks,) = struct.unpack_from(">I", content, co64[0] + 4)
+        offsets = list(struct.unpack_from(f">{n_chunks}Q", content, co64[0] + 8))
+    # stsc: ver/flags(4) count(4) [(first_chunk, samples_per_chunk, idx)]
+    (n_runs,) = struct.unpack_from(">I", content, stsc[0] + 4)
+    runs = [
+        struct.unpack_from(">III", content, stsc[0] + 8 + 12 * i)
+        for i in range(n_runs)
+    ]
+    # expand: samples per chunk for every chunk (runs hold until the
+    # next run's first_chunk; chunks are 1-based)
+    per_chunk = []
+    for i, (first, spc, _idx) in enumerate(runs):
+        last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
+        per_chunk.extend([spc] * (last - first + 1))
+    if len(per_chunk) != n_chunks:
+        raise ValueError("stsc runs do not cover the chunk list")
+    out = []
+    si = 0
+    for chunk_i, spc in enumerate(per_chunk):
+        pos = offsets[chunk_i]
+        for _ in range(spc):
+            if si >= n_samples:
+                break
+            out.append((pos, sizes[si]))
+            pos += sizes[si]
+            si += 1
+    if si != n_samples:
+        raise ValueError("sample tables inconsistent with sample count")
+    return out
+
+
+def decode_mjpeg_frame(content: bytes, index: int):
+    """(H, W, 3) uint8 RGB of sample `index` (native T.81 decode)."""
+    from .jpeg import decode_jpeg
+
+    samples = mjpeg_samples(content)
+    off, size = samples[index]
+    if off + size > len(content):
+        raise ValueError("sample extends past end of file")
+    return decode_jpeg(content[off : off + size])
+
+
+KEYFRAME_SCHEMA = (
+    "media_id long, frame_idx int, n_frames int, width int, height int, "
+    "dhash long, decode_error string"
+)
+
+
+def video_keyframes(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    stride: int = 1,
+) -> DataFrame:
+    """One row per sampled frame (indices 0, stride, 2*stride, ...):
+    dims + the perceptual dHash of the DECODED pixels — feed the hashes
+    into image_dedup.banded_hamming_pairs for video near-dup detection.
+    Undecodable/foreign-codec payloads yield a single row with
+    `decode_error` set (corrupt-tolerance policy)."""
+    import pandas as pd
+
+    from .image_dedup import dhash_bits
+    from .jpeg import decode_jpeg
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(content)
+                try:
+                    samples = mjpeg_samples(b)
+                    n = len(samples)
+                    for idx in range(0, n, max(1, stride)):
+                        off, size = samples[idx]
+                        if off + size > len(b):
+                            raise ValueError("sample extends past EOF")
+                        arr = decode_jpeg(b[off : off + size])
+                        h = dhash_bits(arr)
+                        if h >= 1 << 63:
+                            h -= 1 << 64
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "frame_idx": idx,
+                                "n_frames": n,
+                                "width": arr.shape[1],
+                                "height": arr.shape[0],
+                                "dhash": h,
+                                "decode_error": None,
+                            }
+                        )
+                except (ValueError, NotImplementedError) as exc:
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": None,
+                            "n_frames": None,
+                            "width": None,
+                            "height": None,
+                            "dhash": None,
+                            "decode_error": str(exc),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "n_frames", "width", "height",
+                    "dhash", "decode_error",
+                ],
+            )
+
+    return df.mapInPandas(batches, schema=KEYFRAME_SCHEMA)
 
 
 VIDEO_PROBE_SCHEMA = (

@@ -1,0 +1,191 @@
+"""MJPEG frame extraction from ISO BMFF (operators/video.py): the
+sample tables (stsd/stsz/stsc/stco) are synthesized INDEPENDENTLY from
+ISO 14496-12 box layouts, frames come from the independent T.81 test
+encoder — multi-chunk layouts, strided keyframes, video near-dup via
+frame dHashes, codec and corrupt stubs."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from opentelemetry_iceberg_exporter_spark.operators.video import (
+    decode_mjpeg_frame,
+    mjpeg_samples,
+    video_keyframes,
+)
+
+from test_jpeg_decode import _smooth, make_jpeg
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def make_mjpeg_mp4(
+    frames: list, chunks: list | None = None, codec: bytes = b"jpeg",
+    use_co64: bool = False,
+) -> bytes:
+    """ISO BMFF stream with a video track of MJPEG samples. `chunks`
+    lists samples-per-chunk (default: all frames in one chunk)."""
+    chunks = chunks or [len(frames)]
+    assert sum(chunks) == len(frames)
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat_body = b"".join(frames)
+    mdat_off = len(ftyp) + 8  # body offset of mdat
+
+    # chunk offsets: consecutive runs of frames inside mdat
+    offsets = []
+    pos = mdat_off
+    fi = 0
+    for spc in chunks:
+        offsets.append(pos)
+        for _ in range(spc):
+            pos += len(frames[fi])
+            fi += 1
+
+    # stsd with one video sample entry of the given 4CC
+    entry = (
+        struct.pack(">I", 16 + 70) + codec + bytes(6) + struct.pack(">H", 1)
+        + bytes(16) + struct.pack(">HH", 0, 0) + struct.pack(">II", 0x480000, 0x480000)
+        + bytes(4) + struct.pack(">H", 1) + bytes(32) + struct.pack(">Hh", 24, -1)
+    )
+    stsd = _box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+    stsz = _box(
+        b"stsz",
+        bytes(4) + struct.pack(">II", 0, len(frames))
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    # stsc runs: collapse identical consecutive samples-per-chunk
+    runs = []
+    for i, spc in enumerate(chunks):
+        if not runs or runs[-1][1] != spc:
+            runs.append((i + 1, spc))
+    stsc = _box(
+        b"stsc",
+        bytes(4) + struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">III", fc, spc, 1) for fc, spc in runs),
+    )
+    if use_co64:
+        stco = _box(
+            b"co64",
+            bytes(4) + struct.pack(">I", len(offsets))
+            + b"".join(struct.pack(">Q", o) for o in offsets),
+        )
+    else:
+        stco = _box(
+            b"stco",
+            bytes(4) + struct.pack(">I", len(offsets))
+            + b"".join(struct.pack(">I", o) for o in offsets),
+        )
+    stbl = _box(b"stbl", stsd + stsz + stsc + stco)
+    minf = _box(b"minf", stbl)
+    hdlr = _box(b"hdlr", bytes(8) + b"vide" + bytes(12))
+    mdia = _box(b"mdia", hdlr + minf)
+    trak = _box(b"trak", mdia)
+    mvhd = _box(
+        b"mvhd", bytes(4) + b"\x00" * 8 + struct.pack(">II", 600, 1200) + b"\x00" * 80
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + _box(b"mdat", mdat_body) + moov
+
+
+def _frames(n, w=48, h=32, quality=90):
+    return [make_jpeg(_smooth(w + 4 * i, h), quality=quality) for i in range(n)]
+
+
+class TestSampleTables:
+    def test_single_chunk(self):
+        frames = _frames(3)
+        mp4 = make_mjpeg_mp4(frames)
+        samples = mjpeg_samples(mp4)
+        assert [s for _, s in samples] == [len(f) for f in frames]
+        for i, (off, size) in enumerate(samples):
+            assert mp4[off : off + size] == frames[i]
+
+    def test_multi_chunk_layout(self):
+        frames = _frames(5)
+        mp4 = make_mjpeg_mp4(frames, chunks=[2, 2, 1])
+        samples = mjpeg_samples(mp4)
+        assert len(samples) == 5
+        for i, (off, size) in enumerate(samples):
+            assert mp4[off : off + size] == frames[i]
+
+    def test_co64_offsets(self):
+        frames = _frames(2)
+        mp4 = make_mjpeg_mp4(frames, use_co64=True)
+        samples = mjpeg_samples(mp4)
+        assert mp4[samples[1][0] : samples[1][0] + samples[1][1]] == frames[1]
+
+    def test_foreign_codec_stubs(self):
+        mp4 = make_mjpeg_mp4(_frames(1), codec=b"avc1")
+        with pytest.raises(NotImplementedError, match="codec"):
+            mjpeg_samples(mp4)
+
+    def test_not_a_movie(self):
+        with pytest.raises(ValueError, match="moov"):
+            mjpeg_samples(b"RIFF....WAVE")
+
+
+class TestFrameDecode:
+    def test_decode_frames_roundtrip_dims(self):
+        frames = _frames(3, w=40, h=24)
+        mp4 = make_mjpeg_mp4(frames, chunks=[1, 2])
+        for i in range(3):
+            arr = decode_mjpeg_frame(mp4, i)
+            assert arr.shape == (24, 40 + 4 * i, 3)
+
+
+class TestKeyframesThroughSpark:
+    def test_keyframes_and_stride(self, spark):
+        frames = _frames(4)
+        blobs = [
+            (1, make_mjpeg_mp4(frames, chunks=[2, 2])),
+            (2, make_mjpeg_mp4(_frames(1, w=20, h=16))),
+            (3, b"garbage not a movie"),
+        ]
+        df = spark.createDataFrame(blobs, "media_id long, content binary")
+        rows = video_keyframes(df, stride=2).collect()
+        by_id: dict = {}
+        for r in rows:
+            by_id.setdefault(r["media_id"], []).append(r)
+        assert [r["frame_idx"] for r in sorted(by_id[1], key=lambda r: r["frame_idx"])] == [0, 2]
+        assert all(r["n_frames"] == 4 for r in by_id[1])
+        assert by_id[2][0]["width"] == 20 and by_id[2][0]["height"] == 16
+        assert by_id[3][0]["decode_error"] is not None
+
+    def test_video_neardup_via_frame_hashes(self, spark):
+        """The same clip re-encoded at a different JPEG quality pairs up
+        frame-for-frame through the shared banded-Hamming join."""
+        from opentelemetry_iceberg_exporter_spark.operators.image_dedup import (
+            banded_hamming_pairs,
+        )
+        from pyspark.sql import functions as F
+
+        base_imgs = [_smooth(48, 32), _smooth(64, 40)]
+        clip_hq = make_mjpeg_mp4([make_jpeg(i, quality=92) for i in base_imgs])
+        clip_lq = make_mjpeg_mp4([make_jpeg(i, quality=70) for i in base_imgs])
+        other = make_mjpeg_mp4([make_jpeg(255 - _smooth(48, 32), quality=90)])
+        df = spark.createDataFrame(
+            [(1, clip_hq), (2, clip_lq), (3, other)],
+            "media_id long, content binary",
+        )
+        kf = video_keyframes(df).filter(F.col("dhash").isNotNull())
+        # per-video signature rows: hash each sampled frame
+        sigs = kf.select(
+            (F.col("media_id") * 1000 + F.col("frame_idx")).alias("fid"),
+            F.col("media_id"),
+            F.col("dhash"),
+        )
+        pairs = banded_hamming_pairs(
+            sigs.select(F.col("fid").alias("media_id"), "dhash"),
+            "media_id",
+            "dhash",
+            max_distance=10,
+        ).collect()
+        matched = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1000, 2000) in matched  # frame 0 of clip 1 ~ frame 0 of clip 2
+        assert (1001, 2001) in matched
+        assert not any(a // 1000 == 3 or b // 1000 == 3 for a, b in matched)
