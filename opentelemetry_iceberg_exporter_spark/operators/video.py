@@ -272,6 +272,74 @@ def video_keyframes(
     return df.mapInPandas(batches, schema=KEYFRAME_SCHEMA)
 
 
+def video_neardup_pairs(
+    keyframes: DataFrame,
+    min_frame_fraction: float = 0.5,
+    max_distance: int = 10,
+) -> DataFrame:
+    """(id_a, id_b, matched_frames, frac_a, frac_b): clip-level near-dup
+    pairs from `video_keyframes` output — two clips pair when at least
+    `min_frame_fraction` of the SMALLER clip's sampled frames have a
+    perceptual-hash match in the other (re-encodes, resolution ladders,
+    trailing-credit trims).
+
+    Shape: one banded-Hamming join over ALL frames of all clips
+    (image_dedup.banded_hamming_pairs — O(frames x bands), never
+    all-pairs), then a per-clip-pair aggregate. A frame matching several
+    frames of the other clip counts once (distinct on the frame id)."""
+    from pyspark.sql import functions as F
+
+    from .image_dedup import banded_hamming_pairs
+
+    frames = keyframes.filter(F.col("dhash").isNotNull()).select(
+        F.col("media_id"),
+        F.col("frame_idx"),
+        F.col("dhash"),
+        F.concat_ws("#", "media_id", "frame_idx").alias("fid"),
+    ).localCheckpoint(eager=False)
+    per_clip = frames.groupBy("media_id").agg(
+        F.count("*").alias("n_sampled")
+    )
+    fp = banded_hamming_pairs(
+        frames.select(F.col("fid").alias("media_id"), "dhash"),
+        "media_id",
+        "dhash",
+        max_distance,
+    ).select(
+        F.split(F.col("id_a"), "#")[0].cast("long").alias("va"),
+        F.col("id_a").alias("fa"),
+        F.split(F.col("id_b"), "#")[0].cast("long").alias("vb"),
+        F.col("id_b").alias("fb"),
+    ).filter(F.col("va") != F.col("vb"))
+    # orient pairs (lower id first) and count DISTINCT matched frames
+    # on each side
+    oriented = fp.select(
+        F.least("va", "vb").alias("id_a"),
+        F.greatest("va", "vb").alias("id_b"),
+        F.when(F.col("va") < F.col("vb"), F.col("fa")).otherwise(F.col("fb")).alias("fa"),
+        F.when(F.col("va") < F.col("vb"), F.col("fb")).otherwise(F.col("fa")).alias("fb"),
+    )
+    counts = oriented.groupBy("id_a", "id_b").agg(
+        F.count_distinct("fa").alias("m_a"),
+        F.count_distinct("fb").alias("m_b"),
+    )
+    na = per_clip.select(F.col("media_id").alias("id_a"), F.col("n_sampled").alias("n_a"))
+    nb = per_clip.select(F.col("media_id").alias("id_b"), F.col("n_sampled").alias("n_b"))
+    return (
+        counts.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "matched_frames", F.least("m_a", "m_b")
+        )
+        .withColumn("frac_a", F.col("m_a") / F.col("n_a"))
+        .withColumn("frac_b", F.col("m_b") / F.col("n_b"))
+        .filter(
+            F.greatest("frac_a", "frac_b") >= F.lit(float(min_frame_fraction))
+        )
+        .select("id_a", "id_b", "matched_frames", "frac_a", "frac_b")
+    )
+
+
 VIDEO_PROBE_SCHEMA = (
     "media_id long, timescale long, duration_units long, duration_s double, "
     "n_tracks int, handlers array<string>, probe_error string"

@@ -156,6 +156,39 @@ class TestKeyframesThroughSpark:
         assert by_id[2][0]["width"] == 20 and by_id[2][0]["height"] == 16
         assert by_id[3][0]["decode_error"] is not None
 
+    def test_clip_level_neardup_pairs(self, spark):
+        """Re-encoded clip pairs at the clip level; a clip sharing only
+        one of its frames does not (fraction threshold)."""
+        from opentelemetry_iceberg_exporter_spark.operators.video import (
+            video_neardup_pairs,
+        )
+        from test_image_dedup import _photo
+
+        # genuinely distinct frames — seeds chosen mutually >14 bits apart
+        # (the _photo generator reuses structure across many seeds; a
+        # scaled copy of ONE gradient would make every frame pair match)
+        imgs = [_photo(20), _photo(21), _photo(22)]
+        clip_hq = make_mjpeg_mp4([make_jpeg(i, quality=92) for i in imgs])
+        clip_lq = make_mjpeg_mp4([make_jpeg(i, quality=70) for i in imgs])
+        partial = make_mjpeg_mp4(
+            [make_jpeg(imgs[0], quality=85),
+             make_jpeg(_photo(23), quality=85),
+             make_jpeg(_photo(25), quality=85)]
+        )
+        df = spark.createDataFrame(
+            [(1, clip_hq), (2, clip_lq), (3, partial)],
+            "media_id long, content binary",
+        )
+        kf = video_keyframes(df)
+        pairs = {
+            (r["id_a"], r["id_b"]): r
+            for r in video_neardup_pairs(kf, min_frame_fraction=0.6).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)]["matched_frames"] == 3
+        assert pairs[(1, 2)]["frac_a"] == 1.0
+        # partial shares 1/3 of its frames -> below the 0.6 threshold
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
     def test_video_neardup_via_frame_hashes(self, spark):
         """The same clip re-encoded at a different JPEG quality pairs up
         frame-for-frame through the shared banded-Hamming join."""
