@@ -189,11 +189,71 @@ def mjpeg_samples(content: bytes) -> list:
     return out
 
 
+# -- AVI (RIFF) Motion-JPEG ------------------------------------------------
+
+AVI_MJPEG_HANDLERS = {b"MJPG", b"mjpg", b"jpeg", b"dmb1"}
+
+
+def _riff_chunks(buf: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for RIFF chunks (word-
+    aligned, little-endian sizes)."""
+    pos = start
+    while pos + 8 <= end:
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = pos + 8
+        if body + size > end:
+            return
+        yield cid, body, body + size
+        pos = body + size + (size & 1)  # chunks pad to even
+
+
+def mjpeg_samples_avi(content: bytes) -> list:
+    """[(absolute_offset, size)] of the video frames of an MJPEG AVI:
+    walk hdrl->strl->strh to confirm a 'vids' stream with an MJPEG
+    handler, then collect the movi list's 00dc/00db chunks (the
+    stream-0 video frames — each a complete baseline JPEG)."""
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    video_handler = None
+    samples = []
+    for cid, s, e in _riff_chunks(content, 12, len(content)):
+        if cid != b"LIST":
+            continue
+        subtype = content[s : s + 4]
+        if subtype == b"hdrl":
+            for c2, s2, e2 in _riff_chunks(content, s + 4, e):
+                if c2 == b"LIST" and content[s2 : s2 + 4] == b"strl":
+                    for c3, s3, _e3 in _riff_chunks(content, s2 + 4, e2):
+                        if c3 == b"strh" and content[s3 : s3 + 4] == b"vids":
+                            video_handler = content[s3 + 4 : s3 + 8]
+        elif subtype == b"movi":
+            for c2, s2, e2 in _riff_chunks(content, s + 4, e):
+                if c2 in (b"00dc", b"00db"):
+                    samples.append((s2, e2 - s2))
+    if video_handler is None:
+        raise ValueError("AVI has no video stream header")
+    if video_handler not in AVI_MJPEG_HANDLERS:
+        raise NotImplementedError(
+            f"AVI codec {video_handler!r} needs a codec library; only "
+            "MJPEG frames decode natively"
+        )
+    return samples
+
+
+def video_samples(content: bytes) -> list:
+    """Container dispatch: MJPEG sample list for ISO BMFF or AVI."""
+    if content[:4] == b"RIFF":
+        return mjpeg_samples_avi(content)
+    return mjpeg_samples(content)
+
+
 def decode_mjpeg_frame(content: bytes, index: int):
-    """(H, W, 3) uint8 RGB of sample `index` (native T.81 decode)."""
+    """(H, W, 3) uint8 RGB of sample `index` (native T.81 decode;
+    ISO BMFF or AVI container)."""
     from .jpeg import decode_jpeg
 
-    samples = mjpeg_samples(content)
+    samples = video_samples(content)
     off, size = samples[index]
     if off + size > len(content):
         raise ValueError("sample extends past end of file")
@@ -228,7 +288,7 @@ def video_keyframes(
             for mid, content in zip(pdf[id_col], pdf[content_col]):
                 b = bytes(content)
                 try:
-                    samples = mjpeg_samples(b)
+                    samples = video_samples(b)
                     n = len(samples)
                     for idx in range(0, n, max(1, stride)):
                         off, size = samples[idx]

@@ -129,6 +129,70 @@ class TestSampleTables:
             mjpeg_samples(b"RIFF....WAVE")
 
 
+def make_mjpeg_avi(frames: list, handler: bytes = b"MJPG") -> bytes:
+    """Minimal RIFF/AVI with a vids stream and 00dc MJPEG frames."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(subtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", subtype + body)
+
+    strh = chunk(b"strh", b"vids" + handler + bytes(48))
+    strf = chunk(b"strf", bytes(40))
+    hdrl = lst(b"hdrl", chunk(b"avih", bytes(56)) + lst(b"strl", strh + strf))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+class TestAviContainer:
+    def test_avi_samples_and_decode(self):
+        from opentelemetry_iceberg_exporter_spark.operators.video import (
+            mjpeg_samples_avi,
+        )
+
+        frames = _frames(3, w=36, h=28)
+        avi = make_mjpeg_avi(frames)
+        samples = mjpeg_samples_avi(avi)
+        assert len(samples) == 3
+        for i, (off, size) in enumerate(samples):
+            assert avi[off : off + size] == frames[i]
+        arr = decode_mjpeg_frame(avi, 1)
+        assert arr.shape == (28, 40, 3)
+
+    def test_avi_odd_sized_frames_pad(self):
+        # force an odd-length frame to exercise word alignment
+        frames = _frames(2)
+        if len(frames[0]) % 2 == 0:
+            frames[0] += b"\xff\xd9"[:1]  # still decodes (trailing byte)
+        from opentelemetry_iceberg_exporter_spark.operators.video import (
+            mjpeg_samples_avi,
+        )
+
+        avi = make_mjpeg_avi(frames)
+        samples = mjpeg_samples_avi(avi)
+        assert avi[samples[1][0] : samples[1][0] + samples[1][1]] == frames[1]
+
+    def test_avi_foreign_codec_stubs(self):
+        from opentelemetry_iceberg_exporter_spark.operators.video import (
+            mjpeg_samples_avi,
+        )
+
+        with pytest.raises(NotImplementedError, match="codec"):
+            mjpeg_samples_avi(make_mjpeg_avi(_frames(1), handler=b"H264"))
+
+    def test_avi_through_spark_keyframes(self, spark):
+        frames = _frames(2, w=24, h=20)
+        df = spark.createDataFrame(
+            [(1, make_mjpeg_avi(frames))], "media_id long, content binary"
+        )
+        rows = video_keyframes(df).collect()
+        assert len(rows) == 2
+        assert rows[0]["width"] == 24 and rows[0]["n_frames"] == 2
+
+
 class TestFrameDecode:
     def test_decode_frames_roundtrip_dims(self):
         frames = _frames(3, w=40, h=24)
