@@ -170,6 +170,25 @@ def main(argv: list[str] | None = None) -> int:
     pad.add_argument("--max-distance", type=int, default=8)
     pad.add_argument("--pairs-only", action="store_true")
 
+    pvd = sub.add_parser(
+        "video-dedup",
+        help="clip-level MJPEG near-dup: decode keyframes (MP4 or AVI "
+        "containers), hash each frame, pair clips whose frames match",
+    )
+    pvd.add_argument("--input", required=True, help="parquet with (id, binary content)")
+    pvd.add_argument("--output", required=True, help="output dir (parquet)")
+    pvd.add_argument("--id-col", default="media_id")
+    pvd.add_argument("--content-col", default="content")
+    pvd.add_argument("--stride", type=int, default=1, help="sample every Nth frame")
+    pvd.add_argument("--min-frame-fraction", type=float, default=0.5)
+    pvd.add_argument("--max-distance", type=int, default=10)
+    pvd.add_argument(
+        "--pairs-only",
+        action="store_true",
+        help="write (id_a, id_b, matched_frames, frac_a, frac_b) pairs "
+        "instead of connected-component groups",
+    )
+
     pdi = sub.add_parser(
         "dedup-ingest",
         help="incremental dedup: filter a NEW batch of documents against a "
@@ -694,6 +713,41 @@ def main(argv: list[str] | None = None) -> int:
             out = groups
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"rows": out.count(), "method": args.method}))
+        return 0
+
+    if args.cmd == "video-dedup":
+        from pyspark.sql import functions as F
+
+        from .operators.dedup import dedup_groups
+        from .operators.video import video_keyframes, video_neardup_pairs
+
+        media = spark.read.parquet(args.input)
+        kf = video_keyframes(
+            media, args.id_col, args.content_col, stride=args.stride
+        )
+        pairs = video_neardup_pairs(
+            kf,
+            min_frame_fraction=args.min_frame_fraction,
+            max_distance=args.max_distance,
+        )
+        if args.pairs_only:
+            out = pairs
+        else:
+            out = dedup_groups(
+                media.select(F.col(args.id_col).alias("media_id")),
+                pairs.select("id_a", "id_b"),
+                "media_id",
+            )
+        out.write.mode("overwrite").parquet(args.output)
+        print(
+            json.dumps(
+                {
+                    "cmd": "video-dedup",
+                    "rows": out.count(),
+                    "mode": "pairs" if args.pairs_only else "groups",
+                }
+            )
+        )
         return 0
 
     if args.cmd in ("image-dedup", "audio-dedup"):

@@ -253,6 +253,53 @@ class TestKeyframesThroughSpark:
         # partial shares 1/3 of its frames -> below the 0.6 threshold
         assert (1, 3) not in pairs and (2, 3) not in pairs
 
+    def test_video_dedup_cli_groups(self, spark, tmp_path, capsys):
+        import duckdb
+        import json
+
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+        from test_image_dedup import _photo
+
+        imgs = [_photo(20), _photo(21)]
+        inp = str(tmp_path / "media")
+        spark.createDataFrame(
+            [
+                (1, make_mjpeg_mp4([make_jpeg(i, quality=92) for i in imgs])),
+                (2, make_mjpeg_avi([make_jpeg(i, quality=72) for i in imgs])),
+                (3, make_mjpeg_mp4([make_jpeg(_photo(23), quality=90)])),
+            ],
+            "media_id long, content binary",
+        ).write.parquet(inp)
+        out = str(tmp_path / "groups")
+        rc = main(["video-dedup", "--input", inp, "--output", out])
+        assert rc == 0
+        assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"] == 3
+        rows = duckdb.sql(
+            f"SELECT media_id, group_id, is_canonical FROM '{out}/*.parquet' ORDER BY media_id"
+        ).fetchall()
+        # the MP4 and its AVI re-encode group together across containers
+        assert rows == [(1, 1, True), (2, 1, False), (3, 3, True)]
+
+    def test_parser_fuzz_only_contract_errors(self):
+        """Corrupt container bytes must raise only ValueError /
+        NotImplementedError — anything else would fail Arrow batches."""
+        import numpy as np
+
+        from opentelemetry_iceberg_exporter_spark.operators.video import (
+            video_samples,
+        )
+
+        rng = np.random.RandomState(11)
+        seeds = [b"RIFF", b"RIFF\x10\x00\x00\x00AVI ", b"\x00\x00\x00\x18ftypisom",
+                 b"", b"\x00\x00\x00\x08moov"]
+        for seed in seeds:
+            for n in (0, 7, 40, 200):
+                junk = seed + rng.bytes(n)
+                try:
+                    video_samples(junk)
+                except (ValueError, NotImplementedError):
+                    pass
+
     def test_video_neardup_via_frame_hashes(self, spark):
         """The same clip re-encoded at a different JPEG quality pairs up
         frame-for-frame through the shared banded-Hamming join."""
