@@ -93,6 +93,36 @@ class TestTraining:
         assert "est" + EOW in built
 
 
+class TestPropertyVsReference:
+    def test_random_corpora_match_reference(self, spark):
+        """Randomized corpora (repeated words from a tiny alphabet so
+        merges are dense and ties are frequent) must produce the exact
+        reference merge sequence — the tie-break rule is where a
+        distributed reimplementation would silently drift."""
+        import random
+
+        rng = random.Random(17)
+        vocab = ["ab", "abc", "bca", "cab", "aab", "bc", "ca"]
+        for trial in range(5):
+            docs = [
+                (
+                    f"d{i}",
+                    " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12))),
+                )
+                for i in range(6)
+            ]
+            n_merges = rng.randint(2, 10)
+            model = train_bpe(
+                spark,
+                spark.createDataFrame(docs, ["doc_id", "text"]),
+                "text",
+                num_merges=n_merges,
+                min_freq=2,
+            )
+            ref_merges, _ = ref_train([t for _, t in docs], n_merges, min_freq=2)
+            assert model.merges == ref_merges, f"trial {trial}: {docs}"
+
+
 class TestEncoding:
     def test_encode_word_matches_training_segmentation(self, spark):
         model = train_bpe(spark, _df(spark), "text", num_merges=8)

@@ -280,6 +280,28 @@ class TestKeyframesThroughSpark:
         # the MP4 and its AVI re-encode group together across containers
         assert rows == [(1, 1, True), (2, 1, False), (3, 3, True)]
 
+    def test_wav_mutation_fuzz_only_contract_errors(self):
+        """Random mutations/truncations of a valid WAV through
+        decode_wav must raise only the contract errors — the
+        audio_features batch-safety guarantee."""
+        import numpy as np
+
+        from opentelemetry_iceberg_exporter_spark.operators.audio import (
+            decode_wav,
+        )
+        from test_audio_video import make_wav, sine
+
+        rng = np.random.RandomState(9)
+        valid = bytearray(make_wav(sine(seconds=0.05), 8000))
+        for _ in range(200):
+            m = bytearray(valid)
+            for _ in range(rng.randint(1, 6)):
+                m[rng.randint(0, len(m))] = rng.randint(0, 256)
+            try:
+                decode_wav(bytes(m[: rng.randint(8, len(m))]))
+            except (ValueError, NotImplementedError):
+                pass
+
     def test_parser_fuzz_only_contract_errors(self):
         """Corrupt container bytes must raise only ValueError /
         NotImplementedError — anything else would fail Arrow batches."""
