@@ -357,16 +357,32 @@ def register_iceberg_source(spark) -> None:
     spark.dataSource.register(IcebergFsDataSource)
 
 
+BROADCAST_ROW_THRESHOLD = 2_000_000
+
+
 def register_table_views(
-    spark, warehouse: str, namespace: str | None = None
+    spark,
+    warehouse: str,
+    namespace: str | None = None,
+    broadcast_threshold: int = BROADCAST_ROW_THRESHOLD,
 ) -> dict[str, str]:
     """Register every fs-catalog table as a temp view named
     ``<namespace>_<table>`` over the jar-less iceberg_fs format, so the
     whole warehouse is queryable with plain ``spark.sql`` (the `sql`
     CLI drives this). Returns {view_name: table_location}. Reads get
     the full data source behavior: pushed-filter hidden-partition file
-    pruning, merge-on-read deletes, field-id column resolution."""
-    from ..sinks.iceberg_fs import FsCatalog
+    pruning, merge-on-read deletes, field-id column resolution.
+
+    Catalog-statistics-driven planning: each table's live row count
+    comes from the MANIFEST record counts (pure metadata — no scan),
+    and tables under ``broadcast_threshold`` rows register with a
+    broadcast hint, so star joins written in plain SQL get dimension
+    broadcasts without the Python Data Source needing Spark-side
+    statistics plumbing (the v2 relation reports no sizeInBytes, which
+    would otherwise default every join to sort-merge)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ..sinks.iceberg_fs import FsCatalog, FsTable
 
     register_iceberg_source(spark)
     catalog = FsCatalog(warehouse)
@@ -375,9 +391,12 @@ def register_table_views(
     for ns in namespaces:
         for name in catalog.list_tables(ns):
             location = catalog.table_location(ns, name)
+            data, _ = FsTable(location).plan_files()
+            n_rows = sum(f.record_count for f in data)
+            df = spark.read.format("iceberg_fs").load(location)
+            if n_rows <= broadcast_threshold:
+                df = df.hint("broadcast")
             view = f"{ns}_{name}"
-            spark.read.format("iceberg_fs").load(location).createOrReplaceTempView(
-                view
-            )
+            df.createOrReplaceTempView(view)
             views[view] = location
     return views

@@ -91,6 +91,39 @@ class TestRegisterViews:
         assert cat.list_tables("otel") == ["events"]
         assert cat.list_tables("missing") == []
 
+    def test_small_tables_register_with_broadcast_hint(self, spark, warehouse):
+        """Manifest row counts drive a broadcast hint, so SQL star joins
+        broadcast the dimension side without explicit hints (the Python
+        Data Source reports no sizeInBytes, which would otherwise make
+        every join sort-merge)."""
+        wh, _ = warehouse
+        register_table_views(spark, wh)
+        plan = (
+            spark.sql(
+                "SELECT team, COUNT(*) AS n FROM otel_events e "
+                "JOIN ref_services s ON e.service = s.service GROUP BY team"
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_broadcast_threshold_zero_disables_hint(self, spark, warehouse):
+        wh, _ = warehouse
+        register_table_views(spark, wh, broadcast_threshold=0)
+        plan = (
+            spark.sql(
+                "SELECT COUNT(*) AS n FROM otel_events e "
+                "JOIN ref_services s ON e.service = s.service"
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" not in plan or "SortMergeJoin" in plan
+
     def test_views_see_deletes(self, spark, warehouse):
         wh, cat = warehouse
         cat.load_table("otel", "events").delete_where(spark, "id < 5")
