@@ -129,6 +129,68 @@ def _decode_bmp(content: bytes):
     return pix[:, :, ::-1].copy()  # BGR -> RGB
 
 
+TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
+
+
+def _decode_tiff(content: bytes):
+    """REAL decoder for baseline TIFF (6.0 spec): both byte orders,
+    uncompressed 8-bit chunky RGB or grayscale, strip-based layout
+    (StripOffsets/StripByteCounts/RowsPerStrip). Compressed variants
+    (LZW/PackBits/JPEG-in-TIFF), planar, and >8-bit raise — the same
+    honest-subset policy as the other codecs."""
+    import struct as _s
+
+    import numpy as np
+
+    bo = "<" if content[:2] == b"II" else ">"
+    (ifd_off,) = _s.unpack_from(bo + "I", content, 4)
+    (n_entries,) = _s.unpack_from(bo + "H", content, ifd_off)
+    type_size = {1: 1, 3: 2, 4: 4}
+    type_code = {1: "B", 3: "H", 4: "I"}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        tag, typ = _s.unpack_from(bo + "HH", content, base)
+        (count,) = _s.unpack_from(bo + "I", content, base + 4)
+        if typ not in type_size:
+            continue  # RATIONAL/ASCII metadata tags are irrelevant here
+        total = type_size[typ] * count
+        off = base + 8 if total <= 4 else _s.unpack_from(bo + "I", content, base + 8)[0]
+        tags[tag] = list(
+            _s.unpack_from(bo + type_code[typ] * count, content, off)
+        )
+    try:
+        width = tags[256][0]
+        height = tags[257][0]
+        strip_offsets = tags[273]
+        strip_counts = tags[279]
+    except KeyError as exc:
+        raise ValueError(f"TIFF missing required tag {exc}") from exc
+    compression = tags.get(259, [1])[0]
+    if compression != 1:
+        raise NotImplementedError(
+            f"TIFF compression {compression} not supported (uncompressed only)"
+        )
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits):
+        raise NotImplementedError("only 8-bit TIFF supported")
+    spp = tags.get(277, [1])[0]
+    if tags.get(284, [1])[0] != 1:
+        raise NotImplementedError("planar TIFF not supported")
+    if spp not in (1, 3):
+        raise NotImplementedError(f"{spp} samples/pixel not supported")
+    data = b"".join(
+        content[o : o + c] for o, c in zip(strip_offsets, strip_counts)
+    )
+    need = width * height * spp
+    if len(data) < need:
+        raise ValueError("TIFF strips shorter than the raster")
+    arr = np.frombuffer(data[:need], dtype=np.uint8).reshape(height, width, spp)
+    if spp == 1:
+        arr = arr.repeat(3, axis=2)
+    return arr
+
+
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel
@@ -272,6 +334,8 @@ def decode_image(content: bytes) -> Any:
             from .gif import decode_gif
 
             return decode_gif(content)
+        if content[:4] in TIFF_MAGICS:
+            return _decode_tiff(content)
     except (ValueError, NotImplementedError):
         raise
     except Exception as exc:

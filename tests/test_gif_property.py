@@ -51,7 +51,8 @@ def test_clear_flood_encoder_roundtrip(dims, exp, data):
 @settings(max_examples=60, deadline=None)
 @given(
     magic=st.sampled_from([b"P6", b"BM", b"\x89PNG\r\n\x1a\n", b"\xff\xd8",
-                           b"GIF87a", b"GIF89a", b"RIFF", b""]),
+                           b"GIF87a", b"GIF89a", b"II*\x00", b"MM\x00*",
+                           b"RIFF", b""]),
     junk=st.binary(min_size=0, max_size=200),
 )
 def test_decode_image_corrupt_inputs_raise_only_contract_errors(magic, junk):

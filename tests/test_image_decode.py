@@ -265,3 +265,100 @@ def test_real_decode_through_spark(spark):
     again = {r["media_id"]: r["pixels_md5"]
              for r in resize_media(df2, fake_decode=False).collect()}
     assert again[1] == again[9] == resized[1]["pixels_md5"]
+
+
+# ---------------------------------------------------------------- TIFF
+def make_tiff(arr: np.ndarray, big_endian: bool = False,
+              rows_per_strip: int | None = None, gray: bool = False) -> bytes:
+    """Independent baseline-TIFF encoder (6.0 spec): header, strips,
+    then one IFD with the required tags; values >4 bytes stored
+    out-of-line after the IFD."""
+    bo = ">" if big_endian else "<"
+    h, w = arr.shape[:2]
+    spp = 1 if gray else 3
+    raster = (arr[:, :, 0] if gray else arr).tobytes()
+    rps = rows_per_strip or h
+    strips = [
+        raster[i * rps * w * spp : (i + 1) * rps * w * spp]
+        for i in range((h + rps - 1) // rps)
+    ]
+    header = (b"MM" if big_endian else b"II") + struct.pack(bo + "H", 42)
+    # layout: header(8) | strip data | IFD | out-of-line values
+    strip_start = 8
+    offsets, pos = [], strip_start
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    ifd_off = pos
+    header += struct.pack(bo + "I", ifd_off)
+
+    entries = []  # (tag, type, count, packed_value_or_None, extra_list)
+    def entry(tag, typ, values):
+        entries.append((tag, typ, values))
+
+    entry(256, 4, [w])
+    entry(257, 4, [h])
+    entry(258, 3, [8] * spp)
+    entry(259, 3, [1])
+    entry(262, 3, [1 if gray else 2])
+    entry(273, 4, offsets)
+    entry(277, 3, [spp])
+    entry(278, 4, [rps])
+    entry(279, 4, [len(s) for s in strips])
+    entry(284, 3, [1])
+    entries.sort()
+
+    tsize = {3: 2, 4: 4}
+    tcode = {3: "H", 4: "I"}
+    extra_off = ifd_off + 2 + 12 * len(entries) + 4
+    ifd = struct.pack(bo + "H", len(entries))
+    extra = b""
+    for tag, typ, values in entries:
+        total = tsize[typ] * len(values)
+        ifd += struct.pack(bo + "HHI", tag, typ, len(values))
+        if total <= 4:
+            packed = struct.pack(bo + tcode[typ] * len(values), *values)
+            ifd += packed + b"\x00" * (4 - len(packed))
+        else:
+            ifd += struct.pack(bo + "I", extra_off + len(extra))
+            extra += struct.pack(bo + tcode[typ] * len(values), *values)
+    ifd += struct.pack(bo + "I", 0)  # no next IFD
+    return header + b"".join(strips) + ifd + extra
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+@pytest.mark.parametrize("w,h", [(5, 3), (16, 11)])
+def test_tiff_rgb_roundtrip(w, h, big_endian):
+    img = _rgb(w, h)
+    got = decode_image(make_tiff(img, big_endian=big_endian))
+    assert np.array_equal(got, img)
+
+
+def test_tiff_multi_strip():
+    img = _rgb(9, 10)
+    got = decode_image(make_tiff(img, rows_per_strip=3))
+    assert np.array_equal(got, img)
+
+
+def test_tiff_grayscale_replicates():
+    img = _rgb(6, 4)
+    got = decode_image(make_tiff(img, gray=True))
+    assert np.array_equal(got, img[:, :, :1].repeat(3, axis=2))
+
+
+def test_tiff_compressed_stubs():
+    img = _rgb(4, 4)
+    data = bytearray(make_tiff(img))
+    # flip the Compression tag value (259, type SHORT) to 5 (LZW)
+    idx = data.find(struct.pack("<HH", 259, 3))
+    assert idx > 0
+    data[idx + 8] = 5
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_image(bytes(data))
+
+
+def test_tiff_truncated_raises_valueerror():
+    img = _rgb(8, 8)
+    data = make_tiff(img)
+    with pytest.raises(ValueError):
+        decode_image(data[: len(data) // 3])
