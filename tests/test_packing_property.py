@@ -64,12 +64,21 @@ def test_ffd_reference_invariants(sizes, budget):
     for b, load in loads.items():
         if load > budget:
             assert len(members[b]) == 1 and members[b][0][2]
-    # FFD bound: bins <= 11/9 * OPT + 1 where OPT >= ceil(total/budget)
+    # first-fit invariant (valid for ANY input — the 11/9*OPT+1 bound
+    # needs the TRUE optimum, and ceil(total/budget) underrates it when
+    # items are pairwise incompatible, e.g. five ~budget/2+1 items):
+    # at most ONE non-overflow bin can end at or below half budget,
+    # because a second one's items would have fit in the first.
     packable = [t for _, t in items if t <= budget]
     n_over = len(items) - len(packable)
-    if packable:
-        ideal = math.ceil(sum(packable) / budget)
-        assert len(bins) - n_over <= (11 * ideal) // 9 + 1
+    light = [
+        load
+        for b, load in loads.items()
+        if load <= budget // 2 and not members[b][0][2]
+    ]
+    assert len(light) <= 1
+    # and the overflow-adjusted bin count never exceeds the item count
+    assert len(bins) - n_over <= len(packable)
 
 
 # -- concat-chunk offset math reference -----------------------------------
