@@ -534,6 +534,14 @@ def main(argv: list[str] | None = None) -> int:
     psql.add_argument("--output", default=None, help="write parquet here instead of printing")
     psql.add_argument("--limit", type=int, default=100, help="max printed rows")
 
+    pcs = sub.add_parser(
+        "column-stats",
+        help="print a table's registered per-column NDV statistics "
+        "(Puffin) as JSON; --snapshot-id for historical entries",
+    )
+    _add_catalog_args(pcs)
+    pcs.add_argument("--snapshot-id", type=int, default=None)
+
     pdel = sub.add_parser(
         "delete",
         help="row-level delete: purge rows matching a SQL predicate "
@@ -1395,6 +1403,24 @@ def main(argv: list[str] | None = None) -> int:
                     {"cmd": "sql", "views": sorted(views), "rows": len(rows)}
                 )
             )
+        return 0
+
+    if args.cmd == "column-stats":
+        table = _load_cli_table(args)
+        stats = table.column_stats(snapshot_id=args.snapshot_id)
+        print(
+            json.dumps(
+                {
+                    col: {
+                        "ndv": s["ndv"],
+                        "exact": s["exact"],
+                        "estimate": round(s["estimate"], 2),
+                        "sketch_size": len(s["sketch"]),
+                    }
+                    for col, s in sorted(stats.items())
+                }
+            )
+        )
         return 0
 
     if args.cmd == "delete":

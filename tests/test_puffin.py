@@ -392,6 +392,23 @@ class TestCli:
         assert out["column_stats"].endswith(".puffin")
         assert t.column_stats()["id"]["ndv"] == 20
 
+    def test_column_stats_reader_cli(self, spark, tmp_path, capsys):
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        t = _table(tmp_path)
+        t.append_dataframe(_df(spark, n=12, cats=3))
+        t.compute_column_stats(spark)
+        rc = main(
+            [
+                "column-stats", "--warehouse", str(tmp_path / "wh"),
+                "--namespace", "stats", "--table", "events",
+            ]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["category"]["ndv"] == 3 and out["category"]["exact"]
+        assert out["id"]["sketch_size"] == 12
+
     def test_maintain_column_stats(self, spark, tmp_path, capsys):
         from opentelemetry_iceberg_exporter_spark.__main__ import main
 
