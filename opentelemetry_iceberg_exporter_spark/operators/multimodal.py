@@ -66,15 +66,11 @@ FEATURE_SCHEMA = StructType(
 RESIZE_TARGET = 64  # fit-within box for the resize geometry
 
 
-def _decode_ppm(content: bytes):
-    """REAL decoder for binary PPM (P6): pure numpy, no codec libraries.
-
-    Header per the Netpbm spec: 'P6', then width/height/maxval as ASCII
-    tokens separated by whitespace, '#' comments allowed between tokens,
-    one whitespace byte after maxval, then raw RGB rows.
-    """
-    import numpy as np
-
+def _pnm_header(content: bytes) -> tuple[list[int], int]:
+    """Parse the Netpbm ASCII header tokens after the magic: width/
+    height/maxval separated by whitespace, '#' comments allowed between
+    tokens. Returns (tokens, position after the single whitespace that
+    terminates the header)."""
     pos = 2  # past magic
     tokens: list[int] = []
     while len(tokens) < 3:
@@ -88,13 +84,34 @@ def _decode_ppm(content: bytes):
         while pos < len(content) and not content[pos : pos + 1].isspace():
             pos += 1
         tokens.append(int(content[start:pos]))
-    pos += 1  # the single whitespace after maxval
-    w, h, maxval = tokens
+    return tokens, pos + 1  # the single whitespace after maxval
+
+
+def _decode_ppm(content: bytes):
+    """REAL decoder for the Netpbm family: binary PPM 'P6' and PGM 'P5'
+    (raw RGB / grayscale rows), plus the ASCII 'P3'/'P2' forms
+    (whitespace-separated decimal samples). Pure numpy, no codec
+    libraries; grayscale replicates to 3 channels."""
+    import numpy as np
+
+    magic = content[:2]
+    (w, h, maxval), pos = _pnm_header(content)
     if maxval > 255:
-        raise NotImplementedError("16-bit PPM not supported")
-    n = w * h * 3
-    arr = np.frombuffer(content, dtype=np.uint8, count=n, offset=pos)
-    return arr.reshape(h, w, 3)
+        raise NotImplementedError("16-bit PNM not supported")
+    channels = 3 if magic in (b"P6", b"P3") else 1
+    n = w * h * channels
+    if magic in (b"P6", b"P5"):
+        arr = np.frombuffer(content, dtype=np.uint8, count=n, offset=pos)
+    else:  # ASCII samples
+        samples = content[pos - 1 :].split()
+        if len(samples) < n:
+            raise ValueError("ASCII PNM has fewer samples than the raster")
+        arr = np.array([int(s) for s in samples[:n]], dtype=np.int64)
+        if arr.max(initial=0) > maxval or arr.min(initial=0) < 0:
+            raise ValueError("ASCII PNM sample out of range")
+        arr = arr.astype(np.uint8)
+    arr = arr.reshape(h, w, channels)
+    return arr.repeat(3, axis=2) if channels == 1 else arr
 
 
 def _decode_bmp(content: bytes):
@@ -320,7 +337,7 @@ def decode_image(content: bytes) -> Any:
     external library and raise.
     """
     try:
-        if content[:2] == b"P6":
+        if content[:2] in (b"P6", b"P5", b"P3", b"P2"):
             return _decode_ppm(content)
         if content[:2] == b"BM":
             return _decode_bmp(content)

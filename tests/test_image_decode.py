@@ -362,3 +362,38 @@ def test_tiff_truncated_raises_valueerror():
     data = make_tiff(img)
     with pytest.raises(ValueError):
         decode_image(data[: len(data) // 3])
+
+
+# ---------------------------------------------------------------- PNM family
+def test_pgm_p5_grayscale():
+    img = _rgb(7, 5)
+    gray = img[:, :, 0]
+    payload = b"P5\n7 5\n255\n" + gray.tobytes()
+    got = decode_image(payload)
+    assert np.array_equal(got, gray[:, :, None].repeat(3, axis=2))
+
+
+def test_ppm_p3_ascii():
+    img = _rgb(4, 3)
+    body = " ".join(str(int(v)) for v in img.reshape(-1))
+    payload = ("P3\n# ascii\n4 3\n255\n" + body).encode()
+    assert np.array_equal(decode_image(payload), img)
+
+
+def test_pgm_p2_ascii():
+    img = _rgb(5, 2)
+    gray = img[:, :, 0]
+    body = "\n".join(str(int(v)) for v in gray.reshape(-1))
+    payload = ("P2\n5 2\n255\n" + body).encode()
+    got = decode_image(payload)
+    assert np.array_equal(got, gray[:, :, None].repeat(3, axis=2))
+
+
+def test_ascii_pnm_out_of_range_raises():
+    with pytest.raises(ValueError, match="range"):
+        decode_image(b"P2\n2 1\n255\n300 1")
+
+
+def test_ascii_pnm_truncated_raises():
+    with pytest.raises(ValueError, match="fewer samples"):
+        decode_image(b"P3\n2 2\n255\n1 2 3")
