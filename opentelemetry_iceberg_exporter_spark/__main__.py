@@ -823,11 +823,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.output:
             res.decisions.write.mode("overwrite").parquet(args.output)
         if args.accepted_output:
+            kept_ids = res.decisions.filter(
+                F.col("status").isin("accepted", "unbandable")
+            ).select(F.col(args.id_col).alias("__kid"))
             batch.join(
-                res.decisions.filter(
-                    F.col("status").isin("accepted", "unbandable")
-                ).select(args.id_col),
-                args.id_col,
+                kept_ids,
+                batch[args.id_col].cast("string") == kept_ids["__kid"],
                 "semi",
             ).write.mode("overwrite").parquet(args.accepted_output)
         print(
@@ -882,11 +883,12 @@ def main(argv: list[str] | None = None) -> int:
 
         def on_batch(df, res):
             if args.accepted_output:
+                kept_ids = res.decisions.filter(
+                    F.col("status").isin("accepted", "unbandable")
+                ).select(F.col(args.id_col).alias("__kid"))
                 df.join(
-                    res.decisions.filter(
-                        F.col("status").isin("accepted", "unbandable")
-                    ).select(args.id_col),
-                    args.id_col,
+                    kept_ids,
+                    df[args.id_col].cast("string") == kept_ids["__kid"],
                     "semi",
                 ).write.mode("append").parquet(args.accepted_output)
 
@@ -926,6 +928,10 @@ def main(argv: list[str] | None = None) -> int:
             )
         benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
         lm_model = None
+        if bool(args.lm_reference) != (args.max_perplexity is not None):
+            raise SystemExit(
+                "--lm-reference and --max-perplexity must be given together"
+            )
         if args.lm_reference:
             from .operators.lm import train_bigram_lm
 

@@ -103,6 +103,13 @@ class AnnIndex:
         first ingested batch."""
         cents, _ = kmeans_fit(embeddings, id_col, vec_col, k=k, max_iter=max_iter)
         ct = _ensure(catalog, namespace, f"{name}_centroids", CENTROIDS_SCHEMA)
+        if ct.metadata().get("current-snapshot-id", -1) != -1:
+            # appending a second codebook would double every cell id and
+            # scatter assignments across two centroid sets
+            raise ValueError(
+                f"index {namespace}.{name} already exists — open() it, or "
+                "build under a new name to retrain"
+            )
         vt = _ensure(
             catalog,
             namespace,

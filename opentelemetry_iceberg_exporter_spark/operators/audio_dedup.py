@@ -130,7 +130,8 @@ def audio_signatures(
                 out.append({id_col: mid, "ahash": h})
             yield pd.DataFrame(out, columns=[id_col, "ahash"])
 
-    return df.mapInPandas(batches, schema=f"{id_col} long, ahash long")
+    id_type = dict(df.dtypes)[id_col]
+    return df.mapInPandas(batches, schema=f"{id_col} {id_type}, ahash long")
 
 
 def audio_neardup_pairs(

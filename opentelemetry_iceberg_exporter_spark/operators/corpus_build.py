@@ -86,12 +86,22 @@ def build_corpus(
 
     if boilerplate_max_docs is not None:
         rewritten = dedup_paragraphs(out, id_col, text_col, boilerplate_max_docs)
+        # LEFT join + coalesce: dedup_paragraphs emits no row for docs
+        # with empty/NULL text, and an inner join would silently drop
+        # them from the funnel — they pass through unchanged instead
+        # (downstream stages decide their fate, same as when this stage
+        # is disabled)
         out = (
-            out.drop(text_col)
+            out.withColumnRenamed(text_col, "__orig_text")
             .join(
-                rewritten.select(id_col, F.col("text_deduped").alias(text_col)),
+                rewritten.select(id_col, F.col("text_deduped").alias("__dedup_text")),
                 id_col,
+                "left",
             )
+            .withColumn(
+                text_col, F.coalesce("__dedup_text", "__orig_text")
+            )
+            .drop("__orig_text", "__dedup_text")
         )
         out = count("paragraph_dedup", out)
 

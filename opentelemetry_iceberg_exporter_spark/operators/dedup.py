@@ -190,6 +190,26 @@ def band_rows(sigs: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def band_pairs(rows: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a, id_b) candidate pairs from exploded band rows —
+    the self-join shared by the batch LSH operator and the incremental
+    index's within-batch pass (one skew/shape tweak serves both)."""
+    a = rows.alias("a")
+    b = rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band.
 
@@ -205,21 +225,7 @@ def minhash_lsh_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
     corpus and is the same lineage-truncation pattern the d07
     connected-components loop uses."""
     sigs = sigs.localCheckpoint(eager=False)
-    exploded = band_rows(sigs, id_col)
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+    return band_pairs(band_rows(sigs, id_col), id_col)
 
 
 def _signatures_oracle() -> str:

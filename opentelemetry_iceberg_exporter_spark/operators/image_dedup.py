@@ -84,7 +84,8 @@ def image_signatures(
                 out.append({id_col: mid, "dhash": h})
             yield pd.DataFrame(out, columns=[id_col, "dhash"])
 
-    return df.mapInPandas(batches, schema=f"{id_col} long, dhash long")
+    id_type = dict(df.dtypes)[id_col]
+    return df.mapInPandas(batches, schema=f"{id_col} {id_type}, dhash long")
 
 
 def _band_rows(sigs: DataFrame, id_col: str, hash_col: str) -> DataFrame:

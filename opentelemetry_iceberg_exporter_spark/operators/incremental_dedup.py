@@ -60,7 +60,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
-from .dedup import band_rows, dedup_groups, minhash_signatures
+from .dedup import band_pairs, band_rows, dedup_groups, minhash_signatures
 
 # one row per (accepted doc, LSH band)
 INDEX_SCHEMA = StructType(
@@ -144,6 +144,10 @@ class IncrementalDeduper:
         component is `accepted` and the rest are `duplicate` against it.
         """
         id_col = self.id_col
+        # the index stores STRING ids (INDEX_SCHEMA); normalize here so
+        # long-id corpora don't write type-mismatched index rows — all
+        # decision/match ids are therefore strings
+        batch = batch.withColumn(id_col, F.col(id_col).cast("string"))
         sigs = minhash_signatures(batch, id_col, self.text_col).localCheckpoint(
             eager=False
         )
@@ -174,19 +178,7 @@ class IncrementalDeduper:
         )
 
         # within-batch candidate components (candidate-graph-only CC)
-        a, b = rows.alias("a"), rows.alias("b")
-        pairs = (
-            a.join(
-                b,
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.band_key") == F.col("b.band_key"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-            )
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-            )
-            .distinct()
-        )
+        pairs = band_pairs(rows, id_col)
         groups = dedup_groups(bandable.select(id_col), pairs, id_col)
 
         per_doc = (

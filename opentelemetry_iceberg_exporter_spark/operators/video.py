@@ -210,13 +210,17 @@ def _riff_chunks(buf: bytes, start: int, end: int):
 
 def mjpeg_samples_avi(content: bytes) -> list:
     """[(absolute_offset, size)] of the video frames of an MJPEG AVI:
-    walk hdrl->strl->strh to confirm a 'vids' stream with an MJPEG
-    handler, then collect the movi list's 00dc/00db chunks (the
-    stream-0 video frames — each a complete baseline JPEG)."""
+    walk hdrl's strl list to find the VIDEO stream's INDEX (streams are
+    numbered by strl position — an audio-first AVI stores video frames
+    as '01dc', not '00dc'), confirm its MJPEG handler, then collect
+    that stream's dc/db chunks from the movi list, descending into
+    AVI 1.0 'rec ' interleave groups."""
     if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI stream")
     video_handler = None
+    video_stream = None
     samples = []
+    stream_idx = 0
     for cid, s, e in _riff_chunks(content, 12, len(content)):
         if cid != b"LIST":
             continue
@@ -225,19 +229,36 @@ def mjpeg_samples_avi(content: bytes) -> list:
             for c2, s2, e2 in _riff_chunks(content, s + 4, e):
                 if c2 == b"LIST" and content[s2 : s2 + 4] == b"strl":
                     for c3, s3, _e3 in _riff_chunks(content, s2 + 4, e2):
-                        if c3 == b"strh" and content[s3 : s3 + 4] == b"vids":
-                            video_handler = content[s3 + 4 : s3 + 8]
-        elif subtype == b"movi":
-            for c2, s2, e2 in _riff_chunks(content, s + 4, e):
-                if c2 in (b"00dc", b"00db"):
-                    samples.append((s2, e2 - s2))
-    if video_handler is None:
+                        if c3 == b"strh":
+                            if (
+                                content[s3 : s3 + 4] == b"vids"
+                                and video_stream is None
+                            ):
+                                video_stream = stream_idx
+                                video_handler = content[s3 + 4 : s3 + 8]
+                    stream_idx += 1
+    if video_handler is None or video_stream is None:
         raise ValueError("AVI has no video stream header")
     if video_handler not in AVI_MJPEG_HANDLERS:
         raise NotImplementedError(
             f"AVI codec {video_handler!r} needs a codec library; only "
             "MJPEG frames decode natively"
         )
+    want = (
+        f"{video_stream:02d}dc".encode(),
+        f"{video_stream:02d}db".encode(),
+    )
+
+    def collect(start: int, end: int) -> None:
+        for c2, s2, e2 in _riff_chunks(content, start, end):
+            if c2 in want:
+                samples.append((s2, e2 - s2))
+            elif c2 == b"LIST" and content[s2 : s2 + 4] == b"rec ":
+                collect(s2 + 4, e2)  # AVI 1.0 interleave group
+
+    for cid, s, e in _riff_chunks(content, 12, len(content)):
+        if cid == b"LIST" and content[s : s + 4] == b"movi":
+            collect(s + 4, e)
     return samples
 
 
@@ -287,6 +308,7 @@ def video_keyframes(
             rows = []
             for mid, content in zip(pdf[id_col], pdf[content_col]):
                 b = bytes(content)
+                clip_rows: list = []
                 try:
                     samples = video_samples(b)
                     n = len(samples)
@@ -298,7 +320,7 @@ def video_keyframes(
                         h = dhash_bits(arr)
                         if h >= 1 << 63:
                             h -= 1 << 64
-                        rows.append(
+                        clip_rows.append(
                             {
                                 "media_id": mid,
                                 "frame_idx": idx,
@@ -309,7 +331,12 @@ def video_keyframes(
                                 "decode_error": None,
                             }
                         )
+                    rows.extend(clip_rows)
                 except (ValueError, NotImplementedError) as exc:
+                    # ALL-OR-ERROR per clip: keeping a truncated frame
+                    # subset would shrink the clip's n_sampled
+                    # denominator and let video_neardup_pairs cross its
+                    # fraction threshold on truncation, not similarity
                     rows.append(
                         {
                             "media_id": mid,

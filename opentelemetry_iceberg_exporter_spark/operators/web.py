@@ -72,17 +72,20 @@ def duck_registrable_sql(url_sql: str) -> str:
 
 def domain_report(df: DataFrame, url_col: str) -> DataFrame:
     """(domain, n_docs, share) per registrable domain, NULL-host rows
-    under domain NULL — one hash aggregate + a broadcast total."""
+    under domain NULL — ONE corpus scan: the total comes from summing
+    the domains-sized aggregate (a 1-row broadcast), not a second
+    count() pass, and the whole plan stays lazy."""
     by_domain = (
         df.select(registrable_domain_col(F.col(url_col)).alias("domain"))
         .groupBy("domain")
         .agg(F.count("*").alias("n_docs"))
+        .localCheckpoint(eager=False)
     )
-    total = df.count()
-    return by_domain.select(
+    total = by_domain.agg(F.sum("n_docs").alias("__total"))
+    return by_domain.crossJoin(F.broadcast(total)).select(
         "domain",
         "n_docs",
-        (F.col("n_docs") / F.lit(float(total))).alias("share"),
+        (F.col("n_docs") / F.col("__total")).alias("share"),
     )
 
 

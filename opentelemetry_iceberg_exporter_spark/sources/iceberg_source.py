@@ -357,14 +357,14 @@ def register_iceberg_source(spark) -> None:
     spark.dataSource.register(IcebergFsDataSource)
 
 
-BROADCAST_ROW_THRESHOLD = 2_000_000
+BROADCAST_BYTE_THRESHOLD = 64 * 1024 * 1024
 
 
 def register_table_views(
     spark,
     warehouse: str,
     namespace: str | None = None,
-    broadcast_threshold: int = BROADCAST_ROW_THRESHOLD,
+    broadcast_threshold: int = BROADCAST_BYTE_THRESHOLD,
 ) -> dict[str, str]:
     """Register every fs-catalog table as a temp view named
     ``<namespace>_<table>`` over the jar-less iceberg_fs format, so the
@@ -373,15 +373,16 @@ def register_table_views(
     the full data source behavior: pushed-filter hidden-partition file
     pruning, merge-on-read deletes, field-id column resolution.
 
-    Catalog-statistics-driven planning: each table's live row count
-    comes from the MANIFEST record counts (pure metadata — no scan),
-    and tables under ``broadcast_threshold`` rows register with a
+    Catalog-statistics-driven planning: each table's live ON-DISK size
+    comes from the MANIFEST file sizes (pure metadata — no scan), and
+    tables under ``broadcast_threshold`` BYTES register with a
     broadcast hint, so star joins written in plain SQL get dimension
     broadcasts without the Python Data Source needing Spark-side
     statistics plumbing (the v2 relation reports no sizeInBytes, which
-    would otherwise default every join to sort-merge)."""
-    from pyspark.sql import functions as F  # noqa: F401
-
+    would otherwise default every join to sort-merge). The threshold is
+    byte-based like Spark's own autoBroadcastJoinThreshold — row counts
+    are a poor broadcastability proxy for wide rows — and deliberately
+    conservative (decompressed in-memory size exceeds parquet bytes)."""
     from ..sinks.iceberg_fs import FsCatalog, FsTable
 
     register_iceberg_source(spark)
@@ -392,9 +393,9 @@ def register_table_views(
         for name in catalog.list_tables(ns):
             location = catalog.table_location(ns, name)
             data, _ = FsTable(location).plan_files()
-            n_rows = sum(f.record_count for f in data)
+            n_bytes = sum(f.file_size_in_bytes for f in data)
             df = spark.read.format("iceberg_fs").load(location)
-            if n_rows <= broadcast_threshold:
+            if n_bytes <= broadcast_threshold:
                 df = df.hint("broadcast")
             view = f"{ns}_{name}"
             df.createOrReplaceTempView(view)

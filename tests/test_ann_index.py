@@ -97,6 +97,17 @@ class TestIncrementalMaintenance:
         idx.ingest(spark, z)
         assert idx.vectors_table.read(spark).count() == before
 
+    def test_build_twice_refuses(self, spark, index):
+        """A second build under the same name would append a duplicate
+        codebook (same cell ids twice) — it must refuse instead."""
+        idx, cat = index
+        with pytest.raises(ValueError, match="already exists"):
+            AnnIndex.build(
+                spark, cat, "ann", "docs", _clustered(spark, n_per=2),
+                k=N_CLUSTERS,
+            )
+        assert idx.centroids_table.read(spark).count() == N_CLUSTERS
+
     def test_open_from_catalog(self, spark, index):
         idx, cat = index
         reopened = AnnIndex.open(cat, "ann", "docs")

@@ -112,6 +112,23 @@ class TestBuildCorpus:
         assert 0.5 <= rows[0]["quality_score"] <= 1.0
         assert report.as_dict()["quality_filter"] == 1
 
+    def test_empty_and_null_docs_survive_paragraph_stage(self, spark):
+        """dedup_paragraphs emits no row for empty/NULL text; the funnel
+        must keep those docs (pass-through), not silently drop them —
+        the output set must not depend on whether the stage is on."""
+        docs = spark.createDataFrame(
+            [("e", ""), ("n", None), ("w", "   "), ("k", UNIQUE_A)],
+            ["doc_id", "text"],
+        )
+        out_on, _ = build_corpus(spark, docs, exact=False, near=False)
+        out_off, _ = build_corpus(
+            spark, docs, boilerplate_max_docs=None, exact=False, near=False
+        )
+        assert {r["doc_id"] for r in out_on.collect()} == {"e", "n", "w", "k"}
+        assert {r["doc_id"] for r in out_on.collect()} == {
+            r["doc_id"] for r in out_off.collect()
+        }
+
     def test_lazy_mode_skips_counts(self, spark):
         out, report = build_corpus(spark, _docs(spark), report_counts=False)
         assert all(n is None for _, n in report.stages)

@@ -79,6 +79,18 @@ class TestSignatures:
         assert rows[3] is None
 
 
+    def test_string_ids_supported(self, spark):
+        """The signature schema follows the input id dtype — a string
+        id column must not crash the Arrow batch."""
+        img = _photo(9)
+        df = spark.createDataFrame(
+            [("uri://a", make_ppm(img))], "media_id string, content binary"
+        )
+        rows = image_signatures(df).collect()
+        assert rows[0]["media_id"] == "uri://a"
+        assert rows[0]["dhash"] is not None
+
+
 class TestPairs:
     def test_reencoded_and_noised_pair_up(self, spark):
         img_a, img_b = _photo(6), _photo(7)

@@ -129,8 +129,11 @@ class TestSampleTables:
             mjpeg_samples(b"RIFF....WAVE")
 
 
-def make_mjpeg_avi(frames: list, handler: bytes = b"MJPG") -> bytes:
-    """Minimal RIFF/AVI with a vids stream and 00dc MJPEG frames."""
+def make_mjpeg_avi(frames: list, handler: bytes = b"MJPG",
+                   audio_first: bool = False, use_rec: bool = False) -> bytes:
+    """Minimal RIFF/AVI with a vids stream and its dc MJPEG frames;
+    audio_first prepends an auds strl (video becomes stream 1, frames
+    '01dc'), use_rec nests the frames in an AVI 1.0 'rec ' group."""
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         pad = b"\x00" if len(body) & 1 else b""
@@ -139,10 +142,20 @@ def make_mjpeg_avi(frames: list, handler: bytes = b"MJPG") -> bytes:
     def lst(subtype: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", subtype + body)
 
-    strh = chunk(b"strh", b"vids" + handler + bytes(48))
-    strf = chunk(b"strf", bytes(40))
-    hdrl = lst(b"hdrl", chunk(b"avih", bytes(56)) + lst(b"strl", strh + strf))
-    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    strls = b""
+    stream = 0
+    if audio_first:
+        strls += lst(b"strl", chunk(b"strh", b"auds" + b"\x00\x00\x00\x01" + bytes(48))
+                     + chunk(b"strf", bytes(16)))
+        stream = 1
+    strls += lst(b"strl", chunk(b"strh", b"vids" + handler + bytes(48))
+                 + chunk(b"strf", bytes(40)))
+    hdrl = lst(b"hdrl", chunk(b"avih", bytes(56)) + strls)
+    dc = f"{stream:02d}dc".encode()
+    frame_chunks = b"".join(chunk(dc, f) for f in frames)
+    if use_rec:
+        frame_chunks = lst(b"rec ", frame_chunks)
+    movi = lst(b"movi", frame_chunks)
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -174,6 +187,28 @@ class TestAviContainer:
         avi = make_mjpeg_avi(frames)
         samples = mjpeg_samples_avi(avi)
         assert avi[samples[1][0] : samples[1][0] + samples[1][1]] == frames[1]
+
+    def test_avi_audio_first_stream_index(self):
+        """Video as stream 1 (01dc) after an audio stream — the frames
+        must still be found, not silently skipped."""
+        from opentelemetry_iceberg_exporter_spark.operators.video import (
+            mjpeg_samples_avi,
+        )
+
+        frames = _frames(2)
+        avi = make_mjpeg_avi(frames, audio_first=True)
+        samples = mjpeg_samples_avi(avi)
+        assert len(samples) == 2
+        assert avi[samples[0][0] : samples[0][0] + samples[0][1]] == frames[0]
+
+    def test_avi_rec_interleave_groups(self):
+        from opentelemetry_iceberg_exporter_spark.operators.video import (
+            mjpeg_samples_avi,
+        )
+
+        frames = _frames(3)
+        avi = make_mjpeg_avi(frames, use_rec=True)
+        assert len(mjpeg_samples_avi(avi)) == 3
 
     def test_avi_foreign_codec_stubs(self):
         from opentelemetry_iceberg_exporter_spark.operators.video import (
