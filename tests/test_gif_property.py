@@ -85,3 +85,29 @@ def test_kmv_codec_roundtrip(hashes, k):
         assert est == float(len(hashes))  # exact below k
     else:
         assert est >= 0.0
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    dims=st.tuples(st.integers(1, 16), st.integers(1, 16)),
+    big_endian=st.booleans(),
+    gray=st.booleans(),
+    data=st.data(),
+)
+def test_tiff_random_rasters_roundtrip(dims, big_endian, gray, data):
+    """Random rasters x endianness x strip heights through the TIFF
+    codec must round-trip exactly (lossless format)."""
+    from test_image_decode import make_tiff
+    from opentelemetry_iceberg_exporter_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    w, h = dims
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    rps = data.draw(st.integers(1, h))
+    got = decode_image(
+        make_tiff(img, big_endian=big_endian, rows_per_strip=rps, gray=gray)
+    )
+    expect = img[:, :, :1].repeat(3, axis=2) if gray else img
+    assert np.array_equal(got, expect)
