@@ -633,6 +633,20 @@ def main(argv: list[str] | None = None) -> int:
         "deletes into the data files and drop the equality-delete files",
     )
     pm.add_argument(
+        "--rewrite-manifests",
+        action="store_true",
+        help="rewrite_manifests: merge the current snapshot's small "
+        "manifests into ~target-size bins (metadata-only replace "
+        "commit; keeps scan planning O(files) under per-micro-batch "
+        "commit cadences)",
+    )
+    pm.add_argument(
+        "--manifest-target-bytes",
+        type=int,
+        default=8 * 1024 * 1024,
+        help="rewrite_manifests bin target size",
+    )
+    pm.add_argument(
         "--partition-stats",
         action="store_true",
         help="write + register the Iceberg partition-statistics file "
@@ -1486,6 +1500,11 @@ def main(argv: list[str] | None = None) -> int:
         rewritten = table.rewrite_data_files(
             spark, target_bytes=args.target_bytes, min_files=args.min_files
         )
+        manifests_rewritten = (
+            table.rewrite_manifests(target_size_bytes=args.manifest_target_bytes)
+            if args.rewrite_manifests
+            else None
+        )
         expired = table.expire_snapshots(args.expire_keep) if args.expire_keep else []
         orphaned = (
             table.remove_orphan_files(args.remove_orphans_older_than)
@@ -1504,6 +1523,7 @@ def main(argv: list[str] | None = None) -> int:
             json.dumps(
                 {
                     "rewrite_snapshot": rewritten,
+                    "rewrite_manifests_snapshot": manifests_rewritten,
                     "fold_deletes_snapshot": folded,
                     "fold_equality_deletes_snapshot": folded_eq,
                     "expired_data_files": len(expired),

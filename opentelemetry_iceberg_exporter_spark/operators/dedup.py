@@ -488,7 +488,13 @@ def dedup_groups(
     reconciler's set algebra, internal/recovery/reconciler.go); this is
     part of the LLM-pipeline extension surface.
     """
-    e = pairs.select("id_a", "id_b")
+    # one lazy materialization: the pair plan feeds BOTH edge directions
+    # (so it would otherwise run twice), and truncating its lineage here
+    # also keeps union-shaped pair producers (banded_hamming_pairs'
+    # banded ∪ degenerate-star output) out of the iterative loop's
+    # constraint propagation, which Spark's UnionBase.rewriteConstraints
+    # mishandles for nested unions sharing attribute ids
+    e = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
     edges = e.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(e.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))

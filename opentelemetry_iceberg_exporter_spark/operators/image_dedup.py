@@ -38,6 +38,13 @@ from pyspark.sql import functions as F
 HASH_SIZE = 8  # 8x8 differences -> 64-bit signature
 BANDS = 8  # one band per signature byte -> recall guaranteed to dist 7
 DEFAULT_MAX_DISTANCE = 10
+# band-frequency skew cap, the perceptual-hash analog of d04's
+# stop-shingle DEFAULT_DF_CAP: a (band_idx, band_value) bucket shared by
+# n items generates O(n^2) candidate pairs, so one hot bucket is a
+# scale-killer at web-corpus volumes. Buckets above the cap are dropped
+# from candidate generation (recall for pairs whose ONLY shared bands
+# are hot is sacrificed, same contract as d04).
+DEFAULT_BAND_DF_CAP: int | None = 1000
 
 
 def dhash_bits(pixels) -> int:
@@ -106,40 +113,91 @@ def banded_hamming_pairs(
     id_col: str,
     hash_col: str,
     max_distance: int,
+    band_df_cap: int | None = DEFAULT_BAND_DF_CAP,
 ) -> DataFrame:
     """Generic 64-bit perceptual-hash near-dup join, shared by the image
-    (dHash) and audio (spectrogram hash) operators: candidate pairs from
-    a byte-band equi-join, verified with the exact Hamming distance
-    (bit_count of the XOR — whole-stage codegen), thresholded at
-    `max_distance`. Guaranteed recall for distance <= BANDS-1 (= 7):
+    (dHash), audio (spectrogram hash), and video (keyframe dHash)
+    operators: candidate pairs from a byte-band equi-join, verified with
+    the exact Hamming distance (bit_count of the XOR — whole-stage
+    codegen), thresholded at `max_distance`. Guaranteed recall for
+    distance <= BANDS-1 (= 7) among non-degenerate, non-hot-band items:
     by pigeonhole, any such pair shares at least one intact byte; pairs
     at distance 8..max_distance are found only when the damage spares a
-    byte (lower the threshold for a hard guarantee)."""
-    sigs = sigs.localCheckpoint(eager=False)
-    rows = _band_rows(sigs, id_col, hash_col)
-    a, b = rows.alias("a"), rows.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_value") == F.col("b.band_value"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+    byte (lower the threshold for a hard guarantee).
+
+    Skew guards (both mandatory at web-corpus scale, where black frames
+    and silence are endemic):
+
+    * DEGENERATE hashes — all-zero / all-one words, what flat/black
+      images and silent audio hash to — share every band, so one such
+      cohort is a guaranteed hot bucket. They are diverted to an exact
+      path: per degenerate hash value, a star of (min-id, other-id)
+      pairs at hamming 0 — O(n) pairs that connect the cohort in the
+      downstream connected-components resolver exactly as the O(n^2)
+      clique would. Near-pairs BETWEEN a degenerate and an
+      almost-degenerate item are sacrificed (they were precisely the
+      quadratic candidates).
+    * BAND-FREQUENCY CAP — (band_idx, band_value) buckets with more
+      than `band_df_cap` items are dropped before any per-band id list
+      materializes (a count-only aggregation finds the hot keys), the
+      d04 stop-shingle contract applied to hash bands. None disables.
+    """
+    sigs = sigs.filter(F.col(hash_col).isNotNull()).localCheckpoint(eager=False)
+    degenerate = F.col(hash_col).isin(0, -1)
+
+    # exact path for degenerate cohorts: per-hash representative = min
+    # id (map-side-partial hash agg over at most 2 groups), star pairs
+    reps = (
+        sigs.filter(degenerate)
+        .groupBy(hash_col)
+        .agg(F.min(id_col).alias("__rep"))
+    )
+    exact = (
+        sigs.filter(degenerate)
+        .join(F.broadcast(reps), hash_col)
+        .filter(F.col(id_col) != F.col("__rep"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("__rep").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0).alias("hamming"),
         )
+    )
+
+    rows = _band_rows(sigs.filter(~degenerate), id_col, hash_col)
+    if band_df_cap is not None:
+        # count-only pre-aggregation: hot buckets never build an id list
+        keep = (
+            rows.groupBy("band_idx", "band_value")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= band_df_cap)
+            .drop("__df")
+        )
+        rows = rows.join(keep, ["band_idx", "band_value"])
+    # per-bucket sorted id lists (≤ cap) -> all (i < j) pairs inside
+    # whole-stage codegen — no self-join, no row-level shuffle resort
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
+    cands = (
+        rows.groupBy("band_idx", "band_value")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
     ha = sigs.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("__ha"))
     hb = sigs.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("__hb"))
-    return (
+    banded = (
         cands.join(ha, "id_a")
         .join(hb, "id_b")
         .withColumn("hamming", F.expr("bit_count(__ha ^ __hb)"))
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
     )
+    return banded.unionByName(exact)
 
 
 def image_neardup_pairs(

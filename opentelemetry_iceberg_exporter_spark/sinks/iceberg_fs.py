@@ -76,8 +76,22 @@ from .transforms import (
 )
 
 # manifest-entry status (spec: 0=existing, 1=added, 2=deleted)
+STATUS_EXISTING = 0
 STATUS_ADDED = 1
 STATUS_DELETED = 2
+
+# commit-time manifest merging (Iceberg table properties, same names and
+# defaults as the spec'd `commit.manifest*` group): a streaming exporter
+# commits one snapshot per micro-batch, and every append carries all prior
+# manifests forward — without merging, scan planning is O(commits). When a
+# carried group exceeds `min-count-to-merge`, small manifests are rewritten
+# into ~target-size bins of EXISTING entries (original adding snapshot ids
+# and data sequence numbers preserved verbatim).
+MANIFEST_MERGE_ENABLED_PROP = "commit.manifest-merge.enabled"
+MANIFEST_MIN_COUNT_TO_MERGE_PROP = "commit.manifest.min-count-to-merge"
+MANIFEST_TARGET_SIZE_PROP = "commit.manifest.target-size-bytes"
+DEFAULT_MANIFEST_MIN_COUNT_TO_MERGE = 100
+DEFAULT_MANIFEST_TARGET_SIZE = 8 * 1024 * 1024
 
 _TRANSFORM_FOR_GRANULARITY = {"hourly": "hours", "daily": "days", "monthly": "months"}
 _SECONDS_PER = {"hours": 3600, "days": 86400}
@@ -929,7 +943,12 @@ def write_snapshot_tree(
     if carry_forward and parent != -1:
         cur = next(s for s in md["snapshots"] if s["snapshot-id"] == parent)
         _, _, prior_manifests = read_ocf(cur["manifest-list"])
-        manifests += prior_manifests
+        # streaming exporters commit one snapshot per micro-batch; merge
+        # carried manifests when they pile up so planning stays O(files),
+        # not O(commits) (commit.manifest* table properties)
+        manifests += maybe_merge_carried_manifests(
+            meta_dir, prior_manifests, md, snapshot_id, seq
+        )
 
     list_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro")
     write_ocf(
@@ -965,6 +984,244 @@ def write_snapshot_tree(
         "timestamp-ms": now_ms,
         "manifest-list": list_path,
         "summary": summary,
+        "schema-id": md["current-schema-id"],
+    }
+
+
+def _inherit_entry(e: dict, m: dict) -> dict:
+    """Resolve the spec's metadata-inheritance rules before a manifest
+    rewrite: EXISTING entries must carry EXPLICIT snapshot ids and
+    sequence numbers (null-field inheritance only applies to entries in
+    the manifest their snapshot added — a rewritten manifest belongs to
+    a different snapshot)."""
+    out = dict(e)
+    if out.get("snapshot_id") is None:
+        out["snapshot_id"] = m["added_snapshot_id"]
+    if out.get("sequence_number") is None:
+        out["sequence_number"] = m["sequence_number"]
+    if out.get("file_sequence_number") is None:
+        out["file_sequence_number"] = m["sequence_number"]
+    return out
+
+
+def _write_merged_manifest(
+    meta_dir: str, bin_: list[dict], md: dict, snapshot_id: int, commit_seq: int
+) -> dict | None:
+    """Rewrite several manifest FILES (same content type + partition
+    spec) into ONE. Entries are preserved verbatim — original adding
+    snapshot_id, explicit data/file sequence numbers (so equality-delete
+    applicability `seq < delete seq` is unchanged), partition tuples and
+    column bounds byte-for-byte — with status flipped to EXISTING, which
+    keeps incremental/changelog walks exact: they select entries by
+    status ADDED within each snapshot's own manifests, and the original
+    manifests stay on disk referenced by the ancestor snapshots until
+    expire_snapshots reclaims them. DELETED entries (removal markers for
+    readers of the snapshot that dropped them) are not carried into the
+    rewrite. Returns the new manifest_file record, or None if nothing
+    live remains. The Avro schema is taken from the first source
+    manifest so decode→encode is byte-symmetric even for old-spec
+    manifests (spec evolution keeps per-spec r102 layouts)."""
+    entries: list[dict] = []
+    min_seq: int | None = None
+    avro_schema: dict | None = None
+    src_meta: dict[str, str] | None = None
+    for m in bin_:
+        schema_, meta_, rows = read_ocf(m["manifest_path"])
+        if avro_schema is None:
+            avro_schema, src_meta = schema_, meta_
+        for e in rows:
+            if e["status"] == STATUS_DELETED:
+                continue
+            e = _inherit_entry(e, m)
+            e["status"] = STATUS_EXISTING
+            entries.append(e)
+            min_seq = (
+                e["sequence_number"]
+                if min_seq is None
+                else min(min_seq, e["sequence_number"])
+            )
+    if not entries:
+        return None
+    content_id = bin_[0]["content"]
+    path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m{content_id}.avro")
+    length = write_ocf(
+        path,
+        avro_schema,
+        entries,
+        extra_metadata={
+            "schema": json.dumps(current_schema(md)),
+            "partition-spec": src_meta.get("partition-spec", "[]"),
+            "partition-spec-id": str(bin_[0]["partition_spec_id"]),
+            "format-version": "2",
+            "content": "data" if content_id == 0 else "deletes",
+        },
+    )
+    return {
+        "manifest_path": path,
+        "manifest_length": length,
+        "partition_spec_id": bin_[0]["partition_spec_id"],
+        "content": content_id,
+        "sequence_number": commit_seq,
+        "min_sequence_number": min_seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": 0,
+        "existing_files_count": len(entries),
+        "deleted_files_count": 0,
+        "added_rows_count": 0,
+        "existing_rows_count": sum(e["data_file"]["record_count"] for e in entries),
+        "deleted_rows_count": 0,
+    }
+
+
+def merge_small_manifests(
+    meta_dir: str,
+    manifests: list[dict],
+    md: dict,
+    snapshot_id: int,
+    commit_seq: int,
+    *,
+    min_count: int,
+    target_size: int,
+    force: bool = False,
+) -> list[dict] | None:
+    """Merge small manifests into ~target-size bins, per (content type,
+    partition spec) group — manifests of different content or spec never
+    mix (a manifest holds data OR deletes, and its r102 partition record
+    is spec-shaped). Already-large manifests pass through untouched.
+    Commit-time calls gate on `min_count` (Iceberg's
+    commit.manifest.min-count-to-merge); `force=True` (the
+    rewrite_manifests action) merges every group with ≥2 small
+    manifests. Returns the new manifest list, or None if nothing was
+    merged (caller keeps the original list — no files written in that
+    case beyond per-group no-ops)."""
+    groups: dict[tuple[int, int], list[dict]] = {}
+    for m in manifests:
+        groups.setdefault((m["content"], m["partition_spec_id"]), []).append(m)
+    out: list[dict] = []
+    merged_any = False
+    for group in groups.values():
+        small = [m for m in group if m["manifest_length"] < target_size]
+        if len(small) < 2 or (not force and len(group) < min_count):
+            out += group
+            continue
+        out += [m for m in group if m["manifest_length"] >= target_size]
+        # greedy size-binned packing: consecutive small manifests fill a
+        # bin until it reaches the target; single-manifest bins keep the
+        # original file (no pointless rewrite)
+        bin_: list[dict] = []
+        bin_bytes = 0
+        bins: list[list[dict]] = []
+        for m in small:
+            bin_.append(m)
+            bin_bytes += m["manifest_length"]
+            if bin_bytes >= target_size:
+                bins.append(bin_)
+                bin_, bin_bytes = [], 0
+        if bin_:
+            bins.append(bin_)
+        for b in bins:
+            if len(b) == 1:
+                out.append(b[0])
+                continue
+            merged = _write_merged_manifest(meta_dir, b, md, snapshot_id, commit_seq)
+            if merged is not None:
+                out.append(merged)
+            merged_any = True
+    return out if merged_any else None
+
+
+def maybe_merge_carried_manifests(
+    meta_dir: str,
+    carried: list[dict],
+    md: dict,
+    snapshot_id: int,
+    commit_seq: int,
+) -> list[dict]:
+    """Commit-time manifest merging over the CARRIED-FORWARD manifests
+    only (never the commit's own fresh manifests — flipping their
+    entries to EXISTING would hide the commit from incremental/changelog
+    consumers), gated by the `commit.manifest*` table properties."""
+    props = md.get("properties", {})
+    if str(props.get(MANIFEST_MERGE_ENABLED_PROP, "true")).lower() == "false":
+        return carried
+    min_count = int(
+        props.get(
+            MANIFEST_MIN_COUNT_TO_MERGE_PROP, DEFAULT_MANIFEST_MIN_COUNT_TO_MERGE
+        )
+    )
+    target_size = int(
+        props.get(MANIFEST_TARGET_SIZE_PROP, DEFAULT_MANIFEST_TARGET_SIZE)
+    )
+    merged = merge_small_manifests(
+        meta_dir,
+        carried,
+        md,
+        snapshot_id,
+        commit_seq,
+        min_count=min_count,
+        target_size=target_size,
+    )
+    return carried if merged is None else merged
+
+
+def build_rewrite_manifests_snapshot(
+    location: str,
+    md: dict,
+    *,
+    target_size: int = DEFAULT_MANIFEST_TARGET_SIZE,
+    min_count: int = 2,
+) -> dict | None:
+    """The `rewrite_manifests` maintenance action's metadata plan,
+    shared by both commit transports: merge the CURRENT snapshot's small
+    manifests into ~target-size bins and return a `replace` snapshot
+    referencing the new manifest list — a pure metadata commit (no data
+    file is read or written; `replace` snapshots are skipped by
+    incremental scans and changelogs, so the rewrite is invisible to
+    change streams). Returns None when there is nothing to merge."""
+    sid = md.get("current-snapshot-id", -1)
+    if sid == -1:
+        return None
+    cur = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+    seq = md["last-sequence-number"] + 1
+    snapshot_id = int.from_bytes(os.urandom(8), "big") >> 1
+    meta_dir = os.path.join(location, "metadata")
+    _, _, manifests = read_ocf(cur["manifest-list"])
+    merged = merge_small_manifests(
+        meta_dir,
+        manifests,
+        md,
+        snapshot_id,
+        seq,
+        min_count=min_count,
+        target_size=target_size,
+        force=True,
+    )
+    if merged is None:
+        return None
+    list_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro")
+    write_ocf(
+        list_path,
+        MANIFEST_LIST_SCHEMA,
+        merged,
+        extra_metadata={
+            "snapshot-id": str(snapshot_id),
+            "parent-snapshot-id": str(sid),
+            "sequence-number": str(seq),
+            "format-version": "2",
+        },
+    )
+    return {
+        "snapshot-id": snapshot_id,
+        "parent-snapshot-id": sid,
+        "sequence-number": seq,
+        "timestamp-ms": int(time.time() * 1000),
+        "manifest-list": list_path,
+        "summary": {
+            "operation": "replace",
+            "operation-detail": "rewrite_manifests",
+            "rewritten-manifests": str(len(manifests)),
+            "kept-manifests": str(len(merged)),
+        },
         "schema-id": md["current-schema-id"],
     }
 
@@ -1896,6 +2153,8 @@ def incremental_data_files(
         for m in manifests:
             if m["added_snapshot_id"] != s["snapshot-id"]:
                 continue  # carried-forward manifest from an ancestor
+            if m["added_files_count"] == 0:
+                continue  # commit-time-merged manifest: EXISTING entries only
             _, _, entries = read_ocf(m["manifest_path"])
             for e in entries:
                 if e["status"] != STATUS_ADDED:
@@ -1927,6 +2186,12 @@ def _added_files(snapshot: dict) -> tuple[list[DataFile], bool]:
         if m["added_snapshot_id"] != snapshot["snapshot-id"]:
             carried = True
             continue
+        if m["existing_files_count"] > 0:
+            # a commit-time-merged manifest: EXISTING ancestor entries
+            # rewritten under this snapshot's id — still carried data
+            carried = True
+            if m["added_files_count"] == 0:
+                continue  # nothing ADDED inside — skip the read entirely
         _, _, entries = read_ocf(m["manifest_path"])
         for e in entries:
             if e["status"] != STATUS_ADDED:
@@ -4042,6 +4307,50 @@ class FsTable:
             extra_summary=extra,
             expected_base_snapshot=planned_snapshot,
         )
+
+    def rewrite_manifests(
+        self,
+        target_size_bytes: int = DEFAULT_MANIFEST_TARGET_SIZE,
+        min_count: int = 2,
+    ) -> int | None:
+        """Metadata-level compaction (Iceberg's `rewrite_manifests`
+        action): merge the current snapshot's small manifests into
+        ~target-size bins and commit the new manifest list as a
+        `replace` snapshot. No data file is read or written — the
+        commit is O(manifest entries) of Avro rewriting — and change
+        streams never see it (replace snapshots are skipped by
+        incremental scans and changelogs). Runs inside the metadata CAS
+        retry loop: a concurrent append landing mid-rewrite re-plans
+        against the new base, so its manifests are never dropped.
+        Returns the new snapshot id, or None when there was nothing to
+        merge."""
+
+        def mutate(md: dict):
+            snapshot = build_rewrite_manifests_snapshot(
+                self.location,
+                md,
+                target_size=target_size_bytes,
+                min_count=min_count,
+            )
+            if snapshot is None:
+                return None, None
+            new_md = dict(md)
+            new_md["last-sequence-number"] = snapshot["sequence-number"]
+            new_md["snapshots"] = md["snapshots"] + [snapshot]
+            new_md["refs"] = {
+                **md.get("refs", {}),
+                "main": {"snapshot-id": snapshot["snapshot-id"], "type": "branch"},
+            }
+            new_md["current-snapshot-id"] = snapshot["snapshot-id"]
+            new_md["snapshot-log"] = md["snapshot-log"] + [
+                {
+                    "timestamp-ms": snapshot["timestamp-ms"],
+                    "snapshot-id": snapshot["snapshot-id"],
+                }
+            ]
+            return new_md, snapshot["snapshot-id"]
+
+        return self._commit_metadata(mutate)
 
     def delete_where(
         self, spark: SparkSession, predicate: str, mode: str = "copy-on-write"

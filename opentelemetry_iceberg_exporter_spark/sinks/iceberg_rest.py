@@ -790,6 +790,67 @@ class RestTable:
             "rewrite",
         )
 
+    def rewrite_manifests(
+        self,
+        target_size_bytes: int | None = None,
+        min_count: int = 2,
+    ) -> int | None:
+        """Metadata-level compaction (`rewrite_manifests`) with the
+        commit arbitrated by the REST server: merge the current
+        snapshot's small manifests into ~target-size bins and commit
+        the new manifest list as a `replace` snapshot (invisible to
+        incremental scans and changelogs). A concurrent append
+        advancing `main` mid-rewrite 409s the assert-ref-snapshot-id
+        requirement and the plan is rebuilt against the new base — its
+        manifests are never dropped. Returns the new snapshot id or
+        None when there was nothing to merge."""
+        from .iceberg_fs import (
+            DEFAULT_MANIFEST_TARGET_SIZE,
+            build_rewrite_manifests_snapshot,
+        )
+
+        if target_size_bytes is None:
+            target_size_bytes = DEFAULT_MANIFEST_TARGET_SIZE
+        attempts = 3
+        for attempt in range(attempts):
+            md = self.metadata()
+            planned = md["current-snapshot-id"]
+            snapshot = build_rewrite_manifests_snapshot(
+                md["location"],
+                md,
+                target_size=target_size_bytes,
+                min_count=min_count,
+            )
+            if snapshot is None:
+                return None
+            requirements = [
+                {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
+                {
+                    "type": "assert-ref-snapshot-id",
+                    "ref": "main",
+                    "snapshot-id": planned,
+                },
+            ]
+            updates = [
+                {"action": "add-snapshot", "snapshot": snapshot},
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "main",
+                    "type": "branch",
+                    "snapshot-id": snapshot["snapshot-id"],
+                },
+            ]
+            try:
+                self.client.commit_table(
+                    self.namespace, self.name, requirements, updates
+                )
+                return snapshot["snapshot-id"]
+            except RestCommitConflictError:
+                if attempt + 1 == attempts:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+        raise AssertionError("unreachable")
+
     def delete_where(
         self, spark: SparkSession, predicate: str, mode: str = "copy-on-write"
     ) -> tuple[int | None, int]:

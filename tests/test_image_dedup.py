@@ -154,6 +154,78 @@ class TestPairs:
         ).fetchall()
         assert rows == [(1, 1, True), (2, 1, False), (3, 3, True)]
 
+    def test_degenerate_cohort_star_pairs(self, spark):
+        """Flat/black images and silent audio all hash to the same
+        all-zero (or all-one) word — every band collides, so the band
+        join would be O(n^2) on the cohort. The guard diverts them to an
+        exact star: n-1 pairs at hamming 0, rooted at the min id, which
+        connects the cohort in dedup_groups exactly like the clique."""
+        from opentelemetry_iceberg_exporter_spark.operators.image_dedup import (
+            banded_hamming_pairs,
+        )
+
+        n_black, n_white = 200, 100
+        rows = [(i, 0) for i in range(n_black)] + [
+            (1000 + i, -1) for i in range(n_white)
+        ]
+        sigs = spark.createDataFrame(rows, "media_id long, dhash long")
+        pairs = banded_hamming_pairs(sigs, "media_id", "dhash", 10).collect()
+        assert len(pairs) == (n_black - 1) + (n_white - 1)  # stars, not cliques
+        assert all(r["hamming"] == 0 for r in pairs)
+        black = [r for r in pairs if r["id_b"] < 1000]
+        white = [r for r in pairs if r["id_b"] >= 1000]
+        assert all(r["id_a"] == 0 for r in black) and len(black) == n_black - 1
+        assert all(r["id_a"] == 1000 for r in white) and len(white) == n_white - 1
+
+    def test_black_frames_end_to_end(self, spark):
+        """Decoded all-black images produce hash 0 and flow through the
+        degenerate path, not the band join."""
+        black = np.zeros((16, 16, 3), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(i, make_ppm(black)) for i in range(20)], "media_id long, content binary"
+        )
+        pairs = image_neardup_pairs(image_signatures(df)).collect()
+        assert len(pairs) == 19
+        assert all(r["id_a"] == 0 and r["hamming"] == 0 for r in pairs)
+
+    def test_band_df_cap_drops_hot_band_only(self, spark):
+        """Items whose ONLY shared band is hotter than the cap lose
+        their pair (the documented d04-style recall sacrifice); pairs
+        sharing a cold band are unaffected."""
+        from opentelemetry_iceberg_exporter_spark.operators.image_dedup import (
+            banded_hamming_pairs,
+        )
+
+        def h(b0, rest):
+            out = b0
+            for i in range(1, 8):
+                out |= rest << (8 * i)
+            return out
+
+        # 12 items share band0=0x55; bytes 1..7 pairwise distinct except
+        # items 0 and 1, which sit at hamming 7 sharing ONLY the hot band
+        hot = [(i, h(0x55, [1, 3, 4, 8, 16, 32, 64, 65, 66, 67, 68, 69][i]))
+               for i in range(12)]
+        # a cold pair sharing band7 at small distance
+        cold = [(100, (0x2A << 56) | 0xFF), (101, (0x2A << 56) | 0x0F)]
+        sigs = spark.createDataFrame(hot + cold, "media_id long, dhash long")
+
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in banded_hamming_pairs(
+                sigs, "media_id", "dhash", 10, band_df_cap=10
+            ).collect()
+        }
+        assert capped == {(100, 101)}  # hot-band-only pairs gone, cold intact
+
+        uncapped = {
+            (r["id_a"], r["id_b"])
+            for r in banded_hamming_pairs(
+                sigs, "media_id", "dhash", 10, band_df_cap=None
+            ).collect()
+        }
+        assert (0, 1) in uncapped and (100, 101) in uncapped
+
     def test_no_cartesian_in_plan(self, spark):
         sigs = spark.createDataFrame(
             [(1, 7), (2, 7)], "media_id long, dhash long"
