@@ -5,13 +5,24 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced (count()) — not collected — so the measurement is
 plan execution, not driver transfer.
+
+The `write_path` section benches the engine's actual production loop —
+the reference is an *exporter* whose hot path is consume -> flatten ->
+commit (writer.go:161-297, one commit per 512-record batch): N
+micro-batch appends into an fs-catalog Iceberg table (commit-time
+manifest merging ON, as a stream would run it), an upsert_equality
+stream, a changelog drain, and a rewrite_manifests pass, reported as
+sec/commit + rows/s so commit-pipeline regressions are visible
+round-over-round.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -21,8 +32,8 @@ from opentelemetry_iceberg_exporter_spark.session import build_session
 
 # headline set: one per operator family — star join, multi-agg, window
 # top-k, pushdown scan, epoch-hour partition, as-of join, sessionize,
-# exact dedup, minhash LSH, jaccard pairs, signatures, knn, IVF ANN,
-# doc features, top bigrams, streaming window
+# exact dedup, minhash LSH, jaccard pairs, signatures, knn, LSH ANN,
+# IVF ANN, doc features, top bigrams, streaming window
 HEADLINE = [
     "q01_pricing_summary",
     "q03_revenue_by_nation",
@@ -43,11 +54,115 @@ HEADLINE = [
     "st01_stream_tumbling_counts",
 ]
 
+N_APPEND_BATCHES = 12
+N_UPSERT_BATCHES = 4
+
+
+def run_write_path(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from opentelemetry_iceberg_exporter_spark.sinks.avro_ocf import read_ocf
+    from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import FsCatalog
+    from opentelemetry_iceberg_exporter_spark.sources.tables import load_table
+
+    tmp = tempfile.mkdtemp(prefix="bench_write_")
+    try:
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        # pre-split once so append timings measure the COMMIT pipeline
+        # (write + manifest tree + CAS), not a repeated source scan
+        staged = os.path.join(tmp, "staged")
+        events.withColumn(
+            "b", F.pmod(F.col("event_id"), F.lit(N_APPEND_BATCHES)).cast("int")
+        ).write.partitionBy("b").parquet(staged)
+
+        cat = FsCatalog(os.path.join(tmp, "wh"))
+        t = cat.create_table(
+            "bench",
+            "events_sink",
+            events.schema,
+            partition_source="ts",
+            granularity="daily",
+            # the streaming-exporter cadence: merge carried manifests so
+            # planning stays O(files) across per-batch commits
+            properties={"commit.manifest.min-count-to-merge": "8"},
+        )
+
+        append_rows = 0
+        t0 = time.perf_counter()
+        for b in range(N_APPEND_BATCHES):
+            batch = spark.read.parquet(os.path.join(staged, f"b={b}")).select(
+                *events.columns
+            )
+            t.append_dataframe(batch)
+        append_sec = time.perf_counter() - t0
+        append_rows = events.count()
+
+        upsert_rows = 0
+        t0 = time.perf_counter()
+        for b in range(N_UPSERT_BATCHES):
+            batch = (
+                spark.read.parquet(os.path.join(staged, f"b={b}"))
+                .select(*events.columns)
+                .withColumn("value", F.col("value") + F.lit(1.0))
+            )
+            t.upsert_equality(spark, batch, ["event_id"])
+        upsert_sec = time.perf_counter() - t0
+        upsert_rows = sum(
+            spark.read.parquet(os.path.join(staged, f"b={b}")).count()
+            for b in range(N_UPSERT_BATCHES)
+        )
+
+        t0 = time.perf_counter()
+        changelog_rows = t.changelog_scan(spark).count()
+        changelog_sec = time.perf_counter() - t0
+
+        def manifest_count() -> int:
+            snap = t.current_snapshot()
+            return len(read_ocf(snap["manifest-list"])[2])
+
+        manifests_before = manifest_count()
+        t0 = time.perf_counter()
+        t.rewrite_manifests(min_count=2)
+        rewrite_sec = time.perf_counter() - t0
+        manifests_after = manifest_count()
+
+        t0 = time.perf_counter()
+        read_rows = t.read(spark).count()
+        read_sec = time.perf_counter() - t0
+
+        return {
+            "append_commits": N_APPEND_BATCHES,
+            "append_rows": append_rows,
+            "append_sec": round(append_sec, 3),
+            "append_sec_per_commit": round(append_sec / N_APPEND_BATCHES, 3),
+            "append_rows_per_sec": round(append_rows / append_sec, 1),
+            "upsert_commits": N_UPSERT_BATCHES,
+            "upsert_rows": upsert_rows,
+            "upsert_sec": round(upsert_sec, 3),
+            "upsert_sec_per_commit": round(upsert_sec / N_UPSERT_BATCHES, 3),
+            "changelog_rows": changelog_rows,
+            "changelog_sec": round(changelog_sec, 3),
+            "changelog_rows_per_sec": round(changelog_rows / changelog_sec, 1),
+            "rewrite_manifests_sec": round(rewrite_sec, 3),
+            "manifests_before_rewrite": manifests_before,
+            "manifests_after_rewrite": manifests_after,
+            "post_commit_read_rows": read_rows,
+            "post_commit_read_sec": round(read_sec, 3),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = build_session(app_name="bench")
+    # no console progress bars: they write \r-frames to stderr that can
+    # interleave after the JSON line when the harness merges streams
+    spark = build_session(
+        app_name="bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all_queries()
 
@@ -68,21 +183,32 @@ def main() -> None:
         specs[name].fn(spark, sf_dir).count()
         steady[name] = round(time.perf_counter() - t0, 3)
 
+    write_path = run_write_path(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "value_steady": round(sum(steady.values()), 3),
-                "queries_steady": steady,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "value_steady": round(sum(steady.values()), 3),
+            "queries_steady": steady,
+            "write_path": write_path,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    # teardown BEFORE printing: streaming availableNow queries already
+    # self-terminated (run_to_memory awaits them), but straggler task-end
+    # events can still race session stop and log a DAGScheduler
+    # accumulator ERROR — silence the logger and stop the session first
+    # so the LAST line of output is always the pure JSON record
+    for q in spark.streams.active:
+        q.stop()
+        q.awaitTermination()
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    print(line)
 
 
 if __name__ == "__main__":

@@ -47,6 +47,7 @@ EOW = "</w>"
 class BpeModel:
     merges: list  # [(a, b)] in training order
     vocab: list  # final distinct symbols, sorted
+    rounds: int = 0  # driver round-trips training took (<= len(merges))
 
     def merged(self, a: str, b: str) -> str:
         return a + b
@@ -85,22 +86,75 @@ def _apply_merge(syms: F.Column, a: str, b: str) -> F.Column:
     )
 
 
+def _select_disjoint_batch(
+    rows: list, limit: int, min_freq: int, exhaustive: bool
+) -> list:
+    """The maximal PROVABLY-SEQUENTIAL-EQUIVALENT batch from one round's
+    ranked pair counts: a prefix of the (cnt desc, a, b) order whose
+    pairs share no symbol, truncated at the first overlapping pair, with
+    every selection after the first required to count STRICTLY above the
+    truncation bound.
+
+    Why this is exactly the sequential merge list: a merge (a, b) only
+    changes counts of pairs touching a or b — existing such pairs can
+    only lose occurrences, and every NEW pair it creates ((x, ab),
+    (ab, y), cross-merge adjacencies) inherits each occurrence from some
+    old pair touching a or b, so its count is bounded by the largest old
+    count among overlapping pairs. Selected pairs rank above every
+    overlapping pair (the scan stops at the first one), so at each
+    simulated sequential round the chosen pair still outranks all
+    decreased pairs (comparator order is preserved on ties) and, by the
+    strict bound, all newly-created pairs (whose tie-break order would
+    be unknowable). `exhaustive`=False means the ranked list was
+    truncated at collection: unseen pairs may count up to the last
+    collected row, so that cutoff joins the bound."""
+    first = rows[0]
+    sel = [first]
+    used = {first["a"], first["b"]}
+    bound = None if exhaustive else rows[-1]["cnt"]
+    for r in rows[1:]:
+        if len(sel) >= limit or r["cnt"] < min_freq:
+            break
+        if r["a"] in used or r["b"] in used:
+            # desc order: the first overlap is the largest competitor
+            bound = r["cnt"] if bound is None else max(bound, r["cnt"])
+            break
+        sel.append(r)
+        used.add(r["a"])
+        used.add(r["b"])
+    if bound is not None:
+        sel = [sel[0]] + [r for r in sel[1:] if r["cnt"] > bound]
+    return [(r["a"], r["b"]) for r in sel]
+
+
 def train_bpe(
     spark: SparkSession,
     df: DataFrame,
     text_col: str,
     num_merges: int,
     min_freq: int = 2,
+    max_batch: int = 8,
 ) -> BpeModel:
     """Learn up to `num_merges` merges; stops early when the best pair's
-    weighted frequency drops below `min_freq`."""
+    weighted frequency drops below `min_freq`.
+
+    Driver rounds are BATCHED: each round collects the top-K pair counts
+    once and applies every merge in the maximal disjoint prefix (see
+    _select_disjoint_batch — provably the same merge list the
+    one-merge-per-round algorithm produces), so a 32k-vocab training is
+    ~max_batch× fewer sequential Spark jobs. The batch's merges chain
+    map-side in ONE projection with ONE lineage checkpoint."""
     state = (
         _word_freqs(df, text_col)
         .select(_initial_symbols().alias("syms"), "freq")
         .localCheckpoint()
     )
     merges: list = []
-    for _ in range(num_merges):
+    rounds = 0
+    while len(merges) < num_merges:
+        remaining = num_merges - len(merges)
+        batch_limit = min(max_batch, remaining)
+        k = max(32, 4 * batch_limit)
         pairs = (
             state.select(
                 F.explode(
@@ -117,18 +171,22 @@ def train_bpe(
         )
         top = pairs.orderBy(
             F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
-        ).limit(1).collect()
+        ).limit(k).collect()
+        rounds += 1
         if not top or top[0]["cnt"] < min_freq:
             break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
-        state = state.select(
-            _apply_merge(F.col("syms"), a, b).alias("syms"), "freq"
-        ).localCheckpoint()
+        batch = _select_disjoint_batch(
+            top, batch_limit, min_freq, exhaustive=len(top) < k
+        )
+        merges.extend(batch)
+        col = F.col("syms")
+        for a, b in batch:
+            col = _apply_merge(col, a, b)
+        state = state.select(col.alias("syms"), "freq").localCheckpoint()
     vocab = sorted(
         r["s"] for r in state.select(F.explode("syms").alias("s")).distinct().collect()
     )
-    return BpeModel(merges=merges, vocab=vocab)
+    return BpeModel(merges=merges, vocab=vocab, rounds=rounds)
 
 
 def encode_word(word: str, merges: list) -> list:

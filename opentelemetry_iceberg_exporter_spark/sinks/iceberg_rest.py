@@ -77,8 +77,24 @@ class RestCommitConflictError(RestError):
     the table state and retry the commit."""
 
 
+class RestCommitStateUnknownError(RestError):
+    """A commit request failed AMBIGUOUSLY (lost response / 5xx after
+    the server may have applied it) AND the landed-check reload also
+    failed — the caller cannot know whether the snapshot committed.
+    Mirrors Iceberg's CommitStateUnknownException; errors.go punts on
+    this case entirely. Do NOT blindly re-commit on this error: the
+    snapshot may be live."""
+
+
 def _is_missing(err: RestError) -> bool:
     return err.status == 404
+
+
+def _is_ambiguous(err: RestError) -> bool:
+    """Failures where the server MAY have applied the commit before the
+    response was lost: transport-level errors (status 0) and 5xx. 4xx
+    are definite rejections."""
+    return err.status == 0 or err.status >= 500
 
 
 class RestCatalogClient:
@@ -374,6 +390,34 @@ def commit_append_transaction(
             if attempt + 1 == attempts:
                 raise
             time.sleep(0.05 * (attempt + 1))
+        except RestError as exc:
+            # commit ambiguity over the whole transaction: the server
+            # applies table-changes ALL-OR-NOTHING, so landed-checking
+            # each table must agree — all present = idempotent success,
+            # none = verified absent (rebuild + retry), a mix means the
+            # server broke transaction atomicity (surface loudly)
+            if not _is_ambiguous(exc):
+                raise
+            landed = [
+                t._resolve_ambiguous_commit(exc, sids[(t.namespace, t.name)])
+                for t, _, _ in parts
+            ]
+            if all(landed):
+                return sids
+            if any(landed):
+                raise RestCommitStateUnknownError(
+                    exc.status,
+                    "CommitStateUnknownException",
+                    "transaction landed PARTIALLY after a lost response — "
+                    "the server violated all-or-nothing semantics: "
+                    + ", ".join(
+                        f"{t.namespace}.{t.name}={'landed' if ok else 'absent'}"
+                        for (t, _, _), ok in zip(parts, landed)
+                    ),
+                ) from exc
+            if attempt + 1 == attempts:
+                raise
+            time.sleep(0.05 * (attempt + 1))
     raise AssertionError("unreachable")
 
 
@@ -519,7 +563,41 @@ class RestTable:
                 if attempt + 1 == attempts:
                     raise
                 time.sleep(0.05 * (attempt + 1))
+            except RestError as exc:
+                landed = self._resolve_ambiguous_commit(
+                    exc, snapshot["snapshot-id"]
+                )
+                if landed:
+                    return snapshot["snapshot-id"]
+                # verified absent at reload time: safe to rebuild + retry
+                if attempt + 1 == attempts:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
         raise AssertionError("unreachable")
+
+    def _resolve_ambiguous_commit(self, exc: RestError, snapshot_id: int) -> bool:
+        """The commit-ambiguity case errors.go punts on: the server may
+        have applied a commit whose response was lost (5xx / connection
+        drop). The snapshot id was generated CLIENT-side
+        (write_snapshot_tree), so a reload answers definitively — True
+        means the snapshot IS in the table (idempotent success; callers
+        must not re-commit), False means it was absent at reload time
+        (safe to rebuild and retry). Definite 4xx rejections re-raise
+        `exc`; a failed reload raises RestCommitStateUnknownError (the
+        only genuinely unresolved outcome)."""
+        if not _is_ambiguous(exc):
+            raise exc
+        try:
+            md = self.metadata()
+        except RestError as reload_exc:
+            raise RestCommitStateUnknownError(
+                exc.status,
+                "CommitStateUnknownException",
+                f"commit response lost ({exc.error_type or exc.status}) and "
+                f"the landed-check reload failed ({reload_exc.error_type}); "
+                f"snapshot {snapshot_id} may or may not be committed",
+            ) from exc
+        return any(s["snapshot-id"] == snapshot_id for s in md["snapshots"])
 
     def append_files_to_branch(
         self,
@@ -741,6 +819,11 @@ class RestTable:
                 f"table advanced past snapshot {planned_snapshot} during the "
                 f"{conflict_what}; re-plan"
             ) from exc
+        except RestError as exc:
+            if not self._resolve_ambiguous_commit(exc, snapshot["snapshot-id"]):
+                # verified absent: replaces cannot blindly retry (the
+                # planning base may have moved) — surface for a re-plan
+                raise
         return snapshot["snapshot-id"]
 
     def rewrite_data_files(
@@ -846,6 +929,12 @@ class RestTable:
                 )
                 return snapshot["snapshot-id"]
             except RestCommitConflictError:
+                if attempt + 1 == attempts:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+            except RestError as exc:
+                if self._resolve_ambiguous_commit(exc, snapshot["snapshot-id"]):
+                    return snapshot["snapshot-id"]
                 if attempt + 1 == attempts:
                     raise
                 time.sleep(0.05 * (attempt + 1))

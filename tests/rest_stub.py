@@ -38,6 +38,11 @@ class StubCatalogState:
         self.versions: dict[tuple[str, str], int] = {}
         self.injected: list[tuple[int, str, str, str | None, str | None]] = []
         self.requests: list[tuple[str, str]] = []  # (method, path) log
+        # commit-ambiguity fault: the next N commit requests are APPLIED
+        # (state advances, metadata persisted) but the response is a 503
+        # — the "server committed, response lost" case clients must
+        # resolve without double-committing
+        self.lose_commit_responses: int = 0
 
     def inject(
         self,
@@ -255,6 +260,14 @@ class _Handler(BaseHTTPRequestHandler):
             self.state.tables[key] = new_md
             self.state.versions[key] += 1
             self._persist(key)
+            if self.state.lose_commit_responses > 0:
+                self.state.lose_commit_responses -= 1
+                self._error(
+                    503,
+                    "ServiceUnavailableException",
+                    "response lost after the commit was applied",
+                )
+                return
             self._send(
                 200, {"metadata-location": self._metadata_location(key), "metadata": new_md}
             )
@@ -403,6 +416,14 @@ class _Handler(BaseHTTPRequestHandler):
                 self.state.tables[key] = new_md
                 self.state.versions[key] += 1
                 self._persist(key)
+            if self.state.lose_commit_responses > 0:
+                self.state.lose_commit_responses -= 1
+                self._error(
+                    503,
+                    "ServiceUnavailableException",
+                    "response lost after the transaction was applied",
+                )
+                return
             self._send(200, {})
 
 

@@ -93,6 +93,42 @@ class TestTraining:
         assert "est" + EOW in built
 
 
+class TestBatchedRounds:
+    def test_driver_rounds_below_merge_count(self, spark):
+        """Disjoint batching: several merges land per driver round when
+        the top pairs share no symbols (chain-heavy corpus), with the
+        merge list still byte-identical to the sequential reference."""
+        docs = [("x", "abab abab ababab cdcd cdcdcd efef")]
+        model = train_bpe(
+            spark, spark.createDataFrame(docs, ["doc_id", "text"]), "text", 6
+        )
+        ref_merges, _ = ref_train([t for _, t in docs], 6)
+        assert model.merges == ref_merges
+        assert model.rounds < len(model.merges)  # batching actually batched
+
+    def test_overlap_truncation_keeps_equivalence(self, spark):
+        """Adversarial overlap/tie corpora: a merge creates new pairs
+        ((ab, ab), (x, ab)) that can outrank lower-ranked disjoint pairs
+        — the batch must truncate rather than commit them out of order."""
+        corpora = [
+            "ababababab ababab zz zz zz yy yy",  # (a,b) spawns (ab,ab) ties
+            "aaaa aaaa bbbb cccc",  # self-pair chains
+            "ab ab ab ba ba ba cd cd dc dc",  # symmetric overlap ties
+            "the the then then than xylo xylo",
+        ]
+        for text in corpora:
+            docs = [("d", text)]
+            for n in (3, 6, 10):
+                model = train_bpe(
+                    spark,
+                    spark.createDataFrame(docs, ["doc_id", "text"]),
+                    "text",
+                    n,
+                )
+                ref_merges, _ = ref_train([text], n)
+                assert model.merges == ref_merges, (text, n)
+
+
 class TestPropertyVsReference:
     def test_random_corpora_match_reference(self, spark):
         """Randomized corpora (repeated words from a tiny alphabet so

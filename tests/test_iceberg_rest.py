@@ -29,6 +29,7 @@ from opentelemetry_iceberg_exporter_spark.sinks.errors import (
 from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
     RestCatalogClient,
     RestCommitConflictError,
+    RestCommitStateUnknownError,
     RestError,
     RestTable,
 )
@@ -249,6 +250,124 @@ class TestRestCommit:
 # --------------------------------------------------------------------------
 # add_files + listing (catalog_rest.go:306-467)
 # --------------------------------------------------------------------------
+
+
+class TestCommitAmbiguity:
+    """The case errors.go punts on: the server APPLIES a commit but the
+    response is lost (503 after the state advanced). The snapshot id is
+    client-generated, so the engine resolves the ambiguity by reloading
+    and looking for it — landed = idempotent success (never a double
+    commit), verified-absent = rebuild + retry, reload-also-failed =
+    RestCommitStateUnknownError."""
+
+    def _table(self, catalog, spark, name):
+        client, state, _ = catalog
+        df = _events_df(spark, n=4)
+        client.ensure_namespace("otel")
+        t = client.ensure_table("otel", name, df.schema, partition_source="ts")
+        return state, t
+
+    def _file(self, i=0):
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import DataFile
+
+        return DataFile(f"/data/amb{i}.parquet", 100, 10, {"ts_hour": 1 + i})
+
+    def test_lost_response_append_is_idempotent(self, catalog, spark):
+        state, t = self._table(catalog, spark, "amb1")
+        state.lose_commit_responses = 1
+        sid = t.append_files([self._file()])
+        snaps = t.snapshots()
+        assert [s["snapshot-id"] for s in snaps] == [sid]  # exactly ONE commit
+        assert t.metadata()["current-snapshot-id"] == sid
+
+    def test_pre_commit_5xx_retries_cleanly(self, catalog, spark):
+        """A 503 BEFORE the server applied anything: the landed-check
+        finds the snapshot absent and the retry commits fresh."""
+        state, t = self._table(catalog, spark, "amb2")
+        state.inject(
+            503,
+            "ServiceUnavailableException",
+            "upstream hiccup",
+            times=1,
+            method="POST",
+            path_re=r"/tables/amb2$",
+        )
+        sid = t.append_files([self._file()])
+        assert [s["snapshot-id"] for s in t.snapshots()] == [sid]
+
+    def test_definite_4xx_raises_without_retry(self, catalog, spark):
+        state, t = self._table(catalog, spark, "amb3")
+        state.inject(
+            400,
+            "BadRequestException",
+            "malformed",
+            times=1,
+            method="POST",
+            path_re=r"/tables/amb3$",
+        )
+        with pytest.raises(RestError) as exc_info:
+            t.append_files([self._file()])
+        assert exc_info.value.status == 400
+        assert t.snapshots() == []
+
+    def test_reload_failure_surfaces_state_unknown(self, catalog, spark):
+        """Lost response AND the landed-check reload fails: the one
+        genuinely unresolvable outcome gets its own error type (callers
+        must NOT blindly re-commit on it). Driven through the resolver
+        against the live stub — an injected GET outage cannot
+        distinguish the pre-commit load from the landed-check reload."""
+        state, t = self._table(catalog, spark, "amb4")
+        state.inject(
+            503,
+            "ServiceUnavailableException",
+            "reload also down",
+            times=3,
+            method="GET",
+            path_re=r"/tables/amb4$",
+        )
+        ambiguous = RestError(503, "ServiceUnavailableException", "response lost")
+        with pytest.raises(RestCommitStateUnknownError) as exc_info:
+            t._resolve_ambiguous_commit(ambiguous, 12345)
+        assert "may or may not be committed" in str(exc_info.value)
+        # a DEFINITE rejection is never treated as ambiguous
+        with pytest.raises(RestError):
+            t._resolve_ambiguous_commit(
+                RestError(400, "BadRequestException", "nope"), 12345
+            )
+
+    def test_lost_response_transaction_idempotent(self, catalog, spark):
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
+            commit_append_transaction,
+        )
+
+        client, state, _ = catalog
+        df = _events_df(spark, n=4)
+        client.ensure_namespace("otel")
+        ta = client.ensure_table("otel", "amb5a", df.schema, partition_source="ts")
+        tb = client.ensure_table("otel", "amb5b", df.schema, partition_source="ts")
+        state.lose_commit_responses = 1
+        sids = commit_append_transaction(
+            client,
+            [(ta, [self._file(0)], None), (tb, [self._file(1)], None)],
+        )
+        assert [s["snapshot-id"] for s in ta.snapshots()] == [sids[("otel", "amb5a")]]
+        assert [s["snapshot-id"] for s in tb.snapshots()] == [sids[("otel", "amb5b")]]
+
+    def test_ambiguous_upsert_path_idempotent(self, catalog, spark):
+        """The merge-on-read delta path commits through the same loop —
+        a lost response there must not double-apply the delete+insert."""
+        state, t = self._table(catalog, spark, "amb6")
+        df = _events_df(spark, n=6)
+        t.append_dataframe(df)
+        state.lose_commit_responses = 1
+        sid = t.upsert_equality(
+            spark, df.filter("id = 1").withColumn("name", F.lit("upserted")), ["id"]
+        )
+        assert [s["snapshot-id"] for s in t.snapshots()][-1] == sid
+        assert len(t.snapshots()) == 2
+        got = t.read(spark)
+        assert got.count() == 6
+        assert got.filter("id = 1").first()["name"] == "upserted"
 
 
 class TestAddFilesAndListing:
