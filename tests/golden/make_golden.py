@@ -64,6 +64,18 @@ EQ_FILE_SIZE = 210
 EQ_ROW_COUNT = 2
 EQ_FIELD_IDS = [1]  # equality on `id`
 
+# -- fourth commit: rewrite_manifests (metadata-only `replace`) — the two
+# small delete manifests merge into ONE manifest of status=EXISTING
+# entries that keep their ORIGINAL adding snapshot ids and sequence
+# numbers (spec: rewritten manifests must carry explicit ids/seqs —
+# null-field inheritance only applies inside the adding snapshot's own
+# manifest); the single data manifest is carried verbatim -----------------
+MERGED_MANIFEST_UUID_HEX = "77777777777777777777777777777777"
+MERGED_LIST_UUID_HEX = "88888888888888888888888888888888"
+T_REWRITE_MS = 1700000004000
+SNAPSHOT4_SEED = bytes.fromhex("56789abcdef01234")
+SNAPSHOT4_ID = (int.from_bytes(SNAPSHOT4_SEED, "big")) >> 1
+
 
 # ---------------------------------------------------------------------------
 # Avro 1.11 binary encoding, written from the spec
@@ -173,6 +185,8 @@ DELETE_MANIFEST_PATH = f"{LOC}/metadata/{DELETE_MANIFEST_UUID_HEX}-m1.avro"
 DELETE_LIST_PATH = f"{LOC}/metadata/snap-{SNAPSHOT2_ID}-1-{DELETE_LIST_UUID_HEX}.avro"
 EQ_MANIFEST_PATH = f"{LOC}/metadata/{EQ_MANIFEST_UUID_HEX}-m1.avro"
 EQ_LIST_PATH = f"{LOC}/metadata/snap-{SNAPSHOT3_ID}-1-{EQ_LIST_UUID_HEX}.avro"
+MERGED_MANIFEST_PATH = f"{LOC}/metadata/{MERGED_MANIFEST_UUID_HEX}-m1.avro"
+MERGED_LIST_PATH = f"{LOC}/metadata/snap-{SNAPSHOT4_ID}-1-{MERGED_LIST_UUID_HEX}.avro"
 
 
 # -- manifest file (spec: "Manifests"; required v2 subset of field IDs
@@ -212,13 +226,16 @@ def manifest_entry(
     snapshot_id: int = SNAPSHOT_ID,
     seq: int = 1,
     equality_ids: list[int] | None = None,
+    status: int = 1,
 ) -> bytes:
     """One manifest_entry row: record fields in declared order. The
     fixture's data files do not exist on disk, so lower/upper bounds are
     the null union branch (bounds are optional per the spec). content=1
     encodes a position-delete file, content=2 an equality-delete file
     whose equality_ids (spec field 135, array of schema field ids) name
-    the columns rows are matched on (v2 merge-on-read)."""
+    the columns rows are matched on (v2 merge-on-read). status=0
+    (EXISTING) with an explicit foreign snapshot_id/seq is how a
+    rewritten manifest records entries from ancestor snapshots."""
     if equality_ids is None:
         eq = zigzag_varint(0)  # union: null branch
     else:  # union branch 1, then array: one block then terminator
@@ -230,7 +247,7 @@ def manifest_entry(
         )
     return b"".join(
         [
-            zigzag_varint(1),  # status int: 1 = ADDED
+            zigzag_varint(status),  # status int: 1 = ADDED, 0 = EXISTING
             avro_opt_long(snapshot_id),
             avro_opt_long(seq),  # sequence_number
             avro_opt_long(seq),  # file_sequence_number
@@ -493,6 +510,74 @@ def build_eq_manifest_list(
     )
 
 
+def build_merged_manifest() -> bytes:
+    """The rewrite_manifests output: both delete-manifest entries in one
+    manifest, status EXISTING, each keeping its ORIGINAL adding snapshot
+    id and explicit sequence numbers (so equality-delete applicability —
+    seq strictly below the delete's — survives the rewrite byte-exactly).
+    Entry order follows the source manifest order in snapshot 3's list:
+    the equality manifest first, then the position-delete manifest."""
+    rows = [
+        manifest_entry(
+            EQ_FILE,
+            EQ_FILE_SIZE,
+            EQ_ROW_COUNT,
+            None,
+            content=2,
+            snapshot_id=SNAPSHOT3_ID,
+            seq=3,
+            equality_ids=EQ_FIELD_IDS,
+            status=0,
+        ),
+        manifest_entry(
+            DELETE_FILE,
+            DELETE_FILE_SIZE,
+            DELETE_ROW_COUNT,
+            None,
+            content=1,
+            snapshot_id=SNAPSHOT2_ID,
+            seq=2,
+            status=0,
+        ),
+    ]
+    return ocf(json.dumps(MANIFEST_AVRO_SCHEMA), _manifest_meta("deletes"), rows)
+
+
+def build_merged_manifest_list(merged_manifest_len: int, data_manifest_len: int) -> bytes:
+    """Snapshot 4's manifest list: the merged delete manifest (content=1,
+    added by the REWRITING snapshot, all files counted as existing,
+    min_sequence_number = the oldest merged entry's data seq) followed by
+    the untouched data manifest carried verbatim."""
+    extra = [
+        ("snapshot-id", str(SNAPSHOT4_ID)),
+        ("parent-snapshot-id", str(SNAPSHOT3_ID)),
+        ("sequence-number", "4"),
+        ("format-version", "2"),
+    ]
+    merged_row = b"".join(
+        [
+            avro_str(MERGED_MANIFEST_PATH),
+            zigzag_varint(merged_manifest_len),
+            zigzag_varint(0),  # partition_spec_id
+            zigzag_varint(1),  # content: 1 = deletes
+            zigzag_varint(4),  # sequence_number (the rewriting commit's)
+            zigzag_varint(2),  # min_sequence_number (oldest merged entry)
+            zigzag_varint(SNAPSHOT4_ID),
+            zigzag_varint(0),  # added_files_count
+            zigzag_varint(2),  # existing_files_count
+            zigzag_varint(0),
+            zigzag_varint(0),  # added_rows_count
+            zigzag_varint(EQ_ROW_COUNT + DELETE_ROW_COUNT),  # existing_rows
+            zigzag_varint(0),
+        ]
+    )
+    return ocf(
+        json.dumps(MANIFEST_LIST_AVRO_SCHEMA),
+        extra,
+        [merged_row, _data_manifest_row(data_manifest_len)],
+    )
+
+
 def build_metadata_v2() -> dict:
     snapshot = {
         "snapshot-id": SNAPSHOT_ID,
@@ -592,6 +677,40 @@ def build_metadata_v4() -> dict:
     return md
 
 
+def build_metadata_v5() -> dict:
+    """Metadata after rewrite_manifests: a `replace` snapshot (logical
+    no-op — skipped by incremental scans and changelogs) whose manifest
+    list holds the merged delete manifest + the carried data manifest."""
+    md_v4 = build_metadata_v4()
+    snapshot4 = {
+        "snapshot-id": SNAPSHOT4_ID,
+        "parent-snapshot-id": SNAPSHOT3_ID,
+        "sequence-number": 4,
+        "timestamp-ms": T_REWRITE_MS,
+        "manifest-list": MERGED_LIST_PATH,
+        "summary": {
+            "operation": "replace",
+            "operation-detail": "rewrite_manifests",
+            "rewritten-manifests": "3",
+            "kept-manifests": "2",
+        },
+        "schema-id": 0,
+    }
+    md = dict(md_v4)
+    md["last-sequence-number"] = 4
+    md["last-updated-ms"] = T_REWRITE_MS
+    md["snapshots"] = md_v4["snapshots"] + [snapshot4]
+    md["current-snapshot-id"] = SNAPSHOT4_ID
+    md["refs"] = {"main": {"snapshot-id": SNAPSHOT4_ID, "type": "branch"}}
+    md["snapshot-log"] = md_v4["snapshot-log"] + [
+        {"timestamp-ms": T_REWRITE_MS, "snapshot-id": SNAPSHOT4_ID}
+    ]
+    md["metadata-log"] = md_v4["metadata-log"] + [
+        {"timestamp-ms": T_EQ_MS, "metadata-file": f"{LOC}/metadata/v4.metadata.json"}
+    ]
+    return md
+
+
 # ---------------------------------------------------------------------------
 # Puffin statistics file ("Puffin file format" spec): Magic Blob Footer,
 # Footer == Magic FooterPayload FooterPayloadSize(le i32) Flags(4B) Magic
@@ -647,6 +766,8 @@ def main() -> None:
     eq_list = build_eq_manifest_list(
         len(eq_manifest), len(delete_manifest), len(manifest)
     )
+    merged_manifest = build_merged_manifest()
+    merged_list = build_merged_manifest_list(len(merged_manifest), len(manifest))
     out = {
         "manifest.avro": manifest,
         "manifest-list.avro": mlist,
@@ -654,6 +775,8 @@ def main() -> None:
         "delete-manifest-list.avro": delete_list,
         "eq-manifest.avro": eq_manifest,
         "eq-manifest-list.avro": eq_list,
+        "merged-manifest.avro": merged_manifest,
+        "merged-manifest-list.avro": merged_list,
         "stats.puffin": build_puffin(),
     }
     for name, data in out.items():
@@ -664,6 +787,7 @@ def main() -> None:
         ("v2.metadata.json", build_metadata_v2()),
         ("v3.metadata.json", build_metadata_v3()),
         ("v4.metadata.json", build_metadata_v4()),
+        ("v5.metadata.json", build_metadata_v5()),
     ):
         with open(os.path.join(HERE, name), "w", encoding="utf-8") as f:
             json.dump(md, f, indent=2)

@@ -81,6 +81,9 @@ def frozen(monkeypatch):
             uuid_mod.UUID(hex=GEN.EQ_MANIFEST_UUID_HEX),  # equality manifest
             uuid_mod.UUID(hex=GEN.EQ_LIST_UUID_HEX),  # equality manifest list
             uuid_mod.UUID(hex="d" * 32),  # version-hint tmp
+            uuid_mod.UUID(hex=GEN.MERGED_MANIFEST_UUID_HEX),  # rewrite: merged manifest
+            uuid_mod.UUID(hex=GEN.MERGED_LIST_UUID_HEX),  # rewrite: manifest list
+            uuid_mod.UUID(hex="e" * 32),  # version-hint tmp
         ]
     )
     times = iter(
@@ -89,9 +92,13 @@ def frozen(monkeypatch):
             GEN.T_APPEND_MS / 1000.0,
             GEN.T_DELETE_MS / 1000.0,
             GEN.T_EQ_MS / 1000.0,
+            GEN.T_REWRITE_MS / 1000.0,  # rewrite snapshot timestamp
+            GEN.T_REWRITE_MS / 1000.0,  # rewrite metadata last-updated
         ]
     )
-    seeds = iter([GEN.SNAPSHOT_SEED, GEN.SNAPSHOT2_SEED, GEN.SNAPSHOT3_SEED])
+    seeds = iter(
+        [GEN.SNAPSHOT_SEED, GEN.SNAPSHOT2_SEED, GEN.SNAPSHOT3_SEED, GEN.SNAPSHOT4_SEED]
+    )
 
     def fake_urandom(n: int) -> bytes:
         if n == 8:
@@ -235,6 +242,34 @@ class TestGoldenWrite:
             )
         with open(os.path.join(GEN.LOC, "metadata", "v4.metadata.json"), "rb") as f:
             assert f.read() == _golden_bytes("v4.metadata.json"), "v4 metadata drift"
+
+        # fifth artifact set: rewrite_manifests — the two small delete
+        # manifests merge into one EXISTING-entry manifest (original
+        # snapshot ids + explicit seqs preserved byte-exactly), the data
+        # manifest is carried verbatim, and the commit is a metadata-only
+        # `replace` snapshot
+        sid4 = table.rewrite_manifests(min_count=2)
+        assert sid4 == GEN.SNAPSHOT4_ID
+        with open(
+            os.path.join(GEN.LOC, "metadata", f"{GEN.MERGED_MANIFEST_UUID_HEX}-m1.avro"),
+            "rb",
+        ) as f:
+            assert f.read() == _golden_bytes("merged-manifest.avro"), (
+                "merged manifest drift"
+            )
+        with open(
+            os.path.join(
+                GEN.LOC,
+                "metadata",
+                f"snap-{GEN.SNAPSHOT4_ID}-1-{GEN.MERGED_LIST_UUID_HEX}.avro",
+            ),
+            "rb",
+        ) as f:
+            assert f.read() == _golden_bytes("merged-manifest-list.avro"), (
+                "merged manifest-list drift"
+            )
+        with open(os.path.join(GEN.LOC, "metadata", "v5.metadata.json"), "rb") as f:
+            assert f.read() == _golden_bytes("v5.metadata.json"), "v5 metadata drift"
         shutil.rmtree("/tmp/spark_graft_golden", ignore_errors=True)
 
     def test_generator_is_byte_stable(self, tmp_path):
@@ -446,6 +481,71 @@ class TestGoldenRead:
         # the strict seq<delete comparison depends on this
         assert all(f.sequence_number == 1 for f in data)
         assert by_path[GEN.DELETE_FILE].sequence_number == 2
+
+    @pytest.fixture()
+    def golden_table_v5(self):
+        """The fixture table AFTER the independently-encoded
+        rewrite_manifests commit (version-hint 5)."""
+        shutil.rmtree("/tmp/spark_graft_golden", ignore_errors=True)
+        meta_dir = os.path.join(GEN.LOC, "metadata")
+        os.makedirs(meta_dir)
+        for src, dst in (
+            ("v1.metadata.json", "v1.metadata.json"),
+            ("v2.metadata.json", "v2.metadata.json"),
+            ("v3.metadata.json", "v3.metadata.json"),
+            ("v4.metadata.json", "v4.metadata.json"),
+            ("v5.metadata.json", "v5.metadata.json"),
+            ("manifest.avro", f"{GEN.MANIFEST_UUID_HEX}-m0.avro"),
+            ("manifest-list.avro", f"snap-{GEN.SNAPSHOT_ID}-1-{GEN.LIST_UUID_HEX}.avro"),
+            ("delete-manifest.avro", f"{GEN.DELETE_MANIFEST_UUID_HEX}-m1.avro"),
+            (
+                "delete-manifest-list.avro",
+                f"snap-{GEN.SNAPSHOT2_ID}-1-{GEN.DELETE_LIST_UUID_HEX}.avro",
+            ),
+            ("eq-manifest.avro", f"{GEN.EQ_MANIFEST_UUID_HEX}-m1.avro"),
+            (
+                "eq-manifest-list.avro",
+                f"snap-{GEN.SNAPSHOT3_ID}-1-{GEN.EQ_LIST_UUID_HEX}.avro",
+            ),
+            ("merged-manifest.avro", f"{GEN.MERGED_MANIFEST_UUID_HEX}-m1.avro"),
+            (
+                "merged-manifest-list.avro",
+                f"snap-{GEN.SNAPSHOT4_ID}-1-{GEN.MERGED_LIST_UUID_HEX}.avro",
+            ),
+        ):
+            shutil.copy(os.path.join(GOLDEN, src), os.path.join(meta_dir, dst))
+        with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+            f.write("5")
+        yield FsTable(GEN.LOC)
+        shutil.rmtree("/tmp/spark_graft_golden", ignore_errors=True)
+
+    def test_package_reads_independent_rewritten_manifests(self, golden_table_v5):
+        """The merged EXISTING-entry manifest must plan exactly like the
+        pre-rewrite manifests: same live set, same delete files, and —
+        critically — the ORIGINAL sequence numbers (equality deletes
+        apply to seq strictly below theirs)."""
+        t = golden_table_v5
+        assert t.current_snapshot()["snapshot-id"] == GEN.SNAPSHOT4_ID
+        assert t.current_snapshot()["summary"]["operation"] == "replace"
+        data, deletes, _ = t.plan_scan()
+        assert {f.file_path for f in data} == {GEN.FILE_A, GEN.FILE_B}
+        by_path = {f.file_path: f for f in deletes}
+        assert set(by_path) == {GEN.DELETE_FILE, GEN.EQ_FILE}
+        assert by_path[GEN.EQ_FILE].sequence_number == 3  # NOT the rewrite's 4
+        assert by_path[GEN.EQ_FILE].equality_ids == tuple(GEN.EQ_FIELD_IDS)
+        assert by_path[GEN.DELETE_FILE].sequence_number == 2
+        assert all(f.sequence_number == 1 for f in data)
+        # the replace snapshot is invisible to incremental consumers
+        files, end = t.incremental_scan(from_snapshot_id=GEN.SNAPSHOT3_ID)
+        assert files == [] and end == GEN.SNAPSHOT4_ID
+        # time travel to every pre-rewrite snapshot still resolves
+        for sid, n_del in (
+            (GEN.SNAPSHOT_ID, 0),
+            (GEN.SNAPSHOT2_ID, 1),
+            (GEN.SNAPSHOT3_ID, 2),
+        ):
+            d_, dels_, _ = t.plan_scan(snapshot_id=sid)
+            assert len(d_) == 2 and len(dels_) == n_del
 
     def test_ocf_decode_matches_expected_rows(self):
         schema, meta, rows = read_ocf(os.path.join(GOLDEN, "manifest.avro"))
