@@ -2079,6 +2079,57 @@ def sweep_orphan_files(
     return sorted(deleted)
 
 
+def referenced_metadata_paths(md: dict) -> set[str]:
+    """Every metadata-tree file the CURRENT table metadata reaches:
+    manifest lists + manifests of every snapshot (main ancestry, branch
+    heads, and tag-pinned alike — they all live in `snapshots`), plus
+    registered Puffin column-stats and partition-stats files. The
+    complement under metadata/ is commit litter: CAS-losing attempts
+    and expired trees, safe to sweep once old enough."""
+    refs: set[str] = set()
+    for s in md["snapshots"]:
+        refs.add(os.path.abspath(s["manifest-list"]))
+        _, _, manifests = read_ocf(s["manifest-list"])
+        for m in manifests:
+            refs.add(os.path.abspath(m["manifest_path"]))
+    for key in ("partition-statistics", "statistics"):
+        for e in md.get(key, []):
+            refs.add(os.path.abspath(e["statistics-path"]))
+    return refs
+
+
+def sweep_orphan_metadata(
+    location: str, referenced: set[str], older_than_seconds: float
+) -> list[str]:
+    """The metadata-side orphan sweep: every optimistic-commit RETRY
+    (both transports write the manifest tree BEFORE the commit
+    arbitration) and every rewrite_manifests/compaction leaves
+    unreferenced .avro trees behind — at a streaming exporter's
+    commit-per-micro-batch cadence with contending writers that litter
+    accumulates without bound. Deletes metadata/*.avro, stray
+    partition-stats parquet, and .puffin files that `referenced` (see
+    referenced_metadata_paths) does not name and that are older than
+    the cutoff (fresh trees may belong to an in-flight commit racing
+    this call). Metadata JSON versions and the version hint are NEVER
+    touched (they are the commit log itself). Returns deleted paths."""
+    cutoff = time.time() - older_than_seconds
+    deleted: list[str] = []
+    meta_dir = os.path.join(location, "metadata")
+    for pattern in ("*.avro", "partition-stats-*.parquet", "*.puffin"):
+        for path in glob.glob(os.path.join(meta_dir, pattern)):
+            path = os.path.abspath(path)
+            if path in referenced:
+                continue
+            try:
+                if os.path.getmtime(path) >= cutoff:
+                    continue  # too fresh — may belong to an in-flight commit
+                os.remove(path)
+                deleted.append(path)
+            except OSError:
+                continue  # raced with another cleaner — fine
+    return sorted(deleted)
+
+
 def _ancestry_window(
     md: dict,
     from_snapshot_id: int | None,
@@ -4608,17 +4659,30 @@ class FsTable:
         )
         return sid, n_updated
 
-    def remove_orphan_files(self, older_than_seconds: float = 3 * 86400) -> list[str]:
+    def remove_orphan_files(
+        self,
+        older_than_seconds: float = 3 * 86400,
+        include_metadata: bool = True,
+    ) -> list[str]:
         """Reclaim data files under the table location that NO snapshot
         references — the inverse of recovery (which re-registers them):
         leftovers from failed/raced writes whose commit never landed.
-        Only files older than `older_than_seconds` are deleted (default
+        With include_metadata (default), unreferenced manifest/list
+        .avro trees and deregistered stats files are swept too — the
+        litter every CAS-losing commit attempt leaves behind. Only
+        files older than `older_than_seconds` are deleted (default
         3 days, Iceberg's default) so in-flight writes racing this call
         are never swept. Purely driver-side metadata + listing work.
         Returns deleted paths."""
-        return sweep_orphan_files(
+        md = self.metadata()
+        deleted = sweep_orphan_files(
             self.location, set(self.all_files()), older_than_seconds
         )
+        if include_metadata:
+            deleted += sweep_orphan_metadata(
+                self.location, referenced_metadata_paths(md), older_than_seconds
+            )
+        return deleted
 
     def merge_rows(
         self,

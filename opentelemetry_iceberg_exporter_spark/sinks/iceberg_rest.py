@@ -92,9 +92,10 @@ def _is_missing(err: RestError) -> bool:
 
 def _is_ambiguous(err: RestError) -> bool:
     """Failures where the server MAY have applied the commit before the
-    response was lost: transport-level errors (status 0) and 5xx. 4xx
-    are definite rejections."""
-    return err.status == 0 or err.status >= 500
+    response was lost: transport-level errors (status 0), 5xx, and 2xx
+    with an undecodable body (the request was accepted — only the
+    response payload is byzantine). 4xx are definite rejections."""
+    return err.status == 0 or err.status >= 500 or 200 <= err.status < 300
 
 
 class RestCatalogClient:
@@ -149,7 +150,20 @@ class RestCatalogClient:
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as resp:
                 raw = resp.read()
-                return json.loads(raw) if raw else {}
+                if not raw:
+                    return {}
+                try:
+                    return json.loads(raw)
+                except ValueError as exc:
+                    # byzantine 2xx: truncated/garbage body from a proxy
+                    # or a mid-write crash — surface a classifiable
+                    # RestError instead of a bare JSONDecodeError (and
+                    # let commit paths resolve it via the landed check)
+                    raise RestError(
+                        resp.status,
+                        "InvalidResponseException",
+                        f"undecodable response body: {raw[:120]!r}",
+                    ) from exc
         except urllib.error.HTTPError as exc:
             raw = exc.read()
             try:
@@ -1308,18 +1322,34 @@ class RestTable:
         )
         return entry
 
-    def remove_orphan_files(self, older_than_seconds: float = 3 * 86400) -> list[str]:
+    def remove_orphan_files(
+        self,
+        older_than_seconds: float = 3 * 86400,
+        include_metadata: bool = True,
+    ) -> list[str]:
         """Reclaim data files under the table location that NO snapshot
         references (same sweep as FsTable — the REST catalog arbitrates
         commits but the warehouse is the same filesystem): leftovers
-        from failed/raced writes whose commit never landed. Only files
-        older than the cutoff are deleted so in-flight writes racing
-        this call are never swept. Returns deleted paths."""
-        from .iceberg_fs import sweep_orphan_files
+        from failed/raced writes whose commit never landed, plus (with
+        include_metadata) the unreferenced manifest trees 409-losing
+        commit attempts abandon. Only files older than the cutoff are
+        deleted so in-flight writes racing this call are never swept.
+        Returns deleted paths."""
+        from .iceberg_fs import (
+            referenced_metadata_paths,
+            sweep_orphan_files,
+            sweep_orphan_metadata,
+        )
 
-        return sweep_orphan_files(
+        md = self.metadata()
+        deleted = sweep_orphan_files(
             self.location(), set(self.all_files()), older_than_seconds
         )
+        if include_metadata:
+            deleted += sweep_orphan_metadata(
+                self.location(), referenced_metadata_paths(md), older_than_seconds
+            )
+        return deleted
 
     def _live_files(
         self, md: dict, snapshot_id: int

@@ -43,6 +43,17 @@ class StubCatalogState:
         # — the "server committed, response lost" case clients must
         # resolve without double-committing
         self.lose_commit_responses: int = 0
+        # byzantine fault: the next N matching requests get a 200 with a
+        # TRUNCATED JSON body instead of being processed (method/path_re
+        # filters like inject); for commits, garbage_commit_responses
+        # applies the commit first, then garbles the response
+        self.garbage: list[tuple[str | None, str | None]] = []
+        self.garbage_commit_responses: int = 0
+
+    def inject_garbage(
+        self, times: int = 1, method: str | None = None, path_re: str | None = None
+    ) -> None:
+        self.garbage.extend([(method, path_re)] * times)
 
     def inject(
         self,
@@ -80,10 +91,28 @@ class _Handler(BaseHTTPRequestHandler):
         length = int(self.headers.get("Content-Length", 0))
         return json.loads(self.rfile.read(length)) if length else {}
 
+    def _send_garbage(self) -> None:
+        """A 200 whose body is truncated JSON (proxy corruption /
+        mid-write crash)."""
+        data = b'{"metadata": {"trunca'
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
     def _guard(self) -> bool:
         """Auth + injected-failure gate. Returns True if handled."""
         st = self.state
         st.requests.append((self.command, self.path))
+        if st.garbage:
+            method, path_re = st.garbage[0]
+            if (method is None or method == self.command) and (
+                path_re is None or re.search(path_re, self.path)
+            ):
+                st.garbage.pop(0)
+                self._send_garbage()
+                return True
         if st.injected:
             status, etype, msg, method, path_re = st.injected[0]
             matches = (method is None or method == self.command) and (
@@ -267,6 +296,10 @@ class _Handler(BaseHTTPRequestHandler):
                     "ServiceUnavailableException",
                     "response lost after the commit was applied",
                 )
+                return
+            if self.state.garbage_commit_responses > 0:
+                self.state.garbage_commit_responses -= 1
+                self._send_garbage()
                 return
             self._send(
                 200, {"metadata-location": self._metadata_location(key), "metadata": new_md}

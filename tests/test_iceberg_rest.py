@@ -335,6 +335,40 @@ class TestCommitAmbiguity:
                 RestError(400, "BadRequestException", "nope"), 12345
             )
 
+    def test_garbage_200_load_surfaces_clean_resterror(self, catalog, spark):
+        """Byzantine 2xx: a truncated JSON body from a proxy must become
+        a classifiable RestError (transient), never a bare
+        JSONDecodeError."""
+        import json as json_mod
+
+        from opentelemetry_iceberg_exporter_spark.sinks.errors import (
+            TRANSIENT,
+            classify_error,
+        )
+
+        client, state, _ = catalog
+        df = _events_df(spark, n=4)
+        client.ensure_namespace("otel")
+        client.ensure_table("otel", "gz1", df.schema, partition_source="ts")
+        state.inject_garbage(times=1, method="GET", path_re=r"/tables/gz1$")
+        with pytest.raises(RestError) as exc_info:
+            client.load_table("otel", "gz1")
+        assert not isinstance(exc_info.value, json_mod.JSONDecodeError)
+        assert exc_info.value.error_type == "InvalidResponseException"
+        assert classify_error(exc_info.value) == TRANSIENT
+        # next call (outage over) succeeds
+        assert client.load_table("otel", "gz1")["metadata"]["table-uuid"]
+
+    def test_garbage_200_after_commit_resolves_via_landed_check(self, catalog, spark):
+        """The server applied the commit but the 200 body is garbage:
+        the 2xx status makes it ambiguous-but-accepted — the landed
+        check finds the client-generated snapshot id and returns
+        success without double-committing."""
+        state, t = self._table(catalog, spark, "gz2")
+        state.garbage_commit_responses = 1
+        sid = t.append_files([self._file()])
+        assert [s["snapshot-id"] for s in t.snapshots()] == [sid]
+
     def test_lost_response_transaction_idempotent(self, catalog, spark):
         from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
             commit_append_transaction,

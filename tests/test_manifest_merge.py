@@ -273,6 +273,105 @@ class TestRewriteManifests:
         assert got.filter("event_id = 100").count() == 1
 
 
+class TestOrphanMetadataSweep:
+    """Every CAS-losing commit attempt abandons a manifest + manifest
+    list under metadata/ (both transports write the tree BEFORE the
+    commit arbitration). At per-micro-batch cadence with contending
+    writers that litter grows without bound — remove_orphan_files now
+    sweeps it alongside the data-file orphans."""
+
+    def test_fs_sweeps_abandoned_trees_keeps_referenced(self, spark, tmp_path):
+        import glob as glob_mod
+        import time as time_mod
+
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            write_snapshot_tree,
+        )
+
+        t = _mk_table(spark, tmp_path, None)
+        _stream_appends(t, 3)
+        # a CAS-loser: tree written against current md, never committed
+        md = t.metadata()
+        write_snapshot_tree(
+            t.location,
+            md,
+            [_write_pq(os.path.join(t.location, "data", "loser.parquet"), [99])],
+            operation="append",
+            carry_forward=True,
+            extra_summary={},
+        )
+        # a deregistered stats file
+        stray_puffin = os.path.join(t.location, "metadata", "stats-1-dead.puffin")
+        with open(stray_puffin, "wb") as f:
+            f.write(b"PFA1deadPFA1")
+        meta_dir = os.path.join(t.location, "metadata")
+        referenced = {
+            os.path.abspath(p)
+            for s in t.metadata()["snapshots"]
+            for p in [s["manifest-list"]]
+        }
+        # fresh litter is protected (in-flight-commit window)
+        assert t.remove_orphan_files(older_than_seconds=3600) == []
+        old = time_mod.time() - 10
+        for p in glob_mod.glob(os.path.join(meta_dir, "*.avro")) + [stray_puffin]:
+            os.utime(p, (old, old))
+        # the loser data file ages too (swept by the data-side pass)
+        os.utime(os.path.join(t.location, "data", "loser.parquet"), (old, old))
+        deleted = t.remove_orphan_files(older_than_seconds=5)
+        # exactly: loser manifest + loser list + stray puffin + loser data file
+        assert len(deleted) == 4
+        assert stray_puffin in deleted
+        for p in referenced:
+            assert os.path.exists(p)
+        got = t.read(spark)
+        assert got.count() == 6  # table untouched
+        # metadata-only sweep can be disabled
+        assert t.remove_orphan_files(5, include_metadata=False) == []
+
+    def test_rest_409_loser_tree_swept(self, spark, tmp_path):
+        """A genuinely raced REST commit: the first attempt's tree is
+        abandoned when the server 409s, the retry commits a fresh one —
+        the sweep reclaims exactly the abandoned pair."""
+        import glob as glob_mod
+        import time as time_mod
+
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
+            RestCatalogClient,
+        )
+        from rest_stub import make_server
+
+        warehouse = str(tmp_path / "warehouse")
+        os.makedirs(warehouse)
+        server, state, uri = make_server(warehouse)
+        try:
+            client = RestCatalogClient(uri, warehouse=warehouse)
+            schema = spark.createDataFrame([], "event_id bigint, value bigint").schema
+            client.ensure_namespace("ns")
+            t = client.ensure_table("ns", "ev", schema, None)
+            f = _write_pq(os.path.join(t.location(), "data", "b0.parquet"), [0, 1])
+            state.inject(
+                409,
+                "CommitFailedException",
+                "Requirement failed: branch main has changed",
+                times=1,
+                method="POST",
+                path_re=r"/tables/ev$",
+            )
+            sid = t.append_files([f])
+            meta_dir = os.path.join(t.location(), "metadata")
+            avros = glob_mod.glob(os.path.join(meta_dir, "*.avro"))
+            assert len(avros) == 4  # two trees: loser + winner
+            old = time_mod.time() - 10
+            for p in avros:
+                os.utime(p, (old, old))
+            deleted = t.remove_orphan_files(older_than_seconds=5)
+            assert len(deleted) == 2  # exactly the abandoned pair
+            assert t.metadata()["current-snapshot-id"] == sid
+            assert t.read(spark).count() == 2
+        finally:
+            server.shutdown()
+
+
 class TestRestRewriteManifests:
     @pytest.fixture()
     def catalog(self, tmp_path):
