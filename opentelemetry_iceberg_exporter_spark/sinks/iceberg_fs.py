@@ -836,6 +836,67 @@ MANIFEST_LIST_SCHEMA = {
 # --------------------------------------------------------------------------
 
 
+_TOTAL_KEYS = (
+    "total-records",
+    "total-files-size",
+    "total-data-files",
+    "total-delete-files",
+    "total-position-deletes",
+    "total-equality-deletes",
+)
+
+
+def _files_totals(files: list[DataFile]) -> dict[str, int]:
+    """Aggregate the spec's snapshot-summary totals over a file list."""
+    t = {k: 0 for k in _TOTAL_KEYS}
+    for f in files:
+        t["total-files-size"] += f.file_size_in_bytes
+        if f.content == 0:
+            t["total-records"] += f.record_count
+            t["total-data-files"] += 1
+        else:
+            t["total-delete-files"] += 1
+            if f.content == 1:
+                t["total-position-deletes"] += f.record_count
+            else:
+                t["total-equality-deletes"] += f.record_count
+    return t
+
+
+def parent_summary_totals(md: dict, parent: int) -> dict[str, int]:
+    """The parent snapshot's running totals, parsed from its summary.
+    Tables written before totals existed (or by other engines that omit
+    them) fall back to ONE metadata walk of the parent's live file set —
+    a one-time upgrade cost, O(parent metadata)."""
+    if parent in (-1, None):
+        return {k: 0 for k in _TOTAL_KEYS}
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == parent)
+    summary = snap.get("summary", {})
+    if all(k in summary for k in _TOTAL_KEYS):
+        return {k: int(summary[k]) for k in _TOTAL_KEYS}
+    data, deletes = live_files(md, parent)
+    return _files_totals(data + deletes)
+
+
+def snapshot_summary_totals(
+    md: dict, parent: int, files: list[DataFile], carry_forward: bool
+) -> dict[str, str]:
+    """The spec's running `total-*` summary fields (SnapshotSummary):
+    incremental parent+delta for append-style commits, recomputed from
+    the complete live set for replace-style ones. total-records counts
+    DATA-file records (position-deleted rows still live in their files
+    until a rewrite folds them); delete content is tracked by its own
+    totals. These make `count_rows` a metadata-only O(1) answer and the
+    `snapshots` table a growth dashboard."""
+    if carry_forward:
+        totals = parent_summary_totals(md, parent)
+        for k, v in _files_totals(files).items():
+            totals[k] += v
+    else:
+        totals = _files_totals(files)
+    return {k: str(totals[k]) for k in _TOTAL_KEYS}
+
+
 def write_snapshot_tree(
     location: str,
     md: dict,
@@ -976,6 +1037,7 @@ def write_snapshot_tree(
             summary["added-position-deletes"] = str(pos_rows)
         if eq_rows:
             summary["added-equality-deletes"] = str(eq_rows)
+    summary.update(snapshot_summary_totals(md, parent, files, carry_forward))
     summary.update(extra_summary)
     return {
         "snapshot-id": snapshot_id,
@@ -1093,7 +1155,15 @@ def merge_small_manifests(
     rewrite_manifests action) merges every group with ≥2 small
     manifests. Returns the new manifest list, or None if nothing was
     merged (caller keeps the original list — no files written in that
-    case beyond per-group no-ops)."""
+    case beyond per-group no-ops).
+
+    Amortized cost at streaming cadence: a merge fires every
+    ~min_count commits and rewrites the current generation manifest
+    (which regrows until it crosses target_size and graduates to
+    pass-through, starting a fresh generation), so per-commit rewrite
+    work is bounded by target_size/min_count bytes — ~80 KB/commit at
+    the 8 MB / 100 defaults — and the manifest count stays ≤
+    min_count + generations, independent of total commits."""
     groups: dict[tuple[int, int], list[dict]] = {}
     for m in manifests:
         groups.setdefault((m["content"], m["partition_spec_id"]), []).append(m)
@@ -1210,18 +1280,24 @@ def build_rewrite_manifests_snapshot(
             "format-version": "2",
         },
     )
+    summary = {
+        "operation": "replace",
+        "operation-detail": "rewrite_manifests",
+        "rewritten-manifests": str(len(manifests)),
+        "kept-manifests": str(len(merged)),
+    }
+    # a pure metadata rewrite: the live set — and so every total — is
+    # exactly the parent's
+    summary.update(
+        {k: str(v) for k, v in parent_summary_totals(md, sid).items()}
+    )
     return {
         "snapshot-id": snapshot_id,
         "parent-snapshot-id": sid,
         "sequence-number": seq,
         "timestamp-ms": int(time.time() * 1000),
         "manifest-list": list_path,
-        "summary": {
-            "operation": "replace",
-            "operation-detail": "rewrite_manifests",
-            "rewritten-manifests": str(len(manifests)),
-            "kept-manifests": str(len(merged)),
-        },
+        "summary": summary,
         "schema-id": md["current-schema-id"],
     }
 
@@ -3876,6 +3952,41 @@ class FsTable:
             snapshot_id, partition_range, column_range, source_predicate, source_range
         )
         return scan_with_deletes(spark, md, data, deletes)
+
+    def count_rows(
+        self, spark: SparkSession | None = None, snapshot_id: int | None = None
+    ) -> int:
+        """SELECT count(*) from METADATA: with no live delete files the
+        row count is exactly the sum of data-file record counts — O(1)
+        from the summary's running `total-records`, no scan, no Spark
+        job (the constant-time corpus-size check a 100 TB table needs).
+        Pending position/equality deletes make the exact count require
+        the read-side subtraction, so it falls back to a Spark count
+        (pass `spark`); tables written without totals walk the snapshot
+        metadata once instead."""
+        md = self.metadata()
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else md.get("current-snapshot-id", -1)
+        )
+        if sid in (-1, None):
+            return 0
+        snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+        summary = snap.get("summary", {})
+        if all(k in summary for k in ("total-records", "total-delete-files")):
+            if int(summary["total-delete-files"]) == 0:
+                return int(summary["total-records"])
+        else:
+            data, deletes = live_files(md, sid)
+            if not deletes:
+                return sum(f.record_count for f in data)
+        if spark is None:
+            raise ValueError(
+                "snapshot has pending delete files: the exact count needs a "
+                "Spark scan — pass spark (or fold deletes with maintenance)"
+            )
+        return self.read(spark, snapshot_id=snapshot_id).count()
 
     # -- incremental (snapshot-diff) consumption ---------------------------
     def incremental_files(

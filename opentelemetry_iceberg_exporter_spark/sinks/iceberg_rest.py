@@ -887,6 +887,38 @@ class RestTable:
             "rewrite",
         )
 
+    def count_rows(
+        self, spark: SparkSession | None = None, snapshot_id: int | None = None
+    ) -> int:
+        """Metadata-only count(*) (see FsTable.count_rows): O(1) from
+        the summary totals when no delete files are live, Spark-scan
+        fallback otherwise."""
+        from .iceberg_fs import live_files
+
+        md = self.metadata()
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else md.get("current-snapshot-id", -1)
+        )
+        if sid in (-1, None):
+            return 0
+        snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+        summary = snap.get("summary", {})
+        if all(k in summary for k in ("total-records", "total-delete-files")):
+            if int(summary["total-delete-files"]) == 0:
+                return int(summary["total-records"])
+        else:
+            data, deletes = live_files(md, sid)
+            if not deletes:
+                return sum(f.record_count for f in data)
+        if spark is None:
+            raise ValueError(
+                "snapshot has pending delete files: the exact count needs a "
+                "Spark scan — pass spark (or fold deletes with maintenance)"
+            )
+        return self.read(spark, snapshot_id=snapshot_id).count()
+
     def rewrite_manifests(
         self,
         target_size_bytes: int | None = None,

@@ -392,8 +392,17 @@ def register_table_views(
     for ns in namespaces:
         for name in catalog.list_tables(ns):
             location = catalog.table_location(ns, name)
-            data, _ = FsTable(location).plan_files()
-            n_bytes = sum(f.file_size_in_bytes for f in data)
+            t = FsTable(location)
+            snap = t.current_snapshot()
+            summary = (snap or {}).get("summary", {})
+            if "total-files-size" in summary:
+                # O(1) from the running summary totals (slightly over
+                # data-only bytes since delete files count too — a
+                # conservative bias for a broadcast decision)
+                n_bytes = int(summary["total-files-size"])
+            else:
+                data, _ = t.plan_files()
+                n_bytes = sum(f.file_size_in_bytes for f in data)
             df = spark.read.format("iceberg_fs").load(location)
             if n_bytes <= broadcast_threshold:
                 df = df.hint("broadcast")

@@ -578,6 +578,23 @@ def build_merged_manifest_list(merged_manifest_len: int, data_manifest_len: int)
     )
 
 
+def _totals(
+    records: int, size: int, data_files: int, delete_files: int, pos: int, eq: int
+) -> dict:
+    """The spec's running SnapshotSummary totals, appended to every
+    summary after the per-commit keys (and before caller-supplied
+    snapshot properties). total-records counts DATA-file records —
+    position-deleted rows stay counted until a rewrite folds them."""
+    return {
+        "total-records": str(records),
+        "total-files-size": str(size),
+        "total-data-files": str(data_files),
+        "total-delete-files": str(delete_files),
+        "total-position-deletes": str(pos),
+        "total-equality-deletes": str(eq),
+    }
+
+
 def build_metadata_v2() -> dict:
     snapshot = {
         "snapshot-id": SNAPSHOT_ID,
@@ -589,6 +606,7 @@ def build_metadata_v2() -> dict:
             "operation": "append",
             "added-data-files": "2",
             "added-records": "13",
+            **_totals(13, 1234 + 567, 2, 0, 0, 0),
         },
         "schema-id": 0,
     }
@@ -622,6 +640,7 @@ def build_metadata_v3() -> dict:
             "added-records": "0",
             "added-delete-files": "1",
             "added-position-deletes": str(DELETE_ROW_COUNT),
+            **_totals(13, 1234 + 567 + DELETE_FILE_SIZE, 2, 1, DELETE_ROW_COUNT, 0),
             "deleted-records": str(DELETE_ROW_COUNT),
         },
         "schema-id": 0,
@@ -658,6 +677,14 @@ def build_metadata_v4() -> dict:
             "added-records": "0",
             "added-delete-files": "1",
             "added-equality-deletes": str(EQ_ROW_COUNT),
+            **_totals(
+                13,
+                1234 + 567 + DELETE_FILE_SIZE + EQ_FILE_SIZE,
+                2,
+                2,
+                DELETE_ROW_COUNT,
+                EQ_ROW_COUNT,
+            ),
             "deleted-key-tuples": str(EQ_ROW_COUNT),
         },
         "schema-id": 0,
@@ -693,6 +720,15 @@ def build_metadata_v5() -> dict:
             "operation-detail": "rewrite_manifests",
             "rewritten-manifests": "3",
             "kept-manifests": "2",
+            # a metadata-only rewrite: totals are exactly the parent's
+            **_totals(
+                13,
+                1234 + 567 + DELETE_FILE_SIZE + EQ_FILE_SIZE,
+                2,
+                2,
+                DELETE_ROW_COUNT,
+                EQ_ROW_COUNT,
+            ),
         },
         "schema-id": 0,
     }

@@ -273,6 +273,90 @@ class TestRewriteManifests:
         assert got.filter("event_id = 100").count() == 1
 
 
+class TestSummaryTotals:
+    """The spec's running SnapshotSummary totals (total-records,
+    total-files-size, total-data-files, total-delete-files,
+    total-position/equality-deletes) and the metadata-only count_rows
+    fast path they enable."""
+
+    def test_totals_accumulate_and_count_rows_is_metadata_only(
+        self, spark, tmp_path
+    ):
+        t = _mk_table(spark, tmp_path, None)
+        _stream_appends(t, 5)
+        s = t.current_snapshot()["summary"]
+        assert s["total-records"] == "10"
+        assert s["total-data-files"] == "5"
+        assert s["total-delete-files"] == "0"
+        assert t.count_rows() == 10  # no spark arg: pure metadata
+        assert t.count_rows() == t.read(spark).count()
+        # time travel counts from that snapshot's own totals
+        first = t.snapshots()[0]["snapshot-id"]
+        assert t.count_rows(snapshot_id=first) == 2
+
+    def test_empty_table_counts_zero(self, spark, tmp_path):
+        t = _mk_table(spark, tmp_path, None)
+        assert t.count_rows() == 0
+
+    def test_deletes_tracked_and_fallback_scan(self, spark, tmp_path):
+        import pytest as _pytest
+
+        cat = FsCatalog(str(tmp_path / "wh"))
+        df = spark.range(8).select(
+            F.col("id"),
+            F.to_timestamp(F.lit("2024-03-01 00:00:00")).alias("ts"),
+        )
+        t = cat.create_table("ns", "cr", df.schema, partition_source="ts")
+        t.append_dataframe(df)
+        t.delete_where_equality(spark, df.filter("id < 2").select("id"), ["id"])
+        s = t.current_snapshot()["summary"]
+        assert s["total-records"] == "8"  # data-file records, not net rows
+        assert s["total-delete-files"] == "1"
+        assert s["total-equality-deletes"] == "2"
+        with _pytest.raises(ValueError, match="pending delete files"):
+            t.count_rows()  # exact count needs the read-side subtraction
+        assert t.count_rows(spark) == 6
+
+    def test_replace_recomputes_and_rewrite_manifests_carries(
+        self, spark, tmp_path
+    ):
+        t = _mk_table(
+            spark, tmp_path, {"commit.manifest-merge.enabled": "false"}
+        )
+        _stream_appends(t, 4)
+        before = {
+            k: v
+            for k, v in t.current_snapshot()["summary"].items()
+            if k.startswith("total-")
+        }
+        t.rewrite_manifests()
+        after = {
+            k: v
+            for k, v in t.current_snapshot()["summary"].items()
+            if k.startswith("total-")
+        }
+        assert after == before  # metadata-only: totals carried verbatim
+        assert t.count_rows() == 8
+
+    def test_legacy_summary_fallback_walks_metadata(self, spark, tmp_path):
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            parent_summary_totals,
+        )
+
+        t = _mk_table(spark, tmp_path, None)
+        _stream_appends(t, 3)
+        md = t.metadata()
+        sid = md["current-snapshot-id"]
+        # simulate a table written before totals existed / by another engine
+        for s in md["snapshots"]:
+            for k in list(s["summary"]):
+                if k.startswith("total-"):
+                    del s["summary"][k]
+        totals = parent_summary_totals(md, sid)
+        assert totals["total-records"] == 6
+        assert totals["total-data-files"] == 3
+
+
 class TestOrphanMetadataSweep:
     """Every CAS-losing commit attempt abandons a manifest + manifest
     list under metadata/ (both transports write the tree BEFORE the
@@ -417,6 +501,7 @@ class TestRestRewriteManifests:
         assert len(ms) == 1
         got = t.read(spark)
         assert got.count() == 24
+        assert t.count_rows() == 24  # REST metadata-only count parity
         # incremental checkpointed before the rewrite sees only real appends
         files, end = t.incremental_scan(from_snapshot_id=sids[5])
         assert sorted(os.path.basename(f.file_path) for f in files) == sorted(
