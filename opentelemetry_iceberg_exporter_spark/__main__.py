@@ -553,11 +553,13 @@ def main(argv: list[str] | None = None) -> int:
     pdel.add_argument("--where", help="SQL predicate for rows to DELETE")
     pdel.add_argument(
         "--mode",
-        choices=["copy-on-write", "merge-on-read"],
+        choices=["copy-on-write", "merge-on-read", "deletion-vectors"],
         default="copy-on-write",
         help="merge-on-read defers the rewrite: delete cost tracks the "
         "matches, not the files containing them (fold in later with "
-        "maintain --fold-deletes)",
+        "maintain --fold-deletes); deletion-vectors does the same with "
+        "per-file roaring bitmaps in one Puffin file (Iceberg v3 DVs) "
+        "instead of a position-delete parquet",
     )
     pdel.add_argument(
         "--keys",

@@ -530,6 +530,17 @@ class DataFile:
     # deletes (which apply only to seq strictly below theirs) keep
     # applying to exactly the rows they did before.
     sequence_number: int = 0
+    # deletion vector (Iceberg v3 "Deletion Vectors", implemented as a
+    # v2 engine extension): content=1 entry whose file_path names a
+    # PUFFIN file; these three locate the roaring-bitmap blob and the
+    # single data file it deletes from (spec manifest fields 143-145).
+    referenced_data_file: str | None = None
+    content_offset: int | None = None
+    content_size_in_bytes: int | None = None
+
+    @property
+    def is_deletion_vector(self) -> bool:
+        return self.content == 1 and self.referenced_data_file is not None
 
 
 def transform_value(ts: datetime, transform: str) -> int:
@@ -638,7 +649,11 @@ def partition_avro_type(pf: dict, schema: dict | None) -> str:
     return _PARTITION_AVRO_TYPE.get(source_type, "int") if isinstance(source_type, str) else "int"
 
 
-def manifest_avro_schema(partition_fields: list[dict], schema: dict | None = None) -> dict:
+def manifest_avro_schema(
+    partition_fields: list[dict],
+    schema: dict | None = None,
+    with_dv: bool = False,
+) -> dict:
     partition_record = {
         "type": "record",
         "name": "r102",
@@ -652,25 +667,51 @@ def manifest_avro_schema(partition_fields: list[dict], schema: dict | None = Non
             for pf in partition_fields
         ],
     }
+    data_file_fields = [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {"name": "partition", "type": partition_record, "field-id": 102},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        _bounds_field("lower_bounds", 125, 126, 127),
+        _bounds_field("upper_bounds", 128, 129, 130),
+        {
+            "name": "equality_ids",
+            "type": ["null", {"type": "array", "items": "int", "element-id": 136}],
+            "default": None,
+            "field-id": 135,
+        },
+    ]
+    if with_dv:
+        # Iceberg v3 deletion-vector locator fields (spec ids 143-145).
+        # Only emitted in manifests that actually carry a DV entry, so
+        # every pre-DV manifest stays byte-identical to the v2 golden
+        # fixtures.
+        data_file_fields += [
+            {
+                "name": "referenced_data_file",
+                "type": ["null", "string"],
+                "default": None,
+                "field-id": 143,
+            },
+            {
+                "name": "content_offset",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 144,
+            },
+            {
+                "name": "content_size_in_bytes",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 145,
+            },
+        ]
     data_file = {
         "type": "record",
         "name": "r2",
-        "fields": [
-            {"name": "content", "type": "int", "field-id": 134},
-            {"name": "file_path", "type": "string", "field-id": 100},
-            {"name": "file_format", "type": "string", "field-id": 101},
-            {"name": "partition", "type": partition_record, "field-id": 102},
-            {"name": "record_count", "type": "long", "field-id": 103},
-            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-            _bounds_field("lower_bounds", 125, 126, 127),
-            _bounds_field("upper_bounds", 128, 129, 130),
-            {
-                "name": "equality_ids",
-                "type": ["null", {"type": "array", "items": "int", "element-id": 136}],
-                "default": None,
-                "field-id": 135,
-            },
-        ],
+        "fields": data_file_fields,
     }
     return {
         "type": "record",
@@ -938,6 +979,7 @@ def write_snapshot_tree(
         manifest_path = os.path.join(
             meta_dir, f"{uuid.uuid4().hex}-m{content_id}.avro"
         )
+        with_dv = any(f.is_deletion_vector for f in group)
         entries = []
         for f in group:
             # column bounds from the Parquet footer (metadata-only read,
@@ -949,30 +991,38 @@ def write_snapshot_tree(
             # files re-committed by replace/overwrite keep their original
             # data sequence number (equality deletes apply to seq < theirs)
             entry_seq = f.sequence_number if f.sequence_number else seq
+            data_file = {
+                "content": f.content,
+                "file_path": f.file_path,
+                "file_format": "PARQUET",
+                "partition": {
+                    pf["name"]: f.partition.get(pf["name"]) for pf in spec_fields
+                },
+                "record_count": f.record_count,
+                "file_size_in_bytes": f.file_size_in_bytes,
+                "lower_bounds": _bounds_to_avro(lower),
+                "upper_bounds": _bounds_to_avro(upper),
+                "equality_ids": list(f.equality_ids) if f.equality_ids else None,
+            }
+            if with_dv:
+                data_file["file_format"] = (
+                    "PUFFIN" if f.is_deletion_vector else data_file["file_format"]
+                )
+                data_file["referenced_data_file"] = f.referenced_data_file
+                data_file["content_offset"] = f.content_offset
+                data_file["content_size_in_bytes"] = f.content_size_in_bytes
             entries.append(
                 {
                     "status": STATUS_ADDED,
                     "snapshot_id": snapshot_id,
                     "sequence_number": entry_seq,
                     "file_sequence_number": seq,
-                    "data_file": {
-                        "content": f.content,
-                        "file_path": f.file_path,
-                        "file_format": "PARQUET",
-                        "partition": {
-                            pf["name"]: f.partition.get(pf["name"]) for pf in spec_fields
-                        },
-                        "record_count": f.record_count,
-                        "file_size_in_bytes": f.file_size_in_bytes,
-                        "lower_bounds": _bounds_to_avro(lower),
-                        "upper_bounds": _bounds_to_avro(upper),
-                        "equality_ids": list(f.equality_ids) if f.equality_ids else None,
-                    },
+                    "data_file": data_file,
                 }
             )
         manifest_len = write_ocf(
             manifest_path,
-            manifest_avro_schema(spec_fields, current_schema(md)),
+            manifest_avro_schema(spec_fields, current_schema(md), with_dv=with_dv),
             entries,
             extra_metadata={
                 "schema": json.dumps(current_schema(md)),
@@ -1083,13 +1133,25 @@ def _write_merged_manifest(
     live remains. The Avro schema is taken from the first source
     manifest so decode→encode is byte-symmetric even for old-spec
     manifests (spec evolution keeps per-spec r102 layouts)."""
+    def _has_dv_fields(schema_: dict) -> bool:
+        df_rec = next(f_ for f_ in schema_["fields"] if f_["name"] == "data_file")
+        return any(
+            f_["name"] == "referenced_data_file" for f_ in df_rec["type"]["fields"]
+        )
+
     entries: list[dict] = []
     min_seq: int | None = None
     avro_schema: dict | None = None
     src_meta: dict[str, str] | None = None
     for m in bin_:
         schema_, meta_, rows = read_ocf(m["manifest_path"])
-        if avro_schema is None:
+        # a bin can mix deletion-vector manifests (3 extra data_file
+        # fields, spec ids 143-145) with plain delete manifests — the
+        # merged file must use the WIDER schema, with the plain entries
+        # null-filled
+        if avro_schema is None or (
+            _has_dv_fields(schema_) and not _has_dv_fields(avro_schema)
+        ):
             avro_schema, src_meta = schema_, meta_
         for e in rows:
             if e["status"] == STATUS_DELETED:
@@ -1104,6 +1166,11 @@ def _write_merged_manifest(
             )
     if not entries:
         return None
+    if _has_dv_fields(avro_schema):
+        for e in entries:
+            e["data_file"].setdefault("referenced_data_file", None)
+            e["data_file"].setdefault("content_offset", None)
+            e["data_file"].setdefault("content_size_in_bytes", None)
     content_id = bin_[0]["content"]
     path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m{content_id}.avro")
     length = write_ocf(
@@ -1532,14 +1599,62 @@ def _norm_meta_path():
 
 
 def read_position_deletes(spark: SparkSession, delete_files: list[DataFile]) -> DataFrame:
+    """(file_path, pos) tuples of every content=1 delete, regardless of
+    physical form: position-delete PARQUET files read directly, and
+    DELETION VECTORS expanded from their Puffin roaring-bitmap blobs ON
+    EXECUTORS (one mapInPandas over the metadata-sized span list, so a
+    100 TB table's vectors decode in parallel and never transit the
+    driver). Every downstream consumer — scan subtraction, CoW/MoR
+    planning, changelog pre-images, delete folding — works off this one
+    abstraction, which is what makes DVs a drop-in physical format."""
     # defensive: callers may hold a mixed delete list — only content=1
     # files have the (file_path, pos) layout
     delete_files = [f for f in delete_files if f.content == 1]
-    return (
-        spark.read.schema("file_path string, pos long")
-        .parquet(*[f.file_path for f in delete_files])
-        .select("file_path", "pos")
-    )
+    dv = [f for f in delete_files if f.is_deletion_vector]
+    plain = [f for f in delete_files if not f.is_deletion_vector]
+    parts: list[DataFrame] = []
+    if plain:
+        parts.append(
+            spark.read.schema("file_path string, pos long")
+            .parquet(*[f.file_path for f in plain])
+            .select("file_path", "pos")
+        )
+    if dv:
+        spans = spark.createDataFrame(
+            [
+                (
+                    f.file_path,
+                    f.content_offset,
+                    f.content_size_in_bytes,
+                    f.referenced_data_file,
+                )
+                for f in dv
+            ],
+            "puffin string, off long, len long, file_path string",
+        )
+        if len(dv) > 1:
+            spans = spans.repartition(
+                min(len(dv), spark.sparkContext.defaultParallelism)
+            )
+        from .puffin import read_deletion_vector_span
+
+        def expand(it):
+            import pandas as pd
+
+            for pdf in it:
+                for puffin, off, ln, fp in pdf.itertuples(index=False):
+                    pos = read_deletion_vector_span(puffin, int(off), int(ln))
+                    yield pd.DataFrame(
+                        {"file_path": fp, "pos": pos.astype("int64")}
+                    )
+
+        parts.append(spans.mapInPandas(expand, "file_path string, pos long"))
+    if not parts:
+        return spark.createDataFrame([], "file_path string, pos long")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def apply_position_deletes(
@@ -1877,6 +1992,9 @@ def plan_scan_metadata(
                         content=df_["content"],
                         equality_ids=tuple(eq) if eq else None,
                         sequence_number=entry_seq,
+                        referenced_data_file=df_.get("referenced_data_file"),
+                        content_offset=df_.get("content_offset"),
+                        content_size_in_bytes=df_.get("content_size_in_bytes"),
                     )
                 )
                 continue
@@ -1981,29 +2099,26 @@ def live_files(md: dict, snapshot_id: int) -> tuple[list[DataFile], list[DataFil
                     if e.get("sequence_number") is not None
                     else m["sequence_number"]
                 ),
+                referenced_data_file=d.get("referenced_data_file"),
+                content_offset=d.get("content_offset"),
+                content_size_in_bytes=d.get("content_size_in_bytes"),
             )
             (deletes if f.content in (1, 2) else data).append(f)
     return data, deletes
 
 
-def plan_position_delete(
+def _position_delete_matches(
     spark: SparkSession,
     md: dict,
     data_files: list[DataFile],
     delete_files: list[DataFile],
     predicate: str,
-) -> tuple[list[DataFile], int] | None:
-    """Merge-on-read DELETE planning: TWO Spark jobs regardless of table
-    size — (1) count the live rows matching the bare predicate (filter
-    pushes into the Parquet scan; rows already position-deleted are
-    anti-joined out so they are neither double-counted nor re-recorded),
-    (2) write the (file_path, pos) matches as position-delete Parquet,
-    globally sorted by (file_path, pos) via ONE repartitionByRange of
-    just the delete tuples — the spec's required delete-file ordering.
-    No data file is read beyond the predicate scan and none is
-    rewritten. Returns (new delete DataFiles, rows deleted) or None."""
-    if not data_files:
-        return None
+) -> DataFrame:
+    """(file_path, pos) of live rows matching `predicate`: the shared
+    front half of merge-on-read DELETE planning (parquet position-delete
+    AND deletion-vector outputs). Rows already equality- or
+    position-deleted are excluded so they are neither double-counted
+    nor re-recorded."""
     schema = read_schema_for(spark, md)
     tagged = table_file_scan(
         spark,
@@ -2028,6 +2143,101 @@ def plan_position_delete(
         if sum(f.record_count for f in pos_files) <= BROADCAST_DELETE_ROWS:
             dels = F.broadcast(dels)
         matches = matches.join(dels, ["file_path", "pos"], "left_anti")
+    return matches
+
+
+def plan_deletion_vectors(
+    spark: SparkSession,
+    md: dict,
+    data_files: list[DataFile],
+    delete_files: list[DataFile],
+    predicate: str,
+) -> tuple[list[DataFile], int] | None:
+    """Merge-on-read DELETE planning with DELETION-VECTOR output
+    (Iceberg v3 "Deletion Vectors" as a v2 engine extension): instead of
+    a globally-sorted parquet of (file_path, pos) tuples, each
+    referenced data file gets a 64-bit roaring bitmap of its deleted
+    positions, serialized ON THE EXECUTORS (one applyInPandas per file
+    group — only the compact vectors reach the driver, never the
+    positions) and co-located in ONE Puffin file whose per-blob spans
+    land in the manifest entries (fields 143-145). Read-side cost: a
+    DV is a seek+read of exactly its blob, and subtraction stays the
+    same anti-join via read_position_deletes' distributed expansion.
+
+    Successive DV deletes may stack multiple vectors per data file
+    (readers union them); the spec's one-DV-per-file invariant is
+    restored by rewrite_position_deletes, which folds all pending
+    content=1 deletes — vectors included — into the data files.
+    Returns (new delete DataFiles, rows deleted) or None."""
+    if not data_files:
+        return None
+    matches = _position_delete_matches(spark, md, data_files, delete_files, predicate)
+    from .roaring import serialize_64
+
+    def to_vec(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        positions = np.unique(pdf["pos"].to_numpy().astype("uint64"))
+        return pd.DataFrame(
+            {
+                "file_path": [key[0]],
+                "vec": [serialize_64(positions)],
+                "card": [len(positions)],
+            }
+        )
+
+    vecs = (
+        matches.groupBy("file_path")
+        .applyInPandas(to_vec, "file_path string, vec binary, card long")
+        .collect()
+    )
+    if not vecs:
+        return None
+    n_deleted = sum(r["card"] for r in vecs)
+    from .puffin import write_deletion_vector_file
+
+    path, spans = write_deletion_vector_file(
+        md["location"],
+        {r["file_path"]: (r["vec"], r["card"]) for r in vecs},
+        sequence_number=md["last-sequence-number"] + 1,
+    )
+    size = os.path.getsize(path)
+    new_deletes = [
+        DataFile(
+            file_path=path,
+            file_size_in_bytes=size,
+            record_count=card,
+            partition={},
+            content=1,
+            referenced_data_file=data_file,
+            content_offset=off,
+            content_size_in_bytes=length,
+        )
+        for data_file, (off, length, card) in sorted(spans.items())
+    ]
+    return new_deletes, n_deleted
+
+
+def plan_position_delete(
+    spark: SparkSession,
+    md: dict,
+    data_files: list[DataFile],
+    delete_files: list[DataFile],
+    predicate: str,
+) -> tuple[list[DataFile], int] | None:
+    """Merge-on-read DELETE planning: TWO Spark jobs regardless of table
+    size — (1) count the live rows matching the bare predicate (filter
+    pushes into the Parquet scan; rows already position-deleted are
+    anti-joined out so they are neither double-counted nor re-recorded),
+    (2) write the (file_path, pos) matches as position-delete Parquet,
+    globally sorted by (file_path, pos) via ONE repartitionByRange of
+    just the delete tuples — the spec's required delete-file ordering.
+    No data file is read beyond the predicate scan and none is
+    rewritten. Returns (new delete DataFiles, rows deleted) or None."""
+    if not data_files:
+        return None
+    matches = _position_delete_matches(spark, md, data_files, delete_files, predicate)
     n_deleted = matches.count()
     if n_deleted == 0:
         return None
@@ -2139,19 +2349,23 @@ def sweep_orphan_files(
     in-flight commit racing this call). Returns deleted paths."""
     cutoff = time.time() - older_than_seconds
     deleted: list[str] = []
-    for path in glob.glob(
-        os.path.join(location, "data", "**", "*.parquet"), recursive=True
-    ):
-        path = os.path.abspath(path)
-        if path in referenced:
-            continue
-        try:
-            if os.path.getmtime(path) >= cutoff:
-                continue  # too fresh — may belong to an in-flight commit
-            os.remove(path)
-            deleted.append(path)
-        except OSError:
-            continue  # raced with another cleaner — fine
+    # *.parquet = data / position-delete / equality-delete files;
+    # *.puffin under data/ = deletion-vector files (abandoned by failed
+    # DV commits exactly like parquet by failed appends)
+    for pattern in ("*.parquet", "*.puffin"):
+        for path in glob.glob(
+            os.path.join(location, "data", "**", pattern), recursive=True
+        ):
+            path = os.path.abspath(path)
+            if path in referenced:
+                continue
+            try:
+                if os.path.getmtime(path) >= cutoff:
+                    continue  # too fresh — may belong to an in-flight commit
+                os.remove(path)
+                deleted.append(path)
+            except OSError:
+                continue  # raced with another cleaner — fine
     return sorted(deleted)
 
 
@@ -2338,6 +2552,9 @@ def _added_files(snapshot: dict) -> tuple[list[DataFile], bool]:
                         if e.get("sequence_number") is not None
                         else m["sequence_number"]
                     ),
+                    referenced_data_file=d.get("referenced_data_file"),
+                    content_offset=d.get("content_offset"),
+                    content_size_in_bytes=d.get("content_size_in_bytes"),
                 )
             )
     return out, carried
@@ -4530,6 +4747,12 @@ class FsTable:
           cost tracks the MATCHES, the scale path when matches are
           sparse (GDPR/opt-out purges over a 100 TB corpus). Apply
           rewrite_position_deletes later to fold them in.
+        * ``deletion-vectors``: merge-on-read with Iceberg v3 DELETION
+          VECTORS as the physical form — one roaring bitmap per
+          referenced data file, serialized on the executors and
+          co-located in a single Puffin file (plan_deletion_vectors);
+          smaller than tuple parquet, and a reader seeks exactly one
+          blob per file. Folded by the same maintenance.
 
         Time travel to pre-delete snapshots still sees the rows until
         expire_snapshots reclaims them. Returns (new snapshot id or None
@@ -4541,23 +4764,34 @@ class FsTable:
         ADDS a delete file, so it retries cleanly over concurrent
         appends; rows landing after planning are not covered (snapshot
         isolation, same as Iceberg's default)."""
-        if mode not in ("copy-on-write", "merge-on-read"):
-            raise ValueError(f"mode must be copy-on-write|merge-on-read, got {mode!r}")
+        if mode not in ("copy-on-write", "merge-on-read", "deletion-vectors"):
+            raise ValueError(
+                "mode must be copy-on-write|merge-on-read|deletion-vectors, "
+                f"got {mode!r}"
+            )
         _, planned_md = self._load_state()
         planned_snapshot = planned_md["current-snapshot-id"]
         if planned_snapshot == -1:
             return None, 0
         live, deletes, _ = self.plan_scan(snapshot_id=planned_snapshot)
-        if mode == "merge-on-read":
-            planned = plan_position_delete(spark, planned_md, live, deletes, predicate)
+        if mode in ("merge-on-read", "deletion-vectors"):
+            plan_fn = (
+                plan_deletion_vectors
+                if mode == "deletion-vectors"
+                else plan_position_delete
+            )
+            planned = plan_fn(spark, planned_md, live, deletes, predicate)
             if planned is None:
                 return None, 0
             new_deletes, n_deleted = planned
+            extra = {"deleted-records": str(n_deleted)}
+            if mode == "deletion-vectors":
+                extra["added-dvs"] = str(len(new_deletes))
             sid = self._commit_with_retry(
                 new_deletes,
                 operation="delete",
                 carry_forward=True,
-                extra_summary={"deleted-records": str(n_deleted)},
+                extra_summary=extra,
             )
             return sid, n_deleted
         planned = plan_delete(spark, planned_md, live, predicate, delete_files=deletes)

@@ -989,28 +989,38 @@ class RestTable:
     def delete_where(
         self, spark: SparkSession, predicate: str, mode: str = "copy-on-write"
     ) -> tuple[int | None, int]:
-        """Row-level DELETE over REST — same two strategies as
+        """Row-level DELETE over REST — same strategies as
         FsTable.delete_where: copy-on-write (overwrite commit pinned to
-        the planning base) or merge-on-read (position-delete file added
-        in a `delete` snapshot that, like an append, retries cleanly over
-        concurrent commits)."""
-        from .iceberg_fs import plan_delete
+        the planning base), merge-on-read (position-delete file), or
+        deletion-vectors (per-file roaring bitmaps in one Puffin file);
+        the merge-on-read flavors commit like appends and retry cleanly
+        over concurrent commits."""
+        from .iceberg_fs import plan_delete, plan_deletion_vectors
 
-        if mode not in ("copy-on-write", "merge-on-read"):
-            raise ValueError(f"mode must be copy-on-write|merge-on-read, got {mode!r}")
+        if mode not in ("copy-on-write", "merge-on-read", "deletion-vectors"):
+            raise ValueError(
+                "mode must be copy-on-write|merge-on-read|deletion-vectors, "
+                f"got {mode!r}"
+            )
         md = self.metadata()
         planned_snapshot = md["current-snapshot-id"]
         if planned_snapshot == -1:
             return None, 0
         live, deletes = self._live_files(md, planned_snapshot)
-        if mode == "merge-on-read":
-            planned = plan_position_delete(spark, md, live, deletes, predicate)
+        if mode in ("merge-on-read", "deletion-vectors"):
+            plan_fn = (
+                plan_deletion_vectors
+                if mode == "deletion-vectors"
+                else plan_position_delete
+            )
+            planned = plan_fn(spark, md, live, deletes, predicate)
             if planned is None:
                 return None, 0
             new_deletes, n_deleted = planned
-            sid = self._commit_add(
-                new_deletes, "delete", {"deleted-records": str(n_deleted)}
-            )
+            extra = {"deleted-records": str(n_deleted)}
+            if mode == "deletion-vectors":
+                extra["added-dvs"] = str(len(new_deletes))
+            sid = self._commit_add(new_deletes, "delete", extra)
             return sid, n_deleted
         planned = plan_delete(spark, md, live, predicate, delete_files=deletes)
         if planned is None:

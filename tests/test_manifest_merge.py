@@ -273,6 +273,37 @@ class TestRewriteManifests:
         assert got.filter("event_id = 100").count() == 1
 
 
+class TestMaintainCli:
+    def test_maintain_rewrite_manifests_flag(self, spark, tmp_path, capsys):
+        import json
+
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        wh = str(tmp_path / "wh")
+        cat = FsCatalog(wh)
+        schema = spark.createDataFrame([], "event_id bigint, value bigint").schema
+        t = cat.create_table(
+            "ns", "ev", schema, None, properties={"commit.manifest-merge.enabled": "false"}
+        )
+        _stream_appends(t, 6)
+        assert len(_manifests(t)) == 6
+        rc = main(
+            [
+                "maintain",
+                "--warehouse", wh,
+                "--namespace", "ns",
+                "--table", "ev",
+                "--rewrite-manifests",
+                "--min-files", "99",  # leave data compaction out
+            ]
+        )
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0
+        assert out["rewrite_manifests_snapshot"] is not None
+        assert len(_manifests(t)) == 1
+        assert t.count_rows() == 12
+
+
 class TestSummaryTotals:
     """The spec's running SnapshotSummary totals (total-records,
     total-files-size, total-data-files, total-delete-files,
