@@ -601,10 +601,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     pu.add_argument(
         "--mode",
-        choices=["copy-on-write", "merge-on-read"],
+        choices=["copy-on-write", "merge-on-read", "deletion-vectors"],
         default="copy-on-write",
         help="merge-on-read writes a row-delta (position deletes + new "
-        "row versions) instead of rewriting the matched files",
+        "row versions) instead of rewriting the matched files; "
+        "deletion-vectors writes the delete half as v3 roaring-bitmap DVs",
     )
 
     pm = sub.add_parser(

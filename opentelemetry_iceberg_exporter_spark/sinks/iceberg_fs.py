@@ -3032,6 +3032,7 @@ def plan_update_mor(
     delete_files: list[DataFile],
     predicate: str,
     set_exprs: dict[str, str],
+    delete_plan_fn=None,
 ) -> tuple[list[DataFile], int] | None:
     """Merge-on-read UPDATE planning (Iceberg row-delta): the matching
     rows' (file_path, pos) tuples become a position-delete file AND
@@ -3039,13 +3040,18 @@ def plan_update_mor(
     NO existing data file is rewritten, cost tracks the matches. The
     caller commits both file groups in ONE `overwrite` snapshot, so
     readers atomically stop seeing the old versions and start seeing the
-    new. Returns (new files: deletes + data, n_updated) or None."""
+    new. `delete_plan_fn` picks the physical delete form
+    (plan_position_delete parquet tuples by default;
+    plan_deletion_vectors for v3 DVs). Returns (new files: deletes +
+    data, n_updated) or None."""
     if not data_files:
         return None
     unknown = set(set_exprs) - {f_.name for f_ in spark_read_schema(md).fields}
     if unknown:
         raise ValueError(f"SET targets unknown column(s): {sorted(unknown)}")
-    planned = plan_position_delete(spark, md, data_files, delete_files, predicate)
+    planned = (delete_plan_fn or plan_position_delete)(
+        spark, md, data_files, delete_files, predicate
+    )
     if planned is None:
         return None
     new_deletes, n_updated = planned
@@ -4964,17 +4970,29 @@ class FsTable:
           appends; snapshot isolation).
 
         Returns (new snapshot id or None if nothing matched, rows
-        updated)."""
-        if mode not in ("copy-on-write", "merge-on-read"):
-            raise ValueError(f"mode must be copy-on-write|merge-on-read, got {mode!r}")
+        updated). mode="deletion-vectors" is merge-on-read with the
+        delete half written as v3 deletion vectors."""
+        if mode not in ("copy-on-write", "merge-on-read", "deletion-vectors"):
+            raise ValueError(
+                "mode must be copy-on-write|merge-on-read|deletion-vectors, "
+                f"got {mode!r}"
+            )
         _, planned_md = self._load_state()
         planned_snapshot = planned_md["current-snapshot-id"]
         if planned_snapshot == -1:
             return None, 0
         live, deletes, _ = self.plan_scan(snapshot_id=planned_snapshot)
-        if mode == "merge-on-read":
+        if mode in ("merge-on-read", "deletion-vectors"):
             planned = plan_update_mor(
-                spark, planned_md, live, deletes, predicate, set_exprs
+                spark,
+                planned_md,
+                live,
+                deletes,
+                predicate,
+                set_exprs,
+                delete_plan_fn=(
+                    plan_deletion_vectors if mode == "deletion-vectors" else None
+                ),
             )
             if planned is None:
                 return None, 0

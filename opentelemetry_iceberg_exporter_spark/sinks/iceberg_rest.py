@@ -1093,18 +1093,36 @@ class RestTable:
     ) -> tuple[int | None, int]:
         """Row-level UPDATE over REST (see FsTable.update_where):
         copy-on-write rewrite pinned to the planning base, or a
-        merge-on-read row-delta committed like an append."""
-        from .iceberg_fs import plan_update, plan_update_mor
+        merge-on-read row-delta committed like an append
+        (mode="deletion-vectors" writes the delete half as v3 DVs)."""
+        from .iceberg_fs import (
+            plan_deletion_vectors,
+            plan_update,
+            plan_update_mor,
+        )
 
-        if mode not in ("copy-on-write", "merge-on-read"):
-            raise ValueError(f"mode must be copy-on-write|merge-on-read, got {mode!r}")
+        if mode not in ("copy-on-write", "merge-on-read", "deletion-vectors"):
+            raise ValueError(
+                "mode must be copy-on-write|merge-on-read|deletion-vectors, "
+                f"got {mode!r}"
+            )
         md = self.metadata()
         planned_snapshot = md["current-snapshot-id"]
         if planned_snapshot == -1:
             return None, 0
         live, deletes = self._live_files(md, planned_snapshot)
-        if mode == "merge-on-read":
-            planned = plan_update_mor(spark, md, live, deletes, predicate, set_exprs)
+        if mode in ("merge-on-read", "deletion-vectors"):
+            planned = plan_update_mor(
+                spark,
+                md,
+                live,
+                deletes,
+                predicate,
+                set_exprs,
+                delete_plan_fn=(
+                    plan_deletion_vectors if mode == "deletion-vectors" else None
+                ),
+            )
             if planned is None:
                 return None, 0
             new_files, n_updated = planned

@@ -283,6 +283,30 @@ class TestDeletionVectorDeletes:
         assert t.read(spark).count() == 20
         assert t.count_rows() == 20  # metadata-only again after the fold
 
+    def test_update_where_dv_mode(self, spark, fs_table):
+        """UPDATE as a row-delta whose delete half is a deletion vector:
+        old versions shadowed by the DV, updated copies appended, one
+        atomic overwrite snapshot."""
+        t = fs_table
+        sid, n = t.update_where(
+            spark, "id < 4", {"tag": "'updated'"}, mode="deletion-vectors"
+        )
+        assert n == 4 and sid is not None
+        got = t.read(spark)
+        assert got.count() == 40  # no net row change
+        assert got.filter("tag = 'updated'").count() == 4
+        assert got.filter("id < 4 and tag = 'a'").count() == 0
+        assert any(f.is_deletion_vector for f in t.plan_scan()[1])
+        # changelog over the row-delta: delete pre-images + inserts
+        chg = t.changelog_scan(
+            spark, from_snapshot_id=t.snapshots()[0]["snapshot-id"]
+        )
+        by_type = {
+            r["_change_type"]: r["n"]
+            for r in chg.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+        }
+        assert by_type == {"delete": 4, "insert": 4}
+
     def test_cow_delete_over_pending_vectors(self, spark, fs_table):
         t = fs_table
         t.delete_where(spark, "id >= 30", mode="deletion-vectors")
