@@ -118,6 +118,13 @@ def run_write_path(spark, sf_dir: str) -> dict:
         changelog_rows = t.changelog_scan(spark).count()
         changelog_sec = time.perf_counter() - t0
 
+        # deletion-vector delete (~1% of rows): the v3 merge-on-read path
+        t0 = time.perf_counter()
+        _, dv_deleted = t.delete_where(
+            spark, "pmod(event_id, 100) = 7", mode="deletion-vectors"
+        )
+        dv_delete_sec = time.perf_counter() - t0
+
         def manifest_count() -> int:
             snap = t.current_snapshot()
             return len(read_ocf(snap["manifest-list"])[2])
@@ -145,6 +152,8 @@ def run_write_path(spark, sf_dir: str) -> dict:
             "changelog_rows": changelog_rows,
             "changelog_sec": round(changelog_sec, 3),
             "changelog_rows_per_sec": round(changelog_rows / changelog_sec, 1),
+            "dv_deleted_rows": dv_deleted,
+            "dv_delete_sec": round(dv_delete_sec, 3),
             "rewrite_manifests_sec": round(rewrite_sec, 3),
             "manifests_before_rewrite": manifests_before,
             "manifests_after_rewrite": manifests_after,

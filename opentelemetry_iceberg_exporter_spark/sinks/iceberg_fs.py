@@ -1498,9 +1498,7 @@ def write_partitioned_batch(
     hot-partition backfills (see inline note)."""
     spec = default_spec_fields(md)
     batch_dir = os.path.join(location, "data", uuid.uuid4().hex)
-    # honor the Iceberg table property (exporter sinks set it from
-    # StorageConfig.compression); absent -> session default (snappy)
-    codec = md.get("properties", {}).get("write.parquet.compression-codec")
+    write_opts = _parquet_write_options(md)
     df = with_field_ids(df, md)  # self-describing files (rename-safe)
     if spec:
         pcols = []
@@ -1546,8 +1544,8 @@ def write_partitioned_batch(
         else:
             out = df.repartition(*keys)  # few large files per partition
         writer = out.write.partitionBy(*pcols)
-        if codec:
-            writer = writer.option("compression", codec)
+        if write_opts:
+            writer = writer.options(**write_opts)
         writer.parquet(batch_dir)
     else:
         sort_cols = [
@@ -1555,10 +1553,40 @@ def write_partitioned_batch(
         ]
         out = df.sortWithinPartitions(*sort_cols) if sort_cols else df
         writer = out.write
-        if codec:
-            writer = writer.option("compression", codec)
+        if write_opts:
+            writer = writer.options(**write_opts)
         writer.parquet(batch_dir)
     return _scan_written_files(batch_dir, _partition_parse_types(md))
+
+
+def _parquet_write_options(md: dict) -> dict[str, str]:
+    """Spark parquet-writer options derived from the Iceberg write
+    table properties:
+
+    * ``write.parquet.compression-codec`` (exporter sinks set it from
+      StorageConfig.compression; absent -> session default, snappy);
+    * ``write.parquet.bloom-filter-enabled.column.<col>`` = true -> a
+      parquet BLOOM FILTER on that column (spec property; maps to the
+      writer's ``parquet.bloom.filter.enabled#<col>``). Point-lookup
+      scans on high-cardinality keys (event ids, trace ids, document
+      ids) then skip row groups whose filter proves absence — the
+      complement of min/max pruning, which is useless on uniformly
+      spread keys;
+    * ``write.parquet.bloom-filter-max-bytes`` caps each filter.
+    """
+    props = md.get("properties", {})
+    opts: dict[str, str] = {}
+    codec = props.get("write.parquet.compression-codec")
+    if codec:
+        opts["compression"] = codec
+    prefix = "write.parquet.bloom-filter-enabled.column."
+    for k, v in props.items():
+        if k.startswith(prefix) and str(v).lower() == "true":
+            opts[f"parquet.bloom.filter.enabled#{k[len(prefix):]}"] = "true"
+    max_bytes = props.get("write.parquet.bloom-filter-max-bytes")
+    if max_bytes:
+        opts["parquet.bloom.filter.max.bytes"] = str(max_bytes)
+    return opts
 
 
 # --------------------------------------------------------------------------

@@ -140,3 +140,38 @@ class TestWriteCodecProperty:
                               recursive=True)
         assert files and all(".zstd." in os.path.basename(f) for f in files)
         assert t.read(spark).count() == 200
+
+    def test_bloom_filter_property_honored(self, spark, tmp_path):
+        """write.parquet.bloom-filter-enabled.column.<col> (Iceberg write
+        property) puts a parquet bloom filter on that column — verified
+        by the filter bytes the enabled file carries beyond the plain
+        twin (pyarrow's metadata API doesn't surface bloom offsets)."""
+        import glob as glob_mod
+
+        cat = FsCatalog(str(tmp_path / "whb"))
+        df = spark.range(50000).selectExpr(
+            "cast(id as string) as doc_id", "id as v"
+        ).coalesce(1)
+        plain = cat.create_table("otel", "plain", df.schema)
+        bloom = cat.create_table(
+            "otel",
+            "bloom",
+            df.schema,
+            properties={"write.parquet.bloom-filter-enabled.column.doc_id": "true"},
+        )
+        plain.append_dataframe(df)
+        bloom.append_dataframe(df)
+
+        def total(t):
+            return sum(
+                os.path.getsize(p)
+                for p in glob_mod.glob(
+                    os.path.join(t.location, "data", "**", "*.parquet"),
+                    recursive=True,
+                )
+            )
+
+        assert total(bloom) > total(plain) + 50_000  # the filter bytes
+        assert bloom.read(spark).count() == 50000
+        got = bloom.read(spark).filter("doc_id = '123'")
+        assert got.count() == 1  # scans with the filter present stay exact
