@@ -168,12 +168,24 @@ def _read_file_partition(part: _FilePartition):
 
 
 def _positions_by_file(delete_files) -> dict[str, tuple]:
-    """Driver-side: read the (small) position-delete Parquet files and
-    group deleted row positions per data file."""
+    """Driver-side: group deleted row positions per data file, from
+    position-delete Parquet tuples AND deletion-vector blobs (one
+    seek+decode per vector via its manifest-recorded span) — the data
+    source's per-file row masks are physical-format-agnostic."""
     import pyarrow.parquet as pq
 
     out: dict[str, list[int]] = {}
     for d in delete_files:
+        if getattr(d, "is_deletion_vector", False):
+            from ..sinks.puffin import read_deletion_vector_span
+
+            pos = read_deletion_vector_span(
+                d.file_path, d.content_offset, d.content_size_in_bytes
+            )
+            out.setdefault(d.referenced_data_file, []).extend(
+                int(p) for p in pos
+            )
+            continue
         t = pq.read_table(d.file_path, columns=["file_path", "pos"])
         for fp, pos in zip(
             t["file_path"].to_pylist(), t["pos"].to_pylist()

@@ -381,6 +381,24 @@ class TestDvManifestMerge:
         assert dv and all(f.content_offset is not None for f in dv)
 
 
+class TestDvDataSource:
+    def test_iceberg_fs_source_masks_dv_rows(self, spark, fs_table):
+        """The jar-less Spark data source applies deletion vectors as
+        per-file row masks INSIDE the scan — zero shuffle, no anti-join."""
+        from opentelemetry_iceberg_exporter_spark.sources.iceberg_source import (
+            register_iceberg_source,
+        )
+
+        t = fs_table
+        t.delete_where(spark, "id >= 30", mode="deletion-vectors")
+        t.delete_where(spark, "id < 2", mode="merge-on-read")  # mixed forms
+        register_iceberg_source(spark)
+        got = spark.read.format("iceberg_fs").load(t.location)
+        assert got.count() == 28
+        assert got.agg(F.min("id")).first()[0] == 2
+        assert got.agg(F.max("id")).first()[0] == 29
+
+
 class TestDvCli:
     def test_delete_cli_dv_mode(self, spark, tmp_path, capsys):
         import json
