@@ -112,16 +112,23 @@ def _select_disjoint_batch(
     sel = [first]
     used = {first["a"], first["b"]}
     bound = None if exhaustive else rows[-1]["cnt"]
+    selecting = True
     for r in rows[1:]:
-        if len(sel) >= limit or r["cnt"] < min_freq:
-            break
         if r["a"] in used or r["b"] in used:
-            # desc order: the first overlap is the largest competitor
+            # desc order: the first overlap is the largest competitor.
+            # This scan must NOT stop at the selection limit — a tied
+            # overlapping pair below the limit still bounds the counts
+            # newly-created pairs can reach, and ignoring it would let
+            # an equal-count selection beat a new pair the sequential
+            # algorithm prefers on tie-break.
             bound = r["cnt"] if bound is None else max(bound, r["cnt"])
             break
-        sel.append(r)
-        used.add(r["a"])
-        used.add(r["b"])
+        if selecting and (len(sel) >= limit or r["cnt"] < min_freq):
+            selecting = False  # keep scanning for the bound only
+        if selecting:
+            sel.append(r)
+            used.add(r["a"])
+            used.add(r["b"])
     if bound is not None:
         sel = [sel[0]] + [r for r in sel[1:] if r["cnt"] > bound]
     return [(r["a"], r["b"]) for r in sel]

@@ -373,12 +373,24 @@ def video_neardup_pairs(
     Shape: one banded-Hamming join over ALL frames of all clips
     (image_dedup.banded_hamming_pairs — O(frames x bands), never
     all-pairs), then a per-clip-pair aggregate. A frame matching several
-    frames of the other clip counts once (distinct on the frame id)."""
+    frames of the other clip counts once (distinct on the frame id).
+
+    CONTENT-FREE frames — all-zero/all-one dHashes, i.e. black/flat
+    frames, endemic in web video — are excluded from BOTH the pairing
+    and the per-clip denominators: two clips sharing fade-to-black
+    frames is no evidence of duplication (and a hot all-black bucket is
+    the classic O(n²) candidate blowup at corpus scale; the shared
+    banded join diverts degenerate hashes to a star for
+    connected-components consumers, which would undercount the
+    per-pair tallies here). A clip whose sampled frames are ALL
+    content-free drops out entirely — it has no matchable signal."""
     from pyspark.sql import functions as F
 
     from .image_dedup import banded_hamming_pairs
 
-    frames = keyframes.filter(F.col("dhash").isNotNull()).select(
+    frames = keyframes.filter(F.col("dhash").isNotNull()).filter(
+        ~F.col("dhash").isin(0, -1)
+    ).select(
         F.col("media_id"),
         F.col("frame_idx"),
         F.col("dhash"),

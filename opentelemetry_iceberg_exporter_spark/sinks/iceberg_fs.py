@@ -888,10 +888,16 @@ _TOTAL_KEYS = (
 
 
 def _files_totals(files: list[DataFile]) -> dict[str, int]:
-    """Aggregate the spec's snapshot-summary totals over a file list."""
+    """Aggregate the spec's snapshot-summary totals over a file list.
+    Deletion-vector entries contribute their BLOB span, not the whole
+    shared Puffin file — N entries pointing into one file must not
+    count its size N times."""
     t = {k: 0 for k in _TOTAL_KEYS}
     for f in files:
-        t["total-files-size"] += f.file_size_in_bytes
+        if f.is_deletion_vector:
+            t["total-files-size"] += f.content_size_in_bytes or 0
+        else:
+            t["total-files-size"] += f.file_size_in_bytes
         if f.content == 0:
             t["total-records"] += f.record_count
             t["total-data-files"] += 1
@@ -1238,7 +1244,15 @@ def merge_small_manifests(
     merged_any = False
     for group in groups.values():
         small = [m for m in group if m["manifest_length"] < target_size]
-        if len(small) < 2 or (not force and len(group) < min_count):
+        # commit-time gate: the whole (content, spec) group must reach
+        # min_count (Iceberg's min-count-to-merge). force (the
+        # rewrite_manifests action) gates on the SMALL count instead —
+        # min_count there means "don't bother below this many smalls"
+        if (
+            len(small) < 2
+            or (force and len(small) < min_count)
+            or (not force and len(group) < min_count)
+        ):
             out += group
             continue
         out += [m for m in group if m["manifest_length"] >= target_size]
@@ -2395,6 +2409,45 @@ def sweep_orphan_files(
             except OSError:
                 continue  # raced with another cleaner — fine
     return sorted(deleted)
+
+
+def count_rows_from_metadata(md: dict, snapshot_id: int | None) -> int | None:
+    """The metadata-only half of count_rows, shared by both transports:
+    an exact row count when no delete files are live (summary totals
+    when present, one metadata walk otherwise), or None when pending
+    deletes force a read-side scan."""
+    sid = (
+        snapshot_id if snapshot_id is not None else md.get("current-snapshot-id", -1)
+    )
+    if sid in (-1, None):
+        return 0
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+    summary = snap.get("summary", {})
+    if all(k in summary for k in ("total-records", "total-delete-files")):
+        if int(summary["total-delete-files"]) == 0:
+            return int(summary["total-records"])
+        return None
+    data, deletes = live_files(md, sid)
+    if not deletes:
+        return sum(f.record_count for f in data)
+    return None
+
+
+def sweep_table_orphans(
+    location: str,
+    md: dict,
+    referenced_files: set[str],
+    older_than_seconds: float,
+    include_metadata: bool,
+) -> list[str]:
+    """Data-file + (optionally) metadata-tree orphan sweep, shared by
+    both transports."""
+    deleted = sweep_orphan_files(location, referenced_files, older_than_seconds)
+    if include_metadata:
+        deleted += sweep_orphan_metadata(
+            location, referenced_metadata_paths(md), older_than_seconds
+        )
+    return deleted
 
 
 def referenced_metadata_paths(md: dict) -> set[str]:
@@ -4215,23 +4268,9 @@ class FsTable:
         the read-side subtraction, so it falls back to a Spark count
         (pass `spark`); tables written without totals walk the snapshot
         metadata once instead."""
-        md = self.metadata()
-        sid = (
-            snapshot_id
-            if snapshot_id is not None
-            else md.get("current-snapshot-id", -1)
-        )
-        if sid in (-1, None):
-            return 0
-        snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
-        summary = snap.get("summary", {})
-        if all(k in summary for k in ("total-records", "total-delete-files")):
-            if int(summary["total-delete-files"]) == 0:
-                return int(summary["total-records"])
-        else:
-            data, deletes = live_files(md, sid)
-            if not deletes:
-                return sum(f.record_count for f in data)
+        n = count_rows_from_metadata(self.metadata(), snapshot_id)
+        if n is not None:
+            return n
         if spark is None:
             raise ValueError(
                 "snapshot has pending delete files: the exact count needs a "
@@ -5065,15 +5104,13 @@ class FsTable:
         3 days, Iceberg's default) so in-flight writes racing this call
         are never swept. Purely driver-side metadata + listing work.
         Returns deleted paths."""
-        md = self.metadata()
-        deleted = sweep_orphan_files(
-            self.location, set(self.all_files()), older_than_seconds
+        return sweep_table_orphans(
+            self.location,
+            self.metadata(),
+            set(self.all_files()),
+            older_than_seconds,
+            include_metadata,
         )
-        if include_metadata:
-            deleted += sweep_orphan_metadata(
-                self.location, referenced_metadata_paths(md), older_than_seconds
-            )
-        return deleted
 
     def merge_rows(
         self,

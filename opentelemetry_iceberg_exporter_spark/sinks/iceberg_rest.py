@@ -530,8 +530,23 @@ class RestTable:
         over concurrent appends. branch != "main" stages the snapshot on
         that branch (WAP): the server advances only the branch ref."""
         attempts = 3
+        attempted: list[int] = []  # snapshot ids of earlier tries
         for attempt in range(attempts):
             md = self.metadata()
+            # a PRIOR attempt may have landed after its landed-check ran
+            # (the server finished processing a timed-out request): any
+            # attempted snapshot id found on reload is THIS commit —
+            # return it instead of appending the same files twice
+            landed_prior = next(
+                (
+                    s["snapshot-id"]
+                    for s in md["snapshots"]
+                    if s["snapshot-id"] in attempted
+                ),
+                None,
+            )
+            if landed_prior is not None:
+                return landed_prior
             branch_ref = md.get("refs", {}).get(branch)
             parent = (
                 md["current-snapshot-id"]
@@ -549,6 +564,7 @@ class RestTable:
                 extra_summary=extra_summary,
                 parent_override=None if branch == "main" else parent,
             )
+            attempted.append(snapshot["snapshot-id"])
             requirements = [
                 {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
                 {
@@ -574,7 +590,14 @@ class RestTable:
                 self.client.commit_table(self.namespace, self.name, requirements, updates)
                 return snapshot["snapshot-id"]
             except RestCommitConflictError:
+                # a 409 can be an earlier timed-out attempt of THIS
+                # commit landing late (its landed-check raced the
+                # server); the loop-top reload detects that — on the
+                # final attempt, check here before surfacing
                 if attempt + 1 == attempts:
+                    landed_prior = self._any_landed(attempted)
+                    if landed_prior is not None:
+                        return landed_prior
                     raise
                 time.sleep(0.05 * (attempt + 1))
             except RestError as exc:
@@ -588,6 +611,20 @@ class RestTable:
                     raise
                 time.sleep(0.05 * (attempt + 1))
         raise AssertionError("unreachable")
+
+    def _any_landed(self, attempted: list[int]) -> int | None:
+        try:
+            md = self.metadata()
+        except RestError:
+            return None
+        return next(
+            (
+                s["snapshot-id"]
+                for s in md["snapshots"]
+                if s["snapshot-id"] in attempted
+            ),
+            None,
+        )
 
     def _resolve_ambiguous_commit(self, exc: RestError, snapshot_id: int) -> bool:
         """The commit-ambiguity case errors.go punts on: the server may
@@ -893,25 +930,11 @@ class RestTable:
         """Metadata-only count(*) (see FsTable.count_rows): O(1) from
         the summary totals when no delete files are live, Spark-scan
         fallback otherwise."""
-        from .iceberg_fs import live_files
+        from .iceberg_fs import count_rows_from_metadata
 
-        md = self.metadata()
-        sid = (
-            snapshot_id
-            if snapshot_id is not None
-            else md.get("current-snapshot-id", -1)
-        )
-        if sid in (-1, None):
-            return 0
-        snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
-        summary = snap.get("summary", {})
-        if all(k in summary for k in ("total-records", "total-delete-files")):
-            if int(summary["total-delete-files"]) == 0:
-                return int(summary["total-records"])
-        else:
-            data, deletes = live_files(md, sid)
-            if not deletes:
-                return sum(f.record_count for f in data)
+        n = count_rows_from_metadata(self.metadata(), snapshot_id)
+        if n is not None:
+            return n
         if spark is None:
             raise ValueError(
                 "snapshot has pending delete files: the exact count needs a "
@@ -1395,21 +1418,16 @@ class RestTable:
         commit attempts abandon. Only files older than the cutoff are
         deleted so in-flight writes racing this call are never swept.
         Returns deleted paths."""
-        from .iceberg_fs import (
-            referenced_metadata_paths,
-            sweep_orphan_files,
-            sweep_orphan_metadata,
-        )
+        from .iceberg_fs import sweep_table_orphans
 
         md = self.metadata()
-        deleted = sweep_orphan_files(
-            self.location(), set(self.all_files()), older_than_seconds
+        return sweep_table_orphans(
+            md["location"],
+            md,
+            set(self.all_files()),
+            older_than_seconds,
+            include_metadata,
         )
-        if include_metadata:
-            deleted += sweep_orphan_metadata(
-                self.location(), referenced_metadata_paths(md), older_than_seconds
-            )
-        return deleted
 
     def _live_files(
         self, md: dict, snapshot_id: int

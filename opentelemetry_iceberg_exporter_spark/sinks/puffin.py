@@ -134,14 +134,15 @@ def read_puffin(path: str) -> tuple[dict, list[bytes]]:
 # Blob payload layout per the v3 spec (deliberately bit-compatible with
 # Delta Lake DVs):
 #   length : 4 bytes BIG-endian — len(magic + vector)
-#   magic  : 0xD1 0xD3 0x3D 0x34
+#   magic  : the u32 constant 1681511377 little-endian = D1 D3 39 64
+#            (the Delta deletion-vector magic the Iceberg spec adopted)
 #   vector : 64-bit roaring bitmap, portable serialization (roaring.py)
 #   crc    : 4 bytes BIG-endian CRC-32 of (magic + vector)
 # BlobMetadata properties carry `referenced-data-file` and `cardinality`.
 # ---------------------------------------------------------------------------
 
 DV_BLOB_TYPE = "deletion-vector-v1"
-DV_MAGIC = bytes([0xD1, 0xD3, 0x3D, 0x34])
+DV_MAGIC = struct.pack("<I", 1681511377)  # D1 D3 39 64
 
 
 def dv_payload_from_vec(vec: bytes) -> bytes:

@@ -115,6 +115,11 @@ class TestBatchedRounds:
             "aaaa aaaa bbbb cccc",  # self-pair chains
             "ab ab ab ba ba ba cd cd dc dc",  # symmetric overlap ties
             "the the then then than xylo xylo",
+            # the overlap that bounds the batch sits BELOW the batch
+            # limit in rank order: (a,x),(p,q) tie at 10 with (q,</w>)
+            # also at 10 — merging (a,x) creates (ax,y)=10 which beats
+            # (p,q) on tie-break, so (p,q) must NOT batch with (a,x)
+            " ".join(["axy"] * 10 + ["pq"] * 10),
         ]
         for text in corpora:
             docs = [("d", text)]

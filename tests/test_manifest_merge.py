@@ -212,6 +212,15 @@ class TestRewriteManifests:
         # second run: nothing left to merge
         assert t.rewrite_manifests() is None
 
+    def test_min_count_honored(self, spark, tmp_path):
+        """rewrite_manifests(min_count=N) is a real threshold: fewer
+        than N small manifests -> no-op."""
+        t, _ = self._tbl(spark, tmp_path, n=5)
+        assert t.rewrite_manifests(min_count=10) is None
+        assert len(_manifests(t)) == 5
+        assert t.rewrite_manifests(min_count=5) is not None
+        assert len(_manifests(t)) == 1
+
     def test_invisible_to_incremental_and_changelog(self, spark, tmp_path):
         t, sids = self._tbl(spark, tmp_path, n=4)
         checkpoint = sids[1]

@@ -288,6 +288,40 @@ class TestKeyframesThroughSpark:
         # partial shares 1/3 of its frames -> below the 0.6 threshold
         assert (1, 3) not in pairs and (2, 3) not in pairs
 
+    def test_black_frames_carry_no_pairing_signal(self, spark):
+        """Content-free frames (all-zero/all-one dHash — fades, black
+        leaders) are excluded from BOTH the matching and the per-clip
+        denominators: clips sharing ONLY black frames never pair, and
+        clips sharing real content still pair on their content fraction
+        even when padded with black frames."""
+        from opentelemetry_iceberg_exporter_spark.operators.video import (
+            video_neardup_pairs,
+        )
+
+        h1, h2 = 0x1234ABCD5678EF01, 0x1234ABCD5678EF03  # hamming 1
+        rows = [
+            # clips 1 and 2: one real shared frame + one black frame each
+            (1, 0, 2, 8, 8, h1, None),
+            (1, 1, 2, 8, 8, 0, None),
+            (2, 0, 2, 8, 8, h2, None),
+            (2, 1, 2, 8, 8, 0, None),
+            # clips 3 and 4 share ONLY black/white frames
+            (3, 0, 2, 8, 8, 0, None),
+            (3, 1, 2, 8, 8, -1, None),
+            (4, 0, 2, 8, 8, 0, None),
+            (4, 1, 2, 8, 8, -1, None),
+        ]
+        kf = spark.createDataFrame(
+            rows,
+            "media_id long, frame_idx int, n_frames int, width int, "
+            "height int, dhash long, decode_error string",
+        )
+        pairs = video_neardup_pairs(kf, min_frame_fraction=0.9).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+        p = pairs[0]
+        # denominators count CONTENT frames only: 1/1 matched, not 1/2
+        assert p["frac_a"] == 1.0 and p["frac_b"] == 1.0
+
     def test_video_dedup_cli_groups(self, spark, tmp_path, capsys):
         import duckdb
         import json
