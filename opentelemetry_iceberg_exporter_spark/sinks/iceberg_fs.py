@@ -3434,7 +3434,7 @@ def metadata_table(spark: SparkSession, md: dict, name: str) -> "DataFrame":
             if name == "all_files"
             else [s for s in md["snapshots"] if s["snapshot-id"] == sid]
         )
-        seen: set[str] = set()
+        seen: set[tuple[str, str | None]] = set()
         for s in snapshots:
             _, _, manifests = read_ocf(s["manifest-list"])
             for m in manifests:
@@ -3443,9 +3443,12 @@ def metadata_table(spark: SparkSession, md: dict, name: str) -> "DataFrame":
                     if name == "files" and e["status"] == STATUS_DELETED:
                         continue
                     d = e["data_file"]
-                    if d["file_path"] in seen:
+                    # a DV Puffin holds one blob PER referenced file
+                    # under a single file_path — each blob is its own row
+                    key = (d["file_path"], d.get("referenced_data_file"))
+                    if key in seen:
                         continue
-                    seen.add(d["file_path"])
+                    seen.add(key)
                     entries.append(
                         (
                             d["content"],
@@ -3460,6 +3463,9 @@ def metadata_table(spark: SparkSession, md: dict, name: str) -> "DataFrame":
                                 else m["sequence_number"]
                             ),
                             list(d["equality_ids"]) if d.get("equality_ids") else None,
+                            d.get("referenced_data_file"),
+                            d.get("content_offset"),
+                            d.get("content_size_in_bytes"),
                         )
                     )
         return spark.createDataFrame(
@@ -3467,7 +3473,8 @@ def metadata_table(spark: SparkSession, md: dict, name: str) -> "DataFrame":
             "content int, file_path string, file_format string, "
             "partition map<string,string>, record_count long, "
             "file_size_in_bytes long, sequence_number long, "
-            "equality_ids array<int>",
+            "equality_ids array<int>, referenced_data_file string, "
+            "content_offset long, content_size_in_bytes long",
         )
     if name == "manifests":
         sid = md.get("current-snapshot-id", -1)

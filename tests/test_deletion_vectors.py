@@ -381,6 +381,20 @@ class TestDvManifestMerge:
         assert dv and all(f.content_offset is not None for f in dv)
 
 
+class TestDvMetadataTables:
+    def test_files_view_shows_one_row_per_vector(self, spark, fs_table):
+        t = fs_table
+        t.delete_where(spark, "id >= 20", mode="deletion-vectors")
+        files = t.metadata_table(spark, "files")
+        dv_rows = files.filter("referenced_data_file is not null").collect()
+        assert dv_rows  # one row PER referenced file, not per puffin path
+        assert all(r["content"] == 1 for r in dv_rows)
+        assert all(r["file_format"] == "PUFFIN" for r in dv_rows)
+        assert all(r["content_size_in_bytes"] > 0 for r in dv_rows)
+        assert len({r["referenced_data_file"] for r in dv_rows}) == len(dv_rows)
+        assert files.filter("content = 0").count() > 0
+
+
 class TestDvDataSource:
     def test_iceberg_fs_source_masks_dv_rows(self, spark, fs_table):
         """The jar-less Spark data source applies deletion vectors as
