@@ -205,6 +205,31 @@ class TestNewOperatorPlans:
     """Plan contracts for the round-2 operators: the zero-shuffle and
     single-shuffle claims in their docstrings, pinned."""
 
+    def test_banded_hamming_no_selfjoin_and_counts_before_lists(
+        self, spark, sf_dir
+    ):
+        """The perceptual-hash candidate join: pair generation happens
+        inside whole-stage codegen over per-bucket id lists (no
+        self-join -> no cartesian risk), and the band-frequency cap is a
+        COUNT-ONLY aggregate joined back before any id list
+        materializes — at web-corpus scale a hot bucket must never
+        build a giant collect_set buffer."""
+        from opentelemetry_iceberg_exporter_spark.operators.image_dedup import (
+            banded_hamming_pairs,
+        )
+
+        sigs = spark.createDataFrame(
+            [(1, 7), (2, 7), (3, 0)], "media_id long, dhash long"
+        )
+        df = banded_hamming_pairs(sigs, "media_id", "dhash", 10)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # two aggregates on the band key: the count-filter pass and the
+        # list-building pass, in that order
+        assert plan.count("collect_set") >= 1
+        assert "count(1)" in plan or "count(" in plan
+
     def test_winnowing_is_map_side_only(self, spark, sf_dir):
         from opentelemetry_iceberg_exporter_spark.operators.text import (
             winnowing_fingerprints,
