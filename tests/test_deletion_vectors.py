@@ -317,6 +317,21 @@ class TestDeletionVectorDeletes:
         assert got.agg(F.min("id")).first()[0] == 10
         assert got.agg(F.max("id")).first()[0] == 29
 
+    def test_expire_reclaims_folded_dv_puffin(self, spark, fs_table):
+        """After folding and snapshot expiry nothing references the DV
+        Puffin — expire's delete phase reclaims it like any data file."""
+        t = fs_table
+        t.delete_where(spark, "id >= 30", mode="deletion-vectors")
+        dv_path = next(
+            f.file_path for f in t.plan_scan()[1] if f.is_deletion_vector
+        )
+        assert os.path.exists(dv_path)
+        t.rewrite_position_deletes(spark)
+        expired = t.expire_snapshots(keep_last=1)
+        assert dv_path in expired
+        assert not os.path.exists(dv_path)
+        assert t.read(spark).count() == 30
+
     def test_orphaned_dv_puffin_swept(self, spark, tmp_path, fs_table):
         import time as time_mod
 
