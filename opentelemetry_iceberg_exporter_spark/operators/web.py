@@ -89,6 +89,41 @@ def domain_report(df: DataFrame, url_col: str) -> DataFrame:
     )
 
 
+def cap_per_domain(
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    max_per_domain: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep at most `max_per_domain` documents per registrable domain —
+    the standard anti-concentration step for web corpora (one SEO farm
+    must not dominate a training mix). Selection is a DETERMINISTIC
+    hash order (md5 of seed+id), so reruns and ingestion order changes
+    keep exactly the same documents, and the survivors are an unbiased
+    per-domain sample rather than "whatever crawled first".
+
+    Shape: one shuffle — row_number over (domain) ordered by the hash —
+    then a filter. NULL-host docs are always kept and BYPASS the window
+    entirely (they'd otherwise all hash to one task: the null bucket is
+    routinely the corpus's biggest at web scale); a real domain's rows
+    visiting one task is fine — the window is rank-only, and the skew
+    this guards against is exactly what the cap removes from every
+    downstream stage."""
+    from pyspark.sql.window import Window
+
+    domain = registrable_domain_col(F.col(url_col))
+    order = F.md5(F.concat_ws("\x1f", F.lit(str(seed)), F.col(id_col).cast("string")))
+    with_host = df.filter(domain.isNotNull())
+    w = Window.partitionBy(domain).orderBy(order)
+    capped = (
+        with_host.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(max_per_domain))
+        .drop("__rn")
+    )
+    return capped.unionByName(df.filter(domain.isNull()))
+
+
 def flag_dominant_domains(
     df: DataFrame, id_col: str, url_col: str, max_share: float = 0.05
 ) -> DataFrame:

@@ -110,6 +110,39 @@ class TestConcentration:
         assert all(flags[f"d{i}"]["domain_flagged"] for i in range(10))
         assert not any(flags[f"g{i}"]["domain_flagged"] for i in range(5))
 
+    def test_cap_per_domain(self, spark):
+        from opentelemetry_iceberg_exporter_spark.operators.web import (
+            cap_per_domain,
+        )
+
+        capped = cap_per_domain(self._corpus(spark), "doc_id", "url", 3)
+        rows = capped.collect()
+        from collections import Counter
+
+        by_domain = Counter(
+            r["url"].split("//")[1].split("/")[0] for r in rows
+        )
+        assert by_domain["spamfarm.biz"] == 3  # capped
+        assert sum(v for k, v in by_domain.items() if k != "spamfarm.biz") == 5
+        # deterministic: same survivors on rerun and under repartitioning
+        again = cap_per_domain(
+            self._corpus(spark).repartition(7), "doc_id", "url", 3
+        )
+        assert {r["doc_id"] for r in rows} == {r["doc_id"] for r in again.collect()}
+        # a different seed picks a (generally) different sample, still 3
+        other = cap_per_domain(self._corpus(spark), "doc_id", "url", 3, seed=9)
+        assert sum(1 for r in other.collect() if r["url"].startswith("https://spamfarm")) == 3
+
+    def test_cap_keeps_null_hosts(self, spark):
+        from opentelemetry_iceberg_exporter_spark.operators.web import (
+            cap_per_domain,
+        )
+
+        df = spark.createDataFrame(
+            [("a", None), ("b", None), ("c", "junk")], ["doc_id", "url"]
+        )
+        assert cap_per_domain(df, "doc_id", "url", 1).count() == 3
+
     def test_null_urls_never_flagged(self, spark):
         df = spark.createDataFrame(
             [("a", None), ("b", "junk")], ["doc_id", "url"]
