@@ -349,6 +349,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     pcb.add_argument("--max-perplexity", type=float, default=None)
     pcb.add_argument(
+        "--url-col",
+        default=None,
+        help="URL column for the per-domain cap stage",
+    )
+    pcb.add_argument(
+        "--max-per-domain",
+        type=int,
+        default=None,
+        help="keep at most N docs per registrable domain (deterministic "
+        "hash-ordered sample; requires --url-col)",
+    )
+    pcb.add_argument(
         "--bpe-model",
         default=None,
         help="merges JSON from bpe-train: adds n_bpe_tokens and packs "
@@ -1009,6 +1021,8 @@ def main(argv: list[str] | None = None) -> int:
             quality_threshold=args.threshold,
             lm_model=lm_model,
             max_perplexity=args.max_perplexity,
+            url_col=args.url_col,
+            max_per_domain=args.max_per_domain,
             bpe_model=bpe_model,
             pack_budget=args.pack_budget,
         )

@@ -61,6 +61,8 @@ def build_corpus(
     quality_threshold: float = 0.5,
     lm_model=None,
     max_perplexity: float | None = None,
+    url_col: str | None = None,
+    max_per_domain: int | None = None,
     bpe_model=None,
     pack_budget: int | None = None,
     report_counts: bool = True,
@@ -71,7 +73,10 @@ def build_corpus(
     `perplexity` (when an LM is given; rows above `max_perplexity`
     drop), `n_bpe_tokens` (when a BPE model is given — and packing then
     budgets by REAL tokenizer counts instead of whitespace words) and
-    the packing columns (when `pack_budget` is set)."""
+    the packing columns (when `pack_budget` is set). With `url_col` +
+    `max_per_domain`, a deterministic per-registrable-domain cap
+    (web.cap_per_domain) runs after the content filters — the standard
+    anti-concentration step against SEO farms dominating the mix."""
     report = CorpusReport()
 
     def count(stage: str, df: DataFrame) -> DataFrame:
@@ -151,6 +156,12 @@ def build_corpus(
             id_col,
         )
         out = count("perplexity_filter", out)
+
+    if url_col is not None and max_per_domain is not None:
+        from .web import cap_per_domain
+
+        out = cap_per_domain(out, id_col, url_col, max_per_domain)
+        out = count("domain_cap", out)
 
     out = out.withColumn("n_tokens", F.size(tokens(F.col(text_col))))
 

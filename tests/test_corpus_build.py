@@ -153,6 +153,33 @@ def test_packing_offsets_contiguous(spark):
     assert all(r["first_seq"] == r["start_offset"] // 4 for r in rows)
 
 
+class TestDomainCapStage:
+    def test_domain_cap_runs_after_filters(self, spark):
+        rows = [
+            (f"s{i}", f"doc body number {i} entirely distinct words here{i}",
+             f"https://farm.biz/p{i}")
+            for i in range(6)
+        ] + [
+            ("g1", "independent site content one", "https://one.org/a"),
+            ("g2", "independent site content two", None),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text", "url"])
+        out, report = build_corpus(
+            spark,
+            docs,
+            boilerplate_max_docs=None,
+            exact=False,
+            near=False,
+            url_col="url",
+            max_per_domain=2,
+        )
+        funnel = report.as_dict()
+        assert funnel["domain_cap"] == 4  # 2 farm + 1 org + 1 null-host
+        got = out.collect()
+        assert sum(1 for r in got if r["url"] and "farm.biz" in r["url"]) == 2
+        assert any(r["doc_id"] == "g2" for r in got)  # null host kept
+
+
 class TestLmAndBpeStages:
     def test_perplexity_stage_filters(self, spark):
         from opentelemetry_iceberg_exporter_spark.operators.lm import (
