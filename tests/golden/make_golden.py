@@ -76,6 +76,18 @@ T_REWRITE_MS = 1700000004000
 SNAPSHOT4_SEED = bytes.fromhex("56789abcdef01234")
 SNAPSHOT4_ID = (int.from_bytes(SNAPSHOT4_SEED, "big")) >> 1
 
+# -- fifth commit: a DELETION-VECTOR delete (Iceberg v3 DVs as a v2
+# engine extension): positions {0, 2} of FILE_A as a roaring bitmap in a
+# deletion-vector-v1 Puffin blob; the manifest entry carries the spec's
+# locator fields 143-145 and file_format PUFFIN ------------------------
+DV_PUFFIN_UUID_HEX = "99999999999999999999999999999999"
+DV_MANIFEST_UUID_HEX = "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"
+DV_LIST_UUID_HEX = "bbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbb"
+T_DV_MS = 1700000005000
+SNAPSHOT5_SEED = bytes.fromhex("6789abcdef012345")
+SNAPSHOT5_ID = (int.from_bytes(SNAPSHOT5_SEED, "big")) >> 1
+DV_POSITIONS = [0, 2]
+
 
 # ---------------------------------------------------------------------------
 # Avro 1.11 binary encoding, written from the spec
@@ -187,6 +199,9 @@ EQ_MANIFEST_PATH = f"{LOC}/metadata/{EQ_MANIFEST_UUID_HEX}-m1.avro"
 EQ_LIST_PATH = f"{LOC}/metadata/snap-{SNAPSHOT3_ID}-1-{EQ_LIST_UUID_HEX}.avro"
 MERGED_MANIFEST_PATH = f"{LOC}/metadata/{MERGED_MANIFEST_UUID_HEX}-m1.avro"
 MERGED_LIST_PATH = f"{LOC}/metadata/snap-{SNAPSHOT4_ID}-1-{MERGED_LIST_UUID_HEX}.avro"
+DV_PUFFIN_PATH = f"{LOC}/data/dv-{DV_PUFFIN_UUID_HEX}.puffin"
+DV_MANIFEST_PATH = f"{LOC}/metadata/{DV_MANIFEST_UUID_HEX}-m1.avro"
+DV_LIST_PATH = f"{LOC}/metadata/snap-{SNAPSHOT5_ID}-1-{DV_LIST_UUID_HEX}.avro"
 
 
 # -- manifest file (spec: "Manifests"; required v2 subset of field IDs
@@ -748,6 +763,226 @@ def build_metadata_v5() -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Deletion-vector commit (Iceberg v3 "Deletion Vectors" blob + manifest
+# locator fields 143-145), every byte derived here from the specs:
+# RoaringFormatSpec portable serialization, the DV blob framing (len BE +
+# magic 1681511377le + vector + CRC-32 BE), the Puffin container, and the
+# Avro manifest with the three optional data_file fields.
+# ---------------------------------------------------------------------------
+
+
+def _dv_vector_bytes() -> bytes:
+    """64-bit portable roaring bitmap of DV_POSITIONS ({0, 2}): one
+    32-bit bucket (high key 0) holding an array container — assembled
+    field by field from RoaringFormatSpec."""
+    bm32 = (
+        struct.pack("<I", 12346)  # SERIAL_COOKIE_NO_RUNCONTAINER
+        + struct.pack("<I", 1)  # container count
+        + struct.pack("<HH", 0, 1)  # key 0, cardinality - 1
+        + struct.pack("<I", 16)  # container offset from bitmap start
+        + struct.pack("<2H", *DV_POSITIONS)  # u16le values
+    )
+    return struct.pack("<Q", 1) + struct.pack("<I", 0) + bm32
+
+
+def build_dv_payload() -> bytes:
+    """deletion-vector-v1 blob payload: length(BE) + magic (1681511377
+    little-endian = D1 D3 39 64) + vector + CRC-32(BE) of magic+vector."""
+    import zlib
+
+    body = struct.pack("<I", 1681511377) + _dv_vector_bytes()
+    return struct.pack(">i", len(body)) + body + struct.pack(">I", zlib.crc32(body))
+
+
+def build_dv_puffin() -> bytes:
+    magic = b"PFA1"
+    payload = build_dv_payload()
+    blob_meta = [
+        {
+            "type": "deletion-vector-v1",
+            "fields": [],
+            "snapshot-id": -1,  # assigned at commit; the manifest locates
+            "sequence-number": 5,
+            "offset": 4,
+            "length": len(payload),
+            "properties": {
+                "referenced-data-file": FILE_A,
+                "cardinality": str(len(DV_POSITIONS)),
+            },
+        }
+    ]
+    footer_payload = json.dumps(
+        {"blobs": blob_meta, "properties": {}},
+        sort_keys=True,
+        separators=(",", ":"),
+    ).encode("utf-8")
+    return (
+        magic
+        + payload
+        + magic
+        + footer_payload
+        + struct.pack("<i", len(footer_payload))
+        + b"\x00\x00\x00\x00"
+        + magic
+    )
+
+
+def _manifest_schema_with_dv() -> dict:
+    """The manifest entry schema with the v3 locator fields appended to
+    data_file (ids 143-145) — only manifests carrying a DV use it."""
+    schema = json.loads(json.dumps(MANIFEST_AVRO_SCHEMA))  # deep copy
+    df_fields = schema["fields"][4]["type"]["fields"]
+    df_fields.extend(
+        [
+            {
+                "name": "referenced_data_file",
+                "type": ["null", "string"],
+                "default": None,
+                "field-id": 143,
+            },
+            {
+                "name": "content_offset",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 144,
+            },
+            {
+                "name": "content_size_in_bytes",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 145,
+            },
+        ]
+    )
+    return schema
+
+
+def build_dv_manifest(dv_puffin_size: int, dv_payload_len: int) -> bytes:
+    """One entry: content=1, file_format PUFFIN, the puffin path, record
+    count = cardinality, plus the locator triple (referenced file,
+    blob offset 4, blob length)."""
+    row = b"".join(
+        [
+            zigzag_varint(1),  # status ADDED
+            avro_opt_long(SNAPSHOT5_ID),
+            avro_opt_long(5),  # sequence_number
+            avro_opt_long(5),  # file_sequence_number
+            zigzag_varint(1),  # content: position deletes
+            avro_str(DV_PUFFIN_PATH),
+            avro_str("PUFFIN"),
+            avro_opt_int(None),  # partition: ts_hour null
+            zigzag_varint(len(DV_POSITIONS)),  # record_count = cardinality
+            zigzag_varint(dv_puffin_size),
+            zigzag_varint(0),  # lower_bounds null
+            zigzag_varint(0),  # upper_bounds null
+            zigzag_varint(0),  # equality_ids null
+            zigzag_varint(1) + avro_str(FILE_A),  # referenced_data_file
+            avro_opt_long(4),  # content_offset
+            avro_opt_long(dv_payload_len),  # content_size_in_bytes
+        ]
+    )
+    return ocf(
+        json.dumps(_manifest_schema_with_dv()), _manifest_meta("deletes"), [row]
+    )
+
+
+def build_dv_manifest_list(
+    dv_manifest_len: int, merged_manifest_len: int, data_manifest_len: int
+) -> bytes:
+    """Snapshot 5's manifest list: the new DV manifest first, then the
+    rewrite snapshot's manifests carried verbatim."""
+    extra = [
+        ("snapshot-id", str(SNAPSHOT5_ID)),
+        ("parent-snapshot-id", str(SNAPSHOT4_ID)),
+        ("sequence-number", "5"),
+        ("format-version", "2"),
+    ]
+    dv_row = b"".join(
+        [
+            avro_str(DV_MANIFEST_PATH),
+            zigzag_varint(dv_manifest_len),
+            zigzag_varint(0),
+            zigzag_varint(1),  # content: deletes
+            zigzag_varint(5),
+            zigzag_varint(5),
+            zigzag_varint(SNAPSHOT5_ID),
+            zigzag_varint(1),  # added_files_count
+            zigzag_varint(0),
+            zigzag_varint(0),
+            zigzag_varint(len(DV_POSITIONS)),  # added_rows_count
+            zigzag_varint(0),
+            zigzag_varint(0),
+        ]
+    )
+    merged_row = b"".join(
+        [
+            avro_str(MERGED_MANIFEST_PATH),
+            zigzag_varint(merged_manifest_len),
+            zigzag_varint(0),
+            zigzag_varint(1),
+            zigzag_varint(4),
+            zigzag_varint(2),
+            zigzag_varint(SNAPSHOT4_ID),
+            zigzag_varint(0),
+            zigzag_varint(2),
+            zigzag_varint(0),
+            zigzag_varint(0),
+            zigzag_varint(EQ_ROW_COUNT + DELETE_ROW_COUNT),
+            zigzag_varint(0),
+        ]
+    )
+    return ocf(
+        json.dumps(MANIFEST_LIST_AVRO_SCHEMA),
+        extra,
+        [dv_row, merged_row, _data_manifest_row(data_manifest_len)],
+    )
+
+
+def build_metadata_v6(dv_payload_len: int) -> dict:
+    """Metadata after the deletion-vector delete: a `delete` snapshot;
+    totals count the DV's BLOB SPAN (not the whole shared Puffin)."""
+    md_v5 = build_metadata_v5()
+    snapshot5 = {
+        "snapshot-id": SNAPSHOT5_ID,
+        "parent-snapshot-id": SNAPSHOT4_ID,
+        "sequence-number": 5,
+        "timestamp-ms": T_DV_MS,
+        "manifest-list": DV_LIST_PATH,
+        "summary": {
+            "operation": "delete",
+            "added-data-files": "0",
+            "added-records": "0",
+            "added-delete-files": "1",
+            "added-position-deletes": str(len(DV_POSITIONS)),
+            **_totals(
+                13,
+                1234 + 567 + DELETE_FILE_SIZE + EQ_FILE_SIZE + dv_payload_len,
+                2,
+                3,
+                DELETE_ROW_COUNT + len(DV_POSITIONS),
+                EQ_ROW_COUNT,
+            ),
+            "deleted-records": str(len(DV_POSITIONS)),
+            "added-dvs": "1",
+        },
+        "schema-id": 0,
+    }
+    md = dict(md_v5)
+    md["last-sequence-number"] = 5
+    md["last-updated-ms"] = T_DV_MS
+    md["snapshots"] = md_v5["snapshots"] + [snapshot5]
+    md["current-snapshot-id"] = SNAPSHOT5_ID
+    md["refs"] = {"main": {"snapshot-id": SNAPSHOT5_ID, "type": "branch"}}
+    md["snapshot-log"] = md_v5["snapshot-log"] + [
+        {"timestamp-ms": T_DV_MS, "snapshot-id": SNAPSHOT5_ID}
+    ]
+    md["metadata-log"] = md_v5["metadata-log"] + [
+        {"timestamp-ms": T_REWRITE_MS, "metadata-file": f"{LOC}/metadata/v5.metadata.json"}
+    ]
+    return md
+
+
+# ---------------------------------------------------------------------------
 # Puffin statistics file ("Puffin file format" spec): Magic Blob Footer,
 # Footer == Magic FooterPayload FooterPayloadSize(le i32) Flags(4B) Magic
 # ---------------------------------------------------------------------------
@@ -804,6 +1039,12 @@ def main() -> None:
     )
     merged_manifest = build_merged_manifest()
     merged_list = build_merged_manifest_list(len(merged_manifest), len(manifest))
+    dv_puffin = build_dv_puffin()
+    dv_payload_len = len(build_dv_payload())
+    dv_manifest = build_dv_manifest(len(dv_puffin), dv_payload_len)
+    dv_list = build_dv_manifest_list(
+        len(dv_manifest), len(merged_manifest), len(manifest)
+    )
     out = {
         "manifest.avro": manifest,
         "manifest-list.avro": mlist,
@@ -813,6 +1054,9 @@ def main() -> None:
         "eq-manifest-list.avro": eq_list,
         "merged-manifest.avro": merged_manifest,
         "merged-manifest-list.avro": merged_list,
+        "dv.puffin": dv_puffin,
+        "dv-manifest.avro": dv_manifest,
+        "dv-manifest-list.avro": dv_list,
         "stats.puffin": build_puffin(),
     }
     for name, data in out.items():
@@ -824,6 +1068,7 @@ def main() -> None:
         ("v3.metadata.json", build_metadata_v3()),
         ("v4.metadata.json", build_metadata_v4()),
         ("v5.metadata.json", build_metadata_v5()),
+        ("v6.metadata.json", build_metadata_v6(dv_payload_len)),
     ):
         with open(os.path.join(HERE, name), "w", encoding="utf-8") as f:
             json.dump(md, f, indent=2)

@@ -84,6 +84,10 @@ def frozen(monkeypatch):
             uuid_mod.UUID(hex=GEN.MERGED_MANIFEST_UUID_HEX),  # rewrite: merged manifest
             uuid_mod.UUID(hex=GEN.MERGED_LIST_UUID_HEX),  # rewrite: manifest list
             uuid_mod.UUID(hex="e" * 32),  # version-hint tmp
+            uuid_mod.UUID(hex=GEN.DV_PUFFIN_UUID_HEX),  # deletion-vector puffin
+            uuid_mod.UUID(hex=GEN.DV_MANIFEST_UUID_HEX),  # DV manifest
+            uuid_mod.UUID(hex=GEN.DV_LIST_UUID_HEX),  # DV manifest list
+            uuid_mod.UUID(hex="f" * 32),  # version-hint tmp
         ]
     )
     times = iter(
@@ -94,10 +98,17 @@ def frozen(monkeypatch):
             GEN.T_EQ_MS / 1000.0,
             GEN.T_REWRITE_MS / 1000.0,  # rewrite snapshot timestamp
             GEN.T_REWRITE_MS / 1000.0,  # rewrite metadata last-updated
+            GEN.T_DV_MS / 1000.0,  # DV delete commit
         ]
     )
     seeds = iter(
-        [GEN.SNAPSHOT_SEED, GEN.SNAPSHOT2_SEED, GEN.SNAPSHOT3_SEED, GEN.SNAPSHOT4_SEED]
+        [
+            GEN.SNAPSHOT_SEED,
+            GEN.SNAPSHOT2_SEED,
+            GEN.SNAPSHOT3_SEED,
+            GEN.SNAPSHOT4_SEED,
+            GEN.SNAPSHOT5_SEED,
+        ]
     )
 
     def fake_urandom(n: int) -> bytes:
@@ -270,6 +281,64 @@ class TestGoldenWrite:
             )
         with open(os.path.join(GEN.LOC, "metadata", "v5.metadata.json"), "rb") as f:
             assert f.read() == _golden_bytes("v5.metadata.json"), "v5 metadata drift"
+
+        # sixth artifact set: a DELETION-VECTOR delete — roaring bitmap
+        # in a deletion-vector-v1 Puffin blob (positions {0,2} of file
+        # A), manifest entry with the v3 locator fields 143-145
+        import numpy as np
+
+        from opentelemetry_iceberg_exporter_spark.sinks.puffin import (
+            write_deletion_vector_file,
+        )
+        from opentelemetry_iceberg_exporter_spark.sinks.roaring import serialize_64
+
+        vec = serialize_64(np.array(GEN.DV_POSITIONS, dtype=np.uint64))
+        dv_path, spans = write_deletion_vector_file(
+            GEN.LOC, {GEN.FILE_A: (vec, len(GEN.DV_POSITIONS))}, sequence_number=5
+        )
+        assert dv_path == GEN.DV_PUFFIN_PATH
+        with open(dv_path, "rb") as f:
+            assert f.read() == _golden_bytes("dv.puffin"), "DV puffin drift"
+        off, length, card = spans[GEN.FILE_A]
+        sid5 = table._commit_with_retry(
+            [
+                DataFile(
+                    dv_path,
+                    os.path.getsize(dv_path),
+                    card,
+                    {},
+                    content=1,
+                    referenced_data_file=GEN.FILE_A,
+                    content_offset=off,
+                    content_size_in_bytes=length,
+                )
+            ],
+            operation="delete",
+            carry_forward=True,
+            extra_summary={
+                "deleted-records": str(card),
+                "added-dvs": "1",
+            },
+        )
+        assert sid5 == GEN.SNAPSHOT5_ID
+        with open(
+            os.path.join(GEN.LOC, "metadata", f"{GEN.DV_MANIFEST_UUID_HEX}-m1.avro"),
+            "rb",
+        ) as f:
+            assert f.read() == _golden_bytes("dv-manifest.avro"), "DV manifest drift"
+        with open(
+            os.path.join(
+                GEN.LOC,
+                "metadata",
+                f"snap-{GEN.SNAPSHOT5_ID}-1-{GEN.DV_LIST_UUID_HEX}.avro",
+            ),
+            "rb",
+        ) as f:
+            assert f.read() == _golden_bytes("dv-manifest-list.avro"), (
+                "DV manifest-list drift"
+            )
+        with open(os.path.join(GEN.LOC, "metadata", "v6.metadata.json"), "rb") as f:
+            assert f.read() == _golden_bytes("v6.metadata.json"), "v6 metadata drift"
         shutil.rmtree("/tmp/spark_graft_golden", ignore_errors=True)
 
     def test_generator_is_byte_stable(self, tmp_path):
@@ -546,6 +615,62 @@ class TestGoldenRead:
         ):
             d_, dels_, _ = t.plan_scan(snapshot_id=sid)
             assert len(d_) == 2 and len(dels_) == n_del
+
+    @pytest.fixture()
+    def golden_table_v6(self, golden_table_v5):
+        """v5 plus the independently-encoded deletion-vector commit."""
+        meta_dir = os.path.join(GEN.LOC, "metadata")
+        os.makedirs(os.path.dirname(GEN.DV_PUFFIN_PATH), exist_ok=True)
+        for src, dst in (
+            ("v6.metadata.json", os.path.join(meta_dir, "v6.metadata.json")),
+            ("dv-manifest.avro", os.path.join(meta_dir, f"{GEN.DV_MANIFEST_UUID_HEX}-m1.avro")),
+            (
+                "dv-manifest-list.avro",
+                os.path.join(
+                    meta_dir, f"snap-{GEN.SNAPSHOT5_ID}-1-{GEN.DV_LIST_UUID_HEX}.avro"
+                ),
+            ),
+            ("dv.puffin", GEN.DV_PUFFIN_PATH),
+        ):
+            shutil.copy(os.path.join(GOLDEN, src), dst)
+        with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+            f.write("6")
+        return golden_table_v5  # same location, now at v6
+
+    def test_package_reads_independent_dv_commit(self, golden_table_v6):
+        """The package must plan the spec-encoded DV commit exactly:
+        locator fields through to the DataFile, and the roaring blob
+        decodes to the expected positions via its manifest span."""
+        import numpy as np
+
+        from opentelemetry_iceberg_exporter_spark.sinks.puffin import (
+            read_deletion_vector_span,
+        )
+
+        t = golden_table_v6
+        assert t.current_snapshot()["snapshot-id"] == GEN.SNAPSHOT5_ID
+        data, deletes, _ = t.plan_scan()
+        dv = [f for f in deletes if f.is_deletion_vector]
+        assert len(dv) == 1
+        assert dv[0].file_path == GEN.DV_PUFFIN_PATH
+        assert dv[0].referenced_data_file == GEN.FILE_A
+        assert dv[0].content_offset == 4
+        assert dv[0].record_count == len(GEN.DV_POSITIONS)
+        assert dv[0].sequence_number == 5
+        pos = read_deletion_vector_span(
+            dv[0].file_path, dv[0].content_offset, dv[0].content_size_in_bytes
+        )
+        assert np.array_equal(pos, np.array(GEN.DV_POSITIONS, dtype=np.uint64))
+        # pre-DV deletes carried through with original sequence numbers
+        by_path = {f.file_path: f for f in deletes}
+        assert by_path[GEN.EQ_FILE].sequence_number == 3
+        assert by_path[GEN.DELETE_FILE].sequence_number == 2
+        # the summary totals count the blob span
+        s = t.current_snapshot()["summary"]
+        assert s["total-delete-files"] == "3"
+        assert s["total-position-deletes"] == str(
+            GEN.DELETE_ROW_COUNT + len(GEN.DV_POSITIONS)
+        )
 
     def test_ocf_decode_matches_expected_rows(self):
         schema, meta, rows = read_ocf(os.path.join(GOLDEN, "manifest.avro"))
