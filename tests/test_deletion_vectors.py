@@ -353,6 +353,58 @@ class TestDeletionVectorDeletes:
         assert t.read(spark).count() == 39
 
 
+class TestDvLifecycleAtScale:
+    def test_multi_file_many_rows_full_lifecycle(self, spark, tmp_path):
+        """Thousands of rows over many files and hours: interleaved DV
+        deletes, an upsert, a second stacking DV delete, metadata-only
+        counting after folding, and time travel — the sequence a
+        production table would actually see."""
+        cat = FsCatalog(str(tmp_path / "wh"))
+        df = spark.range(5000).select(
+            F.col("id"),
+            F.to_timestamp(
+                F.lit("2024-03-01 00:00:00").cast("timestamp")
+                + F.make_interval(hours=(F.col("id") % 24).cast("int"))
+            ).alias("ts"),
+            (F.col("id") % 7).alias("bucket"),
+        )
+        t = cat.create_table("otel", "big", df.schema, partition_source="ts")
+        t.append_dataframe(df)
+        assert len(t.plan_scan()[0]) >= 24  # one file per hour at least
+
+        sid, n = t.delete_where(spark, "pmod(id, 10) = 3", mode="deletion-vectors")
+        assert n == 500
+        dv = [f for f in t.plan_scan()[1] if f.is_deletion_vector]
+        assert len({f.file_path for f in dv}) == 1  # ONE puffin, many blobs
+        # ids ≡ 3 (mod 10) land in 12 of the 24 hour files (lcm(10,24))
+        assert len(dv) == 12  # one vector per touched file
+        assert t.read(spark).count() == 4500
+
+        # upsert shadows some survivors via equality deletes
+        t.upsert_equality(
+            spark, df.filter("pmod(id, 10) = 4").withColumn("bucket", F.lit(99)),
+            ["id"],
+        )
+        assert t.read(spark).count() == 4500
+        assert t.read(spark).filter("bucket = 99").count() == 500
+
+        # a second DV delete stacks more vectors
+        _, n2 = t.delete_where(spark, "pmod(id, 10) = 5", mode="deletion-vectors")
+        assert n2 == 500
+        got = t.read(spark)
+        assert got.count() == 4000
+        assert got.filter("pmod(id, 10) in (3, 5)").count() == 0
+        assert got.filter("bucket = 99").count() == 500
+
+        # fold everything; metadata-only count returns
+        t.rewrite_position_deletes(spark)
+        t.rewrite_equality_deletes(spark)
+        assert t.plan_scan()[1] == []
+        assert t.count_rows() == 4000
+        # time travel to the first delete still resolves through the DVs
+        assert t.read(spark, snapshot_id=sid).count() == 4500
+
+
 class TestDvManifestMerge:
     def test_commit_time_merge_mixes_dv_and_plain_manifests(self, spark, tmp_path):
         cat = FsCatalog(str(tmp_path / "wh"))
