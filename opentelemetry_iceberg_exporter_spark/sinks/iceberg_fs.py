@@ -1712,25 +1712,102 @@ def apply_position_deletes(
     The join side is chosen from metadata alone: manifests record each
     delete file's row count, so small delete sets broadcast (one map-side
     anti-join, no shuffle of the table) and only genuinely large ones
-    shuffle — decided before any job runs."""
+    shuffle — decided before any job runs.
+
+    DELETION VECTORS skip the join entirely: their compact serialized
+    bitmaps (KBs per million deleted rows) broadcast to the executors
+    and a vectorized pandas filter masks each scan batch against its
+    file's decoded position set — zero shuffle at ANY delete volume,
+    where a billion-tuple parquet delete set would force a full-table
+    shuffle anti-join. Mixed physical forms compose: the mask applies
+    first, the surviving parquet tuples anti-join as before."""
     delete_files = [f for f in delete_files if f.content == 1]
     if not delete_files:
         return df
     out_cols = df.columns
-    dels = read_position_deletes(spark, delete_files)
-    if sum(f.record_count for f in delete_files) <= BROADCAST_DELETE_ROWS:
-        dels = F.broadcast(dels)
     tagged = df.select(
         "*",
         _norm_meta_path().alias("__dfile"),
         F.col("_metadata.row_index").alias("__dpos"),
     )
-    joined = tagged.join(
-        dels,
-        (tagged["__dfile"] == dels["file_path"]) & (tagged["__dpos"] == dels["pos"]),
-        "left_anti",
+    tagged = _subtract_position_deletes(
+        spark, tagged, delete_files, "__dfile", "__dpos"
     )
-    return joined.select(*out_cols)
+    return tagged.select(*out_cols)
+
+
+def _subtract_position_deletes(
+    spark: SparkSession,
+    tagged: DataFrame,
+    pos_files: list[DataFile],
+    file_col: str,
+    pos_col: str,
+) -> DataFrame:
+    """Subtract content=1 deletes from a (file, pos)-tagged scan — the
+    one implementation both read paths share. Deletion vectors become
+    the executor mask (broadcast compact bitmaps, vectorized filter);
+    parquet tuples keep the metadata-decided broadcast/shuffle
+    anti-join."""
+    dv = [f for f in pos_files if f.is_deletion_vector]
+    plain = [f for f in pos_files if not f.is_deletion_vector]
+    if dv:
+        # driver holds only the COMPACT vectors (read by manifest span);
+        # executors decode lazily, once per (python worker, file)
+        from .puffin import decode_deletion_vector
+
+        blobs: dict[str, list[bytes]] = {}
+        for f in dv:
+            with open(f.file_path, "rb") as fh:
+                fh.seek(f.content_offset)
+                blobs.setdefault(f.referenced_data_file, []).append(
+                    fh.read(f.content_size_in_bytes)
+                )
+        bc = spark.sparkContext.broadcast(blobs)
+
+        from pyspark.sql.functions import pandas_udf
+
+        decoded_cache: dict[str, object] = {}
+
+        @pandas_udf("boolean")
+        def __dv_keep(files_s, pos_s):
+            import numpy as np
+            import pandas as pd
+
+            out = np.ones(len(pos_s), dtype=bool)
+            positions = pos_s.to_numpy()
+            files = files_s.to_numpy()
+            for fp in pd.unique(files_s):
+                payloads = bc.value.get(fp)
+                if not payloads:
+                    continue
+                if fp not in decoded_cache:
+                    sets = [decode_deletion_vector(p) for p in payloads]
+                    decoded_cache[fp] = (
+                        np.unique(np.concatenate(sets))
+                        if len(sets) > 1
+                        else sets[0]
+                    )
+                deleted = decoded_cache[fp]
+                if len(deleted) == 0:
+                    continue
+                sel = files == fp
+                pos_u = positions[sel].astype("uint64")
+                idx = np.clip(np.searchsorted(deleted, pos_u), 0, len(deleted) - 1)
+                out[sel] = deleted[idx] != pos_u
+            return pd.Series(out)
+
+        tagged = tagged.filter(__dv_keep(F.col(file_col), F.col(pos_col)))
+    if plain:
+        dels = read_position_deletes(spark, plain)
+        if sum(f.record_count for f in plain) <= BROADCAST_DELETE_ROWS:
+            dels = F.broadcast(dels)
+        tagged = tagged.join(
+            dels,
+            (tagged[file_col] == dels["file_path"])
+            & (tagged[pos_col] == dels["pos"]),
+            "left_anti",
+        )
+    return tagged
 
 
 # -- Iceberg v2 equality deletes (merge-on-read, CDC/upsert path) ----------
@@ -1888,14 +1965,7 @@ def _tagged_live_scan(
         spark, md, schema, paths, tag_cols=(("__file", "path"), ("__dpos", "pos"))
     )
     if pos:
-        dels = read_position_deletes(spark, pos)
-        if sum(f.record_count for f in pos) <= BROADCAST_DELETE_ROWS:
-            dels = F.broadcast(dels)
-        tagged = tagged.join(
-            dels,
-            (tagged["__file"] == dels["file_path"]) & (tagged["__dpos"] == dels["pos"]),
-            "left_anti",
-        )
+        tagged = _subtract_position_deletes(spark, tagged, pos, "__file", "__dpos")
     if eq:
         if md is None or data_files is None:
             raise ValueError(

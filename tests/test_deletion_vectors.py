@@ -307,6 +307,19 @@ class TestDeletionVectorDeletes:
         }
         assert by_type == {"delete": 4, "insert": 4}
 
+    def test_dv_only_read_plan_has_no_join(self, spark, fs_table):
+        """Deletion vectors subtract as an executor-side MASK: the read
+        plan contains no join at all, where an equally large parquet
+        delete set beyond the broadcast threshold would shuffle the
+        whole table through a sort-merge anti-join."""
+        t = fs_table
+        t.delete_where(spark, "id >= 30", mode="deletion-vectors")
+        plan = (
+            t.read(spark)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Join" not in plan  # no anti-join — the vector mask only
+        assert t.read(spark).count() == 30
+
     def test_cow_delete_over_pending_vectors(self, spark, fs_table):
         t = fs_table
         t.delete_where(spark, "id >= 30", mode="deletion-vectors")
