@@ -418,6 +418,53 @@ class TestDvLifecycleAtScale:
         assert t.read(spark, snapshot_id=sid).count() == 4500
 
 
+class TestRandomizedDmlModel:
+    def test_random_delete_interleavings_match_model(self, spark, tmp_path):
+        """Model-based randomized DML: arbitrary interleavings of
+        appends, DV deletes, parquet MoR deletes, CoW deletes, and folds
+        must always read back exactly the model's live id set."""
+        import random
+
+        rng = random.Random(7)
+        cat = FsCatalog(str(tmp_path / "wh"))
+        schema = _df(spark).schema
+        t = cat.create_table("otel", "model", schema, partition_source="ts")
+        live: set[int] = set()
+        next_id = 0
+
+        def mk(ids):
+            return spark.createDataFrame(
+                [(i, None, "x") for i in ids], "id long, ts timestamp, tag string"
+            ).withColumn("ts", F.to_timestamp(F.lit("2024-03-01 00:00:00")))
+
+        for step in range(14):
+            r = rng.random()
+            if r < 0.4 or not live:
+                n = rng.randint(3, 8)
+                ids = list(range(next_id, next_id + n))
+                next_id += n
+                t.append_dataframe(mk(ids))
+                live |= set(ids)
+            elif r < 0.85:
+                lo = rng.randrange(max(next_id, 1))
+                hi = lo + rng.randint(0, 6)
+                mode = rng.choice(
+                    ["deletion-vectors", "merge-on-read", "copy-on-write"]
+                )
+                _, n = t.delete_where(
+                    spark, f"id between {lo} and {hi}", mode=mode
+                )
+                expect_gone = {i for i in live if lo <= i <= hi}
+                assert n == len(expect_gone), (step, mode)
+                live -= expect_gone
+            else:
+                t.rewrite_position_deletes(spark)
+            got = {r_["id"] for r_ in t.read(spark).select("id").collect()}
+            assert got == live, f"step {step}"
+        t.rewrite_position_deletes(spark)
+        assert t.count_rows() == len(live)
+
+
 class TestDvManifestMerge:
     def test_commit_time_merge_mixes_dv_and_plain_manifests(self, spark, tmp_path):
         cat = FsCatalog(str(tmp_path / "wh"))

@@ -282,6 +282,66 @@ class TestRewriteManifests:
         assert got.filter("event_id = 100").count() == 1
 
 
+class TestRandomizedModel:
+    def test_random_commit_sequences_match_model(self, spark, tmp_path):
+        """Model-based randomized check: arbitrary interleavings of
+        micro-batch appends (aggressive commit-time merging ON) and
+        rewrite_manifests actions must always plan exactly the model's
+        live file set, keep every snapshot's own ADDED files retrievable
+        for incremental consumers, and keep the manifest count bounded."""
+        import random
+
+        rng = random.Random(42)
+        t = _mk_table(
+            spark,
+            tmp_path,
+            {"commit.manifest.min-count-to-merge": "3"},
+        )
+        live_model: list[str] = []  # file basenames in commit order
+        added_by_sid: dict[int, list[str]] = {}
+        sids: list[int] = []
+        b = 0
+        for step in range(40):
+            action = rng.random()
+            if action < 0.75 or not sids:
+                n_files = rng.randint(1, 3)
+                files = []
+                names = []
+                for _ in range(n_files):
+                    name = f"b{b}.parquet"
+                    files.append(
+                        _write_pq(
+                            os.path.join(t.location, "data", name), [2 * b, 2 * b + 1]
+                        )
+                    )
+                    names.append(name)
+                    b += 1
+                sid = t.append_files(files)
+                sids.append(sid)
+                added_by_sid[sid] = names
+                live_model += names
+            else:
+                t.rewrite_manifests()  # metadata-only no-op on the live set
+
+            data, deletes, _ = t.plan_scan()
+            assert deletes == []
+            got = sorted(os.path.basename(f.file_path) for f in data)
+            assert got == sorted(live_model), f"step {step}"
+            ms = _manifests(t)
+            assert len(ms) <= 6, f"step {step}: {len(ms)} manifests"
+
+        # every incremental window reproduces exactly the model's adds
+        for i in range(0, len(sids), 5):
+            files, end = t.incremental_scan(from_snapshot_id=sids[i])
+            expect = sorted(
+                n for s in sids[i + 1 :] for n in added_by_sid[s]
+            )
+            assert sorted(os.path.basename(f.file_path) for f in files) == expect
+        # full read agrees with the model's row count
+        assert t.read(spark).count() == 2 * b
+        assert t.count_rows() == 2 * b
+
+
 class TestMaintainCli:
     def test_maintain_rewrite_manifests_flag(self, spark, tmp_path, capsys):
         import json
