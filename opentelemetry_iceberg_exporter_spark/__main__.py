@@ -628,6 +628,14 @@ def main(argv: list[str] | None = None) -> int:
     pm.add_argument("--min-files", type=int, default=2)
     pm.add_argument("--expire-keep", type=int, default=0, help="0 = don't expire")
     pm.add_argument(
+        "--expire-older-than-ms",
+        type=int,
+        default=None,
+        help="with --expire-keep: only expire snapshots committed before "
+        "this epoch-ms wall-clock cutoff (age-based retention; both axes "
+        "compose as guarantees)",
+    )
+    pm.add_argument(
         "--remove-orphans-older-than",
         type=float,
         default=None,
@@ -1522,7 +1530,11 @@ def main(argv: list[str] | None = None) -> int:
             if args.rewrite_manifests
             else None
         )
-        expired = table.expire_snapshots(args.expire_keep) if args.expire_keep else []
+        expired = (
+            table.expire_snapshots(args.expire_keep, args.expire_older_than_ms)
+            if args.expire_keep
+            else []
+        )
         orphaned = (
             table.remove_orphan_files(args.remove_orphans_older_than)
             if args.remove_orphans_older_than is not None

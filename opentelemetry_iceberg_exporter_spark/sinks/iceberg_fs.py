@@ -3386,15 +3386,24 @@ def snapshot_file_tree(snapshot: dict) -> tuple[set[str], set[str]]:
     return files, manifests
 
 
-def expire_plan(md: dict, keep_last: int) -> dict | None:
+def expire_plan(
+    md: dict, keep_last: int, older_than_ms: int | None = None
+) -> dict | None:
     """Transport-neutral expiry planning: which snapshots to drop and
     which physical files/manifests/manifest-lists become unreferenced
     once they are gone. Snapshots pinned by ANY ref (tags, branches) are
-    always retained, like Iceberg's expire_snapshots. None when nothing
-    expires."""
+    always retained, like Iceberg's expire_snapshots; `older_than_ms`
+    additionally retains anything committed at/after that wall-clock
+    time (Iceberg's expireOlderThan axis — retention policies are
+    age-based in practice: "keep 7 days of history, at least the last
+    N snapshots"). Both axes compose as retention GUARANTEES: a
+    snapshot expires only if it is outside the keep_last window AND
+    older than the cutoff. None when nothing expires."""
     snaps = md["snapshots"]
     ref_ids = {r["snapshot-id"] for r in md.get("refs", {}).values()}
     candidates = snaps[:-keep_last] if keep_last else list(snaps)
+    if older_than_ms is not None:
+        candidates = [s for s in candidates if s["timestamp-ms"] < older_than_ms]
     expired = [s for s in candidates if s["snapshot-id"] not in ref_ids]
     if not expired:
         return None
@@ -5245,7 +5254,9 @@ class FsTable:
         )
         return sid, n_updated, n_inserted
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than_ms: int | None = None
+    ) -> list[str]:
         """Drop all but the last `keep_last` snapshots, COMMIT the pruned
         metadata, and only then physically delete data files and
         manifests no retained snapshot references (commit-then-delete,
@@ -5256,7 +5267,7 @@ class FsTable:
         attempts = 3
         for attempt in range(attempts):
             base_version, md = self._load_state()
-            plan = expire_plan(md, keep_last)
+            plan = expire_plan(md, keep_last, older_than_ms)
             if plan is None:
                 return []
             retained_ids = {s["snapshot-id"] for s in plan["retained"]}

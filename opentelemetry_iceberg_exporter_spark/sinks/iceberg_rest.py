@@ -1279,14 +1279,16 @@ class RestTable:
         )
         return sid, n_updated, n_inserted
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than_ms: int | None = None
+    ) -> list[str]:
         """Expire via the REST remove-snapshots update, then physically
         delete files no retained snapshot references (commit-then-delete
         like the fs catalog). Returns deleted data-file paths."""
         from .iceberg_fs import delete_expired_paths, expire_plan
 
         md = self.metadata()
-        plan = expire_plan(md, keep_last)
+        plan = expire_plan(md, keep_last, older_than_ms)
         if plan is None:
             return []
         expired_ids = {s["snapshot-id"] for s in plan["expired"]}

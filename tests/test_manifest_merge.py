@@ -282,6 +282,36 @@ class TestRewriteManifests:
         assert got.filter("event_id = 100").count() == 1
 
 
+class TestAgeBasedExpiry:
+    def test_older_than_ms_limits_expiry(self, spark, tmp_path):
+        """expire_snapshots(keep_last, older_than_ms): the age cutoff is
+        a retention GUARANTEE on top of keep_last — snapshots at/after
+        the cutoff survive even outside the keep-last window."""
+        import time as time_mod
+
+        t = _mk_table(spark, tmp_path, None)
+        sids = []
+        for i in range(3):
+            sids += _stream_appends(t, 1, start=i)
+            time_mod.sleep(0.01)  # distinct commit timestamps
+        snaps = {s["snapshot-id"]: s for s in t.snapshots()}
+        mid_ts = snaps[sids[1]]["timestamp-ms"]
+        # keep_last=1 alone would expire sids[0] and sids[1]; the age
+        # guarantee retains everything committed at/after mid_ts
+        t.expire_snapshots(keep_last=1, older_than_ms=mid_ts)
+        remaining = [s["snapshot-id"] for s in t.snapshots()]
+        assert remaining == [sids[1], sids[2]]
+        # no data file deleted: retained descendants still reference
+        # the expired append's file (append-chain sharing)
+        assert t.read(spark).count() == 6  # current set unaffected
+        assert t.read(spark, snapshot_id=sids[1]).count() == 4
+        # far-future cutoff: plain keep_last behavior
+        t2 = _mk_table(spark, tmp_path / "t2", None)
+        s2 = _stream_appends(t2, 3)
+        t2.expire_snapshots(keep_last=1, older_than_ms=1 << 60)
+        assert [s["snapshot-id"] for s in t2.snapshots()] == [s2[2]]
+
+
 class TestRandomizedModel:
     def test_random_commit_sequences_match_model(self, spark, tmp_path):
         """Model-based randomized check: arbitrary interleavings of
