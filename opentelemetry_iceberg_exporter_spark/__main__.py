@@ -969,6 +969,11 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit(
                 "--lm-reference and --max-perplexity must be given together"
             )
+        if (args.max_per_domain is not None) != (args.url_col is not None):
+            raise SystemExit(
+                "--max-per-domain and --url-col must be given together "
+                "(the cap stage would otherwise silently not run)"
+            )
         if args.lm_reference:
             from .operators.lm import train_bigram_lm
 
@@ -1515,6 +1520,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "maintain":
 
+        if args.expire_older_than_ms is not None and not args.expire_keep:
+            raise SystemExit(
+                "--expire-older-than-ms needs --expire-keep (the age cutoff "
+                "composes with the keep-last window; without it nothing "
+                "expires and the flag would be a silent no-op)"
+            )
         table = _load_cli_table(args)
         folded = table.rewrite_position_deletes(spark) if args.fold_deletes else None
         folded_eq = (

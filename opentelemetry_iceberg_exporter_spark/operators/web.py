@@ -103,25 +103,37 @@ def cap_per_domain(
     keep exactly the same documents, and the survivors are an unbiased
     per-domain sample rather than "whatever crawled first".
 
-    Shape: one shuffle — row_number over (domain) ordered by the hash —
-    then a filter. NULL-host docs are always kept and BYPASS the window
-    entirely (they'd otherwise all hash to one task: the null bucket is
-    routinely the corpus's biggest at web scale); a real domain's rows
-    visiting one task is fine — the window is rank-only, and the skew
-    this guards against is exactly what the cap removes from every
-    downstream stage."""
+    Shape: ONE pass and one shuffle — row_number over the domain
+    (ordered by the hash, id as tiebreaker) then a filter. NULL-host
+    docs are always kept and get SINGLETON window partitions keyed by
+    their own hash (the null bucket is routinely the corpus's biggest at
+    web scale and must never funnel through one task); a real domain's
+    rows visiting one task is fine — the window is rank-only, and the
+    skew this guards against is exactly what the cap removes from every
+    downstream stage. The hash covers BOTH id and url with explicit
+    null tokens, so null/duplicate ids still order deterministically;
+    only rows identical in (id, url) remain order-tied (and for those
+    any pick is the same sample)."""
     from pyspark.sql.window import Window
 
+    def _nz(c):
+        return F.coalesce(c.cast("string"), F.lit("\x00NULL"))
+
     domain = registrable_domain_col(F.col(url_col))
-    order = F.md5(F.concat_ws("\x1f", F.lit(str(seed)), F.col(id_col).cast("string")))
-    with_host = df.filter(domain.isNotNull())
-    w = Window.partitionBy(domain).orderBy(order)
-    capped = (
-        with_host.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= int(max_per_domain))
+    order = F.md5(
+        F.concat_ws(
+            "\x1f", F.lit(str(seed)), _nz(F.col(id_col)), _nz(F.col(url_col))
+        )
+    )
+    # null hosts: one partition PER ROW (rank 1 <= cap, always kept; the
+    # explicit null-guard below also covers hash-collided pairs)
+    part = F.coalesce(domain, F.concat(F.lit("\x00"), order))
+    w = Window.partitionBy(part).orderBy(order, _nz(F.col(id_col)))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(domain.isNull() | (F.col("__rn") <= int(max_per_domain)))
         .drop("__rn")
     )
-    return capped.unionByName(df.filter(domain.isNull()))
 
 
 def flag_dominant_domains(

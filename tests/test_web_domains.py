@@ -133,6 +133,27 @@ class TestConcentration:
         other = cap_per_domain(self._corpus(spark), "doc_id", "url", 3, seed=9)
         assert sum(1 for r in other.collect() if r["url"].startswith("https://spamfarm")) == 3
 
+    def test_cap_deterministic_with_null_and_duplicate_ids(self, spark):
+        """Null/duplicate ids must not break the rerun-stability
+        contract: the order hash covers (id, url) with null tokens."""
+        from opentelemetry_iceberg_exporter_spark.operators.web import (
+            cap_per_domain,
+        )
+
+        rows = [(None, f"https://farm.biz/p{i}") for i in range(8)] + [
+            ("dup", f"https://farm.biz/q{i}") for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "url"])
+        first = {
+            r["url"] for r in cap_per_domain(df, "doc_id", "url", 5).collect()
+        }
+        assert len(first) == 5
+        again = {
+            r["url"]
+            for r in cap_per_domain(df.repartition(9), "doc_id", "url", 5).collect()
+        }
+        assert first == again
+
     def test_cap_keeps_null_hosts(self, spark):
         from opentelemetry_iceberg_exporter_spark.operators.web import (
             cap_per_domain,
