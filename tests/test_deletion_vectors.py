@@ -155,6 +155,40 @@ class TestRoaringProperty:
 
         check()
 
+    def test_run_heavy_property(self):
+        """Run-container stress: unions of random intervals (the shape
+        real deletion vectors take — contiguous row ranges from
+        predicate deletes) round-trip across container boundaries."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as hst
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            hst.lists(
+                hst.tuples(
+                    hst.integers(min_value=0, max_value=(1 << 18)),
+                    hst.integers(min_value=1, max_value=5000),
+                ),
+                max_size=20,
+            )
+        )
+        def check(intervals):
+            parts = [
+                np.arange(s, s + ln, dtype=np.uint64) for s, ln in intervals
+            ]
+            v = (
+                np.unique(np.concatenate(parts))
+                if parts
+                else np.empty(0, dtype=np.uint64)
+            )
+            data = serialize_64(v)
+            assert np.array_equal(deserialize_64(data), v)
+            # run encodings must actually compress contiguous ranges
+            if len(v) > 10000:
+                assert len(data) < 2 * len(v)  # far below array encoding
+
+        check()
+
 
 class TestDvBlob:
     def test_frame_roundtrip_and_independent_pin(self):

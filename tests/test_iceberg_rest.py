@@ -387,6 +387,20 @@ class TestCommitAmbiguity:
         assert [s["snapshot-id"] for s in ta.snapshots()] == [sids[("otel", "amb5a")]]
         assert [s["snapshot-id"] for s in tb.snapshots()] == [sids[("otel", "amb5b")]]
 
+    def test_lost_response_dv_delete_idempotent(self, catalog, spark):
+        """A deletion-vector delete whose commit response is lost must
+        resolve through the landed check too — one snapshot, one Puffin,
+        no double-applied vectors."""
+        state, t = self._table(catalog, spark, "amb7")
+        df = _events_df(spark, n=10)
+        t.append_dataframe(df)
+        state.lose_commit_responses = 1
+        sid, n = t.delete_where(spark, "id >= 8", mode="deletion-vectors")
+        assert n == 2
+        assert [s["snapshot-id"] for s in t.snapshots()][-1] == sid
+        assert len(t.snapshots()) == 2
+        assert t.read(spark).count() == 8
+
     def test_ambiguous_upsert_path_idempotent(self, catalog, spark):
         """The merge-on-read delta path commits through the same loop —
         a lost response there must not double-apply the delete+insert."""
