@@ -282,6 +282,58 @@ class TestRewriteManifests:
         assert got.filter("event_id = 100").count() == 1
 
 
+class TestConcurrentMerge:
+    def test_two_writer_race_with_aggressive_merging(self, spark, tmp_path):
+        """Two threads commit concurrently to a table whose commit-time
+        merge threshold is minimal: the CAS loser rebuilds (re-running
+        the merge against the winner's manifests) and no file or row is
+        lost across any interleaving."""
+        import threading
+
+        t = _mk_table(
+            spark, tmp_path, {"commit.manifest.min-count-to-merge": "2"}
+        )
+        _stream_appends(t, 4)  # seed carried manifests so merges fire
+
+        results, errors = [], []
+        barrier = threading.Barrier(2)
+
+        def commit(tag, start):
+            try:
+                files = [
+                    _write_pq(
+                        os.path.join(t.location, "data", f"{tag}{i}.parquet"),
+                        [start + 2 * i, start + 2 * i + 1],
+                    )
+                    for i in range(3)
+                ]
+                barrier.wait()
+                for f in files:
+                    results.append(t.append_files([f]))
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        threads = [
+            threading.Thread(target=commit, args=("x", 1000)),
+            threading.Thread(target=commit, args=("y", 2000)),
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors
+        assert len(results) == 6
+        got = t.read(spark)
+        assert got.count() == 8 + 12  # 4 seeds x2 rows + 6 commits x2
+        names = {
+            os.path.basename(f.file_path) for f in t.plan_scan()[0]
+        }
+        assert names == {f"b{i}.parquet" for i in range(4)} | {
+            f"{tag}{i}.parquet" for tag in ("x", "y") for i in range(3)
+        }
+        assert len(_manifests(t)) <= 6  # merging kept the count bounded
+
+
 class TestAgeBasedExpiry:
     def test_older_than_ms_limits_expiry(self, spark, tmp_path):
         """expire_snapshots(keep_last, older_than_ms): the age cutoff is
