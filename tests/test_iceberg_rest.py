@@ -369,6 +369,43 @@ class TestCommitAmbiguity:
         sid = t.append_files([self._file()])
         assert [s["snapshot-id"] for s in t.snapshots()] == [sid]
 
+    def test_concurrent_writers_with_lost_responses(self, catalog, spark):
+        """Two threads, and the server loses the response of the first
+        TWO commits it applies: every commit must land exactly once —
+        landed-checks resolve the ambiguity, 409 retries resolve the
+        contention, and no interleaving double-appends."""
+        import threading
+
+        client, state, _ = catalog
+        df = _events_df(spark, n=4)
+        client.ensure_namespace("otel")
+        t = client.ensure_table("otel", "ambrace", df.schema, partition_source="ts")
+        state.lose_commit_responses = 2
+        results, errors = [], []
+        barrier = threading.Barrier(2)
+
+        def commit(i):
+            try:
+                barrier.wait()
+                results.append(t.append_files([self._file(i)]))
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        threads = [
+            threading.Thread(target=commit, args=(i,)) for i in range(2)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors
+        snaps = t.snapshots()
+        assert len(snaps) == 2  # exactly one snapshot per writer
+        assert sorted(results) == sorted(s["snapshot-id"] for s in snaps)
+        # linear history, each file registered exactly once
+        assert snaps[1]["parent-snapshot-id"] == snaps[0]["snapshot-id"]
+        assert len(t.all_files()) == 2
+
     def test_lost_response_transaction_idempotent(self, catalog, spark):
         from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
             commit_append_transaction,
