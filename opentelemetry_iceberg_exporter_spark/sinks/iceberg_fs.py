@@ -38,6 +38,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -2020,9 +2021,10 @@ def plan_scan_metadata(
     md: dict,
     snapshot_id: int | None = None,
     partition_range: tuple[int, int] | None = None,
-    column_range: tuple[str, Any, Any] | None = None,
-    source_predicate: tuple[str, Any] | None = None,
-    source_range: tuple[str, Any, Any] | None = None,
+    column_range: tuple[str, Any, Any] | list[tuple[str, Any, Any]] | None = None,
+    source_predicate: tuple[str, Any] | list[tuple[str, Any]] | None = None,
+    source_range: tuple[str, Any, Any] | list[tuple[str, Any, Any]] | None = None,
+    pruned_out: list[DataFile] | None = None,
 ) -> tuple[list[DataFile], list[DataFile], int]:
     """Transport-neutral scan planner both catalogs share (FsTable and
     RestTable delegate here): resolve a snapshot's live files into
@@ -2036,19 +2038,36 @@ def plan_scan_metadata(
     one-sided bounds allowed (None). All skips are O(metadata); files
     without the needed stats are conservatively kept; delete files are
     never pruned (a delete row for a pruned-away data file matches
-    nothing)."""
+    nothing).
+
+    `column_range` / `source_predicate` / `source_range` each accept a
+    single tuple or a LIST of tuples (all must hold — conjunct
+    semantics), which is how predicate-derived DML pruning feeds every
+    extractable bound at once. When `pruned_out` is given, skipped data
+    files are appended to it with full fields — DML copy-on-write
+    planning re-commits them as untouched survivors."""
     sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
     if sid == -1:
         return [], [], 0
     snapshot = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
     spec_fields = default_spec_fields(md)
     spec_names = [pf["name"] for pf in spec_fields]
+    schema_fields = current_schema(md)["fields"]
+    source_predicates = (
+        [source_predicate] if isinstance(source_predicate, tuple)
+        else list(source_predicate or [])
+    )
+    source_ranges = (
+        [source_range] if isinstance(source_range, tuple)
+        else list(source_range or [])
+    )
+    column_ranges = (
+        [column_range] if isinstance(column_range, tuple)
+        else list(column_range or [])
+    )
     pred_parts: dict[str, Any] = {}
-    if source_predicate is not None:
-        pcol, pval = source_predicate
-        src = next(
-            (f_ for f_ in current_schema(md)["fields"] if f_["name"] == pcol), None
-        )
+    for pcol, pval in source_predicates:
+        src = next((f_ for f_ in schema_fields if f_["name"] == pcol), None)
         if src is not None:
             for pf in spec_fields:
                 if pf["source-id"] == src["id"]:
@@ -2056,11 +2075,8 @@ def plan_scan_metadata(
                         pval, pf["transform"], src["type"]
                     )
     range_parts: dict[str, tuple[Any, Any]] = {}
-    if source_range is not None:
-        rcol, rlo, rhi = source_range
-        src = next(
-            (f_ for f_ in current_schema(md)["fields"] if f_["name"] == rcol), None
-        )
+    for rcol, rlo, rhi in source_ranges:
+        src = next((f_ for f_ in schema_fields if f_["name"] == rcol), None)
         if src is not None:
             for pf in spec_fields:
                 base, _ = parse_transform(pf["transform"])
@@ -2069,14 +2085,12 @@ def plan_scan_metadata(
                         apply_transform_value(rlo, pf["transform"], src["type"]),
                         apply_transform_value(rhi, pf["transform"], src["type"]),
                     )
-    col_field = None
-    if column_range is not None:
-        name, lo_v, hi_v = column_range
-        col_field = next(
-            (f_ for f_ in current_schema(md)["fields"] if f_["name"] == name), None
-        )
+    col_bounds: list[tuple[dict, Any, Any]] = []
+    for name, lo_v, hi_v in column_ranges:
+        col_field = next((f_ for f_ in schema_fields if f_["name"] == name), None)
         if col_field is None or not isinstance(col_field["type"], str):
             raise ValueError(f"no boundable column {name!r}")
+        col_bounds.append((col_field, lo_v, hi_v))
     files: list[DataFile] = []
     deletes: list[DataFile] = []
     pruned = 0
@@ -2110,22 +2124,19 @@ def plan_scan_metadata(
                     )
                 )
                 continue
+            skip = False
             if partition_range and spec_names:
                 value = part.get(spec_names[0])
                 lo, hi = partition_range
                 if value is not None and not lo <= value <= hi:
-                    pruned += 1
-                    continue
-            if pred_parts:
-                mismatch = any(
+                    skip = True
+            if not skip and pred_parts:
+                skip = any(
                     part.get(name) is not None and part.get(name) != expected
                     for name, expected in pred_parts.items()
                 )
-                if mismatch:
-                    pruned += 1
-                    continue
-            if range_parts:
-                out_of_range = any(
+            if not skip and range_parts:
+                skip = any(
                     part.get(name) is not None
                     and (
                         (lo_t is not None and part[name] < lo_t)
@@ -2133,31 +2144,291 @@ def plan_scan_metadata(
                     )
                     for name, (lo_t, hi_t) in range_parts.items()
                 )
-                if out_of_range:
-                    pruned += 1
-                    continue
-            if col_field is not None:
-                fid, ftype = col_field["id"], col_field["type"]
-                lower = _bounds_from_avro(df_.get("lower_bounds")).get(fid)
-                upper = _bounds_from_avro(df_.get("upper_bounds")).get(fid)
-                if lower is not None and hi_v is not None:
-                    if decode_bound(lower, ftype) > hi_v:
-                        pruned += 1
-                        continue
-                if upper is not None and lo_v is not None:
-                    if decode_bound(upper, ftype) < lo_v:
-                        pruned += 1
-                        continue
-            files.append(
-                DataFile(
-                    file_path=df_["file_path"],
-                    file_size_in_bytes=df_["file_size_in_bytes"],
-                    record_count=df_["record_count"],
-                    partition=part,
-                    sequence_number=entry_seq,
-                )
+            if not skip:
+                for col_field, lo_v, hi_v in col_bounds:
+                    fid, ftype = col_field["id"], col_field["type"]
+                    lower = _bounds_from_avro(df_.get("lower_bounds")).get(fid)
+                    upper = _bounds_from_avro(df_.get("upper_bounds")).get(fid)
+                    if lower is not None and hi_v is not None:
+                        if decode_bound(lower, ftype) > hi_v:
+                            skip = True
+                            break
+                    if upper is not None and lo_v is not None:
+                        if decode_bound(upper, ftype) < lo_v:
+                            skip = True
+                            break
+            f = DataFile(
+                file_path=df_["file_path"],
+                file_size_in_bytes=df_["file_size_in_bytes"],
+                record_count=df_["record_count"],
+                partition=part,
+                sequence_number=entry_seq,
             )
+            if skip:
+                pruned += 1
+                if pruned_out is not None:
+                    pruned_out.append(f)
+                continue
+            files.append(f)
     return files, deletes, pruned
+
+
+# types whose manifest bounds decode_bound can compare against a parsed
+# DML literal; everything else is conservatively un-prunable
+_BOUNDABLE_TYPES = {"long", "int", "double", "float", "string", "timestamptz", "date"}
+
+_DML_LIT = r"(?:(?:TIMESTAMP|DATE)\s*'(?:[^']|'')*'|'(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
+_DML_IDENT = r"`?([A-Za-z_][A-Za-z0-9_]*)`?"
+_DML_CMP = re.compile(
+    rf"^{_DML_IDENT}\s*(<=|>=|==|=|<|>)\s*({_DML_LIT})$", re.IGNORECASE
+)
+_DML_CMP_FLIP = re.compile(
+    rf"^({_DML_LIT})\s*(<=|>=|==|=|<|>)\s*{_DML_IDENT}$", re.IGNORECASE
+)
+_DML_BETWEEN = re.compile(
+    rf"^{_DML_IDENT}\s+BETWEEN\s+({_DML_LIT})\s+AND\s+({_DML_LIT})$", re.IGNORECASE
+)
+_FLIPPED_OP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "=", "==": "=="}
+
+
+def _split_conjuncts(predicate: str) -> list[str] | None:
+    """Top-level AND conjuncts of a SQL predicate, or None when the
+    predicate is disjunctive at the top level (an `OR` outside every
+    paren/string — SQL's AND-binds-tighter precedence means NO conjunct
+    is individually required then, so no pruning is sound). The scanner
+    is quote- and paren-aware and does not split on the AND that closes
+    a BETWEEN."""
+    parts: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    pending_between = 0
+    i, n = 0, len(predicate)
+    while i < n:
+        c = predicate[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if predicate[j] == "'":
+                    if j + 1 < n and predicate[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            cur.append(predicate[i : j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c.isalpha() or c == "_":
+            j = i
+            while j < n and (predicate[j].isalnum() or predicate[j] == "_"):
+                j += 1
+            word = predicate[i:j]
+            wu = word.upper()
+            if depth == 0:
+                if wu == "OR":
+                    return None
+                if wu == "BETWEEN":
+                    pending_between += 1
+                elif wu == "AND":
+                    if pending_between:
+                        pending_between -= 1
+                    else:
+                        parts.append("".join(cur))
+                        cur = []
+                        i = j
+                        continue
+            cur.append(word)
+            i = j
+            continue
+        cur.append(c)
+        i += 1
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _strip_outer_parens(s: str) -> str:
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        for i, c in enumerate(s):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0 and i != len(s) - 1:
+                    return s  # '(a) = (b)' style: outer parens not a pair
+        s = s[1:-1].strip()
+    return s
+
+
+def _parse_dml_literal(text: str, col_type: str) -> Any | None:
+    """A conjunct literal as the Python value plan_scan_metadata's
+    bound/transform comparisons expect for `col_type`, or None when the
+    literal can't be represented exactly (then the conjunct contributes
+    no pruning — always sound). Sessions run UTC
+    (session.py build_session), so naive timestamp literals bind UTC,
+    matching decode_bound's timestamptz and the time transforms."""
+    t = text.strip()
+    up = t.upper()
+    try:
+        if up.startswith("TIMESTAMP") or up.startswith("DATE") or t.startswith("'"):
+            inner = t[t.index("'") + 1 : -1].replace("''", "'")
+            if col_type == "string":
+                return inner if t.startswith("'") else None
+            if col_type == "timestamptz":
+                dt = datetime.fromisoformat(inner.replace(" ", "T", 1))
+                return dt if dt.tzinfo else dt.replace(tzinfo=timezone.utc)
+            if col_type == "date":
+                from datetime import date
+
+                return date.fromisoformat(inner)
+            return None
+        if col_type in ("long", "int"):
+            return int(t) if "." not in t else None
+        if col_type in ("double", "float"):
+            return float(t)
+        return None
+    except (ValueError, IndexError):
+        return None
+
+
+def _strict_bound_adjust(value: Any, col_type: str, direction: int) -> Any:
+    """EXACT conversion of a strict bound to an inclusive one for
+    discrete types (`col < v` ≡ `col <= pred(v)`): ints step by 1,
+    dates by a day, timestamps by 1µs (Iceberg stores micros).
+    Continuous/string types return the value unchanged — the strict
+    bound is then treated inclusively, which only keeps extra boundary
+    files (conservative, never wrong)."""
+    from datetime import timedelta
+
+    if col_type in ("long", "int"):
+        return value + direction
+    if col_type == "date":
+        return value + timedelta(days=direction)
+    if col_type == "timestamptz":
+        return value + timedelta(microseconds=direction)
+    return value
+
+
+def extract_prune_ranges(predicate: str, md: dict) -> dict[str, list]:
+    """Predicate-derived file pruning for row-level DML (the round-5
+    gap: delete_where/update_where scanned every live file while the
+    read side pruned — the reference's recovery path prunes by time
+    before touching storage, internal/recovery/scanner.go:197-226, and
+    a 100 TB GDPR purge needs the same). Extract the pruning-safe
+    conjuncts of a SQL predicate — `col <op> literal`, flipped, or
+    `col BETWEEN a AND b`, ANDed at the top level — into
+    plan_scan_metadata kwargs:
+
+    * `column_range` entries (manifest min/max bounds) for every
+      bounded top-level primitive column,
+    * `source_range` entries (monotone-transform partition rewrite) and
+      `source_predicate` entries (exact-transform rewrite, covers
+      bucket/identity) for partition source columns.
+
+    STRICTLY conservative: any conjunct the tight grammar doesn't match
+    is ignored (no pruning from it, never wrong pruning); a top-level
+    OR disables extraction entirely; `<`/`>` convert exactly to
+    inclusive bounds for discrete types (_strict_bound_adjust) and are
+    widened to inclusive for continuous ones (boundary files kept).
+    Rows where the predicate evaluates NULL are not DML matches, so
+    bound-based skipping never loses a match to a NULL."""
+    fields = {
+        f_["name"]: f_["type"]
+        for f_ in current_schema(md)["fields"]
+        if isinstance(f_["type"], str)
+    }
+    conjuncts = _split_conjuncts(predicate)
+    if not conjuncts:
+        return {}
+    bounds: dict[str, list] = {}  # col -> [lo, hi]
+    eqs: dict[str, Any] = {}
+    for raw in conjuncts:
+        c = _strip_outer_parens(raw)
+        col = op = None
+        lits: list[str] = []
+        m = _DML_CMP.match(c)
+        if m:
+            col, op, lits = m.group(1), m.group(2), [m.group(3)]
+        else:
+            m = _DML_CMP_FLIP.match(c)
+            if m:
+                col, op, lits = m.group(3), _FLIPPED_OP[m.group(2)], [m.group(1)]
+            else:
+                m = _DML_BETWEEN.match(c)
+                if m:
+                    col, op, lits = m.group(1), "between", [m.group(2), m.group(3)]
+        if col is None or col not in fields:
+            continue
+        vals = [_parse_dml_literal(lit, fields[col]) for lit in lits]
+        if any(v is None for v in vals):
+            continue
+        lo, hi = bounds.setdefault(col, [None, None])
+        try:
+            if op in ("=", "=="):
+                lo = vals[0] if lo is None else max(lo, vals[0])
+                hi = vals[0] if hi is None else min(hi, vals[0])
+                eqs[col] = vals[0]
+            elif op in ("<", "<="):
+                v = (
+                    _strict_bound_adjust(vals[0], fields[col], -1)
+                    if op == "<"
+                    else vals[0]
+                )
+                hi = v if hi is None else min(hi, v)
+            elif op in (">", ">="):
+                v = (
+                    _strict_bound_adjust(vals[0], fields[col], +1)
+                    if op == ">"
+                    else vals[0]
+                )
+                lo = v if lo is None else max(lo, v)
+            else:  # between
+                lo = vals[0] if lo is None else max(lo, vals[0])
+                hi = vals[1] if hi is None else min(hi, vals[1])
+        except TypeError:  # mixed-type comparison: drop the conjunct
+            continue
+        bounds[col] = [lo, hi]
+    source_cols = {
+        f_["name"]
+        for f_ in current_schema(md)["fields"]
+        if f_["id"] in {pf["source-id"] for pf in default_spec_fields(md)}
+    }
+    out: dict[str, list] = {
+        "column_range": [],
+        "source_range": [],
+        "source_predicate": [],
+    }
+    for col, (lo, hi) in bounds.items():
+        if lo is None and hi is None:
+            continue
+        if fields[col] in _BOUNDABLE_TYPES:
+            out["column_range"].append((col, lo, hi))
+        if col in source_cols:
+            out["source_range"].append((col, lo, hi))
+            if col in eqs:
+                out["source_predicate"].append((col, eqs[col]))
+    return {k: v for k, v in out.items() if v}
+
+
+def plan_dml_files(
+    md: dict, snapshot_id: int, predicate: str
+) -> tuple[list[DataFile], list[DataFile], list[DataFile]]:
+    """The DML planning scan both transports share: live data files
+    split into (scan, excluded, delete_files) by predicate-derived
+    pruning (extract_prune_ranges). `scan` files can contain matches
+    and feed the Spark predicate scan; `excluded` files provably
+    contain none — merge-on-read plans never touch them, copy-on-write
+    plans re-commit them as untouched survivors. One manifest walk,
+    O(metadata)."""
+    ranges = extract_prune_ranges(predicate, md)
+    excluded: list[DataFile] = []
+    scan, deletes, _ = plan_scan_metadata(
+        md, snapshot_id, pruned_out=excluded, **ranges
+    )
+    return scan, excluded, deletes
 
 
 def snapshot_id_as_of(md: dict, timestamp_ms: int) -> int | None:
@@ -4932,7 +5203,14 @@ class FsTable:
         planned_snapshot = planned_md["current-snapshot-id"]
         if planned_snapshot == -1:
             return None, 0
-        live, deletes, _ = self.plan_scan(snapshot_id=planned_snapshot)
+        # predicate-derived pruning: files whose manifest bounds /
+        # partition values provably exclude every match never reach the
+        # Spark scan — a ts-bounded purge on a 100 TB table opens only
+        # the matching partitions (mirrors the reference's time-pruned
+        # recovery scan, internal/recovery/scanner.go:197-226)
+        live, excluded, deletes = plan_dml_files(
+            planned_md, planned_snapshot, predicate
+        )
         if mode in ("merge-on-read", "deletion-vectors"):
             plan_fn = (
                 plan_deletion_vectors
@@ -4958,8 +5236,9 @@ class FsTable:
             return None, 0
         replacement, n_deleted, n_rewritten = planned
         # delete rows for SURVIVING files must stay live; entries for
-        # rewritten files are stale and match nothing
-        replacement = replacement + deletes
+        # rewritten files are stale and match nothing; pruned-away files
+        # contain no matches so they survive untouched by reference
+        replacement = replacement + excluded + deletes
         sid = self._commit_with_retry(
             replacement,
             operation="overwrite",
@@ -5134,7 +5413,11 @@ class FsTable:
         planned_snapshot = planned_md["current-snapshot-id"]
         if planned_snapshot == -1:
             return None, 0
-        live, deletes, _ = self.plan_scan(snapshot_id=planned_snapshot)
+        # predicate-derived pruning, same as delete_where: provably
+        # match-free files never reach the Spark scan
+        live, excluded, deletes = plan_dml_files(
+            planned_md, planned_snapshot, predicate
+        )
         if mode in ("merge-on-read", "deletion-vectors"):
             planned = plan_update_mor(
                 spark,
@@ -5164,7 +5447,9 @@ class FsTable:
             return None, 0
         replacement, n_updated, n_rewritten = planned
         sid = self._commit_with_retry(
-            replacement + deletes,  # pending deletes stay live for survivors
+            # pending deletes stay live for survivors; pruned-away files
+            # contain no matches and survive untouched by reference
+            replacement + excluded + deletes,
             operation="overwrite",
             carry_forward=False,
             extra_summary={

@@ -51,6 +51,7 @@ from .iceberg_fs import (
     incremental_data_files,
     live_files,
     partition_fields_for,
+    plan_dml_files,
     plan_scan_metadata,
     plan_delete_rewrite,
     plan_position_delete,
@@ -1029,7 +1030,9 @@ class RestTable:
         planned_snapshot = md["current-snapshot-id"]
         if planned_snapshot == -1:
             return None, 0
-        live, deletes = self._live_files(md, planned_snapshot)
+        # predicate-derived pruning (shared plan_dml_files): provably
+        # match-free files never reach the Spark scan
+        live, excluded, deletes = plan_dml_files(md, planned_snapshot, predicate)
         if mode in ("merge-on-read", "deletion-vectors"):
             plan_fn = (
                 plan_deletion_vectors
@@ -1052,7 +1055,9 @@ class RestTable:
         sid = self._commit_replace(
             md,
             planned_snapshot,
-            replacement + deletes,  # delete rows for surviving files stay live
+            # delete rows for surviving files stay live; pruned-away
+            # files contain no matches and survive by reference
+            replacement + excluded + deletes,
             "overwrite",
             {
                 "deleted-records": str(n_deleted),
@@ -1133,7 +1138,8 @@ class RestTable:
         planned_snapshot = md["current-snapshot-id"]
         if planned_snapshot == -1:
             return None, 0
-        live, deletes = self._live_files(md, planned_snapshot)
+        # predicate-derived pruning, same as delete_where
+        live, excluded, deletes = plan_dml_files(md, planned_snapshot, predicate)
         if mode in ("merge-on-read", "deletion-vectors"):
             planned = plan_update_mor(
                 spark,
@@ -1162,7 +1168,7 @@ class RestTable:
         sid = self._commit_replace(
             md,
             planned_snapshot,
-            replacement + deletes,
+            replacement + excluded + deletes,
             "overwrite",
             {
                 "updated-records": str(n_updated),
