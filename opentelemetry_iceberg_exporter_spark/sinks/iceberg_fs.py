@@ -538,6 +538,14 @@ class DataFile:
     referenced_data_file: str | None = None
     content_offset: int | None = None
     content_size_in_bytes: int | None = None
+    # manifest-recorded (lower_bounds, upper_bounds) in avro map form,
+    # set when a file is read BACK from manifests: re-committing it
+    # (copy-on-write survivors, pruned-away files) reuses these instead
+    # of re-reading the Parquet footer — without this, a ts-bounded
+    # purge on a huge table would still pay O(all live files) storage
+    # round-trips at commit time. None = fresh file, bounds come from
+    # its footer. Excluded from equality/repr (a cache, not identity).
+    raw_bounds: Any = field(default=None, compare=False, repr=False)
 
     @property
     def is_deletion_vector(self) -> bool:
@@ -927,22 +935,149 @@ def parent_summary_totals(md: dict, parent: int) -> dict[str, int]:
 
 
 def snapshot_summary_totals(
-    md: dict, parent: int, files: list[DataFile], carry_forward: bool
+    md: dict,
+    parent: int,
+    files: list[DataFile],
+    carry_forward: bool,
+    removed=(),
 ) -> dict[str, str]:
     """The spec's running `total-*` summary fields (SnapshotSummary):
     incremental parent+delta for append-style commits, recomputed from
     the complete live set for replace-style ones. total-records counts
     DATA-file records (position-deleted rows still live in their files
     until a rewrite folds them); delete content is tracked by its own
-    totals. These make `count_rows` a metadata-only O(1) answer and the
+    totals. `removed` entries (superseded deletion vectors,
+    carry-forward only) subtract so the totals track the LIVE set.
+    These make `count_rows` a metadata-only O(1) answer and the
     `snapshots` table a growth dashboard."""
     if carry_forward:
         totals = parent_summary_totals(md, parent)
         for k, v in _files_totals(files).items():
             totals[k] += v
+        for k, v in _files_totals(list(removed)).items():
+            totals[k] -= v
     else:
         totals = _files_totals(files)
     return {k: str(totals[k]) for k in _TOTAL_KEYS}
+
+
+def _supersede_carried_entries(
+    meta_dir: str,
+    prior_manifests: list[dict],
+    removed_files: list[DataFile],
+    md: dict,
+    snapshot_id: int,
+    commit_seq: int,
+    dv_targets: set[str] = frozenset(),
+) -> tuple[list[dict], list[dict]]:
+    """Rewrite the carried-forward delete manifests that contain
+    `removed_files` (superseded deletion vectors): removed entries flip
+    to STATUS_DELETED (the spec's removal marker, kept in this
+    snapshot's tree so the removal is visible), survivors to
+    STATUS_EXISTING with explicit sequence numbers; untouched manifests
+    carry by reference. Returns (untouched carried manifests, rewritten
+    manifest records).
+
+    VALIDATES that the live DV set for this commit's target data files
+    (`dv_targets` = every data file the commit adds a vector for, plus
+    the superseded entries' files) is exactly the planned one — a
+    concurrent commit that folded, removed, or added a vector for the
+    same data file between planning and commit would make the new
+    bitmap stale or stack a second live vector, so it raises
+    ReplaceConflictError (re-plan) instead of committing a vector that
+    drops or resurrects rows."""
+    removed_keys = {(f.file_path, f.content_offset) for f in removed_files}
+    target_data_files = {f.referenced_data_file for f in removed_files} | set(
+        dv_targets
+    )
+    untouched: list[dict] = []
+    rewritten: list[dict] = []
+    found: set[tuple[str, int | None]] = set()
+    for m in prior_manifests:
+        if m["content"] != 1:
+            untouched.append(m)
+            continue
+        schema_, meta_, rows = read_ocf(m["manifest_path"])
+        hit = False
+        for e in rows:
+            if e["status"] == STATUS_DELETED:
+                continue
+            d = e["data_file"]
+            key = (d["file_path"], d.get("content_offset"))
+            if key in removed_keys:
+                found.add(key)
+                hit = True
+            elif (
+                d.get("referenced_data_file") in target_data_files
+                and d.get("content_offset") is not None
+            ):
+                raise ReplaceConflictError(
+                    f"concurrent deletion vector for {d['referenced_data_file']!r} "
+                    "landed after this delete was planned; the folded vector "
+                    "is stale — re-plan the delete"
+                )
+        if not hit:
+            untouched.append(m)
+            continue
+        entries = []
+        n_removed = removed_rows = 0
+        live_rows = 0
+        min_seq: int | None = None
+        for e in rows:
+            if e["status"] == STATUS_DELETED:
+                continue
+            e = _inherit_entry(e, m)
+            d = e["data_file"]
+            if (d["file_path"], d.get("content_offset")) in removed_keys:
+                e["status"] = STATUS_DELETED
+                n_removed += 1
+                removed_rows += d["record_count"]
+            else:
+                e["status"] = STATUS_EXISTING
+                live_rows += d["record_count"]
+            entries.append(e)
+            min_seq = (
+                e["sequence_number"]
+                if min_seq is None
+                else min(min_seq, e["sequence_number"])
+            )
+        path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m1.avro")
+        length = write_ocf(
+            path,
+            schema_,
+            entries,
+            extra_metadata={
+                "schema": json.dumps(current_schema(md)),
+                "partition-spec": meta_.get("partition-spec", "[]"),
+                "partition-spec-id": str(m["partition_spec_id"]),
+                "format-version": "2",
+                "content": "deletes",
+            },
+        )
+        rewritten.append(
+            {
+                "manifest_path": path,
+                "manifest_length": length,
+                "partition_spec_id": m["partition_spec_id"],
+                "content": 1,
+                "sequence_number": commit_seq,
+                "min_sequence_number": min_seq if min_seq is not None else commit_seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 0,
+                "existing_files_count": len(entries) - n_removed,
+                "deleted_files_count": n_removed,
+                "added_rows_count": 0,
+                "existing_rows_count": live_rows,
+                "deleted_rows_count": removed_rows,
+            }
+        )
+    if found != removed_keys:
+        missing = sorted(removed_keys - found)
+        raise ReplaceConflictError(
+            f"superseded deletion vector entries vanished before commit "
+            f"(concurrent fold/rewrite?): {missing}; re-plan the delete"
+        )
+    return untouched, rewritten
 
 
 def write_snapshot_tree(
@@ -954,13 +1089,18 @@ def write_snapshot_tree(
     carry_forward: bool,
     extra_summary: dict[str, str],
     parent_override: int | None = None,
+    removed_files: list[DataFile] | None = None,
 ) -> dict:
     """Write one manifest (the new files) + one manifest list (new manifest
     plus, for appends, the parent snapshot's carried-forward manifests)
     under {location}/metadata and return the snapshot dict that references
     them. Pure metadata: O(len(files)) regardless of table size.
     parent_override builds the snapshot on a different parent than
-    `main`'s head (branch commits)."""
+    `main`'s head (branch commits). removed_files (carry-forward only)
+    are prior delete entries this commit SUPERSEDES — fold-on-write's
+    stale deletion vectors — marked DELETED in rewritten carried
+    manifests (_supersede_carried_entries) and subtracted from the
+    running totals."""
     seq = md["last-sequence-number"] + 1
     snapshot_id = int.from_bytes(os.urandom(8), "big") >> 1
     parent = md["current-snapshot-id"] if parent_override is None else parent_override
@@ -991,10 +1131,16 @@ def write_snapshot_tree(
         for f in group:
             # column bounds from the Parquet footer (metadata-only read,
             # one per NEW file per commit; carried-forward manifests keep
-            # theirs). Delete files carry no table-column bounds.
-            lower, upper = (
-                file_column_bounds(f.file_path, md) if content_id == 0 else ({}, {})
-            )
+            # theirs, and files read BACK from manifests re-commit their
+            # recorded bounds verbatim — no footer re-read for CoW
+            # survivors). Delete files carry no table-column bounds.
+            if content_id == 0 and f.raw_bounds is None:
+                lower, upper = file_column_bounds(f.file_path, md)
+                lb_avro, ub_avro = _bounds_to_avro(lower), _bounds_to_avro(upper)
+            elif content_id == 0:
+                lb_avro, ub_avro = f.raw_bounds
+            else:
+                lb_avro = ub_avro = None
             # files re-committed by replace/overwrite keep their original
             # data sequence number (equality deletes apply to seq < theirs)
             entry_seq = f.sequence_number if f.sequence_number else seq
@@ -1007,8 +1153,8 @@ def write_snapshot_tree(
                 },
                 "record_count": f.record_count,
                 "file_size_in_bytes": f.file_size_in_bytes,
-                "lower_bounds": _bounds_to_avro(lower),
-                "upper_bounds": _bounds_to_avro(upper),
+                "lower_bounds": lb_avro,
+                "upper_bounds": ub_avro,
                 "equality_ids": list(f.equality_ids) if f.equality_ids else None,
             }
             if with_dv:
@@ -1061,6 +1207,27 @@ def write_snapshot_tree(
     if carry_forward and parent != -1:
         cur = next(s for s in md["snapshots"] if s["snapshot-id"] == parent)
         _, _, prior_manifests = read_ocf(cur["manifest-list"])
+        dv_targets = {
+            f.referenced_data_file for f in files if f.is_deletion_vector
+        }
+        if removed_files or dv_targets:
+            # fold-on-write: superseded DV entries flip to DELETED in
+            # rewritten carried manifests; those rewrites are excluded
+            # from commit-time merging (merging drops DELETED markers,
+            # which must stay visible in the snapshot that removed
+            # them). Runs for EVERY DV-adding commit — even with
+            # nothing planned for removal it validates that no
+            # concurrent vector landed for the same data files
+            prior_manifests, rewritten = _supersede_carried_entries(
+                meta_dir,
+                prior_manifests,
+                removed_files or [],
+                md,
+                snapshot_id,
+                seq,
+                dv_targets=dv_targets,
+            )
+            manifests += rewritten
         # streaming exporters commit one snapshot per micro-batch; merge
         # carried manifests when they pile up so planning stays O(files),
         # not O(commits) (commit.manifest* table properties)
@@ -1094,7 +1261,16 @@ def write_snapshot_tree(
             summary["added-position-deletes"] = str(pos_rows)
         if eq_rows:
             summary["added-equality-deletes"] = str(eq_rows)
-    summary.update(snapshot_summary_totals(md, parent, files, carry_forward))
+    if removed_files:
+        summary["removed-delete-files"] = str(len(removed_files))
+        summary["removed-position-deletes"] = str(
+            sum(f.record_count for f in removed_files if f.content == 1)
+        )
+    summary.update(
+        snapshot_summary_totals(
+            md, parent, files, carry_forward, removed=removed_files or ()
+        )
+    )
     summary.update(extra_summary)
     return {
         "snapshot-id": snapshot_id,
@@ -2144,11 +2320,15 @@ def plan_scan_metadata(
                     )
                     for name, (lo_t, hi_t) in range_parts.items()
                 )
-            if not skip:
+            if not skip and col_bounds:
+                # decode the bounds maps ONCE per entry (not once per
+                # bounded column): this loop is the cheap metadata path
+                lowers = _bounds_from_avro(df_.get("lower_bounds"))
+                uppers = _bounds_from_avro(df_.get("upper_bounds"))
                 for col_field, lo_v, hi_v in col_bounds:
                     fid, ftype = col_field["id"], col_field["type"]
-                    lower = _bounds_from_avro(df_.get("lower_bounds")).get(fid)
-                    upper = _bounds_from_avro(df_.get("upper_bounds")).get(fid)
+                    lower = lowers.get(fid)
+                    upper = uppers.get(fid)
                     if lower is not None and hi_v is not None:
                         if decode_bound(lower, ftype) > hi_v:
                             skip = True
@@ -2163,6 +2343,7 @@ def plan_scan_metadata(
                 record_count=df_["record_count"],
                 partition=part,
                 sequence_number=entry_seq,
+                raw_bounds=(df_.get("lower_bounds"), df_.get("upper_bounds")),
             )
             if skip:
                 pruned += 1
@@ -2263,13 +2444,46 @@ def _strip_outer_parens(s: str) -> str:
     return s
 
 
-def _parse_dml_literal(text: str, col_type: str) -> Any | None:
+def spark_session_timezone(spark) -> timezone | None:
+    """The session's SQL timezone as a tzinfo, or None when it can't be
+    resolved (pruning then drops timestamp conjuncts — conservative).
+    Spark evaluates naive TIMESTAMP literals in
+    spark.sql.session.timeZone, so DML pruning must bind them in the
+    SAME zone or a non-UTC session could prune files whose rows DO
+    match (silently skipped deletes — a retention/GDPR hazard)."""
+    try:
+        name = (spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC").strip()
+    except Exception:  # noqa: BLE001 — unresolvable session conf
+        return None
+    if name.upper() in ("UTC", "GMT", "Z", "ETC/UTC", "ETC/GMT", "GMT0", "UCT"):
+        return timezone.utc
+    m = re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{1,2}):?(\d{2})?", name)
+    if m:
+        from datetime import timedelta
+
+        sign = 1 if m.group(1) == "+" else -1
+        return timezone(
+            sign * timedelta(hours=int(m.group(2)), minutes=int(m.group(3) or 0))
+        )
+    try:
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(name)
+    except Exception:  # noqa: BLE001 — unknown zone id
+        return None
+
+
+def _parse_dml_literal(
+    text: str, col_type: str, session_tz: timezone | None = timezone.utc
+) -> Any | None:
     """A conjunct literal as the Python value plan_scan_metadata's
     bound/transform comparisons expect for `col_type`, or None when the
     literal can't be represented exactly (then the conjunct contributes
-    no pruning — always sound). Sessions run UTC
-    (session.py build_session), so naive timestamp literals bind UTC,
-    matching decode_bound's timestamptz and the time transforms."""
+    no pruning — always sound). Naive timestamp literals bind in
+    `session_tz` — the zone Spark will evaluate them in
+    (spark.sql.session.timeZone; build_session sets UTC but DML entry
+    points accept any session); session_tz=None means the zone could
+    not be resolved, so timestamp conjuncts yield no pruning."""
     t = text.strip()
     up = t.upper()
     try:
@@ -2279,7 +2493,11 @@ def _parse_dml_literal(text: str, col_type: str) -> Any | None:
                 return inner if t.startswith("'") else None
             if col_type == "timestamptz":
                 dt = datetime.fromisoformat(inner.replace(" ", "T", 1))
-                return dt if dt.tzinfo else dt.replace(tzinfo=timezone.utc)
+                if dt.tzinfo:
+                    return dt
+                if session_tz is None:
+                    return None
+                return dt.replace(tzinfo=session_tz)
             if col_type == "date":
                 from datetime import date
 
@@ -2312,7 +2530,9 @@ def _strict_bound_adjust(value: Any, col_type: str, direction: int) -> Any:
     return value
 
 
-def extract_prune_ranges(predicate: str, md: dict) -> dict[str, list]:
+def extract_prune_ranges(
+    predicate: str, md: dict, session_tz: timezone | None = timezone.utc
+) -> dict[str, list]:
     """Predicate-derived file pruning for row-level DML (the round-5
     gap: delete_where/update_where scanned every live file while the
     read side pruned — the reference's recovery path prunes by time
@@ -2334,9 +2554,12 @@ def extract_prune_ranges(predicate: str, md: dict) -> dict[str, list]:
     inclusive bounds for discrete types (_strict_bound_adjust) and are
     widened to inclusive for continuous ones (boundary files kept).
     Rows where the predicate evaluates NULL are not DML matches, so
-    bound-based skipping never loses a match to a NULL."""
-    fields = {
-        f_["name"]: f_["type"]
+    bound-based skipping never loses a match to a NULL. Naive
+    timestamp literals bind in `session_tz` (see _parse_dml_literal);
+    identifiers resolve case-insensitively, mirroring Spark SQL's
+    default resolution (`WHERE TS >= ...` prunes the `ts` column)."""
+    fields_by_fold = {
+        f_["name"].casefold(): (f_["name"], f_["type"])
         for f_ in current_schema(md)["fields"]
         if isinstance(f_["type"], str)
     }
@@ -2345,6 +2568,7 @@ def extract_prune_ranges(predicate: str, md: dict) -> dict[str, list]:
         return {}
     bounds: dict[str, list] = {}  # col -> [lo, hi]
     eqs: dict[str, Any] = {}
+    fields: dict[str, str] = {}  # canonical name -> type, matched cols only
     for raw in conjuncts:
         c = _strip_outer_parens(raw)
         col = op = None
@@ -2360,9 +2584,11 @@ def extract_prune_ranges(predicate: str, md: dict) -> dict[str, list]:
                 m = _DML_BETWEEN.match(c)
                 if m:
                     col, op, lits = m.group(1), "between", [m.group(2), m.group(3)]
-        if col is None or col not in fields:
+        if col is None or col.casefold() not in fields_by_fold:
             continue
-        vals = [_parse_dml_literal(lit, fields[col]) for lit in lits]
+        col, col_type = fields_by_fold[col.casefold()]
+        fields[col] = col_type
+        vals = [_parse_dml_literal(lit, col_type, session_tz) for lit in lits]
         if any(v is None for v in vals):
             continue
         lo, hi = bounds.setdefault(col, [None, None])
@@ -2414,7 +2640,10 @@ def extract_prune_ranges(predicate: str, md: dict) -> dict[str, list]:
 
 
 def plan_dml_files(
-    md: dict, snapshot_id: int, predicate: str
+    md: dict,
+    snapshot_id: int,
+    predicate: str,
+    session_tz: timezone | None = timezone.utc,
 ) -> tuple[list[DataFile], list[DataFile], list[DataFile]]:
     """The DML planning scan both transports share: live data files
     split into (scan, excluded, delete_files) by predicate-derived
@@ -2422,8 +2651,11 @@ def plan_dml_files(
     and feed the Spark predicate scan; `excluded` files provably
     contain none — merge-on-read plans never touch them, copy-on-write
     plans re-commit them as untouched survivors. One manifest walk,
-    O(metadata)."""
-    ranges = extract_prune_ranges(predicate, md)
+    O(metadata). `session_tz` is the zone Spark will evaluate naive
+    timestamp literals in (spark_session_timezone(spark)); callers
+    binding to a live session MUST pass it or non-UTC sessions could
+    prune files whose rows match."""
+    ranges = extract_prune_ranges(predicate, md, session_tz)
     excluded: list[DataFile] = []
     scan, deletes, _ = plan_scan_metadata(
         md, snapshot_id, pruned_out=excluded, **ranges
@@ -2485,6 +2717,11 @@ def live_files(md: dict, snapshot_id: int) -> tuple[list[DataFile], list[DataFil
                 referenced_data_file=d.get("referenced_data_file"),
                 content_offset=d.get("content_offset"),
                 content_size_in_bytes=d.get("content_size_in_bytes"),
+                raw_bounds=(
+                    (d.get("lower_bounds"), d.get("upper_bounds"))
+                    if d.get("content", 0) == 0
+                    else None
+                ),
             )
             (deletes if f.content in (1, 2) else data).append(f)
     return data, deletes
@@ -2535,7 +2772,7 @@ def plan_deletion_vectors(
     data_files: list[DataFile],
     delete_files: list[DataFile],
     predicate: str,
-) -> tuple[list[DataFile], int] | None:
+) -> tuple[list[DataFile], int, list[DataFile]] | None:
     """Merge-on-read DELETE planning with DELETION-VECTOR output
     (Iceberg v3 "Deletion Vectors" as a v2 engine extension): instead of
     a globally-sorted parquet of (file_path, pos) tuples, each
@@ -2547,15 +2784,22 @@ def plan_deletion_vectors(
     DV is a seek+read of exactly its blob, and subtraction stays the
     same anti-join via read_position_deletes' distributed expansion.
 
-    Successive DV deletes may stack multiple vectors per data file
-    (readers union them); the spec's one-DV-per-file invariant is
-    restored by rewrite_position_deletes, which folds all pending
-    content=1 deletes — vectors included — into the data files.
-    Returns (new delete DataFiles, rows deleted) or None."""
+    FOLD-ON-WRITE (the v3 spec's one-DV-per-file writer invariant):
+    when a data file already has a live deletion vector, the new
+    vector is the UNION of the prior bitmap(s) and the new matches,
+    and the superseded entries are returned so the commit can mark
+    them DELETED in the same snapshot — a spec-conforming external
+    reader (which treats a file's DV as its COMPLETE delete set, not
+    one layer of a stack) therefore never resurrects previously
+    deleted rows. Decode+union is driver-side but metadata-scale:
+    only files receiving NEW deletes are touched, and a roaring
+    bitmap is KBs per million positions. Returns (new delete
+    DataFiles, rows NEWLY deleted, superseded prior DV DataFiles)
+    or None."""
     if not data_files:
         return None
     matches = _position_delete_matches(spark, md, data_files, delete_files, predicate)
-    from .roaring import serialize_64
+    from .roaring import deserialize_64, serialize_64
 
     def to_vec(key, pdf):
         import numpy as np
@@ -2578,11 +2822,37 @@ def plan_deletion_vectors(
     if not vecs:
         return None
     n_deleted = sum(r["card"] for r in vecs)
-    from .puffin import write_deletion_vector_file
+    from .puffin import read_deletion_vector_span, write_deletion_vector_file
+
+    # fold-on-write: union each prior live vector into the new one so
+    # exactly ONE DV per data file stays live after the commit
+    new_paths = {r["file_path"] for r in vecs}
+    prior_by_file: dict[str, list[DataFile]] = {}
+    for f in delete_files:
+        if f.is_deletion_vector and f.referenced_data_file in new_paths:
+            prior_by_file.setdefault(f.referenced_data_file, []).append(f)
+    superseded = [f for group in prior_by_file.values() for f in group]
+    dvs: dict[str, tuple[bytes, int]] = {}
+    for r in vecs:
+        vec, card = bytes(r["vec"]), r["card"]
+        priors = prior_by_file.get(r["file_path"])
+        if priors:
+            import numpy as np
+
+            merged = deserialize_64(vec)
+            for pf in priors:
+                merged = np.union1d(
+                    merged,
+                    read_deletion_vector_span(
+                        pf.file_path, pf.content_offset, pf.content_size_in_bytes
+                    ),
+                )
+            vec, card = serialize_64(merged), len(merged)
+        dvs[r["file_path"]] = (vec, card)
 
     path, spans = write_deletion_vector_file(
         md["location"],
-        {r["file_path"]: (r["vec"], r["card"]) for r in vecs},
+        dvs,
         sequence_number=md["last-sequence-number"] + 1,
     )
     size = os.path.getsize(path)
@@ -2599,7 +2869,7 @@ def plan_deletion_vectors(
         )
         for data_file, (off, length, card) in sorted(spans.items())
     ]
-    return new_deletes, n_deleted
+    return new_deletes, n_deleted, superseded
 
 
 def plan_position_delete(
@@ -2608,7 +2878,7 @@ def plan_position_delete(
     data_files: list[DataFile],
     delete_files: list[DataFile],
     predicate: str,
-) -> tuple[list[DataFile], int] | None:
+) -> tuple[list[DataFile], int, list[DataFile]] | None:
     """Merge-on-read DELETE planning: TWO Spark jobs regardless of table
     size — (1) count the live rows matching the bare predicate (filter
     pushes into the Parquet scan; rows already position-deleted are
@@ -2617,7 +2887,9 @@ def plan_position_delete(
     globally sorted by (file_path, pos) via ONE repartitionByRange of
     just the delete tuples — the spec's required delete-file ordering.
     No data file is read beyond the predicate scan and none is
-    rewritten. Returns (new delete DataFiles, rows deleted) or None."""
+    rewritten. Returns (new delete DataFiles, rows deleted, superseded
+    prior files — always [] here, parquet deletes stack by design) or
+    None."""
     if not data_files:
         return None
     matches = _position_delete_matches(spark, md, data_files, delete_files, predicate)
@@ -2642,7 +2914,7 @@ def plan_position_delete(
         )
         for f in _scan_written_files(out_dir, [])
     ]
-    return new_deletes, n_deleted
+    return new_deletes, n_deleted, []
 
 
 def hive_data_files(source_dir: str, spec: list[dict]) -> list[DataFile]:
@@ -3050,8 +3322,20 @@ def read_changelog(
             # deleted rows with full content: parent data files joined
             # on the recorded (file_path, pos) tuples
             parent = s.get("parent-snapshot-id")
-            parent_data, _ = live_files(md, parent)
+            parent_data, parent_deletes = live_files(md, parent)
             dels = read_position_deletes(spark, pos)
+            # a folded deletion vector (fold-on-write) is the UNION of
+            # prior deletes and this snapshot's new matches — subtract
+            # the parent's already-deleted positions so only the NEW
+            # deletes surface as change rows (a no-op for unfolded
+            # deletes, whose tuples never overlap priors)
+            prior_pos = [f for f in parent_deletes if f.content == 1]
+            if prior_pos:
+                dels = dels.join(
+                    read_position_deletes(spark, prior_pos),
+                    ["file_path", "pos"],
+                    "left_anti",
+                )
             if sum(f.record_count for f in pos) <= BROADCAST_DELETE_ROWS:
                 dels = F.broadcast(dels)
             tagged = table_file_scan(
@@ -3455,7 +3739,7 @@ def plan_update_mor(
     predicate: str,
     set_exprs: dict[str, str],
     delete_plan_fn=None,
-) -> tuple[list[DataFile], int] | None:
+) -> tuple[list[DataFile], int, list[DataFile]] | None:
     """Merge-on-read UPDATE planning (Iceberg row-delta): the matching
     rows' (file_path, pos) tuples become a position-delete file AND
     their updated copies append as fresh hidden-partitioned data files —
@@ -3465,7 +3749,8 @@ def plan_update_mor(
     new. `delete_plan_fn` picks the physical delete form
     (plan_position_delete parquet tuples by default;
     plan_deletion_vectors for v3 DVs). Returns (new files: deletes +
-    data, n_updated) or None."""
+    data, n_updated, superseded prior DV files the commit must mark
+    DELETED — DV mode's fold-on-write) or None."""
     if not data_files:
         return None
     unknown = set(set_exprs) - {f_.name for f_ in spark_read_schema(md).fields}
@@ -3476,7 +3761,7 @@ def plan_update_mor(
     )
     if planned is None:
         return None
-    new_deletes, n_updated = planned
+    new_deletes, n_updated, superseded = planned
     schema = read_schema_for(spark, md)
     # every row in the matched scan matches: apply SET unconditionally
     matched = _tagged_live_scan(
@@ -3491,7 +3776,7 @@ def plan_update_mor(
         ]
     )
     new_data = write_partitioned_batch(updated, md["location"], md)
-    return new_deletes + new_data, n_updated
+    return new_deletes + new_data, n_updated, superseded
 
 
 def plan_merge_mor(
@@ -4365,6 +4650,7 @@ class FsTable:
         extra_summary: dict[str, str],
         expected_base_snapshot: int | None = None,
         branch: str = "main",
+        removed_files: list[DataFile] | None = None,
     ) -> int:
         attempts = 3
         for attempt in range(attempts):
@@ -4379,6 +4665,7 @@ class FsTable:
                     extra_summary=extra_summary,
                     expected_base_snapshot=expected_base_snapshot,
                     branch=branch,
+                    removed_files=removed_files,
                 )
             except CommitConflictError:
                 if attempt + 1 == attempts:
@@ -4404,6 +4691,7 @@ class FsTable:
         extra_summary: dict[str, str],
         expected_base_snapshot: int | None = None,
         branch: str = "main",
+        removed_files: list[DataFile] | None = None,
     ) -> int:
         """One commit attempt against the pinned (base_version, md).
 
@@ -4436,6 +4724,7 @@ class FsTable:
             carry_forward=carry_forward,
             extra_summary=extra_summary,
             parent_override=parent_override,
+            removed_files=removed_files,
         )
         snapshot_id = snapshot["snapshot-id"]
         seq = snapshot["sequence-number"]
@@ -5209,7 +5498,7 @@ class FsTable:
         # the matching partitions (mirrors the reference's time-pruned
         # recovery scan, internal/recovery/scanner.go:197-226)
         live, excluded, deletes = plan_dml_files(
-            planned_md, planned_snapshot, predicate
+            planned_md, planned_snapshot, predicate, spark_session_timezone(spark)
         )
         if mode in ("merge-on-read", "deletion-vectors"):
             plan_fn = (
@@ -5220,7 +5509,7 @@ class FsTable:
             planned = plan_fn(spark, planned_md, live, deletes, predicate)
             if planned is None:
                 return None, 0
-            new_deletes, n_deleted = planned
+            new_deletes, n_deleted, superseded = planned
             extra = {"deleted-records": str(n_deleted)}
             if mode == "deletion-vectors":
                 extra["added-dvs"] = str(len(new_deletes))
@@ -5229,6 +5518,7 @@ class FsTable:
                 operation="delete",
                 carry_forward=True,
                 extra_summary=extra,
+                removed_files=superseded or None,
             )
             return sid, n_deleted
         planned = plan_delete(spark, planned_md, live, predicate, delete_files=deletes)
@@ -5416,7 +5706,7 @@ class FsTable:
         # predicate-derived pruning, same as delete_where: provably
         # match-free files never reach the Spark scan
         live, excluded, deletes = plan_dml_files(
-            planned_md, planned_snapshot, predicate
+            planned_md, planned_snapshot, predicate, spark_session_timezone(spark)
         )
         if mode in ("merge-on-read", "deletion-vectors"):
             planned = plan_update_mor(
@@ -5432,12 +5722,13 @@ class FsTable:
             )
             if planned is None:
                 return None, 0
-            new_files, n_updated = planned
+            new_files, n_updated, superseded = planned
             sid = self._commit_with_retry(
                 new_files,
                 operation="overwrite",
                 carry_forward=True,
                 extra_summary={"updated-records": str(n_updated)},
+                removed_files=superseded or None,
             )
             return sid, n_updated
         planned = plan_update(

@@ -52,6 +52,7 @@ from .iceberg_fs import (
     live_files,
     partition_fields_for,
     plan_dml_files,
+    spark_session_timezone,
     plan_scan_metadata,
     plan_delete_rewrite,
     plan_position_delete,
@@ -382,35 +383,98 @@ def commit_append_transaction(
 
     Same optimistic retry as single-table appends: on 409 every
     manifest tree is rebuilt against the new bases (losers' abandoned
-    trees are unreferenced and reclaimed by remove_orphan_files)."""
+    trees are unreferenced and reclaimed by remove_orphan_files).
+    Every attempt's snapshot ids are remembered across the retry loop
+    and landed-checked at loop top — the single-table `_commit_add`
+    guard, lifted to transactions: a timed-out attempt whose
+    landed-check ran BEFORE the server finished applying it would
+    otherwise be invisible to the rebuilt retry, which would then
+    append every table's rows a second time."""
     parts = [(t, files, props) for t, files, props in parts if files]
     if not parts:
         return {}
     keys = [(t.namespace, t.name) for t, _, _ in parts]
     if len(set(keys)) != len(keys):
         raise ValueError("a table may appear at most once per transaction")
+
+    def _landed_attempt(
+        mds: dict, attempted: list[dict[tuple[str, str], int]]
+    ) -> dict[tuple[str, str], int] | None:
+        """An earlier attempt found fully applied in `mds` (its
+        snapshot id present on EVERY table) is THIS transaction landing
+        late — return its sids. A partially-present attempt means the
+        server broke all-or-nothing: surface loudly."""
+        for past in attempted:
+            present = [
+                any(
+                    s["snapshot-id"] == past[key]
+                    for s in mds[key].get("snapshots", [])
+                )
+                for key in keys
+            ]
+            if all(present):
+                return past
+            if any(present):
+                raise RestCommitStateUnknownError(
+                    500,
+                    "CommitStateUnknownException",
+                    "transaction landed PARTIALLY after a lost response — "
+                    "the server violated all-or-nothing semantics: "
+                    + ", ".join(
+                        f"{ns}.{name}={'landed' if ok else 'absent'}"
+                        for (ns, name), ok in zip(keys, present)
+                    ),
+                )
+        return None
+
     attempts = 3
+    attempted: list[dict[tuple[str, str], int]] = []
     for attempt in range(attempts):
+        mds = {(t.namespace, t.name): t.metadata() for t, _, _ in parts}
+        # a PRIOR attempt may have landed after its landed-check ran:
+        # any attempted snapshot-id set found on reload IS this
+        # transaction — return it instead of appending twice
+        prior = _landed_attempt(mds, attempted)
+        if prior is not None:
+            return prior
         changes: list[tuple[str, str, list[dict], list[dict]]] = []
         sids: dict[tuple[str, str], int] = {}
         for t, files, props in parts:
-            md = t.metadata()
+            md = mds[(t.namespace, t.name)]
             reqs, upds, sid = t._build_append(md, files, "append", props or {})
             changes.append((t.namespace, t.name, reqs, upds))
             sids[(t.namespace, t.name)] = sid
+        attempted.append(sids)
         try:
             client.commit_transaction(changes)
             return sids
         except RestCommitConflictError:
+            # a 409 can be an earlier timed-out attempt of THIS
+            # transaction landing late; on the final attempt, check
+            # before surfacing (non-final attempts recheck at loop top)
             if attempt + 1 == attempts:
+                try:
+                    prior = _landed_attempt(
+                        {
+                            (t.namespace, t.name): t.metadata()
+                            for t, _, _ in parts
+                        },
+                        attempted,
+                    )
+                except RestError:
+                    prior = None
+                if prior is not None:
+                    return prior
                 raise
             time.sleep(0.05 * (attempt + 1))
         except RestError as exc:
             # commit ambiguity over the whole transaction: the server
             # applies table-changes ALL-OR-NOTHING, so landed-checking
             # each table must agree — all present = idempotent success,
-            # none = verified absent (rebuild + retry), a mix means the
-            # server broke transaction atomicity (surface loudly)
+            # none = verified absent at reload time (rebuild + retry;
+            # the loop-top recheck still covers a later-than-reload
+            # landing), a mix means the server broke transaction
+            # atomicity (surface loudly)
             if not _is_ambiguous(exc):
                 raise
             landed = [
@@ -524,6 +588,7 @@ class RestTable:
         operation: str,
         extra_summary: dict[str, str],
         branch: str = "main",
+        removed_files: list[DataFile] | None = None,
     ) -> int:
         """Append-style commit (carry-forward manifests + one new
         manifest tree) with conflict retry — used by appends AND
@@ -564,6 +629,7 @@ class RestTable:
                 carry_forward=True,
                 extra_summary=extra_summary,
                 parent_override=None if branch == "main" else parent,
+                removed_files=removed_files,
             )
             attempted.append(snapshot["snapshot-id"])
             requirements = [
@@ -1032,7 +1098,9 @@ class RestTable:
             return None, 0
         # predicate-derived pruning (shared plan_dml_files): provably
         # match-free files never reach the Spark scan
-        live, excluded, deletes = plan_dml_files(md, planned_snapshot, predicate)
+        live, excluded, deletes = plan_dml_files(
+            md, planned_snapshot, predicate, spark_session_timezone(spark)
+        )
         if mode in ("merge-on-read", "deletion-vectors"):
             plan_fn = (
                 plan_deletion_vectors
@@ -1042,11 +1110,13 @@ class RestTable:
             planned = plan_fn(spark, md, live, deletes, predicate)
             if planned is None:
                 return None, 0
-            new_deletes, n_deleted = planned
+            new_deletes, n_deleted, superseded = planned
             extra = {"deleted-records": str(n_deleted)}
             if mode == "deletion-vectors":
                 extra["added-dvs"] = str(len(new_deletes))
-            sid = self._commit_add(new_deletes, "delete", extra)
+            sid = self._commit_add(
+                new_deletes, "delete", extra, removed_files=superseded or None
+            )
             return sid, n_deleted
         planned = plan_delete(spark, md, live, predicate, delete_files=deletes)
         if planned is None:
@@ -1139,7 +1209,9 @@ class RestTable:
         if planned_snapshot == -1:
             return None, 0
         # predicate-derived pruning, same as delete_where
-        live, excluded, deletes = plan_dml_files(md, planned_snapshot, predicate)
+        live, excluded, deletes = plan_dml_files(
+            md, planned_snapshot, predicate, spark_session_timezone(spark)
+        )
         if mode in ("merge-on-read", "deletion-vectors"):
             planned = plan_update_mor(
                 spark,
@@ -1154,9 +1226,12 @@ class RestTable:
             )
             if planned is None:
                 return None, 0
-            new_files, n_updated = planned
+            new_files, n_updated, superseded = planned
             sid = self._commit_add(
-                new_files, "overwrite", {"updated-records": str(n_updated)}
+                new_files,
+                "overwrite",
+                {"updated-records": str(n_updated)},
+                removed_files=superseded or None,
             )
             return sid, n_updated
         planned = plan_update(

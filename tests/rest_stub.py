@@ -49,6 +49,15 @@ class StubCatalogState:
         # applies the commit first, then garbles the response
         self.garbage: list[tuple[str | None, str | None]] = []
         self.garbage_commit_responses: int = 0
+        # deferred-commit fault: the next N TRANSACTION commits are
+        # validated and STAGED but not applied, answered 503; the
+        # staged changes apply only after `deferred_countdown` further
+        # table-load GETs have been served — modeling a server that
+        # finishes processing a timed-out request AFTER the client's
+        # landed-check reloads ran (the double-append window)
+        self.defer_commit_responses: int = 0
+        self.staged_deferred: list[list[tuple[tuple[str, str], dict]]] = []
+        self.deferred_countdown: int = 0
 
     def inject_garbage(
         self, times: int = 1, method: str | None = None, path_re: str | None = None
@@ -165,6 +174,19 @@ class _Handler(BaseHTTPRequestHandler):
                 )
                 return
             self._send(200, {"metadata-location": self._metadata_location(key), "metadata": md})
+            # a deferred transaction lands AFTER the landed-check loads
+            # were served absent — the late-application race
+            st = self.state
+            if st.staged_deferred and st.deferred_countdown > 0:
+                st.deferred_countdown -= 1
+                if st.deferred_countdown == 0:
+                    with st.lock:
+                        for staged in st.staged_deferred:
+                            for k, new_md in staged:
+                                st.tables[k] = new_md
+                                st.versions[k] += 1
+                                self._persist(k)
+                        st.staged_deferred = []
             return
         self._error(404, "NotFoundException", f"no route {path}")
 
@@ -445,6 +467,16 @@ class _Handler(BaseHTTPRequestHandler):
                     self._error(*failed)
                     return
                 staged.append((key, new_md))
+            if self.state.defer_commit_responses > 0:
+                self.state.defer_commit_responses -= 1
+                self.state.staged_deferred.append(staged)
+                self.state.deferred_countdown = len(staged)
+                self._error(
+                    503,
+                    "ServiceUnavailableException",
+                    "response lost; the server is still processing the transaction",
+                )
+                return
             for key, new_md in staged:
                 self.state.tables[key] = new_md
                 self.state.versions[key] += 1

@@ -227,6 +227,108 @@ class TestEndToEnd:
         assert table.read(spark).count() == 400
 
 
+class TestSessionTimezone:
+    """Naive TIMESTAMP literals are evaluated by Spark in
+    spark.sql.session.timeZone; the pruning bounds must bind in the
+    SAME zone or a non-UTC session could prune files whose rows DO
+    match — deletes silently skipped (retention/GDPR hazard)."""
+
+    def test_helper_resolves_zone_ids(self, spark):
+        from datetime import timedelta
+
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            spark_session_timezone,
+        )
+
+        orig = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            for name, expect_off in [
+                ("UTC", timedelta(0)),
+                ("GMT+05:30", timedelta(hours=5, minutes=30)),
+                ("+08:00", timedelta(hours=8)),
+                ("-03:30", timedelta(hours=-3, minutes=-30)),
+            ]:
+                spark.conf.set("spark.sql.session.timeZone", name)
+                tz = spark_session_timezone(spark)
+                assert tz is not None
+                assert tz.utcoffset(datetime(2024, 3, 1)) == expect_off
+            spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+            tz = spark_session_timezone(spark)
+            assert tz is not None
+            assert tz.utcoffset(datetime(2024, 3, 1)) == timedelta(
+                hours=5, minutes=30
+            )
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", orig)
+
+    def test_unresolvable_zone_drops_ts_pruning(self, table):
+        # session_tz=None (zone could not be resolved): the timestamp
+        # conjunct must contribute NO pruning — never wrong pruning
+        r = extract_prune_ranges(
+            "ts >= TIMESTAMP '2024-03-02 00:00:00' AND id >= 350",
+            table.metadata(),
+            session_tz=None,
+        )
+        assert r["column_range"] == [("id", 350, None)]
+
+    def test_non_utc_session_deletes_are_not_pruned_away(self, spark, table):
+        """2024-03-04 05:00 in Asia/Kolkata is 2024-03-03 23:30 UTC —
+        it MATCHES the whole UTC day-4 partition. Binding the literal
+        as UTC would set the lower bound ABOVE the file's max ts and
+        prune the file: 0 rows deleted instead of 100."""
+        orig = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        try:
+            sid, n = table.delete_where(
+                spark, "ts >= TIMESTAMP '2024-03-04 05:00:00'"
+            )
+            assert n == 100 and sid is not None
+            assert table.read(spark).count() == 300
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", orig)
+
+    def test_non_utc_session_still_prunes_correctly(self, spark, table):
+        """Session-zone binding keeps pruning EFFECTIVE, not just safe:
+        the shifted instant still excludes provably match-free days."""
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            spark_session_timezone,
+        )
+
+        orig = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        try:
+            md = table.metadata()
+            pred = (
+                "ts >= TIMESTAMP '2024-03-02 05:30:00' AND ts < TIMESTAMP "
+                "'2024-03-03 05:30:00'"
+            )  # exactly UTC day 2
+            scan, excluded, _ = plan_dml_files(
+                md, md["current-snapshot-id"], pred, spark_session_timezone(spark)
+            )
+            assert len(scan) == 1 and len(excluded) == 3
+            sid, n = table.delete_where(spark, pred)
+            assert n == 100
+            assert table.read(spark).count() == 300
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", orig)
+
+
+class TestCaseInsensitiveColumns:
+    def test_upper_case_identifiers_prune(self, table):
+        """Spark SQL resolves identifiers case-insensitively by
+        default; the extractor must too, or `WHERE TS >= ...` silently
+        loses all pruning."""
+        md = table.metadata()
+        r = extract_prune_ranges(
+            "TS >= TIMESTAMP '2024-03-02 00:00:00' AND Id >= 350", md
+        )
+        assert {c for c, _, _ in r["column_range"]} == {"ts", "id"}
+        scan, excluded, _ = plan_dml_files(
+            md, md["current-snapshot-id"], "ID >= 350"
+        )
+        assert len(scan) == 1 and len(excluded) == 3
+
+
 class TestRestParity:
     @pytest.fixture()
     def rest_table(self, spark, tmp_path):

@@ -937,6 +937,42 @@ class TestTransactions:
         assert len(sids) == 2
         assert ta.read(spark).count() == 40 and tb.read(spark).count() == 40
 
+    def test_lost_response_landing_after_landed_check_not_duplicated(
+        self, catalog, spark
+    ):
+        """THE transaction double-append window: attempt 1's response is
+        lost, its landed-check reloads run while the server is still
+        processing (verdict: absent on every table), and THEN the
+        transaction lands. Without the cross-attempt `attempted` guard
+        the rebuilt retry would append every table's rows a second
+        time; with it, the loop-top reload recognizes attempt 1's
+        snapshot ids and returns them instead of re-committing."""
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            write_partitioned_batch,
+        )
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
+            commit_append_transaction,
+        )
+
+        client, state, ta, tb, df = self._two_tables(catalog, spark)
+        fa = write_partitioned_batch(df, ta.location(), ta.metadata())
+        fb = write_partitioned_batch(df.limit(10), tb.location(), tb.metadata())
+        state.defer_commit_responses = 1
+        sids = commit_append_transaction(client, [(ta, fa, None), (tb, fb, None)])
+        # exactly ONE snapshot per table (the late-landing first
+        # attempt) and no duplicated rows
+        assert len(ta.snapshots()) == 1 and len(tb.snapshots()) == 1
+        assert sids[("otel", "ta")] == ta.current_snapshot()["snapshot-id"]
+        assert sids[("otel", "tb")] == tb.current_snapshot()["snapshot-id"]
+        assert ta.read(spark).count() == 40
+        assert tb.read(spark).count() == 10
+        # exactly one transactions/commit POST reached the server — the
+        # retry never re-sent the transaction
+        commits = [
+            p for m, p in state.requests if m == "POST" and "transactions" in p
+        ]
+        assert len(commits) == 1
+
     def test_empty_parts_commit_nothing(self, catalog, spark):
         from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
             commit_append_transaction,
