@@ -650,6 +650,22 @@ def main(argv: list[str] | None = None) -> int:
         "position deletes into the data files and drop the delete files",
     )
     pm.add_argument(
+        "--auto",
+        action="store_true",
+        help="policy-driven folding: fold position/equality deletes "
+        "ONLY when their accumulated ratio to live rows crosses "
+        "--fold-threshold (metadata-only decision from snapshot summary "
+        "totals; restores the metadata-only count_rows fast path "
+        "without rewriting files on every run)",
+    )
+    pm.add_argument(
+        "--fold-threshold",
+        type=float,
+        default=0.05,
+        help="--auto fold trigger: pending deleted rows / live data "
+        "rows (default 0.05 — fold once ~5%% of rows are shadowed)",
+    )
+    pm.add_argument(
         "--fold-equality-deletes",
         action="store_true",
         help="rewrite_equality_deletes: fold pending equality (CDC) "
@@ -1527,11 +1543,17 @@ def main(argv: list[str] | None = None) -> int:
                 "expires and the flag would be a silent no-op)"
             )
         table = _load_cli_table(args)
-        folded = table.rewrite_position_deletes(spark) if args.fold_deletes else None
+        auto = None
+        fold_pos, fold_eq = args.fold_deletes, args.fold_equality_deletes
+        if args.auto:
+            from .sinks.iceberg_fs import plan_auto_fold
+
+            auto = plan_auto_fold(table.metadata(), args.fold_threshold)
+            fold_pos = fold_pos or auto["fold_position"]
+            fold_eq = fold_eq or auto["fold_equality"]
+        folded = table.rewrite_position_deletes(spark) if fold_pos else None
         folded_eq = (
-            table.rewrite_equality_deletes(spark)
-            if args.fold_equality_deletes
-            else None
+            table.rewrite_equality_deletes(spark) if fold_eq else None
         )
         rewritten = table.rewrite_data_files(
             spark, target_bytes=args.target_bytes, min_files=args.min_files
@@ -1566,6 +1588,7 @@ def main(argv: list[str] | None = None) -> int:
                     "rewrite_manifests_snapshot": manifests_rewritten,
                     "fold_deletes_snapshot": folded,
                     "fold_equality_deletes_snapshot": folded_eq,
+                    "auto_fold": auto,
                     "expired_data_files": len(expired),
                     "orphans_removed": len(orphaned),
                     "partition_stats": (

@@ -107,14 +107,34 @@ def _select_disjoint_batch(
     strict bound, all newly-created pairs (whose tie-break order would
     be unknowable). `exhaustive`=False means the ranked list was
     truncated at collection: unseen pairs may count up to the last
-    collected row, so that cutoff joins the bound."""
+    collected row, so that cutoff joins the bound.
+
+    "Shares no symbol" includes COMPOSITION through the merged symbol:
+    symbols are concatenation-named, so a selected merge can create
+    occurrences of a DIFFERENT candidate that mentions the selected
+    pair's concatenation as one of its symbols (select ('a','bc') and a
+    coexisting ('abc','d') grows mid-batch — 'abc' collides), or a
+    candidate's own concatenation can match a symbol an earlier
+    selection operates on. Any candidate touching a selected
+    concatenation — or whose concatenation matches a used or produced
+    symbol — is treated as overlapping and becomes the truncation
+    bound."""
     first = rows[0]
     sel = [first]
     used = {first["a"], first["b"]}
+    made = {first["a"] + first["b"]}  # symbols the batch's merges create
     bound = None if exhaustive else rows[-1]["cnt"]
     selecting = True
     for r in rows[1:]:
-        if r["a"] in used or r["b"] in used:
+        composed = r["a"] + r["b"]
+        if (
+            r["a"] in used
+            or r["b"] in used
+            or r["a"] in made
+            or r["b"] in made
+            or composed in used
+            or composed in made
+        ):
             # desc order: the first overlap is the largest competitor.
             # This scan must NOT stop at the selection limit — a tied
             # overlapping pair below the limit still bounds the counts
@@ -129,6 +149,7 @@ def _select_disjoint_batch(
             sel.append(r)
             used.add(r["a"])
             used.add(r["b"])
+            made.add(composed)
     if bound is not None:
         sel = [sel[0]] + [r for r in sel[1:] if r["cnt"] > bound]
     return [(r["a"], r["b"]) for r in sel]

@@ -309,3 +309,43 @@ def o10_flatten_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("`quantile_values.quantile`", ",").alias("quantile_values.quantile"),
         F.array_join("`quantile_values.value`", ",").alias("quantile_values.value"),
     )
+
+
+@register(
+    "o11_dv_masked_read",
+    oracle="""
+SELECT event_id, event_type, value
+FROM events
+WHERE event_id % 10 <> 3
+""",
+    doc="Iceberg v3 DELETION-VECTOR masked read, end to end under the "
+    "oracle gate: the events rows are committed into a daily-partitioned "
+    "catalog table, a merge-on-read DELETE writes one roaring bitmap per "
+    "touched data file co-located in a single Puffin file "
+    "(plan_deletion_vectors; fold-on-write keeps one live vector per "
+    "file), and the read subtracts the vectors as an executor-side "
+    "per-file MASK — no join, no shuffle. DuckDB reproduces the "
+    "surviving set from the same parquet with the complement predicate, "
+    "so a vector that dropped too many or too few positions hash-fails. "
+    "This is the 100 TB GDPR-purge read path (write side graded by "
+    "tests/test_dv_fold.py + test_dml_pruning.py).",
+)
+def o11_dv_masked_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sinks.iceberg_fs import FsCatalog
+    from ..sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    # fresh table per call: the query IS the write+read lifecycle; the
+    # result stays lazy over the committed files (driver hashes it), so
+    # the tempdir lives until /tmp reclamation like any scratch output
+    cat = FsCatalog(tempfile.mkdtemp(prefix="o11_dv_"))
+    t = cat.create_table(
+        "q", "ev", events.schema, partition_source="ts", granularity="daily"
+    )
+    t.append_dataframe(events)
+    t.delete_where(spark, "pmod(event_id, 10) = 3", mode="deletion-vectors")
+    return t.read(spark).select("event_id", "event_type", "value")

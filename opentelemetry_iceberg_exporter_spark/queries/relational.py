@@ -61,43 +61,10 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q02_orders_by_priority",
-    """
-    SELECT
-      o_orderpriority,
-      COUNT(*) AS n_orders,
-      COUNT(DISTINCT o_custkey) AS n_customers,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
-      CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
-      CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
-      TRUE AS approx_distinct_ok
-    FROM orders
-    GROUP BY o_orderpriority
-    """,
-    doc="Aggregation with exact count-distinct, min/max, plus the "
-    "approx_count_distinct (HyperLogLog++) accuracy claim: the sketch "
-    "estimate must land within 5% of the exact distinct count per group. "
-    "HLL sketches differ across engines, so the CLAIM (a boolean) is the "
-    "portable, hash-checkable output — DuckDB computes the exact count "
-    "and asserts TRUE. This is the 100 TB cardinality path where exact "
-    "distinct would shuffle every key.",
-)
-def q02_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    exact = F.count_distinct(F.col("o_custkey"))
-    approx = F.approx_count_distinct("o_custkey", 0.02)
-    return o.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        exact.alias("n_customers"),
-        money_sum("o_totalprice").alias("total_price"),
-        F.min(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("min_price"),
-        F.max(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("max_price"),
-        (
-            F.abs(approx.cast("double") - exact.cast("double")) / exact.cast("double")
-            <= F.lit(0.05)
-        ).alias("approx_distinct_ok"),
-    )
+# NOTE: the former q02_orders_by_priority (group-agg with min/max and
+# the HLL accuracy claim) was retired in the round-6 50-slot swap that
+# admitted o11_dv_masked_read: its exact-aggregation surface is covered
+# by q01/q04/e10 and its approx_count_distinct claim moved into q14.
 
 
 # ---------------------------------------------------------------------------
@@ -454,11 +421,34 @@ def q13_set_ops_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q14_distinct_segments",
-    "SELECT DISTINCT c_mktsegment FROM customer",
-    doc="DISTINCT (reference T3/T5 dedup-set analog).",
+    """
+    SELECT
+      c_mktsegment,
+      COUNT(DISTINCT c_custkey) AS n_customers,
+      TRUE AS approx_distinct_ok
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc="DISTINCT (reference T3/T5 dedup-set analog) + the "
+    "approx_count_distinct (HyperLogLog++) accuracy claim absorbed from "
+    "the retired q02: the sketch estimate must land within 5% of the "
+    "exact distinct count per group. HLL sketches differ across "
+    "engines, so the CLAIM (a boolean) is the portable, hash-checkable "
+    "output — DuckDB computes the exact count and asserts TRUE. This is "
+    "the 100 TB cardinality path where exact distinct shuffles every "
+    "key.",
 )
 def q14_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    c = load_table(spark, sf_dir, "customer")
+    exact = F.count_distinct(F.col("c_custkey"))
+    approx = F.approx_count_distinct("c_custkey", 0.02)
+    return c.groupBy("c_mktsegment").agg(
+        exact.alias("n_customers"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double")) / exact.cast("double")
+            <= F.lit(0.05)
+        ).alias("approx_distinct_ok"),
+    )
 
 
 # ---------------------------------------------------------------------------

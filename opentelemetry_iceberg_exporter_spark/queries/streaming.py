@@ -94,7 +94,16 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_to_memory(df: DataFrame, prefix: str, output_mode: str) -> DataFrame:
     """Run a streaming DF to completion (availableNow) into a uniquely
-    named memory sink; return the materialized table."""
+    named memory sink; return the materialized table. The query is
+    fully terminated HERE — awaitTermination (availableNow queries
+    self-terminate at end of input) plus an idempotent stop() so no
+    straggler query survives into the caller's session teardown (a
+    later spark.stop() racing a live streaming query logs spurious
+    DAGScheduler accumulator errors) — and the checkpoint tempdir is
+    reclaimed (the result lives in the memory sink, not the
+    checkpoint)."""
+    import shutil
+
     spark = df.sparkSession
     qname = f"{prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
@@ -106,7 +115,12 @@ def run_to_memory(df: DataFrame, prefix: str, output_mode: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()  # no-op when already self-terminated; kills stragglers
+        q.awaitTermination()
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(qname)
 
 

@@ -3046,6 +3046,47 @@ def count_rows_from_metadata(md: dict, snapshot_id: int | None) -> int | None:
     return None
 
 
+def plan_auto_fold(md: dict, threshold: float = 0.05) -> dict:
+    """The `maintain --auto` fold policy, shared by both transports:
+    decide FROM METADATA ALONE (snapshot summary totals — one dict
+    read; a metadata walk only for tables written by engines that omit
+    totals) whether pending merge-on-read deletes have accumulated past
+    `threshold` (deleted rows / live data rows) and should be folded
+    into the data files. Folding restores the metadata-only count_rows
+    fast path and drops the per-read delete subtraction — but rewrites
+    every file the deletes reference, so it should fire on RATIO, not
+    on every commit. Returns {"fold_position", "fold_equality",
+    "position_delete_ratio", "equality_delete_ratio"}."""
+    sid = md.get("current-snapshot-id", -1)
+    out = {
+        "fold_position": False,
+        "fold_equality": False,
+        "position_delete_ratio": 0.0,
+        "equality_delete_ratio": 0.0,
+    }
+    if sid in (-1, None):
+        return out
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+    summary = snap.get("summary", {})
+    keys = ("total-records", "total-position-deletes", "total-equality-deletes")
+    if all(k in summary for k in keys):
+        records = int(summary["total-records"])
+        pos = int(summary["total-position-deletes"])
+        eq = int(summary["total-equality-deletes"])
+    else:
+        data, deletes = live_files(md, sid)
+        records = sum(f.record_count for f in data)
+        pos = sum(f.record_count for f in deletes if f.content == 1)
+        eq = sum(f.record_count for f in deletes if f.content == 2)
+    if records <= 0:
+        return out
+    out["position_delete_ratio"] = round(pos / records, 6)
+    out["equality_delete_ratio"] = round(eq / records, 6)
+    out["fold_position"] = pos / records >= threshold
+    out["fold_equality"] = eq / records >= threshold
+    return out
+
+
 def sweep_table_orphans(
     location: str,
     md: dict,

@@ -40,6 +40,18 @@ TABLE_PROPERTIES = {
     "format-version": "2",
     "write.distribution-mode": "hash",
     "write.target-file-size-bytes": str(512 * 1024 * 1024),
+    # commit-time manifest merging, EXPLICIT on the exporter DDL: the
+    # exporter commits one snapshot per micro-batch, so carried
+    # manifests grow with commit count; merging every ~min-count
+    # commits keeps scan planning O(files) instead of O(commits) and
+    # bounds the manifest list at min-count + a few graduated
+    # generations (see merge_small_manifests amortization note). These
+    # mirror Iceberg's engine defaults so OTHER writers appending to
+    # the same tables apply the same policy — the per-table property
+    # is the contract, not this engine's built-in fallback.
+    "commit.manifest-merge.enabled": "true",
+    "commit.manifest.min-count-to-merge": "100",
+    "commit.manifest.target-size-bytes": str(8 * 1024 * 1024),
 }
 
 

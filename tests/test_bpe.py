@@ -134,6 +134,87 @@ class TestBatchedRounds:
                 assert model.merges == ref_merges, (text, n)
 
 
+class TestCompositionExclusion:
+    """Symbols are concatenation-named, so two candidates can interact
+    WITHOUT sharing a symbol: selecting ('a','bc') creates 'abc'
+    occurrences that grow a coexisting ('abc','d') mid-batch, silently
+    diverging from the sequential merge order. Such candidates must be
+    treated as overlapping (truncation bound), not batched."""
+
+    def _rows(self, *triples):
+        return [{"a": a, "b": b, "cnt": c} for a, b, c in triples]
+
+    def test_candidate_consuming_selected_concatenation_bounds(self):
+        from opentelemetry_iceberg_exporter_spark.operators.bpe import (
+            _select_disjoint_batch,
+        )
+
+        rows = self._rows(("a", "bc", 100), ("abc", "d", 90), ("x", "y", 80))
+        # ('abc','d') composes with ('a','bc') — it is the bound (90),
+        # and ('x','y') at 80 must not slip in below it
+        assert _select_disjoint_batch(rows, 8, 1, exhaustive=True) == [("a", "bc")]
+
+    def test_candidate_producing_used_symbol_bounds(self):
+        from opentelemetry_iceberg_exporter_spark.operators.bpe import (
+            _select_disjoint_batch,
+        )
+
+        # ('a','b') would CREATE new 'ab' symbols that the already
+        # selected ('ab','c') merge (applied first in the batch chain)
+        # never sees — sequential order would merge them
+        rows = self._rows(("ab", "c", 100), ("a", "b", 90), ("x", "y", 80))
+        assert _select_disjoint_batch(rows, 8, 1, exhaustive=True) == [("ab", "c")]
+
+    def test_two_candidates_producing_same_symbol_bound(self):
+        from opentelemetry_iceberg_exporter_spark.operators.bpe import (
+            _select_disjoint_batch,
+        )
+
+        # ('a','bc') and ('ab','c') both produce 'abc': batching them
+        # makes later 'abc'-pair counts order-dependent
+        rows = self._rows(("a", "bc", 100), ("ab", "c", 90), ("x", "y", 80))
+        assert _select_disjoint_batch(rows, 8, 1, exhaustive=True) == [("a", "bc")]
+
+    def test_truly_disjoint_pairs_still_batch(self):
+        from opentelemetry_iceberg_exporter_spark.operators.bpe import (
+            _select_disjoint_batch,
+        )
+
+        rows = self._rows(("a", "b", 100), ("c", "d", 90), ("e", "f", 80))
+        assert _select_disjoint_batch(rows, 8, 1, exhaustive=True) == [
+            ("a", "b"),
+            ("c", "d"),
+            ("e", "f"),
+        ]
+
+    def test_composition_heavy_corpora_match_reference(self, spark):
+        """End-to-end: collision-prone corpora (words built from a, ab,
+        abc, bc, c, d chains so concatenation collisions arise across
+        rounds) must reproduce the strict sequential merge list."""
+        import random
+
+        rng = random.Random(41)
+        vocab = ["aabc", "abcd", "abc", "ab", "bc", "cd", "abab", "bcbc", "d"]
+        for trial in range(5):
+            docs = [
+                (
+                    f"d{i}",
+                    " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 14))),
+                )
+                for i in range(5)
+            ]
+            n_merges = rng.randint(4, 12)
+            model = train_bpe(
+                spark,
+                spark.createDataFrame(docs, ["doc_id", "text"]),
+                "text",
+                num_merges=n_merges,
+                min_freq=1,
+            )
+            ref_merges, _ = ref_train([t for _, t in docs], n_merges, min_freq=1)
+            assert model.merges == ref_merges, f"trial {trial}: {docs}"
+
+
 class TestPropertyVsReference:
     def test_random_corpora_match_reference(self, spark):
         """Randomized corpora (repeated words from a tiny alphabet so

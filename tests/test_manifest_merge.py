@@ -689,3 +689,94 @@ class TestRestRewriteManifests:
         assert sorted(os.path.basename(f.file_path) for f in files) == sorted(
             f"b{b}.parquet" for b in range(6, 12)
         )
+
+
+class TestMergeBinningFuzz:
+    """Randomized merge_small_manifests parameters over a manifest
+    population mixing data manifests, parquet position deletes, a
+    deletion vector, and an equality delete: EVERY live entry must
+    appear exactly once in the output, with its resolved (inherited)
+    sequence number byte-preserved — under any (min_count, target_size,
+    force) permutation, including re-merging already-merged output."""
+
+    def test_every_entry_exactly_once_under_random_parameters(
+        self, spark, tmp_path
+    ):
+        import random
+
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            STATUS_DELETED,
+            merge_small_manifests,
+        )
+
+        rng = random.Random(23)
+        t = _mk_table(
+            spark, tmp_path, {"commit.manifest-merge.enabled": "false"}
+        )
+        _stream_appends(t, 10)
+        t.delete_where(spark, "event_id = 1", mode="merge-on-read")
+        t.delete_where(spark, "event_id = 3", mode="deletion-vectors")
+        keys = spark.createDataFrame([(5,)], "event_id bigint")
+        t.delete_where_equality(spark, keys, ["event_id"])
+        md = t.metadata()
+        manifests = _manifests(t)
+        assert len(manifests) >= 13  # merging was off: population intact
+        assert {m["content"] for m in manifests} == {0, 1}  # data + deletes
+        meta_dir = os.path.join(t.location, "metadata")
+
+        def snapshot_entries(ms):
+            out = []
+            for m in ms:
+                for e in read_ocf(m["manifest_path"])[2]:
+                    if e["status"] == STATUS_DELETED:
+                        continue
+                    d = e["data_file"]
+                    seq = (
+                        e["sequence_number"]
+                        if e.get("sequence_number") is not None
+                        else m["sequence_number"]
+                    )
+                    out.append(
+                        ((d["file_path"], d.get("content_offset")), seq)
+                    )
+            return sorted(out)
+
+        baseline = snapshot_entries(manifests)
+        keys_only = [k for k, _ in baseline]
+        assert len(keys_only) == len(set(keys_only))  # unique inputs
+
+        for trial in range(14):
+            min_count = rng.choice([2, 3, 5, 8])
+            target = rng.choice([150, 400, 1200, 6000, 8 * 1024 * 1024])
+            force = rng.random() < 0.5
+            merged = merge_small_manifests(
+                meta_dir,
+                manifests,
+                md,
+                snapshot_id=10_000 + trial,
+                commit_seq=md["last-sequence-number"] + 1,
+                min_count=min_count,
+                target_size=target,
+                force=force,
+            )
+            out = manifests if merged is None else merged
+            assert snapshot_entries(out) == baseline, (
+                min_count,
+                target,
+                force,
+            )
+            if merged is not None and rng.random() < 0.5:
+                # idempotence chain: re-merging merged output with a
+                # DIFFERENT parameter set still preserves the multiset
+                again = merge_small_manifests(
+                    meta_dir,
+                    merged,
+                    md,
+                    snapshot_id=20_000 + trial,
+                    commit_seq=md["last-sequence-number"] + 2,
+                    min_count=rng.choice([2, 4]),
+                    target_size=rng.choice([200, 3000]),
+                    force=True,
+                )
+                if again is not None:
+                    assert snapshot_entries(again) == baseline
