@@ -88,6 +88,22 @@ SNAPSHOT5_SEED = bytes.fromhex("6789abcdef012345")
 SNAPSHOT5_ID = (int.from_bytes(SNAPSHOT5_SEED, "big")) >> 1
 DV_POSITIONS = [0, 2]
 
+# -- sixth commit: a SECOND deletion-vector delete on FILE_A — the v3
+# spec's one-DV-per-file FOLD-ON-WRITE ("at most one deletion vector
+# per data file"; a file's DV is its COMPLETE delete set to external
+# readers): new positions {1, 4} are UNIONED with the prior {0, 2} into
+# one vector, and the snapshot-5 entry is superseded — rewritten to
+# status=DELETED (the spec's removal marker) in the SAME commit --------
+DV2_PUFFIN_UUID_HEX = "cccccccccccccccccccccccccccccccc"
+DV2_MANIFEST_UUID_HEX = "dddddddddddddddddddddddddddddddd"
+SUPERSEDED_MANIFEST_UUID_HEX = "eeeeeeeeeeeeeeeeeeeeeeeeeeeeeeee"
+DV2_LIST_UUID_HEX = "ffffffffffffffffffffffffffffffff"
+T_DV2_MS = 1700000006000
+SNAPSHOT6_SEED = bytes.fromhex("789abcdef0123456")
+SNAPSHOT6_ID = (int.from_bytes(SNAPSHOT6_SEED, "big")) >> 1
+DV2_NEW_POSITIONS = [1, 4]
+DV2_UNION_POSITIONS = [0, 1, 2, 4]
+
 
 # ---------------------------------------------------------------------------
 # Avro 1.11 binary encoding, written from the spec
@@ -202,6 +218,10 @@ MERGED_LIST_PATH = f"{LOC}/metadata/snap-{SNAPSHOT4_ID}-1-{MERGED_LIST_UUID_HEX}
 DV_PUFFIN_PATH = f"{LOC}/data/dv-{DV_PUFFIN_UUID_HEX}.puffin"
 DV_MANIFEST_PATH = f"{LOC}/metadata/{DV_MANIFEST_UUID_HEX}-m1.avro"
 DV_LIST_PATH = f"{LOC}/metadata/snap-{SNAPSHOT5_ID}-1-{DV_LIST_UUID_HEX}.avro"
+DV2_PUFFIN_PATH = f"{LOC}/data/dv-{DV2_PUFFIN_UUID_HEX}.puffin"
+DV2_MANIFEST_PATH = f"{LOC}/metadata/{DV2_MANIFEST_UUID_HEX}-m1.avro"
+SUPERSEDED_MANIFEST_PATH = f"{LOC}/metadata/{SUPERSEDED_MANIFEST_UUID_HEX}-m1.avro"
+DV2_LIST_PATH = f"{LOC}/metadata/snap-{SNAPSHOT6_ID}-1-{DV2_LIST_UUID_HEX}.avro"
 
 
 # -- manifest file (spec: "Manifests"; required v2 subset of field IDs
@@ -771,43 +791,46 @@ def build_metadata_v5() -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _dv_vector_bytes() -> bytes:
-    """64-bit portable roaring bitmap of DV_POSITIONS ({0, 2}): one
-    32-bit bucket (high key 0) holding an array container — assembled
-    field by field from RoaringFormatSpec."""
+def _dv_vector_bytes(positions=None) -> bytes:
+    """64-bit portable roaring bitmap of `positions` (default
+    DV_POSITIONS, {0, 2}): one 32-bit bucket (high key 0) holding an
+    array container — assembled field by field from RoaringFormatSpec."""
+    positions = DV_POSITIONS if positions is None else positions
     bm32 = (
         struct.pack("<I", 12346)  # SERIAL_COOKIE_NO_RUNCONTAINER
         + struct.pack("<I", 1)  # container count
-        + struct.pack("<HH", 0, 1)  # key 0, cardinality - 1
+        + struct.pack("<HH", 0, len(positions) - 1)  # key 0, card - 1
         + struct.pack("<I", 16)  # container offset from bitmap start
-        + struct.pack("<2H", *DV_POSITIONS)  # u16le values
+        + struct.pack(f"<{len(positions)}H", *positions)  # u16le values
     )
     return struct.pack("<Q", 1) + struct.pack("<I", 0) + bm32
 
 
-def build_dv_payload() -> bytes:
+def build_dv_payload(positions=None) -> bytes:
     """deletion-vector-v1 blob payload: length(BE) + magic (1681511377
     little-endian = D1 D3 39 64) + vector + CRC-32(BE) of magic+vector."""
     import zlib
 
-    body = struct.pack("<I", 1681511377) + _dv_vector_bytes()
+    body = struct.pack("<I", 1681511377) + _dv_vector_bytes(positions)
     return struct.pack(">i", len(body)) + body + struct.pack(">I", zlib.crc32(body))
 
 
-def build_dv_puffin() -> bytes:
+def build_dv_puffin(positions=None, seq: int = 5) -> bytes:
     magic = b"PFA1"
-    payload = build_dv_payload()
+    payload = build_dv_payload(positions)
     blob_meta = [
         {
             "type": "deletion-vector-v1",
             "fields": [],
             "snapshot-id": -1,  # assigned at commit; the manifest locates
-            "sequence-number": 5,
+            "sequence-number": seq,
             "offset": 4,
             "length": len(payload),
             "properties": {
                 "referenced-data-file": FILE_A,
-                "cardinality": str(len(DV_POSITIONS)),
+                "cardinality": str(
+                    len(DV_POSITIONS if positions is None else positions)
+                ),
             },
         }
     ]
@@ -857,29 +880,73 @@ def _manifest_schema_with_dv() -> dict:
     return schema
 
 
-def build_dv_manifest(dv_puffin_size: int, dv_payload_len: int) -> bytes:
-    """One entry: content=1, file_format PUFFIN, the puffin path, record
+def _dv_entry_row(
+    status: int,
+    snapshot_id: int,
+    seq: int,
+    puffin_path: str,
+    card: int,
+    puffin_size: int,
+    payload_len: int,
+) -> bytes:
+    """One DV manifest_entry row: content=1, file_format PUFFIN, record
     count = cardinality, plus the locator triple (referenced file,
-    blob offset 4, blob length)."""
-    row = b"".join(
+    blob offset 4, blob length). status=2 (DELETED) with the ORIGINAL
+    snapshot id and sequence numbers is how a fold-on-write commit
+    supersedes a prior vector (the spec's removal marker)."""
+    return b"".join(
         [
-            zigzag_varint(1),  # status ADDED
-            avro_opt_long(SNAPSHOT5_ID),
-            avro_opt_long(5),  # sequence_number
-            avro_opt_long(5),  # file_sequence_number
+            zigzag_varint(status),
+            avro_opt_long(snapshot_id),
+            avro_opt_long(seq),  # sequence_number
+            avro_opt_long(seq),  # file_sequence_number
             zigzag_varint(1),  # content: position deletes
-            avro_str(DV_PUFFIN_PATH),
+            avro_str(puffin_path),
             avro_str("PUFFIN"),
             avro_opt_int(None),  # partition: ts_hour null
-            zigzag_varint(len(DV_POSITIONS)),  # record_count = cardinality
-            zigzag_varint(dv_puffin_size),
+            zigzag_varint(card),  # record_count = cardinality
+            zigzag_varint(puffin_size),
             zigzag_varint(0),  # lower_bounds null
             zigzag_varint(0),  # upper_bounds null
             zigzag_varint(0),  # equality_ids null
             zigzag_varint(1) + avro_str(FILE_A),  # referenced_data_file
             avro_opt_long(4),  # content_offset
-            avro_opt_long(dv_payload_len),  # content_size_in_bytes
+            avro_opt_long(payload_len),  # content_size_in_bytes
         ]
+    )
+
+
+def build_dv_manifest(dv_puffin_size: int, dv_payload_len: int) -> bytes:
+    row = _dv_entry_row(
+        1, SNAPSHOT5_ID, 5, DV_PUFFIN_PATH, len(DV_POSITIONS), dv_puffin_size,
+        dv_payload_len,
+    )
+    return ocf(
+        json.dumps(_manifest_schema_with_dv()), _manifest_meta("deletes"), [row]
+    )
+
+
+def build_dv2_manifest(dv2_puffin_size: int, dv2_payload_len: int) -> bytes:
+    """The fold commit's NEW vector: the UNION of the prior positions
+    and the new matches, one ADDED entry under sequence number 6."""
+    row = _dv_entry_row(
+        1, SNAPSHOT6_ID, 6, DV2_PUFFIN_PATH, len(DV2_UNION_POSITIONS),
+        dv2_puffin_size, dv2_payload_len,
+    )
+    return ocf(
+        json.dumps(_manifest_schema_with_dv()), _manifest_meta("deletes"), [row]
+    )
+
+
+def build_superseded_dv_manifest(dv_puffin_size: int, dv_payload_len: int) -> bytes:
+    """The snapshot-5 DV manifest REWRITTEN by the fold commit: the
+    superseded entry flips to status=DELETED keeping its original
+    snapshot id and explicit sequence numbers (inheritance resolved —
+    a rewritten manifest belongs to a different snapshot), so readers
+    of snapshot 6 skip it while the removal stays visible."""
+    row = _dv_entry_row(
+        2, SNAPSHOT5_ID, 5, DV_PUFFIN_PATH, len(DV_POSITIONS), dv_puffin_size,
+        dv_payload_len,
     )
     return ocf(
         json.dumps(_manifest_schema_with_dv()), _manifest_meta("deletes"), [row]
@@ -914,7 +981,19 @@ def build_dv_manifest_list(
             zigzag_varint(0),
         ]
     )
-    merged_row = b"".join(
+    return ocf(
+        json.dumps(MANIFEST_LIST_AVRO_SCHEMA),
+        extra,
+        [
+            dv_row,
+            _merged_manifest_row(merged_manifest_len),
+            _data_manifest_row(data_manifest_len),
+        ],
+    )
+
+
+def _merged_manifest_row(merged_manifest_len: int) -> bytes:
+    return b"".join(
         [
             avro_str(MERGED_MANIFEST_PATH),
             zigzag_varint(merged_manifest_len),
@@ -931,10 +1010,68 @@ def build_dv_manifest_list(
             zigzag_varint(0),
         ]
     )
+
+
+def build_dv2_manifest_list(
+    dv2_manifest_len: int,
+    superseded_manifest_len: int,
+    merged_manifest_len: int,
+    data_manifest_len: int,
+) -> bytes:
+    """Snapshot 6's manifest list (the fold commit): the new unioned-DV
+    manifest first, then the REWRITTEN superseded manifest (added under
+    THIS snapshot, commit seq 6, min seq 5 from its DELETED entry,
+    deleted_files_count 1 / deleted_rows_count 2), then the untouched
+    carried manifests verbatim."""
+    extra = [
+        ("snapshot-id", str(SNAPSHOT6_ID)),
+        ("parent-snapshot-id", str(SNAPSHOT5_ID)),
+        ("sequence-number", "6"),
+        ("format-version", "2"),
+    ]
+    dv2_row = b"".join(
+        [
+            avro_str(DV2_MANIFEST_PATH),
+            zigzag_varint(dv2_manifest_len),
+            zigzag_varint(0),
+            zigzag_varint(1),  # content: deletes
+            zigzag_varint(6),
+            zigzag_varint(6),
+            zigzag_varint(SNAPSHOT6_ID),
+            zigzag_varint(1),  # added_files_count
+            zigzag_varint(0),
+            zigzag_varint(0),
+            zigzag_varint(len(DV2_UNION_POSITIONS)),  # added_rows_count
+            zigzag_varint(0),
+            zigzag_varint(0),
+        ]
+    )
+    superseded_row = b"".join(
+        [
+            avro_str(SUPERSEDED_MANIFEST_PATH),
+            zigzag_varint(superseded_manifest_len),
+            zigzag_varint(0),
+            zigzag_varint(1),  # content: deletes
+            zigzag_varint(6),  # sequence_number: the rewriting commit's
+            zigzag_varint(5),  # min_sequence_number: the DELETED entry's
+            zigzag_varint(SNAPSHOT6_ID),
+            zigzag_varint(0),  # added_files_count
+            zigzag_varint(0),  # existing_files_count
+            zigzag_varint(1),  # deleted_files_count: the superseded DV
+            zigzag_varint(0),
+            zigzag_varint(0),
+            zigzag_varint(len(DV_POSITIONS)),  # deleted_rows_count
+        ]
+    )
     return ocf(
         json.dumps(MANIFEST_LIST_AVRO_SCHEMA),
         extra,
-        [dv_row, merged_row, _data_manifest_row(data_manifest_len)],
+        [
+            dv2_row,
+            superseded_row,
+            _merged_manifest_row(merged_manifest_len),
+            _data_manifest_row(data_manifest_len),
+        ],
     )
 
 
@@ -978,6 +1115,55 @@ def build_metadata_v6(dv_payload_len: int) -> dict:
     ]
     md["metadata-log"] = md_v5["metadata-log"] + [
         {"timestamp-ms": T_REWRITE_MS, "metadata-file": f"{LOC}/metadata/v5.metadata.json"}
+    ]
+    return md
+
+
+def build_metadata_v7(dv2_payload_len: int) -> dict:
+    """Metadata after the FOLD commit: a `delete` snapshot that ADDS the
+    unioned vector (position-delete rows 4, blob-span bytes) and
+    REMOVES the superseded one (removed-delete-files/-position-deletes)
+    — running totals track the LIVE set, so total-delete-files stays 3
+    and total-position-deletes becomes plain deletes (4) + union (4)."""
+    md_v6 = build_metadata_v6(len(build_dv_payload()))
+    snapshot6 = {
+        "snapshot-id": SNAPSHOT6_ID,
+        "parent-snapshot-id": SNAPSHOT5_ID,
+        "sequence-number": 6,
+        "timestamp-ms": T_DV2_MS,
+        "manifest-list": DV2_LIST_PATH,
+        "summary": {
+            "operation": "delete",
+            "added-data-files": "0",
+            "added-records": "0",
+            "added-delete-files": "1",
+            "added-position-deletes": str(len(DV2_UNION_POSITIONS)),
+            "removed-delete-files": "1",
+            "removed-position-deletes": str(len(DV_POSITIONS)),
+            **_totals(
+                13,
+                1234 + 567 + DELETE_FILE_SIZE + EQ_FILE_SIZE + dv2_payload_len,
+                2,
+                3,
+                DELETE_ROW_COUNT + len(DV2_UNION_POSITIONS),
+                EQ_ROW_COUNT,
+            ),
+            "deleted-records": str(len(DV2_NEW_POSITIONS)),
+            "added-dvs": "1",
+        },
+        "schema-id": 0,
+    }
+    md = dict(md_v6)
+    md["last-sequence-number"] = 6
+    md["last-updated-ms"] = T_DV2_MS
+    md["snapshots"] = md_v6["snapshots"] + [snapshot6]
+    md["current-snapshot-id"] = SNAPSHOT6_ID
+    md["refs"] = {"main": {"snapshot-id": SNAPSHOT6_ID, "type": "branch"}}
+    md["snapshot-log"] = md_v6["snapshot-log"] + [
+        {"timestamp-ms": T_DV2_MS, "snapshot-id": SNAPSHOT6_ID}
+    ]
+    md["metadata-log"] = md_v6["metadata-log"] + [
+        {"timestamp-ms": T_DV_MS, "metadata-file": f"{LOC}/metadata/v6.metadata.json"}
     ]
     return md
 
@@ -1045,6 +1231,18 @@ def main() -> None:
     dv_list = build_dv_manifest_list(
         len(dv_manifest), len(merged_manifest), len(manifest)
     )
+    dv2_puffin = build_dv_puffin(DV2_UNION_POSITIONS, seq=6)
+    dv2_payload_len = len(build_dv_payload(DV2_UNION_POSITIONS))
+    dv2_manifest = build_dv2_manifest(len(dv2_puffin), dv2_payload_len)
+    superseded_manifest = build_superseded_dv_manifest(
+        len(dv_puffin), dv_payload_len
+    )
+    dv2_list = build_dv2_manifest_list(
+        len(dv2_manifest),
+        len(superseded_manifest),
+        len(merged_manifest),
+        len(manifest),
+    )
     out = {
         "manifest.avro": manifest,
         "manifest-list.avro": mlist,
@@ -1057,6 +1255,10 @@ def main() -> None:
         "dv.puffin": dv_puffin,
         "dv-manifest.avro": dv_manifest,
         "dv-manifest-list.avro": dv_list,
+        "dv2.puffin": dv2_puffin,
+        "dv2-manifest.avro": dv2_manifest,
+        "superseded-dv-manifest.avro": superseded_manifest,
+        "dv2-manifest-list.avro": dv2_list,
         "stats.puffin": build_puffin(),
     }
     for name, data in out.items():
@@ -1069,6 +1271,7 @@ def main() -> None:
         ("v4.metadata.json", build_metadata_v4()),
         ("v5.metadata.json", build_metadata_v5()),
         ("v6.metadata.json", build_metadata_v6(dv_payload_len)),
+        ("v7.metadata.json", build_metadata_v7(dv2_payload_len)),
     ):
         with open(os.path.join(HERE, name), "w", encoding="utf-8") as f:
             json.dump(md, f, indent=2)

@@ -88,6 +88,11 @@ def frozen(monkeypatch):
             uuid_mod.UUID(hex=GEN.DV_MANIFEST_UUID_HEX),  # DV manifest
             uuid_mod.UUID(hex=GEN.DV_LIST_UUID_HEX),  # DV manifest list
             uuid_mod.UUID(hex="f" * 32),  # version-hint tmp
+            uuid_mod.UUID(hex=GEN.DV2_PUFFIN_UUID_HEX),  # fold: unioned puffin
+            uuid_mod.UUID(hex=GEN.DV2_MANIFEST_UUID_HEX),  # fold: DV manifest
+            uuid_mod.UUID(hex=GEN.SUPERSEDED_MANIFEST_UUID_HEX),  # fold: rewrite
+            uuid_mod.UUID(hex=GEN.DV2_LIST_UUID_HEX),  # fold: manifest list
+            uuid_mod.UUID(hex="1" * 32),  # version-hint tmp
         ]
     )
     times = iter(
@@ -99,6 +104,7 @@ def frozen(monkeypatch):
             GEN.T_REWRITE_MS / 1000.0,  # rewrite snapshot timestamp
             GEN.T_REWRITE_MS / 1000.0,  # rewrite metadata last-updated
             GEN.T_DV_MS / 1000.0,  # DV delete commit
+            GEN.T_DV2_MS / 1000.0,  # fold (second DV) commit
         ]
     )
     seeds = iter(
@@ -108,6 +114,7 @@ def frozen(monkeypatch):
             GEN.SNAPSHOT3_SEED,
             GEN.SNAPSHOT4_SEED,
             GEN.SNAPSHOT5_SEED,
+            GEN.SNAPSHOT6_SEED,
         ]
     )
 
@@ -339,6 +346,86 @@ class TestGoldenWrite:
             )
         with open(os.path.join(GEN.LOC, "metadata", "v6.metadata.json"), "rb") as f:
             assert f.read() == _golden_bytes("v6.metadata.json"), "v6 metadata drift"
+
+        # seventh artifact set: a SECOND DV delete on FILE_A — the v3
+        # one-DV-per-file FOLD-ON-WRITE commit: the new Puffin holds the
+        # UNION of prior and new positions, and the snapshot-5 entry is
+        # superseded via a rewritten carried manifest whose entry flips
+        # to status=DELETED with its original snapshot id and seqs
+        vec2 = serialize_64(np.array(GEN.DV2_UNION_POSITIONS, dtype=np.uint64))
+        dv2_path, spans2 = write_deletion_vector_file(
+            GEN.LOC,
+            {GEN.FILE_A: (vec2, len(GEN.DV2_UNION_POSITIONS))},
+            sequence_number=6,
+        )
+        assert dv2_path == GEN.DV2_PUFFIN_PATH
+        with open(dv2_path, "rb") as f:
+            assert f.read() == _golden_bytes("dv2.puffin"), "fold DV puffin drift"
+        off2, len2, card2 = spans2[GEN.FILE_A]
+        superseded = DataFile(
+            dv_path,
+            os.path.getsize(dv_path),
+            card,
+            {},
+            content=1,
+            sequence_number=5,
+            referenced_data_file=GEN.FILE_A,
+            content_offset=off,
+            content_size_in_bytes=length,
+        )
+        sid6 = table._commit_with_retry(
+            [
+                DataFile(
+                    dv2_path,
+                    os.path.getsize(dv2_path),
+                    card2,
+                    {},
+                    content=1,
+                    referenced_data_file=GEN.FILE_A,
+                    content_offset=off2,
+                    content_size_in_bytes=len2,
+                )
+            ],
+            operation="delete",
+            carry_forward=True,
+            extra_summary={
+                "deleted-records": str(len(GEN.DV2_NEW_POSITIONS)),
+                "added-dvs": "1",
+            },
+            removed_files=[superseded],
+        )
+        assert sid6 == GEN.SNAPSHOT6_ID
+        with open(
+            os.path.join(GEN.LOC, "metadata", f"{GEN.DV2_MANIFEST_UUID_HEX}-m1.avro"),
+            "rb",
+        ) as f:
+            assert f.read() == _golden_bytes("dv2-manifest.avro"), (
+                "fold DV manifest drift"
+            )
+        with open(
+            os.path.join(
+                GEN.LOC,
+                "metadata",
+                f"{GEN.SUPERSEDED_MANIFEST_UUID_HEX}-m1.avro",
+            ),
+            "rb",
+        ) as f:
+            assert f.read() == _golden_bytes("superseded-dv-manifest.avro"), (
+                "superseded manifest drift"
+            )
+        with open(
+            os.path.join(
+                GEN.LOC,
+                "metadata",
+                f"snap-{GEN.SNAPSHOT6_ID}-1-{GEN.DV2_LIST_UUID_HEX}.avro",
+            ),
+            "rb",
+        ) as f:
+            assert f.read() == _golden_bytes("dv2-manifest-list.avro"), (
+                "fold manifest-list drift"
+            )
+        with open(os.path.join(GEN.LOC, "metadata", "v7.metadata.json"), "rb") as f:
+            assert f.read() == _golden_bytes("v7.metadata.json"), "v7 metadata drift"
         shutil.rmtree("/tmp/spark_graft_golden", ignore_errors=True)
 
     def test_generator_is_byte_stable(self, tmp_path):
@@ -671,6 +758,95 @@ class TestGoldenRead:
         assert s["total-position-deletes"] == str(
             GEN.DELETE_ROW_COUNT + len(GEN.DV_POSITIONS)
         )
+
+    @pytest.fixture()
+    def golden_table_v7(self, golden_table_v6):
+        """v6 plus the independently-encoded FOLD commit (second DV on
+        FILE_A: unioned vector + superseded snapshot-5 entry)."""
+        meta_dir = os.path.join(GEN.LOC, "metadata")
+        for src, dst in (
+            ("v7.metadata.json", os.path.join(meta_dir, "v7.metadata.json")),
+            (
+                "dv2-manifest.avro",
+                os.path.join(meta_dir, f"{GEN.DV2_MANIFEST_UUID_HEX}-m1.avro"),
+            ),
+            (
+                "superseded-dv-manifest.avro",
+                os.path.join(
+                    meta_dir, f"{GEN.SUPERSEDED_MANIFEST_UUID_HEX}-m1.avro"
+                ),
+            ),
+            (
+                "dv2-manifest-list.avro",
+                os.path.join(
+                    meta_dir,
+                    f"snap-{GEN.SNAPSHOT6_ID}-1-{GEN.DV2_LIST_UUID_HEX}.avro",
+                ),
+            ),
+            ("dv2.puffin", GEN.DV2_PUFFIN_PATH),
+        ):
+            shutil.copy(os.path.join(GOLDEN, src), dst)
+        with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+            f.write("7")
+        return golden_table_v6  # same location, now at v7
+
+    def test_package_reads_independent_fold_commit(self, golden_table_v7):
+        """After the spec-encoded fold commit the package must see
+        EXACTLY ONE live vector for FILE_A — the union — with the
+        superseded entry invisible (DELETED marker), prior plain deletes
+        untouched, totals tracking the live set, and time travel still
+        resolving the pre-fold stack."""
+        import numpy as np
+
+        from opentelemetry_iceberg_exporter_spark.sinks.puffin import (
+            read_deletion_vector_span,
+        )
+
+        t = golden_table_v7
+        assert t.current_snapshot()["snapshot-id"] == GEN.SNAPSHOT6_ID
+        data, deletes, _ = t.plan_scan()
+        dv = [f for f in deletes if f.is_deletion_vector]
+        assert len(dv) == 1  # ONE live vector per data file — the invariant
+        assert dv[0].file_path == GEN.DV2_PUFFIN_PATH
+        assert dv[0].referenced_data_file == GEN.FILE_A
+        assert dv[0].record_count == len(GEN.DV2_UNION_POSITIONS)
+        assert dv[0].sequence_number == 6
+        pos = read_deletion_vector_span(
+            dv[0].file_path, dv[0].content_offset, dv[0].content_size_in_bytes
+        )
+        assert np.array_equal(
+            pos, np.array(GEN.DV2_UNION_POSITIONS, dtype=np.uint64)
+        )
+        # prior plain deletes untouched, with original sequence numbers
+        by_path = {f.file_path: f for f in deletes}
+        assert by_path[GEN.EQ_FILE].sequence_number == 3
+        assert by_path[GEN.DELETE_FILE].sequence_number == 2
+        # totals track the LIVE set: still 3 delete files, position
+        # deletes = plain (4) + union (4)
+        s = t.current_snapshot()["summary"]
+        assert s["total-delete-files"] == "3"
+        assert s["total-position-deletes"] == str(
+            GEN.DELETE_ROW_COUNT + len(GEN.DV2_UNION_POSITIONS)
+        )
+        assert s["removed-delete-files"] == "1"
+        assert s["removed-position-deletes"] == str(len(GEN.DV_POSITIONS))
+        # the files view shows only the live vector...
+        rows = read_ocf(
+            os.path.join(
+                GEN.LOC,
+                "metadata",
+                f"{GEN.SUPERSEDED_MANIFEST_UUID_HEX}-m1.avro",
+            )
+        )[2]
+        # ...while the superseded manifest retains the removal marker
+        assert rows[0]["status"] == 2  # DELETED
+        assert rows[0]["snapshot_id"] == GEN.SNAPSHOT5_ID
+        assert rows[0]["sequence_number"] == 5
+        # time travel to snapshot 5 still sees the ORIGINAL vector
+        _, deletes5, _ = t.plan_scan(snapshot_id=GEN.SNAPSHOT5_ID)
+        dv5 = [f for f in deletes5 if f.is_deletion_vector]
+        assert len(dv5) == 1 and dv5[0].file_path == GEN.DV_PUFFIN_PATH
+        assert dv5[0].record_count == len(GEN.DV_POSITIONS)
 
     def test_ocf_decode_matches_expected_rows(self):
         schema, meta, rows = read_ocf(os.path.join(GOLDEN, "manifest.avro"))
