@@ -195,6 +195,137 @@ class TestOneDvPerFileInvariant:
         assert t.count_rows() == 30
 
 
+class TestLegacyStackedVectors:
+    def test_next_delete_folds_a_preexisting_stack(self, spark, fs_table):
+        """Tables written BEFORE fold-on-write (or by engines that
+        stack) can hold several live vectors per file; the next DV
+        delete must union ALL of them into the single new vector and
+        supersede every stacked entry."""
+        import numpy as np
+
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            DataFile,
+        )
+        from opentelemetry_iceberg_exporter_spark.sinks.puffin import (
+            write_deletion_vector_file,
+        )
+        from opentelemetry_iceberg_exporter_spark.sinks.roaring import (
+            serialize_64,
+        )
+
+        t = fs_table
+        target = t.plan_scan()[0][0].file_path  # one hour file (ids ≡ h mod 4)
+        # hand-commit TWO stacked vectors for the same file in ONE
+        # commit (what a legacy pre-fold writer left behind; stacking
+        # ACROSS commits is now refused by the commit-time validation —
+        # this is the only way to manufacture the state)
+        legacy: list[DataFile] = []
+        for positions in ([0], [1]):
+            vec = serialize_64(np.array(positions, dtype=np.uint64))
+            path, spans = write_deletion_vector_file(
+                t.location, {target: (vec, len(positions))},
+                sequence_number=t.metadata()["last-sequence-number"] + 1,
+            )
+            off, length, card = spans[target]
+            legacy.append(
+                DataFile(
+                    path,
+                    os.path.getsize(path),
+                    card,
+                    {},
+                    content=1,
+                    referenced_data_file=target,
+                    content_offset=off,
+                    content_size_in_bytes=length,
+                )
+            )
+        t._commit_with_retry(
+            legacy,
+            operation="delete",
+            carry_forward=True,
+            extra_summary={"deleted-records": "2", "added-dvs": "2"},
+        )
+        stacked = [
+            f
+            for f in t.plan_scan()[1]
+            if f.is_deletion_vector and f.referenced_data_file == target
+        ]
+        assert len(stacked) == 2  # the legacy stack is in place
+        assert t.read(spark).count() == 38
+        # positions 0 and 1 of the file are legacy-deleted; delete the
+        # row at FILE position 2 (single-file read preserves row order)
+        ids_in_order = [
+            r["id"] for r in spark.read.parquet(target).select("id").collect()
+        ]
+        sid, n = t.delete_where(
+            spark, f"id = {ids_in_order[2]}", mode="deletion-vectors"
+        )
+        assert n == 1
+        live, removed = _live_and_removed_dv_entries(t.current_snapshot())
+        for_target = [
+            e
+            for e in live
+            if e["data_file"]["referenced_data_file"] == target
+        ]
+        assert len(for_target) == 1  # the whole stack folded to ONE
+        assert for_target[0]["data_file"]["record_count"] == 3
+        assert len(removed) == 2  # both legacy entries superseded
+        assert t.read(spark).count() == 37
+
+
+class TestStackingRefused:
+    def test_cross_commit_stacking_raises(self, spark, fs_table):
+        """A writer that tries to ADD a vector for an already-vectored
+        file without superseding the live one (a pre-fold engine, or a
+        buggy caller) is refused at commit time — the invariant is
+        enforced on every DV-adding commit, not just the fold path."""
+        import numpy as np
+
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            DataFile,
+            ReplaceConflictError,
+        )
+        from opentelemetry_iceberg_exporter_spark.sinks.puffin import (
+            write_deletion_vector_file,
+        )
+        from opentelemetry_iceberg_exporter_spark.sinks.roaring import (
+            serialize_64,
+        )
+
+        t = fs_table
+        t.delete_where(spark, "id = 0", mode="deletion-vectors")
+        target = next(
+            f.referenced_data_file
+            for f in t.plan_scan()[1]
+            if f.is_deletion_vector
+        )
+        vec = serialize_64(np.array([3], dtype=np.uint64))
+        path, spans = write_deletion_vector_file(
+            t.location, {target: (vec, 1)},
+            sequence_number=t.metadata()["last-sequence-number"] + 1,
+        )
+        off, length, card = spans[target]
+        with pytest.raises(ReplaceConflictError, match="deletion vector"):
+            t._commit_with_retry(
+                [
+                    DataFile(
+                        path,
+                        os.path.getsize(path),
+                        card,
+                        {},
+                        content=1,
+                        referenced_data_file=target,
+                        content_offset=off,
+                        content_size_in_bytes=length,
+                    )
+                ],
+                operation="delete",
+                carry_forward=True,
+                extra_summary={"deleted-records": "1", "added-dvs": "1"},
+            )
+        assert t.read(spark).count() == 39  # table unchanged
+
+
 class TestDvFoldConcurrency:
     def test_concurrent_vector_for_same_file_forces_replan(
         self, spark, tmp_path
