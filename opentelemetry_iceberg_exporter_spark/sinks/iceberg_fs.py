@@ -3290,6 +3290,11 @@ def _added_files(snapshot: dict) -> tuple[list[DataFile], bool]:
                     referenced_data_file=d.get("referenced_data_file"),
                     content_offset=d.get("content_offset"),
                     content_size_in_bytes=d.get("content_size_in_bytes"),
+                    raw_bounds=(
+                        (d.get("lower_bounds"), d.get("upper_bounds"))
+                        if d.get("content", 0) == 0
+                        else None
+                    ),
                 )
             )
     return out, carried
@@ -3620,6 +3625,33 @@ def plan_rewrite(
     if not rewritten:
         return None
     return survivors + rewritten, n_compacted, len(rewritten)
+
+
+def _partition_tuple(f: DataFile) -> tuple:
+    """A file's hidden-partition identity: sorted (field, value) pairs
+    with null values dropped — manifest readers omit nulls while
+    freshly written files may carry explicit Nones, and both must key
+    the same null partition."""
+    return tuple(sorted((k, v) for k, v in f.partition.items() if v is not None))
+
+
+def plan_partition_overwrite(
+    md: dict, snapshot_id: int, new_files: list[DataFile]
+) -> tuple[list[DataFile], list[DataFile], list[DataFile]]:
+    """Dynamic partition overwrite planning (Spark's INSERT OVERWRITE /
+    Iceberg's dynamic overwrite): split the live set by the hidden
+    partition tuples the NEW files land in. Returns (replaced data
+    files, surviving data files, delete files). Pure metadata — one
+    manifest walk; no data file is read. On an unpartitioned table
+    every file shares the empty tuple, so the overwrite is a
+    truncate-and-insert (Spark's semantics there too)."""
+    touched = {_partition_tuple(f) for f in new_files}
+    if snapshot_id == -1:
+        return [], [], []
+    data, deletes = live_files(md, snapshot_id)
+    replaced = [f for f in data if _partition_tuple(f) in touched]
+    survivors = [f for f in data if _partition_tuple(f) not in touched]
+    return replaced, survivors, deletes
 
 
 def plan_delete(
@@ -4682,6 +4714,50 @@ class FsTable:
 
         return self._commit_metadata(mutate)
 
+    def cherry_pick(self, snapshot_id: int) -> int:
+        """Publish ONE staged snapshot onto CURRENT main when
+        fast-forward is impossible (main advanced since the branch
+        forked) — Iceberg's `cherrypick_snapshot`. Only append-style
+        snapshots qualify: an append's effect commutes with every
+        intervening commit, so its ADDED data files simply re-commit as
+        a NEW append on today's main (fresh snapshot id and sequence
+        number; the staged snapshot itself is untouched on its branch,
+        visible to time travel until expiry). Anything with deletes,
+        replaces, or carried rewrites raises — those effects were
+        computed against the old base and cannot be replayed blindly.
+        Returns the new main head."""
+        import dataclasses
+
+        md = self.metadata()
+        snap = next(
+            (s for s in md["snapshots"] if s["snapshot-id"] == snapshot_id), None
+        )
+        if snap is None:
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        if snap["summary"].get("operation") != "append":
+            raise ValueError(
+                f"snapshot {snapshot_id} is a "
+                f"{snap['summary'].get('operation')!r} snapshot; only append "
+                "snapshots can be cherry-picked (other operations were "
+                "planned against their own base and cannot replay)"
+            )
+        added, _ = _added_files(snap)
+        if any(f.content != 0 for f in added):
+            raise ValueError(
+                f"snapshot {snapshot_id} added delete files; cherry-pick "
+                "supports plain data appends only"
+            )
+        # reset sequence numbers: the files re-enter under the NEW
+        # commit's sequence (the staged branch's seqs belong to ITS
+        # lineage and may collide with commits main gained since)
+        files = [dataclasses.replace(f, sequence_number=0) for f in added]
+        return self._commit_with_retry(
+            files,
+            operation="append",
+            carry_forward=True,
+            extra_summary={"cherry-picked-from-snapshot": str(snapshot_id)},
+        )
+
     def _commit_with_retry(
         self,
         files: list[DataFile],
@@ -4813,6 +4889,54 @@ class FsTable:
         if not files:  # F1: no data files -> no snapshot
             return None
         return self.append_files(files, snapshot_properties)
+
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        snapshot_properties: dict[str, str] | None = None,
+        fanout: int | None = None,
+    ) -> int | None:
+        """Dynamic partition overwrite (Spark's INSERT OVERWRITE,
+        Iceberg's `overwritePartitions`): atomically REPLACE exactly the
+        hidden partitions the batch lands in — the standard backfill
+        primitive at 100 TB (recompute one day/hour of history and swap
+        it in; every other partition survives BY REFERENCE, untouched).
+        The batch writes as fresh hidden-partitioned files, the touched
+        partition tuples are diffed against the live set in ONE metadata
+        walk (plan_partition_overwrite), and the commit is a pinned
+        `overwrite` snapshot: readers flip from old to new partition
+        content atomically, time travel still sees the old data.
+
+        Delete files carry forward: entries scoped to surviving files
+        keep applying; entries for replaced files reference dropped
+        paths and match nothing. On an unpartitioned table this is
+        truncate-and-insert (Spark's INSERT OVERWRITE semantics there).
+        Empty inputs commit NOTHING and return None; raises
+        ReplaceConflictError if the table advanced mid-write (a replace
+        cannot merge — re-run against the new base)."""
+        _, planned_md = self._load_state()
+        planned_snapshot = planned_md["current-snapshot-id"]
+        new_files = write_partitioned_batch(df, self.location, planned_md, fanout)
+        if not new_files:  # F1: no data files -> no snapshot
+            return None
+        replaced, survivors, deletes = plan_partition_overwrite(
+            planned_md, planned_snapshot, new_files
+        )
+        summary = {
+            "replaced-partitions": str(
+                len({_partition_tuple(f) for f in replaced})
+            ),
+            "replaced-data-files": str(len(replaced)),
+            "replaced-records": str(sum(f.record_count for f in replaced)),
+            **(snapshot_properties or {}),
+        }
+        return self._commit_with_retry(
+            new_files + survivors + deletes,
+            operation="overwrite",
+            carry_forward=False,
+            extra_summary=summary,
+            expected_base_snapshot=planned_snapshot,
+        )
 
     # -- K4: register existing Hive-layout files without copying ----------
     def add_files_hive(

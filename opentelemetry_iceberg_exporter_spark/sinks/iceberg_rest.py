@@ -787,6 +787,40 @@ class RestTable:
         )
         return head
 
+    def cherry_pick(self, snapshot_id: int) -> int:
+        """Publish one staged append onto CURRENT main when fast-forward
+        is impossible (see FsTable.cherry_pick): the staged snapshot's
+        ADDED data files re-commit as a new append through the catalog
+        server, with the usual optimistic retry."""
+        import dataclasses
+
+        from .iceberg_fs import _added_files
+
+        md = self.metadata()
+        snap = next(
+            (s for s in md["snapshots"] if s["snapshot-id"] == snapshot_id), None
+        )
+        if snap is None:
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        if snap["summary"].get("operation") != "append":
+            raise ValueError(
+                f"snapshot {snapshot_id} is a "
+                f"{snap['summary'].get('operation')!r} snapshot; only append "
+                "snapshots can be cherry-picked"
+            )
+        added, _ = _added_files(snap)
+        if any(f.content != 0 for f in added):
+            raise ValueError(
+                f"snapshot {snapshot_id} added delete files; cherry-pick "
+                "supports plain data appends only"
+            )
+        files = [dataclasses.replace(f, sequence_number=0) for f in added]
+        return self._commit_add(
+            files,
+            "append",
+            {"cherry-picked-from-snapshot": str(snapshot_id)},
+        )
+
     def append_dataframe(
         self,
         df: DataFrame,
@@ -943,6 +977,48 @@ class RestTable:
                 # planning base may have moved) — surface for a re-plan
                 raise
         return snapshot["snapshot-id"]
+
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        snapshot_properties: dict[str, str] | None = None,
+        fanout: int | None = None,
+    ) -> int | None:
+        """Dynamic partition overwrite over REST (see
+        FsTable.overwrite_partitions): atomically replace exactly the
+        hidden partitions the batch lands in, pinned to the planning
+        base via assert-ref-snapshot-id (a concurrent commit turns into
+        ReplaceConflictError — replaces cannot merge)."""
+        from .iceberg_fs import (
+            _partition_tuple,
+            plan_partition_overwrite,
+            write_partitioned_batch,
+        )
+
+        md = self.metadata()
+        planned_snapshot = md["current-snapshot-id"]
+        new_files = write_partitioned_batch(df, md["location"], md, fanout)
+        if not new_files:  # F1: no data files -> no snapshot
+            return None
+        replaced, survivors, deletes = plan_partition_overwrite(
+            md, planned_snapshot, new_files
+        )
+        summary = {
+            "replaced-partitions": str(
+                len({_partition_tuple(f) for f in replaced})
+            ),
+            "replaced-data-files": str(len(replaced)),
+            "replaced-records": str(sum(f.record_count for f in replaced)),
+            **(snapshot_properties or {}),
+        }
+        return self._commit_replace(
+            md,
+            planned_snapshot,
+            new_files + survivors + deletes,
+            "overwrite",
+            summary,
+            "partition overwrite",
+        )
 
     def rewrite_data_files(
         self,

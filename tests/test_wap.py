@@ -226,3 +226,96 @@ class TestRestWap:
         t.append_dataframe(_df(spark, 10, base=5000))
         with pytest.raises(ValueError, match="not an ancestor"):
             t.fast_forward("audit")
+
+
+class TestCherryPick:
+    """cherry_pick: the publish path when fast-forward is impossible.
+    Main advanced since the audit branch forked, so the staged APPEND's
+    added files re-commit as a fresh append on today's main (appends
+    commute with intervening commits); non-append staged snapshots were
+    planned against their own base and refuse to replay."""
+
+    def test_publishes_staged_append_over_advanced_main(self, spark, fs_table):
+        t = fs_table
+        staged_sid = t.append_dataframe_to_branch("audit", _df(spark, 50, base=1000))
+        t.append_dataframe(_df(spark, 10, base=5000))  # main moves on
+        with pytest.raises(ValueError, match="not an ancestor"):
+            t.fast_forward("audit")
+        new_head = t.cherry_pick(staged_sid)
+        assert t.current_snapshot()["snapshot-id"] == new_head
+        got = t.read(spark)
+        assert got.count() == 160  # 100 base + 10 concurrent + 50 staged
+        assert got.filter("id >= 1000 and id < 2000").count() == 50
+        snap = t.current_snapshot()
+        assert snap["summary"]["operation"] == "append"
+        assert snap["summary"]["cherry-picked-from-snapshot"] == str(staged_sid)
+        # the staged snapshot itself is untouched on its branch
+        assert t.read_ref(spark, "audit").count() == 150
+
+    def test_no_data_copied_files_register_by_reference(self, spark, fs_table):
+        t = fs_table
+        staged_sid = t.append_dataframe_to_branch("audit", _df(spark, 30, base=1000))
+        t.append_dataframe(_df(spark, 5, base=5000))
+        staged_files = set(t.all_files())
+        t.cherry_pick(staged_sid)
+        # cherry-pick is metadata-only: no new data file appears
+        assert set(t.all_files()) == staged_files
+
+    def test_refuses_non_append_snapshots(self, spark, fs_table):
+        t = fs_table
+        sid, _ = t.delete_where(spark, "id < 5", mode="merge-on-read")
+        with pytest.raises(ValueError, match="only append"):
+            t.cherry_pick(sid)
+        with pytest.raises(ValueError, match="unknown snapshot"):
+            t.cherry_pick(12345)
+
+    def test_equality_delete_scoping_after_cherry_pick(self, spark, fs_table):
+        """The re-committed files take the NEW commit's sequence number:
+        an equality delete landing between fork and publish applies only
+        to rows with STRICTLY LOWER seq, so cherry-picked rows (newer)
+        survive it — exactly what a fresh append of the same data would
+        do."""
+        t = fs_table
+        staged_sid = t.append_dataframe_to_branch(
+            "audit", _df(spark, 10, base=1000)
+        )
+        keys = spark.createDataFrame(
+            [(1000 + i,) for i in range(10)], "id long"
+        )
+        t.delete_where_equality(spark, keys, ["id"])  # main moves on
+        t.cherry_pick(staged_sid)
+        got = t.read(spark)
+        # the staged rows carry a seq ABOVE the delete's: all 10 survive
+        assert got.filter("id >= 1000 and id < 2000").count() == 10
+        assert got.count() == 110
+
+    def test_rest_cherry_pick_parity(self, spark, tmp_path):
+        warehouse = str(tmp_path / "warehouse")
+        os.makedirs(warehouse)
+        server, state, uri = make_server(warehouse)
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
+            RestCatalogClient,
+        )
+
+        try:
+            client = RestCatalogClient(uri, warehouse=warehouse)
+            client.ensure_namespace("otel")
+            t = client.ensure_table(
+                "otel", "ev", _df(spark).schema, partition_source="ts"
+            )
+            t.append_dataframe(_df(spark))
+            staged_sid = t.append_dataframe_to_branch(
+                "audit", _df(spark, 50, base=1000)
+            )
+            t.append_dataframe(_df(spark, 10, base=5000))
+            with pytest.raises(ValueError, match="not an ancestor"):
+                t.fast_forward("audit")
+            head = t.cherry_pick(staged_sid)
+            assert t.current_snapshot()["snapshot-id"] == head
+            assert t.read(spark).count() == 160
+            snap = t.current_snapshot()
+            assert snap["summary"]["cherry-picked-from-snapshot"] == str(
+                staged_sid
+            )
+        finally:
+            server.shutdown()
