@@ -220,6 +220,37 @@ class TestEndToEnd:
         got = table.read(spark)
         assert got.count() == 400 and got.filter("name = 'u'").count() == 50
 
+    def test_bounds_survive_cow_recommit_without_footer_reads(
+        self, spark, table, monkeypatch
+    ):
+        """A CoW overwrite re-commits survivors into a NEW manifest;
+        their column bounds must come from the PRIOR manifest
+        (DataFile.raw_bounds) — not from re-reading every surviving
+        footer (O(all live files) storage round-trips on a huge purge) —
+        and must still drive pruning afterwards."""
+        import opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs as mod
+
+        real = mod.file_column_bounds
+        reads: list[str] = []
+
+        def counting(path, md):
+            reads.append(path)
+            return real(path, md)
+
+        monkeypatch.setattr(mod, "file_column_bounds", counting)
+        before = {f.file_path for f in table.plan_files()[0]}
+        sid, n = table.delete_where(spark, "id >= 350")  # CoW, day 4 only
+        assert n == 50
+        # footer reads only for the freshly REWRITTEN file(s): no
+        # pre-existing file's footer is touched at commit time
+        assert reads and not (set(reads) & before)
+        md = table.metadata()
+        # bounds reused from the prior manifests still prune exactly
+        scan, excluded, _ = plan_dml_files(
+            md, md["current-snapshot-id"], "id < 150"
+        )
+        assert len(scan) == 2 and len(excluded) == 2  # days 1-2 scan only
+
     def test_empty_range_matches_nothing(self, spark, table):
         # bounds exclude every file: no scan, no commit
         sid, n = table.delete_where(spark, "id > 1000")
