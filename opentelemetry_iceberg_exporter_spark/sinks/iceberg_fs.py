@@ -39,6 +39,7 @@ import glob
 import json
 import os
 import re
+import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -93,6 +94,25 @@ MANIFEST_MIN_COUNT_TO_MERGE_PROP = "commit.manifest.min-count-to-merge"
 MANIFEST_TARGET_SIZE_PROP = "commit.manifest.target-size-bytes"
 DEFAULT_MANIFEST_MIN_COUNT_TO_MERGE = 100
 DEFAULT_MANIFEST_TARGET_SIZE = 8 * 1024 * 1024
+# optimistic-commit retry budget (Iceberg's commit.retry.num-retries,
+# same default): N retries AFTER the first attempt. Contended streaming
+# tables (many writers, commit-time merging making losers slower) can
+# raise it per table.
+COMMIT_NUM_RETRIES_PROP = "commit.retry.num-retries"
+DEFAULT_COMMIT_NUM_RETRIES = 4
+
+
+def commit_attempts_for(md: dict) -> int:
+    """Total commit attempts (first + retries) for a table's metadata."""
+    try:
+        retries = int(
+            md.get("properties", {}).get(
+                COMMIT_NUM_RETRIES_PROP, DEFAULT_COMMIT_NUM_RETRIES
+            )
+        )
+    except (TypeError, ValueError):
+        retries = DEFAULT_COMMIT_NUM_RETRIES
+    return max(1, retries + 1)
 
 _TRANSFORM_FOR_GRANULARITY = {"hourly": "hours", "daily": "days", "monthly": "months"}
 _SECONDS_PER = {"hours": 3600, "days": 86400}
@@ -4551,6 +4571,36 @@ class FsCatalog:
             )
         )
 
+    def drop_table(self, namespace: str, name: str, purge: bool = False) -> bool:
+        """Drop a table from the catalog. The directory catalog's
+        registry IS the version hint, so a plain drop removes only the
+        hint — the table stops loading/listing but every metadata and
+        data file stays on disk for manual salvage (Iceberg's
+        dropTable(purge=false) for external data). purge=True deletes
+        the whole table location, data included (irreversible — the
+        gc.enabled path). Returns whether the table existed."""
+        if not self.table_exists(namespace, name):
+            return False
+        location = self.table_location(namespace, name)
+        if purge:
+            shutil.rmtree(location, ignore_errors=True)
+        else:
+            os.remove(os.path.join(location, "metadata", "version-hint.text"))
+        return True
+
+    def rename_table(self, namespace: str, name: str, new_namespace: str, new_name: str):
+        """Not supported on the filesystem catalog — table metadata and
+        manifests record ABSOLUTE location-bound paths, so moving the
+        directory would strand every reference (exactly why Iceberg's
+        HadoopCatalog refuses renameTable). Use the REST catalog, whose
+        registry maps names to locations independently."""
+        raise NotImplementedError(
+            "the filesystem catalog cannot rename tables (location-bound "
+            "absolute paths, same as Iceberg's HadoopCatalog); use the "
+            "REST catalog, whose name registry is independent of the "
+            "table location"
+        )
+
 
 def _metadata_path(location: str, version: int) -> str:
     return os.path.join(location, "metadata", f"v{version}.metadata.json")
@@ -4769,9 +4819,12 @@ class FsTable:
         branch: str = "main",
         removed_files: list[DataFile] | None = None,
     ) -> int:
-        attempts = 3
-        for attempt in range(attempts):
+        attempts = None  # resolved from table properties on first load
+        attempt = 0
+        while True:
             base_version, md = self._load_state()
+            if attempts is None:
+                attempts = commit_attempts_for(md)
             try:
                 return self._commit_snapshot(
                     base_version,
@@ -4785,7 +4838,8 @@ class FsTable:
                     removed_files=removed_files,
                 )
             except CommitConflictError:
-                if attempt + 1 == attempts:
+                attempt += 1
+                if attempt == attempts:
                     raise
                 # the winner may not have swapped the hint yet — give the
                 # in-flight commit a moment before declaring it torn
@@ -4795,7 +4849,6 @@ class FsTable:
                     time.sleep(0.05)
                 else:
                     raise  # version file exists, hint never advanced
-        raise AssertionError("unreachable")
 
     def _commit_snapshot(
         self,

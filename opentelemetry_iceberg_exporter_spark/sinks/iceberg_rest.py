@@ -247,6 +247,45 @@ class RestCatalogClient:
                 return False
             raise
 
+    def drop_table(self, namespace: str, name: str, purge: bool = False) -> bool:
+        """DropTable (REST spec `DELETE /tables/{table}`): deregister
+        the table; with purge the server also reclaims its files
+        (`purgeRequested=true`). Returns whether the table existed."""
+        self._table_cache.discard(f"{namespace}.{name}")
+        try:
+            self._request(
+                "DELETE",
+                self._table_path(namespace, name),
+                query={"purgeRequested": "true"} if purge else None,
+            )
+            return True
+        except RestError as exc:
+            if _is_missing(exc):
+                return False
+            raise
+
+    def rename_table(
+        self, namespace: str, name: str, new_namespace: str, new_name: str
+    ) -> None:
+        """RenameTable (REST spec `POST /tables/rename`): the registry
+        re-keys the table under its new identifier; the table LOCATION
+        (and every absolute path inside its metadata) is untouched —
+        which is exactly why rename exists here and not on the
+        filesystem catalog."""
+        self._table_cache.discard(f"{namespace}.{name}")
+        base = f"/v1/{self.prefix}" if self.prefix else "/v1"
+        self._request(
+            "POST",
+            f"{base}/tables/rename",
+            {
+                "source": {"namespace": namespace.split("."), "name": name},
+                "destination": {
+                    "namespace": new_namespace.split("."),
+                    "name": new_name,
+                },
+            },
+        )
+
     def create_table(
         self,
         namespace: str,
@@ -594,11 +633,19 @@ class RestTable:
         manifest tree) with conflict retry — used by appends AND
         merge-on-read deltas, which only ADD files and so merge cleanly
         over concurrent appends. branch != "main" stages the snapshot on
-        that branch (WAP): the server advances only the branch ref."""
-        attempts = 3
+        that branch (WAP): the server advances only the branch ref.
+        Retry budget comes from the table's commit.retry.num-retries
+        property (Iceberg's knob, default 4 retries)."""
+        from .iceberg_fs import commit_attempts_for
+
+        attempts = None  # resolved from table properties on first load
+        attempt = -1
         attempted: list[int] = []  # snapshot ids of earlier tries
-        for attempt in range(attempts):
+        while True:
+            attempt += 1
             md = self.metadata()
+            if attempts is None:
+                attempts = commit_attempts_for(md)
             # a PRIOR attempt may have landed after its landed-check ran
             # (the server finished processing a timed-out request): any
             # attempted snapshot id found on reload is THIS commit —
@@ -677,7 +724,6 @@ class RestTable:
                 if attempt + 1 == attempts:
                     raise
                 time.sleep(0.05 * (attempt + 1))
-        raise AssertionError("unreachable")
 
     def _any_landed(self, attempted: list[int]) -> int | None:
         try:

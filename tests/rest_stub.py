@@ -216,7 +216,73 @@ class _Handler(BaseHTTPRequestHandler):
         if re.fullmatch(f"/v1/{PREFIX}/transactions/commit", path):
             self._commit_transaction(self._body())
             return
+        if re.fullmatch(f"/v1/{PREFIX}/tables/rename", path):
+            self._rename_table(self._body())
+            return
         self._error(404, "NotFoundException", f"no route {path}")
+
+    def do_DELETE(self):  # noqa: N802
+        if self._guard():
+            return
+        parsed = urlparse(self.path)
+        m = re.fullmatch(
+            f"/v1/{PREFIX}/namespaces/([^/]+)/tables/([^/]+)", parsed.path
+        )
+        if m:
+            key = (m.group(1), m.group(2))
+            purge = parse_qs(parsed.query).get("purgeRequested", ["false"])[
+                0
+            ].lower() == "true"
+            with self.state.lock:
+                md = self.state.tables.pop(key, None)
+                self.state.versions.pop(key, None)
+            if md is None:
+                self._error(
+                    404,
+                    "NoSuchTableException",
+                    f"Table does not exist: {key[0]}.{key[1]}",
+                )
+                return
+            if purge:
+                import shutil
+
+                shutil.rmtree(md["location"], ignore_errors=True)
+            self._send(200)
+            return
+        self._error(404, "NotFoundException", f"no route {parsed.path}")
+
+    def _rename_table(self, body: dict) -> None:
+        src = body.get("source", {})
+        dst = body.get("destination", {})
+        src_key = (".".join(src.get("namespace", [])), src.get("name", ""))
+        dst_key = (".".join(dst.get("namespace", [])), dst.get("name", ""))
+        with self.state.lock:
+            if src_key not in self.state.tables:
+                self._error(
+                    404,
+                    "NoSuchTableException",
+                    f"Table does not exist: {src_key[0]}.{src_key[1]}",
+                )
+                return
+            if dst_key[0] not in self.state.namespaces:
+                self._error(
+                    404,
+                    "NoSuchNamespaceException",
+                    f"Namespace does not exist: {dst_key[0]}",
+                )
+                return
+            if dst_key in self.state.tables:
+                self._error(
+                    409,
+                    "AlreadyExistsException",
+                    f"Table already exists: {dst_key[0]}.{dst_key[1]}",
+                )
+                return
+            # re-key the registry; the table LOCATION stays put (every
+            # absolute path in its metadata remains valid)
+            self.state.tables[dst_key] = self.state.tables.pop(src_key)
+            self.state.versions[dst_key] = self.state.versions.pop(src_key)
+        self._send(200)
 
     # -- handlers ----------------------------------------------------------
     def _metadata_location(self, key: tuple[str, str]) -> str:

@@ -291,7 +291,16 @@ class TestConcurrentMerge:
         import threading
 
         t = _mk_table(
-            spark, tmp_path, {"commit.manifest.min-count-to-merge": "2"}
+            spark,
+            tmp_path,
+            {
+                "commit.manifest.min-count-to-merge": "2",
+                # aggressive merging makes CAS losers slower (they redo
+                # merge work per retry); on a loaded machine the default
+                # budget can exhaust — raise it like a contended
+                # production table would (Iceberg's retry knob)
+                "commit.retry.num-retries": "12",
+            },
         )
         _stream_appends(t, 4)  # seed carried manifests so merges fire
 
@@ -780,3 +789,66 @@ class TestMergeBinningFuzz:
                 )
                 if again is not None:
                     assert snapshot_entries(again) == baseline
+
+
+class TestCommitRetryBudget:
+    def test_num_retries_property_bounds_attempts(self, spark, tmp_path):
+        """commit.retry.num-retries (Iceberg's knob) controls the
+        optimistic-commit attempt budget: with 0 retries a single CAS
+        loss surfaces immediately; the default absorbs it."""
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            CommitConflictError,
+            commit_attempts_for,
+        )
+
+        assert commit_attempts_for({"properties": {}}) == 5  # 1 + 4 default
+        assert (
+            commit_attempts_for(
+                {"properties": {"commit.retry.num-retries": "0"}}
+            )
+            == 1
+        )
+        assert (
+            commit_attempts_for({"properties": {"commit.retry.num-retries": "bogus"}})
+            == 5
+        )  # unparseable falls back to the default
+
+        t = _mk_table(
+            spark, tmp_path, {"commit.retry.num-retries": "0"}
+        )
+        _stream_appends(t, 1)
+        t2 = _mk_table(spark, tmp_path, None)  # same location handle
+        f1 = _write_pq(os.path.join(t.location, "data", "r1.parquet"), [100])
+        f2 = _write_pq(os.path.join(t.location, "data", "r2.parquet"), [200])
+        f3 = _write_pq(os.path.join(t.location, "data", "r3.parquet"), [300])
+        # force a CAS loss: t plans against a base t2 then advances
+        import opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs as mod
+
+        real = mod.write_snapshot_tree
+        fired = {"done": False}
+
+        racer = {"file": f2, "done": False}
+
+        def racing(*args, **kwargs):
+            out = real(*args, **kwargs)
+            if not racer["done"]:
+                racer["done"] = True
+                t2.append_files([racer["file"]])
+            return out
+
+        mod.write_snapshot_tree = racing
+        try:
+            with pytest.raises(CommitConflictError):
+                t.append_files([f1])
+        finally:
+            mod.write_snapshot_tree = real
+        # same race with the default budget: the retry wins
+        t.set_properties({"commit.retry.num-retries": "4"})
+        racer.update(file=f3, done=False)
+        mod.write_snapshot_tree = racing
+        try:
+            sid = t.append_files([f1])
+        finally:
+            mod.write_snapshot_tree = real
+        assert sid is not None
+        assert t.read(spark).count() == 5  # 2 seed + f2 + f3 + f1

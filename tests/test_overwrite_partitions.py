@@ -187,3 +187,69 @@ class TestOverwritePartitionsRest:
             assert snap["summary"]["replaced-partitions"] == "1"
         finally:
             server.shutdown()
+
+
+class TestRandomizedOverwriteModel:
+    def test_random_interleavings_match_model(self, spark, tmp_path):
+        """Model-based randomized sequences of appends, day-backfills
+        (overwrite_partitions), range deletes (random physical mode),
+        and folds must always read back exactly the model's (id, tag)
+        map — the overwrite op composing with every other mutation."""
+        import random
+
+        rng = random.Random(11)
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table(
+            "otel", "model", _df(spark, [0]).schema, partition_source="ts",
+            granularity="daily",
+        )
+        model: dict[int, str] = {}
+        next_fresh = 0
+
+        def day_ids(day):
+            return range(day * 100, day * 100 + 100)
+
+        for step in range(12):
+            r = rng.random()
+            if r < 0.35 or not model:
+                n = rng.randint(5, 20)
+                ids = list(range(next_fresh, next_fresh + n))
+                next_fresh = ((max(ids) // 100) + 1) * 100  # next day
+                tag = f"a{step}"
+                t.append_dataframe(_df(spark, ids, tag=tag))
+                model.update({i: tag for i in ids})
+            elif r < 0.6:
+                # backfill one existing day with a recomputed subset
+                day = rng.choice(sorted({i // 100 for i in model}))
+                keep = [i for i in day_ids(day) if rng.random() < 0.6]
+                tag = f"b{step}"
+                sid = t.overwrite_partitions(_df(spark, keep, tag=tag))
+                replaced = {i for i in model if i // 100 == day}
+                if keep:
+                    assert sid is not None
+                    for i in replaced:
+                        del model[i]
+                    model.update({i: tag for i in keep})
+                else:
+                    assert sid is None  # empty batch: no snapshot, no change
+            elif r < 0.85:
+                lo = rng.randrange(max(next_fresh, 1))
+                hi = lo + rng.randint(0, 120)
+                mode = rng.choice(
+                    ["copy-on-write", "merge-on-read", "deletion-vectors"]
+                )
+                _, n = t.delete_where(
+                    spark, f"id between {lo} and {hi}", mode=mode
+                )
+                gone = {i for i in model if lo <= i <= hi}
+                assert n == len(gone), (step, mode)
+                for i in gone:
+                    del model[i]
+            else:
+                t.rewrite_position_deletes(spark)
+            got = {
+                (r_["id"], r_["tag"])
+                for r_ in t.read(spark).select("id", "tag").collect()
+            }
+            assert got == set(model.items()), f"step {step}"
+        assert t.read(spark).count() == len(model)
