@@ -4524,7 +4524,21 @@ class FsCatalog:
             return self.load_table(namespace, name)
         self.create_namespace(namespace)
         location = self.table_location(namespace, name)
-        os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
+        meta_dir = os.path.join(location, "metadata")
+        if os.path.isdir(meta_dir) and glob.glob(
+            os.path.join(meta_dir, "v*.metadata.json")
+        ):
+            # remains of a drop_table(purge=False): the directory catalog
+            # derives the location from the name, so re-creating would
+            # collide with the salvageable metadata — surface it clearly
+            # instead of a confusing version-CAS conflict
+            raise FileExistsError(
+                f"table location {location} holds metadata from a dropped "
+                "table (drop_table without purge leaves files for "
+                "salvage); purge it (drop_table(..., purge=True)) or move "
+                "the remains before re-creating the same name"
+            )
+        os.makedirs(meta_dir, exist_ok=True)
 
         schema = iceberg_schema(spark_schema)
         last_column_id = schema.pop("_last_column_id")
@@ -4578,7 +4592,11 @@ class FsCatalog:
         data file stays on disk for manual salvage (Iceberg's
         dropTable(purge=false) for external data). purge=True deletes
         the whole table location, data included (irreversible — the
-        gc.enabled path). Returns whether the table existed."""
+        gc.enabled path). NOTE: the directory catalog derives a table's
+        location from its name, so RE-CREATING the same name after a
+        plain drop requires purging (or moving) the salvage remains
+        first — create_table surfaces that case explicitly. Returns
+        whether the table existed."""
         if not self.table_exists(namespace, name):
             return False
         location = self.table_location(namespace, name)
@@ -4790,6 +4808,12 @@ class FsTable:
                 f"{snap['summary'].get('operation')!r} snapshot; only append "
                 "snapshots can be cherry-picked (other operations were "
                 "planned against their own base and cannot replay)"
+            )
+        chain, _ = _ancestry_window(md, None, None)
+        if snapshot_id in {s["snapshot-id"] for s in chain}:
+            raise ValueError(
+                f"snapshot {snapshot_id} is already on main's ancestry — "
+                "cherry-picking it would duplicate its rows"
             )
         added, _ = _added_files(snap)
         if any(f.content != 0 for f in added):

@@ -840,7 +840,7 @@ class RestTable:
         server, with the usual optimistic retry."""
         import dataclasses
 
-        from .iceberg_fs import _added_files
+        from .iceberg_fs import _added_files, _ancestry_window
 
         md = self.metadata()
         snap = next(
@@ -853,6 +853,12 @@ class RestTable:
                 f"snapshot {snapshot_id} is a "
                 f"{snap['summary'].get('operation')!r} snapshot; only append "
                 "snapshots can be cherry-picked"
+            )
+        chain, _ = _ancestry_window(md, None, None)
+        if snapshot_id in {s["snapshot-id"] for s in chain}:
+            raise ValueError(
+                f"snapshot {snapshot_id} is already on main's ancestry — "
+                "cherry-picking it would duplicate its rows"
             )
         added, _ = _added_files(snap)
         if any(f.content != 0 for f in added):

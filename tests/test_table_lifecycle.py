@@ -58,6 +58,17 @@ class TestFsLifecycle:
         t2.append_dataframe(_df(spark, 5))
         assert t2.read(spark).count() == 5
 
+    def test_recreate_after_plain_drop_surfaces_clearly(self, spark, tmp_path):
+        """The directory catalog derives the location from the name, so
+        re-creating over un-purged salvage remains must fail with a
+        CLEAR signal, not a confusing version-CAS conflict."""
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("otel", "ev", _df(spark).schema, partition_source="ts")
+        t.append_dataframe(_df(spark))
+        cat.drop_table("otel", "ev")  # no purge: remains stay
+        with pytest.raises(FileExistsError, match="dropped table"):
+            cat.create_table("otel", "ev", _df(spark).schema, partition_source="ts")
+
     def test_rename_refused(self, spark, tmp_path):
         cat = FsCatalog(str(tmp_path / "wh"))
         cat.create_table("otel", "ev", _df(spark).schema, partition_source="ts")

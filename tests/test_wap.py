@@ -269,6 +269,20 @@ class TestCherryPick:
         with pytest.raises(ValueError, match="unknown snapshot"):
             t.cherry_pick(12345)
 
+    def test_refuses_already_published_snapshots(self, spark, fs_table):
+        """Cherry-picking a snapshot that is ALREADY on main's ancestry
+        would silently duplicate its rows — refused, including the
+        fast-forwarded-then-cherry-picked double-publish footgun."""
+        t = fs_table
+        main_sid = t.append_dataframe(_df(spark, 10, base=7000))
+        with pytest.raises(ValueError, match="already on main"):
+            t.cherry_pick(main_sid)
+        staged = t.append_dataframe_to_branch("audit", _df(spark, 5, base=8000))
+        t.fast_forward("audit")  # published: now on main's ancestry
+        with pytest.raises(ValueError, match="already on main"):
+            t.cherry_pick(staged)
+        assert t.read(spark).count() == 115
+
     def test_equality_delete_scoping_after_cherry_pick(self, spark, fs_table):
         """The re-committed files take the NEW commit's sequence number:
         an equality delete landing between fork and publish applies only
