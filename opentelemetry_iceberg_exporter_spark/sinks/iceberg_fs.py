@@ -3671,6 +3671,16 @@ def plan_partition_overwrite(
     data, deletes = live_files(md, snapshot_id)
     replaced = [f for f in data if _partition_tuple(f) in touched]
     survivors = [f for f in data if _partition_tuple(f) not in touched]
+    # deletion vectors reference exactly one data file: a vector whose
+    # file is being replaced is moot — drop it rather than carry a
+    # stale entry (file-level parquet deletes and equality deletes stay;
+    # they scope by path/sequence and simply match nothing dropped)
+    replaced_paths = {f.file_path for f in replaced}
+    deletes = [
+        f
+        for f in deletes
+        if not (f.is_deletion_vector and f.referenced_data_file in replaced_paths)
+    ]
     return replaced, survivors, deletes
 
 

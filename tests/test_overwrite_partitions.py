@@ -106,6 +106,22 @@ class TestOverwritePartitions:
         assert got.count() == 340
         assert got.filter("id < 10").count() == 0
 
+    def test_replaced_partition_vectors_are_dropped_not_carried(
+        self, spark, table
+    ):
+        """A deletion vector references exactly one data file: replacing
+        that file makes the vector moot — the overwrite must drop the
+        entry instead of carrying a stale vector for a dead path."""
+        t = table
+        t.delete_where(spark, "id between 100 and 104", mode="deletion-vectors")
+        assert any(f.is_deletion_vector for f in t.plan_scan()[1])
+        t.overwrite_partitions(_df(spark, range(100, 150), tag="b"))
+        # the only vectors referenced day-2 files, all replaced: none live
+        assert not any(f.is_deletion_vector for f in t.plan_scan()[1])
+        got = t.read(spark)
+        assert got.count() == 350  # 300 untouched + 50 backfilled
+        assert got.filter("id between 100 and 104").count() == 5  # fresh rows
+
     def test_concurrent_append_forces_replan(self, spark, tmp_path):
         import opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs as mod
 
