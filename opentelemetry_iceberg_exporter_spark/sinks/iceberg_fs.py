@@ -1013,9 +1013,22 @@ def _supersede_carried_entries(
     untouched: list[dict] = []
     rewritten: list[dict] = []
     found: set[tuple[str, int | None]] = set()
+    # validateDataFilesExist: every data file the new vectors reference
+    # must still be LIVE in the commit base — a concurrent compaction /
+    # partition overwrite that replaced one would otherwise let this
+    # commit add a vector for a dead path, and the "deleted" rows would
+    # stay readable in the rewritten file
+    live_targets: set[str] = set()
     for m in prior_manifests:
         if m["content"] != 1:
             untouched.append(m)
+            if target_data_files:
+                for e in read_ocf(m["manifest_path"])[2]:
+                    if e["status"] == STATUS_DELETED:
+                        continue
+                    p = e["data_file"]["file_path"]
+                    if p in target_data_files:
+                        live_targets.add(p)
             continue
         schema_, meta_, rows = read_ocf(m["manifest_path"])
         hit = False
@@ -1096,6 +1109,13 @@ def _supersede_carried_entries(
         raise ReplaceConflictError(
             f"superseded deletion vector entries vanished before commit "
             f"(concurrent fold/rewrite?): {missing}; re-plan the delete"
+        )
+    dead = sorted(target_data_files - live_targets)
+    if dead:
+        raise ReplaceConflictError(
+            f"data file(s) the new deletion vector(s) reference are no "
+            f"longer live (replaced by a concurrent rewrite/overwrite): "
+            f"{dead}; re-plan the delete"
         )
     return untouched, rewritten
 
@@ -3393,9 +3413,21 @@ def read_changelog(
             # a folded deletion vector (fold-on-write) is the UNION of
             # prior deletes and this snapshot's new matches — subtract
             # the parent's already-deleted positions so only the NEW
-            # deletes surface as change rows (a no-op for unfolded
-            # deletes, whose tuples never overlap priors)
-            prior_pos = [f for f in parent_deletes if f.content == 1]
+            # deletes surface as change rows. Only prior VECTORS for
+            # the data files this snapshot re-vectored can overlap
+            # (parquet delete tuples are always disjoint from priors:
+            # planning excludes already-deleted rows), so the expansion
+            # is restricted to exactly those blobs — not the table's
+            # whole accumulated delete set
+            folded_targets = {
+                f.referenced_data_file for f in pos if f.is_deletion_vector
+            }
+            prior_pos = [
+                f
+                for f in parent_deletes
+                if f.is_deletion_vector
+                and f.referenced_data_file in folded_targets
+            ]
             if prior_pos:
                 dels = dels.join(
                     read_position_deletes(spark, prior_pos),
@@ -3669,6 +3701,27 @@ def plan_partition_overwrite(
     if snapshot_id == -1:
         return [], [], []
     data, deletes = live_files(md, snapshot_id)
+    # spec-evolution guard: files written under an OLDER partition spec
+    # carry different field names, so tuple equality could silently
+    # KEEP old-spec files whose rows overlap the backfilled partitions
+    # (rows doubled). Refuse loudly, like Iceberg's dynamic overwrite —
+    # compact the old-spec files onto the current spec first.
+    spec_names = {pf["name"] for pf in default_spec_fields(md)}
+    stray = sorted(
+        {
+            k
+            for f in data
+            for k in f.partition
+            if k not in spec_names and f.partition.get(k) is not None
+        }
+    )
+    if stray:
+        raise ValueError(
+            f"live data files carry partition fields {stray} from an "
+            "older partition spec; dynamic partition overwrite cannot "
+            "match them against the current spec — rewrite_data_files "
+            "first (or overwrite by explicit DELETE + append)"
+        )
     replaced = [f for f in data if _partition_tuple(f) in touched]
     survivors = [f for f in data if _partition_tuple(f) not in touched]
     # deletion vectors reference exactly one data file: a vector whose
@@ -4824,6 +4877,22 @@ class FsTable:
             raise ValueError(
                 f"snapshot {snapshot_id} is already on main's ancestry — "
                 "cherry-picking it would duplicate its rows"
+            )
+        already = next(
+            (
+                s["snapshot-id"]
+                for s in chain
+                if s["summary"].get("cherry-picked-from-snapshot")
+                == str(snapshot_id)
+            ),
+            None,
+        )
+        if already is not None:
+            raise ValueError(
+                f"snapshot {snapshot_id} was already cherry-picked as "
+                f"snapshot {already} — publishing it again would duplicate "
+                "its rows (a retry after a lost response should treat the "
+                "first publish as the success)"
             )
         added, _ = _added_files(snap)
         if any(f.content != 0 for f in added):

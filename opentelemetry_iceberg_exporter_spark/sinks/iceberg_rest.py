@@ -436,24 +436,42 @@ def commit_append_transaction(
     if len(set(keys)) != len(keys):
         raise ValueError("a table may appear at most once per transaction")
 
+    by_key = {(t.namespace, t.name): t for t, _, _ in parts}
+
     def _landed_attempt(
         mds: dict, attempted: list[dict[tuple[str, str], int]]
     ) -> dict[tuple[str, str], int] | None:
         """An earlier attempt found fully applied in `mds` (its
         snapshot id present on EVERY table) is THIS transaction landing
-        late — return its sids. A partially-present attempt means the
-        server broke all-or-nothing: surface loudly."""
+        late — return its sids. A partially-present view gets ONE
+        re-read of the absent tables first: the per-table GETs are
+        sequential, so an atomic transaction applying BETWEEN them
+        looks partial without being so. Only a partial view that
+        survives the re-read means the server broke all-or-nothing:
+        surface loudly."""
         for past in attempted:
-            present = [
-                any(
+            present = {
+                key: any(
                     s["snapshot-id"] == past[key]
                     for s in mds[key].get("snapshots", [])
                 )
                 for key in keys
-            ]
-            if all(present):
+            }
+            if all(present.values()):
                 return past
-            if any(present):
+            if any(present.values()):
+                for key in keys:
+                    if not present[key]:
+                        try:
+                            fresh = by_key[key].metadata()
+                        except RestError:
+                            break
+                        present[key] = any(
+                            s["snapshot-id"] == past[key]
+                            for s in fresh.get("snapshots", [])
+                        )
+                if all(present.values()):
+                    return past
                 raise RestCommitStateUnknownError(
                     500,
                     "CommitStateUnknownException",
@@ -461,15 +479,24 @@ def commit_append_transaction(
                     "the server violated all-or-nothing semantics: "
                     + ", ".join(
                         f"{ns}.{name}={'landed' if ok else 'absent'}"
-                        for (ns, name), ok in zip(keys, present)
+                        for (ns, name), ok in present.items()
                     ),
                 )
         return None
 
-    attempts = 3
+    from .iceberg_fs import commit_attempts_for
+
+    attempts = None  # resolved from participants' table properties
+    attempt = -1
     attempted: list[dict[tuple[str, str], int]] = []
-    for attempt in range(attempts):
+    while True:
+        attempt += 1
         mds = {(t.namespace, t.name): t.metadata() for t, _, _ in parts}
+        if attempts is None:
+            # the transaction commits all tables atomically: honor the
+            # LARGEST per-table retry budget so one contended table's
+            # raised commit.retry.num-retries is not defeated here
+            attempts = max(commit_attempts_for(md) for md in mds.values())
         # a PRIOR attempt may have landed after its landed-check ran:
         # any attempted snapshot-id set found on reload IS this
         # transaction — return it instead of appending twice
@@ -536,7 +563,6 @@ def commit_append_transaction(
             if attempt + 1 == attempts:
                 raise
             time.sleep(0.05 * (attempt + 1))
-    raise AssertionError("unreachable")
 
 
 class RestTable:
@@ -859,6 +885,22 @@ class RestTable:
             raise ValueError(
                 f"snapshot {snapshot_id} is already on main's ancestry — "
                 "cherry-picking it would duplicate its rows"
+            )
+        already = next(
+            (
+                s["snapshot-id"]
+                for s in chain
+                if s["summary"].get("cherry-picked-from-snapshot")
+                == str(snapshot_id)
+            ),
+            None,
+        )
+        if already is not None:
+            raise ValueError(
+                f"snapshot {snapshot_id} was already cherry-picked as "
+                f"snapshot {already} — publishing it again would duplicate "
+                "its rows (a retry after a lost response should treat the "
+                "first publish as the success)"
             )
         added, _ = _added_files(snap)
         if any(f.content != 0 for f in added):

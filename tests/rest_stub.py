@@ -58,6 +58,11 @@ class StubCatalogState:
         self.defer_commit_responses: int = 0
         self.staged_deferred: list[list[tuple[tuple[str, str], dict]]] = []
         self.deferred_countdown: int = 0
+        # extra table-load GETs to serve BEFORE applying the deferred
+        # transaction (beyond the landed-check's one-per-table): lets a
+        # test land the application BETWEEN the retry's sequential
+        # loop-top reloads — the mixed-view race
+        self.deferred_extra_loads: int = 0
 
     def inject_garbage(
         self, times: int = 1, method: str | None = None, path_re: str | None = None
@@ -536,7 +541,9 @@ class _Handler(BaseHTTPRequestHandler):
             if self.state.defer_commit_responses > 0:
                 self.state.defer_commit_responses -= 1
                 self.state.staged_deferred.append(staged)
-                self.state.deferred_countdown = len(staged)
+                self.state.deferred_countdown = (
+                    len(staged) + self.state.deferred_extra_loads
+                )
                 self._error(
                     503,
                     "ServiceUnavailableException",

@@ -373,6 +373,48 @@ class TestDvFoldConcurrency:
             by_file[rdf] = by_file.get(rdf, 0) + 1
         assert all(v == 1 for v in by_file.values())
 
+    def test_concurrent_rewrite_replacing_target_file_forces_replan(
+        self, spark, tmp_path
+    ):
+        """validateDataFilesExist: a compaction (or partition overwrite)
+        that replaces a data file between a DV delete's planning and
+        commit must force a re-plan — committing the vector anyway would
+        reference a dead path and every 'deleted' row would stay
+        readable in the rewritten file."""
+        import opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs as mod
+
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table(
+            "otel", "events", _df(spark).schema, partition_source="ts"
+        )
+        # two small appends so the rewrite has something to compact
+        t.append_dataframe(_df(spark).filter("id < 20"))
+        t.append_dataframe(_df(spark).filter("id >= 20"))
+        t2 = cat.load_table("otel", "events")
+
+        real_plan = mod.plan_deletion_vectors
+        fired = {"done": False}
+
+        def racing_plan(*args, **kwargs):
+            planned = real_plan(*args, **kwargs)
+            if not fired["done"]:
+                fired["done"] = True
+                # compaction replaces every data file AFTER planning
+                assert t2.rewrite_data_files(spark, min_files=2) is not None
+            return planned
+
+        mod.plan_deletion_vectors = racing_plan
+        try:
+            with pytest.raises(ReplaceConflictError, match="no longer live"):
+                t.delete_where(spark, "id in (3, 4)", mode="deletion-vectors")
+        finally:
+            mod.plan_deletion_vectors = real_plan
+        # nothing was deleted and nothing dangles; re-planning succeeds
+        assert t.read(spark).count() == 40
+        sid, n = t.delete_where(spark, "id in (3, 4)", mode="deletion-vectors")
+        assert n == 2 and sid is not None
+        assert t.read(spark).count() == 38
+
     def test_concurrent_append_still_merges_cleanly(self, spark, tmp_path):
         """Appends don't touch vectors: a DV delete racing an append
         retries and lands without re-planning (MoR's append-like

@@ -973,6 +973,39 @@ class TestTransactions:
         ]
         assert len(commits) == 1
 
+    def test_mixed_view_during_late_landing_is_not_an_atomicity_violation(
+        self, catalog, spark
+    ):
+        """The landed-check reloads tables SEQUENTIALLY, so an atomic
+        transaction applying between two GETs looks partial without
+        being so. One re-read of the absent tables must resolve it as
+        the idempotent success — not a false 'server violated
+        all-or-nothing' CommitStateUnknownError (which would push the
+        caller into a rerun that duplicates every table's rows)."""
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            write_partitioned_batch,
+        )
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
+            commit_append_transaction,
+        )
+
+        client, state, ta, tb, df = self._two_tables(catalog, spark)
+        fa = write_partitioned_batch(df, ta.location(), ta.metadata())
+        fb = write_partitioned_batch(df.limit(10), tb.location(), tb.metadata())
+        state.defer_commit_responses = 1
+        # +1 extra load: application lands AFTER the retry's loop-top
+        # reload of table A but BEFORE table B's — the mixed view
+        state.deferred_extra_loads = 1
+        sids = commit_append_transaction(client, [(ta, fa, None), (tb, fb, None)])
+        assert len(ta.snapshots()) == 1 and len(tb.snapshots()) == 1
+        assert sids[("otel", "ta")] == ta.current_snapshot()["snapshot-id"]
+        assert ta.read(spark).count() == 40
+        assert tb.read(spark).count() == 10
+        commits = [
+            p for m, p in state.requests if m == "POST" and "transactions" in p
+        ]
+        assert len(commits) == 1  # never re-sent
+
     def test_empty_parts_commit_nothing(self, catalog, spark):
         from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
             commit_append_transaction,

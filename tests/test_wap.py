@@ -303,6 +303,20 @@ class TestCherryPick:
         assert got.filter("id >= 1000 and id < 2000").count() == 10
         assert got.count() == 110
 
+    def test_second_cherry_pick_of_same_snapshot_refused(self, spark, fs_table):
+        """A retry after a lost response must treat the FIRST publish as
+        the success: the published copy carries a different snapshot id,
+        so the ancestry check alone cannot see it — the
+        cherry-picked-from-snapshot summary marker does."""
+        t = fs_table
+        staged = t.append_dataframe_to_branch("audit", _df(spark, 10, base=1000))
+        t.append_dataframe(_df(spark, 5, base=5000))  # main moves on
+        t.cherry_pick(staged)
+        assert t.read(spark).count() == 115
+        with pytest.raises(ValueError, match="already cherry-picked"):
+            t.cherry_pick(staged)
+        assert t.read(spark).count() == 115  # no duplicate rows
+
     def test_rest_cherry_pick_parity(self, spark, tmp_path):
         warehouse = str(tmp_path / "warehouse")
         os.makedirs(warehouse)
