@@ -620,6 +620,18 @@ def main(argv: list[str] | None = None) -> int:
         "deletion-vectors writes the delete half as v3 roaring-bitmap DVs",
     )
 
+    pov = sub.add_parser(
+        "overwrite",
+        help="dynamic partition overwrite (INSERT OVERWRITE semantics): "
+        "atomically REPLACE exactly the hidden partitions the input "
+        "lands in — the standard backfill primitive; every untouched "
+        "partition survives by reference",
+    )
+    _add_catalog_args(pov)
+    pov.add_argument(
+        "--input", required=True, help="Parquet file/dir of replacement rows"
+    )
+
     pm = sub.add_parser(
         "maintain", help="catalog table maintenance (fs or --rest-uri): rewrite_data_files + expire_snapshots + orphan sweep + delete folds"
     )
@@ -1519,6 +1531,27 @@ def main(argv: list[str] | None = None) -> int:
         df = spark.read.parquet(args.input)
         sid = table.upsert_equality(spark, df, cols)
         print(json.dumps({"snapshot": sid, "upserted_rows": df.count()}))
+        return 0
+
+    if args.cmd == "overwrite":
+
+        table = _load_cli_table(args)
+        df = spark.read.parquet(args.input)
+        sid = table.overwrite_partitions(df)
+        snap = table.current_snapshot() if sid is not None else None
+        print(
+            json.dumps(
+                {
+                    "snapshot": sid,
+                    "rows": df.count() if sid is not None else 0,
+                    "replaced_partitions": (
+                        int(snap["summary"].get("replaced-partitions", 0))
+                        if snap
+                        else 0
+                    ),
+                }
+            )
+        )
         return 0
 
     if args.cmd == "update":

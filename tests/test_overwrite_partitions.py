@@ -169,6 +169,30 @@ class TestOverwritePartitions:
         assert [(r["id"], r["tag"]) for r in got] == [(9, "z")]
 
 
+class TestOverwriteCli:
+    def test_overwrite_cli(self, spark, tmp_path, capsys):
+        import json
+
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        wh = str(tmp_path / "wh")
+        cat = FsCatalog(wh)
+        t = cat.create_table(
+            "otel", "ev", _df(spark, [0]).schema, partition_source="ts",
+            granularity="daily",
+        )
+        t.append_dataframe(_df(spark, range(400)))
+        src = str(tmp_path / "backfill")
+        _df(spark, range(100, 150), tag="b").write.parquet(src)
+        rc = main(
+            ["overwrite", "--warehouse", wh, "--table", "ev", "--input", src]
+        )
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0
+        assert out["rows"] == 50 and out["replaced_partitions"] == 1
+        assert t.read(spark).count() == 350
+
+
 class TestOverwritePartitionsRest:
     def test_rest_parity_and_pinned_base(self, spark, tmp_path):
         import sys
