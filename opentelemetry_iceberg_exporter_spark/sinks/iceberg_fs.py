@@ -40,6 +40,7 @@ import json
 import os
 import re
 import shutil
+import struct
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -891,8 +892,92 @@ MANIFEST_LIST_SCHEMA = {
         {"name": "added_rows_count", "type": "long", "field-id": 512},
         {"name": "existing_rows_count", "type": "long", "field-id": 513},
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        # spec field 507 "partitions": one field_summary per partition
+        # field of the manifest's spec, in spec order — the manifest-
+        # LEVEL pruning index. At 100 TB a table holds thousands of
+        # manifests; these summaries let scan planning skip whole
+        # manifest FILES (never opened) instead of walking every entry,
+        # so planning cost tracks the MATCHING partitions, not table
+        # history. Written by this engine for every manifest; absent
+        # (null) on manifests from older writers — readers then fall
+        # back to the per-entry walk, never wrong pruning.
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "element-id": 508,
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {
+                                "name": "contains_null",
+                                "type": "boolean",
+                                "field-id": 509,
+                            },
+                            {
+                                "name": "contains_nan",
+                                "type": ["null", "boolean"],
+                                "default": None,
+                                "field-id": 518,
+                            },
+                            {
+                                "name": "lower_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                                "field-id": 510,
+                            },
+                            {
+                                "name": "upper_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                                "field-id": 511,
+                            },
+                        ],
+                    },
+                },
+            ],
+            "default": None,
+            "field-id": 507,
+        },
     ],
 }
+
+
+def _partition_field_summaries(
+    partition_dicts: list[dict], spec_fields: list[dict], md: dict
+) -> list[dict] | None:
+    """field_summary per spec field (spec field 507) over a manifest's
+    entries' partition tuples: contains_null + encoded min/max of the
+    transform VALUES (single-value serialization, appendix D — same
+    binary as column bounds). None for unpartitioned specs or when a
+    source column no longer resolves (spec evolution) — readers then
+    walk the entries, never mis-prune."""
+    if not spec_fields:
+        return None
+    out: list[dict] = []
+    for pf in spec_fields:
+        try:
+            rtype = transform_result_type(
+                pf["transform"], _field_type_by_id(md, pf["source-id"])
+            )
+        except Exception:  # noqa: BLE001 — dropped source column
+            return None
+        vals = [p.get(pf["name"]) for p in partition_dicts]
+        non_null = [v for v in vals if v is not None]
+        lo = encode_bound(min(non_null), rtype) if non_null else None
+        hi = encode_bound(max(non_null), rtype) if non_null else None
+        out.append(
+            {
+                "contains_null": any(v is None for v in vals),
+                "contains_nan": None,
+                "lower_bound": lo,
+                "upper_bound": hi,
+            }
+        )
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -1102,6 +1187,15 @@ def _supersede_carried_entries(
                 "added_rows_count": 0,
                 "existing_rows_count": live_rows,
                 "deleted_rows_count": removed_rows,
+                "partitions": (
+                    _partition_field_summaries(
+                        [e["data_file"]["partition"] for e in entries],
+                        default_spec_fields(md),
+                        md,
+                    )
+                    if m["partition_spec_id"] == md["default-spec-id"]
+                    else None
+                ),
             }
         )
     if found != removed_keys:
@@ -1242,6 +1336,9 @@ def write_snapshot_tree(
                 "added_rows_count": sum(f.record_count for f in group),
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
+                "partitions": _partition_field_summaries(
+                    [e["data_file"]["partition"] for e in entries], spec_fields, md
+                ),
             }
         )
     if carry_forward and parent != -1:
@@ -1275,6 +1372,10 @@ def write_snapshot_tree(
             meta_dir, prior_manifests, md, snapshot_id, seq
         )
 
+    # carried records from pre-summary writers lack field 507: default
+    # to null (readers fall back to the per-entry walk for them)
+    for m in manifests:
+        m.setdefault("partitions", None)
     list_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro")
     write_ocf(
         list_path,
@@ -1408,10 +1509,11 @@ def _write_merged_manifest(
             "content": "data" if content_id == 0 else "deletes",
         },
     )
+    spec_id = bin_[0]["partition_spec_id"]
     return {
         "manifest_path": path,
         "manifest_length": length,
-        "partition_spec_id": bin_[0]["partition_spec_id"],
+        "partition_spec_id": spec_id,
         "content": content_id,
         "sequence_number": commit_seq,
         "min_sequence_number": min_seq,
@@ -1422,6 +1524,15 @@ def _write_merged_manifest(
         "added_rows_count": 0,
         "existing_rows_count": sum(e["data_file"]["record_count"] for e in entries),
         "deleted_rows_count": 0,
+        "partitions": (
+            _partition_field_summaries(
+                [e["data_file"]["partition"] for e in entries],
+                default_spec_fields(md),
+                md,
+            )
+            if spec_id == md["default-spec-id"]
+            else None  # old-spec manifests: no summary, per-entry walk
+        ),
     }
 
 
@@ -1566,6 +1677,8 @@ def build_rewrite_manifests_snapshot(
     )
     if merged is None:
         return None
+    for m in merged:  # pass-through records from pre-summary writers
+        m.setdefault("partitions", None)
     list_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro")
     write_ocf(
         list_path,
@@ -2307,11 +2420,75 @@ def plan_scan_metadata(
         if col_field is None or not isinstance(col_field["type"], str):
             raise ValueError(f"no boundable column {name!r}")
         col_bounds.append((col_field, lo_v, hi_v))
+    # manifest-LEVEL pruning (spec field 507 partition summaries): a
+    # data manifest whose field_summary proves no entry can match the
+    # partition predicates is skipped UNOPENED — at 100 TB, planning
+    # cost then tracks the matching partitions, not the table's whole
+    # manifest population. Only when pruned_out is None: copy-on-write
+    # DML needs every excluded FILE entry back for re-commit, so it
+    # keeps the full walk. Manifests without summaries (older writers,
+    # spec-evolved), delete manifests, and null-containing summaries
+    # are never skipped — conservative, never wrong pruning.
+    part_types: dict[str, str | None] = {}
+    for pf in spec_fields:
+        try:
+            part_types[pf["name"]] = transform_result_type(
+                pf["transform"], _field_type_by_id(md, pf["source-id"])
+            )
+        except Exception:  # noqa: BLE001 — dropped source column
+            part_types[pf["name"]] = None
+
+    def _manifest_excluded(m: dict) -> bool:
+        if pruned_out is not None or m.get("content", 0) != 0:
+            return False
+        summaries = m.get("partitions")
+        if (
+            not summaries
+            or m.get("partition_spec_id") != md["default-spec-id"]
+            or len(summaries) != len(spec_fields)
+        ):
+            return False
+        by_name = dict(zip(spec_names, summaries))
+        checks: list[tuple[str, Any, Any]] = []
+        if partition_range and spec_names:
+            checks.append((spec_names[0], partition_range[0], partition_range[1]))
+        for name, expected in pred_parts.items():
+            checks.append((name, expected, expected))
+        for name, (lo_t, hi_t) in range_parts.items():
+            checks.append((name, lo_t, hi_t))
+        for name, lo_t, hi_t in checks:
+            s = by_name.get(name)
+            rtype = part_types.get(name)
+            if (
+                s is None
+                or s.get("contains_null")  # null values never partition-prune
+                or rtype is None
+                or s.get("lower_bound") is None
+                or s.get("upper_bound") is None
+            ):
+                continue
+            try:
+                s_lo = decode_bound(s["lower_bound"], rtype)
+                s_hi = decode_bound(s["upper_bound"], rtype)
+                if (hi_t is not None and s_lo > hi_t) or (
+                    lo_t is not None and s_hi < lo_t
+                ):
+                    return True
+            except (TypeError, ValueError, struct.error):
+                continue  # undecodable/mixed-type: keep the manifest
+        return False
+
     files: list[DataFile] = []
     deletes: list[DataFile] = []
     pruned = 0
     _, _, manifests = read_ocf(snapshot["manifest-list"])
     for m in manifests:
+        if _manifest_excluded(m):
+            # live entries = added + existing (DELETED markers excluded)
+            pruned += m.get("added_files_count", 0) + m.get(
+                "existing_files_count", 0
+            )
+            continue
         _, _, entries = read_ocf(m["manifest_path"])
         for e in entries:
             if e["status"] == STATUS_DELETED:

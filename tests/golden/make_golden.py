@@ -417,8 +417,83 @@ MANIFEST_LIST_AVRO_SCHEMA = {
         {"name": "added_rows_count", "type": "long", "field-id": 512},
         {"name": "existing_rows_count", "type": "long", "field-id": 513},
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        # spec field 507: one field_summary per partition field of the
+        # manifest's spec — the manifest-level pruning index
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "element-id": 508,
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {
+                                "name": "contains_null",
+                                "type": "boolean",
+                                "field-id": 509,
+                            },
+                            {
+                                "name": "contains_nan",
+                                "type": ["null", "boolean"],
+                                "default": None,
+                                "field-id": 518,
+                            },
+                            {
+                                "name": "lower_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                                "field-id": 510,
+                            },
+                            {
+                                "name": "upper_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                                "field-id": 511,
+                            },
+                        ],
+                    },
+                },
+            ],
+            "default": None,
+            "field-id": 507,
+        },
     ],
 }
+
+
+def field_summaries_col(
+    contains_null: bool, lo: bytes | None = None, hi: bytes | None = None
+) -> bytes:
+    """The `partitions` column bytes for this fixture's single-field
+    spec: union branch 1 (array), one field_summary record (spec 509 /
+    518 / 510 / 511), array terminator."""
+
+    def opt_bytes(b: bytes | None) -> bytes:
+        if b is None:
+            return zigzag_varint(0)  # union: null branch
+        return zigzag_varint(1) + zigzag_varint(len(b)) + b
+
+    return (
+        zigzag_varint(1)  # partitions union: the array branch
+        + zigzag_varint(1)  # one summary: the spec has one field
+        + (b"\x01" if contains_null else b"\x00")
+        + zigzag_varint(0)  # contains_nan: null
+        + opt_bytes(lo)
+        + opt_bytes(hi)
+        + zigzag_varint(0)  # array terminator
+    )
+
+
+# single-value serialization of the ts_hour transform value 473040
+# (appendix D: int -> 4-byte little-endian)
+TS_HOUR_BOUND = struct.pack("<i", 473040)
+# the data manifest: FILE_A at ts_hour=473040 plus FILE_B's null
+DATA_PARTITIONS_COL = field_summaries_col(True, TS_HOUR_BOUND, TS_HOUR_BOUND)
+# delete manifests: partition tuples are all-null -> no bounds
+NULL_PARTITIONS_COL = field_summaries_col(True)
 
 
 def _data_manifest_row(manifest_len: int) -> bytes:
@@ -437,6 +512,7 @@ def _data_manifest_row(manifest_len: int) -> bytes:
             zigzag_varint(13),  # added_rows_count = 10 + 3
             zigzag_varint(0),
             zigzag_varint(0),
+            DATA_PARTITIONS_COL,
         ]
     )
 
@@ -484,6 +560,7 @@ def _delete_manifest_row(delete_manifest_len: int) -> bytes:
             zigzag_varint(DELETE_ROW_COUNT),  # added_rows_count
             zigzag_varint(0),
             zigzag_varint(0),
+            NULL_PARTITIONS_COL,
         ]
     )
 
@@ -532,6 +609,7 @@ def build_eq_manifest_list(
             zigzag_varint(EQ_ROW_COUNT),  # added_rows_count
             zigzag_varint(0),
             zigzag_varint(0),
+            NULL_PARTITIONS_COL,
         ]
     )
     return ocf(
@@ -604,6 +682,7 @@ def build_merged_manifest_list(merged_manifest_len: int, data_manifest_len: int)
             zigzag_varint(0),  # added_rows_count
             zigzag_varint(EQ_ROW_COUNT + DELETE_ROW_COUNT),  # existing_rows
             zigzag_varint(0),
+            NULL_PARTITIONS_COL,
         ]
     )
     return ocf(
@@ -979,6 +1058,7 @@ def build_dv_manifest_list(
             zigzag_varint(len(DV_POSITIONS)),  # added_rows_count
             zigzag_varint(0),
             zigzag_varint(0),
+            NULL_PARTITIONS_COL,
         ]
     )
     return ocf(
@@ -1008,6 +1088,7 @@ def _merged_manifest_row(merged_manifest_len: int) -> bytes:
             zigzag_varint(0),
             zigzag_varint(EQ_ROW_COUNT + DELETE_ROW_COUNT),
             zigzag_varint(0),
+            NULL_PARTITIONS_COL,
         ]
     )
 
@@ -1044,6 +1125,7 @@ def build_dv2_manifest_list(
             zigzag_varint(len(DV2_UNION_POSITIONS)),  # added_rows_count
             zigzag_varint(0),
             zigzag_varint(0),
+            NULL_PARTITIONS_COL,
         ]
     )
     superseded_row = b"".join(
@@ -1061,6 +1143,7 @@ def build_dv2_manifest_list(
             zigzag_varint(0),
             zigzag_varint(0),
             zigzag_varint(len(DV_POSITIONS)),  # deleted_rows_count
+            NULL_PARTITIONS_COL,
         ]
     )
     return ocf(
