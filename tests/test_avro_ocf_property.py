@@ -130,6 +130,29 @@ def test_manifest_file_roundtrip(tmp_path_factory, entries):
                 "added_rows_count": st.integers(0, 2**40),
                 "existing_rows_count": st.integers(0, 2**40),
                 "deleted_rows_count": st.integers(0, 2**40),
+                # spec field 507 partition summaries: absent (null) or a
+                # list of field_summary records with optional bounds
+                "partitions": st.one_of(
+                    st.none(),
+                    st.lists(
+                        st.fixed_dictionaries(
+                            {
+                                "contains_null": st.booleans(),
+                                "contains_nan": st.one_of(
+                                    st.none(), st.booleans()
+                                ),
+                                "lower_bound": st.one_of(
+                                    st.none(), st.binary(max_size=12)
+                                ),
+                                "upper_bound": st.one_of(
+                                    st.none(), st.binary(max_size=12)
+                                ),
+                            }
+                        ),
+                        min_size=1,
+                        max_size=3,
+                    ),
+                ),
             }
         ),
         max_size=6,
