@@ -1538,7 +1538,16 @@ def main(argv: list[str] | None = None) -> int:
         table = _load_cli_table(args)
         df = spark.read.parquet(args.input)
         sid = table.overwrite_partitions(df)
-        snap = table.current_snapshot() if sid is not None else None
+        # look the snapshot up by id: current_snapshot() could already
+        # be a CONCURRENT writer's commit with a different summary
+        snap = (
+            next(
+                (s for s in table.snapshots() if s["snapshot-id"] == sid),
+                None,
+            )
+            if sid is not None
+            else None
+        )
         print(
             json.dumps(
                 {

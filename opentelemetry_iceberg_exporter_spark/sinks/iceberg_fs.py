@@ -567,6 +567,12 @@ class DataFile:
     # round-trips at commit time. None = fresh file, bounds come from
     # its footer. Excluded from equality/repr (a cache, not identity).
     raw_bounds: Any = field(default=None, compare=False, repr=False)
+    # the partition spec the file's manifest was written under, set
+    # when read back from manifests: spec evolution means a live file's
+    # partition tuple may be shaped by an OLDER spec than the table's
+    # default — partition-identity operations (dynamic overwrite) must
+    # see that. None = fresh file (current spec) or unknown.
+    spec_id: int | None = field(default=None, compare=False, repr=False)
 
     @property
     def is_deletion_vector(self) -> bool:
@@ -1074,6 +1080,7 @@ def _supersede_carried_entries(
     snapshot_id: int,
     commit_seq: int,
     dv_targets: set[str] = frozenset(),
+    required_live_paths: set[str] = frozenset(),
 ) -> tuple[list[dict], list[dict]]:
     """Rewrite the carried-forward delete manifests that contain
     `removed_files` (superseded deletion vectors): removed entries flip
@@ -1083,36 +1090,42 @@ def _supersede_carried_entries(
     carry by reference. Returns (untouched carried manifests, rewritten
     manifest records).
 
-    VALIDATES that the live DV set for this commit's target data files
-    (`dv_targets` = every data file the commit adds a vector for, plus
-    the superseded entries' files) is exactly the planned one — a
-    concurrent commit that folded, removed, or added a vector for the
-    same data file between planning and commit would make the new
-    bitmap stale or stack a second live vector, so it raises
-    ReplaceConflictError (re-plan) instead of committing a vector that
-    drops or resurrects rows."""
+    TWO validations run against the commit base:
+
+    * one-DV-per-file: the live DV set for `dv_targets` (every data
+      file the commit adds a vector for, plus the superseded entries'
+      files) must be exactly the planned one — a concurrent commit
+      that folded, removed, or added a vector for the same file would
+      make the new bitmap stale or stack a second live vector;
+    * validateDataFilesExist: every path in `required_live_paths`
+      (the data files the commit's position deletes — vectors AND
+      parquet tuples — reference) must still be live — a concurrent
+      compaction/overwrite that replaced one would otherwise let this
+      commit delete against a dead path and the "deleted" rows would
+      stay readable in the rewritten file.
+
+    Either failure raises ReplaceConflictError (re-plan)."""
     removed_keys = {(f.file_path, f.content_offset) for f in removed_files}
     target_data_files = {f.referenced_data_file for f in removed_files} | set(
         dv_targets
     )
+    liveness_set = target_data_files | set(required_live_paths)
     untouched: list[dict] = []
     rewritten: list[dict] = []
     found: set[tuple[str, int | None]] = set()
-    # validateDataFilesExist: every data file the new vectors reference
-    # must still be LIVE in the commit base — a concurrent compaction /
-    # partition overwrite that replaced one would otherwise let this
-    # commit add a vector for a dead path, and the "deleted" rows would
-    # stay readable in the rewritten file
     live_targets: set[str] = set()
     for m in prior_manifests:
         if m["content"] != 1:
             untouched.append(m)
-            if target_data_files:
+            # early exit: stop opening data manifests once every
+            # required path is confirmed live (a one-file delete on a
+            # thousand-manifest table must not read them all)
+            if liveness_set and live_targets != liveness_set:
                 for e in read_ocf(m["manifest_path"])[2]:
                     if e["status"] == STATUS_DELETED:
                         continue
                     p = e["data_file"]["file_path"]
-                    if p in target_data_files:
+                    if p in liveness_set:
                         live_targets.add(p)
             continue
         schema_, meta_, rows = read_ocf(m["manifest_path"])
@@ -1204,11 +1217,11 @@ def _supersede_carried_entries(
             f"superseded deletion vector entries vanished before commit "
             f"(concurrent fold/rewrite?): {missing}; re-plan the delete"
         )
-    dead = sorted(target_data_files - live_targets)
+    dead = sorted(liveness_set - live_targets)
     if dead:
         raise ReplaceConflictError(
-            f"data file(s) the new deletion vector(s) reference are no "
-            f"longer live (replaced by a concurrent rewrite/overwrite): "
+            f"data file(s) this commit's position deletes reference are "
+            f"no longer live (replaced by a concurrent rewrite/overwrite): "
             f"{dead}; re-plan the delete"
         )
     return untouched, rewritten
@@ -1224,6 +1237,7 @@ def write_snapshot_tree(
     extra_summary: dict[str, str],
     parent_override: int | None = None,
     removed_files: list[DataFile] | None = None,
+    required_live_paths: set[str] | None = None,
 ) -> dict:
     """Write one manifest (the new files) + one manifest list (new manifest
     plus, for appends, the parent snapshot's carried-forward manifests)
@@ -1234,7 +1248,9 @@ def write_snapshot_tree(
     are prior delete entries this commit SUPERSEDES — fold-on-write's
     stale deletion vectors — marked DELETED in rewritten carried
     manifests (_supersede_carried_entries) and subtracted from the
-    running totals."""
+    running totals. required_live_paths are data files the commit's
+    position deletes reference: validated still-live in the commit base
+    (validateDataFilesExist), else ReplaceConflictError."""
     seq = md["last-sequence-number"] + 1
     snapshot_id = int.from_bytes(os.urandom(8), "big") >> 1
     parent = md["current-snapshot-id"] if parent_override is None else parent_override
@@ -1347,7 +1363,7 @@ def write_snapshot_tree(
         dv_targets = {
             f.referenced_data_file for f in files if f.is_deletion_vector
         }
-        if removed_files or dv_targets:
+        if removed_files or dv_targets or required_live_paths:
             # fold-on-write: superseded DV entries flip to DELETED in
             # rewritten carried manifests; those rewrites are excluded
             # from commit-time merging (merging drops DELETED markers,
@@ -1363,6 +1379,7 @@ def write_snapshot_tree(
                 snapshot_id,
                 seq,
                 dv_targets=dv_targets,
+                required_live_paths=required_live_paths or frozenset(),
             )
             manifests += rewritten
         # streaming exporters commit one snapshot per micro-batch; merge
@@ -2438,8 +2455,24 @@ def plan_scan_metadata(
         except Exception:  # noqa: BLE001 — dropped source column
             part_types[pf["name"]] = None
 
+    # the predicate side of the manifest skip is manifest-independent:
+    # build it once, not per manifest-list record
+    summary_checks: list[tuple[str, Any, Any]] = []
+    if partition_range and spec_names:
+        summary_checks.append(
+            (spec_names[0], partition_range[0], partition_range[1])
+        )
+    for name, expected in pred_parts.items():
+        summary_checks.append((name, expected, expected))
+    for name, (lo_t, hi_t) in range_parts.items():
+        summary_checks.append((name, lo_t, hi_t))
+
     def _manifest_excluded(m: dict) -> bool:
-        if pruned_out is not None or m.get("content", 0) != 0:
+        if (
+            pruned_out is not None
+            or not summary_checks
+            or m.get("content", 0) != 0
+        ):
             return False
         summaries = m.get("partitions")
         if (
@@ -2449,14 +2482,7 @@ def plan_scan_metadata(
         ):
             return False
         by_name = dict(zip(spec_names, summaries))
-        checks: list[tuple[str, Any, Any]] = []
-        if partition_range and spec_names:
-            checks.append((spec_names[0], partition_range[0], partition_range[1]))
-        for name, expected in pred_parts.items():
-            checks.append((name, expected, expected))
-        for name, (lo_t, hi_t) in range_parts.items():
-            checks.append((name, lo_t, hi_t))
-        for name, lo_t, hi_t in checks:
+        for name, lo_t, hi_t in summary_checks:
             s = by_name.get(name)
             rtype = part_types.get(name)
             if (
@@ -2561,6 +2587,7 @@ def plan_scan_metadata(
                 partition=part,
                 sequence_number=entry_seq,
                 raw_bounds=(df_.get("lower_bounds"), df_.get("upper_bounds")),
+                spec_id=m.get("partition_spec_id"),
             )
             if skip:
                 pruned += 1
@@ -2939,6 +2966,7 @@ def live_files(md: dict, snapshot_id: int) -> tuple[list[DataFile], list[DataFil
                     if d.get("content", 0) == 0
                     else None
                 ),
+                spec_id=m.get("partition_spec_id"),
             )
             (deletes if f.content in (1, 2) else data).append(f)
     return data, deletes
@@ -2989,7 +3017,7 @@ def plan_deletion_vectors(
     data_files: list[DataFile],
     delete_files: list[DataFile],
     predicate: str,
-) -> tuple[list[DataFile], int, list[DataFile]] | None:
+) -> tuple[list[DataFile], int, list[DataFile], set[str]] | None:
     """Merge-on-read DELETE planning with DELETION-VECTOR output
     (Iceberg v3 "Deletion Vectors" as a v2 engine extension): instead of
     a globally-sorted parquet of (file_path, pos) tuples, each
@@ -3011,8 +3039,9 @@ def plan_deletion_vectors(
     deleted rows. Decode+union is driver-side but metadata-scale:
     only files receiving NEW deletes are touched, and a roaring
     bitmap is KBs per million positions. Returns (new delete
-    DataFiles, rows NEWLY deleted, superseded prior DV DataFiles)
-    or None."""
+    DataFiles, rows NEWLY deleted, superseded prior DV DataFiles,
+    referenced data-file paths — the commit validates they are still
+    live) or None."""
     if not data_files:
         return None
     matches = _position_delete_matches(spark, md, data_files, delete_files, predicate)
@@ -3086,7 +3115,7 @@ def plan_deletion_vectors(
         )
         for data_file, (off, length, card) in sorted(spans.items())
     ]
-    return new_deletes, n_deleted, superseded
+    return new_deletes, n_deleted, superseded, set(dvs)
 
 
 def plan_position_delete(
@@ -3095,7 +3124,7 @@ def plan_position_delete(
     data_files: list[DataFile],
     delete_files: list[DataFile],
     predicate: str,
-) -> tuple[list[DataFile], int, list[DataFile]] | None:
+) -> tuple[list[DataFile], int, list[DataFile], set[str]] | None:
     """Merge-on-read DELETE planning: TWO Spark jobs regardless of table
     size — (1) count the live rows matching the bare predicate (filter
     pushes into the Parquet scan; rows already position-deleted are
@@ -3105,12 +3134,18 @@ def plan_position_delete(
     just the delete tuples — the spec's required delete-file ordering.
     No data file is read beyond the predicate scan and none is
     rewritten. Returns (new delete DataFiles, rows deleted, superseded
-    prior files — always [] here, parquet deletes stack by design) or
-    None."""
+    prior files — always [] here, parquet deletes stack by design,
+    referenced data-file paths — the commit validates they are still
+    live) or None."""
     if not data_files:
         return None
     matches = _position_delete_matches(spark, md, data_files, delete_files, predicate)
-    n_deleted = matches.count()
+    # one hash-agg job yields BOTH the total and the referenced file set
+    # (metadata-scale: one row per touched file) — the commit validates
+    # those files are still live (validateDataFilesExist)
+    per_file = matches.groupBy("file_path").count().collect()
+    n_deleted = sum(r["count"] for r in per_file)
+    targets = {r["file_path"] for r in per_file}
     if n_deleted == 0:
         return None
     out_dir = os.path.join(md["location"], "data", f"deletes-{uuid.uuid4().hex}")
@@ -3131,7 +3166,7 @@ def plan_position_delete(
         )
         for f in _scan_written_files(out_dir, [])
     ]
-    return new_deletes, n_deleted, []
+    return new_deletes, n_deleted, [], targets
 
 
 def hive_data_files(source_dir: str, spec: list[dict]) -> list[DataFile]:
@@ -3517,6 +3552,63 @@ def _added_files(snapshot: dict) -> tuple[list[DataFile], bool]:
     return out, carried
 
 
+def plan_cherry_pick(md: dict, snapshot_id: int) -> list[DataFile]:
+    """Validation + file extraction both transports' cherry_pick share:
+    the snapshot must exist, be a plain data APPEND (other operations
+    were planned against their own base and cannot replay), and must
+    not already be published — neither directly on main's ancestry nor
+    via an earlier cherry-pick (the published copy carries a fresh
+    snapshot id, so the `cherry-picked-from-snapshot` summary marker is
+    the only trace; Iceberg uses source-snapshot-id the same way).
+    Returns the ADDED data files with sequence numbers reset: the files
+    re-enter under the NEW commit's sequence (the staged branch's seqs
+    belong to ITS lineage and may collide with commits main gained
+    since)."""
+    import dataclasses
+
+    snap = next(
+        (s for s in md["snapshots"] if s["snapshot-id"] == snapshot_id), None
+    )
+    if snap is None:
+        raise ValueError(f"unknown snapshot {snapshot_id}")
+    if snap["summary"].get("operation") != "append":
+        raise ValueError(
+            f"snapshot {snapshot_id} is a "
+            f"{snap['summary'].get('operation')!r} snapshot; only append "
+            "snapshots can be cherry-picked (other operations were "
+            "planned against their own base and cannot replay)"
+        )
+    chain, _ = _ancestry_window(md, None, None)
+    if snapshot_id in {s["snapshot-id"] for s in chain}:
+        raise ValueError(
+            f"snapshot {snapshot_id} is already on main's ancestry — "
+            "cherry-picking it would duplicate its rows"
+        )
+    already = next(
+        (
+            s["snapshot-id"]
+            for s in chain
+            if s["summary"].get("cherry-picked-from-snapshot")
+            == str(snapshot_id)
+        ),
+        None,
+    )
+    if already is not None:
+        raise ValueError(
+            f"snapshot {snapshot_id} was already cherry-picked as "
+            f"snapshot {already} — publishing it again would duplicate "
+            "its rows (a retry after a lost response should treat the "
+            "first publish as the success)"
+        )
+    added, _ = _added_files(snap)
+    if any(f.content != 0 for f in added):
+        raise ValueError(
+            f"snapshot {snapshot_id} added delete files; cherry-pick "
+            "supports plain data appends only"
+        )
+    return [dataclasses.replace(f, sequence_number=0) for f in added]
+
+
 def read_changelog(
     spark: SparkSession,
     md: dict,
@@ -3808,14 +3900,37 @@ def plan_rewrite(
     under {location}/data and returns (replacement file set =
     survivors + rewritten, n_compacted, n_rewritten), or None when
     nothing qualifies. The caller owns the replace COMMIT on its
-    transport."""
+    transport.
+
+    SPEC MIGRATION: files written under an OLDER partition spec
+    (manifest spec id != the default) rewrite through the
+    hidden-partitioned writer instead, so their rows land on the
+    CURRENT spec's layout — compaction is the documented path back to
+    prunable tuples (and partition-identity ops like dynamic overwrite)
+    after update_partition_spec."""
+    default_spec = md["default-spec-id"]
     by_part: dict[tuple, list[DataFile]] = {}
+    migrate: list[DataFile] = []
     for f in live:
-        by_part.setdefault(tuple(sorted(f.partition.items())), []).append(f)
+        if f.spec_id is not None and f.spec_id != default_spec:
+            migrate.append(f)
+        else:
+            by_part.setdefault(tuple(sorted(f.partition.items())), []).append(f)
 
     survivors: list[DataFile] = []
     rewritten: list[DataFile] = []
     n_compacted = 0
+    if migrate:
+        mig_df = _tagged_live_scan(
+            spark,
+            read_schema_for(spark, md),
+            [f.file_path for f in migrate],
+            delete_files or [],
+            md,
+            live,
+        ).drop("__file")
+        rewritten.extend(write_partitioned_batch(mig_df, md["location"], md))
+        n_compacted += len(migrate)
     for part_key, files in sorted(by_part.items()):
         small = [f for f in files if f.file_size_in_bytes < target_bytes]
         if len(small) < min_files:
@@ -3878,11 +3993,30 @@ def plan_partition_overwrite(
     if snapshot_id == -1:
         return [], [], []
     data, deletes = live_files(md, snapshot_id)
-    # spec-evolution guard: files written under an OLDER partition spec
-    # carry different field names, so tuple equality could silently
-    # KEEP old-spec files whose rows overlap the backfilled partitions
-    # (rows doubled). Refuse loudly, like Iceberg's dynamic overwrite —
-    # compact the old-spec files onto the current spec first.
+    # spec-evolution guard: files written under a DIFFERENT partition
+    # spec carry differently-shaped tuples (extra fields, missing
+    # fields, or an empty pre-partitioning tuple), so tuple equality
+    # could silently KEEP old-spec files whose rows overlap the
+    # backfilled partitions (rows doubled). The manifest's spec id is
+    # authoritative — any live data file under a non-default spec
+    # refuses loudly, like Iceberg's dynamic overwrite; the field-name
+    # check remains as a belt for files lacking spec provenance.
+    default_spec = md["default-spec-id"]
+    evolved = sorted(
+        {
+            f.spec_id
+            for f in data
+            if f.spec_id is not None and f.spec_id != default_spec
+        }
+    )
+    if evolved:
+        raise ValueError(
+            f"live data files were written under partition spec(s) "
+            f"{evolved} (current default: {default_spec}); dynamic "
+            "partition overwrite cannot match their tuples against the "
+            "current spec — rewrite_data_files first (or overwrite by "
+            "explicit DELETE + append)"
+        )
     spec_names = {pf["name"] for pf in default_spec_fields(md)}
     stray = sorted(
         {
@@ -4072,7 +4206,7 @@ def plan_update_mor(
     predicate: str,
     set_exprs: dict[str, str],
     delete_plan_fn=None,
-) -> tuple[list[DataFile], int, list[DataFile]] | None:
+) -> tuple[list[DataFile], int, list[DataFile], set[str]] | None:
     """Merge-on-read UPDATE planning (Iceberg row-delta): the matching
     rows' (file_path, pos) tuples become a position-delete file AND
     their updated copies append as fresh hidden-partitioned data files —
@@ -4083,7 +4217,8 @@ def plan_update_mor(
     (plan_position_delete parquet tuples by default;
     plan_deletion_vectors for v3 DVs). Returns (new files: deletes +
     data, n_updated, superseded prior DV files the commit must mark
-    DELETED — DV mode's fold-on-write) or None."""
+    DELETED — DV mode's fold-on-write, referenced data-file paths for
+    the commit's liveness validation) or None."""
     if not data_files:
         return None
     unknown = set(set_exprs) - {f_.name for f_ in spark_read_schema(md).fields}
@@ -4094,7 +4229,7 @@ def plan_update_mor(
     )
     if planned is None:
         return None
-    new_deletes, n_updated, superseded = planned
+    new_deletes, n_updated, superseded, delete_targets = planned
     schema = read_schema_for(spark, md)
     # every row in the matched scan matches: apply SET unconditionally
     matched = _tagged_live_scan(
@@ -4109,7 +4244,7 @@ def plan_update_mor(
         ]
     )
     new_data = write_partitioned_batch(updated, md["location"], md)
-    return new_deletes + new_data, n_updated, superseded
+    return new_deletes + new_data, n_updated, superseded, delete_targets
 
 
 def plan_merge_mor(
@@ -4124,12 +4259,14 @@ def plan_merge_mor(
     keys appear in the source get position-deleted, and the ENTIRE
     source appends as fresh data files — old row versions are shadowed,
     unmatched source rows insert, no data file is rewritten. Returns
-    (new files: deletes + data, n_updated, n_inserted)."""
+    (new files: deletes + data, n_updated, n_inserted, referenced
+    data-file paths for the commit's liveness validation)."""
     schema = read_schema_for(spark, md)
     keys = source.select(*key_cols).distinct()
     n_inserted = source.count()
     new_deletes: list[DataFile] = []
     n_updated = 0
+    delete_targets: set[str] = set()
     if data_files:
         tagged = _tagged_live_scan(
             spark, schema, [f.file_path for f in data_files], delete_files, md, data_files
@@ -4152,7 +4289,9 @@ def plan_merge_mor(
         matches = tuples.join(F.broadcast(keys), key_cols, "semi").select(
             "file_path", "pos"
         )
-        n_updated = matches.count()
+        per_file = matches.groupBy("file_path").count().collect()
+        n_updated = sum(r["count"] for r in per_file)
+        delete_targets = {r["file_path"] for r in per_file}
         if n_updated:
             out_dir = os.path.join(md["location"], "data", f"deletes-{uuid.uuid4().hex}")
             n_parts = max(1, min(64, -(-n_updated // 5_000_000)))
@@ -4177,7 +4316,7 @@ def plan_merge_mor(
     new_data = write_partitioned_batch(
         source.select(*[f_.name for f_ in schema.fields]), md["location"], md
     )
-    return new_deletes + new_data, n_updated, n_inserted
+    return new_deletes + new_data, n_updated, n_inserted, delete_targets
 
 
 def plan_delete_rewrite(
@@ -5034,53 +5173,7 @@ class FsTable:
         replaces, or carried rewrites raises — those effects were
         computed against the old base and cannot be replayed blindly.
         Returns the new main head."""
-        import dataclasses
-
-        md = self.metadata()
-        snap = next(
-            (s for s in md["snapshots"] if s["snapshot-id"] == snapshot_id), None
-        )
-        if snap is None:
-            raise ValueError(f"unknown snapshot {snapshot_id}")
-        if snap["summary"].get("operation") != "append":
-            raise ValueError(
-                f"snapshot {snapshot_id} is a "
-                f"{snap['summary'].get('operation')!r} snapshot; only append "
-                "snapshots can be cherry-picked (other operations were "
-                "planned against their own base and cannot replay)"
-            )
-        chain, _ = _ancestry_window(md, None, None)
-        if snapshot_id in {s["snapshot-id"] for s in chain}:
-            raise ValueError(
-                f"snapshot {snapshot_id} is already on main's ancestry — "
-                "cherry-picking it would duplicate its rows"
-            )
-        already = next(
-            (
-                s["snapshot-id"]
-                for s in chain
-                if s["summary"].get("cherry-picked-from-snapshot")
-                == str(snapshot_id)
-            ),
-            None,
-        )
-        if already is not None:
-            raise ValueError(
-                f"snapshot {snapshot_id} was already cherry-picked as "
-                f"snapshot {already} — publishing it again would duplicate "
-                "its rows (a retry after a lost response should treat the "
-                "first publish as the success)"
-            )
-        added, _ = _added_files(snap)
-        if any(f.content != 0 for f in added):
-            raise ValueError(
-                f"snapshot {snapshot_id} added delete files; cherry-pick "
-                "supports plain data appends only"
-            )
-        # reset sequence numbers: the files re-enter under the NEW
-        # commit's sequence (the staged branch's seqs belong to ITS
-        # lineage and may collide with commits main gained since)
-        files = [dataclasses.replace(f, sequence_number=0) for f in added]
+        files = plan_cherry_pick(self.metadata(), snapshot_id)
         return self._commit_with_retry(
             files,
             operation="append",
@@ -5098,6 +5191,7 @@ class FsTable:
         expected_base_snapshot: int | None = None,
         branch: str = "main",
         removed_files: list[DataFile] | None = None,
+        required_live_paths: set[str] | None = None,
     ) -> int:
         attempts = None  # resolved from table properties on first load
         attempt = 0
@@ -5116,6 +5210,7 @@ class FsTable:
                     expected_base_snapshot=expected_base_snapshot,
                     branch=branch,
                     removed_files=removed_files,
+                    required_live_paths=required_live_paths,
                 )
             except CommitConflictError:
                 attempt += 1
@@ -5142,6 +5237,7 @@ class FsTable:
         expected_base_snapshot: int | None = None,
         branch: str = "main",
         removed_files: list[DataFile] | None = None,
+        required_live_paths: set[str] | None = None,
     ) -> int:
         """One commit attempt against the pinned (base_version, md).
 
@@ -5175,6 +5271,7 @@ class FsTable:
             extra_summary=extra_summary,
             parent_override=parent_override,
             removed_files=removed_files,
+            required_live_paths=required_live_paths,
         )
         snapshot_id = snapshot["snapshot-id"]
         seq = snapshot["sequence-number"]
@@ -5769,8 +5866,11 @@ class FsTable:
         original spec and are never rewritten — only NEW writes use the
         new layout. Scans prune on the default spec's field and keep
         old-spec files conservatively (their partition tuple doesn't
-        carry the new field). Returns the new spec id, or None if the
-        requested spec is already the default."""
+        carry the new field); a later rewrite_data_files MIGRATES
+        old-spec files onto the current layout (restoring pruning and
+        partition-identity ops like overwrite_partitions for them).
+        Returns the new spec id, or None if the requested spec is
+        already the default."""
 
         def mutate(md: dict):
             spec = evolved_spec(md, partition_source, granularity)
@@ -6007,7 +6107,7 @@ class FsTable:
             planned = plan_fn(spark, planned_md, live, deletes, predicate)
             if planned is None:
                 return None, 0
-            new_deletes, n_deleted, superseded = planned
+            new_deletes, n_deleted, superseded, targets = planned
             extra = {"deleted-records": str(n_deleted)}
             if mode == "deletion-vectors":
                 extra["added-dvs"] = str(len(new_deletes))
@@ -6017,6 +6117,7 @@ class FsTable:
                 carry_forward=True,
                 extra_summary=extra,
                 removed_files=superseded or None,
+                required_live_paths=targets or None,
             )
             return sid, n_deleted
         planned = plan_delete(spark, planned_md, live, predicate, delete_files=deletes)
@@ -6220,13 +6321,14 @@ class FsTable:
             )
             if planned is None:
                 return None, 0
-            new_files, n_updated, superseded = planned
+            new_files, n_updated, superseded, targets = planned
             sid = self._commit_with_retry(
                 new_files,
                 operation="overwrite",
                 carry_forward=True,
                 extra_summary={"updated-records": str(n_updated)},
                 removed_files=superseded or None,
+                required_live_paths=targets or None,
             )
             return sid, n_updated
         planned = plan_update(
@@ -6300,7 +6402,7 @@ class FsTable:
             else ([], [], 0)
         )
         if mode == "merge-on-read":
-            new_files, n_updated, n_inserted = plan_merge_mor(
+            new_files, n_updated, n_inserted, targets = plan_merge_mor(
                 spark, planned_md, live, deletes, source, key_cols
             )
             sid = self._commit_with_retry(
@@ -6311,6 +6413,7 @@ class FsTable:
                     "merged-records": str(n_updated),
                     "inserted-records": str(n_inserted),
                 },
+                required_live_paths=targets or None,
             )
             return sid, n_updated, n_inserted
         replacement, n_updated, n_inserted = plan_merge(

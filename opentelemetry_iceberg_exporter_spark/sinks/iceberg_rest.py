@@ -460,18 +460,35 @@ def commit_append_transaction(
             if all(present.values()):
                 return past
             if any(present.values()):
+                reread_failed = False
                 for key in keys:
                     if not present[key]:
                         try:
                             fresh = by_key[key].metadata()
                         except RestError:
-                            break
+                            reread_failed = True
+                            continue  # re-check the REST of the tables
                         present[key] = any(
                             s["snapshot-id"] == past[key]
                             for s in fresh.get("snapshots", [])
                         )
                 if all(present.values()):
                     return past
+                if reread_failed:
+                    # a table could not be re-verified: the state is
+                    # genuinely UNKNOWN — do not accuse the server of
+                    # breaking atomicity on a reload blip
+                    raise RestCommitStateUnknownError(
+                        500,
+                        "CommitStateUnknownException",
+                        "transaction may have landed after a lost "
+                        "response, but re-verifying the absent tables "
+                        "failed — state unknown: "
+                        + ", ".join(
+                            f"{ns}.{name}={'landed' if ok else 'unverified'}"
+                            for (ns, name), ok in present.items()
+                        ),
+                    )
                 raise RestCommitStateUnknownError(
                     500,
                     "CommitStateUnknownException",
@@ -654,6 +671,7 @@ class RestTable:
         extra_summary: dict[str, str],
         branch: str = "main",
         removed_files: list[DataFile] | None = None,
+        required_live_paths: set[str] | None = None,
     ) -> int:
         """Append-style commit (carry-forward manifests + one new
         manifest tree) with conflict retry — used by appends AND
@@ -703,6 +721,7 @@ class RestTable:
                 extra_summary=extra_summary,
                 parent_override=None if branch == "main" else parent,
                 removed_files=removed_files,
+                required_live_paths=required_live_paths,
             )
             attempted.append(snapshot["snapshot-id"])
             requirements = [
@@ -863,52 +882,12 @@ class RestTable:
         """Publish one staged append onto CURRENT main when fast-forward
         is impossible (see FsTable.cherry_pick): the staged snapshot's
         ADDED data files re-commit as a new append through the catalog
-        server, with the usual optimistic retry."""
-        import dataclasses
+        server, with the usual optimistic retry. Validation (append-only
+        source, not already published directly or via an earlier
+        cherry-pick) is the shared plan_cherry_pick."""
+        from .iceberg_fs import plan_cherry_pick
 
-        from .iceberg_fs import _added_files, _ancestry_window
-
-        md = self.metadata()
-        snap = next(
-            (s for s in md["snapshots"] if s["snapshot-id"] == snapshot_id), None
-        )
-        if snap is None:
-            raise ValueError(f"unknown snapshot {snapshot_id}")
-        if snap["summary"].get("operation") != "append":
-            raise ValueError(
-                f"snapshot {snapshot_id} is a "
-                f"{snap['summary'].get('operation')!r} snapshot; only append "
-                "snapshots can be cherry-picked"
-            )
-        chain, _ = _ancestry_window(md, None, None)
-        if snapshot_id in {s["snapshot-id"] for s in chain}:
-            raise ValueError(
-                f"snapshot {snapshot_id} is already on main's ancestry — "
-                "cherry-picking it would duplicate its rows"
-            )
-        already = next(
-            (
-                s["snapshot-id"]
-                for s in chain
-                if s["summary"].get("cherry-picked-from-snapshot")
-                == str(snapshot_id)
-            ),
-            None,
-        )
-        if already is not None:
-            raise ValueError(
-                f"snapshot {snapshot_id} was already cherry-picked as "
-                f"snapshot {already} — publishing it again would duplicate "
-                "its rows (a retry after a lost response should treat the "
-                "first publish as the success)"
-            )
-        added, _ = _added_files(snap)
-        if any(f.content != 0 for f in added):
-            raise ValueError(
-                f"snapshot {snapshot_id} added delete files; cherry-pick "
-                "supports plain data appends only"
-            )
-        files = [dataclasses.replace(f, sequence_number=0) for f in added]
+        files = plan_cherry_pick(self.metadata(), snapshot_id)
         return self._commit_add(
             files,
             "append",
@@ -1280,12 +1259,16 @@ class RestTable:
             planned = plan_fn(spark, md, live, deletes, predicate)
             if planned is None:
                 return None, 0
-            new_deletes, n_deleted, superseded = planned
+            new_deletes, n_deleted, superseded, targets = planned
             extra = {"deleted-records": str(n_deleted)}
             if mode == "deletion-vectors":
                 extra["added-dvs"] = str(len(new_deletes))
             sid = self._commit_add(
-                new_deletes, "delete", extra, removed_files=superseded or None
+                new_deletes,
+                "delete",
+                extra,
+                removed_files=superseded or None,
+                required_live_paths=targets or None,
             )
             return sid, n_deleted
         planned = plan_delete(spark, md, live, predicate, delete_files=deletes)
@@ -1396,12 +1379,13 @@ class RestTable:
             )
             if planned is None:
                 return None, 0
-            new_files, n_updated, superseded = planned
+            new_files, n_updated, superseded, targets = planned
             sid = self._commit_add(
                 new_files,
                 "overwrite",
                 {"updated-records": str(n_updated)},
                 removed_files=superseded or None,
+                required_live_paths=targets or None,
             )
             return sid, n_updated
         planned = plan_update(
@@ -1502,7 +1486,7 @@ class RestTable:
             else ([], [])
         )
         if mode == "merge-on-read":
-            new_files, n_updated, n_inserted = plan_merge_mor(
+            new_files, n_updated, n_inserted, targets = plan_merge_mor(
                 spark, md, live, deletes, source, key_cols
             )
             sid = self._commit_add(
@@ -1512,6 +1496,7 @@ class RestTable:
                     "merged-records": str(n_updated),
                     "inserted-records": str(n_inserted),
                 },
+                required_live_paths=targets or None,
             )
             return sid, n_updated, n_inserted
         replacement, n_updated, n_inserted = plan_merge(

@@ -479,3 +479,43 @@ class TestDvFoldOverRest:
             assert int(s["total-position-deletes"]) == 10
         finally:
             server.shutdown()
+
+
+class TestParquetDeleteLiveness:
+    def test_mor_parquet_delete_racing_rewrite_forces_replan(
+        self, spark, tmp_path
+    ):
+        """validateDataFilesExist covers PLAIN merge-on-read position
+        deletes too, not just vectors: tuples referencing a file a
+        concurrent compaction replaced would match nothing and the
+        'deleted' rows would stay readable."""
+        import opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs as mod
+
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table(
+            "otel", "events", _df(spark).schema, partition_source="ts"
+        )
+        t.append_dataframe(_df(spark).filter("id < 20"))
+        t.append_dataframe(_df(spark).filter("id >= 20"))
+        t2 = cat.load_table("otel", "events")
+
+        real_plan = mod.plan_position_delete
+        fired = {"done": False}
+
+        def racing_plan(*args, **kwargs):
+            planned = real_plan(*args, **kwargs)
+            if not fired["done"]:
+                fired["done"] = True
+                assert t2.rewrite_data_files(spark, min_files=2) is not None
+            return planned
+
+        mod.plan_position_delete = racing_plan
+        try:
+            with pytest.raises(ReplaceConflictError, match="no longer live"):
+                t.delete_where(spark, "id in (3, 4)", mode="merge-on-read")
+        finally:
+            mod.plan_position_delete = real_plan
+        assert t.read(spark).count() == 40  # nothing half-deleted
+        sid, n = t.delete_where(spark, "id in (3, 4)", mode="merge-on-read")
+        assert n == 2 and sid is not None
+        assert t.read(spark).count() == 38

@@ -293,3 +293,29 @@ class TestRandomizedOverwriteModel:
             }
             assert got == set(model.items()), f"step {step}"
         assert t.read(spark).count() == len(model)
+
+
+class TestSpecEvolutionGuard:
+    def test_overwrite_refused_over_old_spec_files(self, spark, tmp_path):
+        """Files written under an older partition spec have
+        differently-shaped tuples — including SUBSET shapes (hourly vs
+        daily carries a different field; unpartitioned carries none)
+        that tuple equality can never replace. A backfill would keep
+        them alongside the new files and double the rows: refuse."""
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table(
+            "otel", "ev", _df(spark, [0]).schema, partition_source="ts",
+            granularity="hourly",
+        )
+        t.append_dataframe(_df(spark, range(200)))
+        assert t.update_partition_spec("ts", granularity="daily") is not None
+        t2 = cat.load_table("otel", "ev")
+        with pytest.raises(ValueError, match="partition spec"):
+            t2.overwrite_partitions(_df(spark, range(100, 150), tag="b"))
+        # after compacting everything onto the current spec, it works
+        assert t2.rewrite_data_files(spark, min_files=1) is not None
+        sid = t2.overwrite_partitions(_df(spark, range(100, 150), tag="b"))
+        assert sid is not None
+        got = t2.read(spark)
+        assert got.count() == 150
+        assert got.filter("id >= 100 and id < 200 and tag = 'a'").count() == 0
