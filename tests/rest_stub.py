@@ -178,9 +178,17 @@ class _Handler(BaseHTTPRequestHandler):
                     404, "NoSuchTableException", f"Table does not exist: {key[0]}.{key[1]}"
                 )
                 return
-            self._send(200, {"metadata-location": self._metadata_location(key), "metadata": md})
             # a deferred transaction lands AFTER the landed-check loads
-            # were served absent — the late-application race
+            # were served absent — the late-application race. Capture the
+            # PRE-apply view for this response, then apply BEFORE the
+            # response leaves: the triggering GET still sees absent, and
+            # every subsequent request deterministically sees the landed
+            # state (sending first would let the client's next GET race
+            # the apply in this handler thread).
+            payload = {
+                "metadata-location": self._metadata_location(key),
+                "metadata": md,
+            }
             st = self.state
             if st.staged_deferred and st.deferred_countdown > 0:
                 st.deferred_countdown -= 1
@@ -192,6 +200,7 @@ class _Handler(BaseHTTPRequestHandler):
                                 st.versions[k] += 1
                                 self._persist(k)
                         st.staged_deferred = []
+            self._send(200, payload)
             return
         self._error(404, "NotFoundException", f"no route {path}")
 
