@@ -200,6 +200,43 @@ def run_write_path(spark, sf_dir: str, make_table) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def warmup_write_path(spark, sf_dir: str) -> None:
+    """One tiny UNTIMED pass through every write-path code path (append,
+    upsert, changelog, DV delete, manifest rewrite, post-commit read) so
+    first-use costs — Python module import, roaring/Puffin codec setup,
+    JVM codegen for the delete anti-joins — are paid before EITHER
+    transport's timed section. Without this the fs section (which runs
+    first) absorbs all of it and the fs-vs-REST comparison overstates
+    fs cost (BENCH_r06: dv_delete 6.1s fs vs 2.5s REST on the same
+    planner)."""
+    from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import FsCatalog
+    from opentelemetry_iceberg_exporter_spark.sources.tables import load_table
+
+    wh = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        events = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .limit(4096)
+        )
+        cat = FsCatalog(wh)
+        t = cat.create_table(
+            "bench",
+            "warm",
+            events.schema,
+            partition_source="ts",
+            granularity="daily",
+        )
+        t.append_dataframe(events)
+        t.upsert_equality(spark, events.limit(512), ["event_id"])
+        t.changelog_scan(spark).count()
+        t.delete_where(spark, "pmod(event_id, 97) = 3", mode="deletion-vectors")
+        t.rewrite_manifests(min_count=1)
+        t.read(spark).count()
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def run_write_path_fs(spark, sf_dir: str) -> dict:
     from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import FsCatalog
 
@@ -292,11 +329,13 @@ def main() -> None:
         for name, runs in steady_runs.items()
     }
 
+    warmup_write_path(spark, sf_dir)
     write_path = run_write_path_fs(spark, sf_dir)
     write_path_rest = run_write_path_rest(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
-    line = json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full_line = json.dumps(
         {
             "metric": "headline_queries_total_runtime",
             "value": total,
@@ -307,7 +346,31 @@ def main() -> None:
             "steady_passes": N_STEADY_PASSES,
             "write_path": write_path,
             "write_path_rest": write_path_rest,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "sf": sf_val,
+        }
+    )
+    # the full record above outgrew the driver's 2KB stdout-tail capture
+    # (BENCH_r06.json landed with parsed:null and the cold headline cut
+    # off), so the LAST line is a COMPACT summary that always fits: cold
+    # + steady totals, per-query steady medians, and the write-path
+    # scalars worth tracking round-over-round. The full blob stays on
+    # the line before it for anyone reading the artifact by hand.
+    compact_line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": steady,
+            "value_steady": round(sum(steady.values()), 3),
+            "sf": sf_val,
+            "append_sec_per_commit_fs": write_path["append_sec_per_commit"],
+            "append_sec_per_commit_rest": write_path_rest["append_sec_per_commit"],
+            "dv_delete_sec_fs": write_path["dv_delete_sec"],
+            "dv_delete_sec_rest": write_path_rest["dv_delete_sec"],
+            "pruned_dml_delete_sec": write_path["pruned_dml_delete_sec"],
+            "pruned_dml_files_scanned": write_path["pruned_dml_files_scanned"],
+            "pruned_dml_files_excluded": write_path["pruned_dml_files_excluded"],
+            "changelog_rows_per_sec": write_path["changelog_rows_per_sec"],
         }
     )
     # teardown BEFORE printing: streaming availableNow queries already
@@ -320,7 +383,8 @@ def main() -> None:
         q.awaitTermination()
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    print(line)
+    print(full_line)
+    print(compact_line)
 
 
 if __name__ == "__main__":

@@ -2363,6 +2363,85 @@ def scan_with_deletes(
 _MONOTONE_TRANSFORMS = {"hours", "days", "months", "years", "truncate"}
 
 
+def partition_range_parts(
+    md: dict, source_ranges: list[tuple[str, Any, Any]]
+) -> dict[str, tuple[Any, Any]]:
+    """{spec_field_name: (lo_t, hi_t)}: source-column ranges rewritten
+    through MONOTONE partition transforms (time transforms, truncate —
+    never bucket), the shared front half of partition pruning for scan
+    planning, scoped changelogs, and time-scoped streaming tails."""
+    schema_fields = current_schema(md)["fields"]
+    spec_fields = default_spec_fields(md)
+    range_parts: dict[str, tuple[Any, Any]] = {}
+    for rcol, rlo, rhi in source_ranges:
+        src = next((f_ for f_ in schema_fields if f_["name"] == rcol), None)
+        if src is not None:
+            for pf in spec_fields:
+                base, _ = parse_transform(pf["transform"])
+                if pf["source-id"] == src["id"] and base in _MONOTONE_TRANSFORMS:
+                    range_parts[pf["name"]] = (
+                        apply_transform_value(rlo, pf["transform"], src["type"]),
+                        apply_transform_value(rhi, pf["transform"], src["type"]),
+                    )
+    return range_parts
+
+
+def build_manifest_excluder(md: dict, summary_checks: list[tuple[str, Any, Any]]):
+    """Callable(manifest-list record) -> True when the record's
+    field-507 partition summaries PROVE no entry can satisfy every
+    (spec_field_name, lo, hi) check — the manifest is then skipped
+    UNOPENED. Conservative by construction: delete manifests, records
+    without summaries (older writers), non-default-spec manifests, and
+    null-containing summaries are never skipped."""
+    if not summary_checks:
+        return lambda m: False
+    spec_fields = default_spec_fields(md)
+    spec_names = [pf["name"] for pf in spec_fields]
+    part_types: dict[str, str | None] = {}
+    for pf in spec_fields:
+        try:
+            part_types[pf["name"]] = transform_result_type(
+                pf["transform"], _field_type_by_id(md, pf["source-id"])
+            )
+        except Exception:  # noqa: BLE001 — dropped source column
+            part_types[pf["name"]] = None
+
+    def _excluded(m: dict) -> bool:
+        if m.get("content", 0) != 0:
+            return False
+        summaries = m.get("partitions")
+        if (
+            not summaries
+            or m.get("partition_spec_id") != md["default-spec-id"]
+            or len(summaries) != len(spec_fields)
+        ):
+            return False
+        by_name = dict(zip(spec_names, summaries))
+        for name, lo_t, hi_t in summary_checks:
+            s = by_name.get(name)
+            rtype = part_types.get(name)
+            if (
+                s is None
+                or s.get("contains_null")  # null values never partition-prune
+                or rtype is None
+                or s.get("lower_bound") is None
+                or s.get("upper_bound") is None
+            ):
+                continue
+            try:
+                s_lo = decode_bound(s["lower_bound"], rtype)
+                s_hi = decode_bound(s["upper_bound"], rtype)
+                if (hi_t is not None and s_lo > hi_t) or (
+                    lo_t is not None and s_hi < lo_t
+                ):
+                    return True
+            except (TypeError, ValueError, struct.error):
+                continue  # undecodable/mixed-type: keep the manifest
+        return False
+
+    return _excluded
+
+
 def plan_scan_metadata(
     md: dict,
     snapshot_id: int | None = None,
@@ -2420,17 +2499,7 @@ def plan_scan_metadata(
                     pred_parts[pf["name"]] = apply_transform_value(
                         pval, pf["transform"], src["type"]
                     )
-    range_parts: dict[str, tuple[Any, Any]] = {}
-    for rcol, rlo, rhi in source_ranges:
-        src = next((f_ for f_ in schema_fields if f_["name"] == rcol), None)
-        if src is not None:
-            for pf in spec_fields:
-                base, _ = parse_transform(pf["transform"])
-                if pf["source-id"] == src["id"] and base in _MONOTONE_TRANSFORMS:
-                    range_parts[pf["name"]] = (
-                        apply_transform_value(rlo, pf["transform"], src["type"]),
-                        apply_transform_value(rhi, pf["transform"], src["type"]),
-                    )
+    range_parts = partition_range_parts(md, source_ranges)
     col_bounds: list[tuple[dict, Any, Any]] = []
     for name, lo_v, hi_v in column_ranges:
         col_field = next((f_ for f_ in schema_fields if f_["name"] == name), None)
@@ -2443,20 +2512,9 @@ def plan_scan_metadata(
     # cost then tracks the matching partitions, not the table's whole
     # manifest population. Only when pruned_out is None: copy-on-write
     # DML needs every excluded FILE entry back for re-commit, so it
-    # keeps the full walk. Manifests without summaries (older writers,
-    # spec-evolved), delete manifests, and null-containing summaries
-    # are never skipped — conservative, never wrong pruning.
-    part_types: dict[str, str | None] = {}
-    for pf in spec_fields:
-        try:
-            part_types[pf["name"]] = transform_result_type(
-                pf["transform"], _field_type_by_id(md, pf["source-id"])
-            )
-        except Exception:  # noqa: BLE001 — dropped source column
-            part_types[pf["name"]] = None
-
-    # the predicate side of the manifest skip is manifest-independent:
-    # build it once, not per manifest-list record
+    # keeps the full walk.
+    # The predicate side of the skip is manifest-independent: build it
+    # once, not per manifest-list record.
     summary_checks: list[tuple[str, Any, Any]] = []
     if partition_range and spec_names:
         summary_checks.append(
@@ -2466,43 +2524,11 @@ def plan_scan_metadata(
         summary_checks.append((name, expected, expected))
     for name, (lo_t, hi_t) in range_parts.items():
         summary_checks.append((name, lo_t, hi_t))
-
-    def _manifest_excluded(m: dict) -> bool:
-        if (
-            pruned_out is not None
-            or not summary_checks
-            or m.get("content", 0) != 0
-        ):
-            return False
-        summaries = m.get("partitions")
-        if (
-            not summaries
-            or m.get("partition_spec_id") != md["default-spec-id"]
-            or len(summaries) != len(spec_fields)
-        ):
-            return False
-        by_name = dict(zip(spec_names, summaries))
-        for name, lo_t, hi_t in summary_checks:
-            s = by_name.get(name)
-            rtype = part_types.get(name)
-            if (
-                s is None
-                or s.get("contains_null")  # null values never partition-prune
-                or rtype is None
-                or s.get("lower_bound") is None
-                or s.get("upper_bound") is None
-            ):
-                continue
-            try:
-                s_lo = decode_bound(s["lower_bound"], rtype)
-                s_hi = decode_bound(s["upper_bound"], rtype)
-                if (hi_t is not None and s_lo > hi_t) or (
-                    lo_t is not None and s_hi < lo_t
-                ):
-                    return True
-            except (TypeError, ValueError, struct.error):
-                continue  # undecodable/mixed-type: keep the manifest
-        return False
+    _manifest_excluded = (
+        (lambda m: False)
+        if pruned_out is not None
+        else build_manifest_excluder(md, summary_checks)
+    )
 
     files: list[DataFile] = []
     deletes: list[DataFile] = []
@@ -4414,26 +4440,174 @@ def snapshot_file_tree(snapshot: dict) -> tuple[set[str], set[str]]:
     return files, manifests
 
 
+# table-level defaults for per-ref retention (Iceberg's history.expire.*
+# properties, same names and defaults). Per-ref settings on the ref
+# itself override these; the main branch additionally takes the expire
+# API's keep_last/older_than_ms arguments.
+HISTORY_MIN_SNAPSHOTS_PROP = "history.expire.min-snapshots-to-keep"
+HISTORY_MAX_SNAPSHOT_AGE_PROP = "history.expire.max-snapshot-age-ms"
+HISTORY_MAX_REF_AGE_PROP = "history.expire.max-ref-age-ms"
+DEFAULT_MIN_SNAPSHOTS_TO_KEEP = 1
+DEFAULT_MAX_SNAPSHOT_AGE_MS = 5 * 24 * 3600 * 1000
+
+
+def _prop_int(md: dict, name: str, default: int | None) -> int | None:
+    try:
+        return int(md.get("properties", {})[name])
+    except (KeyError, TypeError, ValueError):
+        return default
+
+
+def _advance_ref(md: dict, name: str, snapshot_id: int) -> dict:
+    """Move a branch ref's head, PRESERVING its retention settings
+    (min-snapshots-to-keep etc.) — commits that advance a branch must
+    not silently reset its expiry policy."""
+    prior = md.get("refs", {}).get(name, {})
+    return {**prior, "snapshot-id": snapshot_id, "type": "branch"}
+
+
+def _build_ref(
+    snapshot_id: int,
+    ref_type: str,
+    min_snapshots_to_keep: int | None,
+    max_snapshot_age_ms: int | None,
+    max_ref_age_ms: int | None,
+) -> dict:
+    """A SnapshotRef dict with optional retention fields (Iceberg spec
+    JSON keys). Branch-only settings on a tag are a ValidationException
+    in Iceberg — same refusal here."""
+    if ref_type == "tag" and (
+        min_snapshots_to_keep is not None or max_snapshot_age_ms is not None
+    ):
+        raise ValueError(
+            "min-snapshots-to-keep / max-snapshot-age-ms apply to branches "
+            "only; tags retain exactly the snapshot they point at"
+        )
+    for label, v in (
+        ("min-snapshots-to-keep", min_snapshots_to_keep),
+        ("max-snapshot-age-ms", max_snapshot_age_ms),
+        ("max-ref-age-ms", max_ref_age_ms),
+    ):
+        if v is not None and v <= 0:
+            raise ValueError(f"{label} must be positive, got {v}")
+    ref = {"snapshot-id": snapshot_id, "type": ref_type}
+    if min_snapshots_to_keep is not None:
+        ref["min-snapshots-to-keep"] = min_snapshots_to_keep
+    if max_snapshot_age_ms is not None:
+        ref["max-snapshot-age-ms"] = max_snapshot_age_ms
+    if max_ref_age_ms is not None:
+        ref["max-ref-age-ms"] = max_ref_age_ms
+    return ref
+
+
+def _branch_ancestry_retained(
+    by_id: dict, head_id: int, min_keep: int, cutoff_ms: int
+) -> set[int]:
+    """Snapshots a branch protects: walk the ancestry from the head,
+    retaining while fewer than `min_keep` are kept OR the ancestor is
+    younger than the cutoff; stop at the first ancestor that fails both
+    (Iceberg's computeBranchSnapshotsToRetain — a contiguous prefix, so
+    a branch's retained history is never full of holes)."""
+    ids: set[int] = set()
+    cur: int | None = head_id
+    while cur is not None and cur in by_id:
+        s = by_id[cur]
+        if len(ids) < min_keep or s["timestamp-ms"] >= cutoff_ms:
+            ids.add(cur)
+        else:
+            break
+        cur = s.get("parent-snapshot-id")
+    return ids
+
+
 def expire_plan(
-    md: dict, keep_last: int, older_than_ms: int | None = None
+    md: dict,
+    keep_last: int,
+    older_than_ms: int | None = None,
+    now_ms: int | None = None,
 ) -> dict | None:
-    """Transport-neutral expiry planning: which snapshots to drop and
-    which physical files/manifests/manifest-lists become unreferenced
-    once they are gone. Snapshots pinned by ANY ref (tags, branches) are
-    always retained, like Iceberg's expire_snapshots; `older_than_ms`
-    additionally retains anything committed at/after that wall-clock
-    time (Iceberg's expireOlderThan axis — retention policies are
-    age-based in practice: "keep 7 days of history, at least the last
-    N snapshots"). Both axes compose as retention GUARANTEES: a
-    snapshot expires only if it is outside the keep_last window AND
-    older than the cutoff. None when nothing expires."""
+    """Transport-neutral expiry planning with Iceberg's PER-REF
+    retention semantics: which refs age out, which snapshots to drop,
+    and which physical files/manifests/manifest-lists become
+    unreferenced once they are gone.
+
+    - A TAG retains exactly the snapshot it points at, for as long as
+      the tag lives.
+    - A BRANCH retains its head plus its ANCESTRY, governed by the
+      ref's `min-snapshots-to-keep` and `max-snapshot-age-ms` (falling
+      back to the table's `history.expire.*` properties; defaults 1 and
+      5 days) — so expiring snapshots on a table with a WAP audit
+      branch keeps the branch's history readable, not just its head.
+    - `max-ref-age-ms` (per ref, else `history.expire.max-ref-age-ms`,
+      default forever) EXPIRES stale tags/branches themselves, so a
+      forgotten release tag stops pinning snapshots; `main` never ages
+      out.
+    - The main branch takes the API arguments: `keep_last` is its
+      min-snapshots-to-keep, `older_than_ms` its age cutoff. With no
+      `older_than_ms` and no configured max-snapshot-age the cutoff is
+      NOW — `expire_snapshots(keep_last=N)` keeps exactly the last N of
+      main, the engine's original prune-now contract.
+    - UNREFERENCED snapshots (rolled past, abandoned WAP stages) expire
+      once older than `older_than_ms` (or the table's configured
+      max-snapshot-age; or immediately under the prune-now contract).
+
+    Returns None when nothing expires and no ref ages out."""
+    now = int(time.time() * 1000) if now_ms is None else now_ms
     snaps = md["snapshots"]
-    ref_ids = {r["snapshot-id"] for r in md.get("refs", {}).values()}
-    candidates = snaps[:-keep_last] if keep_last else list(snaps)
-    if older_than_ms is not None:
-        candidates = [s for s in candidates if s["timestamp-ms"] < older_than_ms]
-    expired = [s for s in candidates if s["snapshot-id"] not in ref_ids]
-    if not expired:
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    default_min_keep = _prop_int(
+        md, HISTORY_MIN_SNAPSHOTS_PROP, DEFAULT_MIN_SNAPSHOTS_TO_KEEP
+    )
+    default_max_age = _prop_int(md, HISTORY_MAX_SNAPSHOT_AGE_PROP, None)
+    default_max_ref_age = _prop_int(md, HISTORY_MAX_REF_AGE_PROP, None)
+    # prune-now contract: with no explicit age axis anywhere, keep_last
+    # alone governs main and unreferenced snapshots
+    api_cutoff = older_than_ms if older_than_ms is not None else (
+        now - default_max_age if default_max_age is not None else now
+    )
+
+    removed_refs: list[str] = []
+    retain_ids: set[int] = set()
+    for name, ref in md.get("refs", {}).items():
+        head = by_id.get(ref["snapshot-id"])
+        if head is None:  # dangling ref: drop it with the plan
+            removed_refs.append(name)
+            continue
+        if name != "main":
+            max_ref_age = ref.get("max-ref-age-ms", default_max_ref_age)
+            if max_ref_age is not None and now - head["timestamp-ms"] > max_ref_age:
+                removed_refs.append(name)
+                continue
+        if ref.get("type") == "tag":
+            retain_ids.add(head["snapshot-id"])
+            continue
+        if name == "main":
+            min_keep = max(1, keep_last, ref.get("min-snapshots-to-keep") or 0)
+            cutoff = api_cutoff
+            if ref.get("max-snapshot-age-ms") is not None:
+                # both axes are retention GUARANTEES: retain if either says so
+                cutoff = min(cutoff, now - ref["max-snapshot-age-ms"])
+        else:
+            min_keep = max(
+                1, ref.get("min-snapshots-to-keep") or default_min_keep
+            )
+            max_age = ref.get(
+                "max-snapshot-age-ms",
+                default_max_age
+                if default_max_age is not None
+                else DEFAULT_MAX_SNAPSHOT_AGE_MS,
+            )
+            cutoff = now - max_age
+        retain_ids |= _branch_ancestry_retained(
+            by_id, head["snapshot-id"], min_keep, cutoff
+        )
+
+    expired = [
+        s
+        for s in snaps
+        if s["snapshot-id"] not in retain_ids and s["timestamp-ms"] < api_cutoff
+    ]
+    if not expired and not removed_refs:
         return None
     expired_ids = {s["snapshot-id"] for s in expired}
     retained = [s for s in snaps if s["snapshot-id"] not in expired_ids]
@@ -4452,6 +4626,7 @@ def expire_plan(
     return {
         "retained": retained,
         "expired": expired,
+        "removed_refs": sorted(removed_refs),
         "delete_files": sorted(expired_files - keep_files),
         "delete_manifests": (expired_manifests - keep_manifests)
         | {s["manifest-list"] for s in expired},
@@ -5152,7 +5327,7 @@ class FsTable:
             new_md["current-snapshot-id"] = head
             new_md["refs"] = {
                 **md.get("refs", {}),
-                "main": {"snapshot-id": head, "type": "branch"},
+                "main": _advance_ref(md, "main", head),
             }
             new_md["snapshot-log"] = md["snapshot-log"] + [
                 {"timestamp-ms": int(time.time() * 1000), "snapshot-id": head}
@@ -5284,7 +5459,7 @@ class FsTable:
         # snapshots); only main moves the current snapshot + history log
         new_md["refs"] = {
             **md.get("refs", {}),
-            branch: {"snapshot-id": snapshot_id, "type": "branch"},
+            branch: _advance_ref(md, branch, snapshot_id),
         }
         if branch == "main":
             new_md["current-snapshot-id"] = snapshot_id
@@ -5669,29 +5844,52 @@ class FsTable:
         return read_changelog(spark, self.metadata(), from_snapshot_id, to_snapshot_id)
 
     # -- refs: tags + branches ---------------------------------------------
-    def set_ref(self, name: str, snapshot_id: int, ref_type: str = "tag") -> None:
+    def set_ref(
+        self,
+        name: str,
+        snapshot_id: int,
+        ref_type: str = "tag",
+        *,
+        min_snapshots_to_keep: int | None = None,
+        max_snapshot_age_ms: int | None = None,
+        max_ref_age_ms: int | None = None,
+    ) -> None:
         """Create/move a named ref (tag = immutable bookmark, branch =
         movable pointer) to a committed snapshot — metadata-only commit.
         Ref'd snapshots are protected from expire_snapshots, so a tag
         pins a dataset version (e.g. a training-corpus release) for as
-        long as the ref exists."""
+        long as the ref exists.
+
+        Retention settings (Iceberg SnapshotRef fields, overriding the
+        table's `history.expire.*` defaults): `min_snapshots_to_keep` /
+        `max_snapshot_age_ms` govern how much of a BRANCH's ancestry
+        expire_snapshots retains (branches only, per spec);
+        `max_ref_age_ms` lets the ref ITSELF age out, so a stale tag or
+        abandoned branch stops pinning snapshots forever."""
         if ref_type not in ("tag", "branch"):
             raise ValueError(f"ref type must be tag|branch, got {ref_type!r}")
-        attempts = 3
-        for attempt in range(attempts):
+        ref = _build_ref(
+            snapshot_id,
+            ref_type,
+            min_snapshots_to_keep,
+            max_snapshot_age_ms,
+            max_ref_age_ms,
+        )
+        attempt = 0
+        while True:
             base_version, md = self._load_state()
+            # commit.retry.num-retries governs metadata-only commits too
+            attempts = commit_attempts_for(md)
             if snapshot_id not in {s["snapshot-id"] for s in md["snapshots"]}:
                 raise ValueError(f"unknown snapshot {snapshot_id}")
             new_md = dict(md)
-            new_md["refs"] = {
-                **md.get("refs", {}),
-                name: {"snapshot-id": snapshot_id, "type": ref_type},
-            }
+            new_md["refs"] = {**md.get("refs", {}), name: ref}
             new_md["last-updated-ms"] = int(time.time() * 1000)
             try:
                 _write_metadata_version(self.location, base_version + 1, new_md)
             except CommitConflictError:
-                if attempt + 1 == attempts:
+                attempt += 1
+                if attempt >= attempts:
                     raise
                 for _ in range(10):
                     if self.current_version() != base_version:
@@ -5708,9 +5906,11 @@ class FsTable:
         """Remove a named ref (its snapshot becomes expirable again)."""
         if name == "main":
             raise ValueError("cannot drop the main branch")
-        attempts = 3
-        for attempt in range(attempts):
+        attempt = 0
+        while True:
             base_version, md = self._load_state()
+            # commit.retry.num-retries governs metadata-only commits too
+            attempts = commit_attempts_for(md)
             refs = dict(md.get("refs", {}))
             if name not in refs:
                 return
@@ -5721,7 +5921,8 @@ class FsTable:
             try:
                 _write_metadata_version(self.location, base_version + 1, new_md)
             except CommitConflictError:
-                if attempt + 1 == attempts:
+                attempt += 1
+                if attempt >= attempts:
                     raise
                 for _ in range(10):
                     if self.current_version() != base_version:
@@ -5754,9 +5955,11 @@ class FsTable:
         Metadata-only commit — no snapshot, no data rewrite. Returns the
         new schema id."""
         fields = list(new_fields.fields if isinstance(new_fields, StructType) else new_fields)
-        attempts = 3
-        for attempt in range(attempts):
+        attempt = 0
+        while True:
             base_version, md = self._load_state()
+            # commit.retry.num-retries governs metadata-only commits too
+            attempts = commit_attempts_for(md)
             # re-adding a previously-dropped name binds it to a NEW id;
             # name-based resolution would resurrect the old column's
             # bytes, so the table must be id-resolvable first
@@ -5780,7 +5983,8 @@ class FsTable:
             try:
                 _write_metadata_version(self.location, base_version + 1, new_md)
             except CommitConflictError:
-                if attempt + 1 == attempts:
+                attempt += 1
+                if attempt >= attempts:
                     raise
                 for _ in range(10):
                     if self.current_version() != base_version:
@@ -5827,9 +6031,11 @@ class FsTable:
         (new_md, result) — or (None, result) for a no-op — and the new
         metadata version is swapped in atomically. No snapshot, no data
         files touched."""
-        attempts = 3
-        for attempt in range(attempts):
+        attempt = 0
+        while True:
             base_version, md = self._load_state()
+            # commit.retry.num-retries governs metadata-only commits too
+            attempts = commit_attempts_for(md)
             new_md, result = mutate(md)
             if new_md is None:
                 return result
@@ -5843,7 +6049,8 @@ class FsTable:
             try:
                 _write_metadata_version(self.location, base_version + 1, new_md)
             except CommitConflictError:
-                if attempt + 1 == attempts:
+                attempt += 1
+                if attempt >= attempts:
                     raise
                 for _ in range(10):
                     if self.current_version() != base_version:
@@ -6035,7 +6242,7 @@ class FsTable:
             new_md["snapshots"] = md["snapshots"] + [snapshot]
             new_md["refs"] = {
                 **md.get("refs", {}),
-                "main": {"snapshot-id": snapshot["snapshot-id"], "type": "branch"},
+                "main": _advance_ref(md, "main", snapshot["snapshot-id"]),
             }
             new_md["current-snapshot-id"] = snapshot["snapshot-id"]
             new_md["snapshot-log"] = md["snapshot-log"] + [
@@ -6432,24 +6639,40 @@ class FsTable:
         return sid, n_updated, n_inserted
 
     def expire_snapshots(
-        self, keep_last: int = 1, older_than_ms: int | None = None
+        self,
+        keep_last: int = 1,
+        older_than_ms: int | None = None,
+        now_ms: int | None = None,
     ) -> list[str]:
-        """Drop all but the last `keep_last` snapshots, COMMIT the pruned
-        metadata, and only then physically delete data files and
-        manifests no retained snapshot references (commit-then-delete,
-        like jar-backed Iceberg: a crash or lost CAS before the commit
+        """Expire snapshots with Iceberg's PER-REF retention (see
+        expire_plan: tags pin their snapshot, branches protect their
+        ancestry per min-snapshots-to-keep/max-snapshot-age-ms, stale
+        refs age out via max-ref-age-ms), COMMIT the pruned metadata,
+        and only then physically delete data files and manifests no
+        retained snapshot references (commit-then-delete, like
+        jar-backed Iceberg: a crash or lost CAS before the commit
         leaves the table fully intact; a crash after it leaves only
         harmless unreferenced files). Returns the deleted data-file
-        paths."""
-        attempts = 3
-        for attempt in range(attempts):
+        paths. `now_ms` pins the age-evaluation clock (deterministic
+        planning/tests); default wall clock."""
+        attempt = 0
+        while True:
             base_version, md = self._load_state()
-            plan = expire_plan(md, keep_last, older_than_ms)
+            # commit.retry.num-retries governs metadata-only commits too
+            attempts = commit_attempts_for(md)
+            plan = expire_plan(md, keep_last, older_than_ms, now_ms)
             if plan is None:
                 return []
             retained_ids = {s["snapshot-id"] for s in plan["retained"]}
             new_md = dict(md)
             new_md["snapshots"] = plan["retained"]
+            if plan["removed_refs"]:
+                # stale refs (max-ref-age-ms) leave with the snapshots
+                new_md["refs"] = {
+                    k: v
+                    for k, v in md.get("refs", {}).items()
+                    if k not in set(plan["removed_refs"])
+                }
             new_md["snapshot-log"] = [
                 e for e in md["snapshot-log"] if e["snapshot-id"] in retained_ids
             ]
@@ -6468,7 +6691,8 @@ class FsTable:
             try:
                 _write_metadata_version(self.location, base_version + 1, new_md)
             except CommitConflictError:
-                if attempt + 1 == attempts:
+                attempt += 1
+                if attempt >= attempts:
                     raise
                 for _ in range(10):
                     if self.current_version() != base_version:

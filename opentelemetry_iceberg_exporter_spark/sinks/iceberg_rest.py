@@ -582,6 +582,31 @@ def commit_append_transaction(
             time.sleep(0.05 * (attempt + 1))
 
 
+_REF_RETENTION_FIELDS = (
+    "min-snapshots-to-keep",
+    "max-snapshot-age-ms",
+    "max-ref-age-ms",
+)
+
+
+def _set_ref_update(md: dict, name: str, snapshot_id: int) -> dict:
+    """A set-snapshot-ref update that moves a branch head while CARRYING
+    the ref's existing retention settings — set-snapshot-ref replaces
+    the whole SnapshotRef on the server, so an update built without
+    them would silently reset the branch's expiry policy."""
+    prior = md.get("refs", {}).get(name, {})
+    update = {
+        "action": "set-snapshot-ref",
+        "ref-name": name,
+        "type": "branch",
+        "snapshot-id": snapshot_id,
+    }
+    for k in _REF_RETENTION_FIELDS:
+        if prior.get(k) is not None:
+            update[k] = prior[k]
+    return update
+
+
 class RestTable:
     """Table handle bound to a RestCatalogClient — same operation surface
     as FsTable, with commits arbitrated by the REST server."""
@@ -655,12 +680,7 @@ class RestTable:
         ]
         updates = [
             {"action": "add-snapshot", "snapshot": snapshot},
-            {
-                "action": "set-snapshot-ref",
-                "ref-name": "main",
-                "type": "branch",
-                "snapshot-id": snapshot["snapshot-id"],
-            },
+            _set_ref_update(md, "main", snapshot["snapshot-id"]),
         ]
         return requirements, updates, snapshot["snapshot-id"]
 
@@ -738,12 +758,7 @@ class RestTable:
             ]
             updates = [
                 {"action": "add-snapshot", "snapshot": snapshot},
-                {
-                    "action": "set-snapshot-ref",
-                    "ref-name": branch,
-                    "type": "branch",
-                    "snapshot-id": snapshot["snapshot-id"],
-                },
+                _set_ref_update(md, branch, snapshot["snapshot-id"]),
             ]
             try:
                 self.client.commit_table(self.namespace, self.name, requirements, updates)
@@ -868,12 +883,7 @@ class RestTable:
                 },
             ],
             updates=[
-                {
-                    "action": "set-snapshot-ref",
-                    "ref-name": "main",
-                    "type": "branch",
-                    "snapshot-id": head,
-                }
+                _set_ref_update(md, "main", head)
             ],
         )
         return head
@@ -1030,12 +1040,7 @@ class RestTable:
         ]
         updates = [
             {"action": "add-snapshot", "snapshot": snapshot},
-            {
-                "action": "set-snapshot-ref",
-                "ref-name": "main",
-                "type": "branch",
-                "snapshot-id": snapshot["snapshot-id"],
-            },
+            _set_ref_update(md, "main", snapshot["snapshot-id"]),
         ]
         try:
             self.client.commit_table(self.namespace, self.name, requirements, updates)
@@ -1175,13 +1180,16 @@ class RestTable:
         from .iceberg_fs import (
             DEFAULT_MANIFEST_TARGET_SIZE,
             build_rewrite_manifests_snapshot,
+            commit_attempts_for,
         )
 
         if target_size_bytes is None:
             target_size_bytes = DEFAULT_MANIFEST_TARGET_SIZE
-        attempts = 3
-        for attempt in range(attempts):
+        attempt = 0
+        while True:
             md = self.metadata()
+            # commit.retry.num-retries governs metadata-only commits too
+            attempts = commit_attempts_for(md)
             planned = md["current-snapshot-id"]
             snapshot = build_rewrite_manifests_snapshot(
                 md["location"],
@@ -1201,12 +1209,7 @@ class RestTable:
             ]
             updates = [
                 {"action": "add-snapshot", "snapshot": snapshot},
-                {
-                    "action": "set-snapshot-ref",
-                    "ref-name": "main",
-                    "type": "branch",
-                    "snapshot-id": snapshot["snapshot-id"],
-                },
+                _set_ref_update(md, "main", snapshot["snapshot-id"]),
             ]
             try:
                 self.client.commit_table(
@@ -1214,16 +1217,17 @@ class RestTable:
                 )
                 return snapshot["snapshot-id"]
             except RestCommitConflictError:
-                if attempt + 1 == attempts:
+                attempt += 1
+                if attempt >= attempts:
                     raise
-                time.sleep(0.05 * (attempt + 1))
+                time.sleep(0.05 * attempt)
             except RestError as exc:
                 if self._resolve_ambiguous_commit(exc, snapshot["snapshot-id"]):
                     return snapshot["snapshot-id"]
-                if attempt + 1 == attempts:
+                attempt += 1
+                if attempt >= attempts:
                     raise
-                time.sleep(0.05 * (attempt + 1))
-        raise AssertionError("unreachable")
+                time.sleep(0.05 * attempt)
 
     def delete_where(
         self, spark: SparkSession, predicate: str, mode: str = "copy-on-write"
@@ -1516,28 +1520,40 @@ class RestTable:
         return sid, n_updated, n_inserted
 
     def expire_snapshots(
-        self, keep_last: int = 1, older_than_ms: int | None = None
+        self,
+        keep_last: int = 1,
+        older_than_ms: int | None = None,
+        now_ms: int | None = None,
     ) -> list[str]:
-        """Expire via the REST remove-snapshots update, then physically
-        delete files no retained snapshot references (commit-then-delete
-        like the fs catalog). Returns deleted data-file paths."""
+        """Expire via the REST remove-snapshot-ref + remove-snapshots
+        updates (per-ref retention planned exactly like the fs catalog:
+        branch ancestry windows, max-ref-age-ms ref aging), then
+        physically delete files no retained snapshot references
+        (commit-then-delete like the fs catalog). Returns deleted
+        data-file paths."""
         from .iceberg_fs import delete_expired_paths, expire_plan
 
         md = self.metadata()
-        plan = expire_plan(md, keep_last, older_than_ms)
+        plan = expire_plan(md, keep_last, older_than_ms, now_ms)
         if plan is None:
             return []
         expired_ids = {s["snapshot-id"] for s in plan["expired"]}
-        self.client.commit_table(
-            self.namespace,
-            self.name,
-            requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
-            updates=[
+        updates: list[dict] = [
+            {"action": "remove-snapshot-ref", "ref-name": name}
+            for name in plan["removed_refs"]
+        ]
+        if expired_ids:
+            updates.append(
                 {
                     "action": "remove-snapshots",
                     "snapshot-ids": sorted(expired_ids),
                 }
-            ],
+            )
+        self.client.commit_table(
+            self.namespace,
+            self.name,
+            requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
+            updates=updates,
         )
         for key in ("partition-statistics", "statistics"):
             for e in md.get(key, []):
@@ -1674,24 +1690,38 @@ class RestTable:
         return live_files(md, snapshot_id)
 
     # -- refs: tags + branches ---------------------------------------------
-    def set_ref(self, name: str, snapshot_id: int, ref_type: str = "tag") -> None:
+    def set_ref(
+        self,
+        name: str,
+        snapshot_id: int,
+        ref_type: str = "tag",
+        *,
+        min_snapshots_to_keep: int | None = None,
+        max_snapshot_age_ms: int | None = None,
+        max_ref_age_ms: int | None = None,
+    ) -> None:
         """Create/move a tag or branch via set-snapshot-ref (the same
-        update action appends use for main)."""
+        update action appends use for main), with the spec's optional
+        retention fields — see FsTable.set_ref for semantics."""
+        from .iceberg_fs import _build_ref
+
         if ref_type not in ("tag", "branch"):
             raise ValueError(f"ref type must be tag|branch, got {ref_type!r}")
+        ref = _build_ref(
+            snapshot_id,
+            ref_type,
+            min_snapshots_to_keep,
+            max_snapshot_age_ms,
+            max_ref_age_ms,
+        )
         md = self.metadata()
+        # SnapshotRef fields are the update's fields, per the REST spec
+        update = {"action": "set-snapshot-ref", "ref-name": name, **ref}
         self.client.commit_table(
             self.namespace,
             self.name,
             requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
-            updates=[
-                {
-                    "action": "set-snapshot-ref",
-                    "ref-name": name,
-                    "type": ref_type,
-                    "snapshot-id": snapshot_id,
-                }
-            ],
+            updates=[update],
         )
 
     def snapshot_as_of(self, timestamp_ms: int) -> int | None:

@@ -424,10 +424,16 @@ class _Handler(BaseHTTPRequestHandler):
                 sid = upd["snapshot-id"]
                 if sid not in {s["snapshot-id"] for s in new_md["snapshots"]}:
                     return (400, "ValidationException", f"unknown snapshot {sid}")
-                new_md["refs"] = {
-                    **new_md.get("refs", {}),
-                    upd["ref-name"]: {"snapshot-id": sid, "type": upd.get("type", "branch")},
-                }
+                ref = {"snapshot-id": sid, "type": upd.get("type", "branch")}
+                # optional SnapshotRef retention fields (spec)
+                for k in (
+                    "min-snapshots-to-keep",
+                    "max-snapshot-age-ms",
+                    "max-ref-age-ms",
+                ):
+                    if upd.get(k) is not None:
+                        ref[k] = upd[k]
+                new_md["refs"] = {**new_md.get("refs", {}), upd["ref-name"]: ref}
                 # only main drives the table's current snapshot
                 if upd["ref-name"] == "main":
                     new_md["current-snapshot-id"] = sid
@@ -468,6 +474,13 @@ class _Handler(BaseHTTPRequestHandler):
                     new_md["last-column-id"] = max(
                         new_md["last-column-id"], upd["last-column-id"]
                     )
+            elif action == "remove-snapshot-ref":
+                rn = upd["ref-name"]
+                if rn == "main":
+                    return (400, "ValidationException", "cannot remove the main branch")
+                refs_ = dict(new_md.get("refs", {}))
+                refs_.pop(rn, None)  # removing an absent ref is a no-op
+                new_md["refs"] = refs_
             elif action == "remove-snapshots":
                 drop = set(upd["snapshot-ids"])
                 if new_md.get("current-snapshot-id") in drop:

@@ -186,3 +186,73 @@ class TestRestRefs:
             assert t.resolve_ref("release-1") == s1
         finally:
             server.shutdown()
+
+
+class TestMetadataCommitRetryBudget:
+    """`commit.retry.num-retries` governs EVERY commit the engine can
+    make — the metadata-only paths (set_ref, drop_ref, expire,
+    _commit_metadata) included, not just data commits. A contended
+    multi-writer table can raise the budget per table; the old
+    hard-coded 3 attempts could not be raised at all."""
+
+    def _contend(self, monkeypatch, n_conflicts: int):
+        """Make the next `n_conflicts` metadata CAS writes lose to a
+        simulated concurrent writer: the competitor's version actually
+        lands (so the loser's wait-for-advance sees progress, exactly
+        like a real race) and the caller gets CommitConflictError."""
+        from opentelemetry_iceberg_exporter_spark.sinks import iceberg_fs as fsmod
+
+        real_write = fsmod._write_metadata_version
+        state = {"left": n_conflicts, "seen": 0}
+
+        def contended(location, version, md):
+            state["seen"] += 1
+            if state["left"] > 0:
+                state["left"] -= 1
+                real_write(location, version, md)
+                fsmod._swap_version_hint(location, version)
+                raise fsmod.CommitConflictError(f"raced at v{version}")
+            return real_write(location, version, md)
+
+        monkeypatch.setattr(fsmod, "_write_metadata_version", contended)
+        return state
+
+    def test_raised_budget_survives_contention_that_exhausts_default(
+        self, spark, table, monkeypatch
+    ):
+        t, (s1, _) = table
+        # default budget is 4 retries = 5 attempts; the old hard-code
+        # was 3. 8 consecutive losses exhaust both — raising the table
+        # property is the only way through, which is the point.
+        t.set_properties({"commit.retry.num-retries": "12"})
+        state = self._contend(monkeypatch, 8)
+        t.set_ref("release-1", s1, "tag")
+        assert state["left"] == 0
+        assert t.resolve_ref("release-1") == s1
+
+    def test_zero_retry_budget_fails_on_first_conflict(
+        self, spark, table, monkeypatch
+    ):
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            CommitConflictError,
+        )
+
+        t, (s1, _) = table
+        t.set_properties({"commit.retry.num-retries": "0"})
+        state = self._contend(monkeypatch, 1)
+        with pytest.raises(CommitConflictError):
+            t.set_ref("release-1", s1, "tag")
+        assert state["seen"] == 1  # exactly one attempt, no silent retries
+
+    def test_expire_honors_budget(self, spark, table, monkeypatch):
+        t, (s1, s2) = table
+        t.set_properties({"commit.retry.num-retries": "12"})
+        state = self._contend(monkeypatch, 8)
+        t.expire_snapshots(keep_last=1)
+        # the competitor's landed metadata IS the expire result, so the
+        # re-plan legitimately short-circuits once it sees it — what
+        # matters is that conflicts were consumed without raising and
+        # the expiry took effect
+        assert state["left"] < 8
+        ids = {s["snapshot-id"] for s in t.snapshots()}
+        assert s1 not in ids and s2 in ids
