@@ -2373,16 +2373,36 @@ def partition_range_parts(
     schema_fields = current_schema(md)["fields"]
     spec_fields = default_spec_fields(md)
     range_parts: dict[str, tuple[Any, Any]] = {}
+
+    def _coerce(v: Any) -> Any:
+        # the scoped-read surface accepts ISO strings for timestamp
+        # bounds; time transforms need datetimes
+        if isinstance(v, str):
+            try:
+                return datetime.fromisoformat(v)
+            except ValueError:
+                return v
+        return v
+
     for rcol, rlo, rhi in source_ranges:
         src = next((f_ for f_ in schema_fields if f_["name"] == rcol), None)
         if src is not None:
             for pf in spec_fields:
                 base, _ = parse_transform(pf["transform"])
                 if pf["source-id"] == src["id"] and base in _MONOTONE_TRANSFORMS:
-                    range_parts[pf["name"]] = (
-                        apply_transform_value(rlo, pf["transform"], src["type"]),
-                        apply_transform_value(rhi, pf["transform"], src["type"]),
-                    )
+                    try:
+                        range_parts[pf["name"]] = (
+                            apply_transform_value(
+                                _coerce(rlo), pf["transform"], src["type"]
+                            ),
+                            apply_transform_value(
+                                _coerce(rhi), pf["transform"], src["type"]
+                            ),
+                        )
+                    except (TypeError, ValueError):
+                        # untransformable bound: no partition pruning for
+                        # this range (row-level filtering still applies)
+                        continue
     return range_parts
 
 
@@ -2956,16 +2976,39 @@ def require_main_ancestor(md: dict, snapshot_id: int) -> None:
         )
 
 
-def live_files(md: dict, snapshot_id: int) -> tuple[list[DataFile], list[DataFile]]:
+def partition_out_of_range(
+    part: dict, range_parts: dict[str, tuple[Any, Any]]
+) -> bool:
+    """True when a file's partition tuple PROVABLY lies outside every
+    given transform-value range; files without the value (old specs,
+    null partitions) are conservatively in range."""
+    return any(
+        part.get(name) is not None
+        and (
+            (lo_t is not None and part[name] < lo_t)
+            or (hi_t is not None and part[name] > hi_t)
+        )
+        for name, (lo_t, hi_t) in range_parts.items()
+    )
+
+
+def live_files(
+    md: dict, snapshot_id: int, only_deletes: bool = False
+) -> tuple[list[DataFile], list[DataFile]]:
     """(data files, delete files — position AND equality) live in a
     snapshot — the transport-neutral manifest walk both catalogs plan
     scans from. Each DataFile carries its data sequence number (null
-    entry seq inherits the manifest's, the spec's inheritance rule)."""
+    entry seq inherits the manifest's, the spec's inheritance rule).
+    `only_deletes` opens ONLY delete manifests (manifest-list content
+    == 1) — the cheap walk deletion-vector fold compensation needs —
+    and returns an empty data list."""
     snapshot = next(s for s in md["snapshots"] if s["snapshot-id"] == snapshot_id)
     data: list[DataFile] = []
     deletes: list[DataFile] = []
     _, _, manifests = read_ocf(snapshot["manifest-list"])
     for m in manifests:
+        if only_deletes and m.get("content", 0) == 0:
+            continue
         _, _, entries = read_ocf(m["manifest_path"])
         for e in entries:
             if e["status"] == STATUS_DELETED:
@@ -3527,12 +3570,21 @@ def incremental_data_files(
     return files, end_snapshot_id
 
 
-def _added_files(snapshot: dict) -> tuple[list[DataFile], bool]:
+def _added_files(
+    snapshot: dict, manifest_excluded=None
+) -> tuple[list[DataFile], bool]:
     """(files ADDED by one snapshot — its own manifests only — with
     content/equality_ids/sequence numbers, whether the snapshot CARRIES
     ancestor manifests). Carry-forward distinguishes append-style
     commits (appends, merge-on-read row deltas) from replace-style
-    overwrites, whose manifest holds the complete live set."""
+    overwrites, whose manifest holds the complete live set.
+
+    `manifest_excluded` (a build_manifest_excluder callable) skips a
+    DATA manifest UNOPENED when its field-507 partition summaries prove
+    nothing in scope — a time-scoped changelog over the exporter's
+    micro-batch cadence then opens O(in-scope) manifests, not O(all).
+    Carried-ness is decided BEFORE the skip so overwrite-shape
+    detection is unaffected."""
     out: list[DataFile] = []
     carried = False
     _, _, manifests = read_ocf(snapshot["manifest-list"])
@@ -3546,6 +3598,8 @@ def _added_files(snapshot: dict) -> tuple[list[DataFile], bool]:
             carried = True
             if m["added_files_count"] == 0:
                 continue  # nothing ADDED inside — skip the read entirely
+        if manifest_excluded is not None and manifest_excluded(m):
+            continue
         _, _, entries = read_ocf(m["manifest_path"])
         for e in entries:
             if e["status"] != STATUS_ADDED:
@@ -3640,6 +3694,7 @@ def read_changelog(
     md: dict,
     from_snapshot_id: int | None = None,
     to_snapshot_id: int | None = None,
+    source_range: tuple[str, Any, Any] | list[tuple[str, Any, Any]] | None = None,
 ) -> DataFrame:
     """Row-level CDC over a snapshot window — the read half of the CDC
     story (upsert_equality/delete_where* are the write half). Returns
@@ -3664,11 +3719,49 @@ def read_changelog(
       mirroring the incremental-scan contract.
 
     Consumers poll with (from=last checkpoint, to=None) and checkpoint
-    the max `_commit_snapshot_id` they observed."""
+    the max `_commit_snapshot_id` they observed.
+
+    `source_range=(column, lo, hi)` (or a list — conjuncts) SCOPES the
+    changelog to rows whose column lies in the range: manifest-level
+    (field-507 summary skip — a day-scoped changelog over the
+    exporter's micro-batch history opens O(day) manifests, not O(all)),
+    file-level (partition transform values through MONOTONE transforms)
+    and row-level (the range applied exactly to insert/delete rows).
+    `delete_key` rows are filtered only when the scoped column IS a key
+    column — otherwise they are conservatively kept (their non-key
+    columns are null by contract)."""
     schema = read_schema_for(spark, md)
     cols = [f_.name for f_ in schema.fields]
     # main ancestry only: WAP-staged commits are invisible until published
     window, _ = _ancestry_window(md, from_snapshot_id, to_snapshot_id)
+
+    source_ranges = (
+        [source_range] if isinstance(source_range, tuple)
+        else list(source_range or [])
+    )
+    range_parts = partition_range_parts(md, source_ranges)
+    excluder = (
+        build_manifest_excluder(
+            md, [(n, lo, hi) for n, (lo, hi) in range_parts.items()]
+        )
+        if range_parts
+        else None
+    )
+
+    def _scope_cond(names) -> "F.Column | None":
+        cond = None
+        for rcol, rlo, rhi in source_ranges:
+            if rcol not in names:
+                continue
+            for bound in (
+                (F.col(rcol) >= F.lit(rlo)) if rlo is not None else None,
+                (F.col(rcol) <= F.lit(rhi)) if rhi is not None else None,
+            ):
+                if bound is not None:
+                    cond = bound if cond is None else (cond & bound)
+        return cond
+
+    row_scope = _scope_cond(set(cols))
 
     parts: list[DataFrame] = []
 
@@ -3685,8 +3778,12 @@ def read_changelog(
         sid = s["snapshot-id"]
         if op == "replace":
             continue
-        added, carried = _added_files(s)
+        added, carried = _added_files(s, manifest_excluded=excluder)
         data = [f for f in added if f.content == 0]
+        if range_parts:
+            data = [
+                f for f in data if not partition_out_of_range(f.partition, range_parts)
+            ]
         pos = [f for f in added if f.content == 1]
         eq = [f for f in added if f.content == 2]
         if op not in ("append", "delete", "overwrite"):
@@ -3700,10 +3797,9 @@ def read_changelog(
                 f"changelog cannot represent copy-on-write overwrite snapshot {sid}"
             )
         if pos:
-            # deleted rows with full content: parent data files joined
-            # on the recorded (file_path, pos) tuples
+            # deleted rows with full content: the referenced data files
+            # joined on the recorded (file_path, pos) tuples
             parent = s.get("parent-snapshot-id")
-            parent_data, parent_deletes = live_files(md, parent)
             dels = read_position_deletes(spark, pos)
             # a folded deletion vector (fold-on-write) is the UNION of
             # prior deletes and this snapshot's new matches — subtract
@@ -3717,25 +3813,45 @@ def read_changelog(
             folded_targets = {
                 f.referenced_data_file for f in pos if f.is_deletion_vector
             }
-            prior_pos = [
-                f
-                for f in parent_deletes
-                if f.is_deletion_vector
-                and f.referenced_data_file in folded_targets
-            ]
-            if prior_pos:
-                dels = dels.join(
-                    read_position_deletes(spark, prior_pos),
-                    ["file_path", "pos"],
-                    "left_anti",
-                )
+            if folded_targets:
+                # delete manifests only — data manifests stay unopened
+                _, parent_deletes = live_files(md, parent, only_deletes=True)
+                prior_pos = [
+                    f
+                    for f in parent_deletes
+                    if f.is_deletion_vector
+                    and f.referenced_data_file in folded_targets
+                ]
+                if prior_pos:
+                    dels = dels.join(
+                        read_position_deletes(spark, prior_pos),
+                        ["file_path", "pos"],
+                        "left_anti",
+                    )
             if sum(f.record_count for f in pos) <= BROADCAST_DELETE_ROWS:
                 dels = F.broadcast(dels)
+            # scan ONLY the files the delete tuples reference — DV
+            # targets come free from metadata; parquet tuples' file set
+            # is collected from the (small) delete files themselves.
+            # Commit-time liveness validation (required_live_paths)
+            # guarantees these were live in the parent, so the parent's
+            # full data-manifest walk is never needed: cost tracks the
+            # deleted rows' files, not the table
+            ref_paths = set(folded_targets)
+            parquet_pos = [f for f in pos if not f.is_deletion_vector]
+            if parquet_pos:
+                ref_paths |= {
+                    r["file_path"]
+                    for r in read_position_deletes(spark, parquet_pos)
+                    .select("file_path")
+                    .distinct()
+                    .collect()
+                }
             tagged = table_file_scan(
                 spark,
                 md,
                 schema,
-                [f.file_path for f in parent_data],
+                sorted(ref_paths),
                 tag_cols=(("__dfile", "path"), ("__dpos", "pos")),
             )
             hit = tagged.join(
@@ -3744,6 +3860,8 @@ def read_changelog(
                 & (tagged["__dpos"] == dels["pos"]),
                 "left_semi",
             )
+            if row_scope is not None:
+                hit = hit.where(row_scope)
             parts.append(tag(hit, "delete", s))
         for f in eq:
             key_fields = _equality_fields(md, f.equality_ids)
@@ -3762,9 +3880,16 @@ def read_changelog(
                     for c, f_ in zip(cols, schema.fields)
                 ]
             )
+            # a scope column that IS a key column filters exactly; any
+            # other scope column is null here — conservatively keep
+            key_scope = _scope_cond(key_names)
+            if key_scope is not None:
+                widened = widened.where(key_scope)
             parts.append(tag(widened, "delete_key", s))
         if data and op in ("append", "overwrite"):
             ins = table_file_scan(spark, md, schema, [f.file_path for f in data])
+            if row_scope is not None:
+                ins = ins.where(row_scope)
             parts.append(tag(ins, "insert", s))
 
     if not parts:
@@ -5836,12 +5961,17 @@ class FsTable:
         spark: SparkSession,
         from_snapshot_id: int | None = None,
         to_snapshot_id: int | None = None,
+        source_range=None,
     ) -> DataFrame:
         """Row-level CDC read over a snapshot window (see module-level
         read_changelog): `insert` rows for appends, full-content
         `delete` rows for position deletes, key-only `delete_key` rows
-        for equality deletes; compaction skipped; CoW overwrites raise."""
-        return read_changelog(spark, self.metadata(), from_snapshot_id, to_snapshot_id)
+        for equality deletes; compaction skipped; CoW overwrites raise.
+        `source_range=(col, lo, hi)` scopes the changelog (manifest-
+        summary skip + partition-value file skip + exact row filter)."""
+        return read_changelog(
+            spark, self.metadata(), from_snapshot_id, to_snapshot_id, source_range
+        )
 
     # -- refs: tags + branches ---------------------------------------------
     def set_ref(

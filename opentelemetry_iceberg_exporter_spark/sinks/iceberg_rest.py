@@ -992,11 +992,14 @@ class RestTable:
         spark: SparkSession,
         from_snapshot_id: int | None = None,
         to_snapshot_id: int | None = None,
+        source_range=None,
     ) -> DataFrame:
         """Row-level CDC read over REST (see iceberg_fs.read_changelog)."""
         from .iceberg_fs import read_changelog
 
-        return read_changelog(spark, self.metadata(), from_snapshot_id, to_snapshot_id)
+        return read_changelog(
+            spark, self.metadata(), from_snapshot_id, to_snapshot_id, source_range
+        )
 
     def metadata_table(self, spark: SparkSession, name: str) -> DataFrame:
         """Inspection tables (snapshots/history/files/all_files/

@@ -46,21 +46,33 @@ from ..sinks.iceberg_fs import (
     STATUS_ADDED,
     DataFile,
     _ancestry_window,
+    build_manifest_excluder,
+    partition_out_of_range,
+    partition_range_parts,
     read_changelog,
     read_ocf,
     read_schema_for,
 )
 
 
-def _added_data_files_ordered(snapshot: dict) -> list[DataFile]:
+def _added_data_files_ordered(
+    snapshot: dict, manifest_excluded=None, range_parts=None
+) -> list[DataFile]:
     """The data files one append snapshot added, in a deterministic
     order (manifest order is already stable, but sort by path so the
-    cursor survives any future manifest regrouping)."""
+    cursor survives any future manifest regrouping). With a scope
+    (`manifest_excluded` from build_manifest_excluder + `range_parts`),
+    out-of-scope manifests are skipped UNOPENED via their field-507
+    partition summaries and out-of-scope files are dropped by their
+    partition transform values — a time-scoped tail over the exporter's
+    micro-batch history opens O(in-scope) manifests per snapshot."""
     files: list[DataFile] = []
     _, _, manifests = read_ocf(snapshot["manifest-list"])
     for m in manifests:
         if m["added_snapshot_id"] != snapshot["snapshot-id"]:
             continue  # carried-forward ancestor manifest
+        if manifest_excluded is not None and manifest_excluded(m):
+            continue
         _, _, entries = read_ocf(m["manifest_path"])
         for e in entries:
             if e["status"] != STATUS_ADDED:
@@ -68,12 +80,15 @@ def _added_data_files_ordered(snapshot: dict) -> list[DataFile]:
             df_ = e["data_file"]
             if df_.get("content", 0) != 0:
                 continue
+            part = {k: v for k, v in df_["partition"].items() if v is not None}
+            if range_parts and partition_out_of_range(part, range_parts):
+                continue
             files.append(
                 DataFile(
                     file_path=df_["file_path"],
                     file_size_in_bytes=df_["file_size_in_bytes"],
                     record_count=df_["record_count"],
-                    partition={k: v for k, v in df_["partition"].items() if v is not None},
+                    partition=part,
                 )
             )
     files.sort(key=lambda f: f.file_path)
@@ -101,10 +116,35 @@ class IcebergTailer:
         table,
         checkpoint_path: str,
         max_files_per_batch: int | None = None,
+        source_range=None,
     ):
+        """`source_range=(col, lo, hi)` (or a list — conjuncts) scopes
+        the tail: manifests whose field-507 summaries prove no overlap
+        are skipped unopened, out-of-range files are dropped from
+        batches, and read_batch applies the range to rows exactly. The
+        cursor counts files of the SCOPED plan, so a checkpoint is only
+        valid under the same scope — use a fresh checkpoint when the
+        scope changes."""
         self.table = table
         self.checkpoint_path = checkpoint_path
         self.max_files_per_batch = max_files_per_batch
+        self.source_range = source_range
+
+    def _scope(self, md: dict):
+        """(manifest_excluded, range_parts) for the configured scope —
+        rebuilt per plan (spec evolution can change the mapping)."""
+        if self.source_range is None:
+            return None, None
+        ranges = (
+            [self.source_range]
+            if isinstance(self.source_range, tuple)
+            else list(self.source_range)
+        )
+        range_parts = partition_range_parts(md, ranges)
+        if not range_parts:
+            return None, None
+        checks = [(n, lo, hi) for n, (lo, hi) in range_parts.items()]
+        return build_manifest_excluder(md, checks), range_parts
 
     # -- durable cursor ----------------------------------------------------
     def position(self) -> tuple[int | None, int]:
@@ -138,13 +178,16 @@ class IcebergTailer:
         """Next micro-batch from the durable cursor, or None when caught
         up. Pure metadata."""
         md = self.table.metadata()
+        excluder, range_parts = self._scope(md)
         ck_snapshot, ck_offset = self.position()
         by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
 
         pending: list[dict] = []
         if ck_snapshot is not None and ck_snapshot in by_id:
             snap = by_id[ck_snapshot]
-            if ck_offset > 0 and ck_offset < len(_added_data_files_ordered(snap)):
+            if ck_offset > 0 and ck_offset < len(
+                _added_data_files_ordered(snap, excluder, range_parts)
+            ):
                 pending.append(snap)  # partially consumed snapshot first
             window, _ = _ancestry_window(md, ck_snapshot, None)
         elif ck_snapshot is not None:
@@ -176,7 +219,7 @@ class IcebergTailer:
                     f"({snap['snapshot-id']}); append tails cannot represent "
                     "its effects — use changelog_scan for row-level deletes"
                 )
-            files = _added_data_files_ordered(snap)
+            files = _added_data_files_ordered(snap, excluder, range_parts)
             start = ck_offset if snap["snapshot-id"] == ck_snapshot else 0
             take = len(files) - start
             if self.max_files_per_batch is not None:
@@ -197,7 +240,21 @@ class IcebergTailer:
     # -- consumption -------------------------------------------------------
     def read_batch(self, spark: SparkSession, batch: TailBatch) -> DataFrame:
         schema = read_schema_for(spark, self.table.metadata())
-        return spark.read.schema(schema).parquet(*[f.file_path for f in batch.files])
+        df = spark.read.schema(schema).parquet(*[f.file_path for f in batch.files])
+        if self.source_range is not None:
+            from pyspark.sql import functions as F
+
+            ranges = (
+                [self.source_range]
+                if isinstance(self.source_range, tuple)
+                else list(self.source_range)
+            )
+            for col, lo, hi in ranges:
+                if lo is not None:
+                    df = df.where(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    df = df.where(F.col(col) <= F.lit(hi))
+        return df
 
     def commit(self, batch: TailBatch) -> None:
         self._store(batch.end_snapshot_id, batch.end_file_offset)
@@ -244,10 +301,12 @@ class ChangelogTailer:
         table,
         checkpoint_path: str,
         max_snapshots_per_batch: int | None = None,
+        source_range=None,
     ):
         self.table = table
         self.checkpoint_path = checkpoint_path
         self.max_snapshots_per_batch = max_snapshots_per_batch
+        self.source_range = source_range  # scopes read_changelog
 
     def position(self) -> int | None:
         if not os.path.exists(self.checkpoint_path):
@@ -277,7 +336,16 @@ class ChangelogTailer:
         if self.max_snapshots_per_batch is not None:
             window = window[: self.max_snapshots_per_batch]
         end = window[-1]["snapshot-id"]
-        return read_changelog(spark, md, from_snapshot_id=ck, to_snapshot_id=end), end
+        return (
+            read_changelog(
+                spark,
+                md,
+                from_snapshot_id=ck,
+                to_snapshot_id=end,
+                source_range=self.source_range,
+            ),
+            end,
+        )
 
     def commit(self, end_snapshot_id: int) -> None:
         self._store(end_snapshot_id)
