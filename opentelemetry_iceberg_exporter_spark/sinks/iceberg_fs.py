@@ -3041,6 +3041,75 @@ def live_files(
     return data, deletes
 
 
+def table_format_version(md: dict) -> int:
+    try:
+        return int(md.get("format-version", 2))
+    except (TypeError, ValueError):
+        return 2
+
+
+def require_position_delete_files_allowed(md: dict) -> None:
+    """Iceberg v3 forbids parquet position-delete FILES — row-level
+    position deletes must be deletion vectors (spec: 'Position delete
+    files must not be added to v3 tables'). Raised by the merge-on-read
+    write paths, not the readers: v2-era history stays readable after
+    an upgrade."""
+    if table_format_version(md) >= 3:
+        raise ValueError(
+            "format-version 3 tables must not write parquet position-delete "
+            "files — use mode='deletion-vectors'"
+        )
+
+
+def plan_format_upgrade(md: dict, target: int) -> bool:
+    """Validate a format-version upgrade; True when there is anything to
+    do. v3 (the only upgrade target) requires the CURRENT snapshot to
+    already satisfy v3's delete invariants:
+    * no live parquet position-delete files — rewrite_position_deletes /
+      `maintain --fold` migrates them to deletion vectors first;
+    * at most one live deletion vector per data file (legacy cross-
+      commit stacks predate fold-on-write) — same remedy.
+    Downgrades and unknown versions are refused outright. Historical
+    snapshots are not rewritten (time travel to v2-era snapshots keeps
+    working); the invariants gate what the table IS, the write-path
+    guards gate what it may become."""
+    current = table_format_version(md)
+    if target == current:
+        return False
+    if target < current:
+        raise ValueError(
+            f"cannot downgrade format-version {current} -> {target}"
+        )
+    if target != 3:
+        raise ValueError(f"unsupported format-version {target}")
+    sid = md.get("current-snapshot-id", -1)
+    if sid != -1:
+        _, deletes = live_files(md, sid, only_deletes=True)
+        parquet_pos = [
+            f for f in deletes if f.content == 1 and not f.is_deletion_vector
+        ]
+        if parquet_pos:
+            raise ValueError(
+                f"{len(parquet_pos)} live parquet position-delete file(s) "
+                "block the v3 upgrade — run rewrite_position_deletes (CLI: "
+                "maintain --fold) first"
+            )
+        dv_counts: dict[str, int] = {}
+        for f in deletes:
+            if f.is_deletion_vector:
+                dv_counts[f.referenced_data_file] = (
+                    dv_counts.get(f.referenced_data_file, 0) + 1
+                )
+        stacked = sorted(p for p, n in dv_counts.items() if n > 1)
+        if stacked:
+            raise ValueError(
+                f"{len(stacked)} data file(s) carry stacked deletion "
+                "vectors (legacy pre-fold commits) — fold them first "
+                "(any DV delete, or maintain --fold)"
+            )
+    return True
+
+
 def _position_delete_matches(
     spark: SparkSession,
     md: dict,
@@ -3114,6 +3183,20 @@ def plan_deletion_vectors(
     if not data_files:
         return None
     matches = _position_delete_matches(spark, md, data_files, delete_files, predicate)
+    return deletion_vectors_from_matches(spark, md, matches, delete_files)
+
+
+def deletion_vectors_from_matches(
+    spark: SparkSession,
+    md: dict,
+    matches: DataFrame,
+    delete_files: list[DataFile],
+) -> tuple[list[DataFile], int, list[DataFile], set[str]] | None:
+    """The back half of DV planning, shared by predicate deletes,
+    MoR updates, and MoR MERGE on v3 tables: turn a (file_path, pos)
+    matches DataFrame into per-file roaring vectors in one Puffin file,
+    folding prior live vectors (one-DV-per-file). Returns the same
+    4-tuple as plan_deletion_vectors."""
     from .roaring import deserialize_64, serialize_64
 
     def to_vec(key, pdf):
@@ -4409,13 +4492,18 @@ def plan_merge_mor(
     """Merge-on-read MERGE planning (row-delta upsert): live rows whose
     keys appear in the source get position-deleted, and the ENTIRE
     source appends as fresh data files — old row versions are shadowed,
-    unmatched source rows insert, no data file is rewritten. Returns
-    (new files: deletes + data, n_updated, n_inserted, referenced
-    data-file paths for the commit's liveness validation)."""
+    unmatched source rows insert, no data file is rewritten. On
+    format-version 3 tables the delete half is written as deletion
+    vectors (v3 forbids parquet position-delete files); on v2 it stays
+    spec-ordered position-delete parquet. Returns (new files: deletes +
+    data, n_updated, n_inserted, superseded prior DV files the commit
+    must mark DELETED — [] on v2, referenced data-file paths for the
+    commit's liveness validation)."""
     schema = read_schema_for(spark, md)
     keys = source.select(*key_cols).distinct()
     n_inserted = source.count()
     new_deletes: list[DataFile] = []
+    superseded: list[DataFile] = []
     n_updated = 0
     delete_targets: set[str] = set()
     if data_files:
@@ -4443,7 +4531,13 @@ def plan_merge_mor(
         per_file = matches.groupBy("file_path").count().collect()
         n_updated = sum(r["count"] for r in per_file)
         delete_targets = {r["file_path"] for r in per_file}
-        if n_updated:
+        if n_updated and table_format_version(md) >= 3:
+            # v3: the delete half must be deletion vectors
+            planned = deletion_vectors_from_matches(spark, md, matches, delete_files)
+            if planned is not None:
+                new_deletes, _, superseded, dv_targets = planned
+                delete_targets |= dv_targets
+        elif n_updated:
             out_dir = os.path.join(md["location"], "data", f"deletes-{uuid.uuid4().hex}")
             n_parts = max(1, min(64, -(-n_updated // 5_000_000)))
             (
@@ -4467,7 +4561,7 @@ def plan_merge_mor(
     new_data = write_partitioned_batch(
         source.select(*[f_.name for f_ in schema.fields]), md["location"], md
     )
-    return new_deletes + new_data, n_updated, n_inserted, delete_targets
+    return new_deletes + new_data, n_updated, n_inserted, superseded, delete_targets
 
 
 def plan_delete_rewrite(
@@ -6156,6 +6250,25 @@ class FsTable:
 
         return self._commit_metadata(mutate)
 
+    def upgrade_format_version(self, target: int = 3) -> int:
+        """v2 -> v3 upgrade ceremony (metadata-only commit): validate
+        the v3 delete invariants (plan_format_upgrade — no live parquet
+        position deletes, no stacked DVs), bump `format-version`, and
+        initialize `next-row-id` (row-lineage id space, v3 required
+        field). After the upgrade, merge-on-read writes refuse parquet
+        position-delete files. No-op when already at `target`."""
+
+        def mutate(md: dict):
+            if not plan_format_upgrade(md, target):
+                return None, table_format_version(md)
+            new_md = dict(md)
+            new_md["format-version"] = target
+            if "next-row-id" not in new_md:
+                new_md["next-row-id"] = 0
+            return new_md, target
+
+        return self._commit_metadata(mutate)
+
     def _commit_metadata(self, mutate) -> Any:
         """Metadata-only commit with CAS retry: `mutate(md)` returns
         (new_md, result) — or (None, result) for a no-op — and the new
@@ -6435,6 +6548,8 @@ class FsTable:
         live, excluded, deletes = plan_dml_files(
             planned_md, planned_snapshot, predicate, spark_session_timezone(spark)
         )
+        if mode == "merge-on-read":
+            require_position_delete_files_allowed(planned_md)
         if mode in ("merge-on-read", "deletion-vectors"):
             plan_fn = (
                 plan_deletion_vectors
@@ -6644,6 +6759,8 @@ class FsTable:
         live, excluded, deletes = plan_dml_files(
             planned_md, planned_snapshot, predicate, spark_session_timezone(spark)
         )
+        if mode == "merge-on-read":
+            require_position_delete_files_allowed(planned_md)
         if mode in ("merge-on-read", "deletion-vectors"):
             planned = plan_update_mor(
                 spark,
@@ -6739,7 +6856,7 @@ class FsTable:
             else ([], [], 0)
         )
         if mode == "merge-on-read":
-            new_files, n_updated, n_inserted, targets = plan_merge_mor(
+            new_files, n_updated, n_inserted, superseded, targets = plan_merge_mor(
                 spark, planned_md, live, deletes, source, key_cols
             )
             sid = self._commit_with_retry(
@@ -6750,6 +6867,7 @@ class FsTable:
                     "merged-records": str(n_updated),
                     "inserted-records": str(n_inserted),
                 },
+                removed_files=superseded or None,
                 required_live_paths=targets or None,
             )
             return sid, n_updated, n_inserted

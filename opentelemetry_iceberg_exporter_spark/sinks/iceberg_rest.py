@@ -56,6 +56,7 @@ from .iceberg_fs import (
     plan_scan_metadata,
     plan_delete_rewrite,
     plan_position_delete,
+    require_position_delete_files_allowed,
     scan_with_deletes,
     write_partitioned_batch,
     write_snapshot_tree,
@@ -1257,6 +1258,8 @@ class RestTable:
         live, excluded, deletes = plan_dml_files(
             md, planned_snapshot, predicate, spark_session_timezone(spark)
         )
+        if mode == "merge-on-read":
+            require_position_delete_files_allowed(md)
         if mode in ("merge-on-read", "deletion-vectors"):
             plan_fn = (
                 plan_deletion_vectors
@@ -1372,6 +1375,8 @@ class RestTable:
         live, excluded, deletes = plan_dml_files(
             md, planned_snapshot, predicate, spark_session_timezone(spark)
         )
+        if mode == "merge-on-read":
+            require_position_delete_files_allowed(md)
         if mode in ("merge-on-read", "deletion-vectors"):
             planned = plan_update_mor(
                 spark,
@@ -1493,7 +1498,7 @@ class RestTable:
             else ([], [])
         )
         if mode == "merge-on-read":
-            new_files, n_updated, n_inserted, targets = plan_merge_mor(
+            new_files, n_updated, n_inserted, superseded, targets = plan_merge_mor(
                 spark, md, live, deletes, source, key_cols
             )
             sid = self._commit_add(
@@ -1503,6 +1508,7 @@ class RestTable:
                     "merged-records": str(n_updated),
                     "inserted-records": str(n_inserted),
                 },
+                removed_files=superseded or None,
                 required_live_paths=targets or None,
             )
             return sid, n_updated, n_inserted
@@ -1726,6 +1732,26 @@ class RestTable:
             requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
             updates=[update],
         )
+
+    def upgrade_format_version(self, target: int = 3) -> int:
+        """v2 -> v3 upgrade over REST: validate locally against the
+        current metadata (plan_format_upgrade's invariants), then send
+        the spec's upgrade-format-version update with the table pinned
+        by assert-table-uuid — the server re-checks monotonicity."""
+        from .iceberg_fs import plan_format_upgrade, table_format_version
+
+        md = self.metadata()
+        if not plan_format_upgrade(md, target):
+            return table_format_version(md)
+        self.client.commit_table(
+            self.namespace,
+            self.name,
+            requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
+            updates=[
+                {"action": "upgrade-format-version", "format-version": target}
+            ],
+        )
+        return target
 
     def snapshot_as_of(self, timestamp_ms: int) -> int | None:
         """Snapshot id for timestamp time travel; pass to read()."""

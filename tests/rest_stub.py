@@ -474,6 +474,20 @@ class _Handler(BaseHTTPRequestHandler):
                     new_md["last-column-id"] = max(
                         new_md["last-column-id"], upd["last-column-id"]
                     )
+            elif action == "upgrade-format-version":
+                target = upd["format-version"]
+                cur = int(new_md.get("format-version", 2))
+                if target < cur:
+                    return (
+                        400,
+                        "ValidationException",
+                        f"cannot downgrade format-version {cur} -> {target}",
+                    )
+                if target > 3:
+                    return (400, "ValidationException", f"unsupported format-version {target}")
+                new_md["format-version"] = target
+                if target >= 3 and "next-row-id" not in new_md:
+                    new_md["next-row-id"] = 0  # v3 row-lineage id space
             elif action == "remove-snapshot-ref":
                 rn = upd["ref-name"]
                 if rn == "main":
