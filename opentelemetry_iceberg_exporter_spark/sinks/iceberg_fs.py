@@ -295,6 +295,9 @@ def with_field_ids(df: DataFrame, md: dict) -> DataFrame:
     fieldId.write is on by default). Columns not in the table schema
     (e.g. the hidden partition value) pass through untouched."""
     ids = {f_["name"]: f_["id"] for f_ in current_schema(md)["fields"]}
+    # materialized v3 lineage columns carry the spec's reserved ids
+    ids.setdefault(ROW_ID_COL, 2147483540)
+    ids.setdefault(LAST_UPDATED_COL, 2147483539)
     return df.select(
         *[
             F.col(c).alias(c, metadata={"parquet.field.id": ids[c]})
@@ -573,6 +576,14 @@ class DataFile:
     # default — partition-identity operations (dynamic overwrite) must
     # see that. None = fresh file (current spec) or unknown.
     spec_id: int | None = field(default=None, compare=False, repr=False)
+    # v3 row lineage (manifest field 142): id of the file's first row.
+    # Assigned ONCE from the table's next-row-id when the file first
+    # commits to a v3 table; PRESERVED verbatim when the file is
+    # re-committed (CoW survivors, pruned-away files, metadata moves) —
+    # like sequence_number, re-stamping it would silently change every
+    # surviving row's _row_id. None = v2 file or fresh file awaiting
+    # assignment.
+    first_row_id: int | None = field(default=None, compare=False, repr=False)
 
     @property
     def is_deletion_vector(self) -> bool:
@@ -689,6 +700,7 @@ def manifest_avro_schema(
     partition_fields: list[dict],
     schema: dict | None = None,
     with_dv: bool = False,
+    with_lineage: bool = False,
 ) -> dict:
     partition_record = {
         "type": "record",
@@ -744,6 +756,18 @@ def manifest_avro_schema(
                 "field-id": 145,
             },
         ]
+    if with_lineage:
+        # Iceberg v3 row lineage (spec field 142): the file's first row
+        # id. Only emitted in data manifests of v3 tables, so every
+        # pre-v3 manifest stays byte-identical to the golden fixtures.
+        data_file_fields.append(
+            {
+                "name": "first_row_id",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 142,
+            }
+        )
     data_file = {
         "type": "record",
         "name": "r2",
@@ -1181,7 +1205,7 @@ def _supersede_carried_entries(
                 "schema": json.dumps(current_schema(md)),
                 "partition-spec": meta_.get("partition-spec", "[]"),
                 "partition-spec-id": str(m["partition_spec_id"]),
-                "format-version": "2",
+                "format-version": str(table_format_version(md)),
                 "content": "deletes",
             },
         )
@@ -1262,6 +1286,24 @@ def write_snapshot_tree(
 
     data_group = [f for f in files if f.content == 0]
     delete_group = [f for f in files if f.content in (1, 2)]
+    # v3 row lineage: fresh data files consume id space from the
+    # table's next-row-id (files re-committed with a recorded
+    # first_row_id keep it — rewrites/survivors never re-stamp);
+    # the snapshot carries first-row-id + added-rows so the commit can
+    # advance next-row-id without re-reading the manifest
+    v3_lineage = table_format_version(md) >= 3
+    first_row_base = md.get("next-row-id", 0) if v3_lineage else None
+    assigned_rows = 0
+    lineage_ids: dict[int, int] = {}
+    if v3_lineage:
+        cursor = first_row_base
+        for f in data_group:
+            if f.first_row_id is not None:
+                lineage_ids[id(f)] = f.first_row_id
+            else:
+                lineage_ids[id(f)] = cursor
+                cursor += f.record_count
+        assigned_rows = cursor - first_row_base
     # a manifest holds data files OR delete files, never both (spec);
     # the data manifest is always written when there are no deletes so
     # pre-MoR commit trees (and the golden fixtures) are byte-identical
@@ -1277,6 +1319,7 @@ def write_snapshot_tree(
             meta_dir, f"{uuid.uuid4().hex}-m{content_id}.avro"
         )
         with_dv = any(f.is_deletion_vector for f in group)
+        with_lineage = v3_lineage and content_id == 0
         entries = []
         for f in group:
             # column bounds from the Parquet footer (metadata-only read,
@@ -1314,6 +1357,8 @@ def write_snapshot_tree(
                 data_file["referenced_data_file"] = f.referenced_data_file
                 data_file["content_offset"] = f.content_offset
                 data_file["content_size_in_bytes"] = f.content_size_in_bytes
+            if with_lineage:
+                data_file["first_row_id"] = lineage_ids.get(id(f))
             entries.append(
                 {
                     "status": STATUS_ADDED,
@@ -1325,13 +1370,18 @@ def write_snapshot_tree(
             )
         manifest_len = write_ocf(
             manifest_path,
-            manifest_avro_schema(spec_fields, current_schema(md), with_dv=with_dv),
+            manifest_avro_schema(
+                spec_fields,
+                current_schema(md),
+                with_dv=with_dv,
+                with_lineage=with_lineage,
+            ),
             entries,
             extra_metadata={
                 "schema": json.dumps(current_schema(md)),
                 "partition-spec": json.dumps(spec_fields),
                 "partition-spec-id": str(md["default-spec-id"]),
-                "format-version": "2",
+                "format-version": str(table_format_version(md)),
                 "content": "data" if content_id == 0 else "deletes",
             },
         )
@@ -1402,7 +1452,7 @@ def write_snapshot_tree(
             "snapshot-id": str(snapshot_id),
             "parent-snapshot-id": str(parent),
             "sequence-number": str(seq),
-            "format-version": "2",
+            "format-version": str(table_format_version(md)),
         },
     )
 
@@ -1430,7 +1480,7 @@ def write_snapshot_tree(
         )
     )
     summary.update(extra_summary)
-    return {
+    snapshot = {
         "snapshot-id": snapshot_id,
         "parent-snapshot-id": parent if parent != -1 else None,
         "sequence-number": seq,
@@ -1439,6 +1489,12 @@ def write_snapshot_tree(
         "summary": summary,
         "schema-id": md["current-schema-id"],
     }
+    if v3_lineage:
+        # v3 snapshot fields: the commit advances next-row-id to
+        # first-row-id + added-rows (rows this snapshot may assign)
+        snapshot["first-row-id"] = first_row_base
+        snapshot["added-rows"] = assigned_rows
+    return snapshot
 
 
 def _inherit_entry(e: dict, m: dict) -> dict:
@@ -1474,22 +1530,29 @@ def _write_merged_manifest(
     live remains. The Avro schema is taken from the first source
     manifest so decode→encode is byte-symmetric even for old-spec
     manifests (spec evolution keeps per-spec r102 layouts)."""
-    def _has_dv_fields(schema_: dict) -> bool:
+    def _df_fields(schema_: dict) -> list[dict]:
         df_rec = next(f_ for f_ in schema_["fields"] if f_["name"] == "data_file")
-        return any(
-            f_["name"] == "referenced_data_file" for f_ in df_rec["type"]["fields"]
-        )
+        return df_rec["type"]["fields"]
+
+    def _has_field(schema_: dict, name: str) -> bool:
+        return any(f_["name"] == name for f_ in _df_fields(schema_))
+
+    def _has_dv_fields(schema_: dict) -> bool:
+        return _has_field(schema_, "referenced_data_file")
 
     entries: list[dict] = []
     min_seq: int | None = None
     avro_schema: dict | None = None
     src_meta: dict[str, str] | None = None
+    need_dv = need_lineage = False
     for m in bin_:
         schema_, meta_, rows = read_ocf(m["manifest_path"])
         # a bin can mix deletion-vector manifests (3 extra data_file
-        # fields, spec ids 143-145) with plain delete manifests — the
-        # merged file must use the WIDER schema, with the plain entries
-        # null-filled
+        # fields, spec ids 143-145) and/or row-lineage manifests (field
+        # 142) with plain ones — the merged file must use the WIDEST
+        # schema, with the narrower entries null-filled
+        need_dv = need_dv or _has_dv_fields(schema_)
+        need_lineage = need_lineage or _has_field(schema_, "first_row_id")
         if avro_schema is None or (
             _has_dv_fields(schema_) and not _has_dv_fields(avro_schema)
         ):
@@ -1507,11 +1570,37 @@ def _write_merged_manifest(
             )
     if not entries:
         return None
-    if _has_dv_fields(avro_schema):
+    # splice missing optional field groups into the picked schema (the
+    # fresh-writer field order: dv trio 143-145, then lineage 142)
+    import copy as _copy
+
+    if (need_dv and not _has_dv_fields(avro_schema)) or (
+        need_lineage and not _has_field(avro_schema, "first_row_id")
+    ):
+        avro_schema = _copy.deepcopy(avro_schema)
+        fields_ = _df_fields(avro_schema)
+        if need_dv and not any(f_["name"] == "referenced_data_file" for f_ in fields_):
+            fields_ += [
+                {"name": "referenced_data_file", "type": ["null", "string"],
+                 "default": None, "field-id": 143},
+                {"name": "content_offset", "type": ["null", "long"],
+                 "default": None, "field-id": 144},
+                {"name": "content_size_in_bytes", "type": ["null", "long"],
+                 "default": None, "field-id": 145},
+            ]
+        if need_lineage and not any(f_["name"] == "first_row_id" for f_ in fields_):
+            fields_.append(
+                {"name": "first_row_id", "type": ["null", "long"],
+                 "default": None, "field-id": 142}
+            )
+    if need_dv:
         for e in entries:
             e["data_file"].setdefault("referenced_data_file", None)
             e["data_file"].setdefault("content_offset", None)
             e["data_file"].setdefault("content_size_in_bytes", None)
+    if need_lineage:
+        for e in entries:
+            e["data_file"].setdefault("first_row_id", None)
     content_id = bin_[0]["content"]
     path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m{content_id}.avro")
     length = write_ocf(
@@ -1522,7 +1611,7 @@ def _write_merged_manifest(
             "schema": json.dumps(current_schema(md)),
             "partition-spec": src_meta.get("partition-spec", "[]"),
             "partition-spec-id": str(bin_[0]["partition_spec_id"]),
-            "format-version": "2",
+            "format-version": str(table_format_version(md)),
             "content": "data" if content_id == 0 else "deletes",
         },
     )
@@ -1705,7 +1794,7 @@ def build_rewrite_manifests_snapshot(
             "snapshot-id": str(snapshot_id),
             "parent-snapshot-id": str(sid),
             "sequence-number": str(seq),
-            "format-version": "2",
+            "format-version": str(table_format_version(md)),
         },
     )
     summary = {
@@ -2297,6 +2386,7 @@ def _tagged_live_scan(
     delete_files: list[DataFile],
     md: dict | None = None,
     data_files: list[DataFile] | None = None,
+    lineage: bool = False,
 ) -> DataFrame:
     """Scan `paths` under `schema` with position AND equality deletes
     applied, keeping a `__file` column (the scheme-less absolute path, as
@@ -2308,6 +2398,11 @@ def _tagged_live_scan(
     and the live `data_files` (sequence numbers from the manifest walk)."""
     pos = [f for f in delete_files if f.content == 1] if delete_files else []
     eq = [f for f in delete_files if f.content == 2] if delete_files else []
+    if lineage:
+        # also surface the files' MATERIALIZED lineage columns (written
+        # by earlier v3 CoW rewrites; null where never materialized) and
+        # keep __dpos so carry_lineage can derive the rest
+        schema = StructType(list(schema.fields) + lineage_read_fields())
     tagged = table_file_scan(
         spark, md, schema, paths, tag_cols=(("__file", "path"), ("__dpos", "pos"))
     )
@@ -2321,7 +2416,7 @@ def _tagged_live_scan(
             )
         seq_by_path = {f.file_path: f.sequence_number for f in data_files}
         tagged = apply_equality_deletes(spark, tagged, eq, md, seq_by_path)
-    return tagged.drop("__dpos")
+    return tagged if lineage else tagged.drop("__dpos")
 
 
 def scan_with_deletes(
@@ -2356,6 +2451,89 @@ def scan_with_deletes(
         return tagged.select(*[f_.name for f_ in schema.fields])
     df = table_file_scan(spark, md, schema, [f.file_path for f in data_files])
     return apply_position_deletes(spark, df, delete_files)
+
+
+# v3 row-lineage metadata columns (Iceberg spec reserved field ids
+# 2147483540 / 2147483539): _row_id identifies a row STABLY across CoW
+# rewrites; _last_updated_sequence_number is the data sequence number of
+# the commit that last modified it.
+ROW_ID_COL = "_row_id"
+LAST_UPDATED_COL = "_last_updated_sequence_number"
+
+
+def lineage_read_fields() -> list[StructField]:
+    return [
+        StructField(ROW_ID_COL, LongType(), True),
+        StructField(LAST_UPDATED_COL, LongType(), True),
+    ]
+
+
+def carry_lineage(
+    spark: SparkSession,
+    tagged: DataFrame,
+    data_files: list[DataFile],
+    updated=None,
+    new_seq: int | None = None,
+    file_col: str = "__file",
+    pos_col: str = "__dpos",
+) -> DataFrame:
+    """Resolve the v3 lineage columns on a lineage scan (read with
+    lineage_read_fields + __file/__dpos tags): a row's MATERIALIZED
+    values win (written by an earlier CoW rewrite); otherwise the spec's
+    inheritance applies — _row_id = file first_row_id + row position,
+    _last_updated = file data sequence number. `updated` (boolean
+    Column over the pre-update row values) marks rows modified by this
+    commit: their _last_updated becomes `new_seq` while _row_id is
+    preserved. Tags are kept; callers drop __file/__dpos before
+    writing."""
+    rows = [
+        (f.file_path, f.first_row_id, int(f.sequence_number))
+        for f in data_files
+        if f.content == 0
+    ]
+    lmap = spark.createDataFrame(rows, "__lpath string, __lfirst long, __lseq long")
+    df = tagged.join(F.broadcast(lmap), F.col(file_col) == F.col("__lpath"), "left")
+    row_id = F.coalesce(F.col(ROW_ID_COL), F.col("__lfirst") + F.col(pos_col))
+    last_up = F.coalesce(F.col(LAST_UPDATED_COL), F.col("__lseq"))
+    if updated is not None:
+        last_up = F.when(updated, F.lit(new_seq)).otherwise(last_up)
+    return (
+        df.withColumn(ROW_ID_COL, row_id)
+        .withColumn(LAST_UPDATED_COL, last_up)
+        .drop("__lpath", "__lfirst", "__lseq")
+    )
+
+
+def scan_with_lineage(
+    spark: SparkSession,
+    md: dict,
+    data_files: list[DataFile],
+    delete_files: list[DataFile],
+) -> DataFrame:
+    """Snapshot scan PROJECTING the v3 row-lineage columns (deletes
+    applied like scan_with_deletes). Requires a format-version 3 table
+    — v2 files have no id space to derive from."""
+    if table_format_version(md) < 3:
+        raise ValueError(
+            "row lineage requires a format-version 3 table — call "
+            "upgrade_format_version(3) first"
+        )
+    schema = read_schema_for(spark, md)
+    out = StructType(list(schema.fields) + lineage_read_fields())
+    if not data_files:
+        return spark.createDataFrame([], out)
+    tagged = _tagged_live_scan(
+        spark,
+        schema,
+        [f.file_path for f in data_files],
+        delete_files,
+        md,
+        data_files,
+        lineage=True,
+    )
+    return carry_lineage(spark, tagged, data_files).select(
+        *[f_.name for f_ in out.fields]
+    )
 
 
 # transforms that PRESERVE ORDER of their source values, so a source-
@@ -2634,6 +2812,7 @@ def plan_scan_metadata(
                 sequence_number=entry_seq,
                 raw_bounds=(df_.get("lower_bounds"), df_.get("upper_bounds")),
                 spec_id=m.get("partition_spec_id"),
+                first_row_id=df_.get("first_row_id"),
             )
             if skip:
                 pruned += 1
@@ -3036,9 +3215,31 @@ def live_files(
                     else None
                 ),
                 spec_id=m.get("partition_spec_id"),
+                first_row_id=d.get("first_row_id"),
             )
             (deletes if f.content in (1, 2) else data).append(f)
     return data, deletes
+
+
+def resolve_dml_branch(md: dict, branch: str, mode: str) -> int:
+    """Branch-scoped DML target: the snapshot id the plan runs against.
+    The merge-on-read forms (position deletes, deletion vectors) commit
+    like branch appends — same fold-on-write and liveness validation,
+    parented on the branch head. Copy-on-write is refused on non-main
+    branches: its replace commit is pinned to main's head by design."""
+    if branch == "main":
+        return md["current-snapshot-id"]
+    ref = md.get("refs", {}).get(branch)
+    if ref is None:
+        raise ValueError(f"unknown branch {branch!r}")
+    if ref.get("type") != "branch":
+        raise ValueError(f"{branch!r} is a tag — tags are immutable bookmarks")
+    if mode == "copy-on-write":
+        raise ValueError(
+            "copy-on-write DML on a non-main branch is unsupported — use "
+            "merge-on-read or deletion-vectors"
+        )
+    return ref["snapshot-id"]
 
 
 def table_format_version(md: dict) -> int:
@@ -3710,6 +3911,7 @@ def _added_files(
                         if d.get("content", 0) == 0
                         else None
                     ),
+                    first_row_id=d.get("first_row_id"),
                 )
             )
     return out, carried
@@ -3778,6 +3980,7 @@ def read_changelog(
     from_snapshot_id: int | None = None,
     to_snapshot_id: int | None = None,
     source_range: tuple[str, Any, Any] | list[tuple[str, Any, Any]] | None = None,
+    with_lineage: bool = False,
 ) -> DataFrame:
     """Row-level CDC over a snapshot window — the read half of the CDC
     story (upsert_equality/delete_where* are the write half). Returns
@@ -3812,7 +4015,18 @@ def read_changelog(
     and row-level (the range applied exactly to insert/delete rows).
     `delete_key` rows are filtered only when the scoped column IS a key
     column — otherwise they are conservatively kept (their non-key
-    columns are null by contract)."""
+    columns are null by contract).
+
+    `with_lineage` (v3 tables) adds _row_id /
+    _last_updated_sequence_number to every change row — row-STABLE
+    identity across CoW rewrites, so a downstream materializer can key
+    its state by _row_id instead of content. delete_key rows carry
+    nulls (their pre-images are unread by contract)."""
+    if with_lineage and table_format_version(md) < 3:
+        raise ValueError(
+            "row lineage requires a format-version 3 table — call "
+            "upgrade_format_version(3) first"
+        )
     schema = read_schema_for(spark, md)
     cols = [f_.name for f_ in schema.fields]
     # main ancestry only: WAP-staged commits are invisible until published
@@ -3848,9 +4062,12 @@ def read_changelog(
 
     parts: list[DataFrame] = []
 
+    lineage_names = [ROW_ID_COL, LAST_UPDATED_COL] if with_lineage else []
+
     def tag(df: DataFrame, ctype: str, s: dict) -> DataFrame:
         return df.select(
             *cols,
+            *lineage_names,
             F.lit(ctype).alias("_change_type"),
             F.lit(s["snapshot-id"]).alias("_commit_snapshot_id"),
             F.lit(s["sequence-number"]).alias("_commit_sequence_number"),
@@ -3930,10 +4147,15 @@ def read_changelog(
                     .distinct()
                     .collect()
                 }
+            scan_schema = (
+                StructType(list(schema.fields) + lineage_read_fields())
+                if with_lineage
+                else schema
+            )
             tagged = table_file_scan(
                 spark,
                 md,
-                schema,
+                scan_schema,
                 sorted(ref_paths),
                 tag_cols=(("__dfile", "path"), ("__dpos", "pos")),
             )
@@ -3943,6 +4165,17 @@ def read_changelog(
                 & (tagged["__dpos"] == dels["pos"]),
                 "left_semi",
             )
+            if with_lineage:
+                # identity of the deleted rows: first_row_id of their
+                # PARENT files (one data-manifest walk, lineage only)
+                parent_files = [
+                    f
+                    for f in live_files(md, parent)[0]
+                    if f.file_path in ref_paths
+                ]
+                hit = carry_lineage(
+                    spark, hit, parent_files, file_col="__dfile"
+                )
             if row_scope is not None:
                 hit = hit.where(row_scope)
             parts.append(tag(hit, "delete", s))
@@ -3963,6 +4196,12 @@ def read_changelog(
                     for c, f_ in zip(cols, schema.fields)
                 ]
             )
+            if with_lineage:
+                widened = widened.select(
+                    "*",
+                    F.lit(None).cast("long").alias(ROW_ID_COL),
+                    F.lit(None).cast("long").alias(LAST_UPDATED_COL),
+                )
             # a scope column that IS a key column filters exactly; any
             # other scope column is null here — conservatively keep
             key_scope = _scope_cond(key_names)
@@ -3970,7 +4209,17 @@ def read_changelog(
                 widened = widened.where(key_scope)
             parts.append(tag(widened, "delete_key", s))
         if data and op in ("append", "overwrite"):
-            ins = table_file_scan(spark, md, schema, [f.file_path for f in data])
+            if with_lineage:
+                ins = table_file_scan(
+                    spark,
+                    md,
+                    StructType(list(schema.fields) + lineage_read_fields()),
+                    [f.file_path for f in data],
+                    tag_cols=(("__file", "path"), ("__dpos", "pos")),
+                )
+                ins = carry_lineage(spark, ins, data).drop("__file", "__dpos")
+            else:
+                ins = table_file_scan(spark, md, schema, [f.file_path for f in data])
             if row_scope is not None:
                 ins = ins.where(row_scope)
             parts.append(tag(ins, "insert", s))
@@ -3978,6 +4227,7 @@ def read_changelog(
     if not parts:
         empty = StructType(
             schema.fields
+            + (lineage_read_fields() if with_lineage else [])
             + [
                 StructField("_change_type", StringType(), False),
                 StructField("_commit_snapshot_id", LongType(), False),
@@ -4162,7 +4412,11 @@ def plan_rewrite(
             delete_files or [],
             md,
             live,
-        ).drop("__file")
+            lineage=table_format_version(md) >= 3,
+        )
+        if table_format_version(md) >= 3:
+            mig_df = carry_lineage(spark, mig_df, live)
+        mig_df = mig_df.drop("__file", "__dpos")
         rewritten.extend(write_partitioned_batch(mig_df, md["location"], md))
         n_compacted += len(migrate)
     for part_key, files in sorted(by_part.items()):
@@ -4183,7 +4437,13 @@ def plan_rewrite(
             delete_files or [],
             md,
             live,
-        ).drop("__file")
+            lineage=table_format_version(md) >= 3,
+        )
+        if table_format_version(md) >= 3:
+            # compaction preserves row identity (v3 spec: rewrites
+            # materialize lineage for carried rows)
+            part_df = carry_lineage(spark, part_df, live)
+        part_df = part_df.drop("__file", "__dpos")
         part_df = with_field_ids(part_df, md).coalesce(1)
         if zorder_by:
             from ..operators.layout import sort_by_zorder
@@ -4316,11 +4576,16 @@ def plan_delete(
     hit_paths = {r["__file"] for r in stats}
     n_deleted = sum(r["count"] for r in stats)
     survivors = [f for f in live if f.file_path not in hit_paths]
-    keep = (
-        _tagged_live_scan(spark, schema, sorted(hit_paths), delete_files, md, live)
-        .filter(~F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False)))
-        .drop("__file")
+    lineage = table_format_version(md) >= 3
+    keep = _tagged_live_scan(
+        spark, schema, sorted(hit_paths), delete_files, md, live, lineage=lineage
     )
+    if lineage:
+        # v3: carried rows keep their identity across the rewrite
+        keep = carry_lineage(spark, keep, live)
+    keep = keep.filter(
+        ~F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
+    ).drop("__file", "__dpos")
     rewritten = write_partitioned_batch(keep, md["location"], md)
     return survivors + rewritten, n_deleted, len(rewritten)
 
@@ -4367,11 +4632,16 @@ def plan_merge(
     rewritten: list[DataFile] = []
     if hit_paths:
         # ONE partitioned rewrite job for every file containing matches
-        keep = (
-            _tagged_live_scan(spark, schema, sorted(hit_paths), delete_files, md, live)
-            .drop("__file")
-            .join(F.broadcast(keys), key_cols, "anti")
+        lineage = table_format_version(md) >= 3
+        keep = _tagged_live_scan(
+            spark, schema, sorted(hit_paths), delete_files, md, live, lineage=lineage
         )
+        if lineage:
+            # carried (unmatched) rows keep their identity; matched rows
+            # are replaced by the source inserts, which get FRESH ids —
+            # CoW MERGE is delete+insert per spec
+            keep = carry_lineage(spark, keep, live)
+        keep = keep.drop("__file", "__dpos").join(F.broadcast(keys), key_cols, "anti")
         rewritten = write_partitioned_batch(keep, md["location"], md)
     inserted_files = write_partitioned_batch(
         source.select(*[f_.name for f_ in schema.fields]), md["location"], md
@@ -4423,11 +4693,20 @@ def plan_update(
         else F.col(f_.name)
         for f_ in schema.fields
     ]
-    keep = (
-        _tagged_live_scan(spark, schema, sorted(hit_paths), delete_files, md, live)
-        .drop("__file")
-        .select(*cols)
+    lineage = table_format_version(md) >= 3
+    keep = _tagged_live_scan(
+        spark, schema, sorted(hit_paths), delete_files, md, live, lineage=lineage
     )
+    if lineage:
+        # updated rows keep _row_id, get the commit's sequence number as
+        # _last_updated (evaluated over PRE-update values); carried rows
+        # keep both
+        keep = carry_lineage(
+            spark, keep, live, updated=matched,
+            new_seq=md["last-sequence-number"] + 1,
+        )
+        cols = cols + [F.col(ROW_ID_COL), F.col(LAST_UPDATED_COL)]
+    keep = keep.drop("__file", "__dpos").select(*cols)
     rewritten = write_partitioned_batch(keep, md["location"], md)
     return survivors + rewritten, n_updated, len(rewritten)
 
@@ -4465,18 +4744,34 @@ def plan_update_mor(
         return None
     new_deletes, n_updated, superseded, delete_targets = planned
     schema = read_schema_for(spark, md)
+    lineage = table_format_version(md) >= 3
     # every row in the matched scan matches: apply SET unconditionally
     matched = _tagged_live_scan(
-        spark, schema, [f.file_path for f in data_files], delete_files, md, data_files
-    ).filter(F.expr(predicate)).drop("__file")
-    updated = matched.select(
-        *[
-            F.expr(set_exprs[f_.name]).cast(f_.dataType).alias(f_.name)
-            if f_.name in set_exprs
-            else F.col(f_.name)
-            for f_ in schema.fields
-        ]
+        spark,
+        schema,
+        [f.file_path for f in data_files],
+        delete_files,
+        md,
+        data_files,
+        lineage=lineage,
     )
+    if lineage:
+        # MoR UPDATE preserves _row_id too: the updated copies carry
+        # their source rows' ids, _last_updated = this commit's seq
+        matched = carry_lineage(
+            spark, matched, data_files, updated=F.lit(True),
+            new_seq=md["last-sequence-number"] + 1,
+        )
+    matched = matched.filter(F.expr(predicate)).drop("__file", "__dpos")
+    out_cols = [
+        F.expr(set_exprs[f_.name]).cast(f_.dataType).alias(f_.name)
+        if f_.name in set_exprs
+        else F.col(f_.name)
+        for f_ in schema.fields
+    ]
+    if lineage:
+        out_cols = out_cols + [F.col(ROW_ID_COL), F.col(LAST_UPDATED_COL)]
+    updated = matched.select(*out_cols)
     new_data = write_partitioned_batch(updated, md["location"], md)
     return new_deletes + new_data, n_updated, superseded, delete_targets
 
@@ -4582,7 +4877,13 @@ def plan_delete_rewrite(
     rewritten: list[DataFile] = []
     if hit:
         schema = read_schema_for(spark, md)
-        keep = _tagged_live_scan(spark, schema, sorted(hit), deletes, md, live).drop("__file")
+        lineage = table_format_version(md) >= 3
+        keep = _tagged_live_scan(
+            spark, schema, sorted(hit), deletes, md, live, lineage=lineage
+        )
+        if lineage:
+            keep = carry_lineage(spark, keep, live)
+        keep = keep.drop("__file", "__dpos")
         rewritten = write_partitioned_batch(keep, md["location"], md)
     return survivors + rewritten, len(rewritten)
 
@@ -4632,9 +4933,13 @@ def plan_equality_rewrite(
     if not hit:
         return None
     survivors = [f for f in live if f.file_path not in hit]
-    keep = _tagged_live_scan(spark, schema, sorted(hit), deletes, md, live).drop(
-        "__file"
+    lineage = table_format_version(md) >= 3
+    keep = _tagged_live_scan(
+        spark, schema, sorted(hit), deletes, md, live, lineage=lineage
     )
+    if lineage:
+        keep = carry_lineage(spark, keep, live)
+    keep = keep.drop("__file", "__dpos")
     rewritten = write_partitioned_batch(keep, md["location"], md)
     # position deletes stay live for SURVIVING files; entries naming the
     # rewritten files are stale and match nothing
@@ -5674,6 +5979,11 @@ class FsTable:
         new_md["last-sequence-number"] = seq
         new_md["last-updated-ms"] = now_ms
         new_md["snapshots"] = md["snapshots"] + [snapshot]
+        if snapshot.get("first-row-id") is not None:
+            # v3 row lineage: the snapshot consumed this much id space
+            new_md["next-row-id"] = snapshot["first-row-id"] + snapshot.get(
+                "added-rows", 0
+            )
         # advance the TARGET ref, PRESERVE the rest (tags/branches pin
         # snapshots); only main moves the current snapshot + history log
         new_md["refs"] = {
@@ -5878,6 +6188,7 @@ class FsTable:
         column_range: tuple[str, Any, Any] | None = None,
         source_predicate: tuple[str, Any] | None = None,
         source_range: tuple[str, Any, Any] | None = None,
+        with_lineage: bool = False,
     ) -> DataFrame:
         """Time-travel-capable scan: metadata resolves the file list
         (partition + column-bound + hidden-partition-predicate pruning
@@ -5885,11 +6196,15 @@ class FsTable:
         under the CURRENT schema (pre-evolution files surface added
         columns as nulls), and any position-delete files are subtracted
         (merge-on-read). NOTE: column_range / source_predicate prune
-        FILES; apply the row filter on the result."""
+        FILES; apply the row filter on the result. `with_lineage`
+        (v3 tables) appends the _row_id / _last_updated_sequence_number
+        metadata columns (scan_with_lineage)."""
         md = self.metadata()
         data, deletes, _ = self.plan_scan(
             snapshot_id, partition_range, column_range, source_predicate, source_range
         )
+        if with_lineage:
+            return scan_with_lineage(spark, md, data, deletes)
         return scan_with_deletes(spark, md, data, deletes)
 
     def count_rows(
@@ -6056,15 +6371,22 @@ class FsTable:
         from_snapshot_id: int | None = None,
         to_snapshot_id: int | None = None,
         source_range=None,
+        with_lineage: bool = False,
     ) -> DataFrame:
         """Row-level CDC read over a snapshot window (see module-level
         read_changelog): `insert` rows for appends, full-content
         `delete` rows for position deletes, key-only `delete_key` rows
         for equality deletes; compaction skipped; CoW overwrites raise.
         `source_range=(col, lo, hi)` scopes the changelog (manifest-
-        summary skip + partition-value file skip + exact row filter)."""
+        summary skip + partition-value file skip + exact row filter);
+        `with_lineage` (v3) adds the row-identity columns."""
         return read_changelog(
-            spark, self.metadata(), from_snapshot_id, to_snapshot_id, source_range
+            spark,
+            self.metadata(),
+            from_snapshot_id,
+            to_snapshot_id,
+            source_range,
+            with_lineage,
         )
 
     # -- refs: tags + branches ---------------------------------------------
@@ -6499,7 +6821,11 @@ class FsTable:
         return self._commit_metadata(mutate)
 
     def delete_where(
-        self, spark: SparkSession, predicate: str, mode: str = "copy-on-write"
+        self,
+        spark: SparkSession,
+        predicate: str,
+        mode: str = "copy-on-write",
+        branch: str = "main",
     ) -> tuple[int | None, int]:
         """Row-level DELETE, two strategies sharing one predicate scan:
 
@@ -6537,7 +6863,7 @@ class FsTable:
                 f"got {mode!r}"
             )
         _, planned_md = self._load_state()
-        planned_snapshot = planned_md["current-snapshot-id"]
+        planned_snapshot = resolve_dml_branch(planned_md, branch, mode)
         if planned_snapshot == -1:
             return None, 0
         # predicate-derived pruning: files whose manifest bounds /
@@ -6568,6 +6894,7 @@ class FsTable:
                 operation="delete",
                 carry_forward=True,
                 extra_summary=extra,
+                branch=branch,
                 removed_files=superseded or None,
                 required_live_paths=targets or None,
             )
@@ -6730,6 +7057,7 @@ class FsTable:
         predicate: str,
         set_exprs: dict[str, str],
         mode: str = "copy-on-write",
+        branch: str = "main",
     ) -> tuple[int | None, int]:
         """Row-level UPDATE (`UPDATE SET col = expr WHERE pred`):
 
@@ -6751,7 +7079,7 @@ class FsTable:
                 f"got {mode!r}"
             )
         _, planned_md = self._load_state()
-        planned_snapshot = planned_md["current-snapshot-id"]
+        planned_snapshot = resolve_dml_branch(planned_md, branch, mode)
         if planned_snapshot == -1:
             return None, 0
         # predicate-derived pruning, same as delete_where: provably
@@ -6781,6 +7109,7 @@ class FsTable:
                 operation="overwrite",
                 carry_forward=True,
                 extra_summary={"updated-records": str(n_updated)},
+                branch=branch,
                 removed_files=superseded or None,
                 required_live_paths=targets or None,
             )

@@ -57,6 +57,7 @@ from .iceberg_fs import (
     plan_delete_rewrite,
     plan_position_delete,
     require_position_delete_files_allowed,
+    resolve_dml_branch,
     scan_with_deletes,
     write_partitioned_batch,
     write_snapshot_tree,
@@ -994,12 +995,18 @@ class RestTable:
         from_snapshot_id: int | None = None,
         to_snapshot_id: int | None = None,
         source_range=None,
+        with_lineage: bool = False,
     ) -> DataFrame:
         """Row-level CDC read over REST (see iceberg_fs.read_changelog)."""
         from .iceberg_fs import read_changelog
 
         return read_changelog(
-            spark, self.metadata(), from_snapshot_id, to_snapshot_id, source_range
+            spark,
+            self.metadata(),
+            from_snapshot_id,
+            to_snapshot_id,
+            source_range,
+            with_lineage,
         )
 
     def metadata_table(self, spark: SparkSession, name: str) -> DataFrame:
@@ -1234,7 +1241,11 @@ class RestTable:
                 time.sleep(0.05 * attempt)
 
     def delete_where(
-        self, spark: SparkSession, predicate: str, mode: str = "copy-on-write"
+        self,
+        spark: SparkSession,
+        predicate: str,
+        mode: str = "copy-on-write",
+        branch: str = "main",
     ) -> tuple[int | None, int]:
         """Row-level DELETE over REST — same strategies as
         FsTable.delete_where: copy-on-write (overwrite commit pinned to
@@ -1250,7 +1261,7 @@ class RestTable:
                 f"got {mode!r}"
             )
         md = self.metadata()
-        planned_snapshot = md["current-snapshot-id"]
+        planned_snapshot = resolve_dml_branch(md, branch, mode)
         if planned_snapshot == -1:
             return None, 0
         # predicate-derived pruning (shared plan_dml_files): provably
@@ -1277,6 +1288,7 @@ class RestTable:
                 new_deletes,
                 "delete",
                 extra,
+                branch=branch,
                 removed_files=superseded or None,
                 required_live_paths=targets or None,
             )
@@ -1351,6 +1363,7 @@ class RestTable:
         predicate: str,
         set_exprs: dict[str, str],
         mode: str = "copy-on-write",
+        branch: str = "main",
     ) -> tuple[int | None, int]:
         """Row-level UPDATE over REST (see FsTable.update_where):
         copy-on-write rewrite pinned to the planning base, or a
@@ -1368,7 +1381,7 @@ class RestTable:
                 f"got {mode!r}"
             )
         md = self.metadata()
-        planned_snapshot = md["current-snapshot-id"]
+        planned_snapshot = resolve_dml_branch(md, branch, mode)
         if planned_snapshot == -1:
             return None, 0
         # predicate-derived pruning, same as delete_where
@@ -1396,6 +1409,7 @@ class RestTable:
                 new_files,
                 "overwrite",
                 {"updated-records": str(n_updated)},
+                branch=branch,
                 removed_files=superseded or None,
                 required_live_paths=targets or None,
             )
@@ -1903,12 +1917,17 @@ class RestTable:
         column_range: tuple[str, Any, Any] | None = None,
         source_predicate: tuple[str, Any] | None = None,
         source_range: tuple[str, Any, Any] | None = None,
+        with_lineage: bool = False,
     ) -> DataFrame:
         """Scan a committed snapshot's files (time travel via
         snapshot_id), with position deletes subtracted (merge-on-read)
         and the same manifest-level pruning surface as FsTable.read
         (partition_range / column_range / hidden-partition
-        source_predicate prune FILES; row filters are the caller's)."""
+        source_predicate prune FILES; row filters are the caller's).
+        `with_lineage` (v3 tables) appends _row_id /
+        _last_updated_sequence_number (scan_with_lineage)."""
+        from .iceberg_fs import scan_with_lineage
+
         md = self.metadata()
         sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
         if sid in (-1, None):
@@ -1916,4 +1935,6 @@ class RestTable:
         data, deletes, _ = plan_scan_metadata(
             md, sid, partition_range, column_range, source_predicate, source_range
         )
+        if with_lineage:
+            return scan_with_lineage(spark, md, data, deletes)
         return scan_with_deletes(spark, md, data, deletes)

@@ -262,6 +262,7 @@ def manifest_entry(
     seq: int = 1,
     equality_ids: list[int] | None = None,
     status: int = 1,
+    first_row_id: int | None | str = "ABSENT",
 ) -> bytes:
     """One manifest_entry row: record fields in declared order. The
     fixture's data files do not exist on disk, so lower/upper bounds are
@@ -271,6 +272,9 @@ def manifest_entry(
     the columns rows are matched on (v2 merge-on-read). status=0
     (EXISTING) with an explicit foreign snapshot_id/seq is how a
     rewritten manifest records entries from ancestor snapshots."""
+    lineage = (
+        b"" if first_row_id == "ABSENT" else avro_opt_long(first_row_id)
+    )  # v3 row lineage: first_row_id (spec field 142), appended LAST
     if equality_ids is None:
         eq = zigzag_varint(0)  # union: null branch
     else:  # union branch 1, then array: one block then terminator
@@ -296,6 +300,7 @@ def manifest_entry(
             zigzag_varint(0),  # lower_bounds: null branch
             zigzag_varint(0),  # upper_bounds: null branch
             eq,  # equality_ids
+            lineage,
         ]
     )
 
@@ -361,14 +366,14 @@ MANIFEST_AVRO_SCHEMA = {
 }
 
 
-def _manifest_meta(content: str) -> list[tuple[str, str]]:
+def _manifest_meta(content: str, fv: str = "2") -> list[tuple[str, str]]:
     # metadata key order: schema, partition-spec, partition-spec-id,
     # format-version, content (the keys Iceberg manifests carry)
     return [
         ("schema", json.dumps(SCHEMA)),
         ("partition-spec", json.dumps(SPEC_FIELDS)),
         ("partition-spec-id", "0"),
-        ("format-version", "2"),
+        ("format-version", fv),
         ("content", content),
     ]
 
@@ -1252,6 +1257,165 @@ def build_metadata_v7(dv2_payload_len: int) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# A SEPARATE table chain for Iceberg v3 ROW LINEAGE (the main chain has
+# live parquet position deletes, which the upgrade ceremony refuses by
+# design): create -> upgrade_format_version(3) -> one append. Pins the
+# upgrade's metadata shape (format-version 3 + next-row-id), field 142
+# first_row_id in the data manifest, and the snapshot's
+# first-row-id/added-rows advancing next-row-id.
+# ---------------------------------------------------------------------------
+
+LN_LOC = "/tmp/spark_graft_golden/wh/otel/gold3"
+LN_TABLE_UUID = "00000000-0000-4000-8000-0000000003ab"
+LN_MANIFEST_UUID_HEX = "12121212121212121212121212121212"
+LN_LIST_UUID_HEX = "34343434343434343434343434343434"
+T_LN_CREATE_MS = 1700000010000
+T_LN_UPGRADE_MS = 1700000011000
+T_LN_APPEND_MS = 1700000012000
+LN_SNAPSHOT_SEED = bytes.fromhex("abcdef0123456789")
+LN_SNAPSHOT_ID = (int.from_bytes(LN_SNAPSHOT_SEED, "big")) >> 1
+LN_FILE_A = f"{LN_LOC}/data/b0/ts_hour=473042/part-00000.parquet"
+LN_FILE_B = f"{LN_LOC}/data/b0/ts_hour=__HIVE_DEFAULT_PARTITION__/part-00001.parquet"
+LN_FILE_A_SIZE, LN_FILE_A_ROWS = 777, 6
+LN_FILE_B_SIZE, LN_FILE_B_ROWS = 888, 4
+LN_MANIFEST_PATH = f"{LN_LOC}/metadata/{LN_MANIFEST_UUID_HEX}-m0.avro"
+LN_LIST_PATH = f"{LN_LOC}/metadata/snap-{LN_SNAPSHOT_ID}-1-{LN_LIST_UUID_HEX}.avro"
+
+# the lineage manifest schema: the v2 layout plus optional long
+# first_row_id, spec field 142, appended LAST (data manifests carry no
+# deletion-vector fields)
+MANIFEST_LINEAGE_SCHEMA = json.loads(json.dumps(MANIFEST_AVRO_SCHEMA))
+next(
+    f for f in MANIFEST_LINEAGE_SCHEMA["fields"] if f["name"] == "data_file"
+)["type"]["fields"].append(
+    {"name": "first_row_id", "type": ["null", "long"], "default": None, "field-id": 142}
+)
+
+
+def _ln_manifest_meta() -> list[tuple[str, str]]:
+    # same key order; location-specific schema/spec are identical by
+    # construction (SCHEMA/SPEC_FIELDS are table-shape, not location)
+    return _manifest_meta("data", fv="3")
+
+
+def build_lineage_manifest() -> bytes:
+    rows = [
+        manifest_entry(
+            LN_FILE_A,
+            LN_FILE_A_SIZE,
+            LN_FILE_A_ROWS,
+            473042,
+            snapshot_id=LN_SNAPSHOT_ID,
+            seq=1,
+            first_row_id=0,
+        ),
+        manifest_entry(
+            LN_FILE_B,
+            LN_FILE_B_SIZE,
+            LN_FILE_B_ROWS,
+            None,
+            snapshot_id=LN_SNAPSHOT_ID,
+            seq=1,
+            first_row_id=LN_FILE_A_ROWS,
+        ),
+    ]
+    return ocf(json.dumps(MANIFEST_LINEAGE_SCHEMA), _ln_manifest_meta(), rows)
+
+
+LN_TS_HOUR_BOUND = struct.pack("<i", 473042)
+
+
+def build_lineage_manifest_list(manifest_len: int) -> bytes:
+    extra = [
+        ("snapshot-id", str(LN_SNAPSHOT_ID)),
+        ("parent-snapshot-id", "-1"),
+        ("sequence-number", "1"),
+        ("format-version", "3"),
+    ]
+    row = b"".join(
+        [
+            avro_str(LN_MANIFEST_PATH),
+            zigzag_varint(manifest_len),
+            zigzag_varint(0),  # partition_spec_id
+            zigzag_varint(0),  # content: data
+            zigzag_varint(1),
+            zigzag_varint(1),
+            zigzag_varint(LN_SNAPSHOT_ID),
+            zigzag_varint(2),  # added_files_count
+            zigzag_varint(0),
+            zigzag_varint(0),
+            zigzag_varint(LN_FILE_A_ROWS + LN_FILE_B_ROWS),
+            zigzag_varint(0),
+            zigzag_varint(0),
+            field_summaries_col(True, LN_TS_HOUR_BOUND, LN_TS_HOUR_BOUND),
+        ]
+    )
+    return ocf(json.dumps(MANIFEST_LIST_AVRO_SCHEMA), extra, [row])
+
+
+def build_ln_metadata_v1() -> dict:
+    md = dict(METADATA_V1)
+    md["table-uuid"] = LN_TABLE_UUID
+    md["location"] = LN_LOC
+    md["last-updated-ms"] = T_LN_CREATE_MS
+    return md
+
+
+def build_ln_metadata_v2() -> dict:
+    """The v2 -> v3 upgrade ceremony: format-version updated in place,
+    next-row-id (the v3 row-lineage id space) appended as a NEW key —
+    last, matching dict-insertion order through a JSON round trip."""
+    md = build_ln_metadata_v1()
+    md["format-version"] = 3
+    md["last-updated-ms"] = T_LN_UPGRADE_MS
+    md["metadata-log"] = [
+        {
+            "timestamp-ms": T_LN_CREATE_MS,
+            "metadata-file": f"{LN_LOC}/metadata/v1.metadata.json",
+        }
+    ]
+    md["next-row-id"] = 0
+    return md
+
+
+def build_ln_metadata_v3() -> dict:
+    md = build_ln_metadata_v2()
+    total_rows = LN_FILE_A_ROWS + LN_FILE_B_ROWS
+    snapshot = {
+        "snapshot-id": LN_SNAPSHOT_ID,
+        "parent-snapshot-id": None,
+        "sequence-number": 1,
+        "timestamp-ms": T_LN_APPEND_MS,
+        "manifest-list": LN_LIST_PATH,
+        "summary": {
+            "operation": "append",
+            "added-data-files": "2",
+            "added-records": str(total_rows),
+            **_totals(total_rows, LN_FILE_A_SIZE + LN_FILE_B_SIZE, 2, 0, 0, 0),
+        },
+        "schema-id": 0,
+        "first-row-id": 0,
+        "added-rows": total_rows,
+    }
+    md["last-sequence-number"] = 1
+    md["last-updated-ms"] = T_LN_APPEND_MS
+    md["snapshots"] = [snapshot]
+    md["current-snapshot-id"] = LN_SNAPSHOT_ID
+    md["refs"] = {"main": {"snapshot-id": LN_SNAPSHOT_ID, "type": "branch"}}
+    md["snapshot-log"] = [
+        {"timestamp-ms": T_LN_APPEND_MS, "snapshot-id": LN_SNAPSHOT_ID}
+    ]
+    md["metadata-log"] = md["metadata-log"] + [
+        {
+            "timestamp-ms": T_LN_UPGRADE_MS,
+            "metadata-file": f"{LN_LOC}/metadata/v2.metadata.json",
+        }
+    ]
+    md["next-row-id"] = total_rows
+    return md
+
+
+# ---------------------------------------------------------------------------
 # Puffin statistics file ("Puffin file format" spec): Magic Blob Footer,
 # Footer == Magic FooterPayload FooterPayloadSize(le i32) Flags(4B) Magic
 # ---------------------------------------------------------------------------
@@ -1343,6 +1507,10 @@ def main() -> None:
         "superseded-dv-manifest.avro": superseded_manifest,
         "dv2-manifest-list.avro": dv2_list,
         "stats.puffin": build_puffin(),
+        "ln-manifest.avro": build_lineage_manifest(),
+        "ln-manifest-list.avro": build_lineage_manifest_list(
+            len(build_lineage_manifest())
+        ),
     }
     for name, data in out.items():
         with open(os.path.join(HERE, name), "wb") as f:
@@ -1355,6 +1523,9 @@ def main() -> None:
         ("v5.metadata.json", build_metadata_v5()),
         ("v6.metadata.json", build_metadata_v6(dv_payload_len)),
         ("v7.metadata.json", build_metadata_v7(dv2_payload_len)),
+        ("ln-v1.metadata.json", build_ln_metadata_v1()),
+        ("ln-v2.metadata.json", build_ln_metadata_v2()),
+        ("ln-v3.metadata.json", build_ln_metadata_v3()),
     ):
         with open(os.path.join(HERE, name), "w", encoding="utf-8") as f:
             json.dump(md, f, indent=2)

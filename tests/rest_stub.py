@@ -420,6 +420,12 @@ class _Handler(BaseHTTPRequestHandler):
                     new_md["last-sequence-number"], snap["sequence-number"]
                 )
                 new_md["last-updated-ms"] = snap["timestamp-ms"]
+                if snap.get("first-row-id") is not None:
+                    # v3 row lineage: snapshots consume id space
+                    new_md["next-row-id"] = max(
+                        new_md.get("next-row-id", 0),
+                        snap["first-row-id"] + snap.get("added-rows", 0),
+                    )
             elif action == "set-snapshot-ref":
                 sid = upd["snapshot-id"]
                 if sid not in {s["snapshot-id"] for s in new_md["snapshots"]}:

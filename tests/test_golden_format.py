@@ -428,6 +428,99 @@ class TestGoldenWrite:
             assert f.read() == _golden_bytes("v7.metadata.json"), "v7 metadata drift"
         shutil.rmtree("/tmp/spark_graft_golden", ignore_errors=True)
 
+    def test_v3_lineage_chain_writes_exact_golden_bytes(self, monkeypatch):
+        """A SEPARATE table chain (the main one carries live parquet
+        position deletes, which the upgrade ceremony refuses by design):
+        create -> upgrade_format_version(3) -> append. Pins the
+        upgrade's metadata shape (format-version 3 + next-row-id), the
+        field-142 first_row_id manifest layout, and the snapshot's
+        first-row-id/added-rows advancing next-row-id — all against the
+        independent spec encoder."""
+        import uuid as uuid_mod
+
+        uuids = iter(
+            [
+                uuid_mod.UUID(GEN.LN_TABLE_UUID),  # table-uuid
+                uuid_mod.UUID(hex="a" * 32),  # version-hint tmp (create)
+                uuid_mod.UUID(hex="b" * 32),  # version-hint tmp (upgrade)
+                uuid_mod.UUID(hex=GEN.LN_MANIFEST_UUID_HEX),
+                uuid_mod.UUID(hex=GEN.LN_LIST_UUID_HEX),
+                uuid_mod.UUID(hex="c" * 32),  # version-hint tmp (append)
+            ]
+        )
+        times = iter(
+            [
+                GEN.T_LN_CREATE_MS / 1000.0,
+                GEN.T_LN_UPGRADE_MS / 1000.0,
+                GEN.T_LN_APPEND_MS / 1000.0,
+            ]
+        )
+
+        def fake_urandom(n: int) -> bytes:
+            if n == 8:
+                return GEN.LN_SNAPSHOT_SEED
+            if n == 16:
+                return GEN.SYNC
+            raise AssertionError(f"unexpected urandom({n})")
+
+        monkeypatch.setattr(iceberg_fs.uuid, "uuid4", lambda: next(uuids))
+        monkeypatch.setattr(iceberg_fs.time, "time", lambda: next(times))
+        monkeypatch.setattr(iceberg_fs.os, "urandom", fake_urandom)
+        monkeypatch.setattr(avro_ocf.os, "urandom", fake_urandom)
+
+        shutil.rmtree("/tmp/spark_graft_golden/wh/otel/gold3", ignore_errors=True)
+        catalog = FsCatalog("/tmp/spark_graft_golden/wh")
+        table = catalog.create_table(
+            "otel",
+            "gold3",
+            TABLE_SCHEMA,
+            partition_source="ts",
+            granularity="hourly",
+            properties={"owner": "golden"},
+        )
+        assert table.location == GEN.LN_LOC
+        with open(os.path.join(GEN.LN_LOC, "metadata", "v1.metadata.json"), "rb") as f:
+            assert f.read() == _golden_bytes("ln-v1.metadata.json")
+
+        assert table.upgrade_format_version(3) == 3
+        with open(os.path.join(GEN.LN_LOC, "metadata", "v2.metadata.json"), "rb") as f:
+            assert f.read() == _golden_bytes("ln-v2.metadata.json"), (
+                "upgrade metadata drift"
+            )
+
+        sid = table.append_files(
+            [
+                DataFile(GEN.LN_FILE_A, GEN.LN_FILE_A_SIZE, GEN.LN_FILE_A_ROWS,
+                         {"ts_hour": 473042}),
+                DataFile(GEN.LN_FILE_B, GEN.LN_FILE_B_SIZE, GEN.LN_FILE_B_ROWS,
+                         {"ts_hour": None}),
+            ]
+        )
+        assert sid == GEN.LN_SNAPSHOT_ID
+        with open(
+            os.path.join(GEN.LN_LOC, "metadata", f"{GEN.LN_MANIFEST_UUID_HEX}-m0.avro"),
+            "rb",
+        ) as f:
+            assert f.read() == _golden_bytes("ln-manifest.avro"), (
+                "lineage manifest drift"
+            )
+        with open(
+            os.path.join(
+                GEN.LN_LOC,
+                "metadata",
+                f"snap-{GEN.LN_SNAPSHOT_ID}-1-{GEN.LN_LIST_UUID_HEX}.avro",
+            ),
+            "rb",
+        ) as f:
+            assert f.read() == _golden_bytes("ln-manifest-list.avro"), (
+                "lineage manifest-list drift"
+            )
+        with open(os.path.join(GEN.LN_LOC, "metadata", "v3.metadata.json"), "rb") as f:
+            assert f.read() == _golden_bytes("ln-v3.metadata.json"), (
+                "lineage metadata drift"
+            )
+        shutil.rmtree("/tmp/spark_graft_golden/wh/otel/gold3", ignore_errors=True)
+
     def test_generator_is_byte_stable(self, tmp_path):
         """Regenerating the fixtures reproduces the committed bytes —
         the generator itself is deterministic (no hidden entropy)."""

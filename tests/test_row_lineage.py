@@ -1,0 +1,246 @@
+"""Iceberg v3 row lineage: _row_id / _last_updated_sequence_number.
+
+Assignment: each v3 commit takes its first-row-id from the table's
+next-row-id; fresh data files consume id space in commit order
+(manifest field 142) and next-row-id advances by the snapshot's
+added-rows. Inheritance on read: a row's _row_id = its file's
+first_row_id + row position, _last_updated = the file's data sequence
+number — unless a CoW rewrite MATERIALIZED the columns, which is how
+identity stays stable across an append -> CoW update -> compaction
+chain (the verdict's done-criterion). MoR updates preserve _row_id on
+the updated copies with the new commit's sequence number. Both
+transports."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import FsCatalog
+
+from rest_stub import make_server
+
+
+def _df(spark, n=30, base=0, tag="a"):
+    return (
+        spark.range(base, base + n)
+        .withColumn("ts", F.to_timestamp(F.lit("2024-03-01 00:00:00")))
+        .withColumn("v", F.lit(tag))
+    )
+
+
+def _lineage_map(t, spark):
+    """{id: (_row_id, _last_updated_sequence_number)} of the live table."""
+    rows = t.read(spark, with_lineage=True).collect()
+    return {r["id"]: (r["_row_id"], r["_last_updated_sequence_number"]) for r in rows}
+
+
+@pytest.fixture()
+def v3_table(spark, tmp_path):
+    cat = FsCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("otel", "ln", _df(spark).schema, partition_source="ts")
+    t.upgrade_format_version(3)
+    return t
+
+
+class TestAssignment:
+    def test_v2_read_refuses_lineage(self, spark, tmp_path):
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("otel", "v2", _df(spark).schema)
+        t.append_dataframe(_df(spark))
+        with pytest.raises(ValueError, match="format-version 3"):
+            t.read(spark, with_lineage=True)
+
+    def test_append_assigns_contiguous_ids(self, spark, v3_table):
+        t = v3_table
+        s1 = t.append_dataframe(_df(spark, 30))
+        md = t.metadata()
+        snap = next(s for s in md["snapshots"] if s["snapshot-id"] == s1)
+        assert snap["first-row-id"] == 0
+        assert snap["added-rows"] == 30
+        assert md["next-row-id"] == 30
+        got = _lineage_map(t, spark)
+        assert sorted(r for r, _ in got.values()) == list(range(30))
+        assert {seq for _, seq in got.values()} == {1}
+        # second append continues the id space
+        s2 = t.append_dataframe(_df(spark, 10, base=100))
+        md = t.metadata()
+        assert next(
+            s for s in md["snapshots"] if s["snapshot-id"] == s2
+        )["first-row-id"] == 30
+        assert md["next-row-id"] == 40
+        got = _lineage_map(t, spark)
+        assert sorted(r for r, _ in got.values()) == list(range(40))
+
+    def test_manifest_records_first_row_id(self, spark, v3_table):
+        from opentelemetry_iceberg_exporter_spark.sinks.avro_ocf import read_ocf
+
+        t = v3_table
+        t.append_dataframe(_df(spark, 30))
+        snap = t.current_snapshot()
+        _, _, manifests = read_ocf(snap["manifest-list"])
+        _, _, entries = read_ocf(manifests[0]["manifest_path"])
+        firsts = sorted(e["data_file"]["first_row_id"] for e in entries)
+        assert firsts[0] == 0
+        assert sum(e["data_file"]["record_count"] for e in entries) == 30
+
+
+class TestStabilityAcrossRewrites:
+    def test_append_cow_update_compaction_chain(self, spark, v3_table):
+        """The verdict's done-criterion: ids stable across the chain."""
+        t = v3_table
+        t.append_dataframe(_df(spark, 30))
+        before = _lineage_map(t, spark)
+
+        # CoW UPDATE: updated rows keep _row_id, take the new seq
+        _, n = t.update_where(spark, "id < 10", {"v": "'upd'"},
+                              mode="copy-on-write")
+        assert n == 10
+        update_seq = t.current_snapshot()["sequence-number"]
+        after_update = _lineage_map(t, spark)
+        assert {i: r for i, (r, _) in after_update.items()} == {
+            i: r for i, (r, _) in before.items()
+        }
+        for i, (rid, seq) in after_update.items():
+            assert seq == (update_seq if i < 10 else before[i][1])
+
+        # compaction: everything preserved verbatim
+        t.rewrite_data_files(spark, target_bytes=1 << 30, min_files=1)
+        after_compact = _lineage_map(t, spark)
+        assert after_compact == after_update
+
+        # and a second compaction of already-materialized files too
+        t.rewrite_data_files(spark, target_bytes=1 << 30, min_files=1)
+        assert _lineage_map(t, spark) == after_update
+
+    def test_cow_delete_preserves_survivors(self, spark, v3_table):
+        t = v3_table
+        t.append_dataframe(_df(spark, 30))
+        before = _lineage_map(t, spark)
+        t.delete_where(spark, "id >= 20", mode="copy-on-write")
+        after = _lineage_map(t, spark)
+        assert after == {i: v for i, v in before.items() if i < 20}
+
+    def test_dv_delete_removes_ids_only(self, spark, v3_table):
+        t = v3_table
+        t.append_dataframe(_df(spark, 30))
+        before = _lineage_map(t, spark)
+        t.delete_where(spark, "id IN (3, 7)", mode="deletion-vectors")
+        after = _lineage_map(t, spark)
+        assert after == {i: v for i, v in before.items() if i not in (3, 7)}
+
+    def test_mor_update_preserves_row_ids(self, spark, v3_table):
+        t = v3_table
+        t.append_dataframe(_df(spark, 30))
+        before = _lineage_map(t, spark)
+        _, n = t.update_where(spark, "id < 5", {"v": "'m'"},
+                              mode="deletion-vectors")
+        assert n == 5
+        new_seq = t.current_snapshot()["sequence-number"]
+        after = _lineage_map(t, spark)
+        assert {i: r for i, (r, _) in after.items()} == {
+            i: r for i, (r, _) in before.items()
+        }
+        for i in range(5):
+            assert after[i][1] == new_seq
+
+    def test_rewrite_manifests_preserves_lineage(self, spark, v3_table):
+        t = v3_table
+        t.append_dataframe(_df(spark, 20))
+        t.append_dataframe(_df(spark, 10, base=100))
+        before = _lineage_map(t, spark)
+        assert t.rewrite_manifests(min_count=2) is not None
+        assert _lineage_map(t, spark) == before
+
+    def test_merge_inserts_get_fresh_ids(self, spark, v3_table):
+        t = v3_table
+        t.append_dataframe(_df(spark, 30))
+        before = _lineage_map(t, spark)
+        # 5 updates (CoW merge: delete+insert, fresh ids per spec) +
+        # 5 inserts
+        t.merge_rows(spark, _df(spark, 10, base=25, tag="m"), ["id"],
+                     mode="copy-on-write")
+        after = _lineage_map(t, spark)
+        # untouched rows keep identity
+        for i in range(25):
+            assert after[i] == before[i]
+        # merged + inserted rows have fresh ids beyond the old space
+        old_ids = {r for r, _ in before.values()}
+        for i in range(25, 35):
+            assert after[i][0] not in old_ids
+
+
+class TestRestLineage:
+    def test_rest_chain(self, spark, tmp_path):
+        warehouse = str(tmp_path / "rwh")
+        os.makedirs(warehouse)
+        server, _, uri = make_server(warehouse)
+        try:
+            from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
+                RestCatalogClient,
+            )
+
+            client = RestCatalogClient(uri, warehouse=warehouse)
+            client.ensure_namespace("otel")
+            t = client.ensure_table("otel", "ln", _df(spark).schema,
+                                    partition_source="ts")
+            t.upgrade_format_version(3)
+            t.append_dataframe(_df(spark, 20))
+            assert t.metadata()["next-row-id"] == 20
+            before = _lineage_map(t, spark)
+            assert sorted(r for r, _ in before.values()) == list(range(20))
+            _, n = t.update_where(spark, "id < 4", {"v": "'u'"},
+                                  mode="copy-on-write")
+            assert n == 4
+            after = _lineage_map(t, spark)
+            assert {i: r for i, (r, _) in after.items()} == {
+                i: r for i, (r, _) in before.items()
+            }
+            t.append_dataframe(_df(spark, 5, base=200))
+            md = t.metadata()
+            assert md["next-row-id"] >= 25
+            got = _lineage_map(t, spark)
+            assert len({r for r, _ in got.values()}) == 25  # all distinct
+        finally:
+            server.shutdown()
+
+
+class TestChangelogLineage:
+    def test_changelog_carries_row_identity(self, spark, v3_table):
+        """A CDC consumer keyed by _row_id sees the SAME id insert,
+        update (delete+insert in DV terms: the delete row carries the
+        id), and survive CoW rewrites."""
+        t = v3_table
+        s1 = t.append_dataframe(_df(spark, 20))
+        id_map = {
+            r["id"]: r["_row_id"]
+            for r in t.read(spark, with_lineage=True).collect()
+        }
+        t.delete_where(spark, "id IN (4, 9)", mode="deletion-vectors")
+        out = t.changelog_scan(spark, with_lineage=True).collect()
+        inserts = {r["id"]: r["_row_id"] for r in out
+                   if r["_change_type"] == "insert"}
+        deletes = {r["id"]: r["_row_id"] for r in out
+                   if r["_change_type"] == "delete"}
+        assert inserts == id_map
+        assert deletes == {4: id_map[4], 9: id_map[9]}
+        # after a compaction, a fresh window's inserts still carry the
+        # ORIGINAL ids (materialized by the rewrite)
+        t.rewrite_data_files(spark, target_bytes=1 << 30, min_files=1)
+        t.append_dataframe(_df(spark, 3, base=500))
+        tail = t.changelog_scan(
+            spark,
+            from_snapshot_id=t.metadata()["snapshots"][-2]["snapshot-id"],
+            with_lineage=True,
+        ).collect()
+        new_ids = {r["_row_id"] for r in tail if r["_change_type"] == "insert"}
+        assert len(new_ids) == 3 and new_ids.isdisjoint(set(id_map.values()))
+
+    def test_v2_changelog_refuses_lineage(self, spark, tmp_path):
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("otel", "v2c", _df(spark).schema)
+        t.append_dataframe(_df(spark))
+        with pytest.raises(ValueError, match="format-version 3"):
+            t.changelog_scan(spark, with_lineage=True)
