@@ -427,6 +427,13 @@ def main(argv: list[str] | None = None) -> int:
     pch.add_argument("--from-snapshot", type=int, default=None)
     pch.add_argument("--to-snapshot", type=int, default=None)
     pch.add_argument(
+        "--with-lineage",
+        action="store_true",
+        help="with --changelog on a v3 table: add _row_id / "
+        "_last_updated_sequence_number (row-stable identity across "
+        "copy-on-write rewrites) to every change row",
+    )
+    pch.add_argument(
         "--changelog",
         action="store_true",
         help="emit a row-level CDC changelog instead of the append-only "
@@ -516,6 +523,35 @@ def main(argv: list[str] | None = None) -> int:
     )
     _add_catalog_args(prb)
     prb.add_argument("--to-snapshot", type=int, required=True)
+
+    prf = sub.add_parser(
+        "ref",
+        help="create/move/drop a tag or branch, with per-ref retention "
+        "(min-snapshots-to-keep / max-snapshot-age-ms govern how much "
+        "branch ancestry expire keeps; max-ref-age-ms ages the ref out)",
+    )
+    _add_catalog_args(prf)
+    prf.add_argument("--name", required=True)
+    prf.add_argument(
+        "--snapshot", type=int, default=None,
+        help="target snapshot id (default: the current snapshot)",
+    )
+    prf.add_argument(
+        "--type", dest="ref_type", choices=["tag", "branch"], default="tag"
+    )
+    prf.add_argument("--min-snapshots-to-keep", type=int, default=None)
+    prf.add_argument("--max-snapshot-age-ms", type=int, default=None)
+    prf.add_argument("--max-ref-age-ms", type=int, default=None)
+    prf.add_argument("--drop", action="store_true", help="remove the ref")
+
+    pug = sub.add_parser(
+        "upgrade",
+        help="format-version upgrade ceremony: validate the v3 delete "
+        "invariants (no live parquet position deletes, no stacked DVs), "
+        "bump format-version, initialize next-row-id (row lineage)",
+    )
+    _add_catalog_args(pug)
+    pug.add_argument("--format-version", type=int, default=3)
 
     pi = sub.add_parser(
         "inspect",
@@ -1273,6 +1309,7 @@ def main(argv: list[str] | None = None) -> int:
                 md,
                 from_snapshot_id=args.from_snapshot,
                 to_snapshot_id=args.to_snapshot,
+                with_lineage=args.with_lineage,
             )
             out.write.mode("overwrite").parquet(args.output)
             print(
@@ -1451,6 +1488,36 @@ def main(argv: list[str] | None = None) -> int:
         table = _load_cli_table(args)
         sid = table.rollback_to(args.to_snapshot)
         print(json.dumps({"current_snapshot": sid}))
+        return 0
+
+    if args.cmd == "ref":
+        table = _load_cli_table(args)
+        if args.drop:
+            table.drop_ref(args.name)
+            print(json.dumps({"dropped": args.name}))
+            return 0
+        sid = args.snapshot
+        if sid is None:
+            snap = table.current_snapshot()
+            if snap is None:
+                print("error: empty table has no snapshot to reference", file=sys.stderr)
+                return 2
+            sid = snap["snapshot-id"]
+        table.set_ref(
+            args.name,
+            sid,
+            args.ref_type,
+            min_snapshots_to_keep=args.min_snapshots_to_keep,
+            max_snapshot_age_ms=args.max_snapshot_age_ms,
+            max_ref_age_ms=args.max_ref_age_ms,
+        )
+        print(json.dumps({"ref": args.name, "snapshot": sid, "type": args.ref_type}))
+        return 0
+
+    if args.cmd == "upgrade":
+        table = _load_cli_table(args)
+        v = table.upgrade_format_version(args.format_version)
+        print(json.dumps({"format_version": v}))
         return 0
 
     if args.cmd == "inspect":

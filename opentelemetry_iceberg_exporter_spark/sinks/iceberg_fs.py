@@ -2473,7 +2473,6 @@ def carry_lineage(
     tagged: DataFrame,
     data_files: list[DataFile],
     updated=None,
-    new_seq: int | None = None,
     file_col: str = "__file",
     pos_col: str = "__dpos",
 ) -> DataFrame:
@@ -2483,9 +2482,12 @@ def carry_lineage(
     inheritance applies — _row_id = file first_row_id + row position,
     _last_updated = file data sequence number. `updated` (boolean
     Column over the pre-update row values) marks rows modified by this
-    commit: their _last_updated becomes `new_seq` while _row_id is
-    preserved. Tags are kept; callers drop __file/__dpos before
-    writing."""
+    commit: their materialized _last_updated is left NULL so reads
+    INHERIT the committing file's actual data sequence number — a
+    merge-on-read commit can retry onto a later sequence number than
+    planned, so baking a planned literal in would lie under contention;
+    _row_id is preserved either way. Tags are kept; callers drop
+    __file/__dpos before writing."""
     rows = [
         (f.file_path, f.first_row_id, int(f.sequence_number))
         for f in data_files
@@ -2496,7 +2498,7 @@ def carry_lineage(
     row_id = F.coalesce(F.col(ROW_ID_COL), F.col("__lfirst") + F.col(pos_col))
     last_up = F.coalesce(F.col(LAST_UPDATED_COL), F.col("__lseq"))
     if updated is not None:
-        last_up = F.when(updated, F.lit(new_seq)).otherwise(last_up)
+        last_up = F.when(updated, F.lit(None).cast("long")).otherwise(last_up)
     return (
         df.withColumn(ROW_ID_COL, row_id)
         .withColumn(LAST_UPDATED_COL, last_up)
@@ -4701,10 +4703,7 @@ def plan_update(
         # updated rows keep _row_id, get the commit's sequence number as
         # _last_updated (evaluated over PRE-update values); carried rows
         # keep both
-        keep = carry_lineage(
-            spark, keep, live, updated=matched,
-            new_seq=md["last-sequence-number"] + 1,
-        )
+        keep = carry_lineage(spark, keep, live, updated=matched)
         cols = cols + [F.col(ROW_ID_COL), F.col(LAST_UPDATED_COL)]
     keep = keep.drop("__file", "__dpos").select(*cols)
     rewritten = write_partitioned_batch(keep, md["location"], md)
@@ -4758,10 +4757,7 @@ def plan_update_mor(
     if lineage:
         # MoR UPDATE preserves _row_id too: the updated copies carry
         # their source rows' ids, _last_updated = this commit's seq
-        matched = carry_lineage(
-            spark, matched, data_files, updated=F.lit(True),
-            new_seq=md["last-sequence-number"] + 1,
-        )
+        matched = carry_lineage(spark, matched, data_files, updated=F.lit(True))
     matched = matched.filter(F.expr(predicate)).drop("__file", "__dpos")
     out_cols = [
         F.expr(set_exprs[f_.name]).cast(f_.dataType).alias(f_.name)

@@ -244,3 +244,72 @@ class TestChangelogLineage:
         t.append_dataframe(_df(spark))
         with pytest.raises(ValueError, match="format-version 3"):
             t.changelog_scan(spark, with_lineage=True)
+
+
+class TestCliSurface:
+    def test_cli_upgrade_ref_and_lineage_changelog(self, spark, tmp_path, capsys):
+        import json
+
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        wh = str(tmp_path / "wh")
+        cat = FsCatalog(wh)
+        t = cat.create_table("otel", "cl", _df(spark).schema,
+                             partition_source="ts")
+        base = ["--warehouse", wh, "--table", "cl"]
+        assert main(["upgrade", *base, "--format-version", "3"]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["format_version"] == 3
+        assert t.metadata()["format-version"] == 3
+        t.append_dataframe(_df(spark, 10))
+
+        assert main([
+            "ref", *base, "--name", "audit", "--type", "branch",
+            "--min-snapshots-to-keep", "3", "--max-ref-age-ms", "86400000",
+        ]) == 0
+        ref = t.metadata()["refs"]["audit"]
+        assert ref["min-snapshots-to-keep"] == 3
+        assert ref["max-ref-age-ms"] == 86400000
+        capsys.readouterr()
+
+        t.append_dataframe(_df(spark, 5, base=100))
+        outdir = str(tmp_path / "cdc")
+        assert main([
+            "changes", *base, "--output", outdir, "--changelog",
+            "--with-lineage",
+        ]) == 0
+        got = spark.read.parquet(outdir)
+        assert "_row_id" in got.columns
+        assert got.count() == 15
+        assert got.select("_row_id").distinct().count() == 15
+
+        assert main(["ref", *base, "--name", "audit", "--drop"]) == 0
+        assert "audit" not in t.metadata()["refs"]
+
+
+class TestPreUpgradeFiles:
+    def test_pre_upgrade_files_read_null_row_ids(self, spark, tmp_path):
+        """Files committed BEFORE the v3 upgrade have no id space
+        (manifest first_row_id absent): their rows read NULL _row_id
+        until a rewrite assigns them — the spec's lazy-upgrade rule.
+        Post-upgrade appends get real ids; a compaction then assigns
+        ids to everything (fresh file, fresh first_row_id)."""
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("otel", "pre", _df(spark).schema,
+                             partition_source="ts")
+        t.append_dataframe(_df(spark, 10))          # v2-era file
+        t.upgrade_format_version(3)
+        t.append_dataframe(_df(spark, 5, base=100))  # v3 file: ids 0..4
+        rows = t.read(spark, with_lineage=True).collect()
+        old = [r for r in rows if r["id"] < 100]
+        new = [r for r in rows if r["id"] >= 100]
+        assert all(r["_row_id"] is None for r in old)
+        assert sorted(r["_row_id"] for r in new) == list(range(5))
+        # compaction assigns ids to the formerly-null rows
+        t.rewrite_data_files(spark, target_bytes=1 << 30, min_files=1)
+        rows = t.read(spark, with_lineage=True).collect()
+        assert all(r["_row_id"] is not None for r in rows)
+        assert len({r["_row_id"] for r in rows}) == 15
+        # the post-upgrade rows KEPT their ids through the rewrite
+        kept = {r["id"]: r["_row_id"] for r in rows if r["id"] >= 100}
+        assert sorted(kept.values()) == list(range(5))
