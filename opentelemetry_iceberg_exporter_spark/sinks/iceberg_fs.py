@@ -4998,7 +4998,7 @@ def _build_ref(
     in Iceberg — same refusal here."""
     if ref_type == "tag" and (
         min_snapshots_to_keep is not None or max_snapshot_age_ms is not None
-    ):
+    ):  # spec: SnapshotRef branch-only fields
         raise ValueError(
             "min-snapshots-to-keep / max-snapshot-age-ms apply to branches "
             "only; tags retain exactly the snapshot they point at"
@@ -6410,6 +6410,8 @@ class FsTable:
         abandoned branch stops pinning snapshots forever."""
         if ref_type not in ("tag", "branch"):
             raise ValueError(f"ref type must be tag|branch, got {ref_type!r}")
+        if name == "main" and ref_type != "branch":
+            raise ValueError("main must stay a branch (Iceberg spec)")
         ref = _build_ref(
             snapshot_id,
             ref_type,

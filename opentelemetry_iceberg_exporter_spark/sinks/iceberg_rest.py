@@ -1730,6 +1730,8 @@ class RestTable:
 
         if ref_type not in ("tag", "branch"):
             raise ValueError(f"ref type must be tag|branch, got {ref_type!r}")
+        if name == "main" and ref_type != "branch":
+            raise ValueError("main must stay a branch (Iceberg spec)")
         ref = _build_ref(
             snapshot_id,
             ref_type,

@@ -390,3 +390,11 @@ class TestExpirePlanUnit:
             refs={"main": {"snapshot-id": 1, "type": "branch"}},
         )
         assert expire_plan(md, keep_last=1, older_than_ms=None, now_ms=2_000) is None
+
+
+class TestMainStaysBranch:
+    def test_main_cannot_become_a_tag(self, spark, fs_table):
+        t = fs_table
+        s1 = t.append_dataframe(_df(spark, tag="v1"))
+        with pytest.raises(ValueError, match="main must stay a branch"):
+            t.set_ref("main", s1, "tag")
