@@ -543,6 +543,11 @@ class TestGoldenWrite:
             "v3.metadata.json",
             "v4.metadata.json",
             "stats.puffin",
+            "ln-manifest.avro",
+            "ln-manifest-list.avro",
+            "ln-v1.metadata.json",
+            "ln-v2.metadata.json",
+            "ln-v3.metadata.json",
         ):
             with open(work / name, "rb") as f:
                 assert f.read() == _golden_bytes(name), name
