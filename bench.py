@@ -125,6 +125,28 @@ def run_write_path(spark, sf_dir: str, make_table) -> dict:
         changelog_rows = t.changelog_scan(spark).count()
         changelog_sec = time.perf_counter() - t0
 
+        from datetime import timedelta
+
+        bounds = events.agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).first()
+        day = (bounds["lo"] + timedelta(days=1)).date()
+
+        # day-SCOPED changelog over the SAME window as the full drain
+        # above: the CDC-consumer path with the field-507 manifest-
+        # summary skip + exact row filter — one day of changes out of
+        # the whole commit history
+        t0 = time.perf_counter()
+        scoped_changelog_rows = t.changelog_scan(
+            spark,
+            source_range=(
+                "ts",
+                f"{day} 00:00:00",
+                f"{day + timedelta(days=1)} 00:00:00",
+            ),
+        ).count()
+        scoped_changelog_sec = time.perf_counter() - t0
+
         # deletion-vector delete (~1% of rows), UNPRUNABLE predicate:
         # measures the v3 merge-on-read DV write pipeline end to end
         t0 = time.perf_counter()
@@ -140,12 +162,6 @@ def run_write_path(spark, sf_dir: str, make_table) -> dict:
         # number; the delete also FOLDS the prior DV vectors for that
         # day (v3 one-DV-per-file fold-on-write), so this line times
         # the full production sequence.
-        bounds = events.agg(
-            F.min("ts").alias("lo"), F.max("ts").alias("hi")
-        ).first()
-        from datetime import timedelta
-
-        day = (bounds["lo"] + timedelta(days=1)).date()
         pred = (
             f"ts >= TIMESTAMP '{day} 00:00:00' "
             f"AND ts < TIMESTAMP '{day + timedelta(days=1)} 00:00:00'"
@@ -190,6 +206,8 @@ def run_write_path(spark, sf_dir: str, make_table) -> dict:
             "pruned_dml_files_excluded": len(excluded),
             "pruned_dml_deleted_rows": pruned_deleted,
             "pruned_dml_delete_sec": round(pruned_delete_sec, 3),
+            "scoped_changelog_rows": scoped_changelog_rows,
+            "scoped_changelog_sec": round(scoped_changelog_sec, 3),
             "rewrite_manifests_sec": round(rewrite_sec, 3),
             "manifests_before_rewrite": manifests_before,
             "manifests_after_rewrite": manifests_after,
@@ -371,6 +389,7 @@ def main() -> None:
             "pruned_dml_files_scanned": write_path["pruned_dml_files_scanned"],
             "pruned_dml_files_excluded": write_path["pruned_dml_files_excluded"],
             "changelog_rows_per_sec": write_path["changelog_rows_per_sec"],
+            "scoped_changelog_sec": write_path["scoped_changelog_sec"],
         }
     )
     # teardown BEFORE printing: streaming availableNow queries already

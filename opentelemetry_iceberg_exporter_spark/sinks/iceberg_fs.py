@@ -4946,17 +4946,30 @@ def _strip_file_scheme(uri: str) -> str:
     return uri[7:] if uri.startswith("file://") else uri
 
 
-def snapshot_file_tree(snapshot: dict) -> tuple[set[str], set[str]]:
+def snapshot_file_tree(
+    snapshot: dict, _manifest_memo: dict | None = None
+) -> tuple[set[str], set[str]]:
     """(data files, manifests) a snapshot references — manifests are
     SHARED across snapshots (appends carry them forward), so expiry must
-    collect whole trees before deleting anything."""
+    collect whole trees before deleting anything. `_manifest_memo`
+    (manifest_path -> frozenset of file paths) makes a multi-snapshot
+    walk read each shared manifest ONCE: at the exporter's micro-batch
+    cadence, N snapshots reference O(N) distinct manifests but O(N^2)
+    manifest links — expire planning must cost the former."""
     files: set[str] = set()
     manifests: set[str] = set()
     _, _, mlist = read_ocf(snapshot["manifest-list"])
     for m in mlist:
-        manifests.add(m["manifest_path"])
-        _, _, entries = read_ocf(m["manifest_path"])
-        files.update(e["data_file"]["file_path"] for e in entries)
+        path = m["manifest_path"]
+        manifests.add(path)
+        if _manifest_memo is not None and path in _manifest_memo:
+            files.update(_manifest_memo[path])
+            continue
+        _, _, entries = read_ocf(path)
+        paths = frozenset(e["data_file"]["file_path"] for e in entries)
+        if _manifest_memo is not None:
+            _manifest_memo[path] = paths
+        files.update(paths)
     return files, manifests
 
 
@@ -5131,16 +5144,17 @@ def expire_plan(
         return None
     expired_ids = {s["snapshot-id"] for s in expired}
     retained = [s for s in snaps if s["snapshot-id"] not in expired_ids]
+    memo: dict = {}  # shared manifests read once across the whole plan
     keep_files: set[str] = set()
     keep_manifests: set[str] = set()
     for s in retained:
-        f_, m_ = snapshot_file_tree(s)
+        f_, m_ = snapshot_file_tree(s, memo)
         keep_files |= f_
         keep_manifests |= m_
     expired_files: set[str] = set()
     expired_manifests: set[str] = set()
     for s in expired:
-        f_, m_ = snapshot_file_tree(s)
+        f_, m_ = snapshot_file_tree(s, memo)
         expired_files |= f_
         expired_manifests |= m_
     return {

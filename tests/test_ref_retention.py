@@ -343,7 +343,7 @@ class TestExpirePlanUnit:
         from opentelemetry_iceberg_exporter_spark.sinks import iceberg_fs as fsmod
 
         monkeypatch.setattr(
-            fsmod, "snapshot_file_tree", lambda s: (set(), set())
+            fsmod, "snapshot_file_tree", lambda s, memo=None: (set(), set())
         )
         # ancestry 5<-4<-3<-2<-1 (head 5); 3 is OLD, 2 and 1 are fresh
         # (out-of-order timestamps): retention must stop AT 3 and not
@@ -367,7 +367,7 @@ class TestExpirePlanUnit:
         from opentelemetry_iceberg_exporter_spark.sinks import iceberg_fs as fsmod
 
         monkeypatch.setattr(
-            fsmod, "snapshot_file_tree", lambda s: (set(), set())
+            fsmod, "snapshot_file_tree", lambda s, memo=None: (set(), set())
         )
         now = 1_000_000_000_000
         # 10 is an abandoned fork (unreferenced); fresh vs stale
@@ -398,3 +398,30 @@ class TestMainStaysBranch:
         s1 = t.append_dataframe(_df(spark, tag="v1"))
         with pytest.raises(ValueError, match="main must stay a branch"):
             t.set_ref("main", s1, "tag")
+
+
+class TestExpirePlanningCost:
+    def test_shared_manifests_read_once_per_plan(self, spark, fs_table, monkeypatch):
+        """Expire planning over N micro-batch snapshots touches O(N)
+        distinct manifests but O(N^2) manifest LINKS (each append
+        carries all priors forward) — the plan must read each manifest
+        once, or expiry cost explodes with history length."""
+        t = fs_table
+        for i in range(8):
+            t.append_dataframe(_df(spark, tag=f"v{i}"))
+        from opentelemetry_iceberg_exporter_spark.sinks import iceberg_fs as fsmod
+
+        reads: list[str] = []
+        real = fsmod.read_ocf
+
+        def counting(path, *a, **k):
+            if path.endswith(".avro") and not os.path.basename(path).startswith(
+                "snap-"
+            ):
+                reads.append(path)
+            return real(path, *a, **k)
+
+        monkeypatch.setattr(fsmod, "read_ocf", counting)
+        plan = fsmod.expire_plan(t.metadata(), keep_last=2)
+        assert plan is not None and plan["expired"]
+        assert reads and len(reads) == len(set(reads))
