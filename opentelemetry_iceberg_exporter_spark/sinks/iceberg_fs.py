@@ -3808,6 +3808,7 @@ def incremental_data_files(
     md: dict,
     from_snapshot_id: int | None = None,
     to_snapshot_id: int | None = None,
+    source_range: tuple[str, Any, Any] | list[tuple[str, Any, Any]] | None = None,
 ) -> tuple[list[DataFile], int | None]:
     """Data files ADDED by append snapshots strictly after
     `from_snapshot_id` (exclusive) up to `to_snapshot_id` (inclusive;
@@ -3821,6 +3822,18 @@ def incremental_data_files(
     mirroring Iceberg's incremental-scan contract — silently skipping
     one would hide its logical effects from the change stream."""
     window, end_snapshot_id = _ancestry_window(md, from_snapshot_id, to_snapshot_id)
+    source_ranges = (
+        [source_range] if isinstance(source_range, tuple)
+        else list(source_range or [])
+    )
+    range_parts = partition_range_parts(md, source_ranges)
+    excluder = (
+        build_manifest_excluder(
+            md, [(n, lo, hi) for n, (lo, hi) in range_parts.items()]
+        )
+        if range_parts
+        else None
+    )
     files: list[DataFile] = []
     for s in window:
         op = s["summary"].get("operation")
@@ -3838,19 +3851,24 @@ def incremental_data_files(
                 continue  # carried-forward manifest from an ancestor
             if m["added_files_count"] == 0:
                 continue  # commit-time-merged manifest: EXISTING entries only
+            if excluder is not None and excluder(m):
+                continue  # field-507 summary proves nothing in scope
             _, _, entries = read_ocf(m["manifest_path"])
             for e in entries:
                 if e["status"] != STATUS_ADDED:
                     continue
                 df_ = e["data_file"]
+                part = {
+                    k: v for k, v in df_["partition"].items() if v is not None
+                }
+                if range_parts and partition_out_of_range(part, range_parts):
+                    continue
                 files.append(
                     DataFile(
                         file_path=df_["file_path"],
                         file_size_in_bytes=df_["file_size_in_bytes"],
                         record_count=df_["record_count"],
-                        partition={
-                            k: v for k, v in df_["partition"].items() if v is not None
-                        },
+                        partition=part,
                     )
                 )
     return files, end_snapshot_id
@@ -6243,6 +6261,7 @@ class FsTable:
         self,
         from_snapshot_id: int | None = None,
         to_snapshot_id: int | None = None,
+        source_range=None,
     ) -> list[DataFile]:
         """Data files ADDED by append snapshots strictly after
         `from_snapshot_id` (exclusive), up to `to_snapshot_id`
@@ -6258,7 +6277,9 @@ class FsTable:
         "process-only-what's-new" pipelines (embedding refresh, dedup
         re-index) feasible on a table with years of history.
         """
-        return incremental_data_files(self.metadata(), from_snapshot_id, to_snapshot_id)[0]
+        return incremental_data_files(
+            self.metadata(), from_snapshot_id, to_snapshot_id, source_range
+        )[0]
 
     def incremental_scan(
         self,

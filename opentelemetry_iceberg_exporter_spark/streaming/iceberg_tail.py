@@ -302,11 +302,13 @@ class ChangelogTailer:
         checkpoint_path: str,
         max_snapshots_per_batch: int | None = None,
         source_range=None,
+        with_lineage: bool = False,
     ):
         self.table = table
         self.checkpoint_path = checkpoint_path
         self.max_snapshots_per_batch = max_snapshots_per_batch
         self.source_range = source_range  # scopes read_changelog
+        self.with_lineage = with_lineage  # v3 row identity per change row
 
     def position(self) -> int | None:
         if not os.path.exists(self.checkpoint_path):
@@ -343,6 +345,7 @@ class ChangelogTailer:
                 from_snapshot_id=ck,
                 to_snapshot_id=end,
                 source_range=self.source_range,
+                with_lineage=self.with_lineage,
             ),
             end,
         )

@@ -213,3 +213,46 @@ class TestScopedTail:
         )
         assert n >= 1
         assert {i for _, i in got} == set(range(100, 200))
+
+
+class TestScopedIncrementalFiles:
+    def test_incremental_files_scope(self, spark, table, monkeypatch):
+        """The plain append-diff path gets the same manifest-summary
+        skip: a day-scoped incremental file plan opens only in-scope
+        manifests and returns only in-scope files."""
+        from opentelemetry_iceberg_exporter_spark.sinks import iceberg_fs as mod
+
+        reads = _manifest_reads(monkeypatch, mod)
+        files = table.incremental_files(source_range=DAY1)
+        assert len(reads) == 1
+        assert len(files) == 1
+        assert files[0].partition  # in-scope day's file only
+        full = table.incremental_files()
+        assert len(full) == N_DAYS
+
+
+class TestChangelogTailerLineage:
+    def test_tailer_emits_row_identity(self, spark, tmp_path):
+        from opentelemetry_iceberg_exporter_spark.streaming.iceberg_tail import (
+            ChangelogTailer,
+        )
+
+        cat = FsCatalog(str(tmp_path / "whl"))
+        t = cat.create_table(
+            "otel", "evl", _df(spark, [0]).schema, partition_source="ts",
+            granularity="daily",
+        )
+        t.upgrade_format_version(3)
+        t.append_dataframe(_df(spark, range(100)))
+        tailer = ChangelogTailer(
+            t, str(tmp_path / "ckl.json"), with_lineage=True
+        )
+        got: list[tuple] = []
+        tailer.process_available(
+            spark,
+            lambda df, end: got.extend(
+                (r["id"], r["_row_id"]) for r in df.collect()
+            ),
+        )
+        assert len(got) == 100
+        assert len({rid for _, rid in got}) == 100
