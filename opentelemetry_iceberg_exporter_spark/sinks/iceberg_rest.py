@@ -1554,38 +1554,63 @@ class RestTable:
         physically delete files no retained snapshot references
         (commit-then-delete like the fs catalog). Returns deleted
         data-file paths."""
-        from .iceberg_fs import delete_expired_paths, expire_plan
-
-        md = self.metadata()
-        plan = expire_plan(md, keep_last, older_than_ms, now_ms)
-        if plan is None:
-            return []
-        expired_ids = {s["snapshot-id"] for s in plan["expired"]}
-        updates: list[dict] = [
-            {"action": "remove-snapshot-ref", "ref-name": name}
-            for name in plan["removed_refs"]
-        ]
-        if expired_ids:
-            updates.append(
-                {
-                    "action": "remove-snapshots",
-                    "snapshot-ids": sorted(expired_ids),
-                }
-            )
-        self.client.commit_table(
-            self.namespace,
-            self.name,
-            requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
-            updates=updates,
+        from .iceberg_fs import (
+            commit_attempts_for,
+            delete_expired_paths,
+            expire_plan,
         )
-        for key in ("partition-statistics", "statistics"):
-            for e in md.get(key, []):
-                if e["snapshot-id"] in expired_ids:
-                    try:
-                        os.remove(e["statistics-path"])
-                    except OSError:
-                        pass
-        return delete_expired_paths(plan)
+
+        attempt = 0
+        while True:
+            md = self.metadata()
+            attempts = commit_attempts_for(md)
+            plan = expire_plan(md, keep_last, older_than_ms, now_ms)
+            if plan is None:
+                return []
+            expired_ids = {s["snapshot-id"] for s in plan["expired"]}
+            updates: list[dict] = [
+                {"action": "remove-snapshot-ref", "ref-name": name}
+                for name in plan["removed_refs"]
+            ]
+            if expired_ids:
+                updates.append(
+                    {
+                        "action": "remove-snapshots",
+                        "snapshot-ids": sorted(expired_ids),
+                    }
+                )
+            # pin EVERY ref the plan saw: a concurrent commit moving any
+            # branch can extend an ancestry into the planned expired set
+            # — a stale plan must 409 and re-plan, like the fs CAS loop
+            requirements: list[dict] = [
+                {"type": "assert-table-uuid", "uuid": md["table-uuid"]}
+            ]
+            for name, ref in sorted(md.get("refs", {}).items()):
+                requirements.append(
+                    {
+                        "type": "assert-ref-snapshot-id",
+                        "ref": name,
+                        "snapshot-id": ref["snapshot-id"],
+                    }
+                )
+            try:
+                self.client.commit_table(
+                    self.namespace, self.name, requirements, updates
+                )
+            except RestCommitConflictError:
+                attempt += 1
+                if attempt >= attempts:
+                    raise
+                time.sleep(0.05 * attempt)
+                continue  # re-plan against the new state
+            for key in ("partition-statistics", "statistics"):
+                for e in md.get(key, []):
+                    if e["snapshot-id"] in expired_ids:
+                        try:
+                            os.remove(e["statistics-path"])
+                        except OSError:
+                            pass
+            return delete_expired_paths(plan)
 
     def compute_partition_stats(self, snapshot_id: int | None = None) -> dict | None:
         """Partition statistics over REST: write the spec's stats

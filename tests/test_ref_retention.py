@@ -425,3 +425,59 @@ class TestExpirePlanningCost:
         plan = fsmod.expire_plan(t.metadata(), keep_last=2)
         assert plan is not None and plan["expired"]
         assert reads and len(reads) == len(set(reads))
+
+
+class TestRestExpireRace:
+    def test_rest_expire_replans_when_a_ref_moves(self, spark, tmp_path):
+        """The REST expire pins every ref it planned against; a branch
+        commit landing in between 409s the stale plan and the retry
+        re-plans — the raced-in branch head's ancestry survives."""
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
+            RestCatalogClient,
+        )
+
+        warehouse = str(tmp_path / "rwh")
+        os.makedirs(warehouse)
+        server, _, uri = make_server(warehouse)
+        try:
+            client = RestCatalogClient(uri, warehouse=warehouse)
+            client.ensure_namespace("otel")
+            t = client.ensure_table("otel", "rx", _df(spark).schema,
+                                    partition_source="ts")
+            s1 = t.append_dataframe(_df(spark, tag="v1"))
+            s2 = t.append_dataframe(_df(spark, tag="v2"))
+            t.set_ref("audit", s2, "branch")
+            s3 = t.append_dataframe(_df(spark, tag="v3"))
+            s4 = t.append_dataframe(_df(spark, tag="v4"))
+
+            # make the FIRST expire commit lose: the plan expires the
+            # main-only middle snapshot s3, and the race moves the audit
+            # branch onto s4 — s3 is then on the branch's ANCESTRY, so
+            # committing the stale plan would punch a hole in branch
+            # history. The re-plan must retain it.
+            real_commit = client.commit_table
+            state = {"raced": False}
+
+            def racing_commit(namespace, name, requirements, updates):
+                is_expire = any(
+                    u.get("action") == "remove-snapshots" for u in updates
+                )
+                if is_expire and not state["raced"]:
+                    state["raced"] = True
+                    t.set_ref("audit", s4, "branch")
+                return real_commit(namespace, name, requirements, updates)
+
+            client.commit_table = racing_commit
+            try:
+                t.expire_snapshots(keep_last=1)
+            finally:
+                client.commit_table = real_commit
+            assert state["raced"]
+            ids = {s["snapshot-id"] for s in t.snapshots()}
+            # WITHOUT the per-ref assertions the stale plan lands and s3
+            # is destroyed despite being branch-protected by the race
+            assert {s1, s2, s3, s4} <= ids
+            assert t.read(spark, snapshot_id=s3).count() == 60
+            assert t.read_ref(spark, "audit").count() == 80
+        finally:
+            server.shutdown()
