@@ -3994,6 +3994,86 @@ def plan_cherry_pick(md: dict, snapshot_id: int) -> list[DataFile]:
     return [dataclasses.replace(f, sequence_number=0) for f in added]
 
 
+def _cow_changelog_via_lineage(
+    spark: SparkSession, md: dict, s: dict, schema, cols, tag
+) -> list[DataFrame]:
+    """Row-level changes of a COPY-ON-WRITE overwrite snapshot,
+    recovered through v3 row lineage: only the files the rewrite
+    TOUCHED are scanned (removed parent files with the parent's deletes
+    applied = pre-images; added files = post-images), then diffed on
+    _row_id — a vanished id is a delete, a fresh id an insert, and an
+    id whose _last_updated equals this commit's sequence number is an
+    update (emitted as delete-of-pre-image + insert-of-post-image, the
+    changelog's apply-delete-then-insert contract). Untouched survivor
+    files are never read, so cost tracks the rewrite, not the table.
+    Requires every touched file to carry lineage (first_row_id or
+    materialized columns) — pre-upgrade files raise."""
+    sid = s["snapshot-id"]
+    parent = s["parent-snapshot-id"]
+    parent_data, parent_deletes = live_files(md, parent)
+    child_data, _ = live_files(md, sid)
+    child_paths = {f.file_path for f in child_data}
+    parent_paths = {f.file_path for f in parent_data}
+    removed = [f for f in parent_data if f.file_path not in child_paths]
+    added = [f for f in child_data if f.file_path not in parent_paths]
+    lineage_blind = [
+        f for f in removed + added if f.content == 0 and f.first_row_id is None
+    ]
+    if lineage_blind:
+        raise ValueError(
+            f"changelog cannot represent copy-on-write overwrite snapshot "
+            f"{sid}: {len(lineage_blind)} touched file(s) predate row "
+            "lineage (no first_row_id) — rewrite them (compaction) first"
+        )
+    out_cols = cols + [ROW_ID_COL, LAST_UPDATED_COL]
+
+    def _lineage_rows(files: list[DataFile], deletes: list[DataFile]) -> DataFrame:
+        if not files:
+            empty = StructType(list(schema.fields) + lineage_read_fields())
+            return spark.createDataFrame([], empty)
+        tagged = _tagged_live_scan(
+            spark,
+            schema,
+            [f.file_path for f in files],
+            deletes,
+            md,
+            files,
+            lineage=True,
+        )
+        return carry_lineage(spark, tagged, files).select(*out_cols)
+
+    # pre-images: the removed files' LIVE rows at the parent (deletes
+    # restricted to files the rewrite touched apply; survivors' deletes
+    # are irrelevant here)
+    removed_set = {f.file_path for f in removed}
+    rel_deletes = [
+        f
+        for f in parent_deletes
+        if f.content == 2
+        or (f.is_deletion_vector and f.referenced_data_file in removed_set)
+        or (f.content == 1 and not f.is_deletion_vector)
+    ]
+    old_rows = _lineage_rows(removed, rel_deletes)
+    new_rows = _lineage_rows(added, [])
+    seq = s["sequence-number"]
+    old_ids = old_rows.select(ROW_ID_COL)
+    new_ids = new_rows.select(ROW_ID_COL)
+    vanished = old_rows.join(new_ids, ROW_ID_COL, "left_anti")
+    fresh = new_rows.join(old_ids, ROW_ID_COL, "left_anti")
+    updated_new = new_rows.where(F.col(LAST_UPDATED_COL) == F.lit(seq)).join(
+        old_ids, ROW_ID_COL, "left_semi"
+    )
+    updated_old = old_rows.join(
+        updated_new.select(ROW_ID_COL), ROW_ID_COL, "left_semi"
+    )
+    out: list[DataFrame] = []
+    dels = vanished.unionByName(updated_old)
+    ins = fresh.unionByName(updated_new)
+    out.append(tag(dels.select(*dels.columns), "delete", s))
+    out.append(tag(ins.select(*ins.columns), "insert", s))
+    return out
+
+
 def read_changelog(
     spark: SparkSession,
     md: dict,
@@ -4020,9 +4100,14 @@ def read_changelog(
       apply-delete-then-insert reproduces the table.
     * `replace` snapshots (compaction, delete folding) are logical
       no-ops and are SKIPPED.
-    * any other overwrite (copy-on-write DML rewrites) raises — its
-      row-level effects are not recoverable from metadata alone,
-      mirroring the incremental-scan contract.
+    * copy-on-write overwrites raise WITHOUT lineage (their row-level
+      effects are invisible to a metadata walk) — but with
+      `with_lineage=True` on a v3 table they are RECOVERED by diffing
+      the rewrite's touched files on _row_id
+      (_cow_changelog_via_lineage): vanished ids are deletes, fresh ids
+      inserts, ids stamped with this commit's sequence number are
+      updates (delete-of-pre-image + insert-of-post-image). Cost tracks
+      the rewrite's files, never the table.
 
     Consumers poll with (from=last checkpoint, to=None) and checkpoint
     the max `_commit_snapshot_id` they observed.
@@ -4110,12 +4195,23 @@ def read_changelog(
             raise ValueError(f"changelog cannot represent {op!r} snapshot {sid}")
         has_parent = s.get("parent-snapshot-id") is not None
         if op == "overwrite" and has_parent and not carried:
-            # replace-style overwrite (copy-on-write DML): the manifest
-            # holds the complete live set, so the removals are invisible
-            # to a metadata walk
-            raise ValueError(
-                f"changelog cannot represent copy-on-write overwrite snapshot {sid}"
+            if not with_lineage:
+                # replace-style overwrite (copy-on-write DML): the
+                # manifest holds the complete live set, so the removals
+                # are invisible to a metadata walk — but with v3 ROW
+                # LINEAGE the row-level effects ARE recoverable
+                raise ValueError(
+                    f"changelog cannot represent copy-on-write overwrite "
+                    f"snapshot {sid} — on a format-version 3 table, "
+                    "with_lineage=True recovers it via _row_id diffing"
+                )
+            cow_parts = _cow_changelog_via_lineage(
+                spark, md, s, schema, cols, tag
             )
+            if row_scope is not None:
+                cow_parts = [p.where(row_scope) for p in cow_parts]
+            parts.extend(cow_parts)
+            continue
         if pos:
             # deleted rows with full content: the referenced data files
             # joined on the recorded (file_path, pos) tuples

@@ -313,3 +313,83 @@ class TestPreUpgradeFiles:
         # the post-upgrade rows KEPT their ids through the rewrite
         kept = {r["id"]: r["_row_id"] for r in rows if r["id"] >= 100}
         assert sorted(kept.values()) == list(range(5))
+
+
+class TestCowChangelogViaLineage:
+    def test_cow_delete_recovered(self, spark, v3_table):
+        t = v3_table
+        t.append_dataframe(_df(spark, 30))
+        head = t.current_snapshot()["snapshot-id"]
+        t.delete_where(spark, "id IN (3, 17)", mode="copy-on-write")
+        # without lineage the CoW overwrite still raises (v2 contract)
+        with pytest.raises(ValueError, match="with_lineage"):
+            t.changelog_scan(spark, from_snapshot_id=head).collect()
+        out = t.changelog_scan(
+            spark, from_snapshot_id=head, with_lineage=True
+        ).collect()
+        assert {(r["_change_type"], r["id"]) for r in out} == {
+            ("delete", 3),
+            ("delete", 17),
+        }
+
+    def test_cow_update_emits_delete_insert_pairs(self, spark, v3_table):
+        t = v3_table
+        t.append_dataframe(_df(spark, 30))
+        id_map = {
+            r["id"]: r["_row_id"]
+            for r in t.read(spark, with_lineage=True).collect()
+        }
+        head = t.current_snapshot()["snapshot-id"]
+        t.update_where(spark, "id < 3", {"v": "'upd'"}, mode="copy-on-write")
+        out = t.changelog_scan(
+            spark, from_snapshot_id=head, with_lineage=True
+        ).collect()
+        dels = {(r["id"], r["_row_id"], r["v"]) for r in out
+                if r["_change_type"] == "delete"}
+        ins = {(r["id"], r["_row_id"], r["v"]) for r in out
+               if r["_change_type"] == "insert"}
+        # pre-images deleted, post-images inserted, SAME _row_id
+        assert dels == {(i, id_map[i], "a") for i in range(3)}
+        assert ins == {(i, id_map[i], "upd") for i in range(3)}
+
+    def test_cow_merge_recovered(self, spark, v3_table):
+        t = v3_table
+        t.append_dataframe(_df(spark, 30))
+        head = t.current_snapshot()["snapshot-id"]
+        t.merge_rows(spark, _df(spark, 4, base=28, tag="m"), ["id"],
+                     mode="copy-on-write")
+        out = t.changelog_scan(
+            spark, from_snapshot_id=head, with_lineage=True
+        ).collect()
+        by_type = {}
+        for r in out:
+            by_type.setdefault(r["_change_type"], set()).add(r["id"])
+        # matched keys 28,29 replaced (delete+insert); 30,31 inserted
+        assert by_type["delete"] == {28, 29}
+        assert by_type["insert"] == {28, 29, 30, 31}
+
+    def test_untouched_files_never_scanned(self, spark, v3_table, monkeypatch):
+        """Cost tracks the rewrite: survivor files are not read."""
+        t = v3_table
+        # two separate files (two appends)
+        t.append_dataframe(_df(spark, 30))
+        t.append_dataframe(_df(spark, 30, base=1000))
+        head = t.current_snapshot()["snapshot-id"]
+        t.delete_where(spark, "id = 1005", mode="copy-on-write")
+        touched: list[str] = []
+        from opentelemetry_iceberg_exporter_spark.sinks import iceberg_fs as fsmod
+
+        real = fsmod.table_file_scan
+
+        def spy(spark_, md_, schema_, paths, *a, **k):
+            touched.extend(paths)
+            return real(spark_, md_, schema_, paths, *a, **k)
+
+        monkeypatch.setattr(fsmod, "table_file_scan", spy)
+        out = t.changelog_scan(
+            spark, from_snapshot_id=head, with_lineage=True
+        ).collect()
+        assert {r["id"] for r in out} == {1005}
+        # only the rewritten file pair (removed parent file + its
+        # replacement) was scanned — the untouched survivor never was
+        assert len(touched) <= 2
