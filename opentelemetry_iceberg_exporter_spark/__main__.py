@@ -427,6 +427,15 @@ def main(argv: list[str] | None = None) -> int:
     pch.add_argument("--from-snapshot", type=int, default=None)
     pch.add_argument("--to-snapshot", type=int, default=None)
     pch.add_argument(
+        "--scope-col", default=None,
+        help="scope the read to rows where this column lies in "
+        "[--scope-lo, --scope-hi]: manifests are skipped unopened via "
+        "field-507 partition summaries, files by partition transform "
+        "values, rows exactly (changelog)",
+    )
+    pch.add_argument("--scope-lo", default=None)
+    pch.add_argument("--scope-hi", default=None)
+    pch.add_argument(
         "--with-lineage",
         action="store_true",
         help="with --changelog on a v3 table: add _row_id / "
@@ -1304,11 +1313,17 @@ def main(argv: list[str] | None = None) -> int:
                 if args.to_snapshot is not None
                 else (md["current-snapshot-id"] if md["current-snapshot-id"] != -1 else None)
             )
+            scope = (
+                (args.scope_col, args.scope_lo, args.scope_hi)
+                if args.scope_col
+                else None
+            )
             out = read_changelog(
                 spark,
                 md,
                 from_snapshot_id=args.from_snapshot,
                 to_snapshot_id=args.to_snapshot,
+                source_range=scope,
                 with_lineage=args.with_lineage,
             )
             out.write.mode("overwrite").parquet(args.output)

@@ -327,3 +327,25 @@ class TestDmlPlanContracts:
         )
         pf = " ".join(pushed_filters(scan))
         assert "GreaterThan(id" in pf, pf
+
+
+class TestLineagePlanContracts:
+    def test_lineage_read_broadcasts_the_file_map(self, spark, tmp_path):
+        """scan_with_lineage joins the (metadata-sized) per-file lineage
+        map as a BROADCAST — the table scan must not shuffle to learn
+        its _row_id, at any table size."""
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import FsCatalog
+
+        df = spark.range(200).selectExpr(
+            "id", "timestamp'2024-03-01 00:00:00' as ts", "false as flag"
+        )
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("otel", "lnp", df.schema, partition_source="ts")
+        t.upgrade_format_version(3)
+        t.append_dataframe(df)
+        plan = t.read(spark, with_lineage=True)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # exactly one scan of the data files — lineage is derived, not
+        # re-scanned
+        assert plan.count("Scan parquet") <= 2  # data union branches
