@@ -433,6 +433,71 @@ def require_id_resolvable(paths: list[str], md: dict) -> None:
         )
 
 
+def schema_initial_defaults(md: dict | None) -> dict[str, Any]:
+    """{column name: initial-default} of the current schema (v3 default
+    values) — empty on tables that use none, keeping the scan hot path
+    untouched for them."""
+    if md is None:
+        return {}
+    return {
+        f_["name"]: f_["initial-default"]
+        for f_ in current_schema(md)["fields"]
+        if "initial-default" in f_
+    }
+
+
+def _default_filled_scan(
+    spark: SparkSession,
+    schema: StructType,
+    paths: list[str],
+    defaults: dict[str, Any],
+    tags,
+) -> DataFrame:
+    """Scan under `schema` with v3 initial-defaults applied: files whose
+    footer physically LACKS a defaulted column surface the default;
+    files that have it read stored values (including genuine nulls) —
+    the spec's file-presence rule, which a blanket coalesce would get
+    wrong. One footer-metadata read per file, paid ONLY on tables whose
+    schema declares defaults."""
+    import pyarrow.parquet as pq
+
+    by_missing: dict[frozenset, list[str]] = {}
+    for p in paths:
+        names = set(pq.read_schema(p).names)
+        missing = frozenset(n for n in defaults if n not in names)
+        by_missing.setdefault(missing, []).append(p)
+    parts: list[DataFrame] = []
+    for missing, group in sorted(
+        by_missing.items(), key=lambda kv: sorted(kv[0])
+    ):
+        scan = spark.read.schema(schema).parquet(*group)
+        sel = [
+            F.lit(defaults[f_.name]).cast(f_.dataType).alias(f_.name)
+            if f_.name in missing
+            else F.col(f_.name)
+            for f_ in schema.fields
+        ]
+        parts.append(scan.select(*sel, *tags()))
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
+def apply_write_defaults(df: DataFrame, md: dict) -> DataFrame:
+    """Fill columns the writer OMITTED with their write-default (v3
+    default values) — appended rows then physically store the default,
+    so later reads (and default changes) never reinterpret them."""
+    present = set(df.columns)
+    for f_ in current_schema(md)["fields"]:
+        if f_["name"] not in present and "write-default" in f_:
+            df = df.withColumn(
+                f_["name"],
+                F.lit(f_["write-default"]).cast(_spark_type(f_["type"])),
+            )
+    return df
+
+
 def table_file_scan(
     spark: SparkSession,
     md: dict | None,
@@ -458,8 +523,15 @@ def table_file_scan(
             for a, kind in tag_cols
         ]
 
+    defaults = {
+        n: v
+        for n, v in schema_initial_defaults(md).items()
+        if any(f_.name == n for f_ in schema.fields)
+    }
     mapping = parse_name_mapping(md) if md is not None else None
     if mapping is None or not schema_requires_id_read(md):
+        if defaults:
+            return _default_filled_scan(spark, schema, paths, defaults, tags)
         scan = spark.read.schema(schema).parquet(*paths)
         return scan.select("*", *tags()) if tag_cols else scan
     import pyarrow.parquet as pq
@@ -469,8 +541,15 @@ def table_file_scan(
     cur_by_id = {f_["id"]: f_ for f_ in current_schema(md)["fields"]}
     parts: list[DataFrame] = []
     if with_ids:
-        scan = spark.read.schema(schema).parquet(*with_ids)
-        parts.append(scan.select(*[f_.name for f_ in schema.fields], *tags()))
+        if defaults:
+            parts.append(
+                _default_filled_scan(spark, schema, with_ids, defaults, tags)
+            )
+        else:
+            scan = spark.read.schema(schema).parquet(*with_ids)
+            parts.append(
+                scan.select(*[f_.name for f_ in schema.fields], *tags())
+            )
     # group id-less files by footer column signature; each group reads
     # name-based under the FILE's names, aliased to current names via
     # the mapping (unmapped or since-dropped columns are ignored;
@@ -492,7 +571,7 @@ def table_file_scan(
         sel = [
             F.col(file_name_for[f_.name]).alias(f_.name)
             if f_.name in file_name_for
-            else F.lit(None).cast(f_.dataType).alias(f_.name)
+            else F.lit(defaults.get(f_.name)).cast(f_.dataType).alias(f_.name)
             for f_ in schema.fields
         ]
         parts.append(scan.select(*sel, *tags()))
@@ -1949,6 +2028,7 @@ def write_partitioned_batch(
     spec = default_spec_fields(md)
     batch_dir = os.path.join(location, "data", uuid.uuid4().hex)
     write_opts = _parquet_write_options(md)
+    df = apply_write_defaults(df, md)  # v3 write-defaults for omitted cols
     df = with_field_ids(df, md)  # self-describing files (rename-safe)
     if spec:
         pcols = []
@@ -4357,13 +4437,51 @@ def read_changelog(
     return out
 
 
-def evolved_schema(md: dict, new_fields: list) -> tuple[dict, int]:
+# primitive types whose v3 default values the engine supports, with the
+# python types their JSON single-value representation uses (timestamps
+# ride as ISO-8601 strings per the spec's single-value serialization)
+_DEFAULTABLE_TYPES: dict[str, tuple] = {
+    "long": (int,),
+    "int": (int,),
+    "double": (int, float),
+    "float": (int, float),
+    "string": (str,),
+    "boolean": (bool,),
+    "timestamptz": (str,),
+    "timestamp": (str,),
+    "date": (str,),
+}
+
+
+def _validate_default(name: str, ftype: Any, value: Any) -> None:
+    if not isinstance(ftype, str) or ftype not in _DEFAULTABLE_TYPES:
+        raise ValueError(
+            f"column {name!r}: default values are supported for "
+            f"{sorted(_DEFAULTABLE_TYPES)} columns, not {ftype!r}"
+        )
+    ok = _DEFAULTABLE_TYPES[ftype]
+    if isinstance(value, bool) and ftype != "boolean":
+        raise ValueError(f"column {name!r}: boolean default for {ftype!r}")
+    if not isinstance(value, ok):
+        raise ValueError(
+            f"column {name!r}: default {value!r} does not fit type {ftype!r}"
+        )
+
+
+def evolved_schema(
+    md: dict, new_fields: list, defaults: dict | None = None
+) -> tuple[dict, int]:
     """Build the next schema version for an add-columns evolution:
     existing fields keep their ids verbatim (the Iceberg invariant that
     makes old data files readable forever), new top-level fields get
     fresh ids above last-column-id, and nested ids continue after them.
-    Returns (new_schema_dict, new_last_column_id); the caller commits it
-    as a new entry in `schemas` with current-schema-id bumped."""
+    `defaults` (v3 "default values") sets a column's `initial-default`
+    (what rows in PRE-evolution files read — the column physically
+    absent from their Parquet) and `write-default` (what writers store
+    when the column is omitted) to the same literal, like SQL
+    `ADD COLUMN ... DEFAULT`. Returns (new_schema_dict,
+    new_last_column_id); the caller commits it as a new entry in
+    `schemas` with current-schema-id bumped."""
     current = current_schema(md)
     existing = {f_["name"] for f_ in current["fields"]}
     clashes = [f_.name for f_ in new_fields if f_.name in existing]
@@ -4371,16 +4489,25 @@ def evolved_schema(md: dict, new_fields: list) -> tuple[dict, int]:
         raise ValueError(f"column(s) already exist: {clashes}")
     # top-level ids first, then nested — same discipline as iceberg_schema
     next_id = [md["last-column-id"] + 1 + len(new_fields)]
+    defaults = defaults or {}
+    unknown_defaults = set(defaults) - {f_.name for f_ in new_fields}
+    if unknown_defaults:
+        raise ValueError(
+            f"defaults name column(s) not being added: {sorted(unknown_defaults)}"
+        )
     added = []
     for i, f_ in enumerate(new_fields):
-        added.append(
-            {
-                "id": md["last-column-id"] + 1 + i,
-                "name": f_.name,
-                "required": not f_.nullable,
-                "type": _iceberg_type(f_.dataType, next_id),
-            }
-        )
+        entry = {
+            "id": md["last-column-id"] + 1 + i,
+            "name": f_.name,
+            "required": not f_.nullable,
+            "type": _iceberg_type(f_.dataType, next_id),
+        }
+        if f_.name in defaults:
+            _validate_default(f_.name, entry["type"], defaults[f_.name])
+            entry["initial-default"] = defaults[f_.name]
+            entry["write-default"] = defaults[f_.name]
+        added.append(entry)
     new_schema = {
         "type": "struct",
         "schema-id": max(s["schema-id"] for s in md["schemas"]) + 1,
@@ -6622,13 +6749,19 @@ class FsTable:
         return self.read(spark, snapshot_id=self.resolve_ref(name))
 
     # -- schema evolution --------------------------------------------------
-    def add_columns(self, new_fields: list[StructField] | StructType) -> int:
+    def add_columns(
+        self,
+        new_fields: list[StructField] | StructType,
+        defaults: dict | None = None,
+    ) -> int:
         """Add nullable columns (Iceberg add-column evolution): existing
         field ids are untouched, so every old data file stays readable;
         reads surface the new columns as nulls for pre-evolution files
-        (spark_read_schema applies the CURRENT schema explicitly).
-        Metadata-only commit — no snapshot, no data rewrite. Returns the
-        new schema id."""
+        (spark_read_schema applies the CURRENT schema explicitly) — or as
+        their `defaults[name]` value (v3 default values: initial-default
+        for pre-evolution files, write-default for writers omitting the
+        column; requires format-version 3). Metadata-only commit — no
+        snapshot, no data rewrite. Returns the new schema id."""
         fields = list(new_fields.fields if isinstance(new_fields, StructType) else new_fields)
         attempt = 0
         while True:
@@ -6643,7 +6776,12 @@ class FsTable:
             if any(f_.name in historic - current_names for f_ in fields):
                 live, _, _ = self.plan_scan()
                 require_id_resolvable([f.file_path for f in live], md)
-            new_schema, last_col = evolved_schema(md, fields)
+            if defaults and table_format_version(md) < 3:
+                raise ValueError(
+                    "default values are an Iceberg v3 feature — call "
+                    "upgrade_format_version(3) first"
+                )
+            new_schema, last_col = evolved_schema(md, fields, defaults)
             new_md = dict(md)
             new_md["schemas"] = md["schemas"] + [new_schema]
             new_md["current-schema-id"] = new_schema["schema-id"]

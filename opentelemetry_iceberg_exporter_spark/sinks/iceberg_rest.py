@@ -1821,16 +1821,18 @@ class RestTable:
     def read_ref(self, spark: SparkSession, name: str) -> DataFrame:
         return self.read(spark, snapshot_id=self.resolve_ref(name))
 
-    def add_columns(self, new_fields) -> int:
+    def add_columns(self, new_fields, defaults: dict | None = None) -> int:
         """Schema evolution over REST: add nullable columns via a
         CommitTable with add-schema + set-current-schema updates (the
         REST spec's schema-evolution actions). Existing field ids are
-        untouched; returns the new schema id."""
+        untouched; returns the new schema id. `defaults` = v3 default
+        values (see FsTable.add_columns; requires format-version 3)."""
         from .iceberg_fs import (
             current_schema,
             evolved_schema,
             live_files,
             require_id_resolvable,
+            table_format_version,
         )
 
         fields = list(new_fields.fields if isinstance(new_fields, StructType) else new_fields)
@@ -1843,7 +1845,12 @@ class RestTable:
             if sid != -1:
                 data, _ = live_files(md, sid)
                 require_id_resolvable([f.file_path for f in data], md)
-        new_schema, last_col = evolved_schema(md, fields)
+        if defaults and table_format_version(md) < 3:
+            raise ValueError(
+                "default values are an Iceberg v3 feature — call "
+                "upgrade_format_version(3) first"
+            )
+        new_schema, last_col = evolved_schema(md, fields, defaults)
         self.client.commit_table(
             self.namespace,
             self.name,
