@@ -5561,16 +5561,24 @@ def metadata_table(spark: SparkSession, md: dict, name: str) -> "DataFrame":
             "added_rows_count long",
         )
     if name == "refs":
+        # Iceberg's refs table columns, incl. the per-ref retention
+        # settings expire_snapshots honors
         rows = [
             (
                 ref_name,
                 ref["type"],
                 ref["snapshot-id"],
+                ref.get("max-ref-age-ms"),
+                ref.get("min-snapshots-to-keep"),
+                ref.get("max-snapshot-age-ms"),
             )
             for ref_name, ref in md.get("refs", {}).items()
         ]
         return spark.createDataFrame(
-            rows, "name string, type string, snapshot_id long"
+            rows,
+            "name string, type string, snapshot_id long, "
+            "max_reference_age_in_ms long, min_snapshots_to_keep int, "
+            "max_snapshot_age_in_ms long",
         )
     if name == "partitions":
         # per-partition rollup of the CURRENT snapshot's live data files
