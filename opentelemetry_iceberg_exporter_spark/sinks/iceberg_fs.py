@@ -4074,6 +4074,63 @@ def plan_cherry_pick(md: dict, snapshot_id: int) -> list[DataFile]:
     return [dataclasses.replace(f, sequence_number=0) for f in added]
 
 
+def _equality_pre_images(
+    spark: SparkSession,
+    md: dict,
+    s: dict,
+    schema,
+    keys: DataFrame,
+    key_fields: list[dict],
+    with_lineage: bool,
+) -> DataFrame:
+    """Full pre-images of one equality-delete file's matches: the
+    parent snapshot's live rows whose keys appear in the delete set.
+    Every parent-live row's sequence number is strictly below the
+    delete's (the delete seq is parent's last + 1), so a plain
+    null-safe key semi-join gives exactly the removed rows. The key
+    set's min/max prune the parent's files via manifest column bounds
+    BEFORE any data read — cost tracks files containing matches."""
+    parent = s.get("parent-snapshot-id")
+    names = [kf["name"] for kf in key_fields]
+    bounds_row = keys.agg(
+        *[F.min(n).alias(f"lo_{n}") for n in names],
+        *[F.max(n).alias(f"hi_{n}") for n in names],
+    ).first()
+    column_range = [
+        (n, bounds_row[f"lo_{n}"], bounds_row[f"hi_{n}"])
+        for n in names
+        if bounds_row[f"lo_{n}"] is not None
+    ]
+    parent_data, parent_deletes = plan_scan_metadata(
+        md, parent, column_range=column_range or None
+    )[:2]
+    if not parent_data:
+        out = StructType(
+            list(schema.fields) + (lineage_read_fields() if with_lineage else [])
+        )
+        return spark.createDataFrame([], out)
+    tagged = _tagged_live_scan(
+        spark,
+        schema,
+        [f_.file_path for f_ in parent_data],
+        parent_deletes,
+        md,
+        parent_data,
+        lineage=with_lineage,
+    )
+    if with_lineage:
+        tagged = carry_lineage(spark, tagged, parent_data)
+    cond = None
+    for n in names:
+        c = tagged[n].eqNullSafe(keys[n])
+        cond = c if cond is None else (cond & c)
+    pre = tagged.join(F.broadcast(keys), cond, "left_semi")
+    out_cols = [f_.name for f_ in schema.fields] + (
+        [ROW_ID_COL, LAST_UPDATED_COL] if with_lineage else []
+    )
+    return pre.select(*out_cols)
+
+
 def _cow_changelog_via_lineage(
     spark: SparkSession, md: dict, s: dict, schema, cols, tag
 ) -> list[DataFrame]:
@@ -4161,6 +4218,7 @@ def read_changelog(
     to_snapshot_id: int | None = None,
     source_range: tuple[str, Any, Any] | list[tuple[str, Any, Any]] | None = None,
     with_lineage: bool = False,
+    full_pre_images: bool = False,
 ) -> DataFrame:
     """Row-level CDC over a snapshot window — the read half of the CDC
     story (upsert_equality/delete_where* are the write half). Returns
@@ -4206,7 +4264,14 @@ def read_changelog(
     _last_updated_sequence_number to every change row — row-STABLE
     identity across CoW rewrites, so a downstream materializer can key
     its state by _row_id instead of content. delete_key rows carry
-    nulls (their pre-images are unread by contract)."""
+    nulls (their pre-images are unread by contract).
+
+    `full_pre_images=True` upgrades equality-delete `delete_key` rows
+    to FULL-content `delete` rows by reading the matching rows back
+    from the parent snapshot: the key set's min/max bounds prune the
+    parent's files through the manifest column bounds, so cost tracks
+    files-CONTAINING-matches, not the table — but it is a data read
+    where delete_key is metadata-only, hence opt-in."""
     if with_lineage and table_format_version(md) < 3:
         raise ValueError(
             "row lineage requires a format-version 3 table — call "
@@ -4385,6 +4450,14 @@ def read_changelog(
                 ]
             )
             keys = spark.read.schema(key_schema).parquet(f.file_path)
+            if full_pre_images:
+                pre = _equality_pre_images(
+                    spark, md, s, schema, keys, key_fields, with_lineage
+                )
+                if row_scope is not None:
+                    pre = pre.where(row_scope)
+                parts.append(tag(pre, "delete", s))
+                continue
             widened = keys.select(
                 *[
                     F.col(c) if c in key_names
@@ -6634,11 +6707,13 @@ class FsTable:
         to_snapshot_id: int | None = None,
         source_range=None,
         with_lineage: bool = False,
+        full_pre_images: bool = False,
     ) -> DataFrame:
         """Row-level CDC read over a snapshot window (see module-level
         read_changelog): `insert` rows for appends, full-content
         `delete` rows for position deletes, key-only `delete_key` rows
-        for equality deletes; compaction skipped; CoW overwrites raise.
+        for equality deletes (full pre-images on request); compaction
+        skipped; CoW overwrites recovered via lineage (v3) or raise.
         `source_range=(col, lo, hi)` scopes the changelog (manifest-
         summary skip + partition-value file skip + exact row filter);
         `with_lineage` (v3) adds the row-identity columns."""
@@ -6649,6 +6724,7 @@ class FsTable:
             to_snapshot_id,
             source_range,
             with_lineage,
+            full_pre_images,
         )
 
     # -- refs: tags + branches ---------------------------------------------

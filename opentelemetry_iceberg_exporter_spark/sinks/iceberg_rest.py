@@ -996,6 +996,7 @@ class RestTable:
         to_snapshot_id: int | None = None,
         source_range=None,
         with_lineage: bool = False,
+        full_pre_images: bool = False,
     ) -> DataFrame:
         """Row-level CDC read over REST (see iceberg_fs.read_changelog)."""
         from .iceberg_fs import read_changelog
@@ -1007,6 +1008,7 @@ class RestTable:
             to_snapshot_id,
             source_range,
             with_lineage,
+            full_pre_images,
         )
 
     def metadata_table(self, spark: SparkSession, name: str) -> DataFrame:

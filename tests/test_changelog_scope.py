@@ -256,3 +256,78 @@ class TestChangelogTailerLineage:
         )
         assert len(got) == 100
         assert len({rid for _, rid in got}) == 100
+
+
+class TestEqualityPreImages:
+    def test_full_pre_images_replace_delete_key(self, spark, table):
+        # equality-delete two ids; by default the changelog gives
+        # key-only rows, with full_pre_images it reads the rows back
+        table.delete_where_equality(
+            spark, _df(spark, [105, 310]).select("id"), ["id"]
+        )
+        head = table.current_snapshot()["snapshot-id"]
+        parent = table.metadata()["snapshots"][-2]["snapshot-id"]
+        keyed = table.changelog_scan(
+            spark, from_snapshot_id=parent, to_snapshot_id=head
+        ).collect()
+        assert {r["_change_type"] for r in keyed} == {"delete_key"}
+        assert all(r["ts"] is None for r in keyed)  # non-key cols null
+        full = table.changelog_scan(
+            spark,
+            from_snapshot_id=parent,
+            to_snapshot_id=head,
+            full_pre_images=True,
+        ).collect()
+        assert {(r["_change_type"], r["id"]) for r in full} == {
+            ("delete", 105),
+            ("delete", 310),
+        }
+        assert all(r["ts"] is not None and r["tag"] == "a" for r in full)
+
+    def test_pre_image_read_prunes_by_key_bounds(self, spark, table, monkeypatch):
+        """The key set's min/max reach the parent scan through manifest
+        column bounds: deleting two nearby ids must not read every
+        file."""
+        table.delete_where_equality(
+            spark, _df(spark, [105, 110]).select("id"), ["id"]
+        )
+        from opentelemetry_iceberg_exporter_spark.sinks import iceberg_fs as mod
+
+        scanned: list[str] = []
+        real = mod.table_file_scan
+
+        def spy(spark_, md_, schema_, paths, *a, **k):
+            scanned.extend(paths)
+            return real(spark_, md_, schema_, paths, *a, **k)
+
+        monkeypatch.setattr(mod, "table_file_scan", spy)
+        head = table.current_snapshot()["snapshot-id"]
+        parent = table.metadata()["snapshots"][-2]["snapshot-id"]
+        out = table.changelog_scan(
+            spark,
+            from_snapshot_id=parent,
+            to_snapshot_id=head,
+            full_pre_images=True,
+        ).collect()
+        assert {r["id"] for r in out} == {105, 110}
+        # both keys live in day-1's single file; the other days' files
+        # are excluded by manifest id-bounds before any data read
+        assert len(set(scanned)) == 1
+
+    def test_upsert_pre_images_roundtrip(self, spark, table):
+        """An upsert commit with full pre-images: apply delete-then-
+        insert reproduces the post-upsert table exactly."""
+        src_rows = _df(spark, [105, 9000], tag="new")
+        table.upsert_equality(spark, src_rows, ["id"])
+        head = table.current_snapshot()["snapshot-id"]
+        parent = table.metadata()["snapshots"][-2]["snapshot-id"]
+        out = table.changelog_scan(
+            spark,
+            from_snapshot_id=parent,
+            to_snapshot_id=head,
+            full_pre_images=True,
+        ).collect()
+        dels = {(r["id"], r["tag"]) for r in out if r["_change_type"] == "delete"}
+        ins = {(r["id"], r["tag"]) for r in out if r["_change_type"] == "insert"}
+        assert dels == {(105, "a")}  # 9000 did not exist: no pre-image
+        assert ins == {(105, "new"), (9000, "new")}
