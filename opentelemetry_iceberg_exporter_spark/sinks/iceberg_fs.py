@@ -4096,10 +4096,13 @@ def _equality_pre_images(
         *[F.min(n).alias(f"lo_{n}") for n in names],
         *[F.max(n).alias(f"hi_{n}") for n in names],
     ).first()
+    boundable = {
+        kf["name"] for kf in key_fields if kf["type"] in _BOUNDABLE_TYPES
+    }
     column_range = [
         (n, bounds_row[f"lo_{n}"], bounds_row[f"hi_{n}"])
         for n in names
-        if bounds_row[f"lo_{n}"] is not None
+        if n in boundable and bounds_row[f"lo_{n}"] is not None
     ]
     parent_data, parent_deletes = plan_scan_metadata(
         md, parent, column_range=column_range or None

@@ -303,12 +303,14 @@ class ChangelogTailer:
         max_snapshots_per_batch: int | None = None,
         source_range=None,
         with_lineage: bool = False,
+        full_pre_images: bool = False,
     ):
         self.table = table
         self.checkpoint_path = checkpoint_path
         self.max_snapshots_per_batch = max_snapshots_per_batch
         self.source_range = source_range  # scopes read_changelog
         self.with_lineage = with_lineage  # v3 row identity per change row
+        self.full_pre_images = full_pre_images  # eq-delete pre-images
 
     def position(self) -> int | None:
         if not os.path.exists(self.checkpoint_path):
@@ -346,6 +348,7 @@ class ChangelogTailer:
                 to_snapshot_id=end,
                 source_range=self.source_range,
                 with_lineage=self.with_lineage,
+                full_pre_images=self.full_pre_images,
             ),
             end,
         )
