@@ -4074,6 +4074,59 @@ def plan_cherry_pick(md: dict, snapshot_id: int) -> list[DataFile]:
     return [dataclasses.replace(f, sequence_number=0) for f in added]
 
 
+def net_changes(df: DataFrame) -> DataFrame:
+    """Collapse a LINEAGE changelog window (read_changelog
+    with_lineage=True) to its NET effect per row — Iceberg's
+    net-changes changelog view, keyed by the v3 row identity instead of
+    content:
+
+    * inserted then deleted inside the window -> nothing;
+    * inserted (possibly updated N times) -> ONE insert with the final
+      content;
+    * existing row updated N times -> ONE delete (the first pre-image)
+      + ONE insert (the final content);
+    * existing row deleted -> ONE delete (the first pre-image).
+
+    Mechanics: per _row_id, order events by the global change order
+    (_commit_sequence_number; a delete sorts before the insert of the
+    same commit — an update pair), then emit first-event deletes and
+    last-event inserts. One shuffle on _row_id; scales with the
+    window's change volume, never the table. delete_key rows (no row
+    identity) and null _row_id rows (pre-lineage files) are refused —
+    materialize lineage first."""
+    from pyspark.sql import Window
+
+    if "_row_id" not in df.columns:
+        raise ValueError("net_changes needs a lineage changelog "
+                         "(read_changelog with_lineage=True)")
+    bad = df.where(
+        (F.col("_change_type") == "delete_key") | F.col(ROW_ID_COL).isNull()
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            "net_changes needs row identity on every change row: "
+            "delete_key rows / null _row_id (pre-lineage files) present — "
+            "use full_pre_images=True and rewrite pre-lineage files first"
+        )
+    order = [
+        F.col("_commit_sequence_number").asc(),
+        F.when(F.col("_change_type") == "delete", 0).otherwise(1).asc(),
+    ]
+    w = Window.partitionBy(ROW_ID_COL).orderBy(*order)
+    wall = Window.partitionBy(ROW_ID_COL)
+    ranked = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__cnt", F.count(F.lit(1)).over(wall))
+    )
+    first_deletes = ranked.where(
+        (F.col("__rn") == 1) & (F.col("_change_type") == "delete")
+    )
+    last_inserts = ranked.where(
+        (F.col("__rn") == F.col("__cnt")) & (F.col("_change_type") == "insert")
+    )
+    return first_deletes.unionByName(last_inserts).drop("__rn", "__cnt")
+
+
 def _equality_pre_images(
     spark: SparkSession,
     md: dict,

@@ -393,3 +393,60 @@ class TestCowChangelogViaLineage:
         # only the rewritten file pair (removed parent file + its
         # replacement) was scanned — the untouched survivor never was
         assert len(touched) <= 2
+
+
+class TestNetChanges:
+    def test_window_collapses_to_net_effect(self, spark, v3_table):
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            net_changes,
+        )
+
+        t = v3_table
+        t.append_dataframe(_df(spark, 10))           # ids 0..9 pre-window
+        start = t.current_snapshot()["snapshot-id"]
+        id_map = {
+            r["id"]: r["_row_id"]
+            for r in t.read(spark, with_lineage=True).collect()
+        }
+        # window: insert 100..104; update id 1 twice; delete id 2;
+        # insert-then-delete id 103
+        t.append_dataframe(_df(spark, 5, base=100, tag="w"))
+        t.update_where(spark, "id = 1", {"v": "'u1'"}, mode="deletion-vectors")
+        t.update_where(spark, "id = 1", {"v": "'u2'"}, mode="deletion-vectors")
+        t.delete_where(spark, "id = 2", mode="deletion-vectors")
+        t.delete_where(spark, "id = 103", mode="deletion-vectors")
+        log = t.changelog_scan(
+            spark, from_snapshot_id=start, with_lineage=True
+        )
+        net = net_changes(log).collect()
+        dels = {(r["id"], r["v"]) for r in net if r["_change_type"] == "delete"}
+        ins = {(r["id"], r["v"]) for r in net if r["_change_type"] == "insert"}
+        # id 1: one delete (original pre-image) + one insert (FINAL u2);
+        # id 2: one delete; 103 vanished; 100-102,104 net inserts
+        assert dels == {(1, "a"), (2, "a")}
+        assert ins == {(1, "u2"), (100, "w"), (101, "w"), (102, "w"), (104, "w")}
+        # row identity is stable through the collapse
+        net_ids = {r["id"]: r["_row_id"] for r in net if r["id"] in (1, 2)}
+        assert net_ids[1] == id_map[1] and net_ids[2] == id_map[2]
+
+    def test_refusals(self, spark, v3_table):
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            net_changes,
+        )
+
+        t = v3_table
+        t.append_dataframe(_df(spark, 5))
+        plain = t.changelog_scan(spark)  # no lineage columns
+        with pytest.raises(ValueError, match="with_lineage"):
+            net_changes(plain)
+        # delete_key rows (no identity) refuse with the remedy
+        t.delete_where_equality(spark, _df(spark, 1, base=2).select("id"), ["id"])
+        log = t.changelog_scan(spark, with_lineage=True)
+        with pytest.raises(ValueError, match="full_pre_images"):
+            net_changes(log)
+        # ...and full_pre_images unblocks it; the eq-deleted row was
+        # ALSO inserted inside this window, so it nets to NOTHING
+        log = t.changelog_scan(spark, with_lineage=True, full_pre_images=True)
+        net = net_changes(log).collect()
+        got = {(r["_change_type"], r["id"]) for r in net}
+        assert got == {("insert", 0), ("insert", 1), ("insert", 3), ("insert", 4)}
