@@ -186,6 +186,15 @@ def run_write_path(spark, sf_dir: str, make_table) -> dict:
         read_rows = t.read(spark).count()
         read_sec = time.perf_counter() - t0
 
+        # v3 row-lineage read: upgrade (the table has only DV/equality
+        # deletes, so the ceremony passes) and time the identity-
+        # projecting scan — the broadcast file-map join's overhead over
+        # the plain read is the number to watch round-over-round
+        t.upgrade_format_version(3)
+        t0 = time.perf_counter()
+        lineage_rows = t.read(spark, with_lineage=True).count()
+        lineage_read_sec = time.perf_counter() - t0
+
         return {
             "append_commits": N_APPEND_BATCHES,
             "append_rows": append_rows,
@@ -213,6 +222,8 @@ def run_write_path(spark, sf_dir: str, make_table) -> dict:
             "manifests_after_rewrite": manifests_after,
             "post_commit_read_rows": read_rows,
             "post_commit_read_sec": round(read_sec, 3),
+            "lineage_read_rows": lineage_rows,
+            "lineage_read_sec": round(lineage_read_sec, 3),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
