@@ -4093,21 +4093,33 @@ def net_changes(df: DataFrame) -> DataFrame:
     last-event inserts. One shuffle on _row_id; scales with the
     window's change volume, never the table. delete_key rows (no row
     identity) and null _row_id rows (pre-lineage files) are refused —
-    materialize lineage first."""
+    the check rides INSIDE the plan (raise_error on the partition key
+    column), so the guard costs no extra Spark job; lineage changelogs
+    auto-resolve equality-delete pre-images (full_pre_images defaults
+    to with_lineage), so the refusal only fires on an explicit
+    full_pre_images=False or on files predating lineage."""
     from pyspark.sql import Window
 
     if "_row_id" not in df.columns:
         raise ValueError("net_changes needs a lineage changelog "
                          "(read_changelog with_lineage=True)")
-    bad = df.where(
-        (F.col("_change_type") == "delete_key") | F.col(ROW_ID_COL).isNull()
-    ).limit(1).count()
-    if bad:
-        raise ValueError(
-            "net_changes needs row identity on every change row: "
-            "delete_key rows / null _row_id (pre-lineage files) present — "
-            "use full_pre_images=True and rewrite pre-lineage files first"
-        )
+    # identity guard folded into the main plan: every change row flows
+    # through this projection of the window's partition key, so a
+    # delete_key / null-id row aborts the job with the remedy instead
+    # of silently collapsing wrong
+    bad = (F.col("_change_type") == "delete_key") | F.col(ROW_ID_COL).isNull()
+    df = df.withColumn(
+        ROW_ID_COL,
+        F.when(
+            bad,
+            F.raise_error(F.lit(
+                "net_changes needs row identity on every change row: "
+                "delete_key rows / null _row_id (pre-lineage files) "
+                "present — use full_pre_images=True and rewrite "
+                "pre-lineage files first"
+            )).cast("long"),
+        ).otherwise(F.col(ROW_ID_COL)),
+    )
     order = [
         F.col("_commit_sequence_number").asc(),
         F.when(F.col("_change_type") == "delete", 0).otherwise(1).asc(),
@@ -4274,7 +4286,7 @@ def read_changelog(
     to_snapshot_id: int | None = None,
     source_range: tuple[str, Any, Any] | list[tuple[str, Any, Any]] | None = None,
     with_lineage: bool = False,
-    full_pre_images: bool = False,
+    full_pre_images: bool | None = None,
 ) -> DataFrame:
     """Row-level CDC over a snapshot window — the read half of the CDC
     story (upsert_equality/delete_where* are the write half). Returns
@@ -4327,7 +4339,15 @@ def read_changelog(
     from the parent snapshot: the key set's min/max bounds prune the
     parent's files through the manifest column bounds, so cost tracks
     files-CONTAINING-matches, not the table — but it is a data read
-    where delete_key is metadata-only, hence opt-in."""
+    where delete_key is metadata-only, hence opt-in. Default (None)
+    resolves to `with_lineage`: a lineage changelog promises row
+    IDENTITY on every change row, which key-only delete_key rows
+    cannot carry, so pre-image resolution turns on automatically (a
+    net_changes window over equality-delete upserts then composes
+    without extra flags); pass an explicit False to keep the
+    metadata-only delete_key form under lineage."""
+    if full_pre_images is None:
+        full_pre_images = with_lineage
     if with_lineage and table_format_version(md) < 3:
         raise ValueError(
             "row lineage requires a format-version 3 table — call "
@@ -6763,12 +6783,13 @@ class FsTable:
         to_snapshot_id: int | None = None,
         source_range=None,
         with_lineage: bool = False,
-        full_pre_images: bool = False,
+        full_pre_images: bool | None = None,
     ) -> DataFrame:
         """Row-level CDC read over a snapshot window (see module-level
         read_changelog): `insert` rows for appends, full-content
         `delete` rows for position deletes, key-only `delete_key` rows
-        for equality deletes (full pre-images on request); compaction
+        for equality deletes (full pre-images on request — automatic
+        under `with_lineage`, which promises row identity); compaction
         skipped; CoW overwrites recovered via lineage (v3) or raise.
         `source_range=(col, lo, hi)` scopes the changelog (manifest-
         summary skip + partition-value file skip + exact row filter);

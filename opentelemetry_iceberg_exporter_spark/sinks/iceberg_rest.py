@@ -996,7 +996,7 @@ class RestTable:
         to_snapshot_id: int | None = None,
         source_range=None,
         with_lineage: bool = False,
-        full_pre_images: bool = False,
+        full_pre_images: bool | None = None,
     ) -> DataFrame:
         """Row-level CDC read over REST (see iceberg_fs.read_changelog)."""
         from .iceberg_fs import read_changelog

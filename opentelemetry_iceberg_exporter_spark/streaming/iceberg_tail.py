@@ -303,14 +303,14 @@ class ChangelogTailer:
         max_snapshots_per_batch: int | None = None,
         source_range=None,
         with_lineage: bool = False,
-        full_pre_images: bool = False,
+        full_pre_images: bool | None = None,
     ):
         self.table = table
         self.checkpoint_path = checkpoint_path
         self.max_snapshots_per_batch = max_snapshots_per_batch
         self.source_range = source_range  # scopes read_changelog
         self.with_lineage = with_lineage  # v3 row identity per change row
-        self.full_pre_images = full_pre_images  # eq-delete pre-images
+        self.full_pre_images = full_pre_images  # eq-delete pre-images (None: track lineage)
 
     def position(self) -> int | None:
         if not os.path.exists(self.checkpoint_path):

@@ -439,14 +439,19 @@ class TestNetChanges:
         plain = t.changelog_scan(spark)  # no lineage columns
         with pytest.raises(ValueError, match="with_lineage"):
             net_changes(plain)
-        # delete_key rows (no identity) refuse with the remedy
+        # equality deletes produce key-only rows — but a LINEAGE
+        # changelog auto-resolves their full pre-images
+        # (full_pre_images defaults to with_lineage), so net_changes
+        # composes with no extra flags; the eq-deleted row was ALSO
+        # inserted inside this window, so it nets to NOTHING
         t.delete_where_equality(spark, _df(spark, 1, base=2).select("id"), ["id"])
         log = t.changelog_scan(spark, with_lineage=True)
-        with pytest.raises(ValueError, match="full_pre_images"):
-            net_changes(log)
-        # ...and full_pre_images unblocks it; the eq-deleted row was
-        # ALSO inserted inside this window, so it nets to NOTHING
-        log = t.changelog_scan(spark, with_lineage=True, full_pre_images=True)
         net = net_changes(log).collect()
         got = {(r["_change_type"], r["id"]) for r in net}
         assert got == {("insert", 0), ("insert", 1), ("insert", 3), ("insert", 4)}
+        # an EXPLICIT full_pre_images=False keeps the metadata-only
+        # delete_key form; the identity guard then refuses — lazily,
+        # inside the plan (no extra pre-flight job)
+        log = t.changelog_scan(spark, with_lineage=True, full_pre_images=False)
+        with pytest.raises(Exception, match="full_pre_images"):
+            net_changes(log).collect()
