@@ -3307,8 +3307,12 @@ def resolve_dml_branch(md: dict, branch: str, mode: str) -> int:
     """Branch-scoped DML target: the snapshot id the plan runs against.
     The merge-on-read forms (position deletes, deletion vectors) commit
     like branch appends — same fold-on-write and liveness validation,
-    parented on the branch head. Copy-on-write is refused on non-main
-    branches: its replace commit is pinned to main's head by design."""
+    parented on the branch head. Copy-on-write parents its replace
+    commit on the branch head too, pinned by a branch-scoped
+    ReplaceConflictError check (fs) / assert-ref-snapshot-id (REST):
+    a concurrent commit to the SAME branch forces a re-plan, while
+    main advancing concurrently is irrelevant to the branch's rewrite.
+    Tags and unknown refs are refused."""
     if branch == "main":
         return md["current-snapshot-id"]
     ref = md.get("refs", {}).get(branch)
@@ -3316,11 +3320,6 @@ def resolve_dml_branch(md: dict, branch: str, mode: str) -> int:
         raise ValueError(f"unknown branch {branch!r}")
     if ref.get("type") != "branch":
         raise ValueError(f"{branch!r} is a tag — tags are immutable bookmarks")
-    if mode == "copy-on-write":
-        raise ValueError(
-            "copy-on-write DML on a non-main branch is unsupported — use "
-            "merge-on-read or deletion-vectors"
-        )
     return ref["snapshot-id"]
 
 
@@ -6357,18 +6356,26 @@ class FsTable:
         branch != "main" commits on that branch's head (forking from
         main's head if the branch is new) WITHOUT advancing main or the
         snapshot log — the WAP staging path."""
+        branch_ref = md.get("refs", {}).get(branch)
+        branch_head = (
+            md["current-snapshot-id"]
+            if branch == "main"
+            else (branch_ref or {"snapshot-id": md["current-snapshot-id"]})[
+                "snapshot-id"
+            ]
+        )
+        # a replace is pinned to the head of the ref it REWRITES: only
+        # that ref advancing concurrently invalidates the plan (main
+        # moving under a branch-scoped rewrite is irrelevant to it)
         if (
             expected_base_snapshot is not None
-            and md["current-snapshot-id"] != expected_base_snapshot
+            and branch_head != expected_base_snapshot
         ):
             raise ReplaceConflictError(
-                f"table advanced from snapshot {expected_base_snapshot} to "
-                f"{md['current-snapshot-id']} since the rewrite was planned; re-plan"
+                f"{branch!r} advanced from snapshot {expected_base_snapshot} "
+                f"to {branch_head} since the rewrite was planned; re-plan"
             )
-        branch_ref = md.get("refs", {}).get(branch)
-        parent_override = (
-            None if branch == "main" else (branch_ref or {"snapshot-id": md["current-snapshot-id"]})["snapshot-id"]
-        )
+        parent_override = None if branch == "main" else branch_head
         snapshot = write_snapshot_tree(
             self.location,
             md,
@@ -7344,6 +7351,7 @@ class FsTable:
                 "rewritten-data-files": str(n_rewritten),
             },
             expected_base_snapshot=planned_snapshot,
+            branch=branch,
         )
         return sid, n_deleted
 
@@ -7559,6 +7567,7 @@ class FsTable:
                 "rewritten-data-files": str(n_rewritten),
             },
             expected_base_snapshot=planned_snapshot,
+            branch=branch,
         )
         return sid, n_updated
 

@@ -1027,12 +1027,17 @@ class RestTable:
         operation: str,
         extra_summary: dict[str, str],
         conflict_what: str,
+        branch: str = "main",
     ) -> int:
         """Replace-style commit (the new manifest tree IS the complete
         live file set) pinned to the planning base: a concurrent writer
-        advancing `main` mid-plan turns into ReplaceConflictError (the
-        server 409s the assert-ref-snapshot-id requirement) instead of
-        silently dropping its files — replaces cannot merge."""
+        advancing the TARGET ref mid-plan turns into
+        ReplaceConflictError (the server 409s the
+        assert-ref-snapshot-id requirement) instead of silently
+        dropping its files — replaces cannot merge. branch != "main"
+        parents the replace on the branch head and advances only that
+        ref (branch-scoped copy-on-write DML); main moving concurrently
+        is irrelevant to a branch rewrite and does not conflict."""
         from .iceberg_fs import ReplaceConflictError
 
         snapshot = write_snapshot_tree(
@@ -1042,18 +1047,19 @@ class RestTable:
             operation=operation,
             carry_forward=False,
             extra_summary=extra_summary,
+            parent_override=None if branch == "main" else planned_snapshot,
         )
         requirements = [
             {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
             {
                 "type": "assert-ref-snapshot-id",
-                "ref": "main",
+                "ref": branch,
                 "snapshot-id": None if planned_snapshot == -1 else planned_snapshot,
             },
         ]
         updates = [
             {"action": "add-snapshot", "snapshot": snapshot},
-            _set_ref_update(md, "main", snapshot["snapshot-id"]),
+            _set_ref_update(md, branch, snapshot["snapshot-id"]),
         ]
         try:
             self.client.commit_table(self.namespace, self.name, requirements, updates)
@@ -1311,6 +1317,7 @@ class RestTable:
                 "rewritten-data-files": str(n_rewritten),
             },
             "delete",
+            branch=branch,
         )
         return sid, n_deleted
 
@@ -1432,6 +1439,7 @@ class RestTable:
                 "rewritten-data-files": str(n_rewritten),
             },
             "update",
+            branch=branch,
         )
         return sid, n_updated
 
