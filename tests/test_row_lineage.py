@@ -314,6 +314,83 @@ class TestPreUpgradeFiles:
         kept = {r["id"]: r["_row_id"] for r in rows if r["id"] >= 100}
         assert sorted(kept.values()) == list(range(5))
 
+    def test_upgrade_compact_cow_changelog_chain(self, spark, tmp_path):
+        """The full lazy-upgrade story: CoW changelog recovery RAISES
+        while touched files predate lineage, compaction assigns real
+        ids (fresh first_row_id; nulls inherit from it), and from then
+        on the ids are STABLE and the changelog recovers CoW rewrites."""
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("otel", "chain", _df(spark).schema,
+                             partition_source="ts")
+        t.append_dataframe(_df(spark, 12))           # v2-era file
+        t.upgrade_format_version(3)
+        pre_cow = t.current_snapshot()["snapshot-id"]
+        t.delete_where(spark, "id = 2", mode="copy-on-write")
+        # the rewrite touched a pre-lineage file: recovery must refuse
+        # loudly (ids cannot be derived), naming the remedy
+        with pytest.raises(ValueError, match="compaction"):
+            t.changelog_scan(
+                spark, from_snapshot_id=pre_cow, with_lineage=True
+            ).collect()
+        # compaction assigns ids...
+        t.rewrite_data_files(spark, target_bytes=1 << 30, min_files=1)
+        assigned = {
+            r["id"]: r["_row_id"]
+            for r in t.read(spark, with_lineage=True).collect()
+        }
+        assert all(v is not None for v in assigned.values())
+        # ...that are STABLE across a subsequent CoW rewrite, and the
+        # changelog now recovers it
+        head = t.current_snapshot()["snapshot-id"]
+        t.update_where(spark, "id = 5", {"v": "'u'"}, mode="copy-on-write")
+        log = t.changelog_scan(
+            spark, from_snapshot_id=head, with_lineage=True
+        ).collect()
+        assert {(r["_change_type"], r["id"], r["_row_id"]) for r in log} == {
+            ("delete", 5, assigned[5]),
+            ("insert", 5, assigned[5]),
+        }
+        after = {
+            r["id"]: r["_row_id"]
+            for r in t.read(spark, with_lineage=True).collect()
+        }
+        assert after == assigned
+
+    def test_upgrade_compact_assigns_over_rest(self, spark, tmp_path):
+        """Same chain over the REST transport: upgrade -> compact ->
+        formerly-null ids become real, post-upgrade ids preserved."""
+        import os as _os
+
+        from rest_stub import make_server
+
+        warehouse = str(tmp_path / "rwh")
+        _os.makedirs(warehouse)
+        server, _, uri = make_server(warehouse)
+        try:
+            from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
+                RestCatalogClient,
+            )
+
+            client = RestCatalogClient(uri, warehouse=warehouse)
+            client.ensure_namespace("otel")
+            t = client.ensure_table("otel", "pre", _df(spark).schema,
+                                    partition_source="ts")
+            t.append_dataframe(_df(spark, 10))
+            t.upgrade_format_version(3)
+            t.append_dataframe(_df(spark, 5, base=100))
+            rows = t.read(spark, with_lineage=True).collect()
+            assert all(r["_row_id"] is None for r in rows if r["id"] < 100)
+            new_ids = {r["id"]: r["_row_id"] for r in rows if r["id"] >= 100}
+            t.rewrite_data_files(spark, target_bytes=1 << 30, min_files=1)
+            rows = t.read(spark, with_lineage=True).collect()
+            assert all(r["_row_id"] is not None for r in rows)
+            assert len({r["_row_id"] for r in rows}) == 15
+            assert {
+                r["id"]: r["_row_id"] for r in rows if r["id"] >= 100
+            } == new_ids
+        finally:
+            server.shutdown()
+
 
 class TestCowChangelogViaLineage:
     def test_cow_delete_recovered(self, spark, v3_table):
