@@ -1055,6 +1055,55 @@ MANIFEST_LIST_SCHEMA = {
 }
 
 
+# Iceberg v3 manifest-list addition: field 520 `first_row_id` — the
+# starting _row_id for the manifest's ADDED data files that leave their
+# per-entry field 142 null (the spec's lazy inheritance). Appended LAST
+# and written only for v3 tables, so v2 manifest lists stay
+# byte-identical to the golden fixtures; delete manifests carry null.
+MANIFEST_LIST_FIRST_ROW_ID_FIELD = {
+    "name": "first_row_id",
+    "type": ["null", "long"],
+    "default": None,
+    "field-id": 520,
+}
+
+
+def manifest_list_schema(with_lineage: bool) -> dict:
+    if not with_lineage:
+        return MANIFEST_LIST_SCHEMA
+    schema = json.loads(json.dumps(MANIFEST_LIST_SCHEMA))
+    schema["fields"].append(dict(MANIFEST_LIST_FIRST_ROW_ID_FIELD))
+    return schema
+
+
+def resolve_first_row_ids(m: dict, entries: list[dict]) -> None:
+    """Manifest-list → entry `first_row_id` inheritance at READ time
+    (Iceberg v3 row lineage): an ADDED data file whose field 142 is
+    null inherits the manifest's field-520 value plus the accumulated
+    record counts of the preceding ADDED entries that also inherited.
+    This engine writes explicit per-entry values (spec-legal), so the
+    walk is a no-op on its own manifests — the rule exists for tables
+    written by external v3 engines that rely on lazy assignment.
+    Mutates data_file dicts in place. EXISTING/DELETED entries neither
+    inherit nor advance the cursor (rewritten manifests must carry
+    explicit values, like sequence-number inheritance); a null entry in
+    a manifest with no list-level value stays null (pre-lineage file,
+    the lazy-upgrade rule)."""
+    base = m.get("first_row_id")
+    if base is None or m.get("content", 0) != 0:
+        return
+    cursor = base
+    for e in entries:
+        if e.get("status") != STATUS_ADDED:
+            continue
+        d = e["data_file"]
+        if d.get("content", 0) != 0:
+            continue
+        if d.get("first_row_id") is None:
+            d["first_row_id"] = cursor
+            cursor += d["record_count"]
+
+
 def _partition_field_summaries(
     partition_dicts: list[dict], spec_fields: list[dict], md: dict
 ) -> list[dict] | None:
@@ -1484,6 +1533,13 @@ def write_snapshot_tree(
                 "partitions": _partition_field_summaries(
                     [e["data_file"]["partition"] for e in entries], spec_fields, md
                 ),
+                # v3 manifest-list field 520: the id-space base for this
+                # manifest's ADDED data files (entries are ALSO stamped
+                # explicitly — external readers may use either form);
+                # null for delete manifests
+                "first_row_id": (
+                    first_row_base if with_lineage else None
+                ),
             }
         )
     if carry_forward and parent != -1:
@@ -1519,13 +1575,17 @@ def write_snapshot_tree(
         )
 
     # carried records from pre-summary writers lack field 507: default
-    # to null (readers fall back to the per-entry walk for them)
+    # to null (readers fall back to the per-entry walk for them); on v3,
+    # records from pre-lineage writers likewise lack field 520 — carried
+    # values are PRESERVED (a manifest's id-space base never changes)
     for m in manifests:
         m.setdefault("partitions", None)
+        if v3_lineage:
+            m.setdefault("first_row_id", None)
     list_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro")
     write_ocf(
         list_path,
-        MANIFEST_LIST_SCHEMA,
+        manifest_list_schema(v3_lineage),
         manifests,
         extra_metadata={
             "snapshot-id": str(snapshot_id),
@@ -1626,12 +1686,22 @@ def _write_merged_manifest(
     need_dv = need_lineage = False
     for m in bin_:
         schema_, meta_, rows = read_ocf(m["manifest_path"])
+        # lazy lineage ids MATERIALIZE before the EXISTING flip: the
+        # merged manifest carries no list-level first_row_id, and
+        # EXISTING entries must be explicit (spec inheritance rule)
+        resolve_first_row_ids(m, rows)
         # a bin can mix deletion-vector manifests (3 extra data_file
         # fields, spec ids 143-145) and/or row-lineage manifests (field
         # 142) with plain ones — the merged file must use the WIDEST
         # schema, with the narrower entries null-filled
         need_dv = need_dv or _has_dv_fields(schema_)
-        need_lineage = need_lineage or _has_field(schema_, "first_row_id")
+        # field 142 in the source schema, OR ids just materialized from
+        # a list-level base a field-less writer relied on
+        need_lineage = (
+            need_lineage
+            or _has_field(schema_, "first_row_id")
+            or m.get("first_row_id") is not None
+        )
         if avro_schema is None or (
             _has_dv_fields(schema_) and not _has_dv_fields(avro_schema)
         ):
@@ -1862,12 +1932,15 @@ def build_rewrite_manifests_snapshot(
     )
     if merged is None:
         return None
+    v3_lineage = table_format_version(md) >= 3
     for m in merged:  # pass-through records from pre-summary writers
         m.setdefault("partitions", None)
+        if v3_lineage:
+            m.setdefault("first_row_id", None)
     list_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro")
     write_ocf(
         list_path,
-        MANIFEST_LIST_SCHEMA,
+        manifest_list_schema(v3_lineage),
         merged,
         extra_metadata={
             "snapshot-id": str(snapshot_id),
@@ -2822,6 +2895,7 @@ def plan_scan_metadata(
             )
             continue
         _, _, entries = read_ocf(m["manifest_path"])
+        resolve_first_row_ids(m, entries)  # v3 lazy-id interop (no-op on own manifests)
         for e in entries:
             if e["status"] == STATUS_DELETED:
                 continue
@@ -3271,6 +3345,7 @@ def live_files(
         if only_deletes and m.get("content", 0) == 0:
             continue
         _, _, entries = read_ocf(m["manifest_path"])
+        resolve_first_row_ids(m, entries)  # v3 lazy-id interop (no-op on own manifests)
         for e in entries:
             if e["status"] == STATUS_DELETED:
                 continue
@@ -3984,6 +4059,7 @@ def _added_files(
         if manifest_excluded is not None and manifest_excluded(m):
             continue
         _, _, entries = read_ocf(m["manifest_path"])
+        resolve_first_row_ids(m, entries)  # v3 lazy-id interop (no-op on own manifests)
         for e in entries:
             if e["status"] != STATUS_ADDED:
                 continue

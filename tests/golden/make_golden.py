@@ -1324,6 +1324,17 @@ def build_lineage_manifest() -> bytes:
 
 LN_TS_HOUR_BOUND = struct.pack("<i", 473042)
 
+# the v3 manifest-list schema: the v2 layout plus optional long
+# first_row_id, spec field 520, appended LAST — the id-space base a
+# reader assigns to ADDED data files whose per-entry field 142 is null
+# (lazy inheritance); delete manifests carry null
+MANIFEST_LIST_LINEAGE_AVRO_SCHEMA = json.loads(
+    json.dumps(MANIFEST_LIST_AVRO_SCHEMA)
+)
+MANIFEST_LIST_LINEAGE_AVRO_SCHEMA["fields"].append(
+    {"name": "first_row_id", "type": ["null", "long"], "default": None, "field-id": 520}
+)
+
 
 def build_lineage_manifest_list(manifest_len: int) -> bytes:
     extra = [
@@ -1348,9 +1359,10 @@ def build_lineage_manifest_list(manifest_len: int) -> bytes:
             zigzag_varint(0),
             zigzag_varint(0),
             field_summaries_col(True, LN_TS_HOUR_BOUND, LN_TS_HOUR_BOUND),
+            avro_opt_long(0),  # field 520: id-space base of this manifest
         ]
     )
-    return ocf(json.dumps(MANIFEST_LIST_AVRO_SCHEMA), extra, [row])
+    return ocf(json.dumps(MANIFEST_LIST_LINEAGE_AVRO_SCHEMA), extra, [row])
 
 
 def build_ln_metadata_v1() -> dict:

@@ -392,6 +392,104 @@ class TestPreUpgradeFiles:
             server.shutdown()
 
 
+class TestManifestListInheritance:
+    """Iceberg v3 manifest-list field 520: external engines may leave
+    per-entry first_row_id (field 142) NULL and rely on the list-level
+    base — a reader assigns base + accumulated record counts of the
+    preceding inheriting ADDED entries. The engine writes explicit
+    per-entry values, so these tests SURGICALLY null them out to
+    emulate a lazy external writer against the engine's own list."""
+
+    @staticmethod
+    def _null_entry_ids(t) -> list[dict]:
+        from opentelemetry_iceberg_exporter_spark.sinks.avro_ocf import (
+            read_ocf,
+            write_ocf,
+        )
+
+        snap = t.current_snapshot()
+        _, _, manifests = read_ocf(snap["manifest-list"])
+        for m in manifests:
+            if m.get("content", 0) != 0:
+                continue
+            schema_, meta_, rows = read_ocf(m["manifest_path"])
+            for e in rows:
+                e["data_file"]["first_row_id"] = None
+            extra = {
+                k: v for k, v in meta_.items()
+                if k not in ("avro.schema", "avro.codec")
+            }
+            write_ocf(m["manifest_path"], schema_, rows, extra_metadata=extra)
+        return manifests
+
+    def test_null_entries_inherit_from_list_level_base(self, spark, v3_table):
+        t = v3_table
+        t.append_dataframe(_df(spark, 20))
+        t.append_dataframe(_df(spark, 7, base=100))
+        before = {
+            r["id"]: r["_row_id"]
+            for r in t.read(spark, with_lineage=True).collect()
+        }
+        manifests = self._null_entry_ids(t)
+        # the engine stamped each data manifest's id-space base
+        bases = sorted(
+            m["first_row_id"] for m in manifests if m.get("content", 0) == 0
+        )
+        assert bases[0] == 0 and bases[-1] > 0
+        after = {
+            r["id"]: r["_row_id"]
+            for r in t.read(spark, with_lineage=True).collect()
+        }
+        assert after == before  # lazy inheritance reproduces explicit ids
+
+    def test_changelog_reads_inherited_ids(self, spark, v3_table):
+        t = v3_table
+        s1 = t.append_dataframe(_df(spark, 10))
+        expected = {
+            r["id"]: r["_row_id"]
+            for r in t.read(spark, with_lineage=True).collect()
+        }
+        self._null_entry_ids(t)
+        log = t.changelog_scan(spark, with_lineage=True).collect()
+        assert {
+            r["id"]: r["_row_id"] for r in log if r["_change_type"] == "insert"
+        } == expected
+
+    def test_manifest_merge_materializes_inherited_ids(self, spark, v3_table):
+        """A manifest rewrite (merge) flips entries to EXISTING, which
+        must carry EXPLICIT ids — inherited values materialize during
+        the rewrite, so the merged manifest (no list-level base of its
+        own) still reads right."""
+        from opentelemetry_iceberg_exporter_spark.sinks.avro_ocf import read_ocf
+
+        t = v3_table
+        t.append_dataframe(_df(spark, 20))
+        t.append_dataframe(_df(spark, 7, base=100))
+        before = {
+            r["id"]: r["_row_id"]
+            for r in t.read(spark, with_lineage=True).collect()
+        }
+        self._null_entry_ids(t)
+        assert t.rewrite_manifests(min_count=2) is not None
+        after = {
+            r["id"]: r["_row_id"]
+            for r in t.read(spark, with_lineage=True).collect()
+        }
+        assert after == before
+        # ...and the merged manifest's entries are now EXPLICIT
+        _, _, manifests = read_ocf(t.current_snapshot()["manifest-list"])
+        merged = [
+            m for m in manifests
+            if m.get("content", 0) == 0 and m["existing_files_count"] > 0
+        ]
+        assert merged
+        for m in merged:
+            _, _, rows = read_ocf(m["manifest_path"])
+            assert all(
+                e["data_file"]["first_row_id"] is not None for e in rows
+            )
+
+
 class TestCowChangelogViaLineage:
     def test_cow_delete_recovered(self, spark, v3_table):
         t = v3_table
