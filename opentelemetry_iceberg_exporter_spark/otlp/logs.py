@@ -33,8 +33,13 @@ def parse_logs_json(
     ).select("req.resourceLogs")
 
 
-def flatten_logs(df: DataFrame, depth: int = ATTR_DEPTH) -> DataFrame:
-    """resourceLogs DF -> 18-column otel_logs DF (one plan)."""
+def flatten_logs(
+    df: DataFrame, depth: int = ATTR_DEPTH, ns_timestamps: bool = False
+) -> DataFrame:
+    """resourceLogs DF -> 18-column otel_logs DF (one plan).
+    `ns_timestamps=True` keeps time/observed-time as FULL-PRECISION
+    epoch-nanosecond longs for v3 `timestamptz_ns` tables (see
+    flatten_traces; zero-observed-time -> NULL rule preserved)."""
     rl = df.select(F.explode("resourceLogs").alias("rl"))
     sl = rl.select(
         F.col("rl.resource").alias("resource"),
@@ -51,8 +56,11 @@ def flatten_logs(df: DataFrame, depth: int = ATTR_DEPTH) -> DataFrame:
     scope = F.col("scope")
     obs_ns = rec["observedTimeUnixNano"].cast("long")
 
+    time_ns = rec["timeUnixNano"].cast("long")
     return lr.select(
-        ns_str_to_ts(rec["timeUnixNano"]).alias("time_unix_nano"),
+        (
+            time_ns if ns_timestamps else ns_str_to_ts(rec["timeUnixNano"])
+        ).alias("time_unix_nano"),
         F.coalesce(rec["severityNumber"], F.lit(0)).cast("int").alias("severity_number"),
         empty_to_null(rec["severityText"]).alias("severity_text"),
         F.coalesce(F.expr(log_body_to_string_sql("rec.body", depth)), F.lit("")).alias("body"),
@@ -63,8 +71,12 @@ def flatten_logs(df: DataFrame, depth: int = ATTR_DEPTH) -> DataFrame:
         hex_id_or_null(rec["spanId"], 8).alias("span_id"),
         # zero observed time -> NULL (logs.go:148-156)
         F.when(
-            obs_ns.isNull() | (obs_ns == 0), F.lit(None).cast("timestamp")
-        ).otherwise(ns_str_to_ts(rec["observedTimeUnixNano"])).alias(
+            obs_ns.isNull() | (obs_ns == 0),
+            F.lit(None).cast("long" if ns_timestamps else "timestamp"),
+        ).otherwise(
+            obs_ns if ns_timestamps
+            else ns_str_to_ts(rec["observedTimeUnixNano"])
+        ).alias(
             "observed_time_unix_nano"
         ),
         # always NULL in the reference (logs.go:158-160 placeholder)
@@ -81,3 +93,11 @@ def flatten_logs(df: DataFrame, depth: int = ATTR_DEPTH) -> DataFrame:
             "scope_dropped_attributes_count"
         ),
     )
+
+
+def ns_log_types() -> dict[str, str]:
+    """create_table `iceberg_types` for the ns-native logs variant."""
+    return {
+        "time_unix_nano": "timestamptz_ns",
+        "observed_time_unix_nano": "timestamptz_ns",
+    }

@@ -94,10 +94,20 @@ def parse_traces_json(
     ).select("req.resourceSpans")
 
 
-def flatten_traces(df: DataFrame, depth: int = ATTR_DEPTH) -> DataFrame:
+def flatten_traces(
+    df: DataFrame, depth: int = ATTR_DEPTH, ns_timestamps: bool = False
+) -> DataFrame:
     """resourceSpans DF -> 33-column otel_traces DF (one plan). `depth`
     must match the parse depth so the JSON encoders render every parsed
-    level."""
+    level.
+
+    `ns_timestamps=True` is the Iceberg-v3-native variant: the span and
+    event timestamps stay FULL-PRECISION epoch-nanosecond longs (Spark
+    has no ns temporal type) instead of the reference's documented
+    lossy ns->us truncation (traces.go:141-142, README.md:430) — store
+    them in a v3 table as `timestamptz_ns` columns
+    (create_table(iceberg_types=ns_trace_types())). `duration` is
+    ns-exact in both modes."""
     rs = df.select(F.explode("resourceSpans").alias("rs"))
     ss = rs.select(
         F.col("rs.resource").alias("resource"),
@@ -123,13 +133,22 @@ def flatten_traces(df: DataFrame, depth: int = ATTR_DEPTH) -> DataFrame:
         F.coalesce(span["flags"], F.lit(0)).alias("span_flags"),
         F.coalesce(span["name"], F.lit("")).alias("span_name"),
         enum_str(span["kind"], SPAN_KINDS).alias("span_kind"),
-        F.timestamp_micros(_int_div_1000(start_ns)).alias("start_time_unix_nano"),
-        F.timestamp_micros(_int_div_1000(end_ns)).alias("end_time_unix_nano"),
+        (
+            start_ns if ns_timestamps
+            else F.timestamp_micros(_int_div_1000(start_ns))
+        ).alias("start_time_unix_nano"),
+        (
+            end_ns if ns_timestamps
+            else F.timestamp_micros(_int_div_1000(end_ns))
+        ).alias("end_time_unix_nano"),
         F.expr(attributes_to_json_sql("span.attributes", depth)).alias("span_attributes"),
         F.coalesce(span["droppedAttributesCount"], F.lit(0)).alias("dropped_attributes_count"),
         F.transform(
             F.coalesce(span["events"], F.array()),
-            lambda e: F.timestamp_micros(_int_div_1000(e["timeUnixNano"].cast("long"))),
+            (lambda e: e["timeUnixNano"].cast("long")) if ns_timestamps
+            else (
+                lambda e: F.timestamp_micros(_int_div_1000(e["timeUnixNano"].cast("long")))
+            ),
         ).alias("events_time_unix_nano"),
         F.transform(
             F.coalesce(span["events"], F.array()), lambda e: F.coalesce(e["name"], F.lit(""))
@@ -182,3 +201,15 @@ def flatten_traces(df: DataFrame, depth: int = ATTR_DEPTH) -> DataFrame:
             "scope_dropped_attributes_count"
         ),
     )
+
+
+def ns_trace_types() -> dict[str, str]:
+    """create_table `iceberg_types` for the ns-native traces variant:
+    which LongType columns are semantically v3 nanosecond timestamps.
+    (events_time_unix_nano is an array column — manifests carry no
+    bounds for it and Iceberg has no list-of-ns type shorthand here, so
+    it stays array<long> of epoch-nanos by documented convention.)"""
+    return {
+        "start_time_unix_nano": "timestamptz_ns",
+        "end_time_unix_nano": "timestamptz_ns",
+    }

@@ -118,6 +118,16 @@ def commit_attempts_for(md: dict) -> int:
 _TRANSFORM_FOR_GRANULARITY = {"hourly": "hours", "daily": "days", "monthly": "months"}
 _SECONDS_PER = {"hours": 3600, "days": 86400}
 
+# Iceberg v3 nanosecond timestamps. Spark has NO nanosecond temporal
+# type (TimestampType is microseconds), so these columns surface as
+# LongType nanoseconds-since-epoch on both read and write — full ns
+# precision with exact integer arithmetic, no truncation anywhere.
+# OTel span/log timestamps ARE nanoseconds; on a v3 table this kills
+# the reference's documented lossy ns->us truncation
+# (internal/arrow/traces.go:141-142, README.md:430).
+NS_TIMESTAMP_TYPES = {"timestamp_ns", "timestamptz_ns"}
+_NS_PER_SECOND = 1_000_000_000
+
 
 class CommitConflictError(RuntimeError):
     """Another writer committed the same version first (CAS failure)."""
@@ -215,6 +225,10 @@ def _spark_type(t: Any) -> DataType:
             "binary": BinaryType(),
             "timestamptz": TimestampType(),
             "date": DateType(),
+            # v3 ns timestamps: Spark has no ns temporal type, so they
+            # surface as LongType epoch-nanos (exact; see NS_TIMESTAMP_TYPES)
+            "timestamp_ns": LongType(),
+            "timestamptz_ns": LongType(),
         }
         if t in simple:
             return simple[t]
@@ -685,6 +699,23 @@ def transform_value(ts: datetime, transform: str) -> int:
     raise ValueError(f"unsupported transform {transform!r}")
 
 
+def transform_value_ns(ns: int, transform: str) -> int:
+    """Time transform of an epoch-nanosecond long (v3 ns timestamps):
+    pure integer floor division for hours/days; months/years go through
+    the µs-floored calendar datetime (month boundaries sit on whole
+    seconds, so flooring ns->µs never crosses one)."""
+    if transform in _SECONDS_PER:
+        return ns // (_SECONDS_PER[transform] * _NS_PER_SECOND)
+    if transform in ("months", "years"):
+        from datetime import timedelta
+
+        dt = datetime(1970, 1, 1, tzinfo=timezone.utc) + timedelta(
+            microseconds=ns // 1000
+        )
+        return transform_value(dt, transform)
+    raise ValueError(f"unsupported transform {transform!r}")
+
+
 def apply_transform_value(value: Any, transform: str, source_type: str) -> Any:
     """Driver-side evaluation of ANY supported transform on one value —
     the scan planner uses this to turn an equality predicate on a source
@@ -696,6 +727,14 @@ def apply_transform_value(value: Any, transform: str, source_type: str) -> Any:
         return bucket_value(value, param, source_type)
     if base == "truncate":
         return truncate_value(value, param, source_type)
+    if source_type in NS_TIMESTAMP_TYPES:
+        # ns columns ride as epoch-nanos longs; a datetime bound (e.g.
+        # an ISO string from the scoped-read surface) converts exactly
+        if isinstance(value, datetime):
+            v = value if value.tzinfo else value.replace(tzinfo=timezone.utc)
+            td = v - datetime(1970, 1, 1, tzinfo=timezone.utc)
+            value = ((td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds) * 1000
+        return transform_value_ns(int(value), transform)
     if not isinstance(value, datetime):
         raise ValueError(f"time transform {transform!r} needs a datetime, got {value!r}")
     return transform_value(value, transform)
@@ -717,6 +756,29 @@ def transform_column(col: str, transform: str, source_type: str = "timestamptz")
         return bucket_column(col, param, source_type)
     if base == "truncate":
         return truncate_column(col, param, source_type)
+    if source_type in NS_TIMESTAMP_TYPES:
+        # epoch-ns longs need EXACT floor division: double division is
+        # lossy at 1.7e18 (> 2^53), and plain decimal division ROUNDS
+        # at the result scale before floor (1/3600e9 is non-terminating
+        # — a value 1ns below an hour boundary would round UP into the
+        # wrong hour). So subtract pmod first (exact long arithmetic,
+        # floor multiple for negatives too), then divide the exact
+        # multiple in decimal — an integral quotient is representable
+        # at any scale, so the division is exact.
+        c = F.col(col).cast("long")
+
+        def _floor_div(d: int):
+            exact = c - F.pmod(c, F.lit(d))
+            return (exact.cast("decimal(25,0)") / F.lit(d)).cast("bigint")
+
+        if transform in _SECONDS_PER:
+            return _floor_div(_SECONDS_PER[transform] * _NS_PER_SECOND)
+        if transform in ("months", "years"):
+            ts = F.timestamp_micros(_floor_div(1000))
+            if transform == "months":
+                return (F.year(ts) - F.lit(1970)) * 12 + F.month(ts) - F.lit(1)
+            return F.year(ts) - F.lit(1970)
+        raise ValueError(f"unsupported transform {transform!r}")
     if transform in _SECONDS_PER:
         s = _SECONDS_PER[transform]
         return F.floor(F.col(col).cast("long") / F.lit(s)).cast("bigint")
@@ -900,6 +962,9 @@ def encode_bound(value: Any, iceberg_type: str) -> bytes | None:
         else:
             micros = int(value)
         return _struct.pack("<q", micros)
+    if iceberg_type in NS_TIMESTAMP_TYPES:
+        # epoch-nanos long (v3 single-value serialization: 8-byte LE)
+        return _struct.pack("<q", int(value))
     if iceberg_type == "date":
         days = (value - type(value)(1970, 1, 1)).days if not isinstance(value, int) else value
         return _struct.pack("<i", days)
@@ -924,6 +989,8 @@ def decode_bound(data: bytes, iceberg_type: str) -> Any:
     if iceberg_type == "timestamptz":
         micros = _struct.unpack("<q", data)[0]
         return datetime.fromtimestamp(micros / 1_000_000, tz=timezone.utc)
+    if iceberg_type in NS_TIMESTAMP_TYPES:
+        return _struct.unpack("<q", data)[0]  # epoch-nanos long
     if iceberg_type == "date":
         from datetime import date, timedelta
 
@@ -2039,6 +2106,36 @@ def default_sort_fields(md: dict) -> list[dict]:
     return order["fields"] if order else []
 
 
+def apply_iceberg_type_overrides(
+    schema: dict, iceberg_types: dict[str, str] | None
+) -> bool:
+    """Override derived Iceberg field types at CREATE (v3 nanosecond
+    timestamps): Spark has no ns temporal type, so a ns column arrives
+    as LongType epoch-nanos and the caller names which longs are
+    semantically timestamps. Mutates the schema; returns True when a
+    v3-only type was applied (the table must then be created at
+    format-version 3)."""
+    if not iceberg_types:
+        return False
+    by_name = {f_["name"]: f_ for f_ in schema["fields"]}
+    for name, t in iceberg_types.items():
+        if t not in NS_TIMESTAMP_TYPES:
+            raise ValueError(
+                f"unsupported Iceberg type override {t!r} for column "
+                f"{name!r} — only timestamp_ns/timestamptz_ns"
+            )
+        f_ = by_name.get(name)
+        if f_ is None:
+            raise ValueError(f"type override names unknown column {name!r}")
+        if f_["type"] != "long":
+            raise ValueError(
+                f"column {name!r} must arrive as a Spark LongType "
+                f"(epoch-nanos) to become {t}; got {f_['type']!r}"
+            )
+        f_["type"] = t
+    return True
+
+
 def new_table_metadata(
     location: str,
     schema: dict,
@@ -2046,11 +2143,17 @@ def new_table_metadata(
     spec_fields: list[dict],
     properties: dict[str, str] | None = None,
     sort_fields: list[dict] | None = None,
+    format_version: int = 2,
 ) -> dict:
-    """Fresh format-v2 table metadata (no snapshots). `sort_fields`
-    declares a write sort order (Iceberg sort-orders; order-id 1) —
-    appends then sort rows inside each data file, which is what makes
-    min/max file skipping on the sort columns sharp."""
+    """Fresh table metadata (no snapshots), format v2 by default.
+    `sort_fields` declares a write sort order (Iceberg sort-orders;
+    order-id 1) — appends then sort rows inside each data file, which
+    is what makes min/max file skipping on the sort columns sharp.
+    format_version=3 births a v3 table (next-row-id initialized — row
+    lineage and ns timestamps available from the first commit, no
+    upgrade ceremony needed)."""
+    if format_version not in (2, 3):
+        raise ValueError(f"unsupported format-version {format_version}")
     if sort_fields:
         orders = [
             {"order-id": 0, "fields": []},
@@ -2060,8 +2163,8 @@ def new_table_metadata(
     else:
         orders = [{"order-id": 0, "fields": []}]
         default_order = 0
-    return {
-        "format-version": 2,
+    md = {
+        "format-version": format_version,
         "table-uuid": str(uuid.uuid4()),
         "location": location,
         "last-sequence-number": 0,
@@ -2081,6 +2184,9 @@ def new_table_metadata(
         "metadata-log": [],
         "refs": {},
     }
+    if format_version >= 3:
+        md["next-row-id"] = 0  # v3 required: row-lineage id space
+    return md
 
 
 def default_spec_fields(md: dict) -> list[dict]:
@@ -2981,7 +3087,7 @@ def plan_scan_metadata(
 
 # types whose manifest bounds decode_bound can compare against a parsed
 # DML literal; everything else is conservatively un-prunable
-_BOUNDABLE_TYPES = {"long", "int", "double", "float", "string", "timestamptz", "date"}
+_BOUNDABLE_TYPES = {"long", "int", "double", "float", "string", "timestamptz", "date", "timestamp_ns", "timestamptz_ns"}
 
 _DML_LIT = r"(?:(?:TIMESTAMP|DATE)\s*'(?:[^']|'')*'|'(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
 _DML_IDENT = r"`?([A-Za-z_][A-Za-z0-9_]*)`?"
@@ -3128,7 +3234,9 @@ def _parse_dml_literal(
 
                 return date.fromisoformat(inner)
             return None
-        if col_type in ("long", "int"):
+        if col_type in ("long", "int") or col_type in NS_TIMESTAMP_TYPES:
+            # ns-timestamp columns ride as epoch-nanos longs, so their
+            # predicate literals are plain integers
             return int(t) if "." not in t else None
         if col_type in ("double", "float"):
             return float(t)
@@ -3146,7 +3254,7 @@ def _strict_bound_adjust(value: Any, col_type: str, direction: int) -> Any:
     files (conservative, never wrong)."""
     from datetime import timedelta
 
-    if col_type in ("long", "int"):
+    if col_type in ("long", "int") or col_type in NS_TIMESTAMP_TYPES:
         return value + direction
     if col_type == "date":
         return value + timedelta(days=direction)
@@ -6075,12 +6183,19 @@ class FsCatalog:
         properties: dict[str, str] | None = None,
         partition_by: list[tuple[str, str]] | None = None,
         sort_by: list[str] | None = None,
+        iceberg_types: dict[str, str] | None = None,
     ) -> "FsTable":
         """Create-if-absent, load-else-create (catalog_rest.go:168-240).
         `partition_by=[(col, transform)]` overrides the hidden-time-
         partition default with an explicit spec (bucket[N], truncate[W],
         hours/days/months). `sort_by` declares a write sort order
-        (identity asc) — appends sort rows inside each data file."""
+        (identity asc) — appends sort rows inside each data file.
+
+        `iceberg_types={col: "timestamptz_ns"}` overrides a LongType
+        column's derived type to a v3 nanosecond timestamp (Spark has
+        no ns temporal type, so ns columns ride as epoch-nanos longs);
+        requires the reserved `format-version: "3"` create property —
+        the Iceberg convention for birthing a v3 table."""
         if self.table_exists(namespace, name):
             return self.load_table(namespace, name)
         self.create_namespace(namespace)
@@ -6103,13 +6218,26 @@ class FsCatalog:
 
         schema = iceberg_schema(spark_schema)
         last_column_id = schema.pop("_last_column_id")
+        props = dict(properties or {})
+        format_version = int(props.pop("format-version", 2))
+        if apply_iceberg_type_overrides(schema, iceberg_types) and format_version < 3:
+            raise ValueError(
+                "timestamp_ns/timestamptz_ns columns require a v3 table — "
+                'pass properties={"format-version": "3"}'
+            )
         if partition_by is not None:
             spec_fields = spec_fields_from_partition_by(schema, partition_by)
         else:
             spec_fields = partition_fields_for(schema, partition_source, granularity)
         sort_fields = sort_fields_from(schema, sort_by) if sort_by else None
         metadata = new_table_metadata(
-            location, schema, last_column_id, spec_fields, properties, sort_fields
+            location,
+            schema,
+            last_column_id,
+            spec_fields,
+            props,
+            sort_fields,
+            format_version=format_version,
         )
         _write_metadata_version(location, 1, metadata)
         _swap_version_hint(location, 1)

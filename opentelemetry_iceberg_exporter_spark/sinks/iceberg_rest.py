@@ -299,9 +299,22 @@ class RestCatalogClient:
         location: str | None = None,
         partition_by: list[tuple[str, str]] | None = None,
         sort_by: list[str] | None = None,
+        iceberg_types: dict[str, str] | None = None,
     ) -> dict:
         schema = iceberg_schema(spark_schema)
         schema.pop("_last_column_id")
+        from .iceberg_fs import apply_iceberg_type_overrides
+
+        # ns-timestamp overrides require a v3 table; the reserved
+        # `format-version` create PROPERTY is the Iceberg convention —
+        # the server honors it (real REST catalogs do the same)
+        if apply_iceberg_type_overrides(schema, iceberg_types) and int(
+            (properties or {}).get("format-version", 2)
+        ) < 3:
+            raise ValueError(
+                "timestamp_ns/timestamptz_ns columns require a v3 table — "
+                'pass properties={"format-version": "3"}'
+            )
         if partition_by is not None:
             from .iceberg_fs import spec_fields_from_partition_by
 
@@ -337,6 +350,7 @@ class RestCatalogClient:
         properties: dict[str, str] | None = None,
         sort_by: list[str] | None = None,
         partition_by: list[tuple[str, str]] | None = None,
+        iceberg_types: dict[str, str] | None = None,
     ) -> "RestTable":
         """Cache → load → create → re-load-on-race, exactly the
         EnsureTable ladder of catalog_rest.go:168-240."""
@@ -360,6 +374,7 @@ class RestCatalogClient:
                 properties,
                 sort_by=sort_by,
                 partition_by=partition_by,
+                iceberg_types=iceberg_types,
             )
         except RestError:
             # AlreadyExists race: success iff it loads now (go:214-219)

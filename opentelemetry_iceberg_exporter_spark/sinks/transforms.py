@@ -84,7 +84,11 @@ _EPOCH_DAY = np.datetime64("1970-01-01", "D")
 # Iceberg types whose spec hash representation is the 8-byte
 # little-endian long (ints are widened before hashing so bucket specs
 # survive int->long type promotion)
-_LONG_HASHED = {"int", "long", "date", "time", "timestamp", "timestamptz"}
+_LONG_HASHED = {
+    "int", "long", "date", "time", "timestamp", "timestamptz",
+    # v3 ns timestamps hash their epoch-nanos long (spec Appendix B)
+    "timestamp_ns", "timestamptz_ns",
+}
 
 
 def _to_long(value: Any, source_type: str) -> int:
@@ -100,6 +104,13 @@ def _to_long(value: Any, source_type: str) -> int:
         td = value - _dt.datetime(1970, 1, 1)
         # integer arithmetic, not total_seconds() — float micros drift
         return (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
+    if source_type in ("timestamp_ns", "timestamptz_ns") and isinstance(
+        value, _dt.datetime
+    ):
+        if value.tzinfo is not None:
+            value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        td = value - _dt.datetime(1970, 1, 1)
+        return ((td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds) * 1000
     if source_type == "time" and isinstance(value, _dt.time):
         return ((value.hour * 60 + value.minute) * 60 + value.second) * 1_000_000 + value.microsecond
     return int(value)
@@ -321,7 +332,8 @@ def bucket_column(source: str, n: int, source_type: str) -> Column:
     split into 32-bit halves so Arrow's float64 null representation
     cannot lose bits, and only the murmur3 itself runs in the
     Arrow-batched numpy kernel."""
-    if source_type in ("int", "long"):
+    if source_type in ("int", "long", "timestamp_ns", "timestamptz_ns"):
+        # ns timestamps ride as epoch-nanos longs already
         return _bucket_long_col(n, F.col(source).cast("long"))
     if source_type in ("timestamp", "timestamptz"):
         return _bucket_long_col(n, F.unix_micros(F.col(source)))

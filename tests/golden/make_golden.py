@@ -1365,6 +1365,57 @@ def build_lineage_manifest_list(manifest_len: int) -> bytes:
     return ocf(json.dumps(MANIFEST_LIST_LINEAGE_AVRO_SCHEMA), extra, [row])
 
 
+# -- tns chain: v3-BIRTH metadata with a NANOSECOND timestamp column --------
+# (Iceberg v3 `timestamptz_ns`, spec "Primitive Types"; the engine maps
+# it to Spark LongType epoch-nanos — Spark has no ns temporal type —
+# and partitions hours over it with exact integer arithmetic)
+
+TNS_TABLE_UUID = "5c9a7e31-44f2-4b8a-9d27-fd0c6b2a8e15"
+TNS_LOC = "/tmp/spark_graft_golden/wh/otel/goldns"
+T_TNS_CREATE_MS = 1705329000000
+
+TNS_SCHEMA = {
+    "type": "struct",
+    "schema-id": 0,
+    "fields": [
+        {"id": 1, "name": "id", "required": True, "type": "long"},
+        {"id": 2, "name": "ts_ns", "required": False, "type": "timestamptz_ns"},
+        {"id": 3, "name": "name", "required": False, "type": "string"},
+    ],
+}
+TNS_SPEC_FIELDS = [
+    {"name": "ts_ns_hour", "transform": "hours", "source-id": 2, "field-id": 1000}
+]
+
+
+def build_tns_metadata_v1() -> dict:
+    """v3 BIRTH (no upgrade ceremony): format-version 3 in the first
+    metadata file, next-row-id present from creation — appended LAST,
+    matching the writer's dict-insertion order through JSON."""
+    return {
+        "format-version": 3,
+        "table-uuid": TNS_TABLE_UUID,
+        "location": TNS_LOC,
+        "last-sequence-number": 0,
+        "last-updated-ms": T_TNS_CREATE_MS,
+        "last-column-id": 3,
+        "schemas": [TNS_SCHEMA],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": TNS_SPEC_FIELDS}],
+        "default-spec-id": 0,
+        "last-partition-id": 1000,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {"owner": "golden"},
+        "current-snapshot-id": -1,
+        "snapshots": [],
+        "snapshot-log": [],
+        "metadata-log": [],
+        "refs": {},
+        "next-row-id": 0,
+    }
+
+
 def build_ln_metadata_v1() -> dict:
     md = dict(METADATA_V1)
     md["table-uuid"] = LN_TABLE_UUID
@@ -1538,6 +1589,7 @@ def main() -> None:
         ("ln-v1.metadata.json", build_ln_metadata_v1()),
         ("ln-v2.metadata.json", build_ln_metadata_v2()),
         ("ln-v3.metadata.json", build_ln_metadata_v3()),
+        ("tns-v1.metadata.json", build_tns_metadata_v1()),
     ):
         with open(os.path.join(HERE, name), "w", encoding="utf-8") as f:
             json.dump(md, f, indent=2)

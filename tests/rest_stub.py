@@ -331,13 +331,18 @@ class _Handler(BaseHTTPRequestHandler):
             last_col = max(
                 (f["id"] for f in schema.get("fields", [])), default=0
             )
+            # Iceberg convention: the reserved `format-version` table
+            # property at create selects the metadata version (v3 birth)
+            props = dict(body.get("properties", {}))
+            fv = int(props.pop("format-version", 2))
             md = new_table_metadata(
                 location,
                 schema,
                 last_col,
                 body.get("partition-spec", {}).get("fields", []),
-                body.get("properties", {}),
+                props,
                 body.get("write-order", {}).get("fields") or None,
+                format_version=fv,
             )
             self.state.tables[key] = md
             self.state.versions[key] = 1

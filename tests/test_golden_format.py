@@ -548,9 +548,62 @@ class TestGoldenWrite:
             "ln-v1.metadata.json",
             "ln-v2.metadata.json",
             "ln-v3.metadata.json",
+            "tns-v1.metadata.json",
         ):
             with open(work / name, "rb") as f:
                 assert f.read() == _golden_bytes(name), name
+
+    def test_ns_timestamp_v3_birth_metadata(self, monkeypatch):
+        """A v3-BIRTH table with a timestamptz_ns column + hours spec:
+        the engine's first metadata file is byte-identical to the
+        spec-side generator's tns-v1.metadata.json (no upgrade ceremony
+        — format-version 3 and next-row-id from creation)."""
+        import uuid as uuid_mod
+
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from opentelemetry_iceberg_exporter_spark.sinks import iceberg_fs
+
+        uuids = iter(
+            [
+                uuid_mod.UUID(GEN.TNS_TABLE_UUID),  # table-uuid
+                uuid_mod.UUID(hex="a" * 32),  # version-hint tmp
+            ]
+        )
+        monkeypatch.setattr(iceberg_fs.uuid, "uuid4", lambda: next(uuids))
+        monkeypatch.setattr(
+            iceberg_fs.time, "time", lambda: GEN.T_TNS_CREATE_MS / 1000.0
+        )
+
+        shutil.rmtree("/tmp/spark_graft_golden/wh/otel/goldns", ignore_errors=True)
+        catalog = FsCatalog("/tmp/spark_graft_golden/wh")
+        schema = StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("ts_ns", LongType(), True),  # epoch-nanos
+                StructField("name", StringType(), True),
+            ]
+        )
+        table = catalog.create_table(
+            "otel",
+            "goldns",
+            schema,
+            partition_source="ts_ns",
+            granularity="hourly",
+            properties={"owner": "golden", "format-version": "3"},
+            iceberg_types={"ts_ns": "timestamptz_ns"},
+        )
+        assert table.location == GEN.TNS_LOC
+        with open(os.path.join(GEN.TNS_LOC, "metadata", "v1.metadata.json"), "rb") as f:
+            assert f.read() == _golden_bytes("tns-v1.metadata.json"), (
+                "ns-timestamp v3-birth metadata drift"
+            )
+        shutil.rmtree("/tmp/spark_graft_golden/wh/otel/goldns", ignore_errors=True)
 
 
 class TestGoldenPuffin:
