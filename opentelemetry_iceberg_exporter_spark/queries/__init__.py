@@ -42,6 +42,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
     from . import relational  # noqa: F401
     from . import events  # noqa: F401
     from . import otlp  # noqa: F401
+    from . import iceberg_v3  # noqa: F401
     from . import streaming  # noqa: F401
     from ..operators import dedup  # noqa: F401
     from ..operators import similarity  # noqa: F401

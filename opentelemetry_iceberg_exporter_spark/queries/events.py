@@ -63,40 +63,10 @@ def e01_epoch_hour_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "e02_time_range_filter",
-    """
-    WITH b AS (
-      SELECT min(epoch_ns(ts)) AS lo, max(epoch_ns(ts)) AS hi FROM events
-    )
-    SELECT event_type, COUNT(*) AS n
-    FROM events, b
-    WHERE (epoch_ns(ts) >= lo + (hi - lo) // 4
-           AND epoch_ns(ts) < lo + (hi - lo) // 2)
-       OR ts IS NULL
-    GROUP BY event_type
-    """,
-    doc="Partition time-range filter with the reference's conservative "
-    "null-keeps semantics (F3, scanner.go:197-226: unparseable partitions "
-    "are conservatively included). Range bounds derived from the data so "
-    "the query is scale-factor independent.",
-)
-def e02_time_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    b = ev.agg(
-        F.min("ts_ns").alias("lo"), F.max("ts_ns").alias("hi")
-    ).first()
-    lo, hi = b["lo"], b["hi"]
-    after = lo + (hi - lo) // 4
-    before = lo + (hi - lo) // 2
-    return (
-        ev.filter(
-            ((F.col("ts_ns") >= after) & (F.col("ts_ns") < before))
-            | F.col("ts_ns").isNull()
-        )
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+# NOTE: the former e02 time-range-filter row folded into o05 (round-8
+# 50-slot consolidation): apply_time_filter now runs there with REAL
+# after/before bounds, observable in the orphan set — F2/F3/F5 keep a
+# hard oracle signal while freeing a slot for the v3 read surfaces.
 
 
 @register(

@@ -191,18 +191,27 @@ _REGISTERED = [_LISTING[0], "/wh/otel_traces/data/gone.parquet"]
 SELECT * FROM (VALUES
   ('/wh/otel_traces/data/year=2024/month=01/day=15/hour=11/b.parquet',
    'otel_traces', TIMESTAMP '2024-01-15 11:00:00'),
-  ('/wh/otel_logs/data/year=2024/month=02/c.parquet',
-   'otel_logs', TIMESTAMP '2024-02-01 00:00:00'),
   ('/wh/otel_logs/data/d.parquet', 'otel_logs', NULL)
 ) t(uri, "table", partition_time)
 """,
-    doc="Recovery reconciliation (R5+F3+T1): Hive path parse, "
-    "conservative time filter, storage-minus-catalog anti-join.",
+    doc="Recovery reconciliation (R5+F2/F3/F5+T1): Hive path parse, the "
+    "reference's CONSERVATIVE time-range filter applied with real "
+    "bounds (scanner.go:197-226: after <= t < before drops the "
+    "February file; the unparseable-partition file has NULL time and "
+    "is conservatively KEPT), then the storage-minus-catalog "
+    "anti-join. Absorbs the former e02 time-range row — the filter is "
+    "observable here (c.parquet vanishes from the orphan set).",
 )
 def o05_recovery_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime
+
     listing = spark.createDataFrame([(u, 1) for u in _LISTING], "uri string, size long")
     scanned = parse_partitions(listing, "/wh")
-    scanned = apply_time_filter(scanned, after=None, before=None)
+    scanned = apply_time_filter(
+        scanned,
+        after=datetime(2024, 1, 15, 10, 30),   # drops the hour=10 file
+        before=datetime(2024, 2, 1),           # drops the February file
+    )
     registered = registered_files(spark, {"otel_traces": _REGISTERED})
     return find_orphans(scanned, registered).select("uri", "table", "partition_time")
 
@@ -213,25 +222,49 @@ def o05_recovery_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "o07_flatten_histogram",
+    "o07_flatten_histogram_family",
     oracle="""
 SELECT * FROM (VALUES
-  (TIMESTAMP '2024-01-15 10:30:00', 'latency', 100, 550.5, 0.1, 99.9,
-   '10,40,50', '1.0,10.0', 'DELTA')
-) t(time_unix_nano, metric_name, count, sum, min, max, bucket_counts,
-    explicit_bounds, aggregation_temporality)
+  ('histogram', TIMESTAMP '2024-01-15 10:30:00', 'latency', 100, 550.5,
+   0.1, 99.9, '10,40,50', '1.0,10.0', CAST(NULL AS INTEGER),
+   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER),
+   CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
+   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'DELTA'),
+  ('exponential_histogram', TIMESTAMP '2024-01-15 10:30:00', 'eh', 7,
+   21.0, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 2, 1, 0.001, 3, '1,2',
+   -1, '4', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'CUMULATIVE'),
+  ('summary', TIMESTAMP '2024-01-15 10:30:00', 'rpc', 50, 123.4,
+   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+   CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+   CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
+   CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), '0.5,0.99', '1.0,9.0',
+   CAST(NULL AS VARCHAR))
+) t(signal, time_unix_nano, metric_name, count, sum, min, max,
+    bucket_counts, explicit_bounds, scale, zero_count, zero_threshold,
+    positive_offset, positive_buckets, negative_offset, negative_buckets,
+    quantile_values_quantile, quantile_values_value,
+    aggregation_temporality)
 """,
-    doc="Histogram projection (P6, metrics.go:570-640): uint64-string "
-    "bucket counts -> long list, explicit bounds, temporality enum "
-    "decode (1 -> DELTA). The list columns are emitted as comma-joined "
-    "strings: the driver harness canonicalizes via pandas sort_values, "
-    "which cannot order list cells.",
+    doc="Histogram + exponential-histogram + summary projections (P6, "
+    "metrics.go:570-762; merged o07+o08+o10 — round-8 50-slot "
+    "consolidation freeing rows for the v3 read surfaces) unioned under "
+    "a signal tag: uint64-string bucket counts -> long lists, explicit "
+    "bounds, scale/zero bookkeeping, positive/negative offset+bucket "
+    "lists, parallel quantile/value lists (the reference's literal "
+    "dotted column names, schema.go:165-167 — backtick discipline), "
+    "temporality enum decode (1->DELTA, 2->CUMULATIVE). Columns absent "
+    "from a family are null-filled at its exact dtype; list columns are "
+    "comma-joined strings (the pandas-based harness cannot order list "
+    "cells).",
 )
-def o07_flatten_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o07_flatten_histogram_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfs = flatten_metrics(
         parse_metrics_json(_fixture_df(spark, "otlp_metrics.jsonl")), cache=False
     )
-    return dfs["metrics_histogram"].select(
+    null = lambda t: F.lit(None).cast(t)  # noqa: E731
+    hist = dfs["metrics_histogram"].select(
+        F.lit("histogram").alias("signal"),
         "time_unix_nano",
         "metric_name",
         "count",
@@ -240,34 +273,27 @@ def o07_flatten_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max",
         F.array_join("bucket_counts", ",").alias("bucket_counts"),
         F.array_join("explicit_bounds", ",").alias("explicit_bounds"),
+        null("int").alias("scale"),
+        null("long").alias("zero_count"),
+        null("double").alias("zero_threshold"),
+        null("int").alias("positive_offset"),
+        null("string").alias("positive_buckets"),
+        null("int").alias("negative_offset"),
+        null("string").alias("negative_buckets"),
+        null("string").alias("quantile_values_quantile"),
+        null("string").alias("quantile_values_value"),
         "aggregation_temporality",
     )
-
-
-@register(
-    "o08_flatten_exp_histogram",
-    oracle="""
-SELECT * FROM (VALUES
-  (TIMESTAMP '2024-01-15 10:30:00', 'eh', 7, 21.0, 2, 1, 0.001,
-   3, '1,2', -1, '4', 'CUMULATIVE')
-) t(time_unix_nano, metric_name, count, sum, scale, zero_count,
-    zero_threshold, positive_offset, positive_buckets, negative_offset,
-    negative_buckets, aggregation_temporality)
-""",
-    doc="Exponential-histogram projection (P6, metrics.go:642-714): "
-    "scale/zero bookkeeping, positive/negative offset+bucket lists "
-    "(comma-joined for the pandas-based harness), temporality 2 -> "
-    "CUMULATIVE.",
-)
-def o08_flatten_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dfs = flatten_metrics(
-        parse_metrics_json(_fixture_df(spark, "otlp_metrics.jsonl")), cache=False
-    )
-    return dfs["metrics_exponential_histogram"].select(
+    exp = dfs["metrics_exponential_histogram"].select(
+        F.lit("exponential_histogram").alias("signal"),
         "time_unix_nano",
         "metric_name",
         "count",
         "sum",
+        "min",  # real columns (null in the fixture — eh carries none)
+        "max",
+        null("string").alias("bucket_counts"),
+        null("string").alias("explicit_bounds"),
         "scale",
         "zero_count",
         "zero_threshold",
@@ -275,40 +301,36 @@ def o08_flatten_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("positive_buckets", ",").alias("positive_buckets"),
         "negative_offset",
         F.array_join("negative_buckets", ",").alias("negative_buckets"),
+        null("string").alias("quantile_values_quantile"),
+        null("string").alias("quantile_values_value"),
         "aggregation_temporality",
     )
-
-
-# NOTE: the former o09 sum projection merged into o04 (union under a
-# signal tag) — round-2 50-slot consolidation.
-
-
-@register(
-    "o10_flatten_summary",
-    oracle="""
-SELECT * FROM (VALUES
-  (TIMESTAMP '2024-01-15 10:30:00', 'rpc', 50, 123.4,
-   '0.5,0.99', '1.0,9.0')
-) t(time_unix_nano, metric_name, count, sum,
-    "quantile_values.quantile", "quantile_values.value")
-""",
-    doc="Summary projection (P6, metrics.go:716-762): parallel quantile/"
-    "value lists with the reference's literal dotted column names "
-    "(schema.go:165-167) — backtick discipline on the Spark side; lists "
-    "comma-joined for the pandas-based harness.",
-)
-def o10_flatten_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dfs = flatten_metrics(
-        parse_metrics_json(_fixture_df(spark, "otlp_metrics.jsonl")), cache=False
-    )
-    return dfs["metrics_summary"].select(
+    summ = dfs["metrics_summary"].select(
+        F.lit("summary").alias("signal"),
         "time_unix_nano",
         "metric_name",
         "count",
         "sum",
-        F.array_join("`quantile_values.quantile`", ",").alias("quantile_values.quantile"),
-        F.array_join("`quantile_values.value`", ",").alias("quantile_values.value"),
+        null("double").alias("min"),
+        null("double").alias("max"),
+        null("string").alias("bucket_counts"),
+        null("string").alias("explicit_bounds"),
+        null("int").alias("scale"),
+        null("long").alias("zero_count"),
+        null("double").alias("zero_threshold"),
+        null("int").alias("positive_offset"),
+        null("string").alias("positive_buckets"),
+        null("int").alias("negative_offset"),
+        null("string").alias("negative_buckets"),
+        F.array_join("`quantile_values.quantile`", ",").alias(
+            "quantile_values_quantile"
+        ),
+        F.array_join("`quantile_values.value`", ",").alias(
+            "quantile_values_value"
+        ),
+        null("string").alias("aggregation_temporality"),
     )
+    return hist.unionByName(exp).unionByName(summ)
 
 
 @register(

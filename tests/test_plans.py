@@ -55,8 +55,7 @@ class TestPushdownPruning:
             "o02_flatten_logs",
             "o03_metrics_demux_counts",
             "o04_flatten_gauge_sum",
-            "o07_flatten_histogram",
-            "o08_flatten_exp_histogram",
+            "o07_flatten_histogram_family",
         ):
             df = specs[q].fn(spark, sf_dir)
             assert num_shuffles(df) == 0, q
