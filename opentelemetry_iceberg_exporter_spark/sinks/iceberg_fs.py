@@ -229,6 +229,12 @@ def _spark_type(t: Any) -> DataType:
             # surface as LongType epoch-nanos (exact; see NS_TIMESTAMP_TYPES)
             "timestamp_ns": LongType(),
             "timestamptz_ns": LongType(),
+            # v3 `unknown`: a column whose type is not yet decided —
+            # always optional, never written to data files, ALWAYS reads
+            # null. Surfaced as a string column that no file carries, so
+            # every scan null-fills it (the spec's required behavior)
+            # regardless of name- or id-based resolution.
+            "unknown": StringType(),
         }
         if t in simple:
             return simple[t]
@@ -447,14 +453,48 @@ def require_id_resolvable(paths: list[str], md: dict) -> None:
         )
 
 
+def parse_iso_ns(text: str) -> int:
+    """ISO-8601 timestamp with up to 9 fractional digits -> epoch-nanos
+    (the spec's JSON single-value form for timestamp_ns/timestamptz_ns;
+    Python datetimes stop at µs, so the sub-µs digits are split off and
+    recombined exactly)."""
+    t = text.replace(" ", "T", 1)
+    frac_ns = 0
+    if "." in t:
+        head, rest = t.split(".", 1)
+        digits = ""
+        while rest and rest[0].isdigit():
+            digits, rest = digits + rest[0], rest[1:]
+        if len(digits) > 9:
+            raise ValueError(f"more than 9 fractional digits in {text!r}")
+        frac_ns = int(digits.ljust(9, "0"))
+        t = head + rest
+    dt = datetime.fromisoformat(t)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    td = dt - datetime(1970, 1, 1, tzinfo=timezone.utc)
+    return (td.days * 86400 + td.seconds) * _NS_PER_SECOND + frac_ns
+
+
+def default_literal(ftype: Any, value: Any) -> Any:
+    """The stored default's Python literal for F.lit(): ns-timestamp
+    defaults may ride as the spec's ISO single-value string and must
+    become epoch-nanos (the columns' Spark representation); everything
+    else passes through."""
+    if isinstance(ftype, str) and ftype in NS_TIMESTAMP_TYPES and isinstance(value, str):
+        return parse_iso_ns(value)
+    return value
+
+
 def schema_initial_defaults(md: dict | None) -> dict[str, Any]:
     """{column name: initial-default} of the current schema (v3 default
     values) — empty on tables that use none, keeping the scan hot path
-    untouched for them."""
+    untouched for them. Values are resolved to Spark-ready literals
+    (ISO ns strings -> epoch-nanos)."""
     if md is None:
         return {}
     return {
-        f_["name"]: f_["initial-default"]
+        f_["name"]: default_literal(f_["type"], f_["initial-default"])
         for f_ in current_schema(md)["fields"]
         if "initial-default" in f_
     }
@@ -507,7 +547,9 @@ def apply_write_defaults(df: DataFrame, md: dict) -> DataFrame:
         if f_["name"] not in present and "write-default" in f_:
             df = df.withColumn(
                 f_["name"],
-                F.lit(f_["write-default"]).cast(_spark_type(f_["type"])),
+                F.lit(default_literal(f_["type"], f_["write-default"])).cast(
+                    _spark_type(f_["type"])
+                ),
             )
     return df
 
@@ -4782,6 +4824,10 @@ _DEFAULTABLE_TYPES: dict[str, tuple] = {
     "timestamptz": (str,),
     "timestamp": (str,),
     "date": (str,),
+    # v3 ns timestamps: the spec's ISO single-value string (up to 9
+    # fractional digits) or engine-native epoch-nanos
+    "timestamp_ns": (str, int),
+    "timestamptz_ns": (str, int),
 }
 
 
@@ -4801,7 +4847,10 @@ def _validate_default(name: str, ftype: Any, value: Any) -> None:
 
 
 def evolved_schema(
-    md: dict, new_fields: list, defaults: dict | None = None
+    md: dict,
+    new_fields: list,
+    defaults: dict | None = None,
+    iceberg_types: dict[str, str] | None = None,
 ) -> tuple[dict, int]:
     """Build the next schema version for an add-columns evolution:
     existing fields keep their ids verbatim (the Iceberg invariant that
@@ -4811,7 +4860,11 @@ def evolved_schema(
     (what rows in PRE-evolution files read — the column physically
     absent from their Parquet) and `write-default` (what writers store
     when the column is omitted) to the same literal, like SQL
-    `ADD COLUMN ... DEFAULT`. Returns (new_schema_dict,
+    `ADD COLUMN ... DEFAULT`. `iceberg_types` overrides a new field's
+    derived type with a v3-only type Spark cannot express: a ns
+    timestamp (the field must arrive as LongType epoch-nanos) or
+    `unknown` (type not yet decided — must be nullable, never takes a
+    default, always reads null). Returns (new_schema_dict,
     new_last_column_id); the caller commits it as a new entry in
     `schemas` with current-schema-id bumped."""
     current = current_schema(md)
@@ -4822,10 +4875,16 @@ def evolved_schema(
     # top-level ids first, then nested — same discipline as iceberg_schema
     next_id = [md["last-column-id"] + 1 + len(new_fields)]
     defaults = defaults or {}
+    iceberg_types = iceberg_types or {}
     unknown_defaults = set(defaults) - {f_.name for f_ in new_fields}
     if unknown_defaults:
         raise ValueError(
             f"defaults name column(s) not being added: {sorted(unknown_defaults)}"
+        )
+    stray_overrides = set(iceberg_types) - {f_.name for f_ in new_fields}
+    if stray_overrides:
+        raise ValueError(
+            f"iceberg_types name column(s) not being added: {sorted(stray_overrides)}"
         )
     added = []
     for i, f_ in enumerate(new_fields):
@@ -4835,6 +4894,31 @@ def evolved_schema(
             "required": not f_.nullable,
             "type": _iceberg_type(f_.dataType, next_id),
         }
+        if f_.name in iceberg_types:
+            t = iceberg_types[f_.name]
+            if t in NS_TIMESTAMP_TYPES:
+                if entry["type"] != "long":
+                    raise ValueError(
+                        f"column {f_.name!r} must arrive as a Spark LongType "
+                        f"(epoch-nanos) to become {t}; got {entry['type']!r}"
+                    )
+            elif t == "unknown":
+                if entry["required"]:
+                    raise ValueError(
+                        f"column {f_.name!r}: `unknown` columns must be "
+                        "optional (they always read null)"
+                    )
+                if f_.name in defaults:
+                    raise ValueError(
+                        f"column {f_.name!r}: `unknown` columns cannot take "
+                        "a default — they must always read null"
+                    )
+            else:
+                raise ValueError(
+                    f"unsupported Iceberg type override {t!r} for column "
+                    f"{f_.name!r} — only timestamp_ns/timestamptz_ns/unknown"
+                )
+            entry["type"] = t
         if f_.name in defaults:
             _validate_default(f_.name, entry["type"], defaults[f_.name])
             entry["initial-default"] = defaults[f_.name]
@@ -4911,11 +4995,17 @@ def evolved_spec(
         fields: list[dict] = []
     else:
         transform = _TRANSFORM_FOR_GRANULARITY[granularity]
-        source_id = next(
-            (f_["id"] for f_ in schema["fields"] if f_["name"] == partition_source), None
+        src = next(
+            (f_ for f_ in schema["fields"] if f_["name"] == partition_source), None
         )
-        if source_id is None:
+        if src is None:
             raise ValueError(f"no column {partition_source!r} in the current schema")
+        if src["type"] == "unknown":
+            raise ValueError(
+                f"column {partition_source!r} has type `unknown` (always "
+                "null) — it cannot be a partition source"
+            )
+        source_id = src["id"]
         reused = None
         for s in md["partition-specs"]:
             for f_ in s["fields"]:
@@ -7125,6 +7215,7 @@ class FsTable:
         self,
         new_fields: list[StructField] | StructType,
         defaults: dict | None = None,
+        iceberg_types: dict[str, str] | None = None,
     ) -> int:
         """Add nullable columns (Iceberg add-column evolution): existing
         field ids are untouched, so every old data file stays readable;
@@ -7132,8 +7223,11 @@ class FsTable:
         (spark_read_schema applies the CURRENT schema explicitly) — or as
         their `defaults[name]` value (v3 default values: initial-default
         for pre-evolution files, write-default for writers omitting the
-        column; requires format-version 3). Metadata-only commit — no
-        snapshot, no data rewrite. Returns the new schema id."""
+        column; requires format-version 3). `iceberg_types` overrides a
+        new field's derived type with a v3-only type (ns timestamps over
+        LongType epoch-nanos, or `unknown` — always-null placeholder).
+        Metadata-only commit — no snapshot, no data rewrite. Returns the
+        new schema id."""
         fields = list(new_fields.fields if isinstance(new_fields, StructType) else new_fields)
         attempt = 0
         while True:
@@ -7153,7 +7247,14 @@ class FsTable:
                     "default values are an Iceberg v3 feature — call "
                     "upgrade_format_version(3) first"
                 )
-            new_schema, last_col = evolved_schema(md, fields, defaults)
+            if iceberg_types and table_format_version(md) < 3:
+                raise ValueError(
+                    "timestamp_ns/unknown columns are an Iceberg v3 feature "
+                    "— call upgrade_format_version(3) first"
+                )
+            new_schema, last_col = evolved_schema(
+                md, fields, defaults, iceberg_types
+            )
             new_md = dict(md)
             new_md["schemas"] = md["schemas"] + [new_schema]
             new_md["current-schema-id"] = new_schema["schema-id"]

@@ -1846,12 +1846,18 @@ class RestTable:
     def read_ref(self, spark: SparkSession, name: str) -> DataFrame:
         return self.read(spark, snapshot_id=self.resolve_ref(name))
 
-    def add_columns(self, new_fields, defaults: dict | None = None) -> int:
+    def add_columns(
+        self,
+        new_fields,
+        defaults: dict | None = None,
+        iceberg_types: dict[str, str] | None = None,
+    ) -> int:
         """Schema evolution over REST: add nullable columns via a
         CommitTable with add-schema + set-current-schema updates (the
         REST spec's schema-evolution actions). Existing field ids are
         untouched; returns the new schema id. `defaults` = v3 default
-        values (see FsTable.add_columns; requires format-version 3)."""
+        values; `iceberg_types` = v3-only type overrides (ns timestamps,
+        unknown) — see FsTable.add_columns; both require v3."""
         from .iceberg_fs import (
             current_schema,
             evolved_schema,
@@ -1875,7 +1881,12 @@ class RestTable:
                 "default values are an Iceberg v3 feature — call "
                 "upgrade_format_version(3) first"
             )
-        new_schema, last_col = evolved_schema(md, fields, defaults)
+        if iceberg_types and table_format_version(md) < 3:
+            raise ValueError(
+                "timestamp_ns/unknown columns are an Iceberg v3 feature — "
+                "call upgrade_format_version(3) first"
+            )
+        new_schema, last_col = evolved_schema(md, fields, defaults, iceberg_types)
         self.client.commit_table(
             self.namespace,
             self.name,

@@ -345,6 +345,133 @@ class TestOtlpNsVariant:
         assert any(r["observed_time_unix_nano"] is not None for r in rows)
 
 
+class TestNsDefaultsAndUnknown:
+    """Round-8 stretch: v3 `unknown` columns (type not yet decided —
+    always optional, always read null, refused as partition source /
+    default target) and ns-timestamp DEFAULT VALUES (the spec's ISO
+    single-value string with up to 9 fractional digits, or engine-native
+    epoch-nanos)."""
+
+    def test_parse_iso_ns(self):
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            parse_iso_ns,
+        )
+
+        assert parse_iso_ns("2024-01-15T12:00:00.123456789+00:00") == (
+            BASE_NS + 123456789
+        )
+        assert parse_iso_ns("2024-01-15 12:00:00") == BASE_NS  # naive = UTC
+        assert parse_iso_ns("1969-12-31T23:59:59.999999999") == -1
+        with pytest.raises(ValueError, match="9 fractional"):
+            parse_iso_ns("2024-01-15T12:00:00.1234567891")
+
+    def test_ns_default_values(self, spark, tmp_path):
+        from pyspark.sql.types import LongType, StructField
+
+        t = _make(spark, tmp_path)  # 8 pre-evolution rows
+        t.add_columns(
+            [StructField("seen_ns", LongType(), True)],
+            defaults={"seen_ns": "2024-01-15T12:00:00.123456789+00:00"},
+            iceberg_types={"seen_ns": "timestamptz_ns"},
+        )
+        field = next(
+            f for f in t.metadata()["schemas"][-1]["fields"]
+            if f["name"] == "seen_ns"
+        )
+        assert field["type"] == "timestamptz_ns"
+        # pre-evolution files read the ISO default AS EPOCH-NANOS
+        rows = t.read(spark).collect()
+        assert all(r["seen_ns"] == BASE_NS + 123456789 for r in rows)
+        # a writer omitting the column STORES the write-default
+        t.append_dataframe(
+            spark.createDataFrame([(100, BASE_NS + 9 * HOUR_NS, "w")], SCHEMA)
+        )
+        got = {r["id"]: r["seen_ns"] for r in t.read(spark).collect()}
+        assert got[100] == BASE_NS + 123456789
+
+    def test_unknown_column_always_reads_null(self, spark, tmp_path):
+        from pyspark.sql.types import StringType, StructField
+
+        t = _make(spark, tmp_path)
+        t.add_columns(
+            [StructField("maybe", StringType(), True)],
+            iceberg_types={"maybe": "unknown"},
+        )
+        field = next(
+            f for f in t.metadata()["schemas"][-1]["fields"]
+            if f["name"] == "maybe"
+        )
+        assert field["type"] == "unknown"
+        rows = t.read(spark).collect()
+        assert rows and all(r["maybe"] is None for r in rows)
+        # post-evolution appends (omitting the column) still read null
+        t.append_dataframe(
+            spark.createDataFrame([(200, BASE_NS + 10 * HOUR_NS, "x")], SCHEMA)
+        )
+        rows = t.read(spark).collect()
+        assert len(rows) == 9 and all(r["maybe"] is None for r in rows)
+
+    def test_unknown_refusals(self, spark, tmp_path):
+        from pyspark.sql.types import StringType, StructField
+
+        t = _make(spark, tmp_path)
+        with pytest.raises(ValueError, match="optional"):
+            t.add_columns(
+                [StructField("must", StringType(), False)],
+                iceberg_types={"must": "unknown"},
+            )
+        with pytest.raises(ValueError, match="default"):
+            t.add_columns(
+                [StructField("maybe", StringType(), True)],
+                defaults={"maybe": "x"},
+                iceberg_types={"maybe": "unknown"},
+            )
+        t.add_columns(
+            [StructField("maybe", StringType(), True)],
+            iceberg_types={"maybe": "unknown"},
+        )
+        with pytest.raises(ValueError, match="partition source"):
+            t.update_partition_spec("maybe")
+        # v2 tables refuse the v3-only overrides outright
+        cat = FsCatalog(str(tmp_path / "wh2"))
+        t2 = cat.create_table("otel", "v2t", SCHEMA)
+        with pytest.raises(ValueError, match="v3"):
+            t2.add_columns(
+                [StructField("maybe", StringType(), True)],
+                iceberg_types={"maybe": "unknown"},
+            )
+
+    def test_unknown_over_rest(self, spark, tmp_path):
+        import os as _os
+
+        from pyspark.sql.types import StringType, StructField
+
+        warehouse = str(tmp_path / "rwh")
+        _os.makedirs(warehouse)
+        server, _, uri = make_server(warehouse)
+        try:
+            from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
+                RestCatalogClient,
+            )
+
+            client = RestCatalogClient(uri, warehouse=warehouse)
+            client.ensure_namespace("otel")
+            t = client.ensure_table(
+                "otel", "unk", SCHEMA,
+                properties={"format-version": "3"},
+                iceberg_types={"ts_ns": "timestamptz_ns"},
+            )
+            t.append_dataframe(spark.createDataFrame(_rows(3), SCHEMA))
+            t.add_columns(
+                [StructField("maybe", StringType(), True)],
+                iceberg_types={"maybe": "unknown"},
+            )
+            rows = t.read(spark).collect()
+            assert len(rows) == 3 and all(r["maybe"] is None for r in rows)
+        finally:
+            server.shutdown()
+
+
 class TestRestTransport:
     def test_rest_ns_table_roundtrip_and_prune(self, spark, tmp_path):
         warehouse = str(tmp_path / "rwh")
