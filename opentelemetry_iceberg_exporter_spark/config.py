@@ -206,6 +206,13 @@ class ExporterConfig:
     # doubles the from_json schema + encoder tree) for deep-kvlist
     # fidelity. 2 covers the whole reference test corpus.
     attr_depth: int = 2
+    # Iceberg-v3-native NANOSECOND timestamps: every OTLP time column
+    # stays full-precision epoch-nanos (LongType; catalog tables declare
+    # timestamptz_ns at format-version 3) instead of the reference's
+    # documented lossy ns->us truncation (traces.go:141-142,
+    # README.md:430). OTel timestamps ARE nanoseconds — this is the
+    # exporter mode that stops discarding the bottom three digits.
+    ns_timestamps: bool = False
 
     def validate(self) -> None:
         self.storage.validate()

@@ -51,7 +51,9 @@ def _explode_to_metric(df: DataFrame) -> DataFrame:
     )
 
 
-def _common_cols(dp_name: str = "dp", depth: int = ATTR_DEPTH) -> list[Column]:
+def _common_cols(
+    dp_name: str = "dp", depth: int = ATTR_DEPTH, ns_timestamps: bool = False
+) -> list[Column]:
     """The 15-column metrics prefix (schema.go:425-455).
 
     Attribute encoders use the SQL-text form (anyvalue.*_sql via one
@@ -67,8 +69,12 @@ def _common_cols(dp_name: str = "dp", depth: int = ATTR_DEPTH) -> list[Column]:
     m = F.col("metric")
     start_ns = dp["startTimeUnixNano"].cast("long")
     meta_json = F.expr(attributes_to_json_sql("metric.metadata", depth))
+    time_col = (
+        dp["timeUnixNano"].cast("long") if ns_timestamps
+        else ns_str_to_ts(dp["timeUnixNano"])
+    )
     return [
-        ns_str_to_ts(dp["timeUnixNano"]).alias("time_unix_nano"),
+        time_col.alias("time_unix_nano"),
         service_name_col(res["attributes"]).alias("service_name"),
         F.expr(attributes_to_json_sql("resource.attributes", depth)).alias(
             "resource_attributes"
@@ -92,13 +98,18 @@ def _common_cols(dp_name: str = "dp", depth: int = ATTR_DEPTH) -> list[Column]:
         F.expr(attributes_to_json_sql(f"{dp_name}.attributes", depth)).alias("attributes"),
         # zero start time -> NULL (metrics.go:396-400)
         F.when(
-            start_ns.isNull() | (start_ns == 0), F.lit(None).cast("timestamp")
-        ).otherwise(ns_str_to_ts(dp["startTimeUnixNano"])).alias("start_time_unix_nano"),
+            start_ns.isNull() | (start_ns == 0),
+            F.lit(None).cast("long" if ns_timestamps else "timestamp"),
+        ).otherwise(
+            start_ns if ns_timestamps else ns_str_to_ts(dp["startTimeUnixNano"])
+        ).alias("start_time_unix_nano"),
         F.coalesce(dp["flags"], F.lit(0)).alias("flags"),
     ]
 
 
-def _exemplar_cols(dp_name: str = "dp", depth: int = ATTR_DEPTH) -> list[Column]:
+def _exemplar_cols(
+    dp_name: str = "dp", depth: int = ATTR_DEPTH, ns_timestamps: bool = False
+) -> list[Column]:
     """6 parallel exemplar lists (metrics.go:423-470).
 
     Empty/absent exemplar set -> NULL lists (not empty, :431-438); the
@@ -114,8 +125,10 @@ def _exemplar_cols(dp_name: str = "dp", depth: int = ATTR_DEPTH) -> list[Column]
         )
 
     return [
-        lst(
-            lambda e: ns_str_to_ts(e["timeUnixNano"]), "array<timestamp>"
+        (
+            lst(lambda e: e["timeUnixNano"].cast("long"), "array<bigint>")
+            if ns_timestamps
+            else lst(lambda e: ns_str_to_ts(e["timeUnixNano"]), "array<timestamp>")
         ).alias("exemplars_time_unix_nano"),
         lst(
             lambda e: F.coalesce(e["asDouble"], F.lit(0.0)), "array<double>"
@@ -159,7 +172,10 @@ def _uint_list(col: Column) -> Column:
 
 
 def flatten_metrics(
-    df: DataFrame, cache: bool = False, depth: int = ATTR_DEPTH
+    df: DataFrame,
+    cache: bool = False,
+    depth: int = ATTR_DEPTH,
+    ns_timestamps: bool = False,
 ) -> dict[str, DataFrame]:
     """resourceMetrics DF -> {signal: DataFrame} for the 5 metric tables.
 
@@ -174,15 +190,17 @@ def flatten_metrics(
     metric = _explode_to_metric(df)
     if cache:
         metric = metric.cache()
-    return flatten_metrics_from_metric(metric, depth)
+    return flatten_metrics_from_metric(metric, depth, ns_timestamps)
 
 
 def flatten_metrics_from_metric(
-    metric: DataFrame, depth: int = ATTR_DEPTH
+    metric: DataFrame, depth: int = ATTR_DEPTH, ns_timestamps: bool = False
 ) -> dict[str, DataFrame]:
     """The 5 per-type projections over an already-exploded metric-level
     DF (one row per metric, columns resource/scope/metric). Callers that
-    persist `metric` own its unpersist."""
+    persist `metric` own its unpersist. `ns_timestamps=True` keeps the
+    data-point / start / exemplar times as FULL-PRECISION epoch-nanos
+    longs for v3 `timestamptz_ns` tables (see traces.flatten_traces)."""
     m = F.col("metric")
 
     # gauge (metrics.go:476-492)
@@ -191,7 +209,7 @@ def flatten_metrics_from_metric(
     )
     dp = F.col("dp")
     gauge = g.select(
-        *_common_cols("dp", depth), *_number_value_cols(dp), *_exemplar_cols("dp", depth)
+        *_common_cols("dp", depth, ns_timestamps), *_number_value_cols(dp), *_exemplar_cols("dp", depth, ns_timestamps)
     )
 
     # sum (metrics.go:494-516)
@@ -199,13 +217,13 @@ def flatten_metrics_from_metric(
         "resource", "scope", "metric", F.explode(m["sum"]["dataPoints"]).alias("dp")
     )
     sum_df = s.select(
-        *_common_cols("dp", depth),
+        *_common_cols("dp", depth, ns_timestamps),
         *_number_value_cols(dp),
         F.coalesce(F.col("metric")["sum"]["isMonotonic"], F.lit(False)).alias("is_monotonic"),
         _temporality(F.col("metric")["sum"]["aggregationTemporality"]).alias(
             "aggregation_temporality"
         ),
-        *_exemplar_cols("dp", depth),
+        *_exemplar_cols("dp", depth, ns_timestamps),
     )
 
     # histogram (metrics.go:518-542)
@@ -213,7 +231,7 @@ def flatten_metrics_from_metric(
         "resource", "scope", "metric", F.explode(m["histogram"]["dataPoints"]).alias("dp")
     )
     hist = h.select(
-        *_common_cols("dp", depth),
+        *_common_cols("dp", depth, ns_timestamps),
         F.coalesce(dp["count"].cast("long"), F.lit(0)).alias("count"),
         dp["sum"].alias("sum"),
         dp["min"].alias("min"),
@@ -225,7 +243,7 @@ def flatten_metrics_from_metric(
         _temporality(F.col("metric")["histogram"]["aggregationTemporality"]).alias(
             "aggregation_temporality"
         ),
-        *_exemplar_cols("dp", depth),
+        *_exemplar_cols("dp", depth, ns_timestamps),
     )
 
     # exponential histogram (metrics.go:544-573)
@@ -236,7 +254,7 @@ def flatten_metrics_from_metric(
         F.explode(m["exponentialHistogram"]["dataPoints"]).alias("dp"),
     )
     exp = e.select(
-        *_common_cols("dp", depth),
+        *_common_cols("dp", depth, ns_timestamps),
         F.coalesce(dp["count"].cast("long"), F.lit(0)).alias("count"),
         dp["sum"].alias("sum"),
         dp["min"].alias("min"),
@@ -251,7 +269,7 @@ def flatten_metrics_from_metric(
         _temporality(
             F.col("metric")["exponentialHistogram"]["aggregationTemporality"]
         ).alias("aggregation_temporality"),
-        *_exemplar_cols("dp", depth),
+        *_exemplar_cols("dp", depth, ns_timestamps),
     )
 
     # summary (metrics.go:575-594) — dot column names kept for parity
@@ -259,7 +277,7 @@ def flatten_metrics_from_metric(
         "resource", "scope", "metric", F.explode(m["summary"]["dataPoints"]).alias("dp")
     )
     summary = su.select(
-        *_common_cols("dp", depth),
+        *_common_cols("dp", depth, ns_timestamps),
         F.coalesce(dp["count"].cast("long"), F.lit(0)).alias("count"),
         F.coalesce(dp["sum"], F.lit(0.0)).alias("sum"),
         F.transform(

@@ -297,6 +297,44 @@ def partition_column_for_table(name: str) -> str:
     return "start_time_unix_nano" if "traces" in name else "time_unix_nano"
 
 
+def ns_variant(schema: StructType) -> StructType:
+    """The Iceberg-v3 nanosecond-native shape of a signal schema: every
+    TimestampType column (including array elements — event/exemplar time
+    lists) becomes LongType epoch-nanos. Spark has no ns temporal type,
+    so this is the lossless representation for `timestamptz_ns` tables —
+    the v3 escape from the reference's documented ns->us truncation
+    (traces.go:141-142, README.md:430)."""
+
+    def conv(dt: DataType) -> DataType:
+        if isinstance(dt, TimestampType):
+            return LongType()
+        if isinstance(dt, ArrayType):
+            return ArrayType(conv(dt.elementType), dt.containsNull)
+        return dt
+
+    return StructType(
+        [StructField(f.name, conv(f.dataType), f.nullable) for f in schema.fields]
+    )
+
+
+def ns_iceberg_types(schema: StructType) -> dict[str, str]:
+    """create_table `iceberg_types` for a signal's ns variant: top-level
+    timestamp columns become `timestamptz_ns` (OTLP times are UTC
+    instants). Array time columns stay array<long> epoch-nanos by
+    documented convention — the override surface is top-level only."""
+    return {
+        f.name: "timestamptz_ns"
+        for f in schema.fields
+        if isinstance(f.dataType, TimestampType)
+    }
+
+
+def schema_for(signal: str, ns_timestamps: bool = False) -> StructType:
+    """The conform/DDL schema for a signal — the declared us schema, or
+    its ns-native v3 variant."""
+    return ns_variant(SCHEMAS[signal]) if ns_timestamps else SCHEMAS[signal]
+
+
 def conform(df, schema: StructType):
     """Project a DataFrame onto the declared schema: exact column order,
     exact types (cast), error on missing columns.

@@ -124,6 +124,15 @@ class IcebergSink:
                 "Iceberg Spark runtime not on the classpath; use catalog_type='none' "
                 "(raw-Parquet sink) or submit with iceberg-spark-runtime"
             )
+        if self.config.ns_timestamps:
+            # Spark SQL DDL has no ns timestamp type to declare, so the
+            # jar-backed path cannot create timestamptz_ns tables — the
+            # pure-Python catalogs (fs/rest) own the ns-native mode
+            raise ValueError(
+                "ns_timestamps requires the pure-Python catalog sinks "
+                "(catalog_type 'fs' or 'rest') — Spark DDL cannot declare "
+                "timestamptz_ns columns"
+            )
 
     def ensure_all_tables(self) -> list[str]:
         """Startup DDL ×7 (writer.go:330-358, exporter.go:66-80). Returns
@@ -193,7 +202,18 @@ class FsIcebergSink:
         props = dict(TABLE_PROPERTIES)
         props[f"iceberg_exporter.{signal}_schema_version"] = S.SCHEMA_VERSION
         props["write.parquet.compression-codec"] = self.config.storage.compression
+        if self.config.ns_timestamps:
+            # ns-native tables must BIRTH at v3 (timestamptz_ns columns)
+            props["format-version"] = "3"
         return props
+
+    def _signal_schema(self, signal: str):
+        return S.schema_for(signal, self.config.ns_timestamps)
+
+    def _signal_iceberg_types(self, signal: str) -> dict[str, str] | None:
+        if not self.config.ns_timestamps:
+            return None
+        return S.ns_iceberg_types(S.SCHEMAS[signal])
 
     def _table_name(self, signal: str) -> str:
         return S.table_name(
@@ -214,10 +234,11 @@ class FsIcebergSink:
                 self.catalog.create_table(
                     ns,
                     table,
-                    S.SCHEMAS[signal],
+                    self._signal_schema(signal),
                     partition_source=S.partition_column(signal),
                     granularity=self.config.partition.granularity,
                     properties=self._table_props(signal),
+                    iceberg_types=self._signal_iceberg_types(signal),
                 )
                 self._ensured.add(table)
             ensured.append(table)
@@ -230,10 +251,11 @@ class FsIcebergSink:
             self.catalog.create_table(
                 ns,
                 table,
-                S.SCHEMAS[signal],
+                self._signal_schema(signal),
                 partition_source=S.partition_column(signal),
                 granularity=self.config.partition.granularity,
                 properties=self._table_props(signal),
+                iceberg_types=self._signal_iceberg_types(signal),
             )
             self._ensured.add(table)
         return self.catalog.load_table(ns, table)
@@ -252,7 +274,7 @@ class FsIcebergSink:
         if record_count is not None:
             props["otel.record_count"] = str(record_count)
         table = self._load(signal)
-        conformed = S.conform(df, S.SCHEMAS[signal])
+        conformed = S.conform(df, self._signal_schema(signal))
         keys = self.config.catalog.upsert_keys.get(signal)
         if keys:
             return table.upsert_equality(self.spark, conformed, keys, props)
@@ -306,7 +328,18 @@ class RestIcebergSink:
         props = dict(TABLE_PROPERTIES)
         props[f"iceberg_exporter.{signal}_schema_version"] = S.SCHEMA_VERSION
         props["write.parquet.compression-codec"] = self.config.storage.compression
+        if self.config.ns_timestamps:
+            # ns-native tables must BIRTH at v3 (timestamptz_ns columns)
+            props["format-version"] = "3"
         return props
+
+    def _signal_schema(self, signal: str):
+        return S.schema_for(signal, self.config.ns_timestamps)
+
+    def _signal_iceberg_types(self, signal: str) -> dict[str, str] | None:
+        if not self.config.ns_timestamps:
+            return None
+        return S.ns_iceberg_types(S.SCHEMAS[signal])
 
     def _table_name(self, signal: str) -> str:
         return S.table_name(
@@ -326,10 +359,11 @@ class RestIcebergSink:
             self.client.ensure_table(
                 ns,
                 table,
-                S.SCHEMAS[signal],
+                self._signal_schema(signal),
                 partition_source=S.partition_column(signal),
                 granularity=self.config.partition.granularity,
                 properties=self._table_props(signal),
+                iceberg_types=self._signal_iceberg_types(signal),
             )
             ensured.append(table)
         return ensured
@@ -339,10 +373,11 @@ class RestIcebergSink:
         return self.client.ensure_table(
             ns,
             self._table_name(signal),
-            S.SCHEMAS[signal],
+            self._signal_schema(signal),
             partition_source=S.partition_column(signal),
             granularity=self.config.partition.granularity,
             properties=self._table_props(signal),
+            iceberg_types=self._signal_iceberg_types(signal),
         )
 
     def append(self, df: DataFrame, signal: str, record_count: int | None = None) -> int | None:
@@ -354,7 +389,7 @@ class RestIcebergSink:
         if record_count is not None:
             props["otel.record_count"] = str(record_count)
         self.client.ensure_namespace(self.config.catalog.namespace)
-        conformed = S.conform(df, S.SCHEMAS[signal])
+        conformed = S.conform(df, self._signal_schema(signal))
         keys = self.config.catalog.upsert_keys.get(signal)
         if keys:
             return self._load(signal).upsert_equality(self.spark, conformed, keys, props)
@@ -389,7 +424,7 @@ class RestIcebergSink:
         for signal, df in dfs.items():
             table = self._load(signal)
             md = table.metadata()
-            conformed = S.conform(df, S.SCHEMAS[signal])
+            conformed = S.conform(df, self._signal_schema(signal))
             files = write_partitioned_batch(
                 conformed, md["location"], md, self.config.catalog.write_fanout
             )

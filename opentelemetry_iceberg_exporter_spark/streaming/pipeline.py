@@ -46,20 +46,32 @@ SinkFn = Callable[[DataFrame, str], None]
 
 
 def flatten_signal(
-    df: DataFrame, signal_kind: str, depth: int | None = None
+    df: DataFrame,
+    signal_kind: str,
+    depth: int | None = None,
+    ns_timestamps: bool = False,
 ) -> dict[str, DataFrame]:
     """Parse+flatten a DataFrame of OTLP/JSON lines (column `value`) into
     {signal: conformed DataFrame}. signal_kind in {traces, logs, metrics}.
+    `ns_timestamps=True` keeps every OTLP time column at full epoch-nanos
+    precision (v3 `timestamptz_ns` tables) instead of the reference's
+    lossy ns->us truncation.
 
     For metrics the 5 projections share one un-cached exploded plan; use
     flatten_signal_cached inside foreachBatch to persist the shared
     explode for the batch's lifetime (and unpersist it afterwards)."""
-    dfs, _ = flatten_signal_cached(df, signal_kind, cache=False, depth=depth)
+    dfs, _ = flatten_signal_cached(
+        df, signal_kind, cache=False, depth=depth, ns_timestamps=ns_timestamps
+    )
     return dfs
 
 
 def flatten_signal_cached(
-    df: DataFrame, signal_kind: str, cache: bool = True, depth: int | None = None
+    df: DataFrame,
+    signal_kind: str,
+    cache: bool = True,
+    depth: int | None = None,
+    ns_timestamps: bool = False,
 ) -> tuple[dict[str, DataFrame], DataFrame | None]:
     """Like flatten_signal, but returns the persisted shared intermediate
     (or None) so the caller can unpersist it when done — the fix for the
@@ -69,12 +81,17 @@ def flatten_signal_cached(
     from ..otlp.model import ATTR_DEPTH
 
     depth = ATTR_DEPTH if depth is None else depth
+    ns = ns_timestamps
     if signal_kind == "traces":
-        flat = flatten_traces(parse_traces_json(df, depth=depth), depth)
-        return {S.SIGNAL_TRACES: S.conform(flat, S.TRACES_SCHEMA)}, None
+        flat = flatten_traces(parse_traces_json(df, depth=depth), depth, ns)
+        return {
+            S.SIGNAL_TRACES: S.conform(flat, S.schema_for(S.SIGNAL_TRACES, ns))
+        }, None
     if signal_kind == "logs":
-        flat = flatten_logs(parse_logs_json(df, depth=depth), depth)
-        return {S.SIGNAL_LOGS: S.conform(flat, S.LOGS_SCHEMA)}, None
+        flat = flatten_logs(parse_logs_json(df, depth=depth), depth, ns)
+        return {
+            S.SIGNAL_LOGS: S.conform(flat, S.schema_for(S.SIGNAL_LOGS, ns))
+        }, None
     if signal_kind == "metrics":
         from ..otlp.metrics import _explode_to_metric, flatten_metrics_from_metric
 
@@ -83,8 +100,10 @@ def flatten_signal_cached(
         if cache:
             metric = metric.persist()
             handle = metric
-        dfs = flatten_metrics_from_metric(metric, depth)
-        return {sig: S.conform(d, S.SCHEMAS[sig]) for sig, d in dfs.items()}, handle
+        dfs = flatten_metrics_from_metric(metric, depth, ns)
+        return {
+            sig: S.conform(d, S.schema_for(sig, ns)) for sig, d in dfs.items()
+        }, handle
     raise ValueError(f"unknown signal kind {signal_kind!r}")
 
 
@@ -164,7 +183,10 @@ def make_batch_processor(
         # releases it in the finally block — the handle-less inner cache
         # of r1 leaked one InMemoryRelation per micro-batch.
         flattened, cached = flatten_signal_cached(
-            batch_df, signal_kind, depth=config.attr_depth
+            batch_df,
+            signal_kind,
+            depth=config.attr_depth,
+            ns_timestamps=config.ns_timestamps,
         )
         try:
             if atomic:
@@ -321,7 +343,9 @@ def export_batch(
         raw = protobuf_to_json_lines(binary, signal_kind)
     else:
         raw = spark.read.text(input_path)
-    flattened, cached = flatten_signal_cached(raw, signal_kind, depth=config.attr_depth)
+    flattened, cached = flatten_signal_cached(
+        raw, signal_kind, depth=config.attr_depth, ns_timestamps=config.ns_timestamps
+    )
     atomic = (
         sink is None
         and config.catalog.catalog_type == "rest"

@@ -345,6 +345,96 @@ class TestOtlpNsVariant:
         assert any(r["observed_time_unix_nano"] is not None for r in rows)
 
 
+class TestNsExporterPipeline:
+    def test_fs_sink_ns_mode_end_to_end(self, spark, tmp_path):
+        """The exporter's ns-native mode (ExporterConfig.ns_timestamps):
+        flatten keeps epoch-nanos, the fs sink births v3 tables with
+        timestamptz_ns span/log time columns, and the committed rows
+        carry the sub-us digits the reference's us mode truncates."""
+        import json as _json
+
+        from opentelemetry_iceberg_exporter_spark.config import (
+            CatalogConfig,
+            ExporterConfig,
+            PartitionConfig,
+            StorageConfig,
+        )
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_sink import (
+            FsIcebergSink,
+        )
+        from opentelemetry_iceberg_exporter_spark.streaming.pipeline import (
+            flatten_signal,
+        )
+
+        cfg = ExporterConfig(
+            storage=StorageConfig(
+                provider="filesystem", bucket=str(tmp_path), prefix="otel-exp"
+            ),
+            catalog=CatalogConfig(
+                catalog_type="fs", warehouse=str(tmp_path / "wh")
+            ),
+            partition=PartitionConfig(granularity="hourly"),
+            ns_timestamps=True,
+        )
+        fix = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "..",
+            "opentelemetry_iceberg_exporter_spark",
+            "queries",
+            "fixtures",
+            "otlp_traces.jsonl",
+        )
+        raw = spark.read.text(fix)
+        flattened = flatten_signal(
+            raw, "traces", depth=cfg.attr_depth, ns_timestamps=True
+        )
+        sink = FsIcebergSink(spark, cfg)
+        sink.append(flattened["traces"], "traces")
+        t = sink.catalog.load_table("otel", "otel_traces")
+        md = t.metadata()
+        assert md["format-version"] == 3
+        types = {f["name"]: f["type"] for f in md["schemas"][0]["fields"]}
+        assert types["start_time_unix_nano"] == "timestamptz_ns"
+        assert types["end_time_unix_nano"] == "timestamptz_ns"
+        got = {
+            r["span_id"]: r["start_time_unix_nano"]
+            for r in t.read(spark).collect()
+        }
+        assert got["0102030405060708"] == 1705314600123456789
+        # partition spec: hours over the ns column
+        spec = md["partition-specs"][0]["fields"][0]
+        assert spec["transform"] == "hours"
+
+    def test_metrics_flatten_ns_mode(self, spark):
+        from opentelemetry_iceberg_exporter_spark.otlp.metrics import (
+            flatten_metrics,
+            parse_metrics_json,
+        )
+
+        fix = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "..",
+            "opentelemetry_iceberg_exporter_spark",
+            "queries",
+            "fixtures",
+            "otlp_metrics.jsonl",
+        )
+        dfs = flatten_metrics(
+            parse_metrics_json(spark.read.text(fix)), cache=False,
+            ns_timestamps=True,
+        )
+        gauge = dfs["metrics_gauge"].select(
+            "time_unix_nano", "start_time_unix_nano"
+        ).collect()
+        assert all(isinstance(r["time_unix_nano"], int) for r in gauge)
+        # the zero-start-time -> NULL rule survives ns mode
+        assert any(r["start_time_unix_nano"] is None for r in gauge)
+        assert any(r["start_time_unix_nano"] is not None for r in gauge)
+        # exemplar time lists are epoch-nanos longs
+        dtypes = dict(dfs["metrics_gauge"].dtypes)
+        assert dtypes["exemplars_time_unix_nano"] == "array<bigint>"
+
+
 class TestNsDefaultsAndUnknown:
     """Round-8 stretch: v3 `unknown` columns (type not yet decided —
     always optional, always read null, refused as partition source /
