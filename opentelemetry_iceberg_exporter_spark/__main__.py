@@ -619,6 +619,14 @@ def main(argv: list[str] | None = None) -> int:
         "instead of a position-delete parquet",
     )
     pdel.add_argument(
+        "--branch",
+        default="main",
+        help="run the delete against this BRANCH's head and advance only "
+        "it (main untouched until fast-forward publishes) — works for "
+        "every mode incl. copy-on-write, whose replace commit pins the "
+        "branch head",
+    )
+    pdel.add_argument(
         "--keys",
         help="instead of --where: Parquet file/dir of key tuples to "
         "delete by EQUALITY (Iceberg v2 equality-delete file, content=2)"
@@ -663,6 +671,12 @@ def main(argv: list[str] | None = None) -> int:
         help="merge-on-read writes a row-delta (position deletes + new "
         "row versions) instead of rewriting the matched files; "
         "deletion-vectors writes the delete half as v3 roaring-bitmap DVs",
+    )
+    pu.add_argument(
+        "--branch",
+        default="main",
+        help="run the update against this BRANCH's head and advance only "
+        "it (main untouched until fast-forward publishes)",
     )
 
     pov = sub.add_parser(
@@ -1602,7 +1616,9 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         if not args.where:
             raise SystemExit("pass --where (predicate) or --keys (equality)")
-        sid, n = table.delete_where(spark, args.where, mode=args.mode)
+        sid, n = table.delete_where(
+            spark, args.where, mode=args.mode, branch=args.branch
+        )
         print(json.dumps({"snapshot": sid, "deleted_rows": n, "mode": args.mode}))
         return 0
 
@@ -1654,7 +1670,9 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit(f"--set must be COL=EXPR, got {item!r}")
             sets[col.strip()] = expr.strip()
         table = _load_cli_table(args)
-        sid, n = table.update_where(spark, args.where, sets, mode=args.mode)
+        sid, n = table.update_where(
+            spark, args.where, sets, mode=args.mode, branch=args.branch
+        )
         print(json.dumps({"snapshot": sid, "updated_rows": n, "mode": args.mode}))
         return 0
 

@@ -216,6 +216,35 @@ class TestFsBranchCow:
         assert ins == {(3, "u"): id_map[3], (7, "u"): id_map[7]}
 
 
+class TestCliBranchDml:
+    def test_cli_delete_and_update_on_branch(self, spark, tmp_path, capsys):
+        import json
+
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        wh = str(tmp_path / "wh")
+        cat = FsCatalog(wh)
+        t = cat.create_table("otel", "cb", _df(spark).schema,
+                             partition_source="ts")
+        t.append_dataframe(_df(spark))
+        t.set_ref("audit", t.current_snapshot()["snapshot-id"], "branch")
+        base = ["--warehouse", wh, "--table", "cb"]
+        assert main(["delete", *base, "--where", "id < 5",
+                     "--mode", "copy-on-write", "--branch", "audit"]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["deleted_rows"] == 5
+        assert main(["update", *base, "--where", "id = 10",
+                     "--set", "v = 'u'", "--mode", "deletion-vectors",
+                     "--branch", "audit"]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["updated_rows"] == 1
+        # main untouched; the branch carries both
+        assert t.read(spark).count() == 40
+        got = t.read_ref(spark, "audit")
+        assert got.count() == 35
+        assert got.where("v = 'u'").count() == 1
+
+
 class TestRestBranchDml:
     def test_rest_branch_dv_delete(self, spark, tmp_path):
         warehouse = str(tmp_path / "rwh")
