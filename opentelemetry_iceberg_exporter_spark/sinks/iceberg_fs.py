@@ -68,6 +68,11 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+try:  # Spark 4: the engine representation of Iceberg v3 `variant`
+    from pyspark.sql.types import VariantType
+except ImportError:  # pragma: no cover - Spark < 4
+    VariantType = None
+
 from .avro_ocf import read_ocf, write_ocf
 from .transforms import (
     bucket_column,
@@ -185,6 +190,10 @@ def _iceberg_type(dt: DataType, next_id: list[int]) -> Any:
             "value": _iceberg_type(dt.valueType, next_id),
             "value-required": not dt.valueContainsNull,
         }
+    if VariantType is not None and isinstance(dt, VariantType):
+        # Iceberg v3 semi-structured type; Spark 4 VariantType writes the
+        # parquet VARIANT logical type (unshredded metadata+value pair)
+        return "variant"
     if isinstance(dt, StructType):
         fields = []
         for f_ in dt.fields:
@@ -238,6 +247,13 @@ def _spark_type(t: Any) -> DataType:
         }
         if t in simple:
             return simple[t]
+        if t == "variant":
+            if VariantType is None:
+                raise ValueError(
+                    "this table has a v3 `variant` column; reading it "
+                    "needs Spark 4's VariantType"
+                )
+            return VariantType()
         raise ValueError(f"no Spark mapping for Iceberg type {t!r}")
     if t["type"] == "list":
         return ArrayType(_spark_type(t["element"]), not t.get("element-required", False))
@@ -2088,7 +2104,13 @@ def partition_fields_for(
     if partition_source is None:
         return []
     transform = _TRANSFORM_FOR_GRANULARITY[granularity]
-    source_id = next(f_["id"] for f_ in schema["fields"] if f_["name"] == partition_source)
+    src = next(f_ for f_ in schema["fields"] if f_["name"] == partition_source)
+    if src["type"] in ("variant", "unknown"):
+        raise ValueError(
+            f"column {partition_source!r} has type {src['type']} — it "
+            "cannot be a partition source (no defined ordering)"
+        )
+    source_id = src["id"]
     return [
         {
             "name": f"{partition_source}_{transform.rstrip('s')}",
@@ -2176,6 +2198,35 @@ def apply_iceberg_type_overrides(
             )
         f_["type"] = t
     return True
+
+
+def _v3_only_type(t: Any) -> bool:
+    """True when an Iceberg schema TYPE (possibly nested) exists only at
+    format-version 3: ns timestamps, `unknown`, `variant`."""
+    if isinstance(t, str):
+        return t in NS_TIMESTAMP_TYPES or t in ("variant", "unknown")
+    if t["type"] == "list":
+        return _v3_only_type(t["element"])
+    if t["type"] == "map":
+        return _v3_only_type(t["key"]) or _v3_only_type(t["value"])
+    if t["type"] == "struct":
+        return any(_v3_only_type(f_["type"]) for f_ in t["fields"])
+    return False
+
+
+def require_v3_for_types(schema: dict, format_version: int) -> None:
+    """Refuse v3-only column types on a v2 table — loudly, at CREATE."""
+    if format_version >= 3:
+        return
+    bad = sorted(
+        f_["name"] for f_ in schema["fields"] if _v3_only_type(f_["type"])
+    )
+    if bad:
+        raise ValueError(
+            f"column(s) {bad} use Iceberg v3 types "
+            "(timestamp_ns/variant/unknown) — pass "
+            'properties={"format-version": "3"}'
+        )
 
 
 def new_table_metadata(
@@ -4923,6 +4974,13 @@ def evolved_schema(
             _validate_default(f_.name, entry["type"], defaults[f_.name])
             entry["initial-default"] = defaults[f_.name]
             entry["write-default"] = defaults[f_.name]
+        if _v3_only_type(entry["type"]) and table_format_version(md) < 3:
+            raise ValueError(
+                f"column {f_.name!r} uses an Iceberg v3 type "
+                f"({entry['type']!r}) — this is a format-version "
+                f"{table_format_version(md)} table; call "
+                "upgrade_format_version(3) first"
+            )
         added.append(entry)
     new_schema = {
         "type": "struct",
@@ -6310,11 +6368,8 @@ class FsCatalog:
         last_column_id = schema.pop("_last_column_id")
         props = dict(properties or {})
         format_version = int(props.pop("format-version", 2))
-        if apply_iceberg_type_overrides(schema, iceberg_types) and format_version < 3:
-            raise ValueError(
-                "timestamp_ns/timestamptz_ns columns require a v3 table — "
-                'pass properties={"format-version": "3"}'
-            )
+        apply_iceberg_type_overrides(schema, iceberg_types)
+        require_v3_for_types(schema, format_version)
         if partition_by is not None:
             spec_fields = spec_fields_from_partition_by(schema, partition_by)
         else:
@@ -8108,7 +8163,16 @@ def _hive_values_scoped(path: str, location: str) -> dict[str, str]:
 def _parquet_row_count(path: str) -> int:
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(path).metadata.num_rows
+    try:
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        # pyarrow refuses footers whose schema carries a logical type it
+        # does not know (the VARIANT type Spark 4 writes) — fall back to
+        # the engine's own thrift-compact footer walk, which SKIPS the
+        # schema without interpreting it
+        from .parquet_footer import footer_num_rows
+
+        return footer_num_rows(path)
 
 
 def _scan_written_files(

@@ -303,18 +303,19 @@ class RestCatalogClient:
     ) -> dict:
         schema = iceberg_schema(spark_schema)
         schema.pop("_last_column_id")
-        from .iceberg_fs import apply_iceberg_type_overrides
+        from .iceberg_fs import (
+            apply_iceberg_type_overrides,
+            require_v3_for_types,
+        )
 
-        # ns-timestamp overrides require a v3 table; the reserved
-        # `format-version` create PROPERTY is the Iceberg convention —
-        # the server honors it (real REST catalogs do the same)
-        if apply_iceberg_type_overrides(schema, iceberg_types) and int(
-            (properties or {}).get("format-version", 2)
-        ) < 3:
-            raise ValueError(
-                "timestamp_ns/timestamptz_ns columns require a v3 table — "
-                'pass properties={"format-version": "3"}'
-            )
+        # v3-only column types (ns timestamps, variant, unknown) require
+        # a v3 table; the reserved `format-version` create PROPERTY is
+        # the Iceberg convention — the server honors it (real REST
+        # catalogs do the same)
+        apply_iceberg_type_overrides(schema, iceberg_types)
+        require_v3_for_types(
+            schema, int((properties or {}).get("format-version", 2))
+        )
         if partition_by is not None:
             from .iceberg_fs import spec_fields_from_partition_by
 

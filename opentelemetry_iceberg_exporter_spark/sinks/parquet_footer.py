@@ -1,0 +1,147 @@
+"""Minimal Parquet footer reader: row count via a Thrift compact-protocol
+walk (format spec: parquet-format/FileMetaData + thrift compact encoding).
+
+Why this exists: pyarrow refuses to PARSE a footer whose schema carries a
+LogicalType it does not know ("Metadata contains Thrift LogicalType that
+is not recognized") — e.g. the VARIANT logical type Spark 4 writes for
+VariantType columns. The engine only needs `num_rows` from the footer at
+write time (manifest record counts), and Thrift compact is explicitly
+skippable WITHOUT interpreting any value: every field is length-prefixed
+or varint-delimited, so an unknown enum inside the schema list is just
+bytes to step over. FileMetaData is:
+
+    1: i32                 version
+    2: list<SchemaElement> schema        (where the unknown type lives)
+    3: i64                 num_rows      <- what we want
+    4: list<RowGroup>      row_groups
+    ...
+
+This walker skips every field generically and decodes only field 3.
+Like the repo's other spec-level codecs (Avro OCF, Puffin, roaring), it
+is written from the PUBLIC format documentation and cross-checked in
+tests against pyarrow on footers pyarrow can read.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+
+# thrift compact type ids (thrift docs: "Compact Protocol encoding")
+_CT_STOP = 0
+_CT_TRUE = 1
+_CT_FALSE = 2
+_CT_BYTE = 3
+_CT_I16 = 4
+_CT_I32 = 5
+_CT_I64 = 6
+_CT_DOUBLE = 7
+_CT_BINARY = 8
+_CT_LIST = 9
+_CT_SET = 10
+_CT_MAP = 11
+_CT_STRUCT = 12
+
+
+def _varint(buf: io.BytesIO) -> int:
+    out = shift = 0
+    while True:
+        b = buf.read(1)
+        if not b:
+            raise ValueError("truncated thrift varint")
+        out |= (b[0] & 0x7F) << shift
+        if not b[0] & 0x80:
+            return out
+        shift += 7
+
+
+def _zigzag(buf: io.BytesIO) -> int:
+    v = _varint(buf)
+    return (v >> 1) ^ -(v & 1)
+
+
+def _skip(buf: io.BytesIO, ctype: int) -> None:
+    """Step over one compact-encoded value of `ctype` without
+    interpreting it — unknown enums/logical types inside are inert."""
+    if ctype in (_CT_TRUE, _CT_FALSE):
+        return  # value lives in the type nibble
+    if ctype == _CT_BYTE:
+        buf.read(1)
+    elif ctype in (_CT_I16, _CT_I32, _CT_I64):
+        _varint(buf)
+    elif ctype == _CT_DOUBLE:
+        buf.read(8)
+    elif ctype == _CT_BINARY:
+        buf.read(_varint(buf))
+    elif ctype in (_CT_LIST, _CT_SET):
+        head = buf.read(1)[0]
+        size = head >> 4
+        elem = head & 0x0F
+        if size == 0x0F:
+            size = _varint(buf)
+        for _ in range(size):
+            _skip(buf, elem)
+    elif ctype == _CT_MAP:
+        size = _varint(buf)
+        if size:
+            kv = buf.read(1)[0]
+            ktype, vtype = kv >> 4, kv & 0x0F
+            for _ in range(size):
+                _skip(buf, ktype)
+                _skip(buf, vtype)
+    elif ctype == _CT_STRUCT:
+        _skip_struct(buf)
+    else:
+        raise ValueError(f"unknown thrift compact type {ctype}")
+
+
+def _skip_struct(buf: io.BytesIO) -> None:
+    while True:
+        head = buf.read(1)
+        if not head:
+            raise ValueError("truncated thrift struct")
+        if head[0] == _CT_STOP:
+            return
+        ctype = head[0] & 0x0F
+        if (head[0] >> 4) == 0:  # long-form field id
+            _zigzag(buf)
+        if ctype in (_CT_TRUE, _CT_FALSE):
+            continue
+        _skip(buf, ctype)
+
+
+def footer_num_rows(path: str) -> int:
+    """FileMetaData.num_rows straight off the footer bytes — works on
+    footers pyarrow rejects for unknown logical types (VARIANT et al.)."""
+    with open(path, "rb") as f:
+        f.seek(0, 2)
+        end = f.tell()
+        if end < 12:
+            raise ValueError(f"{path}: not a parquet file (too short)")
+        f.seek(end - 8)
+        tail = f.read(8)
+        if tail[4:] != b"PAR1":
+            raise ValueError(f"{path}: missing parquet footer magic")
+        meta_len = struct.unpack("<I", tail[:4])[0]
+        f.seek(end - 8 - meta_len)
+        buf = io.BytesIO(f.read(meta_len))
+
+    field_id = 0
+    while True:
+        head = buf.read(1)
+        if not head:
+            break
+        if head[0] == _CT_STOP:
+            break
+        ctype = head[0] & 0x0F
+        delta = head[0] >> 4
+        if delta == 0:
+            field_id = _zigzag(buf)
+        else:
+            field_id += delta
+        if field_id == 3 and ctype == _CT_I64:
+            return _zigzag(buf)
+        if ctype in (_CT_TRUE, _CT_FALSE):
+            continue
+        _skip(buf, ctype)
+    raise ValueError(f"{path}: footer has no num_rows (field 3)")

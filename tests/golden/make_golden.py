@@ -1416,6 +1416,36 @@ def build_tns_metadata_v1() -> dict:
     }
 
 
+# -- var chain: v3-BIRTH metadata with a VARIANT column ----------------------
+# (Iceberg v3 `variant`, spec "Primitive Types"; the engine maps it to
+# Spark 4's VariantType — unshredded parquet VARIANT logical type)
+
+VAR_TABLE_UUID = "9d4b2c80-17e5-4f63-8aa1-3be97cd04f52"
+VAR_LOC = "/tmp/spark_graft_golden/wh/otel/goldvar"
+T_VAR_CREATE_MS = 1705330000000
+
+VAR_SCHEMA = {
+    "type": "struct",
+    "schema-id": 0,
+    "fields": [
+        {"id": 1, "name": "id", "required": True, "type": "long"},
+        {"id": 2, "name": "ts", "required": False, "type": "timestamptz"},
+        {"id": 3, "name": "attrs", "required": False, "type": "variant"},
+    ],
+}
+
+
+def build_var_metadata_v1() -> dict:
+    md = json.loads(json.dumps(build_tns_metadata_v1()))
+    md["table-uuid"] = VAR_TABLE_UUID
+    md["location"] = VAR_LOC
+    md["last-updated-ms"] = T_VAR_CREATE_MS
+    md["schemas"] = [VAR_SCHEMA]
+    md["partition-specs"] = [{"spec-id": 0, "fields": []}]
+    md["last-partition-id"] = 999
+    return md
+
+
 def build_ln_metadata_v1() -> dict:
     md = dict(METADATA_V1)
     md["table-uuid"] = LN_TABLE_UUID
@@ -1590,6 +1620,7 @@ def main() -> None:
         ("ln-v2.metadata.json", build_ln_metadata_v2()),
         ("ln-v3.metadata.json", build_ln_metadata_v3()),
         ("tns-v1.metadata.json", build_tns_metadata_v1()),
+        ("var-v1.metadata.json", build_var_metadata_v1()),
     ):
         with open(os.path.join(HERE, name), "w", encoding="utf-8") as f:
             json.dump(md, f, indent=2)

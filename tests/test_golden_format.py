@@ -549,9 +549,63 @@ class TestGoldenWrite:
             "ln-v2.metadata.json",
             "ln-v3.metadata.json",
             "tns-v1.metadata.json",
+            "var-v1.metadata.json",
         ):
             with open(work / name, "rb") as f:
                 assert f.read() == _golden_bytes(name), name
+
+    def test_variant_v3_birth_metadata(self, monkeypatch):
+        """A v3-BIRTH unpartitioned table with a `variant` column: the
+        engine's first metadata file is byte-identical to the spec-side
+        generator's var-v1.metadata.json."""
+        import uuid as uuid_mod
+
+        from pyspark.sql.types import (
+            LongType,
+            StructField,
+            StructType,
+            TimestampType,
+        )
+
+        try:
+            from pyspark.sql.types import VariantType
+        except ImportError:
+            pytest.skip("Spark VariantType unavailable")
+
+        from opentelemetry_iceberg_exporter_spark.sinks import iceberg_fs
+
+        uuids = iter(
+            [
+                uuid_mod.UUID(GEN.VAR_TABLE_UUID),  # table-uuid
+                uuid_mod.UUID(hex="a" * 32),  # version-hint tmp
+            ]
+        )
+        monkeypatch.setattr(iceberg_fs.uuid, "uuid4", lambda: next(uuids))
+        monkeypatch.setattr(
+            iceberg_fs.time, "time", lambda: GEN.T_VAR_CREATE_MS / 1000.0
+        )
+
+        shutil.rmtree("/tmp/spark_graft_golden/wh/otel/goldvar", ignore_errors=True)
+        catalog = FsCatalog("/tmp/spark_graft_golden/wh")
+        schema = StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("ts", TimestampType(), True),
+                StructField("attrs", VariantType(), True),
+            ]
+        )
+        table = catalog.create_table(
+            "otel",
+            "goldvar",
+            schema,
+            properties={"owner": "golden", "format-version": "3"},
+        )
+        assert table.location == GEN.VAR_LOC
+        with open(os.path.join(GEN.VAR_LOC, "metadata", "v1.metadata.json"), "rb") as f:
+            assert f.read() == _golden_bytes("var-v1.metadata.json"), (
+                "variant v3-birth metadata drift"
+            )
+        shutil.rmtree("/tmp/spark_graft_golden/wh/otel/goldvar", ignore_errors=True)
 
     def test_ns_timestamp_v3_birth_metadata(self, monkeypatch):
         """A v3-BIRTH table with a timestamptz_ns column + hours spec:

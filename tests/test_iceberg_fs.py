@@ -275,7 +275,9 @@ class TestFsIcebergSink:
         for table in tables:
             t = sink.catalog.load_table("otel", table)
             assert t.partition_spec()[0]["transform"] == "hours"
-            assert t.properties()["format-version"] == "2"
+            # the reserved format-version property is CONSUMED at create
+            # (real-catalog semantics): the metadata field is authoritative
+            assert t.metadata()["format-version"] == 2
 
     def test_export_batch_to_iceberg(self, spark, tmp_path):
         """The reference's main loop, executed: OTLP/JSON batch ->

@@ -800,7 +800,10 @@ class TestRestRecovery:
             md = state.tables[("otel", table)]
             assert md["format-version"] == 2
             assert md["partition-specs"][0]["fields"][0]["transform"] == "hours"
-            assert md["properties"]["format-version"] == "2"
+            # the reserved format-version property is CONSUMED at create
+            # (the server honors it, real-catalog semantics) — the
+            # metadata field above is the authoritative place
+            assert "format-version" not in md["properties"]
         # second ensure is cache-served: no extra table-create POSTs
         n_before = len(state.requests)
         sink.ensure_all_tables()
