@@ -533,7 +533,14 @@ def _default_filled_scan(
 
     by_missing: dict[frozenset, list[str]] = {}
     for p in paths:
-        names = set(pq.read_schema(p).names)
+        try:
+            names = set(pq.read_schema(p).names)
+        except Exception:
+            # footers pyarrow rejects (unknown logical types — VARIANT):
+            # the engine's own footer walker reads the top-level names
+            from .parquet_footer import footer_column_names
+
+            names = footer_column_names(p)
         missing = frozenset(n for n in defaults if n not in names)
         by_missing.setdefault(missing, []).append(p)
     parts: list[DataFrame] = []

@@ -110,9 +110,7 @@ def _skip_struct(buf: io.BytesIO) -> None:
         _skip(buf, ctype)
 
 
-def footer_num_rows(path: str) -> int:
-    """FileMetaData.num_rows straight off the footer bytes — works on
-    footers pyarrow rejects for unknown logical types (VARIANT et al.)."""
+def _footer_buf(path: str) -> io.BytesIO:
     with open(path, "rb") as f:
         f.seek(0, 2)
         end = f.tell()
@@ -124,8 +122,13 @@ def footer_num_rows(path: str) -> int:
             raise ValueError(f"{path}: missing parquet footer magic")
         meta_len = struct.unpack("<I", tail[:4])[0]
         f.seek(end - 8 - meta_len)
-        buf = io.BytesIO(f.read(meta_len))
+        return io.BytesIO(f.read(meta_len))
 
+
+def footer_num_rows(path: str) -> int:
+    """FileMetaData.num_rows straight off the footer bytes — works on
+    footers pyarrow rejects for unknown logical types (VARIANT et al.)."""
+    buf = _footer_buf(path)
     field_id = 0
     while True:
         head = buf.read(1)
@@ -145,3 +148,81 @@ def footer_num_rows(path: str) -> int:
             continue
         _skip(buf, ctype)
     raise ValueError(f"{path}: footer has no num_rows (field 3)")
+
+
+def _schema_elements(buf: io.BytesIO) -> list[tuple[str, int]]:
+    """Decode FileMetaData field 2 (list<SchemaElement>) into
+    (name, num_children) pairs, depth-first as stored. SchemaElement:
+    1: Type, 2: type_length, 3: repetition, 4: name, 5: num_children —
+    everything but 4/5 is skipped generically."""
+    head = buf.read(1)[0]
+    size = head >> 4
+    if size == 0x0F:
+        size = _varint(buf)
+    out: list[tuple[str, int]] = []
+    for _ in range(size):
+        name, n_children = "", 0
+        field_id = 0
+        while True:
+            h = buf.read(1)[0]
+            if h == _CT_STOP:
+                break
+            ctype = h & 0x0F
+            delta = h >> 4
+            if delta == 0:
+                field_id = _zigzag(buf)
+            else:
+                field_id += delta
+            if ctype in (_CT_TRUE, _CT_FALSE):
+                continue
+            if field_id == 4 and ctype == _CT_BINARY:
+                name = buf.read(_varint(buf)).decode("utf-8")
+            elif field_id == 5 and ctype == _CT_I32:
+                n_children = _zigzag(buf)
+            else:
+                _skip(buf, ctype)
+        out.append((name, n_children))
+    return out
+
+
+def footer_column_names(path: str) -> set[str]:
+    """TOP-LEVEL column names from the footer schema — the presence
+    check v3 default-value reads need, robust to logical types pyarrow
+    rejects. The schema list is depth-first: the root's immediate
+    children are the top-level columns; each child's own subtree is
+    stepped over by child count."""
+    buf = _footer_buf(path)
+    field_id = 0
+    elements: list[tuple[str, int]] | None = None
+    while True:
+        head = buf.read(1)
+        if not head or head[0] == _CT_STOP:
+            break
+        ctype = head[0] & 0x0F
+        delta = head[0] >> 4
+        if delta == 0:
+            field_id = _zigzag(buf)
+        else:
+            field_id += delta
+        if field_id == 2 and ctype == _CT_LIST:
+            elements = _schema_elements(buf)
+            break
+        if ctype in (_CT_TRUE, _CT_FALSE):
+            continue
+        _skip(buf, ctype)
+    if not elements:
+        raise ValueError(f"{path}: footer has no schema (field 2)")
+    top: set[str] = set()
+    i = 1  # elements[0] is the root
+    for _ in range(elements[0][1]):
+        if i >= len(elements):
+            break
+        name, n_children = elements[i]
+        top.add(name)
+        # step over this column's whole subtree: each consumed element
+        # owes its own child count (depth-first layout)
+        todo, i = n_children, i + 1
+        while todo and i < len(elements):
+            todo += elements[i][1] - 1
+            i += 1
+    return top

@@ -85,6 +85,39 @@ class TestFooterWalker:
                 pq.ParquetFile(f).metadata  # noqa: B018 — the probe
         assert sum(footer_num_rows(f) for f in files) == 7
 
+    def test_column_names_cross_check(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        from opentelemetry_iceberg_exporter_spark.sinks.parquet_footer import (
+            footer_column_names,
+        )
+
+        # nested types (lists, structs): top-level names only
+        for name in ("events", "lineitem", "documents", "embeddings"):
+            p = f"/root/testdata/sf0.001/{name}.parquet"
+            assert footer_column_names(p) == set(pq.read_schema(p).names), name
+        # variant file where pyarrow refuses the footer outright
+        out = str(tmp_path / "var")
+        _df(spark, 3).write.parquet(out)
+        f = glob.glob(os.path.join(out, "*.parquet"))[0]
+        assert footer_column_names(f) == {"id", "ts", "attrs"}
+
+    def test_defaults_compose_with_variant(self, spark, tmp_path):
+        """v3 default values on a table whose files carry a variant
+        column: the footer-presence split must survive pyarrow's
+        unknown-LogicalType refusal (the engine walker reads names)."""
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table(
+            "otel", "vd", SCHEMA, properties={"format-version": "3"}
+        )
+        t.append_dataframe(_df(spark, 4))  # pre-evolution variant files
+        t.add_columns(
+            [StructField("tier", StringType(), True)],
+            defaults={"tier": "bronze"},
+        )
+        rows = t.read(spark).collect()
+        assert len(rows) == 4 and all(r["tier"] == "bronze" for r in rows)
+
     def test_garbage_refused(self, tmp_path):
         from opentelemetry_iceberg_exporter_spark.sinks.parquet_footer import (
             footer_num_rows,
