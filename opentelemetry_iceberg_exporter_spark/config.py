@@ -213,6 +213,12 @@ class ExporterConfig:
     # README.md:430). OTel timestamps ARE nanoseconds — this is the
     # exporter mode that stops discarding the bottom three digits.
     ns_timestamps: bool = False
+    # Iceberg v3 VARIANT attributes: store the OTLP attribute maps as
+    # queryable `variant` columns (try_variant_get path extraction with
+    # typed comparisons) instead of the reference's opaque JSON strings.
+    # Composes with ns_timestamps; requires the pure-Python catalog
+    # sinks (fs/rest — Spark DDL cannot declare variant).
+    variant_attrs: bool = False
 
     def validate(self) -> None:
         self.storage.validate()

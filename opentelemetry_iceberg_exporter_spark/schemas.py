@@ -329,10 +329,73 @@ def ns_iceberg_types(schema: StructType) -> dict[str, str]:
     }
 
 
-def schema_for(signal: str, ns_timestamps: bool = False) -> StructType:
-    """The conform/DDL schema for a signal — the declared us schema, or
-    its ns-native v3 variant."""
-    return ns_variant(SCHEMAS[signal]) if ns_timestamps else SCHEMAS[signal]
+# Top-level JSON-text attribute columns per signal — the columns the
+# v3 `variant_attrs` mode stores as queryable VARIANT instead of JSON
+# strings (nested per-event/link/exemplar attribute LISTS stay
+# array<string> of JSON by documented convention — Iceberg/Spark carry
+# variant at top level here). metric_metadata keeps its '{}'->NULL rule
+# (parse_json(NULL) is NULL).
+VARIANT_ATTR_COLUMNS: dict[str, list[str]] = {
+    SIGNAL_TRACES: ["span_attributes", "resource_attributes", "scope_attributes"],
+    SIGNAL_LOGS: ["log_attributes", "resource_attributes", "scope_attributes"],
+    **{
+        sig: [
+            "attributes",
+            "metric_metadata",
+            "resource_attributes",
+            "scope_attributes",
+        ]
+        for sig in (
+            SIGNAL_METRICS_GAUGE,
+            SIGNAL_METRICS_SUM,
+            SIGNAL_METRICS_HISTOGRAM,
+            SIGNAL_METRICS_EXP_HISTOGRAM,
+            SIGNAL_METRICS_SUMMARY,
+        )
+    },
+}
+
+
+def variant_attrs_schema(schema: StructType, signal: str) -> StructType:
+    """The signal schema with its attribute columns as VariantType —
+    Iceberg v3 `variant` storage for the OTLP attribute maps, making
+    them QUERYABLE (try_variant_get / variant_get path extraction with
+    type-aware comparisons) instead of opaque JSON text the reference
+    stores (schema.go renders attributes as strings)."""
+    from pyspark.sql.types import VariantType
+
+    names = set(VARIANT_ATTR_COLUMNS[signal])
+    return StructType(
+        [
+            StructField(f.name, VariantType() if f.name in names else f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+
+
+def to_variant_attrs(df, signal: str):
+    """Convert a flattened signal's JSON-text attribute columns to
+    VARIANT values (F.parse_json — plan-level, no Python). NULL JSON
+    (metric_metadata's empty rule) stays NULL."""
+    from pyspark.sql import functions as F
+
+    for name in VARIANT_ATTR_COLUMNS[signal]:
+        df = df.withColumn(name, F.parse_json(F.col(f"`{name}`")))
+    return df
+
+
+def schema_for(
+    signal: str, ns_timestamps: bool = False, variant_attrs: bool = False
+) -> StructType:
+    """The conform/DDL schema for a signal — the declared us schema,
+    optionally at ns-native precision and/or with variant attributes
+    (both Iceberg v3 features; they compose)."""
+    schema = SCHEMAS[signal]
+    if ns_timestamps:
+        schema = ns_variant(schema)
+    if variant_attrs:
+        schema = variant_attrs_schema(schema, signal)
+    return schema
 
 
 def conform(df, schema: StructType):

@@ -119,19 +119,20 @@ class IcebergSink:
         self._ensured: set[str] = set()  # per-process table cache (catalog_rest.go:169-188)
 
     def _require_iceberg(self) -> None:
+        # config-shape refusal FIRST — it holds regardless of classpath
+        if self.config.ns_timestamps or self.config.variant_attrs:
+            # Spark SQL DDL has no ns timestamp / variant type to
+            # declare, so the jar-backed path cannot create them — the
+            # pure-Python catalogs (fs/rest) own the v3-native modes
+            raise ValueError(
+                "ns_timestamps/variant_attrs require the pure-Python "
+                "catalog sinks (catalog_type 'fs' or 'rest') — Spark DDL "
+                "cannot declare timestamptz_ns/variant columns"
+            )
         if not iceberg_available(self.spark):
             raise IcebergUnavailableError(
                 "Iceberg Spark runtime not on the classpath; use catalog_type='none' "
                 "(raw-Parquet sink) or submit with iceberg-spark-runtime"
-            )
-        if self.config.ns_timestamps:
-            # Spark SQL DDL has no ns timestamp type to declare, so the
-            # jar-backed path cannot create timestamptz_ns tables — the
-            # pure-Python catalogs (fs/rest) own the ns-native mode
-            raise ValueError(
-                "ns_timestamps requires the pure-Python catalog sinks "
-                "(catalog_type 'fs' or 'rest') — Spark DDL cannot declare "
-                "timestamptz_ns columns"
             )
 
     def ensure_all_tables(self) -> list[str]:
@@ -202,13 +203,16 @@ class FsIcebergSink:
         props = dict(TABLE_PROPERTIES)
         props[f"iceberg_exporter.{signal}_schema_version"] = S.SCHEMA_VERSION
         props["write.parquet.compression-codec"] = self.config.storage.compression
-        if self.config.ns_timestamps:
-            # ns-native tables must BIRTH at v3 (timestamptz_ns columns)
+        if self.config.ns_timestamps or self.config.variant_attrs:
+            # ns/variant tables must BIRTH at v3 (timestamptz_ns /
+            # variant columns)
             props["format-version"] = "3"
         return props
 
     def _signal_schema(self, signal: str):
-        return S.schema_for(signal, self.config.ns_timestamps)
+        return S.schema_for(
+            signal, self.config.ns_timestamps, self.config.variant_attrs
+        )
 
     def _signal_iceberg_types(self, signal: str) -> dict[str, str] | None:
         if not self.config.ns_timestamps:
@@ -328,13 +332,16 @@ class RestIcebergSink:
         props = dict(TABLE_PROPERTIES)
         props[f"iceberg_exporter.{signal}_schema_version"] = S.SCHEMA_VERSION
         props["write.parquet.compression-codec"] = self.config.storage.compression
-        if self.config.ns_timestamps:
-            # ns-native tables must BIRTH at v3 (timestamptz_ns columns)
+        if self.config.ns_timestamps or self.config.variant_attrs:
+            # ns/variant tables must BIRTH at v3 (timestamptz_ns /
+            # variant columns)
             props["format-version"] = "3"
         return props
 
     def _signal_schema(self, signal: str):
-        return S.schema_for(signal, self.config.ns_timestamps)
+        return S.schema_for(
+            signal, self.config.ns_timestamps, self.config.variant_attrs
+        )
 
     def _signal_iceberg_types(self, signal: str) -> dict[str, str] | None:
         if not self.config.ns_timestamps:

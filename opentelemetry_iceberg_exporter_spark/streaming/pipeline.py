@@ -50,6 +50,7 @@ def flatten_signal(
     signal_kind: str,
     depth: int | None = None,
     ns_timestamps: bool = False,
+    variant_attrs: bool = False,
 ) -> dict[str, DataFrame]:
     """Parse+flatten a DataFrame of OTLP/JSON lines (column `value`) into
     {signal: conformed DataFrame}. signal_kind in {traces, logs, metrics}.
@@ -61,7 +62,12 @@ def flatten_signal(
     flatten_signal_cached inside foreachBatch to persist the shared
     explode for the batch's lifetime (and unpersist it afterwards)."""
     dfs, _ = flatten_signal_cached(
-        df, signal_kind, cache=False, depth=depth, ns_timestamps=ns_timestamps
+        df,
+        signal_kind,
+        cache=False,
+        depth=depth,
+        ns_timestamps=ns_timestamps,
+        variant_attrs=variant_attrs,
     )
     return dfs
 
@@ -72,6 +78,7 @@ def flatten_signal_cached(
     cache: bool = True,
     depth: int | None = None,
     ns_timestamps: bool = False,
+    variant_attrs: bool = False,
 ) -> tuple[dict[str, DataFrame], DataFrame | None]:
     """Like flatten_signal, but returns the persisted shared intermediate
     (or None) so the caller can unpersist it when done — the fix for the
@@ -81,17 +88,19 @@ def flatten_signal_cached(
     from ..otlp.model import ATTR_DEPTH
 
     depth = ATTR_DEPTH if depth is None else depth
-    ns = ns_timestamps
+    ns, va = ns_timestamps, variant_attrs
+
+    def _finish(sig: str, flat: DataFrame) -> DataFrame:
+        if va:
+            flat = S.to_variant_attrs(flat, sig)
+        return S.conform(flat, S.schema_for(sig, ns, va))
+
     if signal_kind == "traces":
         flat = flatten_traces(parse_traces_json(df, depth=depth), depth, ns)
-        return {
-            S.SIGNAL_TRACES: S.conform(flat, S.schema_for(S.SIGNAL_TRACES, ns))
-        }, None
+        return {S.SIGNAL_TRACES: _finish(S.SIGNAL_TRACES, flat)}, None
     if signal_kind == "logs":
         flat = flatten_logs(parse_logs_json(df, depth=depth), depth, ns)
-        return {
-            S.SIGNAL_LOGS: S.conform(flat, S.schema_for(S.SIGNAL_LOGS, ns))
-        }, None
+        return {S.SIGNAL_LOGS: _finish(S.SIGNAL_LOGS, flat)}, None
     if signal_kind == "metrics":
         from ..otlp.metrics import _explode_to_metric, flatten_metrics_from_metric
 
@@ -101,9 +110,7 @@ def flatten_signal_cached(
             metric = metric.persist()
             handle = metric
         dfs = flatten_metrics_from_metric(metric, depth, ns)
-        return {
-            sig: S.conform(d, S.schema_for(sig, ns)) for sig, d in dfs.items()
-        }, handle
+        return {sig: _finish(sig, d) for sig, d in dfs.items()}, handle
     raise ValueError(f"unknown signal kind {signal_kind!r}")
 
 
@@ -187,6 +194,7 @@ def make_batch_processor(
             signal_kind,
             depth=config.attr_depth,
             ns_timestamps=config.ns_timestamps,
+            variant_attrs=config.variant_attrs,
         )
         try:
             if atomic:
@@ -344,7 +352,11 @@ def export_batch(
     else:
         raw = spark.read.text(input_path)
     flattened, cached = flatten_signal_cached(
-        raw, signal_kind, depth=config.attr_depth, ns_timestamps=config.ns_timestamps
+        raw,
+        signal_kind,
+        depth=config.attr_depth,
+        ns_timestamps=config.ns_timestamps,
+        variant_attrs=config.variant_attrs,
     )
     atomic = (
         sink is None

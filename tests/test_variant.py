@@ -215,6 +215,112 @@ class TestVariantTable:
         assert {r["_row_id"] for r in rows} == set(range(5))
 
 
+class TestVariantAttrsExporter:
+    def _cfg(self, tmp_path, **kw):
+        from opentelemetry_iceberg_exporter_spark.config import (
+            CatalogConfig,
+            ExporterConfig,
+            PartitionConfig,
+            StorageConfig,
+        )
+
+        return ExporterConfig(
+            storage=StorageConfig(
+                provider="filesystem", bucket=str(tmp_path), prefix="otel-exp"
+            ),
+            catalog=CatalogConfig(
+                catalog_type="fs", warehouse=str(tmp_path / "wh")
+            ),
+            partition=PartitionConfig(granularity="hourly"),
+            **kw,
+        )
+
+    def _fixture(self, name):
+        return os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "..",
+            "opentelemetry_iceberg_exporter_spark",
+            "queries",
+            "fixtures",
+            name,
+        )
+
+    def test_traces_variant_attrs_end_to_end(self, spark, tmp_path):
+        """variant_attrs mode: span/resource/scope attributes land as
+        QUERYABLE v3 variant columns — typed path extraction instead of
+        the reference's opaque JSON strings."""
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_sink import (
+            FsIcebergSink,
+        )
+        from opentelemetry_iceberg_exporter_spark.streaming.pipeline import (
+            flatten_signal,
+        )
+
+        cfg = self._cfg(tmp_path, variant_attrs=True)
+        raw = spark.read.text(self._fixture("otlp_traces.jsonl"))
+        flat = flatten_signal(raw, "traces", variant_attrs=True)
+        sink = FsIcebergSink(spark, cfg)
+        sink.append(flat["traces"], "traces")
+        t = sink.catalog.load_table("otel", "otel_traces")
+        md = t.metadata()
+        assert md["format-version"] == 3
+        types = {f["name"]: f["type"] for f in md["schemas"][0]["fields"]}
+        assert types["span_attributes"] == "variant"
+        assert types["resource_attributes"] == "variant"
+        # typed extraction straight off the table — an int compared as
+        # an int, which the JSON-string form cannot do without casts
+        got = t.read(spark).select(
+            "span_id",
+            F.try_variant_get(
+                "span_attributes", "$['http.status_code']", "int"
+            ).alias("code"),
+        ).collect()
+        by_span = {r["span_id"]: r["code"] for r in got}
+        assert by_span["0102030405060708"] == 200
+
+    def test_metrics_variant_attrs_with_ns(self, spark, tmp_path):
+        """ns_timestamps and variant_attrs COMPOSE: a metrics table with
+        epoch-nanos times AND variant attribute maps; the empty-metadata
+        -> NULL rule survives (parse_json(NULL) is NULL)."""
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_sink import (
+            FsIcebergSink,
+        )
+        from opentelemetry_iceberg_exporter_spark.streaming.pipeline import (
+            flatten_signal,
+        )
+
+        cfg = self._cfg(tmp_path, ns_timestamps=True, variant_attrs=True)
+        raw = spark.read.text(self._fixture("otlp_metrics.jsonl"))
+        flat = flatten_signal(
+            raw, "metrics", ns_timestamps=True, variant_attrs=True
+        )
+        sink = FsIcebergSink(spark, cfg)
+        sink.append(flat["metrics_gauge"], "metrics_gauge")
+        t = sink.catalog.load_table("otel", "otel_metrics_gauge")
+        types = {
+            f["name"]: f["type"] for f in t.metadata()["schemas"][0]["fields"]
+        }
+        assert types["time_unix_nano"] == "timestamptz_ns"
+        assert types["attributes"] == "variant"
+        rows = t.read(spark).select(
+            "time_unix_nano",
+            F.try_variant_get("attributes", "$.host", "string").alias("host"),
+            F.col("metric_metadata").isNull().alias("meta_null"),
+        ).collect()
+        assert all(isinstance(r["time_unix_nano"], int) for r in rows)
+        assert any(r["host"] == "h1" for r in rows)
+        assert all(r["meta_null"] for r in rows)  # '{}' -> NULL survives
+
+    def test_jar_sink_refuses_variant_attrs(self, spark, tmp_path):
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_sink import (
+            IcebergSink,
+        )
+
+        cfg = self._cfg(tmp_path, variant_attrs=True)
+        with pytest.raises(Exception, match="variant"):
+            IcebergSink(spark, cfg)._require_iceberg()
+
+
 class TestVariantRest:
     def test_rest_variant_roundtrip(self, spark, tmp_path):
         warehouse = str(tmp_path / "rwh")
