@@ -348,3 +348,27 @@ class TestLineagePlanContracts:
         # exactly one scan of the data files — lineage is derived, not
         # re-scanned
         assert plan.count("Scan parquet") <= 2  # data union branches
+
+    def test_net_changes_is_one_identity_shuffle(self, spark):
+        """net_changes over an already-materialized changelog: the
+        window functions over _row_id share ONE exchange (the window's
+        change volume is the only shuffled data, never the table), and
+        the identity guard rides INSIDE the plan — no pre-flight job,
+        no extra exchange."""
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            net_changes,
+        )
+
+        log = spark.createDataFrame(
+            [(1, "a", "insert", 10, 1), (1, "b", "delete", 10, 2)],
+            "id long, v string, _change_type string, _row_id long, "
+            "_commit_sequence_number long",
+        )
+        df = net_changes(log)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # one hashpartitioning exchange on _row_id feeds both window
+        # branches; the union adds none
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges <= 2, plan  # row_number + count may re-sort, never re-shuffle more
+        assert "raise_error" in plan or "RAISE_ERROR" in plan.upper()
+        assert "CartesianProduct" not in plan
