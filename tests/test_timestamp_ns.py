@@ -455,6 +455,41 @@ class TestNsDefaultsAndUnknown:
         with pytest.raises(ValueError, match="9 fractional"):
             parse_iso_ns("2024-01-15T12:00:00.1234567891")
 
+    def test_parse_iso_ns_roundtrip_property(self):
+        """format(ns) -> ISO with 9 fractional digits -> parse == ns,
+        over the whole datetime-representable range incl. pre-1970
+        (floor semantics on the seconds part)."""
+        from datetime import timedelta
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            parse_iso_ns,
+        )
+
+        epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+        lo = int((datetime(1, 1, 1, tzinfo=timezone.utc) - epoch).total_seconds()) + 86400
+        hi = int((datetime(9999, 12, 31, tzinfo=timezone.utc) - epoch).total_seconds()) - 86400
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.integers(min_value=lo, max_value=hi),
+            st.integers(min_value=0, max_value=999_999_999),
+        )
+        def check(sec: int, frac: int) -> None:
+            ns = sec * NS + frac
+            dt = epoch + timedelta(seconds=sec)
+            # strftime does NOT zero-pad years < 1000; ISO requires it
+            iso = (
+                f"{dt.year:04d}-{dt.month:02d}-{dt.day:02d}"
+                f"T{dt.hour:02d}:{dt.minute:02d}:{dt.second:02d}"
+                f".{frac:09d}+00:00"
+            )
+            assert parse_iso_ns(iso) == ns
+
+        check()
+
     def test_ns_default_values(self, spark, tmp_path):
         from pyspark.sql.types import LongType, StructField
 
