@@ -2151,16 +2151,23 @@ def spec_fields_from_partition_by(schema: dict, partition_by: list[tuple[str, st
 
 def sort_fields_from(schema: dict, sort_by: list[str]) -> list[dict]:
     """Iceberg sort-order fields (identity asc, nulls-first) for the
-    named schema columns — the spec's SortField shape."""
-    by_name = {f_["name"]: f_["id"] for f_ in schema["fields"]}
+    named schema columns — the spec's SortField shape. Unorderable v3
+    types (variant, unknown) refuse loudly here instead of failing the
+    first write's range repartition with an opaque Spark error."""
+    by_name = {f_["name"]: f_ for f_ in schema["fields"]}
     fields = []
     for col in sort_by:
         if col not in by_name:
             raise ValueError(f"no column {col!r} to sort by")
+        if by_name[col]["type"] in ("variant", "unknown"):
+            raise ValueError(
+                f"column {col!r} has type {by_name[col]['type']} — it has "
+                "no defined ordering and cannot be a sort column"
+            )
         fields.append(
             {
                 "transform": "identity",
-                "source-id": by_name[col],
+                "source-id": by_name[col]["id"],
                 "direction": "asc",
                 "null-order": "nulls-first",
             }

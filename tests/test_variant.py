@@ -168,6 +168,15 @@ class TestVariantTable:
                 properties={"format-version": "3"},
             )
 
+    def test_sort_by_variant_refused(self, spark, tmp_path):
+        cat = FsCatalog(str(tmp_path / "wh"))
+        with pytest.raises(ValueError, match="sort"):
+            cat.create_table(
+                "otel", "var3s", SCHEMA,
+                sort_by=["attrs"],
+                properties={"format-version": "3"},
+            )
+
     def test_dml_on_variant_table(self, spark, tmp_path):
         """Row-level DML works with a variant column riding along: the
         CoW rewrite carries the variant bytes; deletes prune nothing by
