@@ -198,6 +198,39 @@ class TestVariantTable:
         }
         assert vals == {i: i for i in range(7)}  # variant survived the rewrite
 
+    def test_mor_dv_delete_on_variant_table(self, spark, tmp_path):
+        """Merge-on-read deletion vectors on a variant-bearing table:
+        the roaring/Puffin write path and the masked read never touch
+        the variant bytes, and the footer fallback keeps the re-commit
+        record counts right."""
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table(
+            "otel", "var7", SCHEMA, properties={"format-version": "3"}
+        )
+        t.append_dataframe(_df(spark, 12))
+        sid, n = t.delete_where(
+            spark, "pmod(id, 4) = 1", mode="deletion-vectors"
+        )
+        assert n == 3
+        got = t.read(spark).select(
+            "id", F.try_variant_get("attrs", "$.k", "long").alias("k")
+        ).collect()
+        assert len(got) == 9
+        assert all(r["k"] == r["id"] for r in got)
+
+    def test_column_stats_on_variant_table(self, spark, tmp_path):
+        """Puffin NDV stats compute over the orderable columns of a
+        variant-bearing table (the variant column itself carries no
+        sketch — no defined value identity)."""
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table(
+            "otel", "var8", SCHEMA, properties={"format-version": "3"}
+        )
+        t.append_dataframe(_df(spark, 20))
+        t.compute_column_stats(spark, columns=["id", "ts"])
+        stats = t.column_stats()
+        assert stats["id"]["ndv"] == 20
+
     def test_add_variant_column_v3_only(self, spark, tmp_path):
         cat = FsCatalog(str(tmp_path / "wh"))
         plain = StructType(
