@@ -1,7 +1,8 @@
-"""Iceberg v3 read surfaces under the DuckDB oracle gate (o12-o14):
-row lineage, net_changes over a scoped changelog, and nanosecond
-timestamps — the round-7/8 features promoted from pytest-only coverage
-to hard cross-engine signals (round-8 verdict ask #4).
+"""Iceberg v3 read surfaces under the DuckDB oracle gate (o12-o15):
+row lineage, net_changes over a scoped changelog, nanosecond
+timestamps, and variant attribute columns — the round-7/8 features
+promoted from pytest-only coverage to hard cross-engine signals
+(round-8 verdict ask #4, round-9 ask #1).
 
 Each query builds a REAL catalog table per call (like o11): the query
 IS the write+read lifecycle, and DuckDB reproduces the expected result
@@ -171,3 +172,71 @@ def o14_ns_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(spark).where(
         F.col("start_time_unix_nano") > 1705314600123456500
     ).select("span_id", "start_time_unix_nano", "end_time_unix_nano", "duration")
+
+
+@register(
+    "o15_variant_attrs",
+    oracle="""
+WITH j AS (
+  SELECT * FROM (VALUES
+    ('0102030405060708',
+     '{"http.method":"GET","http.status_code":200}',
+     '{"env":"prod","service.name":"svc-a"}'),
+    ('aaaa030405060708', '{}', '{"env":"prod","service.name":"svc-a"}'),
+    ('cccc030405060708', '{}', '{"service.name":"svc-b"}')
+  ) t(span_id, span_attrs, res_attrs)
+)
+SELECT span_id,
+       CAST(json_extract(span_attrs, '$."http.status_code"') AS BIGINT)
+         AS status_code,
+       json_extract_string(span_attrs, '$."http.method"') AS http_method,
+       json_extract_string(res_attrs, '$."service.name"') AS svc,
+       json_extract_string(res_attrs, '$.env') AS env
+FROM j
+""",
+    doc="v3 VARIANT attribute columns end to end (the exporter's "
+    "variant_attrs mode, round-8 feature; replaces the reference's "
+    "opaque JSON-string attributes, schema.go — queryable typed path "
+    "extraction instead of per-query string parsing): the OTLP trace "
+    "fixtures flatten, their attribute maps convert to VARIANT at plan "
+    "level (parse_json), commit into a v3 Iceberg table as unshredded "
+    "parquet VARIANT, and read back through TYPED path extraction — "
+    "try_variant_get at long vs string dtypes, dotted keys "
+    "(http.status_code) via bracket paths, missing keys -> NULL. DuckDB "
+    "reproduces every value from the same canonical JSON text with "
+    "json_extract at the same dtypes — a mis-encoded variant, a lost "
+    "type (200 as '200'), or a wrong NULL hash-fails.",
+)
+def o15_variant_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..otlp.traces import flatten_traces, parse_traces_json
+    from ..schemas import SIGNAL_TRACES, to_variant_attrs
+
+    fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+    flat = to_variant_attrs(
+        flatten_traces(
+            parse_traces_json(
+                spark.read.text(os.path.join(fixtures, "otlp_traces.jsonl"))
+            )
+        ),
+        SIGNAL_TRACES,
+    ).select("span_id", "span_attributes", "resource_attributes")
+    cat = FsCatalog(tempfile.mkdtemp(prefix="o15_va_"))
+    t = cat.create_table(
+        "q", "tr", flat.schema, properties={"format-version": "3"}
+    )
+    t.append_dataframe(flat)
+    return t.read(spark).select(
+        "span_id",
+        F.try_variant_get(
+            "span_attributes", "$['http.status_code']", "long"
+        ).alias("status_code"),
+        F.try_variant_get(
+            "span_attributes", "$['http.method']", "string"
+        ).alias("http_method"),
+        F.try_variant_get(
+            "resource_attributes", "$['service.name']", "string"
+        ).alias("svc"),
+        F.try_variant_get("resource_attributes", "$.env", "string").alias("env"),
+    )

@@ -129,51 +129,12 @@ def o03_metrics_demux_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
-@register(
-    "o04_flatten_gauge_sum",
-    oracle="""
-SELECT * FROM (VALUES
-  ('gauge', TIMESTAMP '2024-01-15 10:30:00', 'cpu.util', '1', NULL, 0.75,
-   CAST(NULL AS BIGINT), TIMESTAMP '2024-01-15 10:29:00', '{"host":"h1"}',
-   CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR)),
-  ('gauge', TIMESTAMP '2024-01-15 10:30:00.001', 'cpu.util', '1', NULL,
-   CAST(NULL AS DOUBLE), 7, NULL, '{}', CAST(NULL AS BOOLEAN),
-   CAST(NULL AS VARCHAR)),
-  ('sum', TIMESTAMP '2024-01-15 10:30:00', 'req.count', NULL, NULL,
-   CAST(NULL AS DOUBLE), 100, NULL, '{}', true, 'CUMULATIVE')
-) t(signal, time_unix_nano, metric_name, metric_unit, metric_metadata,
-    as_double, as_int, start_time_unix_nano, attributes, is_monotonic,
-    aggregation_temporality)
-""",
-    doc="Gauge + Sum projections (P6, metrics.go:476-516; merged o04+o09): "
-    "exactly-one-of as_double/as_int, empty metadata -> NULL, zero "
-    "start_time -> NULL, plus the sum table's is_monotonic and "
-    "temporality enum — unioned under a signal tag.",
-)
-def o04_flatten_gauge_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dfs = flatten_metrics(
-        parse_metrics_json(_fixture_df(spark, "otlp_metrics.jsonl")), cache=False
-    )
-    common = [
-        "time_unix_nano",
-        "metric_name",
-        "metric_unit",
-        "metric_metadata",
-        "as_double",
-        "as_int",
-        "start_time_unix_nano",
-        "attributes",
-    ]
-    gauge = dfs["metrics_gauge"].select(
-        F.lit("gauge").alias("signal"),
-        *common,
-        F.lit(None).cast("boolean").alias("is_monotonic"),
-        F.lit(None).cast("string").alias("aggregation_temporality"),
-    )
-    sum_df = dfs["metrics_sum"].select(
-        F.lit("sum").alias("signal"), *common, "is_monotonic", "aggregation_temporality"
-    )
-    return gauge.unionByName(sum_df)
+# NOTE (round 9): the former o04_flatten_gauge_sum row was retired —
+# its gauge/sum projection signal is fully covered by
+# o07_flatten_histogram_family's signal-tagged union — freeing a
+# registry slot (cap 50) for o15_variant_attrs in queries/iceberg_v3.py,
+# which gives the v3 variant surface its cross-engine signal
+# (round-8 verdict ask #1).
 
 
 _LISTING = [

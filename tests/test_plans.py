@@ -54,7 +54,6 @@ class TestPushdownPruning:
             "o01_flatten_traces",
             "o02_flatten_logs",
             "o03_metrics_demux_counts",
-            "o04_flatten_gauge_sum",
             "o07_flatten_histogram_family",
         ):
             df = specs[q].fn(spark, sf_dir)
