@@ -1063,38 +1063,17 @@ def decode_bound(data: bytes, iceberg_type: str) -> Any:
     raise ValueError(f"no bound decoding for {iceberg_type!r}")
 
 
-def file_column_bounds(path: str, md: dict) -> tuple[dict[int, bytes], dict[int, bytes]]:
-    """Per-column (field-id keyed) min/max bounds from the Parquet
-    footer, for the table's top-level primitive columns. Pure footer
-    metadata — no data pages are read. Missing files / missing stats
-    yield empty maps (bounds are optional in manifests)."""
-    import pyarrow.parquet as pq
-
-    try:
-        meta = pq.ParquetFile(path).metadata
-    except Exception:  # noqa: BLE001 — unreadable/missing: no bounds
-        return {}, {}
-    by_name = {
+def _primitive_fields_by_name(md: dict) -> dict[str, tuple[int, str]]:
+    return {
         f_["name"]: (f_["id"], f_["type"])
         for f_ in current_schema(md)["fields"]
         if isinstance(f_["type"], str)
     }
-    lows: dict[int, Any] = {}
-    highs: dict[int, Any] = {}
-    for rg in range(meta.num_row_groups):
-        group = meta.row_group(rg)
-        for ci in range(group.num_columns):
-            col = group.column(ci)
-            name = col.path_in_schema
-            if name not in by_name:
-                continue
-            stats = col.statistics
-            if stats is None or not stats.has_min_max:
-                continue
-            fid, _ = by_name[name]
-            lows[fid] = stats.min if fid not in lows else min(lows[fid], stats.min)
-            highs[fid] = stats.max if fid not in highs else max(highs[fid], stats.max)
-    types = {fid: t for _, (fid, t) in by_name.items()}
+
+
+def _encode_bound_maps(
+    lows: dict[int, Any], highs: dict[int, Any], types: dict[int, str]
+) -> tuple[dict[int, bytes], dict[int, bytes]]:
     lower = {
         fid: enc for fid, v in lows.items() if (enc := encode_bound(v, types[fid])) is not None
     }
@@ -1102,6 +1081,101 @@ def file_column_bounds(path: str, md: dict) -> tuple[dict[int, bytes], dict[int,
         fid: enc for fid, v in highs.items() if (enc := encode_bound(v, types[fid])) is not None
     }
     return lower, upper
+
+
+def file_column_bounds(path: str, md: dict) -> tuple[dict[int, bytes], dict[int, bytes]]:
+    """Per-column (field-id keyed) min/max bounds from the Parquet
+    footer, for the table's top-level primitive columns. Pure footer
+    metadata — no data pages are read. Missing files / missing stats
+    yield empty maps (bounds are optional in manifests).
+
+    When pyarrow refuses the footer outright (it cannot PARSE footers
+    carrying logical types it does not know — e.g. the VARIANT type
+    Spark 4 writes, see parquet_footer.py), the engine's own thrift
+    walker decodes the row-group statistics instead, so variant-bearing
+    files keep min/max pruning on all their OTHER columns. A column
+    missing exact stats in ANY row group carries no bound (a partial
+    aggregate is not a valid file bound)."""
+    import pyarrow.parquet as pq
+
+    try:
+        meta = pq.ParquetFile(path).metadata
+    except FileNotFoundError:  # missing file: no bounds
+        return {}, {}
+    except Exception:  # noqa: BLE001 — pyarrow can't parse (VARIANT et al.;
+        # raised as ArrowIOError==OSError). The walker refuses true
+        # garbage with ValueError, caught below — still no bounds.
+        return _file_column_bounds_footer(path, md)
+    by_name = _primitive_fields_by_name(md)
+    lows: dict[int, Any] = {}
+    highs: dict[int, Any] = {}
+    missing: set[int] = set()  # stats absent in >=1 row group: no bound
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            if name not in by_name:
+                continue
+            fid, _ = by_name[name]
+            stats = col.statistics
+            if stats is None or not stats.has_min_max:
+                missing.add(fid)
+                continue
+            lows[fid] = stats.min if fid not in lows else min(lows[fid], stats.min)
+            highs[fid] = stats.max if fid not in highs else max(highs[fid], stats.max)
+    for fid in missing:
+        lows.pop(fid, None)
+        highs.pop(fid, None)
+    types = {fid: t for _, (fid, t) in by_name.items()}
+    return _encode_bound_maps(lows, highs, types)
+
+
+def _bound_from_physical(value: Any, iceberg_type: str) -> Any:
+    """Footer-walker physical stat value -> what encode_bound expects
+    for `iceberg_type` (None = this pairing carries no bound)."""
+    if iceberg_type == "string":
+        if not isinstance(value, bytes):
+            return None
+        try:
+            # truncated bounds may split a multi-byte char; a bound we
+            # cannot decode exactly is dropped, never approximated
+            return value.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if iceberg_type in ("long", "int", "timestamptz", "timestamp", "date") or (
+        iceberg_type in NS_TIMESTAMP_TYPES
+    ):
+        return value if isinstance(value, int) else None
+    if iceberg_type in ("double", "float"):
+        return value if isinstance(value, (int, float)) else None
+    if iceberg_type == "boolean":
+        return value if isinstance(value, bool) else None
+    return None
+
+
+def _file_column_bounds_footer(
+    path: str, md: dict
+) -> tuple[dict[int, bytes], dict[int, bytes]]:
+    from .parquet_footer import footer_column_minmax
+
+    try:
+        minmax = footer_column_minmax(path)
+    except Exception:  # noqa: BLE001 — malformed footer: no bounds
+        return {}, {}
+    by_name = _primitive_fields_by_name(md)
+    lows: dict[int, Any] = {}
+    highs: dict[int, Any] = {}
+    for name, (_phys, mn, mx) in minmax.items():
+        if name not in by_name:
+            continue  # nested leaves (variant metadata/value) have no field bound
+        fid, t = by_name[name]
+        lo, hi = _bound_from_physical(mn, t), _bound_from_physical(mx, t)
+        if lo is None or hi is None:
+            continue
+        lows[fid], highs[fid] = lo, hi
+    types = {fid: t for _, (fid, t) in by_name.items()}
+    return _encode_bound_maps(lows, highs, types)
 
 
 def _bounds_to_avro(bounds: dict[int, bytes]) -> list[dict] | None:

@@ -53,6 +53,8 @@ def _varint(buf: io.BytesIO) -> int:
         if not b[0] & 0x80:
             return out
         shift += 7
+        if shift > 63:  # thrift i64 is at most 10 varint bytes
+            raise ValueError("thrift varint overflows 64 bits")
 
 
 def _zigzag(buf: io.BytesIO) -> int:
@@ -62,9 +64,16 @@ def _zigzag(buf: io.BytesIO) -> int:
 
 def _skip(buf: io.BytesIO, ctype: int) -> None:
     """Step over one compact-encoded value of `ctype` without
-    interpreting it — unknown enums/logical types inside are inert."""
+    interpreting it — unknown enums/logical types inside are inert.
+
+    Bool asymmetry (thrift compact spec): a bool STRUCT FIELD carries
+    its value in the field-header type nibble (zero-width here — the
+    struct walkers `continue` before calling _skip), but a bool
+    COLLECTION ELEMENT is one byte (0x01/0x02) on the wire — list/set/
+    map recursion below must consume it or the walk desyncs."""
     if ctype in (_CT_TRUE, _CT_FALSE):
-        return  # value lives in the type nibble
+        buf.read(1)  # collection-element form: one value byte
+        return
     if ctype == _CT_BYTE:
         buf.read(1)
     elif ctype in (_CT_I16, _CT_I32, _CT_I64):
@@ -226,3 +235,194 @@ def footer_column_names(path: str) -> set[str]:
             todo += elements[i][1] - 1
             i += 1
     return top
+
+
+# ---------------------------------------------------------------------------
+# Row-group column statistics (FileMetaData field 4) — the min/max/
+# null-count bounds pyarrow would surface, decoded off the raw footer so
+# VARIANT-bearing files (whose footers pyarrow refuses to parse) keep
+# manifest bounds on their OTHER columns, and so shredded-variant
+# typed_value subcolumns' stats are reachable for path pruning.
+#
+#   RowGroup        { 1: list<ColumnChunk> columns, ... }
+#   ColumnChunk     { 3: ColumnMetaData meta_data, ... }
+#   ColumnMetaData  { 1: Type (enum), 3: list<string> path_in_schema,
+#                     12: Statistics, ... }
+#   Statistics      { 3: i64 null_count, 5: binary max_value,
+#                     6: binary min_value, ... }
+#
+# Only the v2 exact-ordering fields (5/6) are read; the deprecated
+# min/max (1/2) have writer-dependent ordering for signed types and are
+# ignored. Truncated bounds (is_{min,max}_value_exact = false) are still
+# VALID bounds per the format spec (min_value <= all values <= max_value).
+
+# parquet physical Type enum (parquet-format Types.thrift)
+PHYS_BOOLEAN = 0
+PHYS_INT32 = 1
+PHYS_INT64 = 2
+PHYS_INT96 = 3
+PHYS_FLOAT = 4
+PHYS_DOUBLE = 5
+PHYS_BYTE_ARRAY = 6
+PHYS_FIXED = 7
+
+_PLAIN_DECODERS = {
+    PHYS_BOOLEAN: lambda b: b[0] != 0,
+    PHYS_INT32: lambda b: struct.unpack("<i", b)[0],
+    PHYS_INT64: lambda b: struct.unpack("<q", b)[0],
+    PHYS_FLOAT: lambda b: struct.unpack("<f", b)[0],
+    PHYS_DOUBLE: lambda b: struct.unpack("<d", b)[0],
+    PHYS_BYTE_ARRAY: lambda b: bytes(b),
+    PHYS_FIXED: lambda b: bytes(b),
+}
+
+
+def _struct_fields(buf: io.BytesIO):
+    """Yield (field_id, ctype) for one struct; the caller MUST consume
+    each non-bool value (decode or _skip) before the next iteration —
+    bool fields are zero-width (value in the header nibble)."""
+    field_id = 0
+    while True:
+        h = buf.read(1)
+        if not h:
+            raise ValueError("truncated thrift struct")
+        if h[0] == _CT_STOP:
+            return
+        ctype = h[0] & 0x0F
+        delta = h[0] >> 4
+        if delta == 0:
+            field_id = _zigzag(buf)
+        else:
+            field_id += delta
+        yield field_id, ctype
+
+
+def _list_head(buf: io.BytesIO) -> tuple[int, int]:
+    head = buf.read(1)[0]
+    size = head >> 4
+    if size == 0x0F:
+        size = _varint(buf)
+    return size, head & 0x0F
+
+
+def _parse_statistics(buf: io.BytesIO) -> dict:
+    out: dict = {"min": None, "max": None, "null_count": None}
+    for fid, ct in _struct_fields(buf):
+        if ct in (_CT_TRUE, _CT_FALSE):
+            continue
+        if fid == 5 and ct == _CT_BINARY:
+            out["max"] = buf.read(_varint(buf))
+        elif fid == 6 and ct == _CT_BINARY:
+            out["min"] = buf.read(_varint(buf))
+        elif fid == 3 and ct == _CT_I64:
+            out["null_count"] = _zigzag(buf)
+        else:
+            _skip(buf, ct)
+    return out
+
+
+def _parse_column_meta(buf: io.BytesIO) -> dict:
+    meta: dict = {"type": None, "path": None, "stats": None}
+    for fid, ct in _struct_fields(buf):
+        if ct in (_CT_TRUE, _CT_FALSE):
+            continue
+        if fid == 1 and ct == _CT_I32:
+            meta["type"] = _zigzag(buf)
+        elif fid == 3 and ct == _CT_LIST:
+            size, _elem = _list_head(buf)
+            meta["path"] = ".".join(
+                buf.read(_varint(buf)).decode("utf-8") for _ in range(size)
+            )
+        elif fid == 12 and ct == _CT_STRUCT:
+            meta["stats"] = _parse_statistics(buf)
+        else:
+            _skip(buf, ct)
+    return meta
+
+
+def _parse_column_chunk(buf: io.BytesIO) -> dict | None:
+    meta = None
+    for fid, ct in _struct_fields(buf):
+        if ct in (_CT_TRUE, _CT_FALSE):
+            continue
+        if fid == 3 and ct == _CT_STRUCT:
+            meta = _parse_column_meta(buf)
+        else:
+            _skip(buf, ct)
+    return meta
+
+
+def footer_row_group_stats(path: str) -> list[dict[str, dict]]:
+    """Per row group: {dotted leaf path -> {'type': physical Type enum,
+    'min': bytes|None, 'max': bytes|None, 'null_count': int|None}} —
+    min/max still plain-encoded physical bytes (decode with
+    _PLAIN_DECODERS[type])."""
+    buf = _footer_buf(path)
+    groups: list[dict[str, dict]] = []
+    for fid, ct in _struct_fields(buf):
+        if ct in (_CT_TRUE, _CT_FALSE):
+            continue
+        if fid == 4 and ct == _CT_LIST:
+            n_groups, _elem = _list_head(buf)
+            for _ in range(n_groups):
+                cols: dict[str, dict] = {}
+                for rg_fid, rg_ct in _struct_fields(buf):
+                    if rg_ct in (_CT_TRUE, _CT_FALSE):
+                        continue
+                    if rg_fid == 1 and rg_ct == _CT_LIST:
+                        n_cols, _e = _list_head(buf)
+                        for _ in range(n_cols):
+                            m = _parse_column_chunk(buf)
+                            if m and m["path"]:
+                                cols[m["path"]] = {
+                                    "type": m["type"],
+                                    "min": (m["stats"] or {}).get("min"),
+                                    "max": (m["stats"] or {}).get("max"),
+                                    "null_count": (m["stats"] or {}).get(
+                                        "null_count"
+                                    ),
+                                }
+                    else:
+                        _skip(buf, rg_ct)
+                groups.append(cols)
+            return groups
+        _skip(buf, ct)
+    return groups  # no row groups (empty file): nothing to report
+
+
+def footer_column_minmax(path: str) -> dict[str, tuple[int, object, object]]:
+    """{dotted leaf path: (physical type, min, max)} aggregated across
+    ALL row groups, decoded to Python values. A column missing exact
+    stats in ANY row group is OMITTED — a partial aggregate is not a
+    valid file bound."""
+    groups = footer_row_group_stats(path)
+    if not groups:
+        return {}
+    agg: dict[str, tuple[int, object, object]] = {}
+    dead: set[str] = set()
+    for gi, cols in enumerate(groups):
+        for name in agg:
+            if name not in cols:
+                dead.add(name)
+        for name, st in cols.items():
+            if name in dead:
+                continue
+            dec = _PLAIN_DECODERS.get(st["type"])
+            if (
+                dec is None
+                or st["min"] is None
+                or st["max"] is None
+                or (gi > 0 and name not in agg)
+            ):
+                dead.add(name)
+                continue
+            try:
+                lo, hi = dec(st["min"]), dec(st["max"])
+            except (struct.error, IndexError):
+                dead.add(name)
+                continue
+            if name in agg:
+                _, plo, phi = agg[name]
+                lo, hi = min(plo, lo), max(phi, hi)
+            agg[name] = (st["type"], lo, hi)
+    return {k: v for k, v in agg.items() if k not in dead}

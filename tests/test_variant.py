@@ -4,12 +4,13 @@ variant_get are the query surface — shredding is NOT implemented; files
 store the unshredded metadata+value encoding Spark writes).
 
 The container's pyarrow cannot PARSE footers carrying the VARIANT
-logical type, so the write path's record counts fall back to the
-engine's own Thrift-compact footer walker (sinks/parquet_footer.py) —
-cross-checked here against pyarrow on footers pyarrow accepts. Variant
-columns carry no manifest bounds (spec: no defined ordering), so files
-containing them lose column-bounds pruning on ALL columns in this
-container (footer unreadable) — scans stay conservative, never wrong.
+logical type, so the write path's record counts AND column bounds fall
+back to the engine's own Thrift-compact footer walker
+(sinks/parquet_footer.py) — cross-checked against pyarrow on footers
+pyarrow accepts. The variant column itself carries no manifest bounds
+(spec: no defined ordering), but since round 9 the walker decodes the
+row-group statistics of the OTHER columns, so variant-bearing files
+keep min/max pruning on every orderable column they contain.
 """
 
 from __future__ import annotations
@@ -128,6 +129,115 @@ class TestFooterWalker:
             f.write(b"not parquet at all")
         with pytest.raises(ValueError):
             footer_num_rows(p)
+
+    def test_bool_collection_elements_are_one_byte(self):
+        """Thrift compact: a bool STRUCT FIELD lives in the header
+        nibble, but a bool LIST ELEMENT is one byte on the wire —
+        skipping it zero-width desyncs the whole walk (advisor
+        finding, round 8)."""
+        import io
+
+        from opentelemetry_iceberg_exporter_spark.sinks.parquet_footer import (
+            _CT_LIST,
+            _skip,
+        )
+
+        # list header: size=3 (<<4) | elem type 1 (BOOL/TRUE), then one
+        # value byte per element, then a sentinel the walk must land on
+        blob = io.BytesIO(bytes([0x31, 0x01, 0x02, 0x01, 0xEE]))
+        _skip(blob, _CT_LIST)
+        assert blob.read(1) == b"\xee"
+
+    def test_column_minmax_cross_check(self, spark, tmp_path):
+        """footer_column_minmax agrees with pyarrow's statistics on
+        footers pyarrow CAN read (top-level primitive leaves)."""
+        import pyarrow.parquet as pq
+
+        from opentelemetry_iceberg_exporter_spark.sinks.parquet_footer import (
+            footer_column_minmax,
+        )
+
+        for name in ("events", "lineitem", "region"):
+            p = f"/root/testdata/sf0.001/{name}.parquet"
+            got = footer_column_minmax(p)
+            meta = pq.ParquetFile(p).metadata
+            checked = 0
+            for ci in range(meta.row_group(0).num_columns):
+                col = meta.row_group(0).column(ci)
+                st = col.statistics
+                if (
+                    meta.num_row_groups != 1
+                    or st is None
+                    or not st.has_min_max
+                    or col.path_in_schema not in got
+                ):
+                    continue
+                _, lo, hi = got[col.path_in_schema]
+                want_lo, want_hi = st.min, st.max
+                if hasattr(want_lo, "timestamp"):  # walker: raw int64
+                    continue
+                if isinstance(want_lo, str):
+                    lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                assert (lo, hi) == (want_lo, want_hi), col.path_in_schema
+                checked += 1
+            assert checked > 0, name
+
+    def test_variant_file_keeps_bounds_on_other_columns(self, spark, tmp_path):
+        """file_column_bounds falls back to the walker when pyarrow
+        refuses the footer: a variant-bearing file still records
+        min/max for its orderable columns (the variant column itself
+        carries none — no defined ordering)."""
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            decode_bound,
+            file_column_bounds,
+            live_files,
+        )
+
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table(
+            "otel", "vb", SCHEMA, properties={"format-version": "3"}
+        )
+        t.append_dataframe(_df(spark, 9).coalesce(1))
+        md = t.metadata()
+        fields = {
+            f["name"]: f["id"]
+            for f in md["schemas"][-1]["fields"]
+        }
+        data, _ = live_files(md, md["current-snapshot-id"])
+        [f] = data
+        lower, upper = file_column_bounds(f.file_path, md)
+        assert fields["attrs"] not in lower  # variant: no bounds, ever
+        assert decode_bound(lower[fields["id"]], "long") == 0
+        assert decode_bound(upper[fields["id"]], "long") == 8
+        assert decode_bound(lower[fields["ts"]], "long") == 1705320000_000000000
+        assert decode_bound(upper[fields["ts"]], "long") == 1705320000_000000008
+
+    def test_variant_table_dml_prunes_by_bounds(self, spark, tmp_path):
+        """The restored bounds PRUNE: four disjoint-id commits on a
+        variant table, an id predicate plans exactly one scanned file
+        (round-8 behavior was scan-all — footer unreadable by pyarrow)."""
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            plan_dml_files,
+        )
+
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table(
+            "otel", "vp", SCHEMA, properties={"format-version": "3"}
+        )
+        for base in (0, 100, 200, 300):
+            df = spark.range(base, base + 50).select(
+                F.col("id"),
+                (F.lit(1705320000_000000000) + F.col("id")).alias("ts"),
+                F.parse_json(
+                    F.concat(F.lit('{"k": '), F.col("id").cast("string"), F.lit("}"))
+                ).alias("attrs"),
+            )
+            t.append_dataframe(df.coalesce(1))
+        md = t.metadata()
+        scan, excluded, _ = plan_dml_files(
+            md, md["current-snapshot-id"], "id >= 320"
+        )
+        assert len(scan) == 1 and len(excluded) == 3
 
 
 class TestVariantTable:
