@@ -523,6 +523,27 @@ def main(argv: list[str] | None = None) -> int:
         help="range predicate (inclusive; '-' = unbounded side): prunes "
         "via monotone transforms (time/truncate), then filters rows",
     )
+    psc.add_argument(
+        "--where", default=None,
+        help="instead of --equals/--range: ONE SQL predicate — every "
+        "extractable conjunct prunes files (manifest column bounds, "
+        "hidden-partition rewrite, epoch-nanos int literals on ns "
+        "columns, variant-path conjuncts like \"try_variant_get(attrs, "
+        "'$.code', 'long') >= 500\" via shredded footer stats), then "
+        "the full predicate filters rows",
+    )
+    psc.add_argument(
+        "--with-lineage", action="store_true",
+        help="append the v3 row-lineage metadata columns "
+        "(_row_id, _last_updated_sequence_number)",
+    )
+    psc.add_argument(
+        "--extract", action="append", default=None,
+        metavar="COL:$.PATH:TYPE",
+        help="project a typed variant path as an output column named "
+        "after the last path key (repeatable; e.g. "
+        "span_attributes:$.http.status_code:long)",
+    )
 
     prb = sub.add_parser(
         "rollback",
@@ -1478,6 +1499,56 @@ def main(argv: list[str] | None = None) -> int:
         sid = args.snapshot
         if sid is None and args.as_of_ms is not None:
             sid = table.snapshot_as_of(args.as_of_ms)
+
+        def apply_extracts(df):
+            for spec in args.extract or []:
+                try:
+                    col, rest = spec.split(":", 1)
+                    path, vtype = rest.rsplit(":", 1)
+                except ValueError:
+                    raise SystemExit(
+                        f"--extract {spec!r}: expected COL:$.PATH:TYPE"
+                    ) from None
+                import re as _re
+
+                segs = _re.findall(
+                    r"\.([A-Za-z_][A-Za-z0-9_]*)|\[\s*'([^']+)'\s*\]", path
+                )
+                alias = next(
+                    (a or b for a, b in reversed(segs)), "extracted"
+                )
+                df = df.withColumn(
+                    alias, F.try_variant_get(F.col(col), path, vtype)
+                )
+            return df
+
+        if args.where:
+            if args.equals or args.range:
+                raise SystemExit("--where subsumes --equals/--range; pass one form")
+            from .sinks.iceberg_fs import plan_dml_files, spark_session_timezone
+
+            sidr = md["current-snapshot-id"] if sid is None else sid
+            _, pruned_files, _ = plan_dml_files(
+                md, sidr, args.where, spark_session_timezone(spark)
+            )
+            out = apply_extracts(
+                table.read(
+                    spark, snapshot_id=sid, where=args.where,
+                    with_lineage=args.with_lineage,
+                )
+            )
+            out.write.mode("overwrite").parquet(args.output)
+            print(
+                json.dumps(
+                    {
+                        "rows": out.count(),
+                        "files_pruned": len(pruned_files),
+                        "snapshot": sidr,
+                    }
+                )
+            )
+            return 0
+
         predicate = row_filter = None
         srange = None
         if args.equals:
@@ -1500,10 +1571,12 @@ def main(argv: list[str] | None = None) -> int:
             snapshot_id=sid, source_predicate=predicate, source_range=srange
         )
         out = table.read(
-            spark, snapshot_id=sid, source_predicate=predicate, source_range=srange
+            spark, snapshot_id=sid, source_predicate=predicate,
+            source_range=srange, with_lineage=args.with_lineage,
         )
         if row_filter is not None:
             out = out.filter(row_filter)
+        out = apply_extracts(out)
         out.write.mode("overwrite").parquet(args.output)
         print(
             json.dumps(

@@ -199,7 +199,7 @@ FROM j
     "opaque JSON-string attributes, schema.go — queryable typed path "
     "extraction instead of per-query string parsing): the OTLP trace "
     "fixtures flatten, their attribute maps convert to VARIANT at plan "
-    "level (parse_json), commit into a v3 Iceberg table as unshredded "
+    "level (parse_json), commit into a v3 Iceberg table as shredded "
     "parquet VARIANT, and read back through TYPED path extraction — "
     "try_variant_get at long vs string dtypes, dotted keys "
     "(http.status_code) via bracket paths, missing keys -> NULL. DuckDB "

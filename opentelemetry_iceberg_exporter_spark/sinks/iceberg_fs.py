@@ -192,7 +192,10 @@ def _iceberg_type(dt: DataType, next_id: list[int]) -> Any:
         }
     if VariantType is not None and isinstance(dt, VariantType):
         # Iceberg v3 semi-structured type; Spark 4 VariantType writes the
-        # parquet VARIANT logical type (unshredded metadata+value pair)
+        # parquet VARIANT logical type, SHREDDED by default (an inferred
+        # per-file schema puts typed paths in real stat-bearing columns
+        # — see sinks/variant_prune.py) with the metadata+value pair as
+        # the fallback encoding
         return "variant"
     if isinstance(dt, StructType):
         fields = []
@@ -3568,12 +3571,35 @@ def plan_dml_files(
     O(metadata). `session_tz` is the zone Spark will evaluate naive
     timestamp literals in (spark_session_timezone(spark)); callers
     binding to a live session MUST pass it or non-UTC sessions could
-    prune files whose rows match."""
+    prune files whose rows match.
+
+    Conjuncts on VARIANT paths (`try_variant_get(col, '$.k', 'long')
+    >= 500`) prune too: manifests carry no variant bounds, but Spark
+    writes variant SHREDDED (typed paths are real parquet columns with
+    row-group stats), so surviving candidates get one footer read each
+    and provably-matchless files move to `excluded`
+    (sinks/variant_prune.py — zero footer I/O when the predicate has
+    no variant conjunct)."""
     ranges = extract_prune_ranges(predicate, md, session_tz)
     excluded: list[DataFile] = []
     scan, deletes, _ = plan_scan_metadata(
         md, snapshot_id, pruned_out=excluded, **ranges
     )
+    variant_cols = {
+        f_["name"]
+        for f_ in current_schema(md)["fields"]
+        if f_["type"] == "variant"
+    }
+    if variant_cols:
+        from .variant_prune import parse_variant_conjuncts, prune_files_by_variant_stats
+
+        conjuncts = _split_conjuncts(predicate) or []
+        vpreds = parse_variant_conjuncts(
+            [_strip_outer_parens(c) for c in conjuncts], variant_cols
+        )
+        if vpreds:
+            scan, dropped = prune_files_by_variant_stats(scan, vpreds)
+            excluded.extend(dropped)
     return scan, excluded, deletes
 
 
@@ -7040,6 +7066,7 @@ class FsTable:
         column_range: tuple[str, Any, Any] | None = None,
         source_predicate: tuple[str, Any] | None = None,
         source_range: tuple[str, Any, Any] | None = None,
+        where: str | None = None,
         with_lineage: bool = False,
     ) -> DataFrame:
         """Time-travel-capable scan: metadata resolves the file list
@@ -7048,16 +7075,37 @@ class FsTable:
         under the CURRENT schema (pre-evolution files surface added
         columns as nulls), and any position-delete files are subtracted
         (merge-on-read). NOTE: column_range / source_predicate prune
-        FILES; apply the row filter on the result. `with_lineage`
+        FILES; apply the row filter on the result. `where` instead takes
+        ONE SQL predicate and does both: every extractable conjunct
+        prunes files (column bounds, hidden-partition rewrite, ns
+        literals, variant-path footer stats — the same planner DML
+        uses), then the full predicate filters rows. `with_lineage`
         (v3 tables) appends the _row_id / _last_updated_sequence_number
         metadata columns (scan_with_lineage)."""
         md = self.metadata()
-        data, deletes, _ = self.plan_scan(
-            snapshot_id, partition_range, column_range, source_predicate, source_range
+        if where is not None:
+            if any(
+                p is not None
+                for p in (partition_range, column_range, source_predicate, source_range)
+            ):
+                raise ValueError(
+                    "pass either `where` or the tuple pruning params, not both "
+                    "(`where` subsumes them)"
+                )
+            sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
+            data, _, deletes = plan_dml_files(
+                md, sid, where, spark_session_timezone(spark)
+            )
+        else:
+            data, deletes, _ = self.plan_scan(
+                snapshot_id, partition_range, column_range, source_predicate, source_range
+            )
+        df = (
+            scan_with_lineage(spark, md, data, deletes)
+            if with_lineage
+            else scan_with_deletes(spark, md, data, deletes)
         )
-        if with_lineage:
-            return scan_with_lineage(spark, md, data, deletes)
-        return scan_with_deletes(spark, md, data, deletes)
+        return df.filter(where) if where is not None else df
 
     def count_rows(
         self, spark: SparkSession | None = None, snapshot_id: int | None = None

@@ -1988,6 +1988,7 @@ class RestTable:
         column_range: tuple[str, Any, Any] | None = None,
         source_predicate: tuple[str, Any] | None = None,
         source_range: tuple[str, Any, Any] | None = None,
+        where: str | None = None,
         with_lineage: bool = False,
     ) -> DataFrame:
         """Scan a committed snapshot's files (time travel via
@@ -1995,17 +1996,36 @@ class RestTable:
         and the same manifest-level pruning surface as FsTable.read
         (partition_range / column_range / hidden-partition
         source_predicate prune FILES; row filters are the caller's).
-        `with_lineage` (v3 tables) appends _row_id /
+        `where` instead takes ONE SQL predicate that both prunes files
+        (column bounds, hidden-partition rewrite, ns literals,
+        variant-path footer stats) and filters rows — same semantics as
+        FsTable.read. `with_lineage` (v3 tables) appends _row_id /
         _last_updated_sequence_number (scan_with_lineage)."""
-        from .iceberg_fs import scan_with_lineage
+        from .iceberg_fs import plan_dml_files, scan_with_lineage, spark_session_timezone
 
         md = self.metadata()
         sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
         if sid in (-1, None):
             return spark.createDataFrame([], spark_read_schema(md))
-        data, deletes, _ = plan_scan_metadata(
-            md, sid, partition_range, column_range, source_predicate, source_range
+        if where is not None:
+            if any(
+                p is not None
+                for p in (partition_range, column_range, source_predicate, source_range)
+            ):
+                raise ValueError(
+                    "pass either `where` or the tuple pruning params, not both "
+                    "(`where` subsumes them)"
+                )
+            data, _, deletes = plan_dml_files(
+                md, sid, where, spark_session_timezone(spark)
+            )
+        else:
+            data, deletes, _ = plan_scan_metadata(
+                md, sid, partition_range, column_range, source_predicate, source_range
+            )
+        df = (
+            scan_with_lineage(spark, md, data, deletes)
+            if with_lineage
+            else scan_with_deletes(spark, md, data, deletes)
         )
-        if with_lineage:
-            return scan_with_lineage(spark, md, data, deletes)
-        return scan_with_deletes(spark, md, data, deletes)
+        return df.filter(where) if where is not None else df

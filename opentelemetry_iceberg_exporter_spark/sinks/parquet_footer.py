@@ -352,13 +352,13 @@ def _parse_column_chunk(buf: io.BytesIO) -> dict | None:
     return meta
 
 
-def footer_row_group_stats(path: str) -> list[dict[str, dict]]:
-    """Per row group: {dotted leaf path -> {'type': physical Type enum,
-    'min': bytes|None, 'max': bytes|None, 'null_count': int|None}} —
-    min/max still plain-encoded physical bytes (decode with
-    _PLAIN_DECODERS[type])."""
+def footer_row_group_stats(path: str) -> list[dict]:
+    """Per row group: {'num_rows': int|None, 'columns': {dotted leaf
+    path -> {'type': physical Type enum, 'min': bytes|None, 'max':
+    bytes|None, 'null_count': int|None}}} — min/max still plain-encoded
+    physical bytes (decode with _PLAIN_DECODERS[type])."""
     buf = _footer_buf(path)
-    groups: list[dict[str, dict]] = []
+    groups: list[dict] = []
     for fid, ct in _struct_fields(buf):
         if ct in (_CT_TRUE, _CT_FALSE):
             continue
@@ -366,6 +366,7 @@ def footer_row_group_stats(path: str) -> list[dict[str, dict]]:
             n_groups, _elem = _list_head(buf)
             for _ in range(n_groups):
                 cols: dict[str, dict] = {}
+                num_rows: int | None = None
                 for rg_fid, rg_ct in _struct_fields(buf):
                     if rg_ct in (_CT_TRUE, _CT_FALSE):
                         continue
@@ -382,9 +383,11 @@ def footer_row_group_stats(path: str) -> list[dict[str, dict]]:
                                         "null_count"
                                     ),
                                 }
+                    elif rg_fid == 3 and rg_ct == _CT_I64:
+                        num_rows = _zigzag(buf)
                     else:
                         _skip(buf, rg_ct)
-                groups.append(cols)
+                groups.append({"num_rows": num_rows, "columns": cols})
             return groups
         _skip(buf, ct)
     return groups  # no row groups (empty file): nothing to report
@@ -400,7 +403,8 @@ def footer_column_minmax(path: str) -> dict[str, tuple[int, object, object]]:
         return {}
     agg: dict[str, tuple[int, object, object]] = {}
     dead: set[str] = set()
-    for gi, cols in enumerate(groups):
+    for gi, group in enumerate(groups):
+        cols = group["columns"]
         for name in agg:
             if name not in cols:
                 dead.add(name)

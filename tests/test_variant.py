@@ -1,7 +1,11 @@
 """Iceberg v3 `variant` columns: semi-structured values with the Spark 4
 VariantType as the engine representation (parse_json / try_variant_get /
-variant_get are the query surface — shredding is NOT implemented; files
-store the unshredded metadata+value encoding Spark writes).
+variant_get are the query surface). Spark 4.1 writes variant SHREDDED by
+default (parquet-format VariantShredding.md: an inferred per-file schema
+stores typed paths as real stat-bearing columns, with the metadata+value
+pair as the residual encoding) and reads shredded and unshredded files
+alike — round 9 adds footer-stats file pruning for variant-path
+predicates on top (sinks/variant_prune.py, tested here).
 
 The container's pyarrow cannot PARSE footers carrying the VARIANT
 logical type, so the write path's record counts AND column bounds fall
