@@ -133,6 +133,57 @@ _SECONDS_PER = {"hours": 3600, "days": 86400}
 NS_TIMESTAMP_TYPES = {"timestamp_ns", "timestamptz_ns"}
 _NS_PER_SECOND = 1_000_000_000
 
+# Iceberg v3 geospatial types: `geometry(C)` (planar/linear edges) and
+# `geography(C, A)` (spherical edges, interpolated by algorithm A).
+# Spark has no native geo type, so both surface as BinaryType carrying
+# WKB — the spec's binary single-value representation — and the engine
+# treats them as opaque: no bounds (the spec's geo bounds are a special
+# bounding-box encoding this engine does not record — always optional),
+# no partition/sort source, no defaults. Defaults per spec: CRS
+# OGC:CRS84; geography edge algorithm `spherical`.
+GEOGRAPHY_ALGORITHMS = {"spherical", "vincenty", "thomas", "andoyer", "karney"}
+_GEO_RE = re.compile(r"^(geometry|geography)(?:\((.*)\))?$")
+
+
+def parse_geo_type(t: Any) -> tuple[str, str, str | None] | None:
+    """(kind, crs, algorithm|None) for an Iceberg geo type string —
+    'geometry', 'geometry(srid:3857)', 'geography(OGC:CRS84, karney)' —
+    or None when `t` is not a geo type. Malformed parameter lists raise
+    (a geo-looking string that is not a valid type must never be
+    written into table metadata)."""
+    if not isinstance(t, str):
+        return None
+    m = _GEO_RE.match(t)
+    if not m:
+        return None
+    kind, params = m.groups()
+    crs, alg = "OGC:CRS84", None
+    if params is not None:
+        parts = [p.strip() for p in params.split(",")]
+        if not parts[0] or len(parts) > (1 if kind == "geometry" else 2) or any(
+            not p for p in parts
+        ):
+            raise ValueError(f"malformed {kind} type parameters: {t!r}")
+        crs = parts[0]
+        if len(parts) == 2:
+            alg = parts[1]
+            if alg not in GEOGRAPHY_ALGORITHMS:
+                raise ValueError(
+                    f"unknown geography edge algorithm {alg!r} — one of "
+                    f"{sorted(GEOGRAPHY_ALGORITHMS)}"
+                )
+    if kind == "geography" and alg is None:
+        alg = "spherical"
+    return kind, crs, alg
+
+
+def _unorderable_type(t: Any) -> bool:
+    """v3 types with no defined ordering: never a partition source,
+    sort column, or bound carrier."""
+    return isinstance(t, str) and (
+        t in ("variant", "unknown") or parse_geo_type(t) is not None
+    )
+
 
 class CommitConflictError(RuntimeError):
     """Another writer committed the same version first (CAS failure)."""
@@ -257,6 +308,9 @@ def _spark_type(t: Any) -> DataType:
                     "needs Spark 4's VariantType"
                 )
             return VariantType()
+        if parse_geo_type(t) is not None:
+            # v3 geometry/geography: WKB bytes (Spark has no geo type)
+            return BinaryType()
         raise ValueError(f"no Spark mapping for Iceberg type {t!r}")
     if t["type"] == "list":
         return ArrayType(_spark_type(t["element"]), not t.get("element-required", False))
@@ -2189,7 +2243,7 @@ def partition_fields_for(
         return []
     transform = _TRANSFORM_FOR_GRANULARITY[granularity]
     src = next(f_ for f_ in schema["fields"] if f_["name"] == partition_source)
-    if src["type"] in ("variant", "unknown"):
+    if _unorderable_type(src["type"]):
         raise ValueError(
             f"column {partition_source!r} has type {src['type']} — it "
             "cannot be a partition source (no defined ordering)"
@@ -2213,6 +2267,11 @@ def spec_fields_from_partition_by(schema: dict, partition_by: list[tuple[str, st
     fields = []
     for i, (col, transform) in enumerate(partition_by):
         source = next(f_ for f_ in schema["fields"] if f_["name"] == col)
+        if _unorderable_type(source["type"]):
+            raise ValueError(
+                f"column {col!r} has type {source['type']} — it "
+                "cannot be a partition source (no defined ordering)"
+            )
         base, _ = parse_transform(transform)
         suffix = {"bucket": "bucket", "truncate": "trunc"}.get(base, base.rstrip("s"))
         fields.append(
@@ -2236,7 +2295,7 @@ def sort_fields_from(schema: dict, sort_by: list[str]) -> list[dict]:
     for col in sort_by:
         if col not in by_name:
             raise ValueError(f"no column {col!r} to sort by")
-        if by_name[col]["type"] in ("variant", "unknown"):
+        if _unorderable_type(by_name[col]["type"]):
             raise ValueError(
                 f"column {col!r} has type {by_name[col]['type']} — it has "
                 "no defined ordering and cannot be a sort column"
@@ -2264,28 +2323,34 @@ def default_sort_fields(md: dict) -> list[dict]:
 def apply_iceberg_type_overrides(
     schema: dict, iceberg_types: dict[str, str] | None
 ) -> bool:
-    """Override derived Iceberg field types at CREATE (v3 nanosecond
-    timestamps): Spark has no ns temporal type, so a ns column arrives
-    as LongType epoch-nanos and the caller names which longs are
-    semantically timestamps. Mutates the schema; returns True when a
-    v3-only type was applied (the table must then be created at
-    format-version 3)."""
+    """Override derived Iceberg field types at CREATE with v3 types
+    Spark cannot express: nanosecond timestamps (Spark has no ns
+    temporal type, so a ns column arrives as LongType epoch-nanos and
+    the caller names which longs are semantically timestamps) and
+    geometry/geography (arrive as Spark BinaryType carrying WKB).
+    Mutates the schema; returns True when a v3-only type was applied
+    (the table must then be created at format-version 3)."""
     if not iceberg_types:
         return False
     by_name = {f_["name"]: f_ for f_ in schema["fields"]}
     for name, t in iceberg_types.items():
-        if t not in NS_TIMESTAMP_TYPES:
+        if t in NS_TIMESTAMP_TYPES:
+            want, carrier = "long", "LongType (epoch-nanos)"
+        elif parse_geo_type(t) is not None:  # raises on malformed params
+            want, carrier = "binary", "BinaryType (WKB)"
+        else:
             raise ValueError(
                 f"unsupported Iceberg type override {t!r} for column "
-                f"{name!r} — only timestamp_ns/timestamptz_ns"
+                f"{name!r} — only timestamp_ns/timestamptz_ns/"
+                "geometry[(crs)]/geography[(crs[, algorithm])]"
             )
         f_ = by_name.get(name)
         if f_ is None:
             raise ValueError(f"type override names unknown column {name!r}")
-        if f_["type"] != "long":
+        if f_["type"] != want:
             raise ValueError(
-                f"column {name!r} must arrive as a Spark LongType "
-                f"(epoch-nanos) to become {t}; got {f_['type']!r}"
+                f"column {name!r} must arrive as a Spark {carrier} "
+                f"to become {t}; got {f_['type']!r}"
             )
         f_["type"] = t
     return True
@@ -2293,9 +2358,14 @@ def apply_iceberg_type_overrides(
 
 def _v3_only_type(t: Any) -> bool:
     """True when an Iceberg schema TYPE (possibly nested) exists only at
-    format-version 3: ns timestamps, `unknown`, `variant`."""
+    format-version 3: ns timestamps, `unknown`, `variant`,
+    geometry/geography."""
     if isinstance(t, str):
-        return t in NS_TIMESTAMP_TYPES or t in ("variant", "unknown")
+        return (
+            t in NS_TIMESTAMP_TYPES
+            or t in ("variant", "unknown")
+            or parse_geo_type(t) is not None
+        )
     if t["type"] == "list":
         return _v3_only_type(t["element"])
     if t["type"] == "map":
@@ -2315,7 +2385,7 @@ def require_v3_for_types(schema: dict, format_version: int) -> None:
     if bad:
         raise ValueError(
             f"column(s) {bad} use Iceberg v3 types "
-            "(timestamp_ns/variant/unknown) — pass "
+            "(timestamp_ns/variant/unknown/geometry/geography) — pass "
             'properties={"format-version": "3"}'
         )
 
@@ -5078,10 +5148,17 @@ def evolved_schema(
                         f"column {f_.name!r}: `unknown` columns cannot take "
                         "a default — they must always read null"
                     )
+            elif parse_geo_type(t) is not None:  # raises on malformed params
+                if entry["type"] != "binary":
+                    raise ValueError(
+                        f"column {f_.name!r} must arrive as a Spark "
+                        f"BinaryType (WKB) to become {t}; got {entry['type']!r}"
+                    )
             else:
                 raise ValueError(
                     f"unsupported Iceberg type override {t!r} for column "
-                    f"{f_.name!r} — only timestamp_ns/timestamptz_ns/unknown"
+                    f"{f_.name!r} — only timestamp_ns/timestamptz_ns/unknown/"
+                    "geometry[(crs)]/geography[(crs[, algorithm])]"
                 )
             entry["type"] = t
         if f_.name in defaults:
@@ -5172,10 +5249,10 @@ def evolved_spec(
         )
         if src is None:
             raise ValueError(f"no column {partition_source!r} in the current schema")
-        if src["type"] == "unknown":
+        if _unorderable_type(src["type"]):
             raise ValueError(
-                f"column {partition_source!r} has type `unknown` (always "
-                "null) — it cannot be a partition source"
+                f"column {partition_source!r} has type {src['type']} — "
+                "it cannot be a partition source (no defined ordering)"
             )
         source_id = src["id"]
         reused = None
@@ -6456,8 +6533,11 @@ class FsCatalog:
         `iceberg_types={col: "timestamptz_ns"}` overrides a LongType
         column's derived type to a v3 nanosecond timestamp (Spark has
         no ns temporal type, so ns columns ride as epoch-nanos longs);
-        requires the reserved `format-version: "3"` create property —
-        the Iceberg convention for birthing a v3 table."""
+        `iceberg_types={col: "geometry(...)"}` / `"geography(...)"`
+        overrides a BinaryType column to a v3 geospatial type (WKB
+        bytes — Spark has no geo type). All require the reserved
+        `format-version: "3"` create property — the Iceberg convention
+        for birthing a v3 table."""
         if self.table_exists(namespace, name):
             return self.load_table(namespace, name)
         self.create_namespace(namespace)

@@ -1446,6 +1446,46 @@ def build_var_metadata_v1() -> dict:
     return md
 
 
+GEO_TABLE_UUID = "c1f7aa42-6d98-4f02-9b37-51de80aa2c19"
+GEO_LOC = "/tmp/spark_graft_golden/wh/otel/goldgeo"
+T_GEO_CREATE_MS = 1705340000000
+
+# Iceberg v3 geospatial types (spec "Primitive Types": geometry(C),
+# geography(C, A)); type strings serialize WITH their parameters, the
+# unparameterized forms mean the spec defaults (CRS OGC:CRS84,
+# geography algorithm spherical)
+GEO_SCHEMA = {
+    "type": "struct",
+    "schema-id": 0,
+    "fields": [
+        {"id": 1, "name": "id", "required": True, "type": "long"},
+        {"id": 2, "name": "shape", "required": False, "type": "geometry"},
+        {
+            "id": 3,
+            "name": "area",
+            "required": False,
+            "type": "geometry(srid:3857)",
+        },
+        {
+            "id": 4,
+            "name": "route",
+            "required": False,
+            "type": "geography(OGC:CRS84, karney)",
+        },
+    ],
+}
+
+
+def build_geo_metadata_v1() -> dict:
+    md = json.loads(json.dumps(build_var_metadata_v1()))
+    md["table-uuid"] = GEO_TABLE_UUID
+    md["location"] = GEO_LOC
+    md["last-updated-ms"] = T_GEO_CREATE_MS
+    md["schemas"] = [GEO_SCHEMA]
+    md["last-column-id"] = 4
+    return md
+
+
 def build_ln_metadata_v1() -> dict:
     md = dict(METADATA_V1)
     md["table-uuid"] = LN_TABLE_UUID
@@ -1621,6 +1661,7 @@ def main() -> None:
         ("ln-v3.metadata.json", build_ln_metadata_v3()),
         ("tns-v1.metadata.json", build_tns_metadata_v1()),
         ("var-v1.metadata.json", build_var_metadata_v1()),
+        ("geo-v1.metadata.json", build_geo_metadata_v1()),
     ):
         with open(os.path.join(HERE, name), "w", encoding="utf-8") as f:
             json.dump(md, f, indent=2)

@@ -550,6 +550,7 @@ class TestGoldenWrite:
             "ln-v3.metadata.json",
             "tns-v1.metadata.json",
             "var-v1.metadata.json",
+            "geo-v1.metadata.json",
         ):
             with open(work / name, "rb") as f:
                 assert f.read() == _golden_bytes(name), name
@@ -606,6 +607,56 @@ class TestGoldenWrite:
                 "variant v3-birth metadata drift"
             )
         shutil.rmtree("/tmp/spark_graft_golden/wh/otel/goldvar", ignore_errors=True)
+
+    def test_geo_v3_birth_metadata(self, monkeypatch):
+        """A v3-BIRTH table with geometry/geography columns (BinaryType
+        WKB + iceberg_types overrides, parameterized and default forms):
+        the engine's first metadata file is byte-identical to the
+        spec-side generator's geo-v1.metadata.json."""
+        import uuid as uuid_mod
+
+        from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+        from opentelemetry_iceberg_exporter_spark.sinks import iceberg_fs
+
+        uuids = iter(
+            [
+                uuid_mod.UUID(GEN.GEO_TABLE_UUID),  # table-uuid
+                uuid_mod.UUID(hex="a" * 32),  # version-hint tmp
+            ]
+        )
+        monkeypatch.setattr(iceberg_fs.uuid, "uuid4", lambda: next(uuids))
+        monkeypatch.setattr(
+            iceberg_fs.time, "time", lambda: GEN.T_GEO_CREATE_MS / 1000.0
+        )
+
+        shutil.rmtree("/tmp/spark_graft_golden/wh/otel/goldgeo", ignore_errors=True)
+        catalog = FsCatalog("/tmp/spark_graft_golden/wh")
+        schema = StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("shape", BinaryType(), True),
+                StructField("area", BinaryType(), True),
+                StructField("route", BinaryType(), True),
+            ]
+        )
+        table = catalog.create_table(
+            "otel",
+            "goldgeo",
+            schema,
+            properties={"owner": "golden", "format-version": "3"},
+            iceberg_types={
+                "shape": "geometry",
+                "area": "geometry(srid:3857)",
+                "route": "geography(OGC:CRS84, karney)",
+            },
+        )
+        assert table.location == GEN.GEO_LOC
+        with open(os.path.join(GEN.GEO_LOC, "metadata", "v1.metadata.json"), "rb") as f:
+            assert f.read() == _golden_bytes("geo-v1.metadata.json"), (
+                "geospatial v3-birth metadata drift"
+            )
+        shutil.rmtree("/tmp/spark_graft_golden/wh/otel/goldgeo", ignore_errors=True)
 
     def test_ns_timestamp_v3_birth_metadata(self, monkeypatch):
         """A v3-BIRTH table with a timestamptz_ns column + hours spec:
