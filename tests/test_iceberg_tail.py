@@ -306,3 +306,173 @@ class TestTailing:
         assert df.columns == ["id", "v", "extra"]
         assert all(r.extra is None for r in df.collect())
         tailer.commit(batch)
+
+
+class TestV3ModesTail:
+    """The round-8 v3 modes composed with the streaming tail (round-8
+    verdict ask #4): a ChangelogTailer over a NANOSECOND-partitioned
+    table with an ns source_range scope, and over a VARIANT table whose
+    change rows keep typed path extraction — exactly-once across a
+    crash, both transports."""
+
+    NS_BASE = 1_705_000_000 * 1_000_000_000
+    DAY_NS = 86_400 * 1_000_000_000
+
+    def _ns_table(self, spark, root):
+        schema = StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("ts_ns", LongType(), True),
+            ]
+        )
+        cat = FsCatalog(str(root / "wh"))
+        t = cat.create_table(
+            "ns", "tail_ns", schema,
+            partition_source="ts_ns", granularity="daily",
+            properties={"format-version": "3"},
+            iceberg_types={"ts_ns": "timestamptz_ns"},
+        )
+        df = spark.range(10).select(
+            F.col("id"),
+            (F.lit(self.NS_BASE) + F.col("id") * F.lit(self.DAY_NS)).alias("ts_ns"),
+        )
+        t.append_dataframe(df)
+        return t
+
+    def test_changelog_tail_ns_scoped_crash_replay(self, spark, tmp_path):
+        t = self._ns_table(spark, tmp_path)
+        ck = str(tmp_path / "ck.json")
+        scope = ("ts_ns", self.NS_BASE, self.NS_BASE + 4 * self.DAY_NS)
+        tailer = ChangelogTailer(t, ck, source_range=scope)
+        df, end = tailer.poll(spark)
+        # the scope keeps days 0..4 only (1ns-sharp ns bounds)
+        assert sorted(r.id for r in df.collect()) == [0, 1, 2, 3, 4]
+        # CRASH before commit: a fresh tailer redelivers the same batch
+        tailer2 = ChangelogTailer(t, ck, source_range=scope)
+        df2, end2 = tailer2.poll(spark)
+        assert sorted(r.id for r in df2.collect()) == [0, 1, 2, 3, 4]
+        assert end2 == end
+        tailer2.commit(end2)
+        # DV delete inside and outside the scope: only the scoped
+        # pre-image arrives, exactly once
+        t.delete_where(
+            spark, f"ts_ns = {self.NS_BASE + 2 * self.DAY_NS}",
+            mode="deletion-vectors",
+        )
+        t.delete_where(
+            spark, f"ts_ns = {self.NS_BASE + 8 * self.DAY_NS}",
+            mode="deletion-vectors",
+        )
+        seen = []
+        tailer2.process_available(
+            spark,
+            lambda d, e: seen.extend((r._change_type, r.id) for r in d.collect()),
+        )
+        assert seen == [("delete", 2)]
+        assert tailer2.poll(spark) is None
+
+    def test_changelog_tail_variant_crash_replay(self, spark, tmp_path):
+        try:
+            from pyspark.sql.types import VariantType
+        except ImportError:
+            pytest.skip("Spark VariantType unavailable")
+        schema = StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("attrs", VariantType(), True),
+            ]
+        )
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table(
+            "ns", "tail_var", schema, properties={"format-version": "3"}
+        )
+        df = spark.range(6).select(
+            F.col("id"),
+            F.parse_json(
+                F.concat(F.lit('{"k": '), F.col("id").cast("string"), F.lit("}"))
+            ).alias("attrs"),
+        )
+        t.append_dataframe(df)
+        ck = str(tmp_path / "ck.json")
+        tailer = ChangelogTailer(t, ck)
+
+        def extract(d):
+            return sorted(
+                (r._change_type, r.id, r.k)
+                for r in d.select(
+                    "_change_type", "id",
+                    F.try_variant_get("attrs", "$.k", "long").alias("k"),
+                ).collect()
+            )
+
+        df1, end = tailer.poll(spark)
+        assert extract(df1) == [("insert", i, i) for i in range(6)]
+        # crash before commit: replay is identical
+        assert extract(ChangelogTailer(t, ck).poll(spark)[0]) == extract(df1)
+        tailer.commit(end)
+        t.delete_where(
+            spark, "try_variant_get(attrs, '$.k', 'long') >= 4",
+            mode="deletion-vectors",
+        )
+        df2, end2 = tailer.poll(spark)
+        assert extract(df2) == [("delete", 4, 4), ("delete", 5, 5)]
+        tailer.commit(end2)
+        assert tailer.poll(spark) is None
+
+    def test_rest_changelog_tail_ns_and_variant(self, spark, tmp_path):
+        try:
+            from pyspark.sql.types import VariantType
+        except ImportError:
+            pytest.skip("Spark VariantType unavailable")
+        import os
+
+        from rest_stub import make_server
+
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
+            RestCatalogClient,
+        )
+
+        warehouse = str(tmp_path / "rwh")
+        os.makedirs(warehouse)
+        server, _, uri = make_server(warehouse)
+        try:
+            client = RestCatalogClient(uri, warehouse=warehouse)
+            client.ensure_namespace("ns")
+            schema = StructType(
+                [
+                    StructField("id", LongType(), False),
+                    StructField("ts_ns", LongType(), True),
+                    StructField("attrs", VariantType(), True),
+                ]
+            )
+            t = client.ensure_table(
+                "ns", "tail_v3", schema,
+                partition_source="ts_ns", granularity="daily",
+                properties={"format-version": "3"},
+                iceberg_types={"ts_ns": "timestamptz_ns"},
+            )
+            df = spark.range(6).select(
+                F.col("id"),
+                (F.lit(self.NS_BASE) + F.col("id") * F.lit(self.DAY_NS)).alias(
+                    "ts_ns"
+                ),
+                F.parse_json(
+                    F.concat(F.lit('{"k": '), F.col("id").cast("string"), F.lit("}"))
+                ).alias("attrs"),
+            )
+            t.append_dataframe(df)
+            ck = str(tmp_path / "ck.json")
+            scope = ("ts_ns", self.NS_BASE, self.NS_BASE + 3 * self.DAY_NS)
+            tailer = ChangelogTailer(t, ck, source_range=scope)
+            df1, end = tailer.poll(spark)
+            got = sorted(
+                (r.id, r.k)
+                for r in df1.select(
+                    "id", F.try_variant_get("attrs", "$.k", "long").alias("k")
+                ).collect()
+            )
+            assert got == [(i, i) for i in range(4)]
+            tailer.commit(end)
+            assert tailer.poll(spark) is None
+        finally:
+            server.shutdown()
