@@ -1,0 +1,379 @@
+"""File-level pruning for EQUALITY predicates via Parquet bloom filters
+(parquet-format BloomFilter.md — split-block bloom filters, SBBF).
+
+Min/max bounds prune range predicates but are useless for point lookups
+on high-cardinality, uniformly distributed keys — exactly the OTLP
+access pattern "find this trace": every file's (trace_id_min,
+trace_id_max) spans nearly the whole key space, so a `trace_id = '...'`
+scan touches every live file. The reference has no answer below a full
+scan either (its query side delegates to the reading engine). Parquet's
+answer is the per-column-chunk split-block bloom filter: ~10-20 bits
+per distinct value buys a <1% false-positive membership test, so a
+point lookup on a 100 TB table prunes to the handful of files that
+MIGHT contain the key — O(candidate files) footer+filter reads instead
+of a full data scan.
+
+Write side: the Iceberg table property
+`write.parquet.bloom-filter-enabled.column.<col>` (spec property;
+`_parquet_write_options` maps it to the parquet writer's
+`parquet.bloom.filter.enabled#<col>`). This module is the READ side:
+
+* `xxh64` — XXH64 from the public spec (github.com/Cyan4973/xxHash
+  doc/xxhash_spec.md); parquet hashes the PLAIN encoding of each value
+  with seed 0. Cross-checked in tests against Spark's own `xxhash64`
+  (seed 42) across every tail-length code path.
+* `sbbf_might_contain` — the spec's block probe: block index =
+  `((h >> 32) * num_blocks) >> 32`, then 8×32-bit words, one bit each
+  selected by `(uint32(h) * SALT[i]) >> 27`.
+* `prune_files_by_bloom` — for each candidate file: one ranged read of
+  the footer-declared bloom region per (row group, probed column);
+  a file is dropped only when EVERY row group carries a readable,
+  spec-valid filter for the column and ALL probe values test absent.
+  Anything unexpected (no filter — e.g. the chunk was fully
+  dictionary-encoded and the writer skipped the bloom, an unknown
+  algorithm/hash/compression variant, a physical type that does not
+  match the declared column type, truncated bytes) keeps the file:
+  strictly conservative, never wrong pruning.
+
+Soundness notes:
+* A bloom filter has false POSITIVES only — `False` from a probe is a
+  proof of absence, so dropping the file cannot lose a match.
+* `col = lit` / `col IN (...)` never match NULL rows, so null handling
+  needs no special case (same rule as bounds pruning).
+* Only string/int/long columns are probed. Floating-point equality is
+  deliberately excluded: `0.0 = -0.0` is TRUE in SQL but the two plain
+  encodings hash differently, so a bloom miss would not prove absence.
+
+Everything is driver-side metadata I/O, parallelized across files, and
+costs zero bytes when the predicate has no equality conjunct on a
+bloom-enabled column.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import struct
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any
+
+from .parquet_footer import (
+    PHYS_BYTE_ARRAY,
+    PHYS_INT32,
+    PHYS_INT64,
+    _CT_FALSE,
+    _CT_I32,
+    _CT_STRUCT,
+    _CT_TRUE,
+    _struct_fields,
+    _skip,
+    _zigzag,
+    footer_row_group_stats,
+)
+
+# ---------------------------------------------------------------------------
+# XXH64 (xxhash_spec.md). Parquet bloom filters hash plain-encoded
+# values with seed 0; Spark SQL's xxhash64 uses the same algorithm with
+# seed 42 — the tests exploit that as an independent oracle.
+
+_M64 = (1 << 64) - 1
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _round(acc: int, lane: int) -> int:
+    acc = (acc + lane * _P2) & _M64
+    return (_rotl64(acc, 31) * _P1) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            v1 = _round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= _round(0, v)
+            h = (h * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h ^= _round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_rotl64(h, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P1) & _M64
+        h = (_rotl64(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl64(h, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Split-block bloom filter probe (parquet-format BloomFilter.md).
+
+_SALT = (
+    0x47B6137B,
+    0x44974D91,
+    0x8824AD5B,
+    0xA2B7289D,
+    0x705495C7,
+    0x2DF1424B,
+    0x9EFC4947,
+    0x5C6BFB31,
+)
+
+
+def sbbf_might_contain(bitset: bytes, h: int) -> bool:
+    """The spec's block probe. True = maybe present (or the bitset is
+    malformed/empty — conservative); False = PROVABLY absent."""
+    num_blocks = len(bitset) // 32
+    if num_blocks == 0:
+        return True
+    base = (((h >> 32) * num_blocks) >> 32) * 32
+    x = h & 0xFFFFFFFF
+    for i in range(8):
+        bit = ((x * _SALT[i]) & 0xFFFFFFFF) >> 27
+        word = int.from_bytes(bitset[base + 4 * i : base + 4 * i + 4], "little")
+        if not (word >> bit) & 1:
+            return False
+    return True
+
+
+_MAX_BLOOM_BYTES = 16 * 1024 * 1024  # sanity cap; writer default max is 1 MiB
+
+
+def _parse_bloom_header(buf: io.BytesIO) -> int | None:
+    """BloomFilterHeader (thrift compact): {1: i32 numBytes,
+    2: algorithm union, 3: hash union, 4: compression union}. Returns
+    numBytes when the filter is the supported spec shape (BLOCK +
+    XXHASH + UNCOMPRESSED — each union's field 1), else None. Leaves
+    `buf` positioned at the first bitset byte."""
+    num_bytes = None
+    algo = hsh = comp = None
+    try:
+        for fid, ct in _struct_fields(buf):
+            if ct in (_CT_TRUE, _CT_FALSE):
+                continue
+            if fid == 1 and ct == _CT_I32:
+                num_bytes = _zigzag(buf)
+            elif fid in (2, 3, 4) and ct == _CT_STRUCT:
+                variant = None
+                for ufid, uct in _struct_fields(buf):
+                    variant = ufid
+                    if uct not in (_CT_TRUE, _CT_FALSE):
+                        _skip(buf, uct)
+                if fid == 2:
+                    algo = variant
+                elif fid == 3:
+                    hsh = variant
+                else:
+                    comp = variant
+            else:
+                _skip(buf, ct)
+    except (ValueError, IndexError):
+        return None
+    if (algo, hsh, comp) != (1, 1, 1):
+        return None  # not BLOCK/XXHASH/UNCOMPRESSED: can't interpret
+    if num_bytes is None or num_bytes <= 0 or num_bytes > _MAX_BLOOM_BYTES:
+        return None
+    return num_bytes
+
+
+def read_bloom_bitset(
+    path: str, offset: int, length: int | None
+) -> bytes | None:
+    """One ranged read of a column chunk's bloom region. None when the
+    filter can't be interpreted (keep the file)."""
+    try:
+        with open(path, "rb") as f:
+            f.seek(offset)
+            # fid-15 length covers header+bitset; without it, 64 bytes
+            # is ample for the ~15-byte header, then read the declared
+            # bitset tail.
+            head = f.read(length if length else 64)
+            buf = io.BytesIO(head)
+            num_bytes = _parse_bloom_header(buf)
+            if num_bytes is None:
+                return None
+            start = buf.tell()
+            bitset = head[start : start + num_bytes]
+            if len(bitset) < num_bytes:
+                f.seek(offset + start + len(bitset))
+                bitset += f.read(num_bytes - len(bitset))
+            if len(bitset) != num_bytes or num_bytes % 32:
+                return None
+            return bitset
+    except OSError:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Equality-conjunct extraction. Same tight grammar family as the DML
+# planner (iceberg_fs._DML_CMP): `col = lit`, flipped, and
+# `col IN (lit, ...)`; anything else contributes no bloom pruning.
+
+_IDENT = r"`?([A-Za-z_][A-Za-z0-9_]*)`?"
+_LIT = r"(?:'(?:[^']|'')*'|-?\d+)"
+_EQ = re.compile(rf"^{_IDENT}\s*==?\s*({_LIT})$", re.IGNORECASE)
+_EQ_FLIP = re.compile(rf"^({_LIT})\s*==?\s*{_IDENT}$", re.IGNORECASE)
+_IN = re.compile(
+    rf"^{_IDENT}\s+IN\s*\(\s*({_LIT}(?:\s*,\s*{_LIT})*)\s*\)$", re.IGNORECASE
+)
+_IN_SPLIT = re.compile(rf"({_LIT})")
+
+# Iceberg column type -> (expected parquet physical type, plain encoder).
+# Floats deliberately absent (0.0/-0.0 hash differently but compare
+# equal); other types absent until a use case proves them out.
+_ENCODERS: dict[str, tuple[int, Any]] = {
+    "string": (PHYS_BYTE_ARRAY, lambda s: s.encode("utf-8")),
+    "int": (
+        PHYS_INT32,
+        lambda v: struct.pack("<i", v) if -(2**31) <= v < 2**31 else None,
+    ),
+    "long": (
+        PHYS_INT64,
+        lambda v: struct.pack("<q", v) if -(2**63) <= v < 2**63 else None,
+    ),
+}
+
+
+def _parse_lit(text: str, col_type: str) -> Any | None:
+    t = text.strip()
+    if t.startswith("'"):
+        return t[1:-1].replace("''", "'") if col_type == "string" else None
+    if col_type in ("int", "long"):
+        try:
+            return int(t)
+        except ValueError:
+            return None
+    return None
+
+
+def parse_bloom_conjuncts(
+    conjuncts: list[str], bloom_cols: dict[str, str]
+) -> dict[str, tuple[int, list[bytes]]]:
+    """{column -> (expected physical type, plain-encoded probe values)}
+    for the AND-level equality conjuncts on bloom-enabled columns
+    (`bloom_cols`: name -> Iceberg type). For `IN`, the file must miss
+    EVERY listed value to be prunable, so all encodings are returned.
+    Case-insensitive column resolution, mirroring the DML grammar."""
+    by_fold = {name.casefold(): (name, t) for name, t in bloom_cols.items()}
+    out: dict[str, tuple[int, list[bytes]]] = {}
+    for raw in conjuncts:
+        c = raw.strip()
+        col = None
+        lits: list[str] = []
+        m = _EQ.match(c)
+        if m:
+            col, lits = m.group(1), [m.group(2)]
+        else:
+            m = _EQ_FLIP.match(c)
+            if m:
+                col, lits = m.group(2), [m.group(1)]
+            else:
+                m = _IN.match(c)
+                if m:
+                    col = m.group(1)
+                    lits = _IN_SPLIT.findall(m.group(2))
+        if col is None or col.casefold() not in by_fold:
+            continue
+        name, col_type = by_fold[col.casefold()]
+        if col_type not in _ENCODERS:
+            continue
+        phys, enc = _ENCODERS[col_type]
+        vals = [_parse_lit(lit, col_type) for lit in lits]
+        if any(v is None for v in vals):
+            continue
+        plains = [enc(v) for v in vals]
+        if any(p is None for p in plains):
+            continue
+        # two equality conjuncts on the same column AND together —
+        # either one's proof of absence suffices, keep the shorter list
+        if name not in out or len(plains) < len(out[name][1]):
+            out[name] = (phys, plains)
+    return out
+
+
+def _file_provably_matchless(
+    path: str, probes: dict[str, tuple[int, list[bytes]]]
+) -> bool:
+    """True only when some probed column's values are PROVEN absent from
+    every row group of `path`."""
+    try:
+        groups = footer_row_group_stats(path)
+    except (ValueError, OSError, IndexError):
+        return False
+    if not groups:
+        return False
+    bitsets: dict[int, bytes | None] = {}
+    for col, (phys, plains) in probes.items():
+        hashes = [xxh64(p) for p in plains]
+        absent_everywhere = True
+        for g in groups:
+            info = g["columns"].get(col)
+            if (
+                info is None
+                or info.get("bloom_offset") is None
+                or info["type"] != phys
+            ):
+                absent_everywhere = False
+                break
+            off = info["bloom_offset"]
+            if off not in bitsets:
+                bitsets[off] = read_bloom_bitset(
+                    path, off, info.get("bloom_length")
+                )
+            bs = bitsets[off]
+            if bs is None or any(sbbf_might_contain(bs, h) for h in hashes):
+                absent_everywhere = False
+                break
+        if absent_everywhere:
+            return True
+    return False
+
+
+def prune_files_by_bloom(
+    files: list, probes: dict[str, tuple[int, list[bytes]]]
+) -> tuple[list, list]:
+    """(kept, dropped) split of candidate DataFiles by bloom probes
+    (from parse_bloom_conjuncts). Footer+filter reads are parallelized
+    across files; every failure mode keeps the file."""
+    if not files or not probes:
+        return list(files), []
+    with ThreadPoolExecutor(max_workers=min(16, len(files))) as pool:
+        verdicts = list(
+            pool.map(
+                lambda f: _file_provably_matchless(f.file_path, probes), files
+            )
+        )
+    kept = [f for f, dead in zip(files, verdicts) if not dead]
+    dropped = [f for f, dead in zip(files, verdicts) if dead]
+    return kept, dropped

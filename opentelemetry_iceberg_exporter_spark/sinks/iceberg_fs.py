@@ -3649,12 +3649,22 @@ def plan_dml_files(
     row-group stats), so surviving candidates get one footer read each
     and provably-matchless files move to `excluded`
     (sinks/variant_prune.py — zero footer I/O when the predicate has
-    no variant conjunct)."""
+    no variant conjunct).
+
+    EQUALITY conjuncts on bloom-enabled columns
+    (`write.parquet.bloom-filter-enabled.column.<col>` table property)
+    prune further: surviving candidates get their parquet split-block
+    bloom filters probed and files that PROVABLY lack every probe value
+    move to `excluded` (sinks/bloom_prune.py) — the point-lookup
+    complement of min/max bounds, which are useless on uniformly
+    distributed keys like trace ids. Zero footer I/O when the predicate
+    has no equality conjunct on a bloom column."""
     ranges = extract_prune_ranges(predicate, md, session_tz)
     excluded: list[DataFile] = []
     scan, deletes, _ = plan_scan_metadata(
         md, snapshot_id, pruned_out=excluded, **ranges
     )
+    conjuncts: list[str] | None = None
     variant_cols = {
         f_["name"]
         for f_ in current_schema(md)["fields"]
@@ -3670,6 +3680,29 @@ def plan_dml_files(
         if vpreds:
             scan, dropped = prune_files_by_variant_stats(scan, vpreds)
             excluded.extend(dropped)
+    bloom_prefix = "write.parquet.bloom-filter-enabled.column."
+    bloom_names = {
+        k[len(bloom_prefix) :]
+        for k, v in md.get("properties", {}).items()
+        if k.startswith(bloom_prefix) and str(v).lower() == "true"
+    }
+    if bloom_names and scan:
+        bloom_cols = {
+            f_["name"]: f_["type"]
+            for f_ in current_schema(md)["fields"]
+            if f_["name"] in bloom_names and isinstance(f_["type"], str)
+        }
+        if bloom_cols:
+            from .bloom_prune import parse_bloom_conjuncts, prune_files_by_bloom
+
+            if conjuncts is None:
+                conjuncts = _split_conjuncts(predicate) or []
+            probes = parse_bloom_conjuncts(
+                [_strip_outer_parens(c) for c in conjuncts], bloom_cols
+            )
+            if probes:
+                scan, dropped = prune_files_by_bloom(scan, probes)
+                excluded.extend(dropped)
     return scan, excluded, deletes
 
 

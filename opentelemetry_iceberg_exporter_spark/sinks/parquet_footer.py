@@ -322,7 +322,13 @@ def _parse_statistics(buf: io.BytesIO) -> dict:
 
 
 def _parse_column_meta(buf: io.BytesIO) -> dict:
-    meta: dict = {"type": None, "path": None, "stats": None}
+    meta: dict = {
+        "type": None,
+        "path": None,
+        "stats": None,
+        "bloom_offset": None,
+        "bloom_length": None,
+    }
     for fid, ct in _struct_fields(buf):
         if ct in (_CT_TRUE, _CT_FALSE):
             continue
@@ -335,6 +341,14 @@ def _parse_column_meta(buf: io.BytesIO) -> dict:
             )
         elif fid == 12 and ct == _CT_STRUCT:
             meta["stats"] = _parse_statistics(buf)
+        elif fid == 14 and ct == _CT_I64:
+            # bloom_filter_offset: file position of the chunk's
+            # BloomFilterHeader (parquet-format ColumnMetaData fid 14)
+            meta["bloom_offset"] = _zigzag(buf)
+        elif fid == 15 and ct == _CT_I32:
+            # bloom_filter_length: header + bitset size (fid 15,
+            # optional — parquet-mr >= 1.12 writes it)
+            meta["bloom_length"] = _zigzag(buf)
         else:
             _skip(buf, ct)
     return meta
@@ -382,6 +396,8 @@ def footer_row_group_stats(path: str) -> list[dict]:
                                     "null_count": (m["stats"] or {}).get(
                                         "null_count"
                                     ),
+                                    "bloom_offset": m["bloom_offset"],
+                                    "bloom_length": m["bloom_length"],
                                 }
                     elif rg_fid == 3 and rg_ct == _CT_I64:
                         num_rows = _zigzag(buf)

@@ -1,0 +1,268 @@
+"""Parquet bloom-filter file pruning (sinks/bloom_prune.py).
+
+Write side is the Iceberg table property
+`write.parquet.bloom-filter-enabled.column.<col>` (test_sort_orders
+pins that the parquet writer honors it); this module pins the READ
+side: XXH64 against Spark's own implementation, the SBBF probe against
+filters parquet-mr actually wrote, planner integration on both
+transports, and every conservative keep-the-file path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from opentelemetry_iceberg_exporter_spark.sinks.bloom_prune import (
+    _parse_bloom_header,
+    parse_bloom_conjuncts,
+    prune_files_by_bloom,
+    read_bloom_bitset,
+    sbbf_might_contain,
+    xxh64,
+)
+from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+    FsCatalog,
+    plan_dml_files,
+)
+from rest_stub import make_server
+
+BLOOM_PROP = {"write.parquet.bloom-filter-enabled.column.doc_id": "true"}
+
+
+def _ids_df(spark, start, stop, step):
+    """doc_id strings covering one lexical range regardless of step —
+    interleaved appends share min/max bounds, so bounds pruning is
+    blind and only the bloom filter can tell the files apart."""
+    return (
+        spark.range(start, stop, step)
+        .selectExpr(
+            "concat('doc-', lpad(cast(id as string), 8, '0')) as doc_id",
+            "id as v",
+        )
+        .coalesce(1)
+    )
+
+
+@pytest.fixture(scope="module")
+def bloom_table(spark, tmp_path_factory):
+    """Two single-file appends — even ids and odd ids — with identical
+    doc_id bounds; blooms on doc_id."""
+    cat = FsCatalog(str(tmp_path_factory.mktemp("bloomwh")))
+    df = _ids_df(spark, 0, 20000, 2)
+    t = cat.create_table("otel", "bl", df.schema, properties=dict(BLOOM_PROP))
+    t.append_dataframe(df)
+    t.append_dataframe(_ids_df(spark, 1, 20000, 1000))  # 20 odd ids
+    return t
+
+
+class TestXxh64:
+    def test_matches_spark_xxhash64_all_tail_paths(self, spark):
+        """Spark SQL's xxhash64 is XXH64 with seed 42 over the raw bytes
+        of a binary column — an independent oracle for every length
+        class (empty, <4, <8, <32, 32-stripe loop + each tail)."""
+        payloads = [bytes(range(n)) for n in range(0, 80)] + [
+            b"", b"\x00" * 100, bytes(range(256)) * 3
+        ]
+        df = spark.createDataFrame(
+            [(p,) for p in payloads], "b binary"
+        ).selectExpr("xxhash64(b) as h")
+        got = [r.h & ((1 << 64) - 1) for r in df.collect()]
+        want = [xxh64(p, seed=42) for p in payloads]
+        assert got == want
+
+    def test_known_empty_vector(self):
+        # XXH64("" , seed=0) from the xxHash reference test suite
+        assert xxh64(b"") == 0xEF46DB3751D8E999
+
+
+class TestProbeAgainstParquetMr:
+    """The probe must agree with filters the real parquet writer built."""
+
+    def test_all_present_values_maybe_contained(self, bloom_table):
+        data, _ = bloom_table.plan_files()
+        # probe a sample of values KNOWN present in the even file: it
+        # contains them all, so it must survive (bloom has no false
+        # negatives)
+        probes = {
+            "doc_id": (6, [f"doc-{i:08d}".encode() for i in range(0, 20000, 400)])
+        }
+        kept, _dropped = prune_files_by_bloom(list(data), probes)
+        assert any(f.record_count == 10000 for f in kept)
+
+    def test_absent_value_prunes_every_file(self, bloom_table):
+        data, _ = bloom_table.plan_files()
+        probes = {"doc_id": (6, [b"doc-99999999"])}
+        kept, dropped = prune_files_by_bloom(list(data), probes)
+        assert not kept and len(dropped) == len(data)
+
+    def test_per_value_soundness_sweep(self, bloom_table):
+        """For every present value: the file that holds it survives."""
+        data, _ = bloom_table.plan_files()
+        big = next(f for f in data if f.record_count == 10000)
+        for i in range(0, 20000, 1024):  # even ids live in `big`
+            i -= i % 2
+            probes = {"doc_id": (6, [f"doc-{i:08d}".encode()])}
+            kept, _ = prune_files_by_bloom([big], probes)
+            assert kept, f"doc-{i:08d} wrongly pruned from its own file"
+
+
+class TestPlannerIntegration:
+    def test_point_lookup_plans_one_file(self, spark, bloom_table):
+        md = bloom_table.metadata()
+        scan, excluded, _ = plan_dml_files(
+            md, md["current-snapshot-id"], "doc_id = 'doc-00000002'"
+        )
+        assert len(scan) == 1 and len(excluded) == 1
+        got = bloom_table.read(spark, where="doc_id = 'doc-00000002'").collect()
+        assert [(r.doc_id, r.v) for r in got] == [("doc-00000002", 2)]
+
+    def test_in_list_prunes_only_when_all_absent(self, bloom_table):
+        md = bloom_table.metadata()
+        # both values even -> odd file excluded
+        scan, excluded, _ = plan_dml_files(
+            md,
+            md["current-snapshot-id"],
+            "doc_id IN ('doc-00000002', 'doc-00000004')",
+        )
+        assert len(scan) == 1 and len(excluded) == 1
+        # one value from each file -> nothing prunable
+        scan, excluded, _ = plan_dml_files(
+            md,
+            md["current-snapshot-id"],
+            "doc_id IN ('doc-00000002', 'doc-00001001')",
+        )
+        assert len(scan) == 2 and not excluded
+
+    def test_conjunct_with_range_composes(self, spark, bloom_table):
+        """bounds pruning and bloom pruning stack: the range conjunct is
+        row-filtered, the equality conjunct prunes by bloom."""
+        got = bloom_table.read(
+            spark, where="doc_id = 'doc-00000002' AND v < 100"
+        ).collect()
+        assert len(got) == 1
+
+    def test_non_equality_predicate_reads_no_footers(
+        self, bloom_table, monkeypatch
+    ):
+        import opentelemetry_iceberg_exporter_spark.sinks.bloom_prune as bp
+
+        def boom(*a, **k):  # pragma: no cover
+            raise AssertionError("footer read attempted without eq conjunct")
+
+        monkeypatch.setattr(bp, "footer_row_group_stats", boom)
+        md = bloom_table.metadata()
+        scan, excluded, _ = plan_dml_files(
+            md, md["current-snapshot-id"], "v >= 0"
+        )
+        assert len(scan) == 2
+
+    def test_files_without_filters_are_kept(self, spark, tmp_path):
+        """Property enabled AFTER data exists: old files carry no bloom
+        and must stay in the scan."""
+        cat = FsCatalog(str(tmp_path / "wh_late"))
+        df = _ids_df(spark, 0, 1000, 2)
+        t = cat.create_table("otel", "late", df.schema)
+        t.append_dataframe(df)
+        t.set_properties(dict(BLOOM_PROP))
+        md = t.metadata()
+        # 'doc-00000001' is inside the file's min/max bounds (so bounds
+        # pruning keeps it) but absent; with no bloom written, the file
+        # must stay
+        scan, excluded, _ = plan_dml_files(
+            md, md["current-snapshot-id"], "doc_id = 'doc-00000001'"
+        )
+        assert len(scan) == 1 and not excluded
+
+    def test_delete_where_uses_bloom_pruning(self, spark, tmp_path):
+        """Row-level DML shares the planner: a point delete only ever
+        rewrites the file that might hold the key."""
+        cat = FsCatalog(str(tmp_path / "wh_dml"))
+        df = _ids_df(spark, 0, 2000, 2)
+        t = cat.create_table("otel", "dml", df.schema, properties=dict(BLOOM_PROP))
+        t.append_dataframe(df)
+        t.append_dataframe(_ids_df(spark, 1, 2000, 2))
+        before = {f.file_path for f in t.plan_files()[0]}
+        t.delete_where(spark, "doc_id = 'doc-00000002'")
+        after = {f.file_path for f in t.plan_files()[0]}
+        # the odd file is untouched (survives by identity), the even
+        # file was rewritten
+        assert len(before & after) == 1
+        assert t.read(spark).count() == 1999
+
+
+class TestRestParity:
+    def test_point_lookup_over_rest(self, spark, tmp_path):
+        warehouse = str(tmp_path / "wh")
+        os.makedirs(warehouse)
+        server, _, uri = make_server(warehouse)
+        try:
+            from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
+                RestCatalogClient,
+            )
+
+            client = RestCatalogClient(uri)
+            client.ensure_namespace("otel")
+            df = _ids_df(spark, 0, 2000, 2)
+            t = client.ensure_table(
+                "otel", "bl", df.schema, properties=dict(BLOOM_PROP)
+            )
+            t.append_dataframe(df)
+            t.append_dataframe(_ids_df(spark, 1, 2000, 2))
+            md = t.metadata()
+            scan, excluded, _ = plan_dml_files(
+                md, md["current-snapshot-id"], "doc_id = 'doc-00000003'"
+            )
+            assert len(scan) == 1 and len(excluded) == 1
+            got = t.read(spark, where="doc_id = 'doc-00000003'").collect()
+            assert [(r.doc_id, r.v) for r in got] == [("doc-00000003", 3)]
+        finally:
+            server.shutdown()
+
+
+class TestConservativePaths:
+    def test_header_garbage_returns_none(self):
+        import io
+
+        assert _parse_bloom_header(io.BytesIO(b"\xff\xff\xff\xff")) is None
+        assert _parse_bloom_header(io.BytesIO(b"")) is None
+
+    def test_bitset_from_wrong_offset_is_none(self, bloom_table):
+        data, _ = bloom_table.plan_files()
+        # offset 4 lands mid-page: not a valid header -> keep-file path
+        assert read_bloom_bitset(data[0].file_path, 4, None) is None
+
+    def test_missing_file_is_kept(self):
+        class Fake:
+            file_path = "/nonexistent/file.parquet"
+
+        kept, dropped = prune_files_by_bloom([Fake()], {"c": (6, [b"x"])})
+        assert kept and not dropped
+
+    def test_empty_bitset_says_maybe(self):
+        assert sbbf_might_contain(b"", 12345)
+
+    def test_parse_skips_unsupported_shapes(self):
+        cols = {"s": "string", "n": "long", "d": "double", "t": "timestamptz"}
+        out = parse_bloom_conjuncts(
+            [
+                "d = 1.5",               # float equality excluded
+                "t = TIMESTAMP '2026-01-01 00:00:00'",
+                "s > 'a'",               # not equality
+                "s LIKE 'a%'",
+                "n = 9223372036854775808",  # overflows long
+                "other = 'x'",           # not a bloom column
+            ],
+            cols,
+        )
+        assert out == {}
+
+    def test_parse_accepts_supported_shapes(self):
+        cols = {"s": "string", "n": "long", "i": "int"}
+        out = parse_bloom_conjuncts(
+            ["'it''s' = s", "n IN (1, 2)", "`i` = -3"], cols
+        )
+        assert out["s"][1] == [b"it's"]
+        assert len(out["n"][1]) == 2
+        assert out["i"][1] == [b"\xfd\xff\xff\xff"]
