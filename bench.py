@@ -324,6 +324,177 @@ def run_write_path_rest(spark, sf_dir: str) -> dict:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def run_v3_modes_bench(spark, sf_dir: str) -> dict:
+    """Round-over-round perf signal for the round-8 exporter modes
+    (round-8 verdict ask: they had none) plus the round-9 bloom-filter
+    point lookup — one fs pass, all on the SAME v3 table so the line
+    measures the composed production shape:
+
+    * `v3_sink`: OTLP traces JSON (synthesized at sf scale from the
+      events table, one span per event with REAL sub-microsecond
+      timestamp information) -> parse -> 33-col flatten with
+      ns_timestamps=True -> variant_attrs conversion -> ONE append into
+      a v3 table that is hour-granularity-partitioned over the
+      timestamptz_ns column, carries VARIANT attribute columns, and
+      writes bloom filters on span_id — the full ns+variant exporter
+      pipeline, parse to committed snapshot.
+    * `ns_scoped_read`: a sub-microsecond ns-bound scan (1ns-sharp file
+      bounds + row filter).
+    * `variant_read`: typed-path extraction filter over the shredded
+      VARIANT column.
+    * `bloom_lookup`: a span_id point lookup — every daily file spans
+      the whole key space (min/max useless), so files_scanned == 1 is
+      the bloom filters working; the excluded count regression-guards
+      the pruning itself.
+    """
+    from pyspark.sql import functions as F
+
+    from opentelemetry_iceberg_exporter_spark.otlp.traces import (
+        flatten_traces,
+        ns_trace_types,
+        parse_traces_json,
+    )
+    from opentelemetry_iceberg_exporter_spark.schemas import (
+        SIGNAL_TRACES,
+        to_variant_attrs,
+    )
+    from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+        FsCatalog,
+        plan_dml_files,
+    )
+    from opentelemetry_iceberg_exporter_spark.sources.tables import load_table
+
+    tmp = tempfile.mkdtemp(prefix="bench_v3_")
+    try:
+        # ---- untimed staging: synthesize OTLP traces JSON from events.
+        # ts_ns is us-truncated epoch nanos; pmod(event_id, 1000) adds
+        # real sub-us digits so the ns pipeline carries information a
+        # us engine would destroy. to_json drops the NULL oneof arms.
+        payload_dir = os.path.join(tmp, "payloads")
+        (
+            load_table(spark, sf_dir, "events")
+            .selectExpr(
+                """to_json(named_struct(
+  'resourceSpans', array(named_struct(
+    'resource', named_struct('attributes', array(
+      named_struct('key', 'service.name', 'value',
+                   named_struct('stringValue',
+                                concat('svc-', cast(pmod(user_id, 8) as string)))))),
+    'scopeSpans', array(named_struct(
+      'spans', array(named_struct(
+        'traceId', lpad(hex(event_id), 32, '0'),
+        'spanId', lpad(hex(xxhash64(event_id)), 16, '0'),
+        'name', event_type,
+        'kind', 2,
+        'startTimeUnixNano', cast(ts_ns + pmod(event_id, 1000) as string),
+        'endTimeUnixNano',
+          cast(ts_ns + pmod(event_id, 1000) + 5000000 as string),
+        'attributes', array(
+          named_struct('key', 'http.status_code', 'value',
+            named_struct(
+              'intValue',
+              cast(case when pmod(event_id, 50) = 0 then 500 else 200 end
+                   as string),
+              'stringValue', cast(null as string))),
+          named_struct('key', 'http.method', 'value',
+            named_struct(
+              'intValue', cast(null as string),
+              'stringValue',
+              case when pmod(event_id, 3) = 0 then 'POST' else 'GET' end))),
+        'status', named_struct('code', 1, 'message', ''))))))))
+) as value"""
+            )
+            .write.text(payload_dir)
+        )
+
+        cat = FsCatalog(os.path.join(tmp, "wh"))
+
+        # ---- timed: the composed ns+variant exporter sink
+        t0 = time.perf_counter()
+        flat = to_variant_attrs(
+            flatten_traces(
+                parse_traces_json(spark.read.text(payload_dir)),
+                ns_timestamps=True,
+            ),
+            SIGNAL_TRACES,
+        )
+        t = cat.create_table(
+            "bench",
+            "tr_v3",
+            flat.schema,
+            partition_source="start_time_unix_nano",
+            granularity="daily",
+            properties={
+                "format-version": "3",
+                "write.parquet.bloom-filter-enabled.column.span_id": "true",
+            },
+            iceberg_types=ns_trace_types(),
+        )
+        t.append_dataframe(flat)
+        sink_sec = time.perf_counter() - t0
+        sink_rows = t.count_rows()
+
+        # ---- timed: sub-us scoped ns read (the o14 shape at scale):
+        # a bound with non-zero sub-us digits between two days
+        md = t.metadata()
+        mid = md  # readability: planning below re-reads metadata once
+        bounds = t.read(spark).agg(
+            F.min("start_time_unix_nano").alias("lo"),
+            F.max("start_time_unix_nano").alias("hi"),
+        ).first()
+        cut = ((bounds["lo"] + bounds["hi"]) // 2) | 1  # mid, odd: sub-us sharp
+        t0 = time.perf_counter()
+        ns_rows = (
+            t.read(spark, where=f"start_time_unix_nano > {cut}").count()
+        )
+        ns_scoped_read_sec = time.perf_counter() - t0
+
+        # ---- timed: typed variant-path extraction filter
+        t0 = time.perf_counter()
+        variant_rows = (
+            t.read(spark)
+            .where(
+                F.try_variant_get(
+                    "span_attributes", "$['http.status_code']", "long"
+                )
+                >= 500
+            )
+            .count()
+        )
+        variant_read_sec = time.perf_counter() - t0
+
+        # ---- timed: bloom point lookup on span_id. span_id is the HEX
+        # OF A HASH of the (time-sequential) event id, so every daily
+        # file's min/max spans the whole key space — bounds prune
+        # nothing, only the bloom filters discriminate. Event 42 exists
+        # at every sf; its span id is recomputed the way the synth did.
+        span_id = spark.sql(
+            "select lower(lpad(hex(xxhash64(cast(42 as bigint))), 16, '0')) v"
+        ).first()["v"]  # flatten lowercases OTLP hex ids
+        scan, excluded, _ = plan_dml_files(
+            mid, mid["current-snapshot-id"], f"span_id = '{span_id}'"
+        )
+        t0 = time.perf_counter()
+        bloom_rows = t.read(spark, where=f"span_id = '{span_id}'").count()
+        bloom_lookup_sec = time.perf_counter() - t0
+
+        return {
+            "v3_sink_rows": sink_rows,
+            "v3_sink_sec": round(sink_sec, 3),
+            "v3_sink_rows_per_sec": round(sink_rows / sink_sec, 1),
+            "ns_scoped_read_rows": ns_rows,
+            "ns_scoped_read_sec": round(ns_scoped_read_sec, 3),
+            "variant_read_rows": variant_rows,
+            "variant_read_sec": round(variant_read_sec, 3),
+            "bloom_lookup_rows": bloom_rows,
+            "bloom_lookup_sec": round(bloom_lookup_sec, 3),
+            "bloom_files_scanned": len(scan),
+            "bloom_files_excluded": len(excluded),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 N_EXPIRE_SNAPSHOTS = 500
 
 
@@ -451,6 +622,7 @@ def main() -> None:
     warmup_write_path(spark, sf_dir)
     write_path = run_write_path_fs(spark, sf_dir)
     write_path_rest = run_write_path_rest(spark, sf_dir)
+    v3_modes = run_v3_modes_bench(spark, sf_dir)
     expire_depth = run_expire_depth_bench()
 
     total = round(sum(timings.values()), 3)
@@ -466,6 +638,7 @@ def main() -> None:
             "steady_passes": N_STEADY_PASSES,
             "write_path": write_path,
             "write_path_rest": write_path_rest,
+            "v3_modes": v3_modes,
             "expire_depth": expire_depth,
             "sf": sf_val,
         }
@@ -495,6 +668,12 @@ def main() -> None:
             "scoped_changelog_sec": write_path["scoped_changelog_sec"],
             "expire_plan_sec": expire_depth["expire_plan_sec"],
             "expire_manifests_opened": expire_depth["expire_manifests_opened"],
+            "v3_sink_rows_per_sec": v3_modes["v3_sink_rows_per_sec"],
+            "ns_scoped_read_sec": v3_modes["ns_scoped_read_sec"],
+            "variant_read_sec": v3_modes["variant_read_sec"],
+            "bloom_lookup_sec": v3_modes["bloom_lookup_sec"],
+            "bloom_files_scanned": v3_modes["bloom_files_scanned"],
+            "bloom_files_excluded": v3_modes["bloom_files_excluded"],
         }
     )
     # teardown BEFORE printing: streaming availableNow queries already

@@ -85,6 +85,14 @@ class CatalogConfig:
     # batch's traces without its logs/metrics halves. Per-table commit
     # shapes (wap_branch, upsert_keys) are mutually exclusive.
     atomic_batch: bool = False
+    # per-signal parquet BLOOM FILTER columns: each listed column gets
+    # the write.parquet.bloom-filter-enabled.column.<col> table property
+    # at DDL time, so point lookups on high-cardinality uniformly
+    # distributed keys (trace_id/span_id — where min/max bounds prune
+    # nothing) plan down to the files that might hold the key
+    # (sinks/bloom_prune.py). e.g. {"traces": ["trace_id", "span_id"]}.
+    # Column names are checked against the signal schema at DDL time.
+    bloom_filter_columns: dict[str, list[str]] = field(default_factory=dict)
 
     def validate(self) -> None:
         if self.catalog_type not in VALID_CATALOG_TYPES:
@@ -101,6 +109,12 @@ class CatalogConfig:
             if not cols or not all(isinstance(c, str) and c for c in cols):
                 raise ValueError(
                     f"catalog.upsert_keys[{signal!r}] must be a non-empty list of column names"
+                )
+        for signal, cols in self.bloom_filter_columns.items():
+            if not cols or not all(isinstance(c, str) and c for c in cols):
+                raise ValueError(
+                    f"catalog.bloom_filter_columns[{signal!r}] must be a "
+                    "non-empty list of column names"
                 )
         if self.upsert_keys and self.wap_branch:
             raise ValueError(

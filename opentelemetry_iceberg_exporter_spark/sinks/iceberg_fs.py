@@ -4587,9 +4587,17 @@ def net_changes(df: DataFrame) -> DataFrame:
     window's change volume, never the table. delete_key rows (no row
     identity) and null _row_id rows (pre-lineage files) are refused —
     the check rides INSIDE the plan (raise_error on the partition key
-    column), so the guard costs no extra Spark job; lineage changelogs
-    auto-resolve equality-delete pre-images (full_pre_images defaults
-    to with_lineage), so the refusal only fires on an explicit
+    column), so the guard costs no extra Spark job. Exception contract:
+    the refusal surfaces at ACTION time as a Spark execution error
+    (SparkRuntimeException wrapping the message below), not as a
+    ValueError from this call — the input is a lazy DataFrame, so
+    eager validation would itself cost a job. Caller-side filters
+    cannot skip it: a filter on _row_id pushed below the window
+    substitutes the guard CASE expression into its own condition, and
+    filters on other columns cannot cross the window boundary
+    (pinned in test_plans.py). Lineage changelogs auto-resolve
+    equality-delete pre-images (full_pre_images defaults to
+    with_lineage), so the refusal only fires on an explicit
     full_pre_images=False or on files predating lineage."""
     from pyspark.sql import Window
 

@@ -55,6 +55,31 @@ TABLE_PROPERTIES = {
 }
 
 
+
+
+def _exporter_table_props(config, signal: str, schema) -> dict[str, str]:
+    """The per-signal DDL property set both transports share."""
+    props = dict(TABLE_PROPERTIES)
+    props[f"iceberg_exporter.{signal}_schema_version"] = S.SCHEMA_VERSION
+    props["write.parquet.compression-codec"] = config.storage.compression
+    if config.ns_timestamps or config.variant_attrs:
+        # ns/variant tables must BIRTH at v3 (timestamptz_ns /
+        # variant columns)
+        props["format-version"] = "3"
+    names = set(schema.names)
+    for col in config.catalog.bloom_filter_columns.get(signal, []):
+        # fail at DDL time, not as a silently ignored writer option
+        if col not in names:
+            raise ValueError(
+                f"catalog.bloom_filter_columns[{signal!r}]: column "
+                f"{col!r} is not in the {signal} table schema"
+            )
+        props[f"write.parquet.bloom-filter-enabled.column.{col}"] = "true"
+    return props
+
+
+
+
 class IcebergUnavailableError(RuntimeError):
     pass
 
@@ -200,14 +225,9 @@ class FsIcebergSink:
         self._ensured: set[str] = set()
 
     def _table_props(self, signal: str) -> dict[str, str]:
-        props = dict(TABLE_PROPERTIES)
-        props[f"iceberg_exporter.{signal}_schema_version"] = S.SCHEMA_VERSION
-        props["write.parquet.compression-codec"] = self.config.storage.compression
-        if self.config.ns_timestamps or self.config.variant_attrs:
-            # ns/variant tables must BIRTH at v3 (timestamptz_ns /
-            # variant columns)
-            props["format-version"] = "3"
-        return props
+        return _exporter_table_props(
+            self.config, signal, self._signal_schema(signal)
+        )
 
     def _signal_schema(self, signal: str):
         return S.schema_for(
@@ -329,14 +349,9 @@ class RestIcebergSink:
         )
 
     def _table_props(self, signal: str) -> dict[str, str]:
-        props = dict(TABLE_PROPERTIES)
-        props[f"iceberg_exporter.{signal}_schema_version"] = S.SCHEMA_VERSION
-        props["write.parquet.compression-codec"] = self.config.storage.compression
-        if self.config.ns_timestamps or self.config.variant_attrs:
-            # ns/variant tables must BIRTH at v3 (timestamptz_ns /
-            # variant columns)
-            props["format-version"] = "3"
-        return props
+        return _exporter_table_props(
+            self.config, signal, self._signal_schema(signal)
+        )
 
     def _signal_schema(self, signal: str):
         return S.schema_for(

@@ -221,6 +221,99 @@ class TestRestParity:
             server.shutdown()
 
 
+class TestExporterBloomConfig:
+    """catalog.bloom_filter_columns: the exporter-level knob that puts
+    bloom filters on the signal tables' id columns at DDL time."""
+
+    def _cfg(self, tmp_path, **kw):
+        from opentelemetry_iceberg_exporter_spark.config import (
+            CatalogConfig,
+            ExporterConfig,
+            PartitionConfig,
+            StorageConfig,
+        )
+
+        return ExporterConfig(
+            storage=StorageConfig(
+                provider="filesystem", bucket=str(tmp_path), prefix="otel-exp"
+            ),
+            catalog=CatalogConfig(
+                catalog_type="fs", warehouse=str(tmp_path / "wh"), **kw
+            ),
+            partition=PartitionConfig(granularity="hourly"),
+        )
+
+    def _fixture(self, name):
+        return os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "..",
+            "opentelemetry_iceberg_exporter_spark",
+            "queries",
+            "fixtures",
+            name,
+        )
+
+    def test_traces_ids_get_bloom_filters(self, spark, tmp_path):
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_sink import (
+            FsIcebergSink,
+        )
+        from opentelemetry_iceberg_exporter_spark.sinks.parquet_footer import (
+            footer_row_group_stats,
+        )
+        from opentelemetry_iceberg_exporter_spark.streaming.pipeline import (
+            flatten_signal,
+        )
+
+        cfg = self._cfg(
+            tmp_path,
+            bloom_filter_columns={"traces": ["trace_id", "span_id"]},
+        )
+        cfg.validate()
+        raw = spark.read.text(self._fixture("otlp_traces.jsonl"))
+        sink = FsIcebergSink(spark, cfg)
+        sink.append(flatten_signal(raw, "traces")["traces"], "traces")
+        t = sink.catalog.load_table("otel", "otel_traces")
+        md = t.metadata()
+        props = md["properties"]
+        assert props["write.parquet.bloom-filter-enabled.column.trace_id"] == "true"
+        assert props["write.parquet.bloom-filter-enabled.column.span_id"] == "true"
+        # NOTE: the fixture batch is tiny, so its column chunks are
+        # fully dictionary-encoded and parquet-mr may SKIP the bloom
+        # (filter emission at volume is pinned by test_sort_orders);
+        # the planner must stay correct either way — missing filters
+        # keep the file, present ones prune, the lookup's rows are
+        # identical.
+        data, _ = t.plan_files()
+        assert data and all(
+            "bloom_offset" in g["columns"]["span_id"]
+            for f in data
+            for g in footer_row_group_stats(f.file_path)
+        )
+        got = t.read(
+            spark, where="span_id = '0102030405060708'"
+        ).select("span_id").collect()
+        assert [r.span_id for r in got] == ["0102030405060708"]
+
+    def test_unknown_column_fails_at_ddl(self, spark, tmp_path):
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_sink import (
+            FsIcebergSink,
+        )
+        from opentelemetry_iceberg_exporter_spark.streaming.pipeline import (
+            flatten_signal,
+        )
+
+        cfg = self._cfg(tmp_path, bloom_filter_columns={"traces": ["nope"]})
+        raw = spark.read.text(self._fixture("otlp_traces.jsonl"))
+        sink = FsIcebergSink(spark, cfg)
+        with pytest.raises(ValueError, match="not in the traces table schema"):
+            sink.append(flatten_signal(raw, "traces")["traces"], "traces")
+
+    def test_empty_column_list_refused(self, tmp_path):
+        cfg = self._cfg(tmp_path, bloom_filter_columns={"traces": []})
+        with pytest.raises(ValueError, match="bloom_filter_columns"):
+            cfg.validate()
+
+
 class TestConservativePaths:
     def test_header_garbage_returns_none(self):
         import io

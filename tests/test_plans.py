@@ -371,3 +371,31 @@ class TestLineagePlanContracts:
         assert n_exchanges <= 2, plan  # row_number + count may re-sort, never re-shuffle more
         assert "raise_error" in plan or "RAISE_ERROR" in plan.upper()
         assert "CartesianProduct" not in plan
+
+    def test_net_changes_guard_survives_caller_filters(self, spark):
+        """A caller-side filter on the RESULT cannot skip the identity
+        guard: a filter on _row_id pushed below the window substitutes
+        the guard CASE expression (raise_error still evaluates for bad
+        rows), and filters on other columns cannot cross the window
+        boundary — so a changelog containing an identity-less row
+        always aborts, whatever the caller selects."""
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            net_changes,
+        )
+
+        log = spark.createDataFrame(
+            [
+                (1, "a", "insert", 10, 1),
+                (2, "b", "delete_key", None, 2),  # identity-less row
+            ],
+            "id long, v string, _change_type string, _row_id long, "
+            "_commit_sequence_number long",
+        )
+        out = net_changes(log)
+        for flt in (
+            "_row_id = 10",             # partition key: pushdown substitutes
+            "_change_type = 'insert'",  # non-key: stays above the window
+            "v = 'a'",
+        ):
+            with pytest.raises(Exception, match="row identity"):
+                out.filter(flt).collect()
