@@ -3664,12 +3664,30 @@ def plan_dml_files(
     scan, deletes, _ = plan_scan_metadata(
         md, snapshot_id, pruned_out=excluded, **ranges
     )
+    scan, dropped = predicate_footer_prune(md, scan, predicate)
+    excluded.extend(dropped)
+    return scan, excluded, deletes
+
+
+def predicate_footer_prune(
+    md: dict, scan: list[DataFile], predicate: str
+) -> tuple[list[DataFile], list[DataFile]]:
+    """FILE-FOOTER pruning of a candidate list by the predicate's
+    conjuncts — the half of predicate planning that reads parquet
+    footers instead of manifests, shared by DML planning and
+    server-planned REST reads (a REST catalog prunes by manifest
+    metadata only; the client still owns the footer pass over the
+    returned candidates). Returns (kept, dropped): shredded-variant
+    row-group stats (variant_prune) then split-block bloom probes
+    (bloom_prune); zero footer I/O when the predicate carries no
+    matching conjunct."""
     conjuncts: list[str] | None = None
     variant_cols = {
         f_["name"]
         for f_ in current_schema(md)["fields"]
         if f_["type"] == "variant"
     }
+    dropped_all: list[DataFile] = []
     if variant_cols:
         from .variant_prune import parse_variant_conjuncts, prune_files_by_variant_stats
 
@@ -3679,7 +3697,7 @@ def plan_dml_files(
         )
         if vpreds:
             scan, dropped = prune_files_by_variant_stats(scan, vpreds)
-            excluded.extend(dropped)
+            dropped_all.extend(dropped)
     bloom_prefix = "write.parquet.bloom-filter-enabled.column."
     bloom_names = {
         k[len(bloom_prefix) :]
@@ -3702,8 +3720,8 @@ def plan_dml_files(
             )
             if probes:
                 scan, dropped = prune_files_by_bloom(scan, probes)
-                excluded.extend(dropped)
-    return scan, excluded, deletes
+                dropped_all.extend(dropped)
+    return scan, dropped_all
 
 
 def snapshot_id_as_of(md: dict, timestamp_ms: int) -> int | None:

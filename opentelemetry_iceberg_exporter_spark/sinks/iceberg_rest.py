@@ -132,6 +132,18 @@ class RestCatalogClient:
         self.prefix = merged.get("prefix", "")
         if not self.warehouse:
             self.warehouse = merged.get("warehouse", "")
+        # ConfigResponse `endpoints` (spec): the capability list this
+        # server advertises, as "VERB /v1/{prefix}/..." template
+        # strings. None = the server predates the field — assume only
+        # the baseline surface (no server-side scan planning).
+        eps = cfg.get("endpoints")
+        self.endpoints: frozenset[str] | None = (
+            frozenset(str(e) for e in eps) if eps is not None else None
+        )
+        # flipped when a server that ADVERTISES planning answers the
+        # plan route with a not-implemented status — remembered so auto
+        # mode stops re-probing per read
+        self._plan_unsupported = False
 
     # -- transport ---------------------------------------------------------
     def _request(
@@ -199,6 +211,46 @@ class RestCatalogClient:
         return f"{base}/namespaces"
 
     # -- namespaces (catalog_rest.go:129-165) ------------------------------
+    # -- server-side scan planning (spec PlanTableScan family) --------------
+    _PLAN_ENDPOINT = "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan"
+
+    def supports_scan_planning(self) -> bool:
+        """True when the /v1/config handshake advertised the plan
+        endpoint and no later response proved it unimplemented."""
+        return (
+            not self._plan_unsupported
+            and self.endpoints is not None
+            and self._PLAN_ENDPOINT in self.endpoints
+        )
+
+    def plan_table_scan(self, namespace: str, name: str, body: dict) -> dict:
+        """POST .../plan — submit a PlanTableScanRequest; the result is
+        either the completed plan or a plan-id to poll."""
+        return self._request(
+            "POST", self._table_path(namespace, name) + "/plan", body
+        )
+
+    def fetch_planning_result(self, namespace: str, name: str, plan_id: str) -> dict:
+        path = self._table_path(namespace, name) + "/plan/" + urllib.parse.quote(
+            plan_id, safe=""
+        )
+        return self._request("GET", path)
+
+    def cancel_planning(self, namespace: str, name: str, plan_id: str) -> None:
+        path = self._table_path(namespace, name) + "/plan/" + urllib.parse.quote(
+            plan_id, safe=""
+        )
+        self._request("DELETE", path)
+
+    def fetch_scan_tasks(self, namespace: str, name: str, plan_task: str) -> dict:
+        """POST .../tasks — exchange one opaque plan-task token for a
+        FetchScanTasksResult page."""
+        return self._request(
+            "POST",
+            self._table_path(namespace, name) + "/tasks",
+            {"plan-task": plan_task},
+        )
+
     def list_namespaces(self) -> list[str]:
         out = self._request("GET", self._ns_path())
         return [".".join(ns) for ns in out.get("namespaces", [])]
@@ -1980,6 +2032,90 @@ class RestTable:
         )
         return data, pruned
 
+    # statuses that mean "this server does not implement the plan
+    # route" (despite advertising it) — auto mode falls back to local
+    # planning and remembers; anything else is a real failure
+    _PLAN_NOT_IMPLEMENTED = frozenset({404, 405, 406, 501})
+
+    def plan_files_server(
+        self,
+        snapshot_id: int | None = None,
+        filter_json: dict | None = None,
+        select: list[str] | None = None,
+        poll_interval: float = 0.2,
+        deadline: float = 60.0,
+    ) -> list[tuple["DataFile", list["DataFile"]]]:
+        """Server-side scan planning (REST spec PlanTableScan): submit
+        the plan, poll `submitted` results until the server completes
+        (cancelling server-side work at `deadline`), drain every
+        plan-task page, and return [(data file, applicable delete
+        files)] scan tasks. Raises RestError on failed/cancelled plans
+        and on byzantine results (unknown status, runaway pagination).
+        """
+        from .rest_scan import MAX_PLAN_TASK_FETCHES, parse_scan_tasks
+
+        md = self.metadata()
+        sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
+        if sid in (-1, None):
+            return []
+        body: dict[str, Any] = {"snapshot-id": sid, "case-sensitive": True}
+        if filter_json is not None:
+            body["filter"] = filter_json
+        if select is not None:
+            body["select"] = list(select)
+        res = self.client.plan_table_scan(self.namespace, self.name, body)
+        plan_id = res.get("plan-id")
+        t0 = time.monotonic()
+        while res.get("status") == "submitted":
+            plan_id = res.get("plan-id", plan_id)
+            if plan_id is None:
+                raise RestError(
+                    0, "InvalidResponseException", "submitted plan without plan-id"
+                )
+            if time.monotonic() - t0 > deadline:
+                try:
+                    self.client.cancel_planning(self.namespace, self.name, plan_id)
+                finally:
+                    pass
+                raise RestError(
+                    0,
+                    "PlanningTimeoutException",
+                    f"scan planning exceeded {deadline}s (plan {plan_id} cancelled)",
+                )
+            time.sleep(poll_interval)
+            res = self.client.fetch_planning_result(
+                self.namespace, self.name, plan_id
+            )
+        status = res.get("status")
+        if status in ("failed", "cancelled"):
+            err = res.get("error") or {}
+            raise RestError(
+                0,
+                err.get("type", "PlanFailedException"),
+                err.get("message", f"server-side scan planning {status}"),
+            )
+        if status != "completed":
+            raise RestError(
+                0, "InvalidResponseException", f"unknown plan status {status!r}"
+            )
+        tasks, pending = parse_scan_tasks(res, md)
+        fetched = 0
+        while pending:
+            token = pending.pop()
+            fetched += 1
+            if fetched > MAX_PLAN_TASK_FETCHES:
+                raise RestError(
+                    0,
+                    "InvalidResponseException",
+                    "plan-task pagination exceeded "
+                    f"{MAX_PLAN_TASK_FETCHES} fetches — refusing to loop",
+                )
+            page = self.client.fetch_scan_tasks(self.namespace, self.name, token)
+            page_tasks, more = parse_scan_tasks(page, md)
+            tasks.extend(page_tasks)
+            pending.extend(more)
+        return tasks
+
     def read(
         self,
         spark: SparkSession,
@@ -1990,6 +2126,7 @@ class RestTable:
         source_range: tuple[str, Any, Any] | None = None,
         where: str | None = None,
         with_lineage: bool = False,
+        server_planning: bool | None = None,
     ) -> DataFrame:
         """Scan a committed snapshot's files (time travel via
         snapshot_id), with position deletes subtracted (merge-on-read)
@@ -2000,22 +2137,66 @@ class RestTable:
         (column bounds, hidden-partition rewrite, ns literals,
         variant-path footer stats) and filters rows — same semantics as
         FsTable.read. `with_lineage` (v3 tables) appends _row_id /
-        _last_updated_sequence_number (scan_with_lineage)."""
-        from .iceberg_fs import plan_dml_files, scan_with_lineage, spark_session_timezone
+        _last_updated_sequence_number (scan_with_lineage).
+
+        `server_planning`: None (default) = plan on the SERVER when the
+        /v1/config handshake advertised the spec's PlanTableScan
+        endpoints (falling back to local planning on not-implemented
+        answers, and always for `with_lineage` — the spec's ContentFile
+        JSON carries no data sequence number, so _last_updated cannot
+        be reconstructed from a server plan); True = require it
+        (ValueError on lineage reads, RestError when unsupported);
+        False = always plan locally. Either way the rows are identical:
+        the server prunes by manifest metadata, the client applies the
+        residual row filter — and on `where` predicates the client
+        still runs its footer pruning pass (shredded-variant stats,
+        bloom probes) over the returned candidates, so server planning
+        never widens the scan."""
+        from .iceberg_fs import (
+            plan_dml_files,
+            predicate_footer_prune,
+            scan_with_lineage,
+            spark_session_timezone,
+        )
 
         md = self.metadata()
         sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
         if sid in (-1, None):
             return spark.createDataFrame([], spark_read_schema(md))
+        if where is not None and any(
+            p is not None
+            for p in (partition_range, column_range, source_predicate, source_range)
+        ):
+            raise ValueError(
+                "pass either `where` or the tuple pruning params, not both "
+                "(`where` subsumes them)"
+            )
+        if server_planning and with_lineage:
+            raise ValueError(
+                "with_lineage reads cannot use server-side planning: the "
+                "REST spec's ContentFile JSON has first-row-id but no data "
+                "sequence number, so _last_updated_sequence_number cannot "
+                "be reconstructed — use server_planning=None/False"
+            )
+        use_server = (
+            server_planning
+            if server_planning is not None
+            else self.client.supports_scan_planning() and not with_lineage
+        )
+        if use_server and not with_lineage:
+            df = self._read_server_planned(
+                spark,
+                sid,
+                partition_range,
+                column_range,
+                source_predicate,
+                source_range,
+                where,
+                required=server_planning is True,
+            )
+            if df is not None:
+                return df
         if where is not None:
-            if any(
-                p is not None
-                for p in (partition_range, column_range, source_predicate, source_range)
-            ):
-                raise ValueError(
-                    "pass either `where` or the tuple pruning params, not both "
-                    "(`where` subsumes them)"
-                )
             data, _, deletes = plan_dml_files(
                 md, sid, where, spark_session_timezone(spark)
             )
@@ -2028,4 +2209,51 @@ class RestTable:
             if with_lineage
             else scan_with_deletes(spark, md, data, deletes)
         )
+        return df.filter(where) if where is not None else df
+
+    def _read_server_planned(
+        self,
+        spark: SparkSession,
+        sid: int,
+        partition_range,
+        column_range,
+        source_predicate,
+        source_range,
+        where: str | None,
+        required: bool,
+    ) -> DataFrame | None:
+        """The server-planning read path: serialize the pruning surface
+        to the spec's expression JSON, plan on the catalog, footer-prune
+        the returned candidates (variant stats / bloom probes — the
+        server only sees manifests), and execute the scan tasks. Returns
+        None when a non-required attempt hits a not-implemented answer —
+        read() then falls back to local planning (and the client
+        remembers, so the probe is paid once per process)."""
+        from .iceberg_fs import (
+            extract_prune_ranges,
+            predicate_footer_prune,
+            spark_session_timezone,
+        )
+        from .rest_scan import scan_filter_json, scan_planned_tasks
+
+        md = self.metadata()
+        if where is not None:
+            ranges = extract_prune_ranges(where, md, spark_session_timezone(spark))
+            filter_json = scan_filter_json(md, **ranges)
+        else:
+            filter_json = scan_filter_json(
+                md, partition_range, column_range, source_predicate, source_range
+            )
+        try:
+            tasks = self.plan_files_server(sid, filter_json)
+        except RestError as exc:
+            if not required and exc.status in self._PLAN_NOT_IMPLEMENTED:
+                self.client._plan_unsupported = True
+                return None
+            raise
+        if where is not None and tasks:
+            kept, _ = predicate_footer_prune(md, [df for df, _ in tasks], where)
+            kept_paths = {f.file_path for f in kept}
+            tasks = [(df, refs) for df, refs in tasks if df.file_path in kept_paths]
+        df = scan_planned_tasks(spark, md, tasks)
         return df.filter(where) if where is not None else df

@@ -63,6 +63,24 @@ class StubCatalogState:
         # test land the application BETWEEN the retry's sequential
         # loop-top reloads — the mixed-view race
         self.deferred_extra_loads: int = 0
+        # -- server-side scan planning (spec PlanTableScan family) -----
+        # advertise_endpoints: emit ConfigResponse `endpoints` at all
+        # (False models a pre-capability server -> client sees None);
+        # advertise_plan: include the plan routes in that list.
+        self.advertise_endpoints: bool = True
+        self.advertise_plan: bool = True
+        # "sync" answers POST plan with the completed result; "async"
+        # answers `submitted` + plan-id and requires async_polls_required
+        # GETs before completing; plan_page_size > 0 splits scan tasks
+        # into plan-task pages fetched via POST tasks
+        self.plan_mode: str = "sync"
+        self.async_polls_required: int = 1
+        self.plan_page_size: int = 0
+        self.plan_fail_next: bool = False  # next plan answers status=failed
+        self.omit_dv_reference: bool = False  # drop referenced-data-file on DVs
+        self.plans: dict[str, dict] = {}  # plan-id -> {polls, result, cancelled}
+        self.plan_task_pages: dict[str, dict] = {}  # token -> result fragment
+        self.plan_seq: int = 0
 
     def inject_garbage(
         self, times: int = 1, method: str | None = None, path_re: str | None = None
@@ -152,10 +170,37 @@ class _Handler(BaseHTTPRequestHandler):
         if path == "/v1/config":
             q = parse_qs(parsed.query)
             wh = q.get("warehouse", [self.state.warehouse])[0]
-            self._send(
-                200,
-                {"defaults": {"warehouse": wh}, "overrides": {"prefix": PREFIX}},
-            )
+            cfg: dict = {
+                "defaults": {"warehouse": wh},
+                "overrides": {"prefix": PREFIX},
+            }
+            if self.state.advertise_endpoints:
+                eps = [
+                    "GET /v1/{prefix}/namespaces",
+                    "POST /v1/{prefix}/namespaces",
+                    "GET /v1/{prefix}/namespaces/{namespace}",
+                    "GET /v1/{prefix}/namespaces/{namespace}/tables/{table}",
+                    "POST /v1/{prefix}/namespaces/{namespace}/tables",
+                    "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}",
+                    "DELETE /v1/{prefix}/namespaces/{namespace}/tables/{table}",
+                    "POST /v1/{prefix}/transactions/commit",
+                    "POST /v1/{prefix}/tables/rename",
+                ]
+                if self.state.advertise_plan:
+                    eps += [
+                        "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan",
+                        "GET /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan/{plan-id}",
+                        "DELETE /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan/{plan-id}",
+                        "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/tasks",
+                    ]
+                cfg["endpoints"] = eps
+            self._send(200, cfg)
+            return
+        m = re.fullmatch(
+            f"/v1/{PREFIX}/namespaces/([^/]+)/tables/([^/]+)/plan/([^/]+)", path
+        )
+        if m:
+            self._fetch_plan_result(m.group(3))
             return
         m = re.fullmatch(f"/v1/{PREFIX}/namespaces", path)
         if m:
@@ -223,6 +268,14 @@ class _Handler(BaseHTTPRequestHandler):
         if m:
             self._create_table(m.group(1), self._body())
             return
+        m = re.fullmatch(f"/v1/{PREFIX}/namespaces/([^/]+)/tables/([^/]+)/plan", path)
+        if m:
+            self._plan_table_scan((m.group(1), m.group(2)), self._body())
+            return
+        m = re.fullmatch(f"/v1/{PREFIX}/namespaces/([^/]+)/tables/([^/]+)/tasks", path)
+        if m:
+            self._fetch_scan_tasks(self._body())
+            return
         m = re.fullmatch(f"/v1/{PREFIX}/namespaces/([^/]+)/tables/([^/]+)", path)
         if m:
             self._commit_table((m.group(1), m.group(2)), self._body())
@@ -239,6 +292,21 @@ class _Handler(BaseHTTPRequestHandler):
         if self._guard():
             return
         parsed = urlparse(self.path)
+        m = re.fullmatch(
+            f"/v1/{PREFIX}/namespaces/([^/]+)/tables/([^/]+)/plan/([^/]+)",
+            parsed.path,
+        )
+        if m:
+            plan = self.state.plans.get(m.group(3))
+            if plan is None:
+                self._error(404, "NoSuchPlanIdException", f"no plan {m.group(3)}")
+                return
+            plan["cancelled"] = True
+            # spec: 204 No Content on successful cancellation
+            self.send_response(204)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
         m = re.fullmatch(
             f"/v1/{PREFIX}/namespaces/([^/]+)/tables/([^/]+)", parsed.path
         )
@@ -610,6 +678,324 @@ class _Handler(BaseHTTPRequestHandler):
                 )
                 return
             self._send(200, {})
+
+    # -- server-side scan planning ------------------------------------------
+    # The SERVER half of the spec's PlanTableScan family, implemented
+    # independently of the client codec in sinks/rest_scan.py (own
+    # expression parser, own ContentFile serializer) so the roundtrip
+    # tests exercise the wire format itself, not a shared library.
+
+    def _plan_table_scan(self, key: tuple[str, str], body: dict) -> None:
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            plan_scan_metadata,
+        )
+
+        st = self.state
+        if not st.advertise_plan:
+            # a server that does not implement planning 404s the route
+            self._error(404, "NotFoundException", "scan planning not supported")
+            return
+        md = st.tables.get(key)
+        if md is None:
+            self._error(
+                404, "NoSuchTableException", f"Table does not exist: {key[0]}.{key[1]}"
+            )
+            return
+        if st.plan_fail_next:
+            st.plan_fail_next = False
+            self._send(
+                200,
+                {
+                    "status": "failed",
+                    "error": {
+                        "type": "ValidationException",
+                        "message": "injected planning failure",
+                        "code": 400,
+                    },
+                },
+            )
+            return
+        sid = body.get("snapshot-id", md.get("current-snapshot-id"))
+        kwargs = _expr_to_plan_kwargs(body.get("filter"), md)
+        data, deletes, _ = plan_scan_metadata(md, sid, **kwargs)
+        fragments = _plan_fragments(md, data, deletes, st.plan_page_size, st.omit_dv_reference)
+        with st.lock:
+            first = fragments[0] if fragments else {"file-scan-tasks": []}
+            tokens = []
+            for frag in fragments[1:]:
+                st.plan_seq += 1
+                tok = f"task-{st.plan_seq}"
+                st.plan_task_pages[tok] = frag
+                tokens.append(tok)
+            if tokens:
+                first = dict(first)
+                first["plan-tasks"] = tokens
+            result = {"status": "completed", **first}
+            if st.plan_mode == "async":
+                st.plan_seq += 1
+                pid = f"plan-{st.plan_seq}"
+                st.plans[pid] = {
+                    "polls": st.async_polls_required,
+                    "result": result,
+                    "cancelled": False,
+                }
+                self._send(200, {"status": "submitted", "plan-id": pid})
+                return
+        self._send(200, result)
+
+    def _fetch_plan_result(self, plan_id: str) -> None:
+        plan = self.state.plans.get(plan_id)
+        if plan is None:
+            self._error(404, "NoSuchPlanIdException", f"no plan {plan_id}")
+            return
+        if plan.get("cancelled"):
+            self._send(200, {"status": "cancelled"})
+            return
+        plan["polls"] -= 1
+        if plan["polls"] > 0:
+            self._send(200, {"status": "submitted", "plan-id": plan_id})
+            return
+        self._send(200, plan["result"])
+
+    def _fetch_scan_tasks(self, body: dict) -> None:
+        token = body.get("plan-task")
+        frag = self.state.plan_task_pages.pop(token, None)
+        if frag is None:
+            self._error(404, "NoSuchPlanTaskException", f"no plan-task {token!r}")
+            return
+        self._send(200, frag)
+
+
+# -- scan-planning helpers (module level, server-side codec) -----------------
+
+_WIRE_CONTENT = {0: "data", 1: "position-deletes", 2: "equality-deletes"}
+
+
+def _coerce_wire_literal(col_type: str, v):
+    """JSON literal -> the python value local planning would have been
+    handed for this column type (temporal literals ride as ISO strings
+    on the wire). Zone-less timestamptz literals bind as UTC — the same
+    convention the engine's transform arithmetic uses — and timestamp
+    (zone-naive type) literals are normalized TO naive so they compare
+    with decoded manifest bounds."""
+    from datetime import date, datetime, timezone
+
+    if isinstance(v, str):
+        if col_type in ("timestamp", "timestamptz"):
+            v = datetime.fromisoformat(v)
+        elif col_type == "date":
+            return date.fromisoformat(v)
+        elif col_type in ("timestamp_ns", "timestamptz_ns"):
+            from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+                parse_iso_ns,
+            )
+
+            return parse_iso_ns(v)
+    if isinstance(v, datetime):
+        if col_type == "timestamptz":
+            return v if v.tzinfo else v.replace(tzinfo=timezone.utc)
+        if col_type == "timestamp":
+            return (
+                v.astimezone(timezone.utc).replace(tzinfo=None) if v.tzinfo else v
+            )
+    return v
+
+
+def _expr_to_plan_kwargs(expr, md: dict) -> dict:
+    """Spec Expression JSON -> plan_scan_metadata kwargs, strictly
+    conservative: any node the walk doesn't understand simply
+    contributes no pruning (OR / NOT / unknown ops included — a real
+    planner would evaluate them; this stub only needs the conjunctive
+    pruning surface the client emits)."""
+    fields = {
+        f["name"]: f["type"]
+        for f in _current_schema(md)["fields"]
+        if isinstance(f["type"], str)
+    }
+    spec_fields = _default_spec(md)["fields"]
+    src_of = {
+        f["id"]: f["name"] for f in _current_schema(md)["fields"]
+    }
+    first_pf = spec_fields[0] if spec_fields else None
+    bounds: dict[str, list] = {}
+    eqs: list[tuple[str, object]] = []
+    part_bounds: list = [None, None]
+
+    def walk(e) -> None:
+        if not isinstance(e, dict):
+            return
+        t = e.get("type")
+        if t == "and":
+            walk(e.get("left"))
+            walk(e.get("right"))
+            return
+        if t not in ("eq", "lt", "lt-eq", "gt", "gt-eq"):
+            return
+        term, val = e.get("term"), e.get("value")
+        if isinstance(term, dict):
+            # transform-term predicate: honored when it names the FIRST
+            # default spec field (what partition_range applies to)
+            if (
+                first_pf is not None
+                and term.get("type") == "transform"
+                and term.get("transform") == first_pf["transform"]
+                and term.get("term") == src_of.get(first_pf["source-id"])
+                and isinstance(val, int)
+            ):
+                if t in ("gt-eq", "gt"):
+                    part_bounds[0] = val + (1 if t == "gt" else 0)
+                elif t in ("lt-eq", "lt"):
+                    part_bounds[1] = val - (1 if t == "lt" else 0)
+                else:
+                    part_bounds[0] = part_bounds[1] = val
+            return
+        if not isinstance(term, str) or term not in fields:
+            return
+        val = _coerce_wire_literal(fields[term], val)
+        lo, hi = bounds.get(term, (None, None))
+        # strict ops widen to inclusive: boundary files are KEPT
+        # (conservative), the row filter stays with the engine
+        if t in ("gt", "gt-eq"):
+            lo = val if lo is None else max(lo, val)
+        elif t in ("lt", "lt-eq"):
+            hi = val if hi is None else min(hi, val)
+        else:  # eq
+            lo, hi = val, val
+            eqs.append((term, val))
+        bounds[term] = [lo, hi]
+
+    walk(expr)
+    source_names = {src_of.get(pf["source-id"]) for pf in spec_fields}
+    out: dict[str, list] = {
+        "column_range": [],
+        "source_range": [],
+        "source_predicate": [],
+    }
+    for col, (lo, hi) in bounds.items():
+        out["column_range"].append((col, lo, hi))
+        if col in source_names:
+            out["source_range"].append((col, lo, hi))
+    out["source_predicate"] = [(c, v) for c, v in eqs if c in source_names]
+    kwargs = {k: v for k, v in out.items() if v}
+    if part_bounds[0] is not None or part_bounds[1] is not None:
+        lo = part_bounds[0] if part_bounds[0] is not None else -(2**62)
+        hi = part_bounds[1] if part_bounds[1] is not None else 2**62
+        kwargs["partition_range"] = (lo, hi)
+    return kwargs
+
+
+def _current_schema(md: dict) -> dict:
+    sid = md["current-schema-id"]
+    return next(s for s in md["schemas"] if s["schema-id"] == sid)
+
+
+def _default_spec(md: dict) -> dict:
+    sid = md.get("default-spec-id", 0)
+    return next(
+        (s for s in md.get("partition-specs", []) if s["spec-id"] == sid),
+        {"fields": []},
+    )
+
+
+def _json_partition_value(v):
+    from datetime import date, datetime
+    from decimal import Decimal
+
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, Decimal):
+        return str(v)
+    return v
+
+
+def _content_file_json(f, md: dict) -> dict:
+    """DataFile -> spec ContentFile JSON (DataFile / PositionDeleteFile /
+    EqualityDeleteFile): partition values as a list aligned with the
+    file's spec, v3 extras (first-row-id, DV locator fields) included
+    when present."""
+    spec_id = f.spec_id if f.spec_id is not None else md.get("default-spec-id", 0)
+    spec = next(
+        (s for s in md.get("partition-specs", []) if s["spec-id"] == spec_id),
+        {"fields": []},
+    )
+    j: dict = {
+        "content": _WIRE_CONTENT[f.content],
+        "file-path": f.file_path,
+        "file-format": "parquet",
+        "spec-id": spec_id,
+        "partition": [
+            _json_partition_value(f.partition.get(pf["name"]))
+            for pf in spec["fields"]
+        ],
+        "file-size-in-bytes": f.file_size_in_bytes,
+        "record-count": f.record_count,
+    }
+    if f.equality_ids:
+        j["equality-ids"] = list(f.equality_ids)
+    if f.content_offset is not None:
+        j["content-offset"] = f.content_offset
+        j["content-size-in-bytes"] = f.content_size_in_bytes
+    if f.referenced_data_file is not None:
+        j["referenced-data-file"] = f.referenced_data_file
+    if f.first_row_id is not None:
+        j["first-row-id"] = f.first_row_id
+    return j
+
+
+def _plan_fragments(
+    md: dict, data, deletes, page_size: int, omit_dv_reference: bool
+) -> list[dict]:
+    """(data files, delete files) -> FetchScanTasksResult-shaped
+    fragments, one per page (page_size 0 = everything in one message).
+    Each fragment is self-contained: delete-file-references index into
+    ITS OWN delete-files list, per the spec. Applicability:
+
+    * DV / referenced position delete -> the referenced file's task;
+    * plain position-delete files -> every task (their rows name exact
+      file paths, so over-referencing is harmless and spec-legal);
+    * equality delete -> tasks whose data sequence number is strictly
+      below the delete's (the manifest application rule)."""
+
+    def applicable(d, f) -> bool:
+        if d.content == 1:
+            return d.referenced_data_file in (None, f.file_path)
+        return f.sequence_number < d.sequence_number
+
+    pages = (
+        [data]
+        if page_size <= 0
+        else [data[i : i + page_size] for i in range(0, len(data), page_size)]
+    ) or [[]]
+    fragments = []
+    for page in pages:
+        local: list = []
+        # one Puffin file carries DV blobs for MANY data files — one
+        # manifest entry each, same file-path: dedupe by the full
+        # (path, referenced file, offset) locator, never path alone
+        index: dict[tuple, int] = {}
+        tasks = []
+        for f in page:
+            refs = []
+            for d in deletes:
+                if not applicable(d, f):
+                    continue
+                k = (d.file_path, d.referenced_data_file, d.content_offset)
+                if k not in index:
+                    dj = _content_file_json(d, md)
+                    if omit_dv_reference:
+                        dj.pop("referenced-data-file", None)
+                    index[k] = len(local)
+                    local.append(dj)
+                refs.append(index[k])
+            task = {"data-file": _content_file_json(f, md)}
+            if refs:
+                task["delete-file-references"] = refs
+            tasks.append(task)
+        frag: dict = {"file-scan-tasks": tasks}
+        if local:
+            frag["delete-files"] = local
+        fragments.append(frag)
+    return fragments
 
 
 def make_server(warehouse: str, token: str = "") -> tuple[ThreadingHTTPServer, StubCatalogState, str]:
