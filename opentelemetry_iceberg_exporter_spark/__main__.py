@@ -612,6 +612,28 @@ def main(argv: list[str] | None = None) -> int:
     psql.add_argument("--output", default=None, help="write parquet here instead of printing")
     psql.add_argument("--limit", type=int, default=100, help="max printed rows")
 
+    pvw = sub.add_parser(
+        "view",
+        help="Iceberg catalog VIEWS (view spec v1): create/replace a "
+        "SQL definition as a versioned catalog object (table refs as "
+        "<namespace>_<table>, like `sql`), read it (definition time "
+        "travel via --version-id), list, drop — fs or REST transport",
+    )
+    pvw.add_argument("action", choices=["create", "replace", "read", "list", "drop"])
+    pvw.add_argument("--warehouse", default=None, help="fs warehouse root (required without --rest-uri)")
+    pvw.add_argument("--namespace", default="otel")
+    pvw.add_argument("--name", default=None, help="view name (all actions but list)")
+    pvw.add_argument("--rest-uri", default=None, help="Iceberg REST catalog URI (switches transport)")
+    pvw.add_argument("--rest-token", default="", help="bearer token for --rest-uri")
+    pvw.add_argument("--sql", default=None, help="view SQL (create/replace)")
+    pvw.add_argument(
+        "--version-id",
+        type=int,
+        default=None,
+        help="read a HISTORICAL definition (current data underneath)",
+    )
+    pvw.add_argument("--limit", type=int, default=100, help="max printed rows (read)")
+
     pcs = sub.add_parser(
         "column-stats",
         help="print a table's registered per-column NDV statistics "
@@ -1650,6 +1672,67 @@ def main(argv: list[str] | None = None) -> int:
                     {"cmd": "sql", "views": sorted(views), "rows": len(rows)}
                 )
             )
+        return 0
+
+    if args.cmd == "view":
+        if args.action in ("create", "replace") and not args.sql:
+            raise SystemExit("--sql is required for view create/replace")
+        if args.action != "list" and not args.name:
+            raise SystemExit("--name is required for this view action")
+        if args.rest_uri:
+            from .sinks.iceberg_rest import RestCatalogClient
+
+            client = RestCatalogClient(
+                args.rest_uri, warehouse=args.warehouse or "", token=args.rest_token
+            )
+            if args.action == "list":
+                print(json.dumps({"views": client.list_views(args.namespace)}))
+                return 0
+            if args.action == "create":
+                v = client.create_view(spark, args.namespace, args.name, args.sql)
+            elif args.action == "drop":
+                existed = client.drop_view(args.namespace, args.name)
+                print(json.dumps({"dropped": existed}))
+                return 0
+            else:
+                v = client.load_view(args.namespace, args.name)
+        else:
+            if not args.warehouse:
+                raise SystemExit("--warehouse is required without --rest-uri")
+            from .sinks.iceberg_fs import FsCatalog
+
+            cat = FsCatalog(args.warehouse)
+            if args.action == "list":
+                print(json.dumps({"views": cat.list_views(args.namespace)}))
+                return 0
+            if args.action == "create":
+                v = cat.create_view(spark, args.namespace, args.name, args.sql)
+            elif args.action == "drop":
+                existed = cat.drop_view(args.namespace, args.name)
+                print(json.dumps({"dropped": existed}))
+                return 0
+            else:
+                v = cat.load_view(args.namespace, args.name)
+        if args.action == "replace":
+            vid = v.replace(spark, args.sql)
+            print(json.dumps({"cmd": "view", "current_version_id": vid}))
+            return 0
+        if args.action == "read":
+            rows = v.read(spark, version_id=args.version_id).limit(args.limit).collect()
+            for r in rows:
+                print(json.dumps(r.asDict(recursive=True), default=str))
+            print(json.dumps({"cmd": "view", "rows": len(rows)}))
+            return 0
+        md = v.metadata()
+        print(
+            json.dumps(
+                {
+                    "cmd": "view",
+                    "view_uuid": md["view-uuid"],
+                    "current_version_id": md["current-version-id"],
+                }
+            )
+        )
         return 0
 
     if args.cmd == "column-stats":

@@ -6599,6 +6599,11 @@ class FsCatalog:
         for birthing a v3 table."""
         if self.table_exists(namespace, name):
             return self.load_table(namespace, name)
+        if self.view_exists(namespace, name):
+            raise ValueError(
+                f"cannot create table {namespace}.{name}: a VIEW of that "
+                "name exists (one namespace, one name space)"
+            )
         self.create_namespace(namespace)
         location = self.table_location(namespace, name)
         meta_dir = os.path.join(location, "metadata")
@@ -6704,6 +6709,72 @@ class FsCatalog:
             "absolute paths, same as Iceberg's HadoopCatalog); use the "
             "REST catalog, whose name registry is independent of the "
             "table location"
+        )
+
+    # -- views (Iceberg view spec v1 — sinks/iceberg_views.py) -------------
+    def create_view(
+        self,
+        spark: SparkSession,
+        namespace: str,
+        name: str,
+        sql: str,
+        properties: dict[str, str] | None = None,
+    ):
+        """Create a spec-v1 VIEW: the SQL's analyzed output schema is
+        recorded, table references resolve as `<ns>_<table>` (the sql
+        CLI convention). Views commit under metadata/ with their OWN
+        hint file (view-version-hint.text), so list_tables never sees
+        them and vice versa."""
+        from .iceberg_views import create_fs_view
+
+        return create_fs_view(self, spark, namespace, name, sql, properties)
+
+    def view_exists(self, namespace: str, name: str) -> bool:
+        from .iceberg_views import view_exists_at
+
+        return view_exists_at(self.table_location(namespace, name))
+
+    def load_view(self, namespace: str, name: str):
+        from .iceberg_views import FsView, view_exists_at
+
+        location = self.table_location(namespace, name)
+        if not view_exists_at(location):
+            raise FileNotFoundError(f"no such view: {namespace}.{name}")
+        return FsView(location, self.warehouse)
+
+    def list_views(self, namespace: str) -> list[str]:
+        from .iceberg_views import VIEW_HINT
+
+        ns_dir = os.path.join(self.warehouse, namespace)
+        if not os.path.isdir(ns_dir):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(ns_dir)
+            if os.path.exists(os.path.join(ns_dir, d, "metadata", VIEW_HINT))
+        )
+
+    def drop_view(self, namespace: str, name: str, purge: bool = False) -> bool:
+        """Drop a view: plain drop removes only the hint (metadata
+        history stays for salvage, like drop_table); purge deletes the
+        directory. Returns whether the view existed."""
+        from .iceberg_views import VIEW_HINT
+
+        if not self.view_exists(namespace, name):
+            return False
+        location = self.table_location(namespace, name)
+        if purge:
+            shutil.rmtree(location, ignore_errors=True)
+        else:
+            os.remove(os.path.join(location, "metadata", VIEW_HINT))
+        return True
+
+    def rename_view(self, namespace: str, name: str, new_namespace: str, new_name: str):
+        """Same refusal (and reason) as rename_table: the directory
+        catalog derives identity from location."""
+        raise NotImplementedError(
+            "the filesystem catalog cannot rename views (name IS the "
+            "location, same as rename_table); use the REST catalog"
         )
 
 

@@ -340,6 +340,102 @@ class RestCatalogClient:
             },
         )
 
+    def list_tables(self, namespace: str) -> list[str]:
+        """ListTables (GET .../tables): the namespace's table names."""
+        res = self._request("GET", self._table_path(namespace))
+        return sorted(i["name"] for i in res.get("identifiers", []))
+
+    # -- views (Iceberg view spec v1 over the REST /views routes) ----------
+    def _view_path(self, namespace: str, name: str = "") -> str:
+        base = f"/v1/{self.prefix}" if self.prefix else "/v1"
+        ns = urllib.parse.quote(namespace, safe="")
+        path = f"{base}/namespaces/{ns}/views"
+        return f"{path}/{urllib.parse.quote(name, safe='')}" if name else path
+
+    def list_views(self, namespace: str) -> list[str]:
+        res = self._request("GET", self._view_path(namespace))
+        return sorted(i["name"] for i in res.get("identifiers", []))
+
+    def view_exists(self, namespace: str, name: str) -> bool:
+        try:
+            self._request("GET", self._view_path(namespace, name))
+            return True
+        except RestError as exc:
+            if _is_missing(exc):
+                return False
+            raise
+
+    def load_view(self, namespace: str, name: str) -> "RestView":
+        self._request("GET", self._view_path(namespace, name))  # 404 -> raise
+        return RestView(self, namespace, name)
+
+    def create_view(
+        self,
+        spark: SparkSession,
+        namespace: str,
+        name: str,
+        sql: str,
+        properties: dict[str, str] | None = None,
+    ) -> "RestView":
+        """CreateViewRequest (spec): the client sends the SQL's analyzed
+        output schema + the version-1 ViewVersion; the SERVER assigns
+        view-uuid, ids, and the metadata location. Table references in
+        the SQL resolve as `<ns>_<table>` (the sql CLI convention) —
+        registered from this catalog before analysis."""
+        from .iceberg_fs import iceberg_schema
+        from .iceberg_views import (
+            build_view_version,
+            infer_view_schema,
+            strip_schema_internal,
+        )
+
+        self.ensure_namespace(namespace)
+        register_rest_table_views(spark, self)
+        schema = strip_schema_internal(
+            {**iceberg_schema(infer_view_schema(spark, sql)), "schema-id": 0}
+        )
+        body = {
+            "name": name,
+            "schema": schema,
+            "view-version": build_view_version(
+                1, 0, sql, namespace, int(time.time() * 1000)
+            ),
+            "properties": dict(properties or {}),
+        }
+        self._request("POST", self._view_path(namespace), body)
+        return RestView(self, namespace, name)
+
+    def commit_view(self, namespace: str, name: str, body: dict) -> dict:
+        """CommitViewRequest: requirements (assert-view-uuid) +
+        updates (add-schema / add-view-version / set-current-view-version
+        / set-properties...)."""
+        return self._request("POST", self._view_path(namespace, name), body)
+
+    def drop_view(self, namespace: str, name: str) -> bool:
+        try:
+            self._request("DELETE", self._view_path(namespace, name))
+            return True
+        except RestError as exc:
+            if _is_missing(exc):
+                return False
+            raise
+
+    def rename_view(
+        self, namespace: str, name: str, new_namespace: str, new_name: str
+    ) -> None:
+        base = f"/v1/{self.prefix}" if self.prefix else "/v1"
+        self._request(
+            "POST",
+            f"{base}/views/rename",
+            {
+                "source": {"namespace": namespace.split("."), "name": name},
+                "destination": {
+                    "namespace": new_namespace.split("."),
+                    "name": new_name,
+                },
+            },
+        )
+
     def create_table(
         self,
         namespace: str,
@@ -2257,3 +2353,86 @@ class RestTable:
             tasks = [(df, refs) for df, refs in tasks if df.file_path in kept_paths]
         df = scan_planned_tasks(spark, md, tasks)
         return df.filter(where) if where is not None else df
+
+
+def register_rest_table_views(spark: SparkSession, client: RestCatalogClient) -> dict[str, str]:
+    """Make every REST-catalog table addressable as a `<ns>_<table>`
+    temp view (the fs sql-CLI convention — see
+    iceberg_source.register_table_views) so catalog VIEW SQL analyzes
+    and executes over this transport too. Registration builds each
+    table's lazy read plan with LOCAL planning (one metadata GET per
+    table, no scan-planning POSTs for tables the SQL never touches).
+    Returns {view_name: table location}."""
+    views: dict[str, str] = {}
+    for ns in client.list_namespaces():
+        for name in client.list_tables(ns):
+            t = RestTable(client, ns, name)
+            df = t.read(spark, server_planning=False)
+            view = f"{ns}_{name}"
+            df.createOrReplaceTempView(view)
+            views[view] = t.location()
+    return views
+
+
+class RestView:
+    """A catalog VIEW over REST (view spec v1): load/replace/read via
+    the spec's /views routes. Replace is an optimistic commit — the
+    assert-view-uuid requirement pins the object identity and the
+    server linearizes version assignment, so racing replacers both
+    land (distinct version-ids) unless the view was dropped/recreated
+    under them."""
+
+    def __init__(self, client: RestCatalogClient, namespace: str, name: str):
+        self.client = client
+        self.namespace = namespace
+        self.name = name
+
+    def metadata(self) -> dict:
+        res = self.client._request(
+            "GET", self.client._view_path(self.namespace, self.name)
+        )
+        return res["metadata"]
+
+    def versions(self) -> list[dict]:
+        return self.metadata()["versions"]
+
+    def replace(self, spark: SparkSession, sql: str) -> int:
+        """Spec REPLACE as one CommitViewRequest: add-schema +
+        add-view-version (schema-id -1 = the schema just added) +
+        set-current-view-version (-1 = the version just added)."""
+        from .iceberg_fs import iceberg_schema
+        from .iceberg_views import (
+            build_view_version,
+            infer_view_schema,
+            strip_schema_internal,
+        )
+
+        register_rest_table_views(spark, self.client)
+        md = self.metadata()
+        schema = strip_schema_internal(
+            {**iceberg_schema(infer_view_schema(spark, sql)), "schema-id": -1}
+        )
+        version = build_view_version(
+            -1, -1, sql, self.namespace, int(time.time() * 1000), "replace"
+        )
+        res = self.client.commit_view(
+            self.namespace,
+            self.name,
+            {
+                "requirements": [
+                    {"type": "assert-view-uuid", "uuid": md["view-uuid"]}
+                ],
+                "updates": [
+                    {"action": "add-schema", "schema": schema},
+                    {"action": "add-view-version", "view-version": version},
+                    {"action": "set-current-view-version", "view-version-id": -1},
+                ],
+            },
+        )
+        return res["metadata"]["current-version-id"]
+
+    def read(self, spark: SparkSession, version_id: int | None = None) -> DataFrame:
+        from .iceberg_views import execute_view
+
+        register_rest_table_views(spark, self.client)
+        return execute_view(spark, self.metadata(), version_id)

@@ -367,6 +367,12 @@ class IcebergFsDataSource(DataSource):
 
 def register_iceberg_source(spark) -> None:
     spark.dataSource.register(IcebergFsDataSource)
+    # _BatchReader implements pushFilters(); Spark 4.1 REFUSES to plan a
+    # pushdown-capable Python source unless this flag is on, and it
+    # defaults off. build_session sets it, but a VANILLA session (the
+    # driver contract, library users) must get it here — it is a
+    # runtime-settable SQLConf.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
 
 BROADCAST_BYTE_THRESHOLD = 64 * 1024 * 1024

@@ -1486,6 +1486,56 @@ def build_geo_metadata_v1() -> dict:
     return md
 
 
+VIEW_UUID = "f0e1d2c3-b4a5-4968-8796-a5b4c3d2e1f0"
+VIEW_LOC = "/tmp/spark_graft_golden/wh/otel/goldview"
+T_VIEW_CREATE_MS = 1705345000000
+VIEW_SQL_TEXT = "SELECT name FROM otel_gvsrc"
+
+
+def build_view_metadata_v1() -> dict:
+    """Iceberg VIEW spec (format-version 1) metadata, assembled from the
+    spec's "View Metadata" field list: view-uuid, format-version,
+    location, schemas (the SQL's output schema), current-version-id,
+    versions (version-id / timestamp-ms / schema-id / summary /
+    representations / default-namespace), version-log, properties. The
+    representation dialect is "spark" with table references as
+    `<namespace>_<table>` (the engine's documented convention)."""
+    return {
+        "view-uuid": VIEW_UUID,
+        "format-version": 1,
+        "location": VIEW_LOC,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "name", "required": False, "type": "string"}
+                ],
+            }
+        ],
+        "current-version-id": 1,
+        "versions": [
+            {
+                "version-id": 1,
+                "timestamp-ms": T_VIEW_CREATE_MS,
+                "schema-id": 0,
+                "summary": {
+                    "engine-name": "opentelemetry-iceberg-exporter-spark",
+                    "operation": "create",
+                },
+                "representations": [
+                    {"type": "sql", "sql": VIEW_SQL_TEXT, "dialect": "spark"}
+                ],
+                "default-namespace": ["otel"],
+            }
+        ],
+        "version-log": [
+            {"timestamp-ms": T_VIEW_CREATE_MS, "version-id": 1}
+        ],
+        "properties": {"comment": "golden view"},
+    }
+
+
 def build_ln_metadata_v1() -> dict:
     md = dict(METADATA_V1)
     md["table-uuid"] = LN_TABLE_UUID
@@ -1662,6 +1712,7 @@ def main() -> None:
         ("tns-v1.metadata.json", build_tns_metadata_v1()),
         ("var-v1.metadata.json", build_var_metadata_v1()),
         ("geo-v1.metadata.json", build_geo_metadata_v1()),
+        ("view-v1.metadata.json", build_view_metadata_v1()),
     ):
         with open(os.path.join(HERE, name), "w", encoding="utf-8") as f:
             json.dump(md, f, indent=2)

@@ -81,6 +81,9 @@ class StubCatalogState:
         self.plans: dict[str, dict] = {}  # plan-id -> {polls, result, cancelled}
         self.plan_task_pages: dict[str, dict] = {}  # token -> result fragment
         self.plan_seq: int = 0
+        # -- views (Iceberg view spec v1 over the /views routes) --------
+        self.views: dict[tuple[str, str], dict] = {}  # (ns, name) -> metadata
+        self.view_versions: dict[tuple[str, str], int] = {}
 
     def inject_garbage(
         self, times: int = 1, method: str | None = None, path_re: str | None = None
@@ -179,12 +182,19 @@ class _Handler(BaseHTTPRequestHandler):
                     "GET /v1/{prefix}/namespaces",
                     "POST /v1/{prefix}/namespaces",
                     "GET /v1/{prefix}/namespaces/{namespace}",
+                    "GET /v1/{prefix}/namespaces/{namespace}/tables",
                     "GET /v1/{prefix}/namespaces/{namespace}/tables/{table}",
                     "POST /v1/{prefix}/namespaces/{namespace}/tables",
                     "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}",
                     "DELETE /v1/{prefix}/namespaces/{namespace}/tables/{table}",
                     "POST /v1/{prefix}/transactions/commit",
                     "POST /v1/{prefix}/tables/rename",
+                    "GET /v1/{prefix}/namespaces/{namespace}/views",
+                    "POST /v1/{prefix}/namespaces/{namespace}/views",
+                    "GET /v1/{prefix}/namespaces/{namespace}/views/{view}",
+                    "POST /v1/{prefix}/namespaces/{namespace}/views/{view}",
+                    "DELETE /v1/{prefix}/namespaces/{namespace}/views/{view}",
+                    "POST /v1/{prefix}/views/rename",
                 ]
                 if self.state.advertise_plan:
                     eps += [
@@ -213,6 +223,45 @@ class _Handler(BaseHTTPRequestHandler):
                 self._error(404, "NoSuchNamespaceException", f"Namespace does not exist: {ns}")
                 return
             self._send(200, {"namespace": [ns], "properties": self.state.namespaces[ns]})
+            return
+        m = re.fullmatch(f"/v1/{PREFIX}/namespaces/([^/]+)/tables", path)
+        if m:
+            ns = m.group(1)
+            self._send(
+                200,
+                {
+                    "identifiers": [
+                        {"namespace": [k[0]], "name": k[1]}
+                        for k in sorted(self.state.tables)
+                        if k[0] == ns
+                    ]
+                },
+            )
+            return
+        m = re.fullmatch(f"/v1/{PREFIX}/namespaces/([^/]+)/views", path)
+        if m:
+            ns = m.group(1)
+            self._send(
+                200,
+                {
+                    "identifiers": [
+                        {"namespace": [k[0]], "name": k[1]}
+                        for k in sorted(self.state.views)
+                        if k[0] == ns
+                    ]
+                },
+            )
+            return
+        m = re.fullmatch(f"/v1/{PREFIX}/namespaces/([^/]+)/views/([^/]+)", path)
+        if m:
+            key = (m.group(1), m.group(2))
+            md = self.state.views.get(key)
+            if md is None:
+                self._error(
+                    404, "NoSuchViewException", f"View does not exist: {key[0]}.{key[1]}"
+                )
+                return
+            self._send(200, self._load_view_result(key))
             return
         m = re.fullmatch(f"/v1/{PREFIX}/namespaces/([^/]+)/tables/([^/]+)", path)
         if m:
@@ -268,6 +317,17 @@ class _Handler(BaseHTTPRequestHandler):
         if m:
             self._create_table(m.group(1), self._body())
             return
+        m = re.fullmatch(f"/v1/{PREFIX}/namespaces/([^/]+)/views", path)
+        if m:
+            self._create_view(m.group(1), self._body())
+            return
+        m = re.fullmatch(f"/v1/{PREFIX}/namespaces/([^/]+)/views/([^/]+)", path)
+        if m:
+            self._commit_view((m.group(1), m.group(2)), self._body())
+            return
+        if re.fullmatch(f"/v1/{PREFIX}/views/rename", path):
+            self._rename_view(self._body())
+            return
         m = re.fullmatch(f"/v1/{PREFIX}/namespaces/([^/]+)/tables/([^/]+)/plan", path)
         if m:
             self._plan_table_scan((m.group(1), m.group(2)), self._body())
@@ -306,6 +366,23 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_response(204)
             self.send_header("Content-Length", "0")
             self.end_headers()
+            return
+        m = re.fullmatch(
+            f"/v1/{PREFIX}/namespaces/([^/]+)/views/([^/]+)", parsed.path
+        )
+        if m:
+            key = (m.group(1), m.group(2))
+            with self.state.lock:
+                md = self.state.views.pop(key, None)
+                self.state.view_versions.pop(key, None)
+            if md is None:
+                self._error(
+                    404,
+                    "NoSuchViewException",
+                    f"View does not exist: {key[0]}.{key[1]}",
+                )
+                return
+            self._send(200)
             return
         m = re.fullmatch(
             f"/v1/{PREFIX}/namespaces/([^/]+)/tables/([^/]+)", parsed.path
@@ -389,7 +466,7 @@ class _Handler(BaseHTTPRequestHandler):
             if ns not in self.state.namespaces:
                 self._error(404, "NoSuchNamespaceException", f"Namespace does not exist: {ns}")
                 return
-            if key in self.state.tables:
+            if key in self.state.tables or key in self.state.views:
                 self._error(
                     409, "AlreadyExistsException", f"Table already exists: {ns}.{name}"
                 )
@@ -678,6 +755,181 @@ class _Handler(BaseHTTPRequestHandler):
                 )
                 return
             self._send(200, {})
+
+    # -- views (view spec v1, server side — independent of the client codec) --
+
+    def _load_view_result(self, key: tuple[str, str]) -> dict:
+        st = self.state
+        ver = st.view_versions.get(key, 1)
+        loc = st.views[key]["location"]
+        return {
+            "metadata-location": f"{loc}/metadata/v{ver}.metadata.json",
+            "metadata": st.views[key],
+        }
+
+    def _create_view(self, ns: str, body: dict) -> None:
+        import time as _time
+        import uuid as _uuid
+
+        st = self.state
+        name = body.get("name", "")
+        key = (ns, name)
+        with st.lock:
+            if ns not in st.namespaces:
+                self._error(404, "NoSuchNamespaceException", f"Namespace does not exist: {ns}")
+                return
+            if key in st.views or key in st.tables:
+                self._error(
+                    409, "AlreadyExistsException", f"View or table already exists: {ns}.{name}"
+                )
+                return
+            vv = dict(body.get("view-version") or {})
+            vv["version-id"] = 1
+            vv["schema-id"] = 0
+            vv.setdefault("timestamp-ms", int(_time.time() * 1000))
+            schema = dict(body.get("schema") or {})
+            schema["schema-id"] = 0
+            st.views[key] = {
+                "view-uuid": str(_uuid.uuid4()),
+                "format-version": 1,
+                "location": f"{st.warehouse}/{ns}/{name}",
+                "schemas": [schema],
+                "current-version-id": 1,
+                "versions": [vv],
+                "version-log": [
+                    {"timestamp-ms": vv["timestamp-ms"], "version-id": 1}
+                ],
+                "properties": dict(body.get("properties") or {}),
+            }
+            st.view_versions[key] = 1
+        self._send(200, self._load_view_result(key))
+
+    def _commit_view(self, key: tuple[str, str], body: dict) -> None:
+        import time as _time
+
+        st = self.state
+        with st.lock:
+            md = st.views.get(key)
+            if md is None:
+                self._error(
+                    404, "NoSuchViewException", f"View does not exist: {key[0]}.{key[1]}"
+                )
+                return
+            for req in body.get("requirements") or []:
+                if req.get("type") == "assert-view-uuid" and req.get("uuid") != md["view-uuid"]:
+                    self._error(
+                        409,
+                        "CommitFailedException",
+                        f"view uuid mismatch: expected {req.get('uuid')}, found {md['view-uuid']}",
+                    )
+                    return
+            new = json.loads(json.dumps(md))
+            last_schema_id: int | None = None
+            last_version_id: int | None = None
+            for u in body.get("updates") or []:
+                a = u.get("action")
+                if a == "add-schema":
+                    s = dict(u["schema"])
+                    sid = s.get("schema-id", -1)
+                    if sid is None or sid < 0 or any(
+                        x["schema-id"] == sid for x in new["schemas"]
+                    ):
+                        sid = max(x["schema-id"] for x in new["schemas"]) + 1
+                    s["schema-id"] = sid
+                    new["schemas"].append(s)
+                    last_schema_id = sid
+                elif a == "add-view-version":
+                    v = dict(u["view-version"])
+                    vid = v.get("version-id", -1)
+                    if vid is None or vid < 0 or any(
+                        x["version-id"] == vid for x in new["versions"]
+                    ):
+                        vid = max(x["version-id"] for x in new["versions"]) + 1
+                    v["version-id"] = vid
+                    if v.get("schema-id", -1) == -1:
+                        if last_schema_id is None:
+                            self._error(
+                                400,
+                                "ValidationException",
+                                "view-version schema-id -1 without a preceding add-schema",
+                            )
+                            return
+                        v["schema-id"] = last_schema_id
+                    v.setdefault("timestamp-ms", int(_time.time() * 1000))
+                    new["versions"].append(v)
+                    last_version_id = vid
+                elif a == "set-current-view-version":
+                    vid = u.get("view-version-id")
+                    if vid == -1:
+                        if last_version_id is None:
+                            self._error(
+                                400,
+                                "ValidationException",
+                                "set-current-view-version -1 without a preceding add-view-version",
+                            )
+                            return
+                        vid = last_version_id
+                    match = next(
+                        (x for x in new["versions"] if x["version-id"] == vid), None
+                    )
+                    if match is None:
+                        self._error(
+                            400, "ValidationException", f"no view version {vid}"
+                        )
+                        return
+                    if new["current-version-id"] != vid:
+                        new["current-version-id"] = vid
+                        new["version-log"].append(
+                            {
+                                "timestamp-ms": match.get(
+                                    "timestamp-ms", int(_time.time() * 1000)
+                                ),
+                                "version-id": vid,
+                            }
+                        )
+                elif a == "set-properties":
+                    new["properties"].update(u.get("updates") or {})
+                elif a == "remove-properties":
+                    for k in u.get("removals") or []:
+                        new["properties"].pop(k, None)
+                elif a == "set-location":
+                    new["location"] = u["location"]
+                elif a == "assign-uuid":
+                    new["view-uuid"] = u["uuid"]
+                else:
+                    self._error(
+                        400, "ValidationException", f"unsupported view update {a!r}"
+                    )
+                    return
+            st.views[key] = new
+            st.view_versions[key] = st.view_versions.get(key, 1) + 1
+        self._send(200, self._load_view_result(key))
+
+    def _rename_view(self, body: dict) -> None:
+        src = body.get("source", {})
+        dst = body.get("destination", {})
+        skey = (".".join(src.get("namespace", [])), src.get("name", ""))
+        dkey = (".".join(dst.get("namespace", [])), dst.get("name", ""))
+        st = self.state
+        with st.lock:
+            if skey not in st.views:
+                self._error(
+                    404, "NoSuchViewException", f"View does not exist: {skey[0]}.{skey[1]}"
+                )
+                return
+            if dkey[0] not in st.namespaces:
+                self._error(
+                    404, "NoSuchNamespaceException", f"Namespace does not exist: {dkey[0]}"
+                )
+                return
+            if dkey in st.views or dkey in st.tables:
+                self._error(
+                    409, "AlreadyExistsException", f"Already exists: {dkey[0]}.{dkey[1]}"
+                )
+                return
+            st.views[dkey] = st.views.pop(skey)
+            st.view_versions[dkey] = st.view_versions.pop(skey, 1)
+        self._send(200)
 
     # -- server-side scan planning ------------------------------------------
     # The SERVER half of the spec's PlanTableScan family, implemented

@@ -658,6 +658,60 @@ class TestGoldenWrite:
             )
         shutil.rmtree("/tmp/spark_graft_golden/wh/otel/goldgeo", ignore_errors=True)
 
+    def test_view_metadata(self, spark, monkeypatch):
+        """A created VIEW's first metadata file (view spec v1) is
+        byte-identical to the spec-side generator's
+        view-v1.metadata.json — uuid/clock frozen, the SQL's analyzed
+        schema recorded."""
+        import uuid as uuid_mod
+
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        from opentelemetry_iceberg_exporter_spark.sinks import iceberg_views
+
+        for leftover in ("goldview", "gvsrc"):
+            shutil.rmtree(
+                f"/tmp/spark_graft_golden/wh/otel/{leftover}", ignore_errors=True
+            )
+        catalog = FsCatalog("/tmp/spark_graft_golden/wh")
+        catalog.create_table(
+            "otel", "gvsrc", StructType([StructField("name", StringType(), True)])
+        )
+        import types
+
+        uuids = iter(
+            [
+                uuid_mod.UUID(GEN.VIEW_UUID),  # view-uuid
+                uuid_mod.UUID(hex="b" * 32),  # view-hint tmp
+            ]
+        )
+        # patch the MODULE's namespace, not the global uuid/time modules
+        # (a live SparkSession may call uuid4 internally mid-create)
+        monkeypatch.setattr(
+            iceberg_views, "uuid", types.SimpleNamespace(uuid4=lambda: next(uuids))
+        )
+        monkeypatch.setattr(
+            iceberg_views,
+            "time",
+            types.SimpleNamespace(time=lambda: GEN.T_VIEW_CREATE_MS / 1000.0),
+        )
+        view = catalog.create_view(
+            spark,
+            "otel",
+            "goldview",
+            GEN.VIEW_SQL_TEXT,
+            properties={"comment": "golden view"},
+        )
+        assert view.location == GEN.VIEW_LOC
+        with open(os.path.join(GEN.VIEW_LOC, "metadata", "v1.metadata.json"), "rb") as f:
+            assert f.read() == _golden_bytes("view-v1.metadata.json"), (
+                "view metadata drift"
+            )
+        for leftover in ("goldview", "gvsrc"):
+            shutil.rmtree(
+                f"/tmp/spark_graft_golden/wh/otel/{leftover}", ignore_errors=True
+            )
+
     def test_ns_timestamp_v3_birth_metadata(self, monkeypatch):
         """A v3-BIRTH table with a timestamptz_ns column + hours spec:
         the engine's first metadata file is byte-identical to the

@@ -1,0 +1,287 @@
+"""Iceberg catalog VIEWS (view spec, format-version 1) on both
+transports: spec-shaped metadata, create/read/replace with version
+history and definition time travel, table/view name-space separation,
+and the REST /views routes against the stub server's independent
+implementation (create / CommitViewRequest with assert-view-uuid /
+rename / drop)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import FsCatalog
+from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
+    RestCatalogClient,
+    RestError,
+)
+
+from rest_stub import make_server
+
+ORDERS = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("region", StringType(), True),
+        StructField("amount", DoubleType(), True),
+    ]
+)
+
+VIEW_SQL = (
+    "SELECT region, COUNT(*) AS n, SUM(amount) AS total "
+    "FROM mart_orders GROUP BY region"
+)
+VIEW_SQL_V2 = "SELECT region, MAX(amount) AS max_amount FROM mart_orders GROUP BY region"
+
+
+def _orders_df(spark, n=30):
+    return spark.range(n).select(
+        F.col("id"),
+        F.concat(F.lit("r"), (F.col("id") % 3).cast("string")).alias("region"),
+        (F.col("id") * 1.5).alias("amount"),
+    )
+
+
+def _expected(spark, df, sql_over="orders_src"):
+    df.createOrReplaceTempView(sql_over)
+    return sorted(
+        map(
+            tuple,
+            spark.sql(
+                VIEW_SQL.replace("mart_orders", sql_over)
+            ).collect(),
+        )
+    )
+
+
+class TestFsViews:
+    @pytest.fixture()
+    def cat(self, spark, tmp_path):
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("mart", "orders", ORDERS)
+        t.append_dataframe(_orders_df(spark))
+        return cat
+
+    def test_create_read_roundtrip(self, spark, cat):
+        v = cat.create_view(spark, "mart", "region_totals", VIEW_SQL)
+        got = sorted(map(tuple, v.read(spark).collect()))
+        assert got == _expected(spark, _orders_df(spark))
+        assert len(got) == 3
+
+    def test_metadata_spec_shape(self, spark, cat):
+        v = cat.create_view(spark, "mart", "shape", VIEW_SQL)
+        md = v.metadata()
+        assert md["format-version"] == 1
+        assert len(md["view-uuid"]) == 36
+        assert md["current-version-id"] == 1
+        (ver,) = md["versions"]
+        assert ver["schema-id"] == 0 and ver["version-id"] == 1
+        assert ver["summary"]["engine-name"].startswith("opentelemetry")
+        (rep,) = ver["representations"]
+        assert rep == {"type": "sql", "sql": VIEW_SQL, "dialect": "spark"}
+        assert ver["default-namespace"] == ["mart"]
+        assert md["version-log"] == [
+            {"timestamp-ms": ver["timestamp-ms"], "version-id": 1}
+        ]
+        (schema,) = md["schemas"]
+        assert [f["name"] for f in schema["fields"]] == ["region", "n", "total"]
+        assert "_last_column_id" not in schema
+        # the analyzed SQL's types are recorded
+        assert [f["type"] for f in schema["fields"]] == ["string", "long", "double"]
+
+    def test_replace_versions_and_time_travel(self, spark, cat):
+        v = cat.create_view(spark, "mart", "tt", VIEW_SQL)
+        assert v.replace(spark, VIEW_SQL_V2) == 2
+        md = v.metadata()
+        assert md["current-version-id"] == 2
+        assert [x["version-id"] for x in md["versions"]] == [1, 2]
+        assert [x["version-id"] for x in md["version-log"]] == [1, 2]
+        assert len(md["schemas"]) == 2
+        assert md["versions"][1]["summary"]["operation"] == "replace"
+        assert v.read(spark).columns == ["region", "max_amount"]
+        # definition time travel: version 1 still executes
+        assert v.read(spark, version_id=1).columns == ["region", "n", "total"]
+        with pytest.raises(ValueError, match="no version 9"):
+            v.read(spark, version_id=9)
+
+    def test_listing_separation(self, spark, cat):
+        cat.create_view(spark, "mart", "vsep", VIEW_SQL)
+        assert cat.list_tables("mart") == ["orders"]
+        assert cat.list_views("mart") == ["vsep"]
+        assert not cat.table_exists("mart", "vsep")
+        assert cat.view_exists("mart", "vsep")
+        assert not cat.view_exists("mart", "orders")
+
+    def test_name_collisions(self, spark, cat):
+        with pytest.raises(ValueError, match="a TABLE of that"):
+            cat.create_view(spark, "mart", "orders", VIEW_SQL)
+        cat.create_view(spark, "mart", "dupe", VIEW_SQL)
+        with pytest.raises(ValueError, match="already exists"):
+            cat.create_view(spark, "mart", "dupe", VIEW_SQL)
+        with pytest.raises(ValueError, match="a VIEW of that"):
+            cat.create_table("mart", "dupe", ORDERS)
+
+    def test_drop_and_rename_refusal(self, spark, cat):
+        cat.create_view(spark, "mart", "gone", VIEW_SQL)
+        assert cat.drop_view("mart", "gone")
+        assert not cat.view_exists("mart", "gone")
+        assert cat.list_views("mart") == []
+        assert not cat.drop_view("mart", "gone")
+        with pytest.raises(NotImplementedError, match="rename"):
+            cat.rename_view("mart", "x", "mart", "y")
+
+    def test_load_view_missing(self, cat):
+        with pytest.raises(FileNotFoundError):
+            cat.load_view("mart", "nope")
+
+    def test_cross_namespace_view(self, spark, cat):
+        t2 = cat.create_table("dims", "labels", StructType(
+            [StructField("region", StringType(), True),
+             StructField("label", StringType(), True)]
+        ))
+        t2.append_dataframe(
+            spark.createDataFrame(
+                [("r0", "zero"), ("r1", "one"), ("r2", "two")], "region string, label string"
+            )
+        )
+        v = cat.create_view(
+            spark,
+            "mart",
+            "labeled",
+            "SELECT l.label, COUNT(*) AS n FROM mart_orders o "
+            "JOIN dims_labels l ON o.region = l.region GROUP BY l.label",
+        )
+        got = dict(map(tuple, v.read(spark).collect()))
+        assert got == {"zero": 10, "one": 10, "two": 10}
+
+    def test_properties_recorded(self, spark, cat):
+        v = cat.create_view(
+            spark, "mart", "props", VIEW_SQL, properties={"comment": "totals"}
+        )
+        assert v.metadata()["properties"] == {"comment": "totals"}
+
+
+class TestRestViews:
+    @pytest.fixture()
+    def catalog(self, spark, tmp_path):
+        warehouse = str(tmp_path / "wh")
+        os.makedirs(warehouse)
+        server, state, uri = make_server(warehouse)
+        client = RestCatalogClient(uri, warehouse=warehouse)
+        client.ensure_namespace("mart")
+        t = client.ensure_table("mart", "orders", ORDERS)
+        t.append_dataframe(_orders_df(spark))
+        yield client, state
+        server.shutdown()
+
+    def test_create_load_read_parity(self, spark, catalog):
+        client, _ = catalog
+        v = client.create_view(spark, "mart", "region_totals", VIEW_SQL)
+        got = sorted(map(tuple, v.read(spark).collect()))
+        assert got == _expected(spark, _orders_df(spark))
+        md = client.load_view("mart", "region_totals").metadata()
+        assert md["format-version"] == 1 and md["current-version-id"] == 1
+        assert md["versions"][0]["representations"][0]["sql"] == VIEW_SQL
+        (schema,) = md["schemas"]
+        assert [f["name"] for f in schema["fields"]] == ["region", "n", "total"]
+
+    def test_replace_and_time_travel(self, spark, catalog):
+        client, _ = catalog
+        v = client.create_view(spark, "mart", "tt", VIEW_SQL)
+        assert v.replace(spark, VIEW_SQL_V2) == 2
+        md = v.metadata()
+        assert [x["version-id"] for x in md["versions"]] == [1, 2]
+        assert [x["schema-id"] for x in md["versions"]] == [0, 1]
+        assert v.read(spark).columns == ["region", "max_amount"]
+        assert v.read(spark, version_id=1).columns == ["region", "n", "total"]
+
+    def test_uuid_requirement_conflict(self, spark, catalog):
+        client, _ = catalog
+        client.create_view(spark, "mart", "guard", VIEW_SQL)
+        with pytest.raises(RestError, match="uuid mismatch"):
+            client.commit_view(
+                "mart",
+                "guard",
+                {
+                    "requirements": [
+                        {"type": "assert-view-uuid", "uuid": "0" * 36}
+                    ],
+                    "updates": [],
+                },
+            )
+
+    def test_rename_and_drop(self, spark, catalog):
+        client, _ = catalog
+        client.create_view(spark, "mart", "old", VIEW_SQL)
+        client.rename_view("mart", "old", "mart", "new")
+        assert not client.view_exists("mart", "old")
+        got = sorted(map(tuple, client.load_view("mart", "new").read(spark).collect()))
+        assert got == _expected(spark, _orders_df(spark))
+        assert client.drop_view("mart", "new")
+        assert not client.drop_view("mart", "new")
+        assert client.list_views("mart") == []
+
+    def test_listing_and_collisions(self, spark, catalog):
+        client, _ = catalog
+        client.create_view(spark, "mart", "v1", VIEW_SQL)
+        assert client.list_views("mart") == ["v1"]
+        assert client.list_tables("mart") == ["orders"]
+        with pytest.raises(RestError, match="already exists"):
+            client.create_view(spark, "mart", "orders", VIEW_SQL)
+        with pytest.raises(RestError, match="already exists"):
+            client.create_view(spark, "mart", "v1", VIEW_SQL)
+
+
+class TestViewCli:
+    def test_view_lifecycle_fs(self, spark, tmp_path, capsys):
+        import json
+
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        wh = str(tmp_path / "wh")
+        cat = FsCatalog(wh)
+        cat.create_table("mart", "orders", ORDERS).append_dataframe(
+            _orders_df(spark)
+        )
+        base = ["view", "--warehouse", wh, "--namespace", "mart"]
+        assert main([*base, "create", "--name", "totals", "--sql", VIEW_SQL]) == 0
+        created = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert created["current_version_id"] == 1
+
+        assert main([*base, "read", "--name", "totals"]) == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert json.loads(lines[-1])["rows"] == 3
+        assert {json.loads(ln)["region"] for ln in lines[:-1]} == {"r0", "r1", "r2"}
+
+        assert main([*base, "replace", "--name", "totals", "--sql", VIEW_SQL_V2]) == 0
+        assert (
+            json.loads(capsys.readouterr().out.strip().splitlines()[-1])[
+                "current_version_id"
+            ]
+            == 2
+        )
+        # definition time travel: v1 still prints three-column rows
+        assert main([*base, "read", "--name", "totals", "--version-id", "1"]) == 0
+        first = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+        assert {"region", "n", "total"} <= set(first)
+
+        assert main([*base, "list"]) == 0
+        assert json.loads(capsys.readouterr().out.strip())["views"] == ["totals"]
+        assert main([*base, "drop", "--name", "totals"]) == 0
+        assert json.loads(capsys.readouterr().out.strip())["dropped"] is True
+
+    def test_view_missing_args(self, tmp_path):
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        with pytest.raises(SystemExit, match="--sql"):
+            main(["view", "create", "--warehouse", str(tmp_path), "--name", "x"])
+        with pytest.raises(SystemExit, match="--name"):
+            main(["view", "read", "--warehouse", str(tmp_path)])
