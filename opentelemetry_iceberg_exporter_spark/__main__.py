@@ -600,13 +600,16 @@ def main(argv: list[str] | None = None) -> int:
 
     psql = sub.add_parser(
         "sql",
-        help="run SQL over the warehouse: every fs-catalog table is "
-        "registered as a <namespace>_<table> temp view over the "
-        "jar-less iceberg_fs format (pushed-filter pruning, "
-        "merge-on-read deletes), result printed as JSON lines or "
-        "written as parquet",
+        help="run SQL over the warehouse: every catalog table is "
+        "registered as a <namespace>_<table> temp view — fs transport "
+        "over the jar-less iceberg_fs format (pushed-filter pruning, "
+        "merge-on-read deletes), or --rest-uri over the REST catalog "
+        "(same naming, local scan planning); result printed as JSON "
+        "lines or written as parquet",
     )
-    psql.add_argument("--warehouse", required=True, help="fs warehouse root")
+    psql.add_argument("--warehouse", default=None, help="fs warehouse root (required without --rest-uri)")
+    psql.add_argument("--rest-uri", default=None, help="Iceberg REST catalog URI (switches transport)")
+    psql.add_argument("--rest-token", default="", help="bearer token for --rest-uri")
     psql.add_argument("--namespace", default=None, help="restrict registered views")
     psql.add_argument("--query", required=True, help="SQL text")
     psql.add_argument("--output", default=None, help="write parquet here instead of printing")
@@ -1652,9 +1655,22 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "sql":
-        from .sources.iceberg_source import register_table_views
+        if args.rest_uri:
+            from .sinks.iceberg_rest import (
+                RestCatalogClient,
+                register_rest_table_views,
+            )
 
-        views = register_table_views(spark, args.warehouse, args.namespace)
+            client = RestCatalogClient(
+                args.rest_uri, warehouse=args.warehouse or "", token=args.rest_token
+            )
+            views = register_rest_table_views(spark, client, args.namespace)
+        else:
+            if not args.warehouse:
+                raise SystemExit("--warehouse is required without --rest-uri")
+            from .sources.iceberg_source import register_table_views
+
+            views = register_table_views(spark, args.warehouse, args.namespace)
         result = spark.sql(args.query)
         if args.output:
             result.write.mode("overwrite").parquet(args.output)

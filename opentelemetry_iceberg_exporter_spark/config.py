@@ -93,6 +93,15 @@ class CatalogConfig:
     # (sinks/bloom_prune.py). e.g. {"traces": ["trace_id", "span_id"]}.
     # Column names are checked against the signal schema at DDL time.
     bloom_filter_columns: dict[str, list[str]] = field(default_factory=dict)
+    # declared catalog VIEWS (Iceberg view spec v1): {view_name: SQL},
+    # ensured by the sinks' startup DDL (ensure_all_tables) AFTER the
+    # signal tables exist. Table references use the `sql`-CLI naming
+    # `<namespace>_<table>` (e.g. otel_otel_traces). Convergent: a
+    # missing view is created, a view whose CURRENT SQL differs is
+    # REPLACED (version history preserved — definition time travel
+    # keeps the old SQL addressable), identical SQL is a no-op.
+    # Requires the pure-Python catalogs (catalog_type fs | rest).
+    views: dict[str, str] = field(default_factory=dict)
 
     def validate(self) -> None:
         if self.catalog_type not in VALID_CATALOG_TYPES:
@@ -116,6 +125,17 @@ class CatalogConfig:
                     f"catalog.bloom_filter_columns[{signal!r}] must be a "
                     "non-empty list of column names"
                 )
+        for vname, vsql in self.views.items():
+            if not vname or not isinstance(vsql, str) or not vsql.strip():
+                raise ValueError(
+                    f"catalog.views[{vname!r}] must map a view name to a "
+                    "non-empty SQL string"
+                )
+        if self.views and self.catalog_type not in ("fs", "rest"):
+            raise ValueError(
+                "catalog.views requires the pure-Python catalog sinks "
+                "(catalog_type 'fs' or 'rest') — views are catalog objects"
+            )
         if self.upsert_keys and self.wap_branch:
             raise ValueError(
                 "catalog.upsert_keys and catalog.wap_branch are mutually "

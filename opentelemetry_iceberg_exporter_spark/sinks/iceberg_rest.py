@@ -2355,22 +2355,42 @@ class RestTable:
         return df.filter(where) if where is not None else df
 
 
-def register_rest_table_views(spark: SparkSession, client: RestCatalogClient) -> dict[str, str]:
+def register_rest_table_views(
+    spark: SparkSession,
+    client: RestCatalogClient,
+    namespace: str | None = None,
+    broadcast_threshold: int = 64 * 1024 * 1024,
+) -> dict[str, str]:
     """Make every REST-catalog table addressable as a `<ns>_<table>`
     temp view (the fs sql-CLI convention — see
-    iceberg_source.register_table_views) so catalog VIEW SQL analyzes
-    and executes over this transport too. Registration builds each
-    table's lazy read plan with LOCAL planning (one metadata GET per
-    table, no scan-planning POSTs for tables the SQL never touches).
-    Returns {view_name: table location}."""
+    iceberg_source.register_table_views) so plain spark.sql and catalog
+    VIEW SQL analyze and execute over this transport too. Registration
+    builds each table's lazy read plan with LOCAL planning (one metadata
+    GET per table, no scan-planning POSTs for tables the SQL never
+    touches), and mirrors the fs registrar's statistics-driven planning:
+    tables whose live on-disk bytes (O(1) from the snapshot summary's
+    total-files-size) fit under `broadcast_threshold` register with a
+    broadcast hint, so star joins written in plain SQL broadcast their
+    dimensions. Returns {view_name: table location}."""
     views: dict[str, str] = {}
-    for ns in client.list_namespaces():
+    namespaces = [namespace] if namespace else client.list_namespaces()
+    for ns in namespaces:
         for name in client.list_tables(ns):
             t = RestTable(client, ns, name)
+            md = t.metadata()
+            snap = t.current_snapshot()
+            summary = (snap or {}).get("summary", {})
+            if "total-files-size" in summary:
+                n_bytes = int(summary["total-files-size"])
+            else:
+                data, _ = t.plan_files()
+                n_bytes = sum(f.file_size_in_bytes for f in data)
             df = t.read(spark, server_planning=False)
+            if n_bytes <= broadcast_threshold:
+                df = df.hint("broadcast")
             view = f"{ns}_{name}"
             df.createOrReplaceTempView(view)
-            views[view] = t.location()
+            views[view] = md["location"]
     return views
 
 

@@ -57,6 +57,35 @@ TABLE_PROPERTIES = {
 
 
 
+def _ensure_declared_views(spark, config, handle) -> list[str]:
+    """catalog.views convergence both pure-Python transports share
+    (`handle` is an FsCatalog or a RestCatalogClient — identical view
+    surface): a declared view that is missing is CREATED; one whose
+    CURRENT SQL differs is REPLACED (the view spec keeps every prior
+    version addressable, so convergence never loses history); identical
+    SQL is a no-op — startup DDL stays idempotent like the table half.
+    Returns ["create name" | "replace name" | "keep name"] actions."""
+    actions: list[str] = []
+    if not config.catalog.views:
+        return actions
+    from .iceberg_views import resolve_version, sql_representation
+
+    ns = config.catalog.namespace
+    for name, sql in config.catalog.views.items():
+        if handle.view_exists(ns, name):
+            view = handle.load_view(ns, name)
+            current = sql_representation(resolve_version(view.metadata()))
+            if current != sql:
+                view.replace(spark, sql)
+                actions.append(f"replace {name}")
+            else:
+                actions.append(f"keep {name}")
+        else:
+            handle.create_view(spark, ns, name, sql)
+            actions.append(f"create {name}")
+    return actions
+
+
 def _exporter_table_props(config, signal: str, schema) -> dict[str, str]:
     """The per-signal DDL property set both transports share."""
     props = dict(TABLE_PROPERTIES)
@@ -248,7 +277,9 @@ class FsIcebergSink:
 
     def ensure_all_tables(self) -> list[str]:
         """C1 + C2 x7: namespace dir + create-if-absent with the hidden
-        time-partition spec. Returns created/ensured table names."""
+        time-partition spec, then catalog.views convergence (the views
+        analyze against the signal tables, so they ensure LAST). Returns
+        created/ensured table names."""
         ns = self.config.catalog.namespace
         self.catalog.create_namespace(ns)
         ensured = []
@@ -266,6 +297,7 @@ class FsIcebergSink:
                 )
                 self._ensured.add(table)
             ensured.append(table)
+        _ensure_declared_views(self.spark, self.config, self.catalog)
         return ensured
 
     def _load(self, signal: str):
@@ -372,7 +404,7 @@ class RestIcebergSink:
 
     def ensure_all_tables(self) -> list[str]:
         """C1 + C2 x7 over REST (ensure ladder with client-side cache —
-        catalog_rest.go:129-240)."""
+        catalog_rest.go:129-240), then catalog.views convergence."""
         ns = self.config.catalog.namespace
         self.client.ensure_namespace(ns)
         ensured = []
@@ -388,6 +420,7 @@ class RestIcebergSink:
                 iceberg_types=self._signal_iceberg_types(signal),
             )
             ensured.append(table)
+        _ensure_declared_views(self.spark, self.config, self.client)
         return ensured
 
     def _load(self, signal: str):

@@ -130,7 +130,11 @@ def _partition_name_mapping(md: dict) -> tuple:
 def _read_file_partition(part: _FilePartition):
     """EXECUTOR-side: one file -> aligned Arrow batches. Columns resolve
     by parquet field id when present (rename-safe), by name otherwise;
-    columns missing from the file (pre-evolution) surface as nulls."""
+    columns missing from the file (pre-evolution) surface as nulls.
+    A None file_path is the readers' explicit no-op partition (empty
+    table / fully pruned scan): zero batches."""
+    if part.file_path is None:
+        return
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -244,6 +248,11 @@ class _BatchReader(DataSourceReader):
         pos = _positions_by_file([d for d in deletes if d.content == 1])
         fields = _partition_schema_fields(md)
         mapping = _partition_name_mapping(md)
+        if not data:
+            # Spark calls read(None) when a Python source returns ZERO
+            # partitions — an empty table (no snapshot yet) or a fully
+            # pruned scan must surface one explicit no-op partition
+            return [_FilePartition(None, fields, (), mapping)]
         return [
             _FilePartition(f.file_path, fields, pos.get(f.file_path, ()), mapping)
             for f in data
@@ -317,6 +326,11 @@ class _StreamReader(DataSourceStreamReader):
             hi = end_off if snap["snapshot-id"] == end_id else len(ordered)
             files.extend(ordered[lo:hi])
         mapping = _partition_name_mapping(md)
+        if not files:
+            # a non-empty offset window can still carry zero data files
+            # (replace-only window); zero partitions would make Spark
+            # call read(None) — hand it one no-op partition instead
+            return [_FilePartition(None, fields, (), mapping)]
         return [
             _FilePartition(f.file_path, fields, (), mapping) for f in files
         ]

@@ -240,6 +240,134 @@ class TestRestViews:
             client.create_view(spark, "mart", "v1", VIEW_SQL)
 
 
+SVC_SQL = (
+    "SELECT service_name, COUNT(*) AS n FROM otel_otel_traces "
+    "GROUP BY service_name"
+)
+SVC_SQL_V2 = "SELECT COUNT(*) AS total FROM otel_otel_traces"
+
+
+def _exporter_config(tmp_path, views, catalog_type="fs", uri=""):
+    from opentelemetry_iceberg_exporter_spark.config import (
+        CatalogConfig,
+        ExporterConfig,
+        PartitionConfig,
+        StorageConfig,
+    )
+
+    return ExporterConfig(
+        storage=StorageConfig(
+            provider="filesystem", bucket=str(tmp_path), prefix="raw"
+        ),
+        catalog=CatalogConfig(
+            catalog_type=catalog_type,
+            warehouse=str(tmp_path / "warehouse"),
+            uri=uri,
+            views=views,
+        ),
+        partition=PartitionConfig(granularity="hourly"),
+    )
+
+
+class TestDeclaredViews:
+    """catalog.views: declared views converge at startup DDL — created
+    when missing, REPLACED when the current SQL differs (history
+    preserved), untouched when identical."""
+
+    def test_fs_convergence(self, spark, tmp_path):
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_sink import (
+            FsIcebergSink,
+        )
+
+        cfg = _exporter_config(tmp_path, {"svc_counts": SVC_SQL})
+        cfg.catalog.validate()
+        FsIcebergSink(spark, cfg).ensure_all_tables()
+        cat = FsCatalog(cfg.catalog.warehouse)
+        v = cat.load_view("otel", "svc_counts")
+        assert v.metadata()["current-version-id"] == 1
+        assert v.read(spark).count() == 0  # analyzes + runs over empty tables
+        # same SQL, fresh process: no new version
+        FsIcebergSink(spark, cfg).ensure_all_tables()
+        assert v.metadata()["current-version-id"] == 1
+        # changed SQL: replace, history preserved
+        cfg2 = _exporter_config(tmp_path, {"svc_counts": SVC_SQL_V2})
+        FsIcebergSink(spark, cfg2).ensure_all_tables()
+        md = v.metadata()
+        assert md["current-version-id"] == 2
+        assert md["versions"][0]["representations"][0]["sql"] == SVC_SQL
+        assert v.read(spark).columns == ["total"]
+
+    def test_rest_convergence(self, spark, tmp_path):
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_sink import (
+            RestIcebergSink,
+        )
+
+        warehouse = str(tmp_path / "warehouse")
+        os.makedirs(warehouse)
+        server, _, uri = make_server(warehouse)
+        try:
+            cfg = _exporter_config(
+                tmp_path, {"svc_counts": SVC_SQL}, catalog_type="rest", uri=uri
+            )
+            RestIcebergSink(spark, cfg).ensure_all_tables()
+            client = RestCatalogClient(uri, warehouse=warehouse)
+            v = client.load_view("otel", "svc_counts")
+            assert v.metadata()["current-version-id"] == 1
+            RestIcebergSink(spark, cfg).ensure_all_tables()
+            assert v.metadata()["current-version-id"] == 1
+            cfg2 = _exporter_config(
+                tmp_path, {"svc_counts": SVC_SQL_V2}, catalog_type="rest", uri=uri
+            )
+            RestIcebergSink(spark, cfg2).ensure_all_tables()
+            assert v.metadata()["current-version-id"] == 2
+        finally:
+            server.shutdown()
+
+    def test_views_config_validation(self, tmp_path):
+        with pytest.raises(ValueError, match="non-empty SQL"):
+            _exporter_config(tmp_path, {"x": "  "}).catalog.validate()
+        bad = _exporter_config(tmp_path, {"x": "SELECT 1"})
+        bad.catalog.catalog_type = "none"
+        with pytest.raises(ValueError, match="pure-Python catalog"):
+            bad.catalog.validate()
+
+
+class TestSqlCliRest:
+    def test_sql_over_rest_transport(self, spark, tmp_path, capsys):
+        import json
+
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        warehouse = str(tmp_path / "wh")
+        os.makedirs(warehouse)
+        server, state, uri = make_server(warehouse)
+        try:
+            client = RestCatalogClient(uri, warehouse=warehouse)
+            client.ensure_namespace("mart")
+            t = client.ensure_table("mart", "orders", ORDERS)
+            t.append_dataframe(_orders_df(spark))
+            rc = main(
+                [
+                    "sql",
+                    "--rest-uri", uri,
+                    "--query",
+                    "SELECT region, COUNT(*) AS n FROM mart_orders GROUP BY region",
+                ]
+            )
+            assert rc == 0
+            lines = capsys.readouterr().out.strip().splitlines()
+            tail = json.loads(lines[-1])
+            assert tail["rows"] == 3 and "mart_orders" in tail["views"]
+        finally:
+            server.shutdown()
+
+    def test_sql_requires_a_transport(self, tmp_path):
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        with pytest.raises(SystemExit, match="--warehouse"):
+            main(["sql", "--query", "SELECT 1"])
+
+
 class TestViewCli:
     def test_view_lifecycle_fs(self, spark, tmp_path, capsys):
         import json
