@@ -251,9 +251,32 @@ class RestCatalogClient:
             {"plan-task": plan_task},
         )
 
+    def _list_paged(self, path: str, key: str) -> list:
+        """The spec's list-endpoint pagination: follow `next-page-token`
+        (opaque — echoed back verbatim as `pageToken`) until the server
+        omits it. Servers that don't paginate return everything with no
+        token, so the loop runs once. Bounded like plan-task pagination:
+        a byzantine token cycle terminates with an error."""
+        out: list = []
+        token: str | None = None
+        for _ in range(100_000):
+            res = self._request(
+                "GET", path, query={"pageToken": token} if token else None
+            )
+            out.extend(res.get(key) or [])
+            token = res.get("next-page-token")
+            if not token:
+                return out
+        raise RestError(
+            0,
+            "InvalidResponseException",
+            f"list pagination of {path} exceeded 100000 pages — refusing to loop",
+        )
+
     def list_namespaces(self) -> list[str]:
-        out = self._request("GET", self._ns_path())
-        return [".".join(ns) for ns in out.get("namespaces", [])]
+        return [
+            ".".join(ns) for ns in self._list_paged(self._ns_path(), "namespaces")
+        ]
 
     def namespace_exists(self, namespace: str) -> bool:
         try:
@@ -341,9 +364,12 @@ class RestCatalogClient:
         )
 
     def list_tables(self, namespace: str) -> list[str]:
-        """ListTables (GET .../tables): the namespace's table names."""
-        res = self._request("GET", self._table_path(namespace))
-        return sorted(i["name"] for i in res.get("identifiers", []))
+        """ListTables (GET .../tables, paginated): the namespace's
+        table names."""
+        return sorted(
+            i["name"]
+            for i in self._list_paged(self._table_path(namespace), "identifiers")
+        )
 
     # -- views (Iceberg view spec v1 over the REST /views routes) ----------
     def _view_path(self, namespace: str, name: str = "") -> str:
@@ -353,8 +379,10 @@ class RestCatalogClient:
         return f"{path}/{urllib.parse.quote(name, safe='')}" if name else path
 
     def list_views(self, namespace: str) -> list[str]:
-        res = self._request("GET", self._view_path(namespace))
-        return sorted(i["name"] for i in res.get("identifiers", []))
+        return sorted(
+            i["name"]
+            for i in self._list_paged(self._view_path(namespace), "identifiers")
+        )
 
     def view_exists(self, namespace: str, name: str) -> bool:
         try:

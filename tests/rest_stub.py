@@ -84,6 +84,9 @@ class StubCatalogState:
         # -- views (Iceberg view spec v1 over the /views routes) --------
         self.views: dict[tuple[str, str], dict] = {}  # (ns, name) -> metadata
         self.view_versions: dict[tuple[str, str], int] = {}
+        # list-endpoint pagination: 0 = everything in one response (no
+        # next-page-token); N = pages of N with opaque offset tokens
+        self.list_page_size: int = 0
 
     def inject_garbage(
         self, times: int = 1, method: str | None = None, path_re: str | None = None
@@ -125,6 +128,22 @@ class _Handler(BaseHTTPRequestHandler):
     def _body(self) -> dict:
         length = int(self.headers.get("Content-Length", 0))
         return json.loads(self.rfile.read(length)) if length else {}
+
+    def _send_page(self, items: list, key: str) -> None:
+        """Spec list-endpoint pagination: slice at the opaque pageToken
+        offset and emit `next-page-token` while items remain; page size
+        0 sends everything token-less (a non-paginating server)."""
+        size = self.state.list_page_size
+        if size <= 0:
+            self._send(200, {key: items})
+            return
+        q = parse_qs(urlparse(self.path).query)
+        tok = q.get("pageToken", [None])[0]
+        off = int(tok[4:]) if tok else 0
+        body: dict = {key: items[off : off + size]}
+        if off + size < len(items):
+            body["next-page-token"] = f"off-{off + size}"
+        self._send(200, body)
 
     def _send_garbage(self) -> None:
         """A 200 whose body is truncated JSON (proxy corruption /
@@ -214,7 +233,9 @@ class _Handler(BaseHTTPRequestHandler):
             return
         m = re.fullmatch(f"/v1/{PREFIX}/namespaces", path)
         if m:
-            self._send(200, {"namespaces": [[ns] for ns in sorted(self.state.namespaces)]})
+            self._send_page(
+                [[ns] for ns in sorted(self.state.namespaces)], "namespaces"
+            )
             return
         m = re.fullmatch(f"/v1/{PREFIX}/namespaces/([^/]+)", path)
         if m:
@@ -227,29 +248,25 @@ class _Handler(BaseHTTPRequestHandler):
         m = re.fullmatch(f"/v1/{PREFIX}/namespaces/([^/]+)/tables", path)
         if m:
             ns = m.group(1)
-            self._send(
-                200,
-                {
-                    "identifiers": [
-                        {"namespace": [k[0]], "name": k[1]}
-                        for k in sorted(self.state.tables)
-                        if k[0] == ns
-                    ]
-                },
+            self._send_page(
+                [
+                    {"namespace": [k[0]], "name": k[1]}
+                    for k in sorted(self.state.tables)
+                    if k[0] == ns
+                ],
+                "identifiers",
             )
             return
         m = re.fullmatch(f"/v1/{PREFIX}/namespaces/([^/]+)/views", path)
         if m:
             ns = m.group(1)
-            self._send(
-                200,
-                {
-                    "identifiers": [
-                        {"namespace": [k[0]], "name": k[1]}
-                        for k in sorted(self.state.views)
-                        if k[0] == ns
-                    ]
-                },
+            self._send_page(
+                [
+                    {"namespace": [k[0]], "name": k[1]}
+                    for k in sorted(self.state.views)
+                    if k[0] == ns
+                ],
+                "identifiers",
             )
             return
         m = re.fullmatch(f"/v1/{PREFIX}/namespaces/([^/]+)/views/([^/]+)", path)

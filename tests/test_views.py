@@ -368,6 +368,37 @@ class TestSqlCliRest:
             main(["sql", "--query", "SELECT 1"])
 
 
+class TestListPagination:
+    def test_paged_lists_drain_all_pages(self, spark, tmp_path):
+        """The spec's list-endpoint pagination: the client follows
+        next-page-token across namespaces/tables/views listings; a
+        non-paginating server (no token) is the one-iteration case."""
+        warehouse = str(tmp_path / "wh")
+        os.makedirs(warehouse)
+        server, state, uri = make_server(warehouse)
+        try:
+            client = RestCatalogClient(uri, warehouse=warehouse)
+            for i in range(5):
+                client.ensure_namespace(f"ns{i}")
+            for i in range(5):
+                client.ensure_table(f"ns{i}", f"t{i}", ORDERS)
+            for i in range(5):
+                client.ensure_table("ns0", f"extra{i}", ORDERS)
+            state.list_page_size = 2
+            before = len(state.requests)
+            assert client.list_namespaces() == [f"ns{i}" for i in range(5)]
+            list_calls = [
+                p for m, p in state.requests[before:] if m == "GET"
+            ]
+            assert len(list_calls) == 3  # 5 namespaces / 2 per page
+            assert any("pageToken=off-2" in p for p in list_calls)
+            assert client.list_tables("ns0") == [
+                "extra0", "extra1", "extra2", "extra3", "extra4", "t0"
+            ]
+        finally:
+            server.shutdown()
+
+
 class TestViewCli:
     def test_view_lifecycle_fs(self, spark, tmp_path, capsys):
         import json
