@@ -141,6 +141,26 @@ def main(argv: list[str] | None = None) -> int:
         "of the full (id, group_id, group_size, is_canonical) map",
     )
 
+    psd = sub.add_parser(
+        "semdedup",
+        help="SemDeDup semantic dedup: k-means cells over an embedding "
+        "column, within-cell cosine pairs at a threshold, "
+        "connected-component groups with a canonical keeper — catches "
+        "the paraphrase/template duplication lexical dedup misses",
+    )
+    psd.add_argument("--input", required=True, help="parquet file/dir with an embedding column")
+    psd.add_argument("--output", required=True, help="output dir (parquet)")
+    psd.add_argument("--id-col", default="doc_id")
+    psd.add_argument("--vec-col", default="embedding")
+    psd.add_argument("--k", type=int, default=8, help="k-means cells (recall/cost knob)")
+    psd.add_argument("--threshold", type=float, default=0.97, help="cosine duplicate threshold")
+    psd.add_argument(
+        "--keep-only",
+        action="store_true",
+        help="write only canonical rows (joined back to the input) instead "
+        "of the full (id, group_id, group_size, is_canonical) map",
+    )
+
     pim = sub.add_parser(
         "image-dedup",
         help="perceptual image dedup: dHash over decoded pixels, banded "
@@ -891,6 +911,31 @@ def main(argv: list[str] | None = None) -> int:
             out = groups
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"rows": out.count(), "method": args.method}))
+        return 0
+
+    if args.cmd == "semdedup":
+        from pyspark.sql import functions as F
+
+        from .operators.semdedup import semdedup
+
+        docs = spark.read.parquet(args.input)
+        groups = semdedup(
+            docs, args.id_col, args.vec_col, k=args.k, threshold=args.threshold
+        )
+        if args.keep_only:
+            out = docs.join(
+                groups.filter(F.col("is_canonical")).select(args.id_col),
+                args.id_col,
+                "semi",
+            )
+        else:
+            out = groups
+        out.write.mode("overwrite").parquet(args.output)
+        print(
+            json.dumps(
+                {"rows": out.count(), "k": args.k, "threshold": args.threshold}
+            )
+        )
         return 0
 
     if args.cmd == "video-dedup":

@@ -131,3 +131,81 @@ def stratified_sample(
         ranked.filter(F.col("__rk") <= F.ceil(F.col("__n") * F.lit(fraction)))
         .drop("__rk", "__n")
     )
+
+
+def mix_corpora(
+    sources: dict[str, DataFrame],
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    alpha: float = 1.0,
+    salt: str = "mix",
+    sizes: dict[str, int] | None = None,
+) -> tuple[DataFrame, dict[str, dict]]:
+    """Temperature-weighted corpus MIXING — the published multilingual-
+    pretraining recipe (XLM-R / mT5: sample source i with probability
+    q_i ∝ p_i^alpha; alpha < 1 flattens the mix toward low-resource
+    sources, alpha = 1 is natural sampling) realized as a DETERMINISTIC
+    without-replacement downsample:
+
+    * base shares p_i default to the source SIZES (natural mix) or the
+      caller's `weights`;
+    * q_i ∝ p_i^alpha, normalized;
+    * the largest output that honors composition q without replacement
+      is T = min_i n_i / q_i documents — the binding source keeps
+      everything, every other source keeps fraction
+      f_i = q_i * T / n_i;
+    * each keep set is `hash_fraction_sample` — map-side, zero
+      shuffles, reproducible under any partitioning, and MONOTONE in
+      the fraction (raising a source's share only ADDS documents,
+      never swaps them — so re-mixing after an upweight is an
+      incremental append, not a corpus rewrite).
+
+    `sizes` skips the counting jobs when the caller already knows them
+    (Iceberg snapshot summaries make corpus size O(1) metadata).
+    Returns (union of the samples tagged with a `source` column, and a
+    per-source report {source: {n, share, fraction, target}} —
+    `target` is the EXPECTED take; hash sampling realizes it to within
+    the usual binomial wobble, exact composition needs
+    stratified_sample's window at one shuffle).
+    """
+    if not sources:
+        raise ValueError("mix_corpora needs at least one source")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (got {alpha})")
+    if weights is not None:
+        unknown = set(weights) - set(sources)
+        if unknown:
+            raise ValueError(f"weights name unknown sources: {sorted(unknown)}")
+        if any(w <= 0 for w in weights.values()):
+            raise ValueError("weights must be strictly positive")
+    n = dict(sizes or {})
+    for name, df in sources.items():
+        if name not in n:
+            n[name] = df.count()
+        if n[name] <= 0:
+            raise ValueError(f"source {name!r} is empty")
+    p = {s: float(weights[s]) if weights else float(n[s]) for s in sources}
+    q_raw = {s: v**alpha for s, v in p.items()}
+    z = sum(q_raw.values())
+    q = {s: v / z for s, v in q_raw.items()}
+    total = min(n[s] / q[s] for s in sources)
+    report: dict[str, dict] = {}
+    parts = []
+    for name, df in sources.items():
+        frac = min(1.0, q[name] * total / n[name])
+        report[name] = {
+            "n": n[name],
+            "share": round(q[name], 6),
+            "fraction": round(frac, 6),
+            "target": int(round(q[name] * total)),
+        }
+        sample = (
+            df
+            if frac >= 1.0
+            else hash_fraction_sample(df, id_col, frac, salt=salt)
+        )
+        parts.append(sample.withColumn("source", F.lit(name)))
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out, report

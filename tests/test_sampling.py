@@ -98,3 +98,79 @@ def test_stratified_exact_counts(spark):
     # deterministic membership
     again = stratified_sample(df, ["stratum"], 0.25, "id")
     assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
+
+
+# --------------------------------------------------------------------------
+# temperature-weighted corpus mixing
+# --------------------------------------------------------------------------
+
+
+def _mix_sources(spark):
+    big = spark.range(0, 8000).select(F.col("id"), F.lit("en").alias("lang"))
+    small = spark.range(100000, 102000).select(F.col("id"), F.lit("sw").alias("lang"))
+    return {"big": big, "small": small}
+
+
+def test_mix_natural_alpha1_keeps_everything(spark):
+    from opentelemetry_iceberg_exporter_spark.operators.sampling import mix_corpora
+
+    out, report = mix_corpora(_mix_sources(spark), "id", alpha=1.0)
+    # natural shares at alpha=1: every source is exactly at its share,
+    # so the without-replacement optimum is the full corpus
+    assert out.count() == 10_000
+    assert report["big"]["fraction"] == 1.0 and report["small"]["fraction"] == 1.0
+    assert report["big"]["share"] == 0.8
+
+
+def test_mix_temperature_flattens_toward_small_sources(spark):
+    from opentelemetry_iceberg_exporter_spark.operators.sampling import mix_corpora
+
+    out, report = mix_corpora(_mix_sources(spark), "id", alpha=0.5)
+    # p=(0.8, 0.2) -> q ∝ (0.894, 0.447) = (2/3, 1/3); the small source
+    # binds at T = 2000/(1/3) = 6000: it keeps everything, the big
+    # source halves
+    assert report["small"]["fraction"] == 1.0
+    assert abs(report["big"]["fraction"] - 0.5) < 1e-6
+    assert report["big"]["target"] == 4000 and report["small"]["target"] == 2000
+    counts = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert counts["small"] == 2000
+    assert abs(counts["big"] - 4000) < 4000 * 0.05  # hash-sample wobble
+    # the output carries the source tag alongside the source columns
+    assert set(out.columns) == {"id", "lang", "source"}
+
+
+def test_mix_deterministic_and_monotone_in_weight(spark):
+    from opentelemetry_iceberg_exporter_spark.operators.sampling import mix_corpora
+
+    srcs = _mix_sources(spark)
+    a1, _ = mix_corpora(srcs, "id", weights={"big": 1.0, "small": 4.0})
+    a2, _ = mix_corpora(
+        {k: v.repartition(7) for k, v in srcs.items()},
+        "id",
+        weights={"big": 1.0, "small": 4.0},
+    )
+    ids1 = sorted(r["id"] for r in a1.collect())
+    assert ids1 == sorted(r["id"] for r in a2.collect())  # partition-invariant
+    # raising big's weight only ADDS big documents (hash threshold is
+    # monotone): the earlier keep set is a subset
+    b, _ = mix_corpora(srcs, "id", weights={"big": 2.0, "small": 4.0})
+    big1 = {r["id"] for r in a1.filter("source = 'big'").collect()}
+    big2 = {r["id"] for r in b.filter("source = 'big'").collect()}
+    assert big1 <= big2 and len(big1) < len(big2)
+
+
+def test_mix_validation(spark):
+    from opentelemetry_iceberg_exporter_spark.operators.sampling import mix_corpora
+
+    srcs = _mix_sources(spark)
+    with pytest.raises(ValueError, match="alpha"):
+        mix_corpora(srcs, "id", alpha=0.0)
+    with pytest.raises(ValueError, match="unknown sources"):
+        mix_corpora(srcs, "id", weights={"nope": 1.0, "big": 1.0, "small": 1.0})
+    with pytest.raises(ValueError, match="at least one"):
+        mix_corpora({}, "id")
+    # sizes= skips the count jobs and feeds the same arithmetic
+    _, report = mix_corpora(
+        srcs, "id", alpha=0.5, sizes={"big": 8000, "small": 2000}
+    )
+    assert report["big"]["target"] == 4000

@@ -129,3 +129,31 @@ class TestSemDedup:
         assert by_id["doc-27"] == "doc-27" and by_id["doc-33"] == "doc-27"
         assert by_id["doc-6"] == "doc-27"  # lexicographic min of the trio
         assert by_id["doc-36"] == "doc-36"
+
+
+class TestSemDedupCli:
+    def test_cli_keep_only(self, spark, tmp_path, capsys):
+        import json
+
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        src = str(tmp_path / "docs")
+        _corpus(spark).write.parquet(src)
+        out = str(tmp_path / "out")
+        rc = main(
+            [
+                "semdedup",
+                "--input", src,
+                "--output", out,
+                "--id-col", "doc_id",
+                "--vec-col", "embedding",
+                "--k", "3",
+                "--threshold", "0.97",
+                "--keep-only",
+            ]
+        )
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["rows"] == 5  # 8 docs, trio -> 1, pair -> 1
+        kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert kept == {6, 43, 63, 60, 36}
