@@ -2199,8 +2199,8 @@ class RestTable:
             if time.monotonic() - t0 > deadline:
                 try:
                     self.client.cancel_planning(self.namespace, self.name, plan_id)
-                finally:
-                    pass
+                except RestError:
+                    pass  # best-effort: the timeout is the error to surface
                 raise RestError(
                     0,
                     "PlanningTimeoutException",

@@ -341,6 +341,20 @@ class TestServerPlanning:
         )
         assert all(p["cancelled"] for p in state.plans.values())
 
+    def test_deadline_error_survives_cancel_failure(self, catalog, spark):
+        """A failing DELETE must not mask the timeout: the caller gets
+        PlanningTimeout, not the cancel route's error."""
+        client, state = catalog
+        t = _events_table(client, spark, appends=1)
+        state.plan_mode = "async"
+        state.async_polls_required = 10**6
+        state.inject(
+            500, "ServiceUnavailableException", "cancel route down",
+            times=1, method="DELETE", path_re="/plan/",
+        )
+        with pytest.raises(RestError, match="PlanningTimeout"):
+            t.plan_files_server(poll_interval=0.01, deadline=0.1)
+
     def test_paged_plan_tasks(self, catalog, spark):
         client, state = catalog
         t = _events_table(client, spark)  # 8 files
