@@ -656,6 +656,13 @@ def main(argv: list[str] | None = None) -> int:
         help="read a HISTORICAL definition (current data underneath)",
     )
     pvw.add_argument("--limit", type=int, default=100, help="max printed rows (read)")
+    pvw.add_argument(
+        "--purge",
+        action="store_true",
+        help="drop: delete the view directory too (a plain drop keeps the "
+        "metadata history for salvage, and the name cannot be re-created "
+        "over the remains)",
+    )
 
     pcs = sub.add_parser(
         "column-stats",
@@ -1752,6 +1759,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.action == "create":
                 v = client.create_view(spark, args.namespace, args.name, args.sql)
             elif args.action == "drop":
+                # REST owns the registry; purge has no fs meaning there
                 existed = client.drop_view(args.namespace, args.name)
                 print(json.dumps({"dropped": existed}))
                 return 0
@@ -1769,7 +1777,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.action == "create":
                 v = cat.create_view(spark, args.namespace, args.name, args.sql)
             elif args.action == "drop":
-                existed = cat.drop_view(args.namespace, args.name)
+                existed = cat.drop_view(args.namespace, args.name, purge=args.purge)
                 print(json.dumps({"dropped": existed}))
                 return 0
             else:

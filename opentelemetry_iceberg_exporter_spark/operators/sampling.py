@@ -176,6 +176,11 @@ def mix_corpora(
         unknown = set(weights) - set(sources)
         if unknown:
             raise ValueError(f"weights name unknown sources: {sorted(unknown)}")
+        missing = set(sources) - set(weights)
+        if missing:
+            raise ValueError(
+                f"weights must cover every source; missing: {sorted(missing)}"
+            )
         if any(w <= 0 for w in weights.values()):
             raise ValueError("weights must be strictly positive")
     n = dict(sizes or {})

@@ -6719,6 +6719,7 @@ class FsCatalog:
         name: str,
         sql: str,
         properties: dict[str, str] | None = None,
+        register_tables: bool = True,
     ):
         """Create a spec-v1 VIEW: the SQL's analyzed output schema is
         recorded, table references resolve as `<ns>_<table>` (the sql
@@ -6727,7 +6728,17 @@ class FsCatalog:
         them and vice versa."""
         from .iceberg_views import create_fs_view
 
-        return create_fs_view(self, spark, namespace, name, sql, properties)
+        return create_fs_view(
+            self, spark, namespace, name, sql, properties, register_tables
+        )
+
+    def register_warehouse_views(self, spark: SparkSession) -> dict[str, str]:
+        """Register every table as a `<ns>_<table>` temp view (lazy —
+        the Python data source defers planning to execution); the
+        transport-neutral hook view convergence and the sql CLI share."""
+        from ..sources.iceberg_source import register_table_views
+
+        return register_table_views(spark, self.warehouse)
 
     def view_exists(self, namespace: str, name: str) -> bool:
         from .iceberg_views import view_exists_at
@@ -6794,8 +6805,12 @@ def _write_metadata_version(location: str, version: int, metadata: dict) -> None
         raise CommitConflictError(f"metadata version {version} already committed") from exc
 
 
-def _swap_version_hint(location: str, version: int) -> None:
-    hint = os.path.join(location, "metadata", "version-hint.text")
+def _swap_version_hint(
+    location: str, version: int, hint_name: str = "version-hint.text"
+) -> None:
+    # hint_name: tables commit via version-hint.text, views via
+    # view-version-hint.text (distinct so listings never cross)
+    hint = os.path.join(location, "metadata", hint_name)
     tmp = f"{hint}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w", encoding="utf-8") as f:
         f.write(str(version))

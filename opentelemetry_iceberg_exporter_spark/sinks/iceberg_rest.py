@@ -81,6 +81,15 @@ class RestCommitConflictError(RestError):
     the table state and retry the commit."""
 
 
+class RestPlanUnsupportedError(RestError):
+    """The scan-planning ROUTE itself is not implemented (a
+    not-implemented status on the initial plan submit). Distinct from
+    every other planning failure so auto-mode fallback only disables
+    server planning for servers that genuinely lack it — a 404 for an
+    expired plan-id mid-poll, or a dropped table, must surface, not
+    silently flip the client to local planning forever."""
+
+
 class RestCommitStateUnknownError(RestError):
     """A commit request failed AMBIGUOUSLY (lost response / 5xx after
     the server may have applied it) AND the landed-check reload also
@@ -397,6 +406,12 @@ class RestCatalogClient:
         self._request("GET", self._view_path(namespace, name))  # 404 -> raise
         return RestView(self, namespace, name)
 
+    def register_warehouse_views(self, spark: SparkSession) -> dict[str, str]:
+        """Transport-neutral registration hook (see
+        FsCatalog.register_warehouse_views): every table as a
+        `<ns>_<table>` temp view."""
+        return register_rest_table_views(spark, self)
+
     def create_view(
         self,
         spark: SparkSession,
@@ -404,12 +419,14 @@ class RestCatalogClient:
         name: str,
         sql: str,
         properties: dict[str, str] | None = None,
+        register_tables: bool = True,
     ) -> "RestView":
         """CreateViewRequest (spec): the client sends the SQL's analyzed
         output schema + the version-1 ViewVersion; the SERVER assigns
         view-uuid, ids, and the metadata location. Table references in
         the SQL resolve as `<ns>_<table>` (the sql CLI convention) —
-        registered from this catalog before analysis."""
+        registered from this catalog before analysis unless the caller
+        already registered (register_tables=False)."""
         from .iceberg_fs import iceberg_schema
         from .iceberg_views import (
             build_view_version,
@@ -418,7 +435,8 @@ class RestCatalogClient:
         )
 
         self.ensure_namespace(namespace)
-        register_rest_table_views(spark, self)
+        if register_tables:
+            register_rest_table_views(spark, self)
         schema = strip_schema_internal(
             {**iceberg_schema(infer_view_schema(spark, sql)), "schema-id": 0}
         )
@@ -2187,7 +2205,19 @@ class RestTable:
             body["filter"] = filter_json
         if select is not None:
             body["select"] = list(select)
-        res = self.client.plan_table_scan(self.namespace, self.name, body)
+        try:
+            res = self.client.plan_table_scan(self.namespace, self.name, body)
+        except RestError as exc:
+            # only the INITIAL submit can prove the route unimplemented;
+            # NoSuchTableException is a real error even at 404
+            if (
+                exc.status in self._PLAN_NOT_IMPLEMENTED
+                and "nosuchtable" not in exc.error_type.lower()
+            ):
+                raise RestPlanUnsupportedError(
+                    exc.status, exc.error_type, exc.message
+                ) from exc
+            raise
         plan_id = res.get("plan-id")
         t0 = time.monotonic()
         while res.get("status") == "submitted":
@@ -2276,12 +2306,7 @@ class RestTable:
         still runs its footer pruning pass (shredded-variant stats,
         bloom probes) over the returned candidates, so server planning
         never widens the scan."""
-        from .iceberg_fs import (
-            plan_dml_files,
-            predicate_footer_prune,
-            scan_with_lineage,
-            spark_session_timezone,
-        )
+        from .iceberg_fs import plan_dml_files, scan_with_lineage, spark_session_timezone
 
         md = self.metadata()
         sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
@@ -2370,8 +2395,8 @@ class RestTable:
             )
         try:
             tasks = self.plan_files_server(sid, filter_json)
-        except RestError as exc:
-            if not required and exc.status in self._PLAN_NOT_IMPLEMENTED:
+        except RestPlanUnsupportedError:
+            if not required:
                 self.client._plan_unsupported = True
                 return None
             raise
@@ -2387,33 +2412,48 @@ def register_rest_table_views(
     spark: SparkSession,
     client: RestCatalogClient,
     namespace: str | None = None,
-    broadcast_threshold: int = 64 * 1024 * 1024,
+    broadcast_threshold: int | None = None,
 ) -> dict[str, str]:
     """Make every REST-catalog table addressable as a `<ns>_<table>`
     temp view (the fs sql-CLI convention — see
     iceberg_source.register_table_views) so plain spark.sql and catalog
-    VIEW SQL analyze and execute over this transport too. Registration
-    builds each table's lazy read plan with LOCAL planning (one metadata
-    GET per table, no scan-planning POSTs for tables the SQL never
-    touches), and mirrors the fs registrar's statistics-driven planning:
-    tables whose live on-disk bytes (O(1) from the snapshot summary's
-    total-files-size) fit under `broadcast_threshold` register with a
+    VIEW SQL analyze and execute over this transport too, mirroring the
+    fs registrar's statistics-driven planning: tables whose live
+    on-disk bytes (O(1) from the snapshot summary's total-files-size)
+    fit under the shared BROADCAST_BYTE_THRESHOLD register with a
     broadcast hint, so star joins written in plain SQL broadcast their
-    dimensions. Returns {view_name: table location}."""
+    dimensions.
+
+    Cost per table: ONE metadata GET (reused for the size estimate and
+    the scan), plus the local manifest walk that materializes the file
+    list — this registrar builds EAGER scans (unlike the fs one, whose
+    Python data source defers planning to execution), so registering a
+    huge warehouse to query one table pays for the untouched tables
+    too; pass `namespace` to scope it. Returns {view_name: location}."""
+    from ..sources.iceberg_source import BROADCAST_BYTE_THRESHOLD
+    from .iceberg_fs import plan_scan_metadata, scan_with_deletes
+
+    if broadcast_threshold is None:
+        broadcast_threshold = BROADCAST_BYTE_THRESHOLD
     views: dict[str, str] = {}
     namespaces = [namespace] if namespace else client.list_namespaces()
     for ns in namespaces:
         for name in client.list_tables(ns):
             t = RestTable(client, ns, name)
             md = t.metadata()
-            snap = t.current_snapshot()
+            sid = md["current-snapshot-id"]
+            snap = (
+                next((s for s in md["snapshots"] if s["snapshot-id"] == sid), None)
+                if sid not in (-1, None)
+                else None
+            )
+            data, deletes, _ = plan_scan_metadata(md)
             summary = (snap or {}).get("summary", {})
             if "total-files-size" in summary:
                 n_bytes = int(summary["total-files-size"])
             else:
-                data, _ = t.plan_files()
                 n_bytes = sum(f.file_size_in_bytes for f in data)
-            df = t.read(spark, server_planning=False)
+            df = scan_with_deletes(spark, md, data, deletes)
             if n_bytes <= broadcast_threshold:
                 df = df.hint("broadcast")
             view = f"{ns}_{name}"
@@ -2444,7 +2484,9 @@ class RestView:
     def versions(self) -> list[dict]:
         return self.metadata()["versions"]
 
-    def replace(self, spark: SparkSession, sql: str) -> int:
+    def replace(
+        self, spark: SparkSession, sql: str, register_tables: bool = True
+    ) -> int:
         """Spec REPLACE as one CommitViewRequest: add-schema +
         add-view-version (schema-id -1 = the schema just added) +
         set-current-view-version (-1 = the version just added)."""
@@ -2455,7 +2497,8 @@ class RestView:
             strip_schema_internal,
         )
 
-        register_rest_table_views(spark, self.client)
+        if register_tables:
+            register_rest_table_views(spark, self.client)
         md = self.metadata()
         schema = strip_schema_internal(
             {**iceberg_schema(infer_view_schema(spark, sql)), "schema-id": -1}

@@ -70,18 +70,21 @@ def _ensure_declared_views(spark, config, handle) -> list[str]:
         return actions
     from .iceberg_views import resolve_version, sql_representation
 
+    # ONE warehouse registration for the whole declared set (each
+    # create/replace would otherwise re-register every table)
+    handle.register_warehouse_views(spark)
     ns = config.catalog.namespace
     for name, sql in config.catalog.views.items():
         if handle.view_exists(ns, name):
             view = handle.load_view(ns, name)
             current = sql_representation(resolve_version(view.metadata()))
             if current != sql:
-                view.replace(spark, sql)
+                view.replace(spark, sql, register_tables=False)
                 actions.append(f"replace {name}")
             else:
                 actions.append(f"keep {name}")
         else:
-            handle.create_view(spark, ns, name, sql)
+            handle.create_view(spark, ns, name, sql, register_tables=False)
             actions.append(f"create {name}")
     return actions
 

@@ -43,6 +43,7 @@ independent implementation.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import time
@@ -172,11 +173,9 @@ def view_exists_at(location: str) -> bool:
 
 
 def _swap_view_hint(location: str, version: int) -> None:
-    hint = _view_hint_path(location)
-    tmp = f"{hint}.tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write(str(version))
-    os.replace(tmp, hint)  # atomic: readers see old or new, never torn
+    from .iceberg_fs import _swap_version_hint
+
+    _swap_version_hint(location, version, hint_name=VIEW_HINT)
 
 
 class FsView:
@@ -206,18 +205,22 @@ class FsView:
         spark: SparkSession,
         sql: str,
         max_retries: int = 3,
+        register_tables: bool = True,
     ) -> int:
         """Point the view at new SQL (spec REPLACE): new schema + new
         version appended, history preserved. Returns the new
         current-version-id. Retries the metadata CAS like table
-        commits."""
+        commits. `register_tables=False` skips the warehouse temp-view
+        registration when the caller already did it (batch convergence
+        registers once for all declared views)."""
         from .iceberg_fs import (
             CommitConflictError,
             _write_metadata_version,
             iceberg_schema,
         )
 
-        _register_warehouse(spark, self.warehouse)
+        if register_tables:
+            _register_warehouse(spark, self.warehouse)
         schema = iceberg_schema(infer_view_schema(spark, sql))
         last: Exception | None = None
         for _ in range(max_retries + 1):
@@ -264,6 +267,7 @@ def create_fs_view(
     name: str,
     sql: str,
     properties: dict[str, str] | None = None,
+    register_tables: bool = True,
 ) -> FsView:
     """FsCatalog.create_view body: refuse table-name shadowing, infer
     the output schema from the analyzed SQL, commit v1 metadata."""
@@ -278,8 +282,23 @@ def create_fs_view(
         )
     if view_exists_at(location):
         raise ValueError(f"view {namespace}.{name} already exists")
+    meta_dir = os.path.join(location, "metadata")
+    if os.path.isdir(meta_dir) and glob.glob(
+        os.path.join(meta_dir, "v*.metadata.json")
+    ):
+        # remains of a drop_view(purge=False): the directory catalog
+        # derives the location from the name, so re-creating would hit
+        # the v1 metadata CAS — surface the remedy instead of a
+        # confusing CommitConflictError (same contract as create_table)
+        raise FileExistsError(
+            f"view location {location} holds metadata from a dropped view "
+            "(drop_view without purge leaves files for salvage) — purge "
+            "it (drop_view(..., purge=True) / `view drop --purge`) or "
+            "move the remains before re-creating the name"
+        )
     catalog.create_namespace(namespace)
-    _register_warehouse(spark, catalog.warehouse)
+    if register_tables:
+        _register_warehouse(spark, catalog.warehouse)
     schema = iceberg_schema(infer_view_schema(spark, sql))
     md = new_view_metadata(location, schema, sql, namespace, properties)
     os.makedirs(os.path.join(location, "metadata"), exist_ok=True)

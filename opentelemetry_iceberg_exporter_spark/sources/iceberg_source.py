@@ -301,7 +301,9 @@ class _StreamReader(DataSourceStreamReader):
         start_id, start_off = start["snapshot_id"], start["file_offset"]
         end_id, end_off = end["snapshot_id"], end["file_offset"]
         if end_id == -1:
-            return []
+            # empty-table sentinel window: same zero-partition hazard as
+            # the batch reader — hand back one no-op partition
+            return [_FilePartition(None, fields, (), _partition_name_mapping(md))]
         by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
         window, _ = _ancestry_window(
             md, None if start_id == -1 else start_id, end_id

@@ -341,6 +341,28 @@ class TestServerPlanning:
         )
         assert all(p["cancelled"] for p in state.plans.values())
 
+    def test_mid_poll_404_does_not_disable_planning(self, catalog, spark):
+        """Only the initial submit can prove the route unimplemented: a
+        404 for an expired plan-id mid-poll must SURFACE (and leave
+        server planning enabled), not silently flip the client to local
+        planning forever."""
+        client, state = catalog
+        t = _events_table(client, spark, appends=1)
+        state.plan_mode = "async"
+        state.async_polls_required = 5
+        state.inject(
+            404, "NoSuchPlanIdException", "plan expired", times=1,
+            method="GET", path_re="/plan/",
+        )
+        with pytest.raises(RestError, match="plan expired"):
+            t.read(spark)  # auto mode: the poll error surfaces
+        assert not client._plan_unsupported
+        state.plan_mode = "sync"
+        assert len(_rows(t.read(spark))) == 40  # planning still server-side
+        assert any(
+            m == "POST" and p.endswith("/plan") for m, p in state.requests[-5:]
+        )
+
     def test_deadline_error_survives_cancel_failure(self, catalog, spark):
         """A failing DELETE must not mask the timeout: the caller gets
         PlanningTimeout, not the cancel route's error."""

@@ -174,3 +174,10 @@ def test_mix_validation(spark):
         srcs, "id", alpha=0.5, sizes={"big": 8000, "small": 2000}
     )
     assert report["big"]["target"] == 4000
+
+
+def test_mix_weights_must_cover_every_source(spark):
+    from opentelemetry_iceberg_exporter_spark.operators.sampling import mix_corpora
+
+    with pytest.raises(ValueError, match="missing"):
+        mix_corpora(_mix_sources(spark), "id", weights={"big": 1.0})

@@ -142,6 +142,25 @@ class TestFsViews:
         with pytest.raises(FileNotFoundError):
             cat.load_view("mart", "nope")
 
+    def test_recreate_after_plain_drop_names_the_remedy(self, spark, cat):
+        """A plain drop leaves the metadata history; re-creating the
+        name must say so (and how to purge) instead of surfacing the
+        raw v1 CAS conflict — same contract as create_table."""
+        cat.create_view(spark, "mart", "ghost", VIEW_SQL)
+        cat.drop_view("mart", "ghost")
+        with pytest.raises(FileExistsError, match="purge"):
+            cat.create_view(spark, "mart", "ghost", VIEW_SQL)
+        # purging the remains (what the error prescribes) frees the name
+        import shutil
+
+        shutil.rmtree(cat.table_location("mart", "ghost"), ignore_errors=True)
+        v = cat.create_view(spark, "mart", "ghost", VIEW_SQL)
+        assert v.metadata()["current-version-id"] == 1
+        # and a purge-drop never leaves remains in the first place
+        cat.drop_view("mart", "ghost", purge=True)
+        v2 = cat.create_view(spark, "mart", "ghost", VIEW_SQL_V2)
+        assert v2.read(spark).columns == ["region", "max_amount"]
+
     def test_cross_namespace_view(self, spark, cat):
         t2 = cat.create_table("dims", "labels", StructType(
             [StructField("region", StringType(), True),
