@@ -1707,6 +1707,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "sql":
+        from .sinks.iceberg_views import register_catalog_views
+
         if args.rest_uri:
             from .sinks.iceberg_rest import (
                 RestCatalogClient,
@@ -1717,12 +1719,25 @@ def main(argv: list[str] | None = None) -> int:
                 args.rest_uri, warehouse=args.warehouse or "", token=args.rest_token
             )
             views = register_rest_table_views(spark, client, args.namespace)
+            ns_list = [args.namespace] if args.namespace else client.list_namespaces()
+            catalog_views, unresolved = register_catalog_views(spark, client, ns_list)
         else:
             if not args.warehouse:
                 raise SystemExit("--warehouse is required without --rest-uri")
+            from .sinks.iceberg_fs import FsCatalog
             from .sources.iceberg_source import register_table_views
 
             views = register_table_views(spark, args.warehouse, args.namespace)
+            cat = FsCatalog(args.warehouse)
+            ns_list = [args.namespace] if args.namespace else cat.list_namespaces()
+            catalog_views, unresolved = register_catalog_views(spark, cat, ns_list)
+        views.update(catalog_views)
+        if unresolved:
+            print(
+                json.dumps(
+                    {"unresolved_views": [f"{ns}.{n}" for ns, n in unresolved]}
+                )
+            )
         result = spark.sql(args.query)
         if args.output:
             result.write.mode("overwrite").parquet(args.output)

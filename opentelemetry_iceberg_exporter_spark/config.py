@@ -101,6 +101,9 @@ class CatalogConfig:
     # REPLACED (version history preserved — definition time travel
     # keeps the old SQL addressable), identical SQL is a no-op.
     # Requires the pure-Python catalogs (catalog_type fs | rest).
+    # `sinks.iceberg_views.default_otlp_views()` is a ready-made
+    # starter set (per-service span stats / error rate / log severity /
+    # metric inventory).
     views: dict[str, str] = field(default_factory=dict)
 
     def validate(self) -> None:

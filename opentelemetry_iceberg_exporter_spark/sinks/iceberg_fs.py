@@ -6733,12 +6733,19 @@ class FsCatalog:
         )
 
     def register_warehouse_views(self, spark: SparkSession) -> dict[str, str]:
-        """Register every table as a `<ns>_<table>` temp view (lazy —
-        the Python data source defers planning to execution); the
-        transport-neutral hook view convergence and the sql CLI share."""
+        """Register every table (lazy — the Python data source defers
+        planning to execution) AND every catalog view as a `<ns>_<name>`
+        temp view; the transport-neutral hook view convergence and the
+        sql CLI share."""
         from ..sources.iceberg_source import register_table_views
+        from .iceberg_views import register_catalog_views
 
-        return register_table_views(spark, self.warehouse)
+        out = register_table_views(spark, self.warehouse)
+        registered, _ = register_catalog_views(
+            spark, self, self.list_namespaces()
+        )
+        out.update(registered)
+        return out
 
     def view_exists(self, namespace: str, name: str) -> bool:
         from .iceberg_views import view_exists_at

@@ -408,9 +408,15 @@ class RestCatalogClient:
 
     def register_warehouse_views(self, spark: SparkSession) -> dict[str, str]:
         """Transport-neutral registration hook (see
-        FsCatalog.register_warehouse_views): every table as a
-        `<ns>_<table>` temp view."""
-        return register_rest_table_views(spark, self)
+        FsCatalog.register_warehouse_views): every table AND every
+        catalog view as a `<ns>_<name>` temp view (views resolved to a
+        fixpoint so views-over-views register too)."""
+        from .iceberg_views import register_catalog_views
+
+        out = register_rest_table_views(spark, self)
+        registered, _ = register_catalog_views(spark, self, self.list_namespaces())
+        out.update(registered)
+        return out
 
     def create_view(
         self,
@@ -436,7 +442,7 @@ class RestCatalogClient:
 
         self.ensure_namespace(namespace)
         if register_tables:
-            register_rest_table_views(spark, self)
+            self.register_warehouse_views(spark)
         schema = strip_schema_internal(
             {**iceberg_schema(infer_view_schema(spark, sql)), "schema-id": 0}
         )
@@ -2498,7 +2504,7 @@ class RestView:
         )
 
         if register_tables:
-            register_rest_table_views(spark, self.client)
+            self.client.register_warehouse_views(spark)
         md = self.metadata()
         schema = strip_schema_internal(
             {**iceberg_schema(infer_view_schema(spark, sql)), "schema-id": -1}
@@ -2525,5 +2531,5 @@ class RestView:
     def read(self, spark: SparkSession, version_id: int | None = None) -> DataFrame:
         from .iceberg_views import execute_view
 
-        register_rest_table_views(spark, self.client)
+        self.client.register_warehouse_views(spark)
         return execute_view(spark, self.metadata(), version_id)

@@ -252,12 +252,117 @@ def _namespace_of(view: FsView) -> str:
 
 
 def _register_warehouse(spark: SparkSession, warehouse: str) -> None:
-    """Make every catalog table addressable as `<ns>_<table>` before a
-    view's SQL analyzes/executes — the whole warehouse, not just the
-    default namespace, so cross-namespace views resolve."""
+    """Make every catalog table AND every existing catalog view
+    addressable as `<ns>_<name>` before a view's SQL analyzes/executes
+    — the whole warehouse, not just the default namespace, so
+    cross-namespace references and views-over-views resolve."""
     from ..sources.iceberg_source import register_table_views
+    from .iceberg_fs import FsCatalog
 
     register_table_views(spark, warehouse)
+    cat = FsCatalog(warehouse)
+    register_catalog_views(spark, cat, cat.list_namespaces())
+
+
+def register_catalog_views(
+    spark: SparkSession, handle, namespaces: list[str]
+) -> tuple[dict[str, str], list[tuple[str, str]]]:
+    """Register every catalog VIEW as a `<ns>_<name>` temp view by
+    executing its CURRENT definition (the referenced tables must
+    already be registered — callers do tables first). Views may
+    reference other views, so resolution loops to a fixpoint: each
+    round registers what analyzes and retries the rest, terminating
+    when a round makes no progress. Returns
+    ({registered name: location}, [(ns, name) unresolved]) — broken or
+    cyclic views are REPORTED, never allowed to block the resolvable
+    ones (the sql CLI surfaces them in its output)."""
+    from pyspark.errors import AnalysisException
+
+    pending: list[tuple[str, str]] = [
+        (ns, name) for ns in namespaces for name in handle.list_views(ns)
+    ]
+    registered: dict[str, str] = {}
+    for _ in range(max(1, len(pending))):
+        if not pending:
+            break
+        still: list[tuple[str, str]] = []
+        for ns, name in pending:
+            md = handle.load_view(ns, name).metadata()
+            try:
+                df = execute_view(spark, md)
+            except (AnalysisException, ValueError):
+                # unresolved reference (maybe a later view) or a
+                # representation-less version: retry next round
+                still.append((ns, name))
+                continue
+            df.createOrReplaceTempView(f"{ns}_{name}")
+            registered[f"{ns}_{name}"] = md.get("location", "")
+        if len(still) == len(pending):
+            break
+        pending = still
+    return registered, pending
+
+
+def default_otlp_views(
+    namespace: str = "otel",
+    prefix: str = "otel",
+    overrides: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """A ready-made starter set for `CatalogConfig.views` — the derived
+    surfaces an OTLP warehouse's dashboards ask for first, written
+    against the resolved signal-table names and ONLY mode-independent
+    columns (service_name / status_code / duration / severity /
+    metric_name), so the same SQL works on µs-native and ns-native
+    (`ns_timestamps`) tables alike:
+
+    * service_span_stats — per-service span volume, error count,
+      duration profile (avg/max/p95);
+    * service_error_rate — the SLO numerator/denominator per service;
+    * service_log_severity — log volume by service × severity;
+    * metric_series_inventory — which metric series exist, per kind.
+
+    Splat into the config (possibly with edits):
+    `CatalogConfig(..., views=default_otlp_views())`."""
+    from ..schemas import (
+        SIGNAL_LOGS,
+        SIGNAL_METRICS_GAUGE,
+        SIGNAL_METRICS_SUM,
+        SIGNAL_TRACES,
+        table_name,
+    )
+
+    def t(signal: str) -> str:
+        return f"{namespace}_{table_name(signal, prefix=prefix, overrides=overrides)}"
+
+    traces, logs = t(SIGNAL_TRACES), t(SIGNAL_LOGS)
+    gauge, csum = t(SIGNAL_METRICS_GAUGE), t(SIGNAL_METRICS_SUM)
+    return {
+        "service_span_stats": (
+            "SELECT service_name, COUNT(*) AS spans, "
+            "SUM(CASE WHEN status_code = 'ERROR' THEN 1 ELSE 0 END) AS errors, "
+            "AVG(duration) AS avg_duration_ns, MAX(duration) AS max_duration_ns, "
+            "APPROX_PERCENTILE(duration, 0.95) AS p95_duration_ns "
+            f"FROM {traces} GROUP BY service_name"
+        ),
+        "service_error_rate": (
+            "SELECT service_name, COUNT(*) AS spans, "
+            "AVG(CASE WHEN status_code = 'ERROR' THEN 1.0 ELSE 0.0 END) AS error_rate "
+            f"FROM {traces} GROUP BY service_name"
+        ),
+        "service_log_severity": (
+            "SELECT service_name, severity_text, COUNT(*) AS records "
+            f"FROM {logs} GROUP BY service_name, severity_text"
+        ),
+        "metric_series_inventory": (
+            "SELECT 'gauge' AS kind, service_name, metric_name, metric_unit, "
+            f"COUNT(*) AS points FROM {gauge} "
+            "GROUP BY service_name, metric_name, metric_unit "
+            "UNION ALL "
+            "SELECT 'sum' AS kind, service_name, metric_name, metric_unit, "
+            f"COUNT(*) AS points FROM {csum} "
+            "GROUP BY service_name, metric_name, metric_unit"
+        ),
+    }
 
 
 def create_fs_view(

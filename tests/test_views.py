@@ -387,6 +387,108 @@ class TestSqlCliRest:
             main(["sql", "--query", "SELECT 1"])
 
 
+class TestViewsOverViews:
+    def test_fs_view_referencing_a_view(self, spark, tmp_path):
+        cat = FsCatalog(str(tmp_path / "wh"))
+        cat.create_table("mart", "orders", ORDERS).append_dataframe(
+            _orders_df(spark)
+        )
+        cat.create_view(spark, "mart", "totals", VIEW_SQL)
+        top = cat.create_view(
+            spark,
+            "mart",
+            "top_region",
+            "SELECT region, total FROM mart_totals ORDER BY total DESC LIMIT 1",
+        )
+        (row,) = top.read(spark).collect()
+        expected = max(_expected(spark, _orders_df(spark)), key=lambda r: r[2])
+        assert (row["region"], row["total"]) == (expected[0], expected[2])
+
+    def test_rest_view_referencing_a_view(self, spark, tmp_path):
+        warehouse = str(tmp_path / "wh")
+        os.makedirs(warehouse)
+        server, _, uri = make_server(warehouse)
+        try:
+            client = RestCatalogClient(uri, warehouse=warehouse)
+            client.ensure_namespace("mart")
+            client.ensure_table("mart", "orders", ORDERS).append_dataframe(
+                _orders_df(spark)
+            )
+            client.create_view(spark, "mart", "totals", VIEW_SQL)
+            top = client.create_view(
+                spark,
+                "mart",
+                "regions_seen",
+                "SELECT COUNT(*) AS n FROM mart_totals",
+            )
+            assert top.read(spark).collect()[0]["n"] == 3
+        finally:
+            server.shutdown()
+
+
+class TestDefaultOtlpViews:
+    def test_declared_default_views_converge_and_read(self, spark, tmp_path):
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_sink import (
+            FsIcebergSink,
+        )
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_views import (
+            default_otlp_views,
+        )
+
+        cfg = _exporter_config(tmp_path, default_otlp_views())
+        cfg.catalog.validate()
+        FsIcebergSink(spark, cfg).ensure_all_tables()
+        cat = FsCatalog(cfg.catalog.warehouse)
+        assert cat.list_views("otel") == sorted(default_otlp_views())
+        spans = cat.load_view("otel", "service_span_stats")
+        assert spans.read(spark).columns == [
+            "service_name", "spans", "errors",
+            "avg_duration_ns", "max_duration_ns", "p95_duration_ns",
+        ]
+        rate = cat.load_view("otel", "service_error_rate")
+        assert rate.read(spark).count() == 0  # empty tables analyze + run
+        inv = cat.load_view("otel", "metric_series_inventory")
+        assert inv.read(spark).columns == [
+            "kind", "service_name", "metric_name", "metric_unit", "points"
+        ]
+
+    def test_default_views_respect_overrides(self):
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_views import (
+            default_otlp_views,
+        )
+
+        views = default_otlp_views(
+            namespace="tel", prefix="o11y", overrides={"traces": "spans_raw"}
+        )
+        assert "FROM tel_spans_raw " in views["service_error_rate"]
+        assert "tel_o11y_logs" in views["service_log_severity"]
+
+
+class TestSqlCliSeesCatalogViews:
+    def test_sql_query_over_a_catalog_view(self, spark, tmp_path, capsys):
+        import json
+
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        wh = str(tmp_path / "wh")
+        cat = FsCatalog(wh)
+        cat.create_table("mart", "orders", ORDERS).append_dataframe(
+            _orders_df(spark)
+        )
+        cat.create_view(spark, "mart", "totals", VIEW_SQL)
+        rc = main(
+            [
+                "sql",
+                "--warehouse", wh,
+                "--query", "SELECT COUNT(*) AS n FROM mart_totals",
+            ]
+        )
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert json.loads(lines[0])["n"] == 3
+        assert "mart_totals" in json.loads(lines[-1])["views"]
+
+
 class TestListPagination:
     def test_paged_lists_drain_all_pages(self, spark, tmp_path):
         """The spec's list-endpoint pagination: the client follows
