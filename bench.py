@@ -324,6 +324,80 @@ def run_write_path_rest(spark, sf_dir: str) -> dict:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def run_rest_plan_bench(spark) -> dict:
+    """Round-over-round signal for REST server-side scan planning (the
+    round-9 interop feature): one daily-partitioned 30-file table on
+    the in-process stub, the SAME 10-day scoped plan computed locally
+    (client manifest walk) and via the spec PlanTableScan roundtrip
+    (expression JSON -> server planning -> ContentFile parse -> task
+    grouping), then the server-planned scoped read. The stub is
+    in-process, so the local-vs-server delta is protocol + codec cost,
+    not network; the file counts are asserted equal so a pruning drift
+    fails the bench instead of skewing it."""
+    import statistics
+    from datetime import datetime
+
+    sys.path.insert(0, os.path.join(_REPO, "tests"))
+    from pyspark.sql import functions as F
+    from rest_stub import make_server
+
+    from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
+        RestCatalogClient,
+    )
+    from opentelemetry_iceberg_exporter_spark.sinks.rest_scan import (
+        scan_filter_json,
+    )
+
+    wh = tempfile.mkdtemp(prefix="bench_wh_plan_")
+    server, _, uri = make_server(wh)
+    try:
+        client = RestCatalogClient(uri, warehouse=wh)
+        client.ensure_namespace("bench")
+        df = spark.range(60_000).select(
+            F.col("id"),
+            (
+                F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+                + F.make_interval(days=(F.col("id") % 30).cast("int"))
+            ).alias("ts"),
+            F.concat(F.lit("evt-"), F.col("id")).alias("name"),
+        )
+        table = client.ensure_table(
+            "bench", "plan_events", df.schema,
+            partition_source="ts", granularity="daily",
+        )
+        table.append_dataframe(df)
+        lo, hi = datetime(2024, 3, 5), datetime(2024, 3, 14, 23, 59)
+        scope = ("ts", lo, hi)
+        filter_json = scan_filter_json(table.metadata(), source_range=scope)
+        local_times, server_times = [], []
+        data = tasks = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            data, _pruned = table.plan_files(source_range=scope)
+            local_times.append(time.perf_counter() - t0)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            tasks = table.plan_files_server(filter_json=filter_json)
+            server_times.append(time.perf_counter() - t0)
+        if len(tasks) != len(data):
+            raise AssertionError(
+                f"server plan drift: {len(tasks)} tasks vs {len(data)} local files"
+            )
+        t0 = time.perf_counter()
+        rows = table.read(spark, source_range=scope, server_planning=True).count()
+        read_sec = time.perf_counter() - t0
+        return {
+            "rest_plan_files": len(tasks),
+            "rest_plan_rows": rows,
+            "rest_plan_local_sec": round(statistics.median(local_times), 4),
+            "rest_plan_server_sec": round(statistics.median(server_times), 4),
+            "rest_plan_read_sec": round(read_sec, 3),
+        }
+    finally:
+        server.shutdown()
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def run_v3_modes_bench(spark, sf_dir: str) -> dict:
     """Round-over-round perf signal for the round-8 exporter modes
     (round-8 verdict ask: they had none) plus the round-9 bloom-filter
@@ -623,6 +697,7 @@ def main() -> None:
     write_path = run_write_path_fs(spark, sf_dir)
     write_path_rest = run_write_path_rest(spark, sf_dir)
     v3_modes = run_v3_modes_bench(spark, sf_dir)
+    rest_plan = run_rest_plan_bench(spark)
     expire_depth = run_expire_depth_bench()
 
     total = round(sum(timings.values()), 3)
@@ -639,6 +714,7 @@ def main() -> None:
             "write_path": write_path,
             "write_path_rest": write_path_rest,
             "v3_modes": v3_modes,
+            "rest_plan": rest_plan,
             "expire_depth": expire_depth,
             "sf": sf_val,
         }
@@ -674,6 +750,9 @@ def main() -> None:
             "bloom_lookup_sec": v3_modes["bloom_lookup_sec"],
             "bloom_files_scanned": v3_modes["bloom_files_scanned"],
             "bloom_files_excluded": v3_modes["bloom_files_excluded"],
+            "rest_plan_local_sec": rest_plan["rest_plan_local_sec"],
+            "rest_plan_server_sec": rest_plan["rest_plan_server_sec"],
+            "rest_plan_files": rest_plan["rest_plan_files"],
         }
     )
     # teardown BEFORE printing: streaming availableNow queries already
