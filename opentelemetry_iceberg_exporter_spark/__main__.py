@@ -437,6 +437,35 @@ def main(argv: list[str] | None = None) -> int:
         help="with --fraction: exact ceil(frac*n) per value of this column",
     )
 
+    pmx = sub.add_parser(
+        "mix",
+        help="temperature-weighted corpus mixing (the XLM-R/mT5 "
+        "p_i^alpha recipe as a deterministic without-replacement "
+        "downsample): union of the per-source samples tagged with a "
+        "`source` column, written as parquet with the per-source report",
+    )
+    pmx.add_argument(
+        "--source",
+        action="append",
+        required=True,
+        metavar="NAME=PATH",
+        help="a named parquet source (repeatable; at least one)",
+    )
+    pmx.add_argument("--output", required=True, help="output dir (parquet)")
+    pmx.add_argument("--id-col", default="doc_id")
+    pmx.add_argument(
+        "--alpha", type=float, default=1.0,
+        help="temperature exponent: <1 flattens toward low-resource sources",
+    )
+    pmx.add_argument(
+        "--weight",
+        action="append",
+        default=None,
+        metavar="NAME=W",
+        help="base share override per source (repeatable; default: sizes)",
+    )
+    pmx.add_argument("--salt", default="mix", help="hash-sample salt")
+
     pch = sub.add_parser(
         "changes",
         help="incremental snapshot-diff read from the fs catalog: rows "
@@ -876,6 +905,34 @@ def main(argv: list[str] | None = None) -> int:
                 out = out.filter(F.col("split") == args.split).drop("split")
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"rows": out.count(), "cmd": "sample"}))
+        return 0
+
+    if args.cmd == "mix":
+        from .operators.sampling import mix_corpora
+
+        def _pairs(items, what):
+            out = {}
+            for item in items or []:
+                name, sep, value = item.partition("=")
+                if not sep or not name:
+                    raise SystemExit(f"--{what} must be NAME=VALUE (got {item!r})")
+                out[name] = value
+            return out
+
+        sources = {
+            name: spark.read.parquet(path)
+            for name, path in _pairs(args.source, "source").items()
+        }
+        weights = (
+            {k: float(v) for k, v in _pairs(args.weight, "weight").items()}
+            if args.weight
+            else None
+        )
+        mixed, report = mix_corpora(
+            sources, args.id_col, weights=weights, alpha=args.alpha, salt=args.salt
+        )
+        mixed.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"rows": mixed.count(), "report": report, "cmd": "mix"}))
         return 0
 
     if args.cmd == "dedup":

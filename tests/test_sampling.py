@@ -181,3 +181,34 @@ def test_mix_weights_must_cover_every_source(spark):
 
     with pytest.raises(ValueError, match="missing"):
         mix_corpora(_mix_sources(spark), "id", weights={"big": 1.0})
+
+
+def test_mix_cli(spark, tmp_path, capsys):
+    import json
+
+    from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+    srcs = _mix_sources(spark)
+    big, small = str(tmp_path / "big"), str(tmp_path / "small")
+    srcs["big"].write.parquet(big)
+    srcs["small"].write.parquet(small)
+    out = str(tmp_path / "mixed")
+    rc = main(
+        [
+            "mix",
+            "--source", f"big={big}",
+            "--source", f"small={small}",
+            "--output", out,
+            "--id-col", "id",
+            "--alpha", "0.5",
+        ]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["report"]["small"]["fraction"] == 1.0
+    assert stats["report"]["big"]["target"] == 4000
+    got = spark.read.parquet(out)
+    counts = {r["source"]: r["count"] for r in got.groupBy("source").count().collect()}
+    assert counts["small"] == 2000 and abs(counts["big"] - 4000) < 200
+    with pytest.raises(SystemExit, match="NAME=VALUE"):
+        main(["mix", "--source", "nopath", "--output", out])
