@@ -64,28 +64,64 @@ def _ensure_declared_views(spark, config, handle) -> list[str]:
     CURRENT SQL differs is REPLACED (the view spec keeps every prior
     version addressable, so convergence never loses history); identical
     SQL is a no-op — startup DDL stays idempotent like the table half.
-    Returns ["create name" | "replace name" | "keep name"] actions."""
+
+    Declared views may reference OTHER declared views, in any dict
+    order, so convergence loops to a fixpoint (same contract as
+    register_catalog_views): each round converges what analyzes,
+    registers the result as a `<ns>_<name>` temp view so dependents
+    resolve next round, and retries the rest. A view whose SQL never
+    analyzes (typo, missing table, cycle) is REPORTED as
+    "fail name: reason" — it never aborts startup DDL or blocks the
+    resolvable views. Returns
+    ["create name" | "replace name" | "keep name" | "fail name: ..."]."""
     actions: list[str] = []
     if not config.catalog.views:
         return actions
-    from .iceberg_views import resolve_version, sql_representation
+    from pyspark.errors import AnalysisException
+
+    from .iceberg_views import execute_view, resolve_version, sql_representation
 
     # ONE warehouse registration for the whole declared set (each
     # create/replace would otherwise re-register every table)
     handle.register_warehouse_views(spark)
     ns = config.catalog.namespace
-    for name, sql in config.catalog.views.items():
-        if handle.view_exists(ns, name):
-            view = handle.load_view(ns, name)
-            current = sql_representation(resolve_version(view.metadata()))
-            if current != sql:
-                view.replace(spark, sql, register_tables=False)
-                actions.append(f"replace {name}")
-            else:
-                actions.append(f"keep {name}")
-        else:
-            handle.create_view(spark, ns, name, sql, register_tables=False)
-            actions.append(f"create {name}")
+    pending = list(config.catalog.views.items())
+    failures: dict[str, str] = {}
+    for _ in range(max(1, len(pending))):
+        if not pending:
+            break
+        still: list[tuple[str, str]] = []
+        for name, sql in pending:
+            try:
+                if handle.view_exists(ns, name):
+                    view = handle.load_view(ns, name)
+                    current = sql_representation(resolve_version(view.metadata()))
+                    if current != sql:
+                        view.replace(spark, sql, register_tables=False)
+                        actions.append(f"replace {name}")
+                    else:
+                        actions.append(f"keep {name}")
+                else:
+                    handle.create_view(
+                        spark, ns, name, sql, register_tables=False
+                    )
+                    actions.append(f"create {name}")
+            except (AnalysisException, ValueError) as exc:
+                # unresolved reference (maybe a declared view converging
+                # later this pass) — retry next round, keep the reason
+                failures[name] = str(exc).splitlines()[0]
+                still.append((name, sql))
+                continue
+            # make the just-converged definition addressable for any
+            # declared view that references it
+            execute_view(
+                spark, handle.load_view(ns, name).metadata()
+            ).createOrReplaceTempView(f"{ns}_{name}")
+        if len(still) == len(pending):
+            break
+        pending = still
+    for name, _sql in pending:
+        actions.append(f"fail {name}: {failures.get(name, 'unresolved')}")
     return actions
 
 

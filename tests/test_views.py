@@ -342,6 +342,92 @@ class TestDeclaredViews:
         finally:
             server.shutdown()
 
+    def test_fs_declared_view_on_view_dependent_first(self, spark, tmp_path):
+        """A declared view may reference ANOTHER declared view, with the
+        dependent listed BEFORE its dependency in catalog.views dict
+        order — convergence loops to a fixpoint instead of failing on
+        the first analysis pass."""
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_sink import (
+            FsIcebergSink,
+            _ensure_declared_views,
+        )
+
+        cfg = _exporter_config(
+            tmp_path,
+            {
+                # dependent FIRST: references otel_svc_counts which does
+                # not exist yet on the first round
+                "busiest_svc": (
+                    "SELECT service_name, n FROM otel_svc_counts "
+                    "ORDER BY n DESC LIMIT 1"
+                ),
+                "svc_counts": SVC_SQL,
+            },
+        )
+        cfg.catalog.validate()
+        sink = FsIcebergSink(spark, cfg)
+        sink.ensure_all_tables()
+        cat = FsCatalog(cfg.catalog.warehouse)
+        assert cat.load_view("otel", "busiest_svc").read(spark).count() == 0
+        assert cat.load_view("otel", "svc_counts").read(spark).count() == 0
+        # idempotent second pass: both kept, no fail rows
+        actions = _ensure_declared_views(spark, cfg, cat)
+        assert sorted(actions) == ["keep busiest_svc", "keep svc_counts"]
+
+    def test_fs_broken_declared_view_reports_not_aborts(self, spark, tmp_path):
+        """A declared view whose SQL never analyzes (missing table) is
+        reported as `fail name: reason` — it neither aborts startup DDL
+        nor blocks the resolvable declared views."""
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_sink import (
+            FsIcebergSink,
+            _ensure_declared_views,
+        )
+
+        cfg = _exporter_config(
+            tmp_path,
+            {
+                "broken": "SELECT x FROM no_such_table_anywhere",
+                "svc_counts": SVC_SQL,
+            },
+        )
+        cfg.catalog.validate()
+        FsIcebergSink(spark, cfg).ensure_all_tables()  # must not raise
+        cat = FsCatalog(cfg.catalog.warehouse)
+        assert cat.load_view("otel", "svc_counts").read(spark).count() == 0
+        assert not cat.view_exists("otel", "broken")
+        actions = _ensure_declared_views(spark, cfg, cat)
+        assert "keep svc_counts" in actions
+        assert any(a.startswith("fail broken:") for a in actions)
+
+    def test_rest_declared_view_on_view_dependent_first(self, spark, tmp_path):
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_sink import (
+            RestIcebergSink,
+        )
+
+        warehouse = str(tmp_path / "warehouse")
+        os.makedirs(warehouse)
+        server, _, uri = make_server(warehouse)
+        try:
+            cfg = _exporter_config(
+                tmp_path,
+                {
+                    "busiest_svc": (
+                        "SELECT service_name, n FROM otel_svc_counts "
+                        "ORDER BY n DESC LIMIT 1"
+                    ),
+                    "svc_counts": SVC_SQL,
+                },
+                catalog_type="rest",
+                uri=uri,
+            )
+            cfg.catalog.validate()
+            RestIcebergSink(spark, cfg).ensure_all_tables()
+            client = RestCatalogClient(uri, warehouse=warehouse)
+            v = client.load_view("otel", "busiest_svc")
+            assert v.read(spark).count() == 0
+        finally:
+            server.shutdown()
+
     def test_views_config_validation(self, tmp_path):
         with pytest.raises(ValueError, match="non-empty SQL"):
             _exporter_config(tmp_path, {"x": "  "}).catalog.validate()
