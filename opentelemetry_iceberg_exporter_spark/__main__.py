@@ -1663,7 +1663,7 @@ def main(argv: list[str] | None = None) -> int:
 
             sidr = md["current-snapshot-id"] if sid is None else sid
             _, pruned_files, _ = plan_dml_files(
-                md, sidr, args.where, spark_session_timezone(spark)
+                md, sidr, args.where, spark_session_timezone(spark), spark=spark
             )
             out = apply_extracts(
                 table.read(

@@ -44,9 +44,11 @@ Soundness notes:
   deliberately excluded: `0.0 = -0.0` is TRUE in SQL but the two plain
   encodings hash differently, so a bloom miss would not prove absence.
 
-Everything is driver-side metadata I/O, parallelized across files, and
-costs zero bytes when the predicate has no equality conjunct on a
-bloom-enabled column.
+Zero bytes are read when the predicate has no equality conjunct on a
+bloom-enabled column. Small candidate lists probe on driver threads;
+large ones (the NORMAL bloom case — candidates ≈ the whole live file
+set) ship through one executor-side job with only booleans returning
+(sinks/footer_probe.py).
 """
 
 from __future__ import annotations
@@ -54,7 +56,7 @@ from __future__ import annotations
 import io
 import re
 import struct
-from concurrent.futures import ThreadPoolExecutor
+from functools import partial
 from typing import Any
 
 from .parquet_footer import (
@@ -361,19 +363,25 @@ def _file_provably_matchless(
 
 
 def prune_files_by_bloom(
-    files: list, probes: dict[str, tuple[int, list[bytes]]]
+    files: list, probes: dict[str, tuple[int, list[bytes]]], spark=None
 ) -> tuple[list, list]:
     """(kept, dropped) split of candidate DataFiles by bloom probes
-    (from parse_bloom_conjuncts). Footer+filter reads are parallelized
-    across files; every failure mode keeps the file."""
+    (from parse_bloom_conjuncts). Every failure mode keeps the file.
+
+    Small lists probe on driver threads; with a session and a large
+    candidate list (the NORMAL bloom case — blooms fire exactly when
+    min/max bounds don't prune, so candidates ≈ the whole live file
+    set) the probe ships to executors and only booleans return
+    (footer_probe.probe_verdicts)."""
     if not files or not probes:
         return list(files), []
-    with ThreadPoolExecutor(max_workers=min(16, len(files))) as pool:
-        verdicts = list(
-            pool.map(
-                lambda f: _file_provably_matchless(f.file_path, probes), files
-            )
-        )
-    kept = [f for f, dead in zip(files, verdicts) if not dead]
-    dropped = [f for f, dead in zip(files, verdicts) if dead]
+    from .footer_probe import probe_verdicts
+
+    verdict = probe_verdicts(
+        [f.file_path for f in files],
+        partial(_file_provably_matchless, probes=probes),
+        spark=spark,
+    )
+    kept = [f for f in files if not verdict[f.file_path]]
+    dropped = [f for f in files if verdict[f.file_path]]
     return kept, dropped

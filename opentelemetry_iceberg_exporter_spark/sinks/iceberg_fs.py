@@ -3631,6 +3631,7 @@ def plan_dml_files(
     snapshot_id: int,
     predicate: str,
     session_tz: timezone | None = timezone.utc,
+    spark=None,
 ) -> tuple[list[DataFile], list[DataFile], list[DataFile]]:
     """The DML planning scan both transports share: live data files
     split into (scan, excluded, delete_files) by predicate-derived
@@ -3658,19 +3659,23 @@ def plan_dml_files(
     move to `excluded` (sinks/bloom_prune.py) — the point-lookup
     complement of min/max bounds, which are useless on uniformly
     distributed keys like trace ids. Zero footer I/O when the predicate
-    has no equality conjunct on a bloom column."""
+    has no equality conjunct on a bloom column.
+
+    `spark` routes large footer-probe candidate lists through an
+    executor-side job (sinks/footer_probe.py) — pass it whenever a
+    session is live; without it the probe stays on driver threads."""
     ranges = extract_prune_ranges(predicate, md, session_tz)
     excluded: list[DataFile] = []
     scan, deletes, _ = plan_scan_metadata(
         md, snapshot_id, pruned_out=excluded, **ranges
     )
-    scan, dropped = predicate_footer_prune(md, scan, predicate)
+    scan, dropped = predicate_footer_prune(md, scan, predicate, spark=spark)
     excluded.extend(dropped)
     return scan, excluded, deletes
 
 
 def predicate_footer_prune(
-    md: dict, scan: list[DataFile], predicate: str
+    md: dict, scan: list[DataFile], predicate: str, spark=None
 ) -> tuple[list[DataFile], list[DataFile]]:
     """FILE-FOOTER pruning of a candidate list by the predicate's
     conjuncts — the half of predicate planning that reads parquet
@@ -3696,7 +3701,7 @@ def predicate_footer_prune(
             [_strip_outer_parens(c) for c in conjuncts], variant_cols
         )
         if vpreds:
-            scan, dropped = prune_files_by_variant_stats(scan, vpreds)
+            scan, dropped = prune_files_by_variant_stats(scan, vpreds, spark=spark)
             dropped_all.extend(dropped)
     bloom_prefix = "write.parquet.bloom-filter-enabled.column."
     bloom_names = {
@@ -3719,7 +3724,7 @@ def predicate_footer_prune(
                 [_strip_outer_parens(c) for c in conjuncts], bloom_cols
             )
             if probes:
-                scan, dropped = prune_files_by_bloom(scan, probes)
+                scan, dropped = prune_files_by_bloom(scan, probes, spark=spark)
                 dropped_all.extend(dropped)
     return scan, dropped_all
 
@@ -7326,7 +7331,7 @@ class FsTable:
                 )
             sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
             data, _, deletes = plan_dml_files(
-                md, sid, where, spark_session_timezone(spark)
+                md, sid, where, spark_session_timezone(spark), spark=spark
             )
         else:
             data, deletes, _ = self.plan_scan(
@@ -8035,7 +8040,11 @@ class FsTable:
         # the matching partitions (mirrors the reference's time-pruned
         # recovery scan, internal/recovery/scanner.go:197-226)
         live, excluded, deletes = plan_dml_files(
-            planned_md, planned_snapshot, predicate, spark_session_timezone(spark)
+            planned_md,
+            planned_snapshot,
+            predicate,
+            spark_session_timezone(spark),
+            spark=spark,
         )
         if mode == "merge-on-read":
             require_position_delete_files_allowed(planned_md)
@@ -8249,7 +8258,11 @@ class FsTable:
         # predicate-derived pruning, same as delete_where: provably
         # match-free files never reach the Spark scan
         live, excluded, deletes = plan_dml_files(
-            planned_md, planned_snapshot, predicate, spark_session_timezone(spark)
+            planned_md,
+            planned_snapshot,
+            predicate,
+            spark_session_timezone(spark),
+            spark=spark,
         )
         if mode == "merge-on-read":
             require_position_delete_files_allowed(planned_md)

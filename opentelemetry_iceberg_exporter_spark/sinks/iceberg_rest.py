@@ -1491,7 +1491,7 @@ class RestTable:
         # predicate-derived pruning (shared plan_dml_files): provably
         # match-free files never reach the Spark scan
         live, excluded, deletes = plan_dml_files(
-            md, planned_snapshot, predicate, spark_session_timezone(spark)
+            md, planned_snapshot, predicate, spark_session_timezone(spark), spark=spark
         )
         if mode == "merge-on-read":
             require_position_delete_files_allowed(md)
@@ -1611,7 +1611,7 @@ class RestTable:
             return None, 0
         # predicate-derived pruning, same as delete_where
         live, excluded, deletes = plan_dml_files(
-            md, planned_snapshot, predicate, spark_session_timezone(spark)
+            md, planned_snapshot, predicate, spark_session_timezone(spark), spark=spark
         )
         if mode == "merge-on-read":
             require_position_delete_files_allowed(md)
@@ -2353,7 +2353,7 @@ class RestTable:
                 return df
         if where is not None:
             data, _, deletes = plan_dml_files(
-                md, sid, where, spark_session_timezone(spark)
+                md, sid, where, spark_session_timezone(spark), spark=spark
             )
         else:
             data, deletes, _ = plan_scan_metadata(
@@ -2407,7 +2407,9 @@ class RestTable:
                 return None
             raise
         if where is not None and tasks:
-            kept, _ = predicate_footer_prune(md, [df for df, _ in tasks], where)
+            kept, _ = predicate_footer_prune(
+                md, [df for df, _ in tasks], where, spark=spark
+            )
             kept_paths = {f.file_path for f in kept}
             tasks = [(df, refs) for df, refs in tasks if df.file_path in kept_paths]
         df = scan_planned_tasks(spark, md, tasks)

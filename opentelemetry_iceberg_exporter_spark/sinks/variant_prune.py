@@ -26,17 +26,19 @@ Soundness rests on the shredding spec's exclusivity invariants:
   own `.value` sibling (type-mismatch residual) — so a file is prunable
   only when that residual is absent or all-null in every row group.
 
-Everything here is driver-side metadata I/O: one footer read per
-candidate file (ranged tail read; parallelized), only when the
+One footer read per candidate file (ranged tail read), only when the
 predicate actually contains a variant conjunct — otherwise zero cost.
-At 100 TB the footer pass costs O(candidate files) small reads and is
-paid INSTEAD of scanning those files' data pages.
+Small candidate lists probe on driver threads; large ones ship through
+one executor-side job with only booleans returning to the driver
+(sinks/footer_probe.py). At 100 TB the footer pass costs O(candidate
+files) small reads and is paid INSTEAD of scanning those files' data
+pages.
 """
 
 from __future__ import annotations
 
 import re
-from concurrent.futures import ThreadPoolExecutor
+from functools import partial
 from dataclasses import dataclass
 from typing import Any
 
@@ -318,20 +320,28 @@ def file_may_match(path: str, pred: VariantPredicate) -> bool:
     return True
 
 
+def _file_provably_matchless(path: str, preds: list[VariantPredicate]) -> bool:
+    """Module-level (picklable) dead-file verdict for footer_probe."""
+    return not all(file_may_match(path, p) for p in preds)
+
+
 def prune_files_by_variant_stats(
-    files: list, preds: list[VariantPredicate], max_workers: int = 16
+    files: list, preds: list[VariantPredicate], spark=None
 ) -> tuple[list, list]:
     """(kept, provably-matchless) split of candidate data files, one
-    footer read per file (parallel — these are small ranged tail reads,
-    I/O bound)."""
+    footer read per file. Small lists probe on driver threads (tiny
+    ranged tail reads, I/O bound); with a session and a large
+    candidate list the footer reads ship to executors and only
+    booleans return (footer_probe.probe_verdicts)."""
     if not preds or not files:
         return files, []
+    from .footer_probe import probe_verdicts
 
-    def keep(f) -> bool:
-        return all(file_may_match(f.file_path, p) for p in preds)
-
-    with ThreadPoolExecutor(max_workers=min(max_workers, len(files))) as ex:
-        flags = list(ex.map(keep, files))
-    kept = [f for f, k in zip(files, flags) if k]
-    dropped = [f for f, k in zip(files, flags) if not k]
+    verdict = probe_verdicts(
+        [f.file_path for f in files],
+        partial(_file_provably_matchless, preds=preds),
+        spark=spark,
+    )
+    kept = [f for f in files if not verdict[f.file_path]]
+    dropped = [f for f in files if verdict[f.file_path]]
     return kept, dropped
