@@ -190,34 +190,70 @@ SELECT * FROM (VALUES
    0.1, 99.9, '10,40,50', '1.0,10.0', CAST(NULL AS INTEGER),
    CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER),
    CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
-   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'DELTA'),
+   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'DELTA',
+   CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+   CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)),
   ('exponential_histogram', TIMESTAMP '2024-01-15 10:30:00', 'eh', 7,
    21.0, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 2, 1, 0.001, 3, '1,2',
-   -1, '4', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'CUMULATIVE'),
+   -1, '4', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'CUMULATIVE',
+   CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+   CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)),
   ('summary', TIMESTAMP '2024-01-15 10:30:00', 'rpc', 50, 123.4,
    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
    CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
    CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
    CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), '0.5,0.99', '1.0,9.0',
-   CAST(NULL AS VARCHAR))
+   CAST(NULL AS VARCHAR),
+   CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+   CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)),
+  ('gauge', TIMESTAMP '2024-01-15 10:30:00', 'cpu.util',
+   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+   CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+   CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+   CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+   CAST(NULL AS VARCHAR),
+   TIMESTAMP '2024-01-15 10:29:00', '{"host":"h1"}', 0.75,
+   CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)),
+  ('gauge', TIMESTAMP '2024-01-15 10:30:00.001', 'cpu.util',
+   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+   CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+   CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+   CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+   CAST(NULL AS VARCHAR),
+   CAST(NULL AS TIMESTAMP), '{}', CAST(NULL AS DOUBLE), 7,
+   CAST(NULL AS BOOLEAN)),
+  ('sum', TIMESTAMP '2024-01-15 10:30:00', 'req.count',
+   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+   CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+   CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+   CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+   'CUMULATIVE',
+   CAST(NULL AS TIMESTAMP), '{}', CAST(NULL AS DOUBLE), 100, true)
 ) t(signal, time_unix_nano, metric_name, count, sum, min, max,
     bucket_counts, explicit_bounds, scale, zero_count, zero_threshold,
     positive_offset, positive_buckets, negative_offset, negative_buckets,
     quantile_values_quantile, quantile_values_value,
-    aggregation_temporality)
+    aggregation_temporality, start_time_unix_nano, attributes,
+    as_double, as_int, is_monotonic)
 """,
-    doc="Histogram + exponential-histogram + summary projections (P6, "
-    "metrics.go:570-762; merged o07+o08+o10 — round-8 50-slot "
-    "consolidation freeing rows for the v3 read surfaces) unioned under "
-    "a signal tag: uint64-string bucket counts -> long lists, explicit "
-    "bounds, scale/zero bookkeeping, positive/negative offset+bucket "
-    "lists, parallel quantile/value lists (the reference's literal "
-    "dotted column names, schema.go:165-167 — backtick discipline), "
-    "temporality enum decode (1->DELTA, 2->CUMULATIVE). Columns absent "
-    "from a family are null-filled at its exact dtype; list columns are "
-    "comma-joined strings (the pandas-based harness cannot order list "
-    "cells).",
+    doc="Histogram + exponential-histogram + summary + GAUGE + SUM "
+    "projections (P6, metrics.go:480-762; merged o07+o08+o10 — round-8 "
+    "50-slot consolidation; gauge/sum VALUE arms restored round 10 after "
+    "o04's retirement left them pytest-only) unioned under a signal tag: "
+    "uint64-string bucket counts -> long lists, explicit bounds, "
+    "scale/zero bookkeeping, positive/negative offset+bucket lists, "
+    "parallel quantile/value lists (the reference's literal dotted "
+    "column names, schema.go:165-167 — backtick discipline), temporality "
+    "enum decode (1->DELTA, 2->CUMULATIVE), the gauge/sum "
+    "exactly-one-of as_double/as_int oneof, the zero-start_time->NULL "
+    "rule (metrics.go:497-504), sorted-key attribute JSON, and "
+    "is_monotonic. Columns absent from a family are null-filled at its "
+    "exact dtype; list columns are comma-joined strings (the "
+    "pandas-based harness cannot order list cells).",
 )
 def o07_flatten_histogram_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfs = flatten_metrics(
@@ -244,6 +280,11 @@ def o07_flatten_histogram_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         null("string").alias("quantile_values_quantile"),
         null("string").alias("quantile_values_value"),
         "aggregation_temporality",
+        null("timestamp").alias("start_time_unix_nano"),
+        null("string").alias("attributes"),
+        null("double").alias("as_double"),
+        null("long").alias("as_int"),
+        null("boolean").alias("is_monotonic"),
     )
     exp = dfs["metrics_exponential_histogram"].select(
         F.lit("exponential_histogram").alias("signal"),
@@ -265,6 +306,11 @@ def o07_flatten_histogram_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         null("string").alias("quantile_values_quantile"),
         null("string").alias("quantile_values_value"),
         "aggregation_temporality",
+        null("timestamp").alias("start_time_unix_nano"),
+        null("string").alias("attributes"),
+        null("double").alias("as_double"),
+        null("long").alias("as_int"),
+        null("boolean").alias("is_monotonic"),
     )
     summ = dfs["metrics_summary"].select(
         F.lit("summary").alias("signal"),
@@ -290,8 +336,59 @@ def o07_flatten_histogram_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quantile_values_value"
         ),
         null("string").alias("aggregation_temporality"),
+        null("timestamp").alias("start_time_unix_nano"),
+        null("string").alias("attributes"),
+        null("double").alias("as_double"),
+        null("long").alias("as_int"),
+        null("boolean").alias("is_monotonic"),
     )
-    return hist.unionByName(exp).unionByName(summ)
+    value_nulls = [
+        null("long").alias("count"),
+        null("double").alias("sum"),
+        null("double").alias("min"),
+        null("double").alias("max"),
+        null("string").alias("bucket_counts"),
+        null("string").alias("explicit_bounds"),
+        null("int").alias("scale"),
+        null("long").alias("zero_count"),
+        null("double").alias("zero_threshold"),
+        null("int").alias("positive_offset"),
+        null("string").alias("positive_buckets"),
+        null("int").alias("negative_offset"),
+        null("string").alias("negative_buckets"),
+        null("string").alias("quantile_values_quantile"),
+        null("string").alias("quantile_values_value"),
+    ]
+    gauge = dfs["metrics_gauge"].select(
+        F.lit("gauge").alias("signal"),
+        "time_unix_nano",
+        "metric_name",
+        *value_nulls,
+        null("string").alias("aggregation_temporality"),
+        "start_time_unix_nano",
+        "attributes",
+        "as_double",
+        "as_int",
+        null("boolean").alias("is_monotonic"),
+    )
+    csum = dfs["metrics_sum"].select(
+        F.lit("sum").alias("signal"),
+        "time_unix_nano",
+        "metric_name",
+        *value_nulls,
+        "aggregation_temporality",
+        "start_time_unix_nano",
+        "attributes",
+        "as_double",
+        "as_int",
+        "is_monotonic",
+    )
+    return (
+        hist.unionByName(exp)
+        .unionByName(summ)
+        .unionByName(gauge)
+        .unionByName(csum)
+    )
 
 
 @register(
