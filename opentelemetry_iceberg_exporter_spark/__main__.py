@@ -904,7 +904,10 @@ def main(argv: list[str] | None = None) -> int:
             if args.split:
                 out = out.filter(F.col("split") == args.split).drop("split")
         out.write.mode("overwrite").parquet(args.output)
-        print(json.dumps({"rows": out.count(), "cmd": "sample"}))
+        # count the WRITTEN parquet: counting the live plan would
+        # re-run the whole sample from source
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"rows": n, "cmd": "sample"}))
         return 0
 
     if args.cmd == "mix":
@@ -916,6 +919,11 @@ def main(argv: list[str] | None = None) -> int:
                 name, sep, value = item.partition("=")
                 if not sep or not name:
                     raise SystemExit(f"--{what} must be NAME=VALUE (got {item!r})")
+                if name in out:
+                    raise SystemExit(
+                        f"--{what} {name!r} given twice — repeated names "
+                        "would silently overwrite each other"
+                    )
                 out[name] = value
             return out
 
@@ -923,16 +931,24 @@ def main(argv: list[str] | None = None) -> int:
             name: spark.read.parquet(path)
             for name, path in _pairs(args.source, "source").items()
         }
-        weights = (
-            {k: float(v) for k, v in _pairs(args.weight, "weight").items()}
-            if args.weight
-            else None
-        )
+        weights = None
+        if args.weight:
+            weights = {}
+            for k, v in _pairs(args.weight, "weight").items():
+                try:
+                    weights[k] = float(v)
+                except ValueError:
+                    raise SystemExit(
+                        f"--weight {k}={v!r}: weight must be a number"
+                    ) from None
         mixed, report = mix_corpora(
             sources, args.id_col, weights=weights, alpha=args.alpha, salt=args.salt
         )
         mixed.write.mode("overwrite").parquet(args.output)
-        print(json.dumps({"rows": mixed.count(), "report": report, "cmd": "mix"}))
+        # ONE plan execution per invocation: read the count back from
+        # the written output instead of re-running the union-of-samples
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"rows": n, "report": report, "cmd": "mix"}))
         return 0
 
     if args.cmd == "dedup":

@@ -212,3 +212,45 @@ def test_mix_cli(spark, tmp_path, capsys):
     assert counts["small"] == 2000 and abs(counts["big"] - 4000) < 200
     with pytest.raises(SystemExit, match="NAME=VALUE"):
         main(["mix", "--source", "nopath", "--output", out])
+    with pytest.raises(SystemExit, match="given twice"):
+        main(
+            ["mix", "--source", f"big={big}", "--source", f"big={small}",
+             "--output", out]
+        )
+    with pytest.raises(SystemExit, match="must be a number"):
+        main(
+            ["mix", "--source", f"big={big}", "--output", out,
+             "--weight", "big=heavy"]
+        )
+
+
+def test_mix_cli_single_plan_execution(spark, tmp_path, capsys, monkeypatch):
+    """The CLI must evaluate the mix plan ONCE (the write); the
+    reported count comes from the written parquet, not a second run of
+    the union-of-samples."""
+    import json
+
+    from opentelemetry_iceberg_exporter_spark.__main__ import main
+    from opentelemetry_iceberg_exporter_spark.operators import sampling
+
+    srcs = _mix_sources(spark)
+    big = str(tmp_path / "big")
+    srcs["big"].write.parquet(big)
+    out = str(tmp_path / "mixed")
+
+    real = sampling.mix_corpora
+
+    def guarding(*a, **k):
+        mixed, report = real(*a, **k)
+
+        def boom():
+            raise AssertionError("mixed.count() would re-run the whole plan")
+
+        mixed.count = boom  # any count on the LIVE plan fails the test
+        return mixed, report
+
+    monkeypatch.setattr(sampling, "mix_corpora", guarding)
+    rc = main(["mix", "--source", f"big={big}", "--output", out, "--id-col", "id"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows"] == spark.read.parquet(out).count()  # counted from disk
