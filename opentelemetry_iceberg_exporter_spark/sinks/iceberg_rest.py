@@ -268,7 +268,8 @@ class RestCatalogClient:
         a byzantine token cycle terminates with an error."""
         out: list = []
         token: str | None = None
-        for _ in range(100_000):
+        seen: set[str] = set()
+        for _ in range(10_000):
             res = self._request(
                 "GET", path, query={"pageToken": token} if token else None
             )
@@ -276,10 +277,20 @@ class RestCatalogClient:
             token = res.get("next-page-token")
             if not token:
                 return out
+            if token in seen:
+                # a cyclic token would otherwise stall the listing for
+                # its full page budget — fail on the FIRST repeat
+                raise RestError(
+                    0,
+                    "InvalidResponseException",
+                    f"list pagination of {path} repeated page token "
+                    f"{token!r} — refusing to loop",
+                )
+            seen.add(token)
         raise RestError(
             0,
             "InvalidResponseException",
-            f"list pagination of {path} exceeded 100000 pages — refusing to loop",
+            f"list pagination of {path} exceeded 10000 pages — refusing to loop",
         )
 
     def list_namespaces(self) -> list[str]:
@@ -2192,6 +2203,7 @@ class RestTable:
         select: list[str] | None = None,
         poll_interval: float = 0.2,
         deadline: float = 60.0,
+        md: dict | None = None,
     ) -> list[tuple["DataFile", list["DataFile"]]]:
         """Server-side scan planning (REST spec PlanTableScan): submit
         the plan, poll `submitted` results until the server completes
@@ -2199,10 +2211,14 @@ class RestTable:
         plan-task page, and return [(data file, applicable delete
         files)] scan tasks. Raises RestError on failed/cancelled plans
         and on byzantine results (unknown status, runaway pagination).
+        `md` lets a caller that already loaded table metadata skip the
+        re-fetch (and pins the plan to THAT metadata's snapshot instead
+        of a newer commit's — read() passes it).
         """
         from .rest_scan import MAX_PLAN_TASK_FETCHES, parse_scan_tasks
 
-        md = self.metadata()
+        if md is None:
+            md = self.metadata()
         sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
         if sid in (-1, None):
             return []
@@ -2341,6 +2357,7 @@ class RestTable:
         if use_server and not with_lineage:
             df = self._read_server_planned(
                 spark,
+                md,
                 sid,
                 partition_range,
                 column_range,
@@ -2369,6 +2386,7 @@ class RestTable:
     def _read_server_planned(
         self,
         spark: SparkSession,
+        md: dict,
         sid: int,
         partition_range,
         column_range,
@@ -2391,7 +2409,6 @@ class RestTable:
         )
         from .rest_scan import scan_filter_json, scan_planned_tasks
 
-        md = self.metadata()
         if where is not None:
             ranges = extract_prune_ranges(where, md, spark_session_timezone(spark))
             filter_json = scan_filter_json(md, **ranges)
@@ -2400,7 +2417,7 @@ class RestTable:
                 md, partition_range, column_range, source_predicate, source_range
             )
         try:
-            tasks = self.plan_files_server(sid, filter_json)
+            tasks = self.plan_files_server(sid, filter_json, md=md)
         except RestPlanUnsupportedError:
             if not required:
                 self.client._plan_unsupported = True

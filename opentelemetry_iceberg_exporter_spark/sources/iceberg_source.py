@@ -382,13 +382,16 @@ class IcebergFsDataSource(DataSource):
 
 
 def register_iceberg_source(spark) -> None:
+    """Register the Python data source. SIDE EFFECT (documented): if
+    `spark.sql.python.filterPushdown.enabled` is unset, it is enabled —
+    _BatchReader implements pushFilters() and Spark 4.1 REFUSES to plan
+    a pushdown-capable Python source with the flag off (it defaults
+    off). A value the USER set either way is respected: an explicit
+    `false` means this source plans without pushdown rather than this
+    call silently re-tuning other Python sources in the session."""
     spark.dataSource.register(IcebergFsDataSource)
-    # _BatchReader implements pushFilters(); Spark 4.1 REFUSES to plan a
-    # pushdown-capable Python source unless this flag is on, and it
-    # defaults off. build_session sets it, but a VANILLA session (the
-    # driver contract, library users) must get it here — it is a
-    # runtime-settable SQLConf.
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    if spark.conf.get("spark.sql.python.filterPushdown.enabled", None) is None:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
 
 BROADCAST_BYTE_THRESHOLD = 64 * 1024 * 1024

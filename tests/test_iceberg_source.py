@@ -40,6 +40,31 @@ def _make(spark, tmp_path, n=100, partition_by=None):
     return t
 
 
+class TestRegisterConfScope:
+    def test_pushdown_flag_set_only_when_unset(self, spark):
+        """register_iceberg_source enables the Python-source pushdown
+        flag only when the session left it UNSET — an explicit user
+        value (either way) is never overridden (a session-wide re-tune
+        would silently change planning for other Python sources)."""
+        from opentelemetry_iceberg_exporter_spark.sources.iceberg_source import (
+            register_iceberg_source,
+        )
+
+        key = "spark.sql.python.filterPushdown.enabled"
+        before = spark.conf.get(key, None)
+        try:
+            spark.conf.unset(key)
+            register_iceberg_source(spark)
+            assert spark.conf.get(key) == "true"  # unset -> enabled
+            spark.conf.set(key, "false")
+            register_iceberg_source(spark)
+            assert spark.conf.get(key) == "false"  # explicit value kept
+        finally:
+            spark.conf.unset(key)
+            if before is not None:
+                spark.conf.set(key, before)
+
+
 class TestBatchFormat:
     def test_roundtrip(self, registered, tmp_path):
         t = _make(registered, tmp_path)

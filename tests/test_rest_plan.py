@@ -272,6 +272,26 @@ class TestServerPlanning:
         ).filter(F.col("ts").between(lo, hi))
         assert _rows(scoped) == _rows(local)
 
+    def test_server_planned_read_loads_metadata_once(
+        self, catalog, spark, monkeypatch
+    ):
+        """read() threads its already-loaded metadata through
+        _read_server_planned and plan_files_server — ONE metadata GET
+        per read, and the plan is pinned to the SAME snapshot the
+        filter/schema came from (no TOCTOU against a racing commit)."""
+        client, _ = catalog
+        t = _events_table(client, spark)
+        calls = {"n": 0}
+        real = type(t).metadata
+
+        def counting(self_):
+            calls["n"] += 1
+            return real(self_)
+
+        monkeypatch.setattr(type(t), "metadata", counting)
+        assert len(_rows(t.read(spark, server_planning=True))) == 80
+        assert calls["n"] == 1
+
     def test_where_predicate_parity(self, catalog, spark):
         client, _ = catalog
         t = _events_table(client, spark)

@@ -605,6 +605,28 @@ class TestListPagination:
         finally:
             server.shutdown()
 
+    def test_cyclic_page_token_fails_on_first_repeat(self, tmp_path, monkeypatch):
+        """A byzantine server emitting a cyclic next-page-token must
+        fail the listing on the FIRST repeated token, not stall through
+        the whole page budget."""
+        warehouse = str(tmp_path / "wh")
+        os.makedirs(warehouse)
+        server, _, uri = make_server(warehouse)
+        try:
+            client = RestCatalogClient(uri, warehouse=warehouse)
+            calls = {"n": 0}
+
+            def cyclic(method, path, body=None, query=None):
+                calls["n"] += 1
+                return {"namespaces": [["ns"]], "next-page-token": "loop"}
+
+            monkeypatch.setattr(client, "_request", cyclic)
+            with pytest.raises(RestError, match="repeated page token"):
+                client.list_namespaces()
+            assert calls["n"] == 2  # first page + the one repeat
+        finally:
+            server.shutdown()
+
 
 class TestViewCli:
     def test_view_lifecycle_fs(self, spark, tmp_path, capsys):
