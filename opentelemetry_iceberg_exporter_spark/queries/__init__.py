@@ -45,6 +45,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
     from . import iceberg_v3  # noqa: F401
     from . import streaming  # noqa: F401
     from ..operators import dedup  # noqa: F401
+    from ..operators import sampling  # noqa: F401
     from ..operators import similarity  # noqa: F401
     from ..operators import text  # noqa: F401
     from ..operators import multimodal  # noqa: F401
