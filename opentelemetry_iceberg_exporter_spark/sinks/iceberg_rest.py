@@ -332,8 +332,34 @@ class RestCatalogClient:
 
     # -- tables (catalog_rest.go:168-240) ----------------------------------
     def load_table(self, namespace: str, name: str) -> dict:
-        """LoadTableResult: {'metadata-location': ..., 'metadata': {...}}."""
+        """LoadTableResult: {'metadata-location': ..., 'metadata': {...},
+        and optionally the spec's 'config' overrides +
+        'storage-credentials' vends (RestTable captures those)."""
         return self._request("GET", self._table_path(namespace, name))
+
+    _NOT_IMPLEMENTED_STATUSES = frozenset({404, 405, 406, 501})
+
+    def load_credentials(self, namespace: str, name: str):
+        """The spec's dedicated credential endpoint
+        (`GET .../tables/{table}/credentials`, LoadCredentialsResponse)
+        — the cheap refresh path for expired vends. Returns the parsed
+        credential list, or None when the server does not implement the
+        route (callers re-vend via load_table instead; the spec marks
+        the endpoint optional). NoSuchTable stays an error even at 404."""
+        from .vended_credentials import parse_storage_credentials
+
+        try:
+            res = self._request(
+                "GET", self._table_path(namespace, name) + "/credentials"
+            )
+        except RestError as exc:
+            if (
+                exc.status in self._NOT_IMPLEMENTED_STATUSES
+                and "nosuchtable" not in exc.error_type.lower()
+            ):
+                return None
+            raise
+        return parse_storage_credentials(res)
 
     def table_exists(self, namespace: str, name: str) -> bool:
         try:
@@ -844,11 +870,61 @@ class RestTable:
         self.client = client
         self.namespace = namespace
         self.name = name
+        # latest storage-credential vend from LoadTableResult (None =
+        # the server never vended — local fs / engine-managed creds)
+        self._vended = None
 
     # -- metadata access (always fresh: catalog_rest.go:259-263 loads
     # the table before every append so commits see the latest state) ----
     def metadata(self) -> dict:
-        return self.client.load_table(self.namespace, self.name)["metadata"]
+        result = self.client.load_table(self.namespace, self.name)
+        if result.get("storage-credentials"):
+            from .vended_credentials import VendedCredentialSet
+
+            self._vended = VendedCredentialSet.from_load_result(result)
+        return result["metadata"]
+
+    def apply_storage_credentials(
+        self, spark: SparkSession, path: str | None = None, now_ms: int | None = None
+    ) -> dict[str, str]:
+        """Thread the latest storage-credential vend into the engine:
+        pick the vend covering `path` (default: the table location),
+        REFRESH it when expired — via the spec credentials endpoint,
+        falling back to a table re-load when the server doesn't
+        implement the route — and apply the resulting container-scoped
+        Hadoop conf (per-bucket s3a keys etc.) to the live session so
+        executor file access uses the vended, not ambient, identity.
+        Returns the applied conf; {} for local/uncredentialed paths.
+        Called by read()/append_dataframe; safe to call directly before
+        custom scans. Raises when the server re-vends an
+        already-expired credential (retrying would loop)."""
+        if self._vended is None:
+            return {}
+        from .vended_credentials import VendedCredentialSet
+
+        target = path if path is not None else self.location()
+        if self._vended.needs_refresh(target, now_ms):
+            fresh = self.client.load_credentials(self.namespace, self.name)
+            if fresh is not None:
+                self._vended = VendedCredentialSet(
+                    fresh, self._vended.table_config
+                )
+            else:
+                result = self.client.load_table(self.namespace, self.name)
+                self._vended = VendedCredentialSet.from_load_result(result)
+            if self._vended.needs_refresh(target, now_ms):
+                raise RestError(
+                    0,
+                    "CredentialExpiredException",
+                    f"refreshed storage credential for {target} is still "
+                    "expired — server vends are not advancing",
+                )
+        conf = self._vended.conf_for_path(target)
+        if conf:
+            hconf = spark.sparkContext._jsc.hadoopConfiguration()
+            for k, v in conf.items():
+                hconf.set(k, v)
+        return conf
 
     def location(self) -> str:
         return self.metadata()["location"]
@@ -1144,6 +1220,7 @@ class RestTable:
         inputs commit nothing (F1). `fanout` spreads hot partition
         values over ~fanout writer tasks (backfills)."""
         md = self.metadata()
+        self.apply_storage_credentials(df.sparkSession, md["location"])
         files = write_partitioned_batch(df, md["location"], md, fanout)
         if not files:
             return None
@@ -2331,6 +2408,7 @@ class RestTable:
         from .iceberg_fs import plan_dml_files, scan_with_lineage, spark_session_timezone
 
         md = self.metadata()
+        self.apply_storage_credentials(spark, md["location"])
         sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
         if sid in (-1, None):
             return spark.createDataFrame([], spark_read_schema(md))

@@ -87,6 +87,19 @@ class StubCatalogState:
         # list-endpoint pagination: 0 = everything in one response (no
         # next-page-token); N = pages of N with opaque offset tokens
         self.list_page_size: int = 0
+        # -- vended storage credentials (spec LoadTableResult `config` +
+        # `storage-credentials`, and the optional GET .../credentials
+        # route). Tests set per-table vends; credential_fetches counts
+        # explicit credential-endpoint hits (table-load vends are
+        # visible in `requests`).
+        self.storage_credentials: dict[tuple[str, str], list] = {}
+        self.table_config: dict[tuple[str, str], dict] = {}
+        self.credentials_endpoint: bool = True
+        self.credential_fetches: int = 0
+        # when set for a table, the /credentials route serves THESE
+        # instead of storage_credentials — models rotation where the
+        # refresh endpoint vends newer tokens than table loads did
+        self.endpoint_credentials: dict[tuple[str, str], list] = {}
 
     def inject_garbage(
         self, times: int = 1, method: str | None = None, path_re: str | None = None
@@ -215,6 +228,10 @@ class _Handler(BaseHTTPRequestHandler):
                     "DELETE /v1/{prefix}/namespaces/{namespace}/views/{view}",
                     "POST /v1/{prefix}/views/rename",
                 ]
+                if self.state.credentials_endpoint:
+                    eps.append(
+                        "GET /v1/{prefix}/namespaces/{namespace}/tables/{table}/credentials"
+                    )
                 if self.state.advertise_plan:
                     eps += [
                         "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan",
@@ -280,6 +297,27 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             self._send(200, self._load_view_result(key))
             return
+        m = re.fullmatch(
+            f"/v1/{PREFIX}/namespaces/([^/]+)/tables/([^/]+)/credentials", path
+        )
+        if m:
+            key = (m.group(1), m.group(2))
+            st = self.state
+            if key not in st.tables:
+                self._error(
+                    404, "NoSuchTableException",
+                    f"Table does not exist: {key[0]}.{key[1]}",
+                )
+                return
+            if not st.credentials_endpoint:
+                self._error(404, "NotFoundException", f"no route {path}")
+                return
+            st.credential_fetches += 1
+            vend = st.endpoint_credentials.get(
+                key, st.storage_credentials.get(key, [])
+            )
+            self._send(200, {"storage-credentials": vend})
+            return
         m = re.fullmatch(f"/v1/{PREFIX}/namespaces/([^/]+)/tables/([^/]+)", path)
         if m:
             key = (m.group(1), m.group(2))
@@ -301,6 +339,10 @@ class _Handler(BaseHTTPRequestHandler):
                 "metadata": md,
             }
             st = self.state
+            if key in st.storage_credentials:
+                payload["storage-credentials"] = st.storage_credentials[key]
+            if key in st.table_config:
+                payload["config"] = st.table_config[key]
             if st.staged_deferred and st.deferred_countdown > 0:
                 st.deferred_countdown -= 1
                 if st.deferred_countdown == 0:
