@@ -105,6 +105,23 @@ class CatalogConfig:
     # starter set (per-service span stats / error rate / log severity /
     # metric inventory).
     views: dict[str, str] = field(default_factory=dict)
+    # declared VARIANT shred paths (requires variant_attrs=True):
+    # {signal: {variant_column: ["$.http.status_code", ...]}}. The
+    # engine rides Spark's inferred shredding, so WHICH attribute paths
+    # get typed parquet columns (and therefore prune via footer stats,
+    # sinks/variant_prune.py) would otherwise depend on what the writer
+    # happened to infer per file. Declaring a path makes the contract
+    # explicit: it is recorded as the `variant.shred-paths.<column>`
+    # table property at DDL, and every exporter commit VERIFIES the
+    # written footers — a declared path whose values escaped typing
+    # (type-mismatch residual, unshredded level) is drift, reported per
+    # `shred_check`. Paths use the try_variant_get grammar ($.a.b /
+    # $['dotted.key']).
+    shred_paths: dict[str, dict[str, list[str]]] = field(default_factory=dict)
+    # what a post-commit shred-path violation does: "fail" raises (the
+    # batch is committed — the error flags the WRITER config/inference
+    # drift for the operator), "warn" logs and continues.
+    shred_check: str = "fail"
 
     def validate(self) -> None:
         if self.catalog_type not in VALID_CATALOG_TYPES:
@@ -128,6 +145,27 @@ class CatalogConfig:
                     f"catalog.bloom_filter_columns[{signal!r}] must be a "
                     "non-empty list of column names"
                 )
+        if self.shred_check not in ("warn", "fail"):
+            raise ValueError(
+                f"catalog.shred_check must be 'warn' or 'fail', got "
+                f"{self.shred_check!r}"
+            )
+        for signal, by_col in self.shred_paths.items():
+            if not by_col:
+                raise ValueError(
+                    f"catalog.shred_paths[{signal!r}] must map variant "
+                    "columns to non-empty path lists"
+                )
+            for col, paths in by_col.items():
+                if not col or not paths:
+                    raise ValueError(
+                        f"catalog.shred_paths[{signal!r}][{col!r}] must be "
+                        "a non-empty list of paths"
+                    )
+                from .sinks.variant_prune import parse_shred_path
+
+                for path in paths:
+                    parse_shred_path(path)  # raises with the grammar
         for vname, vsql in self.views.items():
             if not vname or not isinstance(vsql, str) or not vsql.strip():
                 raise ValueError(
@@ -270,4 +308,10 @@ class ExporterConfig:
             raise ValueError(
                 f"attr_depth must be in [0, 8], got {self.attr_depth} "
                 "(each level doubles plan-compile cost)"
+            )
+        if self.catalog.shred_paths and not self.variant_attrs:
+            raise ValueError(
+                "catalog.shred_paths declares typed VARIANT paths — it "
+                "requires variant_attrs=True (JSON-string attribute "
+                "columns have no shredding to verify)"
             )

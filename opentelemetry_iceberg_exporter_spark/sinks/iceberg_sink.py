@@ -27,6 +27,9 @@ compaction stays available via rewrite_data_files.
 
 from __future__ import annotations
 
+import logging
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import ArrayType, DataType, StructType
 
@@ -143,7 +146,60 @@ def _exporter_table_props(config, signal: str, schema) -> dict[str, str]:
                 f"{col!r} is not in the {signal} table schema"
             )
         props[f"write.parquet.bloom-filter-enabled.column.{col}"] = "true"
+    for col, paths in config.catalog.shred_paths.get(signal, {}).items():
+        # the declared-shred contract lives ON THE TABLE so other
+        # writers/readers see it, not just this process's config
+        if col not in S.VARIANT_ATTR_COLUMNS.get(signal, []):
+            raise ValueError(
+                f"catalog.shred_paths[{signal!r}]: {col!r} is not a "
+                f"variant attribute column of the {signal} table"
+            )
+        props[f"variant.shred-paths.{col}"] = ",".join(paths)
     return props
+
+
+class ShredDriftError(RuntimeError):
+    """A committed batch's footers violate the declared shred-path
+    contract (catalog.shred_paths, shred_check='fail'). The data IS
+    committed and correct — reads fall back to scanning the violating
+    files — but point-lookup pruning on the declared paths silently
+    degraded, which is exactly what the declaration exists to catch."""
+
+
+def _verify_shred_after_commit(config, signal, table, snapshot_id) -> None:
+    """Post-commit footer check of catalog.shred_paths: every file the
+    snapshot added must hold the declared paths as typed shredded
+    columns (or provably carry no values for them). O(new files) ranged
+    footer reads, zero when the signal declares nothing."""
+    spaths = config.catalog.shred_paths.get(signal)
+    if not spaths or snapshot_id is None:
+        return
+    from .iceberg_fs import _added_files
+    from .variant_prune import verify_shred_paths
+
+    md = table.metadata()
+    snap = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == snapshot_id
+    )
+    # the snapshot's OWN manifests only (branch-agnostic — WAP-staged
+    # commits are checked at stage time, before publish)
+    files, _ = _added_files(snap)
+    violations = verify_shred_paths(
+        [f.file_path for f in files if f.content == 0], spaths
+    )
+    if not violations:
+        return
+    lines = "; ".join(
+        f"{os.path.basename(fp)} {col} {path}: {reason}"
+        for fp, col, path, reason in violations[:5]
+    )
+    msg = (
+        f"shred-path drift on {signal} snapshot {snapshot_id}: "
+        f"{len(violations)} declared-path violation(s) — {lines}"
+    )
+    if config.catalog.shred_check == "fail":
+        raise ShredDriftError(msg)
+    logging.getLogger(__name__).warning(msg)
 
 
 
@@ -375,10 +431,13 @@ class FsIcebergSink:
             return table.upsert_equality(self.spark, conformed, keys, props)
         branch = self.config.catalog.wap_branch
         if branch:
-            return table.append_dataframe_to_branch(branch, conformed, props)
-        return table.append_dataframe(
-            conformed, props, fanout=self.config.catalog.write_fanout
-        )
+            sid = table.append_dataframe_to_branch(branch, conformed, props)
+        else:
+            sid = table.append_dataframe(
+                conformed, props, fanout=self.config.catalog.write_fanout
+            )
+        _verify_shred_after_commit(self.config, signal, table, sid)
+        return sid
 
     def publish_staged(self, signal: str) -> int | None:
         """WAP publish: fast-forward main to the staged branch head for
@@ -488,11 +547,15 @@ class RestIcebergSink:
         if keys:
             return self._load(signal).upsert_equality(self.spark, conformed, keys, props)
         branch = self.config.catalog.wap_branch
+        table = self._load(signal)
         if branch:
-            return self._load(signal).append_dataframe_to_branch(branch, conformed, props)
-        return self._load(signal).append_dataframe(
-            conformed, props, fanout=self.config.catalog.write_fanout
-        )
+            sid = table.append_dataframe_to_branch(branch, conformed, props)
+        else:
+            sid = table.append_dataframe(
+                conformed, props, fanout=self.config.catalog.write_fanout
+            )
+        _verify_shred_after_commit(self.config, signal, table, sid)
+        return sid
 
     def append_all(self, dfs: dict[str, DataFrame]) -> dict[str, int]:
         """Atomic MULTI-SIGNAL append: every signal's data files are

@@ -345,3 +345,99 @@ def prune_files_by_variant_stats(
     kept = [f for f in files if not verdict[f.file_path]]
     dropped = [f for f in files if verdict[f.file_path]]
     return kept, dropped
+
+
+# ---------------------------------------------------------------------------
+# Declared shred paths (catalog.shred_paths): verify post-write that a
+# declared hot path's values actually landed as TYPED shredded columns,
+# so pruning quality is a checked contract instead of an accident of
+# per-file inference.
+
+_FULL_PATH_RE = re.compile(rf"^\$(?:{_PATH_SEG})+$")
+
+
+def parse_shred_path(path: str) -> tuple[str, ...]:
+    """Validate a declared shred path against the same grammar the
+    pruner recognizes ($.a.b / $['dotted.key'].c) and return its key
+    tuple. Raises ValueError on anything else — a declared path the
+    pruner could never use (array index, bare '$') is a config error,
+    not a runtime surprise."""
+    if not isinstance(path, str) or not _FULL_PATH_RE.match(path):
+        raise ValueError(
+            f"shred path {path!r} is not an object-key path the variant "
+            "pruner can use — expected $.key, $.a.b, or $['dotted.key'] "
+            "segments"
+        )
+    keys = _parse_path(path)
+    assert keys is not None  # the regex above guarantees segments
+    return keys
+
+
+def _rg_shred_violation(
+    cols: dict, n_rows: int | None, column: str, keys: tuple[str, ...]
+) -> str | None:
+    """One row group's verdict on a declared path: None when every value
+    of the path (if any) is typed-shredded — i.e. walking the keys, each
+    level is in the shredding schema, and the leaf's type-mismatch
+    residual is empty; a group with NO values for the path anywhere
+    (all-null residuals) also passes (nothing escaped typing, and the
+    pruner proves such groups matchless for free). Otherwise the reason
+    string — values exist that footer stats cannot bound."""
+    prefix = column
+    for k in keys:
+        sub = f"{prefix}.typed_value.{k}"
+        in_schema = any(
+            n == f"{sub}.typed_value"
+            or n == f"{sub}.value"
+            or n.startswith(f"{sub}.typed_value.")
+            for n in cols
+        )
+        if not in_schema:
+            if _all_null(cols, f"{prefix}.value", n_rows):
+                return None  # no values under this level at all
+            return (
+                f"key {k!r} is not in the file's shredding schema and "
+                f"`{prefix}.value` holds residual values"
+            )
+        prefix = sub
+    if not _all_null(cols, f"{prefix}.value", n_rows):
+        return (
+            f"type-mismatch residual `{prefix}.value` holds values — the "
+            "declared path's data escaped its typed column"
+        )
+    return None
+
+
+def verify_shred_paths(
+    file_paths: list[str], paths_by_column: dict[str, list[str]]
+) -> list[tuple[str, str, str, str]]:
+    """Check written parquet files against the declared shred paths.
+    Returns [(file, column, path, reason)] violations — empty means
+    every declared path's values are typed (or provably absent) in
+    every row group of every file. An unreadable footer is a violation
+    for every declared path (the contract cannot be proven)."""
+    parsed = {
+        col: [(p, parse_shred_path(p)) for p in paths]
+        for col, paths in paths_by_column.items()
+    }
+    violations: list[tuple[str, str, str, str]] = []
+    for fp in file_paths:
+        try:
+            groups = footer_row_group_stats(fp)
+        except Exception as exc:  # noqa: BLE001 — unprovable = violation
+            for col, pairs in parsed.items():
+                for p, _keys in pairs:
+                    violations.append(
+                        (fp, col, p, f"unreadable footer: {exc}")
+                    )
+            continue
+        for col, pairs in parsed.items():
+            for p, keys in pairs:
+                for g in groups:
+                    reason = _rg_shred_violation(
+                        g["columns"], g["num_rows"], col, keys
+                    )
+                    if reason is not None:
+                        violations.append((fp, col, p, reason))
+                        break
+    return violations
