@@ -102,12 +102,16 @@ def _arrow_schema(md: dict):
 @dataclass
 class _FilePartition(InputPartition):
     """One Parquet data file; `deleted_positions` are the merge-on-read
-    position deletes scoped to exactly this file (sorted)."""
+    position deletes scoped to exactly this file (sorted);
+    `equality_deletes` are the APPLICABLE equality-delete files for this
+    file (seq strictly above the data file's — applicability resolved
+    driver-side), each as (delete_path, (key column name, ...))."""
 
     file_path: str
     schema_fields: tuple  # ((name, iceberg_type_json, required, field_id), ...)
     deleted_positions: tuple = field(default=())
     name_mapping: tuple = field(default=())  # ((file column name, field id), ...)
+    equality_deletes: tuple = field(default=())
 
 
 def _partition_schema_fields(md: dict) -> tuple:
@@ -168,6 +172,21 @@ def _read_file_partition(part: _FilePartition):
             cols.append(table[src].cast(target.type))
         fields.append(target)
     aligned = pa.table(cols, schema=pa.schema(fields))
+    for del_path, key_names in part.equality_deletes:
+        if aligned.num_rows == 0:
+            break
+        # EXECUTOR-side equality-delete subtraction: the delete file's
+        # key tuples (named columns, read as-is) anti-filter this data
+        # file's rows by null-safe tuple equality (None == None deletes,
+        # matching Spark's eqNullSafe; float keys are refused at plan
+        # time, so NaN never reaches the comparison)
+        dt = pq.read_table(del_path, columns=list(key_names))
+        killed = set(zip(*(dt[n].to_pylist() for n in key_names)))
+        if not killed:
+            continue
+        rows = zip(*(aligned[n].to_pylist() for n in key_names))
+        keep_mask = pa.array([r not in killed for r in rows])
+        aligned = aligned.filter(keep_mask)
     yield from aligned.to_batches(max_chunksize=1 << 16)
 
 
@@ -239,13 +258,24 @@ class _BatchReader(DataSourceReader):
             source_predicate=self._predicate,
             source_range=self._range,
         )
-        if any(d.content == 2 for d in deletes):
-            raise ValueError(
-                "table has pending equality deletes; the iceberg_fs data "
-                "source applies position deletes only — fold them first "
-                "(rewrite_equality_deletes) or read via FsTable.read"
-            )
         pos = _positions_by_file([d for d in deletes if d.content == 1])
+        eq_files = [d for d in deletes if d.content == 2]
+        eq_named: list[tuple[int, str, tuple]] = []
+        if eq_files:
+            from ..sinks.iceberg_fs import _equality_fields
+
+            for d in eq_files:
+                if not d.equality_ids:
+                    raise ValueError(
+                        f"equality-delete file {d.file_path} missing "
+                        "equality_ids"
+                    )
+                # name/type resolution raises on float keys (NaN
+                # equality undefined) — same rule as FsTable.read
+                names = tuple(
+                    f_["name"] for f_ in _equality_fields(md, d.equality_ids)
+                )
+                eq_named.append((d.sequence_number, d.file_path, names))
         fields = _partition_schema_fields(md)
         mapping = _partition_name_mapping(md)
         if not data:
@@ -254,7 +284,19 @@ class _BatchReader(DataSourceReader):
             # pruned scan must surface one explicit no-op partition
             return [_FilePartition(None, fields, (), mapping)]
         return [
-            _FilePartition(f.file_path, fields, pos.get(f.file_path, ()), mapping)
+            _FilePartition(
+                f.file_path,
+                fields,
+                pos.get(f.file_path, ()),
+                mapping,
+                # the spec's strict-seq rule: a delete applies only to
+                # data committed BEFORE it
+                tuple(
+                    (dp, names)
+                    for dseq, dp, names in eq_named
+                    if f.sequence_number < dseq
+                ),
+            )
             for f in data
         ]
 

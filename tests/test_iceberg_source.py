@@ -117,12 +117,41 @@ class TestBatchFormat:
         df = registered.read.format("iceberg_fs").load(t.location)
         assert sorted(r.id for r in df.collect()) == list(range(10, 50))
 
-    def test_equality_deletes_fail_loud(self, registered, tmp_path):
+    def test_equality_deletes_applied(self, registered, tmp_path):
+        """Equality deletes apply inside the scan (r10 — the source
+        previously refused them): key-matched rows vanish, and the
+        strict-seq rule protects rows appended AFTER the delete."""
         t = _make(registered, tmp_path, n=20)
-        keys = registered.createDataFrame([Row(id=3)])
+        keys = registered.createDataFrame([Row(id=3), Row(id=7)])
         t.delete_where_equality(registered, keys, ["id"])
-        with pytest.raises(Exception, match="equality deletes"):
-            registered.read.format("iceberg_fs").load(t.location).collect()
+        # re-appending id=3 AFTER the delete must survive (its file's
+        # seq is above the delete's)
+        t.append_dataframe(registered.createDataFrame([Row(id=3, v="reborn")]))
+        got = sorted(
+            (r.id, r.v)
+            for r in registered.read.format("iceberg_fs").load(t.location).collect()
+        )
+        want = sorted(
+            [(i, f"v{i}") for i in range(20) if i not in (3, 7)]
+            + [(3, "reborn")]
+        )
+        assert got == want
+        # parity with the library read path
+        lib = sorted((r.id, r.v) for r in t.read(registered).collect())
+        assert got == lib
+
+    def test_equality_deletes_compose_with_position_deletes(
+        self, registered, tmp_path
+    ):
+        t = _make(registered, tmp_path, n=30)
+        t.delete_where(registered, "id < 5", mode="merge-on-read")  # positions
+        keys = registered.createDataFrame([Row(id=10), Row(id=4), Row(id=29)])
+        t.delete_where_equality(registered, keys, ["id"])
+        got = sorted(
+            r.id
+            for r in registered.read.format("iceberg_fs").load(t.location).collect()
+        )
+        assert got == [i for i in range(5, 30) if i not in (10, 29)]
 
     def test_schema_evolution_nulls(self, registered, tmp_path):
         t = _make(registered, tmp_path, n=5)
