@@ -161,6 +161,30 @@ def main(argv: list[str] | None = None) -> int:
         "of the full (id, group_id, group_size, is_canonical) map",
     )
 
+    pss = sub.add_parser(
+        "substr-dedup",
+        help="exact substring dedup (Lee et al. ExactSubstr): excise "
+        "every >= k-char substring that occurs more than once across "
+        "the corpus, keeping one canonical copy — catches the verbatim "
+        "licenses/templates/quotes document-level dedup misses",
+    )
+    pss.add_argument("--input", required=True, help="parquet file/dir with a text column")
+    pss.add_argument("--output", required=True, help="output dir (parquet)")
+    pss.add_argument("--id-col", default="doc_id")
+    pss.add_argument("--text-col", default="text")
+    pss.add_argument("--k", type=int, default=50, help="minimum duplicated span length (chars)")
+    pss.add_argument(
+        "--stride", type=int, default=1,
+        help=">1 = content-sampled anchors (rows shrink ~stride x, "
+        "probabilistic detection for spans near k)",
+    )
+    pss.add_argument(
+        "--spans-only",
+        action="store_true",
+        help="write the (doc_id, span_start, span_end) map instead of "
+        "rewriting the text",
+    )
+
     pim = sub.add_parser(
         "image-dedup",
         help="perceptual image dedup: dHash over decoded pixels, banded "
@@ -991,6 +1015,26 @@ def main(argv: list[str] | None = None) -> int:
             out = groups
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"rows": out.count(), "method": args.method}))
+        return 0
+
+    if args.cmd == "substr-dedup":
+        from .operators.substring_dedup import (
+            duplicated_spans,
+            strip_duplicated_substrings,
+        )
+
+        docs = spark.read.parquet(args.input)
+        if args.spans_only:
+            out = duplicated_spans(
+                docs, args.id_col, args.text_col, k=args.k, stride=args.stride
+            )
+        else:
+            out = strip_duplicated_substrings(
+                docs, args.id_col, args.text_col, k=args.k, stride=args.stride
+            )
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"rows": n, "cmd": "substr-dedup", "k": args.k}))
         return 0
 
     if args.cmd == "semdedup":

@@ -1,0 +1,179 @@
+"""Exact substring deduplication (the ExactSubstr recipe of Lee et
+al. 2022, "Deduplicating Training Data Makes Language Models Better",
+arXiv:2107.06499): find character substrings of length >= k that occur
+more than once ACROSS the corpus and excise every occurrence except a
+canonical one — the long-verbatim-overlap complement to document-level
+MinHash (d03) and paragraph boilerplate removal (cleaning.py), catching
+licenses, templates, and quoted passages embedded mid-document.
+
+Spark-first shape (the paper builds a monolithic suffix array; that is
+a single-machine construction — the DISTRIBUTED equivalent is k-gram
+anchoring):
+
+* every document explodes into its char k-grams — one plan-level
+  `transform(sequence(...))`, no Python. stride=1 is exact for spans
+  >= k; stride s > 1 is the scale knob: grams are CONTENT-sampled
+  (kept when their hash ≡ 0 mod s — positional sampling would miss
+  copies whose offsets differ mod s, content sampling anchors
+  identically in every copy), shrinking rows ~s× at the cost of a
+  probabilistic guarantee — a duplicated region of length L anchors
+  with probability 1 - (1 - 1/s)^(L-k+1), e.g. >= 99.8% for L = 2k,
+  k = 50, s = 16.
+* a k-gram is DUPLICATED when it occurs >= 2 times corpus-wide: one
+  hash aggregate keyed on md5(gram). The same aggregate picks the
+  CANONICAL occurrence — min (doc_id, pos) — so exactly one copy of
+  every duplicated region survives, deterministically, on any cluster
+  layout.
+* non-canonical occurrences join back (equi-join on the hash; AQE
+  broadcasts when the duplicated set is small) and merge into MAXIMAL
+  spans per document — gaps-and-islands over one window per doc.
+* excision is a single JVM-side `aggregate()` fold that stitches the
+  kept slices — no UDF, no Python in the hot path.
+
+At 100 TB: the explode is the dominant cost (O(total chars / stride)
+rows, exactly the paper's suffix-array size), the aggregate and join
+shuffle on uniformly distributed hashes (no skew — identical grams ARE
+the duplicates and cap at the duplication factor), the window
+partitions by document. Everything else is map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_K = 50  # the paper's span threshold
+
+
+def kgram_occurrences(
+    df: DataFrame, id_col: str, text_col: str, k: int = DEFAULT_K, stride: int = 1
+) -> DataFrame:
+    """(doc_id, pos, h): the document's char k-grams, hashed. stride=1
+    keeps every gram; stride s > 1 keeps the CONTENT-sampled anchors
+    (md5 low bits ≡ 0 mod s) — identical substrings anchor at identical
+    relative positions in every copy, so sampling never desynchronizes
+    across documents. Documents shorter than k contribute nothing (they
+    cannot hold a >= k duplicated span)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (got {k})")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1 (got {stride})")
+    grams = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+        .filter(F.length("__t") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, length(__t) - {k}), "
+                    f"p -> named_struct('pos', p, 'h', "
+                    f"md5(substring(__t, p + 1, {k}))))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    if stride > 1:
+        grams = grams.filter(
+            F.expr(f"conv(substring(h, 1, 8), 16, 10) % {stride} = 0")
+        )
+    return grams
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_K,
+    stride: int = 1,
+    keep_canonical: bool = True,
+) -> DataFrame:
+    """Maximal duplicated character spans per document:
+    (doc_id, span_start, span_end) — 0-based, end-exclusive — covering
+    every k-gram that occurs >= 2 times corpus-wide. With
+    `keep_canonical` (default) each duplicated k-gram's min-(doc_id,
+    pos) occurrence is EXEMPT, so stripping the returned spans leaves
+    exactly one copy of every duplicated region in the corpus;
+    keep_canonical=False returns all occurrences (audit mode)."""
+    grams = kgram_occurrences(df, id_col, text_col, k, stride)
+    dup = (
+        grams.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct("doc_id", "pos")).alias("__canon"),
+        )
+        .filter(F.col("__n") >= 2)
+        .select("h", "__canon")
+    )
+    hits = grams.join(dup, "h")
+    if keep_canonical:
+        hits = hits.filter(
+            ~(
+                (F.col("doc_id") == F.col("__canon.doc_id"))
+                & (F.col("pos") == F.col("__canon.pos"))
+            )
+        )
+    # gaps-and-islands: a hit starts a new span when no earlier hit in
+    # the doc reaches it ([pos, pos+k) intervals, sorted by pos)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_reach = F.max(F.col("pos") + F.lit(k)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        hits.select("doc_id", "pos")
+        .withColumn(
+            "__new",
+            F.when(prev_reach.isNull() | (prev_reach < F.col("pos")), 1).otherwise(0),
+        )
+        .withColumn("__island", F.sum("__new").over(w))
+    )
+    return (
+        islands.groupBy("doc_id", "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k)).alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+
+
+def strip_duplicated_substrings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_K,
+    stride: int = 1,
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """The full ExactSubstr pass: the input with `out_col` holding the
+    text minus every non-canonical duplicated span (one copy of each
+    duplicated region survives, in the min-(doc_id, pos) document).
+    Documents without duplicated spans pass through untouched. The
+    stitching is one JVM-side aggregate() fold over the doc's sorted
+    span list — no Python in the row path."""
+    spans = duplicated_spans(df, id_col, text_col, k, stride)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("span_start", "span_end"))).alias(
+            "__spans"
+        )
+    ).withColumnRenamed("doc_id", "__sd_doc")
+    joined = df.join(
+        per_doc, df[id_col] == per_doc["__sd_doc"], "left"
+    ).drop("__sd_doc")
+    stitched = (
+        "aggregate(__spans, "
+        "named_struct('cur', 0, 'out', ''), "
+        f"(acc, s) -> named_struct("
+        f"'cur', s.span_end, "
+        f"'out', concat(acc.out, "
+        f"substring({text_col}, acc.cur + 1, s.span_start - acc.cur))), "
+        f"acc -> concat(acc.out, "
+        f"substring({text_col}, acc.cur + 1, length({text_col}) - acc.cur)))"
+    )
+    return joined.withColumn(
+        out_col,
+        F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(
+            F.expr(stitched)
+        ),
+    ).drop("__spans")
