@@ -57,6 +57,15 @@ class CatalogConfig:
     catalog_type: str = "none"  # rest | none
     uri: str = ""  # REST catalog endpoint
     token: str = ""  # bearer token (catalog_rest.go:69-76 WithOAuthToken)
+    # OAuth2 client-credentials instead of a static token: the spec's
+    # /v1/oauth/tokens flow — "client_id:client_secret"; the client
+    # fetches/refreshes short-lived bearer tokens itself (expires_in
+    # honored, one refresh+replay on 401). Mutually exclusive with
+    # `token`. `oauth2_server_uri` overrides the token endpoint (an
+    # external IdP); empty = the catalog's own /v1/oauth/tokens.
+    credential: str = ""
+    oauth2_server_uri: str = ""
+    scope: str = "catalog"
     namespace: str = "otel"
     warehouse: str = ""
     # per-signal table-name overrides (catalog.go:167-222)
@@ -130,6 +139,15 @@ class CatalogConfig:
             raise ValueError("catalog.write_fanout must be >= 2 (or None)")
         if self.catalog_type == "rest" and not self.uri:
             raise ValueError("catalog.uri required for rest catalog")
+        if self.credential and self.token:
+            raise ValueError(
+                "catalog.credential (OAuth2) and catalog.token (static "
+                "bearer) are mutually exclusive"
+            )
+        if self.credential and ":" not in self.credential:
+            raise ValueError(
+                "catalog.credential must be 'client_id:client_secret'"
+            )
         if self.catalog_type == "fs" and not self.warehouse:
             raise ValueError("catalog.warehouse required for fs catalog")
         if self.wap_branch == "main":

@@ -125,12 +125,32 @@ class RestCatalogClient:
         *,
         warehouse: str = "",
         token: str = "",
+        credential: str = "",
+        oauth2_server_uri: str = "",
+        scope: str = "catalog",
         timeout: float = 30.0,
     ):
         self.uri = uri.rstrip("/")
         self.warehouse = warehouse
         self.token = token
         self.timeout = timeout
+        # OAuth2 client-credentials (the spec's /v1/oauth/tokens shape):
+        # `credential` is "client_id:client_secret"; the client fetches
+        # a bearer token BEFORE the /v1/config handshake, tracks
+        # expires_in, refreshes proactively at expiry and reactively on
+        # a 401 (once per request — a second 401 is a real denial)
+        self._credential = credential
+        self._oauth_uri = oauth2_server_uri or (self.uri + "/v1/oauth/tokens")
+        self._scope = scope
+        self._token_expires_at: float | None = None
+        if credential and token:
+            raise ValueError(
+                "pass either a static bearer `token` or an OAuth2 "
+                "`credential`, not both (the static token would mask "
+                "the refresh behavior)"
+            )
+        if credential:
+            self._fetch_oauth_token()
         self._table_cache: set[str] = set()  # catalog_rest.go:34-36 tableCache
         # /v1/config handshake: server defaults are overridden by client
         # settings, which are overridden by server overrides (spec order)
@@ -155,16 +175,69 @@ class RestCatalogClient:
         self._plan_unsupported = False
 
     # -- transport ---------------------------------------------------------
+    def _fetch_oauth_token(self) -> None:
+        """RFC 6749 client_credentials grant against the spec's token
+        endpoint (form-encoded request, OAuthTokenResponse body). OAuth
+        errors arrive in the RFC shape {"error": "...",
+        "error_description": "..."} — distinct from the catalog's error
+        envelope — and surface as RestError with the OAuth code."""
+        cid, _, secret = self._credential.partition(":")
+        form = urllib.parse.urlencode(
+            {
+                "grant_type": "client_credentials",
+                "client_id": cid,
+                "client_secret": secret,
+                "scope": self._scope,
+            }
+        ).encode()
+        req = urllib.request.Request(self._oauth_uri, data=form, method="POST")
+        req.add_header("Content-Type", "application/x-www-form-urlencoded")
+        req.add_header("Accept", "application/json")
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                res = json.loads(resp.read())
+        except urllib.error.HTTPError as exc:
+            raw = exc.read()
+            try:
+                err = json.loads(raw)
+                etype = str(err.get("error", ""))
+                msg = str(err.get("error_description", ""))
+            except ValueError:
+                etype, msg = "", raw.decode(errors="replace")[:200]
+            raise RestError(exc.code, etype or "OAuthError", msg) from exc
+        except urllib.error.URLError as exc:
+            raise RestError(0, "ConnectionError", str(exc.reason)) from exc
+        tok = res.get("access_token")
+        if not tok:
+            raise RestError(
+                0, "OAuthError", "token response without access_token"
+            )
+        self.token = tok
+        expires_in = res.get("expires_in")
+        # 30s safety margin so a token never expires mid-flight
+        self._token_expires_at = (
+            time.monotonic() + max(float(expires_in) - 30.0, 1.0)
+            if expires_in is not None
+            else None
+        )
+
     def _request(
         self,
         method: str,
         path: str,
         body: dict | None = None,
         query: dict | None = None,
+        _oauth_retry: bool = False,
     ) -> dict:
         url = self.uri + path
         if query:
             url += "?" + urllib.parse.urlencode(query)
+        if (
+            self._credential
+            and self._token_expires_at is not None
+            and time.monotonic() >= self._token_expires_at
+        ):
+            self._fetch_oauth_token()  # proactive refresh at expiry
         data = json.dumps(body).encode() if body is not None else None
         req = urllib.request.Request(url, data=data, method=method)
         req.add_header("Accept", "application/json")
@@ -191,6 +264,15 @@ class RestCatalogClient:
                     ) from exc
         except urllib.error.HTTPError as exc:
             raw = exc.read()
+            if exc.code == 401 and self._credential and not _oauth_retry:
+                # the server revoked/expired the token early: one
+                # refresh + one replay. 401 means the request was
+                # REJECTED before processing, so replaying any method
+                # is safe; a second 401 is a real denial.
+                self._fetch_oauth_token()
+                return self._request(
+                    method, path, body=body, query=query, _oauth_retry=True
+                )
             try:
                 err = json.loads(raw)["error"]
                 etype, msg = err.get("type", ""), err.get("message", "")

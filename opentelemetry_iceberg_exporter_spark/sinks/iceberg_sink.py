@@ -476,6 +476,9 @@ class RestIcebergSink:
             config.catalog.uri,
             warehouse=config.catalog.warehouse,
             token=config.catalog.token,
+            credential=config.catalog.credential,
+            oauth2_server_uri=config.catalog.oauth2_server_uri,
+            scope=config.catalog.scope,
         )
 
     def _table_props(self, signal: str) -> dict[str, str]:

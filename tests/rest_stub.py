@@ -100,6 +100,18 @@ class StubCatalogState:
         # instead of storage_credentials — models rotation where the
         # refresh endpoint vends newer tokens than table loads did
         self.endpoint_credentials: dict[tuple[str, str], list] = {}
+        # -- OAuth2 client-credentials (spec /v1/oauth/tokens) ----------
+        # {client_id: client_secret}; non-empty turns on bearer
+        # enforcement with server-minted tokens. oauth_expires_in is the
+        # advertised TTL (None = omit the field); revoke_oauth_tokens()
+        # invalidates everything issued so far (forces the 401 path).
+        self.oauth_credentials: dict[str, str] = {}
+        self.oauth_expires_in: int | None = None
+        self.oauth_issued: int = 0
+        self.oauth_valid: set[str] = set()
+
+    def revoke_oauth_tokens(self) -> None:
+        self.oauth_valid.clear()
 
     def inject_garbage(
         self, times: int = 1, method: str | None = None, path_re: str | None = None
@@ -193,6 +205,15 @@ class _Handler(BaseHTTPRequestHandler):
             auth = self.headers.get("Authorization", "")
             if auth != f"Bearer {st.token}":
                 self._error(401, "NotAuthorizedException", "unauthorized: missing or bad token")
+                return True
+        if st.oauth_credentials and self.path != "/v1/oauth/tokens":
+            auth = self.headers.get("Authorization", "")
+            tok = auth[7:] if auth.startswith("Bearer ") else ""
+            if tok not in st.oauth_valid:
+                self._error(
+                    401, "NotAuthorizedException",
+                    "unauthorized: expired or unknown oauth token",
+                )
                 return True
         return False
 
@@ -357,7 +378,38 @@ class _Handler(BaseHTTPRequestHandler):
             return
         self._error(404, "NotFoundException", f"no route {path}")
 
+    def _oauth_token(self) -> None:
+        """RFC 6749 client_credentials grant: form-encoded request,
+        OAuthTokenResponse on success, the RFC error shape (flat
+        `error` / `error_description`) on failure — deliberately NOT
+        the catalog error envelope."""
+        st = self.state
+        length = int(self.headers.get("Content-Length", 0))
+        form = parse_qs(self.rfile.read(length).decode())
+        grant = form.get("grant_type", [""])[0]
+        cid = form.get("client_id", [""])[0]
+        secret = form.get("client_secret", [""])[0]
+        if grant != "client_credentials":
+            self._send(400, {"error": "unsupported_grant_type",
+                             "error_description": f"got {grant!r}"})
+            return
+        if st.oauth_credentials.get(cid) != secret:
+            self._send(401, {"error": "invalid_client",
+                             "error_description": "bad client credentials"})
+            return
+        st.oauth_issued += 1
+        tok = f"oauth-tok-{st.oauth_issued}"
+        st.oauth_valid.add(tok)
+        body = {"access_token": tok, "token_type": "bearer"}
+        if st.oauth_expires_in is not None:
+            body["expires_in"] = st.oauth_expires_in
+        self._send(200, body)
+
     def do_POST(self):  # noqa: N802
+        if self.path == "/v1/oauth/tokens" and self.state.oauth_credentials:
+            self.state.requests.append((self.command, self.path))
+            self._oauth_token()
+            return
         if self._guard():
             return
         path = urlparse(self.path).path
