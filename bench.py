@@ -574,6 +574,45 @@ def run_v3_modes_bench(spark, sf_dir: str) -> dict:
         )
         json_twin_read_sec = time.perf_counter() - t0
 
+        # ---- the PRUNING half of the variant claim: a no-match typed
+        # predicate (status >= 1000 — the data caps at 500) is provably
+        # matchless from shredded footer stats, so the variant read
+        # plans ZERO files; the JSON twin has no typed stats and must
+        # scan everything to find nothing. files-scanned counts make
+        # the asymmetry a tracked number.
+        no_match = (
+            "try_variant_get(span_attributes, "
+            "'$[''http.status_code'']', 'long') >= 1000"
+        )
+        v_scan, v_excl, _ = plan_dml_files(
+            t.metadata(), t.metadata()["current-snapshot-id"], no_match
+        )
+
+        def _pruned() -> int:
+            return t.read(spark, where=no_match).count()
+
+        def _full() -> int:
+            return (
+                tj.read(spark)
+                .where(
+                    F.get_json_object(
+                        "span_attributes", "$['http.status_code']"
+                    ).cast("long")
+                    >= 1000
+                )
+                .count()
+            )
+
+        # first run = plan compile (untimed, same discipline as the
+        # headline steady passes); the timed pass is the steady cost
+        assert _pruned() == 0 and _full() == 0
+        t0 = time.perf_counter()
+        _pruned()
+        variant_pruned_read_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _full()
+        json_full_scan_sec = time.perf_counter() - t0
+
         # ---- timed: bloom point lookup on span_id. span_id is the HEX
         # OF A HASH of the (time-sequential) event id, so every daily
         # file's min/max spans the whole key space — bounds prune
@@ -599,6 +638,10 @@ def run_v3_modes_bench(spark, sf_dir: str) -> dict:
             "variant_read_sec": round(variant_read_sec, 3),
             "json_twin_read_rows": json_twin_rows,
             "json_twin_read_sec": round(json_twin_read_sec, 3),
+            "variant_prune_files_scanned": len(v_scan),
+            "variant_prune_files_excluded": len(v_excl),
+            "variant_pruned_read_sec": round(variant_pruned_read_sec, 3),
+            "json_full_scan_sec": round(json_full_scan_sec, 3),
             "bloom_lookup_rows": bloom_rows,
             "bloom_lookup_sec": round(bloom_lookup_sec, 3),
             "bloom_files_scanned": len(scan),
@@ -844,6 +887,11 @@ def main() -> None:
             "ns_scoped_read_sec": v3_modes["ns_scoped_read_sec"],
             "variant_read_sec": v3_modes["variant_read_sec"],
             "json_twin_read_sec": v3_modes["json_twin_read_sec"],
+            "variant_prune_files_excluded": v3_modes[
+                "variant_prune_files_excluded"
+            ],
+            "variant_pruned_read_sec": v3_modes["variant_pruned_read_sec"],
+            "json_full_scan_sec": v3_modes["json_full_scan_sec"],
             "bloom_lookup_sec": v3_modes["bloom_lookup_sec"],
             "bloom_files_scanned": v3_modes["bloom_files_scanned"],
             "bloom_files_excluded": v3_modes["bloom_files_excluded"],

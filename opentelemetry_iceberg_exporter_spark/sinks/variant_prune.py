@@ -67,7 +67,12 @@ _EXTRACT_PHYS: dict[str, tuple[int, ...]] = {
     "boolean": (PHYS_BOOLEAN,),
 }
 
-_PATH_SEG = r"(?:\.[A-Za-z_][A-Za-z0-9_]*|\[\s*'[^'\[\]]+'\s*\])"
+# bracket segments come in two spellings: ['k'] as the path literal
+# appears pre-parse inside F.try_variant_get(...), and [''k''] as the
+# SAME literal appears RAW inside a SQL `where` string (the engine sees
+# the conjunct before SQL unescaping, so the doubled quotes are still
+# doubled) — both must prune identically.
+_PATH_SEG = r"(?:\.[A-Za-z_][A-Za-z0-9_]*|\[\s*'[^'\[\]]+'\s*\]|\[\s*''[^'\[\]]+''\s*\])"
 _VGET = (
     r"(?:try_)?variant_get\(\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\s*,\s*"
     rf"'(\$(?:{_PATH_SEG})+)'\s*,\s*'([A-Za-z]+)'\s*\)"
@@ -109,7 +114,10 @@ def _parse_path(path: str) -> tuple[str, ...] | None:
         if seg.startswith("."):
             keys.append(seg[1:])
         else:
-            keys.append(seg[seg.index("'") + 1 : seg.rindex("'")])
+            key = seg[seg.index("'") + 1 : seg.rindex("'")]
+            if key.startswith("'") and key.endswith("'"):
+                key = key[1:-1]  # the SQL-escaped [''k''] spelling
+            keys.append(key)
     return tuple(keys) if keys else None
 
 

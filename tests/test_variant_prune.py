@@ -90,6 +90,54 @@ class TestGrammar:
         )
         assert preds == [VariantPredicate("attrs", ("k",), "long", 10, 20)]
 
+    def test_sql_escaped_bracket_spelling(self, spark, tmp_path):
+        """The SAME path literal spelled two ways: ['k'] pre-parse (the
+        Column API) and [''k''] raw inside a SQL where-string (the
+        engine sees the conjunct before SQL unescaping) — both prune,
+        and the where form ALSO row-filters end to end."""
+        from pyspark.sql import functions as F
+
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            FsCatalog,
+            plan_dml_files,
+        )
+
+        preds = parse_variant_conjuncts(
+            ["try_variant_get(attrs, '$[''http.code'']', 'long') >= 10"],
+            self.COLS,
+        )
+        assert preds == [
+            VariantPredicate("attrs", ("http.code",), "long", 10, None)
+        ]
+        cat = FsCatalog(str(tmp_path / "wh"))
+        df = spark.range(50).select(
+            F.col("id"),
+            F.parse_json(
+                F.concat(
+                    F.lit('{"http.status_code": '),
+                    (200 + F.col("id")).cast("string"),
+                    F.lit("}"),
+                )
+            ).alias("attrs"),
+        )
+        t = cat.create_table(
+            "q", "esc", df.schema, properties={"format-version": "3"}
+        )
+        t.append_dataframe(df.coalesce(1))
+        where = "try_variant_get(attrs, '$[''http.status_code'']', 'long') >= 1000"
+        md = t.metadata()
+        scan, excl, _ = plan_dml_files(md, md["current-snapshot-id"], where)
+        assert (len(scan), len(excl)) == (0, 1)  # provably matchless
+        assert t.read(spark, where=where).count() == 0
+        assert (
+            t.read(
+                spark,
+                where="try_variant_get(attrs, "
+                "'$[''http.status_code'']', 'long') >= 240",
+            ).count()
+            == 10
+        )
+
     def test_between_and_brackets(self):
         preds = parse_variant_conjuncts(
             ["try_variant_get(attrs, '$['http.code'].x', 'long') "
