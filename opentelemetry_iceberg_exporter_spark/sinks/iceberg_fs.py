@@ -2641,7 +2641,7 @@ def read_position_deletes(spark: SparkSession, delete_files: list[DataFile]) -> 
 
         parts.append(spans.mapInPandas(expand, "file_path string, pos long"))
     if not parts:
-        return spark.createDataFrame([], "file_path string, pos long")
+        return spark.createDataFrame(spark.sparkContext.emptyRDD(), "file_path string, pos long")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -2942,7 +2942,7 @@ def scan_with_deletes(
     deletes applied (the merge-on-read read path)."""
     schema = read_schema_for(spark, md)
     if not data_files:
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame(spark.sparkContext.emptyRDD(), schema)
     needs_tagged = any(f.content == 2 for f in delete_files) or (
         any(f.content == 1 for f in delete_files)
         and parse_name_mapping(md) is not None
@@ -3036,7 +3036,7 @@ def scan_with_lineage(
     schema = read_schema_for(spark, md)
     out = StructType(list(schema.fields) + lineage_read_fields())
     if not data_files:
-        return spark.createDataFrame([], out)
+        return spark.createDataFrame(spark.sparkContext.emptyRDD(), out)
     tagged = _tagged_live_scan(
         spark,
         schema,
@@ -4700,7 +4700,7 @@ def _equality_pre_images(
         out = StructType(
             list(schema.fields) + (lineage_read_fields() if with_lineage else [])
         )
-        return spark.createDataFrame([], out)
+        return spark.createDataFrame(spark.sparkContext.emptyRDD(), out)
     tagged = _tagged_live_scan(
         spark,
         schema,
@@ -4759,7 +4759,7 @@ def _cow_changelog_via_lineage(
     def _lineage_rows(files: list[DataFile], deletes: list[DataFile]) -> DataFrame:
         if not files:
             empty = StructType(list(schema.fields) + lineage_read_fields())
-            return spark.createDataFrame([], empty)
+            return spark.createDataFrame(spark.sparkContext.emptyRDD(), empty)
         tagged = _tagged_live_scan(
             spark,
             schema,
@@ -5103,7 +5103,7 @@ def read_changelog(
                 StructField("_commit_sequence_number", LongType(), False),
             ]
         )
-        return spark.createDataFrame([], empty)
+        return spark.createDataFrame(spark.sparkContext.emptyRDD(), empty)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -7875,7 +7875,7 @@ class FsTable:
         schema = read_schema_for(spark, md)
         files = self.incremental_files(from_snapshot_id, to_snapshot_id)
         if not files:
-            return spark.createDataFrame([], schema)
+            return spark.createDataFrame(spark.sparkContext.emptyRDD(), schema)
         return table_file_scan(spark, md, schema, [f.file_path for f in files])
 
     # -- table maintenance -------------------------------------------------

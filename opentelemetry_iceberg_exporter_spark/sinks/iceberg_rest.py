@@ -2493,7 +2493,7 @@ class RestTable:
         self.apply_storage_credentials(spark, md["location"])
         sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
         if sid in (-1, None):
-            return spark.createDataFrame([], spark_read_schema(md))
+            return spark.createDataFrame(spark.sparkContext.emptyRDD(), spark_read_schema(md))
         if where is not None and any(
             p is not None
             for p in (partition_range, column_range, source_predicate, source_range)
