@@ -482,7 +482,22 @@ def register_table_views(
             else:
                 data, _ = t.plan_files()
                 n_bytes = sum(f.file_size_in_bytes for f in data)
-            df = spark.read.format("iceberg_fs").load(location)
+            md = t.metadata()
+            if any(
+                f["type"] == "variant" or not isinstance(f["type"], str)
+                for f in current_schema(md)["fields"]
+            ):
+                # VARIANT (and other non-primitive) columns: pyarrow
+                # cannot open the file at all, so the Python data
+                # source is out — register the LIBRARY scan instead.
+                # Same rows (merge-on-read deletes applied, Spark's own
+                # parquet reader handles variant); trade-off: the plan
+                # is pinned to the snapshot current at REGISTRATION
+                # (the sql CLI and view convergence re-register per
+                # invocation, so in practice reads stay fresh).
+                df = t.read(spark)
+            else:
+                df = spark.read.format("iceberg_fs").load(location)
             if n_bytes <= broadcast_threshold:
                 df = df.hint("broadcast")
             view = f"{ns}_{name}"

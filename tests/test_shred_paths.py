@@ -230,6 +230,62 @@ def _traces_json(status_literal: str) -> str:
     )
 
 
+class TestComposedV3Exporter:
+    def test_all_v3_features_compose_in_one_config(self, spark, tmp_path):
+        """The full v3 production shape in ONE exporter config:
+        ns_timestamps + variant_attrs + shred_paths + bloom filters +
+        a declared view — DDL stamps every contract on the table, a
+        clean append passes shred verification, and the declared view
+        reads over the committed data."""
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_sink import (
+            FsIcebergSink,
+        )
+        from opentelemetry_iceberg_exporter_spark.streaming.pipeline import (
+            flatten_signal,
+        )
+
+        cfg = _cfg(
+            tmp_path,
+            ns_timestamps=True,
+            variant_attrs=True,
+            catalog_kw={
+                "shred_paths": {
+                    "traces": {"span_attributes": ["$['http.status_code']"]}
+                },
+                "bloom_filter_columns": {"traces": ["span_id"]},
+                "views": {
+                    "span_count": "SELECT COUNT(*) AS n FROM otel_otel_traces"
+                },
+            },
+        )
+        cfg.validate()
+        sink = FsIcebergSink(spark, cfg)
+        sink.ensure_all_tables()
+        raw = spark.createDataFrame(
+            [(_traces_json('{"intValue": "200"}'),)], "value string"
+        )
+        flat = flatten_signal(
+            raw, "traces", ns_timestamps=True, variant_attrs=True
+        )["traces"]
+        assert sink.append(flat, "traces") is not None  # shred check green
+        t = sink.catalog.load_table("otel", "otel_traces")
+        md = t.metadata()
+        assert md["format-version"] == 3
+        props = md["properties"]
+        assert props["variant.shred-paths.span_attributes"] == (
+            "$['http.status_code']"
+        )
+        assert (
+            props["write.parquet.bloom-filter-enabled.column.span_id"]
+            == "true"
+        )
+        types = {f["name"]: f["type"] for f in md["schemas"][0]["fields"]}
+        assert types["start_time_unix_nano"] == "timestamptz_ns"
+        assert types["span_attributes"] == "variant"
+        v = sink.catalog.load_view("otel", "span_count")
+        assert v.read(spark).collect()[0]["n"] == 1
+
+
 class TestSinkEnforcement:
     def _sink(self, spark, tmp_path, shred_check="fail"):
         from opentelemetry_iceberg_exporter_spark.sinks.iceberg_sink import (
@@ -281,6 +337,52 @@ class TestSinkEnforcement:
         )
         with pytest.raises(ShredDriftError, match="http.status_code"):
             sink.append(drifting, "traces")
+
+    def test_rest_transport_enforces_too(self, spark, tmp_path):
+        """Shred enforcement is transport-neutral: the REST sink's
+        append runs the same post-commit footer check."""
+        import os
+
+        from rest_stub import make_server
+
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_sink import (
+            RestIcebergSink,
+            ShredDriftError,
+        )
+
+        warehouse = str(tmp_path / "wh")
+        os.makedirs(warehouse)
+        server, _state, uri = make_server(warehouse)
+        try:
+            cfg = _cfg(
+                tmp_path,
+                variant_attrs=True,
+                catalog_kw={
+                    "shred_paths": {
+                        "traces": {
+                            "span_attributes": ["$['http.status_code']"]
+                        }
+                    },
+                },
+            )
+            cfg.catalog.catalog_type = "rest"
+            cfg.catalog.uri = uri
+            cfg.catalog.warehouse = warehouse
+            cfg.validate()
+            sink = RestIcebergSink(spark, cfg)
+            clean = self._flat(spark, [_traces_json('{"intValue": "200"}')])
+            assert sink.append(clean, "traces") is not None
+            drifting = self._flat(
+                spark,
+                [
+                    _traces_json('{"intValue": "201"}'),
+                    _traces_json('{"stringValue": "201"}'),
+                ],
+            )
+            with pytest.raises(ShredDriftError, match="http.status_code"):
+                sink.append(drifting, "traces")
+        finally:
+            server.shutdown()
 
     def test_warn_mode_logs_and_continues(self, spark, tmp_path, caplog):
         import logging
