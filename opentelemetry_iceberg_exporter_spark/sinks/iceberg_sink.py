@@ -428,7 +428,9 @@ class FsIcebergSink:
         conformed = S.conform(df, self._signal_schema(signal))
         keys = self.config.catalog.upsert_keys.get(signal)
         if keys:
-            return table.upsert_equality(self.spark, conformed, keys, props)
+            sid = table.upsert_equality(self.spark, conformed, keys, props)
+            _verify_shred_after_commit(self.config, signal, table, sid)
+            return sid
         branch = self.config.catalog.wap_branch
         if branch:
             sid = table.append_dataframe_to_branch(branch, conformed, props)
@@ -547,10 +549,12 @@ class RestIcebergSink:
         self.client.ensure_namespace(self.config.catalog.namespace)
         conformed = S.conform(df, self._signal_schema(signal))
         keys = self.config.catalog.upsert_keys.get(signal)
-        if keys:
-            return self._load(signal).upsert_equality(self.spark, conformed, keys, props)
-        branch = self.config.catalog.wap_branch
         table = self._load(signal)
+        if keys:
+            sid = table.upsert_equality(self.spark, conformed, keys, props)
+            _verify_shred_after_commit(self.config, signal, table, sid)
+            return sid
+        branch = self.config.catalog.wap_branch
         if branch:
             sid = table.append_dataframe_to_branch(branch, conformed, props)
         else:

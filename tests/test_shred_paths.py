@@ -338,6 +338,38 @@ class TestSinkEnforcement:
         with pytest.raises(ShredDriftError, match="http.status_code"):
             sink.append(drifting, "traces")
 
+    def test_upsert_commits_are_checked_too(self, spark, tmp_path):
+        """CDC-upsert commits write data files like appends — they get
+        the same post-commit footer verification."""
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_sink import (
+            FsIcebergSink,
+            ShredDriftError,
+        )
+
+        cfg = _cfg(
+            tmp_path,
+            variant_attrs=True,
+            catalog_kw={
+                "shred_paths": {
+                    "traces": {"span_attributes": ["$['http.status_code']"]}
+                },
+                "upsert_keys": {"traces": ["trace_id", "span_id"]},
+            },
+        )
+        cfg.validate()
+        sink = FsIcebergSink(spark, cfg)
+        clean = self._flat(spark, [_traces_json('{"intValue": "200"}')])
+        assert sink.append(clean, "traces") is not None
+        drifting = self._flat(
+            spark,
+            [
+                _traces_json('{"intValue": "201"}'),
+                _traces_json('{"stringValue": "201"}'),
+            ],
+        )
+        with pytest.raises(ShredDriftError, match="http.status_code"):
+            sink.append(drifting, "traces")
+
     def test_rest_transport_enforces_too(self, spark, tmp_path):
         """Shred enforcement is transport-neutral: the REST sink's
         append runs the same post-commit footer check."""
