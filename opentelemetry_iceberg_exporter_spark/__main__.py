@@ -671,6 +671,16 @@ def main(argv: list[str] | None = None) -> int:
         ),
     )
 
+    pvs = sub.add_parser(
+        "verify-shred",
+        help="audit a VARIANT table's live data files against its "
+        "declared shred paths (the variant.shred-paths.<column> table "
+        "properties): every declared path must be a typed shredded "
+        "column (or provably value-free) in every row group — prints "
+        "the violation list as JSON",
+    )
+    _add_catalog_args(pvs)
+
     psql = sub.add_parser(
         "sql",
         help="run SQL over the warehouse: every catalog table is "
@@ -1815,6 +1825,40 @@ def main(argv: list[str] | None = None) -> int:
         v = table.upgrade_format_version(args.format_version)
         print(json.dumps({"format_version": v}))
         return 0
+
+    if args.cmd == "verify-shred":
+        from .sinks.variant_prune import verify_shred_paths
+
+        table = _load_cli_table(args)
+        md = table.metadata()
+        prefix = "variant.shred-paths."
+        declared = {
+            k[len(prefix):]: v.split(",")
+            for k, v in md.get("properties", {}).items()
+            if k.startswith(prefix) and v
+        }
+        if not declared:
+            print(json.dumps({"cmd": "verify-shred", "declared": {},
+                              "files": 0, "violations": []}))
+            return 0
+        data, _ = table.plan_files()
+        paths = [f.file_path for f in data if f.content == 0]
+        violations = verify_shred_paths(paths, declared)
+        print(
+            json.dumps(
+                {
+                    "cmd": "verify-shred",
+                    "declared": declared,
+                    "files": len(paths),
+                    "violations": [
+                        {"file": fp, "column": col, "path": pth,
+                         "reason": reason}
+                        for fp, col, pth, reason in violations
+                    ],
+                }
+            )
+        )
+        return 0 if not violations else 3
 
     if args.cmd == "inspect":
 

@@ -135,6 +135,34 @@ def stratified_sample(
     )
 
 
+def score_weighted_sample(
+    df: DataFrame, id_col: str, score_col: str, salt: str = ""
+) -> DataFrame:
+    """Quality-weighted downsampling: keep each row with probability
+    equal to its `score_col` (clamped to [0, 1]) — the standard move
+    for turning a quality classifier's output into a soft corpus
+    filter (a hard threshold throws away every mid-quality document;
+    probability-proportional keeping preserves distributional
+    coverage, cf. the CCNet/Gopher quality-sampling setups).
+
+    Deterministic and map-side like the other samplers: the coin is
+    the row's md5 bucket, so the same (id, salt) decides the same way
+    on every engine/run/cluster size, re-runs are reproducible, and
+    raising a row's score can only ADD it (monotone — re-scoring a
+    corpus upward is an incremental append, never a swap).
+
+    DuckDB mirror: bucket < CAST(floor(score * SPLIT_MOD) AS BIGINT)
+    with duck_split_bucket(id).
+    """
+    score = F.least(
+        F.lit(1.0), F.greatest(F.lit(0.0), F.col(score_col).cast("double"))
+    )
+    return df.filter(
+        split_bucket(id_col, salt)
+        < F.floor(score * F.lit(SPLIT_MOD)).cast("long")
+    )
+
+
 SPLIT_STRAT_FRACTION = 0.1
 
 

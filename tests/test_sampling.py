@@ -224,6 +224,60 @@ def test_mix_cli(spark, tmp_path, capsys):
         )
 
 
+def test_score_weighted_sample(spark):
+    """Probability-proportional keeping: score 0 keeps nothing, 1 keeps
+    everything, mid scores keep ~score of rows; deterministic,
+    monotone in the score, and DuckDB-mirrorable."""
+    import duckdb
+
+    from opentelemetry_iceberg_exporter_spark.operators.sampling import (
+        SPLIT_MOD,
+        duck_split_bucket,
+        score_weighted_sample,
+    )
+
+    df = spark.range(4000).select(
+        F.col("id"),
+        F.when(F.col("id") % 4 == 0, 0.0)
+        .when(F.col("id") % 4 == 1, 0.3)
+        .when(F.col("id") % 4 == 2, 0.8)
+        .otherwise(1.0)
+        .alias("score"),
+    )
+    kept = score_weighted_sample(df, "id", "score")
+    by_score = {
+        r["score"]: r["n"]
+        for r in kept.groupBy("score").agg(F.count("*").alias("n")).collect()
+    }
+    assert 0.0 not in by_score  # score 0: nothing
+    assert by_score[1.0] == 1000  # score 1: everything
+    assert 200 <= by_score[0.3] <= 400  # ~300 of 1000
+    assert 700 <= by_score[0.8] <= 900  # ~800 of 1000
+    # deterministic + monotone: every row kept at 0.3 is kept at 0.8
+    kept_03 = {r["id"] for r in score_weighted_sample(
+        df.withColumn("score", F.lit(0.3)), "id", "score").collect()}
+    kept_08 = {r["id"] for r in score_weighted_sample(
+        df.withColumn("score", F.lit(0.8)), "id", "score").collect()}
+    assert kept_03 <= kept_08
+    # cross-engine: DuckDB reproduces the exact keep set
+    pdf = df.toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    duck = {
+        r[0]
+        for r in con.execute(
+            f"SELECT id FROM t WHERE {duck_split_bucket('id')} < "
+            f"CAST(floor(score * {SPLIT_MOD}) AS BIGINT)"
+        ).fetchall()
+    }
+    assert duck == {r["id"] for r in kept.collect()}
+    # out-of-range scores clamp instead of misbehaving
+    clamped = score_weighted_sample(
+        df.withColumn("score", F.lit(7.5)), "id", "score"
+    )
+    assert clamped.count() == 4000
+
+
 def test_mix_cli_single_plan_execution(spark, tmp_path, capsys, monkeypatch):
     """The CLI must evaluate the mix plan ONCE (the write); the
     reported count comes from the written parquet, not a second run of

@@ -416,6 +416,44 @@ class TestSinkEnforcement:
         finally:
             server.shutdown()
 
+    def test_verify_shred_cli_audits_live_files(self, spark, tmp_path, capsys):
+        """`verify-shred` re-checks a table's LIVE files against the
+        declared table property: clean -> rc 0, after warn-mode drift
+        landed -> rc 3 with the violation list."""
+        import json
+
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        sink = self._sink(spark, tmp_path, shred_check="warn")
+        sink.append(
+            self._flat(spark, [_traces_json('{"intValue": "200"}')]), "traces"
+        )
+        argv = [
+            "verify-shred", "--warehouse", sink.config.catalog.warehouse,
+            "--namespace", "otel", "--table", "otel_traces",
+        ]
+        assert main(argv) == 0
+        report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert report["violations"] == [] and report["files"] == 1
+        assert report["declared"] == {
+            "span_attributes": ["$['http.status_code']"]
+        }
+        # warn mode lets a drifting batch COMMIT; the audit then finds it
+        sink.append(
+            self._flat(
+                spark,
+                [
+                    _traces_json('{"intValue": "201"}'),
+                    _traces_json('{"stringValue": "201"}'),
+                ],
+            ),
+            "traces",
+        )
+        assert main(argv) == 3
+        report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert len(report["violations"]) == 1
+        assert report["violations"][0]["column"] == "span_attributes"
+
     def test_warn_mode_logs_and_continues(self, spark, tmp_path, caplog):
         import logging
 
