@@ -1387,9 +1387,11 @@ class RestTable:
         """Row-level CDC read over REST (see iceberg_fs.read_changelog)."""
         from .iceberg_fs import read_changelog
 
+        md = self.metadata()
+        self.apply_storage_credentials(spark, md["location"])
         return read_changelog(
             spark,
-            self.metadata(),
+            md,
             from_snapshot_id,
             to_snapshot_id,
             source_range,
