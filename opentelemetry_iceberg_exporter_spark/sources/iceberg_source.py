@@ -50,7 +50,6 @@ from ..sinks.iceberg_fs import (
     _ancestry_window,
     current_schema,
     plan_scan_metadata,
-    read_ocf,
     spark_read_schema,
 )
 from ..streaming.iceberg_tail import _added_data_files_ordered
