@@ -628,6 +628,37 @@ def run_v3_modes_bench(spark, sf_dir: str) -> dict:
         bloom_rows = t.read(spark, where=f"span_id = '{span_id}'").count()
         bloom_lookup_sec = time.perf_counter() - t0
 
+        # ---- the DISTRIBUTED probe itself (r9's flagged scale-killer,
+        # moved executor-side in r10): same bloom verdict pass over the
+        # candidate list, forced through the mapInPandas job vs driver
+        # threads on the SAME files — the delta is pure orchestration
+        # overhead at this file count; at O(100k) files the driver path
+        # stops existing. Untimed warm-up first (job machinery).
+        from functools import partial as _partial
+
+        from opentelemetry_iceberg_exporter_spark.sinks.bloom_prune import (
+            _file_provably_matchless,
+            parse_bloom_conjuncts,
+        )
+        from opentelemetry_iceberg_exporter_spark.sinks.footer_probe import (
+            probe_verdicts,
+        )
+
+        all_files, _ = t.plan_files()
+        probes = parse_bloom_conjuncts(
+            [f"span_id = '{span_id}'"], {"span_id": "string"}
+        )
+        probe_fn = _partial(_file_provably_matchless, probes=probes)
+        paths = [f.file_path for f in all_files]
+        probe_verdicts(paths, probe_fn, spark=spark, threshold=1)  # warm
+        t0 = time.perf_counter()
+        dist = probe_verdicts(paths, probe_fn, spark=spark, threshold=1)
+        probe_distributed_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        local = probe_verdicts(paths, probe_fn, spark=None)
+        probe_driver_sec = time.perf_counter() - t0
+        assert dist == local  # identical verdicts either route
+
         return {
             "v3_sink_rows": sink_rows,
             "v3_sink_sec": round(sink_sec, 3),
@@ -646,6 +677,9 @@ def run_v3_modes_bench(spark, sf_dir: str) -> dict:
             "bloom_lookup_sec": round(bloom_lookup_sec, 3),
             "bloom_files_scanned": len(scan),
             "bloom_files_excluded": len(excluded),
+            "probe_files": len(paths),
+            "probe_distributed_sec": round(probe_distributed_sec, 3),
+            "probe_driver_sec": round(probe_driver_sec, 3),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -895,6 +929,8 @@ def main() -> None:
             "bloom_lookup_sec": v3_modes["bloom_lookup_sec"],
             "bloom_files_scanned": v3_modes["bloom_files_scanned"],
             "bloom_files_excluded": v3_modes["bloom_files_excluded"],
+            "probe_distributed_sec": v3_modes["probe_distributed_sec"],
+            "probe_driver_sec": v3_modes["probe_driver_sec"],
             "rest_plan_local_sec": rest_plan["rest_plan_local_sec"],
             "rest_plan_server_sec": rest_plan["rest_plan_server_sec"],
             "rest_plan_files": rest_plan["rest_plan_files"],
