@@ -399,3 +399,33 @@ class TestLineagePlanContracts:
         ):
             with pytest.raises(Exception, match="row identity"):
                 out.filter(flt).collect()
+
+
+class TestSubstringDedupContracts:
+    def test_no_cartesian_and_linear_joinback(self, spark):
+        """ExactSubstr (operators/substring_dedup.py): the duplicated-
+        gram detection must be ONE hash aggregate and the join-back an
+        equi-join on the gram hash — output stays LINEAR in the gram
+        count (joining occurrences to the dup set, never occurrences to
+        occurrences, so a hot gram costs O(df), not O(df^2))."""
+        from opentelemetry_iceberg_exporter_spark.operators.substring_dedup import (
+            strip_duplicated_substrings,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox " * 5), (2, "the quick brown fox " * 5)],
+            "doc_id long, text string",
+        )
+        df = strip_duplicated_substrings(docs, "doc_id", "text", k=20)
+        js = join_strategies(df)
+        assert "CartesianProduct" not in js, js
+        assert "BroadcastNestedLoopJoin" not in js, js
+        plan = physical_plan(df, "simple")
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_d05_shuffle_budget(self, spark, sf_dir, specs):
+        """d05: the splits arm is one aggregate exchange; the strat arm
+        is one window exchange (rank and per-stratum count ride the SAME
+        window partition) — no third shuffle anywhere."""
+        df = specs["d05_deterministic_splits"].fn(spark, sf_dir)
+        assert num_shuffles(df) <= 3  # agg + window + the union's final agg
