@@ -444,3 +444,70 @@ class TestScanCli:
         assert sorted(
             r["id"] for r in spark.read.parquet(out).collect()
         ) == [4, 5]
+
+
+class TestGrammarProperty:
+    """Hypothesis round-trip: a rendered conjunct in EITHER bracket
+    spelling must parse back to exactly the predicate that produced it
+    — and junk around the grammar must parse to NOTHING (conservatism:
+    an unrecognized conjunct contributes zero pruning, never a wrong
+    bound)."""
+
+    def test_roundtrip_both_spellings(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from opentelemetry_iceberg_exporter_spark.sinks.variant_prune import (
+            VariantPredicate,
+            parse_variant_conjuncts,
+        )
+
+        ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,8}", fullmatch=True)
+        dotted = st.from_regex(
+            r"[A-Za-z0-9_]{1,6}(\.[A-Za-z0-9_]{1,6}){0,2}", fullmatch=True
+        )
+        ops = st.sampled_from([">=", "<=", ">", "<", "=", "=="])
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            col=ident,
+            keys=st.lists(dotted, min_size=1, max_size=3),
+            op=ops,
+            lit=st.integers(min_value=-10**12, max_value=10**12),
+            escaped=st.booleans(),
+        )
+        def run(col, keys, op, lit, escaped):
+            q = "''" if escaped else "'"
+            path = "$" + "".join(f"[{q}{k}{q}]" for k in keys)
+            conj = f"try_variant_get({col}, '{path}', 'long') {op} {lit}"
+            preds = parse_variant_conjuncts([conj], {col})
+            lo = lit if op in (">", ">=", "=", "==") else None
+            hi = lit if op in ("<", "<=", "=", "==") else None
+            assert preds == [
+                VariantPredicate(col, tuple(keys), "long", lo, hi)
+            ]
+            # an unknown column contributes nothing
+            assert parse_variant_conjuncts([conj], {col + "_other"}) == []
+
+        run()
+
+    def test_junk_parses_to_nothing(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from opentelemetry_iceberg_exporter_spark.sinks.variant_prune import (
+            parse_variant_conjuncts,
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.text(max_size=80))
+        def run(junk):
+            # must never raise, and arbitrary text never yields a bound
+            # unless it happens to BE a valid conjunct on 'attrs'
+            preds = parse_variant_conjuncts([junk], {"attrs"})
+            for p in preds:
+                assert p.column == "attrs" and (
+                    p.lo is not None or p.hi is not None
+                )
+
+        run()
