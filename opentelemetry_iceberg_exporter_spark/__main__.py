@@ -254,6 +254,30 @@ def main(argv: list[str] | None = None) -> int:
     pdi.add_argument("--rest-uri", default=None, help="Iceberg REST catalog URI (switches transport)")
     pdi.add_argument("--rest-token", default="", help="bearer token for --rest-uri")
 
+    psi = sub.add_parser(
+        "substr-ingest",
+        help="incremental EXACT-SUBSTRING dedup: excise every >= k-char "
+        "substring of a new batch that the ingested corpus already "
+        "holds (catalog-backed k-gram anchor index, created if absent), "
+        "run the within-batch ExactSubstr pass, append new anchors "
+        "atomically, write the trimmed batch",
+    )
+    psi.add_argument("--input", required=True, help="parquet file/dir of new documents")
+    psi.add_argument("--output", required=True, help="trimmed batch (parquet)")
+    psi.add_argument("--id-col", default="doc_id")
+    psi.add_argument("--text-col", default="text")
+    psi.add_argument("--k", type=int, default=50, help="minimum duplicated span length (chars)")
+    psi.add_argument(
+        "--stride", type=int, default=1,
+        help=">1 = content-sampled anchors (index and shuffle shrink "
+        "~stride x; probabilistic detection near k)",
+    )
+    psi.add_argument("--warehouse", default=None, help="fs warehouse root (required without --rest-uri)")
+    psi.add_argument("--namespace", default="dedup")
+    psi.add_argument("--table", default="substr_index")
+    psi.add_argument("--rest-uri", default=None, help="Iceberg REST catalog URI (switches transport)")
+    psi.add_argument("--rest-token", default="", help="bearer token for --rest-uri")
+
     pdt = sub.add_parser(
         "dedup-tail",
         help="continuous corpus dedup: drain new snapshots of a catalog "
@@ -1140,6 +1164,44 @@ def main(argv: list[str] | None = None) -> int:
                     "cmd": args.cmd,
                     "rows": out.count(),
                     "mode": "pairs" if args.pairs_only else "groups",
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "substr-ingest":
+        from .operators.incremental_substr import (
+            IncrementalSubstrDeduper,
+            create_substr_index_table,
+        )
+
+        if args.rest_uri:
+            from .sinks.iceberg_rest import RestCatalogClient
+
+            catalog = RestCatalogClient(
+                args.rest_uri, warehouse=args.warehouse or "", token=args.rest_token
+            )
+        else:
+            if not args.warehouse:
+                raise SystemExit("--warehouse is required without --rest-uri")
+            from .sinks.iceberg_fs import FsCatalog
+
+            catalog = FsCatalog(args.warehouse)
+        table = create_substr_index_table(catalog, args.namespace, args.table)
+        dd = IncrementalSubstrDeduper(
+            table, id_col=args.id_col, text_col=args.text_col,
+            k=args.k, stride=args.stride,
+        )
+        res = dd.ingest(spark, spark.read.parquet(args.input))
+        res.output.write.mode("overwrite").parquet(args.output)
+        print(
+            json.dumps(
+                {
+                    "cmd": "substr-ingest",
+                    "docs": res.docs,
+                    "trimmed_docs": res.trimmed_docs,
+                    "new_grams": res.new_grams,
+                    "snapshot_id": res.snapshot_id,
                 }
             )
         )

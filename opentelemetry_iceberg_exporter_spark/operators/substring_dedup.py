@@ -114,20 +114,23 @@ def duplicated_spans(
                 & (F.col("pos") == F.col("__canon.pos"))
             )
         )
-    # gaps-and-islands: a hit starts a new span when no earlier hit in
-    # the doc reaches it ([pos, pos+k) intervals, sorted by pos)
+    return merge_positions_to_spans(hits.select("doc_id", "pos"), k)
+
+
+def merge_positions_to_spans(hits: DataFrame, k: int) -> DataFrame:
+    """Merge (doc_id, pos) k-gram hit positions into maximal
+    (doc_id, span_start, span_end) intervals — gaps-and-islands over
+    one per-doc window: a hit starts a new span when no earlier hit in
+    the doc reaches it ([pos, pos+k) intervals, sorted by pos). Shared
+    by the one-shot operator and the incremental ingester."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_reach = F.max(F.col("pos") + F.lit(k)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
-    islands = (
-        hits.select("doc_id", "pos")
-        .withColumn(
-            "__new",
-            F.when(prev_reach.isNull() | (prev_reach < F.col("pos")), 1).otherwise(0),
-        )
-        .withColumn("__island", F.sum("__new").over(w))
-    )
+    islands = hits.withColumn(
+        "__new",
+        F.when(prev_reach.isNull() | (prev_reach < F.col("pos")), 1).otherwise(0),
+    ).withColumn("__island", F.sum("__new").over(w))
     return (
         islands.groupBy("doc_id", "__island")
         .agg(
@@ -153,6 +156,20 @@ def strip_duplicated_substrings(
     stitching is one JVM-side aggregate() fold over the doc's sorted
     span list — no Python in the row path."""
     spans = duplicated_spans(df, id_col, text_col, k, stride)
+    return apply_span_strip(df, id_col, text_col, spans, out_col)
+
+
+def apply_span_strip(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    spans: DataFrame,
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """Excise (doc_id, span_start, span_end) intervals from each doc's
+    text into `out_col` — one JVM-side aggregate() stitching fold over
+    the doc's sorted span list; span-free docs pass through untouched.
+    Shared by the one-shot operator and the incremental ingester."""
     per_doc = spans.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct("span_start", "span_end"))).alias(
             "__spans"
