@@ -213,3 +213,46 @@ class IncrementalSubstrDeduper:
             trimmed_docs=stats.count(),
             new_grams=new_grams,
         )
+
+
+def substr_tail(
+    spark: SparkSession,
+    source_table,
+    deduper: IncrementalSubstrDeduper,
+    checkpoint_path: str,
+    on_batch=None,
+    max_files_per_batch: int | None = None,
+) -> list[SubstrIngestResult]:
+    """Continuous exact-substring dedup: drain everything currently
+    committed to ``source_table`` (a documents table other writers
+    append to) through the ingester, one ingest per tailed micro-batch
+    — the substring sibling of incremental_dedup.dedup_tail.
+
+    Exactly-once composition: the tailer commits its cursor only AFTER
+    ingest returns; a replayed ingest (crash between index append and
+    cursor commit) finds its anchors already indexed and re-emits
+    byte-identical output while appending nothing. ``on_batch(df,
+    result)`` (optional) receives each batch's rows + trimmed output,
+    e.g. to append the cleaned text to a curated-corpus table.
+    """
+    from ..streaming.iceberg_tail import IcebergTailer
+
+    tailer = IcebergTailer(
+        source_table, checkpoint_path, max_files_per_batch=max_files_per_batch
+    )
+    results: list[SubstrIngestResult] = []
+
+    def handle(df: DataFrame, batch) -> None:
+        res = deduper.ingest(
+            spark,
+            df,
+            snapshot_properties={
+                "substr-source-snapshot": str(batch.end_snapshot_id)
+            },
+        )
+        results.append(res)
+        if on_batch is not None:
+            on_batch(df, res)
+
+    tailer.process_available(spark, handle)
+    return results

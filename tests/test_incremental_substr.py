@@ -134,6 +134,43 @@ class TestIngest:
         assert "hereby granted" not in texts["2"]
 
 
+class TestTail:
+    def test_substr_tail_drains_and_resumes(self, spark, tmp_path):
+        """The checkpointed tailer drives the ingester exactly-once:
+        two source commits drain as two ingests; a re-run with the same
+        checkpoint processes nothing new."""
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        from opentelemetry_iceberg_exporter_spark.operators.incremental_substr import (
+            substr_tail,
+        )
+
+        cat = FsCatalog(str(tmp_path / "wh"))
+        src_schema = StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("text", StringType(), True),
+            ]
+        )
+        src = cat.create_table("corpus", "docs", src_schema)
+        src.append_dataframe(_batch(spark, [(1, "lead " * 5 + PASSAGE)]).coalesce(1))
+        src.append_dataframe(_batch(spark, [(2, "tail " * 5 + PASSAGE)]).coalesce(1))
+        idx = create_substr_index_table(cat, "corpus", "substr_idx")
+        d = IncrementalSubstrDeduper(idx, k=K)
+        ckpt = str(tmp_path / "ckpt")
+        seen: list = []
+        results = substr_tail(
+            spark, src, d, ckpt,
+            on_batch=lambda df, res: seen.append(_texts(res)),
+            max_files_per_batch=1,  # one ingest per source commit
+        )
+        assert len(results) == 2
+        assert PASSAGE in seen[0]["1"]  # first commit owns the passage
+        assert PASSAGE not in seen[1]["2"]  # second commit trimmed
+        # resume: nothing new
+        assert substr_tail(spark, src, d, ckpt) == []
+
+
 class TestCli:
     def test_substr_ingest_cli(self, spark, tmp_path, capsys):
         import json
