@@ -315,6 +315,35 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--id-col", default="vec_id")
         p.add_argument("--vec-col", default="embedding")
 
+    pst = sub.add_parser(
+        "substr-tail",
+        help="continuous exact-substring dedup: drain new snapshots of "
+        "a catalog documents table through the k-gram anchor index "
+        "(checkpointed, exactly-once), appending trimmed rows as "
+        "parquet",
+    )
+    pst.add_argument("--warehouse", default=None, help="fs warehouse root (required without --rest-uri)")
+    pst.add_argument("--rest-uri", default=None, help="Iceberg REST catalog URI (switches transport)")
+    pst.add_argument("--rest-token", default="", help="bearer token for --rest-uri")
+    pst.add_argument(
+        "--source-table", required=True, help="documents table as namespace.name"
+    )
+    pst.add_argument(
+        "--index-table",
+        default="dedup.substr_index",
+        help="k-gram anchor index as namespace.name (created if absent)",
+    )
+    pst.add_argument("--checkpoint", required=True, help="tail cursor file")
+    pst.add_argument("--id-col", default="doc_id")
+    pst.add_argument("--text-col", default="text")
+    pst.add_argument("--k", type=int, default=50)
+    pst.add_argument("--stride", type=int, default=1)
+    pst.add_argument(
+        "--output",
+        default=None,
+        help="append each batch's trimmed rows (text_deduped + stats) here",
+    )
+
     pab = sub.add_parser(
         "ann-build",
         help="train an IVF codebook on an embeddings parquet and create "
@@ -1251,6 +1280,63 @@ def main(argv: list[str] | None = None) -> int:
                     "already": res.already,
                     "unbandable": res.unbandable,
                     "index_snapshot": res.snapshot_id,
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "substr-tail":
+        from .operators.incremental_substr import (
+            IncrementalSubstrDeduper,
+            create_substr_index_table,
+            substr_tail,
+        )
+
+        def parse_ref(ref: str) -> tuple[str, str]:
+            if ref.count(".") != 1:
+                raise SystemExit(f"table ref must be namespace.name, got {ref!r}")
+            ns, name = ref.split(".")
+            return ns, name
+
+        if args.rest_uri:
+            from .sinks.iceberg_rest import RestCatalogClient, RestTable
+
+            catalog = RestCatalogClient(
+                args.rest_uri, warehouse=args.warehouse or "", token=args.rest_token
+            )
+            src_ns, src_name = parse_ref(args.source_table)
+            source = RestTable(catalog, src_ns, src_name)
+            source.metadata()  # fail fast
+        else:
+            if not args.warehouse:
+                raise SystemExit("--warehouse is required without --rest-uri")
+            from .sinks.iceberg_fs import FsCatalog
+
+            catalog = FsCatalog(args.warehouse)
+            src_ns, src_name = parse_ref(args.source_table)
+            source = catalog.load_table(src_ns, src_name)
+        idx_ns, idx_name = parse_ref(args.index_table)
+        index = create_substr_index_table(catalog, idx_ns, idx_name)
+        dd = IncrementalSubstrDeduper(
+            index, id_col=args.id_col, text_col=args.text_col,
+            k=args.k, stride=args.stride,
+        )
+
+        def on_batch(df, res):
+            if args.output:
+                res.output.write.mode("append").parquet(args.output)
+
+        results = substr_tail(
+            spark, source, dd, args.checkpoint, on_batch=on_batch
+        )
+        print(
+            json.dumps(
+                {
+                    "cmd": "substr-tail",
+                    "batches": len(results),
+                    "docs": sum(r.docs for r in results),
+                    "trimmed_docs": sum(r.trimmed_docs for r in results),
+                    "new_grams": sum(r.new_grams for r in results),
                 }
             )
         )

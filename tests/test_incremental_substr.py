@@ -192,6 +192,46 @@ class TestCli:
         assert row["chars_removed"] > 0
 
 
+class TestTailCli:
+    def test_substr_tail_cli(self, spark, tmp_path, capsys):
+        import json
+
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        cat = FsCatalog(str(tmp_path / "wh"))
+        src_schema = StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("text", StringType(), True),
+            ]
+        )
+        src = cat.create_table("corpus", "docs", src_schema)
+        src.append_dataframe(_batch(spark, [(1, "lead " * 5 + PASSAGE)]).coalesce(1))
+        src.append_dataframe(_batch(spark, [(2, "tail " * 5 + PASSAGE)]).coalesce(1))
+        out = str(tmp_path / "trimmed")
+        rc = main(
+            [
+                "substr-tail",
+                "--warehouse", str(tmp_path / "wh"),
+                "--source-table", "corpus.docs",
+                "--index-table", "corpus.substr_idx",
+                "--checkpoint", str(tmp_path / "ckpt"),
+                "--k", str(K),
+                "--output", out,
+            ]
+        )
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["docs"] == 2 and stats["trimmed_docs"] == 1
+        trimmed = {
+            r["doc_id"]: r["text_deduped"]
+            for r in spark.read.parquet(out).collect()
+        }
+        assert PASSAGE in trimmed["1"] and PASSAGE not in trimmed["2"]
+
+
 class TestRestTransport:
     def test_rest_parity(self, spark, tmp_path):
         from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
