@@ -436,6 +436,18 @@ def main(argv: list[str] | None = None) -> int:
     pcb.add_argument("--bench-text-col", default=None)
     pcb.add_argument("--skip-exact", action="store_true")
     pcb.add_argument("--skip-near", action="store_true")
+    pcb.add_argument(
+        "--substr-k",
+        type=int,
+        default=None,
+        help="also run the exact-substring pass after doc-level dedup: "
+        "excise >= K-char substrings duplicated across survivors "
+        "(one canonical copy kept)",
+    )
+    pcb.add_argument(
+        "--substr-stride", type=int, default=1,
+        help="content-sampled anchors for --substr-k at scale",
+    )
     pcb.add_argument("--model", default=None, help="quality model JSON (from quality-train)")
     pcb.add_argument("--threshold", type=float, default=0.5)
     pcb.add_argument(
@@ -1490,6 +1502,8 @@ def main(argv: list[str] | None = None) -> int:
             bench_text_col=args.bench_text_col,
             exact=not args.skip_exact,
             near=not args.skip_near,
+            substr_k=args.substr_k,
+            substr_stride=args.substr_stride,
             quality_model=model,
             quality_threshold=args.threshold,
             lm_model=lm_model,

@@ -57,6 +57,8 @@ def build_corpus(
     bench_text_col: str | None = None,
     exact: bool = True,
     near: bool = True,
+    substr_k: int | None = None,
+    substr_stride: int = 1,
     quality_model=None,
     quality_threshold: float = 0.5,
     lm_model=None,
@@ -131,6 +133,23 @@ def build_corpus(
             groups.filter(F.col("is_canonical")).select(id_col), id_col, "semi"
         )
         out = count("near_dedup", out)
+
+    if substr_k is not None:
+        # exact-substring pass AFTER doc-level dedup: whole-document
+        # duplicates are already gone cheaply; this trims the residual
+        # verbatim overlap (licenses, templates, quotes) embedded in
+        # otherwise-distinct survivors. Text rewritten in place, one
+        # canonical copy kept corpus-wide (Lee et al. ExactSubstr).
+        from .substring_dedup import strip_duplicated_substrings
+
+        out = (
+            strip_duplicated_substrings(
+                out, id_col, text_col, k=substr_k, stride=substr_stride
+            )
+            .withColumn(text_col, F.col("text_deduped"))
+            .drop("text_deduped")
+        )
+        out = count("substr_dedup", out)
 
     if quality_model is not None:
         from .quality_classifier import score_documents

@@ -74,6 +74,34 @@ class TestBuildCorpus:
             pos += r["n_tokens"]
         assert pos == sum(r["n_tokens"] for r in rows.values())
 
+    def test_substr_stage_trims_residual_overlap(self, spark):
+        """--substr-k: after doc-level dedup, a verbatim passage shared
+        by otherwise-distinct survivors is excised from all but the
+        canonical doc — text rewritten in place, row count unchanged."""
+        license_blob = (
+            "permission is hereby granted free of charge to any person "
+            "obtaining a copy of this software and documentation files"
+        )
+        rows = [
+            ("d1", f"{UNIQUE_A} {license_blob}"),
+            ("d2", f"{UNIQUE_B} {license_blob}"),
+            ("d3", UNIQUE_C),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        out, report = build_corpus(
+            spark,
+            docs,
+            boilerplate_max_docs=None,
+            near=False,
+            substr_k=40,
+        )
+        stages = report.as_dict()
+        assert stages["substr_dedup"] == 3  # rewrite, not row filter
+        texts = {r["doc_id"]: r["text"] for r in out.collect()}
+        assert license_blob in texts["d1"]  # canonical (min doc_id)
+        assert license_blob not in texts["d2"]
+        assert texts["d3"] == UNIQUE_C
+
     def test_decontamination_stage(self, spark):
         bench = spark.createDataFrame([(BENCH_TEXT,)], ["text"])
         out, report = build_corpus(
