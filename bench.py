@@ -740,6 +740,59 @@ def run_llm_pipeline_bench(spark, sf_dir: str) -> dict:
     }
 
 
+def run_ingest_bench(spark, sf_dir: str) -> dict:
+    """Growth-curve signal for the incremental exact-substring ingester
+    (r10 verdict ask #6): ingest the documents table in 8 deterministic
+    batches against one growing catalog-backed anchor index and report
+    the FIRST and LAST batch's wall seconds plus what the last batch's
+    index probe actually opened. With the batch-scoped bloom probe
+    (operators/index_probe) the last batch must not cost a corpus-scan
+    multiple of the first — that curve is the regression alarm for the
+    per-batch index read."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from opentelemetry_iceberg_exporter_spark.operators.incremental_substr import (
+        IncrementalSubstrDeduper,
+        create_substr_index_table,
+    )
+    from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import FsCatalog
+    from opentelemetry_iceberg_exporter_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_batches = 8
+    bucket = F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(n_batches))
+    tmp = tempfile.mkdtemp(prefix="bench_substr_idx_")
+    try:
+        cat = FsCatalog(tmp)
+        table = create_substr_index_table(cat, "bench", "substr_idx")
+        ing = IncrementalSubstrDeduper(table, k=50, stride=4)
+        secs = []
+        last = None
+        for i in range(n_batches):
+            batch = docs.filter(bucket == i)
+            t0 = time.perf_counter()
+            last = ing.ingest(spark, batch)
+            last.output.count()  # materialize the trimmed output too
+            secs.append(time.perf_counter() - t0)
+        return {
+            "substr_ingest_batches": n_batches,
+            "substr_ingest_first_sec": round(secs[0], 3),
+            "substr_ingest_last_sec": round(secs[-1], 3),
+            "substr_ingest_sec_all": [round(s, 3) for s in secs],
+            "substr_ingest_index_files_total": last.index_files_total,
+            "substr_ingest_index_files_read": last.index_files_read,
+            "substr_ingest_index_mb_total": round(
+                last.index_bytes_total / 1e6, 3
+            ),
+            "substr_ingest_index_mb_read": round(last.index_bytes_read / 1e6, 3),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 N_EXPIRE_SNAPSHOTS = 500
 
 
@@ -870,6 +923,7 @@ def main() -> None:
     v3_modes = run_v3_modes_bench(spark, sf_dir)
     rest_plan = run_rest_plan_bench(spark)
     llm_pipeline = run_llm_pipeline_bench(spark, sf_dir)
+    ingest_bench = run_ingest_bench(spark, sf_dir)
     expire_depth = run_expire_depth_bench()
 
     total = round(sum(timings.values()), 3)
@@ -888,6 +942,7 @@ def main() -> None:
             "v3_modes": v3_modes,
             "rest_plan": rest_plan,
             "llm_pipeline": llm_pipeline,
+            "ingest": ingest_bench,
             "expire_depth": expire_depth,
             "sf": sf_val,
         }
@@ -936,6 +991,14 @@ def main() -> None:
             "rest_plan_files": rest_plan["rest_plan_files"],
             "semdedup_sec": llm_pipeline["semdedup_sec"],
             "mix_sec": llm_pipeline["mix_sec"],
+            "substr_ingest_first_sec": ingest_bench["substr_ingest_first_sec"],
+            "substr_ingest_last_sec": ingest_bench["substr_ingest_last_sec"],
+            "substr_ingest_index_files_read": ingest_bench[
+                "substr_ingest_index_files_read"
+            ],
+            "substr_ingest_index_files_total": ingest_bench[
+                "substr_ingest_index_files_total"
+            ],
         }
     )
     # teardown BEFORE printing: streaming availableNow queries already

@@ -8,11 +8,18 @@ table (either catalog transport) persists the LSH **band index** — one
 corpus text itself is never re-read; per ingested batch the cost is
 
   * O(batch) map-side signature math (zero shuffle — the d02 shape),
-  * ONE equi-join of the batch's band rows against the index on
-    (band_idx, band_key) — uniform md5 keys, so no skew, and shuffle
-    size tracks the index (≈ n_bands rows × ~50 bytes per corpus doc:
-    at a billion docs that is ~200 GB of joinable state vs ~100 TB of
-    text — two orders of magnitude smaller than re-deduping),
+  * a BATCH-SCOPED index read: the index table carries a parquet
+    bloom filter on band_key, and the batch's distinct band keys are
+    probed against every index file's blooms (operators/index_probe —
+    filter bytes only, executor-distributed at 64+ files), so the scan
+    opens ONLY files that might share a band with the batch. Index
+    bytes read — and the join's shuffle — scale with the BATCH, not
+    the corpus (full-scan worst case ≈ n_bands rows × ~50 bytes per
+    corpus doc: at a billion docs ~200 GB of joinable state vs ~100 TB
+    of text; the bloom probe cuts the routine micro-batch far below
+    even that),
+  * ONE equi-join of the batch's band rows against those candidate
+    index rows on (band_idx, band_key) — uniform md5 keys, so no skew,
   * a connected-components pass over the WITHIN-BATCH candidate graph
     only (operators/dedup.py dedup_groups — candidate nodes only,
     O(log diameter) rounds),
@@ -61,6 +68,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
 from .dedup import band_pairs, band_rows, dedup_groups, minhash_signatures
+from .index_probe import index_table_properties, read_index_rows
 
 # one row per (accepted doc, LSH band)
 INDEX_SCHEMA = StructType(
@@ -81,14 +89,26 @@ INDEX_PARTITION_BY = [("band_key", "bucket[8]")]
 def create_index_table(catalog, namespace: str, name: str):
     """Create-if-absent the LSH band index table on either catalog
     transport (FsCatalog, or RestCatalogClient via its EnsureTable
-    race ladder)."""
+    race ladder). The parquet bloom filter on band_key is what makes
+    each ingest's index read batch-scoped (operators/index_probe); an
+    index created without it still works — the probe conservatively
+    reads every file."""
+    props = index_table_properties("band_key")
     if hasattr(catalog, "ensure_table"):  # REST client
         catalog.ensure_namespace(namespace)
         return catalog.ensure_table(
-            namespace, name, INDEX_SCHEMA, partition_by=INDEX_PARTITION_BY
+            namespace,
+            name,
+            INDEX_SCHEMA,
+            partition_by=INDEX_PARTITION_BY,
+            properties=props,
         )
     return catalog.create_table(
-        namespace, name, INDEX_SCHEMA, partition_by=INDEX_PARTITION_BY
+        namespace,
+        name,
+        INDEX_SCHEMA,
+        partition_by=INDEX_PARTITION_BY,
+        properties=props,
     )
 
 
@@ -102,6 +122,12 @@ class IngestResult:
     duplicates: int
     already: int
     unbandable: int
+    # what the batch-scoped index probe touched (the scale signal:
+    # files/bytes read must track the batch, not the corpus)
+    index_files_total: int = 0
+    index_files_read: int = 0
+    index_bytes_total: int = 0
+    index_bytes_read: int = 0
 
     @property
     def total(self) -> int:
@@ -155,7 +181,13 @@ class IncrementalDeduper:
         bandable = sigs.filter(F.col("sig0").isNotNull())
         rows = band_rows(bandable, id_col).localCheckpoint(eager=False)
 
-        idx = self.read_index(spark)
+        # batch-scoped index read: the batch's distinct band keys probe
+        # every index file's bloom filter; only candidate files are
+        # opened, so index bytes read scale with the BATCH
+        batch_keys = [
+            r["band_key"] for r in rows.select("band_key").distinct().collect()
+        ]
+        idx, scan_stats = read_index_rows(spark, self.table, "band_key", batch_keys)
         # one equi-join against the index: per doc, did we hit our own
         # rows (replay) and what is the smallest OTHER indexed doc hit?
         hits = (
@@ -239,6 +271,10 @@ class IncrementalDeduper:
             duplicates=counts.get("duplicate", 0),
             already=counts.get("already", 0),
             unbandable=counts.get("unbandable", 0),
+            index_files_total=scan_stats.files_total,
+            index_files_read=scan_stats.files_read,
+            index_bytes_total=scan_stats.bytes_total,
+            index_bytes_read=scan_stats.bytes_read,
         )
 
 

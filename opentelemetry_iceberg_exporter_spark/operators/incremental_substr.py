@@ -12,9 +12,17 @@ occurrence (doc_id, pos). Per ingested batch the cost is
 
   * O(batch chars / stride) map-side gram math (the one-shot
     operator's plan, batch-only),
-  * ONE equi-join of the batch's grams against the index on the gram
-    hash — uniform md5 keys, no skew, output LINEAR in batch grams
-    (grams join the index's one-row-per-hash side, never each other),
+  * a BATCH-SCOPED index read: the index table carries a parquet bloom
+    filter on the gram hash, and the batch's distinct hashes are probed
+    against every index file's blooms (operators/index_probe — filter
+    bytes only; executor-distributed at 64+ files), so the scan opens
+    ONLY the files that might hold a batch hash. Each hash lives in at
+    most a handful of files, so index bytes read — and the join's
+    shuffle — scale with the BATCH, not the corpus,
+  * ONE equi-join of the batch's grams against those candidate index
+    rows on the gram hash — uniform md5 keys, no skew, output LINEAR
+    in batch grams (the index holds one row per hash: single-writer
+    contract, see below),
   * the within-batch duplicate aggregate over index-miss grams only,
   * one O(new grams) atomic index append.
 
@@ -28,9 +36,20 @@ appends are atomic snapshots, a crashed ingest REPLAYED later finds
 its canonical grams already indexed under its own (doc_id, pos) and
 re-emits byte-identical output while appending nothing (exactly-once
 effect), and `read_index(snapshot_id)` reproduces any historical
-excision decision. Single-writer per corpus is assumed (same as the
-LSH index); a racing double-insert of one hash is tolerated on read
-(min-canonical per hash) but wastes index rows.
+excision decision. Single-writer per corpus is the CONTRACT (same as
+the LSH index): the index holds one row per hash, so the ingest join
+matches each gram at most once with no per-batch canonical-resolution
+aggregate. A racing double-insert violates the contract; it is
+repaired (min-canonical fold) by `fold_duplicate_anchors`, the
+compaction-time maintenance op — until then duplicate hash rows fan
+the join out and may over-excise.
+
+Anchors whose k-char window overlaps a span excised from their OWN
+text are never indexed: their content does not survive intact in the
+output corpus, so indexing them would make later batches excise
+against a canonical that no longer exists. The cost of the exemption
+is bounded duplication (a later copy of that substring keeps its own
+text and becomes the new canonical), never lost content.
 
 The reference has no incremental counterpart; this is LLM-pipeline
 extension surface (Lee et al. 2022, arXiv:2107.06499 — ExactSubstr).
@@ -44,6 +63,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+from .index_probe import index_table_properties, read_index_rows
 from .substring_dedup import (
     DEFAULT_K,
     apply_span_strip,
@@ -67,14 +87,27 @@ INDEX_PARTITION_BY = [("h", "bucket[8]")]
 
 
 def create_substr_index_table(catalog, namespace: str, name: str):
-    """Create-if-absent the k-gram anchor index on either transport."""
+    """Create-if-absent the k-gram anchor index on either transport.
+    The parquet bloom filter on `h` is what makes each ingest's index
+    read batch-scoped (operators/index_probe); an index created
+    without it still works — the probe conservatively reads every
+    file."""
+    props = index_table_properties("h")
     if hasattr(catalog, "ensure_table"):  # REST client
         catalog.ensure_namespace(namespace)
         return catalog.ensure_table(
-            namespace, name, INDEX_SCHEMA, partition_by=INDEX_PARTITION_BY
+            namespace,
+            name,
+            INDEX_SCHEMA,
+            partition_by=INDEX_PARTITION_BY,
+            properties=props,
         )
     return catalog.create_table(
-        namespace, name, INDEX_SCHEMA, partition_by=INDEX_PARTITION_BY
+        namespace,
+        name,
+        INDEX_SCHEMA,
+        partition_by=INDEX_PARTITION_BY,
+        properties=props,
     )
 
 
@@ -87,6 +120,12 @@ class SubstrIngestResult:
     docs: int
     trimmed_docs: int  # docs that lost at least one span
     new_grams: int  # index rows appended
+    # what the batch-scoped index probe touched (the scale signal:
+    # files/bytes read must track the batch, not the corpus)
+    index_files_total: int = 0
+    index_files_read: int = 0
+    index_bytes_total: int = 0
+    index_bytes_read: int = 0
 
 
 class IncrementalSubstrDeduper:
@@ -135,12 +174,16 @@ class IncrementalSubstrDeduper:
             batch, id_col, text_col, self.k, self.stride
         ).localCheckpoint(eager=False)
 
-        # min-canonical per hash tolerates racing double-inserts
-        idx = (
-            self.read_index(spark)
-            .groupBy("h")
-            .agg(F.min(F.struct("doc_id", "pos")).alias("__canon"))
-        )
+        # batch-scoped index read: the batch's distinct gram hashes
+        # probe every index file's bloom filter; only candidate files
+        # are opened, so index bytes read scale with the BATCH
+        batch_hashes = [r["h"] for r in grams.select("h").distinct().collect()]
+        idx_rows, scan_stats = read_index_rows(spark, self.table, "h", batch_hashes)
+        # single-writer contract: one index row per hash, so the join
+        # needs no per-batch canonical-resolution aggregate (racing
+        # duplicates — a contract violation — are repaired by
+        # fold_duplicate_anchors)
+        idx = idx_rows.select("h", F.struct("doc_id", "pos").alias("__canon"))
         g = grams.join(idx, "h", "left").localCheckpoint(eager=False)
 
         # corpus-known grams whose canonical is NOT this occurrence:
@@ -187,10 +230,29 @@ class IncrementalSubstrDeduper:
 
         # every index-miss gram enters the index under its BATCH
         # canonical (new docs own their regions; replays miss nothing)
+        # — EXCEPT anchors whose k-char window overlaps a span excised
+        # from their own doc: their content does not survive intact in
+        # the output corpus, so indexing them would point later batches
+        # at a canonical that no longer exists (content loss). Skipping
+        # them trades bounded duplication for never losing content, and
+        # keeps replays byte-identical (a replay recomputes the same
+        # spans and exempts the same anchors).
         new_rows = batch_canon.select(
             "h",
             F.col("__bc.doc_id").alias("doc_id"),
             F.col("__bc.pos").alias("pos"),
+        )
+        sp = spans.select(
+            F.col("doc_id").alias("__sp_doc"),
+            F.col("span_start").alias("__sp_start"),
+            F.col("span_end").alias("__sp_end"),
+        )
+        new_rows = new_rows.join(
+            sp,
+            (new_rows["doc_id"] == sp["__sp_doc"])
+            & (new_rows["pos"] < sp["__sp_end"])
+            & (new_rows["pos"] + F.lit(self.k) > sp["__sp_start"]),
+            "left_anti",
         )
         props = {"operation-detail": "substr-index-ingest"}
         props.update(snapshot_properties or {})
@@ -212,7 +274,39 @@ class IncrementalSubstrDeduper:
             docs=batch.count(),
             trimmed_docs=stats.count(),
             new_grams=new_grams,
+            index_files_total=scan_stats.files_total,
+            index_files_read=scan_stats.files_read,
+            index_bytes_total=scan_stats.bytes_total,
+            index_bytes_read=scan_stats.bytes_read,
         )
+
+    def fold_duplicate_anchors(self, spark: SparkSession) -> int:
+        """Repair a violated single-writer contract: collapse hashes
+        that racing writers double-inserted down to their min-(doc_id,
+        pos) canonical, rewriting the index in one overwrite snapshot
+        (the compaction-time fold the ingest join relies on for its
+        one-row-per-hash invariant). Returns the number of duplicate
+        rows folded away; 0 means the contract held and NOTHING was
+        committed."""
+        idx = self.read_index(spark)
+        total = idx.count()
+        folded = (
+            idx.groupBy("h")
+            .agg(F.min(F.struct("doc_id", "pos")).alias("c"))
+            .select(
+                "h",
+                F.col("c.doc_id").alias("doc_id"),
+                F.col("c.pos").alias("pos"),
+            )
+        )
+        dupes = total - folded.count()
+        if dupes == 0:
+            return 0
+        self.table.overwrite_partitions(
+            folded,
+            snapshot_properties={"operation-detail": "substr-index-fold"},
+        )
+        return dupes
 
 
 def substr_tail(

@@ -35,6 +35,17 @@ rows, exactly the paper's suffix-array size), the aggregate and join
 shuffle on uniformly distributed hashes (no skew — identical grams ARE
 the duplicates and cap at the duplication factor), the window
 partitions by document. Everything else is map-side.
+
+Known limitation (canonical/excised-span overlap): the canonical
+occurrence of gram A is exempt from excision for A, but its k-char
+window may overlap a span excised because of a DIFFERENT gram B whose
+canonical lives elsewhere — in that case part of A's canonical text is
+removed and the corpus does not retain a fully intact copy of A's
+region (the paper's single-pass excision has the same artifact). The
+overall excision is still deterministic and never cascades: spans are
+computed once against the ORIGINAL texts. The incremental sibling
+(incremental_substr.py) must not let such anchors become corpus state
+and therefore exempts them from index insertion.
 """
 
 from __future__ import annotations

@@ -169,6 +169,39 @@ def sbbf_might_contain(bitset: bytes, h: int) -> bool:
     return True
 
 
+def sbbf_any_contained(bitset: bytes, hashes) -> bool:
+    """Vectorized batch probe: True when ANY of the uint64 XXH64
+    `hashes` MIGHT be present in the bitset (False = every hash
+    provably absent). Same block math as `sbbf_might_contain`, run
+    across the whole hash batch in a handful of numpy passes — the
+    probe an incremental-ingest index lookup needs, where one file's
+    filter is tested against O(batch) keys, not one literal. A
+    malformed/empty bitset answers True (conservative)."""
+    import numpy as np
+
+    num_blocks = len(bitset) // 32
+    if num_blocks == 0:
+        return True
+    h = np.ascontiguousarray(hashes, dtype=np.uint64)
+    if h.size == 0:
+        return False
+    words = np.frombuffer(bitset, dtype="<u4")[: num_blocks * 8]
+    # block index = ((h >> 32) * num_blocks) >> 32; h>>32 < 2^32 and
+    # num_blocks <= 2^19 (16 MiB cap), so the product fits in uint64
+    base = ((((h >> np.uint64(32)) * np.uint64(num_blocks)) >> np.uint64(32))
+            * np.uint64(8)).astype(np.int64)
+    x = (h & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    alive = np.ones(h.shape, dtype=bool)
+    with np.errstate(over="ignore"):  # uint32 multiply wraps by spec
+        for i in range(8):
+            bit = (x * np.uint32(_SALT[i])) >> np.uint32(27)
+            w = words[base + i]
+            alive &= ((w >> bit) & np.uint32(1)).astype(bool)
+            if not alive.any():
+                return False
+    return True
+
+
 _MAX_BLOOM_BYTES = 16 * 1024 * 1024  # sanity cap; writer default max is 1 MiB
 
 
@@ -380,6 +413,66 @@ def prune_files_by_bloom(
     verdict = probe_verdicts(
         [f.file_path for f in files],
         partial(_file_provably_matchless, probes=probes),
+        spark=spark,
+    )
+    kept = [f for f in files if not verdict[f.file_path]]
+    dropped = [f for f in files if verdict[f.file_path]]
+    return kept, dropped
+
+
+def _file_matchless_for_hashes(path: str, col: str, phys: int, hashes) -> bool:
+    """True only when EVERY row group of `path` carries a readable
+    spec-valid bloom on `col` (expected physical type `phys`) and NO
+    hash in the uint64 batch tests present — proof the file holds none
+    of the batch's keys. Any read/shape surprise keeps the file."""
+    try:
+        groups = footer_row_group_stats(path)
+    except (ValueError, OSError, IndexError):
+        return False
+    if not groups:
+        return False
+    for g in groups:
+        info = g["columns"].get(col)
+        if info is None or info.get("bloom_offset") is None or info["type"] != phys:
+            return False
+        bs = read_bloom_bitset(path, info["bloom_offset"], info.get("bloom_length"))
+        if bs is None or sbbf_any_contained(bs, hashes):
+            return False
+    return True
+
+
+def prune_files_by_hash_batch(
+    files: list, col: str, hashes, spark=None
+) -> tuple[list, list]:
+    """(kept, dropped) split of candidate DataFiles for a BATCH
+    point-lookup: drop every file whose blooms prove it contains NONE
+    of the uint64 XXH64 `hashes` (plain-encoded key values, seed 0 —
+    `xxh64(key.encode())` for strings). This is the incremental-ingest
+    index probe: a micro-batch carries O(batch) uniformly-hashed keys,
+    each living in at most a handful of index files, so on a grown
+    index the surviving set — and therefore the bytes the subsequent
+    scan reads — scales with the BATCH, not the corpus. Only string
+    keys are supported (the ingesters' key columns are md5 hex).
+    Files without interpretable blooms are kept: strictly conservative.
+
+    Probe cost is O(files × batch) bit tests but vectorized
+    (`sbbf_any_contained` — a few numpy passes per row group) and
+    routed through footer_probe: driver threads for small file lists,
+    one executor-side mapInPandas job (booleans only to the driver)
+    at DISTRIBUTED_THRESHOLD+ files."""
+    import numpy as np
+
+    if not files:
+        return [], []
+    h = np.ascontiguousarray(hashes, dtype=np.uint64)
+    if h.size == 0:
+        # no keys: every file is provably matchless for the batch
+        return [], list(files)
+    from .footer_probe import probe_verdicts
+
+    verdict = probe_verdicts(
+        [f.file_path for f in files],
+        partial(_file_matchless_for_hashes, col=col, phys=PHYS_BYTE_ARRAY, hashes=h),
         spark=spark,
     )
     kept = [f for f in files if not verdict[f.file_path]]

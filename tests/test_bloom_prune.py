@@ -15,6 +15,8 @@ import os
 import pytest
 
 from opentelemetry_iceberg_exporter_spark.sinks.bloom_prune import (
+    prune_files_by_hash_batch,
+    sbbf_any_contained,
     _parse_bloom_header,
     parse_bloom_conjuncts,
     prune_files_by_bloom,
@@ -359,3 +361,60 @@ class TestConservativePaths:
         assert out["s"][1] == [b"it's"]
         assert len(out["n"][1]) == 2
         assert out["i"][1] == [b"\xfd\xff\xff\xff"]
+
+
+class TestBatchHashProbe:
+    """sbbf_any_contained / prune_files_by_hash_batch — the vectorized
+    batch point-lookup the incremental ingesters' index probe uses
+    (operators/index_probe)."""
+
+    def test_vectorized_matches_scalar_per_hash(self):
+        import numpy as np
+
+        # deterministic synthetic bitset (any byte pattern is a valid
+        # SBBF bitset for probing purposes)
+        bitset = bytes((i * 37 + 11) % 256 for i in range(16 * 32))
+        hashes = [xxh64(f"key-{i}".encode()) for i in range(400)]
+        for h in hashes:
+            assert sbbf_any_contained(
+                bitset, np.array([h], dtype=np.uint64)
+            ) == sbbf_might_contain(bitset, h)
+        # batch-any == OR of scalars
+        expect = any(sbbf_might_contain(bitset, h) for h in hashes)
+        assert sbbf_any_contained(
+            bitset, np.array(hashes, dtype=np.uint64)
+        ) == expect
+
+    def test_degenerate_inputs(self):
+        import numpy as np
+
+        one = np.array([xxh64(b"x")], dtype=np.uint64)
+        assert sbbf_any_contained(b"", one) is True  # malformed: maybe
+        bitset = bytes(32)  # all-zero: provably absent
+        assert sbbf_any_contained(bitset, one) is False
+        assert sbbf_any_contained(bitset, np.array([], dtype=np.uint64)) is False
+
+    def test_prune_files_by_hash_batch_on_table(self, bloom_table):
+        from opentelemetry_iceberg_exporter_spark.operators.index_probe import (
+            batch_key_hashes,
+        )
+
+        files, _ = bloom_table.plan_files()
+        assert len(files) == 2
+        # odd ids live only in the second (20-row) file
+        odd = batch_key_hashes([f"doc-{i:08d}" for i in range(1, 20000, 1000)])
+        kept, dropped = prune_files_by_hash_batch(files, "doc_id", odd)
+        assert len(kept) == 1 and len(dropped) == 1
+        assert kept[0].record_count == 20
+        # absent keys drop every file; empty batches read nothing
+        ghost = batch_key_hashes(["doc-ghost-1", "doc-ghost-2"])
+        kept2, dropped2 = prune_files_by_hash_batch(files, "doc_id", ghost)
+        assert kept2 == [] and len(dropped2) == 2
+        kept3, dropped3 = prune_files_by_hash_batch(
+            files, "doc_id", batch_key_hashes([])
+        )
+        assert kept3 == [] and len(dropped3) == 2
+        # present keys from BOTH files keep both
+        both = batch_key_hashes(["doc-00000000", "doc-00001001"])
+        kept4, _ = prune_files_by_hash_batch(files, "doc_id", both)
+        assert len(kept4) == 2

@@ -77,6 +77,46 @@ def test_near_variant_shares_a_band(spark):
     assert not (keys["a"] & keys["c"]) and not (keys["b"] & keys["c"])
 
 
+class TestBatchScopedProbe:
+    """The index read is bloom-pruned to files that might share a band
+    key with the batch: bytes read scale with the BATCH, not the
+    corpus."""
+
+    @staticmethod
+    def _filler(i: int) -> str:
+        return (
+            f"filler document number {i:03d} with entirely distinct "
+            f"token stream alpha{i} beta{i} gamma{i} delta{i} epsilon{i} "
+            f"zeta{i} eta{i} theta{i} iota{i} kappa{i} covering enough "
+            f"shingles to band normally"
+        )
+
+    def test_index_bytes_read_scale_with_batch_not_corpus(self, spark, deduper):
+        deduper.ingest(spark, _df(spark, [("base", BASE)]))
+        for i in range(5):
+            deduper.ingest(spark, _df(spark, [(f"f{i}", self._filler(i))]))
+        # probe: a near-dup of BASE — its band keys live only in the
+        # first commit's files; the duplicate decision appends nothing
+        r1 = deduper.ingest(spark, _df(spark, [("probe1", NEAR)]))
+        assert _statuses(r1)["probe1"][0] == "duplicate"
+        assert r1.index_files_total >= 6
+        # one append fans out to at most the bucket[8] width plus bloom
+        # false positives; the probe must not open every shard's files
+        assert r1.index_files_read < r1.index_files_total
+        assert r1.index_bytes_read < r1.index_bytes_total
+
+        # grow the corpus: the SAME probe batch reads the same files
+        for i in range(5, 10):
+            deduper.ingest(spark, _df(spark, [(f"f{i}", self._filler(i))]))
+        r2 = deduper.ingest(spark, _df(spark, [("probe2", NEAR)]))
+        assert _statuses(r2)["probe2"][0] == "duplicate"
+        assert r2.index_files_total > r1.index_files_total
+        assert r2.index_bytes_total > r1.index_bytes_total
+        # the scale pin: bytes read track the batch, not the corpus
+        assert r2.index_bytes_read == r1.index_bytes_read
+        assert r2.index_files_read == r1.index_files_read
+
+
 class TestIngest:
     def test_first_batch_all_accepted(self, spark, deduper):
         res = deduper.ingest(spark, _df(spark, [("d1", BASE), ("d2", OTHER)]))

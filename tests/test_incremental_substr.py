@@ -63,14 +63,39 @@ class TestIngest:
 
     def test_second_batch_excised_against_corpus(self, spark, dedup):
         dedup.ingest(spark, _batch(spark, [(1, "x " * 10 + PASSAGE)]))
-        res2 = dedup.ingest(
-            spark, _batch(spark, [(7, "fresh words only here " + PASSAGE)])
-        )
+        # the fresh region is LONGER than k, so grams fully inside it
+        # (no overlap with the excised span) must still be indexed
+        # non-repetitive (no internal >=k duplicate) and longer than k
+        fresh = "fresh zero one two three four five six seven eight nine "
+        res2 = dedup.ingest(spark, _batch(spark, [(7, fresh + PASSAGE)]))
         texts = _texts(res2)
         assert PASSAGE not in texts["7"]  # the corpus owns it already
-        assert texts["7"].startswith("fresh words only here")
+        # the excised span may swallow the shared boundary space
+        assert texts["7"].startswith(fresh.rstrip())
         # and genuinely new content indexes
         assert res2.new_grams > 0
+
+    def test_anchor_overlapping_excised_span_not_indexed(self, spark, dedup):
+        """A fresh anchor whose k-char window overlaps a span excised
+        from its own text must NOT enter the index: its content does
+        not survive in the output corpus, so indexing it would excise
+        later copies against a canonical that no longer exists."""
+        dedup.ingest(spark, _batch(spark, [(1, "x " * 10 + PASSAGE)]))
+        # doc 7's entire fresh region is SHORTER than k: every fresh
+        # gram extends into the excised PASSAGE span
+        res2 = dedup.ingest(
+            spark, _batch(spark, [(7, "tiny fresh bit " + PASSAGE)])
+        )
+        assert res2.new_grams == 0
+        assert dedup.read_index(spark).filter("doc_id = '7'").count() == 0
+        # and the content is NOT lost corpus-wide: a later copy of the
+        # same substring keeps its own text (no dangling canonical)
+        res3 = dedup.ingest(
+            spark, _batch(spark, [(9, "tiny fresh bit " + PASSAGE)])
+        )
+        texts = _texts(res3)
+        assert texts["9"].startswith("tiny fresh bit")
+        assert PASSAGE not in texts["9"]  # PASSAGE itself is corpus-owned
 
     def test_replay_is_byte_identical_and_appends_nothing(self, spark, dedup):
         batch = _batch(
@@ -115,7 +140,14 @@ class TestIngest:
 
     def test_time_traveled_index_reproduces_decisions(self, spark, dedup):
         r1 = dedup.ingest(spark, _batch(spark, [(1, "p " * 9 + PASSAGE)]))
-        dedup.ingest(spark, _batch(spark, [(2, "q " * 9 + PASSAGE)]))
+        # batch 2 needs fresh content longer than k OUTSIDE the excised
+        # span, else the overlap exemption (correctly) indexes nothing
+        dedup.ingest(
+            spark,
+            _batch(
+                spark, [(2, "qq zero one two three four five six " + PASSAGE)]
+            ),
+        )
         # the index as of snapshot 1 has only batch 1's grams
         idx_then = dedup.read_index(spark, snapshot_id=r1.snapshot_id)
         idx_now = dedup.read_index(spark)
@@ -132,6 +164,63 @@ class TestIngest:
         texts = _texts(res)
         # offsets differ mod stride; content sampling still anchors
         assert "hereby granted" not in texts["2"]
+
+
+class TestBatchScopedProbe:
+    """The index read is bloom-pruned to the files that might hold a
+    batch hash: bytes read scale with the BATCH, not the corpus."""
+
+    @staticmethod
+    def _shard(i: int) -> str:
+        # non-repetitive (no internal >=k duplicate), distinct per i
+        words = " ".join(f"w{i:03d}n{j:02d}" for j in range(12))
+        return f"shard {i:03d} {words} end"
+
+    def test_index_bytes_read_scale_with_batch_not_corpus(self, spark, dedup):
+        for i in range(6):
+            dedup.ingest(spark, _batch(spark, [(100 + i, self._shard(i))]))
+        # probe: an exact duplicate of shard 0 — its grams live ONLY in
+        # batch 0's files; fully excised, so nothing is appended and the
+        # ingest is a pure read
+        r1 = dedup.ingest(spark, _batch(spark, [(999, self._shard(0))]))
+        assert r1.new_grams == 0 and _texts(r1)["999"] == ""
+        assert r1.index_files_total >= 6
+        # one append fans out to at most the bucket[8] width: the probe
+        # must not open the other shards' files
+        assert r1.index_files_read <= 8
+        assert r1.index_bytes_read < r1.index_bytes_total
+
+        # grow the corpus 2x: the SAME probe batch reads the same files
+        for i in range(6, 12):
+            dedup.ingest(spark, _batch(spark, [(100 + i, self._shard(i))]))
+        r2 = dedup.ingest(spark, _batch(spark, [(998, self._shard(0))]))
+        assert r2.index_files_total > r1.index_files_total
+        assert r2.index_bytes_total > r1.index_bytes_total
+        # the scale pin: bytes read track the batch, not the corpus
+        assert r2.index_bytes_read == r1.index_bytes_read
+        assert r2.index_files_read == r1.index_files_read
+
+    def test_fold_duplicate_anchors_repairs_races(self, spark, dedup):
+        from pyspark.sql import functions as F
+
+        dedup.ingest(spark, _batch(spark, [(1, self._shard(1))]))
+        idx = dedup.read_index(spark)
+        n = idx.count()
+        # simulate a racing writer: re-append the same hashes under a
+        # LARGER canonical (min-fold must keep the original rows)
+        dedup.table.append_dataframe(
+            idx.withColumn("doc_id", F.lit("zzz-racer"))
+        )
+        assert dedup.read_index(spark).count() == 2 * n
+        folded = dedup.fold_duplicate_anchors(spark)
+        assert folded == n
+        after = dedup.read_index(spark)
+        assert after.count() == n
+        assert after.filter("doc_id = 'zzz-racer'").count() == 0
+        # idempotent: a clean index folds nothing and commits nothing
+        snap = dedup.table.metadata()["current-snapshot-id"]
+        assert dedup.fold_duplicate_anchors(spark) == 0
+        assert dedup.table.metadata()["current-snapshot-id"] == snap
 
 
 class TestTail:
@@ -246,9 +335,17 @@ class TestRestTransport:
             table = create_substr_index_table(client, "corpus", "substr_idx")
             d = IncrementalSubstrDeduper(table, k=K)
             d.ingest(spark, _batch(spark, [(1, "pre " * 5 + PASSAGE)]))
-            res = d.ingest(spark, _batch(spark, [(2, "post " * 5 + PASSAGE)]))
+            # fresh prefix longer than k (and non-repetitive) so the
+            # overlap exemption leaves indexable novel grams
+            res = d.ingest(
+                spark,
+                _batch(
+                    spark,
+                    [(2, "post zero one two three four five six " + PASSAGE)],
+                ),
+            )
             texts = _texts(res)
             assert PASSAGE not in texts["2"]
-            assert res.new_grams > 0  # the novel "post" prefix indexed
+            assert res.new_grams > 0  # the novel prefix indexed
         finally:
             server.shutdown()
