@@ -2793,6 +2793,41 @@ def _equality_fields(md: dict, ids: tuple[int, ...]) -> list[dict]:
     return out
 
 
+def _delete_file_read_names(path: str, fields: list[dict]) -> dict[str, str]:
+    """{current key name -> file column name} for one equality-delete
+    file: parquet field-id resolution first (rename-safe), plain name
+    for id-less files. An id-carrying file MISSING a key's id means the
+    column was dropped and recreated AFTER the delete was written —
+    matching the reused name would delete the wrong rows, so refuse."""
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(path)
+    by_id = {
+        int(f.metadata[b"PARQUET:field_id"]): f.name
+        for f in sch
+        if f.metadata and b"PARQUET:field_id" in f.metadata
+    }
+    out: dict[str, str] = {}
+    for f_ in fields:
+        src = by_id.get(f_["id"])
+        if src is None:
+            if by_id:
+                raise ValueError(
+                    f"equality-delete file {path} carries field ids but "
+                    f"not id {f_['id']} ({f_['name']!r}): the key column "
+                    "was recreated after this delete; compact deletes "
+                    "away (rewrite_equality_deletes) before reading"
+                )
+            if f_["name"] not in sch.names:
+                raise ValueError(
+                    f"equality-delete file {path} has neither field id "
+                    f"{f_['id']} nor column {f_['name']!r}"
+                )
+            src = f_["name"]
+        out[f_["name"]] = src
+    return out
+
+
 def apply_equality_deletes(
     spark: SparkSession,
     tagged: DataFrame,
@@ -2823,17 +2858,42 @@ def apply_equality_deletes(
     for ids, group in sorted(groups.items()):
         fields = _equality_fields(md, ids)
         names = [f_["name"] for f_ in fields]
-        key_schema = StructType(
-            [StructField(f_["name"], _spark_type(f_["type"]), True) for f_ in fields]
-        )
-        dels = (
-            spark.read.schema(key_schema)
-            .parquet(*[f.file_path for f in group])
-            .select(
-                *[F.col(n).alias(f"__eq_{n}") for n in names],
-                _norm_meta_path().alias("__eq_src"),
+        # delete-file columns resolve by parquet FIELD ID (a delete
+        # written before a rename stores the OLD name — name resolution
+        # would null-fill its keys and silently delete nothing), with
+        # name fallback for id-less files; files sharing one mapping
+        # read in one pass (the no-rename common case stays one read)
+        by_map: dict[tuple, list[DataFile]] = {}
+        for f in group:
+            m = tuple(
+                sorted(_delete_file_read_names(f.file_path, fields).items())
             )
-        )
+            by_map.setdefault(m, []).append(f)
+        parts = []
+        for m, sub in sorted(by_map.items()):
+            cur_to_src = dict(m)
+            read_schema = StructType(
+                [
+                    StructField(
+                        cur_to_src[f_["name"]], _spark_type(f_["type"]), True
+                    )
+                    for f_ in fields
+                ]
+            )
+            parts.append(
+                spark.read.schema(read_schema)
+                .parquet(*[f.file_path for f in sub])
+                .select(
+                    *[
+                        F.col(cur_to_src[n]).alias(f"__eq_{n}")
+                        for n in names
+                    ],
+                    _norm_meta_path().alias("__eq_src"),
+                )
+            )
+        dels = parts[0]
+        for p in parts[1:]:
+            dels = dels.unionByName(p)
         dseq = spark.createDataFrame(
             [(f.file_path, int(f.sequence_number)) for f in group],
             "__eq_src string, __eq_seq long",

@@ -110,6 +110,10 @@ class _FilePartition(InputPartition):
     schema_fields: tuple  # ((name, iceberg_type_json, required, field_id), ...)
     deleted_positions: tuple = field(default=())
     name_mapping: tuple = field(default=())  # ((file column name, field id), ...)
+    # ((delete_path, ((current key name, key field id), ...)), ...) —
+    # ids let the executor resolve delete-file columns written under a
+    # PRE-RENAME schema (and refuse a dropped-then-recreated column
+    # whose reused name would otherwise silently match wrong keys)
     equality_deletes: tuple = field(default=())
 
 
@@ -171,22 +175,97 @@ def _read_file_partition(part: _FilePartition):
             cols.append(table[src].cast(target.type))
         fields.append(target)
     aligned = pa.table(cols, schema=pa.schema(fields))
-    for del_path, key_names in part.equality_deletes:
+    for del_path, key_cols in part.equality_deletes:
         if aligned.num_rows == 0:
             break
-        # EXECUTOR-side equality-delete subtraction: the delete file's
-        # key tuples (named columns, read as-is) anti-filter this data
-        # file's rows by null-safe tuple equality (None == None deletes,
-        # matching Spark's eqNullSafe; float keys are refused at plan
-        # time, so NaN never reaches the comparison)
-        dt = pq.read_table(del_path, columns=list(key_names))
-        killed = set(zip(*(dt[n].to_pylist() for n in key_names)))
-        if not killed:
-            continue
-        rows = zip(*(aligned[n].to_pylist() for n in key_names))
-        keep_mask = pa.array([r not in killed for r in rows])
-        aligned = aligned.filter(keep_mask)
+        aligned = _subtract_equality_delete(aligned, del_path, key_cols)
     yield from aligned.to_batches(max_chunksize=1 << 16)
+
+
+def _nullsafe_fill(col):
+    """(filled, is_null) companion encoding of one key column: joining
+    on the PAIR gives Spark's eqNullSafe semantics (None == None
+    matches) with Arrow's standard hash join, and the boolean tag keeps
+    a genuine fill-value row distinct from a null row — no sentinel
+    collision by construction."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        zero = ""
+    elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        zero = b""
+    elif pa.types.is_fixed_size_binary(t):
+        zero = b"\x00" * t.byte_width
+    elif pa.types.is_boolean(t):
+        zero = False
+    else:
+        # integer / decimal / temporal primitives (floats are refused
+        # as equality keys at plan time): 0 at the column's type
+        zero = pa.scalar(0).cast(t)
+    return pc.fill_null(col, zero), pc.is_null(col)
+
+
+def _subtract_equality_delete(aligned, del_path: str, key_cols: tuple):
+    """Anti-filter one data file's aligned rows by one equality-delete
+    file, fully vectorized (Arrow hash join — no per-row Python, so a
+    large un-compacted delete backlog stays columnar): delete-file
+    columns resolve by parquet FIELD ID with current-name fallback
+    (a delete written before a rename stores the old name; a reused
+    name with a different id must NOT match), both sides' keys get the
+    (filled, is_null) null-safe companion encoding, and one left-anti
+    join on the encoded pair per key keeps exactly the rows Spark's
+    eqNullSafe anti-join would keep."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(del_path)
+    dschema = pf.schema_arrow
+    d_by_id = {
+        int(f.metadata[b"PARQUET:field_id"]): f.name
+        for f in dschema
+        if f.metadata and b"PARQUET:field_id" in f.metadata
+    }
+    read_names = []
+    for name, fid in key_cols:
+        src = d_by_id.get(fid)
+        if src is None:
+            if d_by_id:
+                # id-carrying file without this id: the column was
+                # dropped-and-recreated after the delete was written —
+                # matching by name would delete the wrong rows
+                raise ValueError(
+                    f"equality-delete file {del_path} carries field ids "
+                    f"but not id {fid} ({name!r}): the key column was "
+                    "recreated after this delete; compact deletes away "
+                    "(rewrite_equality_deletes) before reading"
+                )
+            src = name  # id-less delete file: name resolution
+        read_names.append(src)
+    dt = pf.read(columns=read_names)
+    if dt.num_rows == 0:
+        return aligned
+
+    join_keys = []
+    left_cols = {"__ridx": pa.array(np.arange(aligned.num_rows, dtype=np.int64))}
+    right_cols = {}
+    for i, (name, _fid) in enumerate(key_cols):
+        lv, ln = _nullsafe_fill(aligned[name])
+        rv, rn = _nullsafe_fill(dt[read_names[i]].cast(aligned[name].type))
+        left_cols[f"__k{i}"], left_cols[f"__n{i}"] = lv, ln
+        right_cols[f"__k{i}"], right_cols[f"__n{i}"] = rv, rn
+        join_keys += [f"__k{i}", f"__n{i}"]
+    kept = (
+        pa.table(left_cols)
+        .join(pa.table(right_cols), keys=join_keys, join_type="left anti")
+        .column("__ridx")
+    )
+    if len(kept) == aligned.num_rows:
+        return aligned
+    # joins don't preserve order — restore the file's row order
+    return aligned.take(pa.array(np.sort(kept.to_numpy())))
 
 
 def _positions_by_file(delete_files) -> dict[str, tuple]:
@@ -270,9 +349,12 @@ class _BatchReader(DataSourceReader):
                         "equality_ids"
                     )
                 # name/type resolution raises on float keys (NaN
-                # equality undefined) — same rule as FsTable.read
+                # equality undefined) — same rule as FsTable.read.
+                # (name, id) pairs ship to executors so delete-file
+                # columns resolve by FIELD ID (rename-safe)
                 names = tuple(
-                    f_["name"] for f_ in _equality_fields(md, d.equality_ids)
+                    (f_["name"], f_["id"])
+                    for f_ in _equality_fields(md, d.equality_ids)
                 )
                 eq_named.append((d.sequence_number, d.file_path, names))
         fields = _partition_schema_fields(md)

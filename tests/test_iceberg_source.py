@@ -153,6 +153,56 @@ class TestBatchFormat:
         )
         assert got == [i for i in range(5, 30) if i not in (10, 29)]
 
+    def test_many_row_delete_file_vectorized_null_safe(
+        self, registered, tmp_path
+    ):
+        """A LARGE delete file (the un-compacted-backlog case the r10
+        advisory flagged) with NULL keys: the Arrow-join subtraction
+        must match Spark's eqNullSafe semantics — a NULL delete key
+        deletes exactly the NULL-keyed data rows — at full parity with
+        the library read path, with zero per-row Python."""
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("ns", "big_del", SCHEMA)
+        rows = [
+            Row(id=i, v=(None if i % 10 == 0 else f"g{i % 7}"))
+            for i in range(2000)
+        ]
+        t.append_dataframe(registered.createDataFrame(rows, SCHEMA))
+        keys = registered.createDataFrame(
+            [Row(v=None), Row(v="g3")],
+            StructType([StructField("v", StringType(), True)]),
+        )
+        t.delete_where_equality(registered, keys, ["v"])
+        got = sorted(
+            r.id
+            for r in registered.read.format("iceberg_fs")
+            .load(t.location)
+            .collect()
+        )
+        want = sorted(
+            i for i in range(2000) if i % 10 != 0 and i % 7 != 3
+        )
+        assert got == want
+        lib = sorted(r.id for r in t.read(registered).collect())
+        assert got == lib
+
+    def test_delete_columns_resolve_by_field_id_after_rename(
+        self, registered, tmp_path
+    ):
+        """A delete file written BEFORE a column rename stores the OLD
+        name; the executor must resolve its key column by parquet field
+        id, not the current name (r10 advisory)."""
+        t = _make(registered, tmp_path, n=10)
+        keys = registered.createDataFrame([Row(id=2), Row(id=8)])
+        t.delete_where_equality(registered, keys, ["id"])
+        t.rename_column("id", "ident")
+        df = registered.read.format("iceberg_fs").load(t.location)
+        assert df.columns == ["ident", "v"]
+        got = sorted(r.ident for r in df.collect())
+        assert got == [i for i in range(10) if i not in (2, 8)]
+        lib = sorted(r.ident for r in t.read(registered).collect())
+        assert got == lib
+
     def test_schema_evolution_nulls(self, registered, tmp_path):
         t = _make(registered, tmp_path, n=5)
         t.add_columns([StructField("extra", StringType(), True)])
