@@ -135,6 +135,11 @@ def stratified_sample(
     )
 
 
+# score_weighted_sample's coin must not share the hash domain of
+# hash_split / hash_fraction_sample (composition bias — see docstring)
+SCORE_SALT_TAG = "score-weight:"
+
+
 def score_weighted_sample(
     df: DataFrame, id_col: str, score_col: str, salt: str = ""
 ) -> DataFrame:
@@ -151,14 +156,21 @@ def score_weighted_sample(
     raising a row's score can only ADD it (monotone — re-scoring a
     corpus upward is an incremental append, never a swap).
 
+    The coin lives in its OWN hash domain (a fixed operator tag
+    prefixes the salt): with a shared domain, a score-s pass deletes
+    every row with bucket >= floor(s*10000) — exactly where a later
+    hash_split with the same salt puts val/test, so a 0.75-scored
+    corpus would split into EMPTY held-out sets. The tag makes the
+    score coin and the split coin independent by construction.
+
     DuckDB mirror: bucket < CAST(floor(score * SPLIT_MOD) AS BIGINT)
-    with duck_split_bucket(id).
+    with duck_split_bucket(id, SCORE_SALT_TAG + salt).
     """
     score = F.least(
         F.lit(1.0), F.greatest(F.lit(0.0), F.col(score_col).cast("double"))
     )
     return df.filter(
-        split_bucket(id_col, salt)
+        split_bucket(id_col, SCORE_SALT_TAG + salt)
         < F.floor(score * F.lit(SPLIT_MOD)).cast("long")
     )
 

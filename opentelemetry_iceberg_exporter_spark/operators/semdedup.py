@@ -52,6 +52,7 @@ def semdedup_pairs(
     k: int = DEFAULT_K,
     threshold: float = DEFAULT_THRESHOLD,
     max_iter: int = 10,
+    fit_fraction: float | None = None,
 ) -> DataFrame:
     """Within-cluster semantic-duplicate candidate pairs:
     (id_a, id_b, cos_sim) with id_a < id_b, cos_sim rounded to 6
@@ -64,7 +65,9 @@ def semdedup_pairs(
     how coarse k is — the paper runs k in the tens of thousands at
     web scale for exactly this reason)."""
     nz = nonzero_vectors(df, vec_col)
-    _, assigned = kmeans_fit(nz, id_col, vec_col, k=k, max_iter=max_iter)
+    _, assigned = kmeans_fit(
+        nz, id_col, vec_col, k=k, max_iter=max_iter, fit_fraction=fit_fraction
+    )
     vec = nz.select(
         F.col(id_col).alias("__sid"),
         F.col(vec_col).alias("__v"),
@@ -106,12 +109,19 @@ def semdedup(
     k: int = DEFAULT_K,
     threshold: float = DEFAULT_THRESHOLD,
     max_iter: int = 10,
+    fit_fraction: float | None = None,
 ) -> DataFrame:
     """The full SemDeDup keep/drop decision: every document annotated
     with (group_id, group_size, is_canonical) — semantic-duplicate
     groups resolved from the within-cluster pair graph, canonical = the
     min-id member, singletons (zero-vector documents included) their
     own group. Filter `is_canonical` to materialize the deduplicated
-    corpus."""
-    pairs = semdedup_pairs(df, id_col, vec_col, k, threshold, max_iter)
+    corpus. `fit_fraction` sample-fits the k-means (deterministic hash
+    sample trains the centroids, the full corpus is assigned once) —
+    the scale knob: Lloyd's per-iteration cost drops by the sample
+    factor while pair generation/grouping see the exact same
+    full-corpus cells the trained centroids induce."""
+    pairs = semdedup_pairs(
+        df, id_col, vec_col, k, threshold, max_iter, fit_fraction
+    )
     return dedup_groups(df, pairs, id_col)

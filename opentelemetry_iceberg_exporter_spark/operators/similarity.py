@@ -18,6 +18,7 @@ import random
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
 from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
@@ -465,6 +466,7 @@ def kmeans_fit(
     k: int = 10,
     max_iter: int = 20,
     tol: float = 1e-9,
+    fit_fraction: float | None = None,
 ) -> tuple[list[list[float]], DataFrame]:
     """Distributed Lloyd's k-means over an embedding column; returns
     (centroids, assignments) where assignments has (id, cell).
@@ -479,38 +481,66 @@ def kmeans_fit(
     moves more than tol (assignment fixpoint); empty cells keep their
     previous centroid.
 
+    `fit_fraction` < 1 runs Lloyd's iterations over a DETERMINISTIC
+    hash sample (operators/sampling.hash_fraction_sample — same rows
+    every run/engine/cluster size) and assigns the FULL corpus once
+    against the trained centroids — the standard sample-fit move that
+    cuts the per-iteration cost by the sample factor. Centroid
+    estimates from a uniform sample converge to the full-corpus ones
+    (cluster means are means); the final assignment is exact either
+    way. Falls back to the full corpus when the sample holds fewer
+    than 10×k points (too few to estimate k means).
+
     Production use: feed the result into ivf_assign/ann_ivf in place of
     the stride-sampled centroids for a trained IVF index (the driver-
     graded s03 keeps stride centroids because training is iterative,
     not single-query SQL).
     """
-    cents = _hash_min_init(df, id_col, vec_col, k)
-    base = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    fit_df = df
+    if fit_fraction is not None and 0.0 < fit_fraction < 1.0:
+        from .sampling import hash_fraction_sample
 
-    def assign_to(centroids: list[list[float]]) -> DataFrame:
-        scored = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("__v"),
-                            F.array(*[F.lit(float(x)) for x in c]),
-                            lambda x, m: (x.cast("double") - m)
-                            * (x.cast("double") - m),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, t: acc + t,
-                    ).alias("dist"),
-                    F.lit(j).alias("cell"),
-                )
-                for j, c in enumerate(centroids)
-            ]
-        )
-        return base.withColumn("cell", F.array_min(scored)["cell"])
+        cand = hash_fraction_sample(df, id_col, fit_fraction, salt="kmeans-fit")
+        # enough sampled points to estimate k means? (bounded check —
+        # limit() keeps this O(10k) rows, never a full count)
+        if cand.limit(10 * k).count() >= 10 * k:
+            fit_df = cand.localCheckpoint(eager=False)
+    cents = _hash_min_init(fit_df, id_col, vec_col, k)
+    base = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    base_fit = fit_df.select(F.col(id_col), F.col(vec_col).alias("__v"))
+
+    def assign_to(centroids: list[list[float]], over: DataFrame) -> DataFrame:
+        """Vectorized nearest-centroid assignment: ONE Arrow-batched
+        pandas UDF computing the full distance matrix with numpy
+        (|x|² - 2·X·Cᵀ + |C|², argmin with first-min = lower cell
+        index, matching the previous tie rule). The earlier plan-level
+        spelling built k structs × dim literals — at k=32, dim=64 that
+        is ~2000 expression nodes whose Catalyst compile + interpreted
+        HOF evaluation cost SECONDS PER ITERATION independent of data
+        size, dwarfing the actual flops. The numpy kernel is the honest
+        Arrow-vectorized path (the multimodal-operator rule: BLAS-shape
+        numeric kernels don't belong in codegen'd literals); assignment
+        is per-row pure, so partitioning invariance is unchanged."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        C = np.asarray(centroids, dtype=np.float64)
+        Cn = (C * C).sum(axis=1)
+
+        @pandas_udf(IntegerType())
+        def _nearest(v):
+            if len(v) == 0:
+                return pd.Series([], dtype="int32")
+            X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+            d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + Cn[None, :]
+            return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+        return over.withColumn("cell", _nearest(F.col("__v")))
 
     converged = False
     for _ in range(max_iter):
-        assigned = assign_to(cents)
+        assigned = assign_to(cents, base_fit)
         sums = (
             assigned.select("cell", F.posexplode("__v").alias("pos", "val"))
             .groupBy("cell", "pos")
@@ -543,8 +573,9 @@ def kmeans_fit(
     # centroids (one update step behind); re-assign against the final
     # centroids so (cents, assignments) are mutually consistent — at a
     # fixpoint this is identical, after max_iter it is the correction
-    # that keeps ivf_assign cells aligned with the centroid table
-    assignments = assign_to(cents).select(F.col(id_col), "cell")
+    # that keeps ivf_assign cells aligned with the centroid table.
+    # Always over the FULL corpus (sample-fit only trains faster).
+    assignments = assign_to(cents, base).select(F.col(id_col), "cell")
     return cents, assignments
 
 

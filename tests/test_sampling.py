@@ -263,10 +263,15 @@ def test_score_weighted_sample(spark):
     pdf = df.toPandas()
     con = duckdb.connect()
     con.register("t", pdf)
+    from opentelemetry_iceberg_exporter_spark.operators.sampling import (
+        SCORE_SALT_TAG,
+    )
+
     duck = {
         r[0]
         for r in con.execute(
-            f"SELECT id FROM t WHERE {duck_split_bucket('id')} < "
+            f"SELECT id FROM t WHERE "
+            f"{duck_split_bucket('id', SCORE_SALT_TAG)} < "
             f"CAST(floor(score * {SPLIT_MOD}) AS BIGINT)"
         ).fetchall()
     }
@@ -276,6 +281,34 @@ def test_score_weighted_sample(spark):
         df.withColumn("score", F.lit(7.5)), "id", "score"
     )
     assert clamped.count() == 4000
+
+
+def test_score_weighted_sample_composes_with_hash_split(spark):
+    """The score coin lives in its own hash domain: a 0.75-scored
+    corpus filtered by score then hash_split must still produce val
+    and test sets (with a SHARED domain the score pass deletes exactly
+    the buckets hash_split assigns to val/test — empty held-out sets,
+    the r10 advisory's composition bias)."""
+    from opentelemetry_iceberg_exporter_spark.operators.sampling import (
+        hash_split,
+        score_weighted_sample,
+    )
+
+    df = spark.range(4000).select(F.col("id"), F.lit(0.75).alias("score"))
+    split_counts = {
+        r["split"]: r["n"]
+        for r in hash_split(
+            score_weighted_sample(df, "id", "score"), "id"
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # ~3000 survivors split 80/10/10: each held-out set must be a real
+    # ~10% slice, not empty
+    assert split_counts.get("val", 0) > 150
+    assert split_counts.get("test", 0) > 150
+    assert split_counts["train"] > 2000
 
 
 def test_mix_cli_single_plan_execution(spark, tmp_path, capsys, monkeypatch):

@@ -157,3 +157,86 @@ class TestSemDedupCli:
         assert stats["rows"] == 5  # 8 docs, trio -> 1, pair -> 1
         kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
         assert kept == {6, 43, 63, 60, 36}
+
+
+class TestSampleFit:
+    """fit_fraction: Lloyd's trains on a deterministic hash sample, the
+    full corpus is assigned once (r10 verdict ask #4 — the scale knob
+    for the full-corpus-per-iteration constant)."""
+
+    @staticmethod
+    def _big_corpus(spark, n=360):
+        """Three well-separated direction clusters with deterministic
+        within-cluster jitter. k-means is LOCAL: equality between the
+        full fit and the sample fit holds only when both inits seed one
+        point per true cluster, so cluster membership is chosen (same
+        trick as _corpus, computed instead of hand-picked) such that
+        the 3 smallest md5 init hashes over ALL ids AND over the
+        hash-sampled subset each land in three distinct clusters."""
+        import hashlib
+        from itertools import permutations
+
+        def h(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        ids = list(range(n))
+        full3 = sorted(ids, key=lambda i: (h(str(i)), i))[:3]
+        sampled = [i for i in ids if h(f"{i}kmeans-fit") % 10_000 < 5_000]
+        samp3 = sorted(sampled, key=lambda i: (h(str(i)), i))[:3]
+        # one consistent cluster assignment putting each seed triple in
+        # three distinct clusters (brute force over 3!x3!)
+        cluster_of = None
+        for pf in permutations(range(3)):
+            for ps in permutations(range(3)):
+                m: dict[int, int] = {}
+                ok = True
+                for i, c in list(zip(full3, pf)) + list(zip(samp3, ps)):
+                    if m.setdefault(i, c) != c:
+                        ok = False
+                        break
+                if ok and len(set(m.values())) == 3:
+                    cluster_of = m
+                    break
+            if cluster_of:
+                break
+        assert cluster_of is not None
+        centers = [
+            [10.0, 0.1, 0.0, 0.0],
+            [0.0, 10.0, 0.2, 0.0],
+            [0.0, 0.0, 0.0, 12.0],
+        ]
+        rows = []
+        for i in ids:
+            c = cluster_of.get(i, i % 3)
+            eps = ((i * 37 + c * 11) % 23) / 1000.0  # deterministic
+            vec = [
+                x + (eps if d == (i % 4) else 0.0)
+                for d, x in enumerate(centers[c])
+            ]
+            rows.append((i, vec))
+        return spark.createDataFrame(
+            rows, "doc_id long, embedding array<double>"
+        ).repartition(5)
+
+    def test_sample_fit_same_groups_as_full_fit(self, spark):
+        df = self._big_corpus(spark)
+        full = semdedup(df, "doc_id", "embedding", k=3, threshold=0.99)
+        sampled = semdedup(
+            df, "doc_id", "embedding", k=3, threshold=0.99, fit_fraction=0.5
+        )
+        f = {(r["doc_id"], r["group_id"], r["is_canonical"]) for r in full.collect()}
+        s = {(r["doc_id"], r["group_id"], r["is_canonical"]) for r in sampled.collect()}
+        assert f == s
+
+    def test_tiny_corpus_falls_back_to_full_fit(self, spark):
+        """Below 10*k sampled points the sample would under-determine k
+        means; kmeans_fit silently trains on everything, so groups on
+        the original 8-doc geometry corpus are unchanged."""
+        full = semdedup(_corpus(spark), "doc_id", "embedding", k=3, threshold=0.97)
+        sampled = semdedup(
+            _corpus(spark), "doc_id", "embedding", k=3, threshold=0.97,
+            fit_fraction=0.5,
+        )
+        f = {(r["doc_id"], r["group_id"]) for r in full.collect()}
+        s = {(r["doc_id"], r["group_id"]) for r in sampled.collect()}
+        assert f == s
