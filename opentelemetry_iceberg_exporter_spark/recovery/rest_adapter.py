@@ -27,11 +27,23 @@ def rest_registered_files(
     return {t: RestTable(client, namespace, t).all_files() for t in tables}
 
 
-def rest_register_fn(client: RestCatalogClient, namespace: str):
-    """RegisterFn committing one add_files snapshot per batch over REST."""
+def rest_register_fn(
+    client: RestCatalogClient, namespace: str, spark: SparkSession | None = None
+):
+    """RegisterFn committing one add_files snapshot per batch over REST.
+    With `spark`, each registration first threads the table's vended
+    storage credentials into the session (apply_storage_credentials —
+    refresh-on-expiry included): against a policy-enforcing catalog the
+    orphan files live under vended-only prefixes, so the scan that
+    validates the registered files must run under the vend, not ambient
+    identity — the same rule the read/append paths already follow."""
 
     def register(table: str, uris: list[str]) -> None:
-        RestTable(client, namespace, table).add_data_files(uris, {"otel.recovery": "true"})
+        t = RestTable(client, namespace, table)
+        t.metadata()  # captures the latest vend from LoadTableResult
+        if spark is not None:
+            t.apply_storage_credentials(spark)
+        t.add_data_files(uris, {"otel.recovery": "true"})
 
     return register
 
@@ -56,4 +68,6 @@ def recover_rest_warehouse(
     kwargs = {"dry_run": dry_run}
     if max_batch_size is not None:
         kwargs["max_batch_size"] = max_batch_size
-    return recover(scanned, registered, rest_register_fn(client, namespace), **kwargs)
+    return recover(
+        scanned, registered, rest_register_fn(client, namespace, spark), **kwargs
+    )

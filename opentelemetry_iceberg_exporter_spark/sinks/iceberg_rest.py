@@ -970,22 +970,28 @@ class RestTable:
         self, spark: SparkSession, path: str | None = None, now_ms: int | None = None
     ) -> dict[str, str]:
         """Thread the latest storage-credential vend into the engine:
-        pick the vend covering `path` (default: the table location),
-        REFRESH it when expired — via the spec credentials endpoint,
-        falling back to a table re-load when the server doesn't
-        implement the route — and apply the resulting container-scoped
-        Hadoop conf (per-bucket s3a keys etc.) to the live session so
-        executor file access uses the vended, not ambient, identity.
-        Returns the applied conf; {} for local/uncredentialed paths.
-        Called by read()/append_dataframe; safe to call directly before
-        custom scans. Raises when the server re-vends an
-        already-expired credential (retrying would loop)."""
+        apply the container-scoped Hadoop conf of EVERY unexpired vend
+        in the set (per-bucket s3a keys etc. — multi-vend tables keep
+        files under more than one prefix, e.g. write.data.path or
+        shared data, and scoping makes applying all of them
+        clobber-free), REFRESHING first when any vend expired — via
+        the spec credentials endpoint, falling back to a table re-load
+        when the server doesn't implement the route — so executor file
+        access uses the vended, not ambient, identity. Returns the
+        applied conf; {} for local/uncredentialed paths. Called by
+        read()/append_dataframe; safe to call directly before custom
+        scans. Raises when the server re-vends an already-expired
+        credential for `path` (default: the table location; retrying
+        would loop); a non-target vend still expired after refresh is
+        skipped, not applied."""
         if self._vended is None:
             return {}
         from .vended_credentials import VendedCredentialSet
 
         target = path if path is not None else self.location()
-        if self._vended.needs_refresh(target, now_ms):
+        if self._vended.needs_refresh(target, now_ms) or self._vended.any_expired(
+            now_ms
+        ):
             fresh = self.client.load_credentials(self.namespace, self.name)
             if fresh is not None:
                 self._vended = VendedCredentialSet(
@@ -1001,7 +1007,7 @@ class RestTable:
                     f"refreshed storage credential for {target} is still "
                     "expired — server vends are not advancing",
                 )
-        conf = self._vended.conf_for_path(target)
+        conf = self._vended.conf_for_all(now_ms)
         if conf:
             hconf = spark.sparkContext._jsc.hadoopConfiguration()
             for k, v in conf.items():

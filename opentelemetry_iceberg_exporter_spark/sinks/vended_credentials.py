@@ -177,3 +177,24 @@ class VendedCredentialSet:
     def conf_for_path(self, path: str) -> dict[str, str]:
         c = credential_for_path(self.creds, path)
         return scoped_hadoop_conf(c) if c else {}
+
+    def any_expired(self, now_ms: int | None = None) -> bool:
+        """True when ANY vend in the set has expired — the multi-vend
+        refresh trigger (a table's write.data.path or shared-data
+        prefix may expire before the table-location vend does)."""
+        return any(c.expired(now_ms) for c in self.creds)
+
+    def conf_for_all(self, now_ms: int | None = None) -> dict[str, str]:
+        """Merged container-scoped conf for EVERY unexpired vend.
+        Multi-vend tables (e.g. write.data.path or shared data under a
+        second vended prefix) need all their buckets' credentials
+        applied, not just the one covering the table location —
+        per-bucket scoping makes the merge clobber-free across
+        buckets, and ascending-prefix-length ordering keeps the spec's
+        longest-prefix precedence when two vends scope the SAME
+        bucket. Expired vends are skipped (callers refresh first)."""
+        out: dict[str, str] = {}
+        for c in sorted(self.creds, key=lambda c: (len(c.prefix), c.prefix)):
+            if not c.expired(now_ms):
+                out.update(scoped_hadoop_conf(c))
+        return out

@@ -284,3 +284,134 @@ class TestStubRoundtrips:
         t.metadata()
         assert t._vended is None
         assert t.apply_storage_credentials(spark, "s3://any/p") == {}
+
+class TestMultiVend:
+    def test_all_unexpired_vends_applied(self, spark, catalog):
+        """Multi-vend tables (write.data.path / shared data under a
+        second prefix) get EVERY unexpired vend's scoped conf in one
+        apply — previously only the longest-prefix vend covering the
+        table location applied, so files under the other prefix read
+        with ambient identity (r10 advisory)."""
+        client, state = catalog
+        creds = [
+            {
+                "prefix": "s3://mainbkt/wh",
+                "config": {"s3.access-key-id": "AK-main"},
+            },
+            {
+                "prefix": "s3://sharedbkt/data",
+                "config": {"s3.access-key-id": "AK-shared"},
+            },
+        ]
+        t = _table(client, spark, state, creds, name="t_multi")
+        t.metadata()
+        applied = t.apply_storage_credentials(
+            spark, "s3://mainbkt/wh/t_multi/data/f.parquet"
+        )
+        # BOTH buckets' scoped conf applied — neither clobbers the other
+        assert applied["fs.s3a.bucket.mainbkt.access.key"] == "AK-main"
+        assert applied["fs.s3a.bucket.sharedbkt.access.key"] == "AK-shared"
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        assert hconf.get("fs.s3a.bucket.sharedbkt.access.key") == "AK-shared"
+
+    def test_same_bucket_longest_prefix_precedence(self, spark, catalog):
+        """Two vends scoping the SAME bucket: the more specific
+        (longer) prefix wins per key — the spec's scoping rule survives
+        the merged apply."""
+        client, state = catalog
+        creds = [
+            {
+                "prefix": "s3://onebkt/",
+                "config": {"s3.access-key-id": "AK-broad"},
+            },
+            {
+                "prefix": "s3://onebkt/wh/t_same",
+                "config": {"s3.access-key-id": "AK-narrow"},
+            },
+        ]
+        t = _table(client, spark, state, creds, name="t_same")
+        t.metadata()
+        applied = t.apply_storage_credentials(spark, "s3://onebkt/wh/t_same/d.parquet")
+        assert applied["fs.s3a.bucket.onebkt.access.key"] == "AK-narrow"
+
+    def test_expired_secondary_vend_triggers_refresh(self, spark, catalog):
+        """An expired NON-target vend still forces a refresh (the
+        whole set re-vends); the refreshed secondary applies."""
+        client, state = catalog
+        key = ("otel", "t_sec")
+        creds = [
+            {
+                "prefix": "s3://mainbkt/wh",
+                "config": {
+                    "s3.access-key-id": "AK-main",
+                    "s3.session-token-expires-at-ms": FUTURE,
+                },
+            },
+            {
+                "prefix": "s3://sharedbkt/data",
+                "config": {
+                    "s3.access-key-id": "AK-stale",
+                    "s3.session-token-expires-at-ms": PAST,
+                },
+            },
+        ]
+        t = _table(client, spark, state, creds, name="t_sec")
+        t.metadata()
+        state.storage_credentials[key] = [
+            creds[0],
+            {
+                "prefix": "s3://sharedbkt/data",
+                "config": {
+                    "s3.access-key-id": "AK-rotated",
+                    "s3.session-token-expires-at-ms": FUTURE,
+                },
+            },
+        ]
+        applied = t.apply_storage_credentials(
+            spark, "s3://mainbkt/wh/t_sec/d.parquet"
+        )
+        assert applied["fs.s3a.bucket.sharedbkt.access.key"] == "AK-rotated"
+        assert applied["fs.s3a.bucket.mainbkt.access.key"] == "AK-main"
+
+
+class TestRecoveryRegistration:
+    def test_add_files_recovery_applies_vended_conf(self, spark, catalog):
+        """r10 verdict ask #7: orphan re-registration through the
+        recovery reconciler against a VENDING catalog threads the
+        table's scoped credentials into the session before the
+        add_files commit — registration runs under the vend, not
+        ambient identity."""
+        import shutil
+
+        from opentelemetry_iceberg_exporter_spark.recovery.rest_adapter import (
+            recover_rest_warehouse,
+        )
+
+        client, state = catalog
+        ns = "otel"
+        client.ensure_namespace(ns)
+        t = client.ensure_table(ns, "ev", SCHEMA, partition_source=None)
+        t.append_dataframe(
+            spark.range(10).selectExpr("id", "cast(id as string) v")
+        )
+        state.storage_credentials[(ns, "ev")] = [
+            {
+                "prefix": "s3://recbkt/wh",
+                "config": {
+                    "s3.access-key-id": "AK-recovery",
+                    "s3.session-token-expires-at-ms": FUTURE,
+                },
+            }
+        ]
+        # manufacture an orphan: copy a registered data file to a new
+        # name the manifests don't know
+        files = t.all_files()
+        orphan = files[0].rsplit("/", 1)[0] + "/orphan-copy.parquet"
+        shutil.copyfile(files[0], orphan)
+        res = recover_rest_warehouse(
+            spark, client, ns, ["ev"], client.warehouse
+        )
+        assert res.recovered >= 1
+        assert orphan in t.all_files()
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        assert hconf.get("fs.s3a.bucket.recbkt.access.key") == "AK-recovery"
