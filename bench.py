@@ -55,7 +55,7 @@ HEADLINE = [
     "e01_epoch_hour_partition",
     "e07_asof_join_last_order",
     "e09_sessionize",
-    "d01_exact_dedup",
+    "d08_substr_spans",
     "d03_minhash_lsh_pairs",
     "d04_ngram_jaccard_pairs",
     "d02_signatures",

@@ -76,18 +76,96 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
+_SUBSTR_K = 25  # spans-row gram width: ~45% of docs carry a duplicated
+# >= 25-char substring in the synthetic corpus — a dense, non-trivial
+# cross-engine signal (the paper's k=50 finds almost nothing at ~300
+# chars/doc)
+
+
 @register(
-    "d01_exact_dedup",
-    """
-    SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
-    FROM documents
-    GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+    "d08_substr_spans",
+    f"""
+    WITH pos AS (SELECT range AS p FROM range(0, 10000)),
+    g AS (
+      SELECT d.doc_id, pos.p AS pos,
+             substring(d.text, pos.p::INT + 1, {_SUBSTR_K}) AS gram
+      FROM documents d JOIN pos ON pos.p <= length(d.text) - {_SUBSTR_K}
+      WHERE length(d.text) >= {_SUBSTR_K}
+    ),
+    ranked AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY gram) AS n,
+             row_number() OVER (PARTITION BY gram
+                                ORDER BY doc_id, pos) AS rk
+      FROM g
+    ),
+    hits AS (SELECT doc_id, pos FROM ranked WHERE n >= 2 AND rk > 1),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN coalesce(max(pos + {_SUBSTR_K}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1) < pos THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + {_SUBSTR_K} AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS spans_removed,
+             sum(e - s) AS chars_removed
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.spans_removed, 0) AS BIGINT) AS spans_removed,
+           CAST(coalesce(p.chars_removed, 0) AS BIGINT) AS chars_removed,
+           CAST(length(d.text) - coalesce(p.chars_removed, 0) AS BIGINT)
+             AS deduped_len
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """,
-    doc="Exact dedup by normalized-content md5; also the cross-engine "
-    "md5 canary.",
+    doc="Exact substring dedup (ExactSubstr, Lee et al. 2022) graded "
+    "CROSS-ENGINE: per doc, the count of maximal duplicated >= k-char "
+    "spans, the characters they cover, and the length of the stitched "
+    "excised text. Pins all three semantic pieces against an "
+    "independent DuckDB rendering — canonical exemption (each "
+    "duplicated gram's min-(doc_id,pos) occurrence survives: "
+    "row_number()=1 in the mirror), maximal-span merge (gaps-and-"
+    "islands: new span when no earlier hit reaches pos), and the "
+    "JVM aggregate() stitch (deduped_len must equal length(text) - "
+    "chars_removed). Slot from d01_exact_dedup, whose exact-dup "
+    "md5-canary signal moved INTO d07 (n_exact_copies).",
 )
-def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+def d08_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .substring_dedup import apply_span_strip, duplicated_spans
+
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    spans = duplicated_spans(docs, "doc_id", "text", k=_SUBSTR_K)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("spans_removed"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("chars_removed"),
+    )
+    stripped = apply_span_strip(docs, "doc_id", "text", spans)
+    return (
+        stripped.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("spans_removed", F.lit(0)).cast("long").alias(
+                "spans_removed"
+            ),
+            F.coalesce("chars_removed", F.lit(0)).cast("long").alias(
+                "chars_removed"
+            ),
+            F.length("text_deduped").cast("long").alias("deduped_len"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -594,10 +672,17 @@ def _dedup_groups_oracle() -> str:
     ), comp AS (
       SELECT node AS doc_id, MIN(label) AS group_id FROM reach GROUP BY node
     )
-    SELECT doc_id, group_id,
-           COUNT(*) OVER (PARTITION BY group_id) AS group_size,
-           (doc_id = group_id) AS is_canonical
-    FROM comp
+    SELECT c.doc_id, c.group_id,
+           COUNT(*) OVER (PARTITION BY c.group_id) AS group_size,
+           (c.doc_id = c.group_id) AS is_canonical,
+           x.n_exact_copies
+    FROM comp c JOIN (
+      SELECT doc_id,
+             COUNT(*) OVER (PARTITION BY
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+             ) AS n_exact_copies
+      FROM documents
+    ) x ON c.doc_id = x.doc_id
     """
 
 
@@ -606,13 +691,29 @@ def _dedup_groups_oracle() -> str:
     _dedup_groups_oracle(),
     doc="MinHash-LSH pairs resolved to dedup groups via distributed "
     "connected components (hash-min label propagation over the candidate "
-    "graph only); every doc gets (group_id, group_size, is_canonical). "
-    "Oracle: recursive-CTE transitive closure over the same pair graph.",
+    "graph only); every doc gets (group_id, group_size, is_canonical) "
+    "PLUS n_exact_copies — the normalized-content-md5 group size that "
+    "was d01's whole signal (folded here per-doc, which is strictly "
+    "stronger: the md5 canary now grades every row, freeing d01's slot "
+    "for d08_substr_spans). Oracle: recursive-CTE transitive closure "
+    "over the same pair graph + an independent md5 window count.",
 )
 def d07_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     sigs = minhash_signatures(docs, "doc_id", "text")
-    return dedup_groups(docs, minhash_lsh_pairs(sigs, "doc_id"), "doc_id")
+    from pyspark.sql.window import Window
+
+    groups = dedup_groups(docs, minhash_lsh_pairs(sigs, "doc_id"), "doc_id")
+    norm = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
+    exact = (
+        docs.select("doc_id", norm.alias("__h"))
+        .withColumn(
+            "n_exact_copies",
+            F.count(F.lit(1)).over(Window.partitionBy("__h")),
+        )
+        .select("doc_id", "n_exact_copies")
+    )
+    return groups.join(exact, "doc_id")
 
 
 # ---------------------------------------------------------------------------
