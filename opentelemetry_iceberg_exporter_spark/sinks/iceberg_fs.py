@@ -5487,7 +5487,12 @@ def plan_rewrite(
             from ..operators.layout import sort_by_zorder
 
             part_df = sort_by_zorder(part_df, zorder_by)
-        part_df.write.parquet(out_dir)
+        # compacted files must honor the table's parquet write
+        # properties like any append — without this, the first
+        # compaction silently DROPPED declared bloom filters (killing
+        # point-lookup pruning on the consolidated files) and the
+        # compression codec
+        part_df.write.options(**_parquet_write_options(md)).parquet(out_dir)
         for new in _scan_written_files(out_dir, []):
             rewritten.append(
                 DataFile(

@@ -200,6 +200,38 @@ class TestBatchScopedProbe:
         assert r2.index_bytes_read == r1.index_bytes_read
         assert r2.index_files_read == r1.index_files_read
 
+    def test_compacted_index_keeps_blooms_and_correctness(self, spark, dedup):
+        """rewrite_data_files bounds the probe's O(files) footer reads
+        as batches accumulate; the consolidated files must keep their
+        bloom filters (write options come from table properties) and
+        ingest decisions must be unchanged. (File-level pruning within
+        one small compacted test index is structurally gone — every
+        bucket file holds every shard's grams; at production scale
+        pruning is probabilistic per 128MB file. The bloom presence is
+        what keeps it possible.)"""
+        from opentelemetry_iceberg_exporter_spark.sinks.parquet_footer import (
+            footer_row_group_stats,
+        )
+
+        for i in range(6):
+            dedup.ingest(spark, _batch(spark, [(100 + i, self._shard(i))]))
+        before, _ = dedup.table.plan_files()
+        rows_before = dedup.read_index(spark).count()
+        assert dedup.table.rewrite_data_files(spark, min_files=2) is not None
+        after, _ = dedup.table.plan_files()
+        assert len(after) < len(before)
+        assert dedup.read_index(spark).count() == rows_before
+        # every compacted file still carries a bloom on h
+        for f in after:
+            groups = footer_row_group_stats(f.file_path)
+            assert groups and all(
+                g["columns"]["h"].get("bloom_offset") is not None
+                for g in groups
+            )
+        # and the probe-backed ingest still decides identically
+        r = dedup.ingest(spark, _batch(spark, [(999, self._shard(0))]))
+        assert _texts(r)["999"] == "" and r.new_grams == 0
+
     def test_fold_duplicate_anchors_repairs_races(self, spark, dedup):
         from pyspark.sql import functions as F
 

@@ -175,3 +175,49 @@ class TestWriteCodecProperty:
         assert bloom.read(spark).count() == 50000
         got = bloom.read(spark).filter("doc_id = '123'")
         assert got.count() == 1  # scans with the filter present stay exact
+
+
+class TestCompactionKeepsWriteProperties:
+    def test_rewrite_data_files_keeps_codec_and_blooms(self, spark, tmp_path):
+        """Compaction must write under the table's parquet properties
+        like any append: before this pin the first rewrite_data_files
+        silently dropped declared bloom filters (killing point-lookup
+        pruning on consolidated files) and reverted the codec."""
+        import glob as glob_mod
+
+        from opentelemetry_iceberg_exporter_spark.sinks.parquet_footer import (
+            footer_row_group_stats,
+        )
+
+        cat = FsCatalog(str(tmp_path / "whc"))
+
+        # high-cardinality ids: a fully dictionary-encoded chunk makes
+        # the writer legitimately skip the bloom (the dictionary is an
+        # exact filter), so the pin needs values that overflow the dict
+        def _df_at(offset: int):
+            return spark.range(50000).selectExpr(
+                f"md5(cast(id + {offset} as string)) as doc_id", "id as v"
+            ).coalesce(1)
+
+        t = cat.create_table(
+            "otel",
+            "cmp",
+            _df_at(0).schema,
+            properties={
+                "write.parquet.compression-codec": "zstd",
+                "write.parquet.bloom-filter-enabled.column.doc_id": "true",
+            },
+        )
+        for i in range(3):  # three small files -> compactable
+            t.append_dataframe(_df_at(i * 50000))
+        assert t.rewrite_data_files(spark, min_files=2) is not None
+        live, _ = t.plan_files()
+        assert len(live) == 1  # consolidated
+        f = live[0].file_path
+        assert ".zstd." in os.path.basename(f)
+        groups = footer_row_group_stats(f)
+        assert groups and all(
+            g["columns"]["doc_id"].get("bloom_offset") is not None
+            for g in groups
+        )
+        assert t.read(spark).count() == 150000
