@@ -278,6 +278,22 @@ def main(argv: list[str] | None = None) -> int:
     psi.add_argument("--rest-uri", default=None, help="Iceberg REST catalog URI (switches transport)")
     psi.add_argument("--rest-token", default="", help="bearer token for --rest-uri")
 
+    psf = sub.add_parser(
+        "substr-fold",
+        help="repair a violated single-writer contract on the substring "
+        "anchor index: collapse racing double-inserted hashes to their "
+        "min-(doc_id, pos) canonical in one overwrite snapshot (no-op "
+        "commit-free when the index is clean)",
+    )
+    psf.add_argument("--warehouse", default=None, help="fs warehouse root (required without --rest-uri)")
+    psf.add_argument("--rest-uri", default=None, help="Iceberg REST catalog URI (switches transport)")
+    psf.add_argument("--rest-token", default="", help="bearer token for --rest-uri")
+    psf.add_argument(
+        "--table",
+        default="dedup.substr_index",
+        help="anchor index table as namespace.name",
+    )
+
     pdt = sub.add_parser(
         "dedup-tail",
         help="continuous corpus dedup: drain new snapshots of a catalog "
@@ -1243,9 +1259,36 @@ def main(argv: list[str] | None = None) -> int:
                     "trimmed_docs": res.trimmed_docs,
                     "new_grams": res.new_grams,
                     "snapshot_id": res.snapshot_id,
+                    # the scale signal: the bloom probe must keep these
+                    # tracking the batch, not the corpus
+                    "index_files_read": res.index_files_read,
+                    "index_files_total": res.index_files_total,
+                    "index_bytes_read": res.index_bytes_read,
                 }
             )
         )
+        return 0
+
+    if args.cmd == "substr-fold":
+        from .operators.incremental_substr import IncrementalSubstrDeduper
+
+        if args.rest_uri:
+            from .sinks.iceberg_rest import RestCatalogClient, RestTable
+
+            catalog = RestCatalogClient(
+                args.rest_uri, warehouse=args.warehouse or "", token=args.rest_token
+            )
+            ns, name = args.table.split(".", 1)
+            table = RestTable(catalog, ns, name)
+        else:
+            if not args.warehouse:
+                raise SystemExit("--warehouse is required without --rest-uri")
+            from .sinks.iceberg_fs import FsCatalog
+
+            ns, name = args.table.split(".", 1)
+            table = FsCatalog(args.warehouse).load_table(ns, name)
+        folded = IncrementalSubstrDeduper(table).fold_duplicate_anchors(spark)
+        print(json.dumps({"cmd": "substr-fold", "folded_rows": folded}))
         return 0
 
     if args.cmd == "dedup-ingest":

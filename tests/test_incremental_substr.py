@@ -311,6 +311,35 @@ class TestCli:
         (row,) = out2.collect()
         assert PASSAGE not in row["text_deduped"]
         assert row["chars_removed"] > 0
+        # the scale signal rides the CLI output
+        assert stats["index_files_read"] <= stats["index_files_total"]
+
+    def test_substr_fold_cli(self, spark, tmp_path, capsys):
+        import json
+
+        from pyspark.sql import functions as F
+
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        cat = FsCatalog(str(tmp_path / "wh"))
+        table = create_substr_index_table(cat, "dedup", "substr_index")
+        d = IncrementalSubstrDeduper(table, k=K)
+        d.ingest(spark, _batch(spark, [(1, "zero one two " + PASSAGE)]))
+        idx = d.read_index(spark)
+        n = idx.count()
+        table.append_dataframe(idx.withColumn("doc_id", F.lit("zz-racer")))
+        base = [
+            "substr-fold", "--warehouse", str(tmp_path / "wh"),
+            "--table", "dedup.substr_index",
+        ]
+        assert main(base) == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["folded_rows"] == n
+        assert d.read_index(spark).count() == n
+        # clean index: no-op, nothing committed
+        assert main(base) == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["folded_rows"] == 0
 
 
 class TestTailCli:
