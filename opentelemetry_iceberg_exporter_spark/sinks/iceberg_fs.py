@@ -2546,6 +2546,22 @@ def _parquet_write_options(md: dict) -> dict[str, str]:
     for k, v in props.items():
         if k.startswith(prefix) and str(v).lower() == "true":
             opts[f"parquet.bloom.filter.enabled#{k[len(prefix):]}"] = "true"
+    # write.parquet.bloom-filter-fpp.column.<col> (Iceberg spec write
+    # property): per-column target false-positive probability. Matters
+    # when a reader probes one filter with MANY keys (the incremental
+    # ingesters' batch probe): file-level FP = 1-(1-fpp)^batch_keys,
+    # so discriminating a 1e5-key batch needs fpp far below the 1%
+    # default. parquet-mr sizes the filter from its adaptive observed
+    # NDV + this fpp, capped by max-bytes.
+    fpp_prefix = "write.parquet.bloom-filter-fpp.column."
+    for k, v in props.items():
+        if k.startswith(fpp_prefix):
+            opts[f"parquet.bloom.filter.fpp#{k[len(fpp_prefix):]}"] = str(v)
+            # a declared fpp asks for a GUARANTEE, so let the writer
+            # size the filter from the chunk's observed NDV (adaptive)
+            # instead of always allocating max-bytes — small files get
+            # small filters, dense files grow up to the cap
+            opts["parquet.bloom.filter.adaptive.enabled"] = "true"
     max_bytes = props.get("write.parquet.bloom-filter-max-bytes")
     if max_bytes:
         opts["parquet.bloom.filter.max.bytes"] = str(max_bytes)

@@ -418,3 +418,43 @@ class TestBatchHashProbe:
         both = batch_key_hashes(["doc-00000000", "doc-00001001"])
         kept4, _ = prune_files_by_hash_batch(files, "doc_id", both)
         assert len(kept4) == 2
+
+
+class TestFppProperty:
+    def test_fpp_property_maps_and_sizes(self, spark, tmp_path):
+        """write.parquet.bloom-filter-fpp.column.<col> (Iceberg write
+        property) reaches the writer: the declared fpp turns on
+        adaptive NDV-based sizing, and the resulting filter still
+        answers probes correctly (present=maybe, absent=no)."""
+        from opentelemetry_iceberg_exporter_spark.operators.index_probe import (
+            batch_key_hashes,
+        )
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+            FsCatalog,
+            _parquet_write_options,
+        )
+
+        cat = FsCatalog(str(tmp_path / "whf"))
+        df = _ids_df(spark, 0, 20000, 1)
+        t = cat.create_table(
+            "otel",
+            "fpp",
+            df.schema,
+            properties={
+                "write.parquet.bloom-filter-enabled.column.doc_id": "true",
+                "write.parquet.bloom-filter-fpp.column.doc_id": "0.000001",
+                "write.parquet.bloom-filter-max-bytes": str(16 * 1024 * 1024),
+            },
+        )
+        opts = _parquet_write_options(t.metadata())
+        assert opts["parquet.bloom.filter.fpp#doc_id"] == "0.000001"
+        assert opts["parquet.bloom.filter.adaptive.enabled"] == "true"
+        assert opts["parquet.bloom.filter.max.bytes"] == str(16 * 1024 * 1024)
+        t.append_dataframe(df)
+        files, _ = t.plan_files()
+        present = batch_key_hashes(["doc-00000007"])
+        absent = batch_key_hashes(["doc-ghost"])
+        kept, _ = prune_files_by_hash_batch(files, "doc_id", present)
+        assert len(kept) == 1
+        kept2, dropped2 = prune_files_by_hash_batch(files, "doc_id", absent)
+        assert kept2 == [] and len(dropped2) == 1
