@@ -1335,6 +1335,11 @@ def main(argv: list[str] | None = None) -> int:
                     "already": res.already,
                     "unbandable": res.unbandable,
                     "index_snapshot": res.snapshot_id,
+                    # the scale signal: the bloom probe must keep these
+                    # tracking the batch, not the corpus
+                    "index_files_read": res.index_files_read,
+                    "index_files_total": res.index_files_total,
+                    "index_bytes_read": res.index_bytes_read,
                 }
             )
         )
