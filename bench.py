@@ -882,7 +882,7 @@ def run_ingest_bench(spark, sf_dir: str) -> dict:
             last = ing.ingest(spark, batch)
             last.output.count()  # materialize the trimmed output too
             secs.append(time.perf_counter() - t0)
-        return {
+        out = {
             "substr_ingest_batches": n_batches,
             "substr_ingest_first_sec": round(secs[0], 3),
             "substr_ingest_last_sec": round(secs[-1], 3),
@@ -894,6 +894,35 @@ def run_ingest_bench(spark, sf_dir: str) -> dict:
             ),
             "substr_ingest_index_mb_read": round(last.index_bytes_read / 1e6, 3),
         }
+
+        # the LSH sibling: same growth curve over the band index (4
+        # rows/doc instead of chars/stride grams, so the constant is
+        # smaller; the curve is the signal either way)
+        from opentelemetry_iceberg_exporter_spark.operators.incremental_dedup import (
+            IncrementalDeduper,
+            create_index_table,
+        )
+
+        cat2 = FsCatalog(os.path.join(tmp, "wh_lsh"))
+        table2 = create_index_table(cat2, "bench", "band_idx")
+        lsh = IncrementalDeduper(table2)
+        dsecs = []
+        dlast = None
+        for i in range(n_batches):
+            batch = docs.filter(bucket == i)
+            t0 = time.perf_counter()
+            dlast = lsh.ingest(spark, batch)
+            dlast.decisions.count()
+            dsecs.append(time.perf_counter() - t0)
+        out.update(
+            {
+                "dedup_ingest_first_sec": round(dsecs[0], 3),
+                "dedup_ingest_last_sec": round(dsecs[-1], 3),
+                "dedup_ingest_index_files_total": dlast.index_files_total,
+                "dedup_ingest_index_files_read": dlast.index_files_read,
+            }
+        )
+        return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1100,6 +1129,8 @@ def main() -> None:
             "mix_sec": llm_pipeline["mix_sec"],
             "substr_ingest_first_sec": ingest_bench["substr_ingest_first_sec"],
             "substr_ingest_last_sec": ingest_bench["substr_ingest_last_sec"],
+            "dedup_ingest_first_sec": ingest_bench["dedup_ingest_first_sec"],
+            "dedup_ingest_last_sec": ingest_bench["dedup_ingest_last_sec"],
             "substr_ingest_index_files_read": ingest_bench[
                 "substr_ingest_index_files_read"
             ],
