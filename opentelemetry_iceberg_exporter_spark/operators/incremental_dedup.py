@@ -68,7 +68,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
 from .dedup import band_pairs, band_rows, dedup_groups, minhash_signatures
-from .index_probe import index_table_properties, read_index_rows
+from .index_probe import (
+    collect_probe_keys,
+    index_table_properties,
+    read_index_rows,
+)
 
 # one row per (accepted doc, LSH band)
 INDEX_SCHEMA = StructType(
@@ -183,10 +187,10 @@ class IncrementalDeduper:
 
         # batch-scoped index read: the batch's distinct band keys probe
         # every index file's bloom filter; only candidate files are
-        # opened, so index bytes read scale with the BATCH
-        batch_keys = [
-            r["band_key"] for r in rows.select("band_key").distinct().collect()
-        ]
+        # opened, so index bytes read scale with the BATCH (a
+        # backlog-sized batch beyond MAX_PROBE_KEYS skips the probe
+        # and reads the full index — bounded driver memory)
+        batch_keys = collect_probe_keys(rows, "band_key")
         idx, scan_stats = read_index_rows(spark, self.table, "band_key", batch_keys)
         # one equi-join against the index: per doc, did we hit our own
         # rows (replay) and what is the smallest OTHER indexed doc hit?

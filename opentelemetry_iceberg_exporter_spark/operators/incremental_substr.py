@@ -63,7 +63,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from .index_probe import index_table_properties, read_index_rows
+from .index_probe import (
+    collect_probe_keys,
+    index_table_properties,
+    read_index_rows,
+)
 from .substring_dedup import (
     DEFAULT_K,
     apply_span_strip,
@@ -176,8 +180,10 @@ class IncrementalSubstrDeduper:
 
         # batch-scoped index read: the batch's distinct gram hashes
         # probe every index file's bloom filter; only candidate files
-        # are opened, so index bytes read scale with the BATCH
-        batch_hashes = [r["h"] for r in grams.select("h").distinct().collect()]
+        # are opened, so index bytes read scale with the BATCH (a
+        # backlog-sized batch beyond MAX_PROBE_KEYS skips the probe
+        # and reads the full index — bounded driver memory)
+        batch_hashes = collect_probe_keys(grams, "h")
         idx_rows, scan_stats = read_index_rows(spark, self.table, "h", batch_hashes)
         # single-writer contract: one index row per hash, so the join
         # needs no per-batch canonical-resolution aggregate (racing

@@ -90,11 +90,30 @@ class IndexScanStats:
     bytes_read: int
 
 
+# above this many distinct batch keys the probe stops paying: the
+# driver-side collect + per-file vectorized probe cost more than the
+# scan they might save, and file-level FP compounding (1-(1-fpp)^B)
+# stops discriminating — fall back to the full index read
+MAX_PROBE_KEYS = 2_000_000
+
+
+def collect_probe_keys(df: DataFrame, key_col: str) -> list[str] | None:
+    """The batch's distinct key values for the file probe, or None when
+    the batch is too large to probe (> MAX_PROBE_KEYS distinct keys —
+    a backlog-sized batch; the ingest then reads the full index, which
+    such a batch would have touched nearly all of anyway). The limit
+    check is bounded: it never counts more than MAX_PROBE_KEYS+1 rows."""
+    distinct = df.select(key_col).distinct()
+    if distinct.limit(MAX_PROBE_KEYS + 1).count() > MAX_PROBE_KEYS:
+        return None
+    return [r[key_col] for r in distinct.collect()]
+
+
 def read_index_rows(
     spark: SparkSession,
     table,
     key_col: str,
-    keys: list[str],
+    keys: list[str] | None,
     snapshot_id: int | None = None,
 ) -> tuple[DataFrame, IndexScanStats]:
     """Index rows from ONLY the data files whose blooms say they might
@@ -107,13 +126,17 @@ def read_index_rows(
     contains no batch key (bloom false = absence), and any file the
     probe cannot interpret is read. The join downstream therefore sees
     exactly the index rows it would have seen from a full scan,
-    restricted to keys that can match."""
+    restricted to keys that can match. `keys=None` (a batch too large
+    to probe — see collect_probe_keys) reads every live file."""
     files, _ = table.plan_files(snapshot_id=snapshot_id)
     md = table.metadata()
     bytes_total = sum(f.file_size_in_bytes for f in files)
-    kept, _dropped = prune_files_by_hash_batch(
-        files, key_col, batch_key_hashes(keys), spark=spark
-    )
+    if keys is None:
+        kept = files
+    else:
+        kept, _dropped = prune_files_by_hash_batch(
+            files, key_col, batch_key_hashes(keys), spark=spark
+        )
     stats = IndexScanStats(
         files_total=len(files),
         files_read=len(kept),
