@@ -423,6 +423,18 @@ class TestSubstringDedupContracts:
         plan = physical_plan(df, "simple")
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
+    def test_d08_registered_query_contract(self, spark, sf_dir, specs):
+        """The d08 registry row (spans + strip + per-doc stats joined
+        back) inherits the operator's plan guarantees end to end: no
+        cartesian/nested-loop anywhere, no Python in the row path (the
+        stitch is a JVM aggregate() fold)."""
+        df = specs["d08_substr_spans"].fn(spark, sf_dir)
+        js = join_strategies(df)
+        assert "CartesianProduct" not in js, js
+        assert "BroadcastNestedLoopJoin" not in js, js
+        plan = physical_plan(df, "simple")
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
     def test_d05_shuffle_budget(self, spark, sf_dir, specs):
         """d05: the splits arm is one aggregate exchange; the strat arm
         is one window exchange (rank and per-stratum count ride the SAME
