@@ -1179,8 +1179,16 @@ def file_column_bounds(path: str, md: dict) -> tuple[dict[int, bytes], dict[int,
             if stats is None or not stats.has_min_max:
                 missing.add(fid)
                 continue
-            lows[fid] = stats.min if fid not in lows else min(lows[fid], stats.min)
-            highs[fid] = stats.max if fid not in highs else max(highs[fid], stats.max)
+            try:
+                lo, hi = stats.min, stats.max
+            except Exception:  # noqa: BLE001 — pyarrow cannot CAST the
+                # statistics for some logical types (e.g. decimal:
+                # "Cannot extract statistics for type"); bounds are an
+                # optional pruning aid, never worth failing a write
+                missing.add(fid)
+                continue
+            lows[fid] = lo if fid not in lows else min(lows[fid], lo)
+            highs[fid] = hi if fid not in highs else max(highs[fid], hi)
     for fid in missing:
         lows.pop(fid, None)
         highs.pop(fid, None)

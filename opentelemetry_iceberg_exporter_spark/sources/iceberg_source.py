@@ -200,9 +200,25 @@ def _nullsafe_fill(col):
         zero = b"\x00" * t.byte_width
     elif pa.types.is_boolean(t):
         zero = False
+    elif pa.types.is_date(t):
+        import datetime
+
+        zero = pa.scalar(datetime.date(1970, 1, 1), type=t)
+    elif pa.types.is_time(t):
+        import datetime
+
+        zero = pa.scalar(datetime.time(0, 0), type=t)
+    elif pa.types.is_decimal(t):
+        from decimal import Decimal
+
+        zero = pa.scalar(Decimal(0), type=t)
     else:
-        # integer / decimal / temporal primitives (floats are refused
-        # as equality keys at plan time): 0 at the column's type
+        # integer / timestamp primitives (floats are refused as
+        # equality keys at plan time): epoch-0 at the column's type.
+        # The value itself is arbitrary — the is_null companion keeps
+        # filled rows distinct from genuine zeros — but it MUST be the
+        # same deterministic constant on both join sides so null keys
+        # match null keys.
         zero = pa.scalar(0).cast(t)
     return pc.fill_null(col, zero), pc.is_null(col)
 

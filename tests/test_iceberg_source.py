@@ -203,6 +203,66 @@ class TestBatchFormat:
         lib = sorted(r.ident for r in t.read(registered).collect())
         assert got == lib
 
+    def test_date_and_decimal_keyed_equality_deletes(
+        self, registered, tmp_path
+    ):
+        """Non-string/int equality keys exercise the null-safe fill's
+        type branches (date needs a date scalar, decimal a Decimal —
+        pa.scalar(0).cast crashes on both); parity with the library
+        read pins semantics."""
+        import datetime
+        from decimal import Decimal
+
+        from pyspark.sql.types import DateType, DecimalType
+
+        schema = StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("d", DateType(), True),
+                StructField("m", DecimalType(10, 2), True),
+            ]
+        )
+        cat = FsCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("ns", "typed_del", schema)
+        rows = [
+            Row(
+                id=i,
+                d=(None if i % 5 == 0 else datetime.date(2024, 1, 1 + i % 20)),
+                m=(None if i % 7 == 0 else Decimal(i).scaleb(-1)),
+            )
+            for i in range(100)
+        ]
+        t.append_dataframe(registered.createDataFrame(rows, schema))
+        # date-keyed delete incl. a NULL key (null-safe: kills the
+        # date-null rows)
+        keys = registered.createDataFrame(
+            [Row(d=datetime.date(2024, 1, 3)), Row(d=None)],
+            StructType([StructField("d", DateType(), True)]),
+        )
+        t.delete_where_equality(registered, keys, ["d"])
+        # decimal-keyed delete
+        mkeys = registered.createDataFrame(
+            [Row(m=Decimal("1.20"))],
+            StructType([StructField("m", DecimalType(10, 2), True)]),
+        )
+        t.delete_where_equality(registered, mkeys, ["m"])
+        got = sorted(
+            r.id
+            for r in registered.read.format("iceberg_fs")
+            .load(t.location)
+            .collect()
+        )
+        want = sorted(
+            i
+            for i in range(100)
+            if i % 5 != 0  # null date deleted
+            and (i % 20) != 2  # 2024-01-03 deleted
+            and i != 12  # m = 1.20 deleted
+        )
+        assert got == want
+        lib = sorted(r.id for r in t.read(registered).collect())
+        assert got == lib
+
     def test_schema_evolution_nulls(self, registered, tmp_path):
         t = _make(registered, tmp_path, n=5)
         t.add_columns([StructField("extra", StringType(), True)])
