@@ -441,6 +441,15 @@ def _file_matchless_for_hashes(path: str, col: str, phys: int, hashes) -> bool:
     return True
 
 
+def _file_matchless_for_hash_broadcast(path: str, col: str, phys: int, bc) -> bool:
+    """Broadcast-variable flavor of _file_matchless_for_hashes: the
+    uint64 hash array travels to each executor ONCE (torrent broadcast)
+    instead of riding every task's serialized closure — at the probe's
+    2M-key cap the array is 16 MB, which per-task pickling would ship
+    hundreds of times."""
+    return _file_matchless_for_hashes(path, col, phys, bc.value)
+
+
 def prune_files_by_hash_batch(
     files: list, col: str, hashes, spark=None
 ) -> tuple[list, list]:
@@ -468,13 +477,28 @@ def prune_files_by_hash_batch(
     if h.size == 0:
         # no keys: every file is provably matchless for the batch
         return [], list(files)
-    from .footer_probe import probe_verdicts
+    from .footer_probe import DISTRIBUTED_THRESHOLD, probe_verdicts
 
-    verdict = probe_verdicts(
-        [f.file_path for f in files],
-        partial(_file_matchless_for_hashes, col=col, phys=PHYS_BYTE_ARRAY, hashes=h),
-        spark=spark,
-    )
+    paths = [f.file_path for f in files]
+    bc = None
+    if spark is not None and len(paths) >= DISTRIBUTED_THRESHOLD:
+        # executor-side probe: ship the hash array once per executor
+        bc = spark.sparkContext.broadcast(h)
+        probe_fn = partial(
+            _file_matchless_for_hash_broadcast,
+            col=col,
+            phys=PHYS_BYTE_ARRAY,
+            bc=bc,
+        )
+    else:
+        probe_fn = partial(
+            _file_matchless_for_hashes, col=col, phys=PHYS_BYTE_ARRAY, hashes=h
+        )
+    try:
+        verdict = probe_verdicts(paths, probe_fn, spark=spark)
+    finally:
+        if bc is not None:
+            bc.unpersist()
     kept = [f for f in files if not verdict[f.file_path]]
     dropped = [f for f in files if verdict[f.file_path]]
     return kept, dropped
