@@ -85,12 +85,16 @@ _SUBSTR_K = 25  # spans-row gram width: ~45% of docs carry a duplicated
 @register(
     "d08_substr_spans",
     f"""
-    WITH pos AS (SELECT range AS p FROM range(0, 10000)),
+    WITH gp AS (
+      SELECT doc_id, text,
+             unnest(range(0, greatest(length(text) - {_SUBSTR_K} + 1, 0)))
+               AS pos
+      FROM documents
+    ),
     g AS (
-      SELECT d.doc_id, pos.p AS pos,
-             substring(d.text, pos.p::INT + 1, {_SUBSTR_K}) AS gram
-      FROM documents d JOIN pos ON pos.p <= length(d.text) - {_SUBSTR_K}
-      WHERE length(d.text) >= {_SUBSTR_K}
+      SELECT doc_id, pos,
+             substring(text, pos::INT + 1, {_SUBSTR_K}) AS gram
+      FROM gp
     ),
     ranked AS (
       SELECT doc_id, pos,
