@@ -200,6 +200,15 @@ class TestBatchScopedProbe:
         assert r2.index_bytes_read == r1.index_bytes_read
         assert r2.index_files_read == r1.index_files_read
 
+    def test_empty_batch_reads_zero_index_files(self, spark, dedup):
+        """An empty batch has no keys, so the probe proves every index
+        file matchless: nothing read, nothing appended, no snapshot."""
+        dedup.ingest(spark, _batch(spark, [(1, self._shard(1))]))
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        r = dedup.ingest(spark, empty)
+        assert r.docs == 0 and r.new_grams == 0 and r.snapshot_id is None
+        assert r.index_files_read == 0 and r.index_files_total > 0
+
     def test_compacted_index_keeps_blooms_and_correctness(self, spark, dedup):
         """rewrite_data_files bounds the probe's O(files) footer reads
         as batches accumulate; the consolidated files must keep their
