@@ -152,23 +152,18 @@ def d08_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
     )
     spans = duplicated_spans(docs, "doc_id", "text", k=_SUBSTR_K)
-    per_doc = spans.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("spans_removed"),
-        F.sum(F.col("span_end") - F.col("span_start")).alias("chars_removed"),
+    # with_stats derives the per-doc counters from the strip's own
+    # collected span array — ONE use of the spans pipeline (a second
+    # aggregation over `spans` would recompute the dominant gram
+    # explode: HOF lambdas defeat exchange reuse)
+    stripped = apply_span_strip(
+        docs, "doc_id", "text", spans, with_stats=True
     )
-    stripped = apply_span_strip(docs, "doc_id", "text", spans)
-    return (
-        stripped.join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("spans_removed", F.lit(0)).cast("long").alias(
-                "spans_removed"
-            ),
-            F.coalesce("chars_removed", F.lit(0)).cast("long").alias(
-                "chars_removed"
-            ),
-            F.length("text_deduped").cast("long").alias("deduped_len"),
-        )
+    return stripped.select(
+        "doc_id",
+        "spans_removed",
+        "chars_removed",
+        F.length("text_deduped").cast("long").alias("deduped_len"),
     )
 
 

@@ -176,11 +176,21 @@ def apply_span_strip(
     text_col: str,
     spans: DataFrame,
     out_col: str = "text_deduped",
+    with_stats: bool = False,
 ) -> DataFrame:
     """Excise (doc_id, span_start, span_end) intervals from each doc's
     text into `out_col` — one JVM-side aggregate() stitching fold over
     the doc's sorted span list; span-free docs pass through untouched.
-    Shared by the one-shot operator and the incremental ingester."""
+    Shared by the one-shot operator and the incremental ingester.
+
+    `with_stats` also emits `spans_removed` / `chars_removed` derived
+    from the SAME collected span array — callers that need both the
+    trimmed text and the per-doc stats must use this instead of a
+    second aggregation over `spans`: the spans pipeline (gram explode +
+    dup aggregate + join-back) is the dominant cost, and referencing
+    `spans` twice recomputes it (HOF lambdas defeat exchange-reuse
+    canonicalization, and materializing the intermediate costs more
+    than one recompute at any scale where it fits)."""
     per_doc = spans.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct("span_start", "span_end"))).alias(
             "__spans"
@@ -199,9 +209,25 @@ def apply_span_strip(
         f"acc -> concat(acc.out, "
         f"substring({text_col}, acc.cur + 1, length({text_col}) - acc.cur)))"
     )
-    return joined.withColumn(
+    out = joined.withColumn(
         out_col,
         F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(
             F.expr(stitched)
         ),
-    ).drop("__spans")
+    )
+    if with_stats:
+        out = out.withColumn(
+            "spans_removed",
+            F.when(F.col("__spans").isNull(), F.lit(0)).otherwise(
+                F.size("__spans")
+            ).cast("long"),
+        ).withColumn(
+            "chars_removed",
+            F.when(F.col("__spans").isNull(), F.lit(0)).otherwise(
+                F.expr(
+                    "aggregate(__spans, 0L, "
+                    "(a, s) -> a + (s.span_end - s.span_start))"
+                )
+            ).cast("long"),
+        )
+    return out.drop("__spans")
