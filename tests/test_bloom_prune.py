@@ -523,3 +523,44 @@ def _md5(i: int) -> str:
     import hashlib
 
     return hashlib.md5(str(i).encode()).hexdigest()
+
+
+class TestSbbfFuzz:
+    def test_vectorized_equals_scalar_on_random_bitsets(self):
+        """Property fuzz: for ANY bitset (including empty / non-multiple
+        -of-32 truncation handled by the block count) and ANY uint64
+        hash batch, the vectorized batch probe equals the OR of the
+        spec's scalar probes."""
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.binary(min_size=0, max_size=8 * 32),
+            st.lists(
+                st.integers(min_value=0, max_value=(1 << 64) - 1),
+                min_size=0,
+                max_size=40,
+            ),
+        )
+        def check(bitset, hashes):
+            # probe interprets whole 32-byte blocks only
+            bitset = bitset[: (len(bitset) // 32) * 32]
+            got = sbbf_any_contained(
+                bitset, np.array(hashes, dtype=np.uint64)
+            )
+            if not hashes:
+                want = False if bitset else False
+                # empty batch: nothing can be present — but an EMPTY
+                # bitset is malformed and must answer maybe=True
+                want = True if len(bitset) == 0 else False
+            else:
+                want = (
+                    True
+                    if len(bitset) == 0
+                    else any(sbbf_might_contain(bitset, h) for h in hashes)
+                )
+            assert got == want
+
+        check()
