@@ -882,8 +882,26 @@ def run_ingest_bench(spark, sf_dir: str) -> dict:
             last = ing.ingest(spark, batch)
             last.output.count()  # materialize the trimmed output too
             secs.append(time.perf_counter() - t0)
+        # discrimination check: the 8 real batches legitimately read
+        # most files (the synthetic corpus duplicates grams everywhere —
+        # true positives), so ALSO ingest one batch of genuinely NOVEL
+        # content (md5-derived text shares no k-gram with the corpus):
+        # its probe must prune nearly every index file
+        novel = spark.range(200).selectExpr(
+            "id + 1000000 as doc_id",
+            "concat_ws('', transform(sequence(0, 9), "
+            "i -> md5(concat(cast(id as string), '-', cast(i as string)))))"
+            " as text",
+        )
+        t0 = time.perf_counter()
+        nv = ing.ingest(spark, novel)
+        nv.output.count()
+        novel_sec = time.perf_counter() - t0
+
         out = {
             "substr_ingest_batches": n_batches,
+            "substr_ingest_novel_sec": round(novel_sec, 3),
+            "substr_ingest_novel_files_read": nv.index_files_read,
             "substr_ingest_first_sec": round(secs[0], 3),
             "substr_ingest_last_sec": round(secs[-1], 3),
             "substr_ingest_sec_all": [round(s, 3) for s in secs],
@@ -1129,6 +1147,9 @@ def main() -> None:
             "mix_sec": llm_pipeline["mix_sec"],
             "substr_ingest_first_sec": ingest_bench["substr_ingest_first_sec"],
             "substr_ingest_last_sec": ingest_bench["substr_ingest_last_sec"],
+            "substr_ingest_novel_files_read": ingest_bench[
+                "substr_ingest_novel_files_read"
+            ],
             "dedup_ingest_first_sec": ingest_bench["dedup_ingest_first_sec"],
             "dedup_ingest_last_sec": ingest_bench["dedup_ingest_last_sec"],
             "substr_ingest_index_files_read": ingest_bench[
