@@ -392,6 +392,34 @@ class TestTailCli:
 
 
 class TestRestTransport:
+    def test_fold_duplicate_anchors_over_rest(self, spark, tmp_path):
+        """The race-repair fold commits its overwrite snapshot through
+        the REST transport too."""
+        from pyspark.sql import functions as F
+
+        from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
+            RestCatalogClient,
+        )
+
+        warehouse = str(tmp_path / "whf")
+        os.makedirs(warehouse)
+        server, _, uri = make_server(warehouse)
+        try:
+            client = RestCatalogClient(uri, warehouse=warehouse)
+            table = create_substr_index_table(client, "corpus", "fold_idx")
+            d = IncrementalSubstrDeduper(table, k=K)
+            d.ingest(spark, _batch(spark, [(1, "zero one two " + PASSAGE)]))
+            idx = d.read_index(spark)
+            n = idx.count()
+            table.append_dataframe(idx.withColumn("doc_id", F.lit("zz-racer")))
+            assert d.fold_duplicate_anchors(spark) == n
+            after = d.read_index(spark)
+            assert after.count() == n
+            assert after.filter("doc_id = 'zz-racer'").count() == 0
+            assert d.fold_duplicate_anchors(spark) == 0
+        finally:
+            server.shutdown()
+
     def test_rest_parity(self, spark, tmp_path):
         from opentelemetry_iceberg_exporter_spark.sinks.iceberg_rest import (
             RestCatalogClient,
