@@ -128,8 +128,13 @@ def read_index_rows(
     exactly the index rows it would have seen from a full scan,
     restricted to keys that can match. `keys=None` (a batch too large
     to probe — see collect_probe_keys) reads every live file."""
-    files, _ = table.plan_files(snapshot_id=snapshot_id)
+    from ..sinks.iceberg_fs import plan_scan_metadata
+
+    # ONE metadata load: files and read schema come from the same
+    # snapshot view (no skew under a concurrent commit), and a REST
+    # table pays one HTTP round-trip instead of two per ingest
     md = table.metadata()
+    files, _, _ = plan_scan_metadata(md, snapshot_id)
     bytes_total = sum(f.file_size_in_bytes for f in files)
     if keys is None:
         kept = files
