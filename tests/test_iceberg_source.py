@@ -346,3 +346,79 @@ class TestStreamFormat:
         self._run_available_now(registered, t.location, out, ck)
         got = sorted(r.id for r in registered.read.parquet(out).collect())
         assert got == list(range(12)) + [100]  # nothing replayed
+
+
+class TestPositionMaskBuild:
+    """The driver-side position/DV mask build (_positions_by_file) must
+    stay numpy end to end (r11 verdict ask #1): a 10^8-position
+    deletion vector is ~800 MB of contiguous int64, never a multi-GB
+    Python object list."""
+
+    def _dv_delete_stub(self, tmp_path, positions, data_file="data/a.parquet"):
+        from opentelemetry_iceberg_exporter_spark.sinks.puffin import (
+            write_deletion_vector_file,
+        )
+        from opentelemetry_iceberg_exporter_spark.sinks.roaring import serialize_64
+
+        path, spans = write_deletion_vector_file(
+            str(tmp_path), {data_file: (serialize_64(positions), len(positions))}, 1
+        )
+        off, length, _card = spans[data_file]
+
+        class D:
+            is_deletion_vector = True
+            file_path = path
+            content_offset = off
+            content_size_in_bytes = length
+            referenced_data_file = data_file
+
+        return D()
+
+    def test_multi_million_position_dv_stays_numpy(self, tmp_path):
+        import numpy as np
+
+        from opentelemetry_iceberg_exporter_spark.sources.iceberg_source import (
+            _positions_by_file,
+        )
+
+        rng = np.random.default_rng(7)
+        pos = np.unique(rng.integers(0, 50_000_000, size=3_000_000))
+        out = _positions_by_file([self._dv_delete_stub(tmp_path, pos)])
+        got = out["data/a.parquet"]
+        assert isinstance(got, np.ndarray) and got.dtype == np.int64
+        assert got.shape == pos.shape
+        assert bool((got == pos).all())
+
+    def test_parquet_tuples_group_vectorized_and_merge_with_dv(self, tmp_path):
+        """Parquet position-delete tuples group per file by dictionary
+        encoding (no per-row Python loop) and merge + de-duplicate with
+        a DV referencing the same data file."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from opentelemetry_iceberg_exporter_spark.sources.iceberg_source import (
+            _positions_by_file,
+        )
+
+        del_path = str(tmp_path / "pd.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": ["data/a.parquet", "data/b.parquet"] * 3,
+                    "pos": pa.array([5, 1, 3, 2, 5, 1], type=pa.int64()),
+                }
+            ),
+            del_path,
+        )
+
+        class P:
+            is_deletion_vector = False
+            file_path = del_path
+
+        dv = self._dv_delete_stub(tmp_path, np.array([3, 9], dtype=np.int64))
+        out = _positions_by_file([P(), dv])
+        a, b = out["data/a.parquet"], out["data/b.parquet"]
+        assert isinstance(a, np.ndarray) and isinstance(b, np.ndarray)
+        assert a.tolist() == [3, 5, 9]  # sorted, de-duplicated, DV merged
+        assert b.tolist() == [1, 2]
