@@ -34,7 +34,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..sinks.bloom_prune import prune_files_by_hash_batch, xxh64
+from ..sinks.bloom_prune import prune_files_by_hash_batch, xxh64, xxh64_batch
 from ..sinks.iceberg_fs import scan_with_deletes
 
 # the key columns the ingesters index by are md5 hex strings
@@ -68,14 +68,29 @@ def index_table_properties(key_col: str) -> dict[str, str]:
 
 def batch_key_hashes(keys: list[str]):
     """uint64 XXH64 (seed 0) of each key's plain encoding — what the
-    parquet writer hashed into the blooms. Pure-Python xxh64 over
-    O(batch) short strings: microseconds per key, driver-side, bounded
-    by the batch (never the corpus)."""
+    parquet writer hashed into the blooms. Numpy-vectorized: keys
+    bucket by byte length (the index keys are fixed-width md5 hex /
+    band keys, so this is one bucket in practice), each bucket hashes
+    as the rows of one (n, L) uint8 matrix through `xxh64_batch`
+    (fuzz-pinned against the scalar spec hash) — milliseconds at the
+    2M-key probe cap where a per-key Python loop was seconds of
+    serial driver CPU (r11 verdict ask #2)."""
     import numpy as np
 
-    return np.fromiter(
-        (xxh64(k.encode("utf-8")) for k in keys), dtype=np.uint64, count=len(keys)
-    )
+    out = np.empty(len(keys), dtype=np.uint64)
+    by_len: dict[int, tuple[list[int], list[bytes]]] = {}
+    for i, k in enumerate(keys):
+        b = k.encode("utf-8")
+        idx, rows = by_len.setdefault(len(b), ([], []))
+        idx.append(i)
+        rows.append(b)
+    for length, (idx, rows) in by_len.items():
+        if length == 0:
+            out[np.asarray(idx, dtype=np.int64)] = xxh64(b"")
+            continue
+        M = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(len(rows), length)
+        out[np.asarray(idx, dtype=np.int64)] = xxh64_batch(M)
+    return out
 
 
 @dataclass
@@ -101,12 +116,16 @@ def collect_probe_keys(df: DataFrame, key_col: str) -> list[str] | None:
     """The batch's distinct key values for the file probe, or None when
     the batch is too large to probe (> MAX_PROBE_KEYS distinct keys —
     a backlog-sized batch; the ingest then reads the full index, which
-    such a batch would have touched nearly all of anyway). The limit
-    check is bounded: it never counts more than MAX_PROBE_KEYS+1 rows."""
-    distinct = df.select(key_col).distinct()
-    if distinct.limit(MAX_PROBE_KEYS + 1).count() > MAX_PROBE_KEYS:
+    such a batch would have touched nearly all of anyway). ONE Spark
+    job, bounded: `limit(MAX+1).collect()` never ships more than
+    MAX_PROBE_KEYS+1 rows to the driver, and when the distinct set is
+    within the cap the limited collect IS the full set (no second
+    job — the previous count-then-collect spelling ran the distinct
+    twice)."""
+    rows = df.select(key_col).distinct().limit(MAX_PROBE_KEYS + 1).collect()
+    if len(rows) > MAX_PROBE_KEYS:
         return None
-    return [r[key_col] for r in distinct.collect()]
+    return [r[key_col] for r in rows]
 
 
 def read_index_rows(
@@ -134,6 +153,13 @@ def read_index_rows(
     # snapshot view (no skew under a concurrent commit), and a REST
     # table pays one HTTP round-trip instead of two per ingest
     md = table.metadata()
+    # a REST table's scan must run under the vended, not ambient,
+    # identity — apply the vend HERE (the metadata() call above just
+    # refreshed the credential set, so this is conf-only, no extra
+    # HTTP): callers that act on the returned DataFrame before any
+    # later append would otherwise scan uncredentialed
+    if hasattr(table, "apply_storage_credentials"):
+        table.apply_storage_credentials(spark, md["location"])
     files, _, _ = plan_scan_metadata(md, snapshot_id)
     bytes_total = sum(f.file_size_in_bytes for f in files)
     if keys is None:

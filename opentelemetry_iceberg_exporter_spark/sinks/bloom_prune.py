@@ -138,6 +138,81 @@ def xxh64(data: bytes, seed: int = 0) -> int:
     return h
 
 
+def xxh64_batch(rows, seed: int = 0):
+    """Vectorized XXH64 (seed configurable, parquet uses 0) over the
+    ROWS of a C-contiguous (n, L) uint8 matrix — n equal-length byte
+    strings hashed in one numpy pass. Same spec as the scalar `xxh64`
+    (fuzz-pinned against it across every tail-length code path); the
+    batch form exists because the ingest index probe hashes up to 2M
+    fixed-width keys per batch and a pure-Python loop is seconds of
+    serial driver CPU where numpy is milliseconds.
+
+    All arithmetic is uint64 with C wraparound; byte loads view the
+    row slices through explicit little-endian dtypes, so the result is
+    host-endianness-independent. Returns a (n,) uint64 array."""
+    import numpy as np
+
+    M = np.ascontiguousarray(rows, dtype=np.uint8)
+    if M.ndim != 2:
+        raise ValueError("xxh64_batch expects a (n, L) uint8 matrix")
+    n_rows, L = M.shape
+    u64 = np.uint64
+    P1, P2, P3, P4, P5 = (u64(_P1), u64(_P2), u64(_P3), u64(_P4), u64(_P5))
+
+    def load64(i):
+        return (
+            np.ascontiguousarray(M[:, i : i + 8]).view(np.dtype("<u8")).ravel()
+        )
+
+    def load32(i):
+        return (
+            np.ascontiguousarray(M[:, i : i + 4])
+            .view(np.dtype("<u4"))
+            .ravel()
+            .astype(u64)
+        )
+
+    def rotl(x, r):
+        return (x << u64(r)) | (x >> u64(64 - r))
+
+    def rnd(acc, lane):
+        return rotl(acc + lane * P2, u64(31)) * P1
+
+    i = 0
+    if L >= 32:
+        v1 = np.full(n_rows, u64((seed + _P1 + _P2) & _M64), dtype=u64)
+        v2 = np.full(n_rows, u64((seed + _P2) & _M64), dtype=u64)
+        v3 = np.full(n_rows, u64(seed & _M64), dtype=u64)
+        v4 = np.full(n_rows, u64((seed - _P1) & _M64), dtype=u64)
+        while i + 32 <= L:
+            v1 = rnd(v1, load64(i))
+            v2 = rnd(v2, load64(i + 8))
+            v3 = rnd(v3, load64(i + 16))
+            v4 = rnd(v4, load64(i + 24))
+            i += 32
+        h = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+        for v in (v1, v2, v3, v4):
+            h = (h ^ rnd(np.zeros(n_rows, dtype=u64), v)) * P1 + P4
+    else:
+        h = np.full(n_rows, u64((seed + _P5) & _M64), dtype=u64)
+    h = h + u64(L)
+    while i + 8 <= L:
+        h = rotl(h ^ rnd(np.zeros(n_rows, dtype=u64), load64(i)), u64(27)) * P1 + P4
+        i += 8
+    if i + 4 <= L:
+        h = rotl(h ^ (load32(i) * P1), u64(23)) * P2 + P3
+        i += 4
+    while i < L:
+        h = rotl(h ^ (M[:, i].astype(u64) * P5), u64(11)) * P1
+        i += 1
+    h ^= h >> u64(33)
+    h *= P2
+    h ^= h >> u64(29)
+    h *= P3
+    h ^= h >> u64(32)
+    return h
+
+
 # ---------------------------------------------------------------------------
 # Split-block bloom filter probe (parquet-format BloomFilter.md).
 

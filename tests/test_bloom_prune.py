@@ -564,3 +564,76 @@ class TestSbbfFuzz:
             assert got == want
 
         check()
+
+
+class TestXxh64BatchFuzz:
+    def test_batch_equals_scalar_across_lengths(self):
+        """Property fuzz (r11 verdict ask #2): the numpy-vectorized
+        xxh64_batch equals the scalar spec hash row-for-row, for ANY
+        byte content and EVERY length class (empty, <4, <8, <32,
+        stripe loop + each tail combination) and both seeds in use
+        (0 = parquet, 42 = Spark)."""
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from opentelemetry_iceberg_exporter_spark.sinks.bloom_prune import (
+            xxh64_batch,
+        )
+
+        @settings(max_examples=150, deadline=None)
+        @given(
+            st.integers(min_value=0, max_value=100),
+            st.integers(min_value=1, max_value=8),
+            st.randoms(use_true_random=False),
+            st.sampled_from([0, 42]),
+        )
+        def check(length, n, rnd, seed):
+            rows = [
+                bytes(rnd.randrange(256) for _ in range(length))
+                for _ in range(n)
+            ]
+            M = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(
+                n, length
+            )
+            got = xxh64_batch(M, seed=seed)
+            assert got.dtype == np.uint64
+            assert got.tolist() == [xxh64(r, seed=seed) for r in rows]
+
+        check()
+
+    def test_batch_key_hashes_buckets_mixed_lengths(self):
+        """batch_key_hashes hashes a MIXED-length key list correctly:
+        keys bucket by encoded byte length (utf-8 multibyte included),
+        each bucket runs through the vectorized matrix hash, and the
+        results land back in input order."""
+        import numpy as np
+
+        from opentelemetry_iceberg_exporter_spark.operators.index_probe import (
+            batch_key_hashes,
+        )
+
+        keys = ["", "a", "abc", "a" * 32, "b" * 32, "é" * 5, "x" * 77]
+        got = batch_key_hashes(keys)
+        assert got.dtype == np.uint64
+        assert got.tolist() == [xxh64(k.encode("utf-8")) for k in keys]
+
+    def test_probe_hashing_sub_second_at_1m_keys(self):
+        """The r11 verdict's "done" bar: hashing 1M fixed-width keys —
+        the probe's driver-side constant — completes in well under a
+        second (the pure-Python loop it replaced took several)."""
+        import hashlib
+        import time
+
+        from opentelemetry_iceberg_exporter_spark.operators.index_probe import (
+            batch_key_hashes,
+        )
+
+        keys = [
+            hashlib.md5(str(i).encode()).hexdigest() for i in range(1_000_000)
+        ]
+        t0 = time.perf_counter()
+        out = batch_key_hashes(keys)
+        elapsed = time.perf_counter() - t0
+        assert len(out) == 1_000_000
+        assert elapsed < 1.0, f"1M-key probe hash took {elapsed:.2f}s"
