@@ -1008,6 +1008,13 @@ class RestTable:
                     "expired — server vends are not advancing",
                 )
         conf = self._vended.conf_for_all(now_ms)
+        # overlay the TARGET path's vend last: conf_for_all's merge is
+        # clobber-free only for per-bucket-scoped keys (s3a) — GCS
+        # tokens are global conf (`fs.gs.auth.access.token`), so with
+        # two gs vends the longer-prefix one would otherwise overwrite
+        # the vend that actually covers `target` (advisor finding,
+        # r11). Longest-prefix-for-the-target always wins this way.
+        conf.update(self._vended.conf_for_path(target))
         if conf:
             hconf = spark.sparkContext._jsc.hadoopConfiguration()
             for k, v in conf.items():

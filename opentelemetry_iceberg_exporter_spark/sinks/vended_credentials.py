@@ -192,7 +192,13 @@ class VendedCredentialSet:
         per-bucket scoping makes the merge clobber-free across
         buckets, and ascending-prefix-length ordering keeps the spec's
         longest-prefix precedence when two vends scope the SAME
-        bucket. Expired vends are skipped (callers refresh first)."""
+        bucket. Expired vends are skipped (callers refresh first).
+
+        Caveat: GCS conf is GLOBAL (`fs.gs.auth.access.token` has no
+        per-bucket form), so with two gs vends the longest prefix wins
+        regardless of which path is being accessed — callers must
+        overlay `conf_for_path(target)` LAST so the vend covering the
+        actual target prevails (apply_storage_credentials does)."""
         out: dict[str, str] = {}
         for c in sorted(self.creds, key=lambda c: (len(c.prefix), c.prefix)):
             if not c.expired(now_ms):

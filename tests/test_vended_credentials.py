@@ -415,3 +415,71 @@ class TestRecoveryRegistration:
         assert orphan in t.all_files()
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
         assert hconf.get("fs.s3a.bucket.recbkt.access.key") == "AK-recovery"
+
+
+class TestMultiVendTargetPrecedence:
+    def test_gs_target_vend_overlays_longer_prefix(self, spark, catalog):
+        """Advisor finding (r11): GCS token conf is GLOBAL (no
+        per-bucket form), so with two gs vends the conf_for_all merge
+        alone would leave the LONGER-prefix vend's token in the
+        session even when the access target is covered by the other
+        vend. apply_storage_credentials must overlay the target's vend
+        last, so the token actually authorized for the target wins."""
+        client, state = catalog
+        creds = [
+            {
+                "prefix": "gs://bkt/wh/t_gs/data/deep/nested",
+                "config": {
+                    "gcs.oauth2.token": "TOK-DEEP",
+                    "gcs.oauth2.token-expires-at": FUTURE,
+                },
+            },
+            {
+                "prefix": "gs://bkt/wh/t_gs",
+                "config": {
+                    "gcs.oauth2.token": "TOK-TABLE",
+                    "gcs.oauth2.token-expires-at": FUTURE,
+                },
+            },
+        ]
+        t = _table(client, spark, state, creds, name="t_gs")
+        t.metadata()
+        # target under the SHORTER prefix only: its vend must win the
+        # global gs token slot despite the longer-prefix vend merging
+        # later in ascending-prefix-length order
+        applied = t.apply_storage_credentials(
+            spark, "gs://bkt/wh/t_gs/metadata/snap.avro"
+        )
+        assert applied["fs.gs.auth.access.token"] == "TOK-TABLE"
+        # and a target under the deep prefix gets the deep token
+        applied = t.apply_storage_credentials(
+            spark, "gs://bkt/wh/t_gs/data/deep/nested/f.parquet"
+        )
+        assert applied["fs.gs.auth.access.token"] == "TOK-DEEP"
+
+    def test_index_probe_scan_applies_vend(self, spark, catalog):
+        """Advisor finding (r11): read_index_rows must thread the
+        vended credentials BEFORE returning the lazy scan — a caller
+        acting on the DataFrame without a later append would otherwise
+        scan under ambient identity."""
+        from opentelemetry_iceberg_exporter_spark.operators.index_probe import (
+            read_index_rows,
+        )
+
+        client, state = catalog
+        creds = [
+            {
+                "prefix": "s3://probebkt/wh",
+                "config": {
+                    "s3.access-key-id": "AK-probe",
+                    "s3.session-token-expires-at-ms": FUTURE,
+                },
+            }
+        ]
+        t = _table(client, spark, state, creds, name="t_probe")
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        hconf.unset("fs.s3a.bucket.probebkt.access.key")
+        df, stats = read_index_rows(spark, t, "v", keys=None)
+        # conf applied at scan-build time, before any action on df
+        assert hconf.get("fs.s3a.bucket.probebkt.access.key") == "AK-probe"
+        assert df.count() == 20 and stats.files_read == stats.files_total
