@@ -37,12 +37,14 @@ its canonical grams already indexed under its own (doc_id, pos) and
 re-emits byte-identical output while appending nothing (exactly-once
 effect), and `read_index(snapshot_id)` reproduces any historical
 excision decision. Single-writer per corpus is the CONTRACT (same as
-the LSH index): the index holds one row per hash, so the ingest join
-matches each gram at most once with no per-batch canonical-resolution
-aggregate. A racing double-insert violates the contract; it is
-repaired (min-canonical fold) by `fold_duplicate_anchors`, the
-compaction-time maintenance op — until then duplicate hash rows fan
-the join out and may over-excise.
+the LSH index): the index holds one row per hash. A racing
+double-insert violates the contract; the ingest join is nonetheless
+RACE-TOLERANT — it min-folds the bloom-pruned candidate rows per hash
+(O(batch-relevant) rows, never the corpus) so a duplicated hash
+resolves to the same min-(doc_id, pos) canonical that
+`fold_duplicate_anchors`, the compaction-time repair op, would keep —
+over-excision is impossible and replays stay byte-identical across a
+fold.
 
 Anchors whose k-char window overlaps a span excised from their OWN
 text are never indexed: their content does not survive intact in the
@@ -185,11 +187,21 @@ class IncrementalSubstrDeduper:
         # and reads the full index — bounded driver memory)
         batch_hashes = collect_probe_keys(grams, "h")
         idx_rows, scan_stats = read_index_rows(spark, self.table, "h", batch_hashes)
-        # single-writer contract: one index row per hash, so the join
-        # needs no per-batch canonical-resolution aggregate (racing
-        # duplicates — a contract violation — are repaired by
-        # fold_duplicate_anchors)
-        idx = idx_rows.select("h", F.struct("doc_id", "pos").alias("__canon"))
+        # single-writer contract says one index row per hash — but keep
+        # a DEFENSIVE min-struct fold over the candidate rows anyway
+        # (advisor, r11): under a violated contract (racing
+        # double-insert, before fold_duplicate_anchors runs) a bare
+        # join would fan every occurrence of a duplicated hash out to a
+        # non-self canonical row and excise ALL copies including the
+        # canonical — corpus-wide content loss. The fold restores the
+        # old read's race tolerance at bounded cost: candidate rows are
+        # bloom-pruned, so this aggregates O(batch-relevant) rows, not
+        # the corpus (the full-index groupBy r11 removed), and its
+        # min-(doc_id, pos) choice matches fold_duplicate_anchors'
+        # repair exactly (replays stay byte-identical across a fold).
+        idx = idx_rows.groupBy("h").agg(
+            F.min(F.struct("doc_id", "pos")).alias("__canon")
+        )
         g = grams.join(idx, "h", "left").localCheckpoint(eager=False)
 
         # corpus-known grams whose canonical is NOT this occurrence:

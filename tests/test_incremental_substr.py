@@ -263,6 +263,30 @@ class TestBatchScopedProbe:
         assert dedup.fold_duplicate_anchors(spark) == 0
         assert dedup.table.metadata()["current-snapshot-id"] == snap
 
+    def test_ingest_race_tolerant_before_fold(self, spark, dedup):
+        """Advisor finding (r11): with duplicate hash rows in the index
+        (racing double-insert, BEFORE fold_duplicate_anchors runs) a
+        replayed canonical doc must still hit its OWN canonical and
+        stay untouched — the ingest join min-folds candidate rows per
+        hash, so a duplicated hash can never excise every copy
+        (corpus-wide content loss)."""
+        from pyspark.sql import functions as F
+
+        doc = "alpha " * 4 + PASSAGE + " omega " * 4
+        dedup.ingest(spark, _batch(spark, [(1, doc)]))
+        idx = dedup.read_index(spark)
+        # racing writer double-inserted the same hashes under a LARGER
+        # canonical (string '9...' > '1'): min-fold must prefer doc 1
+        dedup.table.append_dataframe(
+            idx.withColumn("doc_id", F.lit("9999-racer")).withColumn(
+                "pos", F.col("pos") + F.lit(1)
+            )
+        )
+        res = dedup.ingest(spark, _batch(spark, [(1, doc)]))
+        texts = _texts(res)
+        assert texts["1"] == doc  # replay byte-identical, nothing excised
+        assert res.new_grams == 0  # and nothing re-indexed
+
 
 class TestTail:
     def test_substr_tail_drains_and_resumes(self, spark, tmp_path):
