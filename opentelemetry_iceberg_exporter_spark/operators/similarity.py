@@ -451,6 +451,9 @@ def _hash_min_init(df: DataFrame, id_col: str, vec_col: str, k: int) -> list[lis
 
     rows = (
         df.select(F.col(id_col), F.col(vec_col))
+        # null embeddings can never seed a centroid (they also
+        # null-propagate to a null cell in assignment)
+        .filter(F.col(vec_col).isNotNull())
         .withColumn("__h", md5_hash64(F.col(id_col).cast("string")))
         .orderBy("__h", id_col)
         .limit(k)
@@ -530,11 +533,21 @@ def kmeans_fit(
 
         @pandas_udf(IntegerType())
         def _nearest(v):
+            # null embeddings (normal in real corpora — see module
+            # docstring) null-propagate to a null cell, matching the
+            # plan-level expression this kernel replaced; np.stack
+            # over a None would TypeError (advisor finding, r11)
+            out = pd.array([None] * len(v), dtype="Int32")
             if len(v) == 0:
-                return pd.Series([], dtype="int32")
-            X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-            d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + Cn[None, :]
-            return pd.Series(np.argmin(d, axis=1).astype("int32"))
+                return pd.Series(out)
+            mask = v.notna().to_numpy()
+            if mask.any():
+                X = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in v[mask]]
+                )
+                d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + Cn[None, :]
+                out[mask] = np.argmin(d, axis=1).astype("int32")
+            return pd.Series(out)
 
         return over.withColumn("cell", _nearest(F.col("__v")))
 

@@ -177,3 +177,24 @@ def test_nonzero_vectors_precleaner(spark):
     )
     kept = {r["vec_id"] for r in nonzero_vectors(df, "embedding").collect()}
     assert kept == {1, 4}
+
+
+def test_null_embeddings_null_propagate(spark):
+    """Advisor finding (r11): null embeddings are normal in real
+    corpora — the vectorized nearest-centroid kernel must
+    null-propagate them to a null cell (the behavior of the plan-level
+    expression it replaced), not TypeError in np.stack, and a null
+    vector must never seed an initial centroid."""
+    df = _synthetic(spark)
+    nulls = spark.createDataFrame(
+        [(1000, None), (1001, None)], "vec_id long, embedding array<double>"
+    )
+    cents, assign = kmeans_fit(
+        df.unionByName(nulls), "vec_id", "embedding", k=3, max_iter=5
+    )
+    cells = {r["vec_id"]: r["cell"] for r in assign.collect()}
+    assert cells[1000] is None and cells[1001] is None
+    assert all(
+        cells[v] is not None for v in range(15)
+    ), "non-null rows still assign"
+    assert all(all(x is not None for x in c) for c in cents)
