@@ -115,23 +115,73 @@ def duplicated_spans(
     reducer either way, O(df) not O(df²)), and an unordered window
     frame needs no more than the partition sort the exchange already
     implies."""
+    hits = _duplicated_hits(df, id_col, text_col, k, stride)
+    if keep_canonical:
+        hits = hits.filter(~_is_canonical())
+    return merge_positions_to_spans(hits.select("doc_id", "pos"), k)
+
+
+def _duplicated_hits(
+    df: DataFrame, id_col: str, text_col: str, k: int, stride: int
+) -> DataFrame:
+    """(doc_id, pos, __canon) for every occurrence of a gram that is
+    duplicated corpus-wide — the shared core of duplicated_spans and
+    canonical_overlap_report (one window over the gram hash)."""
     grams = kgram_occurrences(df, id_col, text_col, k, stride)
     w = Window.partitionBy("h")
-    scored = grams.select(
+    return grams.select(
         "doc_id",
         "pos",
         F.count(F.lit(1)).over(w).alias("__n"),
         F.min(F.struct("doc_id", "pos")).over(w).alias("__canon"),
+    ).filter(F.col("__n") >= 2)
+
+
+def _is_canonical():
+    return (F.col("doc_id") == F.col("__canon.doc_id")) & (
+        F.col("pos") == F.col("__canon.pos")
     )
-    hits = scored.filter(F.col("__n") >= 2)
-    if keep_canonical:
-        hits = hits.filter(
-            ~(
-                (F.col("doc_id") == F.col("__canon.doc_id"))
-                & (F.col("pos") == F.col("__canon.pos"))
-            )
-        )
-    return merge_positions_to_spans(hits.select("doc_id", "pos"), k)
+
+
+def canonical_overlap_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_K,
+    stride: int = 1,
+) -> DataFrame:
+    """Audit surface for the documented canonical/excised-span overlap
+    artifact (module docstring "Known limitation"): one row per
+    CANONICAL anchor whose k-char window overlaps a span excised from
+    its OWN document — i.e. duplicated regions whose surviving copy is
+    itself partially removed, so the corpus retains no fully intact
+    occurrence. `count()` of the result is the content-loss rate
+    corpus owners watch; the incremental ingester exempts exactly
+    these anchors from index insertion for the same reason
+    (incremental_substr.py).
+
+    Columns: (doc_id, pos, span_start, span_end) — the anchor and the
+    overlapping excised span (an anchor overlapping several spans
+    reports each overlap; `dropDuplicates(["doc_id", "pos"])` for the
+    per-anchor count). Cost is one extra run of the gram pipeline —
+    an audit pass, deliberately not fused into the strip plan (the
+    spans pipeline dominates; see apply_span_strip's with_stats note
+    on why referencing it twice recomputes)."""
+    hits = _duplicated_hits(df, id_col, text_col, k, stride)
+    canon = hits.filter(_is_canonical()).select("doc_id", "pos")
+    spans = merge_positions_to_spans(
+        hits.filter(~_is_canonical()).select("doc_id", "pos"), k
+    ).select(
+        F.col("doc_id").alias("__sp_doc"),
+        "span_start",
+        "span_end",
+    )
+    return canon.join(
+        spans,
+        (canon["doc_id"] == spans["__sp_doc"])
+        & (canon["pos"] < spans["span_end"])
+        & (canon["pos"] + F.lit(k) > spans["span_start"]),
+    ).select("doc_id", "pos", "span_start", "span_end")
 
 
 def merge_positions_to_spans(hits: DataFrame, k: int) -> DataFrame:

@@ -211,3 +211,57 @@ class TestStride:
             _df(spark, docs), "doc_id", "text", k=20
         )._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+class TestCanonicalOverlapReport:
+    def test_planted_overlap_reported(self, spark):
+        """r11 verdict ask #6: the canonical/excised-span overlap
+        artifact gets a counter. Plant it: Q's canonical lives in doc
+        1, docs 2 and 3 both hold Q+P — doc 2's Q-region is excised
+        (canonical elsewhere) while doc 2 OWNS the canonicals of the
+        grams straddling the Q/P junction (they recur only in doc 3).
+        Those straddling canonical anchors overlap doc 2's excised
+        span: the corpus keeps no intact copy of the junction region,
+        and the report must surface exactly them."""
+        from opentelemetry_iceberg_exporter_spark.operators.substring_dedup import (
+            canonical_overlap_report,
+        )
+
+        k = 20
+        Q = "zebra yak xenon walrus vulture toadstool snake"
+        P = "apple banana cherry dates elderberry figs grape"
+        docs = {1: Q, 2: Q + P, 3: Q + P}
+        rep = canonical_overlap_report(
+            _df(spark, docs), "doc_id", "text", k=k
+        ).collect()
+        assert rep, "planted overlap must be reported"
+        assert {r["doc_id"] for r in rep} == {2}
+        # the excised span in doc 2 is exactly its Q region
+        assert {(r["span_start"], r["span_end"]) for r in rep} == {(0, len(Q))}
+        # reported anchors are precisely the k-1 straddling canonicals
+        assert sorted(r["pos"] for r in rep) == list(
+            range(len(Q) - k + 1, len(Q))
+        )
+        # and every row satisfies the overlap predicate
+        for r in rep:
+            assert r["pos"] < r["span_end"] and r["pos"] + k > r["span_start"]
+
+    def test_clean_corpus_reports_nothing(self, spark):
+        from opentelemetry_iceberg_exporter_spark.operators.substring_dedup import (
+            canonical_overlap_report,
+        )
+
+        # fillers must be non-repetitive: an "A"*30 run self-duplicates
+        # its k-grams and the run's canonical LEGITIMATELY overlaps the
+        # run's excised span (the artifact is real there)
+        docs = {
+            1: "one two three four five six " + PASSAGE + " seven eight nine",
+            2: "cold warm hot tepid frozen " + PASSAGE + " red green blue",
+        }
+        # the only duplicated region is the passage, whose canonical
+        # (doc 1) has no excised span in its own doc -> empty report
+        assert (
+            canonical_overlap_report(
+                _df(spark, docs), "doc_id", "text", k=20
+            ).count()
+            == 0
+        )
