@@ -38,22 +38,31 @@ SELECT event_id,
 FROM events
 """,
     doc="Iceberg v3 ROW LINEAGE read, end to end under the oracle gate: "
-    "events committed (sorted by event_id, one file — so inherited "
-    "_row_id = rank-1 is content-predictable), then a copy-on-write "
-    "UPDATE doubles the click rows' value. The lineage read must show "
-    "every row's ORIGINAL _row_id surviving the rewrite (materialized "
-    "by the CoW path) and _last_updated_sequence_number flipped to the "
-    "update commit's sequence number for exactly the updated rows. "
-    "DuckDB reproduces both columns from the source parquet with a "
-    "window function — an id reassigned, lost, or duplicated by the "
-    "rewrite hash-fails.",
+    "events committed RANGE-DISTRIBUTED + sorted by event_id (the "
+    "production sorted-write pattern — 4 disjoint ascending slices, "
+    "one file each, no single-partition plan node; r11 verdict ask "
+    "#7), then a copy-on-write UPDATE doubles the click rows' value. "
+    "Inherited _row_id stays content-predictable because the commit "
+    "assigns first_row_id in sorted file-name order = ascending range "
+    "slices, so ids concatenate to the global event_id rank "
+    "regardless of where the range boundaries fall. The lineage read "
+    "must show every row's ORIGINAL _row_id surviving the rewrite "
+    "(materialized by the CoW path) and _last_updated_sequence_number "
+    "flipped to the update commit's sequence number for exactly the "
+    "updated rows. DuckDB reproduces both columns from the source "
+    "parquet with a window function — an id reassigned, lost, or "
+    "duplicated by the rewrite hash-fails.",
 )
 def o12_lineage_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = (
         load_table(spark, sf_dir, "events")
         .select("event_id", "event_type", "value")
-        .orderBy("event_id")
-        .coalesce(1)  # ONE sorted file: inherited ids are rank-deterministic
+        # 4 disjoint ascending event_id slices, each file sorted: the
+        # appended files' first_row_id cursor (assigned in sorted
+        # file-name = slice order) makes inherited _row_id the global
+        # event_id rank — deterministic WITHOUT a coalesce(1)
+        .repartitionByRange(4, "event_id")
+        .sortWithinPartitions("event_id")
     )
     cat = FsCatalog(tempfile.mkdtemp(prefix="o12_ln_"))
     t = cat.create_table(
