@@ -932,17 +932,75 @@ def run_ingest_bench(spark, sf_dir: str) -> dict:
             dlast = lsh.ingest(spark, batch)
             dlast.decisions.count()
             dsecs.append(time.perf_counter() - t0)
+        # discrimination check for the LSH sibling too (r11 verdict ask
+        # #3): a batch of genuinely NOVEL content (md5-derived word
+        # soup shares no shingles with the corpus, so its minhash band
+        # keys are fresh) must bloom-prune essentially every index file
+        dnovel = spark.range(300).selectExpr(
+            "id + 2000000 as doc_id",
+            "concat_ws(' ', transform(sequence(0, 39), "
+            "i -> md5(concat('lsh-', cast(id as string), '-', "
+            "cast(i as string)))))"
+            " as text",
+        )
+        t0 = time.perf_counter()
+        dnv = lsh.ingest(spark, dnovel)
+        dnv.decisions.count()
+        dnovel_sec = time.perf_counter() - t0
         out.update(
             {
                 "dedup_ingest_first_sec": round(dsecs[0], 3),
                 "dedup_ingest_last_sec": round(dsecs[-1], 3),
                 "dedup_ingest_index_files_total": dlast.index_files_total,
                 "dedup_ingest_index_files_read": dlast.index_files_read,
+                "dedup_ingest_novel_sec": round(dnovel_sec, 3),
+                "dedup_ingest_novel_files_read": dnv.index_files_read,
             }
         )
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_corpus_build_bench(spark, sf_dir: str) -> dict:
+    """The composed corpus-construction funnel — the product story —
+    as ONE tracked number (r11 verdict ask #4): boilerplate paragraph
+    removal -> benchmark decontamination -> exact dedup -> near dedup
+    -> exact-substring excision -> packing over the full documents
+    table, with the per-stage survivor counts in the record. The
+    decontamination benchmark is a deterministic 1-in-97 sample of the
+    corpus itself (every funnel stage then has real work to do). The
+    timed section includes the stage-count actions — that IS the
+    reported funnel shape (production runs set report_counts=False
+    for one lazy plan)."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_iceberg_exporter_spark.operators.corpus_build import (
+        build_corpus,
+    )
+    from opentelemetry_iceberg_exporter_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    benchmark = docs.filter(
+        F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(97)) == 0
+    ).select("text")
+    t0 = time.perf_counter()
+    out, report = build_corpus(
+        spark,
+        docs,
+        benchmark=benchmark,
+        bench_text_col="text",
+        substr_k=50,
+        substr_stride=8,
+        pack_budget=2048,
+    )
+    rows = out.count()
+    sec = time.perf_counter() - t0
+    return {
+        "corpus_build_sec": round(sec, 3),
+        "corpus_build_rows": rows,
+        "corpus_build_stages": report.as_dict(),
+    }
 
 
 N_EXPIRE_SNAPSHOTS = 500
@@ -1076,6 +1134,7 @@ def main() -> None:
     rest_plan = run_rest_plan_bench(spark)
     llm_pipeline = run_llm_pipeline_bench(spark, sf_dir)
     ingest_bench = run_ingest_bench(spark, sf_dir)
+    corpus_build = run_corpus_build_bench(spark, sf_dir)
     expire_depth = run_expire_depth_bench()
 
     total = round(sum(timings.values()), 3)
@@ -1095,6 +1154,7 @@ def main() -> None:
             "rest_plan": rest_plan,
             "llm_pipeline": llm_pipeline,
             "ingest": ingest_bench,
+            "corpus_build": corpus_build,
             "expire_depth": expire_depth,
             "sf": sf_val,
         }
@@ -1152,6 +1212,11 @@ def main() -> None:
             ],
             "dedup_ingest_first_sec": ingest_bench["dedup_ingest_first_sec"],
             "dedup_ingest_last_sec": ingest_bench["dedup_ingest_last_sec"],
+            "dedup_ingest_novel_files_read": ingest_bench[
+                "dedup_ingest_novel_files_read"
+            ],
+            "corpus_build_sec": corpus_build["corpus_build_sec"],
+            "corpus_build_rows": corpus_build["corpus_build_rows"],
             "substr_ingest_index_files_read": ingest_bench[
                 "substr_ingest_index_files_read"
             ],
