@@ -620,20 +620,49 @@ class TestXxh64BatchFuzz:
 
     def test_probe_hashing_sub_second_at_1m_keys(self):
         """The r11 verdict's "done" bar: hashing 1M fixed-width keys —
-        the probe's driver-side constant — completes in well under a
-        second (the pure-Python loop it replaced took several)."""
+        the probe's driver-side constant — completes in under a second
+        on the PRODUCTION path (collect_probe_keys hands an Arrow
+        array; the value buffer reshapes zero-copy into the hash
+        matrix). The pure-Python loop this replaced took several."""
         import hashlib
         import time
+
+        import pyarrow as pa
 
         from opentelemetry_iceberg_exporter_spark.operators.index_probe import (
             batch_key_hashes,
         )
 
-        keys = [
+        arr = pa.array(
             hashlib.md5(str(i).encode()).hexdigest() for i in range(1_000_000)
-        ]
+        )
         t0 = time.perf_counter()
-        out = batch_key_hashes(keys)
+        out = batch_key_hashes(arr)
         elapsed = time.perf_counter() - t0
         assert len(out) == 1_000_000
         assert elapsed < 1.0, f"1M-key probe hash took {elapsed:.2f}s"
+
+    def test_arrow_keys_hash_without_python_objects(self):
+        """batch_key_hashes accepts the pyarrow array collect_probe_keys
+        returns and hashes straight from the Arrow offsets/value
+        buffers — results identical to the list path for mixed lengths,
+        nulls dropped, sliced and chunked arrays handled."""
+        import pyarrow as pa
+
+        from opentelemetry_iceberg_exporter_spark.operators.index_probe import (
+            batch_key_hashes,
+        )
+
+        keys = ["", "a", "abc", "a" * 32, "b" * 32, "é" * 5, "x" * 77]
+        want = batch_key_hashes(keys).tolist()
+        assert batch_key_hashes(pa.array(keys)).tolist() == want
+        # chunked (the toArrow shape) and sliced (non-zero offset) forms
+        chunked = pa.chunked_array([keys[:3], keys[3:]])
+        assert batch_key_hashes(chunked).tolist() == want
+        sliced = pa.array(["zz"] + keys).slice(1)
+        assert batch_key_hashes(sliced).tolist() == want
+        # nulls drop (index keys are non-null by construction)
+        with_null = pa.array(["a" * 32, None, "b" * 32])
+        assert batch_key_hashes(with_null).tolist() == batch_key_hashes(
+            ["a" * 32, "b" * 32]
+        ).tolist()
