@@ -184,6 +184,14 @@ def main(argv: list[str] | None = None) -> int:
         help="write the (doc_id, span_start, span_end) map instead of "
         "rewriting the text",
     )
+    pss.add_argument(
+        "--overlap-report",
+        action="store_true",
+        help="audit mode: write one row per CANONICAL anchor whose "
+        "k-char window overlaps a span excised from its own document "
+        "(the content-loss artifact — regions whose surviving copy is "
+        "itself partially removed)",
+    )
 
     pim = sub.add_parser(
         "image-dedup",
@@ -1115,7 +1123,13 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         docs = spark.read.parquet(args.input)
-        if args.spans_only:
+        if args.overlap_report:
+            from .operators.substring_dedup import canonical_overlap_report
+
+            out = canonical_overlap_report(
+                docs, args.id_col, args.text_col, k=args.k, stride=args.stride
+            )
+        elif args.spans_only:
             out = duplicated_spans(
                 docs, args.id_col, args.text_col, k=args.k, stride=args.stride
             )

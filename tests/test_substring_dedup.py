@@ -265,3 +265,28 @@ class TestCanonicalOverlapReport:
             ).count()
             == 0
         )
+
+    def test_cli_overlap_report(self, spark, tmp_path, capsys):
+        import json
+
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        k = 20
+        Q = "zebra yak xenon walrus vulture toadstool snake"
+        P = "apple banana cherry dates elderberry figs grape"
+        docs = {1: Q, 2: Q + P, 3: Q + P}
+        src = str(tmp_path / "in_ovl")
+        _df(spark, docs).write.parquet(src)
+        out = str(tmp_path / "out_ovl")
+        rc = main(
+            ["substr-dedup", "--input", src, "--output", out,
+             "--text-col", "text", "--k", str(k), "--overlap-report"]
+        )
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["rows"] == k - 1  # the straddling canonical anchors
+        rows = spark.read.parquet(out).collect()
+        assert {r["doc_id"] for r in rows} == {2}
+        assert set(rows[0].asDict()) == {
+            "doc_id", "pos", "span_start", "span_end"
+        }
