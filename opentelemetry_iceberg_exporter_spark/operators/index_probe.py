@@ -114,7 +114,6 @@ def _arrow_key_hashes(arr):
     keys are non-null by construction — md5 hex / band keys)."""
     import numpy as np
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
