@@ -1225,6 +1225,27 @@ def main() -> None:
             ],
         }
     )
+    # the driver's stdout-tail capture is 2000 bytes; the compact line
+    # sits at ~1.9KB and grows a few keys per round. If it ever crosses
+    # the cap, drop the LEAST round-over-round-critical keys (their
+    # values stay in the full blob on the previous line) rather than
+    # letting the tail truncate mid-JSON (parsed:null, like BENCH_r06).
+    _DROPPABLE = [
+        "json_full_scan_sec",
+        "probe_driver_sec",
+        "rest_plan_local_sec",
+        "substr_ingest_index_files_total",
+        "corpus_build_rows",
+        "json_twin_wide_read_sec",
+        "variant_wide_read_sec",
+    ]
+    if len(compact_line) > 1950:
+        compact = json.loads(compact_line)
+        for key in _DROPPABLE:
+            compact.pop(key, None)
+            compact_line = json.dumps(compact)
+            if len(compact_line) <= 1950:
+                break
     # teardown BEFORE printing: streaming availableNow queries already
     # self-terminated (run_to_memory stops + awaits them), but straggler
     # task-end events can still race session stop and log a DAGScheduler
