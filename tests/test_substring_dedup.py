@@ -290,3 +290,20 @@ class TestCanonicalOverlapReport:
         assert set(rows[0].asDict()) == {
             "doc_id", "pos", "span_start", "span_end"
         }
+
+    def test_overlap_report_plan_no_product(self, spark):
+        """The overlap join has an equi component (doc_id), so Catalyst
+        must pick a hash/sort-merge join with the range predicate as a
+        residual — never a nested-loop/cartesian product (which would
+        be O(anchors x spans) at corpus scale)."""
+        from opentelemetry_iceberg_exporter_spark.operators.substring_dedup import (
+            canonical_overlap_report,
+        )
+        from opentelemetry_iceberg_exporter_spark.plans.inspect import (
+            join_strategies,
+        )
+
+        docs = {1: PASSAGE, 2: PASSAGE + PASSAGE}
+        df = canonical_overlap_report(_df(spark, docs), "doc_id", "text", k=20)
+        js = join_strategies(df)
+        assert "CartesianProduct" not in js and "BroadcastNestedLoopJoin" not in js
