@@ -750,6 +750,26 @@ def run_v3_modes_bench(spark, sf_dir: str) -> dict:
         probe_driver_sec = time.perf_counter() - t0
         assert dist == local  # identical verdicts either route
 
+        # the ingest probe's driver-side hashing constant, tracked at
+        # 1M fixed-width keys (r11 ask #2's "done" bar as a bench
+        # number — sub-second; the per-key Python loop it replaced
+        # took several seconds): pure numpy, no Spark in the section
+        import hashlib
+
+        import pyarrow as pa
+
+        from opentelemetry_iceberg_exporter_spark.operators.index_probe import (
+            batch_key_hashes,
+        )
+
+        key_arr = pa.array(
+            hashlib.md5(str(i).encode()).hexdigest() for i in range(1_000_000)
+        )
+        t0 = time.perf_counter()
+        hashed = batch_key_hashes(key_arr)
+        probe_hash_1m_sec = time.perf_counter() - t0
+        assert len(hashed) == 1_000_000
+
         return {
             "v3_sink_rows": sink_rows,
             "v3_sink_sec": round(sink_sec, 3),
@@ -774,6 +794,7 @@ def run_v3_modes_bench(spark, sf_dir: str) -> dict:
             "probe_files": len(paths),
             "probe_distributed_sec": round(probe_distributed_sec, 3),
             "probe_driver_sec": round(probe_driver_sec, 3),
+            "probe_hash_1m_sec": round(probe_hash_1m_sec, 3),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
