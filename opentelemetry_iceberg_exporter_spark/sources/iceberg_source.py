@@ -228,18 +228,19 @@ def _nullsafe_fill(col):
     return pc.fill_null(col, zero), pc.is_null(col)
 
 
-def _subtract_equality_delete(aligned, del_path: str, key_cols: tuple):
-    """Anti-filter one data file's aligned rows by one equality-delete
-    file, fully vectorized (Arrow hash join — no per-row Python, so a
-    large un-compacted delete backlog stays columnar): delete-file
-    columns resolve by parquet FIELD ID with current-name fallback
-    (a delete written before a rename stores the old name; a reused
-    name with a different id must NOT match), both sides' keys get the
-    (filled, is_null) null-safe companion encoding, and one left-anti
-    join on the encoded pair per key keeps exactly the rows Spark's
-    eqNullSafe anti-join would keep."""
-    import numpy as np
-    import pyarrow as pa
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _read_equality_delete_keys(del_path: str, key_cols: tuple):
+    """Resolve + read one equality-delete file's key columns, cached
+    PER WORKER PROCESS: a scan with many data files under one
+    un-compacted delete file would otherwise re-open and re-decode the
+    same delete parquet once per data-file partition (Spark reuses
+    Python workers across partitions, so the LRU pays off immediately).
+    Safe to cache because Iceberg data/delete files are immutable —
+    a path's bytes never change — and Arrow tables are immutable.
+    Returns (resolved column names, key-column table)."""
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(del_path)
@@ -265,7 +266,23 @@ def _subtract_equality_delete(aligned, del_path: str, key_cols: tuple):
                 )
             src = name  # id-less delete file: name resolution
         read_names.append(src)
-    dt = pf.read(columns=read_names)
+    return read_names, pf.read(columns=read_names)
+
+
+def _subtract_equality_delete(aligned, del_path: str, key_cols: tuple):
+    """Anti-filter one data file's aligned rows by one equality-delete
+    file, fully vectorized (Arrow hash join — no per-row Python, so a
+    large un-compacted delete backlog stays columnar): delete-file
+    columns resolve by parquet FIELD ID with current-name fallback
+    (a delete written before a rename stores the old name; a reused
+    name with a different id must NOT match), both sides' keys get the
+    (filled, is_null) null-safe companion encoding, and one left-anti
+    join on the encoded pair per key keeps exactly the rows Spark's
+    eqNullSafe anti-join would keep."""
+    import numpy as np
+    import pyarrow as pa
+
+    read_names, dt = _read_equality_delete_keys(del_path, key_cols)
     if dt.num_rows == 0:
         return aligned
 

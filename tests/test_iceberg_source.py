@@ -422,3 +422,36 @@ class TestPositionMaskBuild:
         assert isinstance(a, np.ndarray) and isinstance(b, np.ndarray)
         assert a.tolist() == [3, 5, 9]  # sorted, de-duplicated, DV merged
         assert b.tolist() == [1, 2]
+
+
+class TestEqualityDeleteKeyCache:
+    def test_delete_file_read_once_per_worker(self, tmp_path, monkeypatch):
+        """A scan with many data files under one un-compacted equality
+        delete must not re-decode the delete parquet per data-file
+        partition: the key read is LRU-cached per worker process
+        (sound because Iceberg files are immutable)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from opentelemetry_iceberg_exporter_spark.sources import iceberg_source
+
+        del_path = str(tmp_path / "eq.parquet")
+        pq.write_table(pa.table({"id": pa.array([1, 2], type=pa.int64())}), del_path)
+        iceberg_source._read_equality_delete_keys.cache_clear()
+        opens = []
+        real = pq.ParquetFile
+
+        def counting(path, *a, **k):
+            opens.append(path)
+            return real(path, *a, **k)
+
+        monkeypatch.setattr(pq, "ParquetFile", counting)
+        key_cols = (("id", 1),)
+        aligned = pa.table({"id": pa.array([1, 2, 3], type=pa.int64())})
+        for _ in range(5):  # five "data files" against the same delete
+            out = iceberg_source._subtract_equality_delete(
+                aligned, del_path, key_cols
+            )
+        assert out["id"].to_pylist() == [3]
+        assert len(opens) == 1, f"delete file opened {len(opens)} times"
+        iceberg_source._read_equality_delete_keys.cache_clear()
