@@ -307,3 +307,53 @@ class TestCanonicalOverlapReport:
         df = canonical_overlap_report(_df(spark, docs), "doc_id", "text", k=20)
         js = join_strategies(df)
         assert "CartesianProduct" not in js and "BroadcastNestedLoopJoin" not in js
+
+    def test_random_corpus_matches_independent_reference(self, spark):
+        """Randomized cross-check: the distributed overlap report equals
+        an independent dict/loop computation (canonical occurrences of
+        duplicated grams intersected with the reference's merged
+        non-canonical spans) on a corpus with planted shared passages —
+        the same hard-signal pattern the strip operator carries."""
+        import hashlib
+
+        from opentelemetry_iceberg_exporter_spark.operators.substring_dedup import (
+            canonical_overlap_report,
+        )
+
+        def overlap_reference(docs, k):
+            occ = {}
+            for d in sorted(docs):
+                t = docs[d]
+                for p in range(len(t) - k + 1):
+                    occ.setdefault(t[p : p + k], []).append((d, p))
+            canon = [min(w) for w in occ.values() if len(w) >= 2]
+            spans, _ = _reference(docs, k)
+            out = set()
+            for d, p in canon:
+                for a, b in spans.get(d, []):
+                    if p < b and p + k > a:
+                        out.add((d, p, a, b))
+            return out
+
+        rng = random.Random(31)
+        alphabet = "abcdef "
+        base = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(50, 150)))
+            for _ in range(10)
+        ]
+        shared = "".join(rng.choice(alphabet) for _ in range(60))
+        docs = {}
+        for i, t in enumerate(base):
+            body = t
+            if i % 2 == 0:  # plant the shared passage mid-document
+                cut = rng.randint(0, len(body))
+                body = body[:cut] + shared + body[cut:]
+            docs[i] = body
+        k = 25
+        got = {
+            (r["doc_id"], r["pos"], r["span_start"], r["span_end"])
+            for r in canonical_overlap_report(
+                _df(spark, docs), "doc_id", "text", k=k
+            ).collect()
+        }
+        assert got == overlap_reference(docs, k)
