@@ -110,6 +110,49 @@ def hash_fraction_sample(
     return df.filter(split_bucket(id_col, salt) < F.lit(int(round(fraction * SPLIT_MOD))))
 
 
+# shuffle order must not share the hash domain of the split/sample
+# coins (same composition rule as SCORE_SALT_TAG)
+SHUFFLE_SALT_TAG = "shuffle-order:"
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: rows sort by the
+    md5 of (salted seed || id) — the same order every run, every
+    engine, every cluster size; a DIFFERENT order per `seed`, so epoch
+    reshuffles are a seed change, not a data rewrite. The standard
+    prep step before sequence packing (pack_concat_chunks preserves
+    the order it receives through its range shuffle, so whatever order
+    reaches it IS the training order).
+
+    Plan shape: ONE range exchange — the cost of any global sort; the
+    hash domain is salted apart from hash_split / score_weighted
+    coins so shuffling composes with them bias-free. `partitions`
+    pins the slice count explicitly (an explicit numPartitions also
+    opts out of AQE coalescing) for a stable output-shard layout; ids
+    break the (astronomically unlikely) hash ties so the order is a
+    total function of (seed, ids).
+
+    DuckDB mirror for tests/oracles:
+    ORDER BY ('0x'||substring(md5('<tag><seed>'||id::VARCHAR),1,15))::BIGINT, id
+    """
+    key = md5_hash64(
+        F.concat(
+            F.lit(SHUFFLE_SALT_TAG + seed), F.col(id_col).cast("string")
+        )
+    )
+    tie = F.col(id_col).cast("string")
+    if partitions is not None:
+        return df.repartitionByRange(
+            int(partitions), key.asc(), tie.asc()
+        ).sortWithinPartitions(key.asc(), tie.asc())
+    return df.orderBy(key.asc(), tie.asc())
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: list[str],

@@ -341,3 +341,70 @@ def test_mix_cli_single_plan_execution(spark, tmp_path, capsys, monkeypatch):
     assert rc == 0
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["rows"] == spark.read.parquet(out).count()  # counted from disk
+
+
+class TestShuffleCorpus:
+    def test_order_matches_duckdb_and_varies_by_seed(self, spark, docs, sf_dir):
+        """The shuffled order is a pure function of (seed, ids): DuckDB
+        reproduces it exactly from the documented mirror expression,
+        and a different seed gives a different permutation of the same
+        rows."""
+        import duckdb
+
+        from opentelemetry_iceberg_exporter_spark.operators.sampling import (
+            SHUFFLE_SALT_TAG,
+            shuffle_corpus,
+        )
+
+        got = [
+            r["doc_id"]
+            for r in shuffle_corpus(docs, "doc_id", seed="ep1").select(
+                "doc_id"
+            ).collect()
+        ]
+        want = [
+            r[0]
+            for r in duckdb.sql(
+                "SELECT doc_id FROM "
+                f"'{sf_dir}/documents.parquet' ORDER BY "
+                f"('0x'||substring(md5('{SHUFFLE_SALT_TAG}ep1'||doc_id::VARCHAR),1,15))::BIGINT, "
+                "doc_id::VARCHAR"
+            ).fetchall()
+        ]
+        assert got == want
+        other = [
+            r["doc_id"]
+            for r in shuffle_corpus(docs, "doc_id", seed="ep2").select(
+                "doc_id"
+            ).collect()
+        ]
+        assert sorted(other) == sorted(got) and other != got
+
+    def test_partitioned_form_is_consistent_and_partitioning_invariant(
+        self, spark, docs
+    ):
+        """The explicit-shard form concatenates (in partition order) to
+        the same global order as the plain sort, regardless of input
+        partitioning — ascending disjoint ranges + per-shard sort IS
+        the global sort."""
+        from pyspark.sql.functions import spark_partition_id
+
+        from opentelemetry_iceberg_exporter_spark.operators.sampling import (
+            shuffle_corpus,
+        )
+
+        plain = [
+            r["doc_id"]
+            for r in shuffle_corpus(docs, "doc_id", seed="s").select(
+                "doc_id"
+            ).collect()
+        ]
+        sharded = shuffle_corpus(
+            docs.repartition(7), "doc_id", seed="s", partitions=4
+        ).select("doc_id", spark_partition_id().alias("pid"))
+        rows = sharded.collect()
+        by_pid: dict[int, list] = {}
+        for r in rows:
+            by_pid.setdefault(r["pid"], []).append(r["doc_id"])
+        concat = [d for pid in sorted(by_pid) for d in by_pid[pid]]
+        assert concat == plain
