@@ -472,6 +472,12 @@ def main(argv: list[str] | None = None) -> int:
         "--substr-stride", type=int, default=1,
         help="content-sampled anchors for --substr-k at scale",
     )
+    pcb.add_argument(
+        "--shuffle-seed", default=None,
+        help="seeded deterministic training order for the packing "
+        "stage (epoch reshuffle = new seed); default keeps packing's "
+        "unseeded stable order",
+    )
     pcb.add_argument("--model", default=None, help="quality model JSON (from quality-train)")
     pcb.add_argument("--threshold", type=float, default=0.5)
     pcb.add_argument(
@@ -1574,6 +1580,7 @@ def main(argv: list[str] | None = None) -> int:
             max_per_domain=args.max_per_domain,
             bpe_model=bpe_model,
             pack_budget=args.pack_budget,
+            shuffle_seed=args.shuffle_seed,
         )
         dest_snapshot = None
         if args.output:

