@@ -1128,6 +1128,11 @@ def main(argv: list[str] | None = None) -> int:
             strip_duplicated_substrings,
         )
 
+        if args.spans_only and args.overlap_report:
+            # the outputs have different schemas (span map vs per-anchor
+            # audit rows) — silently preferring one would feed a span
+            # consumer audit rows without an error
+            parser.error("--spans-only and --overlap-report are mutually exclusive")
         docs = spark.read.parquet(args.input)
         if args.overlap_report:
             from .operators.substring_dedup import canonical_overlap_report

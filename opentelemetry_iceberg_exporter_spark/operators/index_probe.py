@@ -77,33 +77,15 @@ def batch_key_hashes(keys):
     serial driver CPU (r11 verdict ask #2).
 
     Accepts a list[str] OR a pyarrow string Array/ChunkedArray (the
-    collect_probe_keys shape): the Arrow path slices the (n, L) byte
-    matrices straight out of the value buffer via the offsets — no
-    per-key Python object is ever built."""
-    import numpy as np
+    collect_probe_keys shape). Lists convert to an Arrow array first —
+    ONE hashing implementation, which slices the (n, L) byte matrices
+    straight out of the value buffer via the offsets with no per-key
+    Python object."""
+    import pyarrow as pa
 
-    try:
-        import pyarrow as pa
-
-        if isinstance(keys, (pa.Array, pa.ChunkedArray)):
-            return _arrow_key_hashes(keys)
-    except ImportError:  # pragma: no cover - pyarrow ships with pyspark
-        pass
-
-    out = np.empty(len(keys), dtype=np.uint64)
-    by_len: dict[int, tuple[list[int], list[bytes]]] = {}
-    for i, k in enumerate(keys):
-        b = k.encode("utf-8")
-        idx, rows = by_len.setdefault(len(b), ([], []))
-        idx.append(i)
-        rows.append(b)
-    for length, (idx, rows) in by_len.items():
-        if length == 0:
-            out[np.asarray(idx, dtype=np.int64)] = xxh64(b"")
-            continue
-        M = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(len(rows), length)
-        out[np.asarray(idx, dtype=np.int64)] = xxh64_batch(M)
-    return out
+    if not isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        keys = pa.array(keys, type=pa.string())
+    return _arrow_key_hashes(keys)
 
 
 def _arrow_key_hashes(arr):

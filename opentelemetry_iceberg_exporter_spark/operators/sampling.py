@@ -133,11 +133,14 @@ def shuffle_corpus(
     hash domain is salted apart from hash_split / score_weighted
     coins so shuffling composes with them bias-free. `partitions`
     pins the slice count explicitly (an explicit numPartitions also
-    opts out of AQE coalescing) for a stable output-shard layout; ids
-    break the (astronomically unlikely) hash ties so the order is a
-    total function of (seed, ids).
+    opts out of AQE coalescing) for a stable output-shard layout; the
+    RAW id column breaks hash ties (the 60-bit key collides at
+    ~2^30-doc scale) so the order is a total function of (seed, ids)
+    — raw, not stringified, so it matches pack_concat_chunks' tie
+    rule exactly and build_corpus(shuffle_seed=...) packs THIS order.
 
-    DuckDB mirror for tests/oracles:
+    DuckDB mirror for tests/oracles (id compared at its own type in
+    both engines):
     ORDER BY ('0x'||substring(md5('<tag><seed>'||id::VARCHAR),1,15))::BIGINT, id
     """
     key = md5_hash64(
@@ -145,7 +148,7 @@ def shuffle_corpus(
             F.lit(SHUFFLE_SALT_TAG + seed), F.col(id_col).cast("string")
         )
     )
-    tie = F.col(id_col).cast("string")
+    tie = F.col(id_col)
     if partitions is not None:
         return df.repartitionByRange(
             int(partitions), key.asc(), tie.asc()

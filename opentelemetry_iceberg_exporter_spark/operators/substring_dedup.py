@@ -166,8 +166,14 @@ def canonical_overlap_report(
     per-anchor count). Cost is one extra run of the gram pipeline —
     an audit pass, deliberately not fused into the strip plan (the
     spans pipeline dominates; see apply_span_strip's with_stats note
-    on why referencing it twice recomputes)."""
-    hits = _duplicated_hits(df, id_col, text_col, k, stride)
+    on why referencing it twice recomputes). The hits frame feeds BOTH
+    sides of the self-join, so it is pinned with a lazy checkpoint —
+    without it the dominant count+min window over every gram runs
+    twice (HOF lambdas defeat exchange-reuse canonicalization, the
+    same reason incremental_substr pins its shared frames)."""
+    hits = _duplicated_hits(df, id_col, text_col, k, stride).localCheckpoint(
+        eager=False
+    )
     canon = hits.filter(_is_canonical()).select("doc_id", "pos")
     spans = merge_positions_to_spans(
         hits.filter(~_is_canonical()).select("doc_id", "pos"), k

@@ -110,7 +110,10 @@ class _FilePartition(InputPartition):
 
     file_path: str
     schema_fields: tuple  # ((name, iceberg_type_json, required, field_id), ...)
-    deleted_positions: tuple = field(default=())
+    # int64 numpy array (or () when none) — compare=False because the
+    # dataclass-generated __eq__ would raise on a multi-element array's
+    # ambiguous truth value (same pattern as DataFile.first_row_id)
+    deleted_positions: object = field(default=(), compare=False)
     name_mapping: tuple = field(default=())  # ((file column name, field id), ...)
     # ((delete_path, ((current key name, key field id), ...)), ...) —
     # ids let the executor resolve delete-file columns written under a

@@ -640,6 +640,9 @@ class TestXxh64BatchFuzz:
             hashlib.md5(str(i).encode()).hexdigest() for i in range(1_000_000)
         ]
         arr = pa.array(keys)
+        batch_key_hashes(arr)  # untimed warmup: first-call allocation/
+        # page-fault cost is ~5x the steady cost this test pins (the
+        # ingest probe calls this once per batch, steadily)
         t0 = time.perf_counter()
         out = batch_key_hashes(arr)
         batch_sec = time.perf_counter() - t0

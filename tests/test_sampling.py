@@ -368,7 +368,7 @@ class TestShuffleCorpus:
                 "SELECT doc_id FROM "
                 f"'{sf_dir}/documents.parquet' ORDER BY "
                 f"('0x'||substring(md5('{SHUFFLE_SALT_TAG}ep1'||doc_id::VARCHAR),1,15))::BIGINT, "
-                "doc_id::VARCHAR"
+                "doc_id"
             ).fetchall()
         ]
         assert got == want

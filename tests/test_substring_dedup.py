@@ -357,3 +357,17 @@ class TestCanonicalOverlapReport:
             ).collect()
         }
         assert got == overlap_reference(docs, k)
+
+    def test_cli_flags_mutually_exclusive(self, spark, tmp_path):
+        """--spans-only and --overlap-report produce different schemas;
+        asking for both must error, not silently prefer one."""
+        from opentelemetry_iceberg_exporter_spark.__main__ import main
+
+        src = str(tmp_path / "in_flags")
+        _df(spark, {1: PASSAGE}).write.parquet(src)
+        with pytest.raises(SystemExit):
+            main(
+                ["substr-dedup", "--input", src,
+                 "--output", str(tmp_path / "o"),
+                 "--spans-only", "--overlap-report"]
+            )
