@@ -357,7 +357,7 @@ def d02_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return step.select(
         "doc_id",
         *[F.expr(s) for s in minhash_sig_sql()],
-        simhash_col(F.col("__th"), F.col("__n")).alias("simhash"),
+        F.expr(simhash_sql("__th", "__n")).alias("simhash"),
     )
 
 
@@ -719,10 +719,28 @@ def d07_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash
 
 
+def simhash_sql(th_sql: str = "__th", n_sql: str = "__n") -> str:
+    """SQL-text twin of simhash_col over (token-hash array, size)
+    expression strings. The Column form builds ~320 py4j-backed nodes
+    (32 bits x filter-lambda/when/shift each) — measured ~1.1s of
+    driver time PER PLAN BUILD, 4x the query's whole execution at
+    sf0.1; one parsed string costs milliseconds (the same plan-build
+    fix as minhash_sig_sql / the OTLP anyvalue encoders).
+    test_simhash_sql_parity pins the two value-identical."""
+    bits = " + ".join(
+        f"(case when size(filter({th_sql}, h -> (shiftright(h, {b}) & 1) = 1)) * 2"
+        f" > {n_sql} then {1 << b}L else 0L end)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"({bits})"
+
+
 def simhash_col(th: Column, n: Column) -> Column:
     """32-bit SimHash from a token-hash array column and its size:
     bit b of the signature = majority of (bit b of token-hash) over
-    token occurrences — 32 array-filter counts, all codegen."""
+    token occurrences — 32 array-filter counts, all codegen.
+    Column-API reference implementation; query paths use simhash_sql
+    (plan-build speed; parity-pinned)."""
 
     def bit_test(b: int):
         def f(h: Column) -> Column:

@@ -10,6 +10,8 @@ value cross-engine deterministic.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -64,6 +66,18 @@ def doc_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     content fingerprints, BPE-ish token counts — ONE map-side Catalyst
     projection over the token array (no joins: at 100 TB a single narrow
     select beats 5 projections joined on doc_id by four shuffles)."""
+    return df.select(F.col(id_col), *_doc_feature_columns(id_col, text_col))
+
+
+@lru_cache(maxsize=8)
+def _doc_feature_columns(id_col: str, text_col: str) -> tuple:
+    """The t01 feature Column list, built ONCE per (id, text) column
+    pair: ~9 of these expressions carry py4j lambda plumbing (filter/
+    transform/aggregate), which costs several hundred ms of driver time
+    per construction — per BENCH PASS when rebuilt inside the query fn.
+    Column objects are immutable expression wrappers reusable across
+    DataFrames/queries in the process, so this caches plan-construction
+    work only (analysis still runs per query; no rows are cached)."""
     text = F.col(text_col)
     tok = tokens(text)
     n = F.size(tok)
@@ -92,8 +106,7 @@ def doc_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         cond = lang_scores[lang] > best_score
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
         best_score = F.when(cond, lang_scores[lang]).otherwise(best_score)
-    return df.select(
-        F.col(id_col),
+    return (
         n.alias("n_tokens"),
         F.size(F.array_distinct(tok)).alias("n_unique_tokens"),
         F.round(sum_len.cast("double") / n, 4).alias("avg_token_len"),
@@ -110,7 +123,7 @@ def doc_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         # deterministic train/val/test assignment (operators/sampling.py):
         # a real preprocessing pass computes this in the same projection
         split_assignment(F.col(id_col)),
-    )
+    )  # tuple: cached per (id_col, text_col), see docstring
 
 
 def _duck_lang_score(words: list[str]) -> str:

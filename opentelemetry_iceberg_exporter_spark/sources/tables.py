@@ -16,6 +16,9 @@ predicate pushdown and column pruning stay fully available to Catalyst.
 
 from __future__ import annotations
 
+import os
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -37,7 +40,39 @@ TABLE_NAMES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+# Per-session plan cache: spark.read.parquet pays ~150ms of driver work
+# per call (footer schema inference + file listing + py4j), re-paid for
+# every load of the same table in the same session — a catalog would do
+# this ONCE. The cache holds the lazy scan PLAN (schema + file index +
+# the ts normalization projection), never rows: every action on a cached
+# DataFrame still reads the parquet from disk, so bench/oracle runs keep
+# computing from the inputs. Keyed by (path, mtime, size) so a rewritten
+# file is re-listed; keyed weakly by session so a stopped session's
+# plans drop.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    try:
+        st = os.stat(path)
+        cache_key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        cache_key = None  # non-local / moved path: never cache
+    if cache_key is not None:
+        per_session = _TABLE_CACHE.setdefault(spark, {})
+        hit = per_session.get(cache_key)
+        if hit is not None:
+            return hit
+    df = _load_table_uncached(spark, sf_dir, name)
+    if cache_key is not None:
+        per_session[cache_key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # must hold in the CALLER's session too (the driver harness builds
         # its own SparkSession): without it Spark refuses TIMESTAMP(NANOS)

@@ -84,3 +84,45 @@ def test_ngrams_sql_matches_column_api(spark, sf_dir):
         a = {r["doc_id"]: r["g"] for r in ref.collect()}
         b = {r["doc_id"]: r["g"] for r in sql.collect()}
         assert a == b
+
+
+def test_simhash_sql_parity(spark, sf_dir):
+    """simhash_sql (one parsed string, built in ms) must equal
+    simhash_col (the ~320-node Column-API reference, ~1.1s of driver
+    time per plan build) on the real documents table and edge docs."""
+    from opentelemetry_iceberg_exporter_spark.functions import md5_hash64, tokens
+    from opentelemetry_iceberg_exporter_spark.operators.dedup import (
+        simhash_col,
+        simhash_sql,
+    )
+
+    def both(docs):
+        th = F.transform(tokens(F.col("text")), md5_hash64)
+        base = docs.select(
+            "doc_id", th.alias("__th"), F.size(th).alias("__n")
+        )
+        ref = base.select(
+            "doc_id", simhash_col(F.col("__th"), F.col("__n")).alias("s")
+        )
+        sql = base.select(
+            "doc_id", F.expr(simhash_sql("__th", "__n")).alias("s")
+        )
+        a = {r["doc_id"]: r["s"] for r in ref.collect()}
+        b = {r["doc_id"]: r["s"] for r in sql.collect()}
+        return a, b
+
+    a, b = both(_docs(spark, sf_dir))
+    assert a == b and len(a) > 0
+
+    edge = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "one"),
+            (3, "dup dup dup dup"),
+            (4, "  padded   whitespace \t tokens here  "),
+            (5, "a b c d e f g h i j k l m n o p"),
+        ],
+        "doc_id long, text string",
+    )
+    a, b = both(edge)
+    assert a == b and len(a) == 5
