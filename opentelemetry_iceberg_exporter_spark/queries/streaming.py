@@ -19,6 +19,7 @@ At scale the same plans run unbounded with the watermark bounding state
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -92,7 +93,50 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_to_memory(df: DataFrame, prefix: str, output_mode: str) -> DataFrame:
+_STATE_PARTITION_BYTES = 32 << 20  # ~32 MB of source input per state partition
+
+
+def state_partitions_for(spark: SparkSession, src_path: str) -> int:
+    """Size the streaming STATE STORE partition count to the input
+    volume instead of inheriting spark.sql.shuffle.partitions.
+
+    Why: every state partition writes its own delta/snapshot files to
+    the checkpoint on every micro-batch, so an N-partition stateful
+    query pays N file creations per batch REGARDLESS of state size —
+    with tiny state (this bench: ~2 MB of events) 32 partitions is
+    ~1.1s of pure checkpoint fan-out per query, >50% of st01's wall
+    time. The scale rule is data-derived, not core-count-derived: one
+    partition per ~32 MB of source input, floored at 2 (never
+    single-partition: keeps the plan shape honest) and capped at the
+    session's configured shuffle parallelism (a production stream with
+    TBs of state gets its full configured width). Override with
+    SPARK_GRAFT_STREAM_STATE_PARTITIONS for explicit production sizing
+    — the state-partition count is fixed at first checkpoint, so real
+    deployments should pin it deliberately.
+    """
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    try:
+        if os.path.isdir(src_path):
+            n_bytes = sum(
+                e.stat().st_size for e in os.scandir(src_path) if e.is_file()
+            )
+        else:
+            n_bytes = os.stat(src_path).st_size
+    except OSError:
+        n_bytes = 0
+    configured = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    by_bytes = -(-n_bytes // _STATE_PARTITION_BYTES)  # ceil
+    return max(2, min(configured, by_bytes))
+
+
+def run_to_memory(
+    df: DataFrame,
+    prefix: str,
+    output_mode: str,
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Run a streaming DF to completion (availableNow) into a uniquely
     named memory sink; return the materialized table. The query is
     fully terminated HERE — awaitTermination (availableNow queries
@@ -107,20 +151,33 @@ def run_to_memory(df: DataFrame, prefix: str, output_mode: str) -> DataFrame:
     spark = df.sparkSession
     qname = f"{prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # The state-partition count is captured from shuffle.partitions when
+    # the query plans its first batch; scope the override to this query
+    # and restore the session value afterwards (queries run sequentially
+    # in the bench/oracle harnesses). Value-neutral: partition count
+    # never changes WHAT a stateful operator computes, only its
+    # checkpoint fan-out.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.awaitTermination()
+        q = (
+            df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()  # no-op when already self-terminated; kills stragglers
+            q.awaitTermination()
+            shutil.rmtree(ckpt, ignore_errors=True)
     finally:
-        q.stop()  # no-op when already self-terminated; kills stragglers
-        q.awaitTermination()
-        shutil.rmtree(ckpt, ignore_errors=True)
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname)
 
 
@@ -141,7 +198,8 @@ def st01_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     out = windowed_counts(ev, "ts", window="1 hour", watermark="2 hours",
                           group_cols=["event_type"])
-    return run_to_memory(out, "st01", "complete")
+    sp = state_partitions_for(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    return run_to_memory(out, "st01", "complete", state_partitions=sp)
 
 
 @register(
@@ -154,7 +212,11 @@ def st01_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def st02_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     out = dedup_stream(ev, ["user_id", "event_type"], "ts", watermark="1 hour")
-    return run_to_memory(out.select("user_id", "event_type"), "st02", "append")
+    sp = state_partitions_for(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    return run_to_memory(
+        out.select("user_id", "event_type"), "st02", "append",
+        state_partitions=sp,
+    )
 
 
 @register(
@@ -188,10 +250,12 @@ def st03_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     out = session_window_counts(ev, "ts", "user_id", gap="30 minutes",
                                 watermark="1 hour")
+    sp = state_partitions_for(spark, f"{sf_dir.rstrip('/')}/events.parquet")
     return run_to_memory(
         out.select("user_id", "session_start", "session_end", "n_events"),
         "st03",
         "complete",
+        state_partitions=sp,
     )
 
 
@@ -205,7 +269,8 @@ def st03_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def st04_stream_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     out = running_event_counts(ev, "user_id")
-    return run_to_memory(out, "st04", "update")
+    sp = state_partitions_for(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    return run_to_memory(out, "st04", "update", state_partitions=sp)
 
 
 @register(
@@ -259,4 +324,5 @@ def st05_stream_otlp_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scope_name",
         "span_attributes",
     )
-    return run_to_memory(flat, "st05", "append")
+    sp = state_partitions_for(spark, _FIXTURES)
+    return run_to_memory(flat, "st05", "append", state_partitions=sp)
