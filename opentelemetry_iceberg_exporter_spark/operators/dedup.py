@@ -148,8 +148,11 @@ _SUBSTR_K = 25  # spans-row gram width: ~45% of docs carry a duplicated
 def d08_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .substring_dedup import apply_span_strip, duplicated_spans
 
+    tbl = load_table(spark, sf_dir, "documents")
     docs = fan_out(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+        tbl.select("doc_id", "text"),
+        spark,
+        src_bytes=getattr(tbl, "_graft_src_bytes", None),
     )
     spans = duplicated_spans(docs, "doc_id", "text", k=_SUBSTR_K)
     # with_stats derives the per-doc counters from the strip's own

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType
 from pyspark.sql.window import Window
 
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 from ..queries import register
 
 log = logging.getLogger(__name__)
@@ -86,14 +86,15 @@ def cosine_topk(
     queries is assumed dimension-table sized -> broadcast; the corpus
     streams map-side; the only shuffle is the per-query top-k window.
     """
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("v"),
-        F.sqrt(_spark_dot(vec_col, vec_col)).alias("v_norm"),
-    )
     # spread the O(N x Q) scoring across cores even when the corpus
-    # parquet is a single split (at scale the scan is already parallel)
-    c = c.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    # parquet is a single split (at scale the scan is already parallel
+    # and fan_out is a no-op); fan out the RAW vectors so the norm
+    # computation itself runs post-shuffle in parallel
+    c = fan_out(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
+        corpus.sparkSession,
+        src_bytes=getattr(corpus, "_graft_src_bytes", None),
+    ).withColumn("v_norm", F.sqrt(_spark_dot("v", "v")))
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q"),
@@ -306,12 +307,11 @@ def ann_ivf(
         F.col(vec_col).alias("c"),
         F.sqrt(_spark_dot(vec_col, vec_col)).alias("c_norm"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("v"),
-        F.sqrt(_spark_dot(vec_col, vec_col)).alias("v_norm"),
-    )
-    c = c.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    c = fan_out(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
+        corpus.sparkSession,
+        src_bytes=getattr(corpus, "_graft_src_bytes", None),
+    ).withColumn("v_norm", F.sqrt(_spark_dot("v", "v")))
     c = ivf_assign(c, cent, "vec_id", nprobe=1)
     q = queries.select(
         F.col(id_col).alias("q_id"),

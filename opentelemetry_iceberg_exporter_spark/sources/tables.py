@@ -68,6 +68,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             return hit
     df = _load_table_uncached(spark, sf_dir, name)
     if cache_key is not None:
+        # size hint for fan_out's data-derived width (also skips its
+        # df.rdd fallback); an attribute on the cached object, so it
+        # rides every cache hit for free
+        df._graft_src_bytes = cache_key[2]
         per_session[cache_key] = df
     return df
 
@@ -117,22 +121,68 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     return df
 
 
-def fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
-    """Fan a narrow scan out to the cluster's parallelism before
-    CPU-heavy per-row work (hashing, shingling, signature folds).
+# ~48 KB of narrow text/vector input per fan-out task: the operators
+# behind fan_out do md5/shingle/signature folds measured at ~5-10ms of
+# CPU per KB of input, so a 48 KB slice is a few hundred ms of task CPU
+# — enough to amortize task setup, small enough to engage many cores.
+# Wider is NOT better for these allocation-heavy interpreted
+# expressions: measured on the bench corpus, 32 slices in one local JVM
+# ran d03 at 1.20s / d04 at 1.80s vs 0.55s / 1.42s at ~16 (GC
+# contention scales with concurrent allocation-heavy tasks per heap).
+_FAN_OUT_TASK_BYTES = 48 << 10
+
+
+def fan_out(df: DataFrame, spark: SparkSession, src_bytes: int | None = None) -> DataFrame:
+    """Fan a narrow scan out before CPU-heavy per-row work (hashing,
+    shingling, signature folds).
 
     A small table often arrives as a single parquet split (one row
     group cannot be subdivided), which serializes ALL downstream
     map-side work onto one core while the other N-1 idle. One shuffle
-    of the narrow input unlocks them. Strictly a small-input guard: when
-    the scan already has at least half the cluster's parallelism in
-    splits — always true for production-scale inputs — this is a no-op,
-    so no full-corpus shuffle can ever sneak in at 100 TB."""
-    n = df.rdd.getNumPartitions()
+    of the narrow input unlocks them. The width is DATA-derived — one
+    slice per ~48 KB of source input (see _FAN_OUT_TASK_BYTES), capped
+    at the cluster's parallelism — so a production-scale input computes
+    a width >> parallelism, hits the cap, and the already-parallel scan
+    passes through untouched: no full-corpus shuffle can sneak in at
+    100 TB.
+
+    `src_bytes` is the source-file size hint; load_table stamps it on
+    every table scan it returns (`_graft_src_bytes`), which also avoids
+    the df.rdd plan-to-RDD conversion (~100ms of driver work per call)
+    the partition-count fallback needs."""
     target = spark.sparkContext.defaultParallelism
+    if src_bytes is None:
+        src_bytes = getattr(df, "_graft_src_bytes", None)
+    if src_bytes is not None:
+        # scan parallelism the file ALREADY has (split planning packs
+        # ~maxPartitionBytes per task): at production scale this
+        # exceeds the cluster width and fan-out is a no-op
+        est_splits = -(-src_bytes // _max_partition_bytes(spark))
+        if est_splits * 2 > target:
+            return df
+        width = max(2, min(target, int(src_bytes // _FAN_OUT_TASK_BYTES)))
+        if width <= est_splits:
+            return df
+        return df.repartition(width)
+    # no size hint (derived frame): fall back to the split count
+    n = df.rdd.getNumPartitions()
     if n * 2 <= target:
         return df.repartition(target)
     return df
+
+
+def _max_partition_bytes(spark: SparkSession) -> int:
+    """spark.sql.files.maxPartitionBytes as an int (the conf surfaces
+    values like '134217728b' / '128MB')."""
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
+    s = raw.strip().lower()
+    for suffix, mult in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
+    ):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * mult)
+    return int(s)
 
 
 def epoch_micros_sql(df: DataFrame, colname: str) -> str:

@@ -45,3 +45,43 @@ def test_doc_feature_columns_cached():
     b = _doc_feature_columns("doc_id", "text")
     assert a is b
     assert _doc_feature_columns.cache_info().hits >= 1
+
+
+def test_fan_out_width_is_data_derived(spark, sf_dir):
+    """fan_out sizes its shuffle from SOURCE BYTES (one slice per
+    ~48 KB, cap = cluster parallelism); a production-scale byte count
+    estimates enough scan splits that fan_out is a no-op (no
+    full-corpus shuffle can sneak in at scale)."""
+    from opentelemetry_iceberg_exporter_spark.sources.tables import (
+        _FAN_OUT_TASK_BYTES,
+        fan_out,
+        load_table,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents")
+    assert hasattr(docs, "_graft_src_bytes")
+
+    small = fan_out(docs, spark, src_bytes=10 * _FAN_OUT_TASK_BYTES)
+    assert small.rdd.getNumPartitions() == min(target, 10)
+
+    # 100 GB "source": estimated scan splits cover the cluster -> no-op
+    big = fan_out(docs, spark, src_bytes=100 << 30)
+    assert big is docs
+
+    # tiny source still gets the floor of 2 (never single-slice)
+    tiny = fan_out(docs, spark, src_bytes=1)
+    assert tiny.rdd.getNumPartitions() == 2
+
+
+def test_fan_out_fallback_without_hint(spark, sf_dir):
+    from opentelemetry_iceberg_exporter_spark.sources.tables import (
+        fan_out,
+        load_table,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    # a derived frame loses the attribute -> split-count fallback
+    derived = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = fan_out(derived, spark)
+    assert out.rdd.getNumPartitions() >= min(2, target)
