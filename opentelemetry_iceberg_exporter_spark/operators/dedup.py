@@ -594,21 +594,32 @@ def dedup_groups(
         hop = merged.select(
             F.col("node").alias("label"), F.col("label").alias("label2")
         )
+        # carry the PREVIOUS label through the materialization so the
+        # convergence check is a filter-count over the checkpointed
+        # blocks instead of a second join job per round — the old-label
+        # join costs the same shuffle either way, but fused here it
+        # rides the round's one materializing job (iterative loops are
+        # driver-latency bound: 2 jobs/round -> 1 job + a cheap scan)
         doubled = (
             merged.join(hop, "label", "left")
+            .join(
+                labels.select(
+                    "node", F.col("label").alias("__old_label")
+                ),
+                "node",
+                "left",
+            )
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("label2", "label")).alias("label"),
+                "__old_label",
             )
             .localCheckpoint()
         )
-        changed = (
-            doubled.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = doubled
+        changed = doubled.filter(
+            F.col("label") != F.col("__old_label")
+        ).count()
+        labels = doubled.select("node", "label")
         if changed == 0:
             break
     else:

@@ -66,15 +66,18 @@ def semdedup_pairs(
     web scale for exactly this reason)."""
     nz = nonzero_vectors(df, vec_col)
     _, assigned = kmeans_fit(
-        nz, id_col, vec_col, k=k, max_iter=max_iter, fit_fraction=fit_fraction
+        nz, id_col, vec_col, k=k, max_iter=max_iter, fit_fraction=fit_fraction,
+        keep_vec=True,
     )
-    vec = nz.select(
+    # the assignment frame already carries the vector (keep_vec): derive
+    # the norm map-side instead of re-joining the corpus on id — the
+    # re-join was two extra full shuffles of the embedding table at
+    # scale (and the bench's slowest semdedup stage)
+    tagged = assigned.select(
         F.col(id_col).alias("__sid"),
+        F.col("cell"),
         F.col(vec_col).alias("__v"),
         F.sqrt(_spark_dot(vec_col, vec_col)).alias("__n"),
-    )
-    tagged = assigned.join(vec, assigned[id_col] == vec["__sid"]).select(
-        F.col("__sid"), F.col("cell"), F.col("__v"), F.col("__n")
     )
     left = tagged.select(
         F.col("__sid").alias("id_a"),

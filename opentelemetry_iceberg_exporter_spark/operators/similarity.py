@@ -470,6 +470,7 @@ def kmeans_fit(
     max_iter: int = 20,
     tol: float = 1e-9,
     fit_fraction: float | None = None,
+    keep_vec: bool = False,
 ) -> tuple[list[list[float]], DataFrame]:
     """Distributed Lloyd's k-means over an embedding column; returns
     (centroids, assignments) where assignments has (id, cell).
@@ -588,7 +589,14 @@ def kmeans_fit(
     # fixpoint this is identical, after max_iter it is the correction
     # that keeps ivf_assign cells aligned with the centroid table.
     # Always over the FULL corpus (sample-fit only trains faster).
-    assignments = assign_to(cents, base).select(F.col(id_col), "cell")
+    # keep_vec: callers that need (id, vector, cell) together (e.g.
+    # semdedup's within-cell pair join) take the vector straight off the
+    # assignment frame instead of re-joining the corpus on id — at scale
+    # that re-join is two avoidable full shuffles of the embedding table
+    cols = [F.col(id_col), F.col("cell")]
+    if keep_vec:
+        cols.insert(1, F.col("__v").alias(vec_col))
+    assignments = assign_to(cents, base).select(*cols)
     return cents, assignments
 
 
