@@ -234,16 +234,13 @@ class IncrementalSubstrDeduper:
         spans = merge_positions_to_spans(
             excise_corpus.unionByName(excise_batch), self.k
         ).localCheckpoint(eager=False)
-        stripped = apply_span_strip(batch, id_col, text_col, spans, "text_deduped")
-        stats = spans.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("spans_removed"),
-            F.sum(F.col("span_end") - F.col("span_start")).alias("chars_removed"),
-        ).withColumnRenamed("doc_id", "__st_doc")
-        output = (
-            stripped.join(stats, stripped[id_col] == stats["__st_doc"], "left")
-            .drop("__st_doc")
-            .withColumn("spans_removed", F.coalesce("spans_removed", F.lit(0)))
-            .withColumn("chars_removed", F.coalesce("chars_removed", F.lit(0)))
+        # with_stats derives spans_removed/chars_removed from the SAME
+        # collected span array the strip stitches over — one aggregation
+        # + one join per batch instead of two of each (the standalone
+        # stats groupBy + join-back this replaces computed identical
+        # values from a second pass over `spans`)
+        output = apply_span_strip(
+            batch, id_col, text_col, spans, "text_deduped", with_stats=True
         )
 
         # every index-miss gram enters the index under its BATCH
@@ -290,7 +287,7 @@ class IncrementalSubstrDeduper:
             output=output,
             snapshot_id=snapshot_id,
             docs=batch.count(),
-            trimmed_docs=stats.count(),
+            trimmed_docs=spans.select("doc_id").distinct().count(),
             new_grams=new_grams,
             index_files_total=scan_stats.files_total,
             index_files_read=scan_stats.files_read,
