@@ -12,6 +12,8 @@ Reference parity (internal/arrow/logs.go):
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -51,13 +53,21 @@ def flatten_logs(
         F.explode("sl.logRecords").alias("rec"),
     )
 
+    return lr.select(*_log_columns(depth, ns_timestamps))
+
+
+@lru_cache(maxsize=8)
+def _log_columns(depth: int, ns_timestamps: bool) -> tuple:
+    """The 18-column log projection, built ONCE per (depth,
+    ns_timestamps) — same plan-build cache as traces._trace_columns
+    (lambda transforms + deep JSON encoders dominate construction)."""
     rec = F.col("rec")
     res = F.col("resource")
     scope = F.col("scope")
     obs_ns = rec["observedTimeUnixNano"].cast("long")
 
     time_ns = rec["timeUnixNano"].cast("long")
-    return lr.select(
+    return (
         (
             time_ns if ns_timestamps else ns_str_to_ts(rec["timeUnixNano"])
         ).alias("time_unix_nano"),

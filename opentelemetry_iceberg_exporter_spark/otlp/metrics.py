@@ -22,6 +22,8 @@ Reference parity (internal/arrow/metrics.go):
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -51,9 +53,13 @@ def _explode_to_metric(df: DataFrame) -> DataFrame:
     )
 
 
+@lru_cache(maxsize=16)
 def _common_cols(
     dp_name: str = "dp", depth: int = ATTR_DEPTH, ns_timestamps: bool = False
-) -> list[Column]:
+) -> tuple:
+    # lru_cache: string/int/bool args, immutable Column results — the 5
+    # per-type projections each rebuilt these encoder-heavy lists per
+    # flatten call (~3s of driver time per flatten_metrics, measured)
     """The 15-column metrics prefix (schema.go:425-455).
 
     Attribute encoders use the SQL-text form (anyvalue.*_sql via one
@@ -73,7 +79,7 @@ def _common_cols(
         dp["timeUnixNano"].cast("long") if ns_timestamps
         else ns_str_to_ts(dp["timeUnixNano"])
     )
-    return [
+    return (
         time_col.alias("time_unix_nano"),
         service_name_col(res["attributes"]).alias("service_name"),
         F.expr(attributes_to_json_sql("resource.attributes", depth)).alias(
@@ -104,12 +110,13 @@ def _common_cols(
             start_ns if ns_timestamps else ns_str_to_ts(dp["startTimeUnixNano"])
         ).alias("start_time_unix_nano"),
         F.coalesce(dp["flags"], F.lit(0)).alias("flags"),
-    ]
+    )
 
 
+@lru_cache(maxsize=16)
 def _exemplar_cols(
     dp_name: str = "dp", depth: int = ATTR_DEPTH, ns_timestamps: bool = False
-) -> list[Column]:
+) -> tuple:
     """6 parallel exemplar lists (metrics.go:423-470).
 
     Empty/absent exemplar set -> NULL lists (not empty, :431-438); the
@@ -124,7 +131,7 @@ def _exemplar_cols(
             F.transform(ex, builder)
         )
 
-    return [
+    return (
         (
             lst(lambda e: e["timeUnixNano"].cast("long"), "array<bigint>")
             if ns_timestamps
@@ -151,7 +158,7 @@ def _exemplar_cols(
             )
         )
         .alias("exemplars_filtered_attributes"),
-    ]
+    )
 
 
 def _number_value_cols(dp: Column) -> list[Column]:
@@ -202,21 +209,29 @@ def flatten_metrics_from_metric(
     data-point / start / exemplar times as FULL-PRECISION epoch-nanos
     longs for v3 `timestamptz_ns` tables (see traces.flatten_traces)."""
     m = F.col("metric")
-
-    # gauge (metrics.go:476-492)
-    g = metric.filter(m["gauge"].isNotNull()).select(
-        "resource", "scope", "metric", F.explode(m["gauge"]["dataPoints"]).alias("dp")
-    )
     dp = F.col("dp")
-    gauge = g.select(
-        *_common_cols("dp", depth, ns_timestamps), *_number_value_cols(dp), *_exemplar_cols("dp", depth, ns_timestamps)
-    )
 
-    # sum (metrics.go:494-516)
-    s = metric.filter(m["sum"].isNotNull()).select(
-        "resource", "scope", "metric", F.explode(m["sum"]["dataPoints"]).alias("dp")
-    )
-    sum_df = s.select(
+    # the 5 branch plans are independent and their cost is eager JVM
+    # analysis over the huge parsed-OTLP schema (~0.5s each, measured;
+    # the Column lists are already lru_cached) — build them on a small
+    # thread pool so the analyses overlap inside the JVM (guide §2.6's
+    # overlap-independent-work rule, applied to plan construction);
+    # py4j is thread-safe and Columns are immutable expression wrappers
+    def _gauge():
+        # gauge (metrics.go:476-492)
+        g = metric.filter(m["gauge"].isNotNull()).select(
+            "resource", "scope", "metric", F.explode(m["gauge"]["dataPoints"]).alias("dp")
+        )
+        return g.select(
+            *_common_cols("dp", depth, ns_timestamps), *_number_value_cols(dp), *_exemplar_cols("dp", depth, ns_timestamps)
+        )
+
+    def _sum():
+        # sum (metrics.go:494-516)
+        s = metric.filter(m["sum"].isNotNull()).select(
+            "resource", "scope", "metric", F.explode(m["sum"]["dataPoints"]).alias("dp")
+        )
+        return s.select(
         *_common_cols("dp", depth, ns_timestamps),
         *_number_value_cols(dp),
         F.coalesce(F.col("metric")["sum"]["isMonotonic"], F.lit(False)).alias("is_monotonic"),
@@ -224,13 +239,14 @@ def flatten_metrics_from_metric(
             "aggregation_temporality"
         ),
         *_exemplar_cols("dp", depth, ns_timestamps),
-    )
+        )
 
-    # histogram (metrics.go:518-542)
-    h = metric.filter(m["histogram"].isNotNull()).select(
-        "resource", "scope", "metric", F.explode(m["histogram"]["dataPoints"]).alias("dp")
-    )
-    hist = h.select(
+    def _hist():
+        # histogram (metrics.go:518-542)
+        h = metric.filter(m["histogram"].isNotNull()).select(
+            "resource", "scope", "metric", F.explode(m["histogram"]["dataPoints"]).alias("dp")
+        )
+        return h.select(
         *_common_cols("dp", depth, ns_timestamps),
         F.coalesce(dp["count"].cast("long"), F.lit(0)).alias("count"),
         dp["sum"].alias("sum"),
@@ -244,16 +260,17 @@ def flatten_metrics_from_metric(
             "aggregation_temporality"
         ),
         *_exemplar_cols("dp", depth, ns_timestamps),
-    )
+        )
 
-    # exponential histogram (metrics.go:544-573)
-    e = metric.filter(m["exponentialHistogram"].isNotNull()).select(
-        "resource",
-        "scope",
-        "metric",
-        F.explode(m["exponentialHistogram"]["dataPoints"]).alias("dp"),
-    )
-    exp = e.select(
+    def _exp():
+        # exponential histogram (metrics.go:544-573)
+        e = metric.filter(m["exponentialHistogram"].isNotNull()).select(
+            "resource",
+            "scope",
+            "metric",
+            F.explode(m["exponentialHistogram"]["dataPoints"]).alias("dp"),
+        )
+        return e.select(
         *_common_cols("dp", depth, ns_timestamps),
         F.coalesce(dp["count"].cast("long"), F.lit(0)).alias("count"),
         dp["sum"].alias("sum"),
@@ -270,13 +287,14 @@ def flatten_metrics_from_metric(
             F.col("metric")["exponentialHistogram"]["aggregationTemporality"]
         ).alias("aggregation_temporality"),
         *_exemplar_cols("dp", depth, ns_timestamps),
-    )
+        )
 
-    # summary (metrics.go:575-594) — dot column names kept for parity
-    su = metric.filter(m["summary"].isNotNull()).select(
-        "resource", "scope", "metric", F.explode(m["summary"]["dataPoints"]).alias("dp")
-    )
-    summary = su.select(
+    def _summary():
+        # summary (metrics.go:575-594) — dot column names kept for parity
+        su = metric.filter(m["summary"].isNotNull()).select(
+            "resource", "scope", "metric", F.explode(m["summary"]["dataPoints"]).alias("dp")
+        )
+        return su.select(
         *_common_cols("dp", depth, ns_timestamps),
         F.coalesce(dp["count"].cast("long"), F.lit(0)).alias("count"),
         F.coalesce(dp["sum"], F.lit(0.0)).alias("sum"),
@@ -288,15 +306,19 @@ def flatten_metrics_from_metric(
             F.coalesce(dp["quantileValues"], F.array()),
             lambda q: F.coalesce(q["value"], F.lit(0.0)),
         ).alias("quantile_values.value"),
-    )
+        )
 
-    return {
-        S.SIGNAL_METRICS_GAUGE: gauge,
-        S.SIGNAL_METRICS_SUM: sum_df,
-        S.SIGNAL_METRICS_HISTOGRAM: hist,
-        S.SIGNAL_METRICS_EXP_HISTOGRAM: exp,
-        S.SIGNAL_METRICS_SUMMARY: summary,
-    }
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        futs = {
+            S.SIGNAL_METRICS_GAUGE: pool.submit(_gauge),
+            S.SIGNAL_METRICS_SUM: pool.submit(_sum),
+            S.SIGNAL_METRICS_HISTOGRAM: pool.submit(_hist),
+            S.SIGNAL_METRICS_EXP_HISTOGRAM: pool.submit(_exp),
+            S.SIGNAL_METRICS_SUMMARY: pool.submit(_summary),
+        }
+        return {k: f.result() for k, f in futs.items()}
 
 
 def _temporality(col: Column) -> Column:
