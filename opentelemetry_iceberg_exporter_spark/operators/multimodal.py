@@ -37,7 +37,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 from ..queries import register
 
 # canonical media-row schema: opaque payload + typed metadata
@@ -476,6 +476,15 @@ def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapter: treat document text bytes as opaque media payloads so the
     binary plumbing is exercisable on the driver's testdata."""
     d = load_table(spark, sf_dir, "documents")
+    # fan the single-split scan out BEFORE the mapInPandas consumers:
+    # without it one Python worker decodes every payload serially while
+    # the rest idle (data-derived width; no-op on production-scale
+    # inputs — see sources.tables.fan_out)
+    d = fan_out(
+        d.select("doc_id", "text", "source"),
+        spark,
+        src_bytes=getattr(d, "_graft_src_bytes", None),
+    )
     return d.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("media_type"),
