@@ -1134,15 +1134,20 @@ def main() -> None:
     # plan regression.
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        # job labels (guide §1.5) are set OUTSIDE the timed region so
+        # the UI is readable without touching the measured seconds
+        spark.sparkContext.setJobDescription(f"headline cold: {name}")
         t0 = time.perf_counter()
         specs[name].fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
     steady_runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(N_STEADY_PASSES):
+    for i in range(N_STEADY_PASSES):
         for name in HEADLINE:
+            spark.sparkContext.setJobDescription(f"headline steady {i}: {name}")
             t0 = time.perf_counter()
             specs[name].fn(spark, sf_dir).count()
             steady_runs[name].append(time.perf_counter() - t0)
+    spark.sparkContext.setJobDescription(None)
     steady = {
         name: round(statistics.median(runs), 3)
         for name, runs in steady_runs.items()
