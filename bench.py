@@ -1001,7 +1001,12 @@ def run_corpus_build_bench(spark, sf_dir: str) -> dict:
     )
     from opentelemetry_iceberg_exporter_spark.sources.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = load_table(spark, sf_dir, "documents")
+    docs = base.select("doc_id", "text")
+    # carry the source-size hint through the projection so the funnel's
+    # data-derived fan-out width sees the real input bytes (load_table
+    # stamps it on the scan; .select returns a fresh object)
+    docs._graft_src_bytes = getattr(base, "_graft_src_bytes", None)
     benchmark = docs.filter(
         F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(97)) == 0
     ).select("text")

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.textfns import tokens
+from ..sources.tables import fan_out
 from .cleaning import dedup_paragraphs, flag_contamination
 from .dedup import dedup_groups, exact_dedup, minhash_lsh_pairs, minhash_signatures
 
@@ -93,9 +94,25 @@ def build_corpus(
             report.add(stage, None)
         return df
 
+    # Stage boundaries materialize through AQE, which coalesces each
+    # tiny semi-join output down to ONE partition at bench scale — and
+    # every downstream stage's CPU-heavy map work (paragraph explode,
+    # n-gram explode, minhash folds, char-gram md5) would then run on
+    # one core while the rest idle. fan_out re-spreads a collapsed
+    # frame before each heavy map stage; it is a no-op whenever the
+    # frame is already parallel (production scale), so no full-corpus
+    # shuffle can sneak in at 100 TB. The source-bytes hint (stamped by
+    # load_table) rides the ORIGINAL docs frame; survivor frames only
+    # shrink, so it stays a valid width bound for every stage.
+    src_hint = getattr(docs, "_graft_src_bytes", None)
+
+    def spread(df: DataFrame) -> DataFrame:
+        return fan_out(df, spark, src_bytes=src_hint)
+
     out = count("input", docs)
 
     if boilerplate_max_docs is not None:
+        out = spread(out)
         rewritten = dedup_paragraphs(out, id_col, text_col, boilerplate_max_docs)
         # LEFT join + coalesce: dedup_paragraphs emits no row for docs
         # with empty/NULL text, and an inner join would silently drop
@@ -118,7 +135,7 @@ def build_corpus(
 
     if benchmark is not None:
         flags = flag_contamination(
-            out, benchmark, id_col, text_col, bench_text_col=bench_text_col
+            spread(out), benchmark, id_col, text_col, bench_text_col=bench_text_col
         )
         out = out.join(
             flags.filter(~F.col("contaminated")).select(id_col), id_col, "semi"
@@ -131,7 +148,9 @@ def build_corpus(
         out = count("exact_dedup", out)
 
     if near:
-        pairs = minhash_lsh_pairs(minhash_signatures(out, id_col, text_col), id_col)
+        pairs = minhash_lsh_pairs(
+            minhash_signatures(spread(out), id_col, text_col), id_col
+        )
         groups = dedup_groups(out, pairs, id_col)
         out = out.join(
             groups.filter(F.col("is_canonical")).select(id_col), id_col, "semi"
@@ -148,7 +167,7 @@ def build_corpus(
 
         out = (
             strip_duplicated_substrings(
-                out, id_col, text_col, k=substr_k, stride=substr_stride
+                spread(out), id_col, text_col, k=substr_k, stride=substr_stride
             )
             .withColumn(text_col, F.col("text_deduped"))
             .drop("text_deduped")
