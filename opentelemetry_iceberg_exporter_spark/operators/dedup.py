@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions import md5_hash64, ngrams, tokens
 from ..functions.textfns import HASH_MOD
-from ..sources.tables import fan_out, load_table
+from ..sources.tables import _FAN_OUT_TASK_BYTES, fan_out, load_table
 from ..queries import register
 
 # ---------------------------------------------------------------------------
@@ -419,6 +419,21 @@ JACCARD_THRESHOLD = 0.2
 DEFAULT_DF_CAP: int | None = 1000
 
 
+def _pair_shuffle_width(df: DataFrame) -> int | None:
+    """Explicit width for the shingle-group shuffle, or None to leave it
+    to the configured shuffle partitioning + AQE. Derived from the same
+    source-bytes rule as fan_out (one slice per ~48 KB, floor 2) so the
+    pinned width is data-derived; inputs big enough that the estimate
+    leaves the cluster's few-waves range (4x parallelism) return None —
+    at production scale the configured partitioning governs, unchanged."""
+    src_bytes = getattr(df, "_graft_src_bytes", None)
+    if src_bytes is None:
+        return None
+    target = df.sparkSession.sparkContext.defaultParallelism
+    est = max(2, int(src_bytes // _FAN_OUT_TASK_BYTES))
+    return est if est <= 4 * target else None
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -452,8 +467,20 @@ def ngram_jaccard_pairs(
     # key so the per-shingle grouping runs partition-local and parallel
     # even when the source parquet is a single split (also the
     # co-location strategy at scale: one shuffle feeds pair generation
-    # and, via the exploded lists, the per-doc counts)
-    sh = sh.repartition(F.col("sh"))
+    # and, via the exploded lists, the per-doc counts).
+    #
+    # Width: the post-shuffle pair generation is compute-bound, not
+    # byte-bound (~150ms of CPU per shuffled MB measured at sf0.1), so
+    # AQE's byte-based partition coalescing under-parallelizes it —
+    # measured 4 post-coalesce tasks where ~12 run 1.5x faster end to
+    # end. When the source is small enough that the byte rule would
+    # collapse it (width within a few waves of the cluster), pin the
+    # exchange to the same data-derived width fan_out uses (one slice
+    # per ~48 KB of source, floor 2); at production scale the width
+    # estimate exceeds that bound and the configured shuffle
+    # partitioning + AQE governs exactly as before.
+    width = _pair_shuffle_width(df)
+    sh = sh.repartition(width, F.col("sh")) if width else sh.repartition(F.col("sh"))
     groups = sh.groupBy("sh").agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
     if df_cap is not None:
         # stop-shingle cap == list-size filter (memory per group is

@@ -163,7 +163,12 @@ def fan_out(df: DataFrame, spark: SparkSession, src_bytes: int | None = None) ->
         width = max(2, min(target, int(src_bytes // _FAN_OUT_TASK_BYTES)))
         if width <= est_splits:
             return df
-        return df.repartition(width)
+        out = df.repartition(width)
+        # the hint survives the fan-out so downstream operators (e.g.
+        # the n-gram pair shuffle) can derive their own widths from the
+        # same source-bytes rule
+        out._graft_src_bytes = src_bytes
+        return out
     # no size hint (derived frame): fall back to the split count
     n = df.rdd.getNumPartitions()
     if n * 2 <= target:

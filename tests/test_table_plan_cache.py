@@ -85,3 +85,54 @@ def test_fan_out_fallback_without_hint(spark, sf_dir):
     derived = load_table(spark, sf_dir, "documents").select("doc_id")
     out = fan_out(derived, spark)
     assert out.rdd.getNumPartitions() >= min(2, target)
+
+
+def test_fan_out_stamps_hint_on_output(spark, sf_dir):
+    """fan_out's repartitioned output carries the source-bytes hint
+    forward so downstream width decisions (e.g. the d04 pair shuffle)
+    can reuse the same data-derived rule."""
+    from opentelemetry_iceberg_exporter_spark.sources.tables import (
+        _FAN_OUT_TASK_BYTES,
+        fan_out,
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = fan_out(docs, spark, src_bytes=10 * _FAN_OUT_TASK_BYTES)
+    assert getattr(out, "_graft_src_bytes", None) == 10 * _FAN_OUT_TASK_BYTES
+
+
+def test_pair_shuffle_width_is_data_derived(spark, sf_dir):
+    """d04's shingle-group exchange width follows the fan_out byte rule
+    for small inputs and defers to the configured shuffle partitioning
+    (None) at scale or without a hint."""
+    from opentelemetry_iceberg_exporter_spark.operators.dedup import (
+        _pair_shuffle_width,
+    )
+    from opentelemetry_iceberg_exporter_spark.sources.tables import (
+        _FAN_OUT_TASK_BYTES,
+        load_table,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents")
+
+    small = docs.select("doc_id", "text")
+    small._graft_src_bytes = 5 * _FAN_OUT_TASK_BYTES
+    assert _pair_shuffle_width(small) == 5
+
+    # production-scale hint: leave the exchange to conf + AQE
+    big = docs.select("doc_id", "text")
+    big._graft_src_bytes = 100 << 30
+    assert _pair_shuffle_width(big) is None
+
+    # no hint: unchanged keyed-repartition path
+    assert _pair_shuffle_width(docs.select("doc_id")) is None
+
+    # floor of 2, and the boundary sits at 4x parallelism
+    tiny = docs.select("doc_id", "text")
+    tiny._graft_src_bytes = 1
+    assert _pair_shuffle_width(tiny) == 2
+    edge = docs.select("doc_id", "text")
+    edge._graft_src_bytes = 4 * target * _FAN_OUT_TASK_BYTES
+    assert _pair_shuffle_width(edge) == 4 * target
