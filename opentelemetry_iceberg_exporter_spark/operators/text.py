@@ -10,7 +10,7 @@ value cross-engine deterministic.
 
 from __future__ import annotations
 
-from functools import lru_cache
+from ..plancache import column_cache
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,7 +69,7 @@ def doc_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), *_doc_feature_columns(id_col, text_col))
 
 
-@lru_cache(maxsize=8)
+@column_cache(maxsize=8)
 def _doc_feature_columns(id_col: str, text_col: str) -> tuple:
     """The t01 feature Column list, built ONCE per (id, text) column
     pair: ~9 of these expressions carry py4j lambda plumbing (filter/

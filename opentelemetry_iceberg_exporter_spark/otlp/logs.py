@@ -12,7 +12,7 @@ Reference parity (internal/arrow/logs.go):
 
 from __future__ import annotations
 
-from functools import lru_cache
+from ..plancache import column_cache
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -56,7 +56,7 @@ def flatten_logs(
     return lr.select(*_log_columns(depth, ns_timestamps))
 
 
-@lru_cache(maxsize=8)
+@column_cache(maxsize=8)
 def _log_columns(depth: int, ns_timestamps: bool) -> tuple:
     """The 18-column log projection, built ONCE per (depth,
     ns_timestamps) — same plan-build cache as traces._trace_columns

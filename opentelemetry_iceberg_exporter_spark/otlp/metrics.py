@@ -22,7 +22,7 @@ Reference parity (internal/arrow/metrics.go):
 
 from __future__ import annotations
 
-from functools import lru_cache
+from ..plancache import column_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -53,7 +53,7 @@ def _explode_to_metric(df: DataFrame) -> DataFrame:
     )
 
 
-@lru_cache(maxsize=16)
+@column_cache(maxsize=16)
 def _common_cols(
     dp_name: str = "dp", depth: int = ATTR_DEPTH, ns_timestamps: bool = False
 ) -> tuple:
@@ -113,7 +113,7 @@ def _common_cols(
     )
 
 
-@lru_cache(maxsize=16)
+@column_cache(maxsize=16)
 def _exemplar_cols(
     dp_name: str = "dp", depth: int = ATTR_DEPTH, ns_timestamps: bool = False
 ) -> tuple:

@@ -21,7 +21,7 @@ transforms. No Python executes per row.
 
 from __future__ import annotations
 
-from functools import lru_cache
+from ..plancache import column_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -123,7 +123,7 @@ def flatten_traces(
     return sp.select(*_trace_columns(depth, ns_timestamps))
 
 
-@lru_cache(maxsize=8)
+@column_cache(maxsize=8)
 def _trace_columns(depth: int, ns_timestamps: bool) -> tuple:
     """The 33-column trace projection, built ONCE per (depth,
     ns_timestamps): the lambda-bearing transforms and the deep

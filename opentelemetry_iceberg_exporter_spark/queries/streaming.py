@@ -116,12 +116,22 @@ def state_partitions_for(spark: SparkSession, src_path: str) -> int:
     """
     env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
     if env:
-        return max(1, int(env))
+        try:
+            return max(1, int(env))
+        except ValueError as e:
+            raise ValueError(
+                "SPARK_GRAFT_STREAM_STATE_PARTITIONS must be an integer, "
+                f"got {env!r}"
+            ) from e
     try:
         if os.path.isdir(src_path):
-            n_bytes = sum(
-                e.stat().st_size for e in os.scandir(src_path) if e.is_file()
-            )
+            # recurse: partitioned/nested parquet sources keep their
+            # data in subdirectories, which a top-level scandir would
+            # count as ~0 bytes (silently flooring a large source at 2)
+            n_bytes = 0
+            for root, _dirs, files in os.walk(src_path):
+                for f in files:
+                    n_bytes += os.stat(os.path.join(root, f)).st_size
         else:
             n_bytes = os.stat(src_path).st_size
     except OSError:

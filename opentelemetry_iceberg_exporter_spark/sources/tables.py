@@ -54,24 +54,47 @@ _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+def _stat_key(path: str) -> tuple | None:
+    """Cache key + size for a table path. A parquet DIRECTORY's inode
+    size (~4 KB) is NOT the data size — and its mtime does not change on
+    in-place member rewrites — so directories key on (sum of member
+    sizes, max member mtime, file count) instead: a rewritten, added or
+    removed member re-keys, and fan_out's width hint sees the real
+    bytes. Returns (cache_key, total_bytes) or None for non-local
+    paths (never cached)."""
+    import stat as _stat
+
     try:
         st = os.stat(path)
-        cache_key = (path, st.st_mtime_ns, st.st_size)
+        if not _stat.S_ISDIR(st.st_mode):
+            return (path, st.st_mtime_ns, st.st_size), st.st_size
+        total, mtime, n = 0, st.st_mtime_ns, 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                s = os.stat(os.path.join(root, f))
+                total += s.st_size
+                mtime = max(mtime, s.st_mtime_ns)
+                n += 1
+        return (path, mtime, total, n), total
     except OSError:
-        cache_key = None  # non-local / moved path: never cache
-    if cache_key is not None:
+        return None  # non-local / moved path
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    keyed = _stat_key(path)
+    if keyed is not None:
+        cache_key, src_bytes = keyed
         per_session = _TABLE_CACHE.setdefault(spark, {})
         hit = per_session.get(cache_key)
         if hit is not None:
             return hit
     df = _load_table_uncached(spark, sf_dir, name)
-    if cache_key is not None:
+    if keyed is not None:
         # size hint for fan_out's data-derived width (also skips its
         # df.rdd fallback); an attribute on the cached object, so it
         # rides every cache hit for free
-        df._graft_src_bytes = cache_key[2]
+        df._graft_src_bytes = src_bytes
         per_session[cache_key] = df
     return df
 

@@ -63,3 +63,31 @@ def test_session_conf_restored_after_run(spark, sf_dir):
     got = run_to_memory(out, "stparts", "complete", state_partitions=3)
     assert got.count() > 0
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_nested_directory_input_sums_recursively(spark, tmp_path, monkeypatch):
+    """A partitioned/nested parquet source keeps data in
+    subdirectories; sizing must walk them instead of counting ~0 bytes
+    at the top level (which would silently floor a large source at 2)."""
+    from opentelemetry_iceberg_exporter_spark.queries.streaming import (
+        _STATE_PARTITION_BYTES,
+        state_partitions_for,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", raising=False)
+    sub = tmp_path / "day=2031-01-01"
+    sub.mkdir()
+    (sub / "part-0").write_bytes(b"x" * (3 * _STATE_PARTITION_BYTES))
+    assert state_partitions_for(spark, str(tmp_path)) == 3
+
+
+def test_malformed_env_override_names_the_var(spark, sf_dir, monkeypatch):
+    import pytest
+
+    from opentelemetry_iceberg_exporter_spark.queries.streaming import (
+        state_partitions_for,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "lots")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_STREAM_STATE_PARTITIONS"):
+        state_partitions_for(spark, f"{sf_dir}/events.parquet")

@@ -136,3 +136,50 @@ def test_pair_shuffle_width_is_data_derived(spark, sf_dir):
     edge = docs.select("doc_id", "text")
     edge._graft_src_bytes = 4 * target * _FAN_OUT_TASK_BYTES
     assert _pair_shuffle_width(edge) == 4 * target
+
+
+def test_directory_table_sizes_from_members(spark, tmp_path):
+    """A directory-layout parquet table must hint its MEMBER bytes (the
+    inode size would collapse fan_out to the floor and repartition an
+    arbitrarily large corpus down to 2 slices), and adding a member
+    must re-key the plan cache even though the dir inode may not
+    change."""
+    from opentelemetry_iceberg_exporter_spark.sources import tables
+
+    src = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(1, "aa")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+    df1 = tables.load_table(spark, str(tmp_path), "documents")
+    real = sum(
+        f.stat().st_size for f in __import__("pathlib").Path(src).rglob("*")
+        if f.is_file()
+    )
+    assert df1._graft_src_bytes == real
+    assert real > 0
+
+    # append a member file in place (dir mtime alone is not reliable)
+    spark.createDataFrame(
+        [(2, "bb")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    df2 = tables.load_table(spark, str(tmp_path), "documents")
+    assert df2 is not df1  # re-keyed
+    assert df2.count() == 2
+    assert df2._graft_src_bytes > df1._graft_src_bytes
+
+
+def test_column_cache_rebuilds_on_gateway_change(monkeypatch):
+    """The cached Column tuples hold py4j refs into the live gateway; a
+    relaunched gateway must rebuild them instead of handing back dead
+    references."""
+    from opentelemetry_iceberg_exporter_spark import plancache
+    from opentelemetry_iceberg_exporter_spark.operators.text import (
+        _doc_feature_columns,
+    )
+
+    _doc_feature_columns.cache_clear()
+    a = _doc_feature_columns("doc_id", "text")
+    assert _doc_feature_columns("doc_id", "text") is a
+    monkeypatch.setattr(plancache, "gateway_epoch", lambda: "relaunched")
+    b = _doc_feature_columns("doc_id", "text")
+    assert b is not a
