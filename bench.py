@@ -1119,6 +1119,46 @@ def run_expire_depth_bench() -> dict:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def collect_group_metrics(spark, groups: list[str]) -> tuple[dict, dict]:
+    """Sum executorRunTime / executorCpuTime (ms) per job group from the
+    local UI REST API. Best-effort: any failure returns empty dicts —
+    the timing record never depends on the UI being up."""
+    import urllib.request
+
+    task_ms: dict[str, int] = {}
+    cpu_ms: dict[str, int] = {}
+    try:
+        app_id = spark.sparkContext.applicationId
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return task_ms, cpu_ms
+
+        def rest(path):
+            with urllib.request.urlopen(f"{base}/api/v1/{path}", timeout=10) as r:
+                return json.loads(r.read())
+
+        wanted = set(groups)
+        stage_ids: dict[str, set] = {}
+        for j in rest(f"applications/{app_id}/jobs?status=succeeded"):
+            g = j.get("jobGroup")
+            if g in wanted:
+                stage_ids.setdefault(g, set()).update(j.get("stageIds", []))
+        for g, sids in stage_ids.items():
+            run = cpu = 0
+            for sid in sids:
+                try:
+                    for att in rest(f"applications/{app_id}/stages/{sid}"):
+                        run += att.get("executorRunTime", 0)
+                        cpu += att.get("executorCpuTime", 0) // 1_000_000
+                except Exception:
+                    pass
+            task_ms[g] = run
+            cpu_ms[g] = cpu
+    except Exception:
+        return {}, {}
+    return task_ms, cpu_ms
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -1148,15 +1188,34 @@ def main() -> None:
     steady_runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for i in range(N_STEADY_PASSES):
         for name in HEADLINE:
-            spark.sparkContext.setJobDescription(f"headline steady {i}: {name}")
+            # job group (thread-local, set OUTSIDE the timed region)
+            # attributes executor metrics to the query so the blob can
+            # carry per-query taskTime/cpuTime — the host-noise
+            # adjudicator: a plan regression moves taskTime, a slow
+            # host phase moves wall while taskTime stays flat
+            spark.sparkContext.setJobGroup(
+                f"steady:{name}", f"headline steady {i}: {name}"
+            )
             t0 = time.perf_counter()
             specs[name].fn(spark, sf_dir).count()
             steady_runs[name].append(time.perf_counter() - t0)
-    spark.sparkContext.setJobDescription(None)
+    spark.sparkContext.setJobGroup(None, None)
     steady = {
         name: round(statistics.median(runs), 3)
         for name, runs in steady_runs.items()
     }
+    # pull per-query executor totals from the UI REST API NOW, before
+    # later bench sections evict these jobs from the retained-job ring
+    # (untimed; additions-only keys in the full blob). Streaming
+    # queries' micro-batch jobs run on their own threads and do not
+    # inherit the group, so st01's sums cover only its driver-side jobs.
+    steady_task_ms, steady_cpu_ms = collect_group_metrics(
+        spark, [f"steady:{n}" for n in HEADLINE]
+    )
+    queries_task_ms = {
+        n: steady_task_ms.get(f"steady:{n}", 0) for n in HEADLINE
+    }
+    queries_cpu_ms = {n: steady_cpu_ms.get(f"steady:{n}", 0) for n in HEADLINE}
 
     warmup_write_path(spark, sf_dir)
     write_path = run_write_path_fs(spark, sf_dir)
@@ -1178,6 +1237,8 @@ def main() -> None:
             "queries": timings,
             "value_steady": round(sum(steady.values()), 3),
             "queries_steady": steady,
+            "queries_task_ms": queries_task_ms,
+            "queries_cpu_ms": queries_cpu_ms,
             "steady_passes": N_STEADY_PASSES,
             "write_path": write_path,
             "write_path_rest": write_path_rest,
@@ -1231,6 +1292,7 @@ def main() -> None:
             "bloom_files_excluded": v3_modes["bloom_files_excluded"],
             "probe_distributed_sec": v3_modes["probe_distributed_sec"],
             "probe_driver_sec": v3_modes["probe_driver_sec"],
+            "probe_hash_1m_sec": v3_modes["probe_hash_1m_sec"],
             "rest_plan_local_sec": rest_plan["rest_plan_local_sec"],
             "rest_plan_server_sec": rest_plan["rest_plan_server_sec"],
             "rest_plan_files": rest_plan["rest_plan_files"],
@@ -1257,26 +1319,23 @@ def main() -> None:
         }
     )
     # the driver's stdout-tail capture is 2000 bytes; the compact line
-    # sits at ~1.9KB and grows a few keys per round. If it ever crosses
-    # the cap, drop the LEAST round-over-round-critical keys (their
-    # values stay in the full blob on the previous line) rather than
-    # letting the tail truncate mid-JSON (parsed:null, like BENCH_r06).
-    _DROPPABLE = [
-        "json_full_scan_sec",
-        "probe_driver_sec",
-        "rest_plan_local_sec",
-        "substr_ingest_index_files_total",
-        "corpus_build_rows",
-        "json_twin_wide_read_sec",
-        "variant_wide_read_sec",
-    ]
-    if len(compact_line) > 1950:
-        compact = json.loads(compact_line)
-        for key in _DROPPABLE:
-            compact.pop(key, None)
-            compact_line = json.dumps(compact)
-            if len(compact_line) <= 1950:
-                break
+    # sits near the cap and grows a few keys per round. If it crosses,
+    # shed DECIMALS, never keys: every published key stays published
+    # (an earlier guard dropped low-value keys, which a round-over-round
+    # comparison would read as a removed bench number — this one is
+    # non-lossy in the key set, and full-precision values remain in the
+    # full blob on the previous line).
+    def _round_floats(obj, ndigits):
+        if isinstance(obj, float):
+            return round(obj, ndigits)
+        if isinstance(obj, dict):
+            return {k: _round_floats(v, ndigits) for k, v in obj.items()}
+        return obj
+
+    for ndigits in (2, 1):
+        if len(compact_line) <= 1950:
+            break
+        compact_line = json.dumps(_round_floats(json.loads(compact_line), ndigits))
     # teardown BEFORE printing: streaming availableNow queries already
     # self-terminated (run_to_memory stops + awaits them), but straggler
     # task-end events can still race session stop and log a DAGScheduler
