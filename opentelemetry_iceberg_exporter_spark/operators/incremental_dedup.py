@@ -67,6 +67,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
+from ..sources.tables import fan_out
 from .dedup import band_pairs, band_rows, dedup_groups, minhash_signatures
 from .index_probe import (
     collect_probe_keys,
@@ -178,6 +179,11 @@ class IncrementalDeduper:
         # long-id corpora don't write type-mismatched index rows — all
         # decision/match ids are therefore strings
         batch = batch.withColumn(id_col, F.col(id_col).cast("string"))
+        # an ingest batch often arrives as ONE scan split (a filter of a
+        # small table, a single file), which would serialize the
+        # CPU-heavy signature folds onto one core; fan_out re-spreads it
+        # and is a no-op for already-parallel batches (production scale)
+        batch = fan_out(batch, spark)
         sigs = minhash_signatures(batch, id_col, self.text_col).localCheckpoint(
             eager=False
         )

@@ -65,6 +65,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+from ..sources.tables import fan_out
 from .index_probe import (
     collect_probe_keys,
     index_table_properties,
@@ -176,6 +177,10 @@ class IncrementalSubstrDeduper:
         byte-identical no-ops on the index."""
         id_col, text_col = self.id_col, self.text_col
         batch = batch.withColumn(id_col, F.col(id_col).cast("string"))
+        # a batch arriving as ONE scan split would serialize the char
+        # k-gram md5 explode (the ingester's dominant compute) onto one
+        # core; fan_out re-spreads it, no-op for already-parallel input
+        batch = fan_out(batch, spark)
         grams = kgram_occurrences(
             batch, id_col, text_col, self.k, self.stride
         ).localCheckpoint(eager=False)
