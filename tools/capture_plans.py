@@ -1,7 +1,7 @@
-"""Capture .explain('formatted') for headline queries into plans/r12/.
+"""Capture .explain('formatted') for headline queries into plans/r13/.
 
 Usage: python tools/capture_plans.py <suffix> [query,query,...]
-Writes plans/r12/<name>_<suffix>.txt for each query.
+Writes plans/r13/<name>_<suffix>.txt for each query.
 Plan-only (no execution) — safe to run any time.
 """
 
@@ -40,7 +40,7 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2].split(",") if len(sys.argv) > 2 else HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(_REPO, "plans", "r12")
+    out_dir = os.path.join(_REPO, "plans", "r13")
     os.makedirs(out_dir, exist_ok=True)
     spark = build_session(
         app_name="capture-plans",
