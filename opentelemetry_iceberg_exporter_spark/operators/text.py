@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions import md5_hash64, ngrams, tokens
 from ..functions.textfns import HASH_MOD
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 from ..queries import register
 from .sampling import duck_split_assignment, split_assignment
 
@@ -694,7 +694,10 @@ def top_ngrams(df: DataFrame, text_col: str, n: int = 2, k: int = 20) -> DataFra
     doc="Corpus top-20 word bigrams.",
 )
 def t05_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return top_ngrams(load_table(spark, sf_dir, "documents"), "text", 2, 20)
+    # fan_out: the tokenize + bigram explode + map-side partial agg
+    # otherwise run on the scan's single split (no-op at scale)
+    return top_ngrams(fan_out(load_table(spark, sf_dir, "documents"), spark),
+                      "text", 2, 20)
 
 
 def winnowing_pairs(
