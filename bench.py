@@ -887,8 +887,13 @@ def run_ingest_bench(spark, sf_dir: str) -> dict:
     from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import FsCatalog
     from opentelemetry_iceberg_exporter_spark.sources.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = load_table(spark, sf_dir, "documents")
+    docs = base.select("doc_id", "text")
     n_batches = 8
+    # per-batch source-size hint (~1/8 of the table): the ingesters'
+    # fan_out then derives its data-derived width instead of the
+    # no-hint fallback's full-parallelism spread
+    batch_bytes = (getattr(base, "_graft_src_bytes", 0) or 0) // n_batches or None
     bucket = F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(n_batches))
     tmp = tempfile.mkdtemp(prefix="bench_substr_idx_")
     try:
@@ -899,6 +904,7 @@ def run_ingest_bench(spark, sf_dir: str) -> dict:
         last = None
         for i in range(n_batches):
             batch = docs.filter(bucket == i)
+            batch._graft_src_bytes = batch_bytes
             t0 = time.perf_counter()
             last = ing.ingest(spark, batch)
             last.output.count()  # materialize the trimmed output too
@@ -949,6 +955,7 @@ def run_ingest_bench(spark, sf_dir: str) -> dict:
         dlast = None
         for i in range(n_batches):
             batch = docs.filter(bucket == i)
+            batch._graft_src_bytes = batch_bytes
             t0 = time.perf_counter()
             dlast = lsh.ingest(spark, batch)
             dlast.decisions.count()
