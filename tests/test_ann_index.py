@@ -124,6 +124,7 @@ class TestIncrementalMaintenance:
         assert idx.search(spark, empty, id_col="vec_id").count() == 0
 
 
+@pytest.mark.slow
 class TestCli:
     def test_build_ingest_search_cli(self, spark, tmp_path, capsys):
         import duckdb
@@ -160,6 +161,7 @@ class TestCli:
         assert all(v.split("_")[0] == q.split("_")[0] for q, v in rows)
 
 
+@pytest.mark.slow
 class TestRestParity:
     def test_build_ingest_search_over_rest(self, spark, tmp_path):
         from rest_stub import make_server

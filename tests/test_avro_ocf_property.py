@@ -21,6 +21,7 @@ from opentelemetry_iceberg_exporter_spark.sinks.avro_ocf import (
     write_ocf,
 )
 from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+
     MANIFEST_LIST_SCHEMA,
     manifest_avro_schema,
 )
@@ -225,3 +226,8 @@ def test_deflate_codec_reads_back(tmp_path_factory):
     got_schema, got_meta, got_rows = read_ocf(path)
     assert got_meta["avro.codec"] == "deflate"
     assert got_rows == rows
+
+import pytest
+
+# depth/property tier: full-coverage fuzz — slow tier (SPARK_GRAFT_FULL_TESTS=1)
+pytestmark = pytest.mark.slow

@@ -93,6 +93,7 @@ class TestTraining:
         assert "est" + EOW in built
 
 
+@pytest.mark.slow
 class TestBatchedRounds:
     def test_driver_rounds_below_merge_count(self, spark):
         """Disjoint batching: several merges land per driver round when
@@ -134,6 +135,7 @@ class TestBatchedRounds:
                 assert model.merges == ref_merges, (text, n)
 
 
+@pytest.mark.slow
 class TestCompositionExclusion:
     """Symbols are concatenation-named, so two candidates can interact
     WITHOUT sharing a symbol: selecting ('a','bc') creates 'abc'
@@ -215,6 +217,7 @@ class TestCompositionExclusion:
             assert model.merges == ref_merges, f"trial {trial}: {docs}"
 
 
+@pytest.mark.slow
 class TestPropertyVsReference:
     def test_random_corpora_match_reference(self, spark):
         """Randomized corpora (repeated words from a tiny alphabet so

@@ -141,6 +141,7 @@ class TestDedupTailCli:
             )
 
 
+@pytest.mark.slow
 class TestQualityCli:
     def test_train_then_score_roundtrip(self, spark, tmp_path, capsys):
         good = [(f"g{i}", f"a clear factual sentence about topic {i} with details", 1)

@@ -359,6 +359,7 @@ class TestCorpusBuildCli:
         assert got["d1"] < got["d2"]
 
 
+@pytest.mark.slow
 class TestShuffleSeed:
     def test_seed_changes_pack_order_reproducibly(self, spark):
         """shuffle_seed makes the packed training order the seeded

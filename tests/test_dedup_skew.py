@@ -6,6 +6,8 @@ operator's own semantics with a synthetic hot shingle)."""
 
 from __future__ import annotations
 
+import pytest
+
 from opentelemetry_iceberg_exporter_spark.operators.dedup import (
     DEFAULT_DF_CAP,
     ngram_jaccard_pairs,
@@ -50,6 +52,7 @@ def test_hot_shingle_dropped_by_cap(spark):
     assert r12["jaccard"] == 1.0
 
 
+@pytest.mark.slow
 def test_hot_gram_exactsubstr_stays_linear(spark):
     """r11 verdict ask #5: the window-form ExactSubstr claims O(df) per
     hot gram — pin it with an adversarial skew corpus. One document of

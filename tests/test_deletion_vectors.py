@@ -400,6 +400,7 @@ class TestDeletionVectorDeletes:
         assert t.read(spark).count() == 39
 
 
+@pytest.mark.slow
 class TestDvLifecycleAtScale:
     def test_multi_file_many_rows_full_lifecycle(self, spark, tmp_path):
         """Thousands of rows over many files and hours: interleaved DV
@@ -452,6 +453,7 @@ class TestDvLifecycleAtScale:
         assert t.read(spark, snapshot_id=sid).count() == 4500
 
 
+@pytest.mark.slow
 class TestRandomizedDmlModel:
     def test_random_delete_interleavings_match_model(self, spark, tmp_path):
         """Model-based randomized DML: arbitrary interleavings of

@@ -24,6 +24,9 @@ import pytest
 from opentelemetry_iceberg_exporter_spark.sinks import iceberg_fs as fsmod
 from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import expire_plan
 
+# depth/property tier: full-coverage fuzz — slow tier (SPARK_GRAFT_FULL_TESTS=1)
+pytestmark = pytest.mark.slow
+
 NOW = 1_700_000_000_000
 DAY = 86_400_000
 

@@ -18,6 +18,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from opentelemetry_iceberg_exporter_spark.sinks.iceberg_fs import (
+
     FsCatalog,
     live_files,
     snapshot_file_tree,
@@ -111,3 +112,6 @@ def test_randomized_fold_expire_interleavings(spark, tmp_path, seed):
     t.expire_snapshots(keep_last=1)
     _assert_invariants(t, spark, live)
     assert len(t.snapshots()) >= 1
+
+# depth/property tier: full-coverage fuzz — slow tier (SPARK_GRAFT_FULL_TESTS=1)
+pytestmark = pytest.mark.slow

@@ -88,6 +88,7 @@ class TestRouting:
         )
         assert all(v is False for v in out.values())
 
+    @pytest.mark.slow
     def test_large_list_with_session_ships_to_executors(
         self, spark, monkeypatch, many_files_table
     ):
@@ -108,6 +109,7 @@ class TestRouting:
 
 
 class TestParity:
+    @pytest.mark.slow
     def test_distributed_equals_driver_verdicts(self, spark, many_files_table):
         data, _ = many_files_table.plan_files()
         paths = [f.file_path for f in data]
@@ -119,6 +121,7 @@ class TestParity:
         assert driver == dist
         assert sum(not dead for dead in dist.values()) == 2  # the two holders
 
+    @pytest.mark.slow
     def test_distributed_verdicts_are_plain_booleans(self, spark, many_files_table):
         """Verdicts-only contract: the job returns {path: bool}, never
         footer/bitset payloads."""
@@ -138,6 +141,7 @@ class TestParity:
 
 
 class TestPlannerIntegration:
+    @pytest.mark.slow
     def test_delete_where_point_lookup_distributes(
         self, spark, monkeypatch, many_files_table
     ):

@@ -20,6 +20,11 @@ from opentelemetry_iceberg_exporter_spark.sinks.puffin import (
 
 from test_gif_decode import make_gif
 
+import pytest
+
+# depth/property tier: full-coverage fuzz — slow tier (SPARK_GRAFT_FULL_TESTS=1)
+pytestmark = pytest.mark.slow
+
 dims = st.tuples(st.integers(1, 24), st.integers(1, 24))  # (w, h)
 palette_exp = st.integers(1, 7)  # 2..128 colors
 

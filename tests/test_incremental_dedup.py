@@ -77,6 +77,7 @@ def test_near_variant_shares_a_band(spark):
     assert not (keys["a"] & keys["c"]) and not (keys["b"] & keys["c"])
 
 
+@pytest.mark.slow
 class TestBatchScopedProbe:
     """The index read is bloom-pruned to files that might share a band
     key with the batch: bytes read scale with the BATCH, not the

@@ -166,6 +166,7 @@ class TestIngest:
         assert "hereby granted" not in texts["2"]
 
 
+@pytest.mark.slow
 class TestBatchScopedProbe:
     """The index read is bloom-pruned to the files that might hold a
     batch hash: bytes read scale with the BATCH, not the corpus."""

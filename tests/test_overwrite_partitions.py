@@ -229,6 +229,7 @@ class TestOverwritePartitionsRest:
             server.shutdown()
 
 
+@pytest.mark.slow
 class TestRandomizedOverwriteModel:
     def test_random_interleavings_match_model(self, spark, tmp_path):
         """Model-based randomized sequences of appends, day-backfills

@@ -71,6 +71,7 @@ class TestTrainEncode:
         err_shuf = np.linalg.norm(pq_decode_np(shuffled, books) - X, axis=1).mean()
         assert err < 0.95 * err_shuf
 
+    @pytest.mark.slow
     def test_reconstruction_quality_synthetic(self, spark):
         """On data whose subspaces genuinely cluster, PQ reconstruction
         approaches the noise floor while shuffled codes do not."""
@@ -94,6 +95,7 @@ class TestTrainEncode:
         err_shuf = np.linalg.norm(pq_decode_np(shuffled, books) - Xf, axis=1).mean()
         assert err < 0.3 * err_shuf
 
+    @pytest.mark.slow
     def test_more_centroids_reconstruct_better(self, emb, books):
         small = pq_train(emb, "vec_id", "embedding", m=M, k=2, max_iter=5)
         ids, X = _np_vectors(emb)
@@ -110,6 +112,7 @@ class TestTrainEncode:
 
 
 class TestAdcSearch:
+    @pytest.mark.slow
     def test_adc_preserves_cluster_geometry(self, spark):
         """m-byte codes cannot rank WITHIN a tight cluster (members
         share a cell — that is the point of the compression), but ADC

@@ -83,6 +83,7 @@ class TestTraining:
              for r in score_documents(spark, unseen, model, "doc_id", "text").collect()}
         assert s["u_good"] > s["u_junk"]
 
+    @pytest.mark.slow
     def test_partitioning_invariance_bit_exact(self, spark):
         """Decimal accumulation makes training identical under any
         physical partitioning — the whole point of the _DEC casts."""

@@ -102,6 +102,7 @@ class TestSemDedup:
             (63, 69),
         }
 
+    @pytest.mark.slow
     def test_partitioning_invariance(self, spark):
         a = semdedup(_corpus(spark, partitions=1), "doc_id", "embedding", k=3)
         b = semdedup(_corpus(spark, partitions=7), "doc_id", "embedding", k=3)
